@@ -1,0 +1,104 @@
+"""Golden-case parity with the reference's e2e tests (TopNTest.java:128-144)
+plus determinism, empty-input, and float-special-value coverage the
+reference lacks (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from topn_spark.operators.topn import topn, topn_grouped, topn_grouped_salted
+
+
+def names(df):
+    return {r["name"] for r in df.collect()}
+
+
+def ordered_names(df):
+    return [r["name"] for r in df.collect()]
+
+
+# The five golden cases; expected sets from FIXTURES.md / TopNTest.java.
+@pytest.mark.parametrize(
+    "field,size,ignore_null,expected",
+    [
+        ("age", 4, True, {"Alice", "Eve", "Leo"}),
+        ("age", 4, False, {"Alice", "Eve", "Leo", "Bob"}),
+        ("id", 2, False, {"Alice", "Bob"}),
+        ("kg", 2, False, {"Alice", "Bob"}),
+        ("cm", 2, False, {"Alice", "Bob"}),
+    ],
+)
+def test_golden_sets(people, field, size, ignore_null, expected):
+    assert names(topn(people, field, size, ignore_null)) == expected
+
+
+def test_emit_order_descending_null_last(people):
+    # TopN.java:126-129 emit largest-first; null smallest (TopN.java:222-231)
+    assert ordered_names(topn(people, "age", 4)) == ["Alice", "Eve", "Leo", "Bob"]
+
+
+def test_schema_passthrough(people):
+    # TopN.java:71
+    assert topn(people, "kg", 2).schema == people.schema
+
+
+def test_fewer_rows_than_size(people):
+    assert names(topn(people, "id", 100)) == {"Leo", "Eve", "Bob", "Alice"}
+
+
+def test_empty_input(spark, people):
+    empty = people.where("id < 0")
+    assert topn(empty, "id", 3).count() == 0
+
+
+def test_default_size_is_one(people):
+    # TopNConfig.java:121-123: size defaults to 1
+    assert ordered_names(topn(people, "kg")) == ["Alice"]
+
+
+def test_nan_sorts_above_inf(spark):
+    # Float.compare sorts NaN > +Inf in the reference (TopN.java:162-179);
+    # Spark's ordering agrees — regression-pin it (SURVEY.md §5.2).
+    df = spark.createDataFrame(
+        [("nan", float("nan")), ("inf", float("inf")), ("one", 1.0), ("null", None)],
+        "name string, v double",
+    )
+    assert ordered_names(topn(df, "v", 4, tiebreak="name")) == [
+        "nan",
+        "inf",
+        "one",
+        "null",
+    ]
+
+
+def test_ignore_null_drops_all_null_rows(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "name string, v double"
+    )
+    assert topn(df, "v", 5, ignore_null=True).count() == 0
+
+
+def test_grouped_topn(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "b", 3.0), ("g1", "c", 2.0),
+         ("g2", "d", 9.0), ("g2", "e", None)],
+        "g string, name string, v double",
+    )
+    out = topn_grouped(df, "g", "v", 2, tiebreak="name", rank_col="rn")
+    got = {(r["g"], r["name"], r["rn"]) for r in out.collect()}
+    assert got == {("g1", "b", 1), ("g1", "c", 2), ("g2", "d", 1), ("g2", "e", 2)}
+
+
+def test_grouped_salted_matches_plain(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randrange(3)}", i, rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    plain = topn_grouped(df, "g", "v", 5, tiebreak="id")
+    salted = topn_grouped_salted(df, "g", "v", 5, tiebreak="id")
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }

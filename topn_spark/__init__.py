@@ -1,0 +1,42 @@
+"""topn_spark — a PySpark-native analytics engine.
+
+Built from scratch with the query and data-processing capabilities of
+the CDAP ``data-integrations/topn`` batch aggregator (reference at
+/root/reference), generalized into a full DataFrame/SQL surface and
+LLM-data-pipeline extensions. Architecture is idiomatic Spark: declare
+logical plans with the DataFrame/SQL API, let Catalyst/Tungsten pick
+the physical strategy; Pandas UDFs only where built-ins genuinely
+cannot express the semantics.
+
+Public API
+----------
+- :func:`topn_spark.session.get_session` — SparkSession factory pinning
+  the engine environment contract (UTC, nanos-timestamp shim, AQE).
+- :func:`topn_spark.catalog.load_table` / ``register_views`` — table
+  access over the Parquet test data, including the events-ts shim.
+- :func:`topn_spark.operators.topn.topn` — the reference operator:
+  global top-N by a numeric field (descending, null-smallest),
+  reference-parity validation (see reference TopNConfig.java:62-104).
+- :func:`topn_spark.operators.topn.topn_grouped` — per-group
+  generalization via ranking windows.
+- ``topn_spark.operators.dedup / similarity / textstats / multimodal``
+  — LLM-pipeline extensions.
+- ``topn_spark.streaming`` — Structured Streaming windows + stateful
+  top-N.
+- :data:`topn_spark.queries.QUERIES` — the declared oracle-query
+  catalog (SURVEY.md §2.5).
+"""
+
+from topn_spark.errors import FailureCollector, ValidationError
+from topn_spark.operators.topn import topn, topn_grouped
+from topn_spark.session import get_session
+
+__all__ = [
+    "FailureCollector",
+    "ValidationError",
+    "get_session",
+    "topn",
+    "topn_grouped",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,58 @@
+"""Table catalog over the Parquet test data.
+
+Sources are plain ``spark.read.parquet`` scans — Catalyst pushes
+predicates and prunes columns into the scan, so every query built on
+these DataFrames gets pushdown for free. The one engine-level shim is
+the ``events`` table: its ``ts`` column is nanosecond-precision, which
+Spark's Parquet reader only surfaces as INT64 under
+``spark.sql.legacy.parquet.nanosAsLong=true``; we rebuild it as a
+microsecond timestamp (``timestamp_micros(ts div 1000)``) at load time
+so downstream operators see a normal TimestampType column
+(SURVEY.md §2.4 rule 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; applies the events nanos→micros timestamp shim."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong surfaced the ns epoch as bigint; rebuild as a real
+        # timestamp (integer ns→us division, exact for the data's range).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views so ``spark.sql`` is a dual entry point."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

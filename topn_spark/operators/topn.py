@@ -1,0 +1,214 @@
+"""The reference operator: top-N by a numeric field, rebuilt Spark-first.
+
+Semantics contract (reference TopN.java:98-130, TopNConfig.java:62-104;
+SURVEY.md §2.1):
+
+- Global top-N, descending by the configured numeric field, emitted
+  largest→smallest (TopN.java:126-129).
+- Null is the smallest value (TopN.java:222-231); with
+  ``ignore_null=True`` null rows are dropped (TopN.java:133-135).
+- Output schema == input schema (TopN.java:71) — row-selecting only.
+- ``size`` in [1, 1048576], default 1 (TopNConfig.java:34,121-123).
+- Sort field must exist and be a bare INT/LONG/FLOAT/DOUBLE — DATE is
+  rejected even though physically INT (TopNConfig.java:75-84).
+- Ties are unordered in the reference; we expose an explicit
+  ``tiebreak`` argument for deterministic output.
+
+Physical strategy: the reference funnels ALL rows through one reducer
+holding a bounded heap (TopN.java:93-94, 117-118). We instead declare
+``orderBy(desc_nulls_last).limit(n)`` and let Spark plan
+``TakeOrderedAndProject`` — the same bounded-heap algorithm but run
+per-partition with a driver-side merge of k-row heaps: no full shuffle,
+no single-reducer bottleneck, O(k) memory per partition. This strictly
+dominates the reference's plan at any scale.
+
+For grouped top-N, ``row_number() OVER (PARTITION BY ...)`` + filter
+plans a ``WindowGroupLimit`` (Spark ≥3.5): the rank-k cut is pushed
+below the shuffle so each map task ships at most k rows per group.
+For pathologically hot keys there is an opt-in two-phase salted
+variant, ``topn_grouped_salted``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from topn_spark.errors import FailureCollector
+
+#: reference TopNConfig.java:34 — MAX_TOP = 1024 * 1024
+MAX_TOP = 1024 * 1024
+
+#: reference TopN.java:144-179 — comparator dispatch covers exactly these
+_NUMERIC_SORT_TYPES = (
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
+def validate_topn(
+    schema: T.StructType,
+    field: str,
+    size: int,
+    collector: FailureCollector | None = None,
+) -> FailureCollector:
+    """Reference-parity config validation (TopNConfig.java:62-104).
+
+    All failures are collected, not raised one at a time; call
+    ``collector.get_or_throw()`` to surface them together.
+    """
+    collector = collector or FailureCollector()
+    names = {f.name: f for f in schema.fields}
+    if field not in names:
+        # TopNConfig.java:66-70
+        collector.add_failure(
+            f"Field '{field}' does not exist in the input schema.",
+            "Set the top field to an existing numeric field.",
+            property_name="field",
+        )
+    else:
+        dtype = names[field].dataType
+        if not isinstance(dtype, _NUMERIC_SORT_TYPES):
+            # TopNConfig.java:75-84: bare INT/LONG/FLOAT/DOUBLE only;
+            # logical types (DATE over INT etc.) rejected. Spark's
+            # DateType/TimestampType/DecimalType are all distinct types
+            # here, so the isinstance check reproduces that rule.
+            collector.add_failure(
+                f"Field '{field}' is of unsupported type "
+                f"'{dtype.simpleString()}'.",
+                "Top field must be of type int, long, float, or double.",
+                property_name="field",
+            )
+    if size < 1:
+        # TopNConfig.java:89-95
+        collector.add_failure(
+            f"Invalid size {size}.",
+            "Size must be at least 1.",
+            property_name="size",
+        )
+    elif size > MAX_TOP:
+        # TopNConfig.java:97-103
+        collector.add_failure(
+            f"Invalid size {size}.",
+            f"Size must be no more than {MAX_TOP}.",
+            property_name="size",
+        )
+    return collector
+
+
+def _tiebreak_cols(tiebreak) -> list[Column]:
+    if tiebreak is None:
+        return []
+    if isinstance(tiebreak, (str, Column)):
+        tiebreak = [tiebreak]
+    return [F.col(c) if isinstance(c, str) else c for c in tiebreak]
+
+
+def topn(
+    df: DataFrame,
+    field: str,
+    size: int = 1,
+    ignore_null: bool = False,
+    tiebreak=None,
+) -> DataFrame:
+    """Global top-``size`` rows by ``field`` descending, nulls smallest.
+
+    Plans as ``TakeOrderedAndProject``: per-partition bounded heap +
+    driver merge — the reference's heap (TopN.java:117-118) without its
+    single-reducer shuffle (TopN.java:93-94). Schema passes through
+    unchanged (TopN.java:71).
+
+    ``tiebreak``: optional column(s) ordering ties deterministically;
+    the reference leaves ties unordered (SURVEY.md §2.1 #4).
+    """
+    validate_topn(df.schema, field, size).get_or_throw()
+    if ignore_null:
+        # TopN.java:133-135
+        df = df.where(F.col(field).isNotNull())
+    order = [F.col(field).desc_nulls_last(), *_tiebreak_cols(tiebreak)]
+    return df.orderBy(*order).limit(size)
+
+
+def topn_grouped(
+    df: DataFrame,
+    group_by,
+    field: str,
+    size: int = 1,
+    ignore_null: bool = False,
+    tiebreak=None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group generalization: top-``size`` rows per ``group_by`` key.
+
+    Declared as ``row_number() OVER (PARTITION BY keys ORDER BY field
+    DESC NULLS LAST)`` + filter; Spark ≥3.5 plans a ``WindowGroupLimit``
+    that evaluates the rank cut map-side before the shuffle, so at most
+    ``size`` rows per group per input partition are exchanged — the
+    grouped analogue of the bounded heap.
+
+    If ``rank_col`` is given, the 1-based rank is kept as that column
+    (BIGINT); otherwise output schema == input schema.
+    """
+    validate_topn(df.schema, field, size).get_or_throw()
+    if isinstance(group_by, str):
+        group_by = [group_by]
+    if ignore_null:
+        df = df.where(F.col(field).isNotNull())
+    w = Window.partitionBy(*group_by).orderBy(
+        F.col(field).desc_nulls_last(), *_tiebreak_cols(tiebreak)
+    )
+    rn = "__topn_rn" if rank_col is None else rank_col
+    out = df.withColumn(rn, F.row_number().over(w).cast("bigint")).where(
+        F.col(rn) <= size
+    )
+    return out.drop(rn) if rank_col is None else out
+
+
+def topn_grouped_salted(
+    df: DataFrame,
+    group_by,
+    field: str,
+    size: int = 1,
+    ignore_null: bool = False,
+    tiebreak=None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase grouped top-N for pathologically skewed keys.
+
+    Phase 1 ranks within (key, salt) — ``salt_buckets`` parallel
+    sub-partitions per hot key — keeping at most ``size`` rows each;
+    phase 2 re-ranks the surviving ``size * salt_buckets`` rows per key.
+    Use when a single group's row count dwarfs the others and even
+    WindowGroupLimit's map-side cut leaves one reducer hot. AQE's skew
+    handling covers joins, not windows — this is the window-side
+    escape hatch (SURVEY.md §4.2).
+    """
+    validate_topn(df.schema, field, size).get_or_throw()
+    if isinstance(group_by, str):
+        group_by = [group_by]
+    if ignore_null:
+        df = df.where(F.col(field).isNotNull())
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    )
+    ties = _tiebreak_cols(tiebreak)
+    w1 = Window.partitionBy(*group_by, "__salt").orderBy(
+        F.col(field).desc_nulls_last(), *ties
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= size)
+        .drop("__salt", "__rn1")
+    )
+    w2 = Window.partitionBy(*group_by).orderBy(
+        F.col(field).desc_nulls_last(), *ties
+    )
+    return (
+        partial.withColumn("__rn2", F.row_number().over(w2))
+        .where(F.col("__rn2") <= size)
+        .drop("__rn2")
+    )
