@@ -1,0 +1,72 @@
+"""Oracle-parity tests for the declared query catalog at sf0.001.
+
+Mirrors the driver's correctness gate: run each Spark builder and its
+DuckDB oracle, compare row count + column names + order-insensitive
+canonical value hash. q16 (approx_count_distinct) is tolerance-checked
+instead (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from topn_spark.queries import QUERIES
+
+duckdb = pytest.importorskip("duckdb")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from topn_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+ORACLED = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    from tools.check_oracle import canon
+
+    q = QUERIES[name]
+    sdf = q.builder(spark, SF_SMALL)
+    srows = sdf.collect()
+    cur = duck.execute(q.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+
+
+def test_q16_tolerance(spark, duck):
+    row = QUERIES["q16"].builder(spark, SF_SMALL).collect()[0]
+    exact = duck.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert abs(row["n_approx"] - exact) / exact <= 0.05
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() == 10
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 32

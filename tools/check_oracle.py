@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every QUERIES entry on Spark and its oracle SQL on DuckDB at a
+given sf dir, compares row count + column names + an order-insensitive
+value hash (columns sorted by name, rows sorted, cells canonicalized).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from topn_spark.catalog import TABLES
+from topn_spark.queries import QUERIES
+from topn_spark.session import get_session
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def canon(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session(
+        app_name="oracle_check", shuffle_partitions=8, driver_memory="8g"
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    n_fail = 0
+    for name, q in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        sdf = q.builder(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if q.oracle is None:
+            print(f"{name}: rows-only ({len(srows)} rows) — no oracle")
+            continue
+        cur = con.execute(q.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if not problems:
+            hs, hd = canon(srows, scols), canon(drows, dcols)
+            if hs != hd:
+                problems.append(f"hash {hs} != {hd}")
+        if problems:
+            n_fail += 1
+            print(f"{name}: FAIL — {'; '.join(problems)}")
+            for r in srows[:3]:
+                print("  spark:", tuple(r))
+            for r in drows[:3]:
+                print("  duck :", r)
+        else:
+            print(f"{name}: OK ({len(srows)} rows)")
+    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
