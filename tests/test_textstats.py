@@ -1,0 +1,70 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topn_spark.operators.textstats import (
+    add_quality,
+    add_token_stats,
+    fingerprint,
+    language_id,
+    rolling_hashes,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the hat!"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in add_token_stats(df).collect()}
+    assert out[1].n_tokens == 5
+    assert out[1].n_uniq_tokens == 4  # 'the' twice (lowercased)
+    assert out[2].n_tokens == 0 and out[2].ttr is None
+
+
+def test_quality_flags(spark):
+    good = "this is a perfectly reasonable sentence with enough words in it"
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in add_quality(df).collect()}
+    assert out[1].quality_keep is True
+    assert out[2].quality_keep is False
+    assert 0.0 <= out[1].alpha_ratio <= 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is a friend of the dog and the bird"),
+            (2, "der Hund ist ein Freund und die Katze ist da"),
+            (3, "le chat et la souris est les amis des oiseaux"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", fingerprint("text").alias("fp")).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_rolling_hashes(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = df.select(rolling_hashes("text", window=8, every=4).alias("rh")).first()
+    # 20 tokens, window 8 → starts 1,5,9,13 → 4 fingerprints
+    assert len(out.rh) == 4
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(rolling_hashes("text").alias("rh")).first().rh == []

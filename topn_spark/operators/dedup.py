@@ -1,0 +1,349 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hot-path computation is JVM-side (built-in + higher-order
+functions — tokenize/shingle/hash/min are Catalyst expressions, never
+row-at-a-time Python), so these scale with executor count. The only
+driver-side control flow is the iteration loop of connected
+components, which is the standard Spark formulation of an iterative
+fixpoint.
+
+100 TB notes per operator are in each docstring. North-star extension
+surface per BASELINE.json; the reference implements none of this
+(SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def dedup_exact(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact dedup: keep one row per distinct ``subset`` content.
+
+    With ``tiebreak``, keeps the first row by that ordering
+    (deterministic); otherwise an arbitrary row (``dropDuplicates``
+    semantics — one shuffle, no window).
+
+    Scale: hash-partition shuffle on the content hash; at 100 TB use a
+    digest column (md5/xxhash64) as the shuffle key rather than wide
+    text columns — done here automatically via ``_dedup_key``.
+    """
+    cols = subset or df.columns
+    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    if tiebreak is None:
+        return df.withColumn("_dedup_key", key).dropDuplicates(
+            ["_dedup_key"]
+        ).drop("_dedup_key")
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in tiebreak])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), as a Catalyst expression.
+
+    Docs with fewer than ``n`` tokens yield an empty array (guarded:
+    ``sequence(1, 0)`` would otherwise produce a *descending* [1,0]).
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    return F.expr(
+        f"if(size({toks}) >= {n},"
+        f" array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))),"
+        f" array())"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signatures: ``(id, sig array<bigint>[num_hashes])``.
+
+    Each hash i is min over shingles of ``xxhash64(i, shingle)`` — a
+    seeded 64-bit hash family evaluated entirely in codegen. Docs with
+    no shingle (shorter than ``shingle_size`` tokens) get a null sig.
+
+    Scale: narrow map-only job, no shuffle; cost is
+    O(rows × shingles × num_hashes) CPU spread over all executors.
+    """
+    sh = shingles(text_col, shingle_size)
+
+    def hash_with_seed(seed: int):
+        # NB: must return a ONE-argument lambda — F.transform passes the
+        # element index as a second argument to 2-arg callables, which
+        # would silently override a default-arg seed.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), hash_with_seed(i)))
+        for i in range(num_hashes)
+    ]
+    return (
+        df.select(id_col, sh.alias("_sh"))
+        .select(
+            id_col,
+            F.when(F.size("_sh") > 0, F.array(*mins)).alias("sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: candidate pairs ``(id_a, id_b)`` (id_a < id_b)
+    sharing at least one band.
+
+    Bands the signature into ``bands`` slices of ``rows_per_band``
+    and hashes each slice; a shared (band_idx, band_hash) bucket makes
+    a candidate. Standard S-curve: P(candidate) = 1-(1-s^r)^b for
+    Jaccard s.
+
+    Scale: the self-join shuffles on (band_idx, band_hash) — bounded,
+    small keys. Huge buckets (boilerplate text) explode quadratically:
+    cap them upstream by filtering bucket size before the join
+    (``max_bucket`` below).
+    """
+    buckets = sig_df.where(F.col("sig").isNotNull()).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        .cast("array<string>")
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimated Jaccard per candidate pair: fraction of equal
+    signature positions (zip_with + filter, JVM-side)."""
+    s = sig_df.where(F.col("sig").isNotNull())
+    return (
+        pairs.join(
+            s.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            s.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → MinHash → LSH bands →
+    bucket join → signature-similarity filter at ``threshold``."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return minhash_similarity(cand, sigs, id_col).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list →
+    ``(id, component)`` where component is the min id in the cluster.
+
+    Iterative joins with a convergence check — the standard Spark
+    fixpoint shape (driver drives iterations, data never leaves
+    executors). Converges in O(diameter) rounds; near-dup clusters are
+    shallow so this is a handful of rounds in practice. At very large
+    scale swap in large-star/small-star (Kiveris et al.) — same
+    primitive ops.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nmin", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint: ``(id, simhash bigint)``.
+
+    Per-bit majority vote over token hashes, computed as nested
+    higher-order aggregates (whole-stage codegen, map-only, no
+    shuffle). Near-dups are pairs within small Hamming distance —
+    bucket by rotating bit blocks for search.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    expr = f"""
+    aggregate(
+      sequence(0, {bits - 1}),
+      cast(0 as bigint),
+      (acc, j) -> acc + if(
+        aggregate(
+          transform({toks}, t -> xxhash64(t)),
+          cast(0 as bigint),
+          (a, h) -> a + if((h >> j) & 1 = 1, 1, -1)
+        ) > 0,
+        shiftleft(cast(1 as bigint), j),
+        cast(0 as bigint)
+      )
+    )"""
+    return df.select(id_col, F.expr(expr).alias("simhash"))
+
+
+def hamming_distance(col_a, col_b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    xor — single codegen'd expression)."""
+    return F.bit_count(F.bitwise_xor(F.col(col_a), F.col(col_b)) if isinstance(col_a, str) else col_a.bitwiseXOR(col_b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index self-join: explode distinct shingles, join docs on
+    shared shingle, count intersections, derive |union| from per-doc
+    shingle counts. ``max_gram_df`` drops shingles appearing in more
+    than that many docs (boilerplate) — the standard guard against
+    quadratic bucket blowup at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).where(F.size("sh") > 0)
+    counts = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("gram"))
+    gram_df = inv.groupBy("gram").agg(F.count("*").alias("gdf"))
+    inv = inv.join(
+        gram_df.where(F.col("gdf") <= max_gram_df).select("gram"), "gram"
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

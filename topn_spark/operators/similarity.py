@@ -1,0 +1,283 @@
+"""Embedding similarity search: brute-force cosine top-k baseline and
+LSH / IVF scale paths.
+
+Dot products and norms are SQL higher-order functions
+(``zip_with``/``aggregate``) — evaluated in whole-stage codegen, no
+Python in the hot path. Top-k is ``orderBy().limit()`` →
+``TakeOrderedAndProject``: the reference's own bounded-heap idea
+(TopN.java:117-118) run per-partition in parallel with a driver merge
+of k-row heaps.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from topn_spark.operators.topn import topn_grouped
+
+
+def _dot(vec_col, lit_vec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+        )
+    )
+
+
+def cosine_scores(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Append cosine similarity vs a constant query vector."""
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        score_col, _dot(v, query_vec) / (_norm(v) * F.lit(qnorm))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: ``(id, score)`` descending, tie by id.
+
+    Scale: map-only scan + TakeOrderedAndProject — embarrassingly
+    parallel, O(k) memory/partition; the right baseline even at 100 TB
+    when the query set is one vector. For many probe vectors use
+    ``ivf_topk`` or an LSH bucket join.
+    """
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign each row to its nearest centroid (argmax dot product).
+
+    ``centroids`` is a small driver-side model (nlist × dim floats) —
+    embedded as literals, broadcast with the plan.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(
+        *[
+            _dot(v, c) / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
+            for c in centroids
+        ]
+    )
+    return (
+        df.withColumn("_ivf_scores", scores)
+        .withColumn(
+            cluster_col,
+            (
+                F.array_position(
+                    F.col("_ivf_scores"), F.array_max("_ivf_scores")
+                )
+                - 1
+            ).cast("int"),
+        )
+        .drop("_ivf_scores")
+    )
+
+
+def sample_centroids(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic centroid sample (the IVF 'training' step).
+
+    A uniform sample is the standard cheap initializer; swap in
+    k-means (Spark MLlib) when recall matters more than build cost.
+    The result is a model of nlist×dim floats — driver-sized by
+    design, like any ANN index's coarse quantizer.
+    """
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<string>").cast("string"), F.lit(seed)))
+        .limit(nlist)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only rows in the ``nprobe``
+    centroid cells nearest the query.
+
+    Scale: the cluster assignment is a map-only expression; with the
+    table written partitioned/bucketed by cluster, the probe prunes
+    (1 - nprobe/nlist) of the data before any scoring. Recall depends
+    on centroid quality — see ``sample_centroids``.
+    """
+    if centroids is None:
+        centroids = sample_centroids(df, nlist, vec_col)
+    qnorm = [float(x) for x in query_vec]
+
+    def cos(c):
+        num = sum(a * b for a, b in zip(qnorm, c))
+        dn = math.sqrt(sum(a * a for a in qnorm)) * math.sqrt(
+            sum(b * b for b in c)
+        )
+        return num / dn if dn else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[
+        :nprobe
+    ]
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.where(F.col("cluster").isin(*probe))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join: for every left row, its k nearest right
+    rows by cosine → ``(left_id, right_id, score, rn)``.
+
+    Scale warning: O(|L|×|R|) — correct baseline for evaluation and
+    small probe sets (broadcast the smaller side). For bulk ANN at
+    100 TB, bucket both sides with LSH/IVF first, then knn_join within
+    buckets.
+    """
+    l = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(vec_col).cast("array<double>").alias("lv"),
+    )
+    r = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(vec_col).cast("array<double>").alias("rv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("lv", "rv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(l).crossJoin(r)
+        .withColumn("score", dot / (_norm(F.col("lv")) * _norm(F.col("rv"))))
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id", "score")
+    )
+    return topn_grouped(
+        scored,
+        "left_id",
+        "score",
+        k,
+        tiebreak=F.col("right_id").asc(),
+        rank_col="rn",
+    )
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """SRP-LSH bucket id: sign bits of ``n_bits`` random hyperplane
+    projections packed into a bigint. Cosine-similar vectors collide
+    with probability 1 - theta/pi per bit.
+
+    The hyperplanes are a deterministic driver-side model (seeded),
+    embedded as literals — no shuffle, map-only.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << j)).otherwise(0)
+    return df.withColumn(bucket_col, bucket.cast("bigint"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicates: SRP-LSH bucket join → exact cosine
+    check ≥ threshold. One bounded shuffle on the bucket id."""
+    b = random_hyperplane_lsh(df, dim, n_bits, vec_col)
+    a = b.alias("a")
+    c = b.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}").cast("array<double>"),
+            F.col(f"b.{vec_col}").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "score",
+            dot
+            / (
+                _norm(F.col(f"a.{vec_col}").cast("array<double>"))
+                * _norm(F.col(f"b.{vec_col}").cast("array<double>"))
+            ),
+        )
+        .where(F.col("score") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "score",
+        )
+    )
+    return pairs

@@ -1,0 +1,142 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Everything is built-in/higher-order Catalyst expressions — map-only,
+codegen'd, no shuffle, no Python row loop. These are the per-document
+featurizers a training-data pipeline runs before filtering/dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+#: tiny per-language function-word marker sets for the n-gram/stopword
+#: heuristic language ID (public-knowledge stopword lists, truncated).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "los", "de", "que", "es"),
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_uniq_tokens, type-token ratio."""
+    t = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(t).cast("bigint"))
+        .withColumn("n_uniq_tokens", F.size(F.array_distinct(t)).cast("bigint"))
+        .withColumn(
+            "ttr",
+            F.round(
+                F.col("n_uniq_tokens")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ),
+        )
+    )
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality features: length, alpha/space/punct ratios, mean
+    word length, and a composite keep/drop flag (Gopher-style
+    heuristics, simplified)."""
+    ln = F.length(text_col).cast("double")
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", "")).cast(
+        "double"
+    )
+    space = F.length(F.regexp_replace(text_col, "[^ ]", "")).cast("double")
+    nt = token_count(text_col)
+    return (
+        df.withColumn("n_chars_m", ln.cast("bigint"))
+        .withColumn("alpha_ratio", F.round(alpha / F.nullif(ln, F.lit(0.0)), 6))
+        .withColumn("space_ratio", F.round(space / F.nullif(ln, F.lit(0.0)), 6))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                (ln - space) / F.nullif(nt.cast("double"), F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "quality_keep",
+            (nt >= 10)
+            & (F.col("alpha_ratio") >= 0.6)
+            & (F.col("mean_word_len").between(2.0, 12.0)),
+        )
+    )
+
+
+def language_scores(
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+) -> dict[str, Column]:
+    """Per-language marker-token hit counts (array filter, JVM-side)."""
+    t = tokens(text_col)
+    out = {}
+    for lang, words in markers.items():
+        lits = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(t, lambda tok: F.array_contains(lits, tok))
+        ).cast("bigint")
+    return out
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Heuristic language ID: argmax of marker hits, deterministic
+    tie-break by marker-dict order, 'und' when nothing hits."""
+    scores = language_scores(text_col, markers)
+    langs = list(scores)
+    for lang in langs:
+        df = df.withColumn(f"_hits_{lang}", scores[lang])
+    best = F.greatest(*[F.col(f"_hits_{x}") for x in langs])
+    pred = F.when(best <= 0, "und")
+    for lang in langs:
+        pred = pred.when(F.col(f"_hits_{lang}") == best, lang)
+    df = df.withColumn(out_col, pred)
+    return df.drop(*[f"_hits_{x}" for x in langs])
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse all
+    non-alphanumeric runs to single spaces, trim."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Content fingerprint: md5 of the normalized text. Two docs with
+    the same fingerprint are near-identical modulo
+    punctuation/case/whitespace."""
+    return F.md5(normalized_text(text_col))
+
+
+def rolling_hashes(
+    text_col: str = "text", window: int = 8, every: int = 4
+) -> Column:
+    """Winnowing-style rolling fingerprints: xxhash64 of each
+    ``window``-token shingle sampled every ``every`` tokens — the
+    standard document-fingerprint set for partial-overlap detection."""
+    t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    return F.expr(
+        f"if(size({t}) >= {window},"
+        f" transform(sequence(1, size({t}) - {window - 1}, {every}),"
+        f" i -> xxhash64(concat_ws(' ', slice({t}, i, {window})))),"
+        f" array())"
+    )

@@ -748,3 +748,9 @@ def q32(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# Extension queries (LLM-pipeline ops) register themselves into QUERIES
+# on import; kept in their own module to keep this one at the SURVEY
+# §2.5 contract.
+from topn_spark import queries_ext  # noqa: E402,F401  (registration import)

@@ -1,0 +1,236 @@
+"""LLM-data-pipeline extension queries (north star per BASELINE.json).
+
+Registered into the same QUERIES registry as the SURVEY §2.5 catalog.
+Hash-matchable ops carry a DuckDB oracle (dedup accounting, token
+stats, quality features, language-ID heuristic, fingerprints,
+portable md5-MinHash); float-valued similarity ops are rows-only here
+and tolerance-checked in tests (SURVEY.md §2.6 — float scores are
+never hash-stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topn_spark.catalog import load_table
+from topn_spark.operators import textstats
+from topn_spark.operators.similarity import cosine_topk
+from topn_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    language_scores,
+)
+from topn_spark.queries import query
+
+_TOKS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "x01_dedup_first",
+    """SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+FROM documents GROUP BY MD5(text) ORDER BY h ASC""",
+    doc="Exact dedup: canonical keeper (min doc_id) per content hash",
+)
+def x01_dedup_first(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("h")
+    )
+
+
+@query(
+    "x02_token_stats",
+    f"""SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS_DUCK})) AS BIGINT) AS n_uniq_tokens,
+       ROUND(CAST(len(list_distinct({_TOKS_DUCK})) AS DOUBLE)
+             / NULLIF(CAST(len({_TOKS_DUCK}) AS DOUBLE), 0), 6) AS ttr
+FROM documents ORDER BY doc_id ASC LIMIT 200""",
+    doc="Token counting: whitespace/alnum tokenizer, type-token ratio",
+)
+def x02_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.add_token_stats(docs)
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "ttr")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x03_quality",
+    f"""WITH q AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS alpha_ratio,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS space_ratio,
+    ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(len({_TOKS_DUCK}) AS DOUBLE), 0), 6) AS mean_word_len,
+    len({_TOKS_DUCK}) AS _nt
+  FROM documents)
+SELECT doc_id, n_chars_m, alpha_ratio, space_ratio, mean_word_len,
+       (_nt >= 10 AND alpha_ratio >= 0.6
+        AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_keep
+FROM q ORDER BY doc_id ASC LIMIT 200""",
+    doc="Quality scoring: length/alpha/space ratios + keep flag",
+)
+def x03_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.add_quality(docs)
+        .select(
+            "doc_id",
+            "n_chars_m",
+            "alpha_ratio",
+            "space_ratio",
+            "mean_word_len",
+            "quality_keep",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def _lang_hits_duck(words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({_TOKS_DUCK}, t -> t IN ({lits}))) AS BIGINT)"
+    )
+
+
+@query(
+    "x04_langid",
+    f"""WITH h AS (
+  SELECT doc_id,
+    {_lang_hits_duck(LANG_MARKERS["en"])} AS hits_en,
+    {_lang_hits_duck(LANG_MARKERS["de"])} AS hits_de,
+    {_lang_hits_duck(LANG_MARKERS["fr"])} AS hits_fr,
+    {_lang_hits_duck(LANG_MARKERS["es"])} AS hits_es
+  FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+  CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+       WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+       WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+       WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h ORDER BY doc_id ASC LIMIT 200""",
+    doc="Language-ID heuristic: per-language marker-token hit argmax",
+)
+def x04_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scores = language_scores("text")
+    langs = list(scores)
+    df = docs.select(
+        "doc_id", *[scores[x].alias(f"hits_{x}") for x in langs]
+    )
+    best = F.greatest(*[F.col(f"hits_{x}") for x in langs])
+    pred = F.when(best <= 0, "und")
+    for lang in langs:
+        pred = pred.when(F.col(f"hits_{lang}") == best, lang)
+    return df.withColumn("lang_pred", pred).orderBy("doc_id").limit(200)
+
+
+@query(
+    "x05_fingerprint",
+    """SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_uniq
+FROM documents GROUP BY source ORDER BY source ASC""",
+    doc="Document fingerprinting: normalized-content md5 per source",
+)
+def x05_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(fingerprint("text")).alias("n_uniq"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x06_embed_stats",
+    """SELECT label, COUNT(*) AS n, CAST(MIN(len(embedding)) AS BIGINT) AS mind,
+       CAST(MAX(len(embedding)) AS BIGINT) AS maxd
+FROM embeddings GROUP BY label ORDER BY label ASC""",
+    doc="Embedding table profile: per-label counts + dim invariants",
+)
+def x06_embed_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).cast("bigint").alias("mind"),
+            F.max(F.size("embedding")).cast("bigint").alias("maxd"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "x07_cosine_topk",
+    None,  # float scores are not hash-stable cross-engine (SURVEY §2.6);
+    # tolerance-checked vs NumPy in tests/test_similarity.py
+    doc="Brute-force cosine top-10 vs the vec_id=0 embedding "
+    "(TakeOrderedAndProject per-partition heap)",
+)
+def x07_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score_r"))
+
+
+_MH_SH_DUCK = (
+    f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
+    f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
+    f"ELSE [] END"
+)
+
+
+@query(
+    "x08_minhash",
+    f"""WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]
+      ELSE [] END AS s
+  FROM toks)
+SELECT doc_id,
+  list_min(list_transform(s, x -> md5('0:' || x))) AS mh0,
+  list_min(list_transform(s, x -> md5('1:' || x))) AS mh1,
+  list_min(list_transform(s, x -> md5('2:' || x))) AS mh2,
+  list_min(list_transform(s, x -> md5('3:' || x))) AS mh3
+FROM sh ORDER BY doc_id ASC LIMIT 100""",
+    doc="Portable MinHash signature: lexicographic min of seeded md5 over "
+    "word 3-shingles — engine-independent, hence oracle-able. The "
+    "production path (xxhash64 family) is operators/dedup.py",
+)
+def x08_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    sh = (
+        f"if(size({toks}) >= 3,"
+        f" transform(sequence(1, size({toks}) - 2),"
+        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
+    )
+    cols = [
+        F.expr(
+            f"array_min(transform({sh}, x -> md5(concat('{j}:', x))))"
+        ).alias(f"mh{j}")
+        for j in range(4)
+    ]
+    return docs.select("doc_id", *cols).orderBy("doc_id").limit(100)
