@@ -192,6 +192,39 @@ def x07_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score_r"))
 
 
+@query(
+    "x09_session_windows",
+    """WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+              > INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+FROM s GROUP BY user_id, sid
+ORDER BY user_id ASC, session_start ASC""",
+    doc="Session windows (10-min gap) — Spark session_window vs a "
+    "first-principles lag/gap-break SQL oracle; batch mode of the "
+    "streaming operator (replay equivalence in tests/test_streaming.py)",
+)
+def x09_session_windows(spark, sf_dir):
+    from topn_spark.streaming import session_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        session_counts(events, gap="10 minutes", group_cols=["user_id"])
+        .select("user_id", "session_start", "cnt")
+        .orderBy("user_id", "session_start")
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
