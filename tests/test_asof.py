@@ -1,0 +1,103 @@
+"""as-of join tests vs the pandas merge_asof oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from topn_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200),
+            "k": rng.integers(0, 5, 200),
+            "t": rng.integers(0, 1000, 200).astype("int64"),
+        }
+    ).sort_values(["t", "lid"], ignore_index=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 100),
+            "rt": np.sort(rng.integers(0, 1000, 100)).astype("int64"),
+            "val": rng.normal(size=100).round(6),
+        }
+    )
+    # drop duplicate (k, rt) so merge_asof's pick is unambiguous
+    right = right.drop_duplicates(["k", "rt"], keep="last").reset_index(
+        drop=True
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, frames, direction):
+    left, right = frames
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction=direction,
+    ).sort_values("lid", ignore_index=True)
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    got = (
+        asof_join(
+            l, r, "t", "rt", left_by="k", right_by="k", value_cols=["val"]
+        )
+        .orderBy("lid")
+        .toPandas()
+        if direction == "backward"
+        else asof_join(
+            l,
+            r,
+            "t",
+            "rt",
+            left_by="k",
+            right_by="k",
+            value_cols=["val"],
+            direction="forward",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert list(got["lid"]) == list(want["lid"])
+    gv = got["val"].to_numpy(dtype=float)
+    wv = want["val"].to_numpy(dtype=float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+def test_asof_no_match_is_null(spark):
+    l = spark.createDataFrame([(1, 5)], "lid long, t long")
+    r = spark.createDataFrame([(10, 1.0)], "rt long, val double")
+    out = asof_join(l, r, "t", "rt", value_cols=["val"]).collect()
+    assert out[0].val is None
+    fwd = asof_join(
+        l, r, "t", "rt", value_cols=["val"], direction="forward"
+    ).collect()
+    assert fwd[0].val == 1.0
+
+
+def test_asof_tiebreak_deterministic(spark):
+    l = spark.createDataFrame([(1, 10)], "lid long, t long")
+    r = spark.createDataFrame(
+        [(10, 1, "a"), (10, 3, "c"), (10, 2, "b")],
+        "rt long, pri int, val string",
+    )
+    out = asof_join(
+        l, r, "t", "rt", value_cols=["val"], right_tiebreak="pri"
+    ).collect()
+    assert out[0].val == "c"  # highest tiebreak wins (arg_max semantics)
+
+
+def test_asof_inclusive_boundary(spark):
+    l = spark.createDataFrame([(1, 10)], "lid long, t long")
+    r = spark.createDataFrame([(10, 7.0)], "rt long, val double")
+    assert (
+        asof_join(l, r, "t", "rt", value_cols=["val"]).collect()[0].val == 7.0
+    )

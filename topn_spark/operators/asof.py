@@ -1,0 +1,92 @@
+"""As-of (temporal) join: for each left row, the most recent right row
+at or before (backward) / the earliest at or after (forward) its
+timestamp, optionally per key.
+
+Spark has no native as-of join (SURVEY.md §2.3). Two formulations:
+
+1. ``asof_join`` (here) — the **union-window technique**: union probe
+   and build rows tagged by a marker, sort within each key partition
+   by (time, marker), and carry build values forward with
+   ``last(..., ignorenulls=True)``. One shuffle on the key, no
+   nested-loop join, state O(1) per row — this is the 100 TB path.
+   With ``by`` keys the window partitions parallelize perfectly;
+   without keys the sort degenerates to a single partition (Spark
+   windows need a partition key), so keyless as-of at scale should
+   range-bucket the time axis first (``tumbling bucket + union``) or
+   use the correlated form below on a bounded probe.
+2. q11's correlated-scalar / broadcast-NLJ form
+   (topn_spark/queries.py) — right for tiny probe sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str | None = None,
+    right_by: str | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join.
+
+    Output = all ``left`` columns + each of ``value_cols`` from the
+    matched right row (null when no match). ``direction='backward'``
+    matches the greatest ``right_on`` ≤ ``left_on``; ``'forward'``
+    the least ``right_on`` ≥ ``left_on`` (both inclusive).
+
+    ``right_tiebreak``: column ordering right rows that share the
+    same (by, time); the LAST row in that order wins, making the
+    result deterministic (mirror of arg_max semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if (left_by is None) != (right_by is None):
+        raise ValueError("left_by and right_by must be given together")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (right_on, right_by)
+    ]
+
+    left_cols = left.columns
+    out_vals = [f"{c}_asof" if c in left_cols else c for c in value_cols]
+
+    probe = left.select(
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(value_cols, out_vals)],
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_marker"),
+        *( [F.col(left_by).alias("_by")] if left_by else [] ),
+        *( [F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("_tb")] if right_tiebreak else [] ),
+    )
+    build = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_marker"),
+        *( [F.col(right_by).alias("_by")] if right_by else [] ),
+        *( [F.col(right_tiebreak).alias("_tb")] if right_tiebreak else [] ),
+    )
+    unioned = probe.unionByName(build)
+
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    order = [t_order, F.col("_marker").asc()]
+    if right_tiebreak:
+        order.insert(1, F.col("_tb").asc_nulls_last())
+    w = (
+        (Window.partitionBy("_by") if left_by else Window.partitionBy())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "_marker",
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+    )
+    return filled.where(F.col("_marker") == 1).drop("_marker")

@@ -225,6 +225,47 @@ def x09_session_windows(spark, sf_dir):
     )
 
 
+@query(
+    "x10_asof_join",
+    """WITH b AS (
+  SELECT o_custkey, o_orderdate, arg_max(o_totalprice, o_orderkey) AS last_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, b.o_orderdate AS last_order_date, b.last_price
+FROM p ASOF LEFT JOIN b ON p.user_id = b.o_custkey AND p.ts >= b.o_orderdate
+ORDER BY p.event_id ASC""",
+    doc="Keyed as-of join (union-window technique, one shuffle on the "
+    "key — the 100 TB path) vs DuckDB's native ASOF JOIN",
+)
+def x10_asof_join(spark, sf_dir):
+    from topn_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    probe = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    build = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("last_price"))
+        .withColumn("last_order_date", F.col("o_orderdate"))
+    )
+    out = asof_join(
+        probe,
+        build,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["last_order_date", "last_price"],
+    )
+    return out.select("event_id", "last_order_date", "last_price").orderBy(
+        "event_id"
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
