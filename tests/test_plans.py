@@ -1,0 +1,102 @@
+"""Physical-plan contract tests (SURVEY.md §4.2): the shapes that make
+these operators scale are asserted so a regression is a test failure,
+not a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from topn_spark.plans import (
+    assert_plan_contains,
+    assert_plan_lacks,
+    formatted_plan,
+)
+from topn_spark.queries import QUERIES
+
+
+def q(spark, name):
+    return QUERIES[name].builder(spark, SF_SMALL)
+
+
+def test_global_topn_is_bounded_heap_no_shuffle(spark):
+    # TakeOrderedAndProject = per-partition heap + driver merge; a full
+    # sort would show Sort + Exchange (rangepartitioning).
+    df = q(spark, "q01")
+    assert_plan_contains(df, "TakeOrderedAndProject")
+    assert_plan_lacks(df, "Exchange")
+
+
+def test_grouped_topn_has_mapside_rank_cut(spark):
+    # WindowGroupLimit below the Exchange = at most k rows per group
+    # leave each map task.
+    plan = formatted_plan(q(spark, "q04"))
+    first_wgl = plan.find("WindowGroupLimit")
+    first_exchange = plan.find("Exchange")
+    assert first_wgl != -1 and first_exchange != -1
+
+
+def test_filter_and_projection_push_into_scan(spark):
+    plan = formatted_plan(q(spark, "q05"))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: scan reads only projected + filtered columns
+    # (4 of lineitem's 11), nothing else
+    assert (
+        "Output [4]: [l_orderkey" in plan
+        and "l_linenumber" in plan
+        and "l_extendedprice" not in plan
+    )
+
+
+def test_dim_joins_broadcast(spark):
+    # (formatted mode under AQE prints the plan twice — initial +
+    # current — so count >= 2, and no sort-merge join anywhere)
+    plan = formatted_plan(q(spark, "q06"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_joins(spark):
+    assert "LeftSemi" in formatted_plan(q(spark, "q08"))
+    assert "LeftAnti" in formatted_plan(q(spark, "q09"))
+
+
+def test_hash_agg_partial_final(spark):
+    # partial (map-side combine) + final HashAggregate around the
+    # exchange: the pre-shuffle reduction that matters at scale.
+    plan = formatted_plan(q(spark, "q12"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    # AQE finalizes codegen at execution; '*(n)' stage prefixes in the
+    # executed plan mark WholeStageCodegen spans.
+    for name in ("q05", "q12", "q26"):
+        df = q(spark, name)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in executed, f"{name} has no codegen stages:\n{executed}"
+
+
+def test_asof_join_has_no_nested_loop(spark):
+    assert_plan_lacks(q(spark, "x10_asof_join"), "NestedLoop", "CartesianProduct")
+
+
+def test_bounded_asof_uses_broadcast_nlj(spark):
+    # q11's bounded-probe form deliberately broadcasts; pin that the
+    # build side is broadcast (not a shuffled cartesian).
+    assert_plan_contains(q(spark, "q11"), "BroadcastNestedLoopJoin")
+
+
+def test_cosine_topk_is_bounded_heap(spark):
+    assert_plan_contains(q(spark, "x07_cosine_topk"), "TakeOrderedAndProject")
+
+
+def test_events_scan_prunes_columns(spark):
+    # q27 touches only event_id/event_type/value: the ts shim must not
+    # force reading other columns.
+    plan = formatted_plan(q(spark, "q27"))
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
