@@ -1,0 +1,84 @@
+"""Batch sources and sinks over Spark's DataSource V2 connectors.
+
+Formats: parquet (primary — columnar, statistics, predicate pushdown),
+orc (same class), csv/json (schema-on-read text; always pass an
+explicit schema in production — inference scans the data twice and
+types drift), jdbc (partitioned parallel reads via
+partitionColumn/lowerBound/upperBound/numPartitions).
+
+Scale notes:
+- Write with ``partition_by`` on low-cardinality filter columns →
+  partition pruning turns full scans into directory lookups
+  (asserted in tests/test_sources.py).
+- ``bucket_by`` on high-cardinality join/agg keys co-locates both
+  sides of a join and removes the shuffle (requires saveAsTable —
+  bucketing metadata lives in the catalog).
+- Target 128 MB - 1 GB files; tiny-file explosions are the #1
+  operational failure of 100 TB tables. Use ``coalesce_files`` to
+  bound output file count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_READ_FORMATS = ("parquet", "orc", "csv", "json", "jdbc")
+
+
+def read(
+    spark: SparkSession,
+    path: str | None = None,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table. csv defaults: header=true; pass ``schema`` to
+    avoid inference. jdbc: pass url/dbtable/driver (+ partitionColumn,
+    lowerBound, upperBound, numPartitions for parallel reads) as
+    options and no ``path``."""
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_READ_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path) if path is not None else reader.load()
+
+
+def write(
+    df: DataFrame,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table: str | None = None,
+    coalesce_files: int | None = None,
+    **options,
+) -> None:
+    """Write a table. ``bucket_by=(n, cols)`` requires ``table=``
+    (bucketing metadata needs the catalog); otherwise writes to
+    ``path``."""
+    if coalesce_files is not None:
+        df = df.coalesce(coalesce_files)
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by is not None:
+        n, cols = bucket_by
+        if table is None:
+            raise ValueError("bucket_by requires table= (saveAsTable)")
+        writer.bucketBy(n, *cols).sortBy(*cols).saveAsTable(table)
+        return
+    if table is not None:
+        writer.saveAsTable(table)
+    else:
+        writer.save(path)
