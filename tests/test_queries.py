@@ -57,6 +57,16 @@ def test_q16_tolerance(spark, duck):
     assert abs(row["n_approx"] - exact) / exact <= 0.05
 
 
+def test_x18_tolerance(spark, duck):
+    row = QUERIES["x18_approx_percentile"].builder(spark, SF_SMALL).collect()[0]
+    exact = duck.execute(
+        "SELECT quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.95),"
+        " quantile_cont(o_totalprice, 0.99) FROM orders"
+    ).fetchone()
+    for got, want in zip((row.p50, row.p95, row.p99), exact):
+        assert abs(got - want) / want <= 0.02
+
+
 def test_entry_contract(spark):
     import importlib.util
 

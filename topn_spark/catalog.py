@@ -34,13 +34,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (session id, sf_dir, name) → DataFrame. A DataFrame is just a plan;
+#: reusing it skips re-listing files and re-reading parquet footers on
+#: every query that touches the same table in one session.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; applies the events nanos→micros timestamp shim."""
+    key = (id(spark), sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong surfaced the ns epoch as bigint; rebuild as a real
         # timestamp (integer ns→us division, exact for the data's range).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _table_cache[key] = df
     return df
 
 

@@ -24,6 +24,22 @@ def _tokens(text_col: str):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a low-partition-count input across the cluster before
+    CPU-heavy per-row work (tokenize/shingle/hash).
+
+    A small dimension-sized table often arrives as 1-2 parquet splits;
+    hashing 10⁶ shingles on one core wastes the other 31. The
+    repartition shuffle costs only the raw rows — cheap relative to
+    the per-shingle hashing it parallelizes. At 100 TB inputs arrive
+    as thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(
     df: DataFrame,
     subset: list[str] | None = None,
@@ -84,25 +100,25 @@ def minhash_signatures(
     Scale: narrow map-only job, no shuffle; cost is
     O(rows × shingles × num_hashes) CPU spread over all executors.
     """
+    # Explode-then-aggregate, NOT per-row array transforms: Catalyst's
+    # CollapseProject re-inlines the tokenizer expression into every
+    # hash lambda, turning k array_min(transform(...)) columns into
+    # O(tokens² × k) regexp work per row. Exploding materializes each
+    # shingle exactly once; the k mins become a map-side partial
+    # aggregate (hash each shingle k times, combine to k values/doc
+    # before the shuffle).
     sh = shingles(text_col, shingle_size)
-
-    def hash_with_seed(seed: int):
-        # NB: must return a ONE-argument lambda — F.transform passes the
-        # element index as a second argument to 2-arg callables, which
-        # would silently override a default-arg seed.
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    mins = [
-        F.array_min(F.transform(F.col("_sh"), hash_with_seed(i)))
-        for i in range(num_hashes)
-    ]
-    return (
-        df.select(id_col, sh.alias("_sh"))
-        .select(
-            id_col,
-            F.when(F.size("_sh") > 0, F.array(*mins)).alias("sig"),
-        )
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.explode(sh).alias("_s")
     )
+    sig = exploded.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), "_s")) for i in range(num_hashes)]
+        ).alias("sig")
+    )
+    # docs with no shingle (< shingle_size tokens) vanish in the
+    # explode; restore them with a null signature.
+    return df.select(id_col).join(sig, id_col, "left")
 
 
 def lsh_candidate_pairs(

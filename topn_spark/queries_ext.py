@@ -266,6 +266,180 @@ def x10_asof_join(spark, sf_dir):
     )
 
 
+@query(
+    "x11_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY GROUPING(o_orderstatus) ASC, GROUPING(o_orderpriority) ASC,
+         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    doc="CUBE aggregation",
+)
+def x11_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("o_orderstatus").alias("_g1"),
+            F.grouping("o_orderpriority").alias("_g2"),
+        )
+        .orderBy(
+            F.col("_g1").asc(),
+            F.col("_g2").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .select("o_orderstatus", "o_orderpriority", "cnt")
+    )
+
+
+@query(
+    "x12_range_frame",
+    """SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+FROM events ORDER BY user_id ASC, event_id ASC LIMIT 200""",
+    doc="Time-based RANGE frame: events per user in the trailing hour",
+)
+def x12_range_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x13_ntile",
+    """SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
+FROM orders ORDER BY o_orderkey ASC LIMIT 200""",
+    doc="NTILE quartiles (global window — demo surface; partition at scale)",
+)
+def x13_ntile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "x14_first_nth",
+    """SELECT user_id, event_id,
+       FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS first_t,
+       NTH_VALUE(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS second_t
+FROM events ORDER BY user_id ASC, event_id ASC LIMIT 200""",
+    doc="first_value / nth_value analytic windows",
+)
+def x14_first_nth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_t"),
+            F.nth_value("event_type", 2).over(w).alias("second_t"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "x15_pivot",
+    f"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY d ORDER BY d ASC""",
+    doc="Pivot: per-day counts by event type (DuckDB oracle via FILTER)",
+)
+def x15_pivot(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "d",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("d")
+
+
+@query(
+    "x16_except_all",
+    """SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier
+ORDER BY k ASC LIMIT 100""",
+    doc="EXCEPT ALL (multiset difference)",
+)
+def x16_except_all(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return customer.exceptAll(supplier).orderBy("k").limit(100)
+
+
+@query(
+    "x17_intersect_all",
+    """SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier
+ORDER BY k ASC LIMIT 100""",
+    doc="INTERSECT ALL (multiset intersection)",
+)
+def x17_intersect_all(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return customer.intersectAll(supplier).orderBy("k").limit(100)
+
+
+@query(
+    "x18_approx_percentile",
+    None,  # t-digest/GK sketches differ by engine — tolerance-checked
+    # in tests/test_queries.py::test_x18_tolerance
+    doc="approx_percentile p50/p95/p99 of order totals (rows-only; "
+    "±2% vs exact quantiles asserted in tests)",
+)
+def x18_approx_percentile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
@@ -294,6 +468,10 @@ FROM sh ORDER BY doc_id ASC LIMIT 100""",
     "production path (xxhash64 family) is operators/dedup.py",
 )
 def x08_minhash(spark, sf_dir):
+    # Explode-then-aggregate (see operators/dedup.minhash_signatures):
+    # per-row nested transforms would re-inline the tokenizer into
+    # every hash lambda (O(tokens²) regexps — measured 13 s at sf0.1
+    # vs <1 s for this shape).
     docs = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
     sh = (
@@ -301,10 +479,22 @@ def x08_minhash(spark, sf_dir):
         f" transform(sequence(1, size({toks}) - 2),"
         f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
     )
-    cols = [
-        F.expr(
-            f"array_min(transform({sh}, x -> md5(concat('{j}:', x))))"
-        ).alias(f"mh{j}")
-        for j in range(4)
-    ]
-    return docs.select("doc_id", *cols).orderBy("doc_id").limit(100)
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.expr(sh)).alias("_s")
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(
+                f"mh{j}"
+            )
+            for j in range(4)
+        ]
+    )
+    return (
+        docs.select("doc_id")
+        .join(sig, "doc_id", "left")
+        .orderBy("doc_id")
+        .limit(100)
+    )
