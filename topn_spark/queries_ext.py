@@ -440,6 +440,209 @@ def x18_approx_percentile(spark, sf_dir):
     )
 
 
+@query(
+    "x19_lsh_neardup_pairs",
+    """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]
+      ELSE [] END) AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
+    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, h FROM sig, LATERAL (VALUES
+    (0, md5(m0 || m1)), (1, md5(m2 || m3)),
+    (2, md5(m4 || m5)), (3, md5(m6 || m7))) AS v(b, h)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+  ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)
+  ) / 8.0 AS est_j
+FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)) >= 4
+ORDER BY id_a ASC, id_b ASC""",
+    doc="MinHash-LSH near-dup pipeline end-to-end WITH an oracle: "
+    "portable md5 signature family (8 hashes), 4 bands x 2 rows, "
+    "bucket self-join, signature-estimated Jaccard >= 0.5. The "
+    "production path (xxhash64, operators/dedup.py) is identical in "
+    "shape; this query proves the pipeline cross-engine.",
+)
+def x19_lsh_neardup_pairs(spark, sf_dir):
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    sh = (
+        f"if(size({toks}) >= 3,"
+        f" transform(sequence(1, size({toks}) - 2),"
+        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
+    )
+    exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.expr(sh)).alias("_s")
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"m{j}")
+            for j in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "h"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_m", matches)
+        .where(F.col("_m") >= 4)
+        .select("id_a", "id_b", (F.col("_m") / 8.0).alias("est_j"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "x20_predicates",
+    """SELECT o_orderkey,
+       o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+       o_orderstatus LIKE 'O%' AS open_like,
+       o_totalprice BETWEEN 100000 AND 200000 AS mid,
+       o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f
+FROM orders
+WHERE o_custkey % 10 = 3
+ORDER BY o_orderkey ASC LIMIT 200""",
+    doc="Predicate surface: IN, LIKE, BETWEEN, null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM dialect pair)",
+)
+def x20_predicates(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_custkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+            F.col("o_orderstatus").like("O%").alias("open_like"),
+            F.col("o_totalprice").between(100000, 200000).alias("mid"),
+            F.col("o_orderstatus").eqNullSafe("F").alias("is_f"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "x21_string_fns2",
+    """SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars,
+       split_part(text, ' ', 2) AS second_token,
+       LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+       REVERSE(SUBSTR(text, 1, 10)) AS rev10,
+       REPLACE(SUBSTR(text, 1, 20), ' ', '_') AS snake
+FROM documents ORDER BY doc_id ASC LIMIT 200""",
+    doc="Extended string functions (regexp_extract/replace, split, "
+    "lpad, reverse, replace; DuckDB 'g' flag + split_part dialect)",
+)
+def x21_string_fns2(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias(
+                "n_consonant_chars"
+            ),
+            F.element_at(F.split("text", " "), 2).alias("second_token"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+            F.reverse(F.substring("text", 1, 10)).alias("rev10"),
+            F.replace(
+                F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+            ).alias("snake"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x22_datetime_fns2",
+    """SELECT o_orderkey,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+       CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders ORDER BY o_orderkey ASC LIMIT 200""",
+    doc="Datetime arithmetic: datediff, date_add, dayofweek (0-based "
+    "dialect alignment), dayofyear, epoch seconds",
+)
+def x22_datetime_fns2(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.datediff(
+                F.lit("2000-01-01").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("days_to_y2k"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+            # Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6
+            (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+            F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
