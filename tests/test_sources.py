@@ -45,6 +45,42 @@ def test_coalesce_files(spark, orders, tmp_path):
     assert len(files) == 1
 
 
+def test_bucketed_join_has_no_shuffle(spark, orders):
+    """Bucketed tables co-locate join keys: the join plans with zero
+    Exchange nodes — the shape that removes the dominant cost of big
+    joins at 100 TB."""
+    from topn_spark.catalog import load_table
+    from topn_spark.plans import formatted_plan
+    from tests.conftest import SF_SMALL
+
+    import shutil
+
+    customer = load_table(spark, SF_SMALL, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # a previous session's managed-table dirs survive on disk while
+    # the in-memory catalog does not — DROP can't see them
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write(orders, fmt="parquet", mode="overwrite",
+          bucket_by=(4, ["o_custkey"]), table="b_orders")
+    write(customer, fmt="parquet", mode="overwrite",
+          bucket_by=(4, ["c_custkey"]), table="b_customer")
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer")
+    joined = bo.join(
+        bc.hint("merge"), bo.o_custkey == bc.c_custkey
+    ).groupBy("c_mktsegment").count()
+    plan = formatted_plan(joined)
+    # sort-merge join over bucketed scans: no shuffle before the join
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert joined.count() == 5
+
+
 def test_bad_format_rejected(spark):
     with pytest.raises(ValueError):
         read(spark, "/nope", fmt="xml")

@@ -643,6 +643,151 @@ def x22_datetime_fns2(spark, sf_dir):
     )
 
 
+@query(
+    "x23_quantized_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+  list_sum(list_transform(list_zip(
+     list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+     list_transform(q.qe,        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+   p -> p[1] * p[2])) AS dot
+FROM embeddings e, q
+ORDER BY dot DESC, vec_id ASC LIMIT 10""",
+    doc="Similarity top-k with a FULL hash-match oracle: embeddings "
+    "quantized to integers (round(x*1000)) so the dot product is "
+    "exact integer math on both engines — the determinism-safe "
+    "variant of cosine top-k (float scores are rows-only, x07)",
+)
+def x23_quantized_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qq = F.array(
+        *[
+            F.round(F.lit(x).cast("double") * 1000).cast("bigint")
+            for x in qvec
+        ]
+    )
+    eq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    dot = F.aggregate(
+        F.zip_with(eq, qq, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("vec_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "x24_sliding_windows",
+    """SELECT ws AS window_start, event_type, COUNT(*) AS cnt FROM (
+  SELECT TIMESTAMP '1970-01-01'
+         + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 - k * 1800 AS BIGINT)
+           * INTERVAL '1 second' AS ws,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks) t
+GROUP BY ws, event_type ORDER BY ws ASC, event_type ASC LIMIT 300""",
+    doc="Sliding windows (2h window / 30min slide), batch-equivalent of "
+    "the streaming operator, vs a first-principles window-expansion "
+    "oracle (each event belongs to window/slide = 4 windows)",
+)
+def x24_sliding_windows(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt"
+        )
+        .orderBy("window_start", "event_type")
+        .limit(300)
+    )
+
+
+def _simhash_contrib_duck(j: int) -> str:
+    # bit j of token hash = bit (j%4) of hex nibble (1 + j//4) of md5
+    return (
+        f"CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), {1 + j // 4}, 1)) - 1)"
+        f" >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "x25_simhash",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+    {", ".join(f"SUM({_simhash_contrib_duck(j)}) AS s{j}" for j in range(16))}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id,
+  CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash16
+FROM bits ORDER BY doc_id ASC LIMIT 200""",
+    doc="Portable 16-bit SimHash (per-bit majority over md5-nibble token "
+    "hashes) with full cross-engine oracle; production 64-bit xxhash64 "
+    "path is operators/dedup.simhash",
+)
+def x25_simhash(spark, sf_dir):
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    tok = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.expr(toks)).alias("t")
+    )
+    contribs = [
+        F.expr(
+            f"CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {1 + j // 4}, 1)) - 1)"
+            f" >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias(f"c{j}")
+        for j in range(16)
+    ]
+    bits = tok.select("doc_id", *contribs).groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(16)]
+    )
+    sim = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    )
+    return (
+        bits.select("doc_id", sim.cast("bigint").alias("simhash16"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x26_dedup_keep_rows",
+    """SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY doc_id ASC""",
+    doc="Exact dedup keeping the first row per content hash — the "
+    "row-level companion of x01's accounting (operators/dedup.dedup_exact)",
+)
+def x26_dedup_keep_rows(spark, sf_dir):
+    from topn_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup_exact(docs, subset=["text"], tiebreak=["doc_id"])
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
