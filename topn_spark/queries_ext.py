@@ -788,6 +788,205 @@ def x26_dedup_keep_rows(spark, sf_dir):
     )
 
 
+@query(
+    "x27_ngram_jaccard",
+    """WITH t AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]
+      ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents)
+), c AS (SELECT doc_id, len(sh) AS n FROM t),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM t),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, nc / (ca.n + cb.n - nc) AS jaccard
+FROM inter JOIN c ca ON inter.id_a = ca.doc_id
+           JOIN c cb ON inter.id_b = cb.doc_id
+WHERE nc / (ca.n + cb.n - nc) >= 0.5
+ORDER BY id_a ASC, id_b ASC""",
+    doc="Exact n-gram Jaccard near-dup pairs (inverted-index self-join) "
+    "— operators/dedup.ngram_jaccard_pairs vs the same shape in SQL",
+)
+def x27_ngram_jaccard(spark, sf_dir):
+    from topn_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_gram_df=1 << 30
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _srp_planes(n_bits: int = 8, dim: int = 64, seed: int = 42):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.randrange(-1000, 1001) for _ in range(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def _x28_oracle() -> str:
+    planes = _srp_planes()
+    plane_rows = ", ".join(
+        f"({j}, {list(p)!r})".replace("'", "") for j, p in enumerate(planes)
+    )
+    return f"""WITH quant AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), planes(j, p) AS (VALUES {plane_rows}),
+bits AS (
+  SELECT q.vec_id,
+    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(q.qv, pl.p),
+              z -> z[1] * CAST(z[2] AS BIGINT))) > 0
+         THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM quant q CROSS JOIN planes pl GROUP BY q.vec_id
+), b AS (
+  SELECT quant.vec_id, qv, bucket FROM quant JOIN bits USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.qv, c.qv), z -> z[1] * z[2])) AS qdot,
+    list_sum(list_transform(a.qv, x -> x * x)) AS na,
+    list_sum(list_transform(c.qv, x -> x * x)) AS nb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, qdot FROM pairs
+WHERE qdot > 0
+  AND CAST(qdot AS DECIMAL(38,0)) * CAST(qdot AS DECIMAL(38,0)) * 10000
+      >= CAST(625 AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+ORDER BY id_a ASC, id_b ASC"""
+
+
+@query(
+    "x28_embedding_neardup",
+    None,  # replaced right below — needs _srp_planes literals
+    doc="Embedding-cosine near-dup with an EXACT-arithmetic oracle: "
+    "integer-quantized vectors, integer random-hyperplane LSH "
+    "buckets, and the cosine>=0.25 test done as "
+    "dot^2*10^4 >= 625*|a|^2*|b|^2 in DECIMAL(38,0) — no floats "
+    "anywhere, hence hash-matchable",
+)
+def x28_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _srp_planes()
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    quant = emb.select("vec_id", q.alias("qv"))
+    bucket = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        pl = F.array(*[F.lit(v).cast("bigint") for v in p])
+        dot_p = F.aggregate(
+            F.zip_with("qv", pl, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << j)).otherwise(0)
+    b = quant.withColumn("bucket", bucket)
+    a_ = b.alias("a")
+    c_ = b.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    norm2 = lambda side: F.aggregate(  # noqa: E731
+        F.col(f"{side}.qv"),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v * v,
+    )
+    pairs = (
+        a_.join(
+            c_,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            dot.alias("_dot"),
+            norm2("a").alias("_na"),
+            norm2("c").alias("_nb"),
+        )
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot").cast("decimal(38,0)")
+                * F.col("_dot").cast("decimal(38,0)")
+                * 10000
+                >= F.lit(625).cast("decimal(38,0)")
+                * F.col("_na").cast("decimal(38,0)")
+                * F.col("_nb").cast("decimal(38,0)")
+            )
+        )
+        .select("id_a", "id_b", "_dot")
+        .withColumnRenamed("_dot", "qdot")
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
+from topn_spark.queries import QUERIES as _Q  # noqa: E402
+
+_Q["x28_embedding_neardup"] = _Q["x28_embedding_neardup"].__class__(
+    name="x28_embedding_neardup",
+    builder=_Q["x28_embedding_neardup"].builder,
+    oracle=_x28_oracle(),
+    doc=_Q["x28_embedding_neardup"].doc,
+)
+
+
+@query(
+    "x29_explode",
+    """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+FROM documents WHERE doc_id < 20
+ORDER BY doc_id ASC, tok ASC LIMIT 500""",
+    doc="Explode / lateral unnest (row-expanding projection)",
+)
+def x29_explode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    return (
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .orderBy("doc_id", "tok")
+        .limit(500)
+    )
+
+
+@query(
+    "x30_unpivot",
+    """SELECT l_orderkey, l_linenumber, var, val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS var, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem) t
+ORDER BY l_orderkey ASC, l_linenumber ASC, var ASC, val ASC LIMIT 300""",
+    doc="Unpivot / melt (wide→long)",
+)
+def x30_unpivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "var",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "var", "val")
+        .limit(300)
+    )
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
