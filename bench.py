@@ -35,22 +35,28 @@ def main() -> None:
     QUERIES["q01"].builder(spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
-    total = 0.0
+    survey_total = 0.0  # q01-q32: the queries BASELINE.md measured
+    extended_total = 0.0  # x*: extension ops with no baseline analogue
     for name, q in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         q.builder(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 4)
-        total += dt
+        if name.startswith("q"):
+            survey_total += dt
+        else:
+            extended_total += dt
 
     print(
         json.dumps(
             {
-                "metric": "declared_query_suite_total",
-                "value": round(total, 3),
+                "metric": "survey_query_suite_total",
+                "value": round(survey_total, 3),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "extended_total_sec": round(extended_total, 3),
+                "n_queries": len(per_query),
             }
         )
     )

@@ -305,7 +305,9 @@ def simhash(
         cast(0 as bigint)
       )
     )"""
-    return df.select(id_col, F.expr(expr).alias("simhash"))
+    return ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.expr(expr).alias("simhash")
+    )
 
 
 def hamming_distance(col_a, col_b):
@@ -330,11 +332,22 @@ def ngram_jaccard_pairs(
     than that many docs (boilerplate) — the standard guard against
     quadratic bucket blowup at scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
-    counts = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("gram"))
+    # Explode in ONE projection straight off the repartition — no
+    # intermediate alias/filter referencing the shingle expression
+    # (each extra reference re-evaluates the tokenizer; a
+    # size()-guard Filter measured 8x slower). Empty shingle arrays
+    # simply emit no rows. The inverted index feeds four consumers
+    # (per-doc counts, gram document frequencies, both join sides);
+    # persist so tokenize+shingle+explode runs once.
+    inv = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, n)).alias("gram"),
+        )
+        .persist()
+    )
+    counts = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     gram_df = inv.groupBy("gram").agg(F.count("*").alias("gdf"))
     inv = inv.join(
         gram_df.where(F.col("gdf") <= max_gram_df).select("gram"), "gram"

