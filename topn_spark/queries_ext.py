@@ -1067,6 +1067,125 @@ def x32_topn_salted(spark, sf_dir):
     )
 
 
+def _ivf_centroids(nlist: int = 8, dim: int = 64, seed: int = 7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.randrange(-1000, 1001) for _ in range(dim)]
+        for _ in range(nlist)
+    ]
+
+
+def _x33_oracle() -> str:
+    cents = _ivf_centroids()
+    rows = ", ".join(f"({i}, {c!r})" for i, c in enumerate(cents))
+    return f"""WITH cents(cid, c) AS (VALUES {rows}),
+q AS (SELECT list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+quant AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+scored AS (
+  SELECT quant.vec_id, quant.v, cents.cid,
+    list_sum(list_transform(list_zip(quant.v, cents.c),
+             z -> z[1] * CAST(z[2] AS BIGINT))) AS cdot,
+    ROW_NUMBER() OVER (PARTITION BY quant.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(quant.v, cents.c),
+                                z -> z[1] * CAST(z[2] AS BIGINT))) DESC,
+                                cents.cid ASC) AS rn
+  FROM quant CROSS JOIN cents),
+assign AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+probe AS (
+  SELECT cents.cid FROM cents, q
+  ORDER BY list_sum(list_transform(list_zip(q.qv, cents.c),
+           z -> z[1] * CAST(z[2] AS BIGINT))) DESC, cents.cid ASC
+  LIMIT 2)
+SELECT a.vec_id,
+  list_sum(list_transform(list_zip(a.v, q.qv), z -> z[1] * z[2])) AS qdot
+FROM assign a JOIN probe USING (cid), q
+ORDER BY qdot DESC, a.vec_id ASC LIMIT 10"""
+
+
+@query(
+    "x33_ivf_topk",
+    None,  # oracle patched below (needs centroid literals)
+    doc="IVF approximate top-k with a full oracle: fixed integer "
+    "centroids, integer-quantized vectors, argmax cluster assignment, "
+    "probe the 2 nearest cells, exact integer dot top-10 within them "
+    "— the ANN scale path (prune 1 - nprobe/nlist of the corpus), "
+    "cross-engine deterministic",
+)
+def x33_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Row, Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    cents_df = spark.createDataFrame(
+        [Row(cid=i, c=c) for i, c in enumerate(cents)],
+        "cid int, c array<bigint>",
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    quant = emb.select("vec_id", qv.alias("v"))
+    dot_vc = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.crossJoin(F.broadcast(cents_df)).withColumn("cdot", dot_vc)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    qrow = quant.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    probe = (
+        cents_df.crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "qcdot",
+            F.aggregate(
+                F.zip_with("qv", "c", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.col("qcdot").desc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assign.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("qdot", dot_q)
+        .select("vec_id", "qdot")
+        .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_Q["x33_ivf_topk"] = _Q["x33_ivf_topk"].__class__(
+    name="x33_ivf_topk",
+    builder=_Q["x33_ivf_topk"].builder,
+    oracle=_x33_oracle(),
+    doc=_Q["x33_ivf_topk"].doc,
+)
+
+
 _MH_SH_DUCK = (
     f"CASE WHEN len({_TOKS_DUCK}) >= 3 THEN "
     f"[array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)] "
