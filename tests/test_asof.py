@@ -95,6 +95,38 @@ def test_asof_tiebreak_deterministic(spark):
     assert out[0].val == "c"  # highest tiebreak wins (arg_max semantics)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance_matches_pandas(spark, frames, direction):
+    left, right = frames
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        tolerance=50,
+    ).sort_values("lid", ignore_index=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "t",
+            "rt",
+            left_by="k",
+            right_by="k",
+            value_cols=["val"],
+            direction=direction,
+            tolerance=50,
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    gv = got["val"].to_numpy(dtype=float)
+    wv = want["val"].to_numpy(dtype=float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
 def test_asof_inclusive_boundary(spark):
     l = spark.createDataFrame([(1, 10)], "lid long, t long")
     r = spark.createDataFrame([(10, 7.0)], "rt long, val double")

@@ -60,6 +60,42 @@ def test_sample_frames_fanout(assets):
     assert len({f.frame_digest for f in frames}) == 3
 
 
+def test_multimodal_pipeline_end_to_end(spark, tmp_path):
+    """Integration: binary dir → ingest → decode → featurize → ANN
+    self-join — the full distributed multimodal pipeline shape, on
+    deterministic fake decoders."""
+    from topn_spark.operators.similarity import knn_join
+
+    for i in range(6):
+        (tmp_path / f"img{i}.png").write_bytes(
+            f"fake-image-payload-{i % 3}".encode()  # 3 duplicate pairs
+        )
+    assets = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    decoded = decode_image(assets, fake=True)
+    feats = extract_features(decoded, fake=True)
+    out = feats.select("asset_id", "width", "height", "features")
+    rows = out.collect()
+    assert len(rows) == 6 and all(len(r.features) == 16 for r in rows)
+
+    nn = knn_join(
+        out.withColumnRenamed("features", "embedding"),
+        out.withColumnRenamed("features", "embedding"),
+        k=1,
+        left_id="asset_id",
+        right_id="asset_id",
+    ).collect()
+    # identical payloads → identical fake features → nearest neighbor
+    # of each dup is its pair with cosine ≈ 1
+    by_left = {r.left_id: r for r in nn}
+    for i in range(6):
+        partner = [
+            j for j in range(6) if j != i and j % 3 == i % 3
+        ][0]
+        r = by_left[[k for k in by_left if f"img{i}.png" in k][0]]
+        assert f"img{partner}.png" in r.right_id
+        assert abs(r.score - 1.0) < 1e-9
+
+
 def test_read_binary_dir(spark, tmp_path):
     (tmp_path / "a.png").write_bytes(b"fake-png-bytes")
     (tmp_path / "b.jpg").write_bytes(b"fake-jpg")

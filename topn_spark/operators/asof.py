@@ -34,6 +34,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     right_tiebreak: str | None = None,
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -45,6 +46,10 @@ def asof_join(
     ``right_tiebreak``: column ordering right rows that share the
     same (by, time); the LAST row in that order wins, making the
     result deterministic (mirror of arg_max semantics).
+
+    ``tolerance``: maximum allowed |left_on - matched right_on|
+    (pandas merge_asof semantics) — in the column's native units, or
+    SECONDS for timestamp keys. Matches farther than this are nulled.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -84,9 +89,32 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fills = [F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals]
+    if tolerance is None:
+        filled = unioned.select(*left_cols, "_marker", *fills)
+        return filled.where(F.col("_marker") == 1).drop("_marker")
+
+    # carry the matched right timestamp too, so the gap is checkable
+    rt = F.when(F.col("_marker") == 0, F.col("_t"))
     filled = unioned.select(
         *left_cols,
         "_marker",
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals],
+        "_t",
+        F.last(rt, ignorenulls=True).over(w).alias("_matched_t"),
+        *fills,
     )
-    return filled.where(F.col("_marker") == 1).drop("_marker")
+    is_ts = str(filled.schema["_t"].dataType).startswith("Timestamp")
+    t_num = (
+        F.unix_timestamp("_t") if is_ts else F.col("_t").cast("double")
+    )
+    mt_num = (
+        F.unix_timestamp("_matched_t")
+        if is_ts
+        else F.col("_matched_t").cast("double")
+    )
+    in_tol = F.abs(t_num - mt_num) <= F.lit(float(tolerance))
+    out = filled.where(F.col("_marker") == 1).select(
+        *left_cols,
+        *[F.when(in_tol, F.col(o)).alias(o) for o in out_vals],
+    )
+    return out
