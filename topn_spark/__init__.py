@@ -28,7 +28,15 @@ Public API
 """
 
 from topn_spark.errors import FailureCollector, ValidationError
-from topn_spark.operators.topn import topn, topn_grouped
+from topn_spark.operators.asof import asof_join
+from topn_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
+from topn_spark.operators.topn import topn, topn_grouped, topn_grouped_salted
 from topn_spark.session import get_session
 
 __all__ = [
@@ -37,6 +45,15 @@ __all__ = [
     "get_session",
     "topn",
     "topn_grouped",
+    "topn_grouped_salted",
+    "asof_join",
+    "dedup_exact",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "ivf_topk",
+    "knn_join",
 ]
 
 __version__ = "0.1.0"

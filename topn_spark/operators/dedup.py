@@ -313,7 +313,9 @@ def simhash(
 def hamming_distance(col_a, col_b):
     """Hamming distance between two 64-bit fingerprints (bit_count of
     xor — single codegen'd expression)."""
-    return F.bit_count(F.bitwise_xor(F.col(col_a), F.col(col_b)) if isinstance(col_a, str) else col_a.bitwiseXOR(col_b))
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def ngram_jaccard_pairs(
