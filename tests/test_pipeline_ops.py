@@ -1,0 +1,126 @@
+"""Corpus-preparation pipeline operator tests (operators/pipeline.py).
+
+The x34-x40 catalog queries hash-match these ops against DuckDB;
+tests here pin the semantic properties the oracles can't express:
+chunk reconstruction, split stability under repartitioning, packing
+budget invariants, redaction completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topn_spark.operators.pipeline import (
+    assign_split,
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+    redact_pii,
+    token_heavy_hitters,
+)
+
+
+def _docs(spark):
+    rows = [
+        (i, "word%d " % i + "lorem ipsum dolor sit amet " * (i % 7 + 1))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_reassemble_to_document(spark):
+    df = _docs(spark)
+    chunks = chunk_documents(df, size=20, overlap=5)
+    # Strip each chunk's 5-char overlap with its predecessor and
+    # concatenate in order → must equal the original text.
+    glued = (
+        chunks.withColumn(
+            "piece",
+            F.when(F.col("chunk_idx") == 0, F.col("chunk")).otherwise(
+                F.expr("substring(chunk, 6, 100)")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_idx", "piece")))
+                .getField("piece")
+            ).alias("rebuilt")
+        )
+    )
+    joined = df.join(glued, "doc_id")
+    assert joined.where(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_chunk_bounds(spark):
+    chunks = chunk_documents(_docs(spark), size=20, overlap=5).collect()
+    assert all(1 <= r.chunk_len <= 20 for r in chunks)
+    # chunk indexes are dense from 0; a non-final chunk always spans
+    # past the next chunk's start, so its length exceeds step (=15)
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert all(r.chunk_len >= 16 for r in rows[:-1])
+
+
+def test_hash_sample_is_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", "80").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(7), "doc_id", "80").collect()
+    }
+    assert a == b
+    assert 0 < len(a) < 40  # ~50% threshold actually samples
+
+
+def test_split_partitions_every_row_exactly_once(spark):
+    df = assign_split(_docs(spark), "doc_id")
+    counts = {r.split: r.n for r in
+              df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 40
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_packing_budget_invariant(spark):
+    df = _docs(spark).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("bigint")
+    )
+    packed = pack_sequences(df, "n_tokens", budget=30).collect()
+    packed.sort(key=lambda r: r.doc_id)
+    # bin ids are non-decreasing in fill order, start at 0, and every
+    # bin's tokens-before-start is below its bin boundary (contiguous
+    # fill: a bin closes only once the budget is crossed).
+    assert packed[0].bin_id == 0
+    cum = 0
+    for r in packed:
+        assert r.bin_id == cum // 30
+        cum += r.n_tokens
+
+
+def test_redaction_scrubs_all_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://a.example.com/p?q=1#f and call 5551234567"),
+            (3, "short digits 123456 stay"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.clean for r in
+           df.select("id", redact_pii("text").alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "see <URL> and call <ID>"
+    assert out[3] == "short digits 123456 stay"  # runs < 7 digits kept
+
+
+def test_heavy_hitters_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b a c c d")], "doc_id long, text string"
+    )
+    top = token_heavy_hitters(df, "text", k=3).collect()
+    assert [(r.token, r.n) for r in top] == [("a", 4), ("b", 3), ("c", 3)]

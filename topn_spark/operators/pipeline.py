@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: document chunking, deterministic
+sampling & dataset splits, sequence packing, PII redaction, corpus
+heavy-hitters.
+
+These are the corpus-preparation steps that sit between raw ingest and
+tokenization in an LLM data pipeline. Everything here is built-in
+Catalyst expressions — no Python row loop, no driver-side collect —
+so each op scales linearly with partitions:
+
+- chunking explodes per-document (map-only, no shuffle);
+- hash sampling / splits are stateless filters on a content-stable
+  md5 key, so a re-run on re-partitioned data selects the same rows
+  (critical for reproducible 100 TB samples — never use rand());
+- packing uses a window cumsum partitioned by a corpus key, so state
+  never crosses partitions and no global sort is needed;
+- redaction is a regexp_replace chain (codegen'd, map-only);
+- heavy-hitters is explode + two-phase hash aggregate (partial
+  map-side combine makes the shuffle carry only distinct tokens).
+
+The reference (TopN.java) has none of these; they are the north-star
+extensions mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from topn_spark.operators.textstats import token_count, tokens
+
+__all__ = [
+    "assign_split",
+    "chunk_documents",
+    "hash_sample",
+    "pack_sequences",
+    "redact_pii",
+    "token_heavy_hitters",
+]
+
+
+def _hash_key(key_col: str) -> Column:
+    """Content-stable hex sampling key. md5 renders identically across
+    engines (portable for oracles) and is uniform in every hex digit;
+    comparisons against a hex-prefix threshold are pure string
+    comparisons, so the same row always lands in the same
+    sample/split no matter the partitioning or engine."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    size: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap.
+
+    Emits one row per chunk: ``chunk_idx`` (0-based), ``chunk`` text,
+    ``chunk_len``. Start positions are 1, 1+step, ... where
+    step = size - overlap; the final chunk may be short. Map-only
+    (posexplode of a generated sequence) — no shuffle, scales with
+    input partitions regardless of document count.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    starts = F.expr(f"sequence(1, greatest(length({text_col}), 1), {step})")
+    out = df.select(
+        *id_cols,
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.expr(f"substring({text_col}, chunk_start, {size})")
+    return (
+        out.withColumn("chunk", chunk)
+        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
+        .drop(text_col, "chunk_start")
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, threshold_hex: str = "29"
+) -> DataFrame:
+    """Deterministic sampling: keep rows whose md5(key) hex prefix is
+    lexicographically below ``threshold_hex``.
+
+    A 2-char threshold gives rate = int(threshold_hex, 16) / 256
+    ('29' ≈ 16%); longer prefixes give finer rates. Unlike
+    ``df.sample()`` this is stable across re-runs, re-partitioning,
+    and engines — the property a reproducible corpus sample needs.
+    """
+    n = len(threshold_hex)
+    return df.where(
+        F.substring(_hash_key(key_col), 1, n) < F.lit(threshold_hex.lower())
+    )
+
+
+def assign_split(
+    df: DataFrame, key_col: str, out_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test split on md5(key) first hex digit:
+    0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%).
+
+    Content-stable: the same key lands in the same split on any
+    engine, any partitioning, any scale — no rand(), no state.
+    """
+    h = F.substring(_hash_key(key_col), 1, 1)
+    return df.withColumn(
+        out_col,
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    by: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training-sequence bin by contiguous
+    fill: walk documents in ``order_col`` order and start a new bin
+    each time the running token total crosses ``budget``.
+
+    ``bin_id = floor(cum_tokens_before_this_doc / budget)`` — a pure
+    window cumsum, so the whole op is one sort within each ``by``
+    partition. At 100 TB, always pass ``by`` (e.g. source shard):
+    an empty ``by`` is a single global window partition — correct,
+    but serializes on one task (Spark warns accordingly).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w), F.lit(0).cast("bigint")
+    )
+    return df.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    )
+
+
+#: redaction patterns, applied in order (URL before EMAIL so a URL
+#: containing '@' is consumed as one token; digit-runs last so the
+#: placeholders themselves are never re-matched). Plain RE2-compatible
+#: syntax — portable between Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{7,}", "<ID>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub URLs, email addresses, and long digit runs (ids, phone
+    numbers, SSNs) to typed placeholders. A chained regexp_replace —
+    codegen'd, map-only; the 100 TB cost is one scan."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def token_heavy_hitters(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k most frequent tokens in the corpus: explode the tokenizer
+    output, hash-aggregate counts, global top-k.
+
+    The aggregate is partial+final (map-side combine), so the shuffle
+    carries one row per distinct token per partition, not one per
+    token occurrence; the top-k is TakeOrderedAndProject (bounded
+    heap per partition — the reference's own algorithm, parallelized,
+    TopN.java:117-118)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``n_tokens`` (alnum tokenizer) — the packing input."""
+    return df.withColumn("n_tokens", token_count(text_col))

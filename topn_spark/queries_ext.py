@@ -1244,3 +1244,213 @@ def x08_minhash(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation pipeline ops (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x34_chunking",
+    """SELECT doc_id, CAST((s - 1) // 192 AS BIGINT) AS chunk_idx,
+       substr(text, CAST(s AS BIGINT), 256) AS chunk,
+       CAST(length(substr(text, CAST(s AS BIGINT), 256)) AS BIGINT) AS chunk_len
+FROM documents, UNNEST(range(1, greatest(length(text), 1) + 1, 192)) AS u(s)
+WHERE doc_id % 5 = 0
+ORDER BY doc_id ASC, chunk_idx ASC""",
+    doc="Document chunking: 256-char chunks, 64 overlap (step 192), "
+    "posexplode of a generated start sequence — map-only, no shuffle",
+)
+def x34_chunking(spark, sf_dir):
+    from topn_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return chunk_documents(docs, size=256, overlap=64).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
+    "x35_hash_sample",
+    """SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+GROUP BY source ORDER BY source ASC""",
+    doc="Deterministic ~16% corpus sample via md5 hex-prefix threshold "
+    "— stable across engines/partitionings, unlike rand() sampling",
+)
+def x35_hash_sample(spark, sf_dir):
+    from topn_spark.operators.pipeline import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", threshold_hex="29")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x36_split_counts",
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY split ASC, lang ASC""",
+    doc="Deterministic train/val/test split (75/12.5/12.5) on md5 first "
+    "hex digit; per-language counts",
+)
+def x36_split_counts(spark, sf_dir):
+    from topn_spark.operators.pipeline import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "x37_redaction",
+    r"""WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com ref ' || CAST(doc_id + 10000000 AS VARCHAR)
+         || ' see http://ex.com/d/' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    'https?://\S+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{7,}', '<ID>', 'g') AS clean,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+FROM aug ORDER BY doc_id ASC LIMIT 200""",
+    doc="PII redaction: URL → email → digit-run regexp_replace chain "
+    "over deterministically augmented text (corpus has no native PII)",
+)
+def x37_redaction(spark, sf_dir):
+    from topn_spark.operators.pipeline import PII_PATTERNS, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") + 10000000).cast("string"),
+            F.lit(" see http://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    email_pat = PII_PATTERNS[1][0]
+    return (
+        aug.select(
+            "doc_id",
+            redact_pii("t").alias("clean"),
+            F.size(
+                F.expr(f"regexp_extract_all(t, '{email_pat}', 0)")
+            ).cast("bigint").alias("n_emails"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x38_packing",
+    """WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t)
+SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY 1, 2 ORDER BY source ASC, bin_id ASC""",
+    doc="Sequence packing: contiguous-fill binning of docs into "
+    "512-token training sequences via window cumsum per source",
+)
+def x38_packing(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        add_token_count,
+        pack_sequences,
+    )
+
+    docs = add_token_count(load_table(spark, sf_dir, "documents"))
+    packed = pack_sequences(
+        docs, "n_tokens", budget=512, by=("source",), order_col="doc_id"
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "x39_heavy_hitters",
+    """WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n FROM tok
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+    doc="Corpus heavy-hitters: top-50 tokens by frequency — explode + "
+    "partial/final hash agg + TakeOrderedAndProject",
+)
+def x39_heavy_hitters(spark, sf_dir):
+    from topn_spark.operators.pipeline import token_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_heavy_hitters(docs, "text", k=50)
+
+
+@query(
+    "x40_percentiles",
+    """SELECT l_returnflag,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS p50,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    doc="Exact interpolated percentiles (Spark percentile() ↔ DuckDB "
+    "quantile_cont) — the exact counterpart of x18's approx path",
+)
+def x40_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.50, 0.75, 0.99))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            F.round(F.col("qs")[3], 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
