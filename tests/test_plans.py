@@ -100,3 +100,34 @@ def test_events_scan_prunes_columns(spark):
     # force reading other columns.
     plan = formatted_plan(q(spark, "q27"))
     assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_chunking_is_map_only(spark):
+    # chunking = generate + posexplode + substring: must be a single
+    # map stage — an Exchange here would shuffle the full corpus text.
+    plan = formatted_plan(q(spark, "x34_chunking").limit(10))
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_pushes_scan_filters_nothing_extra(spark):
+    # the sampling predicate is an md5 filter — not pushable — but the
+    # scan must still prune to the consumed columns only.
+    plan = formatted_plan(q(spark, "x35_hash_sample"))
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_heavy_hitters_partial_final_and_heap(spark):
+    # explode → partial agg before the shuffle (distinct tokens only
+    # cross the wire) → final agg → bounded-heap top-k.
+    plan = formatted_plan(q(spark, "x39_heavy_hitters"))
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_packing_windows_partition_by_corpus_key(spark):
+    # the packing cumsum must be a keyed window (hashpartitioning by
+    # source), never a single global window partition.
+    plan = formatted_plan(q(spark, "x38_packing"))
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
