@@ -496,12 +496,14 @@ def x19_lsh_neardup_pairs(spark, sf_dir):
     exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.expr(sh)).alias("_s")
     )
+    # Four consumers read sig (both band-join sides + both similarity
+    # sides); persist so the tokenize/shingle/hash pipeline runs once.
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"m{j}")
             for j in range(8)
         ]
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1225,11 +1227,14 @@ def x08_minhash(spark, sf_dir):
         f" transform(sequence(1, size({toks}) - 2),"
         f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
     )
-    from topn_spark.operators.dedup import ensure_parallelism
-
-    exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.expr(sh)).alias("_s")
-    )
+    # Manual limit pushdown: the output is ORDER BY doc_id LIMIT 100
+    # of a LEFT join keyed on doc_id, so the surviving ids are decided
+    # by the docs side alone — hash only those 100 documents instead
+    # of the corpus (Catalyst can't push a limit through join+agg).
+    keep = docs.select("doc_id", "text").orderBy("doc_id").limit(100)
+    exploded = keep.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.explode(F.expr(sh)).alias("_s"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(
@@ -1239,7 +1244,7 @@ def x08_minhash(spark, sf_dir):
         ]
     )
     return (
-        docs.select("doc_id")
+        keep.select("doc_id")
         .join(sig, "doc_id", "left")
         .orderBy("doc_id")
         .limit(100)

@@ -14,6 +14,11 @@ batch DataFrames too); tests replay the same data through both paths
 and assert equality — the only honest check for streaming semantics.
 """
 
+from topn_spark.streaming.joins import (
+    enrich_stream,
+    interval_join,
+    streaming_dedup,
+)
 from topn_spark.streaming.windows import (
     session_counts,
     sliding_counts,
@@ -26,4 +31,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "streaming_topn_sink",
+    "enrich_stream",
+    "interval_join",
+    "streaming_dedup",
 ]
