@@ -306,29 +306,33 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: ``(id, simhash bigint)``.
 
-    Per-bit majority vote over token hashes, computed as nested
-    higher-order aggregates (whole-stage codegen, map-only, no
-    shuffle). Near-dups are pairs within small Hamming distance —
-    bucket by rotating bit blocks for search.
+    Per-bit majority vote over token hashes, as nested higher-order
+    aggregates — map-only, no shuffle, whole-stage codegen. The token
+    hashes are materialized ONCE per row into an array column in a
+    separate projection; the bit loop then scans that bound column,
+    so hashing cost is O(tokens), not O(tokens × bits) (inlining the
+    transform into the bit lambda re-hashes every token per bit —
+    measured 64x the xxhash64 calls). Zero-token docs get simhash 0.
+
+    Near-dups are pairs within small Hamming distance — bucket by
+    rotating bit blocks for search.
     """
     toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    hashed = ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.expr(f"transform({toks}, t -> xxhash64(t))").alias("_hs")
+    )
     expr = f"""
     aggregate(
       sequence(0, {bits - 1}),
       cast(0 as bigint),
       (acc, j) -> acc + if(
-        aggregate(
-          transform({toks}, t -> xxhash64(t)),
-          cast(0 as bigint),
-          (a, h) -> a + if((h >> j) & 1 = 1, 1, -1)
-        ) > 0,
+        aggregate(_hs, cast(0 as bigint),
+                  (a, h) -> a + if((h >> j) & 1 = 1, 1, -1)) > 0,
         shiftleft(cast(1 as bigint), j),
         cast(0 as bigint)
       )
     )"""
-    return ensure_parallelism(df.select(id_col, text_col)).select(
-        id_col, F.expr(expr).alias("simhash")
-    )
+    return hashed.select(id_col, F.expr(expr).alias("simhash"))
 
 
 def hamming_distance(col_a, col_b):
