@@ -124,3 +124,22 @@ def test_heavy_hitters_exact_counts(spark):
     )
     top = token_heavy_hitters(df, "text", k=3).collect()
     assert [(r.token, r.n) for r in top] == [("a", 4), ("b", 3), ("c", 3)]
+
+
+def test_stratified_sample_exact_rate_and_stable(spark):
+    df = _docs(spark).withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    from topn_spark.operators.pipeline import stratified_sample
+
+    got = stratified_sample(df, ("lang",), 0.25, "doc_id")
+    per = {r.lang: r.n for r in
+           got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+    want = {r.lang: math.ceil(r.n * 0.25) for r in
+            df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == want
+    again = {r.doc_id for r in
+             stratified_sample(df.repartition(5), ("lang",), 0.25, "doc_id")
+             .collect()}
+    assert again == {r.doc_id for r in got.collect()}

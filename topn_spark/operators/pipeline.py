@@ -188,3 +188,33 @@ def token_heavy_hitters(
 def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach ``n_tokens`` (alnum tokenizer) — the packing input."""
     return df.withColumn("n_tokens", token_count(text_col))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: tuple[str, ...],
+    fraction: float,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic exact-rate stratified sampling: keep the first
+    ``ceil(n_stratum * fraction)`` rows of each stratum, ordered by
+    the content-stable md5 key (tie-broken by the key itself).
+
+    Unlike ``df.sampleBy`` this yields an exact per-stratum count and
+    the same rows on every run/engine/partitioning. Cost: one window
+    sort per stratum — the same shuffle a groupBy on the strata would
+    pay; at 100 TB prefer ``hash_sample`` (stateless filter, no
+    shuffle) when approximate per-stratum rates are acceptable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        _hash_key(key_col).asc(), F.col(key_col).asc()
+    )
+    wn = Window.partitionBy(*strata)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )

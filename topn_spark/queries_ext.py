@@ -1459,3 +1459,56 @@ def x40_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "x41_stratified_sample",
+    """WITH r AS (
+  SELECT doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM r WHERE rn <= CAST(CEIL(n * 0.2) AS BIGINT)
+GROUP BY lang ORDER BY lang ASC""",
+    doc="Deterministic exact-rate stratified sample: first ceil(20%) of "
+    "each language by md5-key order — same rows on any engine/run",
+)
+def x41_stratified_sample(spark, sf_dir):
+    from topn_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, ("lang",), 0.2, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x42_pagerank",
+    None,  # iterative float algorithm: rows-only (SURVEY §2.4 rule 3)
+    doc="PageRank over the user->item interaction graph (events): "
+    "power iteration with dangling-mass redistribution; property-"
+    "tested (mass conservation, known-graph fixture) in tests",
+)
+def x42_pagerank(spark, sf_dir):
+    from topn_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 50 + 1000).alias("dst"),
+    )
+    return (
+        pagerank(edges, max_iter=5, tol=None)
+        .select("id", F.round("rank", 6).alias("rank_r"))
+        .orderBy("id")
+    )
