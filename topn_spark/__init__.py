@@ -30,10 +30,21 @@ Public API
 from topn_spark.errors import FailureCollector, ValidationError
 from topn_spark.operators.asof import asof_join
 from topn_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+)
+from topn_spark.operators.graph import pagerank
+from topn_spark.operators.pipeline import (
+    assign_split,
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+    token_heavy_hitters,
 )
 from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
 from topn_spark.operators.topn import topn, topn_grouped, topn_grouped_salted
@@ -51,9 +62,18 @@ __all__ = [
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "connected_components",
+    "pagerank",
     "cosine_topk",
     "ivf_topk",
     "knn_join",
+    "chunk_documents",
+    "hash_sample",
+    "assign_split",
+    "stratified_sample",
+    "pack_sequences",
+    "redact_pii",
+    "token_heavy_hitters",
 ]
 
 __version__ = "0.1.0"

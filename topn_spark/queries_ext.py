@@ -1512,3 +1512,63 @@ def x42_pagerank(spark, sf_dir):
         .select("id", F.round("rank", 6).alias("rank_r"))
         .orderBy("id")
     )
+
+
+@query(
+    "x43_dist_windows",
+    """SELECT o_orderkey, o_orderpriority,
+  ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderpriority ASC, o_orderkey ASC LIMIT 200""",
+    doc="Distribution window functions: percent_rank + cume_dist over "
+    "a deterministic per-priority ordering",
+)
+def x43_dist_windows(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "x44_stats_aggs",
+    """SELECT l_returnflag,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+  ROUND(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+  ROUND(stddev_pop(l_quantity), 6) AS sd_q,
+  ROUND(var_pop(l_discount), 6) AS var_d
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    doc="Statistical aggregates: corr / covar_pop / stddev_pop / "
+    "var_pop per return flag (ROUND(…,6) for cross-engine floats)",
+)
+def x44_stats_aggs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qp"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+                "covp_qd"
+            ),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sd_q"),
+            F.round(F.var_pop("l_discount"), 6).alias("var_d"),
+        )
+        .orderBy("l_returnflag")
+    )
