@@ -118,3 +118,116 @@ def asof_join(
         *[F.when(in_tol, F.col(o)).alias(o) for o in out_vals],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    value_cols: list[str] | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Keyless backward as-of join that scales: time-bucket both sides
+    so all data motion is equi-joins and bounded aggregates — the
+    "range-bucket the time axis" strategy this module's header
+    prescribes for keyless as-of at 100 TB.
+
+    For each left row, finds the right row with the greatest
+    ``right_on`` ≤ ``left_on`` and appends ``{right_on}_asof`` plus
+    ``value_cols`` from it (nulls when no right row precedes).
+    ``left_id`` must uniquely identify left rows.
+
+    Plan shape (no nested-loop join, no big broadcast, no global
+    window over data rows):
+
+    1. hash-aggregate the right side to one best-row struct per
+       bucket (map-side combined; output = #buckets rows);
+    2. gap-fill the bucket axis and running-max the per-bucket
+       structs — a window over the *bucket table* only;
+    3. equi-join probes to the dense bucket table on (clamped)
+       bucket → best right row in any strictly-earlier bucket;
+    4. equi-join probes to right rows of their own bucket only,
+       filter ``right_on <= left_on``, re-aggregate per probe;
+    5. take the struct-max of (3) and (4).
+
+    Lexicographic struct comparison (time field first) makes (2),
+    (4), (5) all plain ``max``; per-bucket row counts bound the only
+    potentially-skewed join (4).
+    """
+    value_cols = value_cols or []
+    out_t = f"{right_on}_asof"
+
+    rbkt = F.date_trunc(bucket, F.col(right_on))
+    best = F.max(
+        F.struct(F.col(right_on).alias("_t"), *[F.col(c) for c in value_cols])
+    )
+    per_bucket = right.groupBy(rbkt.alias("_bkt")).agg(best.alias("_best"))
+
+    # Dense, cumulative bucket table (tiny: one row per bucket).
+    span = per_bucket.agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval 1 {bucket}"))
+        ).alias("_bkt")
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dense = (
+        grid.join(per_bucket, "_bkt", "left")
+        .withColumn("_prev_best", F.max("_best").over(wcum))
+        .select("_bkt", "_prev_best")
+    )
+
+    probe = left.withColumn(
+        "_pbkt", F.date_trunc(bucket, F.col(left_on))
+    ).crossJoin(F.broadcast(span.select(F.col("_hi").alias("_maxbkt"))))
+    probe = probe.withColumn("_jbkt", F.least("_pbkt", "_maxbkt"))
+
+    # (3) strictly-earlier buckets, via the dense cumulative table.
+    with_prev = probe.join(
+        F.broadcast(dense.withColumnRenamed("_bkt", "_jbkt")),
+        "_jbkt",
+        "left",
+    )
+
+    # (4) same-bucket refinement: only right rows sharing the bucket.
+    same = (
+        probe.select(left_id, F.col(left_on).alias("_pt"), "_jbkt")
+        .join(
+            right.select(
+                rbkt.alias("_jbkt"),
+                F.struct(
+                    F.col(right_on).alias("_t"),
+                    *[F.col(c) for c in value_cols],
+                ).alias("_s"),
+            ),
+            "_jbkt",
+        )
+        .where(F.col("_s._t") <= F.col("_pt"))
+        .groupBy(left_id)
+        .agg(F.max("_s").alias("_same_best"))
+    )
+
+    merged = with_prev.join(same, left_id, "left").withColumn(
+        "_final",
+        F.when(
+            F.col("_same_best").isNotNull()
+            & (
+                F.col("_prev_best").isNull()
+                | (F.col("_same_best._t") >= F.col("_prev_best._t"))
+            ),
+            F.col("_same_best"),
+        ).otherwise(F.col("_prev_best")),
+    )
+    return merged.select(
+        *left.columns,
+        F.col("_final._t").alias(out_t),
+        *[F.col(f"_final.{c}").alias(c) for c in value_cols],
+    )

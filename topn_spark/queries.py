@@ -266,21 +266,29 @@ def q10(spark, sf_dir):
 FROM events e
 WHERE e.event_type = 'purchase' AND e.event_id % 997 = 0
 ORDER BY e.event_id ASC""",
-    doc="As-of join: bounded probe set × broadcast build, max-before",
+    doc="As-of join (keyless, max-before) via time-bucketed equi-joins",
 )
 def q11(spark, sf_dir):
-    # The correlated scalar subquery decorrelates to exactly this:
-    # left nested-loop join on the range predicate + max per probe row.
-    # Probe is bounded (event_id % 997), build side broadcast.
+    # The correlated scalar subquery in the oracle SQL decorrelates to
+    # a nested-loop range join — O(probe × build) and a full-build
+    # broadcast. The engine instead buckets the time axis so every
+    # data-sized operation is an equi-join or bounded aggregate
+    # (operators/asof.py::asof_join_bucketed) — same results, linear
+    # cost, no big broadcast.
+    from topn_spark.operators.asof import asof_join_bucketed
+
     events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders").select("o_orderdate")
     probe = events.where(
         (F.col("event_type") == "purchase") & (F.col("event_id") % 997 == 0)
     ).select("event_id", "ts")
     return (
-        probe.join(F.broadcast(orders), orders.o_orderdate <= probe.ts, "left")
-        .groupBy("event_id")
-        .agg(F.max("o_orderdate").alias("last_order"))
+        asof_join_bucketed(
+            probe, orders, "ts", "o_orderdate", left_id="event_id"
+        )
+        .select(
+            "event_id", F.col("o_orderdate_asof").alias("last_order")
+        )
         .orderBy("event_id")
     )
 
