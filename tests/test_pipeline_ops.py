@@ -143,3 +143,118 @@ def test_stratified_sample_exact_rate_and_stable(spark):
              stratified_sample(df.repartition(5), ("lang",), 0.25, "doc_id")
              .collect()}
     assert again == {r.doc_id for r in got.collect()}
+
+
+def test_merge_upsert_source_wins_and_others_pass(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    from topn_spark.operators.pipeline import merge_upsert
+
+    out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(
+        target, source, ["k"]
+    ).collect()}
+    assert out == {
+        1: ("a", 10.0),
+        2: ("B", 99.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+
+
+def test_merge_upsert_rejects_missing_columns(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    source = spark.createDataFrame([(1,)], "k long")
+    from topn_spark.operators.pipeline import merge_upsert
+
+    try:
+        merge_upsert(target, source, ["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "s" in str(e)
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    from topn_spark.operators.pipeline import resample_ffill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0),
+        (1, "2024-01-01 03:20:00", 7.0),  # hours 1-2 are gaps
+        (2, "2024-01-01 10:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = resample_ffill(df, "ts", ["user_id"], F.max("value")).orderBy(
+        "user_id", "bucket"
+    ).collect()
+    u1 = [(r["bucket"].hour, r["value"], r["ffilled"]) for r in out
+          if r["user_id"] == 1]
+    assert u1 == [
+        (0, 5.0, False),
+        (1, 5.0, True),   # gap hour carries the last observation
+        (2, 5.0, True),
+        (3, 7.0, False),
+    ]
+    u2 = [(r["bucket"].hour, r["value"], r["ffilled"]) for r in out
+          if r["user_id"] == 2]
+    assert u2 == [(10, 1.0, False)]  # span is per key, not global
+
+
+def test_histogram_bucket_semantics(spark):
+    from topn_spark.operators.pipeline import histogram
+
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (9.99,), (10.0,), (99.0,), (100.0,), (250.0,)],
+        "x double",
+    )
+    out = {r["bucket"]: r["n"] for r in histogram(
+        df, "x", 0.0, 100.0, 10
+    ).collect()}
+    # -1 underflows; 0 and 9.99 → bucket 1; 10 → bucket 2 (inclusive
+    # lower edge); 99 → bucket 10; 100 and 250 overflow.
+    assert out == {0: 1, 1: 2, 2: 1, 10: 1, 11: 2}
+
+
+def test_zscore_normalizes_per_group(spark):
+    from topn_spark.operators.pipeline import zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0), ("c", 7.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["z"] for r in zscore(
+        df, "v", ["g"]
+    ).collect()}
+    import math
+
+    assert math.isclose(out[("a", 1.0)], -math.sqrt(0.5), rel_tol=1e-9)
+    assert math.isclose(out[("a", 3.0)], math.sqrt(0.5), rel_tol=1e-9)
+    assert out[("b", 10.0)] is None  # stddev 0 → null, not inf
+    assert out[("c", 7.0)] is None  # group of 1 → stddev undefined
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from topn_spark.operators.pipeline import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated text about spark partitions here"),
+            # shares 'quick brown fox jumps over' (and 1 more 5-gram)
+            (2, "a quick brown fox jumps over everything today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_grams"] for r in contamination_check(
+        train, bench, n=5
+    ).collect()}
+    assert 1 not in out
+    assert out[2] >= 1

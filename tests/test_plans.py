@@ -85,10 +85,13 @@ def test_asof_join_has_no_nested_loop(spark):
     assert_plan_lacks(q(spark, "x10_asof_join"), "NestedLoop", "CartesianProduct")
 
 
-def test_bounded_asof_uses_broadcast_nlj(spark):
-    # q11's bounded-probe form deliberately broadcasts; pin that the
-    # build side is broadcast (not a shuffled cartesian).
-    assert_plan_contains(q(spark, "q11"), "BroadcastNestedLoopJoin")
+def test_bucketed_asof_has_no_nested_loop(spark):
+    # q11's keyless as-of is planned as time-bucketed equi-joins: a
+    # nested-loop or data-sized broadcast here is the O(probe x build)
+    # regression the bucketed operator exists to avoid.
+    assert_plan_lacks(
+        q(spark, "q11"), "BroadcastNestedLoopJoin", "CartesianProduct"
+    )
 
 
 def test_cosine_topk_is_bounded_heap(spark):

@@ -68,3 +68,40 @@ def test_rolling_hashes(spark):
     assert len(out.rh) == 4
     short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert short.select(rolling_hashes("text").alias("rh")).first().rh == []
+
+
+def test_repetition_signals_count_runs(spark):
+    from topn_spark.operators.textstats import add_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),  # 'spam ham' 2-gram x3
+            (2, "all words here are fully distinct"),
+            (3, "one"),  # < 2 tokens → no slots
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["top_ngram_cnt"], r["ngram_slots"])
+        for r in add_repetition_signals(df).collect()
+    }
+    assert out[1] == (3, 5)  # 'spam ham' at positions 1,3,5
+    assert out[2] == (1, 5)
+    assert out[3] == (0, 0)
+
+
+def test_tfidf_ranks_group_specific_terms(spark):
+    from topn_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "alpha", "zebra zebra zebra common common"),
+        (2, "alpha", "zebra common"),
+        (3, "beta", "yak yak common common"),
+        (4, "beta", "yak common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = tfidf_top_terms(df, "source", "text", "doc_id", k=1).collect()
+    top = {r["group"]: r["term"] for r in out}
+    # 'common' is in every doc → idf = ln(1) = 0; the group-specific
+    # term must win despite lower counts.
+    assert top == {"alpha": "zebra", "beta": "yak"}

@@ -28,7 +28,7 @@ Public API
 """
 
 from topn_spark.errors import FailureCollector, ValidationError
-from topn_spark.operators.asof import asof_join
+from topn_spark.operators.asof import asof_join, asof_join_bucketed
 from topn_spark.operators.dedup import (
     connected_components,
     dedup_exact,
@@ -40,11 +40,20 @@ from topn_spark.operators.graph import pagerank
 from topn_spark.operators.pipeline import (
     assign_split,
     chunk_documents,
+    contamination_check,
     hash_sample,
+    histogram,
+    merge_upsert,
     pack_sequences,
     redact_pii,
+    resample_ffill,
     stratified_sample,
     token_heavy_hitters,
+    zscore,
+)
+from topn_spark.operators.textstats import (
+    add_repetition_signals,
+    tfidf_top_terms,
 )
 from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
 from topn_spark.operators.topn import topn, topn_grouped, topn_grouped_salted
@@ -58,6 +67,7 @@ __all__ = [
     "topn_grouped",
     "topn_grouped_salted",
     "asof_join",
+    "asof_join_bucketed",
     "dedup_exact",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
@@ -74,6 +84,13 @@ __all__ = [
     "pack_sequences",
     "redact_pii",
     "token_heavy_hitters",
+    "contamination_check",
+    "histogram",
+    "merge_upsert",
+    "resample_ffill",
+    "zscore",
+    "add_repetition_signals",
+    "tfidf_top_terms",
 ]
 
 __version__ = "0.1.0"

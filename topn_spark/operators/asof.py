@@ -144,10 +144,11 @@ def asof_join_bucketed(
 
     1. hash-aggregate the right side to one best-row struct per
        bucket (map-side combined; output = #buckets rows);
-    2. gap-fill the bucket axis and running-max the per-bucket
-       structs — a window over the *bucket table* only;
-    3. equi-join probes to the dense bucket table on (clamped)
-       bucket → best right row in any strictly-earlier bucket;
+    2. gap-fill the bucket axis (spanning right and probe ranges)
+       and running-max the per-bucket structs — a window over the
+       *bucket table* only;
+    3. equi-join probes to the dense bucket table on bucket → best
+       right row in any strictly-earlier bucket;
     4. equi-join probes to right rows of their own bucket only,
        filter ``right_on <= left_on``, re-aggregate per probe;
     5. take the struct-max of (3) and (4).
@@ -165,9 +166,18 @@ def asof_join_bucketed(
     )
     per_bucket = right.groupBy(rbkt.alias("_bkt")).agg(best.alias("_best"))
 
-    # Dense, cumulative bucket table (tiny: one row per bucket).
-    span = per_bucket.agg(
-        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    # Dense, cumulative bucket table (tiny: one row per bucket). The
+    # grid spans right AND probe buckets so every probe bucket equi-
+    # joins the table directly — no clamping scalar, no cross join.
+    pbkt = F.date_trunc(bucket, F.col(left_on))
+    span = (
+        per_bucket.agg(
+            F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+        )
+        .unionByName(
+            left.agg(F.min(pbkt).alias("_lo"), F.max(pbkt).alias("_hi"))
+        )
+        .agg(F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
     )
     grid = span.select(
         F.explode(
@@ -185,10 +195,7 @@ def asof_join_bucketed(
         .select("_bkt", "_prev_best")
     )
 
-    probe = left.withColumn(
-        "_pbkt", F.date_trunc(bucket, F.col(left_on))
-    ).crossJoin(F.broadcast(span.select(F.col("_hi").alias("_maxbkt"))))
-    probe = probe.withColumn("_jbkt", F.least("_pbkt", "_maxbkt"))
+    probe = left.withColumn("_jbkt", pbkt)
 
     # (3) strictly-earlier buckets, via the dense cumulative table.
     with_prev = probe.join(

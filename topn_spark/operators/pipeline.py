@@ -31,10 +31,15 @@ from topn_spark.operators.textstats import token_count, tokens
 __all__ = [
     "assign_split",
     "chunk_documents",
+    "contamination_check",
     "hash_sample",
+    "histogram",
+    "merge_upsert",
     "pack_sequences",
     "redact_pii",
+    "resample_ffill",
     "token_heavy_hitters",
+    "zscore",
 ]
 
 
@@ -217,4 +222,169 @@ def stratified_sample(
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count the
+    distinct word ``n``-grams it shares with any benchmark document.
+
+    Returns ``(id_col, n_shared_grams)`` for contaminated docs only.
+    The standard eval-leakage gate for training corpora (as in GPT-3 /
+    Gopher dataset reports): drop or flag training docs whose n-gram
+    overlap with the eval set exceeds a threshold.
+
+    Scale shape: both sides explode to *distinct* n-grams per doc
+    (dedup before the join keeps the shuffle minimal), then an
+    inner equi-join on the gram string and a per-doc distinct count.
+    The benchmark side is tiny by construction (eval sets are
+    thousands of docs, not billions) — mark it broadcast so the 100 TB
+    training side never shuffles: the probe is map-side.
+    """
+    from topn_spark.operators.textstats import word_ngrams
+
+    t_grams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    b_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    return (
+        t_grams.join(F.broadcast(b_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """SQL MERGE semantics without a table format: rows from ``source``
+    win on key collision; unmatched ``target`` rows pass through.
+    ``source`` must be unique per key (it is the "new data" batch).
+
+    Implementation is source ∪ (target ANTI-JOIN source-keys): one
+    shuffle on the key (or none for the probe side when AQE broadcasts
+    the source-key set — the common case: incremental batches are
+    small relative to the accumulated table). This is the idiomatic
+    plain-Parquet upsert; table formats (Delta/Iceberg) only add
+    transactional commit around the same join shape.
+    """
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks target columns: {missing}")
+    survivors = target.join(
+        source.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    return source.select(*target.columns).unionByName(survivors)
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_agg: Column,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with
+    forward-fill: one row per key per ``step`` bucket from that key's
+    first to last event; buckets with no events carry the most recent
+    observed aggregate (``ffilled`` marks carried rows).
+
+    Gap-filling + last-observation-carried-forward is the standard
+    time-series densification op (TimescaleDB ``time_bucket_gapfill``,
+    Pandas ``resample().ffill()``). Spark shape: per-key min/max
+    (hash agg), ``sequence()`` explode to materialize the grid
+    (map-only after the agg), left join of the grid with the bucketed
+    aggregates (both sides pre-aggregated and co-keyed), then
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    window per key. Grid explosion is the only row-amplifying step and
+    is proportional to output size, not input size.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    span = df.groupBy(*key_cols).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+        ).alias("bucket"),
+    )
+    actual = df.groupBy(*key_cols, bucket.alias("bucket")).agg(
+        value_agg.alias("_v")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, [*key_cols, "bucket"], "left")
+        .withColumn("value", F.last("_v", ignorenulls=True).over(w))
+        .withColumn("ffilled", F.col("_v").isNull())
+        .drop("_v")
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-bound equi-width histogram: ``(bucket, n)`` with
+    width_bucket semantics — bucket 0 = underflow, ``nbins + 1`` =
+    overflow, else ``1 + floor(nbins * (x - lo) / (hi - lo))``. The
+    formula is spelled out (not ``F.width_bucket``) so engines and
+    oracles bucket boundary values by the identical IEEE expression.
+    One map-side-combined hash aggregate over at most ``nbins + 2``
+    groups — the cheapest possible distribution profile at 100 TB
+    (contrast a percentile, which needs a sort or sketch)."""
+    x = F.col(col)
+    bucket = (
+        F.when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(nbins + 1))
+        .otherwise(
+            F.lit(1)
+            + F.floor(F.lit(float(nbins)) * (x - lo) / F.lit(hi - lo))
+        )
+    )
+    return (
+        df.select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def zscore(
+    df: DataFrame, value_col: str, group_cols: list[str], out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score normalization:
+    ``z = (x - mean(group)) / stddev_samp(group)`` — the basic feature
+    scaling step before clustering / outlier clipping.
+
+    Uses an unpartitioned-frame window per group: Spark computes the
+    two moments with a single shuffle on the group keys and no
+    self-join. Groups of size 1 (stddev undefined) yield null.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols)
+    return df.withColumn(
+        out_col,
+        (F.col(value_col) - F.avg(value_col).over(w))
+        / F.nullif(F.stddev_samp(value_col).over(w), F.lit(0.0)),
     )

@@ -127,6 +127,128 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized_text(text_col))
 
 
+def word_ngrams(text_col: str = "text", n: int = 2) -> Column:
+    """Adjacent word ``n``-grams (space-joined) of the alnum tokens.
+    Empty array when the document has fewer than ``n`` tokens (guarded:
+    Spark's ``sequence(1, 0)`` would count *down*, not return empty)."""
+    t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    return F.expr(
+        f"if(size({t}) >= {n},"
+        f" transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({t}, i, {n}))),"
+        f" array())"
+    )
+
+
+def add_repetition_signals(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals: the count of the most
+    frequent word ``n``-gram and the fraction of all n-gram slots it
+    covers (high fraction = boilerplate/spam loops).
+
+    Map-only: the per-document mode is found by sorting the n-gram
+    array and scanning runs with a single ``aggregate`` fold —
+    O(G log G) per doc, no shuffle, no explode. At 100 TB this keeps
+    repetition scoring embarrassingly parallel; the alternative
+    (explode + groupBy doc,gram) ships every n-gram through a
+    shuffle for a per-document statistic.
+    """
+    grams = F.array_sort(word_ngrams(text_col, n))
+    # Fold state: (prev gram, current run length, best run length).
+    run_max = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    nslots = F.size(word_ngrams(text_col, n)).cast("long")
+    return (
+        df.withColumn("top_ngram_cnt", run_max)
+        .withColumn("ngram_slots", nslots)
+        .withColumn(
+            "top_ngram_frac",
+            F.round(
+                F.col("top_ngram_cnt")
+                / F.nullif(F.col("ngram_slots"), F.lit(0)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per group by TF-IDF.
+
+    ``score(term, g) = tf(term in g) * ln(N_docs / df(term))`` with
+    ``df`` = number of distinct documents containing the term. Returns
+    ``(group, term, score, rn)`` with a deterministic (rounded-score
+    DESC, term ASC) ranking — rounding before ranking makes the order
+    robust to last-ulp ``ln`` differences across engines.
+
+    Scale shape: one explode, two hash aggregates (both partial+final,
+    map-side combined so the shuffle carries distinct terms, not token
+    instances), a term-keyed join with the per-term df side (AQE
+    broadcasts it when the vocabulary is small; at 100 TB it stays a
+    shuffled hash join on already-aggregated distinct terms), one
+    broadcast of the single-row corpus size, one window per group.
+    No driver-side collect.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(doc_id_col).alias("_doc"),
+        F.col(group_col).alias("group"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("group", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    docfreq = toks.groupBy("term").agg(
+        F.countDistinct("_doc").alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("cnt")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("group", "term", "score", "rn")
+    )
+
+
 def rolling_hashes(
     text_col: str = "text", window: int = 8, every: int = 4
 ) -> Column:

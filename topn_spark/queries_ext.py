@@ -1572,3 +1572,249 @@ def x44_stats_aggs(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "x45_tfidf_terms",
+    f"""WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS_DUCK}) AS term FROM documents),
+tf AS (SELECT source AS src, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT src, term, score, rn FROM (
+  SELECT tf.src, tf.term,
+         ROUND(tf.cnt * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.src
+           ORDER BY ROUND(tf.cnt * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+                    DESC, tf.term ASC) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
+WHERE rn <= 5 ORDER BY src ASC, rn ASC""",
+    doc="TF-IDF: top-5 characteristic terms per source "
+    "(score rounded before ranking for cross-engine determinism)",
+)
+def x45_tfidf_terms(spark, sf_dir):
+    from topn_spark.operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, "source", "text", "doc_id", k=5)
+        .select(F.col("group").alias("src"), "term", "score", "rn")
+        .orderBy("src", "rn")
+    )
+
+
+@query(
+    "x46_repetition",
+    """WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+g AS (SELECT doc_id, len(toks) - 1 AS nslots,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, ANY_VALUE(nslots) AS nslots, gram, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, gram)
+SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_ngram_cnt,
+       CAST(ANY_VALUE(nslots) AS BIGINT) AS ngram_slots,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / ANY_VALUE(nslots), 6) AS top_ngram_frac
+FROM c GROUP BY doc_id ORDER BY doc_id ASC LIMIT 300""",
+    doc="Repetition quality signal (Gopher-style): most frequent "
+    "2-gram count + covered fraction per document; engine side is a "
+    "map-only sort+run-scan fold, oracle recomputes via explode+group",
+)
+def x46_repetition(spark, sf_dir):
+    from topn_spark.operators.textstats import add_repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        add_repetition_signals(docs, "text", n=2)
+        .where(F.col("ngram_slots") >= 1)
+        .select(
+            "doc_id", "top_ngram_cnt", "ngram_slots", "top_ngram_frac"
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "x47_contamination",
+    """WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                            toks[i+3], toks[i+4]))
+        ELSE [] END)) AS gram
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)),
+b AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+t AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_grams
+FROM t JOIN b USING (gram)
+GROUP BY t.doc_id ORDER BY t.doc_id ASC LIMIT 200""",
+    doc="Benchmark decontamination: training docs sharing any word "
+    "5-gram with the held-out doc set (doc_id % 97), with shared-gram "
+    "counts; broadcast bench-gram probe",
+)
+def x47_contamination(spark, sf_dir):
+    from topn_spark.operators.pipeline import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return (
+        contamination_check(train, bench, "text", "doc_id", n=5)
+        .select(
+            "doc_id", F.col("n_shared_grams").cast("bigint").alias(
+                "n_shared_grams"
+            )
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x48_resample_ffill",
+    """WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE user_id < 8),
+span AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                date_trunc('hour', MAX(ts)) AS hi
+         FROM ev GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         FROM span),
+actual AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                  MAX(value) AS v
+           FROM ev GROUP BY 1, 2)
+SELECT g.user_id, g.bucket,
+       last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       a.v IS NULL AS ffilled
+FROM grid g LEFT JOIN actual a USING (user_id, bucket)
+ORDER BY g.user_id ASC, g.bucket ASC LIMIT 500""",
+    doc="Time-series resample to an hourly grid with forward-fill "
+    "(gap-fill + LOCF): sequence-exploded grid, bucketed agg join, "
+    "ignore-nulls carry window",
+)
+def x48_resample_ffill(spark, sf_dir):
+    from topn_spark.operators.pipeline import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    return (
+        resample_ffill(
+            ev, "ts", ["user_id"], F.max("value"), "1 hour", "hour"
+        )
+        .select("user_id", "bucket", "value", "ffilled")
+        .orderBy("user_id", "bucket")
+        .limit(500)
+    )
+
+
+@query(
+    "x49_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 21
+            ELSE 1 + FLOOR(20.0 * (o_totalprice - 0) / 600000) END
+       AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY bucket ASC""",
+    doc="Equi-width histogram of order totals (width_bucket "
+    "semantics, formula pinned for cross-engine FP identity)",
+)
+def x49_histogram(spark, sf_dir):
+    from topn_spark.operators.pipeline import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", 0.0, 600000.0, 20).orderBy(
+        "bucket"
+    )
+
+
+@query(
+    "x50_zscore",
+    """WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - m.s / m.n)
+             / SQRT((m.s2 - m.s * m.s / m.n) / (m.n - 1)), 6) AS z
+FROM events e JOIN m USING (event_type)
+ORDER BY e.event_id ASC LIMIT 200""",
+    doc="Per-group z-score feature normalization, decimal-exact "
+    "moments (order-independent sums) converted to double once",
+)
+def x50_zscore(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    return (
+        ev.join(m, "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("s") / F.col("n"))
+                / F.sqrt(
+                    (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x51_merge_upsert",
+    """WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM updates u
+                    WHERE u.o_orderkey = o.o_orderkey))
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_p
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""",
+    doc="MERGE/upsert semantics on plain parquet (source wins on key "
+    "collision) via source ∪ target-anti-join; checksum per status",
+)
+def x51_merge_upsert(spark, sf_dir):
+    from topn_spark.operators.pipeline import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_p"),
+        )
+        .orderBy("o_orderstatus")
+    )
