@@ -134,3 +134,42 @@ def test_packing_windows_partition_by_corpus_key(spark):
     plan = formatted_plan(q(spark, "x38_packing"))
     assert "Window" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_audit_scale_flags_hazards(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from topn_spark.plans import audit_scale
+
+    cross = spark.range(100).crossJoin(
+        spark.range(50).withColumnRenamed("id", "j")
+    )
+    assert any("NestedLoop" in f or "Cartesian" in f
+               for f in audit_scale(cross))
+
+    keyless = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy().orderBy("id"))
+    )
+    assert any("SinglePartition" in f and f.startswith("WARN")
+               for f in audit_scale(keyless))
+
+
+def test_audit_scale_accepts_clean_plans(spark):
+    from pyspark.sql import functions as F
+
+    from topn_spark.plans import audit_scale
+    from topn_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("q01", "q04", "q12", "x10_asof_join"):
+        warns = [
+            f
+            for f in audit_scale(QUERIES[name].builder(spark, sf))
+            if f.startswith("WARN")
+        ]
+        assert warns == [], f"{name}: {warns}"
+
+    # scalar aggregates funnel one row per partition, not the dataset
+    agg = spark.range(1000).agg(F.countDistinct("id"))
+    assert [f for f in audit_scale(agg) if f.startswith("WARN")] == []
