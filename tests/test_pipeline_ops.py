@@ -258,3 +258,20 @@ def test_contamination_finds_planted_overlap(spark):
     ).collect()}
     assert 1 not in out
     assert out[2] >= 1
+
+
+def test_winsorize_clamps_to_group_bounds(spark):
+    from topn_spark.operators.pipeline import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    out = winsorize(df, "v", ["g"], 0.05, 0.95, round_bounds=6).collect()
+    los = {r["clip_lo"] for r in out}
+    his = {r["clip_hi"] for r in out}
+    assert los == {5.95} and his == {95.05}  # interpolated p05/p95 of 1..100
+    clipped = sorted(r["v_clipped"] for r in out)
+    assert clipped[0] == 5.95 and clipped[-1] == 95.05
+    assert all(5.95 <= c <= 95.05 for c in clipped)
+    untouched = [r for r in out if 6 <= r["v"] <= 95]
+    assert all(r["v_clipped"] == r["v"] for r in untouched)

@@ -49,6 +49,7 @@ from topn_spark.operators.pipeline import (
     resample_ffill,
     stratified_sample,
     token_heavy_hitters,
+    winsorize,
     zscore,
 )
 from topn_spark.operators.textstats import (
@@ -88,6 +89,7 @@ __all__ = [
     "histogram",
     "merge_upsert",
     "resample_ffill",
+    "winsorize",
     "zscore",
     "add_repetition_signals",
     "tfidf_top_terms",

@@ -39,6 +39,7 @@ __all__ = [
     "redact_pii",
     "resample_ffill",
     "token_heavy_hitters",
+    "winsorize",
     "zscore",
 ]
 
@@ -387,4 +388,42 @@ def zscore(
         out_col,
         (F.col(value_col) - F.avg(value_col).over(w))
         / F.nullif(F.stddev_samp(value_col).over(w), F.lit(0.0)),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+    round_bounds: int | None = 6,
+) -> DataFrame:
+    """Per-group outlier clipping: clamp ``value_col`` into its
+    group's [``lo``, ``hi``] interpolated-percentile interval
+    (winsorization) — the standard robust-scaling step before
+    training on heavy-tailed features.
+
+    Adds ``{value}_clipped``, ``clip_lo``, ``clip_hi``. Two-pass
+    shape: one hash aggregate computes both bounds per group
+    (``percentile(col, array(lo, hi))`` — single pass over values),
+    then a join back (AQE broadcasts the tiny group table) and a
+    map-only clamp. No window sort over the data.
+
+    ``round_bounds`` rounds the interpolated bounds (default 6 dp) so
+    clip decisions are reproducible across engines whose percentile
+    interpolation differs in the last ulp.
+    """
+    q = F.expr(
+        f"percentile(CAST({value_col} AS DOUBLE), array({lo}, {hi}))"
+    )
+    b_lo, b_hi = F.col("_qs")[0], F.col("_qs")[1]
+    if round_bounds is not None:
+        b_lo, b_hi = F.round(b_lo, round_bounds), F.round(b_hi, round_bounds)
+    bounds = df.groupBy(*group_cols).agg(q.alias("_qs")).select(
+        *group_cols, b_lo.alias("clip_lo"), b_hi.alias("clip_hi")
+    )
+    return df.join(bounds, group_cols).withColumn(
+        f"{value_col}_clipped",
+        F.least(F.greatest(F.col(value_col), F.col("clip_lo")), F.col("clip_hi")),
     )

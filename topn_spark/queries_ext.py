@@ -1818,3 +1818,96 @@ def x51_merge_upsert(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "x52_winsorize",
+    """WITH b AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05), 6)
+           AS clip_lo,
+         ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6)
+           AS clip_hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN l_extendedprice < clip_lo THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN l_extendedprice > clip_hi THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_high,
+       CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, clip_lo), clip_hi)
+                     AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_clipped
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag ASC""",
+    doc="Winsorization (per-group p05/p95 outlier clipping): bounds "
+    "rounded before clamping for cross-engine determinism; decimal "
+    "checksum of the clipped column",
+)
+def x52_winsorize(spark, sf_dir):
+    from topn_spark.operators.pipeline import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", ["l_returnflag"], 0.05, 0.95)
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("clip_lo"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("clip_hi"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_high"),
+            F.sum(
+                F.col("l_extendedprice_clipped").cast("decimal(18,6)")
+            ).cast("decimal(38,6)").alias("sum_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x53_ordered_collect",
+    """WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked WHERE rn <= 5
+GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
+    doc="Deterministic ordered collect: top-5 order keys per priority "
+    "as a CSV string (Spark sort_array(collect_list(struct)) ↔ DuckDB "
+    "string_agg ORDER BY) — the array_agg aggregation surface",
+)
+def x53_ordered_collect(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "o_orderkey"))
+                    ),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
+            ).alias("top_keys"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
