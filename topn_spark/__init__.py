@@ -37,6 +37,7 @@ from topn_spark.operators.dedup import (
     simhash,
 )
 from topn_spark.operators.graph import pagerank
+from topn_spark.operators.ranges import interval_overlap_join
 from topn_spark.operators.pipeline import (
     assign_split,
     chunk_documents,
@@ -69,6 +70,7 @@ __all__ = [
     "topn_grouped_salted",
     "asof_join",
     "asof_join_bucketed",
+    "interval_overlap_join",
     "dedup_exact",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -1911,3 +1911,47 @@ def x53_ordered_collect(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "x54_interval_join",
+    """WITH iv AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP)
+           + INTERVAL 1 MINUTE * CAST(FLOOR(value) AS INTEGER) AS e
+  FROM events WHERE user_id < 30)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+ORDER BY a.user_id ASC, id_a ASC, id_b ASC LIMIT 300""",
+    doc="Interval-overlap (range) join: engine uses the bucketed "
+    "equi-join plan (operators/ranges.py), oracle runs the naive "
+    "theta join — a full algorithmic cross-check",
+)
+def x54_interval_join(spark, sf_dir):
+    from topn_spark.operators.ranges import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(FLOOR(value) AS INT), ts)"
+        ).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        iv, iv.withColumnRenamed("event_id", "event_id2"),
+        by=["user_id"], start_col="s", end_col="e", bucket="hour",
+    )
+    return (
+        pairs.where(F.col("event_id_a") < F.col("event_id2_b"))
+        .select(
+            "user_id",
+            F.col("event_id_a").alias("id_a"),
+            F.col("event_id2_b").alias("id_b"),
+        )
+        .orderBy("user_id", "id_a", "id_b")
+        .limit(300)
+    )
