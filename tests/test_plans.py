@@ -173,3 +173,28 @@ def test_audit_scale_accepts_clean_plans(spark):
     # scalar aggregates funnel one row per partition, not the dataset
     agg = spark.range(1000).agg(F.countDistinct("id"))
     assert [f for f in audit_scale(agg) if f.startswith("WARN")] == []
+
+
+def test_key_skew_profile_finds_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from topn_spark.diag import key_skew_profile
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 600, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k")
+    )
+    top = key_skew_profile(df, ["k"], k=3).collect()
+    assert top[0]["k"] == "hot"
+    assert top[0]["n"] == 600
+    assert abs(top[0]["frac"] - 0.6) < 1e-9
+
+
+def test_partition_profile_counts_all_rows(spark):
+    from topn_spark.diag import partition_profile
+
+    df = spark.range(0, 10000, 1, 8)
+    prof = partition_profile(df).collect()
+    assert sum(r["n"] for r in prof) == 10000
+    assert len(prof) == 8
