@@ -248,20 +248,26 @@ def contamination_check(
     thousands of docs, not billions) — mark it broadcast so the 100 TB
     training side never shuffles: the probe is map-side.
     """
-    from topn_spark.operators.textstats import word_ngrams
+    from topn_spark.operators.textstats import ngrams_from_tokens, tokens
 
-    t_grams = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
-    )
-    b_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias(
-                "gram"
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    def grams(df: DataFrame, *cols: str) -> DataFrame:
+        # tokens bound in their own projection — see
+        # ngrams_from_tokens's perf note on lambda re-evaluation
+        return (
+            ensure_parallelism(df)
+            .withColumn("_toks", tokens(text_col))
+            .select(
+                *cols,
+                F.explode(
+                    F.array_distinct(ngrams_from_tokens("_toks", n))
+                ).alias("gram"),
             )
         )
-        .distinct()
-    )
+
+    t_grams = grams(train, id_col)
+    b_grams = grams(benchmark).distinct()
     return (
         t_grams.join(F.broadcast(b_grams), "gram")
         .groupBy(id_col)

@@ -127,10 +127,36 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized_text(text_col))
 
 
+def ngrams_from_tokens(tok_col: str, n: int = 2) -> Column:
+    """Adjacent word ``n``-grams (space-joined) over an ALREADY
+    MATERIALIZED token-array column. Empty array when the document has
+    fewer than ``n`` tokens (guarded: Spark's ``sequence(1, 0)`` would
+    count *down*, not return empty).
+
+    Callers must bind the token array in its own projection first
+    (``df.withColumn("_toks", tokens(...))``) and pass that column
+    name. Inlining the tokenizer expression here would re-run
+    ``regexp_extract_all`` for EVERY transform element — expressions
+    inside higher-order-function lambdas get no common-subexpression
+    elimination, so the inline form is O(tokens²) regexp calls per row
+    (measured ~10x wall-clock on the repetition operator); the bound
+    column is evaluated once per row, and Catalyst's CollapseProject
+    keeps the projection boundary because the column is referenced
+    more than once."""
+    return F.expr(
+        f"if(size({tok_col}) >= {n},"
+        f" transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {n}))),"
+        f" array())"
+    )
+
+
 def word_ngrams(text_col: str = "text", n: int = 2) -> Column:
-    """Adjacent word ``n``-grams (space-joined) of the alnum tokens.
-    Empty array when the document has fewer than ``n`` tokens (guarded:
-    Spark's ``sequence(1, 0)`` would count *down*, not return empty)."""
+    """Adjacent word ``n``-grams of ``text_col`` as a single column
+    expression. ONLY for one-shot use in a projection that keeps no
+    other reference to the tokens — for anything iterating over the
+    grams, materialize tokens first and use
+    :func:`ngrams_from_tokens` (see its perf note)."""
     t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
     return F.expr(
         f"if(size({t}) >= {n},"
@@ -152,10 +178,26 @@ def add_repetition_signals(
     O(G log G) per doc, no shuffle, no explode. At 100 TB this keeps
     repetition scoring embarrassingly parallel; the alternative
     (explode + groupBy doc,gram) ships every n-gram through a
-    shuffle for a per-document statistic.
+    shuffle for a per-document statistic. Tokens and grams are
+    materialized in their own projections (see
+    :func:`ngrams_from_tokens`'s perf note).
     """
-    grams = F.array_sort(word_ngrams(text_col, n))
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    df = (
+        ensure_parallelism(df)
+        .withColumn("_toks", tokens(text_col))
+        .withColumn("_grams", ngrams_from_tokens("_toks", n))
+    )
+    grams = F.array_sort(F.col("_grams"))
     # Fold state: (prev gram, current run length, best run length).
+    # The fold result and the slot count land in ONE struct column so
+    # each is computed exactly once: deriving frac from separate
+    # top-level alias columns lets CollapseProject inline the whole
+    # fold expression into every referencing column (single-reference
+    # aliases are inlined even when expensive) — measured 3x the
+    # interpreted-fold work. The struct is referenced three times
+    # below, which pins the projection boundary.
     run_max = F.aggregate(
         grams,
         F.struct(
@@ -177,18 +219,22 @@ def add_repetition_signals(
         ),
         lambda acc: acc["best"],
     )
-    nslots = F.size(word_ngrams(text_col, n)).cast("long")
+    rep = F.struct(
+        run_max.alias("cnt"), F.size(F.col("_grams")).cast("long").alias("slots")
+    )
     return (
-        df.withColumn("top_ngram_cnt", run_max)
-        .withColumn("ngram_slots", nslots)
+        df.withColumn("_rep", rep)
+        .withColumn("top_ngram_cnt", F.col("_rep.cnt"))
+        .withColumn("ngram_slots", F.col("_rep.slots"))
         .withColumn(
             "top_ngram_frac",
             F.round(
-                F.col("top_ngram_cnt")
-                / F.nullif(F.col("ngram_slots"), F.lit(0)).cast("double"),
+                F.col("_rep.cnt")
+                / F.nullif(F.col("_rep.slots"), F.lit(0)).cast("double"),
                 6,
             ),
         )
+        .drop("_toks", "_grams", "_rep")
     )
 
 

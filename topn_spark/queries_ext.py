@@ -1624,12 +1624,15 @@ FROM c GROUP BY doc_id ORDER BY doc_id ASC LIMIT 300""",
     "map-only sort+run-scan fold, oracle recomputes via explode+group",
 )
 def x46_repetition(spark, sf_dir):
-    from topn_spark.operators.textstats import add_repetition_signals
+    from topn_spark.operators.textstats import add_repetition_signals, tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # pre-filter on token count (== ngram_slots >= 1, but cheap): a
+    # filter on the derived column would be pushed down as the whole
+    # inlined gram pipeline and re-run per input row
+    docs = docs.where(F.size(tokens("text")) >= 2)
     return (
         add_repetition_signals(docs, "text", n=2)
-        .where(F.col("ngram_slots") >= 1)
         .select(
             "doc_id", "top_ngram_cnt", "ngram_slots", "top_ngram_frac"
         )
