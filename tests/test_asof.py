@@ -133,3 +133,36 @@ def test_asof_inclusive_boundary(spark):
     assert (
         asof_join(l, r, "t", "rt", value_cols=["val"]).collect()[0].val == 7.0
     )
+
+
+def test_bucketed_asof_matches_bruteforce(spark):
+    """asof_join_bucketed vs a pure-Python model over adversarial
+    timestamps: probes before/after/inside the build range, bucket
+    boundaries, gap buckets, duplicate build times."""
+    import datetime as dt
+
+    from topn_spark.operators.asof import asof_join_bucketed
+
+    base = dt.datetime(2024, 3, 1)
+    bt = [0, 1, 59, 60, 61, 600, 600, 3600, 86400 * 3 + 30]
+    build_rows = [
+        (i, base + dt.timedelta(minutes=m), float(i)) for i, m in enumerate(bt)
+    ]
+    build = spark.createDataFrame(build_rows, "bid long, t timestamp, v double")
+    probe_minutes = [-500, -1, 0, 30, 59, 60, 90, 599, 601, 3599,
+                     86400 * 3 + 29, 86400 * 3 + 31, 86400 * 10]
+    probe = spark.createDataFrame(
+        [(j, base + dt.timedelta(minutes=m))
+         for j, m in enumerate(probe_minutes)],
+        "pid long, pt timestamp",
+    )
+    got = {
+        r["pid"]: r["t_asof"]
+        for r in asof_join_bucketed(
+            probe, build, "pt", "t", left_id="pid", bucket="hour"
+        ).collect()
+    }
+    for j, m in enumerate(probe_minutes):
+        pt = base + dt.timedelta(minutes=m)
+        expect = max((t for _, t, _ in build_rows if t <= pt), default=None)
+        assert got[j] == expect, (j, m, got[j], expect)

@@ -48,6 +48,7 @@ from topn_spark.operators.pipeline import (
     pack_sequences,
     redact_pii,
     resample_ffill,
+    sessionize,
     stratified_sample,
     token_heavy_hitters,
     winsorize,
@@ -91,6 +92,7 @@ __all__ = [
     "histogram",
     "merge_upsert",
     "resample_ffill",
+    "sessionize",
     "winsorize",
     "zscore",
     "add_repetition_signals",

@@ -38,6 +38,7 @@ __all__ = [
     "pack_sequences",
     "redact_pii",
     "resample_ffill",
+    "sessionize",
     "token_heavy_hitters",
     "winsorize",
     "zscore",
@@ -432,4 +433,41 @@ def winsorize(
     return df.join(bounds, group_cols).withColumn(
         f"{value_col}_clipped",
         F.least(F.greatest(F.col(value_col), F.col("clip_lo")), F.col("clip_hi")),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    order_tiebreak: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Row-level sessionization: assign each event a per-key session
+    id (0-based, in time order), where a gap longer than ``gap``
+    between consecutive events starts a new session.
+
+    The batch counterpart of ``streaming/windows.py`` session windows,
+    for when rows (not aggregates) need the session label — e.g.
+    building per-session training examples. One window sort per key
+    partition: lag to detect gap breaks, running sum of breaks for
+    the id — the standard formulation, and the same shuffle a
+    groupBy on the keys would pay.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"interval {gap}")),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        out_col, (F.sum(brk).over(wsum) - 1).cast("bigint")
     )

@@ -1958,3 +1958,38 @@ def x54_interval_join(spark, sf_dir):
         .orderBy("user_id", "id_a", "id_b")
         .limit(300)
     )
+
+
+@query(
+    "x55_sessionize",
+    """WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+              > INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id < 10
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC,
+               event_id ASC))
+SELECT user_id, event_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+         AS session_id
+FROM e ORDER BY user_id ASC, event_id ASC LIMIT 300""",
+    doc="Row-level sessionization (10-min gap): per-event session ids "
+    "via pipeline.sessionize — the row-granular sibling of x09",
+)
+def x55_sessionize(spark, sf_dir):
+    from topn_spark.operators.pipeline import sessionize
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    return (
+        sessionize(
+            ev, "ts", ["user_id"], "10 minutes",
+            order_tiebreak="event_id",
+        )
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+        .limit(300)
+    )
