@@ -81,9 +81,13 @@ def ivf_assign(
     """Assign each row to its nearest centroid (argmax dot product).
 
     ``centroids`` is a small driver-side model (nlist × dim floats) —
-    embedded as literals, broadcast with the plan.
+    embedded as literals, broadcast with the plan. The cast vector is
+    bound to its own column first so the per-centroid fold lambdas
+    scan a materialized array instead of re-casting per centroid
+    (lambda bodies get no CSE — see textstats.ngrams_from_tokens).
     """
-    v = F.col(vec_col).cast("array<double>")
+    df = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    v = F.col("_v")
     scores = F.array(
         *[
             _dot(v, c) / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
@@ -92,6 +96,7 @@ def ivf_assign(
     )
     return (
         df.withColumn("_ivf_scores", scores)
+        .drop("_v")
         .withColumn(
             cluster_col,
             (

@@ -1121,7 +1121,7 @@ ORDER BY qdot DESC, a.vec_id ASC LIMIT 10"""
     "cross-engine deterministic",
 )
 def x33_ivf_topk(spark, sf_dir):
-    from pyspark.sql import Row, Window
+    from pyspark.sql import Row
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids()
@@ -1134,18 +1134,28 @@ def x33_ivf_topk(spark, sf_dir):
         lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
     )
     quant = emb.select("vec_id", qv.alias("v"))
-    dot_vc = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = quant.crossJoin(F.broadcast(cents_df)).withColumn("cdot", dot_vc)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cdot").desc(), F.col("cid").asc()
+
+    # Map-side argmax assignment: per-centroid integer dots in one
+    # struct array; array_max over (d, -cid) == the window's
+    # (cdot DESC, cid ASC) tiebreak — no crossJoin explode, no
+    # per-vector window shuffle (was nlist x rows through an exchange).
+    def dot_lit(c):
+        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        return F.aggregate(
+            F.zip_with("v", lits, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cands = F.array(
+        *[
+            F.struct(dot_lit(c).alias("d"), F.lit(-i).alias("negcid"))
+            for i, c in enumerate(cents)
+        ]
     )
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        quant.withColumn("_best", F.array_max(cands))
+        .withColumn("cid", (-F.col("_best.negcid")).cast("int"))
         .select("vec_id", "v", "cid")
     )
     qrow = quant.where(F.col("vec_id") == 0).select(
