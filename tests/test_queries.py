@@ -80,3 +80,23 @@ def test_entry_contract(spark):
     qs, oracles = mod.queries(), mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 32
+
+
+def test_sql_entry_point_matches_dataframe_builders(spark):
+    """Dual entry points (SURVEY §3.2): for every catalog query whose
+    declared oracle SQL is engine-portable (no DuckDB-only functions),
+    running that exact SQL through spark.sql over registered views
+    must equal the DataFrame-API builder row-for-row."""
+    from topn_spark.catalog import register_views
+    from topn_spark.queries import QUERIES
+
+    shared_dialect = [
+        "q01", "q05", "q06", "q08", "q09", "q10", "q12", "q14",
+        "q17", "q20", "q21", "q22", "q23", "q24", "q27", "q31", "q32",
+    ]
+    register_views(spark, SF_SMALL)
+    for name in shared_dialect:
+        q = QUERIES[name]
+        via_sql = [tuple(r) for r in spark.sql(q.oracle).collect()]
+        via_df = [tuple(r) for r in q.builder(spark, SF_SMALL).collect()]
+        assert via_sql == via_df, f"{name}: SQL and DataFrame paths differ"
