@@ -1,0 +1,57 @@
+"""Z-order layout: the interleave must be a correct Morton encoding
+(bijective, locality-preserving) and the clustered write must place
+close keys in the same files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topn_spark.operators.layout import write_zordered, zorder_key
+
+
+def _morton2(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], 10)).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton2(x, y), (x, y)
+
+
+def test_zorder_rejects_bad_config(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key(["a"], 10)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], 21)
+
+
+def test_zordered_write_clusters_both_dims(spark, tmp_path):
+    # 32x32 grid written z-ordered into 4 range files: a point filter
+    # on EITHER dimension must touch a strict subset of files.
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    path = str(tmp_path / "zp")
+    write_zordered(df, path, ["x", "y"], bits=5, num_files=4)
+    out = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    )
+    n_files = out.select("f").distinct().count()
+    assert n_files == 4
+    for col in ("x", "y"):
+        touched = (
+            out.where(F.col(col) < 8).select("f").distinct().count()
+        )
+        assert touched < n_files, f"filter on {col} touched all files"

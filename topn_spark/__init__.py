@@ -37,6 +37,7 @@ from topn_spark.operators.dedup import (
     simhash,
 )
 from topn_spark.operators.graph import pagerank
+from topn_spark.operators.layout import write_zordered, zorder_key
 from topn_spark.operators.ranges import interval_overlap_join
 from topn_spark.operators.pipeline import (
     assign_split,
@@ -72,6 +73,8 @@ __all__ = [
     "asof_join",
     "asof_join_bucketed",
     "interval_overlap_join",
+    "zorder_key",
+    "write_zordered",
     "dedup_exact",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -2003,3 +2003,31 @@ def x55_sessionize(spark, sf_dir):
         .orderBy("user_id", "event_id")
         .limit(300)
     )
+
+
+@query(
+    "x56_zorder",
+    """SELECT o_orderkey,
+       CAST(list_sum(list_transform(generate_series(0, 9), i ->
+         ((((o_custkey % 1024) >> i) & 1) << (2 * i))
+         + ((((o_orderkey % 1024) >> i) & 1) << (2 * i + 1))))
+       AS BIGINT) AS z
+FROM orders ORDER BY z ASC, o_orderkey ASC LIMIT 200""",
+    doc="Z-order (Morton) clustering key over two bucketized key "
+    "columns — the layout primitive behind multi-column scan pruning "
+    "(operators/layout.py); bit-identical vs the DuckDB formulation",
+)
+def x56_zorder(spark, sf_dir):
+    from topn_spark.operators.layout import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("ck", F.col("o_custkey") % 1024)
+        .withColumn("ok", F.col("o_orderkey") % 1024)
+        .select(
+            "o_orderkey",
+            zorder_key(["ck", "ok"], bits=10).alias("z"),
+        )
+        .orderBy("z", "o_orderkey")
+        .limit(200)
+    )
