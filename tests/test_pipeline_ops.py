@@ -275,3 +275,25 @@ def test_winsorize_clamps_to_group_bounds(spark):
     assert all(5.95 <= c <= 95.05 for c in clipped)
     untouched = [r for r in out if 6 <= r["v"] <= 95]
     assert all(r["v_clipped"] == r["v"] for r in untouched)
+
+
+def test_approx_heavy_hitters_agrees_with_exact(spark):
+    from topn_spark.catalog import load_table
+    from topn_spark.operators.pipeline import (
+        token_heavy_hitters,
+        token_heavy_hitters_approx,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        r["token"]: r["n"]
+        for r in token_heavy_hitters(docs, k=10).collect()
+    }
+    approx = {
+        r["token"]: r["n_approx"]
+        for r in token_heavy_hitters_approx(docs, k=30).collect()
+    }
+    missing = set(exact) - set(approx)
+    assert not missing, f"true heavy hitters absent from sketch: {missing}"
+    for tok, n in exact.items():
+        assert abs(approx[tok] - n) <= max(5, 0.05 * n), (tok, approx[tok], n)

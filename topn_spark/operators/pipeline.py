@@ -40,6 +40,7 @@ __all__ = [
     "resample_ffill",
     "sessionize",
     "token_heavy_hitters",
+    "token_heavy_hitters_approx",
     "winsorize",
     "zscore",
 ]
@@ -470,4 +471,25 @@ def sessionize(
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
         out_col, (F.sum(brk).over(wsum) - 1).cast("bigint")
+    )
+
+
+def token_heavy_hitters_approx(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Sketch-based top-k tokens (``approx_top_k``): fixed-size state
+    per partition regardless of vocabulary, the 100 TB path when the
+    distinct-token set itself is too wide to shuffle (web-scale
+    corpora). Exact counterpart: :func:`token_heavy_hitters`.
+    Sketch contents are engine/merge-order dependent — verify by
+    tolerance against the exact op, never by hash.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .selectExpr(f"approx_top_k(token, {k}) AS tk")
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("n_approx"),
+        )
     )

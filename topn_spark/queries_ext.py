@@ -2031,3 +2031,19 @@ def x56_zorder(spark, sf_dir):
         .orderBy("z", "o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "x57_approx_topk_tokens",
+    None,  # sketch contents are merge-order dependent: rows-only;
+    # tolerance vs the exact x39 counts in tests/test_pipeline_ops.py
+    doc="Sketch heavy-hitters (approx_top_k) — fixed-memory top-k "
+    "tokens; completes the approx family (q16 HLL, x18 KLL)",
+)
+def x57_approx_topk_tokens(spark, sf_dir):
+    from topn_spark.operators.pipeline import token_heavy_hitters_approx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_heavy_hitters_approx(docs, "text", k=30).orderBy(
+        F.col("n_approx").desc(), F.col("token").asc()
+    )
