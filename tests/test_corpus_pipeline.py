@@ -1,0 +1,91 @@
+"""End-to-end corpus pipeline: the operators must COMPOSE — quality
+filter → language gate → exact dedup → near-dup removal →
+decontamination → PII redaction → chunking → split assignment →
+sequence packing, on real test data, with conservation invariants at
+every stage. This is the shape a production 100 TB corpus build takes;
+every stage here is a Catalyst plan (no collect between stages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from topn_spark.catalog import load_table
+from topn_spark.operators.dedup import dedup_exact, minhash_dedup_pairs
+from topn_spark.operators.pipeline import (
+    assign_split,
+    chunk_documents,
+    contamination_check,
+    pack_sequences,
+    redact_pii,
+)
+from topn_spark.operators.textstats import add_quality, add_token_stats
+
+
+def test_full_corpus_pipeline(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n0 = docs.count()
+
+    # 1. quality + language gate (map-only)
+    kept = add_quality(docs).where(F.col("quality_keep")).where(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup (hash groupBy, deterministic keeper)
+    deduped = dedup_exact(kept, subset=["text"], tiebreak=["doc_id"])
+    n2 = deduped.count()
+    assert 0 < n2 <= n1
+    assert deduped.select("text").distinct().count() == n2
+
+    # 3. near-dup removal: drop the higher doc_id of each pair
+    pairs = minhash_dedup_pairs(
+        deduped, "doc_id", "text", threshold=0.8
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = deduped.join(pairs, "doc_id", "left_anti")
+    n3 = survivors.count()
+    assert 0 < n3 <= n2
+
+    # 4. decontamination vs a held-out benchmark slice
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    contaminated = contamination_check(
+        survivors.where(F.col("doc_id") % 101 != 0), bench, n=5
+    ).select("doc_id")
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    n4 = clean.count()
+    assert 0 < n4 <= n3
+
+    # 5. redact + chunk + token counts (map-only chain)
+    prepared = clean.withColumn("text", redact_pii("text"))
+    chunks = chunk_documents(prepared, size=200, overlap=50)
+    assert chunks.where(F.col("chunk_len") > 200).count() == 0
+    chunks = add_token_stats(chunks, "chunk")
+
+    # 6. deterministic split + packing per (split) partition
+    final = assign_split(chunks.withColumn(
+        "chunk_id", F.concat_ws("-", "doc_id", "chunk_idx")
+    ), "chunk_id")
+    packed = pack_sequences(
+        final, "n_tokens", budget=512, by=("split",), order_col="chunk_id"
+    )
+
+    # conservation: every chunk assigned exactly one split and one bin
+    total = packed.count()
+    assert total == chunks.count()
+    by_split = dict(
+        packed.groupBy("split").count().collect()
+    )
+    assert set(by_split) <= {"train", "val", "test"} and sum(
+        by_split.values()
+    ) == total
+    # bins respect the budget for fully-packed bins (every bin's
+    # preceding cumulative fits below the next boundary by construction)
+    worst = (
+        packed.groupBy("split", "bin_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .agg(F.max("tok"))
+        .first()[0]
+    )
+    max_chunk = packed.agg(F.max("n_tokens")).first()[0]
+    assert worst <= 512 + max_chunk  # a bin overflows by < one document
