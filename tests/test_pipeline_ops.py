@@ -297,3 +297,47 @@ def test_approx_heavy_hitters_agrees_with_exact(spark):
     assert not missing, f"true heavy hitters absent from sketch: {missing}"
     for tok, n in exact.items():
         assert abs(approx[tok] - n) <= max(5, 0.05 * n), (tok, approx[tok], n)
+
+
+def test_chunk_by_tokens_reassembles_without_overlap(spark):
+    from topn_spark.operators.pipeline import chunk_by_tokens
+    from topn_spark.operators.textstats import tokens
+
+    df = _docs(spark)
+    chunks = chunk_by_tokens(df, size=7, overlap=0)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ).getField("chunk"),
+            ).alias("r")
+        )
+    )
+    orig = df.select(
+        "doc_id", F.concat_ws(" ", tokens("text")).alias("o")
+    )
+    bad = rebuilt.join(orig, "doc_id").where(
+        F.col("r") != F.col("o")
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_by_tokens_budget_and_overlap(spark):
+    from topn_spark.operators.pipeline import chunk_by_tokens
+
+    df = _docs(spark)
+    chunks = chunk_by_tokens(df, size=10, overlap=4).collect()
+    assert all(r["n_chunk_tokens"] <= 10 for r in chunks)
+    # consecutive chunks start 6 tokens apart: chunk i begins with the
+    # last 4 tokens of chunk i-1 when both are full
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for a, b in zip(rows, rows[1:]):
+            if a["n_chunk_tokens"] == 10:
+                assert b["chunk"].split(" ")[:4] == a["chunk"].split(" ")[6:10]

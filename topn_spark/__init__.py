@@ -41,6 +41,7 @@ from topn_spark.operators.layout import write_zordered, zorder_key
 from topn_spark.operators.ranges import interval_overlap_join
 from topn_spark.operators.pipeline import (
     assign_split,
+    chunk_by_tokens,
     chunk_documents,
     contamination_check,
     hash_sample,
@@ -85,6 +86,7 @@ __all__ = [
     "ivf_topk",
     "knn_join",
     "chunk_documents",
+    "chunk_by_tokens",
     "hash_sample",
     "assign_split",
     "stratified_sample",

@@ -30,6 +30,7 @@ from topn_spark.operators.textstats import token_count, tokens
 
 __all__ = [
     "assign_split",
+    "chunk_by_tokens",
     "chunk_documents",
     "contamination_check",
     "hash_sample",
@@ -492,4 +493,46 @@ def token_heavy_hitters_approx(
             F.col("e.item").alias("token"),
             F.col("e.count").cast("bigint").alias("n_approx"),
         )
+    )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into token-budget chunks with token overlap —
+    the tokenizer-aligned sibling of :func:`chunk_documents` (LLM
+    training shards are budgeted in tokens, not characters).
+
+    Emits ``chunk_idx`` (0-based), ``chunk`` (space-joined tokens),
+    ``n_chunk_tokens``. Map-only: the token array is materialized once
+    per row (own projection — see textstats.ngrams_from_tokens), then
+    a posexplode over window starts and an O(size) slice per chunk.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    step = size - overlap
+    base = ensure_parallelism(df).withColumn("_toks", tokens(text_col))
+    starts = F.expr(f"sequence(1, greatest(size(_toks), 1), {step})")
+    out = base.select(
+        *id_cols,
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    return (
+        out.withColumn(
+            "chunk", F.expr(f"concat_ws(' ', slice(_toks, _start, {size}))")
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.expr(
+                f"greatest(least({size}, size(_toks) - _start + 1), 0)"
+            ).cast("bigint"),
+        )
+        .drop("_toks", "_start")
     )

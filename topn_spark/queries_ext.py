@@ -2047,3 +2047,36 @@ def x57_approx_topk_tokens(spark, sf_dir):
     return token_heavy_hitters_approx(docs, "text", k=30).orderBy(
         F.col("n_approx").desc(), F.col("token").asc()
     )
+
+
+@query(
+    "x58_token_chunks",
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 96)) AS st
+  FROM t)
+SELECT doc_id, CAST((st - 1) / 96 AS BIGINT) AS chunk_idx,
+       MD5(array_to_string(toks[st:st+127], ' ')) AS chunk_md5,
+       CAST(GREATEST(LEAST(128, len(toks) - st + 1), 0) AS BIGINT)
+         AS n_chunk_tokens
+FROM s ORDER BY doc_id ASC, chunk_idx ASC LIMIT 500""",
+    doc="Token-budget chunking (128-token windows, 32 overlap): "
+    "tokenizer-aligned shards; chunks md5-hashed for a narrow oracle",
+)
+def x58_token_chunks(spark, sf_dir):
+    from topn_spark.operators.pipeline import chunk_by_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_by_tokens(docs, "text", ("doc_id",), size=128, overlap=32)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.md5("chunk").alias("chunk_md5"),
+            "n_chunk_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(500)
+    )
