@@ -2080,3 +2080,65 @@ def x58_token_chunks(spark, sf_dir):
         .orderBy("doc_id", "chunk_idx")
         .limit(500)
     )
+
+
+@query(
+    "x59_conditional_agg",
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+         AS n_big,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(DISTINCT o_custkey)
+            FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+         AS n_big_cust
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
+    doc="Conditional aggregation: FILTER clause (shared SQL dialect; "
+    "DataFrame side uses count_if / when-guarded countDistinct)",
+)
+def x59_conditional_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(big).cast("bigint").alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("bigint")
+            .alias("n_f"),
+            F.countDistinct(F.when(big, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("n_big_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "x60_date_arith",
+    """SELECT o_orderkey,
+       CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) AS days_since,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+FROM orders ORDER BY o_orderkey ASC LIMIT 200""",
+    doc="Date arithmetic (dialect pair): datediff arg order, "
+    "add_months month-end clamping, last_day, dayofweek base offset "
+    "(Spark 1=Sunday vs DuckDB 0=Sunday)",
+)
+def x60_date_arith(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            "o_orderkey",
+            F.datediff(d, F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since"),
+            F.add_months(d, 3).alias("plus3m"),
+            F.last_day(d).alias("month_end"),
+            F.dayofweek(d).cast("bigint").alias("dow"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
