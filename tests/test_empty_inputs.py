@@ -1,0 +1,128 @@
+"""Empty-input robustness: every operator must plan and execute on a
+zero-row input without error (the situation every 100 TB pipeline hits
+when an upstream filter eliminates a slice), returning zero rows with
+the declared schema."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_text_and_dedup_ops_on_empty(spark):
+    from topn_spark.operators import textstats
+    from topn_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+    from topn_spark.operators.textstats import (
+        add_repetition_signals,
+        tfidf_top_terms,
+    )
+
+    docs = _empty_docs(spark)
+    assert textstats.add_token_stats(docs).count() == 0
+    assert textstats.add_quality(docs).count() == 0
+    assert textstats.language_id(docs).count() == 0
+    assert add_repetition_signals(docs).count() == 0
+    assert tfidf_top_terms(docs).count() == 0
+    assert dedup_exact(docs, ["text"], ["doc_id"]).count() == 0
+    assert minhash_dedup_pairs(docs).count() == 0
+    assert simhash(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_pipeline_ops_on_empty(spark):
+    from topn_spark.operators.pipeline import (
+        assign_split,
+        chunk_by_tokens,
+        chunk_documents,
+        contamination_check,
+        hash_sample,
+        histogram,
+        merge_upsert,
+        pack_sequences,
+        sessionize,
+        stratified_sample,
+        token_heavy_hitters,
+        winsorize,
+        zscore,
+    )
+
+    docs = _empty_docs(spark)
+    ev = _empty_events(spark)
+    assert chunk_documents(docs).count() == 0
+    assert chunk_by_tokens(docs).count() == 0
+    assert hash_sample(docs, "doc_id").count() == 0
+    assert assign_split(docs, "doc_id").count() == 0
+    assert stratified_sample(docs, ("source",), 0.5, "doc_id").count() == 0
+    assert token_heavy_hitters(docs).count() == 0
+    assert pack_sequences(
+        docs.withColumn("n_tokens", F.lit(1)), "n_tokens", 10
+    ).count() == 0
+    assert contamination_check(docs, docs).count() == 0
+    assert histogram(ev, "value", 0.0, 100.0, 10).count() == 0
+    assert zscore(ev, "value", ["user_id"]).count() == 0
+    assert winsorize(ev, "value", ["user_id"]).count() == 0
+    assert sessionize(ev, "ts", ["user_id"]).count() == 0
+    # merge with one empty side keeps the other intact
+    some = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 2, 3.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert merge_upsert(some, ev, ["event_id"]).count() == 1
+    assert merge_upsert(ev, some, ["event_id"]).count() == 1
+
+
+def test_join_and_graph_ops_on_empty(spark):
+    from topn_spark.operators.asof import asof_join, asof_join_bucketed
+    from topn_spark.operators.graph import pagerank
+    from topn_spark.operators.pipeline import resample_ffill
+    from topn_spark.operators.ranges import interval_overlap_join
+    from topn_spark.operators.similarity import cosine_topk, ivf_topk
+    from topn_spark.operators.topn import topn, topn_grouped
+
+    ev = _empty_events(spark)
+    assert topn(ev, "value", 5).count() == 0
+    assert topn_grouped(ev, ["user_id"], "value", 3).count() == 0
+    # empty build side: probes survive with null matches
+    probe = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "pid long, pt timestamp"
+    )
+    build = spark.createDataFrame([], "t timestamp, v double")
+    out = asof_join_bucketed(probe, build, "pt", "t", left_id="pid")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["t_asof"] is None
+    keyed = asof_join(
+        probe.withColumn("k", F.lit(1)),
+        build.withColumn("k", F.lit(1)),
+        "pt", "t", left_by="k", right_by="k", value_cols=["v"],
+    )
+    assert keyed.count() == 1
+    iv = spark.createDataFrame([], "k long, id long, s timestamp, e timestamp")
+    assert interval_overlap_join(iv, iv, ["k"], "s", "e").count() == 0
+    assert resample_ffill(ev, "ts", ["user_id"], F.max("value")).count() == 0
+    assert pagerank(spark.createDataFrame([], "src long, dst long")).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk(emb, [1.0, 0.0]).count() == 0
+    assert ivf_topk(
+        emb, [1.0, 0.0], centroids=[[1.0, 0.0], [0.0, 1.0]]
+    ).count() == 0
