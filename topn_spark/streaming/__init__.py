@@ -14,6 +14,10 @@ batch DataFrames too); tests replay the same data through both paths
 and assert equality — the only honest check for streaming semantics.
 """
 
+from topn_spark.streaming.ingest import (
+    incremental_corpus_sink,
+    ingest_batch,
+)
 from topn_spark.streaming.joins import (
     enrich_stream,
     interval_join,
@@ -34,4 +38,6 @@ __all__ = [
     "enrich_stream",
     "interval_join",
     "streaming_dedup",
+    "incremental_corpus_sink",
+    "ingest_batch",
 ]
