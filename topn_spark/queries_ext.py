@@ -2142,3 +2142,32 @@ def x60_date_arith(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "x61_binary_columns",
+    """SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       UPPER(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic
+FROM documents ORDER BY doc_id ASC LIMIT 200""",
+    doc="Binary-column operations (multimodal data model, SURVEY "
+    "§2.6): byte length, content digest, magic-bytes hex over a "
+    "BinaryType payload — dialect pair (Spark binary fns vs DuckDB "
+    "BLOB; test corpus is ASCII so byte/char offsets coincide)",
+)
+def x61_binary_columns(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+            F.upper(
+                F.hex(F.expr("substring(CAST(text AS BINARY), 1, 4)"))
+            ).alias("magic"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
