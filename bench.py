@@ -8,6 +8,10 @@ Timings are per-query wall clock including plan + execute + collect,
 single warm session (the engine's real deployment shape — BASELINE.md's
 cold-JVM numbers include ~0.3-0.5 s/query of one-off planning overhead
 we intentionally amortize).
+
+Optional: $SPARK_GRAFT_QUERIES — comma-separated names or name
+prefixes (e.g. "q" = the survey suite only) restricts which catalog
+entries run; unset runs everything (the driver's default).
 """
 
 from __future__ import annotations
@@ -34,10 +38,16 @@ def main() -> None:
     # timing measures the query, not first-task setup.
     QUERIES["q01"].builder(spark, sf_dir).collect()
 
+    only = [
+        p for p in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if p
+    ]
+
     per_query: dict[str, float] = {}
     survey_total = 0.0  # q01-q32: the queries BASELINE.md measured
     extended_total = 0.0  # x*: extension ops with no baseline analogue
     for name, q in sorted(QUERIES.items()):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         t0 = time.perf_counter()
         q.builder(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
