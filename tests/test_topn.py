@@ -102,3 +102,65 @@ def test_grouped_salted_matches_plain(spark):
     assert {tuple(r) for r in plain.collect()} == {
         tuple(r) for r in salted.collect()
     }
+
+
+def test_rank_low_cardinality_equals_window_rank(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.topn import rank_low_cardinality
+
+    rows = [
+        ("k%d" % (i % 3), i, float((i * 37) % 11))  # heavy value ties
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    for asc in (True, False):
+        got = {
+            r["id"]: r["rank"]
+            for r in rank_low_cardinality(
+                df, ["k"], "v", ascending=asc, tiebreak=["id"], buckets=8
+            ).collect()
+        }
+        order = F.col("v").asc() if asc else F.col("v").desc()
+        w = Window.partitionBy("k").orderBy(order, F.col("id").asc())
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want, f"ascending={asc}"
+
+
+def test_ntile_from_rank_equals_window_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.topn import (
+        ntile_from_rank,
+        rank_low_cardinality,
+    )
+
+    # totals chosen to exercise divisible and non-divisible cases,
+    # including total < n
+    for total, n in [(2, 4), (12, 4), (13, 4), (25, 7), (7, 7), (1, 3)]:
+        df = spark.createDataFrame(
+            [(i, float(i % 9)) for i in range(total)], "id long, v double"
+        )
+        ranked = rank_low_cardinality(
+            df, [], "v", tiebreak=["id"], buckets=4
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id",
+                ntile_from_rank(F.col("rank"), F.col("total"), n).alias("t"),
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(n).over(w).alias("t")
+            ).collect()
+        }
+        assert got == want, (total, n)

@@ -61,7 +61,13 @@ from topn_spark.operators.textstats import (
     tfidf_top_terms,
 )
 from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
-from topn_spark.operators.topn import topn, topn_grouped, topn_grouped_salted
+from topn_spark.operators.topn import (
+    ntile_from_rank,
+    rank_low_cardinality,
+    topn,
+    topn_grouped,
+    topn_grouped_salted,
+)
 from topn_spark.session import get_session
 
 __all__ = [
@@ -71,6 +77,8 @@ __all__ = [
     "topn",
     "topn_grouped",
     "topn_grouped_salted",
+    "rank_low_cardinality",
+    "ntile_from_rank",
     "asof_join",
     "asof_join_bucketed",
     "interval_overlap_join",

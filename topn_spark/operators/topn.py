@@ -212,3 +212,98 @@ def topn_grouped_salted(
         .where(F.col("__rn2") <= size)
         .drop("__rn2")
     )
+
+
+def rank_low_cardinality(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ascending: bool = True,
+    tiebreak: list[str] | None = None,
+    buckets: int = 64,
+    rank_col: str = "rank",
+    total_col: str = "total",
+) -> DataFrame:
+    """Exact dense ranking (1..N per key, no gaps — a total order is
+    required) that stays parallel when ``keys`` has FEW distinct
+    values — including none at all (global rank).
+
+    A plain ``row_number() OVER (PARTITION BY keys ORDER BY ...)``
+    sorts each key on ONE task: with 5 keys and 60M rows that is 5
+    tasks (measured ~89x degradation at 100x data, SCALING.md §2).
+    This operator range-buckets the order value first, so the sort
+    parallelism is ``keys x buckets``:
+
+    1. per-key min/max/count (one hash agg, broadcast back);
+    2. monotonic bucket id from the value's position in [min, max];
+    3. per-(key, bucket) counts -> cumulative offsets (a window over
+       the tiny bucket table);
+    4. ``row_number`` within (key, bucket) + offset = exact global
+       rank within the key.
+
+    ``tiebreak`` columns (ascending) must make the order total —
+    the same requirement every deterministic ranking here has.
+    Value skew concentrates rows in few buckets (bucket widths are
+    equal in VALUE space, not row space); for pathological skew,
+    raise ``buckets``.
+    """
+    tiebreak = tiebreak or []
+    v = F.col(value_col).cast("double")
+    if not ascending:
+        v = -v
+    span = df.groupBy(*keys).agg(
+        F.min(v).alias("_lo"),
+        F.max(v).alias("_hi"),
+        F.count(F.lit(1)).alias(total_col),
+    )
+    j = (
+        df.join(F.broadcast(span), keys)
+        if keys
+        else df.crossJoin(F.broadcast(span))
+    )
+    width = F.col("_hi") - F.col("_lo")
+    bkt = (
+        F.when(width <= 0, F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(buckets),
+                (F.lit(1) + F.floor((v - F.col("_lo")) * buckets / width)),
+            )
+        )
+        .cast("int")
+    )
+    j = j.withColumn("_bkt", bkt)
+    counts = j.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *keys,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+    )
+    wloc = Window.partitionBy(*keys, "_bkt").orderBy(
+        v.asc(), *[F.col(t).asc() for t in tiebreak]
+    )
+    out = j.join(F.broadcast(offsets), [*keys, "_bkt"]).withColumn(
+        rank_col, F.row_number().over(wloc) + F.col("_off")
+    )
+    return out.drop("_lo", "_hi", "_bkt", "_off")
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """SQL ``NTILE(n)`` from an exact rank and group size: the first
+    ``total % n`` tiles hold ``floor(total/n) + 1`` rows, the rest
+    ``floor(total/n)`` — reproduces the window function exactly, so
+    :func:`rank_low_cardinality` + this == ``ntile().over(...)`` at
+    any parallelism."""
+    bs = F.floor(total / n)
+    r = total - bs * n
+    big = r * (bs + 1)
+    return (
+        F.when(rank <= big, F.ceil(rank / (bs + 1)))
+        .otherwise(r + F.ceil((rank - big) / F.greatest(bs, F.lit(1))))
+        .cast("int")
+    )

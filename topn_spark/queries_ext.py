@@ -325,17 +325,32 @@ def x12_range_frame(spark, sf_dir):
     "x13_ntile",
     """SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
 FROM orders ORDER BY o_orderkey ASC LIMIT 200""",
-    doc="NTILE quartiles (global window — demo surface; partition at scale)",
+    doc="NTILE quartiles over a GLOBAL order — planned via the "
+    "value-bucketed two-phase rank (operators/topn.py::"
+    "rank_low_cardinality + ntile_from_rank), not a single-task "
+    "keyless window; identical results at keys x buckets parallelism",
 )
 def x13_ntile(spark, sf_dir):
-    from pyspark.sql import Window
+    from topn_spark.operators.topn import (
+        ntile_from_rank,
+        rank_low_cardinality,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    ranked = rank_low_cardinality(
+        orders.select("o_orderkey", "o_totalprice"),
+        [],
+        "o_totalprice",
+        ascending=False,
+        tiebreak=["o_orderkey"],
+        buckets=64,
+    )
     return (
-        orders.select(
+        ranked.select(
             "o_orderkey",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            ntile_from_rank(F.col("rank"), F.col("total"), 4)
+            .cast("bigint")
+            .alias("quartile"),
         )
         .orderBy("o_orderkey")
         .limit(200)
