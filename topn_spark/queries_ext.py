@@ -2186,3 +2186,69 @@ def x61_binary_columns(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "x62_rollup_merge",
+    """SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM events GROUP BY 1, 2 ORDER BY day ASC, event_type ASC""",
+    doc="Hypertable rollup (SURVEY §2.6 north star): hourly "
+    "pre-aggregate merged to daily via mergeable partials "
+    "(operators/rollup.py) — the oracle recomputes the daily answer "
+    "directly from raw events, proving merge exactness",
+)
+def x62_rollup_merge(spark, sf_dir):
+    from topn_spark.operators.rollup import (
+        BUCKET_COL,
+        RollupSpec,
+        re_rollup,
+        rollup,
+    )
+
+    spec = RollupSpec(
+        keys=("event_type",),
+        sum_cols=("value_dec",),
+        minmax_cols=("value",),
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    daily = re_rollup(rollup(ev, "ts", "hour", spec), "day", spec)
+    return daily.select(
+        F.col(BUCKET_COL).cast("date").alias("day"),
+        "event_type",
+        "cnt",
+        F.col("sum_value_dec").cast("decimal(38,2)").alias("sum_v"),
+        F.col("min_value").alias("min_v"),
+        F.col("max_value").alias("max_v"),
+    ).orderBy("day", "event_type")
+
+
+@query(
+    "x63_rollup_distinct",
+    None,
+    doc="Daily approx distinct users answered from MERGED hourly HLL "
+    "sketches (hll_sketch_agg/hll_union_agg, operators/rollup.py) — "
+    "rows-only for the driver; ≤5%-vs-exact tolerance in "
+    "tests/test_rollup.py",
+)
+def x63_rollup_distinct(spark, sf_dir):
+    from topn_spark.operators.rollup import (
+        BUCKET_COL,
+        RollupSpec,
+        finalize,
+        re_rollup,
+        rollup,
+    )
+
+    spec = RollupSpec(keys=("event_type",), distinct_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events")
+    daily = finalize(re_rollup(rollup(ev, "ts", "hour", spec), "day", spec, keys=()), spec)
+    return daily.select(
+        F.col(BUCKET_COL).cast("date").alias("day"),
+        "cnt",
+        "approx_ndv_user_id",
+    ).orderBy("day")
