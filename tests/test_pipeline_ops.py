@@ -8,6 +8,7 @@ budget invariants, redaction completeness.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from topn_spark.operators.pipeline import (
@@ -341,3 +342,68 @@ def test_chunk_by_tokens_budget_and_overlap(spark):
         for a, b in zip(rows, rows[1:]):
             if a["n_chunk_tokens"] == 10:
                 assert b["chunk"].split(" ")[:4] == a["chunk"].split(" ")[6:10]
+
+
+def _updates(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, s)
+    rows = [
+        # key 1: A -> A (no-op, collapsed) -> B -> B (no-op) -> C
+        (1, 1, t(0), "A"),
+        (1, 2, t(1), "A"),
+        (1, 3, t(2), "B"),
+        (1, 4, t(3), "B"),
+        (1, 5, t(4), "C"),
+        # key 2: single state, stays current
+        (2, 6, t(0), "X"),
+        # key 3: null attr then value (null-safe change detection)
+        (3, 7, t(0), None),
+        (3, 8, t(1), None),
+        (3, 9, t(2), "Y"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, state string"
+    )
+
+
+def test_scd2_collapses_and_closes_intervals(spark):
+    from topn_spark.operators.pipeline import scd2
+
+    hist = scd2(
+        _updates(spark), ["user_id"], ["state"], ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    collected = hist.collect()
+    rows = {(r["user_id"], r["state"]): r for r in collected}
+    # no-op updates collapsed: exactly one row per state interval
+    assert len(collected) == len(rows) == 6  # A,B,C / X / null,Y
+    a, b, c = rows[(1, "A")], rows[(1, "B")], rows[(1, "C")]
+    # contiguous intervals: each closes at the NEXT CHANGE, skipping no-ops
+    assert a["eff_to"] == b["eff_from"] and b["eff_to"] == c["eff_from"]
+    assert c["eff_to"] is None and c["is_current"]
+    assert not a["is_current"] and not b["is_current"]
+    assert rows[(2, "X")]["is_current"]
+    # null -> null collapsed; null -> Y is a change
+    n, y = rows[(3, None)], rows[(3, "Y")]
+    assert n["eff_to"] == y["eff_from"] and y["is_current"]
+
+
+def test_scd2_single_exchange_plan(spark):
+    from topn_spark.operators.pipeline import scd2
+
+    hist = scd2(
+        _updates(spark), ["user_id"], ["state"], ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    # both windows share one hash-partitioning on the key: exactly one
+    # shuffle, and the sort is not repeated after the filter
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_validation(spark):
+    from topn_spark.operators.pipeline import scd2
+
+    with pytest.raises(ValueError, match="at least one key"):
+        scd2(_updates(spark), [], ["state"])

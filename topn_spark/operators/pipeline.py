@@ -38,6 +38,7 @@ __all__ = [
     "merge_upsert",
     "pack_sequences",
     "redact_pii",
+    "scd2",
     "resample_ffill",
     "sessionize",
     "token_heavy_hitters",
@@ -535,4 +536,48 @@ def chunk_by_tokens(
             ).cast("bigint"),
         )
         .drop("_toks", "_start")
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension **type 2** history from an
+    update stream: one row per (key, attribute-state) interval with
+    ``eff_from`` / ``eff_to`` / ``is_current``.
+
+    Two stacked windows over the SAME partitioning+ordering — change
+    detection (``lag`` on the attribute struct collapses no-op
+    updates) then interval closing (``lead`` of the next change's
+    timestamp) — so Catalyst plans ONE shuffle on ``key_cols`` and
+    reuses the sort between the window operators. No global sort, no
+    driver state: at 100 TB this is a single exchange keyed by the
+    dimension's natural key.
+
+    ``tiebreak`` columns break timestamp ties deterministically
+    (default: none — supply one if updates can share a timestamp).
+
+    The reference has no dimension-maintenance surface; this is
+    warehouse-pipeline north-star scope alongside
+    :func:`merge_upsert` (the SCD1 sibling).
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2 needs at least one key and one attribute column")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = df.withColumn("_prev", F.lag(state).over(w)).where(
+        F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(state)
+    )
+    return (
+        changed.withColumn("eff_from", F.col(ts_col))
+        .withColumn("eff_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("eff_to").isNull())
+        .drop("_prev")
     )

@@ -2252,3 +2252,74 @@ def x63_rollup_distinct(spark, sf_dir):
         "cnt",
         "approx_ndv_user_id",
     ).orderBy("day")
+
+
+@query(
+    "x64_scd2_history",
+    """WITH ch AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev
+  FROM events),
+ivl AS (
+  SELECT user_id, event_id, event_type, ts AS eff_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS eff_to
+  FROM ch WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_id, event_type, eff_from, eff_to,
+       (eff_to IS NULL) AS is_current
+FROM ivl ORDER BY user_id ASC, eff_from ASC, event_id ASC LIMIT 500""",
+    doc="SCD type-2 dimension history (pipeline.py::scd2): collapse "
+    "no-op updates, close intervals with the next change's "
+    "timestamp — one shuffle on the dimension key, sort reused "
+    "across both windows",
+)
+def x64_scd2_history(spark, sf_dir):
+    from topn_spark.operators.pipeline import scd2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    hist = scd2(
+        ev, ["user_id"], ["event_type"], ts_col="ts", tiebreak=["event_id"]
+    )
+    return (
+        hist.select(
+            "user_id", "event_id", "event_type", "eff_from", "eff_to", "is_current"
+        )
+        .orderBy("user_id", "eff_from", "event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "x65_fuzzy_blocked_join",
+    """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY k1 ASC, k2 ASC""",
+    doc="Blocked fuzzy (edit-distance) self-join: equi-join on the "
+    "blocking key keeps the plan a hash join — the quadratic "
+    "levenshtein only runs within blocks, never across the table",
+)
+def x65_fuzzy_blocked_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(d <= 1)
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            d.cast("bigint").alias("d"),
+        )
+        .orderBy("k1", "k2")
+    )
