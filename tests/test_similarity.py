@@ -93,3 +93,60 @@ def test_cosine_topk_plan_is_take_ordered(emb):
         emb, qvec, k=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_edit_distance_join_neighborhood_is_lossless(spark):
+    from topn_spark.operators.similarity import edit_distance_join
+
+    rows = [
+        (1, "kitten", "g1"),
+        (2, "sitten", "g1"),   # substitution, d=1
+        (3, "kitte", "g1"),    # deletion, d=1 (cross-length)
+        (4, "kittens", "g1"),  # insertion, d=1 (cross-length)
+        (5, "sittin", "g1"),   # d=2 from kitten — must NOT match it
+        (6, "kitten", "g2"),   # exact text but different block
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, blk string")
+    got = {
+        (r.k1, r.k2, r.d)
+        for r in edit_distance_join(
+            df, "id", "s", block_cols=("blk",), max_dist=1
+        ).collect()
+    }
+    # brute-force oracle within blocks
+    import itertools
+
+    def ed(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def rec(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                rec(i - 1, j) + 1,
+                rec(i, j - 1) + 1,
+                rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return rec(len(a), len(b))
+
+    want = {
+        (x[0], y[0], ed(x[1], y[1]))
+        for x, y in itertools.combinations(rows, 2)
+        if x[2] == y[2] and ed(x[1], y[1]) <= 1
+    }
+    assert got == want
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 1) in got
+    assert not any({a, b} == {1, 5} or {a, b} == {1, 6} for a, b, _ in got)
+
+
+def test_edit_distance_join_rejects_unsupported_dist(spark):
+    import pytest
+    from topn_spark.operators.similarity import edit_distance_join
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    with pytest.raises(ValueError, match="max_dist=1"):
+        edit_distance_join(df, "id", "s", max_dist=2)

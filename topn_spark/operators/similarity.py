@@ -286,3 +286,64 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple[str, ...] = (),
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self-join on edit distance ≤ ``max_dist`` via FastSS
+    deletion-neighborhood blocking (Bocek et al., 2007).
+
+    Index every string under ``len+1`` keys — itself plus each
+    single-character deletion. Two strings within edit distance 1
+    necessarily share a key (substitution: delete the differing
+    position from both; insert/delete: the longer string's deletion
+    set contains the shorter string itself), so an equi-join on
+    ``(block_cols, key)`` generates a candidate superset, verified
+    with :func:`pyspark.sql.functions.levenshtein` and deduped.
+
+    Scale shape: candidate generation is a map-only explode (rows ×
+    (len+1) keys); the join shuffles on the high-cardinality variant
+    key — thousands of small groups instead of a few quadratic
+    blocks, so no block ever dominates a task. Currently supports
+    ``max_dist=1`` (the ≥2 neighborhood needs multi-deletion
+    variants).
+
+    Returns columns ``k1, k2, d`` with ``k1 < k2``.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_join currently supports max_dist=1")
+    # Variant keys are hashed to 64-bit inside the array so the
+    # explode+shuffle carries longs, not strings; a hash collision
+    # only adds a candidate pair, which the levenshtein verify step
+    # rejects — correctness is unaffected.
+    variants = F.expr(
+        f"array_union(array(xxhash64({text_col})),"
+        f" transform(sequence(1, length({text_col})),"
+        f" i -> xxhash64(concat(substr({text_col}, 1, i - 1),"
+        f" substr({text_col}, i + 1)))))"
+    )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        *[F.col(c) for c in block_cols],
+        F.explode(variants).alias("_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    on += [F.col("a._key") == F.col("b._key"), F.col("a._id") < F.col("b._id")]
+    d = F.levenshtein(F.col("a._txt"), F.col("b._txt"))
+    return (
+        a.join(b, on)
+        .select(
+            F.col("a._id").alias("k1"),
+            F.col("b._id").alias("k2"),
+            d.alias("d"),
+        )
+        .where(F.col("d") <= max_dist)
+        .distinct()
+    )
