@@ -85,3 +85,88 @@ def grouped_running_topn(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def grouped_running_topn_v2(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    field: str,
+    size: int,
+) -> DataFrame:
+    """Per-key running top-``size`` on the ``transformWithState``
+    API (Spark 4) — same semantics and output shape as
+    :func:`grouped_running_topn`, held in a typed ``ValueState``
+    inside the RocksDB state store — transformWithState requires
+    ``spark.sql.streaming.stateStore.providerClass`` to be the
+    RocksDB provider, set before the query starts (runtime-settable;
+    scope it per query, as the default HDFS-backed store remains
+    right for the v1 operators).
+
+    The v2 API is the forward path for custom stateful operators:
+    typed state handles, timers, and TTL live on the handle instead
+    of a single opaque tuple, and state survives schema evolution.
+    Kept alongside the v1 operator so both engine surfaces are
+    exercised.
+
+    Environment gate: transformWithState's Python↔JVM state protocol
+    is protobuf-based; without the ``protobuf`` package this raises
+    immediately (instead of crashing the streaming worker mid-query).
+    The v1 operator has no such dependency.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "grouped_running_topn_v2 needs the 'protobuf' package "
+            "(transformWithState state protocol); use "
+            "grouped_running_topn (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = (
+        f"{key_col} string, version bigint, ids array<bigint>, "
+        f"vals array<double>"
+    )
+
+    class _TopNProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "topn", "ids array<bigint>, vals array<double>, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            held = self._state.get() if self._state.exists() else None
+            ids, vals, seen = (
+                (list(held[0]), list(held[1]), held[2]) if held else ([], [], 0)
+            )
+            for pdf in rows:
+                sub = pdf[[id_col, field]].dropna(subset=[field])
+                seen += len(pdf)
+                for i, v in zip(sub[id_col], sub[field]):
+                    ids.append(int(i))
+                    vals.append(float(v))
+            order = sorted(
+                range(len(vals)), key=lambda j: (-vals[j], ids[j])
+            )[:size]
+            ids = [ids[j] for j in order]
+            vals = [vals[j] for j in order]
+            self._state.update((ids, vals, seen))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "version": [seen],
+                    "ids": [ids],
+                    "vals": [vals],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TopNProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
