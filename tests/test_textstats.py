@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from topn_spark.operators.textstats import (
@@ -105,3 +107,32 @@ def test_tfidf_ranks_group_specific_terms(spark):
     # 'common' is in every doc → idf = ln(1) = 0; the group-specific
     # term must win despite lower counts.
     assert top == {"alpha": "zebra", "beta": "yak"}
+
+
+def test_js_divergence_bounds_and_extremes(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.textstats import (
+        js_divergence_matrix,
+        token_distribution,
+    )
+
+    rows = [
+        ("a", "alpha beta gamma alpha"),
+        ("b", "alpha beta gamma alpha"),   # identical to a → JS = 0
+        ("c", "delta epsilon zeta delta"), # disjoint vocab → JS = ln 2
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    js = {
+        (r.s1, r.s2): r.js
+        for r in js_divergence_matrix(token_distribution(df)).collect()
+    }
+    assert js[("a", "b")] == pytest.approx(0.0, abs=1e-12)
+    assert js[("a", "c")] == pytest.approx(math.log(2), rel=1e-9)
+    assert js[("b", "c")] == pytest.approx(math.log(2), rel=1e-9)
+    assert all(-1e-12 <= v <= math.log(2) + 1e-12 for v in js.values())
+    # distributions sum to 1 per group
+    sums = token_distribution(df).groupBy("source").agg(F.sum("p").alias("s"))
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sums.collect())

@@ -308,3 +308,77 @@ def rolling_hashes(
         f" i -> xxhash64(concat_ws(' ', slice({t}, i, {window})))),"
         f" array())"
     )
+
+
+def token_distribution(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group unigram probability distribution:
+    ``(by, tok, p)`` with ``p`` summing to 1 within each group.
+
+    Explode + two-phase hash aggregate (map-side combine carries only
+    distinct tokens into the shuffle) + a broadcast join against the
+    tiny per-group totals — the same shape as ``token_heavy_hitters``.
+    """
+    cnts = (
+        df.select(F.col(by), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cnts.groupBy(by).agg(F.sum("c").alias("t"))
+    return cnts.join(F.broadcast(totals), by).select(
+        by, "tok", (F.col("c") / F.col("t")).alias("p")
+    )
+
+
+def js_divergence_matrix(
+    dist: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Jensen–Shannon divergence (natural log) between every pair of
+    group distributions from :func:`token_distribution`:
+    ``(s1, s2, js)`` for ``s1 < s2``.
+
+    Distribution-shift detection between corpus slices (sources,
+    snapshots, splits). Equi-joins only: the pair list is tiny (G²
+    for G groups) and broadcast; exploding each pair into its two
+    members aligns the union of the pair's tokens without a theta
+    join, then two left joins fetch p and q (COALESCE 0 for tokens
+    one side lacks — those contribute ``p·ln 2``). The token-level
+    work is O(pairs × union-vocab), partition-parallel, and never
+    materializes a dense vocabulary matrix.
+    """
+    srcs = dist.select(F.col(by).alias("s")).distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+    )
+    members = pairs.select(
+        "s1", "s2", F.explode(F.array("s1", "s2")).alias("_m")
+    )
+    ut = (
+        dist.select(F.col(by).alias("_m"), "tok")
+        .join(F.broadcast(members), "_m")
+        .select("s1", "s2", "tok")
+        .distinct()
+    )
+    pa = dist.select(F.col(by).alias("s1"), "tok", F.col("p").alias("_p"))
+    pb = dist.select(F.col(by).alias("s2"), "tok", F.col("p").alias("_q"))
+    v = (
+        ut.join(pa, ["s1", "tok"], "left")
+        .join(pb, ["s2", "tok"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("_p", F.lit(0.0)).alias("p"),
+            F.coalesce("_q", F.lit(0.0)).alias("q"),
+        )
+    )
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q"))))
+        .otherwise(F.lit(0.0))
+    )
+    return v.groupBy("s1", "s2").agg((F.sum(term) / 2).alias("js"))

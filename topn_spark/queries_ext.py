@@ -2318,3 +2318,44 @@ def x65_fuzzy_blocked_join(spark, sf_dir):
     return pairs.select(
         "k1", "k2", F.col("d").cast("bigint").alias("d")
     ).orderBy("k1", "k2")
+
+
+@query(
+    "x66_source_divergence",
+    f"""WITH tok AS (
+  SELECT source, unnest({_TOKS_DUCK}) AS tok FROM documents),
+cnts AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS t FROM cnts GROUP BY 1),
+p AS (SELECT c.source, c.tok, CAST(c.c AS DOUBLE) / t.t AS p
+      FROM cnts c JOIN tot t ON c.source = t.source),
+pairs AS (SELECT a.source AS s1, b.source AS s2
+          FROM tot a JOIN tot b ON a.source < b.source),
+ut AS (SELECT DISTINCT pr.s1, pr.s2, d.tok
+       FROM pairs pr JOIN (SELECT DISTINCT source, tok FROM p) d
+         ON d.source = pr.s1 OR d.source = pr.s2),
+v AS (SELECT ut.s1, ut.s2, COALESCE(pa.p, 0) AS p, COALESCE(pb.p, 0) AS q
+      FROM ut LEFT JOIN p pa ON pa.source = ut.s1 AND pa.tok = ut.tok
+              LEFT JOIN p pb ON pb.source = ut.s2 AND pb.tok = ut.tok)
+SELECT s1, s2, ROUND(SUM(
+   CASE WHEN p > 0 THEN p * LN(2 * p / (p + q)) ELSE 0 END
+ + CASE WHEN q > 0 THEN q * LN(2 * q / (p + q)) ELSE 0 END) / 2, 6) AS js
+FROM v GROUP BY s1, s2 ORDER BY s1 ASC, s2 ASC""",
+    doc="Jensen–Shannon divergence between per-source token "
+    "distributions (textstats.py::token_distribution + "
+    "js_divergence_matrix): corpus distribution-shift detection via "
+    "equi-joins over the sparse union vocabulary — never a dense "
+    "vocab matrix; the oracle recomputes the full pipeline in SQL",
+)
+def x66_source_divergence(spark, sf_dir):
+    from topn_spark.operators.textstats import (
+        js_divergence_matrix,
+        token_distribution,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dist = token_distribution(docs, by="source")
+    return (
+        js_divergence_matrix(dist, by="source")
+        .select("s1", "s2", F.round("js", 6).alias("js"))
+        .orderBy("s1", "s2")
+    )
