@@ -198,3 +198,26 @@ def test_partition_profile_counts_all_rows(spark):
     prof = partition_profile(df).collect()
     assert sum(r["n"] for r in prof) == 10000
     assert len(prof) == 8
+
+
+def test_profile_table_stats_and_scale_mode(spark):
+    """profile_table: exact stats on a null-bearing fixture; approx
+    mode stays within HLL tolerance AND avoids the per-distinct-column
+    Expand (the single-shuffle scale path)."""
+    from topn_spark.diag import profile_table
+
+    rows = [(1, "a"), (2, "b"), (3, None), (None, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, "x int, s string")
+    exact = {r.col_name: r for r in profile_table(df).collect()}
+    assert exact["x"].n == 5 and exact["x"].n_null == 1
+    assert exact["x"].ndv == 3 and exact["s"].ndv == 3
+    assert exact["x"].min_v == "1" and exact["x"].max_v == "3"
+    assert exact["s"].n_null == 1 and exact["s"].min_v == "a"
+
+    approx = {r.col_name: r for r in profile_table(df, approx=True).collect()}
+    for c in ("x", "s"):
+        assert abs(approx[c].ndv - exact[c].ndv) <= max(1, 0.05 * exact[c].ndv)
+    plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the cost approx mode removes

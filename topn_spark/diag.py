@@ -48,3 +48,44 @@ def partition_profile(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("partition")
     )
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with
+    ``(col_name, n, n_null, ndv, min_v, max_v)`` — min/max rendered as
+    strings so heterogeneous column types share one result schema.
+
+    ONE aggregation pass computes every column's statistics
+    simultaneously (a single wide HashAggregate row, then a map-only
+    ``stack`` unpivot) — never one job per column. ``approx=True``
+    swaps exact ``COUNT(DISTINCT)`` for HLL++
+    (`approx_count_distinct`): at 100 TB the exact form expands the
+    aggregate per distinct column (Expand × columns shuffle), while
+    the sketch keeps the pass single-shuffle and bounded-memory —
+    profiling wants the sketch; the exact form exists to be
+    oracle-comparable.
+    """
+    cols = cols or df.columns
+    ndv = F.approx_count_distinct if approx else F.countDistinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, CAST(__ndv_{c} AS BIGINT), __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(col_name, n, n_null, ndv, min_v, max_v)"
+        )
+    )

@@ -2359,3 +2359,43 @@ def x66_source_divergence(spark, sf_dir):
         .select("s1", "s2", F.round("js", 6).alias("js"))
         .orderBy("s1", "s2")
     )
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT({c}) AS n_null, COUNT(DISTINCT {c}) AS ndv,
+       CAST(MIN({c}) AS VARCHAR) AS min_v, CAST(MAX({c}) AS VARCHAR) AS max_v
+FROM src"""
+        for c in cols
+    ]
+    return (
+        "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate"
+        " FROM orders)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY col_name ASC"
+    )
+
+
+@query(
+    "x67_table_profile",
+    _profile_oracle(),
+    doc="ANALYZE-style table profile (diag.py::profile_table): "
+    "count / nulls / NDV / min / max for every column in ONE "
+    "aggregation pass (wide agg row + map-only stack unpivot); "
+    "approx=True swaps exact distincts for HLL++ at scale — the "
+    "oracle recomputes each column's stats as a UNION ALL",
+)
+def x67_table_profile(spark, sf_dir):
+    from topn_spark.diag import profile_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    return profile_table(orders).orderBy("col_name")
