@@ -407,3 +407,22 @@ def test_scd2_validation(spark):
 
     with pytest.raises(ValueError, match="at least one key"):
         scd2(_updates(spark), [], ["state"])
+
+
+def test_equidepth_histogram_depth_and_approx(spark):
+    from topn_spark.operators.pipeline import equidepth_histogram
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    exact = {r.bucket: r for r in equidepth_histogram(df, "v", 10).collect()}
+    # 10 buckets, ~equal depth, contiguous coverage
+    assert sorted(exact) == list(range(1, 11))
+    assert all(90 <= exact[b].n <= 110 for b in exact)
+    assert exact[1].lo == 1.0 and exact[10].hi == 1000.0
+    for b in range(1, 10):
+        assert exact[b].hi < exact[b + 1].lo
+    # approx mode: same bucket count, depths within sketch tolerance
+    approx = {r.bucket: r for r in equidepth_histogram(df, "v", 10, approx=True).collect()}
+    assert sorted(approx) == list(range(1, 11))
+    assert all(abs(approx[b].n - 100) <= 20 for b in approx)
+    with pytest.raises(ValueError, match="k >= 2"):
+        equidepth_histogram(df, "v", 1)

@@ -32,6 +32,7 @@ __all__ = [
     "assign_split",
     "chunk_by_tokens",
     "chunk_documents",
+    "equidepth_histogram",
     "contamination_check",
     "hash_sample",
     "histogram",
@@ -580,4 +581,41 @@ def scd2(
         .withColumn("eff_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("eff_to").isNull())
         .drop("_prev")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, k: int, approx: bool = False
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram: ``k`` buckets with
+    ~equal row counts — ``(bucket, n, lo, hi)``.
+
+    Two passes: compute the ``k-1`` interior quantile cutpoints (one
+    aggregate row), broadcast them, then assign each row its bucket
+    as ``1 + |{cut < value}|`` via a higher-order filter over the
+    tiny cutpoint array (map-only; boundary values fall to the lower
+    bucket). ``approx=True`` uses ``approx_percentile`` (KLL sketch,
+    mergeable, single-shuffle) — the 100 TB path, since exact
+    ``percentile`` shuffles the full value set; the exact form is
+    oracle-comparable. Complements :func:`histogram` (equi-width).
+    """
+    if k < 2:
+        raise ValueError("equidepth_histogram needs k >= 2")
+    qs = F.array([F.lit(i / k) for i in range(1, k)])
+    fn = F.percentile_approx if approx else F.percentile
+    cuts = df.agg(fn(col, qs).alias("_cuts"))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            F.col(col).alias("_v"),
+            (
+                F.size(F.filter("_cuts", lambda c: F.col("_v") > c)) + 1
+            ).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_v"), 6).alias("lo"),
+            F.round(F.max("_v"), 6).alias("hi"),
+        )
     )

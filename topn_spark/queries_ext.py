@@ -2399,3 +2399,28 @@ def x67_table_profile(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
     )
     return profile_table(orders).orderBy("col_name")
+
+
+@query(
+    "x68_equidepth_histogram",
+    """WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+  FROM orders),
+b AS (SELECT o_totalprice AS v,
+        CAST(len(list_filter((SELECT c FROM cuts), x -> o_totalprice > x)) + 1
+             AS BIGINT) AS bucket
+      FROM orders)
+SELECT bucket, COUNT(*) AS n, ROUND(MIN(v), 6) AS lo, ROUND(MAX(v), 6) AS hi
+FROM b GROUP BY bucket ORDER BY bucket ASC""",
+    doc="Equi-depth histogram (pipeline.py::equidepth_histogram): "
+    "exact quantile cutpoints broadcast, bucket assignment via a "
+    "higher-order filter over the tiny cutpoint array (map-only); "
+    "approx=True (KLL sketch) is the single-shuffle 100 TB path — "
+    "dialect pair (percentile/filter ↔ quantile_cont/list_filter)",
+)
+def x68_equidepth_histogram(spark, sf_dir):
+    from topn_spark.operators.pipeline import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(orders, "o_totalprice", 10).orderBy("bucket")
