@@ -221,3 +221,42 @@ def test_profile_table_stats_and_scale_mode(spark):
     assert "Expand" not in plan
     exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan  # the cost approx mode removes
+
+
+def test_check_expectations_single_pass_gate(spark):
+    from pyspark.sql import functions as F
+
+    from topn_spark.diag import check_expectations
+
+    rows = [(1, "a@x.io", 10.0), (2, None, -5.0), (3, "bad", 200.0), (4, "b@y.co", 50.0)]
+    df = spark.createDataFrame(rows, "id int, email string, score double")
+    out = {
+        r.rule: r
+        for r in check_expectations(
+            df,
+            {
+                "id not null": F.col("id").isNotNull(),
+                "email looks valid": F.col("email").rlike("^[^@]+@[^@]+$"),
+                "score in range": F.col("score").between(0, 100),
+            },
+            allow_fail=0.25,
+        ).collect()
+    }
+    assert out["id not null"].n_fail == 0 and out["id not null"].ok
+    # NULL email predicate counts as failure: 'bad' + NULL = 2 fails
+    assert out["email looks valid"].n_fail == 2
+    assert not out["email looks valid"].ok  # 0.5 > 0.25
+    assert out["score in range"].n_fail == 2 and not out["score in range"].ok
+    assert all(r.n == 4 for r in out.values())
+    # one scan: a single aggregate, no join/union per rule
+    plan = check_expectations(
+        df, {"a": F.col("id") > 0, "b": F.col("score") > 0}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one rule"):
+        check_expectations(df, {})
+    with _pytest.raises(ValueError, match="quotes"):
+        check_expectations(df, {"bad'name": F.lit(True)})

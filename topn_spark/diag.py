@@ -89,3 +89,53 @@ def profile_table(
             "(col_name, n, n_null, ndv, min_v, max_v)"
         )
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    allow_fail: float = 0.0,
+) -> DataFrame:
+    """Data-quality gate: evaluate named boolean expectations in ONE
+    aggregation pass — ``(rule, n, n_fail, fail_frac, ok)`` per rule.
+
+    A NULL predicate counts as a failure (an expectation that cannot
+    be evaluated is not met). ``ok`` is ``fail_frac <= allow_fail``.
+    Like :func:`profile_table`, every rule aggregates in the same
+    wide row then unpivots map-side — the 100 TB cost is one scan
+    regardless of rule count; no driver-side row loop, so the gate
+    composes with any upstream DataFrame (post-join, post-transform).
+
+    Rule names are embedded as SQL string literals in the unpivot —
+    keep them to word characters/spaces/dashes.
+    """
+    if not rules:
+        raise ValueError("check_expectations needs at least one rule")
+    for name in rules:
+        if "'" in name or "\\" in name:
+            raise ValueError(f"rule name {name!r} may not contain quotes")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, pred in enumerate(rules.values()):
+        aggs.append(
+            F.sum(
+                (~F.coalesce(pred, F.lit(False))).cast("bigint")
+            ).alias(f"__f_{i}")
+        )
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{name}', __f_{i}" for i, name in enumerate(rules)
+    )
+    return wide.select(
+        F.col("__n").alias("n"),
+        F.expr(f"stack({len(rules)}, {stacked}) AS (rule, n_fail)"),
+    ).select(
+        "rule",
+        "n",
+        "n_fail",
+        F.round(F.col("n_fail") / F.greatest(F.col("n"), F.lit(1)), 6).alias(
+            "fail_frac"
+        ),
+        (
+            F.col("n_fail") <= F.lit(allow_fail) * F.col("n")
+        ).alias("ok"),
+    )
