@@ -126,3 +126,30 @@ def test_join_and_graph_ops_on_empty(spark):
     assert ivf_topk(
         emb, [1.0, 0.0], centroids=[[1.0, 0.0], [0.0, 1.0]]
     ).count() == 0
+
+
+def test_new_wave_ops_on_empty(spark):
+    from topn_spark.diag import check_expectations, profile_table
+    from topn_spark.operators.pipeline import equidepth_histogram, scd2
+    from topn_spark.operators.similarity import edit_distance_join
+    from topn_spark.operators.textstats import (
+        js_divergence_matrix,
+        token_distribution,
+    )
+
+    docs = _empty_docs(spark)
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert scd2(events, ["user_id"], ["event_type"], tiebreak=["event_id"]).count() == 0
+    assert edit_distance_join(docs, "doc_id", "text").count() == 0
+    dist = token_distribution(docs)
+    assert dist.count() == 0
+    assert js_divergence_matrix(dist).count() == 0
+    nums = spark.createDataFrame([], "v double")
+    assert equidepth_histogram(nums, "v", 4).count() == 0
+    prof = {r.col_name: r for r in profile_table(docs).collect()}
+    assert set(prof) == {"doc_id", "text", "lang", "source"}
+    assert all(r.n == 0 and r.ndv == 0 for r in prof.values())
+    gate = check_expectations(docs, {"ok": F.col("doc_id").isNotNull()}).collect()
+    assert gate[0].n == 0 and gate[0].n_fail == 0 and gate[0].ok

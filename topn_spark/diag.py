@@ -116,9 +116,12 @@ def check_expectations(
             raise ValueError(f"rule name {name!r} may not contain quotes")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, pred in enumerate(rules.values()):
+        # outer coalesce: SUM over zero rows is NULL — an empty input
+        # has zero failures, not an unevaluable gate
         aggs.append(
-            F.sum(
-                (~F.coalesce(pred, F.lit(False))).cast("bigint")
+            F.coalesce(
+                F.sum((~F.coalesce(pred, F.lit(False))).cast("bigint")),
+                F.lit(0),
             ).alias(f"__f_{i}")
         )
     wide = df.agg(*aggs)
