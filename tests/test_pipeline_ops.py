@@ -426,3 +426,32 @@ def test_equidepth_histogram_depth_and_approx(spark):
     assert all(abs(approx[b].n - 100) <= 20 for b in approx)
     with pytest.raises(ValueError, match="k >= 2"):
         equidepth_histogram(df, "v", 1)
+
+
+def test_funnel_greedy_semantics(spark):
+    import datetime as dt
+
+    from topn_spark.operators.pipeline import funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes a->b->c in order
+        (1, t(0), "a"), (1, t(1), "b"), (1, t(2), "c"),
+        # u2: b before a, then no c -> reaches only 'a' (via t(3)) then b@t(4)
+        (2, t(1), "b"), (2, t(3), "a"), (2, t(4), "b"),
+        # u3: a then c SIMULTANEOUS with b is not allowed; b@t1, c@t1 ->
+        # strict increase means c at the same ts as b doesn't count
+        (3, t(0), "a"), (3, t(1), "b"), (3, t(1), "c"),
+        # u4: only c -> reaches nothing
+        (4, t(0), "c"),
+        # u5: a,a,b -> greedy takes earliest a, b after it counts
+        (5, t(0), "a"), (5, t(1), "a"), (5, t(2), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, step string")
+    got = {r.step_name: r.n_keys for r in funnel(df, "user_id", "ts", "step", ["a", "b", "c"]).collect()}
+    # a: u1,u2,u3,u5 ; b: u1,u2,u3,u5 ; c: u1 only
+    assert got == {"a": 4, "b": 4, "c": 1}
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel(df, "user_id", "ts", "step", [])
+    with pytest.raises(ValueError, match="quotes"):
+        funnel(df, "user_id", "ts", "step", ["a'b"])

@@ -33,6 +33,7 @@ __all__ = [
     "chunk_by_tokens",
     "chunk_documents",
     "equidepth_histogram",
+    "funnel",
     "contamination_check",
     "hash_sample",
     "histogram",
@@ -618,4 +619,69 @@ def equidepth_histogram(
             F.round(F.min("_v"), 6).alias("lo"),
             F.round(F.max("_v"), 6).alias("hi"),
         )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Funnel analysis: how many keys (users) complete each prefix of
+    ``steps`` with strictly increasing timestamps —
+    ``(step, step_name, n_keys)``, ``n_keys`` non-increasing.
+
+    Per key, events are gathered into one sorted array and walked
+    with a greedy ``aggregate`` fold that advances on the first
+    eligible occurrence of the next step (greedy-earliest matching is
+    optimal for funnel existence, so this equals the k-level
+    ``MIN(ts) > prev`` join formulation the oracle runs). One shuffle
+    on the key; the fold is codegen'd JVM-side — no Python, no
+    per-step join. Rows not in ``steps`` are filtered before the
+    collect, bounding the per-key array by the user's funnel-relevant
+    activity; for pathological per-key volumes the k-join form
+    trades one shuffle for k bounded ones.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    for s in steps:
+        if "'" in s or "\\" in s:
+            raise ValueError(f"step name {s!r} may not contain quotes")
+    k = len(steps)
+    arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    per_key = (
+        df.where(F.col(step_col).isin(steps))
+        .groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"), F.col(step_col).alias("s")
+                    )
+                )
+            ).alias("__ev")
+        )
+    )
+    reached = F.expr(
+        f"""aggregate(__ev,
+        named_struct('k', 0, 't', CAST(NULL AS TIMESTAMP)),
+        (acc, x) -> IF(acc.k < {k} AND x.s = element_at({arr}, acc.k + 1)
+                       AND (acc.k = 0 OR x.t > acc.t),
+                    named_struct('k', acc.k + 1, 't', x.t), acc)).k"""
+    )
+    aggs = [
+        F.coalesce(
+            F.sum((reached >= i).cast("bigint")), F.lit(0)
+        ).alias(f"__s{i}")
+        for i in range(1, k + 1)
+    ]
+    wide = per_key.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', __s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return wide.select(
+        F.expr(f"stack({k}, {stacked}) AS (step, step_name, n_keys)")
     )

@@ -2424,3 +2424,31 @@ def x68_equidepth_histogram(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return equidepth_histogram(orders, "o_totalprice", 10).orderBy("bucket")
+
+
+@query(
+    "x69_funnel",
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT COUNT(*) FROM s1) AS n_keys
+UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY step ASC""",
+    doc="Funnel analysis (pipeline.py::funnel): users completing "
+    "view→click→purchase with strictly increasing timestamps — one "
+    "greedy codegen'd fold over per-user sorted event arrays (one "
+    "shuffle total); the oracle proves greedy == the k-level "
+    "MIN-join formulation",
+)
+def x69_funnel(spark, sf_dir):
+    from topn_spark.operators.pipeline import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step")
