@@ -455,3 +455,33 @@ def test_funnel_greedy_semantics(spark):
         funnel(df, "user_id", "ts", "step", [])
     with pytest.raises(ValueError, match="quotes"):
         funnel(df, "user_id", "ts", "step", ["a'b"])
+
+
+def test_retention_cohorts_and_periods(spark):
+    import datetime as dt
+
+    from topn_spark.operators.pipeline import retention
+
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0)
+    rows = [
+        (1, d(1)), (1, d(2)), (1, d(8)),   # cohort 1/1: offsets 0,1,7
+        (2, d(1)), (2, d(1)),              # same-day repeat counts once
+        (3, d(2)), (3, d(9)),              # cohort 1/2: offsets 0,7
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (str(r.cohort), r.period_offset): r.n_active
+        for r in retention(df, "user_id", "ts", "day").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 7): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 7): 1,
+    }
+    wk = {
+        (str(r.cohort), r.period_offset): r.n_active
+        for r in retention(df, "user_id", "ts", "week").collect()
+    }
+    # week of 2024-01-01: users 1,2,3 active week 0; users 1,3 in week 1
+    assert wk == {("2024-01-01", 0): 3, ("2024-01-01", 1): 2}
+    with pytest.raises(ValueError, match="period"):
+        retention(df, "user_id", "ts", "hour")

@@ -40,6 +40,7 @@ __all__ = [
     "merge_upsert",
     "pack_sequences",
     "redact_pii",
+    "retention",
     "scd2",
     "resample_ffill",
     "sessionize",
@@ -684,4 +685,40 @@ def funnel(
     )
     return wide.select(
         F.expr(f"stack({k}, {stacked}) AS (step, step_name, n_keys)")
+    )
+
+
+def retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "day",
+) -> DataFrame:
+    """Cohort retention: bucket each key by first-seen period
+    (``cohort``), then count distinct keys active at each period
+    offset — ``(cohort, period_offset, n_active)``.
+
+    One shuffle on the key (a window ``MIN`` computes the cohort
+    without a self-join) feeding one distinct-aggregate on
+    ``(cohort, offset)``. Output is O(cohorts × horizon), independent
+    of event volume — the shape that stays queryable at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__d"),
+    ).withColumn("cohort", F.min("__d").over(Window.partitionBy("__k")))
+    if period == "month":
+        offset = F.floor(F.months_between("__d", "cohort")).cast("bigint")
+    elif period == "week":
+        offset = F.floor(F.datediff("__d", "cohort") / 7).cast("bigint")
+    else:
+        offset = F.datediff("__d", "cohort").cast("bigint")
+    return (
+        base.select("cohort", offset.alias("period_offset"), "__k")
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("__k").alias("n_active"))
     )

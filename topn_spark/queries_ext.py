@@ -2452,3 +2452,27 @@ def x69_funnel(spark, sf_dir):
     return funnel(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     ).orderBy("step")
+
+
+@query(
+    "x70_retention",
+    """WITH ev AS (
+  SELECT user_id,
+         CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+  FROM events),
+c AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY 1)
+SELECT c.cohort, CAST(datediff('day', c.cohort, ev.d) AS BIGINT) AS period_offset,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN c ON ev.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY cohort ASC, period_offset ASC""",
+    doc="Cohort retention (pipeline.py::retention): first-seen cohort "
+    "via window MIN (no self-join), distinct actives per (cohort, "
+    "offset) — output O(cohorts × horizon) regardless of event volume",
+)
+def x70_retention(spark, sf_dir):
+    from topn_spark.operators.pipeline import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention(ev, "user_id", "ts", period="day").orderBy(
+        "cohort", "period_offset"
+    )
