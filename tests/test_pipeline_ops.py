@@ -485,3 +485,37 @@ def test_retention_cohorts_and_periods(spark):
     assert wk == {("2024-01-01", 0): 3, ("2024-01-01", 1): 2}
     with pytest.raises(ValueError, match="period"):
         retention(df, "user_id", "ts", "hour")
+
+
+def test_event_transitions_counts_and_normalization(spark):
+    import datetime as dt
+
+    from topn_spark.operators.pipeline import event_transitions
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, 10, t(0), "a"), (1, 11, t(1), "b"), (1, 12, t(2), "a"),
+        (2, 20, t(0), "a"), (2, 21, t(1), "b"),
+        (3, 30, t(0), "b"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, step string"
+    )
+    got = {
+        (r.from_step, r.to_step): (r.n, r.p)
+        for r in event_transitions(
+            df, "user_id", "ts", "step", tiebreak=["event_id"]
+        ).collect()
+    }
+    # a->b twice (u1,u2), b->a once (u1); no cross-user transitions
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    # probabilities sum to 1 per from_step on real data shapes too
+    multi = df.union(
+        spark.createDataFrame(
+            [(1, 13, t(3), "c")],
+            "user_id int, event_id int, ts timestamp, step string",
+        )
+    )
+    out = event_transitions(multi, "user_id", "ts", "step", tiebreak=["event_id"])
+    sums = out.groupBy("from_step").agg(F.round(F.sum("p"), 6).alias("s")).collect()
+    assert all(r.s == 1.0 for r in sums)

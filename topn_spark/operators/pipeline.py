@@ -33,6 +33,7 @@ __all__ = [
     "chunk_by_tokens",
     "chunk_documents",
     "equidepth_histogram",
+    "event_transitions",
     "funnel",
     "contamination_check",
     "hash_sample",
@@ -721,4 +722,43 @@ def retention(
         base.select("cohort", offset.alias("period_offset"), "__k")
         .groupBy("cohort", "period_offset")
         .agg(F.countDistinct("__k").alias("n_active"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First-order (Markov) transition counts between consecutive
+    events per key: ``(from_step, to_step, n, p)`` where ``p`` is the
+    row-normalized transition probability.
+
+    One shuffle on the key (lag window), then a partial+final count
+    aggregate on the O(states²) transition pairs and a broadcast join
+    against per-``from_step`` totals. The transition matrix itself is
+    tiny at any scale; event volume only flows through the window
+    sort, which partitions by key.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(step_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_step"),
+            F.col(step_col).alias("to_step"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_step").agg(F.sum("n").alias("__t"))
+    return pairs.join(F.broadcast(totals), "from_step").select(
+        "from_step",
+        "to_step",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("p"),
     )

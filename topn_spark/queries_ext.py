@@ -2476,3 +2476,29 @@ def x70_retention(spark, sf_dir):
     return retention(ev, "user_id", "ts", period="day").orderBy(
         "cohort", "period_offset"
     )
+
+
+@query(
+    "x71_event_transitions",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev
+  FROM events),
+n AS (SELECT prev AS from_step, event_type AS to_step, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_step, SUM(n) AS tt FROM n GROUP BY 1)
+SELECT n.from_step, n.to_step, n.n, ROUND(CAST(n.n AS DOUBLE) / t.tt, 6) AS p
+FROM n JOIN t ON n.from_step = t.from_step
+ORDER BY n.from_step ASC, n.to_step ASC""",
+    doc="Markov transition matrix (pipeline.py::event_transitions): "
+    "consecutive-event pair counts per user + row-normalized "
+    "probabilities — one key-partitioned window, O(states²) output",
+)
+def x71_event_transitions(spark, sf_dir):
+    from topn_spark.operators.pipeline import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    ).orderBy("from_step", "to_step")
