@@ -1,0 +1,99 @@
+"""Statistical diagnostics: groupwise_linreg / categorical_entropy /
+mutual_information vs closed-form NumPy/math references."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from topn_spark.diag import (
+    categorical_entropy,
+    groupwise_linreg,
+    mutual_information,
+)
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (slope, icept) in {"a": (2.5, 10.0), "b": (-1.0, 3.0)}.items():
+        x = rng.uniform(0, 100, 200)
+        y = slope * x + icept + rng.normal(0, 5, 200)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    rows.append(("a", None, 1.0))  # NULL x: excluded pairwise
+    rows.append(("b", 1.0, None))  # NULL y: excluded pairwise
+    return spark.createDataFrame(rows, "g string, x double, y double")
+
+
+def test_linreg_matches_numpy(spark, xy):
+    got = {
+        r["g"]: r
+        for r in groupwise_linreg(xy, "y", "x", ["g"]).collect()
+    }
+    pdf = xy.toPandas().dropna()
+    for g, sub in pdf.groupby("g"):
+        slope, icept = np.polyfit(sub.x, sub.y, 1)
+        r = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert got[g]["n_pairs"] == len(sub)
+        assert got[g]["slope"] == pytest.approx(slope, abs=1e-5)
+        assert got[g]["intercept"] == pytest.approx(icept, abs=1e-5)
+        assert got[g]["r2"] == pytest.approx(r * r, abs=1e-5)
+
+
+def test_linreg_global_no_keys(spark, xy):
+    row = groupwise_linreg(xy, "y", "x").collect()
+    assert len(row) == 1 and row[0]["n_pairs"] == 400
+
+
+def test_entropy_uniform_and_constant(spark):
+    rows = [("u", v) for v in "abcd" * 25] + [("k", "z")] * 17
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in categorical_entropy(df, "v", ["g"]).collect()}
+    assert got["u"]["n_values"] == 4
+    assert got["u"]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got["u"]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    # single-valued group: zero entropy, undefined normalization
+    assert got["k"]["entropy"] == pytest.approx(0.0, abs=1e-6)
+    assert got["k"]["norm_entropy"] is None
+
+
+def test_entropy_skewed_value(spark):
+    # H = -(0.9 ln 0.9 + 0.1 ln 0.1)
+    rows = [("g", "a")] * 90 + [("g", "b")] * 10
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = categorical_entropy(df, "v", ["g"]).collect()[0]
+    want = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert r["entropy"] == pytest.approx(want, abs=1e-6)
+    assert r["n"] == 100
+
+
+def test_mi_independent_and_determined(spark):
+    # independent: every (a, b) combination equally likely -> MI = 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(25)],
+        "a string, b string",
+    )
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(0.0, abs=1e-6)
+    # determined: b is a function of a -> MI = H(a), NMI = 1
+    det = spark.createDataFrame(
+        [("x", "p")] * 30 + [("y", "q")] * 30 + [("z", "r")] * 40,
+        "a string, b string",
+    )
+    r = mutual_information(det, "a", "b").collect()[0]
+    h = -(0.3 * math.log(0.3) * 2 + 0.4 * math.log(0.4))
+    assert r["mi"] == pytest.approx(h, abs=1e-6)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mi_null_category_kept(spark):
+    df = spark.createDataFrame(
+        [("x", None)] * 10 + [("y", "q")] * 10, "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    # NULL is a real category: b determines a exactly
+    assert r["n"] == 20
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)

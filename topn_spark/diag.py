@@ -91,6 +91,133 @@ def profile_table(
     )
 
 
+def groupwise_linreg(
+    df: DataFrame,
+    y: str,
+    x: str,
+    keys: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` →
+    ``(keys..., n_pairs, slope, intercept, r2)``.
+
+    Uses the SQL-standard ``regr_*`` aggregate family, so the whole
+    fit is ONE partial+final hash aggregate — each task folds its rows
+    into the (count, Σx, Σy, Σxx, Σxy, Σyy) moment sketch and only the
+    constant-size moments cross the shuffle. At 100 TB this costs the
+    same single pass as a ``COUNT(*)``; no per-group iteration, no
+    driver math. Rows where either side is NULL are excluded pairwise
+    (``regr_*`` semantics). Results are rounded (default 6 dp) because
+    float moment accumulation is order-dependent across engines
+    (SURVEY.md §2.4 rule 3).
+    """
+    keys = keys or []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(
+        F.regr_count(F.col(y), F.col(x)).alias("n_pairs"),
+        F.round(F.regr_slope(F.col(y), F.col(x)), round_to).alias("slope"),
+        F.round(F.regr_intercept(F.col(y), F.col(x)), round_to).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2(F.col(y), F.col(x)), round_to).alias("r2"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) of ``value_col``'s empirical
+    distribution within each ``keys`` group →
+    ``(keys..., n, n_values, entropy, norm_entropy)``.
+
+    ``norm_entropy`` divides by ``ln(n_values)`` (1.0 = uniform,
+    NULL for single-valued groups). The measure behind corpus-balance
+    checks: low label entropy inside a slice flags a skewed or
+    near-constant feed.
+
+    Two stacked hash aggregates — counts per (keys, value), then the
+    entropy fold per keys — both partial+final on the same key prefix,
+    so the second shuffles only O(distinct values) rows. NULL values
+    count as a category (rendered by ``value_col``'s own grouping).
+    """
+    keys = keys or []
+    counts = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    grouped = counts.groupBy(*keys) if keys else counts.groupBy()
+    tot = F.sum("__c")
+    # entropy = ln(N) - Σ c·ln(c) / N  (single-pass, avoids a second
+    # join for the group total)
+    ent = F.log(tot) - F.sum(F.col("__c") * F.log("__c")) / tot
+    nvals = F.count(F.lit(1))
+    return grouped.agg(
+        tot.alias("n"),
+        nvals.alias("n_values"),
+        F.round(ent, round_to).alias("entropy"),
+        F.round(
+            F.when(nvals > 1, ent / F.log(nvals.cast("double"))),
+            round_to,
+        ).alias("norm_entropy"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns →
+    one row ``(n, mi, nmi)``; ``nmi`` normalizes by
+    ``sqrt(H(a)·H(b))`` (NULL when either marginal entropy is 0).
+
+    MI(A;B) = Σ_ab p(a,b)·ln( p(a,b) / (p(a)p(b)) ). The dependence
+    probe for feature/label leakage: near-zero = independent, near-1
+    NMI = one column determines the other.
+
+    Shape: one hash aggregate to the O(|A|·|B|) joint-count table,
+    then the total and both marginals re-aggregate that tiny table
+    and broadcast-join back onto it — the raw data is scanned once,
+    and everything after the first aggregate operates on contingency
+    cells, not rows (no single-partition window funnel).
+    """
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__c"))
+    total = joint.agg(F.sum("__c").cast("double").alias("n"))
+    marg_a = joint.groupBy(col_a).agg(F.sum("__c").cast("double").alias("ca"))
+    marg_b = joint.groupBy(col_b).agg(F.sum("__c").cast("double").alias("cb"))
+    # null-safe equality so a NULL category keeps its own cell
+    ma = marg_a.withColumnRenamed(col_a, "__a")
+    mb = marg_b.withColumnRenamed(col_b, "__b")
+    cells = (
+        joint.join(F.broadcast(ma), F.col(col_a).eqNullSafe(F.col("__a")))
+        .join(F.broadcast(mb), F.col(col_b).eqNullSafe(F.col("__b")))
+        .crossJoin(F.broadcast(total))
+        .select(F.col("__c").cast("double").alias("c"), "n", "ca", "cb")
+    )
+    mi = F.sum(
+        (F.col("c") / F.col("n"))
+        * F.log(F.col("c") * F.col("n") / (F.col("ca") * F.col("cb")))
+    )
+    # marginal entropies from the same cells: H(A) = -Σ (c/n)·ln(ca/n)
+    # (each a-marginal term appears once per joint cell, weighted c/ca·…
+    # which telescopes to the marginal sum)
+    h_a = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("ca") / F.col("n")))
+    h_b = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("cb") / F.col("n")))
+    return cells.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.round(mi, round_to).alias("mi"),
+        F.round(
+            F.when(
+                (h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)
+            ),
+            round_to,
+        ).alias("nmi"),
+    )
+
+
 def check_expectations(
     df: DataFrame,
     rules: dict[str, Column],

@@ -2502,3 +2502,84 @@ def x71_event_transitions(spark, sf_dir):
     return event_transitions(
         ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
     ).orderBy("from_step", "to_step")
+
+
+@query(
+    "x72_groupwise_linreg",
+    """SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""",
+    doc="Group-wise OLS fit (diag.py::groupwise_linreg): SQL-standard "
+    "regr_* moment aggregates — the whole per-group fit is one "
+    "partial+final hash aggregate; only constant-size (n, Σx, Σy, "
+    "Σxx, Σxy, Σyy) sketches cross the shuffle",
+)
+def x72_groupwise_linreg(spark, sf_dir):
+    from topn_spark.diag import groupwise_linreg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        groupwise_linreg(
+            li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+        )
+        .withColumn("n_pairs", F.col("n_pairs").cast("bigint"))
+        .select("l_returnflag", "n_pairs", "slope", "intercept", "r2")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x73_slice_entropy",
+    """WITH c AS (SELECT source, lang, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_values,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy,
+       ROUND(CASE WHEN COUNT(*) > 1
+             THEN (LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / LN(COUNT(*))
+             END, 6) AS norm_entropy
+FROM c GROUP BY source ORDER BY source ASC""",
+    doc="Corpus-balance entropy (diag.py::categorical_entropy): "
+    "Shannon entropy of the language mix inside each source slice — "
+    "two stacked hash aggregates; the second shuffles only "
+    "O(distinct values) rows. norm_entropy 1.0 = uniform mix",
+)
+def x73_slice_entropy(spark, sf_dir):
+    from topn_spark.diag import categorical_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_entropy(docs, "lang", ["source"]).orderBy("source")
+
+
+@query(
+    "x74_mutual_information",
+    """WITH j AS (SELECT lang AS a, source AS b, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+cells AS (
+  SELECT CAST(c AS DOUBLE) AS c,
+         CAST(SUM(c) OVER () AS DOUBLE) AS n,
+         CAST(SUM(c) OVER (PARTITION BY a) AS DOUBLE) AS ca,
+         CAST(SUM(c) OVER (PARTITION BY b) AS DOUBLE) AS cb
+  FROM j),
+m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         SUM((c / n) * LN(c * n / (ca * cb))) AS mi,
+         -SUM((c / n) * LN(ca / n)) AS h_a,
+         -SUM((c / n) * LN(cb / n)) AS h_b
+  FROM cells)
+SELECT n, ROUND(mi, 6) AS mi,
+       ROUND(CASE WHEN h_a > 0 AND h_b > 0
+             THEN mi / SQRT(h_a * h_b) END, 6) AS nmi
+FROM m""",
+    doc="Lang↔source mutual information (diag.py::mutual_information): "
+    "dependence probe for slice leakage — one raw-data aggregate to "
+    "the O(|A|·|B|) contingency table, marginals via window sums over "
+    "cells only; NMI normalized by sqrt(H(a)·H(b))",
+)
+def x74_mutual_information(spark, sf_dir):
+    from topn_spark.diag import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
