@@ -218,6 +218,59 @@ def mutual_information(
     )
 
 
+def ab_compare(
+    df: DataFrame,
+    treatment: Column,
+    success: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion comparison between a treatment and control
+    split → one row ``(n_t, n_c, conv_t, conv_c, rate_t, rate_c,
+    abs_lift, z)``.
+
+    ``treatment`` and ``success`` are boolean expressions (NULL
+    counts as false). ``z`` is the pooled two-proportion z-statistic
+    ``(p_t - p_c) / sqrt(p̂(1-p̂)(1/n_t + 1/n_c))`` — |z| > 1.96 ≈
+    95% confidence; NULL when either arm is empty or the pooled rate
+    is degenerate (0 or 1), where the statistic is undefined.
+
+    ONE conditional-aggregation pass (four counts in the same wide
+    row) — the experiment readout costs a single scan at any scale,
+    and the arithmetic happens on the four counts, not the rows.
+    """
+    t = F.coalesce(treatment, F.lit(False))
+    s = F.coalesce(success, F.lit(False))
+    agg = df.agg(
+        F.sum(t.cast("bigint")).alias("n_t"),
+        F.sum((~t).cast("bigint")).alias("n_c"),
+        F.sum((t & s).cast("bigint")).alias("conv_t"),
+        F.sum((~t & s).cast("bigint")).alias("conv_c"),
+    )
+    # try_divide: an empty arm yields NULL rates/z, not a DIVIDE_BY_ZERO
+    # (ANSI mode is on per session defaults)
+    n_t, n_c = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    p_t = F.try_divide(F.col("conv_t"), n_t)
+    p_c = F.try_divide(F.col("conv_c"), n_c)
+    pool = F.try_divide(F.col("conv_t") + F.col("conv_c"), n_t + n_c)
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (F.try_divide(F.lit(1.0), n_t) + F.try_divide(F.lit(1.0), n_c))
+    )
+    return agg.select(
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+        F.coalesce("conv_t", F.lit(0)).alias("conv_t"),
+        F.coalesce("conv_c", F.lit(0)).alias("conv_c"),
+        F.round(p_t, round_to).alias("rate_t"),
+        F.round(p_c, round_to).alias("rate_c"),
+        F.round(p_t - p_c, round_to).alias("abs_lift"),
+        F.round(
+            F.when((pool > 0) & (pool < 1), (p_t - p_c) / se), round_to
+        ).alias("z"),
+    )
+
+
 def check_expectations(
     df: DataFrame,
     rules: dict[str, Column],

@@ -96,3 +96,69 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count over an undirected edge list → one row
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Compact-forward algorithm: rank nodes by (degree, id), orient
+    every edge from lower to higher rank, build wedges by self-joining
+    oriented edges on their source, and close each wedge with a semi
+    join back to the edge set — each triangle is counted exactly once,
+    from its lowest-ranked corner.
+
+    The degree orientation is the scale lever: wedge volume is
+    Σ out_deg², and orienting toward higher degree caps out-degree at
+    O(√m) for any graph, making the join O(m^1.5) instead of
+    Σ deg² ≈ (max degree)·m of a naive orientation — the difference
+    between feasible and not on a power-law 100 TB edge list. Three
+    shuffles total (degree agg, wedge join, closing semi join); no
+    iteration, no driver-side state.
+    """
+    # canonical undirected edge set: (lo, hi), dedup'd, self-loops out
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient a→b iff rank(a) < rank(b), rank = (deg, id)
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    fwd = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    # wedges from each lowest-ranked corner u: (v, w) with v != w
+    w1 = fwd.select(F.col("u"), F.col("v").alias("x"))
+    w2 = fwd.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    # close the wedge: wedges are canonical (x < y by id), so the
+    # closing edge is present iff (x, y) is in the canonical edge set
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    n_nodes = deg.count()
+    n_edges = e.count()
+    n_tris = tris.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tris)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )

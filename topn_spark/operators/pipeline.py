@@ -32,6 +32,8 @@ __all__ = [
     "assign_split",
     "chunk_by_tokens",
     "chunk_documents",
+    "coalesce_intervals",
+    "ewma",
     "equidepth_histogram",
     "event_transitions",
     "funnel",
@@ -762,3 +764,118 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.col("__t"), 6).alias("p"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge overlapping or touching intervals per key →
+    ``(keys..., start, end, n_merged)`` with one row per maximal
+    merged interval (gaps-and-islands).
+
+    An interval opens a new island when its start exceeds the running
+    maximum end of every earlier interval in its key
+    (``MAX(end) OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)``);
+    a running sum of those breaks numbers the islands, and a final
+    keyed aggregate collapses each island to its span. Works for
+    timestamps and numerics alike.
+
+    Scale shape: one window sort per key partition plus one hash
+    aggregate on the same key prefix — identical shuffle cost to
+    ``sessionize`` (its fixed-gap sibling). No self-join: the naive
+    "overlaps" formulation is O(n²) per key, this is O(n log n).
+    """
+    from pyspark.sql.window import Window
+
+    keys = key_cols or []
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__island", island)
+        .groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average of ``value_col`` along
+    ``order_col`` within each key: ``ewma_1 = x_1``,
+    ``ewma_i = α·x_i + (1-α)·ewma_{i-1}`` — appended as ``out_col``
+    to every input row.
+
+    The recurrence is inherently sequential, so it runs as a
+    codegen'd JVM fold (``aggregate``) over each key's time-sorted
+    value array — no Python UDF, no driver loop, exact recurrence
+    arithmetic. One shuffle (the groupBy on the keys), then a
+    map-only explode back to rows.
+
+    Scale constraint: a key's whole series is materialized as one
+    array, so per-key cardinality must fit in executor memory
+    (~millions of rows per key; the same bound every per-key
+    sequence op in this module carries). Keys are independent —
+    total volume is unbounded.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not key_cols:
+        raise ValueError("ewma needs at least one key column")
+    tb = tiebreak or []
+    ord_cols = [order_col, *tb]
+    row = F.struct(
+        *[F.col(c) for c in ord_cols],
+        F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+    )
+    packed = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(row)).alias("__seq")
+    )
+    # fold: acc = array of ewma values so far; next = α·x + (1-α)·last.
+    # β is materialized via Python repr so an oracle re-running the
+    # recurrence with the same literal performs bit-identical IEEE
+    # arithmetic (1.0 - α evaluated engine-side can differ by 1 ulp).
+    beta = repr(1.0 - alpha)
+    x = f"CAST(e.__row.{value_col} AS DOUBLE)"
+    folded = packed.withColumn(
+        "__ew",
+        F.expr(
+            f"""aggregate(
+                  __seq,
+                  CAST(array() AS ARRAY<DOUBLE>),
+                  (acc, e) -> CASE WHEN size(acc) = 0
+                      THEN array({x})
+                      ELSE array_append(
+                          acc,
+                          {alpha!r} * {x}
+                          + {beta} * element_at(acc, -1))
+                      END)"""
+        ),
+    )
+    exploded = folded.select(
+        F.posexplode(F.arrays_zip("__seq", "__ew")).alias("__i", "__z")
+    ).select("__z.__seq.__row.*", F.col("__z.__ew").alias(out_col))
+    return exploded

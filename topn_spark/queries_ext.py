@@ -2583,3 +2583,164 @@ def x74_mutual_information(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return mutual_information(docs, "lang", "source")
+
+
+@query(
+    "x75_interval_coalesce",
+    """WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS e
+  FROM events),
+mk AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mk)
+SELECT user_id, MIN(s) AS start, MAX(e) AS "end",
+       COUNT(*) AS n_merged
+FROM isl GROUP BY user_id, island
+ORDER BY user_id ASC, start ASC""",
+    doc="Merge overlapping 3-day activity intervals per user "
+    "(pipeline.py::coalesce_intervals): gaps-and-islands via running "
+    "MAX(end) — O(n log n) window sort per key, no O(n²) self-join",
+)
+def x75_interval_coalesce(spark, sf_dir):
+    from topn_spark.operators.pipeline import coalesce_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("e"),
+    )
+    return coalesce_intervals(iv, "s", "e", ["user_id"]).orderBy(
+        "user_id", "start"
+    )
+
+
+@query(
+    "x76_ewma",
+    """WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) ASC,
+                                     event_id ASC) AS rn
+  FROM events),
+r AS (
+  SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS ew
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.value, s.rn,
+         0.3 * s.value + 0.7 * r.ew
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, event_id, value, ROUND(ew, 6) AS ewma
+FROM r ORDER BY user_id ASC, event_id ASC""",
+    doc="Per-user EWMA of event values (pipeline.py::ewma, α=0.3): "
+    "the sequential recurrence runs as a codegen'd JVM array fold — "
+    "one shuffle + map-only explode; the oracle replays the same "
+    "recurrence via a recursive CTE with identical float "
+    "literals — bit-identical IEEE arithmetic, so ROUND(6) "
+    "hash-matches (a closed-form POWER() oracle straddles "
+    "rounding boundaries after ~50 steps)",
+)
+def x76_ewma(spark, sf_dir):
+    from topn_spark.operators.pipeline import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("ewma", 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "x77_triangle_count",
+    """WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+nn AS (SELECT COUNT(*) AS n_nodes FROM
+         (SELECT u AS x FROM e UNION SELECT v FROM e)),
+ne AS (SELECT COUNT(*) AS n_edges FROM e),
+nt AS (SELECT COUNT(*) AS n_triangles
+       FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM nn, ne, nt""",
+    doc="Triangle census of the co-purchased-parts graph "
+    "(graph.py::triangle_count): compact-forward with degree "
+    "orientation — wedge volume capped at O(m^1.5) on any degree "
+    "distribution; the oracle counts u<v<w id-ordered triangles, "
+    "proving orientation-independence of the count",
+)
+def x77_triangle_count(spark, sf_dir):
+    from topn_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "x78_ab_compare",
+    """WITH f AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS t,
+         event_type = 'purchase' AS s
+  FROM events),
+c AS (
+  SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN t AND s THEN 1 ELSE 0 END) AS BIGINT) AS conv_t,
+         CAST(SUM(CASE WHEN NOT t AND s THEN 1 ELSE 0 END) AS BIGINT) AS conv_c
+  FROM f)
+SELECT n_t, n_c, conv_t, conv_c,
+       ROUND(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+       ROUND(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+       ROUND(CAST(conv_t AS DOUBLE) / n_t
+             - CAST(conv_c AS DOUBLE) / n_c, 6) AS abs_lift,
+       ROUND(CASE WHEN conv_t + conv_c > 0
+                   AND conv_t + conv_c < n_t + n_c THEN
+         (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+         / SQRT((CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                * (1 - CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c))
+                * (1.0 / n_t + 1.0 / n_c))
+         END, 6) AS z
+FROM c""",
+    doc="Two-proportion experiment readout (diag.py::ab_compare): "
+    "hash-split arms (md5 — reproducible across engines and "
+    "re-partitionings), purchase-rate lift + pooled z — one "
+    "conditional-aggregation scan; arithmetic on four counts only",
+)
+def x78_ab_compare(spark, sf_dir):
+    from topn_spark.diag import ab_compare
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_compare(
+        ev,
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.col("event_type") == "purchase",
+    )
