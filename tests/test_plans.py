@@ -260,3 +260,40 @@ def test_check_expectations_single_pass_gate(spark):
         check_expectations(df, {})
     with _pytest.raises(ValueError, match="quotes"):
         check_expectations(df, {"bad'name": F.lit(True)})
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim joined without broadcast injects a bloom
+    semi-join reduction on the fact side (runtime row-level
+    filtering) once the size gates are lowered."""
+    from topn_spark.catalog import load_table
+    from topn_spark.plans import enable_runtime_bloom_filters, formatted_plan
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        enable_runtime_bloom_filters(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").where(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # sanity: the filtered join still answers correctly
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -150,3 +150,58 @@ def test_ab_compare_degenerate_arms(spark):
     df2 = spark.createDataFrame([(True, True), (True, False)], "t boolean, s boolean")
     r2 = ab_compare(df2, F.col("t"), F.col("s")).collect()[0]
     assert r2["n_c"] == 0 and r2["rate_c"] is None and r2["z"] is None
+
+
+def _brute_skyline(pts):
+    pts = set(pts)
+    out = set()
+    for p in pts:
+        dominated = any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] for q in pts
+        )
+        if not dominated:
+            out.add(p)
+    return out
+
+
+def test_skyline_matches_brute_force(spark):
+    from topn_spark.operators.pipeline import skyline_2d
+
+    rng = np.random.default_rng(5)
+    pts = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(300, 2))]
+    df = spark.createDataFrame(pts, "x int, y int").repartition(7)
+    got = {tuple(r) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_ties_and_duplicates(spark):
+    from topn_spark.operators.pipeline import skyline_2d
+
+    # duplicates collapse; equal-x chains keep only the max y;
+    # equal-y chains keep only the max x
+    df = spark.createDataFrame(
+        [(5, 5), (5, 5), (5, 4), (4, 5), (6, 2), (2, 6)],
+        "x int, y int",
+    )
+    got = {tuple(r) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(5, 5), (6, 2), (2, 6)}
+
+
+def test_time_weighted_avg_step_integral(spark):
+    from pyspark.sql import functions as F
+    from topn_spark.operators.pipeline import time_weighted_avg
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10.0),  # holds 60 s
+        ("a", "2024-01-01 00:01:00", 20.0),  # holds 120 s
+        ("a", "2024-01-01 00:03:00", 99.0),  # zero width at the end
+        ("b", "2024-01-01 00:00:00", 7.0),   # single obs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {r["k"]: r for r in time_weighted_avg(df, ["k"], "ts", "v").collect()}
+    assert got["a"]["twa"] == pytest.approx((10 * 60 + 20 * 120) / 180, abs=1e-6)
+    assert got["a"]["n_obs"] == 3
+    assert got["b"]["twa"] == 7.0
+    # plain AVG would say 43 for key a — the burst-weighting error
+    assert got["a"]["twa"] < 20

@@ -47,6 +47,8 @@ __all__ = [
     "scd2",
     "resample_ffill",
     "sessionize",
+    "skyline_2d",
+    "time_weighted_avg",
     "token_heavy_hitters",
     "token_heavy_hitters_approx",
     "winsorize",
@@ -879,3 +881,102 @@ def ewma(
         F.posexplode(F.arrays_zip("__seq", "__ew")).alias("__i", "__z")
     ).select("__z.__seq.__row.*", F.col("__z.__ew").alias(out_col))
     return exploded
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier of distinct ``(x, y)`` points, maximizing both
+    dimensions → the skyline rows ``(x, y)``.
+
+    A point is dominated when another point is ≥ in both dimensions
+    and > in at least one. For distinct points sorted by
+    ``(x DESC, y DESC)``, a point is on the skyline iff its y exceeds
+    the running maximum y of all earlier points — an O(n log n)
+    sort+scan instead of the O(n²) dominance self-join.
+
+    Scale shape: two-phase. Phase 1 prunes per partition (window keyed
+    by ``spark_partition_id`` — map-side, no shuffle): any point
+    dominated within its partition is dominated globally. Phase 2 runs
+    the same scan globally over the survivors — skylines are small
+    (O(distinct x) worst case, typically ≪ input), so the final
+    single-partition window sees the pruned remnant, not the dataset.
+    """
+    from pyspark.sql.window import Window
+
+    pts = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).distinct()
+
+    def survivors(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("x").desc(), F.col("y").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_max = F.max("y").over(w)
+        return frame.withColumn("__pm", prev_max).where(
+            F.col("__pm").isNull() | (F.col("y") > F.col("__pm"))
+        ).drop("__pm")
+
+    local = survivors(pts, [F.spark_partition_id()])
+    return survivors(local, []).select(
+        F.col("x").alias(x_col), F.col("y").alias(y_col)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted average of a step series per key →
+    ``(keys..., t_start, t_end, n_obs, twa)``.
+
+    Each observation holds (LOCF) until the next one; the TWA is the
+    integral of that step function over the key's observed span,
+    divided by the span: ``Σ vᵢ·(tᵢ₊₁-tᵢ) / (tₙ-t₁)``. The honest
+    average for irregularly sampled series — a plain AVG over-weights
+    bursts of closely spaced samples. Keys with one observation (or a
+    zero span) return the minimum value (a pinned, deterministic
+    choice).
+
+    One lead() window per key partition + one hash aggregate on the
+    same key — the sort a groupBy would pay anyway; no grid
+    materialization, no self-join.
+    """
+    from pyspark.sql.window import Window
+
+    # integer microseconds for the arithmetic (exact, engine-portable);
+    # the original timestamps for the reported span endpoints
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = df.select(
+        *key_cols,
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        t.alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn(
+        # __v tiebreak: simultaneous observations are zero-width except
+        # the last, so order among them must be deterministic
+        "__nxt",
+        F.lead("__t").over(
+            Window.partitionBy(*key_cols).orderBy(
+                F.col("__t").asc(), F.col("__v").asc()
+            )
+        ),
+    )
+    area = F.sum(F.col("__v") * (F.col("__nxt") - F.col("__t")))
+    span = (F.max("__t") - F.min("__t")).cast("double")
+    return seg.groupBy(*key_cols).agg(
+        F.min("__ts").alias("t_start"),
+        F.max("__ts").alias("t_end"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.coalesce(F.try_divide(area, span), F.min("__v")),
+            round_to,
+        ).alias("twa"),
+    )

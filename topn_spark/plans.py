@@ -148,3 +148,42 @@ def audit_scale(df: DataFrame) -> list[str]:
     n_exchange = plan.count("Exchange")
     findings.append(f"INFO: {n_exchange} Exchange (shuffle) boundaries")
     return findings
+
+
+def enable_runtime_bloom_filters(
+    spark,
+    application_side_scan_threshold: str = "0",
+    creation_side_threshold: str | None = None,
+) -> None:
+    """Arm Spark's runtime row-level filtering (SPARK-32268) for
+    shuffle joins with a selective build side.
+
+    When a fact⋈dim join is too big to broadcast, the optimizer can
+    inject a bloom filter built from the dim's (filtered) join keys
+    as a semi-join reduction on the fact scan: fact rows failing
+    ``might_contain(bloom, xxhash64(key))`` are dropped *before* the
+    shuffle, which is the difference between shuffling 100 TB and
+    shuffling the ~1% that joins. The feature is ON by default but
+    gated by size thresholds tuned for clusters
+    (``applicationSideScanSizeThreshold`` defaults to 10 GiB, so
+    local-scale tests never see it trigger); this helper lowers the
+    gates so plan tests — and small-cluster deployments with
+    selective dims — get the injected filter deterministically.
+
+    Broadcast-hash joins don't need it (the broadcast itself prunes
+    at the probe); it matters exactly when the plan degrades to
+    SortMergeJoin/ShuffledHashJoin.
+    """
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )
+    if creation_side_threshold is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            creation_side_threshold,
+        )

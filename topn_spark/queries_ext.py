@@ -2744,3 +2744,60 @@ def x78_ab_compare(spark, sf_dir):
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
         F.col("event_type") == "purchase",
     )
+
+
+@query(
+    "x79_skyline",
+    """WITH p AS (SELECT DISTINCT l_quantity AS x, l_extendedprice AS y
+           FROM lineitem),
+s AS (SELECT x, y,
+        MAX(y) OVER (ORDER BY x DESC, y DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pm
+      FROM p)
+SELECT x AS l_quantity, y AS l_extendedprice FROM s
+WHERE pm IS NULL OR y > pm
+ORDER BY l_quantity ASC""",
+    doc="Pareto frontier of (quantity, price) points "
+    "(pipeline.py::skyline_2d): O(n log n) sort+scan instead of the "
+    "O(n²) dominance self-join; two-phase in Spark (map-side "
+    "per-partition prune, then the tiny survivor set globally)",
+)
+def x79_skyline(spark, sf_dir):
+    from topn_spark.operators.pipeline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skyline_2d(li, "l_quantity", "l_extendedprice").orderBy(
+        "l_quantity"
+    )
+
+
+@query(
+    "x80_time_weighted_avg",
+    """WITH seg AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, value ASC)
+           AS nxt
+  FROM events)
+SELECT user_id, MIN(tsv) AS t_start, MAX(tsv) AS t_end,
+       COUNT(*) AS n_obs,
+       ROUND(COALESCE(
+         SUM(v * (nxt - t)) / NULLIF(CAST(MAX(t) - MIN(t) AS DOUBLE), 0),
+         MIN(v)), 6) AS twa
+FROM seg GROUP BY user_id ORDER BY user_id ASC""",
+    doc="Time-weighted average of irregular per-user series "
+    "(pipeline.py::time_weighted_avg): LOCF step-function integral "
+    "over the observed span in exact integer microseconds — one "
+    "lead() window + one keyed aggregate; plain AVG over-weights "
+    "sample bursts",
+)
+def x80_time_weighted_avg(spark, sf_dir):
+    from topn_spark.operators.pipeline import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, ["user_id"], "ts", "value").orderBy(
+        "user_id"
+    )
