@@ -113,3 +113,44 @@ def test_partial_aggregation_plan(spark, events):
     plan = rollup(events, "ts", "hour", SPEC)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert plan.count("partial") >= 1 or "Partial" in plan
+
+
+# ---------------------------------------------------------------------------
+# transition validation (ADVICE r1: coarsening + week alignment)
+# ---------------------------------------------------------------------------
+
+def test_re_rollup_rejects_finer_target(spark, events):
+    hourly = rollup(events, "ts", "hour", SPEC)
+    with pytest.raises(ValueError, match="finer"):
+        re_rollup(hourly, "minute", SPEC, source_bucket="hour")
+
+
+def test_re_rollup_rejects_week_calendar_mix(spark, events):
+    weekly = rollup(events, "ts", "week", SPEC)
+    with pytest.raises(ValueError, match="alignment"):
+        re_rollup(weekly, "month", SPEC, source_bucket="week")
+    monthly = rollup(events, "ts", "month", SPEC)
+    # month->week trips the rank check first (week ranks finer than
+    # month); either way it must raise
+    with pytest.raises(ValueError, match="finer|alignment"):
+        re_rollup(monthly, "week", SPEC, source_bucket="month")
+
+
+def test_re_rollup_equal_bucket_is_identity_merge(spark, events):
+    """Equal-bucket re-rollup (the streaming store's merge path) is
+    legal and exact."""
+    daily = rollup(events, "ts", "day", SPEC)
+    again = re_rollup(daily, "day", SPEC, source_bucket="day")
+    a = daily.select(BUCKET_COL, "event_type", "cnt", "sum_value_dec")
+    b = again.select(BUCKET_COL, "event_type", "cnt", "sum_value_dec")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_re_rollup_day_to_week_allowed(spark, events):
+    daily = rollup(events, "ts", "day", SPEC)
+    weekly = re_rollup(daily, "week", SPEC, source_bucket="day")
+    direct = rollup(events, "ts", "week", SPEC)
+    assert (
+        weekly.agg(F.sum("cnt")).first()[0]
+        == direct.agg(F.sum("cnt")).first()[0]
+    )

@@ -205,3 +205,19 @@ def test_time_weighted_avg_step_integral(spark):
     assert got["b"]["twa"] == 7.0
     # plain AVG would say 43 for key a — the burst-weighting error
     assert got["a"]["twa"] < 20
+
+
+def test_skyline_phase1_is_map_side(spark):
+    """The local prune must not shuffle: no Exchange may appear below
+    the mapInPandas node (ADVICE r1 — the old spark_partition_id
+    window inserted one)."""
+    from topn_spark.operators.pipeline import skyline_2d
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 97 AS DOUBLE) AS x", "CAST(id % 89 AS DOUBLE) AS y"
+    )
+    plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    # everything below the python-worker prune must be exchange-free:
+    # the only exchanges allowed are above it (distinct + final window)
+    below = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below, below

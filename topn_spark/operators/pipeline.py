@@ -892,38 +892,50 @@ def skyline_2d(
     dimensions → the skyline rows ``(x, y)``.
 
     A point is dominated when another point is ≥ in both dimensions
-    and > in at least one. For distinct points sorted by
-    ``(x DESC, y DESC)``, a point is on the skyline iff its y exceeds
-    the running maximum y of all earlier points — an O(n log n)
-    sort+scan instead of the O(n²) dominance self-join.
+    and > in at least one. For points sorted by ``(x DESC, y DESC)``,
+    a point is on the skyline iff its y exceeds the running maximum y
+    of all earlier points — an O(n log n) sort+scan instead of the
+    O(n²) dominance self-join.
 
-    Scale shape: two-phase. Phase 1 prunes per partition (window keyed
-    by ``spark_partition_id`` — map-side, no shuffle): any point
-    dominated within its partition is dominated globally. Phase 2 runs
-    the same scan globally over the survivors — skylines are small
-    (O(distinct x) worst case, typically ≪ input), so the final
-    single-partition window sees the pruned remnant, not the dataset.
+    Scale shape: two-phase. Phase 1 prunes inside each scan partition
+    via ``mapInPandas`` — genuinely map-side, no Exchange in the plan:
+    any point dominated within its partition is dominated globally, so
+    each Arrow batch sheds everything but its local frontier before
+    anything shuffles. Phase 2 dedups and re-scans only the survivors
+    — skylines are small (O(distinct x) worst case, typically ≪
+    input), so the one shuffle + single-partition window in the plan
+    see the pruned remnant, not the dataset.
     """
     from pyspark.sql.window import Window
 
     pts = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).distinct()
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
-    def survivors(frame: DataFrame, part_cols: list) -> DataFrame:
-        w = (
-            Window.partitionBy(*part_cols)
-            .orderBy(F.col("x").desc(), F.col("y").desc())
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prev_max = F.max("y").over(w)
-        return frame.withColumn("__pm", prev_max).where(
-            F.col("__pm").isNull() | (F.col("y") > F.col("__pm"))
-        ).drop("__pm")
+    def _local_prune(batches):
+        # per Arrow batch: sort (x desc, y desc), keep rows whose y
+        # strictly exceeds the running max of earlier rows. Duplicate
+        # points collapse here; phase 2's distinct finishes the job.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["x", "y"], ascending=False)
+            prev_max = pdf["y"].cummax().shift(1)
+            out = pdf[prev_max.isna() | (pdf["y"] > prev_max)]
+            if len(out):
+                yield out
 
-    local = survivors(pts, [F.spark_partition_id()])
-    return survivors(local, []).select(
-        F.col("x").alias(x_col), F.col("y").alias(y_col)
+    local = pts.mapInPandas(_local_prune, schema=pts.schema)
+
+    w = (
+        Window.orderBy(F.col("x").desc(), F.col("y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.distinct()
+        .withColumn("__pm", F.max("y").over(w))
+        .where(F.col("__pm").isNull() | (F.col("y") > F.col("__pm")))
+        .select(F.col("x").alias(x_col), F.col("y").alias(y_col))
     )
 
 

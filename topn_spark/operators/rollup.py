@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = ("year", "quarter", "month", "week", "day", "hour", "minute")
-# date_trunc granularity ordering: re-rollup may only go coarser.
+# date_trunc granularity ordering, coarse→fine. Note 'week' does not
+# nest in month/quarter/year — _check_transition rejects those mixes.
 _BUCKET_RANK = {b: i for i, b in enumerate(_BUCKETS)}
 
 BUCKET_COL = "bucket_start"
@@ -89,11 +90,39 @@ def rollup(df: DataFrame, ts_col: str, bucket: str, spec: RollupSpec) -> DataFra
     ).agg(*aggs)
 
 
+# week starts straddle month/quarter/year boundaries, so re-bucketing
+# between 'week' and any calendar bucket silently misassigns counts
+# (a week's total would land wholly in the month containing its
+# Monday). Alignment-compatible pairs only.
+_CALENDAR = frozenset({"year", "quarter", "month"})
+
+
+def _check_transition(source: str, target: str) -> None:
+    """A re-rollup is only exact when every source bucket nests
+    entirely inside one target bucket: target must be same-or-coarser
+    AND not a week↔month/quarter/year mix."""
+    if _BUCKET_RANK[target] > _BUCKET_RANK[source]:
+        raise ValueError(
+            f"re_rollup can only coarsen: target {target!r} is finer "
+            f"than source bucket {source!r}"
+        )
+    if (source == "week" and target in _CALENDAR) or (
+        target == "week" and source in _CALENDAR
+    ):
+        raise ValueError(
+            f"{source!r}->{target!r} is not alignment-compatible: weeks "
+            "straddle month/quarter/year boundaries, so merged counts "
+            "would be misassigned. Re-rollup from a finer bucket "
+            "(day or below) instead."
+        )
+
+
 def re_rollup(
     rollup_df: DataFrame,
     bucket: str,
     spec: RollupSpec,
     keys: tuple[str, ...] | None = None,
+    source_bucket: str | None = None,
 ) -> DataFrame:
     """Merge a rollup to a coarser bucket and/or a key subset.
 
@@ -101,8 +130,18 @@ def re_rollup(
     min/min and max/max fold, HLL sketches union. ``keys`` defaults
     to the spec's keys; pass a subset (possibly ``()``) to collapse
     dimensions — legal because every partial is mergeable.
+
+    ``source_bucket`` is the granularity ``rollup_df`` was built at;
+    when given, the transition is validated: the target must be
+    same-or-coarser (equal is the identity merge the streaming store
+    uses), and week↔month/quarter/year mixes are rejected because
+    weeks straddle calendar boundaries. Omitting it skips the check
+    (caller asserts compatibility).
     """
     _check_bucket(bucket)
+    if source_bucket is not None:
+        _check_bucket(source_bucket)
+        _check_transition(source_bucket, bucket)
     out_keys = spec.keys if keys is None else keys
     extra = set(out_keys) - set(spec.keys)
     if extra:

@@ -300,8 +300,8 @@ def q11(spark, sf_dir):
 @query(
     "q12",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag ASC, l_linestatus ASC""",
@@ -314,10 +314,10 @@ def q12(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_price"),
             F.min("l_quantity").alias("min_q"),
             F.max("l_quantity").alias("max_q"),

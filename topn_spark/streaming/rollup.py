@@ -9,24 +9,38 @@ from-scratch :func:`topn_spark.operators.rollup.rollup` over all data
 seen so far, while per-batch work is O(batch + touched buckets),
 independent of history size.
 
-Exactly-once: a processed-batch ledger (`_applied_batches/` marker
-files keyed by the checkpointed epoch id) makes foreachBatch replays
-after a crash no-ops — merging the same delta twice would
-double-count, unlike the append-only corpus sink. A production
-deployment would get the same guarantee from a transactional table
-format (Delta/Iceberg MERGE); the merge logic is unchanged.
+Delivery guarantee — effectively-once with a narrow at-least-once
+window: a processed-batch ledger (marker files keyed by the
+checkpointed epoch id) makes foreachBatch replays of fully-committed
+batches no-ops. The residual window is the gap between the data
+commit and the marker write: a crash inside it (or mid-way through a
+multi-partition overwrite, which is not atomic as a job) replays the
+batch against a store that already absorbed some/all of the delta,
+double-counting those partitions. A production deployment closes the
+window with a transactional table format (Delta/Iceberg MERGE, where
+data + ledger commit atomically); the merge logic is unchanged.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from topn_spark.operators.rollup import BUCKET_COL, RollupSpec, re_rollup, rollup
 
 _PART = "_pdate"  # date partition column: dynamic overwrite granularity
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Existence test through the Hadoop FS API so it answers for any
+    Spark-reachable filesystem (local, HDFS, object stores), not just
+    the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def rollup_batch(
@@ -36,26 +50,33 @@ def rollup_batch(
     bucket: str,
     spec: RollupSpec,
 ) -> None:
-    """Merge one micro-batch into the persisted rollup store."""
+    """Merge one micro-batch into the persisted rollup store.
+
+    Only the not-yet-created store routes to the delta-only branch —
+    tested explicitly, never inferred from an exception. Any failure
+    while reading/merging an EXISTING store propagates, so the batch
+    fails and the stream retries instead of overwriting accumulated
+    history with delta-only data.
+    """
     spark = batch.sparkSession
     delta = rollup(batch, ts_col, bucket, spec).withColumn(
         _PART, F.col(BUCKET_COL).cast("date")
     )
-    try:
+    if _store_exists(spark, store_dir):
         cur = spark.read.parquet(store_dir)
         touched = [r[0] for r in delta.select(_PART).distinct().collect()]
         if not touched:
             return
         cur = cur.where(F.col(_PART).isin(touched))
         merged = re_rollup(
-            cur.unionByName(delta), bucket, spec
+            cur.unionByName(delta), bucket, spec, source_bucket=bucket
         ).withColumn(_PART, F.col(BUCKET_COL).cast("date"))
         # materialize BEFORE the write: the merge reads the very
         # partitions the overwrite replaces (self-overwrite is
         # otherwise rejected/unsafe); the checkpointed frame is tiny
         # (touched buckets only)
         merged = merged.localCheckpoint(eager=True)
-    except Exception:  # first batch: no store yet
+    else:  # first batch: no store yet
         merged = delta
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -74,10 +95,14 @@ def apply_batch(
     bucket: str,
     spec: RollupSpec,
 ) -> None:
-    """Merge a batch exactly once: the marker is written AFTER the
-    merge commits, so a crash in between replays the batch against
-    the pre-merge store (the overwrite is all-or-nothing per
-    partition), while a post-commit replay is skipped."""
+    """Merge a batch at-most-once per marker: a post-marker replay is
+    skipped; a crash BEFORE the data commit replays cleanly against
+    the pre-merge store. The honest caveat: a crash between the data
+    commit (or a partial multi-partition commit — the overwrite is
+    atomic per partition, not per job) and the marker write replays
+    into an already-merged store and double-counts those partitions.
+    See the module docstring; a transactional table format closes
+    this window."""
     marker = os.path.join(ledger_dir, str(batch_id))
     if os.path.exists(marker):
         return  # replay of an already-merged epoch
