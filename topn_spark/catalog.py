@@ -47,10 +47,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong surfaced the ns epoch as bigint; rebuild as a real
-        # timestamp (integer ns→us division, exact for the data's range).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong surfaced an ns epoch as bigint; rebuild as a
+            # real timestamp (integer ns→us division, exact here).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision parquet without UTC adjustment surfaces as
+            # TIMESTAMP_NTZ; normalize to session-local TIMESTAMP (the
+            # session is pinned UTC, so values are unchanged) so every
+            # operator sees one timestamp type regardless of how the
+            # source file encoded it.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _table_cache[key] = df
     return df
 
