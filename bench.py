@@ -7,7 +7,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Timings are per-query wall clock including plan + execute + collect,
 single warm session (the engine's real deployment shape — BASELINE.md's
 cold-JVM numbers include ~0.3-0.5 s/query of one-off planning overhead
-we intentionally amortize).
+we intentionally amortize). Each query runs $SPARK_GRAFT_TRIALS times
+(default 3) and the MINIMUM is recorded: min-of-N is the standard
+contention-robust estimator — any slower trial is the same code plus
+machine noise, so the minimum is the closest observable to the true
+cost (round-2 single-trial numbers recorded a phantom 31% "regression"
+on byte-identical code; see VERDICT r2 §wrong-3).
 
 Optional: $SPARK_GRAFT_QUERIES — comma-separated names or name
 prefixes (e.g. "q" = the survey suite only) restricts which catalog
@@ -41,6 +46,7 @@ def main() -> None:
     only = [
         p for p in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if p
     ]
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
 
     per_query: dict[str, float] = {}
     survey_total = 0.0  # q01-q32: the queries BASELINE.md measured
@@ -48,9 +54,16 @@ def main() -> None:
     for name, q in sorted(QUERIES.items()):
         if only and not any(name.startswith(p) for p in only):
             continue
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).collect()
+            dt = min(dt, time.perf_counter() - t0)
+            # Persisted intermediates are keyed by analyzed plan, so a
+            # repeat trial would silently reuse the previous trial's
+            # cache and time only the tail of the pipeline. Drop all
+            # cached data so every trial measures identical work.
+            spark.catalog.clearCache()
         per_query[name] = round(dt, 4)
         if name.startswith("q"):
             survey_total += dt
@@ -67,6 +80,7 @@ def main() -> None:
                 "sf": sf,
                 "extended_total_sec": round(extended_total, 3),
                 "n_queries": len(per_query),
+                "trials": trials,
             }
         )
     )

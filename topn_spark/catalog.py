@@ -8,7 +8,12 @@ Spark's Parquet reader only surfaces as INT64 under
 ``spark.sql.legacy.parquet.nanosAsLong=true``; we rebuild it as a
 microsecond timestamp (``timestamp_micros(ts div 1000)``) at load time
 so downstream operators see a normal TimestampType column
-(SURVEY.md §2.4 rule 6).
+(SURVEY.md §2.4 rule 6). A second normalization branch handles
+µs-precision parquet written without the UTC-adjusted flag, which
+surfaces as TIMESTAMP_NTZ: it is cast to the session-local
+``TimestampType`` (an explicit LTZ cast, immune to
+``spark.sql.timestampType=TIMESTAMP_NTZ`` sessions) so every operator
+sees exactly one timestamp type regardless of source encoding.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 TABLES = (
     "region",
@@ -58,8 +64,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP_NTZ; normalize to session-local TIMESTAMP (the
             # session is pinned UTC, so values are unchanged) so every
             # operator sees one timestamp type regardless of how the
-            # source file encoded it.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # source file encoded it. Cast to the concrete TimestampType
+            # (LTZ) rather than the "timestamp" alias: the alias resolves
+            # through spark.sql.timestampType, so under a
+            # TIMESTAMP_NTZ-defaulted session it would be a no-op.
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     _table_cache[key] = df
     return df
 

@@ -140,22 +140,30 @@ def asof_join_bucketed(
     ``left_id`` must uniquely identify left rows.
 
     Plan shape (no nested-loop join, no big broadcast, no global
-    window over data rows):
+    window over data rows, ONE scan of the probe side):
 
     1. hash-aggregate the right side to one best-row struct per
        bucket (map-side combined; output = #buckets rows);
-    2. gap-fill the bucket axis (spanning right and probe ranges)
-       and running-max the per-bucket structs — a window over the
-       *bucket table* only;
-    3. equi-join probes to the dense bucket table on bucket → best
-       right row in any strictly-earlier bucket;
-    4. equi-join probes to right rows of their own bucket only,
-       filter ``right_on <= left_on``, re-aggregate per probe;
-    5. take the struct-max of (3) and (4).
+    2. gap-fill the bucket axis (right span only) and running-max
+       the per-bucket structs — a window over the *bucket table*
+       only — keeping both the strictly-before and inclusive
+       cumulative best;
+    3. attach the 1-row right span to every probe via a constant-key
+       broadcast hash join (equi key ⇒ no NLJ in the plan) and clamp
+       the probe's bucket into the span, so probes past the right
+       range read the inclusive cumulative max at the last bucket
+       and no probe-side scan is needed to size the grid;
+    4. equi-join the clamped probes to the dense bucket table
+       (broadcast: #buckets rows) → best right row in any
+       strictly-earlier bucket;
+    5. left-equi-join probes to right rows of their own bucket and
+       take a conditional ``max(when(right_on <= left_on, row))``
+       together with the step-4 carry in ONE grouped aggregate per
+       probe — no second probe scan, no probe-probe re-join.
 
-    Lexicographic struct comparison (time field first) makes (2),
-    (4), (5) all plain ``max``; per-bucket row counts bound the only
-    potentially-skewed join (4).
+    Lexicographic struct comparison (time field first) makes (2) and
+    (5) plain ``max``/``greatest``; per-bucket row counts bound the
+    only potentially-skewed join (5).
     """
     value_cols = value_cols or []
     out_t = f"{right_on}_asof"
@@ -166,72 +174,92 @@ def asof_join_bucketed(
     )
     per_bucket = right.groupBy(rbkt.alias("_bkt")).agg(best.alias("_best"))
 
-    # Dense, cumulative bucket table (tiny: one row per bucket). The
-    # grid spans right AND probe buckets so every probe bucket equi-
-    # joins the table directly — no clamping scalar, no cross join.
-    pbkt = F.date_trunc(bucket, F.col(left_on))
-    span = (
-        per_bucket.agg(
-            F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
-        )
-        .unionByName(
-            left.agg(F.min(pbkt).alias("_lo"), F.max(pbkt).alias("_hi"))
-        )
-        .agg(F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
+    # Dense, cumulative bucket table (tiny: one row per right bucket).
+    span = per_bucket.agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
     )
-    grid = span.select(
+    grid = span.where(F.col("_lo").isNotNull()).select(
         F.explode(
             F.sequence("_lo", "_hi", F.expr(f"interval 1 {bucket}"))
-        ).alias("_bkt")
+        ).alias("_ck")
+    )
+    wprev = (
+        Window.partitionBy()
+        .orderBy("_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     wcum = (
         Window.partitionBy()
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("_ck")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     dense = (
-        grid.join(per_bucket, "_bkt", "left")
-        .withColumn("_prev_best", F.max("_best").over(wcum))
-        .select("_bkt", "_prev_best")
+        grid.join(per_bucket.withColumnRenamed("_bkt", "_ck"), "_ck", "left")
+        .select(
+            "_ck",
+            F.max("_best").over(wprev).alias("_prev_best"),
+            F.max("_best").over(wcum).alias("_cum_best"),
+        )
     )
 
-    probe = left.withColumn("_jbkt", pbkt)
+    pbkt = F.date_trunc(bucket, F.col(left_on))
+    # The 1-row span attaches to every probe through an equi-key BHJ on
+    # an always-1 key. The key must be NON-FOLDABLE (derived from a
+    # column, not a literal): lit(1)=lit(1) constant-folds to `true`
+    # and the join degenerates to the BroadcastNestedLoopJoin this
+    # operator exists to avoid. Catalyst does not simplify col==col
+    # (null semantics), so these keys survive as equi keys.
+    probe_one = F.coalesce(pbkt == pbkt, F.lit(True)).cast("int")
+    span_one = F.coalesce(F.col("_hi") == F.col("_hi"), F.lit(True)).cast(
+        "int"
+    )
+    probe = left.select("*", pbkt.alias("_jbkt"), probe_one.alias("_one"))
 
-    # (3) strictly-earlier buckets, via the dense cumulative table.
-    with_prev = probe.join(
-        F.broadcast(dense.withColumnRenamed("_bkt", "_jbkt")),
+    # (3) scalar span per probe row via the constant-key 1-row
+    # broadcast BHJ; clamp the join key into the grid (null probe
+    # times stay null: least() would otherwise skip the null and
+    # match _hi).
+    with_span = probe.join(
+        F.broadcast(span.select(span_one.alias("_one"), "_hi")),
+        "_one",
+        "left",
+    ).withColumn(
+        "_ck",
+        F.when(
+            F.col("_jbkt").isNotNull(), F.least(F.col("_jbkt"), F.col("_hi"))
+        ),
+    )
+
+    # (4) strictly-earlier buckets via the dense cumulative table;
+    # probes clamped down from beyond the range use the inclusive max.
+    with_prev = with_span.join(F.broadcast(dense), "_ck", "left").withColumn(
+        "_prev",
+        F.when(
+            F.col("_jbkt") > F.col("_hi"), F.col("_cum_best")
+        ).otherwise(F.col("_prev_best")),
+    )
+
+    # (5) same-bucket refinement folded into one grouped aggregate:
+    # left join keeps match-less probes, the conditional max ignores
+    # right rows after the probe time, greatest() merges the step-4
+    # carry (both operands share the struct shape, time field first).
+    cand = with_prev.join(
+        right.select(
+            rbkt.alias("_jbkt"),
+            F.struct(
+                F.col(right_on).alias("_t"),
+                *[F.col(c) for c in value_cols],
+            ).alias("_s"),
+        ),
         "_jbkt",
         "left",
     )
-
-    # (4) same-bucket refinement: only right rows sharing the bucket.
-    same = (
-        probe.select(left_id, F.col(left_on).alias("_pt"), "_jbkt")
-        .join(
-            right.select(
-                rbkt.alias("_jbkt"),
-                F.struct(
-                    F.col(right_on).alias("_t"),
-                    *[F.col(c) for c in value_cols],
-                ).alias("_s"),
-            ),
-            "_jbkt",
-        )
-        .where(F.col("_s._t") <= F.col("_pt"))
-        .groupBy(left_id)
-        .agg(F.max("_s").alias("_same_best"))
-    )
-
-    merged = with_prev.join(same, left_id, "left").withColumn(
-        "_final",
-        F.when(
-            F.col("_same_best").isNotNull()
-            & (
-                F.col("_prev_best").isNull()
-                | (F.col("_same_best._t") >= F.col("_prev_best._t"))
-            ),
-            F.col("_same_best"),
-        ).otherwise(F.col("_prev_best")),
+    merged = cand.groupBy(left_id).agg(
+        *[F.first(c).alias(c) for c in left.columns if c != left_id],
+        F.greatest(
+            F.first("_prev"),
+            F.max(F.when(F.col("_s._t") <= F.col(left_on), F.col("_s"))),
+        ).alias("_final"),
     )
     return merged.select(
         *left.columns,
