@@ -62,9 +62,11 @@ from topn_spark.operators.textstats import (
 )
 from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
 from topn_spark.operators.topn import (
+    TopNConfig,
     ntile_from_rank,
     rank_low_cardinality,
     topn,
+    topn_configured,
     topn_grouped,
     topn_grouped_salted,
 )
@@ -74,7 +76,9 @@ __all__ = [
     "FailureCollector",
     "ValidationError",
     "get_session",
+    "TopNConfig",
     "topn",
+    "topn_configured",
     "topn_grouped",
     "topn_grouped_salted",
     "rank_low_cardinality",

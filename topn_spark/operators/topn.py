@@ -31,11 +31,18 @@ variant, ``topn_grouped_salted``.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, replace
+from typing import Mapping
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from topn_spark.errors import FailureCollector
+from topn_spark.errors import (
+    FailureCollector,
+    contains_macro,
+    substitute_macros,
+)
 
 #: reference TopNConfig.java:34 — MAX_TOP = 1024 * 1024
 MAX_TOP = 1024 * 1024
@@ -61,6 +68,14 @@ def validate_topn(
     ``collector.get_or_throw()`` to surface them together.
     """
     collector = collector or FailureCollector()
+    _validate_field(schema, field, collector)
+    _validate_size(size, collector)
+    return collector
+
+
+def _validate_field(
+    schema: T.StructType, field: str, collector: FailureCollector
+) -> None:
     names = {f.name: f for f in schema.fields}
     if field not in names:
         # TopNConfig.java:66-70
@@ -82,6 +97,9 @@ def validate_topn(
                 "Top field must be of type int, long, float, or double.",
                 property_name="field",
             )
+
+
+def _validate_size(size: int, collector: FailureCollector) -> None:
     if size < 1:
         # TopNConfig.java:89-95
         collector.add_failure(
@@ -96,7 +114,127 @@ def validate_topn(
             f"Size must be no more than {MAX_TOP}.",
             property_name="size",
         )
-    return collector
+
+
+@dataclass(frozen=True)
+class TopNConfig:
+    """Reference config parity including ``@Macro`` deferral.
+
+    Every reference property is ``@Macro`` (TopNConfig.java:39-54): it
+    may hold an unresolved ``${name}`` placeholder when the pipeline is
+    deployed, in which case that property's validation is skipped (the
+    ``containsMacro`` guards, TopNConfig.java:64,88,97) and runs again
+    at run preparation after substitution (TopN.java:74-82 re-validates
+    and throws the whole collected batch). Lifecycle here:
+
+    - :meth:`validate` = ``configurePipeline``-time check — skips any
+      property still carrying a macro;
+    - :meth:`resolve` = macro substitution — returns a literal config;
+    - :func:`topn_configured` wires both around the operator, so a
+      config deployed with ``size="${n}"`` defers the size bounds check
+      until the run provides ``n``, exactly as the reference does.
+
+    ``size``/``ignore_null`` accept their natural types or strings
+    (the post-substitution form); defaults when None are size=1,
+    ignore_null=False (TopNConfig.java:110-123).
+    """
+
+    field: str = ""
+    size: int | str | None = None
+    ignore_null: bool | str | None = None
+
+    def contains_macro(self, prop: str) -> bool:
+        """Reference ``containsMacro(name)`` for ``field`` / ``size`` /
+        ``ignore_null``."""
+        return contains_macro(getattr(self, prop))
+
+    @property
+    def top_size(self) -> int:
+        """TopNConfig.java:115-118 — null size defaults to 1."""
+        if self.size is None:
+            return 1
+        return int(self.size)
+
+    @property
+    def top_ignore_null(self) -> bool:
+        """TopNConfig.java:120-123 — null ignoreNull defaults to false."""
+        if self.ignore_null is None:
+            return False
+        if isinstance(self.ignore_null, bool):
+            return self.ignore_null
+        return str(self.ignore_null).strip().lower() == "true"
+
+    def validate(
+        self,
+        schema: T.StructType,
+        collector: FailureCollector | None = None,
+    ) -> FailureCollector:
+        """Collect every config failure, skipping macro'd properties
+        (TopNConfig.java:62-104 with its ``containsMacro`` guards)."""
+        collector = collector or FailureCollector()
+        if not self.contains_macro("field"):
+            _validate_field(schema, self.field, collector)
+        if not self.contains_macro("size"):
+            try:
+                _validate_size(self.top_size, collector)
+            except (TypeError, ValueError):
+                collector.add_failure(
+                    f"Invalid size '{self.size}'.",
+                    "Size must be a whole number.",
+                    property_name="size",
+                )
+        if not self.contains_macro("ignore_null"):
+            raw = self.ignore_null
+            if isinstance(raw, str) and raw.strip().lower() not in (
+                "true",
+                "false",
+            ):
+                collector.add_failure(
+                    f"Invalid ignoreNull '{raw}'.",
+                    "ignoreNull must be 'true' or 'false'.",
+                    property_name="ignoreNull",
+                )
+        return collector
+
+    def resolve(self, substitutions: Mapping[str, str]) -> "TopNConfig":
+        """Substitute macros into every property → a literal config
+        (the prepareRun-time view). Unresolvable macros raise with the
+        full failure batch, like the reference's run-preparation
+        ``getOrThrowException`` (TopN.java:81)."""
+        collector = FailureCollector()
+        resolved = replace(
+            self,
+            **{
+                prop: substitute_macros(
+                    getattr(self, prop), substitutions, collector, prop
+                )
+                for prop in ("field", "size", "ignore_null")
+            },
+        )
+        collector.get_or_throw()
+        return resolved
+
+
+def topn_configured(
+    df: DataFrame,
+    config: TopNConfig,
+    substitutions: Mapping[str, str] | None = None,
+    tiebreak=None,
+) -> DataFrame:
+    """Run :func:`topn` through the reference's two-phase config
+    lifecycle: deploy-time validation with macro'd properties skipped
+    (TopN.java:64-72), macro substitution, then full re-validation of
+    the literal config before execution (TopN.java:74-82)."""
+    config.validate(df.schema).get_or_throw()
+    resolved = config.resolve(substitutions or {})
+    resolved.validate(df.schema).get_or_throw()
+    return topn(
+        df,
+        resolved.field,
+        resolved.top_size,
+        resolved.top_ignore_null,
+        tiebreak=tiebreak,
+    )
 
 
 def _tiebreak_cols(tiebreak) -> list[Column]:
