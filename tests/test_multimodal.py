@@ -10,10 +10,56 @@ from pyspark.sql import functions as F
 from topn_spark.operators.multimodal import (
     ASSET_SCHEMA,
     decode_image,
+    decode_pixels,
     extract_features,
+    parse_image_header,
     read_binary_dir,
     sample_frames,
 )
+
+# ---------------------------------------------------------------------------
+# Real image fixtures: minimal but spec-valid headers for each container.
+# ---------------------------------------------------------------------------
+import struct
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # CRC (unchecked by header parse)
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _bmp(w, h):
+    # BITMAPFILEHEADER (14 bytes) + INFOHEADER width/height at 18/22
+    return (
+        b"BM"
+        + b"\x00" * 12
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h)
+        + b"\x00" * 8
+    )
 
 
 @pytest.fixture(scope="module")
@@ -37,9 +83,67 @@ def test_decode_image_fake(assets):
     assert out["img1"].width == again["img1"].width
 
 
-def test_decode_image_real_is_stubbed(assets):
+def test_parse_image_header_all_formats():
+    assert parse_image_header(_png(320, 240)) == ("png", 320, 240)
+    assert parse_image_header(_gif(640, 480)) == ("gif", 640, 480)
+    assert parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert parse_image_header(_bmp(800, 600)) == ("bmp", 800, 600)
+    # top-down BMP encodes negative height
+    assert parse_image_header(_bmp(800, -600)) == ("bmp", 800, 600)
+    # non-images and truncated payloads parse to nothing, never raise
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"\x89PNG-fake-1") == (None, None, None)
+    assert parse_image_header(_png(9, 9)[:12]) == (None, None, None)
+    # JPEG with SOI but no SOF yields format only
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_decode_image_real_headers(spark):
+    rows = [
+        ("p", "image", _png(320, 240), None),
+        ("g", "image", _gif(640, 480), None),
+        ("j", "image", _jpeg(1024, 768), None),
+        ("b", "image", _bmp(800, 600), None),
+        ("junk", "image", b"not-an-image", None),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r.asset_id: r for r in decode_image(assets).collect()}
+    assert (out["p"].img_format, out["p"].width, out["p"].height) == (
+        "png", 320, 240,
+    )
+    assert (out["g"].img_format, out["g"].width, out["g"].height) == (
+        "gif", 640, 480,
+    )
+    assert (out["j"].img_format, out["j"].width, out["j"].height) == (
+        "jpeg", 1024, 768,
+    )
+    assert (out["b"].img_format, out["b"].width, out["b"].height) == (
+        "bmp", 800, 600,
+    )
+    # unknown signature: honest nulls without fake mode
+    assert out["junk"].img_format is None
+    assert out["junk"].width is None and out["junk"].height is None
+    assert out["junk"].n_bytes == len(b"not-an-image")
+
+
+def test_decode_image_fake_defers_to_real_header(spark):
+    # fake mode only fills payloads with NO parseable header; a real
+    # header always wins over the digest-derived dims.
+    rows = [
+        ("real", "image", _png(111, 222), None),
+        ("fakeit", "image", b"\x89PNG-fake-1", None),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r.asset_id: r for r in decode_image(assets, fake=True).collect()}
+    assert (out["real"].width, out["real"].height) == (111, 222)
+    assert out["fakeit"].img_format is None
+    assert out["fakeit"].width is not None  # deterministic fake dims
+
+
+def test_decode_pixels_is_fail_fast(assets):
     with pytest.raises(Exception) as ei:
-        decode_image(assets, fake=False).collect()
+        decode_pixels(assets).collect()
     assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
 
 

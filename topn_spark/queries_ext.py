@@ -2801,3 +2801,53 @@ def x80_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(ev, ["user_id"], "ts", "value").orderBy(
         "user_id"
     )
+
+
+@query(
+    "x81_image_header_decode",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_format,
+       CAST(1 + doc_id % 1920 AS INT) AS width,
+       CAST(1 + doc_id % 1080 AS INT) AS height
+FROM documents ORDER BY doc_id ASC LIMIT 200""",
+    doc="Image metadata decode oracle (multimodal.py::decode_image): "
+    "Spark synthesizes spec-valid PNG/GIF container headers from "
+    "per-row values, runs the REAL pure-stdlib header parser "
+    "distributed via mapInPandas, and returns the parsed dims; the "
+    "oracle recomputes the planted dims arithmetically, so any parser "
+    "byte-offset/endianness bug hash-mismatches",
+)
+def x81_image_header_decode(spark, sf_dir):
+    from topn_spark.operators.multimodal import decode_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Spec-valid headers built JVM-side from planted dims: PNG packs
+    # big-endian u32 dims at bytes 16..24 after the 8-byte signature +
+    # IHDR length/type; GIF packs little-endian u16 dims at bytes 6..10.
+    w = (1 + F.col("doc_id") % 1920).cast("int")
+    h = (1 + F.col("doc_id") % 1080).cast("int")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    le16 = lambda c: F.unhex(  # noqa: E731
+        F.concat(
+            F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+        )
+    )
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be32(w),
+        be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00\x00\x00\x00\x00"),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"))
+    assets = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif).alias("payload"),
+    )
+    return (
+        decode_image(assets)
+        .select("doc_id", "img_format", "width", "height")
+        .orderBy("doc_id")
+        .limit(200)
+    )
