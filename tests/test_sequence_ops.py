@@ -164,17 +164,19 @@ def _brute_skyline(pts):
     return out
 
 
-def test_skyline_matches_brute_force(spark):
+@pytest.mark.parametrize("prune", ["agg", "arrow"])
+def test_skyline_matches_brute_force(spark, prune):
     from topn_spark.operators.pipeline import skyline_2d
 
     rng = np.random.default_rng(5)
     pts = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(300, 2))]
     df = spark.createDataFrame(pts, "x int, y int").repartition(7)
-    got = {tuple(r) for r in skyline_2d(df, "x", "y").collect()}
+    got = {tuple(r) for r in skyline_2d(df, "x", "y", prune=prune).collect()}
     assert got == _brute_skyline(pts)
 
 
-def test_skyline_ties_and_duplicates(spark):
+@pytest.mark.parametrize("prune", ["agg", "arrow"])
+def test_skyline_ties_and_duplicates(spark, prune):
     from topn_spark.operators.pipeline import skyline_2d
 
     # duplicates collapse; equal-x chains keep only the max y;
@@ -183,7 +185,7 @@ def test_skyline_ties_and_duplicates(spark):
         [(5, 5), (5, 5), (5, 4), (4, 5), (6, 2), (2, 6)],
         "x int, y int",
     )
-    got = {tuple(r) for r in skyline_2d(df, "x", "y").collect()}
+    got = {tuple(r) for r in skyline_2d(df, "x", "y", prune=prune).collect()}
     assert got == {(5, 5), (6, 2), (2, 6)}
 
 
@@ -207,17 +209,42 @@ def test_time_weighted_avg_step_integral(spark):
     assert got["a"]["twa"] < 20
 
 
-def test_skyline_phase1_is_map_side(spark):
-    """The local prune must not shuffle: no Exchange may appear below
-    the mapInPandas node (ADVICE r1 — the old spark_partition_id
-    window inserted one)."""
+def test_skyline_arrow_phase1_is_map_side(spark):
+    """The Arrow local prune must not shuffle: no Exchange may appear
+    below the mapInPandas node (ADVICE r1 — the old
+    spark_partition_id window inserted one)."""
     from topn_spark.operators.pipeline import skyline_2d
 
     df = spark.range(0, 1000).selectExpr(
         "CAST(id % 97 AS DOUBLE) AS x", "CAST(id % 89 AS DOUBLE) AS y"
     )
-    plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        skyline_2d(df, "x", "y", prune="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # everything below the python-worker prune must be exchange-free:
     # the only exchanges allowed are above it (distinct + final window)
     below = plan.split("MapInPandas")[-1]
     assert "Exchange" not in below, below
+
+
+def test_skyline_agg_phase1_is_codegen_partial_agg(spark):
+    """The default prune is a JVM hash aggregate with map-side partial
+    combine: partial_max below the Exchange, no Python worker node
+    anywhere in the plan."""
+    from topn_spark.operators.pipeline import skyline_2d
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 97 AS DOUBLE) AS x", "CAST(id % 89 AS DOUBLE) AS y"
+    )
+    plan = (
+        skyline_2d(df, "x", "y")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan
+    below_exchange = plan.split("Exchange", 1)[-1]
+    assert "partial_max" in below_exchange, plan
