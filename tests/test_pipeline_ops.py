@@ -8,6 +8,7 @@ budget invariants, redaction completeness.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -204,6 +205,52 @@ def test_resample_ffill_grid_and_carry(spark):
     u2 = [(r["bucket"].hour, r["value"], r["ffilled"]) for r in out
           if r["user_id"] == 2]
     assert u2 == [(10, 1.0, False)]  # span is per key, not global
+
+
+def test_resample_interpolate_linear_and_edges(spark):
+    from topn_spark.operators.pipeline import resample_interpolate
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 4.0),
+        (1, "2024-01-01 03:20:00", 10.0),  # hours 1-2 interpolate
+        (1, "2024-01-01 05:00:00", 0.0),   # hour 4 interpolates down
+        (2, "2024-01-01 10:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = resample_interpolate(
+        df, "ts", ["user_id"], F.max("value")
+    ).orderBy("user_id", "bucket").collect()
+    u1 = [
+        (r["bucket"].hour, r["value"], r["interpolated"])
+        for r in out
+        if r["user_id"] == 1
+    ]
+    assert u1 == [
+        (0, 4.0, False),
+        (1, 6.0, True),   # 4 + (10-4) * 1/3
+        (2, 8.0, True),   # 4 + (10-4) * 2/3
+        (3, 10.0, False),
+        (4, 5.0, True),   # 10 + (0-10) * 1/2
+        (5, 0.0, False),
+    ]
+    # single-observation key: grid is one row, nothing to fill
+    u2 = [(r["bucket"].hour, r["value"]) for r in out if r["user_id"] == 2]
+    assert u2 == [(10, 1.0)]
+    # matches pandas resample().interpolate() on the same series
+    pd_vals = (
+        pd.Series(
+            [4.0, 10.0, 0.0],
+            index=pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 03:00", "2024-01-01 05:00"]
+            ),
+        )
+        .resample("1h")
+        .mean()
+        .interpolate("linear")
+    )
+    assert [v for _, v, _ in u1] == pytest.approx(list(pd_vals))
 
 
 def test_histogram_bucket_semantics(spark):

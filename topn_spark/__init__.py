@@ -50,6 +50,7 @@ from topn_spark.operators.pipeline import (
     pack_sequences,
     redact_pii,
     resample_ffill,
+    resample_interpolate,
     sessionize,
     stratified_sample,
     token_heavy_hitters,
@@ -109,6 +110,7 @@ __all__ = [
     "histogram",
     "merge_upsert",
     "resample_ffill",
+    "resample_interpolate",
     "sessionize",
     "winsorize",
     "zscore",

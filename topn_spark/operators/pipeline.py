@@ -361,6 +361,87 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_agg: Column,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with LINEAR
+    interpolation: one row per key per ``step`` bucket from that key's
+    first to last event; buckets with no events get the straight-line
+    value between the surrounding observed buckets (TimescaleDB
+    ``interpolate()``, Pandas ``resample().interpolate()``).
+
+    The sibling of :func:`resample_ffill` (same grid construction —
+    per-key span agg, ``sequence()`` explode, co-keyed left join; grid
+    explosion proportional to output, not input). The fill differs:
+    two windows per key carry the previous observed (bucket, value)
+    forward and the next observed backward, then the interior gap rows
+    evaluate the closed-form lerp in codegen. Leading gap rows (before
+    the first observation) stay null — there is nothing to
+    interpolate from; trailing rows cannot exist because the grid ends
+    at the key's last event. ``interpolated`` marks filled rows.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    span = df.groupBy(*key_cols).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+        ).alias("bucket"),
+    )
+    actual = df.groupBy(*key_cols, bucket.alias("bucket")).agg(
+        value_agg.alias("_v")
+    )
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+    j = (
+        grid.join(actual, [*key_cols, "bucket"], "left")
+        .withColumn("_pv", F.last("_v", ignorenulls=True).over(wb))
+        .withColumn("_pt", F.last(obs_bucket, ignorenulls=True).over(wb))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(wf))
+        .withColumn("_nt", F.first(obs_bucket, ignorenulls=True).over(wf))
+    )
+    t = F.unix_timestamp("bucket").cast("double")
+    tp = F.unix_timestamp("_pt").cast("double")
+    tn = F.unix_timestamp("_nt").cast("double")
+    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (t - tp) / (
+        tn - tp
+    )
+    return (
+        j.withColumn(
+            "value",
+            F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+                F.when(
+                    F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+                    lerp,
+                )
+            ),
+        )
+        .withColumn(
+            "interpolated",
+            F.col("_v").isNull() & F.col("value").isNotNull(),
+        )
+        .drop("_v", "_pv", "_pt", "_nv", "_nt")
+    )
+
+
 def histogram(
     df: DataFrame, col: str, lo: float, hi: float, nbins: int
 ) -> DataFrame:

@@ -2861,3 +2861,66 @@ def x81_image_header_decode(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "x82_resample_interpolate",
+    """WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE user_id < 8),
+span AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                date_trunc('hour', MAX(ts)) AS hi
+         FROM ev GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         FROM span),
+actual AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                  MAX(value) AS v
+           FROM ev GROUP BY 1, 2),
+j AS (SELECT g.user_id, g.bucket, a.v,
+        last_value(a.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN a.v IS NOT NULL THEN g.bucket END
+                   IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(a.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN a.v IS NOT NULL THEN g.bucket END
+                    IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid g LEFT JOIN actual a USING (user_id, bucket))
+SELECT user_id, bucket,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+                              / (epoch(nt) - epoch(pt))
+             END, 6) AS value,
+       v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS interpolated
+FROM j ORDER BY user_id ASC, bucket ASC LIMIT 500""",
+    doc="Time-series resample to an hourly grid with LINEAR "
+    "interpolation (pipeline.py::resample_interpolate — TimescaleDB "
+    "interpolate() / pandas resample().interpolate()): "
+    "sequence-exploded grid, bucketed agg join, prev/next observed "
+    "carry windows, closed-form lerp in codegen",
+)
+def x82_resample_interpolate(spark, sf_dir):
+    from topn_spark.operators.pipeline import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    return (
+        resample_interpolate(
+            ev, "ts", ["user_id"], F.max("value"), "1 hour", "hour"
+        )
+        .select(
+            "user_id",
+            "bucket",
+            F.round("value", 6).alias("value"),
+            "interpolated",
+        )
+        .orderBy("user_id", "bucket")
+        .limit(500)
+    )
