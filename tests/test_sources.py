@@ -19,12 +19,31 @@ def _sorted_rows(df):
     return [tuple(r) for r in df.orderBy("o_orderkey").collect()]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip(spark, orders, tmp_path, fmt):
     p = str(tmp_path / fmt)
     write(orders, p, fmt=fmt, mode="overwrite")
     back = read(spark, p, fmt=fmt, schema=orders.schema)
     assert _sorted_rows(back) == _sorted_rows(orders)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    # text: one string column per line — the raw-corpus ingest format
+    p = str(tmp_path / "text")
+    lines = spark.range(0, 50).selectExpr(
+        "CONCAT('doc-', CAST(id AS STRING)) AS value"
+    )
+    write(lines, p, fmt="text", mode="overwrite")
+    back = read(spark, p, fmt="text")
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == sorted(
+        f"doc-{i}" for i in range(50)
+    )
+
+
+def test_avro_rejected_with_explanation(spark):
+    with pytest.raises(ValueError, match="spark-avro"):
+        read(spark, "/nope", fmt="avro")
 
 
 def test_partitioned_write_prunes(spark, orders, tmp_path):
@@ -83,7 +102,7 @@ def test_bucketed_join_has_no_shuffle(spark, orders):
 
 def test_bad_format_rejected(spark):
     with pytest.raises(ValueError):
-        read(spark, "/nope", fmt="xml")
+        read(spark, "/nope", fmt="feather")
 
 
 def test_bucket_by_requires_table(orders, tmp_path):

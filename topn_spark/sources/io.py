@@ -3,8 +3,13 @@
 Formats: parquet (primary — columnar, statistics, predicate pushdown),
 orc (same class), csv/json (schema-on-read text; always pass an
 explicit schema in production — inference scans the data twice and
-types drift), jdbc (partitioned parallel reads via
-partitionColumn/lowerBound/upperBound/numPartitions).
+types drift), xml (built into Spark ≥4.0; rowTag-delimited records),
+text (one string column ``value`` per line — raw-corpus ingest), jdbc
+(partitioned parallel reads via partitionColumn/lowerBound/upperBound/
+numPartitions; proven against embedded Derby in test_sources). avro is
+deliberately NOT listed: the spark-avro module is external to the
+distribution and absent here — requesting it raises the explanatory
+ValueError rather than Spark's generic lookup failure.
 
 Scale notes:
 - Write with ``partition_by`` on low-cardinality filter columns →
@@ -23,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_READ_FORMATS = ("parquet", "orc", "csv", "json", "jdbc")
+_READ_FORMATS = ("parquet", "orc", "csv", "json", "xml", "text", "jdbc")
 
 
 def read(
@@ -37,11 +42,18 @@ def read(
     avoid inference. jdbc: pass url/dbtable/driver (+ partitionColumn,
     lowerBound, upperBound, numPartitions for parallel reads) as
     options and no ``path``."""
+    if fmt == "avro":
+        raise ValueError(
+            "avro needs the external spark-avro module, which is not in "
+            "this distribution; use parquet/orc for columnar data"
+        )
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_READ_FORMATS}")
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml" and "rowTag" not in options:
+        reader = reader.option("rowTag", "row")
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
@@ -68,6 +80,8 @@ def write(
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml" and "rowTag" not in options:
+        writer = writer.option("rowTag", "row")
     for k, v in options.items():
         writer = writer.option(k, v)
     if partition_by:
