@@ -2924,3 +2924,53 @@ def x82_resample_interpolate(spark, sf_dir):
         .orderBy("user_id", "bucket")
         .limit(500)
     )
+
+
+@query(
+    "x83_variant_json",
+    """WITH j AS (
+  SELECT event_id,
+         '{"a": ' || CAST(user_id AS VARCHAR) ||
+         ', "t": ["' || event_type || '"], "n": {"k": ' ||
+         CAST(json_extract(props, '$.k') AS VARCHAR) || '}}' AS js
+  FROM events WHERE props IS NOT NULL)
+SELECT event_id,
+       CAST(json_extract(js, '$.a') AS BIGINT) AS a,
+       CAST(json_extract_string(js, '$.t[0]') AS VARCHAR) AS tag,
+       CAST(json_extract(js, '$.n.k') AS INT) AS k,
+       json_extract(js, '$.missing') IS NULL AS no_path
+FROM j ORDER BY event_id ASC LIMIT 200""",
+    doc="Semi-structured VARIANT path (Spark 4 VariantType): identical "
+    "nested JSON built from row values in both engines; Spark parses "
+    "to VARIANT (binary semi-structured encoding, not string re-scans) "
+    "and extracts typed paths with variant_get / v:path syntax; the "
+    "oracle extracts the same paths with DuckDB JSON functions — "
+    "missing paths null out in both",
+)
+def x83_variant_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("props").isNotNull()
+    )
+    js = F.concat(
+        F.lit('{"a": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "t": ["'),
+        F.col("event_type"),
+        F.lit('"], "n": {"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit("}}"),
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return (
+        v.select(
+            "event_id",
+            F.expr("variant_get(v, '$.a', 'bigint')").alias("a"),
+            F.expr("variant_get(v, '$.t[0]', 'string')").alias("tag"),
+            F.expr("cast(v:n.k as int)").alias("k"),
+            F.expr("variant_get(v, '$.missing', 'string')")
+            .isNull()
+            .alias("no_path"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
