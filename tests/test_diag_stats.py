@@ -97,3 +97,46 @@ def test_mi_null_category_kept(spark):
     # NULL is a real category: b determines a exactly
     assert r["n"] == 20
     assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chi2_independence_known_tables(spark):
+    from topn_spark.diag import chi2_independence
+
+    # independent: uniform 2x2 -> chi2 = 0
+    rows = [("x", 0), ("x", 1), ("y", 0), ("y", 1)] * 10
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["dof"], r["chi2"]) == (40, 1, 0.0)
+
+    # perfect association: chi2 = n for a 2x2
+    rows = [("x", 0)] * 15 + [("y", 1)] * 25
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b int"), "a", "b"
+    ).collect()[0]
+    assert (r["n"], r["dof"], r["chi2"]) == (40, 1, 40.0)
+
+    # hand-computed 2x2: [[10, 20], [30, 40]]
+    rows = (
+        [("x", 0)] * 10 + [("x", 1)] * 20 + [("y", 0)] * 30 + [("y", 1)] * 40
+    )
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b int"), "a", "b"
+    ).collect()[0]
+    # expected cells: 12, 18, 28, 42 -> chi2 = 4/12+4/18+4/28+4/42
+    want = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
+    assert abs(r["chi2"] - want) < 1e-6
+
+    # a structurally-absent cell (no ('y', 1) rows) still sums the
+    # full contingency: [[5, 5], [5, 0]]
+    rows = [("x", 0)] * 5 + [("x", 1)] * 5 + [("y", 0)] * 5
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b int"), "a", "b"
+    ).collect()[0]
+    # expected: x0=20/3, x1=10/3, y0=10/3, y1=5/3
+    want = (
+        (5 - 20 / 3) ** 2 / (20 / 3)
+        + (5 - 10 / 3) ** 2 / (10 / 3)
+        + (5 - 10 / 3) ** 2 / (10 / 3)
+        + (5 / 3)
+    )
+    assert abs(r["chi2"] - want) < 1e-6

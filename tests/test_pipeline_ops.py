@@ -566,3 +566,38 @@ def test_event_transitions_counts_and_normalization(spark):
     out = event_transitions(multi, "user_id", "ts", "step", tiebreak=["event_id"])
     sums = out.groupBy("from_step").agg(F.round(F.sum("p"), 6).alias("s")).collect()
     assert all(r.s == 1.0 for r in sums)
+
+
+def test_sample_k_per_group_deterministic_and_capped(spark):
+    from topn_spark.operators.pipeline import sample_k_per_group
+
+    df = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp"
+    )
+    out = sample_k_per_group(df, ["grp"], 10, "id")
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r.grp for r in rows)
+    assert set(per.values()) == {10}
+    # schema passthrough without rank_col
+    assert out.columns == df.columns
+    # stable across repartitioning (no rand())
+    again = sample_k_per_group(df.repartition(13), ["grp"], 10, "id")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+    # small group: emits all rows, never pads
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "id long, grp string")
+    assert sample_k_per_group(tiny, ["grp"], 10, "id").count() == 2
+
+
+def test_sample_k_per_group_plans_window_group_limit(spark):
+    from topn_spark.operators.pipeline import sample_k_per_group
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 5 AS grp")
+    plan = (
+        sample_k_per_group(df, ["grp"], 3, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -52,6 +52,7 @@ from topn_spark.operators.pipeline import (
     resample_ffill,
     resample_interpolate,
     sessionize,
+    sample_k_per_group,
     stratified_sample,
     token_heavy_hitters,
     winsorize,
@@ -102,6 +103,7 @@ __all__ = [
     "chunk_by_tokens",
     "hash_sample",
     "assign_split",
+    "sample_k_per_group",
     "stratified_sample",
     "pack_sequences",
     "redact_pii",

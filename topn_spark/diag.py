@@ -322,3 +322,57 @@ def check_expectations(
             F.col("n_fail") <= F.lit(allow_fail) * F.col("n")
         ).alias("ok"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns → one row ``(n, dof, chi2)``.
+
+    ``chi2 = Σ_cells (observed - expected)² / expected`` with
+    ``expected = row_total × col_total / n``; ``dof =
+    (|A|-1)(|B|-1)``. Large chi2 relative to dof ⇒ the columns are
+    associated — the slice-balance companion to
+    :func:`mutual_information` (same contingency machinery, classical
+    test statistic instead of an information measure; no p-value —
+    that needs the chi-square CDF, out of scope without SciPy).
+
+    Scale shape: one ``groupBy(a, b)`` count (map-side combined; the
+    contingency table is |A|×|B| cells regardless of row count), the
+    marginals are windowed sums OVER THE CELL TABLE (not the data),
+    and the statistic is one aggregate over cells. NULL categories
+    count as their own level, mirroring ``mutual_information``.
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    with_marg = cells.select(
+        "_a",
+        "_b",
+        "_o",
+        F.sum("_o").over(wa).alias("_ra"),
+        F.sum("_o").over(wb).alias("_cb"),
+        F.sum("_o").over(wall).alias("_n"),
+    )
+    exp = F.col("_ra") * F.col("_cb") / F.col("_n")
+    # cells absent from the table contribute exactly `expected` to the
+    # sum (observed = 0), so the observed-cell sum must be corrected:
+    # Σ_all (o-e)²/e = Σ_obs ((o-e)²/e - e) + n  — because Σ_all e = n
+    # and absent cells have (0-e)²/e = e.
+    term = (F.col("_o") - exp) * (F.col("_o") - exp) / exp - exp
+    return with_marg.agg(
+        F.first("_n").alias("n"),
+        (
+            (F.countDistinct("_a") - 1) * (F.countDistinct("_b") - 1)
+        ).alias("dof"),
+        F.round(F.sum(term) + F.first("_n"), round_to).alias("chi2"),
+    )

@@ -114,6 +114,42 @@ def hash_sample(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_col: str,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic ≤``k``-row sample per ``key_cols`` group: rank
+    rows by md5(id) and keep the k smallest hashes per key — the
+    bounded-per-source corpus cap (e.g. "at most 10k docs per
+    domain"), reproducible across runs, partitionings, and engines
+    (no ``rand()``, no reservoir state).
+
+    A content hash is a uniform order, so the k smallest hashes ARE a
+    uniform k-sample of the group. Plans like grouped top-N:
+    ``row_number() OVER (PARTITION BY keys ORDER BY md5(id))`` +
+    filter → Spark ≥3.5 evaluates the rank cut map-side
+    (WindowGroupLimit), so at most k rows per group per input
+    partition reach the shuffle — the sample never materializes the
+    group.
+
+    ``rank_col`` keeps the 1-based hash rank if given; otherwise the
+    output schema equals the input schema.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        _hash_key(id_col), F.col(id_col)
+    )
+    rn = "__sample_rn" if rank_col is None else rank_col
+    out = df.withColumn(rn, F.row_number().over(w).cast("bigint")).where(
+        F.col(rn) <= k
+    )
+    return out.drop(rn) if rank_col is None else out
+
+
 def assign_split(
     df: DataFrame, key_col: str, out_col: str = "split"
 ) -> DataFrame:

@@ -2974,3 +2974,62 @@ def x83_variant_json(spark, sf_dir):
         .orderBy("event_id")
         .limit(200)
     )
+
+
+@query(
+    "x84_sample_k_per_group",
+    """WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, source, lang, rn FROM r
+WHERE rn <= 25 ORDER BY source ASC, rn ASC""",
+    doc="Bounded per-source corpus cap "
+    "(pipeline.py::sample_k_per_group): deterministic uniform "
+    "k-sample per group via md5-rank — the k smallest content hashes "
+    "ARE a uniform k-sample; WindowGroupLimit cuts map-side so at "
+    "most k rows per group per partition reach the shuffle",
+)
+def x84_sample_k_per_group(spark, sf_dir):
+    from topn_spark.operators.pipeline import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return sample_k_per_group(
+        docs, ["source"], 25, "doc_id", rank_col="rn"
+    ).orderBy("source", "rn")
+
+
+@query(
+    "x85_chi2_independence",
+    """WITH cells AS (
+  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o
+  FROM events GROUP BY 1, 2),
+m AS (SELECT a, b, o,
+        SUM(o) OVER (PARTITION BY a) AS ra,
+        SUM(o) OVER (PARTITION BY b) AS cb,
+        SUM(o) OVER () AS n
+      FROM cells)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+         AS dof,
+       ROUND(SUM((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)
+                 - ra * cb / n) + MAX(n), 6) AS chi2
+FROM m""",
+    doc="Pearson chi-square independence test of event_type x "
+    "user-bucket (diag.py::chi2_independence): contingency cells via "
+    "one map-side-combined groupBy, marginals windowed over the CELL "
+    "table (|A|x|B| rows, not the data), absent-cell mass folded in "
+    "closed form (sum over observed cells + n - sum of observed "
+    "expectations)",
+)
+def x85_chi2_independence(spark, sf_dir):
+    from topn_spark.diag import chi2_independence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("ub")
+    )
+    return chi2_independence(ev, "event_type", "ub")
