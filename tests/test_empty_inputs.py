@@ -153,3 +153,28 @@ def test_new_wave_ops_on_empty(spark):
     assert all(r.n == 0 and r.ndv == 0 for r in prof.values())
     gate = check_expectations(docs, {"ok": F.col("doc_id").isNotNull()}).collect()
     assert gate[0].n == 0 and gate[0].n_fail == 0 and gate[0].ok
+
+
+def test_round3_ops_on_empty(spark):
+    from topn_spark.diag import chi2_independence
+    from topn_spark.operators.graph import triangle_count
+    from topn_spark.operators.pipeline import (
+        resample_interpolate,
+        sample_k_per_group,
+    )
+
+    ev = _empty_events(spark)
+    assert (
+        resample_interpolate(ev, "ts", ["user_id"], F.max("value")).count()
+        == 0
+    )
+    assert (
+        sample_k_per_group(_empty_docs(spark), ["source"], 5, "doc_id").count()
+        == 0
+    )
+    r = chi2_independence(
+        spark.createDataFrame([], "a string, b int"), "a", "b"
+    ).collect()[0]
+    assert (r["n"], r["dof"], r["chi2"]) == (0, 0, None)
+    t = triangle_count(spark.createDataFrame([], "src long, dst long"))
+    assert [tuple(x) for x in t.collect()] == [(0, 0, 0)]

@@ -369,10 +369,13 @@ def chi2_independence(
     # Σ_all (o-e)²/e = Σ_obs ((o-e)²/e - e) + n  — because Σ_all e = n
     # and absent cells have (0-e)²/e = e.
     term = (F.col("_o") - exp) * (F.col("_o") - exp) / exp - exp
+    # greatest(..., 0): an empty (or single-level) input must report
+    # dof 0, not (0-1)*(0-1) = 1; n coalesces to 0 on empty.
     return with_marg.agg(
-        F.first("_n").alias("n"),
+        F.coalesce(F.first("_n"), F.lit(0)).alias("n"),
         (
-            (F.countDistinct("_a") - 1) * (F.countDistinct("_b") - 1)
+            F.greatest(F.countDistinct("_a") - 1, F.lit(0))
+            * F.greatest(F.countDistinct("_b") - 1, F.lit(0))
         ).alias("dof"),
         F.round(F.sum(term) + F.first("_n"), round_to).alias("chi2"),
     )
