@@ -162,7 +162,23 @@ def test_bucketed_asof_matches_bruteforce(spark):
             probe, build, "pt", "t", left_id="pid", bucket="hour"
         ).collect()
     }
+    fwd = {
+        r["pid"]: r["t_asof"]
+        for r in asof_join_bucketed(
+            probe,
+            build,
+            "pt",
+            "t",
+            left_id="pid",
+            bucket="hour",
+            direction="forward",
+        ).collect()
+    }
     for j, m in enumerate(probe_minutes):
         pt = base + dt.timedelta(minutes=m)
         expect = max((t for _, t, _ in build_rows if t <= pt), default=None)
         assert got[j] == expect, (j, m, got[j], expect)
+        expect_f = min(
+            (t for _, t, _ in build_rows if t >= pt), default=None
+        )
+        assert fwd[j] == expect_f, (j, m, fwd[j], expect_f)

@@ -128,16 +128,20 @@ def asof_join_bucketed(
     left_id: str,
     value_cols: list[str] | None = None,
     bucket: str = "day",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Keyless backward as-of join that scales: time-bucket both sides
-    so all data motion is equi-joins and bounded aggregates — the
+    """Keyless as-of join that scales: time-bucket both sides so all
+    data motion is equi-joins and bounded aggregates — the
     "range-bucket the time axis" strategy this module's header
     prescribes for keyless as-of at 100 TB.
 
     For each left row, finds the right row with the greatest
-    ``right_on`` ≤ ``left_on`` and appends ``{right_on}_asof`` plus
-    ``value_cols`` from it (nulls when no right row precedes).
-    ``left_id`` must uniquely identify left rows.
+    ``right_on`` ≤ ``left_on`` (``direction="backward"``) or the least
+    ``right_on`` ≥ ``left_on`` (``"forward"``, the exact mirror:
+    min-structs, a following-window carry, and a clamp at the low end
+    of the span) and appends ``{right_on}_asof`` plus ``value_cols``
+    from it (nulls when no right row qualifies). ``left_id`` must
+    uniquely identify left rows.
 
     Plan shape (no nested-loop join, no big broadcast, no global
     window over data rows, ONE scan of the probe side):
@@ -162,14 +166,18 @@ def asof_join_bucketed(
        probe — no second probe scan, no probe-probe re-join.
 
     Lexicographic struct comparison (time field first) makes (2) and
-    (5) plain ``max``/``greatest``; per-bucket row counts bound the
-    only potentially-skewed join (5).
+    (5) plain ``max``/``greatest`` (``min``/``least`` forward);
+    per-bucket row counts bound the only potentially-skewed join (5).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    back = direction == "backward"
     value_cols = value_cols or []
     out_t = f"{right_on}_asof"
 
     rbkt = F.date_trunc(bucket, F.col(right_on))
-    best = F.max(
+    agg_best = F.max if back else F.min
+    best = agg_best(
         F.struct(F.col(right_on).alias("_t"), *[F.col(c) for c in value_cols])
     )
     per_bucket = right.groupBy(rbkt.alias("_bkt")).agg(best.alias("_best"))
@@ -183,22 +191,36 @@ def asof_join_bucketed(
             F.sequence("_lo", "_hi", F.expr(f"interval 1 {bucket}"))
         ).alias("_ck")
     )
-    wprev = (
+    # backward: carry the best of strictly-earlier buckets forward;
+    # forward: the best of strictly-later buckets backward.
+    wcarry = (
         Window.partitionBy()
         .orderBy("_ck")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(
+            *(
+                (Window.unboundedPreceding, -1)
+                if back
+                else (1, Window.unboundedFollowing)
+            )
+        )
     )
     wcum = (
         Window.partitionBy()
         .orderBy("_ck")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(
+            *(
+                (Window.unboundedPreceding, 0)
+                if back
+                else (0, Window.unboundedFollowing)
+            )
+        )
     )
     dense = (
         grid.join(per_bucket.withColumnRenamed("_bkt", "_ck"), "_ck", "left")
         .select(
             "_ck",
-            F.max("_best").over(wprev).alias("_prev_best"),
-            F.max("_best").over(wcum).alias("_cum_best"),
+            agg_best("_best").over(wcarry).alias("_carry_best"),
+            agg_best("_best").over(wcum).alias("_cum_best"),
         )
     )
 
@@ -217,33 +239,46 @@ def asof_join_bucketed(
 
     # (3) scalar span per probe row via the constant-key 1-row
     # broadcast BHJ; clamp the join key into the grid (null probe
-    # times stay null: least() would otherwise skip the null and
-    # match _hi).
+    # times stay null: least()/greatest() would otherwise skip the
+    # null and match the clamp bound). Backward clamps down into the
+    # top of the span; forward clamps up into the bottom.
+    clamp_bound = "_hi" if back else "_lo"
+    clamp = F.least if back else F.greatest
     with_span = probe.join(
-        F.broadcast(span.select(span_one.alias("_one"), "_hi")),
+        F.broadcast(span.select(span_one.alias("_one"), "_lo", "_hi")),
         "_one",
         "left",
     ).withColumn(
         "_ck",
         F.when(
-            F.col("_jbkt").isNotNull(), F.least(F.col("_jbkt"), F.col("_hi"))
+            F.col("_jbkt").isNotNull(),
+            clamp(F.col("_jbkt"), F.col(clamp_bound)),
         ),
     )
 
-    # (4) strictly-earlier buckets via the dense cumulative table;
-    # probes clamped down from beyond the range use the inclusive max.
-    with_prev = with_span.join(F.broadcast(dense), "_ck", "left").withColumn(
-        "_prev",
-        F.when(
-            F.col("_jbkt") > F.col("_hi"), F.col("_cum_best")
-        ).otherwise(F.col("_prev_best")),
+    # (4) strictly-earlier (/later) buckets via the dense cumulative
+    # table; probes clamped in from beyond the range use the
+    # inclusive best at the clamp bound.
+    past_range = (
+        F.col("_jbkt") > F.col("_hi")
+        if back
+        else F.col("_jbkt") < F.col("_lo")
+    )
+    with_carry = with_span.join(
+        F.broadcast(dense), "_ck", "left"
+    ).withColumn(
+        "_carry",
+        F.when(past_range, F.col("_cum_best")).otherwise(
+            F.col("_carry_best")
+        ),
     )
 
     # (5) same-bucket refinement folded into one grouped aggregate:
-    # left join keeps match-less probes, the conditional max ignores
-    # right rows after the probe time, greatest() merges the step-4
-    # carry (both operands share the struct shape, time field first).
-    cand = with_prev.join(
+    # left join keeps match-less probes, the conditional max/min
+    # ignores right rows on the wrong side of the probe time,
+    # greatest()/least() merges the step-4 carry (both operands share
+    # the struct shape, time field first).
+    cand = with_carry.join(
         right.select(
             rbkt.alias("_jbkt"),
             F.struct(
@@ -254,11 +289,17 @@ def asof_join_bucketed(
         "_jbkt",
         "left",
     )
+    qualifies = (
+        F.col("_s._t") <= F.col(left_on)
+        if back
+        else F.col("_s._t") >= F.col(left_on)
+    )
+    merge = F.greatest if back else F.least
     merged = cand.groupBy(left_id).agg(
         *[F.first(c).alias(c) for c in left.columns if c != left_id],
-        F.greatest(
-            F.first("_prev"),
-            F.max(F.when(F.col("_s._t") <= F.col(left_on), F.col("_s"))),
+        merge(
+            F.first("_carry"),
+            agg_best(F.when(qualifies, F.col("_s"))),
         ).alias("_final"),
     )
     return merged.select(
