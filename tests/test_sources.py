@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 from topn_spark.catalog import load_table
@@ -145,3 +146,31 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert par.rdd.getNumPartitions() == 4
     assert par.count() == 100
+
+
+def test_dynamic_partition_pruning_fires(spark, orders, tmp_path):
+    """Star-join scan reduction at 100 TB: when the fact table is
+    partitioned on the join column and the dim side is filtered,
+    Spark must inject a dynamicpruning subquery into the fact scan so
+    only partitions matching the dim's surviving keys are read — the
+    runtime analogue of static partition pruning."""
+    fact_path = str(tmp_path / "fact")
+    orders.withColumn(
+        "bucket", (F.col("o_custkey") % 16).cast("int")
+    ).write.partitionBy("bucket").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        orders.withColumn(
+            "bucket", (F.col("o_custkey") % 16).cast("int")
+        )
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("bucket")
+        .distinct()
+    )
+    plan = (
+        fact.join(dim, "bucket")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan, plan
