@@ -64,9 +64,20 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    if only:
+        # prefix match, and FAIL on a selector that matches nothing —
+        # a typo'd name must not report a vacuous ALL OK.
+        unmatched = [
+            p
+            for p in only
+            if not any(n.startswith(p) for n in QUERIES)
+        ]
+        if unmatched:
+            print(f"FAIL — no catalog entry matches: {unmatched}")
+            return 1
     n_fail = 0
     for name, q in sorted(QUERIES.items()):
-        if only and name not in only:
+        if only and not any(name.startswith(p) for p in only):
             continue
         sdf = q.builder(spark, sf_dir)
         srows = sdf.collect()

@@ -3033,3 +3033,67 @@ def x85_chi2_independence(spark, sf_dir):
         "event_type", (F.col("user_id") % 4).alias("ub")
     )
     return chi2_independence(ev, "event_type", "ub")
+
+
+@query(
+    "x86_lateral_topn",
+    """SELECT r.r_name, l.n_name
+FROM region r,
+     LATERAL (SELECT n_name FROM nation n
+              WHERE n.n_regionkey = r.r_regionkey
+              ORDER BY n_name ASC LIMIT 2) l
+ORDER BY r_name ASC, n_name ASC""",
+    doc="LATERAL correlated subquery (Spark 4 SQL surface): per-region "
+    "top-2 nations via a correlated ordered-limit subquery — the "
+    "SQL-standard form of grouped top-N; Catalyst decorrelates it, "
+    "DuckDB runs the identical text",
+)
+def x86_lateral_topn(spark, sf_dir):
+    from topn_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("region", "nation"))
+    return spark.sql(
+        """SELECT r.r_name, l.n_name
+           FROM region r,
+                LATERAL (SELECT n_name FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                         ORDER BY n_name ASC LIMIT 2) l
+           ORDER BY r_name ASC, n_name ASC"""
+    )
+
+
+@query(
+    "x87_recursive_cte",
+    """WITH RECURSIVE chain AS (
+  SELECT n_nationkey AS a,
+         LEAD(n_nationkey) OVER (
+           PARTITION BY n_regionkey ORDER BY n_nationkey ASC) AS b
+  FROM nation),
+edges AS (SELECT a, b FROM chain WHERE b IS NOT NULL)
+, reach AS (
+  SELECT a, b FROM edges
+  UNION ALL
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a, b FROM reach ORDER BY a ASC, b ASC""",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure of "
+    "the per-region nation successor chain — variable-depth iteration "
+    "expressed in the SQL standard's recursion form; DuckDB runs the "
+    "identical text (both engines fixpoint on UNION ALL)",
+)
+def x87_recursive_cte(spark, sf_dir):
+    from topn_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """WITH RECURSIVE chain AS (
+             SELECT n_nationkey AS a,
+                    LEAD(n_nationkey) OVER (
+                      PARTITION BY n_regionkey ORDER BY n_nationkey ASC) AS b
+             FROM nation),
+           edges AS (SELECT a, b FROM chain WHERE b IS NOT NULL),
+           reach AS (
+             SELECT a, b FROM edges
+             UNION ALL
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           SELECT a, b FROM reach ORDER BY a ASC, b ASC"""
+    )
