@@ -7,6 +7,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from topn_spark.diag import (
     categorical_entropy,
@@ -140,3 +141,24 @@ def test_chi2_independence_known_tables(spark):
         + (5 / 3)
     )
     assert abs(r["chi2"] - want) < 1e-6
+
+
+def test_observe_metrics_single_scan_qc(spark, tmp_path):
+    from topn_spark.diag import observe_metrics
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS v"
+    )
+    observed, obs = observe_metrics(
+        df,
+        "qc",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"),
+        F.max("id").alias("max_id"),
+    )
+    # the WRITE itself computes the metrics — no second scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 1000, "n_null_v": 100, "max_id": 999}
+    # and the written data is intact
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000

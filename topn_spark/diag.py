@@ -379,3 +379,22 @@ def chi2_independence(
         ).alias("dof"),
         F.round(F.sum(term) + F.first("_n"), round_to).alias("chi2"),
     )
+
+
+def observe_metrics(df: DataFrame, name: str, *metrics: Column):
+    """Attach single-scan observed metrics to a DataFrame → ``(df,
+    observation)``: the metrics are computed inside whatever action
+    next consumes ``df`` (a write, a count, a collect) at zero extra
+    cost — no second scan, no separate aggregation job. This is the
+    production shape for row-count / null-rate / bounds QC on a 100 TB
+    write: the sink job itself reports them.
+
+    ``observation.get`` (after the action) returns the metric dict.
+    Metrics must be aggregate expressions; non-deterministic inputs
+    are rejected by Spark. Wraps ``DataFrame.observe`` / the
+    ``Observation`` helper so callers don't manage listener plumbing.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
