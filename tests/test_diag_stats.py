@@ -162,3 +162,37 @@ def test_observe_metrics_single_scan_qc(spark, tmp_path):
     assert got == {"n_rows": 1000, "n_null_v": 100, "max_id": 999}
     # and the written data is intact
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+def test_groupwise_auc_known_values(spark):
+    from topn_spark.diag import groupwise_auc
+
+    # perfect separation -> 1.0; inverted -> 0.0; random-ish known AUC
+    rows = (
+        [("sep", 1.0 + i, True) for i in range(5)]
+        + [("sep", float(i) / 10, False) for i in range(5)]
+        + [("inv", 1.0 + i, False) for i in range(5)]
+        + [("inv", float(i) / 10, True) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    got = {
+        r["g"]: r
+        for r in groupwise_auc(df, F.col("y"), "s", ["g"]).collect()
+    }
+    assert got["sep"]["auc"] == 1.0
+    assert got["inv"]["auc"] == 0.0
+    assert (got["sep"]["n_pos"], got["sep"]["n_neg"]) == (5, 5)
+
+    # hand-computed with ties: pos scores [1, 2], neg scores [1, 3]
+    # pairs: (p1,n1) tie=0.5, (p1,n3) 0, (p2,n1) 1, (p2,n3) 0 -> U=1.5
+    # AUC = 1.5 / 4 = 0.375
+    df2 = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (1.0, False), (3.0, False)],
+        "s double, y boolean",
+    )
+    r = groupwise_auc(df2, F.col("y"), "s").collect()[0]
+    assert r["auc"] == 0.375
+
+    # degenerate: single-class group -> NULL
+    df3 = spark.createDataFrame([(1.0, True), (2.0, True)], "s double, y boolean")
+    assert groupwise_auc(df3, F.col("y"), "s").collect()[0]["auc"] is None

@@ -398,3 +398,59 @@ def observe_metrics(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def groupwise_auc(
+    df: DataFrame,
+    label: Column,
+    score: str,
+    keys: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC AUC per group → ``(keys..., n_pos, n_neg, auc)`` — the
+    model-eval readout for scored corpora (is this quality score
+    actually ranking positives above negatives, per slice?).
+
+    Mann-Whitney formulation with exact tie handling: AUC =
+    Σ_over distinct scores [ pos_s · (negs_below + neg_s/2) ] / (P·N).
+    NULL when a group lacks positives or negatives (undefined).
+
+    Scale shape: rows collapse to ONE row per (group, distinct score)
+    in a map-side-combined hash aggregate FIRST; the running-negatives
+    window and the final fold run over that collapsed table, so the
+    per-group sort cost is O(distinct scores), not O(rows). For
+    continuous scores with few ties, quantize the score first (e.g.
+    ``F.round(score, 4)``) to keep the collapsed table small — the
+    standard sketching trade, and the AUC error is bounded by the
+    quantization step.
+    """
+    from pyspark.sql.window import Window
+
+    keys = keys or []
+    lab = F.coalesce(label, F.lit(False))
+    per_score = df.groupBy(*keys, F.col(score).alias("_s")).agg(
+        F.sum(lab.cast("bigint")).alias("_p"),
+        F.sum((~lab).cast("bigint")).alias("_n"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "_negs_below", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    grouped = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    u = F.sum(
+        F.col("_p") * (F.col("_negs_below") + F.col("_n") / F.lit(2.0))
+    )
+    tot_p = F.sum("_p")
+    tot_n = F.sum("_n")
+    return grouped.agg(
+        tot_p.alias("n_pos"),
+        tot_n.alias("n_neg"),
+        F.round(
+            F.try_divide(u, tot_p.cast("double") * tot_n.cast("double")),
+            round_to,
+        ).alias("auc"),
+    )

@@ -3097,3 +3097,39 @@ def x87_recursive_cte(spark, sf_dir):
              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
            SELECT a, b FROM reach ORDER BY a ASC, b ASC"""
     )
+
+
+@query(
+    "x88_groupwise_auc",
+    """WITH per_score AS (
+  SELECT user_id % 4 AS slice, value AS s,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT slice, p, n,
+        COALESCE(SUM(n) OVER (
+          PARTITION BY slice ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS negs_below
+      FROM per_score)
+SELECT slice, SUM(p) AS n_pos, SUM(n) AS n_neg,
+       ROUND(SUM(p * (negs_below + n / 2.0))
+             / (CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6)
+         AS auc
+FROM r GROUP BY slice ORDER BY slice ASC""",
+    doc="Per-slice ROC AUC of 'does value rank purchases above other "
+    "events' (diag.py::groupwise_auc): Mann-Whitney with exact tie "
+    "handling over the per-(group, distinct score) aggregate — sort "
+    "cost is O(distinct scores), not O(rows)",
+)
+def x88_groupwise_auc(spark, sf_dir):
+    from topn_spark.diag import groupwise_auc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("slice"),
+        "value",
+        "event_type",
+    )
+    return groupwise_auc(
+        ev, F.col("event_type") == "purchase", "value", ["slice"]
+    ).orderBy("slice")
