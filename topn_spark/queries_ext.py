@@ -3112,7 +3112,8 @@ r AS (SELECT slice, p, n,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           AS negs_below
       FROM per_score)
-SELECT slice, SUM(p) AS n_pos, SUM(n) AS n_neg,
+SELECT slice, CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg,
        ROUND(SUM(p * (negs_below + n / 2.0))
              / (CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6)
          AS auc
