@@ -11,11 +11,11 @@ Spark has no native as-of join (SURVEY.md §2.3). Two formulations:
    nested-loop join, state O(1) per row — this is the 100 TB path.
    With ``by`` keys the window partitions parallelize perfectly;
    without keys the sort degenerates to a single partition (Spark
-   windows need a partition key), so keyless as-of at scale should
-   range-bucket the time axis first (``tumbling bucket + union``) or
-   use the correlated form below on a bounded probe.
-2. q11's correlated-scalar / broadcast-NLJ form
-   (topn_spark/queries.py) — right for tiny probe sets.
+   windows need a partition key) — use formulation 2 instead.
+2. ``asof_join_bucketed`` — keyless as-of at scale: range-bucket the
+   time axis so every data-sized operation is an equi-join or bounded
+   aggregate; backward and forward directions. q11
+   (topn_spark/queries.py) runs on it.
 """
 
 from __future__ import annotations
