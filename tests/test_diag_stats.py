@@ -196,3 +196,32 @@ def test_groupwise_auc_known_values(spark):
     # degenerate: single-class group -> NULL
     df3 = spark.createDataFrame([(1.0, True), (2.0, True)], "s double, y boolean")
     assert groupwise_auc(df3, F.col("y"), "s").collect()[0]["auc"] is None
+
+
+def test_chi2_null_level_counts_toward_dof(spark):
+    from topn_spark.diag import chi2_independence
+
+    # {NULL,'x'} x {0,1} is a true 2x2 contingency: dof must be 1
+    rows = (
+        [(None, 0)] * 20 + [(None, 1)] * 5
+        + [("x", 0)] * 5 + [("x", 1)] * 35
+    )
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b int"), "a", "b"
+    ).collect()[0]
+    assert r["dof"] == 1
+    assert r["n"] == 65 and r["chi2"] > 0
+
+
+def test_groupwise_auc_excludes_null_scores(spark):
+    from topn_spark.diag import groupwise_auc
+
+    # NULL scores carry no rank: result equals the non-null subset
+    rows = [
+        (None, True), (None, True),
+        (1.0, False), (2.0, True), (3.0, False),
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = groupwise_auc(df, F.col("y"), "s").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 2)
+    assert r["auc"] == 0.5  # pos(2.0) above neg(1.0), below neg(3.0)

@@ -209,3 +209,17 @@ def test_read_binary_dir(spark, tmp_path):
     assert rows[0].meta.format == "png"
     assert rows[0].payload == b"fake-png-bytes"
     assert df.schema["payload"].dataType.typeName() == "binary"
+
+
+def test_parse_bmp_core_header_and_unknown_dib():
+    # BITMAPCOREHEADER (OS/2): DIB size 12, u16 dims at 18..22
+    core = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+        + struct.pack("<HH", 100, 50) + b"\x01\x00\x18\x00" + b"\x00" * 4
+    )
+    assert parse_image_header(core) == ("bmp", 100, 50)
+    # unknown DIB header size: format only, no confident dims
+    weird = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + b"\x00" * 12
+    )
+    assert parse_image_header(weird) == ("bmp", None, None)

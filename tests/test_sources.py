@@ -174,3 +174,11 @@ def test_dynamic_partition_pruning_fires(spark, orders, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan, plan
+
+
+def test_write_rejects_avro_and_unknown_formats(spark, tmp_path):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="spark-avro"):
+        write(df, str(tmp_path / "a"), fmt="avro")
+    with pytest.raises(ValueError, match="unsupported"):
+        write(df, str(tmp_path / "f"), fmt="feather")

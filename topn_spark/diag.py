@@ -369,13 +369,22 @@ def chi2_independence(
     # Σ_all (o-e)²/e = Σ_obs ((o-e)²/e - e) + n  — because Σ_all e = n
     # and absent cells have (0-e)²/e = e.
     term = (F.col("_o") - exp) * (F.col("_o") - exp) / exp - exp
-    # greatest(..., 0): an empty (or single-level) input must report
-    # dof 0, not (0-1)*(0-1) = 1; n coalesces to 0 on empty.
+    # Level counts must include NULL as a level (the statistic already
+    # treats it as its own category via the groupBy) — countDistinct
+    # ignores NULL, so add it back when present. greatest(..., 0): an
+    # empty (or single-level) input must report dof 0, not
+    # (0-1)*(0-1) = 1; n coalesces to 0 on empty.
+    levels_a = F.countDistinct("_a") + F.max(
+        F.col("_a").isNull().cast("bigint")
+    )
+    levels_b = F.countDistinct("_b") + F.max(
+        F.col("_b").isNull().cast("bigint")
+    )
     return with_marg.agg(
         F.coalesce(F.first("_n"), F.lit(0)).alias("n"),
         (
-            F.greatest(F.countDistinct("_a") - 1, F.lit(0))
-            * F.greatest(F.countDistinct("_b") - 1, F.lit(0))
+            F.greatest(levels_a - 1, F.lit(0))
+            * F.greatest(levels_b - 1, F.lit(0))
         ).alias("dof"),
         F.round(F.sum(term) + F.first("_n"), round_to).alias("chi2"),
     )
@@ -414,6 +423,9 @@ def groupwise_auc(
     Mann-Whitney formulation with exact tie handling: AUC =
     Σ_over distinct scores [ pos_s · (negs_below + neg_s/2) ] / (P·N).
     NULL when a group lacks positives or negatives (undefined).
+    Rows with a NULL score are EXCLUDED (an unscored row has no rank —
+    Spark's NULLS FIRST window order would otherwise silently rank
+    them lowest); a NULL label counts as negative.
 
     Scale shape: rows collapse to ONE row per (group, distinct score)
     in a map-side-combined hash aggregate FIRST; the running-negatives
@@ -428,6 +440,7 @@ def groupwise_auc(
 
     keys = keys or []
     lab = F.coalesce(label, F.lit(False))
+    df = df.where(F.col(score).isNotNull())
     per_score = df.groupBy(*keys, F.col(score).alias("_s")).agg(
         F.sum(lab.cast("bigint")).alias("_p"),
         F.sum((~lab).cast("bigint")).alias("_n"),

@@ -103,7 +103,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     broadcast_edge_limit: int = 5_000_000,
-    broadcast_node_limit: int = 20_000_000,
+    broadcast_node_limit: int = 5_000_000,
 ) -> DataFrame:
     """Exact triangle count over an undirected edge list → one row
     ``(n_nodes, n_edges, n_triangles)``.

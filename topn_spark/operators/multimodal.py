@@ -124,8 +124,19 @@ def parse_image_header(
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h
     if len(b) >= 26 and b[:2] == b"BM":
-        w, h = struct.unpack("<ii", b[18:26])
-        return "bmp", w, abs(h)
+        # the DIB header size at bytes 14..18 picks the dim layout:
+        # BITMAPCOREHEADER (12) stores u16 dims, BITMAPINFOHEADER and
+        # its extensions (>=40) store i32 dims (negative height =
+        # top-down rows). Unknown header sizes parse to nothing
+        # rather than confidently-wrong dims.
+        hsz = struct.unpack("<I", b[14:18])[0]
+        if hsz == 12:
+            w, h = struct.unpack("<HH", b[18:22])
+            return "bmp", w, h
+        if hsz >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", w, abs(h)
+        return "bmp", None, None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         return _parse_jpeg_sof(b)
     return None, None, None

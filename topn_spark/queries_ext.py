@@ -3014,7 +3014,10 @@ m AS (SELECT a, b, o,
         SUM(o) OVER () AS n
       FROM cells)
 SELECT CAST(MAX(n) AS BIGINT) AS n,
-       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+       CAST((COUNT(DISTINCT a) - 1
+             + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END))
+          * (COUNT(DISTINCT b) - 1
+             + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END)) AS BIGINT)
          AS dof,
        ROUND(SUM((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)
                  - ra * cb / n) + MAX(n), 6) AS chi2
@@ -3105,7 +3108,7 @@ def x87_recursive_cte(spark, sf_dir):
   SELECT user_id % 4 AS slice, value AS s,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
          SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 r AS (SELECT slice, p, n,
         COALESCE(SUM(n) OVER (
           PARTITION BY slice ORDER BY s

@@ -75,6 +75,13 @@ def write(
     """Write a table. ``bucket_by=(n, cols)`` requires ``table=``
     (bucketing metadata needs the catalog); otherwise writes to
     ``path``."""
+    if fmt == "avro":
+        raise ValueError(
+            "avro needs the external spark-avro module, which is not in "
+            "this distribution; use parquet/orc for columnar data"
+        )
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_READ_FORMATS}")
     if coalesce_files is not None:
         df = df.coalesce(coalesce_files)
     writer = df.write.format(fmt).mode(mode)
