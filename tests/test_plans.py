@@ -94,6 +94,36 @@ def test_bucketed_asof_has_no_nested_loop(spark):
     )
 
 
+def test_bucketed_asof_no_nlj_with_non_nullable_probe(spark):
+    # The always-1 span-attach key must stay an equi key even when the
+    # probe time column is NON-nullable: a col==col key would be folded
+    # by SimplifyBinaryComparison there, degrading step (3) to the
+    # BroadcastNestedLoopJoin the docstring rules out. The key is
+    # derived nondeterministically precisely to survive this schema.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.asof import asof_join_bucketed
+
+    base = F.lit(datetime.datetime(2024, 1, 1))  # non-nullable literal
+    probe = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (base + F.make_interval(hours=F.col("id"))).alias("pt"),
+    )
+    quote = spark.range(40).select(
+        (base + F.make_interval(hours=F.col("id") * 2)).alias("qt"),
+        (F.col("id") * 1.5).alias("px"),
+    )
+    assert not probe.schema["pt"].nullable  # the schema under test
+    joined = asof_join_bucketed(
+        probe, quote, "pt", "qt", "pid", ["px"], bucket="day"
+    )
+    assert_plan_lacks(joined, "BroadcastNestedLoopJoin", "CartesianProduct")
+    # and it still computes: every probe at/after the first quote matches
+    assert joined.where(F.col("qt_asof").isNotNull()).count() == 100
+
+
 def test_cosine_topk_is_bounded_heap(spark):
     assert_plan_contains(q(spark, "x07_cosine_topk"), "TakeOrderedAndProject")
 

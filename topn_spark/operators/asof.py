@@ -226,16 +226,17 @@ def asof_join_bucketed(
 
     pbkt = F.date_trunc(bucket, F.col(left_on))
     # The 1-row span attaches to every probe through an equi-key BHJ on
-    # an always-1 key. The key must be NON-FOLDABLE (derived from a
-    # column, not a literal): lit(1)=lit(1) constant-folds to `true`
-    # and the join degenerates to the BroadcastNestedLoopJoin this
-    # operator exists to avoid. Catalyst does not simplify col==col
-    # (null semantics), so these keys survive as equi keys.
-    probe_one = F.coalesce(pbkt == pbkt, F.lit(True)).cast("int")
-    span_one = F.coalesce(F.col("_hi") == F.col("_hi"), F.lit(True)).cast(
-        "int"
-    )
-    probe = left.select("*", pbkt.alias("_jbkt"), probe_one.alias("_one"))
+    # an always-1 key. The key must be NON-FOLDABLE: lit(1)=lit(1)
+    # constant-folds to `true` and the join degenerates to the
+    # BroadcastNestedLoopJoin this operator exists to avoid. col==col
+    # is NOT enough — when the column is non-nullable,
+    # SimplifyBinaryComparison folds it to true and FoldablePropagation
+    # degrades the join the same way. Deriving the 1 from a
+    # nondeterministic expression (monotonically_increasing_id()*0+1)
+    # is fold-proof by construction regardless of schema nullability;
+    # it is still value-stable (always 1), so task retries are safe.
+    always_one = (F.monotonically_increasing_id() * 0 + 1).cast("int")
+    probe = left.select("*", pbkt.alias("_jbkt"), always_one.alias("_one"))
 
     # (3) scalar span per probe row via the constant-key 1-row
     # broadcast BHJ; clamp the join key into the grid (null probe
@@ -245,7 +246,7 @@ def asof_join_bucketed(
     clamp_bound = "_hi" if back else "_lo"
     clamp = F.least if back else F.greatest
     with_span = probe.join(
-        F.broadcast(span.select(span_one.alias("_one"), "_lo", "_hi")),
+        F.broadcast(span.select(always_one.alias("_one"), "_lo", "_hi")),
         "_one",
         "left",
     ).withColumn(

@@ -35,7 +35,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     as thousands of splits and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition count via the JVM query execution (as plans.py reads
+    # plans) — df.rdd would wrap the plan in a Python-serialized RDD
+    # just to read a count off it.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

@@ -132,11 +132,17 @@ def parse_image_header(
         hsz = struct.unpack("<I", b[14:18])[0]
         if hsz == 12:
             w, h = struct.unpack("<HH", b[18:22])
-            return "bmp", w, h
-        if hsz >= 40:
+        elif hsz >= 40:
             w, h = struct.unpack("<ii", b[18:26])
-            return "bmp", w, abs(h)
-        return "bmp", None, None
+            # negative height = top-down row order, same dimensions
+            h = abs(h)
+        else:
+            return "bmp", None, None
+        # a non-positive width (or zero height) is a corrupt header,
+        # not a real geometry — null out rather than report it
+        if w <= 0 or h <= 0:
+            return "bmp", None, None
+        return "bmp", w, h
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         return _parse_jpeg_sof(b)
     return None, None, None

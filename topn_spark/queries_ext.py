@@ -2712,7 +2712,14 @@ def x77_triangle_count(spark, sf_dir):
         )
         .select("p.src", "p.dst")
     )
-    return triangle_count(edges)
+    # Opt up from the library's 1M-row OOM-safe broadcast defaults:
+    # this entry runs on the 128 GiB local[32] JVM, where a 5M-row
+    # hashed relation (~300-500 MB) is comfortably map-side.
+    return triangle_count(
+        edges,
+        broadcast_edge_limit=5_000_000,
+        broadcast_node_limit=5_000_000,
+    )
 
 
 @query(
@@ -2960,7 +2967,10 @@ def x83_variant_json(spark, sf_dir):
         F.get_json_object("props", "$.k"),
         F.lit("}}"),
     )
-    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    # try_parse_json, not parse_json: the payload is string-built, so
+    # a non-numeric props.k would make it malformed JSON — that row
+    # must null out (as the oracle's json_extract does), not throw.
+    v = ev.select("event_id", F.try_parse_json(js).alias("v"))
     return (
         v.select(
             "event_id",
