@@ -1,8 +1,19 @@
 """Benchmark harness: runs the declared query catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output layout is TAIL-SURVIVABLE (the round driver retains only the
+tail of stdout; r3's single ~6 KB line lost its head and the committed
+artifact had "parsed": null): one compact JSON line PER QUERY first
+("detail" records), then the machine contract as the LAST line — one
+short JSON line
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "extended_total_sec": ..., "n_queries": ..., "trials": ...}
+
+whose "queries" dict carries the survey suite (q01-q32, the queries
+BASELINE.md measured) so it stays well under any plausible tail
+window; x* per-query timings are the detail records directly above it.
 
 Timings are per-query wall clock including plan + execute + collect,
 single warm session (the engine's real deployment shape — BASELINE.md's
@@ -70,13 +81,21 @@ def main() -> None:
         else:
             extended_total += dt
 
+    # Detail records first (x* last so the ones nearest the summary —
+    # the likeliest to survive a tail cut alongside it — are the
+    # extension ops that appear nowhere else), summary line LAST.
+    for name in sorted(per_query, key=lambda n: (n.startswith("x"), n)):
+        print(json.dumps({"q": name, "sec": per_query[name]}))
+    survey_queries = {
+        n: t for n, t in per_query.items() if n.startswith("q")
+    }
     print(
         json.dumps(
             {
                 "metric": "survey_query_suite_total",
                 "value": round(survey_total, 3),
                 "unit": "sec",
-                "queries": per_query,
+                "queries": survey_queries,
                 "sf": sf,
                 "extended_total_sec": round(extended_total, 3),
                 "n_queries": len(per_query),
