@@ -49,6 +49,31 @@ def test_query_matches_oracle(spark, duck, name):
     assert canon(srows, sdf.columns) == canon(drows, dcols)
 
 
+def test_every_entry_has_an_oracle():
+    # every catalog entry is checkable: a hash-match oracle, or a
+    # tolerance oracle (exact counterpart + declared error bound) for
+    # the approx/iterative-float ops. No unverifiable entries.
+    for name, q in QUERIES.items():
+        assert q.oracle is not None or (
+            q.tol_oracle is not None and q.tolerance > 0
+        ), f"{name} has neither a hash-match nor a tolerance oracle"
+
+
+TOLERANCED = sorted(
+    n for n, q in QUERIES.items() if q.oracle is None and q.tol_oracle
+)
+
+
+@pytest.mark.parametrize("name", TOLERANCED)
+def test_query_within_tolerance(spark, duck, name):
+    from tools.check_oracle import check_tolerance
+
+    q = QUERIES[name]
+    sdf = q.builder(spark, SF_SMALL)
+    problems = check_tolerance(q, sdf, sdf.collect(), duck)
+    assert not problems, problems
+
+
 def test_q16_tolerance(spark, duck):
     row = QUERIES["q16"].builder(spark, SF_SMALL).collect()[0]
     exact = duck.execute(

@@ -51,6 +51,55 @@ def canon(rows, colnames) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+
+
+def check_tolerance(q, sdf, srows, con) -> list[str]:
+    """Numeric-tolerance compare for non-hash-matchable entries:
+    align rows on q.tol_keys (exact), require every other numeric
+    cell within relative error q.tolerance of the exact oracle value
+    (|a-b| <= tol * max(1, |a|, |b|)); non-numeric cells exact."""
+    if callable(q.tol_oracle):
+        dcols, drows = q.tol_oracle(con)
+    else:
+        cur = con.execute(q.tol_oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+    scols = sdf.columns
+    if sorted(scols) != sorted(dcols):
+        return [f"cols {sorted(scols)} != {sorted(dcols)}"]
+    if len(srows) != len(drows):
+        return [f"rowcount {len(srows)} != {len(drows)}"]
+    ski = [scols.index(k) for k in q.tol_keys]
+    dki = [dcols.index(k) for k in q.tol_keys]
+    svi = [i for i in range(len(scols)) if i not in ski]
+    dvi = [dcols.index(scols[i]) for i in svi]
+    smap = {tuple(canon_cell(r[i]) for i in ski): r for r in srows}
+    dmap = {tuple(canon_cell(r[i]) for i in dki): r for r in drows}
+    if smap.keys() != dmap.keys():
+        extra = sorted(smap.keys() - dmap.keys())[:3]
+        missing = sorted(dmap.keys() - smap.keys())[:3]
+        return [f"key sets differ: spark-only {extra}, oracle-only {missing}"]
+    problems = []
+    for key, sr in smap.items():
+        dr = dmap[key]
+        for i, j in zip(svi, dvi):
+            a, b = sr[i], dr[j]
+            if _is_num(a) and _is_num(b):
+                a, b = float(a), float(b)
+                if abs(a - b) > q.tolerance * max(1.0, abs(a), abs(b)):
+                    problems.append(
+                        f"{scols[i]}@{key}: {a} vs exact {b} "
+                        f"(rel err > {q.tolerance})"
+                    )
+            elif canon_cell(a) != canon_cell(b):
+                problems.append(f"{scols[i]}@{key}: {a!r} != {b!r}")
+            if len(problems) >= 5:
+                return problems
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -83,7 +132,17 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         if q.oracle is None:
-            print(f"{name}: rows-only ({len(srows)} rows) — no oracle")
+            if q.tol_oracle is None:
+                print(f"{name}: rows-only ({len(srows)} rows) — no oracle")
+                continue
+            problems = check_tolerance(q, sdf, srows, con)
+            if problems:
+                n_fail += 1
+                print(f"{name}: FAIL(tol) — {'; '.join(problems)}")
+            else:
+                print(
+                    f"{name}: OK(tol<={q.tolerance}) ({len(srows)} rows)"
+                )
             continue
         cur = con.execute(q.oracle)
         dcols = [d[0] for d in cur.description]

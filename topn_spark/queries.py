@@ -41,14 +41,35 @@ class Query:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → non-hash-matchable; driver does rows-only
     doc: str = ""
+    # Tolerance oracle for the non-hash-matchable entries (approx
+    # sketches, iterative float algorithms): an EXACT counterpart —
+    # DuckDB SQL, or a callable (duckdb_con -> (colnames, rows)) for
+    # logic SQL can't express (e.g. power iteration) — compared
+    # numerically by tools/check_oracle.py: rows aligned on
+    # ``tol_keys`` (exact match), every other numeric column within
+    # relative error ``tolerance`` of the exact value. This is the
+    # local gate's analogue of the pytest tolerance checks; the round
+    # driver still records rows-only for these (oracle=None).
+    tol_oracle: str | Callable | None = None
+    tolerance: float = 0.0
+    tol_keys: tuple[str, ...] = ()
 
 
 QUERIES: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None, doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tol_oracle: str | Callable | None = None,
+    tolerance: float = 0.0,
+    tol_keys: tuple[str, ...] = (),
+):
     def deco(fn):
-        QUERIES[name] = Query(name, fn, oracle, doc)
+        QUERIES[name] = Query(
+            name, fn, oracle, doc, tol_oracle, tolerance, tol_keys
+        )
         return fn
 
     return deco
@@ -389,11 +410,18 @@ ORDER BY GROUPING(o_orderstatus) ASC, GROUPING(o_orderpriority) ASC,
     None,  # HLL sketches differ by engine — tolerance-checked in tests
     doc="approx_count_distinct (rows-only for the driver; ≤5% rel. error "
     "asserted in tests/test_queries.py)",
+    tol_oracle="SELECT COUNT(DISTINCT o_custkey) AS n_approx, "
+    "COUNT(*) AS total FROM orders",
+    tolerance=0.05,
 )
 def q16(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
+    # rsd=0.02: the default 0.05 sketch makes the documented ≤5%
+    # error bound a 1σ claim (observed 6.7% at sf0.01); at rsd=0.02
+    # the 5% tolerance is ~2.5σ — a bound, not a coin flip. Cost is
+    # sketch width (a few KB per partial), not a different plan.
     return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("n_approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
         F.count(F.lit(1)).alias("total"),
     )
 

@@ -181,6 +181,16 @@ def x06_embed_stats(spark, sf_dir):
     # tolerance-checked vs NumPy in tests/test_similarity.py
     doc="Brute-force cosine top-10 vs the vec_id=0 embedding "
     "(TakeOrderedAndProject per-partition heap)",
+    tol_oracle="""WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(CAST(list_cosine_similarity(embedding, qe) AS DOUBLE), 4)
+         AS score_r
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id ASC
+LIMIT 10""",
+    tolerance=1e-3,
+    tol_keys=("vec_id",),
 )
 def x07_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -445,6 +455,12 @@ def x17_intersect_all(spark, sf_dir):
     # in tests/test_queries.py::test_x18_tolerance
     doc="approx_percentile p50/p95/p99 of order totals (rows-only; "
     "±2% vs exact quantiles asserted in tests)",
+    tol_oracle="SELECT "
+    "percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50, "
+    "percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95, "
+    "percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99 "
+    "FROM orders",
+    tolerance=0.02,
 )
 def x18_approx_percentile(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
@@ -1517,12 +1533,47 @@ def x41_stratified_sample(spark, sf_dir):
     )
 
 
+def _x42_numpy_oracle(con):
+    """Exact NumPy power iteration (same semantics as graph.pagerank:
+    distinct edges, 5 rounds, d=0.85, uniform dangling redistribution)
+    over the same event-derived edge list, for the tolerance compare —
+    the iteration itself is not expressible as one SQL query."""
+    import numpy as np
+
+    edges = con.execute(
+        "SELECT DISTINCT user_id AS src, event_id % 50 + 1000 AS dst "
+        "FROM events"
+    ).fetchall()
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    n = len(ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    si = np.array([idx[v] for v in src])
+    di = np.array([idx[v] for v in dst])
+    deg = np.zeros(n)
+    np.add.at(deg, si, 1.0)
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(5):
+        m = np.zeros(n)
+        np.add.at(m, di, rank[si] / deg[si])
+        dangling = 1.0 - m.sum()
+        rank = (1.0 - d) / n + d * dangling / n + d * m
+    return ["id", "rank_r"], [
+        (int(v), round(float(rank[idx[v]]), 6)) for v in ids
+    ]
+
+
 @query(
     "x42_pagerank",
     None,  # iterative float algorithm: rows-only (SURVEY §2.4 rule 3)
     doc="PageRank over the user->item interaction graph (events): "
     "power iteration with dangling-mass redistribution; property-"
     "tested (mass conservation, known-graph fixture) in tests",
+    tol_oracle=_x42_numpy_oracle,
+    tolerance=1e-5,
+    tol_keys=("id",),
 )
 def x42_pagerank(spark, sf_dir):
     from topn_spark.operators.graph import pagerank
@@ -2054,6 +2105,13 @@ def x56_zorder(spark, sf_dir):
     # tolerance vs the exact x39 counts in tests/test_pipeline_ops.py
     doc="Sketch heavy-hitters (approx_top_k) — fixed-memory top-k "
     "tokens; completes the approx family (q16 HLL, x18 KLL)",
+    tol_oracle=f"""WITH t AS (
+  SELECT unnest({_TOKS_DUCK}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_approx
+FROM t GROUP BY token
+ORDER BY n_approx DESC, token ASC LIMIT 30""",
+    tolerance=0.10,
+    tol_keys=("token",),
 )
 def x57_approx_topk_tokens(spark, sf_dir):
     from topn_spark.operators.pipeline import token_heavy_hitters_approx
@@ -2234,6 +2292,12 @@ def x62_rollup_merge(spark, sf_dir):
     "sketches (hll_sketch_agg/hll_union_agg, operators/rollup.py) — "
     "rows-only for the driver; ≤5%-vs-exact tolerance in "
     "tests/test_rollup.py",
+    tol_oracle="SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) "
+    "AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_ndv_user_id "
+    "FROM events GROUP BY 1 ORDER BY 1",
+    tolerance=0.05,
+    tol_keys=("day",),
 )
 def x63_rollup_distinct(spark, sf_dir):
     from topn_spark.operators.rollup import (
