@@ -141,10 +141,55 @@ def test_decode_image_fake_defers_to_real_header(spark):
     assert out["fakeit"].width is not None  # deterministic fake dims
 
 
-def test_decode_pixels_is_fail_fast(assets):
+def test_decode_pixels_fail_fast_for_compressed(spark):
+    # a real PNG header reaches the codec gate: fail fast, never fake
+    df = spark.createDataFrame([("a", _png(4, 3))], "asset_id string, payload binary")
     with pytest.raises(Exception) as ei:
-        decode_pixels(assets).collect()
-    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+        decode_pixels(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_decode_pixels_unknown_format_nulls(assets):
+    # unrecognizable payloads (no container signature) null out
+    out = {r.asset_id: r for r in decode_pixels(assets).collect()}
+    assert all(r.pixels is None and r.shape is None for r in out.values())
+
+
+def test_decode_pixels_bmp_ppm_roundtrip(spark):
+    from topn_spark.operators.multimodal import encode_bmp_rgb, encode_ppm_rgb
+
+    w, h = 5, 3  # stride 15 -> padded to 16: exercises row padding
+    pix = bytes((x * 7 + y * 11 + c * 3) % 256 for y in range(h) for x in range(w) for c in range(3))
+    df = spark.createDataFrame(
+        [("bmp", encode_bmp_rgb(w, h, pix)), ("ppm", encode_ppm_rgb(w, h, pix))],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_pixels(df).collect()}
+    for r in out.values():
+        assert r.shape == [h, w, 3]
+        assert r.pixels == list(pix)
+
+
+def test_decode_bmp_top_down_and_ppm_comment():
+    from topn_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_ppm_pixels,
+        encode_bmp_rgb,
+    )
+
+    # top-down BMP (negative height) decodes to the same image
+    w, h = 3, 2
+    pix = bytes(range(18))
+    up = bytearray(encode_bmp_rgb(w, h, pix))
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [up[54 + i * stride : 54 + (i + 1) * stride] for i in range(h)]
+    td = bytes(up[:22]) + struct.pack("<i", -h) + bytes(up[26:54]) + rows[1] + rows[0]
+    assert decode_bmp_pixels(td) == (list(pix), [h, w, 3])
+    # PPM header comments are skipped per spec
+    p = b"P6\n# comment\n3 2\n255\n" + pix
+    assert decode_ppm_pixels(p) == (list(pix), [2, 3, 3])
+    # truncated body -> None, not garbage
+    assert decode_ppm_pixels(p[:-1]) is None
 
 
 def test_extract_features_unit_norm(assets):

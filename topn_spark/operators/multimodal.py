@@ -224,15 +224,117 @@ def decode_image(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def encode_bmp_rgb(width: int, height: int, pix: bytes) -> bytes:
+    """Spec-valid uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    from row-major top-down RGB bytes (test-fixture encoder, also the
+    documentation of exactly what :func:`decode_bmp_pixels` reverses:
+    BGR byte order, 4-byte row padding, bottom-up row storage)."""
+    if len(pix) != width * height * 3:
+        raise ValueError("pix must be width*height*3 RGB bytes")
+    stride = (width * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # file rows are bottom-up
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = pix[i], pix[i + 1], pix[i + 2]
+            row += bytes((b, g, r))  # stored as BGR
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+    )
+    return bytes(header + body)
+
+
+def encode_ppm_rgb(width: int, height: int, pix: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from row-major top-down RGB bytes."""
+    if len(pix) != width * height * 3:
+        raise ValueError("pix must be width*height*3 RGB bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pix
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """Uncompressed 24-bit BMP → (row-major top-down RGB ints,
+    [h, w, 3]); ``None`` for BMPs this pure-stdlib path does not cover
+    (compressed, paletted, or non-24-bit)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hsz = struct.unpack("<I", b[14:18])[0]
+    if hsz < 40:
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or bpp != 24 or compression != 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(b):
+        return None
+    out: list[int] = []
+    for y in range(h):
+        # bottom-up files store image row y at file row h-1-y
+        fy = y if top_down else h - 1 - y
+        base = data_off + fy * stride
+        for x in range(w):
+            i = base + x * 3
+            out += [b[i + 2], b[i + 1], b[i]]  # BGR -> RGB
+    return out, [h, w, 3]
+
+
+def decode_ppm_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """Binary PPM (P6, maxval <= 255) → (row-major RGB ints,
+    [h, w, 3]); ``None`` on anything else."""
+    if b[:2] != b"P6":
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            i = b.find(b"\n", i)
+            if i < 0:
+                return None
+            continue
+        if c.isspace():
+            i += 1
+            continue
+        j = i
+        while j < len(b) and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        fields.append(int(b[i:j]))
+        i = j
+    if len(fields) < 3 or not b[i : i + 1].isspace():
+        return None
+    w, h, maxval = fields
+    i += 1  # the single whitespace after maxval
+    if w <= 0 or h <= 0 or maxval > 255 or i + w * h * 3 > len(b):
+        return None
+    return list(b[i : i + w * h * 3]), [h, w, 3]
+
+
 def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode (payload → flat uint8 tensor + shape).
 
-    Requires an actual image codec (PIL / opencv), absent in this
-    container by design: fails fast per batch with
-    ``NotImplementedError`` rather than fabricating pixels. The
-    Spark-side contract — output schema, Arrow batching, partition
-    parallelism — is real, so dropping in a codec-backed body is a
-    local change.
+    Real, pure-stdlib paths for the uncompressed container formats —
+    24-bit BI_RGB BMP (BGR order, padded bottom-up rows, all reversed
+    to row-major top-down RGB) and binary PPM/P6 — oracled end-to-end
+    by the x89 catalog entry against arithmetically planted pixels.
+    Compressed formats (PNG/GIF/JPEG) require an actual codec, absent
+    in this container by design: those fail fast per batch with
+    ``NotImplementedError`` rather than fabricating pixels, keeping
+    the Spark-side contract (schema, Arrow batching, partition
+    parallelism) identical for a codec-backed drop-in.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -243,13 +345,26 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _ in batches:
-            raise NotImplementedError(
-                "pixel decoding requires PIL/opencv (not in this "
-                "container); header metadata decode is decode_image"
-            )
-        return  # empty partition: a generator yielding nothing
-        yield  # pragma: no cover — marks `run` as a generator
+        for pdf in batches:
+            pixels, shapes = [], []
+            for p in pdf[payload_col]:
+                decoded = None
+                if p is not None:
+                    decoded = decode_bmp_pixels(p) or decode_ppm_pixels(p)
+                if decoded is None and p is not None:
+                    fmt = parse_image_header(p)[0]
+                    if fmt in ("png", "gif", "jpeg"):
+                        raise NotImplementedError(
+                            f"pixel-decoding {fmt} requires a codec "
+                            "library (not in this container); stdlib "
+                            "paths cover 24-bit BI_RGB BMP and P6 PPM"
+                        )
+                pixels.append(decoded[0] if decoded else None)
+                shapes.append(decoded[1] if decoded else None)
+            pdf = pdf.copy()
+            pdf["pixels"] = pixels
+            pdf["shape"] = shapes
+            yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
 
