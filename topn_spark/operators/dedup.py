@@ -257,7 +257,10 @@ def connected_components(
     executors). Converges in O(diameter) rounds; near-dup clusters are
     shallow so this is a handful of rounds in practice. At very large
     scale swap in large-star/small-star (Kiveris et al.) — same
-    primitive ops.
+    primitive ops. (Measured at sf0.1: min-label converges in 2
+    rounds on the near-dup graph, so round COUNT is not the lever
+    there; round COST is — hence the one-materialization-per-round
+    shape below.)
     """
     # Checkpoint the edge list once: it is re-joined every iteration,
     # and an unpersisted lineage would re-run the whole upstream
@@ -269,34 +272,45 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Round 1 fused: labels start as the identity, so the first
+    # neighbor-min is just min(dst) per src — one aggregation over
+    # edges, no label table, no join. This also materializes the node
+    # set (every node appears as a src: edges carry both directions),
+    # replacing the initial distinct + two round-1 joins with a
+    # single shuffle.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        # ONE materialization per round: the new label and its
+        # did-it-change flag are checkpointed together, then the
+        # convergence probe reads the checkpointed rows. Counting
+        # `changed` on the un-checkpointed join (the previous shape)
+        # executed every round's join pipeline twice — measured ~2x
+        # per-round cost at sf0.1.
+        step = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     "component", F.coalesce("nmin", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nmin", "component") < F.col("component")
+                ).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = step.where("_changed").limit(1).count()
+        labels = step.drop("_changed")
         if changed == 0:
             break
     return labels
