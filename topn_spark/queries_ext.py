@@ -2777,11 +2777,13 @@ def x77_triangle_count(spark, sf_dir):
         .select("p.src", "p.dst")
     )
     # Opt up from the library's 1M-row OOM-safe broadcast defaults:
-    # this entry runs on the 128 GiB local[32] JVM, where a 5M-row
-    # hashed relation (~300-500 MB) is comfortably map-side.
+    # this entry runs on the 128 GiB local[32] JVM, where even the
+    # sf1 co-purchase graph's adjacency relation (12M edges ≈ ~400 MB
+    # hashed: 8 B/edge of array payload + ~100 B/node row) is
+    # comfortably map-side.
     return triangle_count(
         edges,
-        broadcast_edge_limit=5_000_000,
+        broadcast_edge_limit=20_000_000,
         broadcast_node_limit=5_000_000,
     )
 
