@@ -268,3 +268,117 @@ def test_parse_bmp_core_header_and_unknown_dib():
         b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + b"\x00" * 12
     )
     assert parse_image_header(weird) == ("bmp", None, None)
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 — real stdlib decode path (x90)
+# ---------------------------------------------------------------------------
+
+from topn_spark.operators.multimodal import (  # noqa: E402
+    decode_audio,
+    decode_video,
+    encode_mp4_stub,
+    encode_wav_pcm16,
+    parse_mp4_header,
+    parse_wav,
+)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    frames = [(f * 3 + c * 11) % 200 - 100 for f in range(25) for c in range(2)]
+    w = encode_wav_pcm16(8100, 2, frames)
+    assert parse_wav(w) == (1, 2, 8100, frames)
+    # an extra LIST chunk (odd size -> word-aligned) before fmt/data
+    # must be skipped, not break the walk
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    w2 = b"RIFF" + struct.pack("<I", len(w) - 8 + len(extra)) + b"WAVE"
+    w2 += extra + w[12:]
+    assert parse_wav(w2)[3] == frames
+    # non-PCM format tag: recognized container, undecodable samples
+    w3 = bytearray(w)
+    w3[20] = 3  # WAVE_FORMAT_IEEE_FLOAT
+    tag, ch, sr, samples = parse_wav(bytes(w3))
+    assert (tag, ch, sr, samples) == (3, 2, 8100, None)
+    # truncated data chunk / non-WAV: unparseable
+    assert parse_wav(w[:30]) is None
+    assert parse_wav(b"not audio") is None
+
+
+def test_decode_audio_stats_and_nulls(spark):
+    frames = [100, -100, 50, -50, 0, 7]  # 3 stereo frames
+    rows = [
+        ("a1", bytearray(encode_wav_pcm16(16000, 2, frames))),
+        ("a2", bytearray(encode_wav_pcm16(8000, 1, [5] * 8000))),
+        ("bad", b"\x00\x01\x02"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    out = {
+        r["asset_id"]: r
+        for r in decode_audio(df).orderBy("asset_id").collect()
+    }
+    a1 = out["a1"]
+    assert a1["aud_format"] == "wav"
+    assert (a1["channels"], a1["sample_rate"]) == (2, 16000)
+    assert (a1["n_frames"], a1["duration_ms"]) == (3, 0)
+    assert a1["samples"] == frames
+    a2 = out["a2"]
+    assert (a2["n_frames"], a2["duration_ms"]) == (8000, 1000)
+    for k in ("bad", "nul"):
+        r = out[k]
+        assert r["aud_format"] is None and r["samples"] is None
+
+
+def test_decode_audio_fail_fast_non_pcm(spark):
+    w = bytearray(encode_wav_pcm16(8000, 1, [1, 2, 3]))
+    w[20] = 85  # MP3-in-WAV format tag
+    df = spark.createDataFrame(
+        [("c1", bytes(w))], "asset_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="codec library"):
+        decode_audio(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# Video: ISO-BMFF (MP4) mvhd walk — real stdlib metadata path (x93)
+# ---------------------------------------------------------------------------
+
+def test_parse_mp4_header_versions_and_corrupt():
+    for v in (0, 1):
+        b = encode_mp4_stub(90000, 123456, version=v)
+        assert parse_mp4_header(b) == ("mp4", 90000, 1371)
+    # no ftyp leader -> not an ISO-BMFF stream
+    assert parse_mp4_header(b"\x00\x00\x00\x08free") == (None, None, None)
+    # ftyp but no moov/mvhd -> recognized, no duration
+    ftyp_only = encode_mp4_stub(600, 600)[:24]
+    assert parse_mp4_header(ftyp_only) == ("mp4", None, None)
+    # largesize (size==1 + u64) encoding of moov must still walk
+    b = encode_mp4_stub(600, 1200)
+    moov_at = b.index(b"moov") - 4
+    sz = struct.unpack(">I", b[moov_at : moov_at + 4])[0]
+    big = (
+        b[:moov_at]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", sz + 8)
+        + b[moov_at + 8 :]
+    )
+    assert parse_mp4_header(big) == ("mp4", 600, 2000)
+
+
+def test_decode_video_dataframe(spark):
+    rows = [
+        ("v1", bytearray(encode_mp4_stub(600, 3000, version=0))),
+        ("v2", bytearray(encode_mp4_stub(90000, 450000, version=1))),
+        ("junk", b"RIFF not a video"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    out = {
+        r["asset_id"]: r
+        for r in decode_video(df).orderBy("asset_id").collect()
+    }
+    assert (out["v1"]["timescale"], out["v1"]["duration_ms"]) == (600, 5000)
+    assert (out["v2"]["timescale"], out["v2"]["duration_ms"]) == (90000, 5000)
+    assert out["junk"]["vid_format"] is None
+    assert out["nul"]["timescale"] is None

@@ -369,6 +369,262 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def encode_wav_pcm16(
+    sample_rate: int, channels: int, frames: list[int]
+) -> bytes:
+    """Spec-valid RIFF/WAVE container holding uncompressed 16-bit PCM
+    from interleaved int16 samples (test-fixture encoder, and the
+    documentation of exactly what :func:`parse_wav` reverses: a
+    ``fmt `` chunk with format tag 1 / bits 16, then a ``data`` chunk
+    of little-endian interleaved frames)."""
+    if len(frames) % channels != 0:
+        raise ValueError("frames must be a whole number of frames")
+    data = struct.pack("<%dh" % len(frames), *frames)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # WAVE_FORMAT_PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * 2,  # byte rate
+        channels * 2,  # block align
+        16,  # bits per sample
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def parse_wav(
+    b: bytes,
+) -> tuple[int, int, int, list[int] | None] | None:
+    """RIFF/WAVE → ``(format_tag, channels, sample_rate, samples)``
+    where ``samples`` is the interleaved int16 list for uncompressed
+    PCM16 payloads and ``None`` for any other format tag / bit depth
+    (the caller decides whether that is a fail-fast). ``None`` overall
+    when the container is not a parseable WAV.
+
+    Walks the chunk chain properly — chunk ids + little-endian u32
+    sizes, word-aligned — so extra chunks (LIST, fact, cue) before or
+    between ``fmt ``/``data`` are fine.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt_body, data_body = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + sz]
+        if len(body) < sz:
+            return None  # truncated chunk
+        if cid == b"fmt " and fmt_body is None:
+            fmt_body = body
+        elif cid == b"data" and data_body is None:
+            data_body = body
+        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt_body is None or data_body is None or len(fmt_body) < 16:
+        return None
+    tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+    if ch <= 0 or sr <= 0:
+        return None
+    if tag != 1 or bits != 16:
+        return tag, ch, sr, None  # recognized but not stdlib-decodable
+    n = len(data_body) // (2 * ch) * ch  # whole frames only
+    samples = list(struct.unpack("<%dh" % n, data_body[: 2 * n]))
+    return tag, ch, sr, samples
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio decode (payload → interleaved int16 samples + typed
+    metadata) via Arrow-batched ``mapInPandas`` — real for RIFF/WAVE
+    uncompressed PCM16, the audio analog of :func:`decode_pixels`'s
+    BMP/PPM path, oracled end-to-end by the x90 catalog entry against
+    arithmetically planted samples.
+
+    Output adds ``aud_format``/``channels``/``sample_rate``/
+    ``n_frames``/``duration_ms``/``samples``. A WAV whose format tag
+    is not PCM16 (compressed / float / 24-bit) fails fast with
+    ``NotImplementedError`` — a codec library would be required —
+    while unrecognized payloads null out, mirroring the image path's
+    contract.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("aud_format", T.StringType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("samples", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, chans, rates, frames, durs, samps = [], [], [], [], [], []
+            for p in pdf[payload_col]:
+                parsed = parse_wav(p) if p is not None else None
+                if parsed is None:
+                    fmts.append(None)
+                    chans.append(None)
+                    rates.append(None)
+                    frames.append(None)
+                    durs.append(None)
+                    samps.append(None)
+                    continue
+                tag, ch, sr, samples = parsed
+                if samples is None:
+                    raise NotImplementedError(
+                        f"decoding WAV format tag {tag} requires a "
+                        "codec library (not in this container); the "
+                        "stdlib path covers uncompressed PCM16"
+                    )
+                nf = len(samples) // ch
+                fmts.append("wav")
+                chans.append(ch)
+                rates.append(sr)
+                frames.append(nf)
+                durs.append(nf * 1000 // sr)
+                samps.append(samples)
+            pdf = pdf.copy()
+            pdf["aud_format"] = fmts
+            pdf["channels"] = pd.array(chans, dtype="Int32")
+            pdf["sample_rate"] = pd.array(rates, dtype="Int32")
+            pdf["n_frames"] = pd.array(frames, dtype="Int64")
+            pdf["duration_ms"] = pd.array(durs, dtype="Int64")
+            pdf["samples"] = samps
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def parse_mp4_header(
+    b: bytes,
+) -> tuple[str | None, int | None, int | None]:
+    """ISO-BMFF (MP4/MOV) → ``(format, timescale, duration_ms)`` by
+    walking the box tree to ``moov``/``mvhd`` — the video analog of
+    :func:`parse_image_header`, pure stdlib.
+
+    Boxes are ``u32 size + 4cc type``; a size of 1 means a u64
+    largesize follows; version-1 ``mvhd`` stores u64 times, version-0
+    u32 (ISO/IEC 14496-12 §8.2.2). ``(None, None, None)`` when no
+    ``ftyp`` leads the stream or ``mvhd`` is absent/corrupt.
+    """
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, None, None
+
+    def walk(lo: int, hi: int, path: tuple[bytes, ...]):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            typ = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    return None
+                size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+                body = i + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return None
+            if typ == path[0]:
+                if len(path) == 1:
+                    return b[body : i + size]
+                return walk(body, i + size, path[1:])
+            i += size
+        return None
+
+    mvhd = walk(0, len(b), (b"moov", b"mvhd"))
+    if mvhd is None or len(mvhd) < 4:
+        return "mp4", None, None
+    version = mvhd[0]
+    try:
+        if version == 1:
+            timescale = struct.unpack(">I", mvhd[20:24])[0]
+            duration = struct.unpack(">Q", mvhd[24:32])[0]
+        else:
+            timescale = struct.unpack(">I", mvhd[12:16])[0]
+            duration = struct.unpack(">I", mvhd[16:20])[0]
+    except struct.error:
+        return "mp4", None, None
+    if timescale <= 0:
+        return "mp4", None, None
+    return "mp4", timescale, duration * 1000 // timescale
+
+
+def encode_mp4_stub(
+    timescale: int, duration: int, version: int = 0
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF stream (``ftyp`` + ``moov``/``mvhd``,
+    no media data) carrying the given movie timescale/duration —
+    test-fixture encoder for :func:`parse_mp4_header`."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if version == 1:
+        mvhd_body = (
+            struct.pack(">I", 1 << 24)  # version=1, flags=0
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * (8 + 36 + 24)  # reserved, matrix, pre_defined
+            + struct.pack(">I", 2)  # next_track_ID
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">I", 0)
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * (8 + 36 + 24)
+            + struct.pack(">I", 2)
+        )
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_body))
+
+
+def decode_video(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Video METADATA decode via Arrow-batched ``mapInPandas`` — real
+    for ISO-BMFF (MP4/MOV) containers: :func:`parse_mp4_header` walks
+    the box tree to ``mvhd`` and reads the movie timescale/duration in
+    pure stdlib, completing the image/audio/video metadata triple
+    (x81 image headers, x90 audio decode, x93 this). Frame/pixel
+    access still requires a real demuxer+codec — that remains
+    :func:`sample_frames`'s fail-fast contract.
+
+    Output adds ``vid_format``/``timescale``/``duration_ms``;
+    unrecognized payloads null out all three.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("vid_format", T.StringType(), True),
+            T.StructField("timescale", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, scales, durs = [], [], []
+            for p in pdf[payload_col]:
+                fmt, ts, dur = (
+                    parse_mp4_header(p)
+                    if p is not None
+                    else (None, None, None)
+                )
+                fmts.append(fmt)
+                scales.append(ts)
+                durs.append(dur)
+            pdf = pdf.copy()
+            pdf["vid_format"] = fmts
+            pdf["timescale"] = pd.array(scales, dtype="Int32")
+            pdf["duration_ms"] = pd.array(durs, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

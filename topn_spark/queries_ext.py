@@ -3320,3 +3320,138 @@ def x89_pixel_decode_stats(spark, sf_dir):
         ch_max(2).alias("b_max"),
         ch_mean(2).alias("b_mean"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x90_audio_decode_stats",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(8000 + 100 * (doc_id % 3) AS INT) AS sr,
+         CAST(20 + doc_id % 50 AS BIGINT) AS nf
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, ch, sr, nf,
+         [CAST((doc_id * 7 + (i // ch) * 3 + (i % ch) * 11) % 200 - 100
+               AS INT)
+          for i in generate_series(0, nf * ch - 1)] AS samples
+  FROM g)
+SELECT doc_id, CAST('wav' AS VARCHAR) AS aud_format, ch AS channels,
+       sr AS sample_rate, nf AS n_frames,
+       CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+       md5(array_to_string(samples, ',')) AS s_md5,
+       CAST(list_min(samples) AS INT) AS s_min,
+       CAST(list_max(samples) AS INT) AS s_max,
+       CAST(list_sum(samples) AS BIGINT) AS s_sum
+FROM s ORDER BY doc_id ASC""",
+    doc="REAL audio decode, oracled (multimodal.py::decode_audio): "
+    "spec-valid RIFF/WAVE PCM16 payloads are synthesized from planted "
+    "per-(frame, channel) sample values (doc_id*7 + f*3 + c*11) % 200 "
+    "- 100 with per-doc channel count and sample rate; the pure-stdlib "
+    "chunk-walking parser runs distributed via mapInPandas and the "
+    "oracle recomputes the full interleaved sample array (md5 — "
+    "catches byte-order/interleave/frame-count bugs) plus min/max/sum "
+    "and the integer duration arithmetically from doc_id",
+)
+def x90_audio_decode_stats(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_wav(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            ch, sr, nf = 1 + d % 2, 8000 + 100 * (d % 3), 20 + d % 50
+            frames = [
+                (d * 7 + f * 3 + c * 11) % 200 - 100
+                for f in range(nf)
+                for c in range(ch)
+            ]
+            out.append(encode_wav_pcm16(sr, ch, frames))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_wav("doc_id").alias("payload")
+    )
+    decoded = decode_audio(assets)
+    return decoded.select(
+        "doc_id",
+        "aud_format",
+        "channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("samples", lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("s_md5"),
+        F.array_min("samples").alias("s_min"),
+        F.array_max("samples").alias("s_max"),
+        F.expr(
+            "aggregate(samples, 0L, (a, x) -> a + x)"
+        ).alias("s_sum"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x93_video_header_decode",
+    """SELECT doc_id, CAST('mp4' AS VARCHAR) AS vid_format,
+       CAST(600 * (1 + doc_id % 4) AS INT) AS timescale,
+       CAST((1000 + doc_id * 37) * 1000 // (600 * (1 + doc_id % 4))
+            AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id < 200 ORDER BY doc_id ASC""",
+    doc="REAL video metadata decode, oracled (multimodal.py::"
+    "decode_video): minimal spec-valid ISO-BMFF streams (ftyp + "
+    "moov/mvhd, alternating mvhd version 0/1 by doc parity) carry a "
+    "planted movie timescale/duration; the pure-stdlib box-tree walk "
+    "runs distributed via mapInPandas and the oracle recomputes "
+    "timescale and integer-milliseconds duration arithmetically from "
+    "doc_id — completes the image(x81/x89)/audio(x90)/video metadata "
+    "triple",
+)
+def x93_video_header_decode(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        decode_video,
+        encode_mp4_stub,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_mp4(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            out.append(
+                encode_mp4_stub(
+                    600 * (1 + d % 4), 1000 + d * 37, version=d % 2
+                )
+            )
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_mp4("doc_id").alias("payload")
+    )
+    return (
+        decode_video(assets)
+        .select("doc_id", "vid_format", "timescale", "duration_ms")
+        .orderBy("doc_id")
+    )
