@@ -601,3 +601,91 @@ def test_sample_k_per_group_plans_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines (x91) and weighted_sample_k (x92)
+# ---------------------------------------------------------------------------
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from topn_spark.operators.pipeline import dedup_lines
+
+    rows = [
+        (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+        (2, "COMMON FOOTER\nonly in two"),
+        (3, "only in two\nunique gamma\nunique gamma"),
+        (4, "COMMON FOOTER"),  # all lines boilerplate -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, max_docs=1).collect()
+    }
+    assert out[1]["text"] == "unique alpha\nunique beta"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (2, 1)
+    # 'only in two' is in 2 distinct docs -> removed at max_docs=1
+    assert out[2]["text"] == ""
+    assert out[2]["n_lines_removed"] == 2
+    # within-doc repeat counts once (COUNT DISTINCT doc): kept, twice,
+    # in order
+    assert out[3]["text"] == "unique gamma\nunique gamma"
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+    # at max_docs=2 the two-doc line survives but the 3-doc footer dies
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, max_docs=2).collect()
+    }
+    assert out2[2] == "only in two"
+    assert "COMMON FOOTER" not in out2[1]
+
+
+def test_dedup_lines_order_preserved_and_custom_sep(spark):
+    from topn_spark.operators.pipeline import dedup_lines
+
+    # '.' sep must be treated literally, not as a regex wildcard
+    rows = [(1, "b.z.a"), (2, "z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, sep=".", max_docs=1).collect()
+    }
+    assert out[1] == "b.a"  # z removed (2 docs), original order kept
+
+
+def test_weighted_sample_k_deterministic_and_bounded(spark):
+    from topn_spark.operators.pipeline import weighted_sample_k
+
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+    rows += [(900, "g0", 0.0), (901, "g1", None)]  # excluded
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    a = weighted_sample_k(df, 10, "w", "id", key_cols=["grp"])
+    got = a.orderBy("grp", "id").collect()
+    assert len(got) == 30
+    assert {r["grp"] for r in got} == {"g0", "g1", "g2"}
+    assert all(r["id"] < 900 for r in got)
+    # partitioning-invariant: same selection after a repartition
+    b = weighted_sample_k(
+        df.repartition(13), 10, "w", "id", key_cols=["grp"]
+    )
+    assert sorted((r["grp"], r["id"]) for r in got) == sorted(
+        (r["grp"], r["id"]) for r in b.collect()
+    )
+    # schema passthrough: no helper columns leak
+    assert a.columns == ["id", "grp", "w"]
+
+
+def test_weighted_sample_k_global_and_bias(spark):
+    from topn_spark.operators.pipeline import weighted_sample_k
+
+    # two weight classes: heavy rows (w=50) should dominate a k=100
+    # sample of 150 heavy + 150 light (w=1) rows
+    rows = [(i, 50.0 if i < 150 else 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_k(df, 100, "w", "id").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["id"] < 150)
+    assert heavy > 80  # P(this failing under correct weighting) ~ 0
+    # global path plans as TakeOrderedAndProject, not a full sort
+    plan = weighted_sample_k(df, 100, "w", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

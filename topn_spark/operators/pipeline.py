@@ -33,6 +33,8 @@ __all__ = [
     "chunk_by_tokens",
     "chunk_documents",
     "coalesce_intervals",
+    "dedup_lines",
+    "weighted_sample_k",
     "ewma",
     "equidepth_histogram",
     "event_transitions",
@@ -148,6 +150,115 @@ def sample_k_per_group(
         F.col(rn) <= k
     )
     return out.drop(rn) if rank_col is None else out
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted ``k``-sample without replacement
+    (sequential Poisson / order sampling, Ohlsson 1998): rank rows by
+    ``u / w`` where ``u`` is a 48-bit md5-uniform of ``id_col`` and
+    ``w`` the row weight; the k smallest keys win, so inclusion
+    probability is ≈ proportional to weight.
+
+    Engine- and partitioning-stable by construction: ``u`` is integer
+    hash arithmetic (exact in a double up to 2⁵³) and IEEE-754
+    division is correctly rounded, so the ranking — unlike an
+    ``exp(ln(u)/w)``-style A-ES key — is bit-identical on any engine
+    that computes the same md5. Rows with ``w <= 0`` or null are
+    excluded (zero weight = zero inclusion probability).
+
+    Plans: global (``key_cols=None``) → sort + limit, which Spark
+    executes as TakeOrderedAndProject (per-partition bounded heaps, no
+    full sort); per-group → ``row_number`` over the key window, which
+    Spark ≥3.5 cuts map-side via WindowGroupLimit — at most k rows per
+    group per input partition reach the shuffle.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    key = (u / F.col(weight_col).cast("double")).alias("__wkey")
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__wkey", key)
+    if key_cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy("__wkey", id_col)
+        out = base.withColumn("__wrn", F.row_number().over(w)).where(
+            F.col("__wrn") <= k
+        )
+        return out.drop("__wkey", "__wrn")
+    return (
+        base.orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb/CCNet
+    boilerplate-removal step): drop every line that occurs in more
+    than ``max_docs`` distinct documents, keeping surviving lines in
+    their original order.
+
+    Returns one row per input document: ``id_col``, the deduplicated
+    ``text_col``, ``n_lines_kept``, ``n_lines_removed``. Documents
+    whose every line is boilerplate survive with empty text — a
+    downstream length filter decides their fate, not this op.
+
+    Scale shape (100 TB): lines shuffle on a 16-byte md5 digest, not
+    the line text; the distinct-doc count is a two-phase hash
+    aggregate. The over-threshold digest set is boilerplate-only —
+    tiny relative to the corpus — so AQE broadcasts the flag join in
+    practice; the final reassembly is one shuffle keyed by document
+    with per-group state bounded by document size. Within-document
+    repeats count once (COUNT DISTINCT doc), matching the published
+    semantics.
+    """
+    # \Q..\E: split() takes a regex; quote so sep is literal
+    lines = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
+    ).withColumn("_h", F.md5("line"))
+    common = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("_h", F.lit(True).alias("_rm"))
+    )
+    flagged = lines.join(common, "_h", "left").withColumn(
+        "_rm", F.coalesce("_rm", F.lit(False))
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("pos", "_rm", "line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.filter(parts, lambda s: ~s["_rm"]), lambda s: s["line"]
+            ),
+        ).alias(text_col),
+        F.sum(F.when(~F.col("_rm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
 
 
 def assign_split(

@@ -3455,3 +3455,112 @@ def x93_video_header_decode(spark, sf_dir):
         .select("doc_id", "vid_format", "timescale", "duration_ms")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x91_line_dedup",
+    """WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         ['shared boilerplate footer all rights reserved']
+           || (CASE WHEN doc_id % 10 = 0
+               THEN ['subscribe to the newsletter']
+               ELSE CAST([] AS VARCHAR[]) END)
+           || [array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')
+               for i in generate_series(
+                 1, CAST(ceil(len(toks) / 8.0) AS INT))] AS lines
+  FROM t),
+e AS (
+  SELECT doc_id, UNNEST(
+    [{'pos': i, 'line': lines[i]}
+     for i in generate_series(1, len(lines))], recursive := true)
+  FROM b),
+c AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS nd
+      FROM e GROUP BY 1),
+j AS (SELECT e.doc_id, e.pos, e.line, c.nd > 1 AS rm
+      FROM e JOIN c ON md5(e.line) = c.h)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed,
+       md5(COALESCE(string_agg(CASE WHEN NOT rm THEN line END,
+                               chr(10) ORDER BY pos), ''))
+         AS text_md5
+FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
+    doc="Cross-document line-level dedup (RefinedWeb/CCNet boilerplate "
+    "removal; pipeline.py::dedup_lines): documents are linearized into "
+    "8-token lines plus a planted all-docs boilerplate footer and a "
+    "10%%-of-docs newsletter line; every line occurring in >1 distinct "
+    "doc is dropped, survivors keep original order. Oracle recomputes "
+    "the identical linearization and checks per-doc kept/removed "
+    "counts plus an md5 of the reassembled text (pins line ORDER, not "
+    "just membership)",
+)
+def x91_line_dedup(spark, sf_dir):
+    from topn_spark.operators.pipeline import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - 1) * 8 + 1, F.lit(8))
+        ),
+    )
+    lines = F.concat(
+        F.array(F.lit("shared boilerplate footer all rights reserved")),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array(F.lit("subscribe to the newsletter")),
+        ).otherwise(F.array().cast("array<string>")),
+        body,
+    )
+    staged = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return (
+        dedup_lines(staged, id_col="doc_id", text_col="text", max_docs=1)
+        .select(
+            "doc_id",
+            "n_lines_kept",
+            "n_lines_removed",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x92_weighted_sample",
+    """WITH w AS (
+  SELECT source, doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k ASC, doc_id ASC) AS rn
+      FROM w)
+SELECT source, doc_id, n_chars FROM r WHERE rn <= 25
+ORDER BY source ASC, doc_id ASC""",
+    doc="Deterministic weighted per-group sampling (pipeline.py::"
+    "weighted_sample_k): sequential-Poisson order sampling — rank by "
+    "md5-uniform(doc_id)/weight, keep the 25 smallest per source, so "
+    "inclusion probability tracks n_chars. Hash-exact across engines "
+    "because the key is integer hash arithmetic + one IEEE-rounded "
+    "division (no libm ln/pow in the ranking); WindowGroupLimit cuts "
+    "the rank map-side",
+)
+def x92_weighted_sample(spark, sf_dir):
+    from topn_spark.operators.pipeline import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return weighted_sample_k(
+        docs, 25, weight_col="n_chars", id_col="doc_id",
+        key_cols=["source"],
+    ).orderBy("source", "doc_id")
