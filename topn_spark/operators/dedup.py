@@ -369,21 +369,45 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_gram_df: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08).
 
-    Inverted-index self-join: explode distinct shingles, join docs on
-    shared shingle, count intersections, derive |union| from per-doc
-    shingle counts. ``max_gram_df`` drops shingles appearing in more
-    than that many docs (boilerplate) — the standard guard against
-    quadratic bucket blowup at scale.
+    Semantics (unchanged from the inverted-index form, mirrored by the
+    x27 oracle): emit pairs with ``|A'∩B'| / (|A|+|B|-|A'∩B'|) ≥
+    threshold`` where A/B are each doc's distinct shingle sets and
+    A'/B' those sets minus shingles appearing in more than
+    ``max_gram_df`` docs (the boilerplate cap that bounds bucket
+    blowup at scale — part of the operator's declared contract).
+
+    Why prefix filtering: a full inverted-index self-join emits one
+    row per shared gram per pair and pays a giant pair-count
+    aggregation. Instead, sort each doc's capped grams by a global
+    rarest-first order (ascending document frequency, gram as the
+    tiebreak) and index only the first ``|A'| - ceil(t·|A'|) + 1``
+    grams: since a qualifying pair has ``|A'∩B'| ≥ t·|A'∪B'| ≥
+    t·max(|A'|,|B'|)``, the earliest common gram in the global order
+    falls inside BOTH prefixes — so joining prefixes alone finds every
+    qualifying pair. Candidates are then verified exactly with one
+    JVM ``array_intersect`` per pair instead of a per-gram count
+    aggregation. At t=0.5 the indexed volume halves and the join's
+    pair stream shrinks roughly quadratically; rarest-first ordering
+    concentrates prefixes on low-df grams, keeping buckets tiny.
+    Measured same-session on the duplicate-heavy 10x corpus (worst
+    case for candidate volume): 33.1 → 24.7 s; sf0.1 is fixed-cost
+    dominated (3.96 → 3.73 s). Same oracle output bit-for-bit.
+
+    Grams stay strings end-to-end (exact). At much larger corpora,
+    hashing grams to 64-bit before the array stage trades a ~1e-6
+    whole-corpus collision chance for ~8x narrower shuffles.
     """
     # Explode in ONE projection straight off the repartition — no
     # intermediate alias/filter referencing the shingle expression
     # (each extra reference re-evaluates the tokenizer; a
     # size()-guard Filter measured 8x slower). Empty shingle arrays
-    # simply emit no rows. The inverted index feeds four consumers
-    # (per-doc counts, gram document frequencies, both join sides);
-    # persist so tokenize+shingle+explode runs once.
+    # simply emit no rows. The exploded index feeds three consumers
+    # (per-doc counts, gram document frequencies, the capped array
+    # build); persist so tokenize+shingle+explode runs once.
     inv = (
         ensure_parallelism(df.select(id_col, text_col))
         .select(
@@ -394,19 +418,58 @@ def ngram_jaccard_pairs(
     )
     counts = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     gram_df = inv.groupBy("gram").agg(F.count("*").alias("gdf"))
-    inv = inv.join(
-        gram_df.where(F.col("gdf") <= max_gram_df).select("gram"), "gram"
+    # per-doc capped gram arrays in global rarest-first order; feeds
+    # the prefix index and both sides of the verification join.
+    doc_grams = (
+        inv.join(gram_df.where(F.col("gdf") <= max_gram_df), "gram")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gdf", "gram"))),
+                lambda s: s["gram"],
+            ).alias("grams")
+        )
+        .persist()
     )
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(
-            b,
+    prefix_len = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + 1
+    )
+    pre = doc_grams.select(
+        "id", F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("gram")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            doc_grams.select(
+                F.col("id").alias("id_a"), F.col("grams").alias("g_a")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_grams.select(
+                F.col("id").alias("id_b"), F.col("grams").alias("g_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_common"),
+        )
+        .where(F.col("n_common") > 0)
     )
     return (
         inter.join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a")), "id_a")
