@@ -89,3 +89,93 @@ def test_topn_int_matches_model(spark, values, size, ignore_null):
     got = [r.v for r in topn(df, "v", size, ignore_null).collect()]
     want = model_topn(values, size, ignore_null)
     assert _multiset_key(got) == _multiset_key(want)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines / weighted_sample_k vs pure-Python models (x91 / x92)
+# ---------------------------------------------------------------------------
+
+_line = st.sampled_from(["aa", "bb", "cc", "dd", "ee ff", ""])
+_doc = st.lists(_line, min_size=1, max_size=6)
+
+
+def model_dedup_lines(docs, max_docs):
+    from collections import defaultdict
+
+    doc_count = defaultdict(set)
+    for did, lines in docs:
+        for ln in lines:
+            doc_count[ln].add(did)
+    out = {}
+    for did, lines in docs:
+        kept = [ln for ln in lines if len(doc_count[ln]) <= max_docs]
+        out[did] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=8),
+    max_docs=st.integers(1, 3),
+)
+def test_dedup_lines_matches_model(spark, docs, max_docs):
+    from topn_spark.operators.pipeline import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in dedup_lines(df, max_docs=max_docs).collect()
+    }
+    # NB the df.split path sees "a\n\nb" as three lines incl. an empty
+    # one — the model receives the same line lists, so semantics align
+    want = model_dedup_lines(list(enumerate(docs)), max_docs)
+    assert got == want
+
+
+def model_weighted_sample_k(rows, k, key=None):
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for rid, grp, w in rows:
+        if w is None or w <= 0:
+            continue
+        u = int(
+            hashlib.md5(str(rid).encode()).hexdigest()[:12], 16
+        )
+        groups[grp if key else None].append((u / float(w), rid))
+    out = []
+    for g, members in groups.items():
+        members.sort()
+        out += [rid for _, rid in members[:k]]
+    return sorted(out)
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(5, 60),
+    k=st.integers(1, 8),
+    grouped=st.booleans(),
+)
+def test_weighted_sample_k_matches_model(spark, n, k, grouped):
+    from topn_spark.operators.pipeline import weighted_sample_k
+
+    rows = [
+        (i, "g%d" % (i % 3), [None, 0.0, 1.5, 7.0, 40.0][i % 5])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = weighted_sample_k(
+        df, k, "w", "id", key_cols=["grp"] if grouped else None
+    )
+    want = model_weighted_sample_k(rows, k, key="grp" if grouped else None)
+    assert sorted(r["id"] for r in got.collect()) == want

@@ -78,6 +78,11 @@ def main() -> int:
     trees: dict[str, str] = {}
     for name, q in sorted(QUERIES.items()):
         norm = normalize(formatted_plan(q.builder(spark, args.sf_dir)))
+        # hermetic per entry: builders that persist() intermediates
+        # would otherwise leak InMemoryRelations into LATER entries'
+        # plans (cache substitution is by analyzed-plan match), making
+        # a fingerprint depend on which queries ran before it
+        spark.catalog.clearCache()
         fps[name] = hashlib.sha256(norm.encode()).hexdigest()[:12]
         # readable dump: the tree section; the hash covers the full
         # normalized plan including per-node details
