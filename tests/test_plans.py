@@ -192,12 +192,26 @@ def test_audit_scale_accepts_clean_plans(spark):
     from topn_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    for name in ("q01", "q04", "q12", "x10_asof_join"):
+    for name in (
+        "q01",
+        "q04",
+        "q12",
+        "x10_asof_join",
+        # round-4 additions: prefix-filtered jaccard, the multimodal
+        # decode family, line dedup, weighted sampling
+        "x27_ngram_jaccard",
+        "x89_pixel_decode_stats",
+        "x90_audio_decode_stats",
+        "x91_line_dedup",
+        "x92_weighted_sample",
+        "x93_video_header_decode",
+    ):
         warns = [
             f
             for f in audit_scale(QUERIES[name].builder(spark, sf))
             if f.startswith("WARN")
         ]
+        spark.catalog.clearCache()
         assert warns == [], f"{name}: {warns}"
 
     # scalar aggregates funnel one row per partition, not the dataset
