@@ -44,6 +44,7 @@ from topn_spark.operators.pipeline import (
     chunk_by_tokens,
     chunk_documents,
     contamination_check,
+    dedup_lines,
     hash_sample,
     histogram,
     merge_upsert,
@@ -55,6 +56,7 @@ from topn_spark.operators.pipeline import (
     sample_k_per_group,
     stratified_sample,
     token_heavy_hitters,
+    weighted_sample_k,
     winsorize,
     zscore,
 )
@@ -104,6 +106,8 @@ __all__ = [
     "hash_sample",
     "assign_split",
     "sample_k_per_group",
+    "dedup_lines",
+    "weighted_sample_k",
     "stratified_sample",
     "pack_sequences",
     "redact_pii",
