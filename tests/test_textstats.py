@@ -136,3 +136,44 @@ def test_js_divergence_bounds_and_extremes(spark):
     # distributions sum to 1 per group
     sums = token_distribution(df).groupBy("source").agg(F.sum("p").alias("s"))
     assert all(abs(r.s - 1.0) < 1e-9 for r in sums.collect())
+
+
+def test_bm25_matches_hand_model(spark):
+    import math
+
+    from topn_spark.operators.textstats import bm25_scores
+
+    rows = [
+        (1, "cat dog cat"),       # cat x2, dog x1, dl 3
+        (2, "dog dog dog fish"),  # dog x3, dl 4
+        (3, "bird"),              # no query term -> no row
+        (4, ""),                  # empty doc counts toward N/avgdl
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["cat", "dog"]).collect()
+    }
+    assert set(got) == {1, 2}
+
+    N, avgdl, k1, b = 4, (3 + 4 + 1 + 0) / 4.0, 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = idf(1) * w(2, 3) + idf(2) * w(1, 3)  # cat df=1, dog df=2
+    want2 = idf(2) * w(3, 4)
+    assert abs(got[1] - want1) < 1e-9 and abs(got[2] - want2) < 1e-9
+    # rarer term (cat) outscores common (dog) at equal tf/dl
+    one_each = spark.createDataFrame(
+        [(1, "cat x"), (2, "dog x"), (3, "dog y")],
+        "doc_id int, text string",
+    )
+    s = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(one_each, ["cat", "dog"]).collect()
+    }
+    assert s[1] > s[2]

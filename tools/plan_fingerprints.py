@@ -53,6 +53,31 @@ def normalize(plan: str) -> str:
         s = re.sub(r"\[codegen id : \d+\]", "", s)
         s = re.sub(r"\[id=#id\]", "", s)
         s = re.sub(r"file:[^\s,\]]+", "file:<path>", s)
+        # lambda variables carry a session-global counter (x_1, x_2, …)
+        s = re.sub(r"lambda x_\d+", "lambda x_#", s)
+        # checkpointed RDD ids (iterative builders) are session
+        # counters, and the recorded callsite depends on JVM stack
+        # introspection luck (NativeMethodAccessorImpl vs <unknown>)
+        s = re.sub(r"RDD\[\d+\]", "RDD", s)
+        s = re.sub(r" at localCheckpoint at [^,\]]+", " at localCheckpoint", s)
+        # Detail values are hashed as flat comma-fragment MULTISETS:
+        # multi-distinct rewrites (RewriteDistinctAggregates) emit
+        # Expand slots, grouping-key order, and sort/partitioning key
+        # order in hash-iteration order, so the same query compiles to
+        # differently-ORDERED (but equivalent) detail lines run to
+        # run. Stripping brackets and sorting the fragments keeps the
+        # content — a lost PushedFilter, a changed key set, a new
+        # exchange still change the hash — while ignoring order churn
+        # the optimizer itself does not keep stable.
+        # parens split too: multi-distinct gid numbers are paired with
+        # columns nondeterministically, so only fully-atomized tokens
+        # (function names, columns, filters as separate atoms) form a
+        # run-stable multiset
+        m = re.match(r"^(\s*[A-Za-z][A-Za-z ]*(?: \[\d+\])?: )(.*)$", s)
+        if m and ", " in m.group(2):
+            atoms = re.sub(r"[()\[\]]", ", ", m.group(2))
+            frags = sorted(t for t in (f.strip() for f in atoms.split(", ")) if t)
+            s = m.group(1) + ", ".join(frags)
         out.append(s.rstrip())
     return "\n".join(out)
 
@@ -74,6 +99,9 @@ def main() -> int:
     spark = get_session(
         app_name="plan_fingerprints", shuffle_partitions=8, driver_memory="8g"
     )
+    # default field-count truncation cuts long detail lists at an
+    # order-dependent point, which breaks the multiset normalization
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     fps: dict[str, str] = {}
     trees: dict[str, str] = {}
     for name, q in sorted(QUERIES.items()):

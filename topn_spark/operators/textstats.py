@@ -295,6 +295,69 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    (Robertson & Zaragoza 2009): per matching doc,
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5))   (non-negative RSJ)
+
+    with ``dl`` the doc's token count, ``avgdl``/``N`` corpus stats,
+    ``df(t)`` the number of docs containing t. Returns ``(id_col,
+    bm25)`` for docs containing ≥1 query term — no top-k cutoff, so
+    the row set is exact-membership (float ordering never decides
+    inclusion; the caller applies ``topn`` if it wants a cutoff).
+
+    Scale shape: one explode filtered to the query vocabulary before
+    the (doc, term) aggregate — the shuffle carries only matching
+    term instances; df and the 1-row corpus stats are broadcast
+    (vocabulary-sized and scalar); dl is a map-only recount. The only
+    libm call is the final ``ln`` — the x94 oracle compares under
+    1e-9 relative tolerance for exactly that reason.
+    """
+    qt = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = (
+        toks.where(F.col("term").isin(qt))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("dl")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg(token_count(text_col)).alias("avgdl"),
+    )
+    idf = F.log(
+        1 + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def rolling_hashes(
     text_col: str = "text", window: int = 8, every: int = 4
 ) -> Column:

@@ -3564,3 +3564,42 @@ def x92_weighted_sample(spark, sf_dir):
         docs, 25, weight_col="n_chars", id_col="doc_id",
         key_cols=["source"],
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "x94_bm25",
+    None,
+    doc="Okapi BM25 relevance scores for a 3-term query over the "
+    "corpus (textstats.py::bm25_scores): exact-membership row set "
+    "(every doc containing >=1 query term, no float-ordered cutoff); "
+    "the df side and 1-row corpus stats broadcast; ln is the only "
+    "libm call, hence the tolerance-mode oracle",
+    tol_oracle="""WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS term
+        FROM documents)
+  WHERE term IN ('spark', 'table', 'window') GROUP BY 1, 2),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+       FROM documents),
+st AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       SUM(ln(1 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+FROM tf JOIN dfr USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY tf.doc_id ASC""",
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def x94_bm25(spark, sf_dir):
+    from topn_spark.operators.textstats import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "table", "window"]).orderBy(
+        "doc_id"
+    )
