@@ -226,13 +226,20 @@ def dedup_lines(
     repeats count once (COUNT DISTINCT doc), matching the published
     semantics.
     """
-    # \Q..\E: split() takes a regex; quote so sep is literal
-    lines = df.select(
-        id_col,
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
-        ).alias("pos", "line"),
-    ).withColumn("_h", F.md5("line"))
+    # \Q..\E: split() takes a regex; quote so sep is literal.
+    # The exploded line set feeds two consumers (the distinct-doc
+    # count and the flag join) — persist so the split+explode scan
+    # runs once, matching the fan-out convention in dedup.py.
+    lines = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + sep + "\\E")
+            ).alias("pos", "line"),
+        )
+        .withColumn("_h", F.md5("line"))
+        .persist()
+    )
     common = (
         lines.groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
