@@ -119,3 +119,29 @@ def test_connected_components(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_dedup_against_drops_known_content(spark):
+    from topn_spark.operators.dedup import dedup_against
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "alpha"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out = dedup_against(new, base, subset=["text"])
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+    # schema passthrough
+    assert out.columns == new.columns
+
+
+def test_dedup_against_infers_common_columns(spark):
+    from topn_spark.operators.dedup import dedup_against
+
+    base = spark.createDataFrame([("x", 1)], "text string, extra int")
+    new = spark.createDataFrame([("x", "a"), ("y", "b")], "text string, other string")
+    # only `text` is common -> dedup on text
+    out = dedup_against(new, base)
+    assert [r.text for r in out.collect()] == ["y"]

@@ -205,6 +205,19 @@ def test_audit_scale_accepts_clean_plans(spark):
         "x91_line_dedup",
         "x92_weighted_sample",
         "x93_video_header_decode",
+        # round-4 y-series: ties (grouped WindowGroupLimit + global
+        # threshold-rescan), order stats, listagg, decorrelated scalar
+        # subquery, grid radius join, kmeans assignment, cross-corpus
+        # anti join, bigram fluency
+        "y01_topn_ties_grouped",
+        "y02_topn_ties_global",
+        "y03_median_mode",
+        "y04_listagg",
+        "y05_scalar_subquery",
+        "y06_radius_join",
+        "y07_kmeans",
+        "y08_cross_corpus_dedup",
+        "y09_bigram_fluency",
     ):
         warns = [
             f

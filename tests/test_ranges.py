@@ -75,3 +75,54 @@ def test_plan_is_equi_join_not_nested_loop(spark):
         df, df.withColumnRenamed("id", "rid"), ["k"], "s", "e"
     )
     assert_plan_lacks(out, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from topn_spark.operators.ranges import grid_radius_join
+
+    rng = random.Random(7)
+    pts = [
+        (i, float(rng.randint(0, 200)) / 2.0, float(rng.randint(0, 200)) / 2.0)
+        for i in range(150)
+    ]
+    r = 9.0
+    want = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = grid_radius_join(df, "id", "x", "y", r)
+    got = sorted((row.a_id, row.b_id) for row in out.collect())
+    assert got == want and len(want) > 50
+
+
+def test_grid_radius_join_boundary_inclusive(spark):
+    from topn_spark.operators.ranges import grid_radius_join
+
+    # dist exactly r (3-4-5 triangle, r=5) is included; cell-adjacent
+    # pairs beyond r are excluded; same-cell far pair excluded.
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 4.0), (3, 5.1, 0.0), (4, 0.0, 20.0)],
+        "id long, x double, y double",
+    )
+    out = grid_radius_join(df, "id", "x", "y", 5.0).collect()
+    pairs = sorted((r.a_id, r.b_id) for r in out)
+    assert pairs == [(1, 2), (2, 3)]
+    # (2,3): dx=2.1 dy=4 -> 4.41+16=20.41 <= 25 yes. (1,3): 26.01 no.
+
+
+def test_grid_radius_join_is_equi_join(spark):
+    from topn_spark.operators.ranges import grid_radius_join
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 37 AS DOUBLE) x", "CAST(id % 53 AS DOUBLE) y"
+    )
+    assert_plan_lacks(
+        grid_radius_join(df, "id", "x", "y", 4.0),
+        "NestedLoop",
+        "CartesianProduct",
+    )

@@ -150,3 +150,67 @@ def test_edit_distance_join_rejects_unsupported_dist(spark):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     with pytest.raises(ValueError, match="max_dist=1"):
         edit_distance_join(df, "id", "s", max_dist=2)
+
+
+class TestKMeans:
+    def test_matches_numpy_mirror_and_descends(self, spark):
+        """Assignments equal a NumPy replay of the same deterministic
+        contract, and inertia is monotone non-increasing in rounds
+        (Lloyd's invariant). Planted-label purity is NOT asserted:
+        the synthetic blobs overlap heavily (assigning every point to
+        its TRUE label centroid only reaches ~41% purity), so label
+        recovery would test the data, not the operator."""
+        import numpy as np
+
+        from tests.conftest import SF_ORACLE
+        from topn_spark.catalog import load_table
+        from topn_spark.operators.similarity import kmeans_lloyd
+
+        emb = load_table(spark, SF_ORACLE, "embeddings")
+        rows = sorted(
+            emb.select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+        V = np.array([r.embedding for r in rows], dtype=np.float32).astype(
+            np.float64
+        )
+
+        def mirror(iters):
+            C = V[:10].copy()
+            for _ in range(iters):
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(10):
+                    m = V[a == c]
+                    if len(m):
+                        C[c] = m.mean(axis=0)
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return d.argmin(axis=1), d.min(axis=1).sum()
+
+        got = {
+            r.vec_id: (r.cluster, r.dist_sq)
+            for r in kmeans_lloyd(emb, 10, iters=5).collect()
+        }
+        want_assign, want_inertia = mirror(5)
+        assert len(got) == len(V)
+        assert [got[i][0] for i in range(len(V))] == list(want_assign)
+        inertia = sum(d for _, d in got.values())
+        assert abs(inertia - want_inertia) <= 1e-6 * want_inertia
+        _, inertia1 = mirror(1)
+        assert want_inertia <= inertia1 + 1e-9
+
+    def test_empty_cluster_keeps_centroid_and_determinism(self, spark):
+        from topn_spark.operators.similarity import kmeans_lloyd
+
+        # 4 identical points, k=3: clusters 1,2 go empty immediately
+        # (all points argmin to the first tied centroid) and must keep
+        # their init centroids without crashing; all points land in 0.
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        out = kmeans_lloyd(df, 3, iters=2).collect()
+        assert {r.cluster for r in out} == {0}
+        assert all(r.dist_sq == 0.0 for r in out)
+        again = kmeans_lloyd(df, 3, iters=2).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))

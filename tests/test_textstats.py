@@ -177,3 +177,33 @@ def test_bm25_matches_hand_model(spark):
         for r in bm25_scores(one_each, ["cat", "dog"]).collect()
     }
     assert s[1] > s[2]
+
+
+def test_bigram_fluency_matches_python_model(spark):
+    from collections import Counter
+
+    import re
+
+    from topn_spark.operators.textstats import bigram_fluency
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat on the mat"),
+        (4, "zz"),          # 1 token -> no bigrams -> dropped
+        (5, "the cat sat"),
+    ]
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in docs}
+    grams = {i: [f"{a} {b}" for a, b in zip(t, t[1:])] for i, t in toks.items()}
+    corpus = Counter(g for gs in grams.values() for g in gs)
+    want = {
+        i: (len(gs), round(sum(corpus[g] for g in gs) / len(gs), 6))
+        for i, gs in grams.items()
+        if gs
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.fluency)
+        for r in bigram_fluency(df).collect()
+    }
+    assert got == want

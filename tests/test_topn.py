@@ -164,3 +164,60 @@ def test_ntile_from_rank_equals_window_ntile(spark):
             ).collect()
         }
         assert got == want, (total, n)
+
+
+class TestTopNWithTies:
+    def _df(self, spark):
+        rows = [
+            ("a", 1, 50), ("a", 2, 50), ("a", 3, 49), ("a", 4, 48),
+            ("b", 5, 10), ("b", 6, 9), ("b", 7, 9), ("b", 8, 8),
+            ("c", 9, None), ("c", 10, 7),
+        ]
+        return spark.createDataFrame(rows, "g string, id int, v int")
+
+    def test_grouped_keeps_ties_at_cut(self, spark):
+        from topn_spark.operators.topn import topn_with_ties
+
+        out = topn_with_ties(self._df(spark), "v", 2, group_by="g")
+        got = sorted((r.g, r.id) for r in out.collect())
+        # a: rank1={50,50}, rank2 skipped to 3 -> ids 1,2 only;
+        # b: rank1=10, rank2={9,9} both kept;
+        # c: rank1=7, rank2=null (nulls last, kept by rank<=2)
+        assert got == [("a", 1), ("a", 2), ("b", 5), ("b", 6),
+                       ("b", 7), ("c", 9), ("c", 10)]
+
+    def test_global_matches_rank_window(self, spark):
+        from topn_spark.operators.topn import topn_with_ties
+
+        df = self._df(spark).where("v is not null")
+        for n in (1, 2, 3, 5, 100):
+            got = sorted(r.id for r in topn_with_ties(df, "v", n).collect())
+            df.createOrReplaceTempView("tt_ties")
+            want = sorted(
+                r.id
+                for r in spark.sql(
+                    f"""SELECT id FROM (SELECT id, RANK() OVER
+                        (ORDER BY v DESC) rk FROM tt_ties)
+                        WHERE rk <= {n}"""
+                ).collect()
+            )
+            assert got == want, n
+
+    def test_global_null_at_cut_keeps_all(self, spark):
+        from topn_spark.operators.topn import topn_with_ties
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, None)], "id int, v int"
+        )
+        # 2 nulls tie at rank 2 <= 3 -> every row qualifies
+        assert topn_with_ties(df, "v", 3).count() == 3
+        # size=1: only the non-null max
+        assert [r.id for r in topn_with_ties(df, "v", 1).collect()] == [1]
+
+    def test_ignore_null(self, spark):
+        from topn_spark.operators.topn import topn_with_ties
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, None)], "id int, v int"
+        )
+        assert topn_with_ties(df, "v", 3, ignore_null=True).count() == 1

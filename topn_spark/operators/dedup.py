@@ -484,3 +484,39 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    subset: list[str] | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: rows of ``new_df`` whose ``subset``
+    content does NOT already appear in ``base_df`` — the incremental-
+    ingest gate a training pipeline runs before admitting a new crawl
+    against the existing corpus.
+
+    Planned as a LEFT ANTI join on the md5 content digest, never the
+    text: both sides shuffle 16-byte keys (or, when the base digest
+    set fits the broadcast threshold, a broadcast anti join with no
+    shuffle at all — Catalyst/AQE picks). At 100 TB the base digest
+    set is a compact sorted artifact you persist once and reuse per
+    ingest batch; pair with ``minhash_dedup_pairs`` for the near-dup
+    pass after this exact gate."""
+    cols = subset or [c for c in new_df.columns if c in base_df.columns]
+    def digest(df: DataFrame):
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ],
+            )
+        )
+    base_keys = base_df.select(digest(base_df).alias("_dedup_key")).distinct()
+    return (
+        new_df.withColumn("_dedup_key", digest(new_df))
+        .join(base_keys, "_dedup_key", "left_anti")
+        .drop("_dedup_key")
+    )

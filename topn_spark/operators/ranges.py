@@ -77,3 +77,75 @@ def interval_overlap_join(
         )
         .drop("_bkt")
     )
+
+
+def grid_radius_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """Planar within-``radius`` self-join: every unordered point pair
+    ``(a, b)`` with ``(ax-bx)^2 + (ay-by)^2 <= radius^2``, each pair
+    once with ``a_id < b_id``. Output: ``a_id, b_id, dist_sq``
+    (squared distance — no sqrt, so the value is exact IEEE arithmetic
+    on both engine and oracle).
+
+    The naive formulation is an O(n^2) cross join. Spatial cure,
+    same family as ``interval_overlap_join``'s binning: hash points
+    into a square grid of cell size ``radius``; any pair within
+    ``radius`` lies in the same or an 8-adjacent cell. Probe side
+    explodes to its 3x3 cell neighborhood (9 rows), build side keeps
+    one row per point, and the join is a pure equi-join on the cell
+    id — shuffle-partitioned by cell, never all-pairs. The candidate
+    set per point is bounded by local density * 9 cells; the exact
+    distance filter runs cell-locally inside the joined partition.
+    ``a_id < b_id`` both canonicalizes the unordered pair and halves
+    the filter work. Dense hot cells are ordinary join skew — AQE's
+    skew-join split applies; at 100 TB pick ``radius``-sized cells so
+    a cell holds ~(density * radius^2) points, and shrink the explode
+    to 4 quadrant-neighbors if 9x fan-out dominates the shuffle.
+    """
+    pt = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.floor(F.col(x_col) / F.lit(radius)).alias("_cx"),
+        F.floor(F.col(y_col) / F.lit(radius)).alias("_cy"),
+    )
+    probe = pt.select(
+        F.col("_id").alias("a_id"),
+        F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_cx") + F.lit(dx)).alias("cx"),
+                        (F.col("_cy") + F.lit(dy)).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("_cell"),
+    )
+    build = pt.select(
+        F.col("_id").alias("b_id"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        F.struct(
+            F.col("_cx").alias("cx"), F.col("_cy").alias("cy")
+        ).alias("_cell"),
+    )
+    dist_sq = (F.col("_ax") - F.col("_bx")) * (
+        F.col("_ax") - F.col("_bx")
+    ) + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+    return (
+        probe.join(build, "_cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist_sq", dist_sq)
+        .where(F.col("dist_sq") <= F.lit(float(radius) * float(radius)))
+        .select("a_id", "b_id", "dist_sq")
+    )

@@ -347,3 +347,87 @@ def edit_distance_join(
         .where(F.col("d") <= max_dist)
         .distinct()
     )
+
+
+def _dist_sq_to(vec_col, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(df, centroids, id_col="vec_id", vec_col="embedding"):
+    """Append ``cluster`` (argmin squared-euclidean over ``centroids``,
+    first-min tie → lowest cluster id) and ``dist_sq``. Map-only: the
+    k×d centroid model rides into the task as literals (the same
+    driver-sized-model shape as ``ivf_assign``); cost O(k·d) per row,
+    embarrassingly parallel at any scale."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_dist_sq_to(v, c) for c in centroids])
+    return df.withColumn("_d", dists).withColumn(
+        "cluster",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
+            "int"
+        ),
+    ).withColumn(
+        "dist_sq", F.array_min(F.col("_d"))
+    ).drop("_d")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    the final assignment ``(id, cluster, dist_sq)``.
+
+    Deterministic contract (so a NumPy mirror reproduces it bit-near):
+    init = the vectors of the ``k`` smallest ids; argmin ties go to
+    the lowest cluster index; an emptied cluster keeps its previous
+    centroid; exactly ``iters`` assignment+update rounds.
+
+    Scale shape — the same as Spark MLlib's own KMeans: per round one
+    map-only assignment pass (centroids broadcast as k×d literals)
+    plus one map-side-combined aggregation of per-cluster
+    per-dimension sums (``posexplode`` → groupBy(cluster, dim)), so
+    k·d partial sums per task cross the wire, never vectors. The
+    driver holds only the k×d model between rounds — data rows are
+    never collected. O(iters · n · k · d) compute, embarrassingly
+    parallel in n.
+    """
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(df, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "x"
+                ),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k*d bounded rows — the model, not the data
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps old
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], []).append(r)
+        for cl, rows in acc.items():
+            for r in rows:
+                new[cl][r["dim"]] = r["s"] / r["n"]
+        centroids = new
+    return kmeans_assign(df, centroids, id_col, vec_col).select(
+        id_col, "cluster", "dist_sq"
+    )

@@ -445,3 +445,44 @@ def js_divergence_matrix(
         .otherwise(F.lit(0.0))
     )
     return v.groupBy("s1", "s2").agg((F.sum(term) / 2).alias("js"))
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency fluency score: for each document, the mean
+    corpus count of its word bigrams — a zero-model proxy for n-gram
+    LM perplexity (a doc built from common corpus collocations scores
+    high; rare/garbled juxtapositions score low). ``(id, n_bigrams,
+    fluency)``; docs with < 2 tokens are dropped.
+
+    Two shuffles, both keyed small: (1) bigram -> corpus count (hash
+    agg with map-side combine — the classic word-count shape), (2)
+    doc-bigram stream joined back to the count table on the bigram
+    string, re-aggregated per doc. Bigram frequency is zipf-heavy, so
+    at 100 TB the join's hot keys ("of the") are the skew story: AQE
+    skew-join split handles the probe side, and the count table
+    (unique bigrams, sublinear in corpus size) is often broadcast-
+    able after a min-count threshold. The score is SUM(count)/n — one
+    bigint/bigint IEEE division, so it hash-matches an exact SQL
+    oracle."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).withColumn("bg", F.explode(ngrams_from_tokens("_toks", 2)))
+    grams = toks.select("id", "bg")
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(counts, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("cnt") / F.count(F.lit(1))).alias("fluency"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams"),
+            F.round("fluency", 6).alias("fluency"),
+        )
+    )

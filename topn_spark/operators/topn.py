@@ -352,6 +352,66 @@ def topn_grouped_salted(
     )
 
 
+def topn_with_ties(
+    df: DataFrame,
+    field: str,
+    size: int = 1,
+    group_by=None,
+    ignore_null: bool = False,
+) -> DataFrame:
+    """Top-``size`` rows by ``field`` descending, KEEPING ties — the
+    ``FETCH FIRST n ROWS WITH TIES`` / ``RANK() <= n`` semantics the
+    reference's unordered-tie heap (TopN.java:117-118) silently
+    truncates: if the size-th and (size+1)-th rows compare equal, the
+    reference drops an arbitrary one; this variant returns both.
+
+    Grouped path: ``rank() OVER (PARTITION BY keys ...) <= size`` —
+    Spark ≥3.5 plans a ``WindowGroupLimit`` for rank() exactly as for
+    row_number(), so the cut still happens map-side before the shuffle
+    (ties inflate only the per-group survivor count, never the scan).
+
+    Global path: a global rank window would serialize every row
+    through ONE task. Instead: (1) ``TakeOrderedAndProject`` fetches
+    the top ``size`` values only (bounded heap, no shuffle), (2) the
+    size-th value becomes a scalar threshold, (3) one scan-local
+    ``filter(field >= threshold)`` emits every qualifying row — rank
+    semantics without a global sort; the driver holds ``size`` values,
+    never data. Two jobs, both scale-safe at 100 TB.
+    """
+    validate_topn(df.schema, field, size).get_or_throw()
+    if ignore_null:
+        df = df.where(F.col(field).isNotNull())
+    if group_by is not None:
+        if isinstance(group_by, str):
+            group_by = [group_by]
+        w = Window.partitionBy(*group_by).orderBy(
+            F.col(field).desc_nulls_last()
+        )
+        return (
+            df.withColumn("__rk", F.rank().over(w))
+            .where(F.col("__rk") <= size)
+            .drop("__rk")
+        )
+    # Global: threshold = the size-th distinct-position value (nulls
+    # sort last, so a null threshold means fewer than `size` non-null
+    # rows — keep nulls too, matching rank() over desc_nulls_last).
+    top = df.select(field).orderBy(F.col(field).desc_nulls_last()).limit(
+        size
+    )
+    row = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(field).alias("n_nonnull"),
+        F.min(field).alias("thr"),
+    ).collect()[0]  # 3 scalars — bounded driver traffic
+    if row["n"] < size or row["n_nonnull"] < row["n"]:
+        # Fewer than `size` rows total, or a null reached the top
+        # `size` (i.e. fewer than `size` non-null values): nulls sort
+        # last and all tie at rank n_nonnull+1 <= size, so EVERY row
+        # ranks within `size`.
+        return df
+    return df.where(F.col(field) >= F.lit(row["thr"]))
+
+
 def rank_low_cardinality(
     df: DataFrame,
     keys: list[str],

@@ -3603,3 +3603,330 @@ def x94_bm25(spark, sf_dir):
     return bm25_scores(docs, ["spark", "table", "window"]).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------- #
+# y-series: round-4 second-wave surface (separate prefix so the     #
+# driver's first-50 sorted gate window q01..x18 stays stable).      #
+# ---------------------------------------------------------------- #
+
+
+@query(
+    "y01_topn_ties_grouped",
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity DESC) AS rk
+      FROM lineitem)
+WHERE rk <= 2
+ORDER BY l_returnflag ASC, l_orderkey ASC, l_linenumber ASC""",
+    doc="Grouped top-N WITH TIES (operators/topn.py::topn_with_ties): "
+    "rank() <= n keeps every row tied at the cut — the semantics the "
+    "reference's heap silently truncates; rank() gets the same "
+    "WindowGroupLimit map-side cut as row_number()",
+)
+def y01_topn_ties_grouped(spark, sf_dir):
+    from topn_spark.operators.topn import topn_with_ties
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        topn_with_ties(li, "l_quantity", 2, group_by="l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "y02_topn_ties_global",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             RANK() OVER (ORDER BY l_quantity DESC) AS rk
+      FROM lineitem)
+WHERE rk <= 100
+ORDER BY l_orderkey ASC, l_linenumber ASC""",
+    doc="Global top-N WITH TIES: the oracle's global rank window "
+    "serializes every row through one task, so the engine instead "
+    "takes the bounded-heap top-100 (TakeOrderedAndProject), reads "
+    "the 100th value as a scalar threshold, and re-scans with a "
+    "pushed filter — rank semantics, no global sort, two scale-safe "
+    "jobs",
+)
+def y02_topn_ties_global(spark, sf_dir):
+    from topn_spark.operators.topn import topn_with_ties
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        topn_with_ties(li, "l_quantity", 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "y03_median_mode",
+    """WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2),
+m AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity ASC) AS rn
+  FROM c)
+SELECT l.l_returnflag,
+       ROUND(median(l.l_quantity), 6) AS med,
+       ROUND(quantile_cont(l.l_quantity, 0.25), 6) AS q1,
+       ROUND(quantile_cont(l.l_quantity, 0.75), 6) AS q3,
+       CAST(MIN(m.l_quantity) AS BIGINT) AS mode_qty
+FROM lineitem l
+JOIN m ON l.l_returnflag = m.l_returnflag AND m.rn = 1
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag ASC""",
+    doc="Exact order statistics per group: interpolated median / "
+    "quartiles (Spark percentile <-> DuckDB quantile_cont — both "
+    "interpolate (1-g)*lo + g*hi, exact for dyadic inputs) plus a "
+    "DETERMINISTIC mode (count-desc, value-asc tiebreak via window "
+    "rank over the count table — engines' native mode() breaks ties "
+    "arbitrarily, so it can never be oracled)",
+)
+def y03_median_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("mode_qty"),
+        )
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("med"),
+        F.round(F.expr("percentile(l_quantity, 0.25D)"), 6).alias("q1"),
+        F.round(F.expr("percentile(l_quantity, 0.75D)"), 6).alias("q3"),
+    )
+    return (
+        stats.join(F.broadcast(mode), "l_returnflag")
+        .select("l_returnflag", "med", "q1", "q3", "mode_qty")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "y04_listagg",
+    """SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name ASC) AS names
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey ASC""",
+    doc="Ordered string aggregation (LISTAGG): Spark sorts the "
+    "collected array then joins (collect_list is unordered by "
+    "contract — array_sort makes it deterministic) <-> DuckDB "
+    "string_agg ORDER BY; per-group payload is the scale bound, as "
+    "with any collect",
+)
+def y04_listagg(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("names"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_Y05_SQL = """SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal >= (SELECT MAX(c2.c_acctbal) * 0.9 FROM customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey ASC"""
+
+
+@query(
+    "y05_scalar_subquery",
+    _Y05_SQL,
+    doc="Correlated SCALAR subquery (identical text on both engines): "
+    "customers within 10% of their nation's max balance. Catalyst "
+    "decorrelates to an aggregate + join — no per-row re-execution; "
+    "MAX is order-insensitive, so the 0.9*max threshold is one exact "
+    "IEEE multiply on both engines (an AVG-derived threshold would "
+    "be summation-order-dependent and unoracleable)",
+)
+def y05_scalar_subquery(spark, sf_dir):
+    from topn_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_Y05_SQL)
+
+
+@query(
+    "y06_radius_join",
+    """WITH p AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 7919) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 104729) % 1000 AS DOUBLE) AS y
+  FROM customer)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100.0
+ORDER BY a_id ASC, b_id ASC""",
+    doc="Planar within-radius self-join (ranges.py::grid_radius_join): "
+    "points on a deterministic integer lattice derived from custkey; "
+    "the oracle is the naive O(n^2) theta join, the engine is the "
+    "radius-sized grid-cell equi-join (probe explodes to its 3x3 "
+    "neighborhood) — same pairs, shuffle-partitioned by cell, never "
+    "all-pairs; squared distance on integer-valued doubles keeps the "
+    "output hash-exact (no sqrt, no libm)",
+)
+def y06_radius_join(spark, sf_dir):
+    from topn_spark.operators.ranges import grid_radius_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("y"),
+    )
+    return (
+        grid_radius_join(pts, "id", "x", "y", 10.0)
+        .select(
+            "a_id", "b_id", F.col("dist_sq").cast("bigint").alias("dist_sq")
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _y07_kmeans_exact(con):
+    """NumPy mirror of kmeans_lloyd's deterministic contract (init =
+    k lowest vec_ids, first-min argmin, empty cluster keeps its
+    centroid, 5 rounds) — float64 throughout, so the only divergence
+    from Spark is summation order (~1e-15 rel)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    V = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    k, iters = 10, 5
+    C = V[:k].copy()
+    for _ in range(iters):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = V[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    dm = d.min(axis=1)
+    out = [
+        (c, int((a == c).sum()), float(dm[a == c].sum()))
+        for c in range(k)
+        if (a == c).any()
+    ]
+    return ["cluster", "n", "inertia"], out
+
+
+@query(
+    "y07_kmeans",
+    None,
+    doc="Distributed Lloyd's k-means, k=10 x 5 rounds over the 64-dim "
+    "embeddings (similarity.py::kmeans_lloyd): per round one map-only "
+    "assignment pass (k x d centroid literals) + one map-side-combined "
+    "(cluster, dim) sum — the driver holds the k x d model only, the "
+    "MLlib shape. Tolerance oracle: a NumPy replay of the identical "
+    "deterministic contract; per-cluster size and inertia within 1e-6",
+    tol_oracle=_y07_kmeans_exact,
+    tolerance=1e-6,
+    tol_keys=("cluster",),
+)
+def y07_kmeans(spark, sf_dir):
+    from topn_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_lloyd(emb, 10, iters=5)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist_sq").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "y08_cross_corpus_dedup",
+    """WITH base AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1)
+SELECT n.doc_id, n.source FROM newd n
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE MD5(b.text) = MD5(n.text))
+ORDER BY n.doc_id ASC""",
+    doc="Cross-corpus exact dedup gate (dedup.py::dedup_against): new "
+    "crawl (odd doc_ids) anti-joined on content digest against the "
+    "existing corpus (even doc_ids) — 16-byte keys shuffle, never "
+    "text; the incremental-ingest admission step before near-dup "
+    "passes",
+)
+def y08_cross_corpus_dedup(spark, sf_dir):
+    from topn_spark.operators.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return (
+        dedup_against(new, base, subset=["text"])
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "y09_bigram_fluency",
+    """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+  FROM toks WHERE len(t) >= 2),
+big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM pos),
+cnt AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg)
+SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(c) AS BIGINT) / COUNT(*), 6) AS fluency
+FROM big JOIN cnt USING (bg)
+GROUP BY big.doc_id
+ORDER BY big.doc_id ASC""",
+    doc="Corpus bigram-frequency fluency score (textstats.py::"
+    "bigram_fluency): mean corpus count of each doc's word bigrams — "
+    "a zero-model LM-perplexity proxy; word-count-shaped agg + a "
+    "zipf-skewed join back on the bigram (AQE skew split at scale); "
+    "SUM/COUNT is one bigint/bigint IEEE division, hash-exact",
+)
+def y09_bigram_fluency(spark, sf_dir):
+    from topn_spark.operators.textstats import bigram_fluency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_fluency(docs).orderBy("doc_id")
