@@ -218,6 +218,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y07_kmeans",
         "y08_cross_corpus_dedup",
         "y09_bigram_fluency",
+        "y10_corpus_pipeline",
     ):
         warns = [
             f

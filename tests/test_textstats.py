@@ -207,3 +207,25 @@ def test_bigram_fluency_matches_python_model(spark):
         for r in bigram_fluency(df).collect()
     }
     assert got == want
+
+
+def test_cms_point_counts_overshoot_only_and_bounded(spark):
+    from collections import Counter
+
+    import re
+
+    from topn_spark.operators.textstats import cms_token_counts, tokens
+
+    docs = [(i, f"alpha beta gamma delta word{i % 7} alpha beta") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = Counter(
+        t for _, s in docs for t in re.findall(r"[a-z0-9]+", s)
+    )
+    n_total = sum(exact.values())
+    terms = ["alpha", "beta", "gamma", "word0", "absent"]
+    got = {r.term: r.est for r in cms_token_counts(df, terms, eps=0.01).collect()}
+    assert set(got) == set(terms)
+    for t in terms:
+        # CMS never undershoots, and overshoots by <= eps*N whp
+        assert got[t] >= exact[t]
+        assert got[t] <= exact[t] + max(1, int(0.01 * n_total) * 5)

@@ -486,3 +486,42 @@ def bigram_fluency(
             F.round("fluency", 6).alias("fluency"),
         )
     )
+
+
+def cms_token_counts(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count–min-sketch point-query estimates for ``terms`` over the
+    corpus token stream: ``(term, est)``.
+
+    The sketch is the distributed part: ``count_min_sketch`` is a
+    mergeable aggregate (partial sketches merge associatively, the
+    same partial+final shape as any hash agg), so one pass over 100 TB
+    of tokens yields a ``depth x width`` counter grid of fixed size
+    ~``(2/eps) * ln(1/(1-confidence))`` longs — independent of corpus
+    size, unlike the exact word-count table. Point queries then read
+    the driver-held model (public ``org.apache.spark.util.sketch``
+    API), never the data; estimates overshoot by at most ``eps * N``
+    with probability ``confidence``. Complements
+    ``token_heavy_hitters_approx`` (top-k) with O(1)-memory point
+    lookups."""
+    sk_row = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .agg(
+            F.count_min_sketch(
+                "term", F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("sk")
+        )
+        .collect()[0]
+    )
+    jvm = df.sparkSession._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    rows = [(t, int(cms.estimateCount(t))) for t in terms]
+    return df.sparkSession.createDataFrame(rows, "term string, est bigint")

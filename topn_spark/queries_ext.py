@@ -3930,3 +3930,80 @@ def y09_bigram_fluency(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_fluency(docs).orderBy("doc_id")
+
+
+@query(
+    "y10_corpus_pipeline",
+    f"""WITH q AS (
+  SELECT doc_id, source, text,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS alpha_ratio,
+    ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(len({_TOKS_DUCK}) AS DOUBLE), 0), 6) AS mean_word_len,
+    len({_TOKS_DUCK}) AS nt
+  FROM documents),
+k AS (
+  SELECT doc_id, source, text FROM q
+  WHERE nt >= 10 AND alpha_ratio >= 0.6
+    AND mean_word_len BETWEEN 2.0 AND 12.0),
+d AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                            ORDER BY doc_id ASC) AS dup_rn
+  FROM k),
+c AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM d WHERE dup_rn = 1)
+SELECT doc_id, source FROM c WHERE rn <= 25
+ORDER BY source ASC, doc_id ASC""",
+    doc="END-TO-END training-corpus admission pipeline, composed from "
+    "the engine's own operators: Gopher-style quality gate "
+    "(textstats.add_quality) -> exact content dedup keeping the "
+    "lowest doc_id (dedup_exact) -> deterministic per-source cap of "
+    "25 (sample_k_per_group md5-rank). Three stages, three shuffles "
+    "(16-byte digest, then source key), every cut map-side-bounded; "
+    "the oracle replays the identical composition in one SQL text",
+)
+def y10_corpus_pipeline(spark, sf_dir):
+    from topn_spark.operators.dedup import dedup_exact
+    from topn_spark.operators.pipeline import sample_k_per_group
+    from topn_spark.operators.textstats import add_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        add_quality(docs)
+        .where(F.col("quality_keep"))
+        .select("doc_id", "source", "text")
+    )
+    unique = dedup_exact(kept, subset=["text"], tiebreak=["doc_id"])
+    capped = sample_k_per_group(unique, ["source"], 25, "doc_id")
+    return capped.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+@query(
+    "y11_cms_point_counts",
+    None,
+    doc="Count-min-sketch token point queries (textstats.py::"
+    "cms_token_counts): one mergeable-sketch aggregate pass over the "
+    "token stream -> fixed (2/eps x ln(1/(1-conf))) counter grid on "
+    "the driver, point estimates overshoot-only by <= eps*N; exact "
+    "word-count oracle under 5% tolerance (same bar as the approx "
+    "top-k entry x57)",
+    tol_oracle=f"""WITH t AS (
+  SELECT unnest({_TOKS_DUCK}) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS est
+FROM t WHERE term IN ('join', 'hash', 'scan', 'filter', 'vector')
+GROUP BY term ORDER BY term ASC""",
+    tolerance=0.05,
+    tol_keys=("term",),
+)
+def y11_cms_point_counts(spark, sf_dir):
+    from topn_spark.operators.textstats import cms_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_token_counts(
+        docs, ["join", "hash", "scan", "filter", "vector"]
+    ).orderBy("term")
