@@ -219,6 +219,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y08_cross_corpus_dedup",
         "y09_bigram_fluency",
         "y10_corpus_pipeline",
+        "y12_semantic_dedup",
     ):
         warns = [
             f

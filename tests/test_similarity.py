@@ -214,3 +214,22 @@ class TestKMeans:
         assert all(r.dist_sq == 0.0 for r in out)
         again = kmeans_lloyd(df, 3, iters=2).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    import random
+
+    from topn_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(30)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant exact copies (cosine 1.0) of vectors 0..4 at ids 100..104
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in semantic_dedup(df, k=3, iters=3, threshold=0.999).collect()}
+    # every planted copy has a smaller-id near-dup (same vector ->
+    # same cluster, cosine 1) and must be dropped; originals survive
+    assert {100, 101, 102, 103, 104}.isdisjoint(kept)
+    assert {0, 1, 2, 3, 4} <= kept
+    assert len(kept) == 30

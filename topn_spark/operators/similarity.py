@@ -431,3 +431,81 @@ def kmeans_lloyd(
     return kmeans_assign(df, centroids, id_col, vec_col).select(
         id_col, "cluster", "dist_sq"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): k-means-cluster the embedding space, then inside each
+    cluster drop every vector that has a higher-cosine-than-
+    ``threshold`` neighbor with a SMALLER id. Returns the kept rows as
+    ``(id, cluster)``.
+
+    The clustering is the blocking structure: candidate pairs are
+    generated per cluster (one equi-join on the cluster id), never
+    across the full corpus — the same never-all-pairs discipline as
+    the LSH/IVF family, with cluster population bounded by k chosen
+    ~n/target_cluster_size. The drop rule ("exists a near-dup with a
+    smaller id") is order-free and deterministic — no greedy sweep, so
+    the result is independent of partitioning and reproducible by the
+    NumPy oracle mirror.
+    """
+    assigned = kmeans_lloyd(df, k, iters, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    pts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        # bind the norm in its own projection so the normalize lambda
+        # reads a materialized scalar — an aggregate() inside the
+        # transform body would re-run per ELEMENT, O(d^2)/row (lambda
+        # bodies get no CSE — see ivf_assign)
+        .withColumn("_n", _norm(F.col("_v")))
+        .select(
+            "_id",
+            F.transform(
+                F.col("_v"), lambda x: x / F.col("_n")
+            ).alias("_unit"),
+        )
+    ).join(
+        assigned.select(
+            F.col(id_col).alias("_id"), F.col("cluster")
+        ),
+        "_id",
+    )
+    a = pts.select(
+        F.col("cluster"),
+        F.col("_id").alias("a_id"),
+        F.col("_unit").alias("_ua"),
+    )
+    b = pts.select(
+        F.col("cluster"),
+        F.col("_id").alias("b_id"),
+        F.col("_unit").alias("_ub"),
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("_id"))
+        .distinct()
+    )
+    return (
+        pts.select("_id", "cluster")
+        .join(dropped, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cluster")
+    )

@@ -4007,3 +4007,63 @@ def y11_cms_point_counts(spark, sf_dir):
     return cms_token_counts(
         docs, ["join", "hash", "scan", "filter", "vector"]
     ).orderBy("term")
+
+
+def _y12_semdedup_exact(con):
+    """NumPy mirror of semantic_dedup's full pipeline: the kmeans_lloyd
+    deterministic contract (see _y07_kmeans_exact), then inside each
+    cluster drop every vector with a >= 0.4-cosine neighbor of smaller
+    id. Kept-set equality is the check (no float columns — cluster ids
+    are exact ints; the 0.4 threshold sits in a ~0.05-wide gap of the
+    cosine distribution, far beyond float noise)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    k, iters = 10, 5
+    C = V[:k].copy()
+    for _ in range(iters):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = V[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = []
+    for i, vid in enumerate(ids):
+        dropped = False
+        for j in range(i):
+            if a[j] == a[i] and float(U[i] @ U[j]) >= 0.4:
+                dropped = True
+                break
+        if not dropped:
+            out.append((vid, int(a[i])))
+    return ["vec_id", "cluster"], out
+
+
+@query(
+    "y12_semantic_dedup",
+    None,
+    doc="SemDeDup-style semantic dedup (similarity.py::semantic_dedup, "
+    "arXiv:2303.09540): k-means clusters block the candidate space, "
+    "one per-cluster equi-join generates pairs (never all-pairs), and "
+    "the order-free rule 'drop if a smaller-id neighbor has cosine "
+    ">= t' makes the kept set deterministic; NumPy mirror oracle "
+    "checks kept-set equality exactly",
+    tol_oracle=_y12_semdedup_exact,
+    tolerance=0.0,
+    tol_keys=("vec_id",),
+)
+def y12_semantic_dedup(spark, sf_dir):
+    from topn_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=10, iters=5, threshold=0.4).orderBy(
+        "vec_id"
+    )
