@@ -4067,3 +4067,27 @@ def y12_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, k=10, iters=5, threshold=0.4).orderBy(
         "vec_id"
     )
+
+
+_Y13_SQL = """SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY ALL
+ORDER BY ALL"""
+
+
+@query(
+    "y13_group_by_all",
+    _Y13_SQL,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar, DuckDB "
+    "dialect-identical): the analyzer derives the grouping set from "
+    "the non-aggregate select items — identical text on both "
+    "engines, same partial+final hash aggregate underneath",
+)
+def y13_group_by_all(spark, sf_dir):
+    from topn_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_Y13_SQL)
