@@ -3784,34 +3784,44 @@ def y05_scalar_subquery(spark, sf_dir):
     "y06_radius_join",
     """WITH p AS (
   SELECT c_custkey AS id,
-         CAST((c_custkey * 7919) % 1000 AS DOUBLE) AS x,
-         CAST((c_custkey * 104729) % 1000 AS DOUBLE) AS y
+         CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % 1000000 AS DOUBLE) AS x,
+         CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)
+              AS BIGINT) % 1000000 AS DOUBLE) AS y
   FROM customer)
 SELECT a.id AS a_id, b.id AS b_id,
        CAST((a.x - b.x) * (a.x - b.x)
             + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
 FROM p a JOIN p b ON a.id < b.id
-WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100.0
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25000000.0
 ORDER BY a_id ASC, b_id ASC""",
     doc="Planar within-radius self-join (ranges.py::grid_radius_join): "
-    "points on a deterministic integer lattice derived from custkey; "
-    "the oracle is the naive O(n^2) theta join, the engine is the "
-    "radius-sized grid-cell equi-join (probe explodes to its 3x3 "
-    "neighborhood) — same pairs, shuffle-partitioned by cell, never "
-    "all-pairs; squared distance on integer-valued doubles keeps the "
-    "output hash-exact (no sqrt, no libm)",
+    "points at md5-uniform integer coordinates in a 10^6-square "
+    "domain (independent x/y hex substrings — a linear-congruential "
+    "derivation puts points on a 1-D orbit, and a small modulus "
+    "stacks the scaled corpus onto repeated sites, inflating pairs "
+    "quadratically); the oracle is the naive O(n^2) theta join, the "
+    "engine is the radius-sized grid-cell equi-join (probe explodes "
+    "to its 3x3 neighborhood) — same pairs, shuffle-partitioned by "
+    "cell, never all-pairs; squared distance on integer-valued "
+    "doubles keeps the output hash-exact (no sqrt, no libm)",
 )
 def y06_radius_join(spark, sf_dir):
     from topn_spark.operators.ranges import grid_radius_join
 
     cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
     pts = cust.select(
         F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 7919) % 1000).cast("double").alias("x"),
-        ((F.col("c_custkey") * 104729) % 1000).cast("double").alias("y"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % 1000000)
+        .cast("double")
+        .alias("x"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("bigint") % 1000000)
+        .cast("double")
+        .alias("y"),
     )
     return (
-        grid_radius_join(pts, "id", "x", "y", 10.0)
+        grid_radius_join(pts, "id", "x", "y", 5000.0)
         .select(
             "a_id", "b_id", F.col("dist_sq").cast("bigint").alias("dist_sq")
         )
