@@ -382,3 +382,66 @@ def test_decode_video_dataframe(spark):
     assert (out["v2"]["timescale"], out["v2"]["duration_ms"]) == (90000, 5000)
     assert out["junk"]["vid_format"] is None
     assert out["nul"]["timescale"] is None
+
+
+class TestFrameTimes:
+    def test_run_length_decode_and_versions(self):
+        from topn_spark.operators.multimodal import (
+            encode_mp4_with_track,
+            parse_frame_times,
+        )
+
+        for ver in (0, 1):
+            b = encode_mp4_with_track(600, 600, [(5, 60), (4, 90)], version=ver)
+            want = [i * 60 * 1000 // 600 for i in range(5)] + [
+                (300 + i * 90) * 1000 // 600 for i in range(4)
+            ]
+            assert parse_frame_times(b) == want, ver
+
+    def test_media_timescale_differs_from_movie(self):
+        from topn_spark.operators.multimodal import (
+            encode_mp4_with_track,
+            parse_frame_times,
+        )
+
+        # movie ts 600, media ts 90000 (typical video): t_ms uses the
+        # MEDIA timescale from mdhd, not mvhd's
+        b = encode_mp4_with_track(600, 90000, [(3, 3000)])
+        assert parse_frame_times(b) == [0, 33, 66]
+
+    def test_corrupt_and_absent_inputs(self):
+        from topn_spark.operators.multimodal import (
+            encode_mp4_stub,
+            encode_mp4_with_track,
+            parse_frame_times,
+        )
+
+        assert parse_frame_times(b"") is None
+        assert parse_frame_times(b"junkjunkjunk") is None
+        # mvhd-only stub has no track -> None, not a crash
+        assert parse_frame_times(encode_mp4_stub(600, 1000)) is None
+        # zero media timescale -> None
+        assert parse_frame_times(
+            encode_mp4_with_track(600, 0, [(1, 1)])
+        ) is None
+
+    def test_distributed_fanout(self, spark):
+        from topn_spark.operators.multimodal import (
+            encode_mp4_with_track,
+            video_frame_times,
+        )
+
+        rows = [
+            (1, encode_mp4_with_track(600, 1000, [(2, 500)])),
+            (2, encode_mp4_with_track(600, 1000, [(1, 250), (2, 125)])),
+            (3, b"not a video"),  # skipped, no row emitted
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = sorted(
+            (r.doc_id, r.frame_idx, r.t_ms)
+            for r in video_frame_times(df).collect()
+        )
+        assert got == [
+            (1, 0, 0), (1, 1, 500),
+            (2, 0, 0), (2, 1, 250), (2, 2, 375),
+        ]

@@ -229,3 +229,34 @@ def test_cms_point_counts_overshoot_only_and_bounded(spark):
         # CMS never undershoots, and overshoots by <= eps*N whp
         assert got[t] >= exact[t]
         assert got[t] <= exact[t] + max(1, int(0.01 * n_total) * 5)
+
+
+def test_vocab_oov_rates_matches_python_model(spark):
+    import re
+    from collections import Counter
+
+    from topn_spark.operators.textstats import vocab_oov_rates
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana durian"),
+        (3, "apple banana banana elderberry"),
+        (4, "apple zzgarble qqnoise"),
+    ]
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in docs}
+    dfc = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfc[t] += 1
+    vocab = {t for t, c in dfc.items() if c >= 2}
+    want = {}
+    for i, ts in toks.items():
+        oov = sum(1 for t in ts if t not in vocab)
+        want[i] = (len(ts), oov, round(oov / len(ts), 6))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_oov_rates(df, min_df=2).collect()
+    }
+    assert got == want
+    assert got[4][1] == 2  # planted OOV garbage counted

@@ -498,6 +498,34 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _walk_box(b: bytes, lo: int, hi: int, path: tuple[bytes, ...]):
+    """Descend an ISO-BMFF box tree along ``path`` (first match per
+    level) and return the body bytes of the final box, else None.
+    Boxes are ``u32 size + 4cc type``; size 1 → u64 largesize follows,
+    size 0 → box extends to the end of the enclosing scope
+    (ISO/IEC 14496-12 §4.2)."""
+    i = lo
+    while i + 8 <= hi:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        typ = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return None
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = hi - i
+        if size < 8 or i + size > hi:
+            return None
+        if typ == path[0]:
+            if len(path) == 1:
+                return b[body : i + size]
+            return _walk_box(b, body, i + size, path[1:])
+        i += size
+    return None
+
+
 def parse_mp4_header(
     b: bytes,
 ) -> tuple[str | None, int | None, int | None]:
@@ -513,29 +541,7 @@ def parse_mp4_header(
     if len(b) < 12 or b[4:8] != b"ftyp":
         return None, None, None
 
-    def walk(lo: int, hi: int, path: tuple[bytes, ...]):
-        i = lo
-        while i + 8 <= hi:
-            size = struct.unpack(">I", b[i : i + 4])[0]
-            typ = b[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:
-                if i + 16 > hi:
-                    return None
-                size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
-                body = i + 16
-            elif size == 0:  # box extends to end of enclosing scope
-                size = hi - i
-            if size < 8 or i + size > hi:
-                return None
-            if typ == path[0]:
-                if len(path) == 1:
-                    return b[body : i + size]
-                return walk(body, i + size, path[1:])
-            i += size
-        return None
-
-    mvhd = walk(0, len(b), (b"moov", b"mvhd"))
+    mvhd = _walk_box(b, 0, len(b), (b"moov", b"mvhd"))
     if mvhd is None or len(mvhd) < 4:
         return "mp4", None, None
     version = mvhd[0]
@@ -699,6 +705,118 @@ def sample_frames(
                     )
             yield pd.DataFrame(
                 rows, columns=["asset_id", "frame_idx", "frame_digest"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def encode_mp4_with_track(
+    movie_timescale: int,
+    media_timescale: int,
+    stts_entries: list[tuple[int, int]],
+    version: int = 0,
+) -> bytes:
+    """Spec-valid ISO-BMFF stream with a real sample-timing table:
+    ``ftyp + moov[mvhd + trak[mdia[mdhd + minf[stbl[stts]]]]]`` —
+    fixture encoder for :func:`video_frame_times`. ``stts_entries``
+    is the ISO/IEC 14496-12 §8.6.1.2 run-length form:
+    ``(sample_count, sample_delta)`` in media-timescale ticks."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    total = sum(c * d for c, d in stts_entries)
+    movie_dur = total * movie_timescale // max(media_timescale, 1)
+    mvhd = encode_mp4_stub(movie_timescale, movie_dur, version=version)
+    # reuse the stub's ftyp+mvhd bytes, rebuild moov with the track
+    ftyp_len = struct.unpack(">I", mvhd[:4])[0]
+    ftyp = mvhd[:ftyp_len]
+    mvhd_box = mvhd[ftyp_len + 8 :]  # strip the old moov header
+    mdhd_body = (
+        struct.pack(">I", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, media_timescale, total)
+        + struct.pack(">HH", 0x55C4, 0)  # language 'und', pre_defined
+    )
+    stts_body = struct.pack(">II", 0, len(stts_entries)) + b"".join(
+        struct.pack(">II", c, d) for c, d in stts_entries
+    )
+    stbl = box(b"stbl", box(b"stts", stts_body))
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", box(b"mdhd", mdhd_body) + minf)
+    trak = box(b"trak", mdia)
+    return ftyp + box(b"moov", mvhd_box + trak)
+
+
+def parse_frame_times(b: bytes) -> list[int] | None:
+    """Frame start times in integer milliseconds from the first
+    track's ``stts`` sample-timing table (run-length decoded against
+    the ``mdhd`` media timescale) — REAL metadata-level frame timing,
+    pure stdlib, no demuxer: ``t_ms[i] = (sum of deltas before i) *
+    1000 // media_timescale``. None when the container has no
+    parseable ``trak/mdia/mdhd + minf/stbl/stts`` chain."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    mdia = _walk_box(b, 0, len(b), (b"moov", b"trak", b"mdia"))
+    if mdia is None:
+        return None
+    mdhd = _walk_box(mdia, 0, len(mdia), (b"mdhd",))
+    stts = _walk_box(mdia, 0, len(mdia), (b"minf", b"stbl", b"stts"))
+    if mdhd is None or stts is None or len(mdhd) < 16 or len(stts) < 8:
+        return None
+    version = mdhd[0]
+    try:
+        ts = struct.unpack(
+            ">I", mdhd[20:24] if version == 1 else mdhd[12:16]
+        )[0]
+        n_entries = struct.unpack(">I", stts[4:8])[0]
+        if ts <= 0 or len(stts) < 8 + 8 * n_entries:
+            return None
+        times, cum = [], 0
+        for e in range(n_entries):
+            cnt, delta = struct.unpack(
+                ">II", stts[8 + 8 * e : 16 + 8 * e]
+            )
+            for _ in range(cnt):
+                times.append(cum * 1000 // ts)
+                cum += delta
+        return times
+    except struct.error:
+        return None
+
+
+def video_frame_times(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video → one row per frame ``(id, frame_idx, t_ms)`` from the
+    container's OWN sample-timing metadata (:func:`parse_frame_times`)
+    — the real part of frame sampling that needs no codec: which
+    timestamps exist. Feeding ``t_ms`` into an actual pixel extractor
+    remains :func:`sample_frames`'s fail-fast contract.
+
+    Arrow-batched ``mapInPandas`` fan-out: output rows ~ total frame
+    count, partition-local (no shuffle); at 100 TB the stts walk reads
+    container headers only — pair with a format that stores moov
+    up-front (faststart) so the scan never touches media data."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("t_ms", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                times = parse_frame_times(bytes(p) if p is not None else b"")
+                if times is None:
+                    continue
+                rows.extend((rid, i, t) for i, t in enumerate(times))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "t_ms"]
             )
 
     return df.mapInPandas(run, schema=out_schema)

@@ -525,3 +525,50 @@ def cms_token_counts(
     )
     rows = [(t, int(cms.estimateCount(t))) for t in terms]
     return df.sparkSession.createDataFrame(rows, "term string, est bigint")
+
+
+def vocab_oov_rates(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary build + per-document out-of-vocabulary rate:
+    the tokenizer-prep step of a training pipeline. The vocabulary is
+    every token appearing in >= ``min_df`` DISTINCT documents; each
+    doc then reports ``(id, n_tokens, n_oov, oov_rate)`` — a high OOV
+    rate flags garbled/foreign/code-like documents against the corpus
+    the tokenizer will be fit on.
+
+    Two aggregations, both map-side combined: (1) token -> distinct-
+    doc count (the dedup inside uses (token, doc) as the grouping
+    key once — no collect_set), (2) the doc-token stream LEFT-joined
+    against the vocabulary (sublinear in corpus size; broadcast-able
+    after the min_df cut) and re-aggregated per doc. The OOV rate is
+    one bigint/bigint IEEE division — hash-exact cross-engine."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(vocab, "term", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

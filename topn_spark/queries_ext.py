@@ -4101,3 +4101,91 @@ def y13_group_by_all(spark, sf_dir):
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_Y13_SQL)
+
+
+@query(
+    "y14_vocab_oov",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+  WHERE df >= 50),
+j AS (
+  SELECT t.doc_id, t.term, v.term IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+             / COUNT(*), 6) AS oov_rate
+FROM j GROUP BY doc_id ORDER BY doc_id ASC""",
+    doc="Vocabulary build + per-doc OOV rate (textstats.py::"
+    "vocab_oov_rates): vocab = tokens in >= min_df distinct docs "
+    "(min_df=50 here so the synthetic corpus actually has OOV mass); "
+    "doc-token stream left-joined against the vocab (broadcast-able "
+    "after the cut) and re-aggregated per doc — the tokenizer-prep "
+    "QC gate; single IEEE division, hash-exact",
+)
+def y14_vocab_oov(spark, sf_dir):
+    from topn_spark.operators.textstats import vocab_oov_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_oov_rates(docs, min_df=50).orderBy("doc_id")
+
+
+@query(
+    "y15_video_frame_times",
+    """WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 4)) AS frame_idx
+  FROM documents WHERE doc_id < 150),
+c AS (
+  SELECT doc_id, frame_idx,
+    CASE WHEN frame_idx <= 3 THEN frame_idx * 50 * (1 + doc_id % 3)
+         ELSE 3 * 50 * (1 + doc_id % 3) + (frame_idx - 3) * 200
+    END AS cum
+  FROM f)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(cum * 1000 // (500 * (1 + doc_id % 2)) AS BIGINT) AS t_ms
+FROM c ORDER BY doc_id ASC, frame_idx ASC""",
+    doc="REAL video frame timing, oracled (multimodal.py::"
+    "video_frame_times): planted ISO-BMFF containers carry an actual "
+    "trak/mdia/mdhd + minf/stbl/stts chain (run-length sample deltas "
+    "over a per-doc media timescale); the pure-stdlib box walk "
+    "run-length-decodes frame start times distributed via mapInPandas "
+    "fan-out, and the oracle recomputes every t_ms arithmetically "
+    "from doc_id — frame sampling's metadata half made real (pixel "
+    "extraction stays sample_frames' fail-fast contract)",
+)
+def y15_video_frame_times(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        encode_mp4_with_track,
+        video_frame_times,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_mp4(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            out.append(
+                encode_mp4_with_track(
+                    600,
+                    500 * (1 + d % 2),
+                    [(3, 50 * (1 + d % 3)), (2, 200)],
+                    version=d % 2,
+                )
+            )
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 150
+    )
+    assets = docs.select(
+        "doc_id", planted_mp4("doc_id").alias("payload")
+    )
+    return video_frame_times(assets).orderBy("doc_id", "frame_idx")
