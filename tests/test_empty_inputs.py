@@ -178,3 +178,42 @@ def test_round3_ops_on_empty(spark):
     assert (r["n"], r["dof"], r["chi2"]) == (0, 0, None)
     t = triangle_count(spark.createDataFrame([], "src long, dst long"))
     assert [tuple(x) for x in t.collect()] == [(0, 0, 0)]
+
+
+def test_round4_y_series_ops_on_empty(spark):
+    from topn_spark.operators.dedup import dedup_against
+    from topn_spark.operators.multimodal import video_frame_times
+    from topn_spark.operators.ranges import grid_radius_join
+    from topn_spark.operators.similarity import (
+        kmeans_assign,
+        semantic_dedup,
+    )
+    from topn_spark.operators.textstats import (
+        bigram_fluency,
+        cms_token_counts,
+        vocab_oov_rates,
+    )
+    from topn_spark.operators.topn import topn_with_ties
+
+    docs = _empty_docs(spark)
+    assert bigram_fluency(docs).count() == 0
+    assert vocab_oov_rates(docs).count() == 0
+    # CMS over zero tokens: estimates exist and are all zero
+    ests = cms_token_counts(docs, ["a", "b"]).collect()
+    assert [r.est for r in ests] == [0, 0]
+    assert dedup_against(docs, docs, ["text"]).count() == 0
+
+    pts = spark.createDataFrame([], "id long, x double, y double")
+    assert grid_radius_join(pts, "id", "x", "y", 5.0).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    # kmeans_lloyd needs >= 1 row for init; the documented empty-safe
+    # pieces are the assignment and the dedup built on a given model
+    assert kmeans_assign(emb, [[0.0, 0.0]]).count() == 0
+
+    vids = spark.createDataFrame([], "doc_id long, payload binary")
+    assert video_frame_times(vids).count() == 0
+
+    li = spark.createDataFrame([], "g string, v int")
+    assert topn_with_ties(li, "v", 3).count() == 0
+    assert topn_with_ties(li, "v", 3, group_by="g").count() == 0

@@ -220,6 +220,9 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y09_bigram_fluency",
         "y10_corpus_pipeline",
         "y12_semantic_dedup",
+        "y13_group_by_all",
+        "y14_vocab_oov",
+        "y15_video_frame_times",
     ):
         warns = [
             f

@@ -52,11 +52,13 @@ def test_query_matches_oracle(spark, duck, name):
 def test_every_entry_has_an_oracle():
     # every catalog entry is checkable: a hash-match oracle, or a
     # tolerance oracle (exact counterpart + declared error bound) for
-    # the approx/iterative-float ops. No unverifiable entries.
+    # the approx/iterative-float ops — tolerance 0 is legal and means
+    # the tol-oracle compare is EXACT (y12's kept-set equality). No
+    # unverifiable entries.
     for name, q in QUERIES.items():
-        assert q.oracle is not None or (
-            q.tol_oracle is not None and q.tolerance > 0
-        ), f"{name} has neither a hash-match nor a tolerance oracle"
+        assert q.oracle is not None or q.tol_oracle is not None, (
+            f"{name} has neither a hash-match nor a tolerance oracle"
+        )
 
 
 TOLERANCED = sorted(
