@@ -145,3 +145,50 @@ def test_rollup_sink_replay_is_idempotent(spark, tmp_path):
     assert total() == 500
     apply_batch(ev, 1, store, ledger, "ts", "hour", spec)  # genuinely new
     assert total() == 1000
+
+
+def test_neardup_ingest_gates_on_similarity_across_runs(spark, tmp_path):
+    from topn_spark.streaming.ingest import neardup_corpus_sink
+
+    src = str(tmp_path / "nsrc")
+    store = str(tmp_path / "nstore")
+    out = str(tmp_path / "nout")
+    ck = str(tmp_path / "nck")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry heavy stones across a narrow wooden "
+        "bridge during the long summer afternoon rain"
+    )
+    near1 = base.replace("rain", "storm")       # ~3 shingles differ
+    near2 = base.replace("afternoon", "morning")
+    other = (
+        "completely different content about database engines columnar "
+        "scans vectorized execution and shuffle partitioning with no "
+        "overlap at all in any trigram of this text whatsoever"
+    )
+    third = (
+        "yet another unrelated document describing mountain weather "
+        "patterns alpine flora and the migration habits of swallows "
+        "observed across several european valleys each spring"
+    )
+
+    # run 1: base admitted; its in-batch near-dup dropped; other kept
+    _write_docs(spark, src, [(1, base), (2, near1), (3, other)])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_corpus_sink(stream, store, out, ck, threshold=0.5)
+    q.awaitTermination(180)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}
+
+    # run 2 (restart): near-dup of the STORED doc rejected, novel kept
+    _write_docs(spark, src, [(4, near2), (5, third)])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_corpus_sink(stream, store, out, ck, threshold=0.5)
+    q.awaitTermination(180)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 5}
+    # the index holds exactly the admitted ids
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/sigs").collect()
+    } == {1, 3, 5}

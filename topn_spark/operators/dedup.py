@@ -125,6 +125,37 @@ def minhash_signatures(
     return df.select(id_col).join(sig, id_col, "left")
 
 
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded bucket keys ``(id, band, bhash)`` — the LSH index rows
+    behind :func:`lsh_candidate_pairs`, exposed so callers can PERSIST
+    the index (batch self-join, or the streaming near-dup store which
+    appends these rows per micro-batch and probes them with each new
+    batch). One map-only posexplode: ``bands`` rows per signature."""
+    return sig_df.where(F.col("sig").isNotNull()).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice(
+                            "sig", b * rows_per_band + 1, rows_per_band
+                        )
+                        .cast("array<string>")
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -149,28 +180,7 @@ def lsh_candidate_pairs(
     # signature pipeline (tokenize → shingle → hash → agg) from the
     # raw text — measured 6x slower at sf0.1. At 100 TB use
     # StorageLevel.DISK_ONLY if signatures exceed cluster memory.
-    buckets = (
-        sig_df.where(F.col("sig").isNotNull())
-        .select(
-            id_col,
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b),
-                            F.slice(
-                                "sig", b * rows_per_band + 1, rows_per_band
-                            )
-                            .cast("array<string>")
-                            .cast("string"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bhash"),
-        )
-        .persist()
-    )
+    buckets = lsh_band_buckets(sig_df, id_col, bands, rows_per_band).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -80,3 +80,167 @@ def incremental_corpus_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_ingest_batch(
+    batch: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Near-dup admission for one micro-batch: reject documents whose
+    MinHash-estimated Jaccard vs any ALREADY-ADMITTED document reaches
+    ``threshold``; admit the rest and index them.
+
+    The store is the LSH index itself, persisted: ``store_dir/sigs``
+    holds ``(id, sig)``, ``store_dir/buckets`` the banded keys
+    ``(id, band, bhash)``. Each batch (1) computes signatures once,
+    (2) probes its band keys against the stored buckets — an
+    equi-join on (band, bhash), never batch x corpus — (3) verifies
+    candidates by signature agreement, (4) applies the same rule
+    within the batch (drop the larger id of any qualifying pair),
+    then appends survivors' docs, sigs, and bucket rows.
+
+    Admission semantics are GREEDY-VS-SURVIVORS, the operational
+    contract of an ingest gate: a new doc is compared against the
+    admitted corpus, not against previously rejected docs — so a
+    chain a~b~c (a<b<c, no a~c) admits a and c. Batch near-dup
+    CLUSTERING (x31) answers the other question.
+
+    Scale: the store grows with the admitted corpus but holds only
+    signatures and 16-byte band keys (constant bytes/doc, ~1000x
+    smaller than text); the probe shuffles on band keys with batch-
+    side broadcast when small. Hot buckets (boilerplate) are join
+    skew — cap or AQE-split as in lsh_candidate_pairs.
+    """
+    from topn_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    batch = dedup_exact(batch, subset=[text_col], tiebreak=[id_col])
+    sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, shingle_size
+    ).persist()
+    buckets = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+
+    def est_sim(sig_a, sig_b):
+        agree = F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        return agree / F.lit(float(num_hashes))
+
+    rejected = None
+    try:
+        old_buckets = spark.read.parquet(f"{store_dir}/buckets")
+        old_sigs = spark.read.parquet(f"{store_dir}/sigs")
+        cand = (
+            buckets.join(
+                old_buckets.select(
+                    F.col(id_col).alias("_old_id"), "band", "bhash"
+                ),
+                ["band", "bhash"],
+            )
+            .select(id_col, "_old_id")
+            .distinct()
+        )
+        verified = (
+            cand.join(sigs, id_col)
+            .join(
+                old_sigs.select(
+                    F.col(id_col).alias("_old_id"),
+                    F.col("sig").alias("_old_sig"),
+                ),
+                "_old_id",
+            )
+            .where(
+                est_sim(F.col("sig"), F.col("_old_sig"))
+                >= F.lit(float(threshold))
+            )
+        )
+        rejected = verified.select(id_col).distinct()
+    except Exception:  # first batch: no store yet
+        pass
+    survivors = (
+        batch.join(rejected, id_col, "left_anti") if rejected is not None
+        else batch
+    )
+    # within-batch pass over the remaining docs: same verify, drop the
+    # larger id of any qualifying pair
+    s_sigs = sigs.join(survivors.select(id_col), id_col)
+    pairs = lsh_candidate_pairs(s_sigs, id_col, bands, rows_per_band)
+    dup_b = (
+        pairs.join(
+            s_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            s_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb")),
+            "id_b",
+        )
+        .where(
+            est_sim(F.col("_sa"), F.col("_sb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    admitted = survivors.join(dup_b, id_col, "left_anti").persist()
+    try:
+        admitted.write.mode("append").parquet(out_dir)
+        adm_sigs = sigs.join(admitted.select(id_col), id_col).persist()
+        try:
+            adm_sigs.write.mode("append").parquet(f"{store_dir}/sigs")
+            lsh_band_buckets(adm_sigs, id_col, bands, rows_per_band).write.mode(
+                "append"
+            ).parquet(f"{store_dir}/buckets")
+        finally:
+            adm_sigs.unpersist()
+    finally:
+        admitted.unpersist()
+        sigs.unpersist()
+
+
+def neardup_corpus_sink(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Wire a document stream into :func:`neardup_ingest_batch` via
+    ``foreachBatch`` (availableNow-compatible) — the near-dup sibling
+    of :func:`incremental_corpus_sink` (which gates on EXACT content
+    only). Same write-ordering caveat: documents append before index
+    rows, so a crash strands at most an unindexed admitted doc (safe:
+    it can only admit a future near-dup, never drop data)."""
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        neardup_ingest_batch(
+            batch,
+            store_dir,
+            out_dir,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
