@@ -223,6 +223,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y13_group_by_all",
         "y14_vocab_oov",
         "y15_video_frame_times",
+        "y17_hashed_features",
     ):
         warns = [
             f

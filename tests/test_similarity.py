@@ -233,3 +233,24 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert {100, 101, 102, 103, 104}.isdisjoint(kept)
     assert {0, 1, 2, 3, 4} <= kept
     assert len(kept) == 30
+
+
+def test_embedding_covariance_matches_numpy_across_partitions(spark):
+    import numpy as np
+
+    from topn_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(101, 7))  # odd count: exercises uneven batches
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)  # partial-combine across many batches
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    want = np.cov(V, rowvar=False, ddof=1)
+    assert len(got) == 49
+    for (i, j), c in got.items():
+        assert abs(c - want[i, j]) <= 1e-9 * max(1.0, abs(want[i, j]))
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_covariance(empty).count() == 0

@@ -260,3 +260,24 @@ def test_vocab_oov_rates_matches_python_model(spark):
     }
     assert got == want
     assert got[4][1] == 2  # planted OOV garbage counted
+
+
+def test_hashed_features_matches_python_model(spark):
+    import hashlib
+    import re
+    from collections import Counter
+
+    from topn_spark.operators.textstats import hashed_features
+
+    docs = [(1, "alpha beta alpha"), (2, "beta gamma delta beta")]
+    want = Counter()
+    for i, t in docs:
+        for term in re.findall(r"[a-z0-9]+", t.lower()):
+            b = int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % 64
+            want[(i, b)] += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bucket): r.cnt
+        for r in hashed_features(df, n_buckets=64).collect()
+    }
+    assert got == dict(want)

@@ -399,38 +399,55 @@ def kmeans_lloyd(
     driver holds only the k×d model between rounds — data rows are
     never collected. O(iters · n · k · d) compute, embarrassingly
     parallel in n.
+
+    The cast vectors are persisted for the duration of the loop —
+    every round's two passes would otherwise re-scan and re-cast the
+    source, 2·iters+2 source scans total. At test scale this is
+    measured NEUTRAL (job-scheduling overhead dominates 20k-row
+    iterations); it is the correct shape for a source that is
+    expensive to scan, which is the 100 TB case. Unpersisted before
+    returning — the returned assignment recomputes one pass from
+    source, so the library leaks no cache.
     """
-    init = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    centroids = [[float(x) for x in r["v"]] for r in init]
-    for _ in range(iters):
-        assigned = kmeans_assign(df, centroids, id_col, vec_col)
-        sums = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "dim", "x"
-                ),
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # k*d bounded rows — the model, not the data
+    base = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_v")
+    ).persist()
+    try:
+        init = (
+            base.orderBy(F.col(id_col).asc())
+            .limit(k)
+            .select(F.col("_v").alias("v"))
+            .collect()
         )
-        new = [list(c) for c in centroids]  # empty cluster keeps old
-        acc: dict[int, list] = {}
-        for r in sums:
-            acc.setdefault(r["cluster"], []).append(r)
-        for cl, rows in acc.items():
-            for r in rows:
-                new[cl][r["dim"]] = r["s"] / r["n"]
-        centroids = new
+        centroids = [[float(x) for x in r["v"]] for r in init]
+        for _ in range(iters):
+            assigned = kmeans_assign(base, centroids, id_col, "_v")
+            sums = (
+                assigned.select(
+                    "cluster",
+                    F.posexplode(F.col("_v")).alias("dim", "x"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()  # k*d bounded rows — the model, not the data
+            )
+            centroids = _kmeans_update(centroids, sums)
+    finally:
+        base.unpersist()
     return kmeans_assign(df, centroids, id_col, vec_col).select(
         id_col, "cluster", "dist_sq"
     )
+
+
+def _kmeans_update(centroids, sums):
+    new = [list(c) for c in centroids]  # empty cluster keeps old
+    acc: dict[int, list] = {}
+    for r in sums:
+        acc.setdefault(r["cluster"], []).append(r)
+    for cl, rows in acc.items():
+        for r in rows:
+            new[cl][r["dim"]] = r["s"] / r["n"]
+    return new
 
 
 def semantic_dedup(
@@ -509,3 +526,72 @@ def semantic_dedup(
         .join(dropped, "_id", "left_anti")
         .select(F.col("_id").alias(id_col), "cluster")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    sample: bool = True,
+) -> DataFrame:
+    """The d×d covariance matrix of an embedding column as
+    ``(i, j, cov)`` rows — the PCA/whitening-prep moment computation.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass emits a
+    PARTIAL moment row per batch — ``(n, Σx (d), ΣxxT (d²
+    flattened))``, computed as one ``X.T @ X`` BLAS call per batch —
+    and the driver combines the partials (#partitions × d² doubles,
+    model-sized, never data) before the closed-form
+    ``(ΣxxT − ΣxΣxT/n) / (n−1)``. This is the same partial+final
+    contract as a Spark agg, expressed at matrix granularity: adding
+    data grows only the number of constant-size partials.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    d_probe = df.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if not d_probe:
+        return df.sparkSession.createDataFrame(
+            [], "i int, j int, cov double"
+        )
+    d = int(d_probe[0]["d"])
+    part_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    import pandas as pd
+
+    rows = df.select(vec_col).mapInPandas(partials, part_schema).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "i int, j int, cov double"
+        )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    xx = np.sum([np.array(r["xx"]) for r in rows], axis=0).reshape(d, d)
+    denom = (n - 1) if (sample and n > 1) else n
+    cov = (xx - np.outer(s, s) / n) / denom
+    out = [
+        (i, j, float(cov[i, j])) for i in range(d) for j in range(d)
+    ]
+    return df.sparkSession.createDataFrame(out, "i int, j int, cov double")

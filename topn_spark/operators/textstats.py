@@ -572,3 +572,38 @@ def vocab_oov_rates(
             ),
         )
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the hashing trick): bag-of-words folded into
+    ``n_buckets`` via a portable md5 bucket hash —
+    ``(id, bucket, cnt)`` sparse rows, the vocabulary-free
+    featurization for downstream linear models / n-gram classifiers.
+    No vocabulary state to build, broadcast, or version: the feature
+    space is fixed at ``n_buckets`` forever, which is the whole point
+    at 100 TB (contrast ``vocab_oov_rates``). One explode + one
+    map-side-combined count agg; md5 (not xxhash64) keeps the bucket
+    assignment engine-portable and hash-exact vs the SQL oracle."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("term")), 1, 8), 16, 10
+        ).cast("bigint")
+        % n_buckets
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .select("id", bucket.alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("id").alias(id_col), "bucket", F.col("cnt")
+        )
+    )

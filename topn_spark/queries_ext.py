@@ -4189,3 +4189,63 @@ def y15_video_frame_times(spark, sf_dir):
         "doc_id", planted_mp4("doc_id").alias("payload")
     )
     return video_frame_times(assets).orderBy("doc_id", "frame_idx")
+
+
+def _y16_cov_exact(con):
+    """NumPy np.cov mirror (float32 inputs widened to float64, sample
+    denominator n-1) for the Arrow-batched partial-moment covariance."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    V = np.array([r[0] for r in rows], dtype=np.float32).astype(np.float64)
+    C = np.cov(V, rowvar=False, ddof=1)
+    d = V.shape[1]
+    out = [(i, j, float(C[i, j])) for i in range(d) for j in range(d)]
+    return ["i", "j", "cov"], out
+
+
+@query(
+    "y16_embedding_covariance",
+    None,
+    doc="Embedding covariance matrix (similarity.py::"
+    "embedding_covariance) — the PCA/whitening moment computation: "
+    "one Arrow-batched mapInPandas pass emits a partial (n, sum_x, "
+    "X^T X) row per batch (one BLAS call each); the driver combines "
+    "#partitions x d^2 partials — model-sized, never data — into the "
+    "closed-form sample covariance. NumPy np.cov mirror at 1e-9",
+    tol_oracle=_y16_cov_exact,
+    tolerance=1e-9,
+    tol_keys=("i", "j"),
+)
+def y16_embedding_covariance(spark, sf_dir):
+    from topn_spark.operators.similarity import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb).orderBy("i", "j")
+
+
+@query(
+    "y17_hashed_features",
+    f"""WITH t AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1, 2
+ORDER BY doc_id ASC, bucket ASC""",
+    doc="Feature hashing / hashing trick (textstats.py::"
+    "hashed_features): bag-of-words folded into 64 buckets via a "
+    "portable md5 bucket hash — vocabulary-free sparse featurization "
+    "(no vocab state to build or broadcast; fixed feature space "
+    "forever); one explode + map-side-combined count agg, hash-exact",
+)
+def y17_hashed_features(spark, sf_dir):
+    from topn_spark.operators.textstats import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, n_buckets=64).orderBy(
+        "doc_id", "bucket"
+    )
