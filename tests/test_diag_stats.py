@@ -225,3 +225,58 @@ def test_groupwise_auc_excludes_null_scores(spark):
     r = groupwise_auc(df, F.col("y"), "s").collect()[0]
     assert (r["n_pos"], r["n_neg"]) == (1, 2)
     assert r["auc"] == 0.5  # pos(2.0) above neg(1.0), below neg(3.0)
+
+
+class TestWelchTTest:
+    def test_matches_hand_model_and_guards(self, spark):
+        import math
+
+        from topn_spark.diag import welch_ttest
+        from pyspark.sql import functions as F
+
+        rows = []
+        # group "g": treatment {10, 12, 14}, control {9, 9, 11, 15}
+        for v in (10.0, 12.0, 14.0):
+            rows.append(("g", True, v))
+        for v in (9.0, 9.0, 11.0, 15.0):
+            rows.append(("g", False, v))
+        # group "tiny": one treatment value -> statistic undefined
+        rows += [("tiny", True, 5.0), ("tiny", False, 1.0),
+                 ("tiny", False, 2.0)]
+        df = spark.createDataFrame(rows, "grp string, t boolean, v double")
+        got = {
+            r.grp: r
+            for r in welch_ttest(df, "grp", F.col("t"), "v").collect()
+        }
+
+        def model(a, b):
+            na, nb = len(a), len(b)
+            ma = round(sum(a) / na, 6)
+            mb = round(sum(b) / nb, 6)
+            va = round(sum((x - sum(a) / na) ** 2 for x in a) / (na - 1), 6)
+            vb = round(sum((x - sum(b) / nb) ** 2 for x in b) / (nb - 1), 6)
+            se2 = va / na + vb / nb
+            t = (ma - mb) / math.sqrt(se2)
+            dof = (se2 * se2) / (
+                (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+            )
+            return round(t, 6), round(dof, 6)
+
+        t_want, dof_want = model(
+            [10.0, 12.0, 14.0], [9.0, 9.0, 11.0, 15.0]
+        )
+        g = got["g"]
+        assert (g.n_t, g.n_c) == (3, 4)
+        assert abs(g.t_stat - t_want) <= 1e-9
+        assert abs(g.dof - dof_want) <= 1e-9
+        assert got["tiny"].t_stat is None
+        assert got["tiny"].dof is None
+
+    def test_identical_arms_zero_t(self, spark):
+        from topn_spark.diag import welch_ttest
+        from pyspark.sql import functions as F
+
+        rows = [("g", i % 2 == 0, float(i % 5)) for i in range(40)]
+        df = spark.createDataFrame(rows, "grp string, t boolean, v double")
+        out = welch_ttest(df, "grp", F.col("t"), "v").collect()[0]
+        assert out.t_stat == 0.0  # symmetric arms -> equal means

@@ -689,3 +689,55 @@ def test_weighted_sample_k_global_and_bias(spark):
     plan = weighted_sample_k(df, 100, "w", "id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_robust_zscore_planted_and_constant_group(spark):
+    from topn_spark.operators.pipeline import robust_zscore
+
+    # group a: values 1..7 plus outlier 1000 -> median 4.5 of
+    # {1..7,1000}? No: 8 values {1,2,3,4,5,6,7,1000}, interpolated
+    # median = 4.5; |x-4.5| = {3.5,2.5,1.5,.5,.5,1.5,2.5,995.5},
+    # median = 2.0. Outlier barely moves the scale (vs stddev ~352).
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 1000)]
+    rows += [("c", 9.0), ("c", 9.0)]  # constant group: MAD 0 -> NULL
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = robust_zscore(df, "v", ["grp"]).collect()
+    a = {r.v: r for r in out if r.grp == "a"}
+    assert a[1.0].med == 4.5 and a[1.0].mad == 2.0
+    want = (1.0 - 4.5) / (1.4826 * 2.0)
+    assert abs(a[1.0].v_rz - want) <= 1e-12
+    assert abs(a[1000.0].v_rz - (995.5 / (1.4826 * 2.0))) <= 1e-12
+    for r in out:
+        if r.grp == "c":
+            assert r.mad == 0.0 and r.v_rz is None
+
+
+def test_mixture_sample_quotas_determinism_and_plan(spark):
+    from topn_spark.operators.pipeline import mixture_sample
+    from topn_spark.plans import formatted_plan
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 0.6, "s1": 0.4}  # s2 unconfigured -> dropped
+    out = mixture_sample(df, weights, total=50)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert counts == {"s0": 30, "s1": 20}
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(df.repartition(7), weights, 50).collect()
+    )
+    assert a == b
+    # quota caps, not guarantees: tiny group yields all its rows
+    few = mixture_sample(
+        df.where(F.col("doc_id") < 3), {"s0": 1.0}, total=50
+    )
+    assert few.count() == 1  # only doc_id 0 is s0 among 0,1,2
+    # the literal max-quota cut must reach WindowGroupLimit (map-side)
+    assert "WindowGroupLimit" in formatted_plan(out)

@@ -281,3 +281,32 @@ def test_hashed_features_matches_python_model(spark):
         for r in hashed_features(df, n_buckets=64).collect()
     }
     assert got == dict(want)
+
+
+def test_duplicate_ngram_coverage_planted(spark):
+    from topn_spark.operators.textstats import duplicate_ngram_coverage
+
+    # doc 0 and 1 share the passage "a b c d e f" (two 5-gram
+    # shingles: "a b c d e", "b c d e f"); doc 1 adds a unique tail
+    # so only part of its shingles are duplicated; doc 2 is disjoint;
+    # doc 3 is too short for any 5-gram and must be absent.
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f g h"),
+            (2, "p q r s t u v"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.dup_shingles, r.dup_frac)
+        for r in duplicate_ngram_coverage(df, n=5, min_docs=2).collect()
+    }
+    # doc0: shingles {abcde, bcdef} both shared with doc1 -> frac 1.0
+    # doc1: 4 shingles, 2 shared -> 0.5; doc2: 3 shingles, 0 shared
+    assert got == {
+        0: (2, 2, 1.0),
+        1: (4, 2, 0.5),
+        2: (3, 0, 0.0),
+    }

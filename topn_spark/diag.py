@@ -467,3 +467,59 @@ def groupwise_auc(
             round_to,
         ).alias("auc"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    treatment: Column,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-wise Welch two-sample t-test (unequal variances) between
+    a treatment and control split of ``value_col`` → per group
+    ``(n_t, n_c, m_t, m_c, t_stat, dof)``. The continuous-metric
+    sibling of ``ab_compare``: |t| against Student-t with ``dof``
+    (Welch–Satterthwaite) degrees of freedom.
+
+    ONE conditional-aggregation scan: six moments per group (count /
+    avg / var_samp per arm), then closed-form arithmetic on the
+    moment row — never a second pass. NULL when an arm has < 2
+    values or both variances vanish (statistic undefined).
+
+    Cross-engine determinism: avg/var_samp are rounded to
+    ``round_to`` BEFORE the closed form, so both engines compute t
+    and dof from identical doubles — the remaining ops are IEEE
+    divisions/multiplications and one correctly-rounded sqrt (no
+    libm pow: squares are spelled x*x).
+    """
+    t_ = F.coalesce(treatment, F.lit(False))
+    v = F.col(value_col)
+    vt, vc = F.when(t_, v), F.when(~t_, v)
+    agg = df.groupBy(group_col).agg(
+        F.count(vt).alias("n_t"),
+        F.round(F.avg(vt), round_to).alias("m_t"),
+        F.round(F.var_samp(vt), round_to).alias("v_t"),
+        F.count(vc).alias("n_c"),
+        F.round(F.avg(vc), round_to).alias("m_c"),
+        F.round(F.var_samp(vc), round_to).alias("v_c"),
+    )
+    se2 = F.col("v_t") / F.col("n_t") + F.col("v_c") / F.col("n_c")
+    ok = (F.col("n_t") >= 2) & (F.col("n_c") >= 2) & (se2 > 0)
+    a = F.col("v_t") / F.col("n_t")
+    b = F.col("v_c") / F.col("n_c")
+    dof = (se2 * se2) / (
+        a * a / (F.col("n_t") - 1) + b * b / (F.col("n_c") - 1)
+    )
+    return agg.select(
+        group_col,
+        "n_t",
+        "n_c",
+        "m_t",
+        "m_c",
+        F.round(
+            F.when(ok, (F.col("m_t") - F.col("m_c")) / F.sqrt(se2)),
+            round_to,
+        ).alias("t_stat"),
+        F.round(F.when(ok, dof), round_to).alias("dof"),
+    )

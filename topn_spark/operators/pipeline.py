@@ -1247,3 +1247,108 @@ def time_weighted_avg(
             round_to,
         ).alias("twa"),
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    round_stats: int = 6,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group robust standardization via median / MAD: adds
+    ``{value}_rz = (x - median) / (1.4826 * MAD)`` where MAD is the
+    median absolute deviation — the outlier-resistant sibling of
+    ``zscore`` (a single contaminated value moves mean/stddev
+    arbitrarily; it moves median/MAD not at all), with 1.4826 the
+    consistency constant that makes MAD estimate sigma under
+    normality.
+
+    Three aggregate passes, zero window sorts: (1) per-group median
+    (interpolated ``percentile`` — one hash agg), (2) join back
+    (AQE broadcasts the group table) and per-group median of
+    ``|x - median|``, (3) join back and the map-only scale. The
+    medians are rounded to ``round_stats`` before use so both engines
+    scale from identical doubles (``percentile`` ↔ ``quantile_cont``
+    interpolate identically on dyadic inputs but can differ in the
+    last ulp); the scale itself is one multiply + one divide, IEEE-
+    exact. MAD = 0 (constant group) yields NULL, not Infinity.
+    """
+    out_col = out_col or f"{value_col}_rz"
+    med = F.round(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)"),
+        round_stats,
+    )
+    meds = df.groupBy(*group_cols).agg(med.alias("_med"))
+    with_med = df.join(meds, group_cols)
+    mad = F.round(
+        F.expr(
+            f"percentile(abs(CAST({value_col} AS DOUBLE) - _med), 0.5)"
+        ),
+        round_stats,
+    )
+    mads = with_med.groupBy(*group_cols).agg(
+        F.first("_med").alias("_med"), mad.alias("_mad")
+    )
+    return (
+        df.join(mads, group_cols)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_mad") > 0,
+                (F.col(value_col) - F.col("_med"))
+                / (F.lit(1.4826) * F.col("_mad")),
+            ),
+        )
+        .withColumnRenamed("_med", "med")
+        .withColumnRenamed("_mad", "mad")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Dataset-mixture sampling: draw a deterministic uniform sample
+    whose per-``group_col`` counts follow configured ``weights`` — the
+    "mix 50% web / 30% books / 20% code" step that sets a training
+    corpus's domain proportions. Groups absent from ``weights`` are
+    dropped; group g receives ``round(total * weights[g])`` rows
+    (fewer when the group is smaller — quotas are caps, not
+    guarantees).
+
+    Same engine-portable determinism contract as
+    ``sample_k_per_group``: rank by md5(id) within group, keep the
+    quota smallest — no rand(), reproducible across runs,
+    partitionings, and engines. Scale shape: one filter to configured
+    groups, one grouped window; the rank cut against the LITERAL max
+    quota is evaluated map-side (WindowGroupLimit), so at most
+    max-quota rows per group per input partition reach the shuffle;
+    the per-group quota is then a cheap post-filter against a literal
+    CASE map. Quota arithmetic happens driver-side on the config dict
+    — never a data-dependent collect.
+    """
+    from pyspark.sql.window import Window
+
+    quotas = {g: int(round(total * w)) for g, w in weights.items()}
+    max_q = max(quotas.values()) if quotas else 0
+    qmap = F.create_map(
+        *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_key(id_col), F.col(id_col)
+    )
+    rn = "__mix_rn" if rank_col is None else rank_col
+    out = (
+        df.where(F.col(group_col).isin(*quotas.keys()))
+        .withColumn(rn, F.row_number().over(w).cast("bigint"))
+        # literal cut first: this is the WindowGroupLimit map-side
+        # prune; the data-dependent quota lookup is a residual filter
+        .where(F.col(rn) <= max_q)
+        .where(F.col(rn) <= qmap[F.col(group_col)])
+    )
+    return out.drop(rn) if rank_col is None else out

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from topn_spark.operators.dedup import shingles
+
 TOKEN_RE = "[a-z0-9]+"
 
 #: tiny per-language function-word marker sets for the n-gram/stopword
@@ -605,5 +607,56 @@ def hashed_features(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             F.col("id").alias(id_col), "bucket", F.col("cnt")
+        )
+    )
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage coverage: the fraction of a
+    document's DISTINCT word ``n``-gram shingles that occur in at
+    least ``min_docs`` distinct documents corpus-wide. This is the
+    doc-removal signal of exact-substring dedup pipelines (Lee et al.
+    2022, arXiv:2107.06499, §4 "dedup by document coverage"): a doc
+    whose shingles are mostly corpus-duplicated is boilerplate or a
+    near-copy even when no single whole-doc hash matches.
+
+    Returns ``(id, n_shingles, dup_shingles, dup_frac)`` for docs with
+    >= n tokens; ``dup_frac`` is one IEEE division (engine-exact).
+
+    Scale shape: one explode to the distinct (doc, shingle) stream,
+    one count agg keyed by shingle (map-side combined; the shingle
+    space IS the shuffle — same discipline as the MinHash family), a
+    shingle-keyed join back, and a per-doc agg. Never all-pairs, no
+    driver-side state; the duplicated-shingle side could optionally be
+    df-capped like ``ngram_jaccard_pairs`` for adversarial corpora.
+    """
+    dfr = df.where(F.size(tokens(text_col)) >= n)
+    sh = dfr.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
+            ).alias("dup_shingles"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "dup_shingles",
+            (F.col("dup_shingles") / F.col("n_shingles")).alias(
+                "dup_frac"
+            ),
         )
     )

@@ -4249,3 +4249,148 @@ def y17_hashed_features(spark, sf_dir):
     return hashed_features(docs, n_buckets=64).orderBy(
         "doc_id", "bucket"
     )
+
+
+@query(
+    "y18_dup_ngram_coverage",
+    """WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+      list_transform(range(1, len(toks) - 3),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                       toks[i+3], toks[i+4])))) AS sh
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 5),
+c AS (SELECT sh, COUNT(*) AS n_docs FROM grams GROUP BY sh)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_shingles,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM grams g JOIN c USING (sh)
+GROUP BY g.doc_id ORDER BY g.doc_id ASC""",
+    doc="Duplicated-passage coverage (textstats.py::"
+    "duplicate_ngram_coverage, arXiv:2107.06499): fraction of each "
+    "doc's distinct word 5-gram shingles occurring in >= 2 docs "
+    "corpus-wide — the doc-removal signal of exact-substring dedup; "
+    "explode -> shingle-keyed count agg -> join back -> per-doc agg, "
+    "never all-pairs; dup_frac is one IEEE division, hash-exact",
+)
+def y18_dup_ngram_coverage(spark, sf_dir):
+    from topn_spark.operators.textstats import duplicate_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_coverage(docs, n=5, min_docs=2).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "y19_welch_ttest",
+    """WITH s AS (
+  SELECT event_type,
+    COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_t,
+    ROUND(AVG(CASE WHEN user_id % 2 = 0 THEN value END), 6) AS m_t,
+    ROUND(VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END), 6) AS v_t,
+    COUNT(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_c,
+    ROUND(AVG(CASE WHEN user_id % 2 <> 0 THEN value END), 6) AS m_c,
+    ROUND(VAR_SAMP(CASE WHEN user_id % 2 <> 0 THEN value END), 6) AS v_c
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c, m_t, m_c,
+       ROUND(CASE WHEN n_t >= 2 AND n_c >= 2
+                   AND v_t / n_t + v_c / n_c > 0
+         THEN (m_t - m_c) / sqrt(v_t / n_t + v_c / n_c) END, 6)
+         AS t_stat,
+       ROUND(CASE WHEN n_t >= 2 AND n_c >= 2
+                   AND v_t / n_t + v_c / n_c > 0
+         THEN ((v_t / n_t + v_c / n_c) * (v_t / n_t + v_c / n_c))
+              / ((v_t / n_t) * (v_t / n_t) / (n_t - 1)
+                 + (v_c / n_c) * (v_c / n_c) / (n_c - 1)) END, 6)
+         AS dof
+FROM s ORDER BY event_type ASC""",
+    doc="Group-wise Welch two-sample t-test (diag.py::welch_ttest): "
+    "continuous-metric A/B readout per event_type, even-vs-odd "
+    "user_id arms; one conditional-agg scan emits six moments per "
+    "group, closed-form t + Welch-Satterthwaite dof on the moment "
+    "row; moments rounded before the closed form so both engines "
+    "compute from identical doubles — hash-exact",
+)
+def y19_welch_ttest(spark, sf_dir):
+    from topn_spark.diag import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ttest(
+        ev, "event_type", F.col("user_id") % 2 == 0, "value"
+    ).orderBy("event_type")
+
+
+@query(
+    "y20_robust_zscore",
+    """WITH m AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type),
+s AS (
+  SELECT e.event_type, ANY_VALUE(m.med) AS med,
+         ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
+       CASE WHEN s.mad > 0
+         THEN (e.value - s.med) / (1.4826 * s.mad) END AS value_rz
+FROM events e JOIN s USING (event_type)
+ORDER BY e.event_id ASC LIMIT 500""",
+    doc="Robust z-score via median/MAD (pipeline.py::robust_zscore): "
+    "outlier-resistant per-group standardization — three hash-agg "
+    "passes (median, median abs deviation, map-only scale), zero "
+    "window sorts; medians rounded before the scale so both engines "
+    "divide identical doubles (percentile <-> quantile_cont); "
+    "MAD=0 -> NULL; hash-exact",
+)
+def y20_robust_zscore(spark, sf_dir):
+    from topn_spark.operators.pipeline import robust_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        robust_zscore(ev, "value", ["event_type"])
+        .select(
+            "event_id", "event_type", "value", "med", "mad",
+            "value_rz",
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "y21_mixture_sample",
+    """WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+FROM r
+WHERE rn <= CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12
+                        WHEN 'src2' THEN 6 ELSE 2 END
+ORDER BY source ASC, rn ASC""",
+    doc="Dataset-mixture sampling (pipeline.py::mixture_sample): "
+    "deterministic md5-rank draw whose per-source counts follow "
+    "configured mixture weights (50/30/15/5 of 40) — the corpus "
+    "domain-proportion step; literal max-quota rank cut runs "
+    "map-side (WindowGroupLimit), per-group quota is a residual "
+    "literal CASE filter; quotas computed driver-side from config, "
+    "hash-exact",
+)
+def y21_mixture_sample(spark, sf_dir):
+    from topn_spark.operators.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05},
+        total=40,
+        rank_col="rn",
+    )
+    return out.select("source", "doc_id", "rn").orderBy("source", "rn")
