@@ -254,3 +254,72 @@ def test_embedding_covariance_matches_numpy_across_partitions(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_covariance(empty).count() == 0
+
+
+class TestProductQuantization:
+    def test_copy_of_query_ranks_first_and_deterministic(self, spark):
+        import random
+
+        from topn_spark.operators.similarity import pq_topk
+
+        rng = random.Random(7)
+        # two well-separated blobs so quantization cells are clean
+        rows = []
+        for i in range(40):
+            center = 10.0 if i % 2 else -10.0
+            rows.append(
+                (i, [center + rng.gauss(0, 0.5) for _ in range(16)])
+            )
+        rows.append((100, list(rows[0][1])))  # exact copy of vec 0
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = pq_topk(
+            df, k=5, m=4, nbits=4, train_rows=41, query_id=0
+        ).collect()
+        # identical vectors get identical codes -> identical ADC
+        # distance; ids 0 and 100 must share the minimum, tie by id
+        assert got[0].vec_id == 0
+        assert 100 in {r.vec_id for r in got[:2]}
+        assert abs(got[0].adc_dist - got[1].adc_dist) <= 1e-12
+        # same-blob neighbors fill the rest of the top-5
+        assert all(r.vec_id % 2 == 0 for r in got if r.vec_id != 100)
+        # stable under repartitioning (no rand(), argmin ties fixed)
+        again = pq_topk(
+            df.repartition(7), k=5, m=4, nbits=4, train_rows=41,
+            query_id=0,
+        ).collect()
+        assert [(r.vec_id, r.adc_dist) for r in got] == [
+            (r.vec_id, r.adc_dist) for r in again
+        ]
+
+    def test_encode_shape_and_validation(self, spark):
+        import numpy as np
+        import pytest
+
+        from topn_spark.operators.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        rng = np.random.default_rng(3)
+        V = rng.normal(size=(32, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(32)],
+            "vec_id long, embedding array<float>",
+        )
+        books = pq_train_codebooks(
+            np.array(V, dtype=np.float32).astype(np.float64),
+            m=2, nbits=2,
+        )
+        assert books.shape == (2, 4, 4)
+        codes = pq_encode(df, books).collect()
+        assert len(codes) == 32
+        assert all(
+            len(r.codes) == 2 and all(0 <= c < 4 for c in r.codes)
+            for r in codes
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train_codebooks(V, m=3, nbits=2)
+        with pytest.raises(ValueError, match="training rows"):
+            pq_train_codebooks(V[:2], m=2, nbits=2)

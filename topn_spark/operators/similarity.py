@@ -645,3 +645,154 @@ def embedding_covariance(
         (i, j, float(cov[i, j])) for i in range(d) for j in range(d)
     ]
     return df.sparkSession.createDataFrame(out, "i int, j int, cov double")
+
+
+def pq_train_codebooks(sample_v, m: int = 8, nbits: int = 4, iters: int = 10):
+    """Train product-quantization codebooks (Jégou et al. 2011, "PQ
+    for nearest neighbor search") on a DRIVER-SIDE sample: split the
+    d dims into ``m`` subspaces and k-means each to ``2**nbits``
+    centroids. Returns an ``(m, 2**nbits, d//m)`` float64 ndarray.
+
+    Deterministic contract (mirrors ``kmeans_lloyd``): init = first
+    2**nbits sample rows per subspace, fixed ``iters`` Lloyd rounds,
+    argmin ties to the lowest index, empty clusters keep their
+    centroid. Training is config-sized by construction — the sample
+    is hundreds of rows regardless of corpus scale (the classic PQ
+    deployment: codebooks are model state, not data state).
+    """
+    import numpy as np
+
+    V = np.asarray(sample_v, dtype=np.float64)
+    n, d = V.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ksub, dsub = 1 << nbits, d // m
+    if n < ksub:
+        raise ValueError(f"need >= {ksub} training rows, got {n}")
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        X = V[:, j * dsub : (j + 1) * dsub]
+        C = X[:ksub].copy()
+        for _ in range(iters):
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for c in range(ksub):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, codes array<int>)`` where
+    ``codes[j]`` is the nearest subspace-``j`` centroid. One Arrow-
+    batched ``mapInPandas`` pass, one BLAS-shaped argmin per subspace
+    per batch; output is ``m`` small ints per vector — a 32x storage
+    cut at d=64/float32/m=8, which is the whole point at 100 TB: the
+    code table (not the raw embeddings) is what query scans read.
+    """
+    import numpy as np
+
+    B = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def _enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                X = V[:, j * dsub : (j + 1) * dsub]
+                d = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_enc, out_schema)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    books,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: build the
+    ``(m, 2**nbits)`` lookup table of squared distances from the
+    UNQUANTIZED query to every centroid (driver-side, model-sized),
+    then score each row as ``sum_j LUT[j, codes[j]]`` in one Arrow
+    pass and take the k smallest via ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, the same bounded-heap plan as the exact
+    cosine baseline. Ties break by id for full determinism.
+    """
+    import numpy as np
+
+    B = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.empty((m, ksub))
+    for j in range(m):
+        lut[j] = ((B[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["codes"].to_list(), dtype=np.int64)
+            dist = lut[np.arange(m)[None, :], C].sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "adc_dist": dist}
+            )
+
+    scored = codes_df.mapInPandas(_score, f"{id_col} long, adc_dist double")
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    train_rows: int = 256,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ ANN: train codebooks on the ``train_rows``
+    smallest-id vectors (deterministic, driver-sized), encode the
+    corpus, and answer the query "nearest to vector ``query_id``" by
+    ADC — ``(id, adc_dist)`` ascending. In production the encode step
+    runs once and the code table is stored; queries touch only codes
+    (see ``pq_encode``/``pq_adc_topk`` for the split lifecycle).
+    """
+    sample = [
+        r[0]
+        for r in df.select(F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(train_rows)
+        .collect()
+    ]
+    books = pq_train_codebooks(sample, m=m, nbits=nbits)
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    codes = pq_encode(df, books, id_col, vec_col)
+    return pq_adc_topk(codes, books, qrow[0][0], k, id_col)

@@ -4394,3 +4394,73 @@ def y21_mixture_sample(spark, sf_dir):
         rank_col="rn",
     )
     return out.select("source", "doc_id", "rn").orderBy("source", "rn")
+
+
+def _y22_pq_exact(con):
+    """NumPy mirror of the full PQ pipeline: train codebooks on the
+    128 smallest-id vectors (first-rows init, 10 Lloyd rounds, ties
+    to lowest index), encode every vector, ADC-score vs the vec_id-0
+    query, keep the 20 smallest (id tiebreak). All arithmetic is the
+    same float64 op sequence as the operator's NumPy kernels, so the
+    distances agree to 1e-9."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    m, ksub, iters = 8, 16, 10
+    dsub = V.shape[1] // m
+    T = V[:128]
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        X = T[:, j * dsub : (j + 1) * dsub]
+        C = X[:ksub].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(ksub):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j] = C
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for j in range(m):
+        X = V[:, j * dsub : (j + 1) * dsub]
+        d = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    q = V[int(np.nonzero(ids == 0)[0][0])]
+    lut = np.empty((m, ksub))
+    for j in range(m):
+        lut[j] = ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(
+            axis=1
+        )
+    dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    order = sorted(range(len(V)), key=lambda i: (dist[i], ids[i]))[:20]
+    return ["vec_id", "adc_dist"], [
+        (int(ids[i]), float(dist[i])) for i in order
+    ]
+
+
+@query(
+    "y22_pq_ann",
+    None,
+    doc="Product-quantization ANN (similarity.py::pq_topk, Jégou et "
+    "al. 2011): codebooks trained driver-side on a 128-row "
+    "deterministic sample (model state, not data state), corpus "
+    "encoded to m=8 4-bit codes in one Arrow pass (32x storage cut "
+    "— queries scan codes, not embeddings), ADC top-20 vs the "
+    "vec_id-0 query via a model-sized lookup table + "
+    "TakeOrderedAndProject; full-pipeline NumPy mirror at 1e-9",
+    tol_oracle=_y22_pq_exact,
+    tolerance=1e-9,
+    tol_keys=("vec_id",),
+)
+def y22_pq_ann(spark, sf_dir):
+    from topn_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, k=20, m=8, nbits=4, train_rows=128, query_id=0
+    )
