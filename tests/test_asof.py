@@ -182,3 +182,73 @@ def test_bucketed_asof_matches_bruteforce(spark):
             (t for _, t, _ in build_rows if t >= pt), default=None
         )
         assert fwd[j] == expect_f, (j, m, fwd[j], expect_f)
+
+
+def test_asof_nearest_matches_pandas(spark, frames):
+    left, right = frames
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid", ignore_index=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "t",
+            "rt",
+            left_by="k",
+            right_by="k",
+            value_cols=["val"],
+            direction="nearest",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert list(got["lid"]) == list(want["lid"])
+    gv = got["val"].to_numpy(dtype=float)
+    wv = want["val"].to_numpy(dtype=float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+def test_asof_nearest_tolerance_and_ties(spark, frames):
+    left, right = frames
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="nearest",
+        tolerance=15,
+    ).sort_values("lid", ignore_index=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "t",
+            "rt",
+            left_by="k",
+            right_by="k",
+            value_cols=["val"],
+            direction="nearest",
+            tolerance=15,
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    gv = got["val"].to_numpy(dtype=float)
+    wv = want["val"].to_numpy(dtype=float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+    # explicit equidistant tie -> backward (pandas semantics)
+    l = spark.createDataFrame(pd.DataFrame({"lid": [0], "t": [10]}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"rt": [5, 15], "val": [1.0, 2.0]})
+    )
+    out = asof_join(
+        l, r, "t", "rt", value_cols=["val"], direction="nearest"
+    ).collect()
+    assert out[0].val == 1.0

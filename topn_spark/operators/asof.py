@@ -50,7 +50,20 @@ def asof_join(
     ``tolerance``: maximum allowed |left_on - matched right_on|
     (pandas merge_asof semantics) — in the column's native units, or
     SECONDS for timestamp keys. Matches farther than this are nulled.
+
+    ``direction='nearest'`` matches the right row minimizing
+    |right_on - left_on| (ties resolve backward, as in pandas). Both
+    directional candidates are carried in the SAME union — one
+    shuffle on the key, two within-partition sorts (one per scan
+    direction) — then compared row-locally; sub-second timestamp gaps
+    compare exactly (fractional-epoch doubles, not truncated
+    seconds).
     """
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, left_on, right_on, left_by, right_by,
+            value_cols, right_tiebreak, tolerance,
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     if (left_by is None) != (right_by is None):
@@ -118,6 +131,125 @@ def asof_join(
         *[F.when(in_tol, F.col(o)).alias(o) for o in out_vals],
     )
     return out
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str | None,
+    right_by: str | None,
+    value_cols: list[str] | None,
+    right_tiebreak: str | None,
+    tolerance: float | int | None,
+) -> DataFrame:
+    """``direction='nearest'`` backend for ``asof_join`` — see there.
+
+    Union-window like the directional forms, but each build row is
+    wrapped in ONE struct candidate ``(matched_t, values...)`` and
+    carried twice over the same keyed partition: a (t asc) scan
+    yields the backward candidate, a (t desc) scan the forward one.
+    The winner is picked per probe row by comparing absolute gaps —
+    row-local arithmetic, no second join, no extra shuffle (one
+    Exchange on the key feeds both sorts).
+    """
+    if (left_by is None) != (right_by is None):
+        raise ValueError("left_by and right_by must be given together")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (right_on, right_by)
+    ]
+    left_cols = left.columns
+    out_vals = [f"{c}_asof" if c in left_cols else c for c in value_cols]
+
+    probe = left.select(
+        *left_cols,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(o)
+            for c, o in zip(value_cols, out_vals)
+        ],
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_marker"),
+        *([F.col(left_by).alias("_by")] if left_by else []),
+        *(
+            [
+                F.lit(None)
+                .cast(right.schema[right_tiebreak].dataType)
+                .alias("_tb")
+            ]
+            if right_tiebreak
+            else []
+        ),
+    )
+    build = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_marker"),
+        *([F.col(right_by).alias("_by")] if right_by else []),
+        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
+    )
+    unioned = probe.unionByName(build)
+
+    cand = F.when(
+        F.col("_marker") == 0,
+        F.struct(
+            F.col("_t").alias("_mt"),
+            *[F.col(o).alias(o) for o in out_vals],
+        ),
+    )
+    part = Window.partitionBy("_by") if left_by else Window.partitionBy()
+    # backward scan: builds at equal t sort before the probe (marker
+    # asc), tiebreak-asc so the LAST qualifying build wins — the
+    # documented arg_max-mirror contract of the directional forms.
+    ob = [F.col("_t").asc()]
+    of = [F.col("_t").desc()]
+    if right_tiebreak:
+        ob.append(F.col("_tb").asc_nulls_last())
+        of.append(F.col("_tb").asc_nulls_last())
+    ob.append(F.col("_marker").asc())
+    of.append(F.col("_marker").asc())
+    wb = part.orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = part.orderBy(*of).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scanned = unioned.select(
+        *left_cols,
+        "_marker",
+        "_t",
+        F.last(cand, ignorenulls=True).over(wb).alias("_bc"),
+        F.last(cand, ignorenulls=True).over(wf).alias("_fc"),
+    ).where(F.col("_marker") == 1)
+
+    tnum = F.col("_t").cast("double")  # fractional epoch secs for ts
+    gap_b = F.abs(tnum - F.col("_bc._mt").cast("double"))
+    gap_f = F.abs(F.col("_fc._mt").cast("double") - tnum)
+    best = (
+        F.when(F.col("_bc").isNull(), F.col("_fc"))
+        .when(F.col("_fc").isNull(), F.col("_bc"))
+        # strict <: equal gaps resolve backward (pandas semantics)
+        .when(gap_f < gap_b, F.col("_fc"))
+        .otherwise(F.col("_bc"))
+    )
+    picked = scanned.select(*left_cols, "_t", best.alias("_best"))
+    keep = F.col("_best").isNotNull()
+    if tolerance is not None:
+        keep = keep & (
+            F.abs(
+                F.col("_t").cast("double")
+                - F.col("_best._mt").cast("double")
+            )
+            <= F.lit(float(tolerance))
+        )
+    return picked.select(
+        *left_cols,
+        *[F.when(keep, F.col(f"_best.{o}")).alias(o) for o in out_vals],
+    )
 
 
 def asof_join_bucketed(

@@ -4464,3 +4464,54 @@ def y22_pq_ann(spark, sf_dir):
     return pq_topk(
         emb, k=20, m=8, nbits=4, train_rows=128, query_id=0
     )
+
+
+@query(
+    "y23_asof_nearest",
+    """WITH b AS (
+  SELECT o_custkey, o_orderdate, arg_max(o_totalprice, o_orderkey) AS last_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, b.o_orderdate, b.last_price,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+           ORDER BY abs(epoch(p.ts) - epoch(b.o_orderdate)) ASC,
+                    b.o_orderdate ASC) AS rn
+  FROM p LEFT JOIN b ON p.user_id = b.o_custkey)
+SELECT event_id, o_orderdate AS near_order_date, last_price
+FROM j WHERE rn = 1 ORDER BY event_id ASC""",
+    doc="Nearest-direction as-of join (asof.py::asof_join, "
+    "direction='nearest' — pandas merge_asof parity): both "
+    "directional candidates carried in ONE keyed union (one shuffle, "
+    "two within-partition sorts), winner picked row-locally by "
+    "absolute gap with backward tie; oracle ranks the per-probe "
+    "candidate set by gap in plain SQL",
+)
+def y23_asof_nearest(spark, sf_dir):
+    from topn_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    probe = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    build = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("last_price"))
+        .withColumn("near_order_date", F.col("o_orderdate"))
+    )
+    out = asof_join(
+        probe,
+        build,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["near_order_date", "last_price"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "near_order_date", "last_price"
+    ).orderBy("event_id")
