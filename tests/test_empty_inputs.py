@@ -217,3 +217,38 @@ def test_round4_y_series_ops_on_empty(spark):
     li = spark.createDataFrame([], "g string, v int")
     assert topn_with_ties(li, "v", 3).count() == 0
     assert topn_with_ties(li, "v", 3, group_by="g").count() == 0
+
+
+def test_round4_second_wave_ops_on_empty(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from topn_spark.diag import welch_ttest
+    from topn_spark.operators.asof import asof_join
+    from topn_spark.operators.pipeline import (
+        mixture_sample,
+        robust_zscore,
+    )
+    from topn_spark.operators.similarity import pq_encode
+    from topn_spark.operators.textstats import duplicate_ngram_coverage
+
+    docs = _empty_docs(spark)
+    assert duplicate_ngram_coverage(docs).count() == 0
+    assert mixture_sample(docs, {"a": 1.0}, 10).count() == 0
+
+    ev = spark.createDataFrame([], "grp string, t boolean, v double")
+    assert welch_ttest(ev, "grp", F.col("t"), "v").count() == 0
+    assert robust_zscore(ev, "v", ["grp"]).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    books = np.zeros((2, 4, 2))
+    assert pq_encode(emb, books).count() == 0
+
+    # nearest as-of: empty build side -> probes survive with NULLs
+    l = spark.createDataFrame([(1, 10)], "lid long, t long")
+    r = spark.createDataFrame([], "rt long, val double")
+    out = asof_join(
+        l, r, "t", "rt", value_cols=["val"], direction="nearest"
+    ).collect()
+    assert len(out) == 1 and out[0].val is None

@@ -224,6 +224,14 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y14_vocab_oov",
         "y15_video_frame_times",
         "y17_hashed_features",
+        # round-4 second wave: dup-passage coverage, Welch t-test,
+        # robust z-score, mixture sampling, PQ ANN, nearest as-of
+        "y18_dup_ngram_coverage",
+        "y19_welch_ttest",
+        "y20_robust_zscore",
+        "y21_mixture_sample",
+        "y22_pq_ann",
+        "y23_asof_nearest",
     ):
         warns = [
             f
