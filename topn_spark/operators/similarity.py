@@ -382,6 +382,7 @@ def kmeans_lloyd(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column; returns
     the final assignment ``(id, cluster, dist_sq)``.
@@ -408,6 +409,17 @@ def kmeans_lloyd(
     expensive to scan, which is the 100 TB case. Unpersisted before
     returning — the returned assignment recomputes one pass from
     source, so the library leaks no cache.
+
+    ``engine='arrow'`` (default) runs each round as ONE Arrow-batched
+    ``mapInPandas`` pass emitting per-batch (cluster, dim-sum vector,
+    count) partials — assignment is a BLAS-shaped argmin with the
+    mirror's exact ``((V-C)**2).sum`` arithmetic, and the driver
+    combines #batches x k model-sized partial rows (the
+    ``embedding_covariance`` moment-partial shape; no shuffle at
+    all). ``engine='sql'`` keeps the pure-Catalyst round: literal-
+    centroid assignment + posexplode/groupBy(cluster, dim) partial
+    sums. Both satisfy the deterministic contract; the final returned
+    assignment is the codegen ``kmeans_assign`` pass either way.
     """
     base = df.select(
         id_col, F.col(vec_col).cast("array<double>").alias("_v")
@@ -421,6 +433,9 @@ def kmeans_lloyd(
         )
         centroids = [[float(x) for x in r["v"]] for r in init]
         for _ in range(iters):
+            if engine == "arrow":
+                centroids = _kmeans_round_arrow(base, centroids)
+                continue
             assigned = kmeans_assign(base, centroids, id_col, "_v")
             sums = (
                 assigned.select(
@@ -437,6 +452,49 @@ def kmeans_lloyd(
     return kmeans_assign(df, centroids, id_col, vec_col).select(
         id_col, "cluster", "dist_sq"
     )
+
+
+def _kmeans_round_arrow(base: DataFrame, centroids):
+    """One Lloyd round as an Arrow partial-moment pass: per batch,
+    assign via the mirror-exact ``((V-C)**2).sum`` argmin (ties to
+    the lowest index, as np.argmin does) and emit one (cluster,
+    sum-vector, count) row per non-empty cluster. Driver combines
+    the ≤ #batches·k partials; empty clusters keep their centroid.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k = len(centroids)
+
+    def _partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_v"].to_list(), dtype=np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            cl, s, n = [], [], []
+            for c in np.unique(a):
+                mem = V[a == c]
+                cl.append(int(c))
+                s.append(mem.sum(axis=0))
+                n.append(len(mem))
+            yield pd.DataFrame({"cluster": cl, "s": s, "n": n})
+
+    rows = base.mapInPandas(
+        _partials, "cluster int, s array<double>, n long"
+    ).collect()
+    tot_s = np.zeros_like(C)
+    tot_n = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        tot_s[r["cluster"]] += np.asarray(r["s"])
+        tot_n[r["cluster"]] += r["n"]
+    new = C.copy()
+    nz = tot_n > 0
+    new[nz] = tot_s[nz] / tot_n[nz, None]
+    return [list(map(float, c)) for c in new]
 
 
 def _kmeans_update(centroids, sums):
