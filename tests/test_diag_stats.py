@@ -280,3 +280,29 @@ class TestWelchTTest:
         df = spark.createDataFrame(rows, "grp string, t boolean, v double")
         out = welch_ttest(df, "grp", F.col("t"), "v").collect()[0]
         assert out.t_stat == 0.0  # symmetric arms -> equal means
+
+
+def test_join_size_estimate_deterministic_and_unbiased_shape(spark):
+    from topn_spark.diag import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(i % 50,) for i in range(500)], "k long"
+    )  # every key has 10 left rows
+    right = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = join_size_estimate(left, right, "k", "k").collect()[0]
+    assert out.p == 0.25
+    assert out.est_pairs == out.sampled_pairs / 0.25
+    # correlated sampling: every sampled left key must also be
+    # sampled on the right, so pairs = 10 * (#sampled keys)
+    assert out.sampled_pairs % 10 == 0
+    # deterministic under repartitioning
+    again = join_size_estimate(
+        left.repartition(7), right.repartition(3), "k", "k"
+    ).collect()[0]
+    assert (out.sampled_pairs, out.est_pairs) == (
+        again.sampled_pairs,
+        again.est_pairs,
+    )
+    # estimate is within sampling error of the true 500 pairs for
+    # this uniform keyspace (md5 nibble acceptance ~ Binomial(50,.25))
+    assert 200 <= out.est_pairs <= 900

@@ -741,3 +741,26 @@ def test_mixture_sample_quotas_determinism_and_plan(spark):
     assert few.count() == 1  # only doc_id 0 is s0 among 0,1,2
     # the literal max-quota cut must reach WindowGroupLimit (map-side)
     assert "WindowGroupLimit" in formatted_plan(out)
+
+
+def test_table_diff_statuses_and_null_sentinel(spark):
+    from topn_spark.operators.pipeline import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (5, "a", None)],
+        "k long, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "b"), (4, "d", "w"), (5, "a", None)],
+        "k long, c1 string, c2 string",
+    )
+    got = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        # ('b', NULL) vs (NULL, 'b') must be CHANGED, not a
+        # concat_ws-collapsed false match
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",
+    }

@@ -232,6 +232,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y21_mixture_sample",
         "y22_pq_ann",
         "y23_asof_nearest",
+        "y24_join_size_estimate",
+        "y25_table_diff",
     ):
         warns = [
             f

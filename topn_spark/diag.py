@@ -523,3 +523,46 @@ def welch_ttest(
         ).alias("t_stat"),
         F.round(F.when(ok, dof), round_to).alias("dof"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    nibbles: str = "0123",
+) -> DataFrame:
+    """Pre-flight join cardinality estimate via CORRELATED key
+    sampling (end-biased sampling, Estan/Naughton-style): include a
+    key iff its md5 first hex digit falls in ``nibbles`` — the SAME
+    deterministic predicate on both sides, so a sampled key survives
+    on both sides or neither, and every joint pair of a sampled key
+    is observed. The estimator ``|sample join| / p`` (p =
+    len(nibbles)/16) is unbiased for key-correlated sampling, unlike
+    independent row sampling whose pair-survival rate is p².
+
+    One row: ``(sampled_pairs, p, est_pairs)``. Cost = a join on
+    ~p of the keyspace — the point: size a 100 TB join (shuffle
+    volume, skew risk, output blowup) from a p-sized probe before
+    committing the real thing. Deterministic and engine-portable
+    (md5 on the cast key), so the estimate is reproducible and
+    exactly oracle-checkable.
+    """
+    p = len(nibbles) / 16.0
+    keep_l = F.substring(
+        F.md5(F.col(left_key).cast("string")), 1, 1
+    ).isin(*nibbles)
+    keep_r = F.substring(
+        F.md5(F.col(right_key).cast("string")), 1, 1
+    ).isin(*nibbles)
+    sl = left.where(keep_l).select(F.col(left_key).alias("_k"))
+    sr = right.where(keep_r).select(F.col(right_key).alias("_k"))
+    return (
+        sl.join(sr, "_k")
+        .agg(F.count(F.lit(1)).alias("sampled_pairs"))
+        .select(
+            "sampled_pairs",
+            F.lit(p).alias("p"),
+            (F.col("sampled_pairs") / F.lit(p)).alias("est_pairs"),
+        )
+    )

@@ -1352,3 +1352,57 @@ def mixture_sample(
         .where(F.col(rn) <= qmap[F.col(group_col)])
     )
     return out.drop(rn) if rank_col is None else out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table: one row
+    per key with ``status`` ∈ added / removed / changed / unchanged —
+    the ingest-validation primitive ("what did this load actually
+    do?") and the input to incremental downstream refresh.
+
+    Rows are compared by an md5 digest of the ``compare_cols``
+    (default: all non-key columns common to both sides), columns
+    NULL-sentineled and unit-separator-joined so (``'a'``, NULL) ≠
+    (NULL, ``'a'``). Scale shape: each side reduces to (key, 16-byte
+    digest) before the single full-outer join — the shuffle carries
+    digests, never payloads. Engine-portable digests keep the output
+    exactly oracle-checkable (callers comparing float columns should
+    pre-round them — cast-to-string float formatting is the one
+    engine-specific step).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in old.columns
+            if c not in key_cols and c in new.columns
+        ]
+
+    def digest(df):
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+
+    od = old.select(*key_cols, digest(old).alias("_od"))
+    nd = new.select(*key_cols, digest(new).alias("_nd"))
+    status = (
+        F.when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        od.join(nd, key_cols, "full_outer")
+        .select(*key_cols, status.alias(status_col))
+    )

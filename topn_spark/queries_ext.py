@@ -4515,3 +4515,91 @@ def y23_asof_nearest(spark, sf_dir):
     return out.select(
         "event_id", "near_order_date", "last_price"
     ).orderBy("event_id")
+
+
+@query(
+    "y24_join_size_estimate",
+    """WITH sl AS (
+  SELECT o_custkey AS k FROM orders
+  WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) IN
+        ('0', '1', '2', '3')),
+sr AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN
+        ('0', '1', '2', '3'))
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs,
+       0.25 AS p,
+       COUNT(*) / 0.25 AS est_pairs
+FROM sl JOIN sr USING (k)""",
+    doc="Join-size estimation by correlated key sampling (diag.py::"
+    "join_size_estimate): both sides keep a key iff md5 first hex "
+    "digit < 4 — same deterministic predicate, so pairs survive at "
+    "rate p (not p²) and |sample join|/p is unbiased; the 100 TB "
+    "pre-flight that sizes shuffle volume and output blowup from a "
+    "quarter-keyspace probe; hash-exact",
+)
+def y24_join_size_estimate(spark, sf_dir):
+    from topn_spark.diag import join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return join_size_estimate(orders, customer, "o_custkey", "c_custkey")
+
+
+@query(
+    "y25_table_diff",
+    """WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+  WHERE o_orderkey % 3 <> 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN '9-RESTATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0),
+od AS (SELECT o_orderkey, md5(concat_ws(chr(31),
+         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+         coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))) AS d
+       FROM old),
+nd AS (SELECT o_orderkey, md5(concat_ws(chr(31),
+         coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+         coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))) AS d
+       FROM new)
+SELECT CASE WHEN nd.d IS NULL THEN 'removed'
+            WHEN od.d IS NULL THEN 'added'
+            WHEN od.d <> nd.d THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(COALESCE(od.o_orderkey, nd.o_orderkey)) AS BIGINT)
+         AS min_key
+FROM od FULL OUTER JOIN nd USING (o_orderkey)
+GROUP BY 1 ORDER BY status ASC""",
+    doc="Table snapshot diff (pipeline.py::table_diff): per-key "
+    "added/removed/changed/unchanged between two versions — each "
+    "side reduces to (key, md5 digest) BEFORE the single full-outer "
+    "join, so the shuffle carries 16-byte digests, never payloads; "
+    "the ingest-validation / incremental-refresh primitive; "
+    "hash-exact",
+)
+def y25_table_diff(spark, sf_dir):
+    from topn_spark.operators.pipeline import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("9-RESTATED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return (
+        table_diff(old, new, ["o_orderkey"])
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("status")
+    )
