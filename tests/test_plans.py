@@ -234,6 +234,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y23_asof_nearest",
         "y24_join_size_estimate",
         "y25_table_diff",
+        "y26_bpe_tokenize",
+        "y27_bfs_hops",
     ):
         warns = [
             f

@@ -310,3 +310,41 @@ def test_duplicate_ngram_coverage_planted(spark):
         1: (4, 2, 0.5),
         2: (3, 0, 0.0),
     }
+
+
+def test_apply_bpe_known_merges_and_pieces(spark):
+    from topn_spark.operators.textstats import apply_bpe
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    df = spark.createDataFrame(
+        [(0, "The thing"), (1, "thin the!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, list(r.tokens))
+        for r in apply_bpe(df, merges, keep_tokens=10).collect()
+    }
+    # "the" -> th+e -> the? no ("th","e") merges to "the": ranks:
+    # t+h=0 -> th; th+e=1 -> the  => 1 token
+    # "thing" -> t h i n g: th(0) -> th,i,n,g; in(2) -> th,in,g;
+    # ing(3) -> th,ing => 2 tokens
+    assert got[0] == (2, 3, ["the", "th", "ing"])
+    # "thin": th,i,n -> th,in => 2 tokens; "the" => 1
+    assert got[1] == (2, 3, ["th", "in", "the"])
+    assert got[2] == (0, 0, [])
+    assert got[3] == (0, 0, [])
+
+
+def test_apply_bpe_leftmost_tie_and_rescan(spark):
+    from topn_spark.operators.textstats import apply_bpe
+
+    # "aaa" with merge (a,a): leftmost first -> [aa, a] = 2 tokens
+    # (no (aa,a) rule). "abab" with [(a,b)] -> [ab, ab] = 2.
+    df = spark.createDataFrame(
+        [(0, "aaa"), (1, "abab")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in apply_bpe(df, [("a", "a"), ("a", "b")]).collect()
+    }
+    assert got == {0: 2, 1: 2}

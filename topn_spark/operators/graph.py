@@ -218,3 +218,59 @@ def triangle_count(
         [(n_nodes, n_edges, n_tris)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set → ``(id, hops)``
+    for every node reachable within ``max_hops`` (seeds at 0). The
+    neighborhood-expansion primitive: "everything within k links of
+    these users/documents" for influence radii, contamination spread,
+    or graph-local sampling.
+
+    Level-synchronous frontier expansion — the canonical distributed
+    BFS: per hop, ONE equi-join of the current frontier against the
+    (pre-checkpointed) adjacency list, an anti-join against the
+    settled distance table, and a distinct. Everything is hash-
+    partitioned on the node id; the driver sees only the frontier
+    COUNT (the loop-termination scalar), never rows. Distance table
+    and frontier are localCheckpoint-ed per round to truncate lineage
+    (same skeleton as ``pagerank`` / ``connected_components``).
+    Unlike the recursive-CTE formulation, state is O(nodes) —
+    visited nodes are never re-expanded.
+
+    Integer output: exactly hash-matchable against a recursive-SQL
+    oracle (no float accumulation — contrast ``pagerank``).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = e.distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], ["id", "hops"]
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("id")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["a"])
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.union(
+            nxt.withColumn("hops", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

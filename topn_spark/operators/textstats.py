@@ -660,3 +660,77 @@ def duplicate_ngram_coverage(
             ),
         )
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tokens: int = 0,
+) -> DataFrame:
+    """Apply a byte-pair-encoding merge table (Sennrich et al. 2016)
+    to each document: pre-tokenize with the engine-wide ``[a-z0-9]+``
+    word rule, split words to characters, then repeatedly merge the
+    highest-priority adjacent pair from ``merges`` (list order = rank;
+    leftmost occurrence first on rank ties inside a word) —
+    the real tokenizer-application step, giving exact trained-
+    tokenizer token counts rather than the whitespace/regex proxy of
+    ``token_count``.
+
+    Returns ``(id, n_words, n_bpe_tokens)`` (+ ``tokens`` with the
+    first ``keep_tokens`` subwords when requested). One Arrow-batched
+    ``mapInPandas`` pass — pure map-only, embarrassingly parallel;
+    the merge table rides into tasks as a closure (model state,
+    typically 10k-50k pairs). Python-level loop work is proportional
+    to total characters, same as any tokenizer service; there is no
+    SQL-expressible equivalent, which is exactly why this is a UDF.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    token_re = __import__("re").compile(TOKEN_RE)
+    out_cols = f"{id_col} long, n_words long, n_bpe_tokens long"
+    if keep_tokens:
+        out_cols += ", tokens array<string>"
+
+    def _encode_word(word):
+        parts = list(word)
+        while len(parts) > 1:
+            best, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            parts[best_i : best_i + 2] = [
+                parts[best_i] + parts[best_i + 1]
+            ]
+        return parts
+
+    def _run(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, nw, nt, toks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = token_re.findall((text or "").lower())
+                pieces = []
+                n = 0
+                for w in words:
+                    enc = _encode_word(w)
+                    n += len(enc)
+                    if keep_tokens and len(pieces) < keep_tokens:
+                        pieces.extend(enc)
+                ids.append(did)
+                nw.append(len(words))
+                nt.append(n)
+                if keep_tokens:
+                    toks.append(pieces[:keep_tokens])
+            data = {id_col: ids, "n_words": nw, "n_bpe_tokens": nt}
+            if keep_tokens:
+                data["tokens"] = toks
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, text_col).mapInPandas(_run, out_cols)

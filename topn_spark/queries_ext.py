@@ -4603,3 +4603,105 @@ def y25_table_diff(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+#: fixed demo BPE merge table (rank = position): common English pairs.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("s", "t"), ("a", "r"),
+    ("a", "l"), ("o", "u"), ("i", "s"), ("i", "t"), ("l", "e"),
+    ("in", "g"), ("ti", "on"), ("e", "d"), ("c", "o"), ("d", "e"),
+]
+
+
+def _y26_bpe_exact(con):
+    """Independent mirror of the apply_bpe contract: per word, loop —
+    find the MIN-rank adjacent pair (leftmost on rank ties), merge
+    that single occurrence, rescan — until no merge applies. Same
+    word rule ([a-z0-9]+ on lowercased text)."""
+    import re as _re
+
+    ranks = {p: i for i, p in enumerate(_BPE_MERGES)}
+    wr = _re.compile("[a-z0-9]+")
+
+    def enc_len(word):
+        parts = list(word)
+        while True:
+            cands = [
+                (ranks[(parts[i], parts[i + 1])], i)
+                for i in range(len(parts) - 1)
+                if (parts[i], parts[i + 1]) in ranks
+            ]
+            if not cands:
+                return len(parts)
+            _, i = min(cands)
+            parts = (
+                parts[:i] + [parts[i] + parts[i + 1]] + parts[i + 2 :]
+            )
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for did, text in rows:
+        words = wr.findall((text or "").lower())
+        out.append(
+            (did, len(words), sum(enc_len(w) for w in words))
+        )
+    return ["doc_id", "n_words", "n_bpe_tokens"], out
+
+
+@query(
+    "y26_bpe_tokenize",
+    None,
+    doc="BPE tokenizer application (textstats.py::apply_bpe, Sennrich "
+    "et al. 2016): apply a fixed 25-merge table per word (min-rank "
+    "pair first, leftmost on ties) — exact trained-tokenizer token "
+    "counts, not the regex proxy; one map-only Arrow pass, merge "
+    "table as closure model state; independent pure-Python mirror "
+    "oracle, exact",
+    tol_oracle=_y26_bpe_exact,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def y26_bpe_tokenize(spark, sf_dir):
+    from topn_spark.operators.textstats import apply_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_bpe(docs, _BPE_MERGES).orderBy("doc_id")
+
+
+@query(
+    "y27_bfs_hops",
+    """WITH RECURSIVE e AS (
+  SELECT user_id AS src, event_id % 50 + 1000 AS dst FROM events),
+und AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION SELECT dst AS a, src AS b FROM e),
+walk (id, hops) AS (
+  SELECT CAST(1 AS BIGINT) AS id, 0 AS hops
+  UNION
+  SELECT u.b AS id, w.hops + 1 AS hops
+  FROM walk w JOIN und u ON u.a = w.id WHERE w.hops < 3)
+SELECT id, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY id ORDER BY id ASC""",
+    doc="BFS hop distance (graph.py::bfs_hops): level-synchronous "
+    "frontier expansion over the user-item interaction graph from "
+    "seed user 1, 3 hops — per hop one frontier⋈adjacency equi-join "
+    "+ settled anti-join, driver sees only the termination scalar; "
+    "integer output hash-matches a recursive-CTE oracle exactly "
+    "(contrast the float iterative ops)",
+)
+def y27_bfs_hops(spark, sf_dir):
+    from topn_spark.operators.graph import bfs_hops
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 50 + 1000).alias("dst"),
+    )
+    out = bfs_hops(edges, [1], max_hops=3)
+    return out.select(
+        "id", F.col("hops").cast("int").alias("hops")
+    ).orderBy("id")
