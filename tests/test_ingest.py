@@ -192,3 +192,51 @@ def test_neardup_ingest_gates_on_similarity_across_runs(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(f"{store}/sigs").collect()
     } == {1, 3, 5}
+
+
+def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
+    spark, tmp_path
+):
+    from topn_spark.streaming.ingest import cdc_snapshot_sink
+
+    src = str(tmp_path / "cdc_src")
+    snap = str(tmp_path / "cdc_snap")
+    chg = str(tmp_path / "cdc_chg")
+    ck = str(tmp_path / "cdc_ck")
+
+    def upserts(rows):
+        spark.createDataFrame(
+            rows, "k long, v string"
+        ).repartition(2).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k long, v string").parquet(src)
+        q = cdc_snapshot_sink(stream, snap, chg, ck, ["k"], ["v"])
+        q.awaitTermination(120)
+
+    # run 1: first-ever batch -> all added (incl. a within-batch dup
+    # of key 1 that must collapse to one deterministic row)
+    upserts([(1, "a"), (1, "a"), (2, "b")])
+    run()
+    log1 = {
+        (r.k, r.status, r.epoch)
+        for r in spark.read.parquet(chg).collect()
+    }
+    assert log1 == {(1, "added", 0), (2, "added", 0)}
+    snap1 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert snap1 == {(1, "a"), (2, "b")}
+
+    # run 2 (restart): change 1, repeat 2 unchanged, add 3; key 4
+    # never mentioned -> no 'removed' rows in an upsert stream
+    upserts([(1, "A2"), (2, "b"), (3, "c")])
+    run()
+    # epoch restarts at 0 in a fresh query; select by status set
+    statuses = sorted(
+        (r.k, r.status)
+        for r in spark.read.parquet(chg).collect()
+    )
+    assert statuses.count((1, "changed")) == 1
+    assert statuses.count((2, "unchanged")) == 1
+    assert statuses.count((3, "added")) == 1
+    snap2 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert snap2 == {(1, "A2"), (2, "b"), (3, "c")}

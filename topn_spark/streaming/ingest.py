@@ -244,3 +244,110 @@ def neardup_corpus_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_batch(
+    batch: DataFrame,
+    snapshot_dir: str,
+    changes_dir: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    batch_id: int = 0,
+) -> None:
+    """Classify one upsert micro-batch against the maintained
+    snapshot and emit a change-data-capture log: each incoming row
+    becomes ``added`` (key unseen), ``changed`` (digest differs) or
+    ``unchanged``; the snapshot is then merge-upserted. Within-batch
+    duplicates collapse to ONE row per key — the MIN-md5-digest row
+    wins ("last write" is meaningless inside an unordered distributed
+    batch; the digest rule is deterministic under replay and
+    repartitioning).
+
+    The change log (``changes_dir``) gains (keys, status, epoch) rows
+    per batch — downstream incremental refresh reads only epochs it
+    has not applied. Scale shape mirrors ``table_diff``: both sides
+    reduce to (key, digest) before the one diff join ('removed' rows
+    — snapshot keys the batch didn't mention — are dropped, since an
+    upsert stream cannot observe deletes without tombstones); the
+    snapshot rewrite is the merge-upsert cost
+    (a table format would make it transactional; join logic
+    unchanged).
+    """
+    from topn_spark.operators.pipeline import table_diff
+
+    spark = batch.sparkSession
+    dig = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols
+            ],
+        )
+    )
+    one = (
+        batch.select(*key_cols, *compare_cols, dig.alias("_dg"))
+        .groupBy(*key_cols)
+        .agg(*[F.min_by(c, "_dg").alias(c) for c in compare_cols])
+    )
+    try:
+        snap = spark.read.parquet(snapshot_dir)
+        have_snap = True
+    except Exception:
+        snap = None
+        have_snap = False
+    if have_snap:
+        diff = table_diff(snap, one, key_cols, compare_cols)
+        # CDC semantics: the stream carries upserts only — a key
+        # absent from this batch is NOT removed, so 'removed' rows
+        # (snapshot keys the batch didn't mention) are dropped.
+        status = diff.where(F.col("status") != "removed")
+    else:
+        status = one.select(
+            *key_cols, F.lit("added").alias("status")
+        )
+    status = status.withColumn("epoch", F.lit(batch_id)).persist()
+    try:
+        status.write.mode("append").parquet(changes_dir)
+        if have_snap:
+            from topn_spark.operators.pipeline import merge_upsert
+
+            new_snap = merge_upsert(snap, one, key_cols)
+            # write via temp-then-swap is filesystem-dependent;
+            # overwrite is the plain-parquet stand-in (see module
+            # docstring re table formats)
+            new_snap.persist().count()
+            new_snap.write.mode("overwrite").parquet(snapshot_dir)
+            new_snap.unpersist()
+        else:
+            one.write.mode("overwrite").parquet(snapshot_dir)
+    finally:
+        status.unpersist()
+
+
+def cdc_snapshot_sink(
+    stream: DataFrame,
+    snapshot_dir: str,
+    changes_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+):
+    """Wire an upsert stream into :func:`cdc_batch` via
+    ``foreachBatch`` (availableNow-compatible): maintains a keyed
+    snapshot and a per-epoch added/changed/unchanged change log —
+    the CDC counterpart of the dedup ingest gates. Returns the
+    started ``StreamingQuery``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        cdc_batch(
+            batch, snapshot_dir, changes_dir, key_cols, compare_cols,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
