@@ -236,6 +236,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y25_table_diff",
         "y26_bpe_tokenize",
         "y27_bfs_hops",
+        "y28_python_datasource",
     ):
         warns = [
             f

@@ -182,3 +182,70 @@ def test_write_rejects_avro_and_unknown_formats(spark, tmp_path):
         write(df, str(tmp_path / "a"), fmt="avro")
     with pytest.raises(ValueError, match="unsupported"):
         write(df, str(tmp_path / "f"), fmt="feather")
+
+
+class TestPythonDataSource:
+    def test_partitioning_determinism_and_options(self, spark):
+        from topn_spark.sources.pydatasource import (
+            SyntheticDocsDataSource,
+            generate_doc,
+        )
+
+        spark.dataSource.register(SyntheticDocsDataSource)
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n", 97)  # not divisible by parts: ragged slice
+            .option("parts", 4)
+            .option("seed", 3)
+            .load()
+        )
+        rows = {r.doc_id: r for r in df.collect()}
+        assert set(rows) == set(range(97))  # every id exactly once
+        # executor rows equal the pure-function contract
+        for did in (0, 41, 96):
+            want = generate_doc(3, did)
+            got = rows[did]
+            assert (
+                got.text, got.lang, got.source, got.n_chars
+            ) == want[1:]
+        assert rows[5].n_chars == len(rows[5].text)
+        # different seed -> different corpus; same seed -> identical
+        other = (
+            spark.read.format("synthetic_docs")
+            .option("n", 97)
+            .option("parts", 2)
+            .option("seed", 4)
+            .load()
+            .collect()
+        )
+        assert {r.doc_id for r in other} == set(range(97))
+        assert any(
+            r.text != rows[r.doc_id].text for r in other
+        )
+        again = (
+            spark.read.format("synthetic_docs")
+            .option("n", 97)
+            .option("parts", 2)  # different slicing, same rows
+            .option("seed", 3)
+            .load()
+            .collect()
+        )
+        assert {
+            (r.doc_id, r.text) for r in again
+        } == {(d, r.text) for d, r in rows.items()}
+
+    def test_feeds_downstream_operators(self, spark):
+        from topn_spark.operators.dedup import dedup_exact
+        from topn_spark.operators.textstats import add_quality
+        from topn_spark.sources.pydatasource import register
+
+        register(spark)
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n", 200)
+            .option("seed", 1)
+            .load()
+        )
+        q = add_quality(df)
+        assert q.count() == 200
+        assert dedup_exact(q, subset=["text"], tiebreak=["doc_id"]).count() <= 200

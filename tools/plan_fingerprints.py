@@ -53,8 +53,11 @@ def normalize(plan: str) -> str:
         s = re.sub(r"\[codegen id : \d+\]", "", s)
         s = re.sub(r"\[id=#id\]", "", s)
         s = re.sub(r"file:[^\s,\]]+", "file:<path>", s)
-        # lambda variables carry a session-global counter (x_1, x_2, …)
-        s = re.sub(r"lambda x_\d+", "lambda x_#", s)
+        # lambda variables carry a session-global counter shared by
+        # EVERY name the API mints (x_1, y_2, acc_3, …) — normalize
+        # the counter on all of them, not just x_, or entries that
+        # compile after a catalog addition fingerprint differently
+        s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_#", s)
         # checkpointed RDD ids (iterative builders) are session
         # counters, and the recorded callsite depends on JVM stack
         # introspection luck (NativeMethodAccessorImpl vs <unknown>)

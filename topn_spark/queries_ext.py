@@ -4705,3 +4705,76 @@ def y27_bfs_hops(spark, sf_dir):
     return out.select(
         "id", F.col("hops").cast("int").alias("hops")
     ).orderBy("id")
+
+
+def _y28_pysource_exact(con):
+    """Independent regeneration of the synthetic_docs source output
+    (seed 7, n 300) + the same per-source rollup, in plain Python —
+    proves the custom DataSource's planning/read path end-to-end:
+    every row is a pure function of (seed, doc_id)."""
+    import hashlib
+
+    vocab = (
+        "the quick brown fox jumps over lazy dog join hash scan "
+        "filter vector data spark query plan shuffle broadcast "
+        "partition merge sort agg window stream batch token corpus "
+        "model train split und der die das le la et los el que is "
+        "in on at"
+    ).split()
+    langs = ("en", "de", "fr", "es")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    agg = {}
+    for doc_id in range(300):
+        base = h(f"7:{doc_id}")
+        n_words = 5 + base % 60
+        text = " ".join(
+            vocab[h(f"7:{doc_id}:{i}") % len(vocab)]
+            for i in range(n_words)
+        )
+        src = f"src{(base >> 16) % 8}"
+        n, chars, words = agg.get(src, (0, 0, 0))
+        agg[src] = (n + 1, chars + len(text), words + n_words)
+    out = [
+        (s, n, chars, words) for s, (n, chars, words) in agg.items()
+    ]
+    out.sort()
+    return ["source", "n_docs", "total_chars", "total_words"], out
+
+
+@query(
+    "y28_python_datasource",
+    None,
+    doc="Custom Python DataSource (sources/pydatasource.py, Spark 4 "
+    "pyspark.sql.datasource API): deterministic synthetic-documents "
+    "generator with PARTITIONED planning (one InputPartition per "
+    "slice — generation fans out like a parquet scan); entry reads "
+    "seed-7/n-300 through the registered format and rolls up per "
+    "source; independent pure-Python regeneration oracle, exact",
+    tol_oracle=_y28_pysource_exact,
+    tolerance=0.0,
+    tol_keys=("source",),
+)
+def y28_python_datasource(spark, sf_dir):
+    from topn_spark.operators.textstats import token_count
+    from topn_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 300)
+        .option("parts", 8)
+        .option("seed", 7)
+        .load()
+    )
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count("text")).alias("total_words"),
+        )
+        .orderBy("source")
+    )
