@@ -249,3 +249,48 @@ class TestPythonDataSource:
         q = add_quality(df)
         assert q.count() == 200
         assert dedup_exact(q, subset=["text"], tiebreak=["doc_id"]).count() <= 200
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    from topn_spark.sources.pydatasource import (
+        generate_doc,
+        register_stream,
+    )
+
+    register_stream(spark)
+    out, ck = str(tmp_path / "pysrc_out"), str(tmp_path / "pysrc_ck")
+
+    def run(cap):
+        stream = (
+            spark.readStream.format("synthetic_docs_stream")
+            .option("seed", 5)
+            .option("batch_rows", 40)
+            .option("n", cap)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # simple-API cadence: one batch_rows batch per availableNow run,
+    # cursor checkpointed between runs
+    run(100)
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == set(range(40))
+    run(100)
+    run(100)  # third run hits the n=100 cap: 80..100 = 20 rows
+    assert {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    } == set(range(100))
+    # restart with a higher cap: cursor resumes at 100, no re-emit
+    run(180)
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == set(range(140))
+    assert len(rows) == 140  # exactly once across all restarts
+    by_id = {r.doc_id: r.text for r in rows}
+    assert by_id[120] == generate_doc(5, 120)[1]

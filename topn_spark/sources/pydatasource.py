@@ -129,3 +129,81 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class _StreamReader:
+    """``SimpleDataSourceStreamReader`` for the same generator: each
+    micro-batch advances the doc_id cursor by ``batch_rows``. Offsets
+    are plain dicts (``{"next": n}``) checkpointed by the engine, so
+    a restarted query resumes exactly where it stopped — determinism
+    of (seed, doc_id) makes replayed batches byte-identical, which is
+    what makes this a usable exactly-once test feed.
+
+    Simple-API cadence note: the engine discovers "latest" by calling
+    ``read`` ONCE per trigger cycle, so an ``availableNow`` run
+    consumes exactly one ``batch_rows`` batch and stops — progress
+    across the corpus comes from successive runs (or a continuous
+    trigger), each resuming from the checkpointed cursor."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 0))
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("n", 0))  # 0 = unbounded
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = lo + self.batch_rows
+        if self.max_rows:
+            hi = min(hi, self.max_rows)
+        # a LIST, not a generator: the engine prefetches driver-side
+        # and pickles the rows into the batch cache
+        rows = [generate_doc(self.seed, d) for d in range(lo, hi)]
+        return rows, {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return [
+            generate_doc(self.seed, d)
+            for d in range(int(start["next"]), int(end["next"]))
+        ]
+
+    def commit(self, end):
+        pass  # nothing external to clean up
+
+
+def _simple_stream_reader_base():
+    """Import shim: the simple-reader ABC moved/gained surface across
+    4.x minors; resolve it lazily so batch reads never depend on it."""
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    return SimpleDataSourceStreamReader
+
+
+class SyntheticDocsStreamSource(DataSource):
+    """``format("synthetic_docs_stream")`` — micro-batched feed of the
+    same deterministic corpus; options: ``seed``, ``batch_rows``,
+    ``n`` (total cap, 0 = unbounded). Use with availableNow triggers
+    in tests: ``n`` bounds the run."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self):
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):
+        base = _simple_stream_reader_base()
+
+        # _StreamReader FIRST in the MRO: the ABC's methods raise
+        # NotImplemented, so they must be the fallback, not the front
+        class _R(_StreamReader, base):
+            pass
+
+        return _R(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticDocsStreamSource)
