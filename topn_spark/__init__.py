@@ -36,7 +36,7 @@ from topn_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from topn_spark.operators.graph import pagerank
+from topn_spark.operators.graph import bfs_hops, pagerank
 from topn_spark.operators.layout import write_zordered, zorder_key
 from topn_spark.operators.ranges import interval_overlap_join
 from topn_spark.operators.pipeline import (
@@ -53,8 +53,11 @@ from topn_spark.operators.pipeline import (
     resample_ffill,
     resample_interpolate,
     sessionize,
+    mixture_sample,
+    robust_zscore,
     sample_k_per_group,
     stratified_sample,
+    table_diff,
     token_heavy_hitters,
     weighted_sample_k,
     winsorize,
@@ -62,9 +65,21 @@ from topn_spark.operators.pipeline import (
 )
 from topn_spark.operators.textstats import (
     add_repetition_signals,
+    apply_bpe,
+    duplicate_ngram_coverage,
     tfidf_top_terms,
 )
-from topn_spark.operators.similarity import cosine_topk, ivf_topk, knn_join
+from topn_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    kmeans_lloyd,
+    knn_join,
+    pq_adc_topk,
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
+    semantic_dedup,
+)
 from topn_spark.operators.topn import (
     TopNConfig,
     ntile_from_rank,
@@ -98,9 +113,16 @@ __all__ = [
     "simhash",
     "connected_components",
     "pagerank",
+    "bfs_hops",
     "cosine_topk",
     "ivf_topk",
+    "kmeans_lloyd",
     "knn_join",
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_topk",
+    "semantic_dedup",
     "chunk_documents",
     "chunk_by_tokens",
     "hash_sample",
@@ -120,7 +142,12 @@ __all__ = [
     "sessionize",
     "winsorize",
     "zscore",
+    "robust_zscore",
+    "mixture_sample",
+    "table_diff",
     "add_repetition_signals",
+    "apply_bpe",
+    "duplicate_ngram_coverage",
     "tfidf_top_terms",
 ]
 
