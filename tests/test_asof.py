@@ -252,3 +252,50 @@ def test_asof_nearest_tolerance_and_ties(spark, frames):
         l, r, "t", "rt", value_cols=["val"], direction="nearest"
     ).collect()
     assert out[0].val == 1.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_nearest_fuzz_vs_pandas(spark, seed):
+    """Random keyed frames, duplicate probe times, sparse keys —
+    nearest must match pandas merge_asof exactly (values and NULL
+    pattern) for every seed."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(120),
+            "k": rng.integers(0, 7, 120),  # key 6 often right-empty
+            "t": rng.integers(0, 300, 120).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "rt": np.sort(rng.integers(0, 300, 60)).astype("int64"),
+            "val": rng.normal(size=60).round(6),
+        }
+    ).drop_duplicates(["k", "rt"], keep="last")
+    want = pd.merge_asof(
+        left.sort_values(["t", "lid"]),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid", ignore_index=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "t",
+            "rt",
+            left_by="k",
+            right_by="k",
+            value_cols=["val"],
+            direction="nearest",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    gv = got["val"].to_numpy(dtype=float)
+    wv = want["val"].to_numpy(dtype=float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
