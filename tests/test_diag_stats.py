@@ -306,3 +306,52 @@ def test_join_size_estimate_deterministic_and_unbiased_shape(spark):
     # estimate is within sampling error of the true 500 pairs for
     # this uniform keyspace (md5 nibble acceptance ~ Binomial(50,.25))
     assert 200 <= out.est_pairs <= 900
+
+
+def test_cohens_kappa_known_values(spark):
+    from topn_spark.diag import cohens_kappa
+
+    # classic worked example: po = 0.7, pe = 0.5 -> kappa = 0.4
+    # raters agree on 35 'y' + 35 'n'; disagree on 30
+    rows = (
+        [("y", "y")] * 35 + [("n", "n")] * 35
+        + [("y", "n")] * 15 + [("n", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert out.n == 100
+    assert out.p_o == 0.7
+    assert out.p_e == 0.5
+    assert out.kappa == 0.4
+    # perfect agreement -> 1; constant identical raters -> NULL
+    perf = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "a string, b string"
+    )
+    assert cohens_kappa(perf, F.col("a"), F.col("b")).collect()[0].kappa == 1.0
+    const = spark.createDataFrame([("a", "a")] * 5, "a string, b string")
+    assert cohens_kappa(const, F.col("a"), F.col("b")).collect()[0].kappa is None
+
+
+def test_expected_calibration_error_perfect_and_known(spark):
+    from topn_spark.diag import expected_calibration_error
+
+    # perfectly calibrated: at score 25, 1 of 4 positive; at 75, 3/4
+    rows = [(25, x < 1) for x in range(4)] + [
+        (75, x < 3) for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = expected_calibration_error(df, F.col("s"), F.col("y")).collect()
+    assert {r.bin for r in out} == {2, 7}
+    for r in out:
+        assert abs(r.ece) <= 1e-12 and r.conf == r.acc
+    # score 100 lands in the LAST bin (least() clamp), not bin 10
+    edge = spark.createDataFrame([(100, True)], "s long, y boolean")
+    e = expected_calibration_error(edge, F.col("s"), F.col("y")).collect()
+    assert [r.bin for r in e] == [9]
+    # known miscalibration: all scores 90, half positive ->
+    # ece = |0.5 - 0.9| = 0.4
+    bad = spark.createDataFrame(
+        [(90, i % 2 == 0) for i in range(10)], "s long, y boolean"
+    )
+    b = expected_calibration_error(bad, F.col("s"), F.col("y")).collect()[0]
+    assert abs(b.ece - 0.4) <= 1e-12

@@ -764,3 +764,25 @@ def test_table_diff_statuses_and_null_sentinel(spark):
         4: "added",
         5: "unchanged",
     }
+
+
+def test_ohlc_bars_known_series(spark):
+    import datetime
+
+    from topn_spark.operators.pipeline import ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("k", t0 + datetime.timedelta(minutes=m), v)
+        for m, v in [(5, 3.0), (10, 9.0), (20, 1.0), (50, 4.0),
+                     (65, 7.0), (80, 2.0)]
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.bar.hour: (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_bars(df, "ts", "v", ["k"]).collect()
+    }
+    assert out == {
+        10: (3.0, 9.0, 1.0, 4.0, 4),  # open@:05, close@:50
+        11: (7.0, 7.0, 2.0, 2.0, 2),
+    }

@@ -237,6 +237,9 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y26_bpe_tokenize",
         "y27_bfs_hops",
         "y28_python_datasource",
+        "y29_ohlc_bars",
+        "y30_cohens_kappa",
+        "y31_calibration_ece",
     ):
         warns = [
             f

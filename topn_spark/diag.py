@@ -566,3 +566,134 @@ def join_size_estimate(
             (F.col("sampled_pairs") / F.lit(p)).alias("est_pairs"),
         )
     )
+
+
+def _attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate to every row of ``df`` through an
+    equi-key broadcast hash join. The key must be NON-FOLDABLE
+    (asof.py:370 rationale): lit(1)==lit(1) constant-folds to true
+    and the join degenerates to the BroadcastNestedLoopJoin the plan
+    lint flags; deriving 1 from a nondeterministic expression is
+    fold-proof and still value-stable, so task retries are safe."""
+    one = (F.monotonically_increasing_id() * 0 + 1).cast("int")
+    return df.withColumn("_sk", one).join(
+        F.broadcast(scalar.withColumn("_sk", one)), "_sk"
+    ).drop("_sk")
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (annotator QC for labeled training data):
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with observed agreement
+    ``p_o`` and the marginal-product expected agreement ``p_e``.
+
+    One groupBy over the (a, b) label pairs builds the contingency
+    cells; marginals and the closed form run over the CELL table
+    (label-cardinality sized, never data — the ``chi2_independence``
+    discipline). All closed-form inputs are exact integer counts,
+    each division one IEEE op — deterministic; NULL when p_e = 1
+    (both raters constant and equal, kappa undefined). Returns one
+    row ``(n, p_o, p_e, kappa)``.
+    """
+    cells = (
+        df.select(rater_a.alias("_a"), rater_b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    po_tab = cells.agg(
+        F.sum("_c").alias("n"),
+        (
+            F.sum(
+                F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0)
+            ).cast("double")
+            / F.sum("_c")
+        ).alias("p_o"),
+    )
+    ma = cells.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_c").alias("_na")
+    )
+    mb = cells.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_c").alias("_nb")
+    )
+    n_total = cells.agg(F.sum("_c").alias("_n"))
+    pe_tab = (
+        _attach_scalar(ma.join(mb, "_k", "full_outer"), n_total)
+        .select(
+            (
+                (F.coalesce("_na", F.lit(0)) / F.col("_n"))
+                * (F.coalesce("_nb", F.lit(0)) / F.col("_n"))
+            ).alias("_pe_k")
+        )
+        .agg(F.sum("_pe_k").alias("p_e"))
+    )
+    out = _attach_scalar(po_tab, pe_tab)
+    kappa = F.when(
+        F.col("p_e") < 1.0,
+        (F.col("p_o") - F.col("p_e")) / (1.0 - F.col("p_e")),
+    )
+    return out.select(
+        "n",
+        F.round("p_o", round_to).alias("p_o"),
+        F.round("p_e", round_to).alias("p_e"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_pct: Column,
+    label: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error over integer-percent confidence
+    scores (0–100): bucket scores into ``bins`` equal-width bins and
+    report ``ECE = Σ (n_b/N) · |acc_b − conf_b|`` — the model-QC
+    readout "when the scorer says 80%, is it right 80% of the time?"
+    for quality classifiers and reward models feeding data filters.
+
+    ``score_pct`` must be an integer 0..100 (percent); keeping the
+    score integral makes every bin statistic a ratio of exact
+    integers — one IEEE division each — so the result is
+    deterministic and hash-exact cross-engine (a float score would
+    make ``avg`` order-dependent in the last ulp). Returns the
+    per-bin table plus the scalar as ``(bin, n, conf, acc, ece)``
+    with ``ece`` repeated per row (one aggregate over a bins-sized
+    table; window, not second scan).
+
+    One data pass: groupBy(bin) → (n, Σscore, Σlabel); everything
+    after runs on ``bins`` rows (totals attach via a broadcast
+    scalar join, not a keyless window — no single-task funnel even
+    in the lint).
+    """
+    b = F.least(
+        F.floor(score_pct * bins / 100).cast("int"), F.lit(bins - 1)
+    )
+    per = (
+        df.select(
+            b.alias("bin"),
+            score_pct.alias("_s"),
+            label.cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_s").alias("_ss"),
+            F.sum("_y").alias("_sy"),
+        )
+    )
+    conf = F.col("_ss") / F.col("n") / 100.0
+    acc = F.col("_sy") / F.col("n")
+    gap = (per.withColumn("conf", conf).withColumn("acc", acc)
+           .withColumn("_gap", F.abs(F.col("acc") - F.col("conf"))))
+    tot = gap.agg(
+        F.sum("n").alias("_nt"),
+        F.sum(F.col("n") * F.col("_gap")).alias("_wgap"),
+    ).select((F.col("_wgap") / F.col("_nt")).alias("ece"))
+    return _attach_scalar(gap, tot).select(
+        "bin", "n", "conf", "acc", "ece"
+    )

@@ -1406,3 +1406,33 @@ def table_diff(
         od.join(nd, key_cols, "full_outer")
         .select(*key_cols, status.alias(status_col))
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bucketed OHLC bars per key: ``(keys, bar, open, high,
+    low, close, n)`` — the classic downsampling for numeric series
+    (prices, sensor values, metric streams): open/close are the
+    values at the earliest/latest timestamp in the bar, high/low the
+    extremes.
+
+    ONE hash aggregate — ``min_by``/``max_by`` over the timestamp
+    pick open/close without any window sort, so the bar table costs
+    the same as a count per bucket at any scale. Ties on the exact
+    same timestamp within a (key, bar) are argmin/argmax-arbitrary —
+    pre-aggregate to unique (key, ts) first when the series can
+    carry duplicates (the catalog entry does).
+    """
+    bar = F.date_trunc(bucket, F.col(ts_col))
+    return df.groupBy(*key_cols, bar.alias("bar")).agg(
+        F.min_by(value_col, ts_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

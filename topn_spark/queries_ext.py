@@ -4778,3 +4778,125 @@ def y28_python_datasource(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "y29_ohlc_bars",
+    """WITH pts AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, MIN(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS TIMESTAMP)),
+bars AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar,
+         arg_min(v, ts) AS open, MAX(v) AS high, MIN(v) AS low,
+         arg_max(v, ts) AS close, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY event_type, date_trunc('hour', ts))
+SELECT * FROM bars ORDER BY event_type ASC, bar ASC LIMIT 300""",
+    doc="Time-bucketed OHLC bars (pipeline.py::ohlc_bars): per-key "
+    "hourly open/high/low/close via min_by/max_by over the timestamp "
+    "— ONE hash aggregate, no window sort; series pre-aggregated to "
+    "unique (key, ts) so open/close picks are deterministic; values "
+    "pass through unchanged, hash-exact",
+)
+def y29_ohlc_bars(spark, sf_dir):
+    from topn_spark.operators.pipeline import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", "ts")
+        .agg(F.min("value").alias("v"))
+    )
+    return (
+        ohlc_bars(pts, "ts", "v", ["event_type"], bucket="hour")
+        .orderBy("event_type", "bar")
+        .limit(300)
+    )
+
+
+@query(
+    "y30_cohens_kappa",
+    """WITH pairs AS (
+  SELECT lang AS a,
+         (['en', 'de', 'fr', 'es'])[
+           CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 4
+                AS INT) + 1] AS b
+  FROM documents),
+cells AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY a, b),
+po AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS DOUBLE)
+                / SUM(c) AS p_o
+       FROM cells),
+ma AS (SELECT a AS k, SUM(c) AS na FROM cells GROUP BY a),
+mb AS (SELECT b AS k, SUM(c) AS nb FROM cells GROUP BY b),
+nt AS (SELECT SUM(c) AS ntot FROM cells),
+pe AS (SELECT SUM((COALESCE(na, 0) / ntot) * (COALESCE(nb, 0) / ntot))
+                AS p_e
+       FROM ma FULL OUTER JOIN mb USING (k), nt)
+SELECT po.n, ROUND(po.p_o, 6) AS p_o, ROUND(pe.p_e, 6) AS p_e,
+       ROUND(CASE WHEN pe.p_e < 1.0
+         THEN (po.p_o - pe.p_e) / (1.0 - pe.p_e) END, 6) AS kappa
+FROM po, pe""",
+    doc="Cohen's kappa (diag.py::cohens_kappa): chance-corrected "
+    "agreement between the declared lang column and a deterministic "
+    "md5-bucket pseudo-annotator — the annotator-QC readout; one "
+    "groupBy builds contingency cells, marginals and the closed form "
+    "run over the cell table; exact-integer inputs, hash-exact",
+)
+def y30_cohens_kappa(spark, sf_dir):
+    from topn_spark.diag import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 4
+    ).cast("int")
+    rater_b = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+        bucket + 1,
+    )
+    return cohens_kappa(docs, F.col("lang"), rater_b)
+
+
+@query(
+    "y31_calibration_ece",
+    """WITH s AS (
+  SELECT CAST(event_id % 101 AS BIGINT) AS sp,
+         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events),
+per AS (
+  SELECT LEAST(CAST(FLOOR(sp * 10 / 100) AS INT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(sp) AS ss, SUM(y) AS sy
+  FROM s GROUP BY 1),
+tot AS (SELECT SUM(n) AS nt FROM per)
+SELECT bin, n,
+       ss / n / 100.0 AS conf,
+       CAST(sy AS DOUBLE) / n AS acc,
+       ROUND((SELECT SUM((CAST(p2.n AS DOUBLE) / tot.nt)
+                * ABS(CAST(p2.sy AS DOUBLE) / p2.n
+                      - p2.ss / p2.n / 100.0))
+              FROM per p2, tot), 6) AS ece
+FROM per ORDER BY bin ASC""",
+    doc="Expected calibration error (diag.py::"
+    "expected_calibration_error): 10-bin reliability table + ECE "
+    "scalar for an integer-percent scorer — the 'does 80% mean 80%' "
+    "model-QC gate for quality classifiers feeding data filters; "
+    "integral scores keep every bin statistic a ratio of exact ints "
+    "(one data pass, then bins-sized arithmetic); ECE rounded at 6 "
+    "(bins-sized float sum is the one order-dependent step)",
+)
+def y31_calibration_ece(spark, sf_dir):
+    from topn_spark.diag import expected_calibration_error
+
+    ev = load_table(spark, sf_dir, "events")
+    out = expected_calibration_error(
+        ev,
+        (F.col("event_id") % 101).cast("bigint"),
+        F.col("user_id") % 3 == 0,
+        bins=10,
+    )
+    return out.select(
+        "bin", "n", "conf", "acc", F.round("ece", 6).alias("ece")
+    ).orderBy("bin")
