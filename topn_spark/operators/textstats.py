@@ -637,10 +637,13 @@ def duplicate_ngram_coverage(
     df-capped like ``ngram_jaccard_pairs`` for adversarial corpora.
     """
     dfr = df.where(F.size(tokens(text_col)) >= n)
+    # two consumers (the shingle-count agg and the join back) — persist
+    # so the tokenize+shingle+explode scan runs once, matching the
+    # fan-out convention in dedup.py / dedup_lines
     sh = dfr.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
-    )
+    ).persist()
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(counts, "sh")
