@@ -34,7 +34,7 @@ this is north-star surface per BASELINE.json, not reference parity.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
