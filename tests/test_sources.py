@@ -294,3 +294,26 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
     assert len(rows) == 140  # exactly once across all restarts
     by_id = {r.doc_id: r.text for r in rows}
     assert by_id[120] == generate_doc(5, 120)[1]
+
+
+def test_read_json_rescued_captures_malformed_rows(spark, tmp_path):
+    from topn_spark.sources.io import read_json_rescued
+
+    p = str(tmp_path / "feed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "v": "ok"}\n')
+        f.write('{"id": 2, "v": "also ok"}\n')
+        f.write('{"id": "NOT A NUMBER", "v": "type clash"}\n')
+        f.write('{broken json!!\n')
+    df = read_json_rescued(spark, p, "id long, v string")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    # both failure modes captured verbatim: type clash + broken syntax
+    assert len(bad) == 2
+    assert any("NOT A NUMBER" in r._corrupt_record for r in bad)
+    assert any("broken json" in r._corrupt_record for r in bad)
+    # corrupt rows carry NULL data fields (quarantine-able as-is)
+    assert all(r.id is None for r in bad)

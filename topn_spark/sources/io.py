@@ -103,3 +103,41 @@ def write(
         writer.saveAsTable(table)
     else:
         writer.save(path)
+
+
+def read_json_rescued(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """Schema-enforced JSON ingest that CAPTURES malformed rows
+    instead of silently nulling (PERMISSIVE default) or dropping
+    (DROPMALFORMED) them: rows that fail the schema land with their
+    raw text in ``corrupt_col`` and every declared field NULL, so an
+    ingest job can route them to a quarantine sink and alert on the
+    corrupt fraction — at 100 TB "0.3% of the feed went bad at 2am"
+    must be an observable event, not a silent row-count dip.
+
+    The corrupt column is appended to the declared schema here (Spark
+    only populates ``columnNameOfCorruptRecord`` if the read schema
+    contains it). Spark caveat handled: a count()-style zero-column
+    scan over only the corrupt column is disallowed, so callers
+    filtering on it should select data fields too — the returned
+    frame keeps all declared fields.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.read.format("json")
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
