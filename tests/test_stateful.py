@@ -149,3 +149,96 @@ def test_grouped_running_topn_v2_matches_v1_semantics(spark, tmp_path):
         k: list(zip(v.ids, v.vals)) for k, v in final.items()
     }
     assert got_by_key == want_by_key
+
+
+def test_streaming_ewma_replay_equals_single_pass_and_flags_spike(
+    spark, tmp_path
+):
+    import datetime
+    import time as _time
+
+    from topn_spark.streaming.stateful import streaming_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # key "a": stable around 10 then a planted spike at minute 25;
+    # key "b": short series (cold-start path)
+    series = [("a", m, 10.0 + (m % 3) * 0.1) for m in range(24)]
+    series.append(("a", 25, 60.0))  # the spike
+    series += [("b", m, 5.0) for m in range(3)]
+    rows = [
+        (k, t0 + datetime.timedelta(minutes=m), v) for k, m, v in series
+    ]
+    d = str(tmp_path / "ewma_stream")
+    # three time-sliced files written in order (modTime ascending) so
+    # micro-batches arrive in event-time order — the documented
+    # contract for cross-batch equivalence
+    import os
+
+    os.makedirs(d)
+    slices = [
+        [r for r in rows if r[1].minute < 10],
+        [r for r in rows if 10 <= r[1].minute < 20],
+        [r for r in rows if r[1].minute >= 20],
+    ]
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(
+            sl, "k string, ts timestamp, v double"
+        ).coalesce(1).write.parquet(f"{d}/s{i}")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/s*")
+    )
+    out = streaming_ewma(stream, "k", "ts", "v", alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.k, r.ts): (r.x, r.ewma, r.z, r.anomaly)
+        for r in spark.table("ewma_out").collect()
+    }
+    assert len(got) == len(rows)
+
+    # single-pass model: same recurrence over the full per-key series
+    def model(vals):
+        m, s2, n, out = 0.0, 0.0, 0, []
+        for x in vals:
+            if n == 0:
+                out.append((x, x, None, False))
+                m, s2 = x, 0.0
+            else:
+                resid = x - m
+                sd = s2 ** 0.5
+                z = abs(resid) / sd if sd > 0 else None
+                an = z is not None and z > 3.0
+                m = 0.3 * x + 0.7 * m
+                s2 = 0.3 * resid * resid + 0.7 * s2
+                out.append((x, m, z, an))
+            n += 1
+        return out
+
+    for key in ("a", "b"):
+        ks = sorted(
+            [r for r in rows if r[0] == key], key=lambda r: r[1]
+        )
+        want = model([r[2] for r in ks])
+        for (k, ts, _v), w in zip(ks, want):
+            g = got[(key, ts)]
+            assert g[0] == w[0] and g[1] == w[1]
+            assert (g[2] is None) == (w[2] is None)
+            if w[2] is not None:
+                assert abs(g[2] - w[2]) <= 1e-12
+            assert g[3] == w[3]
+    # the planted spike is flagged, with the largest z on the board
+    # (warm-up rows may also trip the chart — the model agrees row
+    # for row above, which is the contract)
+    spike_ts = t0 + datetime.timedelta(minutes=25)
+    assert got[("a", spike_ts)][3] is True
+    zmax = max(g[2] for g in got.values() if g[2] is not None)
+    assert got[("a", spike_ts)][2] == zmax

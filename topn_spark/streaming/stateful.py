@@ -170,3 +170,88 @@ def grouped_running_topn_v2(
         outputMode="append",
         timeMode="None",
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    z_threshold: float | None = 3.0,
+) -> DataFrame:
+    """Per-key streaming EWMA with online anomaly flagging: for each
+    row (in event-time order within a key), emit the smoothed value
+    ``ewma ← α·x + (1−α)·ewma`` plus an ``anomaly`` flag when the
+    standardized residual ``|x − ewma_prev| / σ_prev`` exceeds
+    ``z_threshold`` (σ tracked as an EW variance with the same α —
+    the classic EWMA control chart). The streaming counterpart of
+    batch ``pipeline.ewma``: same recurrence, state carried across
+    micro-batches in the state store instead of an array fold.
+
+    State per key is three floats + a count — O(keys) cluster-wide,
+    checkpoint-durable. Within a micro-batch rows are sorted by
+    ``ts_col`` before folding, so replaying N batches equals one big
+    batch exactly (the replay-equivalence test contract); late rows
+    ARRIVING in a later batch fold in arrival order — pair with a
+    watermark + dropDuplicates upstream when the feed can reorder
+    across batches.
+    """
+    out_schema = (
+        f"{key_col} string, {ts_col} timestamp, x double, ewma double, "
+        "z double, anomaly boolean"
+    )
+    state_schema = "m double, s2 double, n bigint"
+    a = float(alpha)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            m, s2, n = state.get
+        else:
+            m, s2, n = 0.0, 0.0, 0
+        rows = {"ts": [], "x": [], "ewma": [], "z": [], "an": []}
+        for pdf in pdfs:
+            sub = pdf[[ts_col, value_col]].dropna(subset=[value_col])
+            sub = sub.sort_values(ts_col)
+            for t, x in zip(sub[ts_col], sub[value_col]):
+                x = float(x)
+                if n == 0:
+                    z = None
+                    an = False
+                    m, s2 = x, 0.0
+                else:
+                    resid = x - m
+                    sd = s2 ** 0.5
+                    z = abs(resid) / sd if sd > 0 else None
+                    an = (
+                        z_threshold is not None
+                        and z is not None
+                        and z > z_threshold
+                    )
+                    m = a * x + (1 - a) * m
+                    s2 = a * resid * resid + (1 - a) * s2
+                n += 1
+                rows["ts"].append(t)
+                rows["x"].append(x)
+                rows["ewma"].append(m)
+                rows["z"].append(z)
+                rows["an"].append(bool(an))
+        state.update((m, s2, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(rows["ts"]),
+                ts_col: rows["ts"],
+                "x": rows["x"],
+                "ewma": rows["ewma"],
+                "z": rows["z"],
+                "anomaly": rows["an"],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
