@@ -55,3 +55,42 @@ def test_zordered_write_clusters_both_dims(spark, tmp_path):
             out.where(F.col(col) < 8).select("f").distinct().count()
         )
         assert touched < n_files, f"filter on {col} touched all files"
+
+
+def test_file_skipping_report_separates_clustered_from_random(
+    spark, tmp_path
+):
+    from topn_spark.operators.layout import (
+        file_skipping_report,
+        write_zordered,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(id % 64 AS INT) AS x",
+        "CAST((id * 7) % 64 AS INT) AS y",
+        "id AS payload",
+    )
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "random")
+    write_zordered(df, zpath, ["x", "y"], num_files=8)
+    df.repartition(8).write.parquet(rpath)  # hash layout: no locality
+
+    zrep = file_skipping_report(zpath, ["x", "y"])
+    rrep = file_skipping_report(rpath, ["x", "y"])
+    assert len(zrep["files"]) == 8 and len(rrep["files"]) == 8
+    assert sum(f["rows"] for f in zrep["files"]) == 4000
+    # random layout: essentially every file pair overlaps on both dims
+    assert rrep["overlap_fraction"]["x"] > 0.9
+    assert rrep["overlap_fraction"]["y"] > 0.9
+    # z-order: substantially tighter ranges on BOTH interleaved dims
+    assert (
+        zrep["overlap_fraction"]["x"]
+        < rrep["overlap_fraction"]["x"] - 0.3
+    )
+    assert (
+        zrep["overlap_fraction"]["y"]
+        < rrep["overlap_fraction"]["y"] - 0.3
+    )
+    # footer stats present and ordered
+    for f in zrep["files"]:
+        assert f["x_min"] is not None and f["x_min"] <= f["x_max"]

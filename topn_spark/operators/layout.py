@@ -69,3 +69,77 @@ def write_zordered(
     parts.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(
         path
     )
+
+
+def file_skipping_report(path: str, cols: list[str]) -> dict:
+    """Clustering-quality observability from parquet FOOTERS only:
+    per-file min/max for each of ``cols`` plus an overlap fraction —
+    for every column, the share of file pairs whose [min, max] ranges
+    intersect (1.0 ≈ random layout: every file can match any point
+    filter; → 0.0 ≈ perfectly clustered: a point filter prunes to
+    ~one file). The number to watch after ``write_zordered`` or any
+    re-layout: it predicts scan skipping BEFORE running a query, from
+    metadata that costs O(files) driver-side reads of a few KB each —
+    no data scan at any table size.
+
+    Returns ``{"files": [{"file", "rows", "<col>_min", "<col>_max"},
+    ...], "overlap_fraction": {col: float}}`` (min/max folded across
+    row groups; a column missing statistics yields None and counts as
+    overlapping-everything).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    per_file = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo: dict = {c: None for c in cols}
+        hi: dict = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                c = g.column(i)
+                name = c.path_in_schema
+                if name not in lo:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo[name] = (
+                    st.min if lo[name] is None else min(lo[name], st.min)
+                )
+                hi[name] = (
+                    st.max if hi[name] is None else max(hi[name], st.max)
+                )
+        row = {"file": os.path.relpath(f, path), "rows": md.num_rows}
+        for c in cols:
+            row[f"{c}_min"], row[f"{c}_max"] = lo[c], hi[c]
+        per_file.append(row)
+
+    overlap = {}
+    for c in cols:
+        spans = [
+            (r[f"{c}_min"], r[f"{c}_max"])
+            for r in per_file
+        ]
+        n = len(spans)
+        if n < 2:
+            overlap[c] = 0.0
+            continue
+        hits = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = spans[i], spans[j]
+                if (
+                    a[0] is None or a[1] is None
+                    or b[0] is None or b[1] is None
+                    or (a[0] <= b[1] and b[0] <= a[1])
+                ):
+                    hits += 1
+        overlap[c] = hits / (n * (n - 1) / 2)
+    return {"files": per_file, "overlap_fraction": overlap}

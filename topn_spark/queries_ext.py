@@ -4900,3 +4900,53 @@ def y31_calibration_ece(spark, sf_dir):
     return out.select(
         "bin", "n", "conf", "acc", F.round("ece", 6).alias("ece")
     ).orderBy("bin")
+
+
+def _y32_script_exact(con):
+    """Pure-Python mirror of the SQL-scripting control flow: double
+    the threshold until fewer than 100 orders exceed it; floats stay
+    exact (power-of-two scaling of 1000.0)."""
+    thr, iters = 1000.0, 0
+    cnt = con.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_totalprice > ?", [thr]
+    ).fetchone()[0]
+    while cnt >= 100:
+        thr *= 2
+        iters += 1
+        cnt = con.execute(
+            "SELECT COUNT(*) FROM orders WHERE o_totalprice > ?", [thr]
+        ).fetchone()[0]
+    return ["threshold", "n_above", "iters"], [(thr, cnt, iters)]
+
+
+_Y32_SCRIPT = """BEGIN
+  DECLARE thr DOUBLE DEFAULT 1000.0;
+  DECLARE cnt BIGINT DEFAULT 0;
+  DECLARE iters INT DEFAULT 0;
+  SET cnt = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+  WHILE cnt >= 100 DO
+    SET thr = thr * 2;
+    SET iters = iters + 1;
+    SET cnt = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+  END WHILE;
+  SELECT thr AS threshold, cnt AS n_above, iters AS iters;
+END"""
+
+
+@query(
+    "y32_sql_scripting",
+    None,
+    doc="SQL scripting (Spark 4 BEGIN/DECLARE/WHILE/SET blocks): a "
+    "data-driven iterative threshold search runs ENTIRELY inside the "
+    "SQL engine — each loop iteration re-plans a scalar-subquery "
+    "count; the procedural surface DBAs expect from a warehouse, "
+    "driven through spark.sql; exact pure-Python + DuckDB mirror",
+    tol_oracle=_y32_script_exact,
+    tolerance=0.0,
+    tol_keys=("iters",),
+)
+def y32_sql_scripting(spark, sf_dir):
+    from topn_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_Y32_SCRIPT)
