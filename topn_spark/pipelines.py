@@ -1,0 +1,408 @@
+"""JSON pipeline-spec compiler: the reference's USAGE mode.
+
+Users of the reference don't call an API — they deploy a JSON pipeline
+(`ETLBatchConfig`: stages + connections, reference
+`TopNTest.java:94-105`) and CDAP wires source → TopN → sink around the
+plugin. This module reproduces that surface on Spark: a dict spec with
+``stages`` (name, type, plugin, properties) and ``connections``
+(from → to) compiles to DataFrames and runs, with the reference's
+two-phase lifecycle:
+
+1. **deploy** (`compile_pipeline` ≈ ``configurePipeline``,
+   TopN.java:63-72): topo-order the DAG, build each stage's lazy
+   DataFrame, validate every stage's config against its INPUT schema
+   with one FailureCollector per stage — macro'd (``${name}``)
+   properties skip validation (TopNConfig.java:64,88,97). All stages'
+   failures are reported together, not first-error-only.
+2. **run** (`run_pipeline` ≈ ``prepareRun`` + execution,
+   TopN.java:74-82): substitute macros, re-validate the literal
+   configs, execute sinks.
+
+Stage types mirror CDAP's: ``batchsource``, ``transform``,
+``batchaggregator``, ``batchjoiner``, ``batchsink``. The plugin set
+covers the pipelines the reference participates in (File source/sink,
+Projection, Filter, SQL, Deduplicate, GroupByAggregate, Joiner, TopN);
+registering more is one dict entry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from topn_spark.errors import (
+    FailureCollector,
+    ValidationError,
+    contains_macro,
+    substitute_macros,
+)
+from topn_spark.operators.dedup import dedup_exact
+from topn_spark.operators.topn import TopNConfig, topn
+from topn_spark.sources.io import read, write
+
+
+@dataclass
+class Stage:
+    name: str
+    type: str
+    plugin: str
+    properties: dict = field(default_factory=dict)
+
+
+_AGG_FUNCS: dict[str, Callable] = {
+    "count": lambda c: F.count(F.lit(1) if c == "*" else F.col(c)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    "countdistinct": lambda c: F.count_distinct(F.col(c)),
+}
+
+
+def _parse_aggregates(spec: str, collector: FailureCollector):
+    """``alias:func(col), alias2:func2(col2)`` → list of Columns
+    (CDAP GroupByAggregate's aggregates string)."""
+    out = []
+    for part in [p.strip() for p in spec.split(",") if p.strip()]:
+        try:
+            alias, call = part.split(":", 1)
+            fn, _, rest = call.partition("(")
+            col = rest.rstrip(")").strip()
+            f = _AGG_FUNCS[fn.strip().lower()]
+        except (ValueError, KeyError):
+            collector.add_failure(
+                f"Unparseable aggregate '{part}'.",
+                "Use alias:func(col) with func in "
+                f"{sorted(_AGG_FUNCS)}.",
+                property_name="aggregates",
+            )
+            continue
+        out.append(f(col).alias(alias.strip()))
+    return out
+
+
+def _stage_topn(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    props = stage.properties
+    cfg = TopNConfig(
+        field=props.get("field", ""),
+        size=props.get("size"),
+        ignore_null=props.get("ignoreNull"),
+    )
+    if phase == "deploy":
+        cfg.validate(df.schema, collector)
+        return df  # schema passthrough (TopN.java:71)
+    try:
+        resolved = cfg.resolve(substitutions or {})
+    except ValidationError as e:
+        collector.failures.extend(e.failures)
+        return df
+    resolved.validate(df.schema, collector)
+    if collector.failures:
+        return df
+    return topn(
+        df, resolved.field, resolved.top_size, resolved.top_ignore_null
+    )
+
+
+def _stage_source(spark, stage, inputs, collector, substitutions, phase):
+    p = stage.properties
+    if "path" not in p and stage.plugin != "SyntheticDocs":
+        collector.add_failure(
+            "Source needs a 'path'.", property_name="path"
+        )
+        return None
+    if stage.plugin == "SyntheticDocs":
+        from topn_spark.sources.pydatasource import register
+
+        register(spark)
+        r = spark.read.format("synthetic_docs")
+        for k in ("n", "parts", "seed"):
+            if k in p:
+                r = r.option(k, p[k])
+        return r.load()
+    return read(
+        spark, p["path"], fmt=p.get("format", "parquet"),
+        schema=p.get("schema"),
+    )
+
+
+def _stage_projection(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    p = stage.properties
+    if "select" in p:
+        cols = [c.strip() for c in p["select"].split(",")]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            collector.add_failure(
+                f"Columns {missing} not in input schema.",
+                property_name="select",
+            )
+            return df
+        return df.select(*cols)
+    if "drop" in p:
+        return df.drop(*[c.strip() for c in p["drop"].split(",")])
+    collector.add_failure(
+        "Projection needs 'select' or 'drop'.", property_name="select"
+    )
+    return df
+
+
+def _stage_filter(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    cond = stage.properties.get("condition")
+    if not cond:
+        collector.add_failure(
+            "Filter needs a 'condition'.", property_name="condition"
+        )
+        return df
+    if phase == "deploy" and contains_macro(cond):
+        return df  # deferred
+    if phase == "run":
+        cond = substitute_macros(
+            cond, substitutions or {}, collector, "condition"
+        )
+    try:
+        return df.where(F.expr(cond))
+    except Exception as e:  # analyzer error → collected, not raised
+        collector.add_failure(
+            f"Invalid condition: {e}", property_name="condition"
+        )
+        return df
+
+
+def _stage_sql(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    q = stage.properties.get("query")
+    if not q:
+        collector.add_failure(
+            "SQL stage needs a 'query'.", property_name="query"
+        )
+        return df
+    df.createOrReplaceTempView(f"_pipe_{stage.name}_input")
+    try:
+        return spark.sql(
+            q.replace("${input}", f"_pipe_{stage.name}_input")
+        )
+    except Exception as e:
+        collector.add_failure(
+            f"Invalid query: {e}", property_name="query"
+        )
+        return df
+
+
+def _stage_dedup(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    p = stage.properties
+    uniq = [
+        c.strip() for c in p.get("uniqueFields", "").split(",") if c.strip()
+    ]
+    if not uniq:
+        collector.add_failure(
+            "Deduplicate needs 'uniqueFields'.",
+            property_name="uniqueFields",
+        )
+        return df
+    missing = [c for c in uniq if c not in df.columns]
+    if missing:
+        collector.add_failure(
+            f"Columns {missing} not in input schema.",
+            property_name="uniqueFields",
+        )
+        return df
+    tiebreak = [
+        c.strip() for c in p.get("tiebreak", "").split(",") if c.strip()
+    ] or [c for c in df.columns if c not in uniq][:1]
+    return dedup_exact(df, subset=uniq, tiebreak=tiebreak)
+
+
+def _stage_groupby(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    p = stage.properties
+    keys = [
+        c.strip()
+        for c in p.get("groupByFields", "").split(",")
+        if c.strip()
+    ]
+    aggs = _parse_aggregates(p.get("aggregates", ""), collector)
+    if not aggs:
+        return df
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _stage_joiner(spark, stage, inputs, collector, substitutions, phase):
+    if len(inputs) != 2:
+        collector.add_failure(
+            f"Joiner needs exactly 2 inputs, got {len(inputs)}.",
+        )
+        return inputs[0] if inputs else None
+    left, right = inputs
+    p = stage.properties
+    keys = p.get("joinKeys", "")
+    try:
+        lk, rk = [k.strip() for k in keys.split("=")]
+    except ValueError:
+        collector.add_failure(
+            "joinKeys must be 'leftCol = rightCol'.",
+            property_name="joinKeys",
+        )
+        return left
+    how = p.get("joinType", "inner")
+    cond = left[lk] == right[rk]
+    out = left.join(right, cond, how)
+    if p.get("dropRightKey", "true").lower() == "true" and lk != rk:
+        out = out.drop(right[rk])
+    return out
+
+
+def _stage_sink(spark, stage, inputs, collector, substitutions, phase):
+    (df,) = inputs
+    p = stage.properties
+    if "path" not in p:
+        collector.add_failure("Sink needs a 'path'.", property_name="path")
+        return df
+    if phase == "run":
+        write(
+            df, p["path"], fmt=p.get("format", "parquet"),
+            mode=p.get("mode", "overwrite"),
+        )
+    return df
+
+
+#: plugin registry: (expected stage type, handler)
+PLUGINS: dict[str, tuple[str, Callable]] = {
+    "File": ("batchsource", _stage_source),
+    "SyntheticDocs": ("batchsource", _stage_source),
+    "Projection": ("transform", _stage_projection),
+    "Filter": ("transform", _stage_filter),
+    "SQL": ("transform", _stage_sql),
+    "Deduplicate": ("batchaggregator", _stage_dedup),
+    "GroupByAggregate": ("batchaggregator", _stage_groupby),
+    "TopN": ("batchaggregator", _stage_topn),
+    "Joiner": ("batchjoiner", _stage_joiner),
+    "FileSink": ("batchsink", _stage_sink),
+}
+
+#: sink plugins double-book under the source name for CDAP parity
+PLUGINS["File.sink"] = ("batchsink", _stage_sink)
+
+
+def _topo_order(stages, connections, collector):
+    names = {s.name for s in stages}
+    indeg = {s.name: 0 for s in stages}
+    adj: dict[str, list[str]] = {s.name: [] for s in stages}
+    inputs: dict[str, list[str]] = {s.name: [] for s in stages}
+    for c in connections:
+        a, b = c["from"], c["to"]
+        if a not in names or b not in names:
+            collector.add_failure(
+                f"Connection {a} -> {b} references an unknown stage."
+            )
+            continue
+        adj[a].append(b)
+        inputs[b].append(a)
+        indeg[b] += 1
+    order, queue = [], sorted(n for n, d in indeg.items() if d == 0)
+    while queue:
+        n = queue.pop(0)
+        order.append(n)
+        for m in adj[n]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                queue.append(m)
+        queue.sort()
+    if len(order) != len(stages):
+        cyc = sorted(n for n, d in indeg.items() if d > 0)
+        collector.add_failure(
+            f"Pipeline DAG has a cycle involving {cyc}."
+        )
+    return order, inputs
+
+
+def _execute(
+    spark: SparkSession,
+    spec: dict,
+    substitutions: dict | None,
+    phase: str,
+) -> dict[str, DataFrame]:
+    stages = [
+        Stage(
+            s["name"], s.get("type", ""), s["plugin"],
+            s.get("properties", {}),
+        )
+        for s in spec.get("stages", [])
+    ]
+    top = FailureCollector()
+    seen = set()
+    for s in stages:
+        if s.name in seen:
+            top.add_failure(f"Duplicate stage name '{s.name}'.")
+        seen.add(s.name)
+        if s.plugin not in PLUGINS:
+            top.add_failure(
+                f"Stage '{s.name}': unknown plugin '{s.plugin}'.",
+                f"One of {sorted(p for p in PLUGINS if '.' not in p)}.",
+            )
+        elif s.type and s.type != PLUGINS[s.plugin][0]:
+            top.add_failure(
+                f"Stage '{s.name}': plugin {s.plugin} is a "
+                f"{PLUGINS[s.plugin][0]}, declared {s.type}."
+            )
+    order, inputs = _topo_order(
+        stages, spec.get("connections", []), top
+    )
+    top.get_or_throw()
+
+    by_name = {s.name: s for s in stages}
+    outputs: dict[str, DataFrame] = {}
+    failures = []
+    for name in order:
+        s = by_name[name]
+        ins = [outputs[i] for i in inputs[name] if outputs.get(i) is not None]
+        if len(ins) != len(inputs[name]):
+            continue  # upstream already failed; don't cascade noise
+        handler = PLUGINS[s.plugin][1]
+        collector = FailureCollector()
+        try:
+            outputs[name] = handler(
+                spark, s, ins, collector, substitutions, phase
+            )
+        except ValueError as e:  # arity errors etc.
+            collector.add_failure(str(e))
+            outputs[name] = None
+        for fail in collector.failures:
+            failures.append(
+                type(fail)(
+                    f"Stage '{name}': {fail.message}",
+                    fail.corrective_action,
+                    fail.property_name,
+                )
+            )
+    if failures:
+        raise ValidationError(failures)
+    return outputs
+
+
+def compile_pipeline(
+    spark: SparkSession, spec: dict
+) -> dict[str, DataFrame]:
+    """Deploy-time pass: build every stage's DataFrame lazily and
+    validate configs against real input schemas, skipping macro'd
+    properties. Raises :class:`ValidationError` carrying ALL stages'
+    failures. Returns stage-name → DataFrame (nothing executed, no
+    sink written)."""
+    return _execute(spark, spec, None, "deploy")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: dict,
+    substitutions: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Run-time pass: substitute macros, re-validate the literal
+    configs, execute sink writes. Returns stage-name → DataFrame so
+    callers can also read results directly."""
+    return _execute(spark, spec, substitutions, "run")
