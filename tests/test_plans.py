@@ -240,6 +240,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y29_ohlc_bars",
         "y30_cohens_kappa",
         "y31_calibration_ece",
+        "y33_pipeline_spec",
     ):
         warns = [
             f

@@ -4950,3 +4950,65 @@ def y32_sql_scripting(spark, sf_dir):
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_Y32_SCRIPT)
+
+
+_Y33_ORACLE = """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(o_totalprice) AS top_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority ASC"""
+
+
+@query(
+    "y33_pipeline_spec",
+    _Y33_ORACLE,
+    doc="JSON pipeline-spec compiler (pipelines.py::run_pipeline — "
+    "the reference's ETLBatchConfig usage mode): a declared stage "
+    "DAG (File source -> Filter -> GroupByAggregate) compiles, "
+    "validates against real input schemas, and executes; the oracle "
+    "states the same logic as one SQL query — proving spec execution "
+    "is exact, not just shaped right",
+)
+def y33_pipeline_spec(spark, sf_dir):
+    from topn_spark.pipelines import run_pipeline
+
+    spec = {
+        "stages": [
+            {
+                "name": "orders",
+                "type": "batchsource",
+                "plugin": "File",
+                "properties": {
+                    "path": f"{sf_dir}/orders.parquet",
+                    "format": "parquet",
+                },
+            },
+            {
+                "name": "closed",
+                "type": "transform",
+                "plugin": "Filter",
+                "properties": {
+                    "condition":
+                    "o_orderstatus = 'F' AND o_totalprice > 1000"
+                },
+            },
+            {
+                "name": "by_priority",
+                "type": "batchaggregator",
+                "plugin": "GroupByAggregate",
+                "properties": {
+                    "groupByFields": "o_orderpriority",
+                    "aggregates":
+                    "n:count(*), top_price:max(o_totalprice)",
+                },
+            },
+        ],
+        "connections": [
+            {"from": "orders", "to": "closed"},
+            {"from": "closed", "to": "by_priority"},
+        ],
+    }
+    return run_pipeline(spark, spec)["by_priority"].orderBy(
+        "o_orderpriority"
+    )
