@@ -252,3 +252,100 @@ def test_structural_errors(spark, tmp_path):
             spark,
             {"stages": [dict(base), dict(base)], "connections": []},
         )
+
+
+def test_union_and_window_plugins(spark, tmp_path):
+    ap, bp = str(tmp_path / "ua"), str(tmp_path / "ub")
+    spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", 9.0)], "id long, k string, v double"
+    ).write.parquet(ap)
+    spark.createDataFrame(
+        [(3, "y", 7.0), (4, "x", 1.0)], "id long, k string, v double"
+    ).write.parquet(bp)
+    spec = {
+        "stages": [
+            {"name": "a", "plugin": "File", "properties": {"path": ap}},
+            {"name": "b", "plugin": "File", "properties": {"path": bp}},
+            {"name": "u", "plugin": "Union", "properties": {}},
+            {
+                "name": "w",
+                "plugin": "Window",
+                "properties": {
+                    "partitionFields": "k",
+                    "orderField": "v:desc",
+                    "function": "row_number",
+                    "alias": "rn",
+                },
+            },
+            {
+                "name": "first",
+                "plugin": "Filter",
+                "properties": {"condition": "rn = 1"},
+            },
+        ],
+        "connections": [
+            {"from": "a", "to": "u"},
+            {"from": "b", "to": "u"},
+            {"from": "u", "to": "w"},
+            {"from": "w", "to": "first"},
+        ],
+    }
+    out = run_pipeline(spark, spec)["first"]
+    got = {(r.k, r.id) for r in out.collect()}
+    assert got == {("x", 2), ("y", 3)}  # per-key max v
+    # union schema mismatch is collected, not raised raw
+    bad = {
+        "stages": [
+            {"name": "a", "plugin": "File", "properties": {"path": ap}},
+            {
+                "name": "p",
+                "plugin": "Projection",
+                "properties": {"select": "id, k"},
+            },
+            {"name": "u", "plugin": "Union", "properties": {}},
+        ],
+        "connections": [
+            {"from": "a", "to": "p"},
+            {"from": "a", "to": "u"},
+            {"from": "p", "to": "u"},
+        ],
+    }
+    with pytest.raises(ValidationError, match="column set"):
+        compile_pipeline(spark, bad)
+
+
+def test_cli_validate_query_and_list(spark, tmp_path, capsys):
+    import json
+
+    from topn_spark.__main__ import main
+
+    spec_path = str(tmp_path / "spec.json")
+    json.dump(
+        {
+            "stages": [
+                {
+                    "name": "gen",
+                    "plugin": "SyntheticDocs",
+                    "properties": {"n": "10", "seed": "1"},
+                },
+                {
+                    "name": "top",
+                    "plugin": "TopN",
+                    "properties": {"field": "n_chars", "size": "2"},
+                },
+            ],
+            "connections": [{"from": "gen", "to": "top"}],
+        },
+        open(spec_path, "w"),
+    )
+    assert main(["validate-pipeline", spec_path]) == 0
+    assert "OK: 2 stages" in capsys.readouterr().out
+    assert main(["run-pipeline", spec_path, "--show", "top"]) == 0
+    assert "n_chars" in capsys.readouterr().out
+    assert main(["list-queries", "q0"]) == 0
+    out = capsys.readouterr().out
+    assert "q01" in out and "sql-oracle" in out
+    assert main(["query", "q01", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "o_orderkey" in capsys.readouterr().out
+    # ambiguous prefix refused
+    assert main(["query", "q"]) == 2

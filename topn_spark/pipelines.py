@@ -272,6 +272,79 @@ def _stage_sink(spark, stage, inputs, collector, substitutions, phase):
     return df
 
 
+def _stage_union(spark, stage, inputs, collector, substitutions, phase):
+    if len(inputs) < 2:
+        collector.add_failure(
+            f"Union needs >= 2 inputs, got {len(inputs)}."
+        )
+        return inputs[0] if inputs else None
+    out = inputs[0]
+    for df in inputs[1:]:
+        if set(df.columns) != set(out.columns):
+            collector.add_failure(
+                "Union inputs must share a column set; got "
+                f"{sorted(out.columns)} vs {sorted(df.columns)}."
+            )
+            return out
+        out = out.unionByName(df)
+    if stage.properties.get("distinct", "false").lower() == "true":
+        out = out.distinct()
+    return out
+
+
+def _stage_window(spark, stage, inputs, collector, substitutions, phase):
+    """CDAP-style windowed rank/row_number/lag transform: properties
+    partitionFields, orderField (+ ':desc'), function
+    (row_number|rank|dense_rank|lag|lead), alias, offset."""
+    from pyspark.sql.window import Window as _W
+
+    (df,) = inputs
+    p = stage.properties
+    parts = [
+        c.strip()
+        for c in p.get("partitionFields", "").split(",")
+        if c.strip()
+    ]
+    order = p.get("orderField", "")
+    if not order:
+        collector.add_failure(
+            "Window needs an 'orderField'.", property_name="orderField"
+        )
+        return df
+    name, _, direction = order.partition(":")
+    name = name.strip()
+    if name not in df.columns:
+        collector.add_failure(
+            f"Column '{name}' not in input schema.",
+            property_name="orderField",
+        )
+        return df
+    oc = (
+        F.col(name).desc()
+        if direction.strip().lower() == "desc"
+        else F.col(name).asc()
+    )
+    w = (_W.partitionBy(*parts) if parts else _W.partitionBy()).orderBy(oc)
+    fn = p.get("function", "row_number").strip().lower()
+    alias = p.get("alias", fn)
+    offset = int(p.get("offset", "1"))
+    exprs = {
+        "row_number": lambda: F.row_number().over(w),
+        "rank": lambda: F.rank().over(w),
+        "dense_rank": lambda: F.dense_rank().over(w),
+        "lag": lambda: F.lag(name, offset).over(w),
+        "lead": lambda: F.lead(name, offset).over(w),
+    }
+    if fn not in exprs:
+        collector.add_failure(
+            f"Unknown window function '{fn}'.",
+            f"One of {sorted(exprs)}.",
+            property_name="function",
+        )
+        return df
+    return df.withColumn(alias, exprs[fn]())
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -283,6 +356,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "GroupByAggregate": ("batchaggregator", _stage_groupby),
     "TopN": ("batchaggregator", _stage_topn),
     "Joiner": ("batchjoiner", _stage_joiner),
+    "Union": ("batchjoiner", _stage_union),
+    "Window": ("transform", _stage_window),
     "FileSink": ("batchsink", _stage_sink),
 }
 
