@@ -349,3 +349,74 @@ def test_cli_validate_query_and_list(spark, tmp_path, capsys):
     assert "o_orderkey" in capsys.readouterr().out
     # ambiguous prefix refused
     assert main(["query", "q"]) == 2
+
+
+def test_streaming_pipeline_per_batch_topn(spark, tmp_path):
+    """The reference's cdap-data-streams registration: the SAME
+    plugins run per micro-batch — a streaming TopN emits each batch's
+    top rows. Two files -> two micro-batches -> the sink holds both
+    batches' top-2, appended."""
+    from topn_spark.pipelines import run_streaming_pipeline
+
+    src = str(tmp_path / "s_src")
+    dst = str(tmp_path / "s_dst")
+    ck = str(tmp_path / "s_ck")
+    import os
+
+    os.makedirs(src)
+    import time as _time
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0)], "id long, v double"
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(4, 5.0), (5, 50.0), (6, 40.0)], "id long, v double"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    spec = {
+        "stages": [
+            {
+                "name": "in",
+                "plugin": "File",
+                "properties": {
+                    "path": src + "/b*",
+                    "schema": "id long, v double",
+                    "maxFilesPerTrigger": "1",
+                },
+            },
+            {
+                "name": "top",
+                "plugin": "TopN",
+                "properties": {"field": "v", "size": "2"},
+            },
+            {
+                "name": "out",
+                "plugin": "FileSink",
+                "properties": {"path": dst},
+            },
+        ],
+        "connections": [
+            {"from": "in", "to": "top"},
+            {"from": "top", "to": "out"},
+        ],
+    }
+    # maxFilesPerTrigger=1: each file is its own micro-batch, so the
+    # per-batch TopN emits each batch's top-2 (CDAP streaming
+    # semantics — the plugin reruns per batch)
+    q = run_streaming_pipeline(spark, spec, ck)
+    q.awaitTermination(120)
+    got = {(r.id, r.v) for r in spark.read.parquet(dst).collect()}
+    assert got == {(2, 30.0), (3, 20.0), (5, 50.0), (6, 40.0)}
+
+    # validation still fires at deploy: bad field surfaces before any
+    # stream starts
+    bad = dict(spec)
+    bad["stages"] = [
+        spec["stages"][0],
+        {"name": "top", "plugin": "TopN",
+         "properties": {"field": "ghost", "size": "2"}},
+        spec["stages"][2],
+    ]
+    with pytest.raises(ValidationError, match="ghost"):
+        run_streaming_pipeline(spark, bad, str(tmp_path / "ck2"))

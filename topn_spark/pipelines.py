@@ -481,3 +481,182 @@ def run_pipeline(
     configs, execute sink writes. Returns stage-name → DataFrame so
     callers can also read results directly."""
     return _execute(spark, spec, substitutions, "run")
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    spec: dict,
+    checkpoint_dir: str,
+    substitutions: dict | None = None,
+):
+    """Streaming execution of a pipeline spec — the reference's OTHER
+    registration (`cdap-data-streams`, pom.xml:39-42): CDAP runs the
+    SAME plugins per micro-batch, so a streaming TopN is a per-batch
+    top-N, exactly as here. The single ``batchsource`` stage becomes a
+    file stream (``readStream`` on its path/format/schema); every
+    micro-batch replays the REST of the DAG through the batch
+    handlers via ``foreachBatch`` (one code path, zero re-implemented
+    operators) and appends sink output.
+
+    Requirements: exactly one source stage; at least one ``FileSink``
+    (append target); ``schema`` on the source (streams cannot infer).
+    Returns the started ``StreamingQuery`` (availableNow trigger —
+    call repeatedly to drain a growing directory).
+    """
+    stages = spec.get("stages", [])
+    sources = [
+        s
+        for s in stages
+        if PLUGINS.get(s["plugin"], ("",))[0] == "batchsource"
+    ]
+    sinks = [
+        s
+        for s in stages
+        if PLUGINS.get(s["plugin"], ("",))[0] == "batchsink"
+    ]
+    top = FailureCollector()
+    if len(sources) != 1:
+        top.add_failure(
+            f"Streaming pipeline needs exactly 1 source, got {len(sources)}."
+        )
+    if not sinks:
+        top.add_failure("Streaming pipeline needs a FileSink stage.")
+    if sources and "schema" not in sources[0].get("properties", {}):
+        top.add_failure(
+            f"Stage '{sources[0]['name']}': streaming source needs an "
+            "explicit 'schema' (streams cannot infer).",
+            property_name="schema",
+        )
+    top.get_or_throw()
+    src = sources[0]
+    p = src["properties"]
+
+    # deploy-time validation of the whole DAG on an empty batch frame
+    # (schemas are what validation needs; rows are not)
+    empty = spark.createDataFrame([], p["schema"])
+    _validate_against(spark, spec, src["name"], empty)
+
+    reader = spark.readStream.schema(p["schema"]).format(
+        p.get("format", "parquet")
+    )
+    if "maxFilesPerTrigger" in p:
+        reader = reader.option(
+            "maxFilesPerTrigger", p["maxFilesPerTrigger"]
+        )
+    stream = reader.load(p["path"])
+
+    def _process(batch_df: DataFrame, _bid: int) -> None:
+        _run_with_source(
+            spark, spec, src["name"], batch_df, substitutions,
+            sink_mode="append",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _replace_source(spec: dict, source_name: str) -> dict:
+    """Spec with the source stage swapped for a passthrough handled
+    out-of-band (the caller injects the DataFrame)."""
+    return {
+        "stages": [
+            s for s in spec.get("stages", []) if s["name"] != source_name
+        ],
+        "connections": spec.get("connections", []),
+    }
+
+
+def _run_with_source(
+    spark, spec, source_name, df, substitutions, sink_mode="overwrite"
+):
+    sub = _replace_source(spec, source_name)
+    # execute downstream stages with the injected frame as the
+    # source's output; force sinks to append (micro-batch semantics)
+    stages = [
+        Stage(
+            s["name"], s.get("type", ""), s["plugin"],
+            dict(s.get("properties", {}), mode=sink_mode)
+            if PLUGINS.get(s["plugin"], ("",))[0] == "batchsink"
+            else s.get("properties", {}),
+        )
+        for s in sub["stages"]
+    ]
+    top = FailureCollector()
+    order, inputs = _topo_order(
+        stages + [Stage(source_name, "batchsource", "File")],
+        sub["connections"],
+        top,
+    )
+    top.get_or_throw()
+    by_name = {s.name: s for s in stages}
+    outputs: dict[str, DataFrame] = {source_name: df}
+    failures = []
+    for name in order:
+        if name == source_name:
+            continue
+        s = by_name[name]
+        ins = [outputs[i] for i in inputs[name] if outputs.get(i) is not None]
+        if len(ins) != len(inputs[name]):
+            continue
+        collector = FailureCollector()
+        outputs[name] = PLUGINS[s.plugin][1](
+            spark, s, ins, collector, substitutions, "run"
+        )
+        for fail in collector.failures:
+            failures.append(
+                type(fail)(
+                    f"Stage '{name}': {fail.message}",
+                    fail.corrective_action,
+                    fail.property_name,
+                )
+            )
+    if failures:
+        raise ValidationError(failures)
+    return outputs
+
+
+def _validate_against(spark, spec, source_name, df):
+    """Deploy-phase DAG validation with an injected source frame."""
+    sub = _replace_source(spec, source_name)
+    stages = [
+        Stage(
+            s["name"], s.get("type", ""), s["plugin"],
+            s.get("properties", {}),
+        )
+        for s in sub["stages"]
+    ]
+    top = FailureCollector()
+    order, inputs = _topo_order(
+        stages + [Stage(source_name, "batchsource", "File")],
+        sub["connections"],
+        top,
+    )
+    top.get_or_throw()
+    by_name = {s.name: s for s in stages}
+    outputs: dict[str, DataFrame] = {source_name: df}
+    failures = []
+    for name in order:
+        if name == source_name:
+            continue
+        s = by_name[name]
+        ins = [outputs[i] for i in inputs[name] if outputs.get(i) is not None]
+        if len(ins) != len(inputs[name]):
+            continue
+        collector = FailureCollector()
+        outputs[name] = PLUGINS[s.plugin][1](
+            spark, s, ins, collector, None, "deploy"
+        )
+        for fail in collector.failures:
+            failures.append(
+                type(fail)(
+                    f"Stage '{name}': {fail.message}",
+                    fail.corrective_action,
+                    fail.property_name,
+                )
+            )
+    if failures:
+        raise ValidationError(failures)
