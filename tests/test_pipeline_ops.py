@@ -786,3 +786,45 @@ def test_ohlc_bars_known_series(spark):
         10: (3.0, 9.0, 1.0, 4.0, 4),  # open@:05, close@:50
         11: (7.0, 7.0, 2.0, 2.0, 2),
     }
+
+
+def test_scd2_as_of_point_in_time(spark):
+    import datetime
+
+    from topn_spark.operators.pipeline import scd2, scd2_as_of
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, 100, t(1), "bronze"),
+        (1, 101, t(5), "silver"),
+        (1, 102, t(9), "gold"),
+        (2, 200, t(3), "bronze"),
+    ]
+    hist = scd2(
+        spark.createDataFrame(
+            rows, "k long, uid long, ts timestamp, tier string"
+        ),
+        ["k"],
+        ["tier"],
+        ts_col="ts",
+        tiebreak=["uid"],
+    )
+    # at Jan 6: key 1 is silver (5 <= 6 < 9), key 2 bronze (current)
+    got = {
+        (r.k, r.tier)
+        for r in scd2_as_of(hist, "2024-01-06 00:00:00").collect()
+    }
+    assert got == {(1, "silver"), (2, "bronze")}
+    # before any history: empty; after all: current rows
+    assert scd2_as_of(hist, "2023-12-31 00:00:00").count() == 0
+    cur = {
+        (r.k, r.tier)
+        for r in scd2_as_of(hist, "2024-12-01 00:00:00").collect()
+    }
+    assert cur == {(1, "gold"), (2, "bronze")}
+    # boundary: eff_from inclusive, eff_to exclusive
+    at5 = {
+        (r.k, r.tier)
+        for r in scd2_as_of(hist, "2024-01-05 00:00:00").collect()
+    }
+    assert (1, "silver") in at5 and (1, "bronze") not in at5

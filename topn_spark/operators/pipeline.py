@@ -1436,3 +1436,27 @@ def ohlc_bars(
         F.max_by(value_col, ts_col).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def scd2_as_of(
+    history: DataFrame,
+    ts,
+    from_col: str = "eff_from",
+    to_col: str = "eff_to",
+) -> DataFrame:
+    """Point-in-time read of an SCD type-2 history (the lookup side
+    of :func:`scd2`): the dimension exactly as it stood at ``ts`` —
+    rows whose validity interval covers the instant
+    (``eff_from <= ts < eff_to``, open current rows via NULL
+    ``eff_to``). Map-only filter; with the history written
+    partitioned on ``eff_from`` months the scan prunes to the
+    relevant slice. This is the "join facts against the dimension as
+    it was THEN" primitive that makes SCD2 histories usable — pair
+    with :func:`topn_spark.operators.asof.asof_join` when each fact
+    row carries its own timestamp instead of one global instant.
+    """
+    t = F.lit(ts).cast("timestamp") if not isinstance(ts, Column) else ts
+    return history.where(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )

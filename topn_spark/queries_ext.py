@@ -5012,3 +5012,41 @@ def y33_pipeline_spec(spark, sf_dir):
     return run_pipeline(spark, spec)["by_priority"].orderBy(
         "o_orderpriority"
     )
+
+
+@query(
+    "y34_scd2_as_of",
+    """WITH ch AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev
+  FROM events),
+ivl AS (
+  SELECT user_id, event_id, event_type, ts AS eff_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS eff_to
+  FROM ch WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, eff_from, eff_to
+FROM ivl
+WHERE eff_from <= TIMESTAMP '2024-03-01 00:00:00'
+  AND (eff_to IS NULL OR eff_to > TIMESTAMP '2024-03-01 00:00:00')
+ORDER BY user_id ASC""",
+    doc="SCD2 point-in-time read (pipeline.py::scd2_as_of): the "
+    "dimension exactly as it stood at an instant — interval-covering "
+    "filter over the x64 history (eff_from <= t < eff_to, NULL-open "
+    "current rows); map-only, partition-prunable; hash-exact",
+)
+def y34_scd2_as_of(spark, sf_dir):
+    from topn_spark.operators.pipeline import scd2, scd2_as_of
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    hist = scd2(
+        ev, ["user_id"], ["event_type"], ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    return (
+        scd2_as_of(hist, "2024-03-01 00:00:00")
+        .select("user_id", "event_type", "eff_from", "eff_to")
+        .orderBy("user_id")
+    )
