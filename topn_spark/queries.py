@@ -452,6 +452,13 @@ def q17(spark, sf_dir):
             F.dense_rank().over(w).cast("bigint").alias("drnk"),
             F.row_number().over(w).cast("bigint").alias("rn"),
         )
+        # semantics-preserving rank cut: a row with rn > 100 can never
+        # reach the global (priority, rn) LIMIT 100 — 100 same-priority
+        # rows with smaller rn sort before it. The explicit filter is
+        # what lets Catalyst plan a map-side WindowGroupLimit (the
+        # final sort+limit alone cannot push through the window):
+        # 6.9 s -> 1.1 s at 100x, identical rows.
+        .where(F.col("rn") <= 100)
         .orderBy("o_orderpriority", "rn")
         .limit(100)
     )
