@@ -252,3 +252,17 @@ def test_round4_second_wave_ops_on_empty(spark):
         l, r, "t", "rt", value_cols=["val"], direction="nearest"
     ).collect()
     assert len(out) == 1 and out[0].val is None
+
+
+def test_round4_config_guards(spark):
+    import pytest
+
+    from topn_spark.operators.graph import bfs_hops
+    from topn_spark.operators.pipeline import mixture_sample
+
+    docs = _empty_docs(spark)
+    with pytest.raises(ValueError, match="at least one weight"):
+        mixture_sample(docs, {}, 10)
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="source node"):
+        bfs_hops(edges, [])

@@ -248,6 +248,8 @@ def bfs_hops(
     Integer output: exactly hash-matchable against a recursive-SQL
     oracle (no float accumulation — contrast ``pagerank``).
     """
+    if not sources:
+        raise ValueError("bfs_hops needs at least one source node")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.union(

@@ -1334,8 +1334,10 @@ def mixture_sample(
     """
     from pyspark.sql.window import Window
 
+    if not weights:
+        raise ValueError("mixture_sample needs at least one weight")
     quotas = {g: int(round(total * w)) for g, w in weights.items()}
-    max_q = max(quotas.values()) if quotas else 0
+    max_q = max(quotas.values())
     qmap = F.create_map(
         *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
     )
