@@ -420,3 +420,27 @@ def test_streaming_pipeline_per_batch_topn(spark, tmp_path):
     ]
     with pytest.raises(ValidationError, match="ghost"):
         run_streaming_pipeline(spark, bad, str(tmp_path / "ck2"))
+
+
+def test_sql_stage_macro_lifecycle(spark, tmp_path):
+    src = _golden_source(spark, tmp_path)
+    spec = {
+        "stages": [
+            {"name": "s", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "q",
+                "plugin": "SQL",
+                "properties": {
+                    "query": "SELECT name, age FROM ${input} "
+                    "WHERE age >= ${min_age}"
+                },
+            },
+        ],
+        "connections": [{"from": "s", "to": "q"}],
+    }
+    # deploy defers: ${min_age} unresolved, ${input} doesn't count
+    compile_pipeline(spark, spec)
+    with pytest.raises(ValidationError, match="min_age"):
+        run_pipeline(spark, spec)
+    out = run_pipeline(spark, spec, {"min_age": "5"})["q"]
+    assert {r.name for r in out.collect()} == {"Bob", "Alice", "Fred"}

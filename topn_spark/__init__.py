@@ -29,6 +29,11 @@ Public API
 
 from topn_spark.errors import FailureCollector, ValidationError
 from topn_spark.operators.asof import asof_join, asof_join_bucketed
+from topn_spark.pipelines import (
+    compile_pipeline,
+    run_pipeline,
+    run_streaming_pipeline,
+)
 from topn_spark.operators.dedup import (
     connected_components,
     dedup_exact,
@@ -95,6 +100,9 @@ __all__ = [
     "FailureCollector",
     "ValidationError",
     "get_session",
+    "compile_pipeline",
+    "run_pipeline",
+    "run_streaming_pipeline",
     "TopNConfig",
     "topn",
     "topn_configured",

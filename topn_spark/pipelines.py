@@ -182,6 +182,16 @@ def _stage_sql(spark, stage, inputs, collector, substitutions, phase):
             "SQL stage needs a 'query'.", property_name="query"
         )
         return df
+    # ${input} is the stage's own placeholder, not a config macro —
+    # strip it before the macro check so deploy defers only on REAL
+    # unresolved macros, exactly like the Filter stage
+    if phase == "deploy" and contains_macro(q.replace("${input}", "")):
+        return df
+    if phase == "run":
+        q = substitute_macros(
+            q.replace("${input}", "\x00INPUT\x00"),
+            substitutions or {}, collector, "query",
+        ).replace("\x00INPUT\x00", "${input}")
     df.createOrReplaceTempView(f"_pipe_{stage.name}_input")
     try:
         return spark.sql(
