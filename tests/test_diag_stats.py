@@ -355,3 +355,18 @@ def test_expected_calibration_error_perfect_and_known(spark):
     )
     b = expected_calibration_error(bad, F.col("s"), F.col("y")).collect()[0]
     assert abs(b.ece - 0.4) <= 1e-12
+
+
+def test_check_schema_contract(spark):
+    from topn_spark.diag import check_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], "id long, name string, v double"
+    )
+    assert check_schema(df, "id long, name string") == []
+    assert check_schema(df, "id long, v double, name string") == []
+    p = check_schema(df, "id int, ghost string")
+    assert any("ghost" in x for x in p)
+    assert any("expected int, got bigint" in x for x in p)
+    p2 = check_schema(df, "id long", allow_extra=False)
+    assert any("extra columns" in x for x in p2)

@@ -697,3 +697,48 @@ def expected_calibration_error(
     return _attach_scalar(gap, tot).select(
         "bin", "n", "conf", "acc", "ece"
     )
+
+
+def check_schema(
+    df: DataFrame,
+    expected_ddl: str,
+    allow_extra: bool = True,
+    allow_nullable_mismatch: bool = True,
+) -> list[str]:
+    """Schema contract check for ingest boundaries: verify ``df``
+    carries every column of ``expected_ddl`` with the declared type —
+    returns a list of human-readable violations (empty = contract
+    holds). ``allow_extra`` tolerates additional columns (the common
+    evolution policy: adding is safe, dropping/retyping breaks
+    consumers); ``allow_nullable_mismatch`` ignores nullability
+    (parquet writers routinely widen it).
+
+    Pure driver-side metadata — no job runs. Pair with
+    ``check_expectations`` (row-level rules) for a full contract gate.
+    """
+    from pyspark.sql import types as T
+
+    want = T.StructType.fromDDL(expected_ddl)
+    have = {f.name: f for f in df.schema.fields}
+    problems = []
+    for f in want.fields:
+        if f.name not in have:
+            problems.append(f"missing column '{f.name}' ({f.dataType.simpleString()})")
+            continue
+        g = have[f.name]
+        if g.dataType != f.dataType:
+            problems.append(
+                f"column '{f.name}': expected "
+                f"{f.dataType.simpleString()}, got "
+                f"{g.dataType.simpleString()}"
+            )
+        elif not allow_nullable_mismatch and g.nullable != f.nullable:
+            problems.append(
+                f"column '{f.name}': nullable={g.nullable}, "
+                f"expected {f.nullable}"
+            )
+    if not allow_extra:
+        extra = sorted(set(have) - {f.name for f in want.fields})
+        if extra:
+            problems.append(f"unexpected extra columns {extra}")
+    return problems
