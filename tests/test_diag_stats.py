@@ -370,3 +370,25 @@ def test_check_schema_contract(spark):
     assert any("expected int, got bigint" in x for x in p)
     p2 = check_schema(df, "id long", allow_extra=False)
     assert any("extra columns" in x for x in p2)
+
+
+def test_population_stability_known_values(spark):
+    import math
+
+    from topn_spark.diag import population_stability
+
+    # identical distributions -> psi 0
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, "b string")
+    out = population_stability(a, a, "b").collect()
+    assert all(r.term == 0.0 and r.psi == 0.0 for r in out)
+    # known shift: ref 60/40, new 40/60
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 6, "b string")
+    got = {r.b: r for r in population_stability(a, b, "b").collect()}
+    want_x = round((0.4 - 0.6) * math.log(0.4 / 0.6), 6)
+    assert abs(got["x"].term - want_x) <= 1e-9
+    assert abs(got["x"].psi - 2 * want_x) <= 1e-9  # symmetric shift
+    # one-sided bucket: finite large term via the eps floor, not inf
+    c = spark.createDataFrame([("x",)] * 10, "b string")
+    oneside = {r.b: r for r in population_stability(a, c, "b").collect()}
+    assert oneside["y"].q == 1e-6
+    assert math.isfinite(oneside["y"].term) and oneside["y"].term > 0

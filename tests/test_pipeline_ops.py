@@ -828,3 +828,45 @@ def test_scd2_as_of_point_in_time(spark):
         for r in scd2_as_of(hist, "2024-01-05 00:00:00").collect()
     }
     assert (1, "silver") in at5 and (1, "bronze") not in at5
+
+
+def test_stratified_split_exact_proportions_and_partition(spark):
+    from topn_spark.operators.pipeline import stratified_split
+
+    # stratum sizes chosen so frac*n hits integers (the float-ceil
+    # trap): n=10 -> 8/1/1; n=25 -> 20/3/2
+    rows = [(i, "a") for i in range(10)] + [
+        (100 + i, "b") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(
+        df, ["source"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+    )
+    counts = {
+        (r.source, r.split): r.n
+        for r in out.groupBy("source", "split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts[("a", "train")] == 8
+    assert counts[("a", "val")] == 1
+    assert counts[("a", "test")] == 1
+    assert counts[("b", "train")] == 20
+    assert counts.get(("b", "val"), 0) + counts.get(("b", "test"), 0) == 5
+    # exactly-once partition: every row in exactly one split
+    assert out.count() == 35
+    # deterministic under repartitioning
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in stratified_split(
+            df.repartition(7), ["source"],
+            {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id",
+        ).collect()
+    )
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(df, ["source"], {"train": 0.5}, "doc_id")

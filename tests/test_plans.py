@@ -241,6 +241,9 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y30_cohens_kappa",
         "y31_calibration_ece",
         "y33_pipeline_spec",
+        "y34_scd2_as_of",
+        "y35_stratified_split",
+        "y36_population_stability",
     ):
         warns = [
             f

@@ -742,3 +742,54 @@ def check_schema(
         if extra:
             problems.append(f"unexpected extra columns {extra}")
     return problems
+
+
+def population_stability(
+    ref: DataFrame,
+    new: DataFrame,
+    bucket_col: str,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population stability index between a reference and a new
+    snapshot of a categorical/bucketed column — THE drift monitor for
+    corpus mixes and model-feature inputs (rule of thumb: PSI < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 broken). Per bucket:
+    ``(q - p) · ln(q / p)`` with shares floored at ``eps`` so a
+    bucket present on one side only contributes a large-but-finite
+    term; ``psi`` is the sum, repeated per row.
+
+    One count aggregate per side (map-side combined), a full-outer
+    join on the bucket table (category-cardinality sized, never
+    data), and closed-form arithmetic over it — the
+    ``chi2_independence`` discipline. Shares are exact-int ratios;
+    ``ln`` is the one libm call, so per-bucket terms and ``psi``
+    round at ``round_to``.
+    """
+    pc = ref.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_np")
+    )
+    qc = new.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nq")
+    )
+    ptot = pc.agg(F.sum("_np").alias("_tp"))
+    qtot = qc.agg(F.sum("_nq").alias("_tq"))
+    cells = _attach_scalar(
+        _attach_scalar(pc.join(qc, "_b", "full_outer"), ptot), qtot
+    )
+    p = F.greatest(
+        F.coalesce("_np", F.lit(0)) / F.col("_tp"), F.lit(float(eps))
+    )
+    q = F.greatest(
+        F.coalesce("_nq", F.lit(0)) / F.col("_tq"), F.lit(float(eps))
+    )
+    terms = cells.select(
+        F.col("_b").alias(bucket_col),
+        F.coalesce("_np", F.lit(0)).alias("n_ref"),
+        F.coalesce("_nq", F.lit(0)).alias("n_new"),
+        F.round(p, round_to).alias("p"),
+        F.round(q, round_to).alias("q"),
+        F.round((q - p) * F.log(q / p), round_to).alias("term"),
+    )
+    tot = terms.agg(F.round(F.sum("term"), round_to).alias("psi"))
+    return _attach_scalar(terms, tot)

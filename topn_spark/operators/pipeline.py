@@ -1462,3 +1462,64 @@ def scd2_as_of(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (F.col(to_col) > t))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    fracs: dict[str, float],
+    id_col: str,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split with EXACT per-stratum
+    proportions: within each stratum, rank rows by md5(id) and cut
+    the rank at ``ceil(frac * stratum_size)`` boundaries — every
+    stratum (source, language, label) contributes its declared share
+    to every split, unlike :func:`assign_split` whose global hash
+    split only hits the fractions in expectation (a rare stratum can
+    land entirely in train).
+
+    ``fracs`` maps split name → fraction, in priority order (dict
+    order), summing to 1. Reproducible across engines, runs, and
+    partitionings — no rand(). Plan: one grouped window (rank by
+    hash) + a broadcast join of per-stratum counts; both keyed by the
+    strata, no global sort.
+    """
+    if abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fracs}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(id_col), F.col(id_col)
+    )
+    sizes = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ranked = df.withColumn(
+        "__rk", F.row_number().over(w).cast("bigint")
+    ).join(sizes, strata_cols)
+    # cumulative ceil boundaries: split_i gets ranks in
+    # (ceil(c_{i-1} n), ceil(c_i n)] — exact counts, last split
+    # absorbs rounding
+    expr = None
+    cum = 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        # round the cumulative fraction: float accumulation
+        # (0.8 + 0.1 = 0.9000000000000001) would flip the ceil
+        # boundary exactly when frac*n is an integer — the worst
+        # possible place
+        cum = round(cum + fracs[name], 9)
+        bound = F.ceil(F.lit(cum) * F.col("__n"))
+        cond = F.col("__rk") <= bound
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return ranked.withColumn(out_col, expr).drop("__rk", "__n")

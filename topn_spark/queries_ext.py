@@ -5050,3 +5050,90 @@ def y34_scd2_as_of(spark, sf_dir):
         .select("user_id", "event_type", "eff_from", "eff_to")
         .orderBy("user_id")
     )
+
+
+@query(
+    "y35_stratified_split",
+    """WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source,
+       CASE WHEN rk <= CEIL(0.8 * n) THEN 'train'
+            WHEN rk <= CEIL(0.9 * n) THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM r GROUP BY 1, 2 ORDER BY source ASC, split ASC""",
+    doc="Stratified train/val/test split (pipeline.py::"
+    "stratified_split): EXACT 80/10/10 per source via md5-rank "
+    "cut at ceil boundaries — every stratum contributes its share "
+    "to every split (contrast the in-expectation global hash split "
+    "x36); one grouped window + broadcast stratum counts; "
+    "hash-exact",
+)
+def y35_stratified_split(spark, sf_dir):
+    from topn_spark.operators.pipeline import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_split(
+        docs, ["source"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+    )
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "y36_population_stability",
+    """WITH pc AS (
+  SELECT event_type AS b, COUNT(*) AS np FROM events
+  WHERE user_id % 2 = 0 GROUP BY event_type),
+qc AS (
+  SELECT event_type AS b, COUNT(*) AS nq FROM events
+  WHERE user_id % 2 <> 0 AND event_type <> 'error'
+  GROUP BY event_type),
+j AS (
+  SELECT COALESCE(pc.b, qc.b) AS b,
+         COALESCE(np, 0) AS n_ref, COALESCE(nq, 0) AS n_new
+  FROM pc FULL OUTER JOIN qc ON pc.b = qc.b),
+t AS (SELECT SUM(n_ref) AS tp, SUM(n_new) AS tq FROM j),
+terms AS (
+  SELECT b AS event_type,
+         CAST(n_ref AS BIGINT) AS n_ref,
+         CAST(n_new AS BIGINT) AS n_new,
+         ROUND(GREATEST(n_ref / tp, 1e-6), 6) AS p,
+         ROUND(GREATEST(n_new / tq, 1e-6), 6) AS q,
+         ROUND((GREATEST(n_new / tq, 1e-6) - GREATEST(n_ref / tp, 1e-6))
+               * LN(GREATEST(n_new / tq, 1e-6)
+                    / GREATEST(n_ref / tp, 1e-6)), 6) AS term
+  FROM j, t)
+SELECT event_type, n_ref, n_new, p, q, term,
+       (SELECT ROUND(SUM(term), 6) FROM terms) AS psi
+FROM terms ORDER BY event_type ASC""",
+    doc="Population stability index (diag.py::population_stability): "
+    "corpus-mix drift between even-user and odd-user-minus-'error' "
+    "slices of the event stream — one count agg per side, full-outer "
+    "join on the category table, eps-floored shares so one-sided "
+    "buckets contribute finite terms; ln is the one libm call, "
+    "ROUND(…,6) per term and for psi",
+)
+def y36_population_stability(spark, sf_dir):
+    from topn_spark.diag import population_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0)
+    new = ev.where(
+        (F.col("user_id") % 2 != 0) & (F.col("event_type") != "error")
+    )
+    return population_stability(ref, new, "event_type").orderBy(
+        "event_type"
+    )
