@@ -61,6 +61,7 @@ from topn_spark.operators.pipeline import (
     mixture_sample,
     robust_zscore,
     sample_k_per_group,
+    stratified_split,
     stratified_sample,
     table_diff,
     token_heavy_hitters,
@@ -139,6 +140,7 @@ __all__ = [
     "dedup_lines",
     "weighted_sample_k",
     "stratified_sample",
+    "stratified_split",
     "pack_sequences",
     "redact_pii",
     "token_heavy_hitters",
