@@ -299,3 +299,31 @@ def test_asof_nearest_fuzz_vs_pandas(spark, seed):
     gv = got["val"].to_numpy(dtype=float)
     wv = want["val"].to_numpy(dtype=float)
     assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+def test_asof_nearest_null_probe_key_matches_nothing(spark):
+    """A left row with a NULL timestamp gets NULL matched values in
+    ALL directions — including 'nearest', where the desc scan sorts
+    NULL last and, ungated, would spuriously match the min-t build
+    row (pandas merge_asof drops/nulls NULL keys likewise)."""
+    from topn_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 25.0)], "lid int, t double"
+    )
+    r = spark.createDataFrame(
+        [(9.0, "a"), (24.0, "b")], "rt double, val string"
+    )
+    expected = {
+        "backward": {1: "a", 2: None, 3: "b"},
+        "forward": {1: "b", 2: None, 3: None},
+        "nearest": {1: "a", 2: None, 3: "b"},
+    }
+    for direction, want in expected.items():
+        matched = {
+            row.lid: row.val
+            for row in asof_join(
+                l, r, "t", "rt", value_cols=["val"], direction=direction
+            ).collect()
+        }
+        assert matched == want, direction

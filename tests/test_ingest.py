@@ -240,3 +240,63 @@ def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
     assert statuses.count((3, "added")) == 1
     snap2 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
     assert snap2 == {(1, "A2"), (2, "b"), (3, "c")}
+
+
+def test_corrupt_fingerprint_store_raises_not_readmits(spark, tmp_path):
+    """A store-read failure that is NOT missing-path must raise: the
+    old broad `except Exception` treated a corrupt store as 'first
+    batch' and silently re-admitted every duplicate."""
+    import pytest
+
+    from topn_spark.streaming.ingest import ingest_batch
+
+    store = tmp_path / "bad_store"
+    store.mkdir()
+    (store / "junk.parquet").write_bytes(b"definitely not parquet \x00\x01")
+    batch = spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        ingest_batch(batch, str(store), str(tmp_path / "out"))
+    # the raise came from the store read, not from a downstream write
+    assert "parquet" in str(ei.value).lower() or "footer" in str(
+        ei.value
+    ).lower()
+
+
+def test_inconsistent_lsh_store_raises(spark, tmp_path):
+    """sigs present + buckets missing is a corrupt index, not a first
+    batch — admitting against half an index would re-admit near-dups."""
+    import pytest
+
+    from topn_spark.streaming.ingest import neardup_ingest_batch
+
+    store = str(tmp_path / "half_store")
+    spark.createDataFrame(
+        [(1, [1, 2, 3])], "doc_id long, sig array<int>"
+    ).write.parquet(f"{store}/sigs")
+    batch = spark.createDataFrame(
+        [(2, "some text here")], "doc_id long, text string"
+    )
+    with pytest.raises(IOError, match="inconsistent"):
+        neardup_ingest_batch(batch, store, str(tmp_path / "nout"))
+
+
+def test_cdc_snapshot_swap_leaves_no_temp_dir(spark, tmp_path):
+    """The merge-upsert snapshot rewrite goes through write-to-temp +
+    rename; after a successful batch the temp dir must be gone and the
+    snapshot fully merged."""
+    import os
+
+    from topn_spark.streaming.ingest import cdc_batch
+
+    snap = str(tmp_path / "snap")
+    chg = str(tmp_path / "chg")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cdc_batch(b1, snap, chg, ["k"], ["v"], batch_id=0)
+    b2 = spark.createDataFrame([(1, "A2"), (3, "c")], "k long, v string")
+    cdc_batch(b2, snap, chg, ["k"], ["v"], batch_id=1)
+    got = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "A2"), (2, "b"), (3, "c")}
+    leftovers = [d for d in os.listdir(tmp_path) if "__tmp_epoch" in d]
+    assert leftovers == []

@@ -444,3 +444,83 @@ def test_sql_stage_macro_lifecycle(spark, tmp_path):
         run_pipeline(spark, spec)
     out = run_pipeline(spark, spec, {"min_age": "5"})["q"]
     assert {r.name for r in out.collect()} == {"Bob", "Alice", "Fred"}
+
+
+def test_source_sink_path_macro_lifecycle(spark, tmp_path):
+    """${...} macros in source/sink paths follow the same @Macro
+    lifecycle as Filter/SQL/TopN: deploy defers (no read of a literal
+    '${input}' path), run substitutes — and a macro'd sink path must
+    never create a literal '${out}' directory."""
+    import os
+
+    src = _golden_source(spark, tmp_path)
+    dst = str(tmp_path / "macro_out")
+    spec = _spec("${input}", "${out}", {"field": "age", "size": "3"})
+    # deploy: passes with the source deferred (schema unknown til run)
+    compile_pipeline(spark, spec)
+    # run without substitutions: collected macro failures, no write
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline(spark, spec)
+    assert "${input}" in str(ei.value)
+    assert not os.path.exists(str(tmp_path / "${out}"))
+    assert not os.path.exists("${out}")
+    # run with substitutions: reads the real source, writes the real dst
+    run_pipeline(spark, spec, {"input": src, "out": dst})
+    got = {(r.name, r.age) for r in spark.read.parquet(dst).collect()}
+    assert got == {("Bob", 7), ("Alice", 6), ("Fred", 5)}
+
+
+def test_source_macro_with_literal_schema_validates_downstream(
+    spark, tmp_path
+):
+    """A macro'd source path WITH an explicit literal schema still
+    validates the downstream DAG at deploy against a typed empty
+    frame — catching a bad TopN field before any run."""
+    spec = _spec(
+        "${input}", str(tmp_path / "o"), {"field": "ghost", "size": "3"}
+    )
+    spec["stages"][0]["properties"]["schema"] = "name string, age int"
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, spec)
+    assert "ghost" in str(ei.value)
+
+
+def test_joiner_same_name_key_is_not_ambiguous(spark, tmp_path):
+    """joinKeys 'k = k' must leave ONE k column so downstream stages
+    can reference it (the old lk != rk guard left two and any
+    Projection/SQL touching k died with AMBIGUOUS_REFERENCE)."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k int, lv string"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, rv double"
+    ).write.parquet(b)
+    spec = {
+        "stages": [
+            {"name": "sa", "plugin": "File", "properties": {"path": a}},
+            {"name": "sb", "plugin": "File", "properties": {"path": b}},
+            {
+                "name": "j",
+                "plugin": "Joiner",
+                "properties": {"joinKeys": "k = k"},
+            },
+            {
+                "name": "pick",
+                "plugin": "Projection",
+                "properties": {"select": "k, lv, rv"},
+            },
+        ],
+        "connections": [
+            {"from": "sa", "to": "j"},
+            {"from": "sb", "to": "j"},
+            {"from": "j", "to": "pick"},
+        ],
+    }
+    out = run_pipeline(spark, spec)["pick"]
+    assert out.columns == ["k", "lv", "rv"]
+    assert {(r.k, r.lv, r.rv) for r in out.collect()} == {
+        (1, "x", 10.0),
+        (2, "y", 20.0),
+    }

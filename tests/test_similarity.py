@@ -323,3 +323,33 @@ class TestProductQuantization:
             pq_train_codebooks(V, m=3, nbits=2)
         with pytest.raises(ValueError, match="training rows"):
             pq_train_codebooks(V[:2], m=2, nbits=2)
+
+
+def test_arrow_kernels_accept_string_ids(spark):
+    """The Arrow kernel output schemas derive the id field type from
+    the input column — string (or int) ids must not Arrow-mismatch
+    against a hardcoded 'long' (semantic_dedup, pq_encode/pq_adc_topk
+    are id-type-agnostic like the rest of the library)."""
+    import random
+
+    from topn_spark.operators.similarity import pq_topk, semantic_dedup
+
+    rng = random.Random(5)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(16)]
+    rows = [(f"doc-{i:03d}", [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(f"dup-{i}", [float(x) for x in base[i]]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()
+    }
+    # 'doc-00x' < 'dup-x' lexically: originals keep, planted copies drop
+    assert {"doc-000", "doc-001", "doc-002"} <= kept
+    assert kept.isdisjoint({"dup-0", "dup-1", "dup-2"})
+
+    got = pq_topk(
+        df, k=3, m=4, nbits=4, train_rows=19, query_id="doc-000"
+    ).collect()
+    assert got[0].vec_id in ("doc-000", "dup-0")
+    assert isinstance(got[0].vec_id, str)

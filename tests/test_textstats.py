@@ -348,3 +348,23 @@ def test_apply_bpe_leftmost_tie_and_rescan(spark):
         for r in apply_bpe(df, [("a", "a"), ("a", "b")]).collect()
     }
     assert got == {0: 2, 1: 2}
+
+
+def test_apply_bpe_string_ids(spark):
+    """apply_bpe derives the id output type from the input column —
+    string doc ids must round-trip (no hardcoded 'long')."""
+    from topn_spark.operators.textstats import apply_bpe
+
+    df = spark.createDataFrame(
+        [("d-a", "low lower lowest"), ("d-b", "new newer")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in apply_bpe(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert set(got) == {"d-a", "d-b"}
+    # 'low'->[low]=1, 'lower'->[low,e,r]=3, 'lowest'->[low,e,s,t]=4
+    assert got["d-a"] == (3, 8)
+    # 'new'->[n,e,w]=3, 'newer'->[n,e,w,e,r]=5
+    assert got["d-b"] == (2, 8)

@@ -102,7 +102,17 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fills = [F.last(o, ignorenulls=True).over(w).alias(o) for o in out_vals]
+    # NULL probe keys match nothing (pandas semantics). Backward's asc
+    # scan gets this free (nulls first ⇒ no build seen yet) but
+    # forward's desc scan sorts NULL last, where the carry covers ALL
+    # builds — gate on the probe timestamp in both for symmetry.
+    fills = [
+        F.when(
+            F.col("_t").isNotNull(),
+            F.last(o, ignorenulls=True).over(w),
+        ).alias(o)
+        for o in out_vals
+    ]
     if tolerance is None:
         filled = unioned.select(*left_cols, "_marker", *fills)
         return filled.where(F.col("_marker") == 1).drop("_marker")
@@ -230,7 +240,12 @@ def _asof_join_nearest(
     gap_b = F.abs(tnum - F.col("_bc._mt").cast("double"))
     gap_f = F.abs(F.col("_fc._mt").cast("double") - tnum)
     best = (
-        F.when(F.col("_bc").isNull(), F.col("_fc"))
+        # a NULL probe timestamp matches nothing: in the desc scan NULL
+        # sorts last so _fc would cover all builds — without this gate a
+        # NULL-keyed probe would spuriously match the min-t build row,
+        # inconsistent with the directional forms (and pandas)
+        F.when(F.col("_t").isNull(), F.lit(None).cast(scanned.schema["_bc"].dataType))
+        .when(F.col("_bc").isNull(), F.col("_fc"))
         .when(F.col("_fc").isNull(), F.col("_bc"))
         # strict <: equal gaps resolve backward (pandas semantics)
         .when(gap_f < gap_b, F.col("_fc"))

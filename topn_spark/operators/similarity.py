@@ -581,8 +581,11 @@ def semantic_dedup(
                             keep[s + r] = False
             return pdf.loc[keep, ["_id", "cluster"]]
 
+        # id field type follows the input column (string/int/long ids
+        # all valid) — a hardcoded 'long' would Arrow-mismatch at run
+        idt = df.schema[id_col].dataType.simpleString()
         kept = raw.groupBy("cluster").applyInPandas(
-            _prune, "_id long, cluster int"
+            _prune, f"_id {idt}, cluster int"
         )
         return kept.select(F.col("_id").alias(id_col), "cluster")
     pts = (
@@ -759,7 +762,8 @@ def pq_encode(
 
     B = np.asarray(books, dtype=np.float64)
     m, ksub, dsub = B.shape
-    out_schema = f"{id_col} long, codes array<int>"
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {idt}, codes array<int>"
 
     def _enc(it):
         import pandas as pd
@@ -816,7 +820,10 @@ def pq_adc_topk(
                 {id_col: pdf[id_col].values, "adc_dist": dist}
             )
 
-    scored = codes_df.mapInPandas(_score, f"{id_col} long, adc_dist double")
+    idt = codes_df.schema[id_col].dataType.simpleString()
+    scored = codes_df.mapInPandas(
+        _score, f"{id_col} {idt}, adc_dist double"
+    )
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
 
 

@@ -691,7 +691,8 @@ def apply_bpe(
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     token_re = __import__("re").compile(TOKEN_RE)
-    out_cols = f"{id_col} long, n_words long, n_bpe_tokens long"
+    idt = df.schema[id_col].dataType.simpleString()
+    out_cols = f"{id_col} {idt}, n_words long, n_bpe_tokens long"
     if keep_tokens:
         out_cols += ", tokens array<string>"
 

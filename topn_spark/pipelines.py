@@ -124,10 +124,26 @@ def _stage_source(spark, stage, inputs, collector, substitutions, phase):
             if k in p:
                 r = r.option(k, p[k])
         return r.load()
-    return read(
-        spark, p["path"], fmt=p.get("format", "parquet"),
-        schema=p.get("schema"),
-    )
+    path, fmt = p["path"], p.get("format", "parquet")
+    # @Macro lifecycle, same as Filter/SQL/TopN: a macro'd path or
+    # format cannot be read at deploy. If an explicit literal schema is
+    # given, validate downstream against an empty typed frame; else
+    # defer the whole downstream (schema unknown until run).
+    if phase == "deploy" and (contains_macro(path) or contains_macro(fmt)):
+        schema = p.get("schema")
+        if schema and not contains_macro(schema):
+            return spark.createDataFrame([], schema)
+        return None  # downstream validation deferred to run
+    if phase == "run":
+        path = substitute_macros(
+            path, substitutions or {}, collector, "path"
+        )
+        fmt = substitute_macros(
+            fmt, substitutions or {}, collector, "format"
+        )
+        if collector.failures:
+            return None
+    return read(spark, path, fmt=fmt, schema=p.get("schema"))
 
 
 def _stage_projection(spark, stage, inputs, collector, substitutions, phase):
@@ -263,7 +279,10 @@ def _stage_joiner(spark, stage, inputs, collector, substitutions, phase):
     how = p.get("joinType", "inner")
     cond = left[lk] == right[rk]
     out = left.join(right, cond, how)
-    if p.get("dropRightKey", "true").lower() == "true" and lk != rk:
+    if p.get("dropRightKey", "true").lower() == "true":
+        # drop by Column reference, not name: when lk == rk the joined
+        # frame holds TWO columns named rk and a name-based drop would
+        # either remove both or leave an AMBIGUOUS_REFERENCE landmine
         out = out.drop(right[rk])
     return out
 
@@ -275,10 +294,19 @@ def _stage_sink(spark, stage, inputs, collector, substitutions, phase):
         collector.add_failure("Sink needs a 'path'.", property_name="path")
         return df
     if phase == "run":
-        write(
-            df, p["path"], fmt=p.get("format", "parquet"),
-            mode=p.get("mode", "overwrite"),
+        # @Macro lifecycle: resolve ${...} in path/format before the
+        # write — a macro'd sink path must never create a literal
+        # '${out}' directory
+        path = substitute_macros(
+            p["path"], substitutions or {}, collector, "path"
         )
+        fmt = substitute_macros(
+            p.get("format", "parquet"), substitutions or {},
+            collector, "format",
+        )
+        if collector.failures:
+            return df
+        write(df, path, fmt=fmt, mode=p.get("mode", "overwrite"))
     return df
 
 

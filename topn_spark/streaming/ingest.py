@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 from topn_spark.operators.dedup import dedup_exact
 
 
+def _read_store(spark, path: str) -> DataFrame | None:
+    """Read a parquet state store; ``None`` when it does not exist yet
+    (the legitimate first-batch case).
+
+    Only the missing-path / nothing-written-yet ``AnalysisException``
+    conditions are swallowed. Any OTHER failure — corruption, a
+    permission break, a half-deleted directory — must raise loudly:
+    treating it as "first batch" would silently re-admit duplicates
+    (dedup gates) or destroy accumulated snapshot state (CDC).
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
+def _swap_dir(spark, tmp_dir: str, final_dir: str) -> None:
+    """Replace ``final_dir`` with the fully-written ``tmp_dir`` via the
+    Hadoop FileSystem API (path-scheme agnostic). The new state exists
+    completely on disk before the old is touched, so a crash mid-swap
+    leaves either the old snapshot or the new one readable from
+    ``tmp_dir`` — never a half-deleted directory feeding recompute."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    final = jvm.org.apache.hadoop.fs.Path(final_dir)
+    fs = final.getFileSystem(hconf)
+    if fs.exists(final):
+        fs.delete(final, True)
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"rename {tmp_dir} -> {final_dir} failed; new state is "
+            f"intact at {tmp_dir}"
+        )
+
+
 def ingest_batch(
     batch: DataFrame,
     store_dir: str,
@@ -37,11 +78,12 @@ def ingest_batch(
     spark = batch.sparkSession
     deduped = dedup_exact(batch, subset=[text_col], tiebreak=[id_col])
     fp = deduped.withColumn("_fp", F.md5(F.col(text_col)))
-    try:
-        seen = spark.read.parquet(store_dir).select("_fp")
-        fresh = fp.join(seen, "_fp", "left_anti")
-    except Exception:  # first batch: no store yet
-        fresh = fp
+    seen = _read_store(spark, store_dir)
+    fresh = (
+        fp.join(seen.select("_fp"), "_fp", "left_anti")
+        if seen is not None
+        else fp  # first batch: no store yet
+    )
     # persist: the survivors feed two writes; without it the
     # anti-join + dedup would re-run for the fingerprint append
     fresh = fresh.persist()
@@ -142,9 +184,17 @@ def neardup_ingest_batch(
         return agree / F.lit(float(num_hashes))
 
     rejected = None
-    try:
-        old_buckets = spark.read.parquet(f"{store_dir}/buckets")
-        old_sigs = spark.read.parquet(f"{store_dir}/sigs")
+    old_buckets = _read_store(spark, f"{store_dir}/buckets")
+    old_sigs = _read_store(spark, f"{store_dir}/sigs")
+    if (old_buckets is None) != (old_sigs is None):
+        # one half of the index vanished — a corrupt store, not a
+        # first batch; admitting against it would re-admit near-dups
+        raise IOError(
+            f"LSH index store {store_dir} is inconsistent: "
+            f"buckets={'present' if old_buckets is not None else 'missing'}, "
+            f"sigs={'present' if old_sigs is not None else 'missing'}"
+        )
+    if old_buckets is not None:
         cand = (
             buckets.join(
                 old_buckets.select(
@@ -170,8 +220,6 @@ def neardup_ingest_batch(
             )
         )
         rejected = verified.select(id_col).distinct()
-    except Exception:  # first batch: no store yet
-        pass
     survivors = (
         batch.join(rejected, id_col, "left_anti") if rejected is not None
         else batch
@@ -290,12 +338,8 @@ def cdc_batch(
         .groupBy(*key_cols)
         .agg(*[F.min_by(c, "_dg").alias(c) for c in compare_cols])
     )
-    try:
-        snap = spark.read.parquet(snapshot_dir)
-        have_snap = True
-    except Exception:
-        snap = None
-        have_snap = False
+    snap = _read_store(spark, snapshot_dir)
+    have_snap = snap is not None
     if have_snap:
         diff = table_diff(snap, one, key_cols, compare_cols)
         # CDC semantics: the stream carries upserts only — a key
@@ -312,13 +356,15 @@ def cdc_batch(
         if have_snap:
             from topn_spark.operators.pipeline import merge_upsert
 
-            new_snap = merge_upsert(snap, one, key_cols)
-            # write via temp-then-swap is filesystem-dependent;
-            # overwrite is the plain-parquet stand-in (see module
-            # docstring re table formats)
-            new_snap.persist().count()
-            new_snap.write.mode("overwrite").parquet(snapshot_dir)
-            new_snap.unpersist()
+            # write the merged snapshot to a temp dir FIRST, then swap:
+            # an in-place overwrite of a directory the plan also reads
+            # relies on cache survival — eviction or executor loss
+            # mid-write would recompute from a half-deleted input
+            tmp = f"{snapshot_dir.rstrip('/')}.__tmp_epoch{batch_id}"
+            merge_upsert(snap, one, key_cols).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            _swap_dir(spark, tmp, snapshot_dir)
         else:
             one.write.mode("overwrite").parquet(snapshot_dir)
     finally:
