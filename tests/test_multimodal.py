@@ -445,3 +445,121 @@ class TestFrameTimes:
             (1, 0, 0), (1, 1, 500),
             (2, 0, 0), (2, 1, 250), (2, 2, 375),
         ]
+
+
+class TestPngDecode:
+    def test_round_trip_every_filter_and_color_type(self):
+        from topn_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        w, h = 7, 5
+        rgb = bytes(
+            (x + y + 40 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        # each single filter type, plus the cycling default (all five)
+        for filt in ([0], [1], [2], [3], [4], None):
+            got = decode_png_pixels(encode_png(w, h, rgb, 2, filt))
+            assert got is not None, filt
+            assert got[1] == [h, w, 3] and bytes(got[0]) == rgb, filt
+        for ctype, ch in ((0, 1), (4, 2), (6, 4)):
+            pix = bytes(
+                (3 * x + 2 * y + 7 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(ch)
+            )
+            got = decode_png_pixels(encode_png(w, h, pix, ctype))
+            assert got[1] == [h, w, ch] and bytes(got[0]) == pix, ctype
+
+    def test_palette_expands_through_plte(self):
+        import struct
+        import zlib
+
+        from topn_spark.operators.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        w, h = 4, 3
+        idx = bytes((x + y) % 3 for y in range(h) for x in range(w))
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = b"".join(
+            b"\x00" + idx[y * w : (y + 1) * w] for y in range(h)
+        )
+        b = (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+            )
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        pix, shape = decode_png_pixels(b)
+        assert shape == [h, w, 3]
+        assert pix[:9] == [255, 0, 0, 0, 255, 0, 0, 0, 255]
+
+    def test_corrupt_and_unsupported_return_none(self):
+        import struct
+
+        from topn_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        good = encode_png(3, 2, bytes(range(18)))
+        # flipped CRC byte, truncation, garbage: all None, no crash
+        bad = bytearray(good)
+        bad[-5] ^= 0xFF
+        assert decode_png_pixels(bytes(bad)) is None
+        assert decode_png_pixels(good[:30]) is None
+        assert decode_png_pixels(b"not a png") is None
+        # 16-bit depth and Adam7 interlace: unsupported -> None
+        for depth, inter in ((16, 0), (8, 1)):
+            hacked = bytearray(good)
+            hacked[24] = depth
+            hacked[28] = inter
+            # fix the IHDR CRC so only the feature gate fires
+            import zlib as _z
+
+            crc = _z.crc32(bytes(hacked[12:29]))
+            hacked[29:33] = struct.pack(">I", crc)
+            assert decode_png_pixels(bytes(hacked)) is None
+
+    def test_decode_pixels_dataframe_png_and_gates(self, spark):
+        import pytest
+
+        from topn_spark.operators.multimodal import (
+            decode_pixels,
+            encode_png,
+        )
+
+        w, h = 4, 5
+        pix = bytes(
+            (x + y + 40 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        df = spark.createDataFrame(
+            [(1, encode_png(w, h, pix)), (2, None)],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in decode_pixels(df).collect()}
+        assert got[1].shape == [h, w, 3]
+        assert bytes(got[1].pixels) == pix
+        assert got[2].pixels is None
+        # a corrupt PNG raises loudly instead of fabricating pixels
+        bad = bytearray(encode_png(w, h, pix))
+        bad[-5] ^= 0xFF
+        df_bad = spark.createDataFrame(
+            [(3, bytes(bad))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="(?i)png"):
+            decode_pixels(df_bad).collect()

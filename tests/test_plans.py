@@ -244,6 +244,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y34_scd2_as_of",
         "y35_stratified_split",
         "y36_population_stability",
+        # round-5 z-series
+        "z01_png_decode",
     ):
         warns = [
             f

@@ -4,13 +4,15 @@ metadata.
 The Spark-side plumbing (schemas, binaryFile source, Arrow-batched
 ``mapInPandas`` decode/feature/resize/frame-sample operators, batch
 shapes, partition sizing) is real and tested. The METADATA decode path
-is also real: :func:`parse_image_header` reads PNG/GIF/JPEG/BMP
-dimensions straight from the container headers in pure stdlib (no
-codec library needed), and :func:`decode_image` applies it per Arrow
-batch. Only the PIXEL path is stubbed — :func:`decode_pixels` and the
-model-backed featurizers fail fast with ``NotImplementedError`` (the
-image/audio codec libraries are not in this container) unless the
-deterministic ``fake=True`` test decoder is requested.
+is real: :func:`parse_image_header` reads PNG/GIF/JPEG/BMP dimensions
+straight from the container headers in pure stdlib, and
+:func:`decode_image` applies it per Arrow batch. The PIXEL path is
+real for 24-bit BMP, P6 PPM, and 8-bit non-interlaced PNG (IDAT is
+zlib — stdlib — inflated and unfiltered scanline by scanline); GIF's
+LZW and JPEG's DCT still need a codec library absent from this
+container, so those — and the model-backed featurizers — fail fast
+with ``NotImplementedError`` unless the deterministic ``fake=True``
+test decoder is requested.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks get
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -323,18 +326,225 @@ def decode_ppm_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
     return list(b[i : i + w * h * 3]), [h, w, 3]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec 9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body))
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pix: bytes,
+    color_type: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Spec-valid 8-bit non-interlaced PNG from row-major top-down
+    sample bytes, applying the FORWARD scanline filter chosen per row
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, default cycling 0..4) — the
+    test-fixture encoder documenting exactly what
+    :func:`decode_png_pixels` must reverse, filter by filter.
+    ``color_type``: 0 gray (1 byte/px), 2 RGB (3), 4 gray+alpha (2),
+    6 RGBA (4)."""
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("palette encoding not supported by this fixture")
+    if len(pix) != width * height * ch:
+        raise ValueError(f"pix must be width*height*{ch} bytes")
+    bpp, stride = ch, width * ch
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pix[y * stride : (y + 1) * stride]
+        f = (
+            row_filters[y % len(row_filters)]
+            if row_filters
+            else y % 5
+        )
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            raw += bytes(
+                (row[i] - prior[i]) & 0xFF for i in range(stride)
+            )
+        elif f == 3:
+            raw += bytes(
+                (
+                    row[i]
+                    - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"filter {f} not in 0..4")
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """8-bit non-interlaced PNG → (row-major top-down sample ints,
+    [h, w, channels]); palette images expand through PLTE to RGB.
+    Pure stdlib: IDAT is zlib (RFC 1950) and ``zlib`` ships with
+    Python — inflate, then reverse the per-scanline filter (None/Sub/
+    Up/Average/Paeth) against the reconstructed prior row.
+
+    ``None`` for the sub-formats this path does not cover (16-bit or
+    sub-byte depths, Adam7 interlace) and for corrupt files (bad CRC,
+    truncated/oversized inflate) — the caller fails fast rather than
+    fabricating pixels. Cost is O(pixels) per asset, the same shape as
+    any codec; each asset decodes independently inside its Arrow
+    batch, so parallelism is row-level as usual."""
+    if len(b) < len(_PNG_SIG) + 12 or b[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        if pos + 12 + ln > len(b):
+            return None  # truncated chunk
+        typ = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + ln : pos + 12 + ln]
+        )
+        if zlib.crc32(typ + body) != crc:
+            return None  # corrupt chunk
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    ch = _PNG_CHANNELS.get(ctype)
+    if (
+        ch is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w == 0
+        or h == 0
+        or (ctype == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp, stride = ch, w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    recon = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        o = y * stride
+        po = o - stride
+        if f == 0:
+            recon[o : o + stride] = line
+        elif f == 1:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                recon[o + i] = (line[i] + left) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                up = recon[po + i] if y else 0
+                recon[o + i] = (line[i] + up) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                up = recon[po + i] if y else 0
+                recon[o + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                up = recon[po + i] if y else 0
+                ul = recon[po + i - bpp] if (y and i >= bpp) else 0
+                recon[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    if ctype == 3:
+        out: list[int] = []
+        pmax = len(plte) // 3
+        for idx in recon:
+            if idx >= pmax:
+                return None  # index past palette: corrupt
+            out += [
+                plte[3 * idx],
+                plte[3 * idx + 1],
+                plte[3 * idx + 2],
+            ]
+        return out, [h, w, 3]
+    return list(recon), [h, w, ch]
+
+
 def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode (payload → flat uint8 tensor + shape).
 
-    Real, pure-stdlib paths for the uncompressed container formats —
-    24-bit BI_RGB BMP (BGR order, padded bottom-up rows, all reversed
-    to row-major top-down RGB) and binary PPM/P6 — oracled end-to-end
-    by the x89 catalog entry against arithmetically planted pixels.
-    Compressed formats (PNG/GIF/JPEG) require an actual codec, absent
-    in this container by design: those fail fast per batch with
-    ``NotImplementedError`` rather than fabricating pixels, keeping
-    the Spark-side contract (schema, Arrow batching, partition
-    parallelism) identical for a codec-backed drop-in.
+    Real, pure-stdlib paths: 24-bit BI_RGB BMP (BGR order, padded
+    bottom-up rows, all reversed to row-major top-down RGB), binary
+    PPM/P6 (both oracled by x89 against arithmetically planted
+    pixels), and 8-bit non-interlaced PNG — gray/RGB/palette/alpha,
+    all five scanline filters reversed over inflated IDAT (oracled by
+    z01). Formats still needing an external codec (GIF's LZW, JPEG's
+    DCT) and unsupported PNG sub-formats (16-bit, Adam7, bad CRC)
+    fail fast per batch with ``NotImplementedError`` rather than
+    fabricating pixels, keeping the Spark-side contract (schema,
+    Arrow batching, partition parallelism) identical for a
+    codec-backed drop-in.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -350,14 +560,26 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for p in pdf[payload_col]:
                 decoded = None
                 if p is not None:
-                    decoded = decode_bmp_pixels(p) or decode_ppm_pixels(p)
+                    decoded = (
+                        decode_bmp_pixels(p)
+                        or decode_ppm_pixels(p)
+                        or decode_png_pixels(p)
+                    )
                 if decoded is None and p is not None:
                     fmt = parse_image_header(p)[0]
-                    if fmt in ("png", "gif", "jpeg"):
+                    if fmt == "png":
+                        raise NotImplementedError(
+                            "unsupported or corrupt PNG: the stdlib "
+                            "path covers 8-bit non-interlaced "
+                            "gray/RGB/palette/alpha with valid CRCs; "
+                            "16-bit and Adam7 need a codec library"
+                        )
+                    if fmt in ("gif", "jpeg"):
                         raise NotImplementedError(
                             f"pixel-decoding {fmt} requires a codec "
                             "library (not in this container); stdlib "
-                            "paths cover 24-bit BI_RGB BMP and P6 PPM"
+                            "paths cover 24-bit BI_RGB BMP, P6 PPM, "
+                            "and 8-bit non-interlaced PNG"
                         )
                 pixels.append(decoded[0] if decoded else None)
                 shapes.append(decoded[1] if decoded else None)
