@@ -246,6 +246,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "y36_population_stability",
         # round-5 z-series
         "z01_png_decode",
+        "z02_bpe_train",
     ):
         warns = [
             f

@@ -368,3 +368,43 @@ def test_apply_bpe_string_ids(spark):
     assert got["d-a"] == (3, 8)
     # 'new'->[n,e,w]=3, 'newer'->[n,e,w,e,r]=5
     assert got["d-b"] == (2, 8)
+
+
+def test_bpe_train_known_corpus_and_roundtrip(spark):
+    """bpe_train learns the classic Sennrich example merges in exact
+    priority order, deterministically under repartitioning, and the
+    learned table drives apply_bpe to the expected segmentation."""
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    text = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    )
+    df = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    want = [
+        ("e", "s"),
+        ("es", "t"),
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "w"),
+        ("ew", "est"),
+    ]
+    got = bpe_train(df, 6, min_pair_count=1)
+    assert got == want
+    # partitioning-independent: same corpus split across many rows
+    words = text.split()
+    df2 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    ).repartition(7)
+    assert bpe_train(df2, 6, min_pair_count=1) == want
+    # early stop: min_pair_count above every pair count learns nothing
+    assert bpe_train(df, 5, min_pair_count=10**6) == []
+    # the learned table segments 'lowest' as low + est pieces
+    probe = spark.createDataFrame(
+        [(1, "lowest")], "doc_id long, text string"
+    )
+    row = apply_bpe(probe, got, keep_tokens=8).collect()[0]
+    assert row.tokens == ["low", "est"]
+    assert row.n_bpe_tokens == 2

@@ -72,6 +72,7 @@ from topn_spark.operators.pipeline import (
 from topn_spark.operators.textstats import (
     add_repetition_signals,
     apply_bpe,
+    bpe_train,
     duplicate_ngram_coverage,
     tfidf_top_terms,
 )
@@ -157,6 +158,7 @@ __all__ = [
     "table_diff",
     "add_repetition_signals",
     "apply_bpe",
+    "bpe_train",
     "duplicate_ngram_coverage",
     "tfidf_top_terms",
 ]

@@ -738,3 +738,111 @@ def apply_bpe(
             yield pd.DataFrame(data)
 
     return df.select(id_col, text_col).mapInPandas(_run, out_cols)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table from a corpus — the
+    distributed Sennrich et al. 2016 loop that produces what
+    :func:`apply_bpe` consumes. Words come from the engine-wide
+    ``[a-z0-9]+`` rule; each round counts adjacent symbol pairs
+    weighted by word frequency, merges the single most frequent pair
+    (ties break lexicographically on (left, right) — fully
+    deterministic, partitioning-independent), and re-segments.
+    Stops early when no pair reaches ``min_pair_count``.
+
+    Scale shape: the corpus is read ONCE into a distinct-word
+    frequency table (word-count-shaped agg; vocabulary is
+    Heaps'-law-compressed relative to text and stays partitioned and
+    cached). Every round then touches only that table: one pair
+    count agg (map-side combined) + a 1-row ``limit(1)`` collect —
+    the driver sees one pair per round, never data — + one
+    Arrow-batched re-segmentation map. ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the growing lineage so round
+    r doesn't replan r stages deep. Cost per round is O(vocab), not
+    O(corpus) — the property that makes BPE training feasible at
+    100 TB (the 100 TB is only ever scanned for the initial word
+    count).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'{TOKEN_RE}', 0)"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seg", F.split("word", ""))
+        .persist()
+    )
+    words.count()  # materialize once; corpus never re-read below
+
+    merges: list[tuple[str, str]] = []
+    prev = words
+    for r in range(n_merges):
+        pairs = (
+            prev.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(slice(seg, 1, size(seg) - 1), "
+                        "(s, i) -> struct(s AS a, seg[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_pair_count:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        def _reseg(it, _a=a, _b=b, _m=merged):
+            for pdf in it:
+                out = []
+                for seg in pdf["seg"]:
+                    s, i, n = [], 0, len(seg)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and seg[i] == _a
+                            and seg[i + 1] == _b
+                        ):
+                            s.append(_m)
+                            i += 2
+                        else:
+                            s.append(seg[i])
+                            i += 1
+                    out.append(s)
+                pdf = pdf.copy()
+                pdf["seg"] = out
+                yield pdf
+
+        nxt = prev.mapInPandas(
+            _reseg, "word string, cnt bigint, seg array<string>"
+        )
+        if (r + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return merges

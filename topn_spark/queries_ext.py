@@ -5242,3 +5242,90 @@ def z01_png_decode(spark, sf_dir):
         ch_max(2).alias("b_max"),
         ch_mean(2).alias("b_mean"),
     ).orderBy("doc_id")
+
+
+def _z02_bpe_train_mirror(con):
+    """Pure-Python Sennrich mirror of bpe_train's deterministic
+    contract (same [a-z0-9]+ word rule, max-count pair with
+    lexicographic (lhs, rhs) tie-break, leftmost non-overlapping
+    in-word merge, min_pair_count=2) plus the applied token count —
+    exact equality expected (tolerance 0)."""
+    import collections
+    import re
+
+    texts = [
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM documents WHERE doc_id < 500"
+        ).fetchall()
+    ]
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z0-9]+", (t or "").lower()):
+            vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(24):
+        pc = collections.Counter()
+        for w, c in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < 2:
+            break
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        merges.append((a, b))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    n_tokens = sum(len(segs[w]) * c for w, c in vocab.items())
+    n_words = sum(vocab.values())
+    rows = [
+        (r, a, b, n_words, n_tokens)
+        for r, (a, b) in enumerate(merges)
+    ]
+    return ["rank", "lhs", "rhs", "corpus_words", "corpus_bpe_tokens"], rows
+
+
+@query(
+    "z02_bpe_train",
+    None,
+    doc="Distributed BPE merge-table TRAINING (textstats.py::"
+    "bpe_train) — the Sennrich loop that produces what apply_bpe "
+    "(y26) consumes: corpus read once into a cached distinct-word "
+    "frequency table, then per round one map-side-combined pair-count "
+    "agg + a 1-row collect + an Arrow re-segmentation, all O(vocab) "
+    "not O(corpus); 24 merges over the sf documents table, stopping "
+    "at pair count < 2. Oracle: pure-Python Sennrich mirror, exact "
+    "merge-table equality plus the applied corpus token count",
+    tol_oracle=_z02_bpe_train_mirror,
+    tolerance=0.0,
+    tol_keys=("rank",),
+)
+def z02_bpe_train(spark, sf_dir):
+    from topn_spark.diag import _attach_scalar
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    merges = bpe_train(docs, 24, min_pair_count=2)
+    totals = apply_bpe(docs, merges).agg(
+        F.sum("n_words").alias("corpus_words"),
+        F.sum("n_bpe_tokens").alias("corpus_bpe_tokens"),
+    )
+    mdf = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+    return _attach_scalar(mdf, totals).orderBy("rank")
