@@ -247,6 +247,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         # round-5 z-series
         "z01_png_decode",
         "z02_bpe_train",
+        "z03_ivfpq_ann",
     ):
         warns = [
             f

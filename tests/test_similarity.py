@@ -353,3 +353,92 @@ def test_arrow_kernels_accept_string_ids(spark):
     ).collect()
     assert got[0].vec_id in ("doc-000", "dup-0")
     assert isinstance(got[0].vec_id, str)
+
+
+def test_knn_join_row_cap_guard(spark):
+    """The documented 'eval-only' contract is mechanical: above
+    max_left_rows the O(|L|x|R|) cross join refuses instead of
+    silently launching over a corpus."""
+    import pytest
+
+    from topn_spark.operators.similarity import knn_join
+
+    rows = [(i, [float(i), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="ivf_topk/pq_topk/ivfpq_topk"):
+        knn_join(df, df, k=2, max_left_rows=10)
+    # explicit opt-in still works
+    out = knn_join(df, df, k=2, max_left_rows=30)
+    assert out.where("rn = 1").count() == 30
+
+
+class TestIvfPq:
+    def test_copy_of_query_ranks_first_with_recall(self, spark):
+        """IVF-PQ on two separated blobs: the query's exact copy shares
+        the minimum ADC distance (identical cell + codes), ties break
+        by id, and top-k recall vs brute-force euclidean is high
+        because probed cells cover the query's blob."""
+        import random
+
+        import numpy as np
+
+        from topn_spark.operators.similarity import ivfpq_topk
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(60):
+            center = 10.0 if i % 2 else -10.0
+            rows.append(
+                (i, [center + rng.gauss(0, 0.5) for _ in range(16)])
+            )
+        rows.append((100, list(rows[0][1])))  # exact copy of vec 0
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = ivfpq_topk(
+            df, query_id=0, k=8, nlist=4, nprobe=2, m=8, nbits=5,
+            train_rows=61,
+        ).collect()
+        assert got[0].vec_id == 0
+        assert got[1].vec_id == 100
+        assert abs(got[0].adc_dist - got[1].adc_dist) <= 1e-12
+        # brute-force euclidean top-8 (float32-quantized input like
+        # the Spark path reads)
+        V = {
+            i: np.asarray(v, dtype=np.float32).astype(np.float64)
+            for i, v in rows
+        }
+        q = V[0]
+        brute = sorted(
+            V, key=lambda i: (float(((V[i] - q) ** 2).sum()), i)
+        )[:8]
+        recall = len({r.vec_id for r in got} & set(brute)) / 8
+        assert recall >= 0.75
+        # deterministic under repartitioning
+        again = ivfpq_topk(
+            df.repartition(7), query_id=0, k=8, nlist=4, nprobe=2,
+            m=8, nbits=5, train_rows=61,
+        ).collect()
+        assert [(r.vec_id, r.adc_dist) for r in got] == [
+            (r.vec_id, r.adc_dist) for r in again
+        ]
+
+    def test_string_ids_and_missing_query(self, spark):
+        import pytest
+
+        from topn_spark.operators.similarity import ivfpq_topk
+
+        rows = [
+            (f"v{i:02d}", [float(i % 7), float(i % 5), 1.0, 0.0])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<float>"
+        )
+        got = ivfpq_topk(
+            df, query_id="v03", k=3, nlist=4, nprobe=4, m=2, nbits=4,
+            train_rows=40,
+        ).collect()
+        assert got[0].vec_id == "v03"
+        with pytest.raises(ValueError, match="not found"):
+            ivfpq_topk(df, query_id="nope", nlist=4, m=2, train_rows=40)

@@ -79,6 +79,7 @@ from topn_spark.operators.textstats import (
 from topn_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    ivfpq_topk,
     kmeans_lloyd,
     knn_join,
     pq_adc_topk,
@@ -126,6 +127,7 @@ __all__ = [
     "bfs_hops",
     "cosine_topk",
     "ivf_topk",
+    "ivfpq_topk",
     "kmeans_lloyd",
     "knn_join",
     "pq_train_codebooks",

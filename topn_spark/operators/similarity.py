@@ -176,6 +176,7 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_left_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force k-NN join: for every left row, its k nearest right
     rows by cosine → ``(left_id, right_id, score, rn)``.
@@ -183,8 +184,21 @@ def knn_join(
     Scale warning: O(|L|×|R|) — correct baseline for evaluation and
     small probe sets (broadcast the smaller side). For bulk ANN at
     100 TB, bucket both sides with LSH/IVF first, then knn_join within
-    buckets.
+    buckets, or use :func:`ivf_topk` / :func:`pq_topk` /
+    :func:`ivfpq_topk`. ``max_left_rows`` makes that contract
+    mechanical: the call refuses (ValueError) when the broadcast/probe
+    side exceeds it, instead of silently launching a full cartesian
+    over a corpus. Raise the cap explicitly for a deliberate large
+    evaluation run.
     """
+    n = left.limit(max_left_rows + 1).count()
+    if n > max_left_rows:
+        raise ValueError(
+            f"knn_join probe side has more than {max_left_rows} rows; "
+            "this operator is an O(|L|x|R|) evaluation baseline. Use "
+            "ivf_topk/pq_topk/ivfpq_topk for bulk ANN, or pass an "
+            "explicit max_left_rows for a deliberate evaluation run."
+        )
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).cast("array<double>").alias("lv"),
@@ -861,3 +875,141 @@ def pq_topk(
         raise ValueError(f"query id {query_id} not found")
     codes = pq_encode(df, books, id_col, vec_col)
     return pq_adc_topk(codes, books, qrow[0][0], k, id_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 4,
+    train_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN — the standard 100 TB index shape (Jégou et al.
+    2011): a coarse quantizer prunes to ``nprobe`` of ``nlist`` cells,
+    and product-quantized RESIDUALS (vector minus its cell centroid)
+    are scored by asymmetric distance within the probed cells only.
+    Composition of the proven halves: IVF cell blocking (x33) over
+    :func:`pq_train_codebooks`/ADC (y22), with the residual twist that
+    makes the codes cell-local and much tighter than global PQ.
+
+    Deterministic contract (mirrorable in NumPy): coarse centroids are
+    the ``nlist`` smallest-id vectors; PQ codebooks train on the
+    residuals of the ``train_rows`` smallest-id vectors; all argmins
+    break ties first-min; final ties break by id.
+
+    Scale shape: both models (nlist×d centroids, m×2^nbits×dsub
+    codebooks) are driver-sized and ride into tasks as closures; the
+    corpus is encoded in ONE Arrow pass to (id, cell, m×nbits-bit
+    codes) — in production that table is stored once and queries
+    never touch raw vectors; a query reads only the probed cells'
+    code rows (cell-partitioned storage prunes the rest), builds the
+    per-cell LUT driver-side, and takes top-k via
+    ``orderBy().limit(k)`` (TakeOrderedAndProject). No pairwise
+    row-space ever exists.
+    """
+    import numpy as np
+
+    # --- driver-side models (both bounded, never data-sized) -------
+    small = (
+        df.select(id_col, F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(max(nlist, train_rows))
+        .collect()
+    )
+    C = np.array([r[1] for r in small[:nlist]], dtype=np.float64)
+    T = np.array([r[1] for r in small[:train_rows]], dtype=np.float64)
+    tc = ((T[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = pq_train_codebooks(
+        (T - C[tc]).tolist(), m=m, nbits=nbits
+    )
+    B = np.asarray(books, dtype=np.float64)
+    _, ksub, dsub = B.shape
+
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.asarray(qrow[0][0], dtype=np.float64)
+
+    # --- one Arrow encode pass: (id, cell, codes) ------------------
+    idt = df.schema[id_col].dataType.simpleString()
+
+    def _enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            cell = (
+                ((V[:, None, :] - C[None, :, :]) ** 2)
+                .sum(axis=2)
+                .argmin(axis=1)
+            )
+            R = V - C[cell]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                X = R[:, j * dsub : (j + 1) * dsub]
+                d = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = df.select(id_col, vec_col).mapInPandas(
+        _enc, f"{id_col} {idt}, cell int, codes array<int>"
+    )
+
+    # --- probe: nprobe nearest cells, per-cell LUT, ADC ------------
+    cd = ((q[None, :] - C) ** 2).sum(axis=1)
+    probe = np.argsort(cd, kind="stable")[:nprobe]
+    luts = {}
+    for c in probe:
+        r = q - C[c]
+        lut = np.empty((m, ksub))
+        for j in range(m):
+            lut[j] = ((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(
+                axis=1
+            )
+        luts[int(c)] = lut
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_id, out_d = [], []
+            for rid, cell, codes in zip(
+                pdf[id_col], pdf["cell"], pdf["codes"]
+            ):
+                lut = luts[int(cell)]
+                out_id.append(rid)
+                out_d.append(
+                    float(
+                        lut[np.arange(m), np.asarray(codes)].sum()
+                    )
+                )
+            yield pd.DataFrame({id_col: out_id, "adc_dist": out_d})
+
+    probed = encoded.where(
+        F.col("cell").isin(*[int(c) for c in probe])
+    )
+    scored = probed.mapInPandas(
+        _score, f"{id_col} {idt}, adc_dist double"
+    )
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

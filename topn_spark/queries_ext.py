@@ -5329,3 +5329,92 @@ def z02_bpe_train(spark, sf_dir):
         "rank int, lhs string, rhs string",
     )
     return _attach_scalar(mdf, totals).orderBy("rank")
+
+
+def _z03_ivfpq_mirror(con):
+    """NumPy full-pipeline mirror of ivfpq_topk's deterministic
+    contract: coarse centroids = nlist smallest-id vectors, PQ
+    codebooks trained on residuals of the train_rows smallest ids
+    (same pq_train_codebooks arithmetic: splits of the sorted sample,
+    3 Lloyd rounds, first-min argmins), stable nprobe cell sort, ADC
+    over probed cells, ties by id — float64 throughout, 1e-9."""
+    import numpy as np
+
+    from topn_spark.operators.similarity import pq_train_codebooks
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float32).astype(
+        np.float64
+    )
+    nlist, nprobe, m, nbits, train_rows, k = 8, 3, 8, 4, 64, 20
+    C = V[:nlist].copy()
+    tc = (
+        ((V[:train_rows, None, :] - C[None, :, :]) ** 2)
+        .sum(axis=2)
+        .argmin(axis=1)
+    )
+    B = np.asarray(
+        pq_train_codebooks(
+            (V[:train_rows] - C[tc]).tolist(), m=m, nbits=nbits
+        ),
+        dtype=np.float64,
+    )
+    _, ksub, dsub = B.shape
+    q = V[ids.tolist().index(0)]
+    cell = (
+        ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    )
+    R = V - C[cell]
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for j in range(m):
+        X = R[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = (
+            ((X[:, None, :] - B[j][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+        )
+    probe = set(
+        np.argsort(((q[None, :] - C) ** 2).sum(axis=1), kind="stable")[
+            :nprobe
+        ].tolist()
+    )
+    cand = []
+    for i in range(len(V)):
+        c = int(cell[i])
+        if c not in probe:
+            continue
+        r = q - C[c]
+        d = 0.0
+        for j in range(m):
+            d += float(
+                ((B[j][codes[i, j]] - r[j * dsub : (j + 1) * dsub]) ** 2).sum()
+            )
+        cand.append((int(ids[i]), d))
+    cand.sort(key=lambda t: (t[1], t[0]))
+    return ["vec_id", "adc_dist"], cand[:k]
+
+
+@query(
+    "z03_ivfpq_ann",
+    None,
+    doc="IVF-PQ ANN (similarity.py::ivfpq_topk) — the standard 100 TB "
+    "index: coarse quantizer prunes to nprobe of nlist cells, "
+    "product-quantized RESIDUALS scored by per-cell ADC LUT within "
+    "probed cells only; one Arrow encode pass, driver-sized models, "
+    "TakeOrderedAndProject top-k. Composition of IVF (x33) and PQ "
+    "(y22). Oracle: NumPy full-pipeline mirror, 1e-9",
+    tol_oracle=_z03_ivfpq_mirror,
+    tolerance=1e-9,
+    tol_keys=("vec_id",),
+)
+def z03_ivfpq_ann(spark, sf_dir):
+    from topn_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, query_id=0, k=20, nlist=8, nprobe=3, m=8, nbits=4,
+        train_rows=64,
+    )
