@@ -84,8 +84,31 @@ def main() -> None:
     # Detail records first (x* last so the ones nearest the summary —
     # the likeliest to survive a tail cut alongside it — are the
     # extension ops that appear nowhere else), summary line LAST.
-    for name in sorted(per_query, key=lambda n: (n.startswith("x"), n)):
-        print(json.dumps({"q": name, "sec": per_query[name]}))
+    # The SAME detail lines also land in a file ($SPARK_GRAFT_DETAIL,
+    # default BENCH_DETAIL.jsonl beside this script): the driver's
+    # stdout tail window has twice truncated the per-extension detail
+    # (r3: lost entirely; r4: 31 of ~130 lines kept), so the durable
+    # copy is what round-over-round comparisons read.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.jsonl",
+        ),
+    )
+    lines = [
+        json.dumps({"q": name, "sec": per_query[name]})
+        for name in sorted(
+            per_query, key=lambda n: (n.startswith("x"), n)
+        )
+    ]
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout detail is still complete
+    for ln in lines:
+        print(ln)
     survey_queries = {
         n: t for n, t in per_query.items() if n.startswith("q")
     }

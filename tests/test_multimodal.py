@@ -563,3 +563,96 @@ class TestPngDecode:
         )
         with pytest.raises(Exception, match="(?i)png"):
             decode_pixels(df_bad).collect()
+
+
+class TestGifDecode:
+    def test_round_trip_plain_and_interlaced(self):
+        from topn_spark.operators.multimodal import (
+            decode_gif_pixels,
+            encode_gif_rgb,
+        )
+
+        w, h = 7, 9  # odd height exercises all four interlace passes
+        pix = bytes(
+            (x + y + 40 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        for inter in (False, True):
+            got = decode_gif_pixels(encode_gif_rgb(w, h, pix, inter))
+            assert got is not None, inter
+            assert got[1] == [h, w, 3] and bytes(got[0]) == pix, inter
+
+    def test_lzw_kwkwk_case_decodes(self):
+        """The code==next_code special case (KwKwK) must reproduce
+        prev + prev[0] — exercised with a real compressing stream,
+        not the clear-heavy fixture encoder."""
+        from topn_spark.operators.multimodal import _gif_lzw_decode
+
+        # build a compressing LZW stream by hand for indices
+        # [1,1,1,1,1] with min_code_size=2: clear(4), 1, then code 6
+        # (the just-created '1 1' entry — KwKwK on its first use),
+        # then code 7 ('1 1 1'... actually 6 again), end(5).
+        # Sequence: CLEAR, 1, 6, 6, EOI decodes to 1, 11, 111 = 6 ones
+        bits = []
+
+        def emit(code, width):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+
+        emit(4, 3)  # clear
+        emit(1, 3)  # literal 1          -> out [1]
+        emit(6, 3)  # KwKwK: prev+prev[0] -> out [1,1]
+        emit(7, 3)  # KwKwK again         -> out [1,1,1]
+        emit(5, 3)  # EOI
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for j, b in enumerate(bits[i : i + 8]):
+                v |= b << j
+            by.append(v)
+        assert _gif_lzw_decode(2, bytes(by)) == [1, 1, 1, 1, 1, 1]
+
+    def test_corrupt_inputs_return_none(self):
+        from topn_spark.operators.multimodal import (
+            decode_gif_pixels,
+            encode_gif_rgb,
+        )
+
+        good = encode_gif_rgb(5, 4, bytes(60))
+        assert decode_gif_pixels(good[:15]) is None
+        assert decode_gif_pixels(b"GIF89a\x00\x00") is None
+        assert decode_gif_pixels(b"not a gif at all") is None
+        # trailer before any frame
+        assert decode_gif_pixels(good[:13] + good[13:-1][:0] + b"\x3B") is None
+
+    def test_decode_pixels_dataframe_gif(self, spark):
+        import pytest
+
+        from topn_spark.operators.multimodal import (
+            decode_pixels,
+            encode_gif_rgb,
+        )
+
+        w, h = 6, 4
+        pix = bytes(
+            (x * 2 + y + 30 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        df = spark.createDataFrame(
+            [(1, encode_gif_rgb(w, h, pix, interlace=True))],
+            "doc_id long, payload binary",
+        )
+        row = decode_pixels(df).collect()[0]
+        assert row.shape == [h, w, 3]
+        assert bytes(row.pixels) == pix
+        # truncated GIF raises loudly
+        df_bad = spark.createDataFrame(
+            [(2, encode_gif_rgb(w, h, pix)[:-8])],
+            "doc_id long, payload binary",
+        )
+        with pytest.raises(Exception, match="(?i)gif"):
+            decode_pixels(df_bad).collect()

@@ -248,6 +248,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z01_png_decode",
         "z02_bpe_train",
         "z03_ivfpq_ann",
+        "z04_gif_decode",
     ):
         warns = [
             f

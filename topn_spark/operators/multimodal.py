@@ -7,12 +7,13 @@ shapes, partition sizing) is real and tested. The METADATA decode path
 is real: :func:`parse_image_header` reads PNG/GIF/JPEG/BMP dimensions
 straight from the container headers in pure stdlib, and
 :func:`decode_image` applies it per Arrow batch. The PIXEL path is
-real for 24-bit BMP, P6 PPM, and 8-bit non-interlaced PNG (IDAT is
-zlib — stdlib — inflated and unfiltered scanline by scanline); GIF's
-LZW and JPEG's DCT still need a codec library absent from this
-container, so those — and the model-backed featurizers — fail fast
-with ``NotImplementedError`` unless the deterministic ``fake=True``
-test decoder is requested.
+real for 24-bit BMP, P6 PPM, 8-bit non-interlaced PNG (IDAT is zlib —
+stdlib — inflated and unfiltered scanline by scanline), and GIF
+(spec-appendix-F LZW decoded in pure Python, four-pass interlace
+re-ordered, palette-expanded); only JPEG's DCT still needs a codec
+library absent from this container, so it — and the model-backed
+featurizers — fail fast with ``NotImplementedError`` unless the
+deterministic ``fake=True`` test decoder is requested.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks get
@@ -537,10 +538,12 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Real, pure-stdlib paths: 24-bit BI_RGB BMP (BGR order, padded
     bottom-up rows, all reversed to row-major top-down RGB), binary
     PPM/P6 (both oracled by x89 against arithmetically planted
-    pixels), and 8-bit non-interlaced PNG — gray/RGB/palette/alpha,
-    all five scanline filters reversed over inflated IDAT (oracled by
-    z01). Formats still needing an external codec (GIF's LZW, JPEG's
-    DCT) and unsupported PNG sub-formats (16-bit, Adam7, bad CRC)
+    pixels), 8-bit non-interlaced PNG — gray/RGB/palette/alpha, all
+    five scanline filters reversed over inflated IDAT (oracled by
+    z01) — and GIF 87a/89a (pure-Python LZW, interlace re-order,
+    palette expansion; oracled by z04). JPEG (the one format whose
+    decompression — DCT entropy coding — genuinely needs a codec
+    library) and unsupported PNG sub-formats (16-bit, Adam7, bad CRC)
     fail fast per batch with ``NotImplementedError`` rather than
     fabricating pixels, keeping the Spark-side contract (schema,
     Arrow batching, partition parallelism) identical for a
@@ -564,6 +567,7 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         decode_bmp_pixels(p)
                         or decode_ppm_pixels(p)
                         or decode_png_pixels(p)
+                        or decode_gif_pixels(p)
                     )
                 if decoded is None and p is not None:
                     fmt = parse_image_header(p)[0]
@@ -574,12 +578,17 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             "gray/RGB/palette/alpha with valid CRCs; "
                             "16-bit and Adam7 need a codec library"
                         )
-                    if fmt in ("gif", "jpeg"):
+                    if fmt == "gif":
                         raise NotImplementedError(
-                            f"pixel-decoding {fmt} requires a codec "
+                            "corrupt or truncated GIF: the stdlib "
+                            "path decodes well-formed 87a/89a frames "
+                            "(LZW + interlace) in full"
+                        )
+                    if fmt == "jpeg":
+                        raise NotImplementedError(
+                            "pixel-decoding jpeg requires a codec "
                             "library (not in this container); stdlib "
-                            "paths cover 24-bit BI_RGB BMP, P6 PPM, "
-                            "and 8-bit non-interlaced PNG"
+                            "paths cover BMP, PPM, PNG, and GIF"
                         )
                 pixels.append(decoded[0] if decoded else None)
                 shapes.append(decoded[1] if decoded else None)
@@ -1042,3 +1051,223 @@ def video_frame_times(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
+    """GIF-variant LZW (spec appendix F): variable-width codes packed
+    little-endian-bit-first; CLEAR resets the dictionary, EOI ends.
+    Returns the index stream, or ``None`` on a malformed stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def _reset():
+        return (
+            {i: [i] for i in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = _reset()
+    prev: list[int] | None = None
+    while bitpos + width <= nbits:
+        code = 0
+        for i in range(width):
+            b = bitpos + i
+            if data[b >> 3] & (1 << (b & 7)):
+                code |= 1 << i
+        bitpos += width
+        if code == clear:
+            table, next_code, width = _reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= next_code:
+                return None  # first code must be literal
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK special case
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return None  # ran out of bits before EOI
+
+
+def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Minimal valid GIF LZW stream: every index emitted as a literal
+    code with CLEAR codes interleaved so the code width never grows —
+    the classic 'uncompressed GIF' writer, a correct stream any
+    decoder must accept (test-fixture encoder)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    # after a CLEAR the table holds 2^min+2 codes; each literal adds
+    # one, so this many literals fit before width would bump
+    budget = (1 << width) - clear - 2
+    bits: list[int] = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    n = 0
+    for ix in indices:
+        if n == budget - 1:
+            emit(clear)
+            n = 0
+        emit(ix)
+        n += 1
+    emit(eoi)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            v |= b << j
+        by.append(v)
+    return bytes(by)
+
+
+#: GIF interlace passes: (start row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """GIF87a/89a first frame → (row-major top-down RGB ints,
+    [h, w, 3]) — pure stdlib: the only compression in GIF is LZW,
+    decoded by :func:`_gif_lzw_decode`; interlaced frames are
+    re-ordered through the four-pass row schedule. Uses the local
+    color table when present, else the global one. ``None`` on
+    malformed streams, missing palettes, or truncation — the caller
+    fails fast rather than fabricating pixels."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = b[pos : pos + n]
+        if len(gct) < n:
+            return None
+        pos += n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: skip label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                pal = b[pos : pos + n]
+                if len(pal) < n:
+                    return None
+                pos += n
+            if pal is None or w == 0 or h == 0:
+                return None
+            if pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunk = b[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    return None
+                data += chunk
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(data))
+            if idx is None or len(idx) < w * h:
+                return None
+            idx = idx[: w * h]
+            pmax = len(pal) // 3
+            if ipacked & 0x40:  # interlaced: re-order rows
+                rows = [None] * h
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        rows[y] = idx[src * w : (src + 1) * w]
+                        src += 1
+                idx = [v for row in rows for v in row]
+            out: list[int] = []
+            for v in idx:
+                if v >= pmax:
+                    return None
+                out += [pal[3 * v], pal[3 * v + 1], pal[3 * v + 2]]
+            return out, [h, w, 3]
+        elif blk == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
+def encode_gif_rgb(
+    width: int, height: int, pix: bytes, interlace: bool = False
+) -> bytes:
+    """Spec-valid GIF89a from row-major top-down RGB bytes (palette
+    built from the distinct colors, ≤256) — test-fixture encoder for
+    :func:`decode_gif_pixels`, writing real LZW sub-blocks and
+    optionally the four-pass interlaced row order."""
+    if len(pix) != width * height * 3:
+        raise ValueError("pix must be width*height*3 RGB bytes")
+    colors: dict[bytes, int] = {}
+    idx = []
+    for i in range(width * height):
+        c = pix[3 * i : 3 * i + 3]
+        if c not in colors:
+            if len(colors) == 256:
+                raise ValueError("more than 256 distinct colors")
+            colors[c] = len(colors)
+        idx.append(colors[c])
+    depth = max(1, (len(colors) - 1).bit_length())
+    pal = b"".join(colors) + b"\x00\x00\x00" * (
+        (1 << depth) - len(colors)
+    )
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE:
+            order += list(range(start, height, step))
+        idx = [
+            idx[y * width + x] for y in order for x in range(width)
+        ]
+    min_code = max(2, depth)
+    lzw = _gif_lzw_encode(min_code, idx)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes((len(chunk),)) + chunk
+    sub += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes((0x80 | (depth - 1), 0, 0))
+        + pal
+        + b"\x2C"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes((0x40 if interlace else 0x00,))
+        + bytes((min_code,))
+        + bytes(sub)
+        + b"\x3B"
+    )

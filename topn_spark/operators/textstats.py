@@ -786,10 +786,36 @@ def bpe_train(
         .withColumn("seg", F.split("word", ""))
         .persist()
     )
-    words.count()  # materialize once; corpus never re-read below
+    n_vocab = words.count()  # materialize; corpus never re-read below
+    # Partition the vocab table to its own size, not the corpus's
+    # shuffle width: every round schedules tasks over this table, so a
+    # 32-way layout of a few thousand words pays ~rounds x 32 empty
+    # tasks of pure overhead. ~100k words/partition keeps round cost
+    # proportional to vocab at any scale (1e9-word vocab -> capped at
+    # the session's parallelism).
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(n_vocab // 100_000) + 1,
+        ),
+    )
+    # partition count via the JVM handle (dedup.ensure_parallelism's
+    # rationale: .rdd would wrap the plan just to read a number)
+    if parts < words._jdf.queryExecution().toRdd().getNumPartitions():
+        compact = words.repartition(parts).persist()
+        compact.count()
+        words.unpersist()
+        words = compact
 
     merges: list[tuple[str, str]] = []
     prev = words
+    # `pending` is prev's predecessor, kept cached until prev has
+    # materialized: the pair-count collect at the top of each round is
+    # the ONE job per round — it computes the lazily-persisted prev
+    # from the still-cached pending, after which pending can go. (An
+    # eager count() per round would double the job count for nothing.)
+    pending = None
     for r in range(n_merges):
         pairs = (
             prev.select(
@@ -807,6 +833,9 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if pending is not None:
+            pending.unpersist()
+            pending = None
         if not pairs or pairs[0]["n"] < min_pair_count:
             break
         a, b = pairs[0]["a"], pairs[0]["b"]
@@ -838,11 +867,14 @@ def bpe_train(
             _reseg, "word string, cnt bigint, seg array<string>"
         )
         if (r + 1) % checkpoint_every == 0:
+            # truncate lineage; eager, so prev can go immediately
             nxt = nxt.localCheckpoint(eager=True)
+            prev.unpersist()
         else:
             nxt = nxt.persist()
-            nxt.count()
-        prev.unpersist()
+            pending = prev
         prev = nxt
+    if pending is not None:
+        pending.unpersist()
     prev.unpersist()
     return merges

@@ -5418,3 +5418,108 @@ def z03_ivfpq_ann(spark, sf_dir):
         emb, query_id=0, k=20, nlist=8, nprobe=3, m=8, nbits=4,
         train_rows=64,
     )
+
+
+@query(
+    "z04_gif_decode",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, w, h,
+         [CAST((i // 3) % w + (i // (3 * w)) + 40 * (i % 3) AS INT)
+          for i in generate_series(0, 3 * w * h - 1)] AS pixels
+  FROM g)
+SELECT doc_id, h, w,
+       CAST(3 * w * h AS INT) AS n_px,
+       md5(array_to_string(pixels, ',')) AS px_md5,
+       CAST(0 AS INT) AS r_min,
+       CAST((w - 1) + (h - 1) AS INT) AS r_max,
+       ROUND((w - 1) / 2.0 + (h - 1) / 2.0, 4) AS r_mean,
+       CAST(40 AS INT) AS g_min,
+       CAST(40 + (w - 1) + (h - 1) AS INT) AS g_max,
+       ROUND(40 + (w - 1) / 2.0 + (h - 1) / 2.0, 4) AS g_mean,
+       CAST(80 AS INT) AS b_min,
+       CAST(80 + (w - 1) + (h - 1) AS INT) AS b_max,
+       ROUND(80 + (w - 1) / 2.0 + (h - 1) / 2.0, 4) AS b_mean
+FROM px ORDER BY doc_id ASC""",
+    doc="REAL GIF pixel decode, oracled (multimodal.py::"
+    "decode_gif_pixels): spec-valid INTERLACED GIF89a frames — pure-"
+    "Python spec-appendix-F LZW with variable code widths and CLEAR "
+    "resets, four-pass interlace row re-order, palette expansion — "
+    "synthesized from planted per-position values x+y+40c at varied "
+    "heights 3..9 so every interlace split occurs; the oracle "
+    "recomputes the full pixel array (md5 — catches LZW/interlace/"
+    "palette bugs) plus per-channel stats arithmetically from doc_id",
+)
+def z04_gif_decode(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        decode_pixels,
+        encode_gif_rgb,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_gif(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 1 + d % 5, 3 + d % 7
+            pix = bytes(
+                x + y + 40 * c
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            out.append(encode_gif_rgb(w, h, pix, interlace=True))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_gif("doc_id").alias("payload")
+    )
+    decoded = decode_pixels(assets)
+
+    def ch_min(c):
+        return F.array_min(F.expr(f"filter(pixels, (x, i) -> i % 3 = {c})"))
+
+    def ch_max(c):
+        return F.array_max(F.expr(f"filter(pixels, (x, i) -> i % 3 = {c})"))
+
+    def ch_mean(c):
+        return F.round(
+            F.expr(
+                f"aggregate(filter(pixels, (x, i) -> i % 3 = {c}), 0L, "
+                "(a, x) -> a + x, "
+                "a -> a / cast(size(pixels) div 3 as double))"
+            ),
+            4,
+        )
+
+    return decoded.select(
+        "doc_id",
+        F.element_at("shape", 1).alias("h"),
+        F.element_at("shape", 2).alias("w"),
+        F.size("pixels").alias("n_px"),
+        F.md5(
+            F.concat_ws(",", F.transform("pixels", lambda x: x.cast("string")))
+            .cast("binary")
+        ).alias("px_md5"),
+        ch_min(0).alias("r_min"),
+        ch_max(0).alias("r_max"),
+        ch_mean(0).alias("r_mean"),
+        ch_min(1).alias("g_min"),
+        ch_max(1).alias("g_max"),
+        ch_mean(1).alias("g_mean"),
+        ch_min(2).alias("b_min"),
+        ch_max(2).alias("b_max"),
+        ch_mean(2).alias("b_mean"),
+    ).orderBy("doc_id")
