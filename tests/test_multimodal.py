@@ -656,3 +656,123 @@ class TestGifDecode:
         )
         with pytest.raises(Exception, match="(?i)gif"):
             decode_pixels(df_bad).collect()
+
+
+class TestJpegDecode:
+    def test_dc_exact_gray_and_color(self):
+        """Constant 8x8 blocks FDCT to exactly DC-only coefficients
+        (all-1s quant), so the decode is bit-exact — the planted-
+        oracle property; color MCUs convert through BT.601 with
+        round+clamp."""
+        import numpy as np
+
+        from topn_spark.operators.multimodal import (
+            decode_jpeg_pixels,
+            encode_jpeg_gray,
+            encode_jpeg_ycbcr420,
+        )
+
+        w, h = 24, 16
+        P = np.zeros((h, w), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    30 + 40 * bx + 25 * by
+                )
+        pix, shape = decode_jpeg_pixels(
+            encode_jpeg_gray(w, h, P.tobytes())
+        )
+        assert shape == [h, w, 1]
+        assert (np.array(pix).reshape(h, w) == P).all()
+
+        w4, h4 = 32, 16
+        Y = np.full((h4, w4), 120, dtype=np.uint8)
+        Cb = np.full((h4 // 2, w4 // 2), 90, dtype=np.uint8)
+        Cr = np.full((h4 // 2, w4 // 2), 160, dtype=np.uint8)
+        pix4, shape4 = decode_jpeg_pixels(
+            encode_jpeg_ycbcr420(
+                w4, h4, Y.tobytes(), Cb.tobytes(), Cr.tobytes()
+            )
+        )
+        assert shape4 == [h4, w4, 3]
+        want = (
+            max(0, min(255, round(120 + 1.402 * 32))),
+            max(
+                0,
+                min(
+                    255,
+                    round(120 - 0.344136 * -38 - 0.714136 * 32),
+                ),
+            ),
+            max(0, min(255, round(120 + 1.772 * -38))),
+        )
+        assert tuple(pix4[:3]) == want
+
+    def test_gradient_roundtrip_and_odd_size(self):
+        """Non-constant blocks exercise the full AC run-length path
+        (ZRL, EOB, magnitude categories); all-1s quant keeps the
+        round trip within coefficient-rounding error."""
+        import numpy as np
+
+        from topn_spark.operators.multimodal import (
+            decode_jpeg_pixels,
+            encode_jpeg_gray,
+        )
+
+        P = np.array(
+            [[(x * 7 + y * 3) % 256 for x in range(24)] for y in range(16)],
+            dtype=np.uint8,
+        )
+        pix, _ = decode_jpeg_pixels(
+            encode_jpeg_gray(24, 16, P.tobytes())
+        )
+        assert (
+            np.abs(np.array(pix).reshape(16, 24).astype(int) - P).max()
+            <= 2
+        )
+        # odd dims: edge-replication padding + crop on decode
+        Q = P[:13, :19].copy()
+        pix3, shape3 = decode_jpeg_pixels(
+            encode_jpeg_gray(19, 13, Q.tobytes())
+        )
+        assert shape3 == [13, 19, 1]
+        assert (
+            np.abs(np.array(pix3).reshape(13, 19).astype(int) - Q).max()
+            <= 2
+        )
+
+    def test_progressive_and_corrupt_rejected(self):
+        import numpy as np
+
+        from topn_spark.operators.multimodal import (
+            decode_jpeg_pixels,
+            encode_jpeg_gray,
+        )
+
+        good = bytearray(
+            encode_jpeg_gray(8, 8, bytes(np.full(64, 55, np.uint8)))
+        )
+        # flip SOF0 (0xC0) to SOF2 (progressive): must reject, not
+        # mis-decode
+        i = bytes(good).find(b"\xff\xc0")
+        prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+        assert decode_jpeg_pixels(prog) is None
+        assert decode_jpeg_pixels(bytes(good[:30])) is None
+        assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+
+    def test_decode_pixels_dataframe_jpeg(self, spark):
+        import numpy as np
+
+        from topn_spark.operators.multimodal import (
+            decode_pixels,
+            encode_jpeg_gray,
+        )
+
+        P = np.full((8, 16), 99, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, encode_jpeg_gray(16, 8, P.tobytes()))],
+            "doc_id long, payload binary",
+        )
+        row = decode_pixels(df).collect()[0]
+        assert row.shape == [8, 16, 1]
+        assert set(row.pixels) == {99}

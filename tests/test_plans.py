@@ -249,6 +249,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z02_bpe_train",
         "z03_ivfpq_ann",
         "z04_gif_decode",
+        "z05_jpeg_decode",
     ):
         warns = [
             f

@@ -7,13 +7,16 @@ shapes, partition sizing) is real and tested. The METADATA decode path
 is real: :func:`parse_image_header` reads PNG/GIF/JPEG/BMP dimensions
 straight from the container headers in pure stdlib, and
 :func:`decode_image` applies it per Arrow batch. The PIXEL path is
-real for 24-bit BMP, P6 PPM, 8-bit non-interlaced PNG (IDAT is zlib —
-stdlib — inflated and unfiltered scanline by scanline), and GIF
+real for every mainstream still-image format without external
+libraries: 24-bit BMP, P6 PPM, 8-bit non-interlaced PNG (IDAT is
+zlib — stdlib — inflated and unfiltered scanline by scanline), GIF
 (spec-appendix-F LZW decoded in pure Python, four-pass interlace
-re-ordered, palette-expanded); only JPEG's DCT still needs a codec
-library absent from this container, so it — and the model-backed
-featurizers — fail fast with ``NotImplementedError`` unless the
-deterministic ``fake=True`` test decoder is requested.
+re-ordered, palette-expanded), and baseline-sequential JPEG (marker
+walk, canonical Huffman entropy decode, dequant + NumPy IDCT, 4:2:0
+chroma upsample, BT.601 conversion). Exotic sub-formats (progressive
+JPEG, 16-bit/Adam7 PNG) and the model-backed featurizers fail fast
+with ``NotImplementedError`` unless the deterministic ``fake=True``
+test decoder is requested.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks get
@@ -535,19 +538,20 @@ def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
 def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode (payload → flat uint8 tensor + shape).
 
-    Real, pure-stdlib paths: 24-bit BI_RGB BMP (BGR order, padded
-    bottom-up rows, all reversed to row-major top-down RGB), binary
-    PPM/P6 (both oracled by x89 against arithmetically planted
-    pixels), 8-bit non-interlaced PNG — gray/RGB/palette/alpha, all
-    five scanline filters reversed over inflated IDAT (oracled by
-    z01) — and GIF 87a/89a (pure-Python LZW, interlace re-order,
-    palette expansion; oracled by z04). JPEG (the one format whose
-    decompression — DCT entropy coding — genuinely needs a codec
-    library) and unsupported PNG sub-formats (16-bit, Adam7, bad CRC)
-    fail fast per batch with ``NotImplementedError`` rather than
-    fabricating pixels, keeping the Spark-side contract (schema,
-    Arrow batching, partition parallelism) identical for a
-    codec-backed drop-in.
+    Real, zero-dependency paths for every mainstream still format:
+    24-bit BI_RGB BMP (BGR order, padded bottom-up rows, all reversed
+    to row-major top-down RGB), binary PPM/P6 (both oracled by x89
+    against arithmetically planted pixels), 8-bit non-interlaced PNG
+    — gray/RGB/palette/alpha, all five scanline filters reversed over
+    inflated IDAT (oracled by z01) — GIF 87a/89a (pure-Python LZW,
+    interlace re-order, palette expansion; oracled by z04), and
+    baseline-sequential JPEG (Huffman entropy decode + IDCT + 4:2:0
+    upsample; oracled by z05 via DC-exact planted blocks). Unsupported
+    sub-formats (progressive/arithmetic/12-bit JPEG; 16-bit or Adam7
+    PNG; corrupt streams) fail fast per batch with
+    ``NotImplementedError`` rather than fabricating pixels, keeping
+    the Spark-side contract (schema, Arrow batching, partition
+    parallelism) identical for a codec-backed drop-in.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -568,6 +572,7 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         or decode_ppm_pixels(p)
                         or decode_png_pixels(p)
                         or decode_gif_pixels(p)
+                        or decode_jpeg_pixels(p)
                     )
                 if decoded is None and p is not None:
                     fmt = parse_image_header(p)[0]
@@ -586,9 +591,12 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         )
                     if fmt == "jpeg":
                         raise NotImplementedError(
-                            "pixel-decoding jpeg requires a codec "
-                            "library (not in this container); stdlib "
-                            "paths cover BMP, PPM, PNG, and GIF"
+                            "unsupported or corrupt JPEG: the "
+                            "zero-dependency path covers baseline "
+                            "sequential 8-bit (SOF0) with sampling "
+                            "factors up to 2x2; progressive (SOF2), "
+                            "arithmetic, and 12-bit need a codec "
+                            "library"
                         )
                 pixels.append(decoded[0] if decoded else None)
                 shapes.append(decoded[1] if decoded else None)
@@ -1270,4 +1278,563 @@ def encode_gif_rgb(
         + bytes((min_code,))
         + bytes(sub)
         + b"\x3B"
+    )
+
+
+# --- JPEG (baseline sequential) --------------------------------------
+# Standard Annex K Huffman tables (public spec constants): (bits, vals)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_canonical(bits, vals):
+    """(bits counts per length 1..16, values) -> {(length, code): val}
+    per the spec's canonical code construction."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1] if ln <= len(bits) else 0):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; RST markers reset via :meth:`sync_restart`."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.b):
+                self.acc = (self.acc << 8) | 0  # pad: spec allows
+                self.n += 8
+                continue
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = (
+                    self.b[self.pos + 1]
+                    if self.pos + 1 < len(self.b)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    # restart marker: stop filling; caller resyncs
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+                else:
+                    # EOI or next segment: pad from here on
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int | None:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        return None
+
+    def sync_restart(self) -> bool:
+        """Skip to just past the next RSTn marker; drops bit cache."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.b):
+            if (
+                self.b[self.pos] == 0xFF
+                and 0xD0 <= self.b[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category EXTEND (spec F.2.2.1)."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """Baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
+    sampling factors up to 2x2, optional restart intervals) →
+    (row-major samples, [h, w, channels]) — grayscale gives 1 channel;
+    YCbCr converts to RGB with ``round()`` + clamp (BT.601 CCIR
+    constants, the libjpeg convention). Pure Python entropy decode +
+    NumPy IDCT — no codec library. ``None`` for progressive/
+    arithmetic/12-bit streams or malformed data; the caller fails
+    fast rather than fabricating pixels.
+
+    Scale note: cost is O(pixels) per asset like every decoder here;
+    Python-level Huffman decoding is the constant-factor price of a
+    zero-dependency container — each asset decodes independently
+    inside its Arrow batch, so parallelism is unaffected.
+    """
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[i : i + n]
+                if len(raw) < n:
+                    return None
+                if prec:
+                    vals = [
+                        struct.unpack(">H", raw[j : j + 2])[0]
+                        for j in range(0, 128, 2)
+                    ]
+                else:
+                    vals = list(raw)
+                qt[tid] = vals
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                if len(vals) < nv:
+                    return None
+                huff[(cls, tid)] = _huff_canonical(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0:  # SOF0 baseline
+            depth = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if depth != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {
+                        "id": cid,
+                        "h": samp >> 4,
+                        "v": samp & 0x0F,
+                        "tq": tq,
+                    }
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tabs >> 4, tabs & 0x0F)
+            w, h, comps = frame
+            for comp in comps:
+                if comp["id"] not in sel:
+                    return None
+                comp["td"], comp["ta"] = sel[comp["id"]]
+                if (
+                    comp["tq"] not in qt
+                    or (0, comp["td"]) not in huff
+                    or (1, comp["ta"]) not in huff
+                    or not 1 <= comp["h"] <= 2
+                    or not 1 <= comp["v"] <= 2
+                ):
+                    return None
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-component sample planes (padded to MCU grid)
+            planes = [
+                np.zeros(
+                    (mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                    dtype=np.float64,
+                )
+                for c in comps
+            ]
+            # separable IDCT basis: block = A.T @ S @ A
+            u = np.arange(8)
+            A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+            A[0] *= 1 / np.sqrt(2)
+            A *= 0.5
+            rd = _JpegBitReader(b, pos + 2 + seglen)
+            pred = [0] * len(comps)
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        if not rd.sync_restart():
+                            return None
+                        pred = [0] * len(comps)
+                    n_mcu += 1
+                    for ci, comp in enumerate(comps):
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                dct = huff[(0, comp["td"])]
+                                act = huff[(1, comp["ta"])]
+                                q = qt[comp["tq"]]
+                                t = rd.decode_huff(dct)
+                                if t is None or t > 11:
+                                    return None
+                                diff = (
+                                    _jpeg_extend(rd.receive(t), t)
+                                    if t
+                                    else 0
+                                )
+                                pred[ci] += diff
+                                S = np.zeros(64)
+                                S[0] = pred[ci] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = rd.decode_huff(act)
+                                    if rs is None:
+                                        return None
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    S[_ZIGZAG[k]] = (
+                                        _jpeg_extend(
+                                            rd.receive(s), s
+                                        )
+                                        * q[k]
+                                    )
+                                    k += 1
+                                blk = A.T @ S.reshape(8, 8) @ A + 128.0
+                                y0 = (my * comp["v"] + by) * 8
+                                x0 = (mx * comp["h"] + bx) * 8
+                                planes[ci][
+                                    y0 : y0 + 8, x0 : x0 + 8
+                                ] = blk
+            # upsample subsampled planes to full size, crop to (h, w)
+            full = []
+            for ci, comp in enumerate(comps):
+                p = planes[ci]
+                p = np.repeat(
+                    np.repeat(p, vmax // comp["v"], axis=0),
+                    hmax // comp["h"],
+                    axis=1,
+                )
+                full.append(p[:h, :w])
+            if len(comps) == 1:
+                out = np.clip(np.round(full[0]), 0, 255).astype(int)
+                return out.reshape(-1).tolist(), [h, w, 1]
+            Y, Cb, Cr = full
+            R = Y + 1.402 * (Cr - 128.0)
+            G = (
+                Y
+                - 0.344136 * (Cb - 128.0)
+                - 0.714136 * (Cr - 128.0)
+            )
+            Bc = Y + 1.772 * (Cb - 128.0)
+            rgb = np.stack(
+                [
+                    np.clip(np.round(R), 0, 255),
+                    np.clip(np.round(G), 0, 255),
+                    np.clip(np.round(Bc), 0, 255),
+                ],
+                axis=2,
+            ).astype(int)
+            return rgb.reshape(-1).tolist(), [h, w, 3]
+        else:
+            pass  # APPn/COM/etc: skip
+        pos += 2 + seglen
+    return None
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (test fixture)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _huff_encode_map(bits, vals):
+    enc = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1] if ln <= len(bits) else 0):
+            enc[vals[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+def _mag_cat(v: int) -> int:
+    return abs(int(v)).bit_length()
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    planes,
+    sampling: list[tuple[int, int]],
+) -> bytes:
+    """Spec-valid baseline-sequential JPEG from per-component sample
+    planes (test-fixture encoder for :func:`decode_jpeg_pixels`).
+
+    ``planes[i]`` is a NumPy array at component i's natural resolution
+    (already a multiple of 8·its sampling factor relative to the MCU
+    grid); ``sampling[i] = (h_i, v_i)``. All quantization tables are
+    1s and the FDCT is float-then-round, so a CONSTANT 8×8 block
+    encodes to an exactly DC-only block (S00 = 8·(v−128), AC = 0) and
+    decodes back bit-exact — the property the planted-pixel oracle
+    relies on; non-constant blocks round-trip within ±2 of the input
+    (coefficient rounding only). Standard Annex K luminance Huffman
+    tables serve every component.
+    """
+    import numpy as np
+
+    nc = len(planes)
+    u = np.arange(8)
+    A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    A *= 0.5
+    dc_enc = _huff_encode_map(*_JPEG_DC_LUM)
+    ac_enc = _huff_encode_map(*_JPEG_AC_LUM)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    wr = _JpegBitWriter()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hs, vs = sampling[ci]
+                P = planes[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = P[y0 : y0 + 8, x0 : x0 + 8].astype(
+                            np.float64
+                        )
+                        S = A @ (blk - 128.0) @ A.T
+                        Sz = np.round(S.reshape(-1)).astype(int)
+                        coeffs = [Sz[_ZIGZAG[k]] for k in range(64)]
+                        diff = coeffs[0] - pred[ci]
+                        pred[ci] = coeffs[0]
+                        t = _mag_cat(diff)
+                        ln, code = dc_enc[t]
+                        wr.put(code, ln)
+                        if t:
+                            v = diff if diff >= 0 else diff + (1 << t) - 1
+                            wr.put(v, t)
+                        run = 0
+                        last_nz = 0
+                        for k in range(63, 0, -1):
+                            if coeffs[k]:
+                                last_nz = k
+                                break
+                        for k in range(1, last_nz + 1):
+                            c = coeffs[k]
+                            if c == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                ln, code = ac_enc[0xF0]
+                                wr.put(code, ln)
+                                run -= 16
+                            s = _mag_cat(c)
+                            ln, code = ac_enc[(run << 4) | s]
+                            wr.put(code, ln)
+                            v = c if c >= 0 else c + (1 << s) - 1
+                            wr.put(v, s)
+                            run = 0
+                        if last_nz < 63:
+                            ln, code = ac_enc[0x00]
+                            wr.put(code, ln)
+    wr.flush()
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes((8,))
+        + struct.pack(">HH", height, width)
+        + bytes((nc,))
+        + b"".join(
+            bytes((ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0))
+            for ci in range(nc)
+        ),
+    )
+    dbits, dvals = _JPEG_DC_LUM
+    abits, avals = _JPEG_AC_LUM
+    dht = seg(
+        0xC4,
+        bytes((0x00,)) + bytes(dbits) + bytes(dvals)
+        + bytes((0x10,)) + bytes(abits) + bytes(avals),
+    )
+    sos = seg(
+        0xDA,
+        bytes((nc,))
+        + b"".join(bytes((ci + 1, 0x00)) for ci in range(nc))
+        + bytes((0, 63, 0)),
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(wr.out)
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_gray(width: int, height: int, pix: bytes) -> bytes:
+    """Grayscale baseline JPEG from row-major 8-bit samples (pads to
+    8-multiples by edge replication)."""
+    import numpy as np
+
+    if len(pix) != width * height:
+        raise ValueError("pix must be width*height bytes")
+    P = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(
+        height, width
+    )
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    P = np.pad(P, ((0, ph - height), (0, pw - width)), mode="edge")
+    return encode_jpeg(width, height, [P], [(1, 1)])
+
+
+def encode_jpeg_ycbcr420(
+    width: int, height: int, y: bytes, cb: bytes, cr: bytes
+) -> bytes:
+    """4:2:0 color baseline JPEG from planar YCbCr (Y at w×h, chroma
+    at ceil(w/2)×ceil(h/2)); pads each plane to its MCU multiple by
+    edge replication."""
+    import numpy as np
+
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    if len(y) != width * height or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane sizes must match 4:2:0 geometry")
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    Y = np.frombuffer(bytes(y), dtype=np.uint8).reshape(height, width)
+    Y = np.pad(
+        Y,
+        ((0, mcuy * 16 - height), (0, mcux * 16 - width)),
+        mode="edge",
+    )
+    planes = [Y]
+    for p in (cb, cr):
+        C = np.frombuffer(bytes(p), dtype=np.uint8).reshape(ch, cw)
+        C = np.pad(
+            C,
+            ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)),
+            mode="edge",
+        )
+        planes.append(C)
+    return encode_jpeg(
+        width, height, planes, [(2, 2), (1, 1), (1, 1)]
     )

@@ -5523,3 +5523,88 @@ def z04_gif_decode(spark, sf_dir):
         ch_max(2).alias("b_max"),
         ch_mean(2).alias("b_mean"),
     ).orderBy("doc_id")
+
+
+@query(
+    "z05_jpeg_decode",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, w, h,
+         [CAST(20 + 3 * ((i % w) // 8) + 5 * ((i // w) // 8)
+               + doc_id % 7 AS INT)
+          for i in generate_series(0, w * h - 1)] AS pixels
+  FROM g)
+SELECT doc_id, h, w,
+       CAST(w * h AS INT) AS n_px,
+       md5(array_to_string(pixels, ',')) AS px_md5,
+       CAST(20 + doc_id % 7 AS INT) AS v_min,
+       CAST(20 + 3 * (w // 8 - 1) + 5 * (h // 8 - 1) + doc_id % 7
+            AS INT) AS v_max,
+       ROUND(20 + doc_id % 7 + 3 * (w // 8 - 1) / 2.0
+             + 5 * (h // 8 - 1) / 2.0, 4) AS v_mean
+FROM px ORDER BY doc_id ASC""",
+    doc="REAL JPEG pixel decode, oracled (multimodal.py::"
+    "decode_jpeg_pixels): spec-valid baseline-sequential grayscale "
+    "JPEGs whose 8x8 blocks are CONSTANT — with all-1s quantization "
+    "the FDCT yields exactly DC-only coefficients (S00 = 8*(v-128)), "
+    "so Huffman entropy decode + dequant + IDCT reproduces the "
+    "planted per-block values 20+3bx+5by+(doc_id%7) bit-exactly; the "
+    "oracle recomputes the full pixel array (md5 — catches "
+    "DC-predictor/MCU-order/IDCT bugs) plus min/max/mean "
+    "arithmetically from doc_id",
+)
+def z05_jpeg_decode(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        decode_pixels,
+        encode_jpeg_gray,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_jpeg(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+            pix = bytes(
+                20 + 3 * (x // 8) + 5 * (y // 8) + d % 7
+                for y in range(h)
+                for x in range(w)
+            )
+            out.append(encode_jpeg_gray(w, h, pix))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_jpeg("doc_id").alias("payload")
+    )
+    decoded = decode_pixels(assets)
+    return decoded.select(
+        "doc_id",
+        F.element_at("shape", 1).alias("h"),
+        F.element_at("shape", 2).alias("w"),
+        F.size("pixels").alias("n_px"),
+        F.md5(
+            F.concat_ws(",", F.transform("pixels", lambda x: x.cast("string")))
+            .cast("binary")
+        ).alias("px_md5"),
+        F.array_min("pixels").alias("v_min"),
+        F.array_max("pixels").alias("v_max"),
+        F.round(
+            F.expr(
+                "aggregate(pixels, 0L, (a, x) -> a + x, "
+                "a -> a / cast(size(pixels) as double))"
+            ),
+            4,
+        ).alias("v_mean"),
+    ).orderBy("doc_id")
