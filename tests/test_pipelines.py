@@ -524,3 +524,43 @@ def test_joiner_same_name_key_is_not_ambiguous(spark, tmp_path):
         (1, "x", 10.0),
         (2, "y", 20.0),
     }
+
+
+def test_joiner_multi_key(spark, tmp_path):
+    """Composite joinKeys 'a = a, b = b' join on ALL pairs and drop
+    every right key."""
+    a = str(tmp_path / "mk_a")
+    b = str(tmp_path / "mk_b")
+    spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20), (2, "x", 30)],
+        "k int, g string, lv int",
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(1, "x", 1.5), (2, "x", 2.5), (1, "z", 9.9)],
+        "k int, g string, rv double",
+    ).write.parquet(b)
+    spec = {
+        "stages": [
+            {"name": "sa", "plugin": "File", "properties": {"path": a}},
+            {"name": "sb", "plugin": "File", "properties": {"path": b}},
+            {
+                "name": "j",
+                "plugin": "Joiner",
+                "properties": {"joinKeys": "k = k, g = g"},
+            },
+        ],
+        "connections": [
+            {"from": "sa", "to": "j"},
+            {"from": "sb", "to": "j"},
+        ],
+    }
+    out = run_pipeline(spark, spec)["j"]
+    assert sorted(out.columns) == ["g", "k", "lv", "rv"]
+    assert {(r.k, r.g, r.lv, r.rv) for r in out.collect()} == {
+        (1, "x", 10, 1.5),
+        (2, "x", 30, 2.5),
+    }
+    # malformed pair is collected, not crashed
+    spec["stages"][2]["properties"]["joinKeys"] = "k = k, g"
+    with pytest.raises(ValidationError, match="joinKeys"):
+        run_pipeline(spark, spec)

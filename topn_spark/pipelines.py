@@ -268,22 +268,36 @@ def _stage_joiner(spark, stage, inputs, collector, substitutions, phase):
     left, right = inputs
     p = stage.properties
     keys = p.get("joinKeys", "")
-    try:
-        lk, rk = [k.strip() for k in keys.split("=")]
-    except ValueError:
-        collector.add_failure(
-            "joinKeys must be 'leftCol = rightCol'.",
-            property_name="joinKeys",
-        )
-        return left
+    pairs = []
+    for part in keys.split(","):
+        try:
+            lk, rk = [k.strip() for k in part.split("=")]
+        except ValueError:
+            collector.add_failure(
+                "joinKeys must be 'leftCol = rightCol"
+                "[, leftCol2 = rightCol2 ...]'.",
+                property_name="joinKeys",
+            )
+            return left
+        if not lk or not rk:
+            collector.add_failure(
+                f"Empty column name in joinKeys pair '{part.strip()}'.",
+                property_name="joinKeys",
+            )
+            return left
+        pairs.append((lk, rk))
     how = p.get("joinType", "inner")
-    cond = left[lk] == right[rk]
+    cond = None
+    for lk, rk in pairs:
+        c = left[lk] == right[rk]
+        cond = c if cond is None else cond & c
     out = left.join(right, cond, how)
     if p.get("dropRightKey", "true").lower() == "true":
         # drop by Column reference, not name: when lk == rk the joined
         # frame holds TWO columns named rk and a name-based drop would
         # either remove both or leave an AMBIGUOUS_REFERENCE landmine
-        out = out.drop(right[rk])
+        for _, rk in pairs:
+            out = out.drop(right[rk])
     return out
 
 
