@@ -776,3 +776,100 @@ class TestJpegDecode:
         row = decode_pixels(df).collect()[0]
         assert row.shape == [8, 16, 1]
         assert set(row.pixels) == {99}
+
+
+class TestImageFeatures:
+    def test_closed_forms_on_ramp_and_nulls(self, spark):
+        """x+y+40c ramp: luminance mean/std and the constant-|G| Sobel
+        interior match closed forms; undecodable payloads yield null
+        features; 1-channel (gray JPEG) uses the channel directly."""
+        import math
+
+        from topn_spark.operators.multimodal import (
+            encode_gif_rgb,
+            encode_jpeg_gray,
+            image_features,
+        )
+
+        w, h = 5, 4
+        ramp = bytes(
+            x + y + 40 * c
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        gray = bytes(200 for _ in range(64))
+        df = spark.createDataFrame(
+            [
+                (1, encode_gif_rgb(w, h, ramp)),
+                (2, encode_jpeg_gray(8, 8, gray)),
+                (3, b"not an image"),
+                (4, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in image_features(df).collect()}
+        r1 = got[1]
+        assert (r1.width, r1.height, r1.channels) == (w, h, 3)
+        assert r1.lum_mean == round((w - 1) / 2 + (h - 1) / 2 + 32.6, 4)
+        assert r1.lum_std == round(
+            math.sqrt((w * w - 1) / 12 + (h * h - 1) / 12), 4
+        )
+        assert r1.edge_mean == round(math.sqrt(128), 4)
+        assert r1.edge_frac == 1.0
+        r2 = got[2]
+        assert (r2.channels, r2.lum_mean, r2.lum_std) == (1, 200.0, 0.0)
+        assert (r2.edge_mean, r2.edge_frac) == (0.0, 0.0)
+        assert got[3].lum_mean is None and got[4].lum_mean is None
+
+    def test_tiny_image_has_null_edges(self, spark):
+        from topn_spark.operators.multimodal import (
+            encode_png,
+            image_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_png(2, 2, bytes(12)))],
+            "doc_id long, payload binary",
+        )
+        r = image_features(df).collect()[0]
+        assert r.lum_mean == 0.0
+        assert r.edge_mean is None and r.edge_frac is None
+
+
+class TestResizeImage:
+    def test_box_mean_exact_and_guards(self, spark):
+        import pytest
+
+        from topn_spark.operators.multimodal import (
+            encode_png,
+            resize_image,
+        )
+
+        w, h = 6, 4
+        ramp = bytes(
+            x + y + 40 * c
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        df = spark.createDataFrame(
+            [
+                (1, encode_png(w, h, ramp)),
+                (2, encode_png(5, 4, bytes(60))),  # 5 % 2 != 0 -> null
+                (3, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in resize_image(df, 2).collect()}
+        assert got[1].r_shape == [2, 3, 3]
+        want = [
+            float(2 * bx + 2 * by + 1 + 40 * c)
+            for by in range(2)
+            for bx in range(3)
+            for c in range(3)
+        ]
+        assert got[1].r_pixels == want
+        assert got[2].r_pixels is None and got[3].r_pixels is None
+        with pytest.raises(ValueError, match="factor"):
+            resize_image(df, 0)

@@ -250,6 +250,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z03_ivfpq_ann",
         "z04_gif_decode",
         "z05_jpeg_decode",
+        "z06_image_features",
+        "z07_image_resize",
     ):
         warns = [
             f

@@ -1838,3 +1838,188 @@ def encode_jpeg_ycbcr420(
     return encode_jpeg(
         width, height, planes, [(2, 2), (1, 1), (1, 1)]
     )
+
+
+def _decode_any_pixels(p: bytes):
+    """Shared decode chain for the pixel-consuming operators."""
+    return (
+        decode_bmp_pixels(p)
+        or decode_ppm_pixels(p)
+        or decode_png_pixels(p)
+        or decode_gif_pixels(p)
+        or decode_jpeg_pixels(p)
+    )
+
+
+def _luminance(arr, ch: int):
+    """(h, w) float64 luminance plane: BT.601 for RGB(+A), the first
+    channel for gray(+alpha)."""
+    if ch >= 3:
+        return (
+            0.299 * arr[:, :, 0]
+            + 0.587 * arr[:, :, 1]
+            + 0.114 * arr[:, :, 2]
+        )
+    return arr[:, :, 0].astype("float64")
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    edge_threshold: float = 10.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """REAL per-image featurization over decoded pixels — classical
+    CV statistics, no learned model required (the learned-embedding
+    path stays in :func:`extract_features`): per-asset ``width``,
+    ``height``, ``channels``, luminance mean/std (population), Sobel
+    gradient-magnitude mean over the valid interior, and the interior
+    fraction at/above ``edge_threshold``. Undecodable payloads yield
+    null features (decode gates are :func:`decode_pixels`' job).
+
+    These are the standard cheap quality/dedup signals for an image
+    corpus (blank/low-contrast detection via std, screenshot/text
+    detection via edge density) — one Arrow-batched ``mapInPandas``
+    pass, per-asset O(pixels), embarrassingly parallel; nothing
+    leaves the task but the feature row.
+
+    Exactness contract (what z06 oracles): all arithmetic is float64
+    — BT.601 luminance, exact population moments, the 3x3 Sobel pair
+    correlated over the valid interior (so images narrower than 3px
+    have null edge stats) — rounded to ``round_to`` at the end.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("lum_mean", T.DoubleType(), True),
+            T.StructField("lum_std", T.DoubleType(), True),
+            T.StructField("edge_mean", T.DoubleType(), True),
+            T.StructField("edge_frac", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "width", "height", "channels", "lum_mean",
+                "lum_std", "edge_mean", "edge_frac",
+            )}
+            for p in pdf[payload_col]:
+                decoded = _decode_any_pixels(p) if p is not None else None
+                if decoded is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                pix, (h, w, ch) = decoded
+                arr = np.asarray(pix, dtype=np.float64).reshape(
+                    h, w, ch
+                )
+                lum = _luminance(arr, ch)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(ch)
+                cols["lum_mean"].append(
+                    round(float(lum.mean()), round_to)
+                )
+                cols["lum_std"].append(
+                    round(float(lum.std()), round_to)
+                )
+                if h >= 3 and w >= 3:
+                    gx = (
+                        lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:]
+                        - lum[:-2, :-2] - 2 * lum[1:-1, :-2]
+                        - lum[2:, :-2]
+                    )
+                    gy = (
+                        lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:]
+                        - lum[:-2, :-2] - 2 * lum[:-2, 1:-1]
+                        - lum[:-2, 2:]
+                    )
+                    mag = np.sqrt(gx * gx + gy * gy)
+                    cols["edge_mean"].append(
+                        round(float(mag.mean()), round_to)
+                    )
+                    cols["edge_frac"].append(
+                        round(
+                            float((mag >= edge_threshold).mean()),
+                            round_to,
+                        )
+                    )
+                else:
+                    cols["edge_mean"].append(None)
+                    cols["edge_frac"].append(None)
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    factor: int,
+    payload_col: str = "payload",
+    round_to: int = 4,
+) -> DataFrame:
+    """REAL integer-factor box downsample over decoded pixels: output
+    pixel = the exact mean of its ``factor``×``factor`` input block
+    (per channel), rounded to ``round_to`` — the thumbnail/pre-crop
+    step of an image pipeline. Dimensions must divide evenly
+    (fractional tiles would make the contract resampler-dependent);
+    rows that don't divide — or don't decode — yield nulls. Adds
+    ``r_pixels`` (flat float array) and ``r_shape``.
+
+    One Arrow pass, per-asset O(pixels); the decoded intermediate
+    never leaves the task — only the ``factor²``-times-smaller output
+    does, which is the point at 100 TB: push reduction to the data.
+    """
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(
+                "r_pixels", T.ArrayType(T.DoubleType()), True
+            ),
+            T.StructField("r_shape", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rp, rs = [], []
+            for p in pdf[payload_col]:
+                decoded = _decode_any_pixels(p) if p is not None else None
+                if decoded is None:
+                    rp.append(None)
+                    rs.append(None)
+                    continue
+                pix, (h, w, ch) = decoded
+                if h % factor or w % factor:
+                    rp.append(None)
+                    rs.append(None)
+                    continue
+                arr = np.asarray(pix, dtype=np.float64).reshape(
+                    h, w, ch
+                )
+                small = arr.reshape(
+                    h // factor, factor, w // factor, factor, ch
+                ).mean(axis=(1, 3))
+                rp.append(
+                    [round(float(v), round_to) for v in small.reshape(-1)]
+                )
+                rs.append([h // factor, w // factor, ch])
+            pdf = pdf.copy()
+            pdf["r_pixels"] = rp
+            pdf["r_shape"] = rs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -5608,3 +5608,140 @@ def z05_jpeg_decode(spark, sf_dir):
             4,
         ).alias("v_mean"),
     ).orderBy("doc_id")
+
+
+@query(
+    "z06_image_features",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       ROUND((w - 1) / 2.0 + (h - 1) / 2.0 + 32.6, 4) AS lum_mean,
+       ROUND(SQRT((w * w - 1) / 12.0 + (h * h - 1) / 12.0), 4)
+         AS lum_std,
+       ROUND(SQRT(128), 4) AS edge_mean,
+       CAST(1.0 AS DOUBLE) AS edge_frac
+FROM g ORDER BY doc_id ASC""",
+    doc="REAL classical-CV image featurization over decoded pixels "
+    "(multimodal.py::image_features): BT.601 luminance mean/std and "
+    "Sobel gradient-magnitude stats, computed from planted x+y+40c "
+    "ramps that round-robin through the PNG, GIF, and BMP decoders "
+    "(doc_id % 3) — the linear ramp makes every feature a CLOSED "
+    "FORM the oracle recomputes arithmetically: lum = (x+y) + 32.6, "
+    "std = sqrt(var(x)+var(y)), Sobel |G| = sqrt(128) at every "
+    "interior pixel, so edge_frac(10) = 1",
+)
+def z06_image_features(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_gif_rgb,
+        encode_png,
+        image_features,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted(doc_ids):
+        import pandas as pd
+
+        encs = (encode_png, encode_gif_rgb, encode_bmp_rgb)
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 3 + d % 5, 3 + d % 4
+            pix = bytes(
+                x + y + 40 * c
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            out.append(encs[d % 3](w, h, pix))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select("doc_id", planted("doc_id").alias("payload"))
+    return (
+        image_features(assets)
+        .select(
+            "doc_id", "width", "height", "channels",
+            "lum_mean", "lum_std", "edge_mean", "edge_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "z07_image_resize",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(2 * (1 + doc_id % 4) AS INT) AS w,
+         CAST(2 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, w, h,
+         [CAST(2 * ((i // 3) % (w // 2)) + 2 * (i // (3 * (w // 2)))
+               + 1 + 40 * (i % 3) AS DOUBLE)
+          for i in generate_series(0, 3 * (w // 2) * (h // 2) - 1)]
+           AS r_pixels
+  FROM g)
+SELECT doc_id, h // 2 AS rh, w // 2 AS rw,
+       CAST(3 * (w // 2) * (h // 2) AS INT) AS n_px,
+       md5(array_to_string(r_pixels, ',')) AS px_md5
+FROM px ORDER BY doc_id ASC""",
+    doc="REAL integer-factor box downsample over decoded pixels "
+    "(multimodal.py::resize_image, factor 2): planted x+y+40c ramps "
+    "through the PNG decoder; each output pixel is the EXACT mean of "
+    "its 2x2 block, which for the ramp is the closed form "
+    "2bx+2by+1+40c (an integer-valued double) — the oracle rebuilds "
+    "the full downsampled array and md5s it, catching block "
+    "alignment, channel order, and mean-vs-sum bugs",
+)
+def z07_image_resize(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import encode_png, resize_image
+
+    @pandas_udf(T.BinaryType())
+    def planted(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h = 2 * (1 + d % 4), 2 * (1 + d % 3)
+            pix = bytes(
+                x + y + 40 * c
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            out.append(encode_png(w, h, pix))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select("doc_id", planted("doc_id").alias("payload"))
+    return (
+        resize_image(assets, factor=2)
+        .select(
+            "doc_id",
+            F.element_at("r_shape", 1).alias("rh"),
+            F.element_at("r_shape", 2).alias("rw"),
+            F.size("r_pixels").alias("n_px"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform("r_pixels", lambda x: x.cast("string")),
+                ).cast("binary")
+            ).alias("px_md5"),
+        )
+        .orderBy("doc_id")
+    )
