@@ -873,3 +873,36 @@ class TestResizeImage:
         assert got[2].r_pixels is None and got[3].r_pixels is None
         with pytest.raises(ValueError, match="factor"):
             resize_image(df, 0)
+
+
+def test_audio_features_hand_signal_and_gates(spark):
+    """Hand-computable stereo signal: RMS/peak/ZCR match by-hand
+    values; non-PCM and junk payloads yield nulls; a single frame
+    has null zcr."""
+    from topn_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    # stereo, 3 frames: L = [3, -4, 5], R = [0, 2, -2]
+    frames = [3, 0, -4, 2, 5, -2]
+    df = spark.createDataFrame(
+        [
+            (1, encode_wav_pcm16(8000, 2, frames)),
+            (2, encode_wav_pcm16(44100, 1, [7])),
+            (3, b"junk"),
+            (4, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_features(df).collect()}
+    r1 = got[1]
+    assert (r1.channels, r1.sample_rate, r1.n_frames) == (2, 8000, 3)
+    # sum sq = 9+0+16+4+25+4 = 58; rms = sqrt(58/6)
+    assert r1.rms == round((58 / 6) ** 0.5, 6)
+    assert r1.peak == 5
+    # L crossings: 3->-4, -4->5 = 2; R: 0->2 no (strict), 2->-2 yes
+    assert r1.zcr == round(3 / (2 * 2), 6)
+    r2 = got[2]
+    assert (r2.n_frames, r2.rms, r2.peak, r2.zcr) == (1, 7.0, 7, None)
+    assert got[3].rms is None and got[4].rms is None

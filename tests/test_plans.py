@@ -252,6 +252,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z05_jpeg_decode",
         "z06_image_features",
         "z07_image_resize",
+        "z08_audio_features",
     ):
         warns = [
             f

@@ -2023,3 +2023,86 @@ def resize_image(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    round_to: int = 6,
+) -> DataFrame:
+    """REAL per-asset audio featurization over decoded PCM16 samples
+    (the audio sibling of :func:`image_features`): ``channels``,
+    ``sample_rate``, ``n_frames``, overall ``rms`` (population, over
+    every interleaved sample), ``peak`` (max |sample|), and ``zcr`` —
+    the strict-sign-change zero-crossing count per channel summed
+    over channels, divided by total inter-frame gaps
+    ``channels*(n_frames-1)`` (null when fewer than 2 frames).
+
+    These are the standard silence/clipping/speech-vs-tone screens
+    for an audio corpus. One Arrow pass; payloads that are not
+    uncompressed PCM16 WAV yield null features (the fail-fast gate
+    lives in :func:`decode_audio`). All arithmetic is exact integer
+    sums until the final division, so the closed-form oracle (z08)
+    hash-matches after ROUND(…, ``round_to``).
+    """
+    import math
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("zcr", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "channels", "sample_rate", "n_frames", "rms",
+                "peak", "zcr",
+            )}
+            for p in pdf[payload_col]:
+                parsed = parse_wav(p) if p is not None else None
+                if parsed is None or parsed[3] is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                _tag, ch, sr, samples = parsed
+                nf = len(samples) // ch
+                cols["channels"].append(ch)
+                cols["sample_rate"].append(sr)
+                cols["n_frames"].append(nf)
+                if not samples:
+                    cols["rms"].append(None)
+                    cols["peak"].append(None)
+                    cols["zcr"].append(None)
+                    continue
+                sq = sum(s * s for s in samples)  # exact int
+                cols["rms"].append(
+                    round(math.sqrt(sq / len(samples)), round_to)
+                )
+                cols["peak"].append(max(abs(s) for s in samples))
+                if nf >= 2:
+                    crossings = 0
+                    for c in range(ch):
+                        chan = samples[c::ch]
+                        crossings += sum(
+                            1
+                            for i in range(1, nf)
+                            if chan[i - 1] * chan[i] < 0
+                        )
+                    cols["zcr"].append(
+                        round(crossings / (ch * (nf - 1)), round_to)
+                    )
+                else:
+                    cols["zcr"].append(None)
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -5745,3 +5745,80 @@ def z07_image_resize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z08_audio_features",
+    """WITH g AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(8000 + 100 * (doc_id % 3) AS INT) AS sr,
+         CAST(20 + doc_id % 50 AS BIGINT) AS nf
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, ch, sr, nf,
+         [CAST((doc_id * 7 + (i // ch) * 3 + (i % ch) * 11) % 200 - 100
+               AS BIGINT)
+          for i in generate_series(0, nf * ch - 1)] AS samples,
+         [CASE WHEN
+            ((doc_id * 7 + (1 + j % (nf - 1) - 1) * 3
+              + (j // (nf - 1)) * 11) % 200 - 100)
+            * ((doc_id * 7 + (1 + j % (nf - 1)) * 3
+                + (j // (nf - 1)) * 11) % 200 - 100) < 0
+          THEN 1 ELSE 0 END
+          for j in generate_series(0, ch * (nf - 1) - 1)] AS zc
+  FROM g)
+SELECT doc_id, ch AS channels, sr AS sample_rate, nf AS n_frames,
+       ROUND(SQRT(list_sum(list_transform(samples, x -> x * x))
+                  * 1.0 / (nf * ch)), 6) AS rms,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS INT)
+         AS peak,
+       ROUND(list_sum(zc) * 1.0 / (ch * (nf - 1)), 6) AS zcr
+FROM s ORDER BY doc_id ASC""",
+    doc="REAL audio featurization over decoded PCM16 "
+    "(multimodal.py::audio_features): overall RMS (exact integer "
+    "sum-of-squares before the one division), peak |sample|, and "
+    "strict-sign-change zero-crossing rate per channel — the "
+    "silence/clipping/speech screens — on the same planted x90 "
+    "waveform (doc_id*7 + f*3 + c*11) % 200 - 100; the oracle "
+    "recomputes every feature arithmetically from doc_id",
+)
+def z08_audio_features(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_wav(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            ch, sr, nf = 1 + d % 2, 8000 + 100 * (d % 3), 20 + d % 50
+            frames = [
+                (d * 7 + f * 3 + c * 11) % 200 - 100
+                for f in range(nf)
+                for c in range(ch)
+            ]
+            out.append(encode_wav_pcm16(sr, ch, frames))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_wav("doc_id").alias("payload")
+    )
+    return (
+        audio_features(assets)
+        .select(
+            "doc_id", "channels", "sample_rate", "n_frames",
+            "rms", "peak", "zcr",
+        )
+        .orderBy("doc_id")
+    )
