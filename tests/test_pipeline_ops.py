@@ -870,3 +870,50 @@ def test_stratified_split_exact_proportions_and_partition(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         stratified_split(df, ["source"], {"train": 0.5}, "doc_id")
+
+
+def test_url_features_shapes_and_domain_filter(spark):
+    from topn_spark.operators.pipeline import domain_filter, url_features
+
+    rows = [
+        (1, "https://www.example.co.uk:8080/a/b/c?x=1&y=2"),
+        (2, "http://sub.spam.com/page"),
+        (3, "ftp://192.168.0.1/files"),
+        (4, "not a url"),
+        (5, "https://localhost/x"),
+        (6, "HTTPS://User:pw@Mixed.Case.ORG/p?"),
+        (7, None),
+        (8, "https://a.b.co.jp"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r for r in url_features(df).collect()}
+    r1 = got[1]
+    assert (r1.scheme, r1.host, r1.registered_domain) == (
+        "https", "www.example.co.uk", "example.co.uk",
+    )
+    assert (r1.path_depth, r1.n_params, r1.is_ip) == (3, 2, False)
+    assert got[2].registered_domain == "spam.com"
+    assert got[3].is_ip and got[3].registered_domain == "192.168.0.1"
+    assert got[4].scheme is None and got[4].path_depth == 0
+    assert got[5].registered_domain == "localhost"
+    # userinfo stripped, case folded, empty query -> 0 params
+    assert got[6].host == "mixed.case.org"
+    assert got[6].registered_domain == "case.org"
+    assert got[6].n_params == 0
+    assert got[7].registered_domain is None
+    # two-level TLD with no path
+    assert got[8].registered_domain == "b.co.jp"
+    assert got[8].path_depth == 0
+
+    kept = {r.id for r in domain_filter(df, ["spam.com"]).collect()}
+    # unparseable (4) and null (7) fail closed by default
+    assert kept == {1, 3, 5, 6, 8}
+    kept_open = {
+        r.id
+        for r in domain_filter(
+            df, ["spam.com"], keep_unparseable=True
+        ).collect()
+    }
+    assert kept_open == {1, 3, 4, 5, 6, 7, 8}
+    # output schema is the input schema (features are internal)
+    assert domain_filter(df, ["spam.com"]).columns == ["id", "url"]

@@ -253,6 +253,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z06_image_features",
         "z07_image_resize",
         "z08_audio_features",
+        "z09_url_features",
     ):
         warns = [
             f

@@ -65,6 +65,8 @@ from topn_spark.operators.pipeline import (
     stratified_sample,
     table_diff,
     token_heavy_hitters,
+    url_features,
+    domain_filter,
     weighted_sample_k,
     winsorize,
     zscore,
@@ -141,6 +143,8 @@ __all__ = [
     "assign_split",
     "sample_k_per_group",
     "dedup_lines",
+    "url_features",
+    "domain_filter",
     "weighted_sample_k",
     "stratified_sample",
     "stratified_split",

@@ -1523,3 +1523,103 @@ def stratified_split(
         else F.lit(names[-1])
     )
     return ranked.withColumn(out_col, expr).drop("__rk", "__n")
+
+
+#: two-label public suffixes common enough to matter for registered-
+#: domain extraction (a full public-suffix list is a data file a
+#: deployment would broadcast the same way; the LOGIC is identical)
+TWO_LEVEL_TLDS = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "co.in",
+    "com.au", "com.br", "com.cn", "co.kr", "com.mx", "co.za",
+)
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    two_level_tlds: tuple[str, ...] = TWO_LEVEL_TLDS,
+) -> DataFrame:
+    """URL decomposition for corpus source filtering — the first step
+    of every domain-based pretraining filter (blocklists, per-domain
+    caps, source mixing): adds ``scheme``, ``host`` (lowercased,
+    port/userinfo stripped), ``registered_domain`` (last two labels,
+    or three when the last two are a known two-level public suffix;
+    the host itself when it is an IPv4 literal or a single label),
+    ``path_depth`` (non-empty ``/`` segments), ``n_params``
+    (non-empty ``&``-separated query tokens), and ``is_ip``.
+
+    Pure Catalyst regexp/split/slice — map-only, codegen'd, no UDF,
+    embarrassingly parallel at any scale. Malformed URLs (no
+    ``scheme://host``) yield null scheme/host/domain and zero depth.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(
+        F.nullif(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1), F.lit(""))
+    )
+    hostport = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1
+            ),
+            F.lit(""),
+        )
+    )
+    host = F.regexp_replace(hostport, r":\d*$", "")
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    depth = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    )
+    n_params = F.size(
+        F.filter(F.split(query, "&"), lambda s: s != F.lit(""))
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    labels = F.split(host, r"\.")
+    last2 = F.concat_ws(
+        ".", F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2)
+    )
+    last3 = F.concat_ws(
+        ".", F.slice(labels, F.greatest(F.size(labels) - 2, F.lit(1)), 3)
+    )
+    tld_set = F.array(*[F.lit(t) for t in two_level_tlds])
+    reg = (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (F.size(labels) <= 1), host)
+        .when(F.array_contains(tld_set, last2), last3)
+        .otherwise(last2)
+    )
+    return (
+        df.withColumn("scheme", scheme)
+        .withColumn("host", host)
+        .withColumn("registered_domain", reg)
+        .withColumn("path_depth", depth)
+        .withColumn("n_params", n_params)
+        .withColumn("is_ip", F.coalesce(is_ip, F.lit(False)))
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    keep_unparseable: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's registered domain is on a blocklist —
+    the domain-ban filter of a pretraining pipeline. The blocklist is
+    a driver-side model (like every list of this kind) applied with a
+    broadcast ``isin``-style filter: map-only, no shuffle, no join
+    needed at list sizes up to millions (beyond that, broadcast a
+    blocklist DataFrame and LEFT ANTI join — same semantics).
+    ``keep_unparseable`` decides the fate of rows with no extractable
+    domain (default: drop them — unparseable provenance fails closed).
+    """
+    feat = url_features(df, url_col)
+    blocked = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    keep = ~F.array_contains(blocked, F.col("registered_domain"))
+    if keep_unparseable:
+        keep = keep | F.col("registered_domain").isNull()
+    else:
+        keep = keep & F.col("registered_domain").isNotNull()
+    return feat.where(keep).select(*df.columns)

@@ -5822,3 +5822,87 @@ def z08_audio_features(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z09_url_features",
+    """SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
+         WHEN 4 THEN 'https' END AS scheme,
+       CASE doc_id % 5
+         WHEN 0 THEN 'www.site' || (doc_id // 5) || '.co.uk'
+         WHEN 1 THEN 'sub.dom' || (doc_id % 13) || '.com'
+         WHEN 2 THEN '10.0.' || (doc_id % 256) || '.1'
+         WHEN 4 THEN 'host' || doc_id END AS host,
+       CASE doc_id % 5
+         WHEN 0 THEN 'site' || (doc_id // 5) || '.co.uk'
+         WHEN 1 THEN 'dom' || (doc_id % 13) || '.com'
+         WHEN 2 THEN '10.0.' || (doc_id % 256) || '.1'
+         WHEN 4 THEN 'host' || doc_id END AS registered_domain,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
+         WHEN 3 THEN 0 WHEN 4 THEN 0 END AS INT) AS path_depth,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 2 WHEN 4 THEN 2 ELSE 0 END AS INT) AS n_params,
+       CAST(doc_id % 5 = 2 AS BOOLEAN) AS is_ip
+FROM documents WHERE doc_id < 500 ORDER BY doc_id ASC""",
+    doc="URL decomposition for domain-based corpus filtering "
+    "(pipeline.py::url_features): scheme/host/registered-domain "
+    "(two-level public-suffix aware, IP and single-label hosts kept "
+    "whole), path depth, query-param count, IP flag — pure Catalyst "
+    "regexp/split/slice, map-only. URLs are planted per doc_id "
+    "across five shapes (co.uk suffix, plain .com, IPv4 host, "
+    "unparseable, port+userinfo) and every feature is recomputed by "
+    "the oracle as a closed form per shape",
+)
+def z09_url_features(spark, sf_dir):
+    from topn_spark.operators.pipeline import url_features
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("https://www.site"),
+                (d / 5).cast("long").cast("string"),
+                F.lit(".co.uk/a/b?x=1&y=2"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("http://sub.dom"),
+                (d % 13).cast("string"),
+                F.lit(".com/p/q"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("ftp://10.0."),
+                (d % 256).cast("string"),
+                F.lit(".1/f"),
+            ),
+        )
+        .when(d % 5 == 3, F.lit("not a url"))
+        .otherwise(
+            F.concat(
+                F.lit("https://User:pw@HOST"),
+                d.cast("string"),
+                F.lit(":8080/?a=1&b=2"),
+            )
+        )
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return (
+        url_features(planted)
+        .select(
+            "doc_id", "scheme", "host", "registered_domain",
+            "path_depth", "n_params", "is_ip",
+        )
+        .orderBy("doc_id")
+    )
