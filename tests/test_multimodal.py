@@ -906,3 +906,28 @@ def test_audio_features_hand_signal_and_gates(spark):
     r2 = got[2]
     assert (r2.n_frames, r2.rms, r2.peak, r2.zcr) == (1, 7.0, 7, None)
     assert got[3].rms is None and got[4].rms is None
+
+
+def test_jpeg_short_segments_return_none():
+    """Structurally malformed segment bodies (1-byte DRI, truncated
+    SOF component list) must be None, not an unpack crash."""
+    import struct
+
+    from topn_spark.operators.multimodal import decode_jpeg_pixels
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    # DRI with a 1-byte body
+    bad_dri = b"\xff\xd8" + seg(0xDD, b"\x01") + b"\xff\xd9"
+    assert decode_jpeg_pixels(bad_dri) is None
+    # SOF0 declaring 3 components but carrying bytes for 1
+    bad_sof = (
+        b"\xff\xd8"
+        + seg(0xC0, bytes((8,)) + struct.pack(">HH", 8, 8)
+              + bytes((3, 1, 0x11, 0)))
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg_pixels(bad_sof) is None

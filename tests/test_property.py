@@ -179,3 +179,108 @@ def test_weighted_sample_k_matches_model(spark, n, k, grouped):
     )
     want = model_weighted_sample_k(rows, k, key="grp" if grouped else None)
     assert sorted(r["id"] for r in got.collect()) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    data=st.data(),
+    fmt=st.sampled_from(["png", "gif", "bmp", "ppm"]),
+)
+def test_lossless_image_codecs_round_trip(w, h, data, fmt):
+    """Every lossless codec pair reproduces arbitrary RGB images
+    bit-exactly at arbitrary sizes (GIF capped at 256 colors by
+    drawing from a small palette)."""
+    from topn_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_png_pixels,
+        decode_ppm_pixels,
+        encode_bmp_rgb,
+        encode_gif_rgb,
+        encode_png,
+        encode_ppm_rgb,
+    )
+
+    n = w * h * 3
+    if fmt == "gif":
+        # distinct colors <= 256: draw bytes from {0, 85, 170, 255}
+        pix = bytes(
+            data.draw(st.sampled_from([0, 85, 170, 255]))
+            for _ in range(n)
+        )
+    else:
+        pix = bytes(data.draw(st.integers(0, 255)) for _ in range(n))
+    enc = {
+        "png": lambda: encode_png(w, h, pix),
+        "gif": lambda: encode_gif_rgb(w, h, pix, interlace=h % 2 == 0),
+        "bmp": lambda: encode_bmp_rgb(w, h, pix),
+        "ppm": lambda: encode_ppm_rgb(w, h, pix),
+    }[fmt]()
+    dec = {
+        "png": decode_png_pixels,
+        "gif": decode_gif_pixels,
+        "bmp": decode_bmp_pixels,
+        "ppm": decode_ppm_pixels,
+    }[fmt](enc)
+    assert dec is not None
+    assert dec[1] == [h, w, 3]
+    assert bytes(dec[0]) == pix
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 10), h=st.integers(1, 8), data=st.data())
+def test_jpeg_round_trip_within_rounding(w, h, data):
+    """All-1s-quant JPEG round-trips arbitrary gray images within
+    coefficient-rounding error (±2) at arbitrary sizes including the
+    edge-replication padding path."""
+    import numpy as np
+
+    from topn_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    pix = bytes(data.draw(st.integers(0, 255)) for _ in range(w * h))
+    out = decode_jpeg_pixels(encode_jpeg_gray(w, h, pix))
+    assert out is not None
+    got, shape = out
+    assert shape == [h, w, 1]
+    err = np.abs(
+        np.asarray(got).reshape(h, w).astype(int)
+        - np.frombuffer(pix, np.uint8).reshape(h, w).astype(int)
+    ).max()
+    assert err <= 2
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.binary(max_size=400), data=st.data())
+def test_decoders_never_crash_on_garbage(junk, data):
+    """Arbitrary bytes — including bytes wearing a valid magic
+    number — must decode to None, never raise: decode_pixels turns
+    None into a CONTROLLED fail-fast, so an uncontrolled exception
+    here would crash whole tasks on one bad asset."""
+    from topn_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_ppm_pixels,
+        parse_wav,
+    )
+
+    magics = [
+        b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P6\n",
+        b"\xff\xd8", b"RIFF",
+    ]
+    payload = data.draw(st.sampled_from(magics)) + junk
+    for dec in (
+        decode_png_pixels,
+        decode_gif_pixels,
+        decode_bmp_pixels,
+        decode_ppm_pixels,
+        decode_jpeg_pixels,
+        parse_wav,
+    ):
+        dec(payload)  # any return is fine; raising is the failure

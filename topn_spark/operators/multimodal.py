@@ -1415,6 +1415,18 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """Entry point wrapping :func:`_decode_jpeg_impl`: ANY structural
+    malformation (short segments, truncated tables, bad component
+    refs) is the documented ``None`` outcome, not an uncontrolled
+    exception that would kill a whole task over one bad asset."""
+    try:
+        return _decode_jpeg_impl(b)
+    except (struct.error, IndexError, KeyError, ValueError,
+            ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_impl(b: bytes) -> tuple[list[int], list[int]] | None:
     """Baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
     sampling factors up to 2x2, optional restart intervals) →
     (row-major samples, [h, w, channels]) — grayscale gives 1 channel;
