@@ -254,6 +254,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z07_image_resize",
         "z08_audio_features",
         "z09_url_features",
+        "z10_domain_cap",
     ):
         warns = [
             f

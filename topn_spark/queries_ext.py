@@ -5906,3 +5906,95 @@ def z09_url_features(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z10_domain_cap",
+    """WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'site' || (doc_id % 3) || '.co.uk'
+           WHEN 1 THEN 'dom' || (doc_id % 4) || '.com'
+           WHEN 2 THEN '10.0.' || (doc_id % 2) || '.1'
+           WHEN 4 THEN 'host' || (doc_id % 3) END AS registered_domain
+  FROM documents WHERE doc_id < 500),
+parsed AS (SELECT * FROM u WHERE registered_domain IS NOT NULL),
+ranked AS (
+  SELECT doc_id, registered_domain,
+         ROW_NUMBER() OVER (
+           PARTITION BY registered_domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM parsed)
+SELECT registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(MIN(CASE WHEN rn <= 25 THEN doc_id END) AS BIGINT)
+         AS kept_min_id,
+       CAST(SUM(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM ranked GROUP BY registered_domain
+ORDER BY registered_domain ASC""",
+    doc="Per-domain frequency cap — the 'at most N docs per domain' "
+    "pretraining rule, composed end-to-end from url_features (domain "
+    "extraction; unparseable rows fail closed) and sample_k_per_group "
+    "(deterministic md5-rank cap, map-side WindowGroupLimit): reports "
+    "per-domain corpus count, post-cap count, and kept-set "
+    "fingerprints. Oracle mirrors the same md5-rank rule in SQL",
+)
+def z10_domain_cap(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        sample_k_per_group,
+        url_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("https://www.site"), (d % 3).cast("string"),
+                     F.lit(".co.uk/a")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("http://sub.dom"), (d % 4).cast("string"),
+                     F.lit(".com/p")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("ftp://10.0."), (d % 2).cast("string"),
+                     F.lit(".1/f")),
+        )
+        .when(d % 5 == 3, F.lit("not a url"))
+        .otherwise(
+            F.concat(F.lit("https://host"), (d % 3).cast("string"),
+                     F.lit("/x")),
+        )
+    )
+    feat = url_features(
+        docs.select("doc_id", url.alias("url"))
+    ).where(F.col("registered_domain").isNotNull())
+    kept = sample_k_per_group(
+        feat.select("doc_id", "registered_domain"),
+        ["registered_domain"], 25, "doc_id",
+    ).select(F.col("doc_id").alias("_kid"), F.col("registered_domain"))
+    totals = feat.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept_agg = kept.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("_kid").alias("kept_min_id"),
+        F.sum("_kid").alias("kept_id_sum"),
+    )
+    return (
+        totals.join(kept_agg, "registered_domain")
+        .select(
+            "registered_domain", "n_docs", "n_kept",
+            "kept_min_id", "kept_id_sum",
+        )
+        .orderBy("registered_domain")
+    )
