@@ -931,3 +931,57 @@ def test_jpeg_short_segments_return_none():
         + b"\xff\xd9"
     )
     assert decode_jpeg_pixels(bad_sof) is None
+
+
+def test_extract_features_histogram_real_and_modes(spark):
+    """Default mode computes the real L2-normalized luminance
+    histogram (checked against a NumPy mirror to float32 precision);
+    mode='model' fails fast; fake=True keeps the hash featurizer."""
+    import numpy as np
+    import pytest
+
+    from topn_spark.operators.multimodal import (
+        encode_gif_rgb,
+        encode_png,
+        extract_features,
+    )
+
+    w, h = 6, 4
+    ramp = bytes(
+        x + y + 40 * c
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    gray = bytes((17 * i) % 256 for i in range(w * h))
+    df = spark.createDataFrame(
+        [
+            (1, encode_gif_rgb(w, h, ramp)),
+            (2, encode_png(w, h, gray, color_type=0)),
+            (3, b"junk"),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.features for r in extract_features(df).collect()}
+
+    def mirror(lum):
+        hist = np.bincount(
+            np.clip((lum * (16 / 256.0)).astype(int), 0, 15).reshape(-1),
+            minlength=16,
+        ).astype(np.float64)
+        return (hist / np.sqrt((hist * hist).sum())).astype(np.float32)
+
+    arr = np.frombuffer(ramp, np.uint8).reshape(h, w, 3).astype(float)
+    lum1 = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    assert np.allclose(got[1], mirror(lum1), atol=1e-7)
+    lum2 = np.frombuffer(gray, np.uint8).reshape(h, w).astype(float)
+    assert np.allclose(got[2], mirror(lum2), atol=1e-7)
+    assert got[3] is None
+    assert abs(sum(v * v for v in got[1]) - 1.0) < 1e-5
+
+    with pytest.raises(Exception, match="vision model"):
+        extract_features(df, mode="model").collect()
+    fake = {r.doc_id: r.features for r in extract_features(df, fake=True).collect()}
+    assert fake[3] is not None  # hash featurizer ignores decodability
+    with pytest.raises(ValueError, match="mode"):
+        extract_features(df, mode="nope")

@@ -255,6 +255,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z08_audio_features",
         "z09_url_features",
         "z10_domain_cap",
+        "z11_histogram_features",
     ):
         warns = [
             f

@@ -875,12 +875,25 @@ def extract_features(
     payload_col: str = "payload",
     dim: int = FEATURE_DIM,
     fake: bool = False,
+    mode: str = "histogram",
 ) -> DataFrame:
     """Per-asset feature vector (array<float>) via ``mapInPandas``.
 
-    Stub: deterministic hash-derived unit vector when ``fake=True``;
-    NotImplementedError otherwise (no vision model in container).
+    ``mode="histogram"`` (default) is REAL: the L2-normalized
+    ``dim``-bin luminance histogram of the decoded pixels (BT.601 for
+    color; bin width 256/dim) — the classic codebook-free embedding
+    for near-duplicate blocking and brightness clustering, computed
+    entirely from the in-repo BMP/PPM/PNG/GIF/JPEG decoders.
+    Undecodable payloads yield null. ``mode="model"`` is the
+    learned-embedding path and fails fast (no vision model in this
+    container). ``fake=True`` keeps the deterministic hash-derived
+    unit vector regardless of mode (the schema-plumbing test
+    featurizer).
     """
+    import numpy as np
+
+    if mode not in ("histogram", "model"):
+        raise ValueError("mode must be 'histogram' or 'model'")
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
@@ -888,19 +901,42 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and mode == "model":
                 raise NotImplementedError(
-                    "feature extraction requires a vision model; pass "
-                    "fake=True for the deterministic test featurizer"
+                    "mode='model' requires a vision model (not in "
+                    "this container); the default mode='histogram' "
+                    "computes a real luminance-histogram vector"
                 )
             feats = []
             for p in pdf[payload_col]:
-                digest = hashlib.sha256(p or b"").digest()
-                vec = [
-                    (digest[i % 32] - 127.5) / 127.5 for i in range(dim)
-                ]
-                norm = sum(x * x for x in vec) ** 0.5 or 1.0
-                feats.append([float(x / norm) for x in vec])
+                if fake:
+                    digest = hashlib.sha256(p or b"").digest()
+                    vec = [
+                        (digest[i % 32] - 127.5) / 127.5
+                        for i in range(dim)
+                    ]
+                    norm = sum(x * x for x in vec) ** 0.5 or 1.0
+                    feats.append([float(x / norm) for x in vec])
+                    continue
+                decoded = (
+                    _decode_any_pixels(p) if p is not None else None
+                )
+                if decoded is None:
+                    feats.append(None)
+                    continue
+                pix, (h, w, ch) = decoded
+                arr = np.asarray(pix, dtype=np.float64).reshape(
+                    h, w, ch
+                )
+                lum = _luminance(arr, ch)
+                bins = np.clip(
+                    (lum * (dim / 256.0)).astype(int), 0, dim - 1
+                )
+                hist = np.bincount(
+                    bins.reshape(-1), minlength=dim
+                ).astype(np.float64)
+                norm = float(np.sqrt((hist * hist).sum())) or 1.0
+                feats.append([float(x / norm) for x in hist])
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf

@@ -5998,3 +5998,85 @@ def z10_domain_cap(spark, sf_dir):
         )
         .orderBy("registered_domain")
     )
+
+
+@query(
+    "z11_histogram_features",
+    """WITH g AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nbx,
+         CAST(1 + doc_id % 2 AS INT) AS nby
+  FROM documents WHERE doc_id < 200),
+blocks AS (
+  SELECT g.doc_id, g.nbx, g.nby,
+         CAST((i % nbx + i // nbx + doc_id) % 5 AS INT) AS bin
+  FROM g, LATERAL (
+    SELECT UNNEST(generate_series(0, nbx * nby - 1)) AS i)),
+counts AS (
+  SELECT doc_id, bin, COUNT(*) AS cnt
+  FROM blocks GROUP BY doc_id, bin),
+ranked AS (
+  SELECT doc_id, bin, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, bin ASC) AS rn
+  FROM counts)
+SELECT r.doc_id,
+       CAST(r.bin AS INT) AS top_bin,
+       CAST(n.nz AS INT) AS n_nonzero,
+       TRUE AS is_unit
+FROM ranked r
+JOIN (SELECT doc_id, COUNT(*) AS nz FROM counts GROUP BY doc_id) n
+  ON r.doc_id = n.doc_id
+WHERE r.rn = 1 ORDER BY r.doc_id ASC""",
+    doc="REAL default featurization (multimodal.py::extract_features "
+    "mode='histogram'): the L2-normalized 16-bin luminance histogram "
+    "over decoded pixels, here from planted gray PNGs whose 8x8 "
+    "blocks carry value 16*((bx+by+d)%5)+8 so each block lands "
+    "wholly in one known bin; the oracle recomputes the per-bin "
+    "block counts, the argmax bin (ties -> lowest, matching "
+    "np.argmax first-hit), the nonzero-bin count, and asserts unit "
+    "L2 norm — integer/boolean invariants, immune to float32 "
+    "rounding in the vector itself",
+)
+def z11_histogram_features(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            nbx, nby = 1 + d % 3, 1 + d % 2
+            w, h = 8 * nbx, 8 * nby
+            pix = bytes(
+                16 * ((x // 8 + y // 8 + d) % 5) + 8
+                for y in range(h)
+                for x in range(w)
+            )
+            out.append(encode_png(w, h, pix, color_type=0))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select("doc_id", planted("doc_id").alias("payload"))
+    feat = extract_features(assets)
+    f = F.col("features")
+    sq = F.aggregate(
+        f, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    return feat.select(
+        "doc_id",
+        (
+            F.array_position(f, F.array_max(f)) - 1
+        ).cast("int").alias("top_bin"),
+        F.size(F.filter(f, lambda x: x > 0)).alias("n_nonzero"),
+        (F.abs(sq - 1.0) < 1e-5).alias("is_unit"),
+    ).orderBy("doc_id")
