@@ -985,3 +985,52 @@ def test_extract_features_histogram_real_and_modes(spark):
     assert fake[3] is not None  # hash featurizer ignores decodability
     with pytest.raises(ValueError, match="mode"):
         extract_features(df, mode="nope")
+
+
+class TestAviMjpeg:
+    def test_round_trip_sampling_and_guards(self, spark):
+        import numpy as np
+        import pytest
+
+        from topn_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_jpeg_gray,
+            parse_avi_mjpeg,
+            sample_video_frames,
+        )
+
+        frames = [
+            encode_jpeg_gray(
+                16, 8, np.full((8, 16), 40 + 10 * f, np.uint8).tobytes()
+            )
+            for f in range(5)
+        ]
+        avi = encode_avi_mjpeg(16, 8, frames, us_per_frame=40_000)
+        us, got = parse_avi_mjpeg(avi)
+        assert us == 40_000 and len(got) == 5
+        # truncation / wrong RIFF form / junk: None, not a crash
+        assert parse_avi_mjpeg(avi[:30]) is None
+        assert parse_avi_mjpeg(avi[:200]) is None
+        assert parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+        df = spark.createDataFrame(
+            [(1, avi), (2, b"not a video"), (3, None)],
+            "doc_id long, payload binary",
+        )
+        rows = sample_video_frames(df, every=2).collect()
+        # every=2 over 5 frames -> indices 0, 2, 4; junk contributes 0
+        assert [(r.frame_idx, r.t_ms) for r in rows] == [
+            (0, 0), (2, 80), (4, 160),
+        ]
+        assert all(r.doc_id == 1 for r in rows)
+        assert [set(r.pixels) for r in rows] == [{40}, {60}, {80}]
+        assert all((r.h, r.w, r.ch) == (8, 16, 1) for r in rows)
+        with pytest.raises(ValueError, match="every"):
+            sample_video_frames(df, every=0)
+        # a non-JPEG frame inside a valid AVI raises loudly
+        bad = encode_avi_mjpeg(16, 8, [b"not a jpeg frame"])
+        df_bad = spark.createDataFrame(
+            [(9, bad)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="(?i)jpeg|codec"):
+            sample_video_frames(df_bad).collect()

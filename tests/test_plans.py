@@ -256,6 +256,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z09_url_features",
         "z10_domain_cap",
         "z11_histogram_features",
+        "z12_video_frame_sample",
     ):
         warns = [
             f

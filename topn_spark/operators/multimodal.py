@@ -951,8 +951,11 @@ def sample_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Video → frame rows (one output row per sampled frame) via
-    ``mapInPandas`` fan-out. Stubbed: fake mode emits
-    ``duration_ms // every_ms`` synthetic frame digests."""
+    ``mapInPandas`` fan-out — the gate for containers whose frames
+    need an inter-frame codec (H.264 etc.): fake mode emits
+    ``duration_ms // every_ms`` synthetic frame digests, real mode
+    fails fast. For MJPEG-in-AVI — independently decodable stills —
+    use :func:`sample_video_frames`, which is fully real."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.StringType(), False),
@@ -2154,3 +2157,168 @@ def audio_features(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    jpeg_frames: list[bytes],
+    us_per_frame: int = 40_000,
+) -> bytes:
+    """Spec-valid minimal AVI container (RIFF 'AVI ': hdrl with
+    avih + one MJPG 'vids' stream, movi with one '00dc' chunk per
+    frame) wrapping pre-encoded JPEG frames — the test-fixture
+    encoder for :func:`parse_avi_mjpeg`."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0x10, n, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, us_per_frame, 1_000_000,
+            0, n, 0, 0xFFFFFFFF, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(
+    b: bytes,
+) -> tuple[int, list[bytes]] | None:
+    """AVI (RIFF) container walk → ``(us_per_frame, [frame bytes])``
+    for the first video stream's '##dc'/'##db' chunks — pure stdlib,
+    the same RIFF chunk discipline as :func:`parse_wav`. ``None`` on
+    non-AVI or truncated containers. Frame payloads are returned
+    as-is (MJPEG = one JPEG per chunk; decoding is the caller's
+    step, so the walk works for any codec id even when only MJPEG
+    frames can be pixel-decoded here)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    us_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> bool:
+        nonlocal us_per_frame
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            body_lo, body_hi = i + 8, i + 8 + sz
+            if body_hi > hi:
+                return False  # truncated
+            if cid == b"LIST":
+                if not walk(body_lo + 4, body_hi):
+                    return False
+            elif cid == b"avih" and sz >= 4:
+                us_per_frame = struct.unpack(
+                    "<I", b[body_lo : body_lo + 4]
+                )[0]
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_lo:body_hi])
+            i = body_hi + (sz & 1)
+        return True
+
+    declared = 8 + struct.unpack("<I", b[4:8])[0]
+    if declared > len(b):
+        return None  # truncated: declared RIFF size exceeds the data
+    if not walk(12, declared):
+        return None
+    if us_per_frame is None:
+        return None
+    return us_per_frame, frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every: int = 1,
+) -> DataFrame:
+    """REAL video frame sampling for MJPEG-in-AVI: walk the RIFF
+    container, take every ``every``-th frame, decode its JPEG to
+    pixels, and emit one row per sampled frame —
+    ``(id, frame_idx, t_ms, h, w, ch, pixels)``. This is the
+    keyframe-sampling step of a multimodal ingest pipeline, fully
+    real end-to-end on the one mainstream container whose frames are
+    independently-decodable stills; inter-frame codecs (H.264 etc.)
+    still need a real decoder and keep their fail-fast gate in
+    :func:`sample_frames`.
+
+    Scale: ``mapInPandas`` fan-out — each asset contributes
+    ``n_frames/every`` rows computed entirely task-side; O(decoded
+    frames) work per asset, embarrassingly parallel. Undecodable
+    containers contribute zero rows (sampling is a best-effort scan;
+    the strict gate is :func:`decode_pixels`' contract). A frame
+    that is not a valid JPEG raises — silent frame drops would skew
+    any training-data statistics computed downstream.
+    """
+    import numpy as np  # noqa: F401  (parity with sibling decoders)
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {idt}, frame_idx int, t_ms bigint, h int, w int, "
+        "ch int, pixels array<int>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = (
+                    parse_avi_mjpeg(p) if p is not None else None
+                )
+                if parsed is None:
+                    continue
+                us, frames = parsed
+                for fi in range(0, len(frames), every):
+                    dec = decode_jpeg_pixels(frames[fi])
+                    if dec is None:
+                        raise NotImplementedError(
+                            f"frame {fi} is not a decodable baseline "
+                            "JPEG — non-MJPEG AVI streams need a "
+                            "codec library"
+                        )
+                    pix, (h, w, ch) = dec
+                    rows.append(
+                        (
+                            rid, fi, fi * us // 1000, h, w, ch, pix,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "t_ms", "h", "w", "ch",
+                    "pixels",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, out_schema
+    )

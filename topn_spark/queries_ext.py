@@ -6080,3 +6080,78 @@ def z11_histogram_features(spark, sf_dir):
         F.size(F.filter(f, lambda x: x > 0)).alias("n_nonzero"),
         (F.abs(sq - 1.0) < 1e-5).alias("is_unit"),
     ).orderBy("doc_id")
+
+
+@query(
+    "z12_video_frame_sample",
+    """WITH g AS (
+  SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf
+  FROM documents WHERE doc_id < 200),
+fr AS (
+  SELECT doc_id, UNNEST(generate_series(0, nf - 1, 2)) AS fi
+  FROM g),
+px AS (
+  SELECT doc_id, fi,
+         [CAST(20 + 10 * fi + 3 * ((i % 16) // 8) + doc_id % 7
+               AS INT)
+          for i in generate_series(0, 16 * 8 - 1)] AS pixels
+  FROM fr)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(40 * fi AS BIGINT) AS t_ms,
+       CAST(8 AS INT) AS h, CAST(16 AS INT) AS w, CAST(1 AS INT) AS ch,
+       CAST(16 * 8 AS INT) AS n_px,
+       md5(array_to_string(pixels, ',')) AS px_md5
+FROM px ORDER BY doc_id ASC, frame_idx ASC""",
+    doc="REAL video frame sampling (multimodal.py::"
+    "sample_video_frames): planted MJPEG-in-AVI containers — RIFF "
+    "walk to the movi '00dc' chunks, every 2nd frame decoded through "
+    "the baseline JPEG path — per-frame constant 8x8 blocks "
+    "20+10f+3bx+(doc_id%7) are DC-exact, so the oracle recomputes "
+    "each sampled frame's timestamp (40ms cadence) and full pixel "
+    "array md5 arithmetically; one mapInPandas fan-out row per "
+    "sampled frame",
+)
+def z12_video_frame_sample(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        sample_video_frames,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_avi(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            nf = 3 + d % 4
+            frames = []
+            for f in range(nf):
+                pix = bytes(
+                    20 + 10 * f + 3 * (x // 8) + d % 7
+                    for y in range(8)
+                    for x in range(16)
+                )
+                frames.append(encode_jpeg_gray(16, 8, pix))
+            out.append(encode_avi_mjpeg(16, 8, frames))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_avi("doc_id").alias("payload")
+    )
+    sampled = sample_video_frames(assets, every=2)
+    return sampled.select(
+        "doc_id", "frame_idx", "t_ms", "h", "w", "ch",
+        F.size("pixels").alias("n_px"),
+        F.md5(
+            F.concat_ws(",", F.transform("pixels", lambda x: x.cast("string")))
+            .cast("binary")
+        ).alias("px_md5"),
+    ).orderBy("doc_id", "frame_idx")
