@@ -564,3 +564,53 @@ def test_joiner_multi_key(spark, tmp_path):
     spec["stages"][2]["properties"]["joinKeys"] = "k = k, g"
     with pytest.raises(ValidationError, match="joinKeys"):
         run_pipeline(spark, spec)
+
+
+def test_streaming_pipeline_macro_source_path(spark, tmp_path):
+    """A macro'd streaming source path resolves from substitutions
+    before the stream starts; missing substitutions raise before any
+    query is launched."""
+    src = str(tmp_path / "s_src")
+    dst = str(tmp_path / "s_dst")
+    spark.createDataFrame(
+        [("a", 3), ("b", 9)], "name string, age int"
+    ).write.parquet(src)
+    spec = {
+        "stages": [
+            {
+                "name": "source",
+                "plugin": "File",
+                "properties": {
+                    "path": "${in}",
+                    "format": "parquet",
+                    "schema": "name string, age int",
+                },
+            },
+            {
+                "name": "topn",
+                "plugin": "TopN",
+                "properties": {"field": "age", "size": "1"},
+            },
+            {
+                "name": "sink",
+                "plugin": "FileSink",
+                "properties": {"path": dst, "format": "parquet"},
+            },
+        ],
+        "connections": [
+            {"from": "source", "to": "topn"},
+            {"from": "topn", "to": "sink"},
+        ],
+    }
+    from topn_spark.pipelines import run_streaming_pipeline
+
+    with pytest.raises(ValidationError, match=r"\$\{in\}"):
+        run_streaming_pipeline(
+            spark, spec, str(tmp_path / "ck0")
+        )
+    q = run_streaming_pipeline(
+        spark, spec, str(tmp_path / "ck1"), {"in": src}
+    )
+    q.awaitTermination(120)
+    got = {(r.name, r.age) for r in spark.read.parquet(dst).collect()}
+    assert got == {("b", 9)}

@@ -588,14 +588,25 @@ def run_streaming_pipeline(
     empty = spark.createDataFrame([], p["schema"])
     _validate_against(spark, spec, src["name"], empty)
 
-    reader = spark.readStream.schema(p["schema"]).format(
-        p.get("format", "parquet")
+    # @Macro lifecycle for the stream source, mirroring the batch
+    # File stage: ${...} in path/format resolves from substitutions
+    # before the stream starts (the schema must be literal — it was
+    # already required explicit above)
+    mc = FailureCollector()
+    path = substitute_macros(
+        p["path"], substitutions or {}, mc, "path"
     )
+    fmt = substitute_macros(
+        p.get("format", "parquet"), substitutions or {}, mc, "format"
+    )
+    mc.get_or_throw()
+
+    reader = spark.readStream.schema(p["schema"]).format(fmt)
     if "maxFilesPerTrigger" in p:
         reader = reader.option(
             "maxFilesPerTrigger", p["maxFilesPerTrigger"]
         )
-    stream = reader.load(p["path"])
+    stream = reader.load(path)
 
     def _process(batch_df: DataFrame, _bid: int) -> None:
         _run_with_source(
