@@ -23,45 +23,50 @@ from pyspark.sql import functions as F
 from topn_spark.operators.dedup import dedup_exact
 
 
+def _error_condition(e) -> str:
+    """Structured error class of a PySpark exception ('' if the
+    running version exposes none). ``getCondition`` is the Spark 4
+    name; ``getErrorClass`` its deprecated 3.4+ alias."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond:
+                return cond
+    return ""
+
+
 def _read_store(spark, path: str) -> DataFrame | None:
     """Read a parquet state store; ``None`` when it does not exist yet
     (the legitimate first-batch case).
 
     Only the missing-path / nothing-written-yet ``AnalysisException``
-    conditions are swallowed. Any OTHER failure — corruption, a
-    permission break, a half-deleted directory — must raise loudly:
-    treating it as "first batch" would silently re-admit duplicates
-    (dedup gates) or destroy accumulated snapshot state (CDC).
+    conditions are swallowed — matched on the STRUCTURED error class,
+    not message text, so a reworded message on another Spark version
+    cannot misclassify (message substring is only the fallback when
+    the running version predates error classes). Any OTHER failure —
+    corruption, a permission break, a half-deleted directory — must
+    raise loudly: treating it as "first batch" would silently
+    re-admit duplicates (dedup gates) or destroy accumulated snapshot
+    state (CDC).
     """
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+        cond = _error_condition(e)
+        missing = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+        if cond in missing:
             return None
+        if not cond:  # pre-error-class Spark: message heuristics
+            msg = str(e)
+            if any(m in msg for m in missing) or "Path does not exist" in msg:
+                return None
         raise
-
-
-def _swap_dir(spark, tmp_dir: str, final_dir: str) -> None:
-    """Replace ``final_dir`` with the fully-written ``tmp_dir`` via the
-    Hadoop FileSystem API (path-scheme agnostic). The new state exists
-    completely on disk before the old is touched, so a crash mid-swap
-    leaves either the old snapshot or the new one readable from
-    ``tmp_dir`` — never a half-deleted directory feeding recompute."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
-    final = jvm.org.apache.hadoop.fs.Path(final_dir)
-    fs = final.getFileSystem(hconf)
-    if fs.exists(final):
-        fs.delete(final, True)
-    if not fs.rename(tmp, final):
-        raise IOError(
-            f"rename {tmp_dir} -> {final_dir} failed; new state is "
-            f"intact at {tmp_dir}"
-        )
 
 
 def ingest_batch(
@@ -316,12 +321,20 @@ def cdc_batch(
     has not applied. Scale shape mirrors ``table_diff``: both sides
     reduce to (key, digest) before the one diff join ('removed' rows
     — snapshot keys the batch didn't mention — are dropped, since an
-    upsert stream cannot observe deletes without tombstones); the
-    snapshot rewrite is the merge-upsert cost
-    (a table format would make it transactional; join logic
-    unchanged).
+    upsert stream cannot observe deletes without tombstones).
+
+    The snapshot itself is kept in a manifest-committed versioned
+    store (:mod:`topn_spark.streaming.statestore`): each epoch writes
+    an immutable ``v<epoch>`` dir and atomically advances a manifest
+    pointer, so concurrent readers get snapshot isolation and a crash
+    at ANY point leaves the previous version readable — read it back
+    with :func:`read_cdc_snapshot`.
     """
     from topn_spark.operators.pipeline import table_diff
+    from topn_spark.streaming.statestore import (
+        commit_snapshot,
+        read_snapshot,
+    )
 
     spark = batch.sparkSession
     dig = F.md5(
@@ -338,7 +351,7 @@ def cdc_batch(
         .groupBy(*key_cols)
         .agg(*[F.min_by(c, "_dg").alias(c) for c in compare_cols])
     )
-    snap = _read_store(spark, snapshot_dir)
+    snap = read_snapshot(spark, snapshot_dir)
     have_snap = snap is not None
     if have_snap:
         diff = table_diff(snap, one, key_cols, compare_cols)
@@ -356,19 +369,23 @@ def cdc_batch(
         if have_snap:
             from topn_spark.operators.pipeline import merge_upsert
 
-            # write the merged snapshot to a temp dir FIRST, then swap:
-            # an in-place overwrite of a directory the plan also reads
-            # relies on cache survival — eviction or executor loss
-            # mid-write would recompute from a half-deleted input
-            tmp = f"{snapshot_dir.rstrip('/')}.__tmp_epoch{batch_id}"
-            merge_upsert(snap, one, key_cols).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            _swap_dir(spark, tmp, snapshot_dir)
+            merged = merge_upsert(snap, one, key_cols)
         else:
-            one.write.mode("overwrite").parquet(snapshot_dir)
+            merged = one
+        # versioned write + manifest advance: the previous snapshot
+        # dir is never touched while the merge plan reads it, and a
+        # concurrent reader always resolves a complete version
+        commit_snapshot(spark, snapshot_dir, merged, epoch=batch_id)
     finally:
         status.unpersist()
+
+
+def read_cdc_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
+    """Current committed CDC snapshot (resolved through the store
+    manifest), or ``None`` before the first batch."""
+    from topn_spark.streaming.statestore import read_snapshot
+
+    return read_snapshot(spark, snapshot_dir)
 
 
 def cdc_snapshot_sink(
