@@ -197,7 +197,15 @@ def test_neardup_ingest_gates_on_similarity_across_runs(spark, tmp_path):
 def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
     spark, tmp_path
 ):
-    from topn_spark.streaming.ingest import cdc_snapshot_sink
+    """The snapshot lives in the manifest-committed versioned store —
+    reads go through read_cdc_snapshot, never a direct parquet read of
+    the store root (the root holds v<seq>/ dirs plus _MANIFEST)."""
+    import os
+
+    from topn_spark.streaming.ingest import (
+        cdc_snapshot_sink,
+        read_cdc_snapshot,
+    )
 
     src = str(tmp_path / "cdc_src")
     snap = str(tmp_path / "cdc_snap")
@@ -223,14 +231,17 @@ def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
         for r in spark.read.parquet(chg).collect()
     }
     assert log1 == {(1, "added", 0), (2, "added", 0)}
-    snap1 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    snap1 = {(r.k, r.v) for r in read_cdc_snapshot(spark, snap).collect()}
     assert snap1 == {(1, "a"), (2, "b")}
+    # store layout: versioned dirs + manifest pointer, no flat data
+    names = set(os.listdir(snap))
+    assert "_MANIFEST" in names
+    assert any(n.startswith("v") and n[1:].isdigit() for n in names)
 
     # run 2 (restart): change 1, repeat 2 unchanged, add 3; key 4
     # never mentioned -> no 'removed' rows in an upsert stream
     upserts([(1, "A2"), (2, "b"), (3, "c")])
     run()
-    # epoch restarts at 0 in a fresh query; select by status set
     statuses = sorted(
         (r.k, r.status)
         for r in spark.read.parquet(chg).collect()
@@ -238,7 +249,7 @@ def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
     assert statuses.count((1, "changed")) == 1
     assert statuses.count((2, "unchanged")) == 1
     assert statuses.count((3, "added")) == 1
-    snap2 = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    snap2 = {(r.k, r.v) for r in read_cdc_snapshot(spark, snap).collect()}
     assert snap2 == {(1, "A2"), (2, "b"), (3, "c")}
 
 
@@ -282,13 +293,14 @@ def test_inconsistent_lsh_store_raises(spark, tmp_path):
         neardup_ingest_batch(batch, store, str(tmp_path / "nout"))
 
 
-def test_cdc_snapshot_swap_leaves_no_temp_dir(spark, tmp_path):
-    """The merge-upsert snapshot rewrite goes through write-to-temp +
-    rename; after a successful batch the temp dir must be gone and the
-    snapshot fully merged."""
+def test_cdc_snapshot_commit_leaves_no_staging_dir(spark, tmp_path):
+    """Each batch commits an immutable store version via staging +
+    rename; after a successful batch no staging dir remains, the
+    manifest resolves the fully merged snapshot, and the previous
+    version is retained for in-flight readers (keep=1)."""
     import os
 
-    from topn_spark.streaming.ingest import cdc_batch
+    from topn_spark.streaming.ingest import cdc_batch, read_cdc_snapshot
 
     snap = str(tmp_path / "snap")
     chg = str(tmp_path / "chg")
@@ -296,7 +308,11 @@ def test_cdc_snapshot_swap_leaves_no_temp_dir(spark, tmp_path):
     cdc_batch(b1, snap, chg, ["k"], ["v"], batch_id=0)
     b2 = spark.createDataFrame([(1, "A2"), (3, "c")], "k long, v string")
     cdc_batch(b2, snap, chg, ["k"], ["v"], batch_id=1)
-    got = {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+    got = {(r.k, r.v) for r in read_cdc_snapshot(spark, snap).collect()}
     assert got == {(1, "A2"), (2, "b"), (3, "c")}
-    leftovers = [d for d in os.listdir(tmp_path) if "__tmp_epoch" in d]
-    assert leftovers == []
+    names = os.listdir(snap)
+    assert [n for n in names if n.startswith(".staging")] == []
+    versions = sorted(n for n in names if n.startswith("v"))
+    assert len(versions) == 2  # current + keep=1 predecessor
+    with open(os.path.join(snap, "_MANIFEST")) as fh:
+        assert fh.readline().strip() == versions[-1]

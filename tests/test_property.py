@@ -26,14 +26,27 @@ _floats = st.one_of(
 _ints = st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1), st.sampled_from([7, 7, 7]))
 
 
+def _norm_zero(v):
+    # Spark SQL normalizes -0.0 == 0.0 in comparisons and sort keys
+    # (Float/DoubleType ordering treats the zeros as equal), so which
+    # zero survives a LIMIT is plan-arbitrary — that is the engine's
+    # documented tie semantics, diverging from the reference's
+    # Double.compare (TopN.java:171-179) which orders -0.0 < 0.0.
+    # The model mirrors the engine: both zeros collapse to +0.0.
+    if isinstance(v, float) and v == 0.0:
+        return 0.0
+    return v
+
+
 def _sort_key(v):
     # Mirrors the reference comparator (TopN.java:144-186, 222-231) +
-    # Float.compare NaN ordering: null < everything < ... < +Inf < NaN.
+    # Float.compare NaN ordering: null < everything < ... < +Inf < NaN
+    # — except signed zero, normalized to Spark semantics (_norm_zero).
     if v is None:
         return (0, 0.0)
     if isinstance(v, float) and math.isnan(v):
         return (2, 0.0)
-    return (1, v)
+    return (1, _norm_zero(v))
 
 
 def model_topn(values, size, ignore_null):
@@ -45,7 +58,9 @@ def _canon(v):
     if v is None:
         return "null"
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else repr(v)
+        # -0.0 and 0.0 compare equal in Spark sorts; canonicalize so
+        # the multiset compare doesn't distinguish which zero survived
+        return "nan" if math.isnan(v) else repr(_norm_zero(v))
     return repr(v)
 
 

@@ -324,11 +324,13 @@ def cdc_batch(
     upsert stream cannot observe deletes without tombstones).
 
     The snapshot itself is kept in a manifest-committed versioned
-    store (:mod:`topn_spark.streaming.statestore`): each epoch writes
-    an immutable ``v<epoch>`` dir and atomically advances a manifest
-    pointer, so concurrent readers get snapshot isolation and a crash
-    at ANY point leaves the previous version readable — read it back
-    with :func:`read_cdc_snapshot`.
+    store (:mod:`topn_spark.streaming.statestore`): each batch writes
+    an immutable ``v<seq>`` dir (sequence = max existing + 1, NOT the
+    batch id — checkpoint resets restart batch ids at 0 and must not
+    reorder versions) and atomically advances a manifest pointer, so
+    concurrent readers get snapshot isolation and a crash at ANY point
+    leaves the previous version readable — read it back with
+    :func:`read_cdc_snapshot`.
     """
     from topn_spark.operators.pipeline import table_diff
     from topn_spark.streaming.statestore import (

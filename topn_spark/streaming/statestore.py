@@ -10,18 +10,37 @@ mistakes accumulated state for a first batch.
 This module removes both by never mutating a published directory:
 
 * every snapshot version is written to its own immutable dir
-  ``store/v<epoch>`` (staged under a dot-prefixed name, then renamed
+  ``store/v<seq>`` (staged under a dot-prefixed name, then renamed
   into place — directory rename is atomic on HDFS and local posix);
-* a one-line manifest file ``store/_MANIFEST`` names the current
-  version; it is replaced by write-tmp + rename, so readers either
-  see the old pointer or the new one, never a torn file;
-* readers resolve through the manifest. If the manifest is missing
-  but version dirs exist (the only crash window: manifest replaced
-  non-atomically on a filesystem without overwrite-rename), the
-  reader falls back to the HIGHEST complete version dir — which is
-  correct because a version dir only becomes visible after it is
-  fully written, and the manifest is only advanced after the dir
-  exists.
+* the version SEQUENCE is derived inside the store as
+  ``max(existing) + 1`` — it deliberately does NOT trust the caller's
+  streaming ``batch_id``/epoch, because batch ids restart at 0 when a
+  user recreates the checkpoint but keeps the store; an epoch-keyed
+  layout would then commit a new v0 below surviving stale versions,
+  and any highest-version fallback would resurrect pre-reset state.
+  The epoch is recorded as manifest metadata only;
+* a manifest file ``store/_MANIFEST`` names the current version; it
+  is replaced by write-tmp + rename, so readers either see the old
+  pointer or the new one, never a torn file;
+* a published version dir is NEVER deleted while the manifest may
+  point at it — commit always targets a fresh sequence number, and GC
+  keeps the ``keep`` most recent versions below the current one, so a
+  crash at any point leaves a complete, readable snapshot;
+* readers resolve through the manifest. If the manifest is missing,
+  or names a version whose dir is gone (both only reachable through a
+  crash window on a filesystem without atomic overwrite-rename), the
+  reader falls back to the HIGHEST complete version dir — correct
+  because a version dir only becomes visible after it is fully
+  written, and sequences are monotonic across checkpoint resets. A
+  manifest whose CONTENT is unparseable is different: that is not a
+  known crash window, so the store raises instead of guessing.
+
+A pre-versioning ("legacy") store — flat parquet data files directly
+in ``store_dir`` with no manifest and no version dirs — is still
+readable: :func:`read_snapshot` detects the layout and reads the flat
+files, and the first :func:`commit_snapshot` supersedes them (the
+flat files are garbage-collected after the first versioned commit
+lands, same timing as old-version GC).
 
 Older versions are garbage-collected after commit, keeping ``keep``
 previous versions so in-flight readers of the last snapshot finish
@@ -58,10 +77,10 @@ def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
-def version_dir_name(epoch: int) -> str:
-    if epoch < 0:
-        raise ValueError(f"epoch must be >= 0, got {epoch}")
-    return f"v{epoch:010d}"
+def version_dir_name(seq: int) -> str:
+    if seq < 0:
+        raise ValueError(f"version sequence must be >= 0, got {seq}")
+    return f"v{seq:010d}"
 
 
 def _list_versions(spark: SparkSession, store_dir: str) -> list[str]:
@@ -77,15 +96,35 @@ def _list_versions(spark: SparkSession, store_dir: str) -> list[str]:
     return sorted(out)
 
 
+def _legacy_data_files(spark: SparkSession, store_dir: str) -> list:
+    """Root-level regular data files from a pre-versioning flat store
+    (parquet part files live directly in ``store_dir``). Metadata
+    names (``_SUCCESS``, ``_MANIFEST``, dot-files) are excluded."""
+    fs, root = _hadoop(spark, store_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(st.getPath())
+    return out
+
+
 def current_version(spark: SparkSession, store_dir: str) -> str | None:
     """Resolve the current snapshot version dir name, or ``None`` when
-    the store holds no committed snapshot yet (the first-batch case).
+    the store holds no committed version (first batch, or a legacy
+    flat-layout store — see :func:`read_snapshot`).
 
-    Resolution order: the manifest pointer, then (crash-recovery
-    fallback) the highest visible version dir.
+    Resolution order: the manifest pointer; if the manifest is absent
+    or names a version whose dir is missing (crash windows on
+    filesystems without atomic overwrite-rename), the highest visible
+    version dir. An unparseable manifest raises — that is corruption,
+    not a known crash window.
     """
     fs, _ = _hadoop(spark, store_dir)
     mpath = _jpath(spark, f"{store_dir.rstrip('/')}/{MANIFEST}")
+    versions = _list_versions(spark, store_dir)
     if fs.exists(mpath):
         stream = fs.open(mpath)
         try:
@@ -96,25 +135,31 @@ def current_version(spark: SparkSession, store_dir: str) -> str | None:
             )
         finally:
             stream.close()
-        name = raw.decode("utf-8").strip()
+        name = raw.decode("utf-8").splitlines()[0].strip() if raw else ""
         if not _VDIR_RE.match(name):
             raise IOError(
                 f"corrupt manifest in {store_dir}: {name!r} is not a "
                 f"version dir name"
             )
-        if not fs.exists(_jpath(spark, f"{store_dir.rstrip('/')}/{name}")):
-            raise IOError(
-                f"manifest in {store_dir} points at missing version "
-                f"{name} — store is corrupt, refusing to guess"
-            )
-        return name
-    versions = _list_versions(spark, store_dir)
+        if fs.exists(_jpath(spark, f"{store_dir.rstrip('/')}/{name}")):
+            return name
+        # The manifest can name a missing dir only through a crash
+        # between the GC-less commit steps on a filesystem where the
+        # manifest rename was not atomic; every visible version dir is
+        # complete and sequences are monotonic, so the highest one is
+        # the newest committed state — recover instead of bricking.
+        if versions:
+            return versions[-1]
+        raise IOError(
+            f"manifest in {store_dir} points at missing version "
+            f"{name} and no version dirs exist — store is corrupt"
+        )
     return versions[-1] if versions else None
 
 
 def _read_stream(stream) -> bytes:
     # FSDataInputStream without readAllBytes: drain in chunks via the
-    # single-byte java read() — manifests are ~12 bytes, cost is nil.
+    # single-byte java read() — manifests are ~30 bytes, cost is nil.
     buf = bytearray()
     while True:
         b = stream.read()
@@ -126,63 +171,94 @@ def _read_stream(stream) -> bytes:
 
 def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """Current committed snapshot as a DataFrame, or ``None`` when no
-    version has ever been committed (legitimate first batch)."""
+    snapshot has ever been committed (legitimate first batch).
+
+    A legacy flat-layout store (data files in ``store_dir`` itself,
+    no versions, no manifest) is read in place — accumulated round-5
+    state is never silently discarded."""
     ver = current_version(spark, store_dir)
-    if ver is None:
-        return None
-    return spark.read.parquet(f"{store_dir.rstrip('/')}/{ver}")
+    if ver is not None:
+        return spark.read.parquet(f"{store_dir.rstrip('/')}/{ver}")
+    if _legacy_data_files(spark, store_dir):
+        return spark.read.parquet(store_dir)
+    return None
 
 
 def commit_snapshot(
     spark: SparkSession,
     store_dir: str,
     df: DataFrame,
-    epoch: int,
+    epoch: int = 0,
     keep: int = 1,
 ) -> str:
-    """Write ``df`` as version ``epoch`` and advance the manifest.
+    """Write ``df`` as a NEW version and advance the manifest.
+
+    The version sequence is ``max(existing) + 1`` — monotonic even
+    when the caller's streaming ``epoch``/batch_id restarts at 0 after
+    a checkpoint reset; the epoch is recorded in the manifest as
+    metadata only. A replayed epoch (foreachBatch re-run after a
+    checkpoint rollback) therefore commits a fresh version with the
+    recomputed content — the previously published dir, which the
+    manifest may still reference and concurrent readers may hold open,
+    is never deleted or overwritten.
 
     Steps (each leaves the store readable if the next never runs):
 
-    1. write the data under ``.staging_v<epoch>`` — invisible to
+    1. write the data under ``.staging_v<seq>`` — invisible to
        :func:`_list_versions` and the manifest;
-    2. atomically rename the staging dir to ``v<epoch>`` — the
+    2. atomically rename the staging dir to ``v<seq>`` — the
        version becomes visible and complete in one operation;
     3. replace the manifest (write ``_MANIFEST.tmp`` + rename over);
     4. delete versions older than the ``keep`` most recent below the
-       new one.
+       new one, stale staging dirs, and (once, on the first versioned
+       commit over a legacy store) the superseded flat data files.
 
-    Returns the committed version dir name. Re-running the same epoch
-    (foreachBatch replay after a checkpoint rollback) overwrites the
-    same version dir and re-points the manifest — idempotent.
+    Returns the committed version dir name.
     """
     root = store_dir.rstrip("/")
-    vname = version_dir_name(epoch)
     fs, _ = _hadoop(spark, root)
+    versions = _list_versions(spark, root)
+    seq = (int(_VDIR_RE.match(versions[-1]).group(1)) + 1) if versions else 1
+    vname = version_dir_name(seq)
+    legacy = _legacy_data_files(spark, root)
     staging = f"{root}/.staging_{vname}"
     final = f"{root}/{vname}"
     df.write.mode("overwrite").parquet(staging)
     fpath, spath = _jpath(spark, final), _jpath(spark, staging)
     if fs.exists(fpath):
-        # replayed epoch: the dir from the failed attempt is stale
-        fs.delete(fpath, True)
+        # single-writer contract: a fresh sequence can only pre-exist
+        # if two writers race on the same store — refuse to clobber
+        raise IOError(
+            f"version {final} appeared during commit — concurrent "
+            f"writer detected; staged snapshot is intact at {staging}"
+        )
     if not fs.rename(spath, fpath):
         raise IOError(
             f"rename {staging} -> {final} failed; staged snapshot is "
             f"intact at {staging}"
         )
-    _write_manifest(spark, root, vname)
+    _write_manifest(spark, root, vname, epoch)
     _gc_versions(spark, root, vname, keep)
+    # the flat legacy files were merged into this version's plan and
+    # the staging write has fully materialized it — they are
+    # superseded; sweep them so the legacy-read path never shadows
+    # (the version dirs win resolution anyway, this is space GC)
+    for p in legacy:
+        fs.delete(p, False)
     return vname
 
 
-def _write_manifest(spark: SparkSession, root: str, vname: str) -> None:
+def _write_manifest(
+    spark: SparkSession, root: str, vname: str, epoch: int
+) -> None:
     fs, _ = _hadoop(spark, root)
     tmp = _jpath(spark, f"{root}/{MANIFEST}.tmp")
     final = _jpath(spark, f"{root}/{MANIFEST}")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(f"{vname}\n", "utf-8"))
+        # line 1 is the pointer (parsed); line 2 is metadata for
+        # humans/debugging (ignored by the parser)
+        out.write(bytearray(f"{vname}\nepoch={epoch}\n", "utf-8"))
     finally:
         out.close()
     # posix/HDFS file rename over an existing target is atomic; on
@@ -200,12 +276,20 @@ def _gc_versions(
 ) -> None:
     fs, _ = _hadoop(spark, root)
     versions = _list_versions(spark, root)
-    older = [v for v in versions if v < current]
-    for v in older[: max(0, len(older) - keep)]:
-        fs.delete(_jpath(spark, f"{root}/{v}"), True)
-    # a staging dir left by a crashed earlier attempt at a LOWER epoch
-    # can never be committed (its epoch is in the past) — sweep it
+    # keep-set = the (keep + 1) most recent versions: the current one
+    # plus `keep` predecessors for in-flight readers; everything else
+    # goes — including any version ABOVE current, which can only exist
+    # if an external actor wrote it (current is always the max we just
+    # committed), so "not in keep-set" rather than "older than current"
+    keep_set = set(versions[-(keep + 1):])
+    keep_set.add(current)  # never delete the manifest-referenced dir
+    for v in versions:
+        if v not in keep_set:
+            fs.delete(_jpath(spark, f"{root}/{v}"), True)
+    # a staging dir left by a crashed earlier attempt at a lower or
+    # equal sequence can never be committed (commit always targets a
+    # fresh max+1) — sweep it
     for st in fs.listStatus(_jpath(spark, root)):
         name = st.getPath().getName()
-        if name.startswith(".staging_v") and name[len(".staging_") :] < current:
+        if name.startswith(".staging_v") and name[len(".staging_"):] <= current:
             fs.delete(st.getPath(), True)
