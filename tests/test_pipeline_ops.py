@@ -908,6 +908,30 @@ def test_url_features_shapes_and_domain_filter(spark):
     kept = {r.id for r in domain_filter(df, ["spam.com"]).collect()}
     # unparseable (4) and null (7) fail closed by default
     assert kept == {1, 3, 5, 6, 8}
+
+    # RFC 3986 edges (regression: ADVICE r6 lows)
+    edge_rows = [
+        # '?' inside the fragment is NOT a query
+        (1, "http://ex.com/a#frag?x=1&y=2"),
+        # query before fragment still counts; fragment '&' ignored
+        (2, "http://ex.com/a?x=1#frag&y=2"),
+        # IPv6 bracket literal + port: host is the unbracketed address
+        (3, "https://[2001:db8::1]:8443/p?q=1"),
+        # IPv6 bracket literal, no port
+        (4, "https://[::1]/p"),
+        # IPv6 with userinfo
+        (5, "https://u:p@[fe80::a]:80/x/y"),
+    ]
+    edf = spark.createDataFrame(edge_rows, "id long, url string")
+    e = {r.id: r for r in url_features(edf).collect()}
+    assert e[1].n_params == 0 and e[1].path_depth == 1
+    assert e[2].n_params == 1
+    assert (e[3].host, e[3].is_ip, e[3].n_params) == (
+        "2001:db8::1", True, 1,
+    )
+    assert e[3].registered_domain == "2001:db8::1"
+    assert (e[4].host, e[4].is_ip) == ("::1", True)
+    assert (e[5].host, e[5].path_depth) == ("fe80::a", 2)
     kept_open = {
         r.id
         for r in domain_filter(

@@ -370,6 +370,10 @@ def test_knn_join_row_cap_guard(spark):
     # explicit opt-in still works
     out = knn_join(df, df, k=2, max_left_rows=30)
     assert out.where("rn = 1").count() == 30
+    # max_left_rows=None skips the guard (and its extra action)
+    # entirely — for callers that already bounded the probe side
+    out2 = knn_join(df, df, k=2, max_left_rows=None)
+    assert out2.where("rn = 1").count() == 30
 
 
 class TestIvfPq:

@@ -393,6 +393,9 @@ def test_bpe_train_known_corpus_and_roundtrip(spark):
     ]
     got = bpe_train(df, 6, min_pair_count=1)
     assert got == want
+    # the distributed tier (forced via vocab_driver_cap=0) learns the
+    # identical table in the identical order
+    assert bpe_train(df, 6, min_pair_count=1, vocab_driver_cap=0) == want
     # partitioning-independent: same corpus split across many rows
     words = text.split()
     df2 = spark.createDataFrame(
@@ -408,3 +411,41 @@ def test_bpe_train_known_corpus_and_roundtrip(spark):
     row = apply_bpe(probe, got, keep_tokens=8).collect()[0]
     assert row.tokens == ["low", "est"]
     assert row.n_bpe_tokens == 2
+
+
+def test_bpe_train_tiers_agree_and_distributed_batches_rounds(spark):
+    """The driver tier (incremental heap Sennrich) and the distributed
+    tier (batched rounds) learn bit-identical merge tables on natural
+    text; on a symbol-disjoint corpus the distributed tier accepts
+    many merges per scheduled round (the round count must be ≪ the
+    merge count — the operator's standing perf-weak fix)."""
+    from topn_spark.operators.textstats import bpe_train
+
+    text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "the brown dog barks the fox runs the runs jumps the lazy "
+        "quick brown foxes dogged the jumping runner over and over"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sd, sx = {}, {}
+    driver = bpe_train(df, 20, min_pair_count=1, stats=sd)
+    dist = bpe_train(
+        df, 20, min_pair_count=1, vocab_driver_cap=0, stats=sx
+    )
+    assert driver == dist
+    assert len(driver) == 20
+    assert sd == {"path": "driver", "rounds": 0}
+    assert sx["path"] == "distributed"
+
+    # symbol-disjoint frequent pairs: one distributed round takes all
+    rows = (
+        [(i, "ab") for i in range(9)]
+        + [(100 + i, "cd") for i in range(8)]
+        + [(200 + i, "ef") for i in range(7)]
+        + [(300 + i, "gh") for i in range(6)]
+    )
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {}
+    got = bpe_train(df2, 4, min_pair_count=2, vocab_driver_cap=0, stats=st)
+    assert got == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+    assert st["rounds"] == 1  # 4 merges, one scheduled round

@@ -1546,11 +1546,17 @@ def url_features(
     or three when the last two are a known two-level public suffix;
     the host itself when it is an IPv4 literal or a single label),
     ``path_depth`` (non-empty ``/`` segments), ``n_params``
-    (non-empty ``&``-separated query tokens), and ``is_ip``.
+    (non-empty ``&``-separated query tokens), and ``is_ip`` (IPv4
+    dotted-quad or IPv6 bracket literal).
 
     Pure Catalyst regexp/split/slice — map-only, codegen'd, no UDF,
     embarrassingly parallel at any scale. Malformed URLs (no
     ``scheme://host``) yield null scheme/host/domain and zero depth.
+    RFC 3986 edges handled explicitly: the query is extracted from
+    the pre-fragment part only (a ``?`` inside ``#fragment`` is NOT a
+    query), and an IPv6 bracket literal ``[...]`` is unbracketed into
+    ``host`` with the port stripped outside the brackets (the plain
+    ``:\\d*$`` strip would truncate the address itself).
     """
     u = F.col(url_col)
     scheme = F.lower(
@@ -1564,18 +1570,25 @@ def url_features(
             F.lit(""),
         )
     )
-    host = F.regexp_replace(hostport, r":\d*$", "")
+    # IPv6 bracket literal: host is the bracket CONTENT; the port (and
+    # the brackets) sit outside it, so no port strip can mangle it
+    ip6 = F.nullif(F.regexp_extract(hostport, r"^\[([^\]]+)\]", 1), F.lit(""))
+    host = F.coalesce(ip6, F.regexp_replace(hostport, r":\d*$", ""))
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
     )
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query = first '?' up to '#', searched in the PRE-fragment part
+    # only: '#section?x=1' has a fragment containing '?', no query
+    query = F.regexp_extract(
+        F.regexp_extract(u, r"^([^#]*)", 1), r"\?(.*)$", 1
+    )
     depth = F.size(
         F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
     )
     n_params = F.size(
         F.filter(F.split(query, "&"), lambda s: s != F.lit(""))
     )
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | ip6.isNotNull()
     labels = F.split(host, r"\.")
     last2 = F.concat_ws(
         ".", F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2)

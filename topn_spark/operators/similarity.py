@@ -176,7 +176,7 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
-    max_left_rows: int = 100_000,
+    max_left_rows: int | None = 100_000,
 ) -> DataFrame:
     """Brute-force k-NN join: for every left row, its k nearest right
     rows by cosine → ``(left_id, right_id, score, rn)``.
@@ -189,20 +189,30 @@ def knn_join(
     mechanical: the call refuses (ValueError) when the broadcast/probe
     side exceeds it, instead of silently launching a full cartesian
     over a corpus. Raise the cap explicitly for a deliberate large
-    evaluation run.
+    evaluation run, or pass ``None`` to skip the guard (and its extra
+    action) when the caller already bounded the probe side.
+
+    The guard counts on a PERSISTED probe projection that the join
+    itself then broadcasts from cache — the probe plan (possibly an
+    expensive upstream pipeline) executes once, not twice.
     """
-    n = left.limit(max_left_rows + 1).count()
-    if n > max_left_rows:
-        raise ValueError(
-            f"knn_join probe side has more than {max_left_rows} rows; "
-            "this operator is an O(|L|x|R|) evaluation baseline. Use "
-            "ivf_topk/pq_topk/ivfpq_topk for bulk ANN, or pass an "
-            "explicit max_left_rows for a deliberate evaluation run."
-        )
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).cast("array<double>").alias("lv"),
     )
+    if max_left_rows is not None:
+        l = l.persist()
+        n = l.limit(max_left_rows + 1).count()
+        if n > max_left_rows:
+            l.unpersist()
+            raise ValueError(
+                f"knn_join probe side has more than {max_left_rows} "
+                "rows; this operator is an O(|L|x|R|) evaluation "
+                "baseline. Use ivf_topk/pq_topk/ivfpq_topk for bulk "
+                "ANN, pass an explicit max_left_rows for a deliberate "
+                "evaluation run, or max_left_rows=None to skip the "
+                "guard."
+            )
     r = right.select(
         F.col(right_id).alias("right_id"),
         F.col(vec_col).cast("array<double>").alias("rv"),

@@ -5302,12 +5302,15 @@ def _z02_bpe_train_mirror(con):
     None,
     doc="Distributed BPE merge-table TRAINING (textstats.py::"
     "bpe_train) — the Sennrich loop that produces what apply_bpe "
-    "(y26) consumes: corpus read once into a cached distinct-word "
-    "frequency table, then per round one map-side-combined pair-count "
-    "agg + a 1-row collect + an Arrow re-segmentation, all O(vocab) "
-    "not O(corpus); 24 merges over the sf documents table, stopping "
-    "at pair count < 2. Oracle: pure-Python Sennrich mirror, exact "
-    "merge-table equality plus the applied corpus token count",
+    "(y26) consumes: corpus read once (the only data pass) into a "
+    "distinct-word frequency table; a model-sized vocab then trains "
+    "on the driver with the incremental heap algorithm (zero Spark "
+    "jobs per merge), while an over-cap vocab falls back to batched "
+    "distributed rounds (provably sequential-equivalent prefix "
+    "acceptance) — both tiers bit-identical; 24 merges over the sf "
+    "documents table, stopping at pair count < 2. Oracle: "
+    "pure-Python Sennrich mirror, exact merge-table equality plus "
+    "the applied corpus token count",
     tol_oracle=_z02_bpe_train_mirror,
     tolerance=0.0,
     tol_keys=("rank",),
@@ -5827,34 +5830,44 @@ def z08_audio_features(spark, sf_dir):
 @query(
     "z09_url_features",
     """SELECT doc_id,
-       CASE doc_id % 5
+       CASE doc_id % 7
          WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
-         WHEN 4 THEN 'https' END AS scheme,
-       CASE doc_id % 5
+         WHEN 4 THEN 'https' WHEN 5 THEN 'http' WHEN 6 THEN 'https'
+         END AS scheme,
+       CASE doc_id % 7
          WHEN 0 THEN 'www.site' || (doc_id // 5) || '.co.uk'
          WHEN 1 THEN 'sub.dom' || (doc_id % 13) || '.com'
          WHEN 2 THEN '10.0.' || (doc_id % 256) || '.1'
-         WHEN 4 THEN 'host' || doc_id END AS host,
-       CASE doc_id % 5
+         WHEN 4 THEN 'host' || doc_id
+         WHEN 5 THEN 'frag.site' || (doc_id % 9) || '.org'
+         WHEN 6 THEN '2001:db8::' || (doc_id % 9 + 1) END AS host,
+       CASE doc_id % 7
          WHEN 0 THEN 'site' || (doc_id // 5) || '.co.uk'
          WHEN 1 THEN 'dom' || (doc_id % 13) || '.com'
          WHEN 2 THEN '10.0.' || (doc_id % 256) || '.1'
-         WHEN 4 THEN 'host' || doc_id END AS registered_domain,
-       CAST(CASE doc_id % 5
+         WHEN 4 THEN 'host' || doc_id
+         WHEN 5 THEN 'site' || (doc_id % 9) || '.org'
+         WHEN 6 THEN '2001:db8::' || (doc_id % 9 + 1)
+         END AS registered_domain,
+       CAST(CASE doc_id % 7
          WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
-         WHEN 3 THEN 0 WHEN 4 THEN 0 END AS INT) AS path_depth,
-       CAST(CASE doc_id % 5
-         WHEN 0 THEN 2 WHEN 4 THEN 2 ELSE 0 END AS INT) AS n_params,
-       CAST(doc_id % 5 = 2 AS BOOLEAN) AS is_ip
+         WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 3
+         END AS INT) AS path_depth,
+       CAST(CASE doc_id % 7
+         WHEN 0 THEN 2 WHEN 4 THEN 2 WHEN 6 THEN 1 ELSE 0
+         END AS INT) AS n_params,
+       CAST(doc_id % 7 IN (2, 6) AS BOOLEAN) AS is_ip
 FROM documents WHERE doc_id < 500 ORDER BY doc_id ASC""",
     doc="URL decomposition for domain-based corpus filtering "
     "(pipeline.py::url_features): scheme/host/registered-domain "
     "(two-level public-suffix aware, IP and single-label hosts kept "
     "whole), path depth, query-param count, IP flag — pure Catalyst "
     "regexp/split/slice, map-only. URLs are planted per doc_id "
-    "across five shapes (co.uk suffix, plain .com, IPv4 host, "
-    "unparseable, port+userinfo) and every feature is recomputed by "
-    "the oracle as a closed form per shape",
+    "across seven shapes (co.uk suffix, plain .com, IPv4 host, "
+    "unparseable, port+userinfo, '?' inside the fragment which must "
+    "NOT count as query params, IPv6 bracket literal with port) and "
+    "every feature is recomputed by the oracle as a closed form per "
+    "shape",
 )
 def z09_url_features(spark, sf_dir):
     from topn_spark.operators.pipeline import url_features
@@ -5865,7 +5878,7 @@ def z09_url_features(spark, sf_dir):
     d = F.col("doc_id")
     url = (
         F.when(
-            d % 5 == 0,
+            d % 7 == 0,
             F.concat(
                 F.lit("https://www.site"),
                 (d / 5).cast("long").cast("string"),
@@ -5873,7 +5886,7 @@ def z09_url_features(spark, sf_dir):
             ),
         )
         .when(
-            d % 5 == 1,
+            d % 7 == 1,
             F.concat(
                 F.lit("http://sub.dom"),
                 (d % 13).cast("string"),
@@ -5881,19 +5894,35 @@ def z09_url_features(spark, sf_dir):
             ),
         )
         .when(
-            d % 5 == 2,
+            d % 7 == 2,
             F.concat(
                 F.lit("ftp://10.0."),
                 (d % 256).cast("string"),
                 F.lit(".1/f"),
             ),
         )
-        .when(d % 5 == 3, F.lit("not a url"))
-        .otherwise(
+        .when(d % 7 == 3, F.lit("not a url"))
+        .when(
+            d % 7 == 4,
             F.concat(
                 F.lit("https://User:pw@HOST"),
                 d.cast("string"),
                 F.lit(":8080/?a=1&b=2"),
+            ),
+        )
+        .when(
+            d % 7 == 5,
+            F.concat(
+                F.lit("http://frag.site"),
+                (d % 9).cast("string"),
+                F.lit(".org/one#sec?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://[2001:db8::"),
+                (d % 9 + 1).cast("string"),
+                F.lit("]:8443/x/y/z?q=1#top"),
             )
         )
     )
