@@ -257,6 +257,11 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z10_domain_cap",
         "z11_histogram_features",
         "z12_video_frame_sample",
+        # round-7: markup extraction, unicode tokens, ANN re-rank
+        "z13_html_extract",
+        "z14_unicode_tokens",
+        "z15_ann_rerank",
+        "z16_quality_logreg",
     ):
         warns = [
             f

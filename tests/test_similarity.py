@@ -376,6 +376,54 @@ def test_knn_join_row_cap_guard(spark):
     assert out2.where("rn = 1").count() == 30
 
 
+def test_ivfpq_rerank_recall_never_below_plain(spark):
+    """Exact re-rank of the ADC shortlist provably never loses a true
+    neighbor plain ivfpq found (shortlist superset + exact ordering);
+    measured recall vs brute-force ground truth must reflect that."""
+    import random
+
+    import pytest
+
+    from topn_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = rows[0][1]
+    truth = sorted(
+        range(200),
+        key=lambda i: (
+            sum((a - b) ** 2 for a, b in zip(rows[i][1], q)),
+            i,
+        ),
+    )[:10]
+    kw = dict(nlist=8, nprobe=3, m=8, nbits=4, train_rows=64)
+    plain = {
+        r.vec_id for r in ivfpq_topk(df, 0, k=10, **kw).collect()
+    }
+    rer = ivfpq_topk_rerank(df, 0, k=10, rerank=60, **kw).collect()
+    rr = {r.vec_id for r in rer}
+    recall_plain = len(plain & set(truth)) / 10
+    recall_rerank = len(rr & set(truth)) / 10
+    assert recall_rerank >= recall_plain
+    # exact distances are genuinely exact and ascending
+    dists = [r.exact_dist for r in rer]
+    assert dists == sorted(dists)
+    i0 = rer[0].vec_id
+    want = sum((a - b) ** 2 for a, b in zip(rows[i0][1], q))
+    assert abs(rer[0].exact_dist - want) < 1e-9
+    with pytest.raises(ValueError, match="rerank window"):
+        ivfpq_topk_rerank(df, 0, k=10, rerank=5, **kw)
+
+
 class TestIvfPq:
     def test_copy_of_query_ranks_first_with_recall(self, spark):
         """IVF-PQ on two separated blobs: the query's exact copy shares

@@ -413,6 +413,101 @@ def test_bpe_train_known_corpus_and_roundtrip(spark):
     assert row.n_bpe_tokens == 2
 
 
+def test_logreg_separable_corpus(spark):
+    """Full-batch distributed logistic regression separates a planted
+    linearly-separable corpus: perfect training accuracy, weights
+    pointing along the separating direction, NULL-feature rows
+    excluded, and the guard rails (no rows / weight-count mismatch)
+    raise."""
+    import pytest
+
+    from topn_spark.operators.textstats import (
+        logreg_predict,
+        logreg_train,
+    )
+
+    rows = [
+        (i, float(i % 7) - 3.0, float((3 * i) % 11) / 5.0 - 1.0)
+        for i in range(80)
+    ]
+    data = [
+        (i, x1, x2, 1 if x1 + 2.0 * x2 > 0.25 else 0)
+        for i, x1, x2 in rows
+    ] + [(999, None, 1.0, 1)]  # incomplete row: must be ignored
+    df = spark.createDataFrame(
+        data, "id long, x1 double, x2 double, label int"
+    )
+    w = logreg_train(df, ["x1", "x2"], n_iters=200, lr=1.5)
+    assert len(w) == 3
+    # separating direction: positive on both, roughly 1:2 ratio
+    assert w[1] > 0 and w[2] > 0
+    scored = logreg_predict(df, w, ["x1", "x2"]).collect()
+    acc = sum(
+        1
+        for r in scored
+        if r.x1 is not None and (r.prob >= 0.5) == (r.label == 1)
+    ) / 80
+    assert acc == 1.0
+    # incomplete row scores NULL, is not dropped from the frame
+    assert [r.prob for r in scored if r.id == 999] == [None]
+    with pytest.raises(ValueError, match="weights"):
+        logreg_predict(df, [0.0, 1.0], ["x1", "x2"])
+    with pytest.raises(ValueError, match="no complete labeled rows"):
+        logreg_train(df.where("id = 999"), ["x1", "x2"])
+
+
+def test_train_quality_classifier_distills_heuristic(spark):
+    """The quality classifier trained on the heuristic flag scores
+    kept docs above dropped docs (AUC-like separation on a planted
+    clean-vs-junk corpus)."""
+    from topn_spark.operators.textstats import train_quality_classifier
+
+    clean = "the quick brown fox jumps over the lazy dog every day"
+    # tokenized but symbol-heavy: low alpha ratio -> heuristic drop
+    junk = "@@1@@ ##2## !!3!! ??4?? %%5%% ^^6^^ &&7&& **8** ((9(( ))0))"
+    df = spark.createDataFrame(
+        [(i, clean if i % 2 == 0 else junk) for i in range(40)]
+        + [(100, "")],
+        "doc_id long, text string",
+    )
+    w, scored = train_quality_classifier(df, n_iters=120, lr=1.0)
+    got = {r.doc_id: r for r in scored.collect()}
+    lo = max(
+        r.prob for i, r in got.items() if i != 100 and i % 2 == 1
+    )
+    hi = min(
+        r.prob for i, r in got.items() if i != 100 and i % 2 == 0
+    )
+    assert hi > 0.5 > lo
+    assert got[100].prob is None  # empty text: no features
+
+
+def test_unicode_token_mode(spark):
+    """mode='unicode' tokenizes non-Latin scripts the ascii rule is
+    blind to; the ascii default is unchanged."""
+    import pytest
+
+    from topn_spark.operators.textstats import add_token_stats, tokens
+
+    df = spark.createDataFrame(
+        [(1, "москва 東京 hello ١٢٣"), (2, "plain ascii words")],
+        "doc_id long, text string",
+    )
+    uni = {
+        r.doc_id: r.n_tokens
+        for r in add_token_stats(df, mode="unicode").collect()
+    }
+    asc = {r.doc_id: r.n_tokens for r in add_token_stats(df).collect()}
+    assert uni[1] == 4 and asc[1] == 1  # ascii sees only 'hello'
+    assert uni[2] == asc[2] == 3
+    toks = df.where("doc_id = 1").select(
+        tokens("text", "unicode").alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["москва", "東京", "hello", "١٢٣"]
+    with pytest.raises(ValueError, match="token mode"):
+        tokens("text", "latin1")
+
+
 def test_bpe_train_tiers_agree_and_distributed_batches_rounds(spark):
     """The driver tier (incremental heap Sennrich) and the distributed
     tier (batched rounds) learn bit-identical merge tables on natural

@@ -1023,3 +1023,68 @@ def ivfpq_topk(
     return scored.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ivfpq_topk_rerank(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    rerank: int = 50,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 4,
+    train_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the standard production ANN shape: an
+    IVF-PQ ADC shortlist of ``rerank`` (> k) candidates, then an EXACT
+    float re-score of only those rows, returning the top ``k`` by true
+    squared L2 (ties by id) as ``(id, adc_dist, exact_dist)``.
+
+    Why it works: the shortlist is a superset of plain
+    :func:`ivfpq_topk`'s answer, and any true neighbor the shortlist
+    contains survives the exact re-sort — so recall is provably >= the
+    single-stage index at the cost of re-reading ``rerank`` raw
+    vectors (a broadcast-joined handful, not a scan: at 100 TB the
+    vector table is fetched by id from the probed cells only, and the
+    exact arithmetic is a Catalyst ``zip_with``/``aggregate`` over
+    ``rerank`` rows — no UDF, no extra shuffle beyond the shortlist's
+    own TakeOrderedAndProject).
+    """
+    if rerank < k:
+        raise ValueError(
+            f"rerank window ({rerank}) must be >= k ({k})"
+        )
+    shortlist = ivfpq_topk(
+        df, query_id, k=rerank, nlist=nlist, nprobe=nprobe, m=m,
+        nbits=nbits, train_rows=train_rows, id_col=id_col,
+        vec_col=vec_col,
+    )
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    qarr = F.array(*[F.lit(float(x)) for x in qrow[0][0]])
+    exact = (
+        df.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .join(F.broadcast(shortlist), id_col)
+        .withColumn(
+            "exact_dist",
+            F.aggregate(
+                F.zip_with("_v", qarr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(id_col, "adc_dist", "exact_dist")
+    )
+    return exact.orderBy(
+        F.col("exact_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

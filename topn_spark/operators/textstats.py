@@ -15,6 +15,11 @@ from topn_spark.operators.dedup import shingles
 
 TOKEN_RE = "[a-z0-9]+"
 
+#: Unicode-aware token rule: letters + numbers in any script. The
+#: category classes mean the same thing in Java regex (Spark) and RE2
+#: (DuckDB oracles) — verified dialect-aligned incl. lower() casing.
+UNICODE_TOKEN_RE = r"[\p{L}\p{N}]+"
+
 #: tiny per-language function-word marker sets for the n-gram/stopword
 #: heuristic language ID (public-knowledge stopword lists, truncated).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -25,17 +30,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def tokens(text_col: str = "text") -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+def tokens(text_col: str = "text", mode: str = "ascii") -> Column:
+    """Token array under the engine token rule. ``mode="ascii"`` is
+    the historical ``[a-z0-9]+`` rule (fast, Latin-only — non-Latin
+    text mis-tokenizes); ``mode="unicode"`` tokenizes letters+numbers
+    in ANY script via ``\\p{L}\\p{N}`` category classes."""
+    if mode == "ascii":
+        return F.expr(
+            f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+        )
+    if mode == "unicode":
+        # F.lit avoids SQL-literal backslash escaping of \p{L}
+        return F.regexp_extract_all(
+            F.lower(text_col), F.lit(UNICODE_TOKEN_RE), F.lit(0)
+        )
+    raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
 
 
-def token_count(text_col: str = "text") -> Column:
-    return F.size(tokens(text_col)).cast("bigint")
+def token_count(text_col: str = "text", mode: str = "ascii") -> Column:
+    return F.size(tokens(text_col, mode)).cast("bigint")
 
 
-def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def add_token_stats(
+    df: DataFrame, text_col: str = "text", mode: str = "ascii"
+) -> DataFrame:
     """n_tokens, n_uniq_tokens, type-token ratio."""
-    t = tokens(text_col)
+    t = tokens(text_col, mode)
     return (
         df.withColumn("n_tokens", F.size(t).cast("bigint"))
         .withColumn("n_uniq_tokens", F.size(F.array_distinct(t)).cast("bigint"))
@@ -738,6 +758,126 @@ def apply_bpe(
             yield pd.DataFrame(data)
 
     return df.select(id_col, text_col).mapInPandas(_run, out_cols)
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_iters: int = 40,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> list[float]:
+    """Distributed binary logistic regression by full-batch gradient
+    descent — the trainable successor to the :func:`add_quality`
+    heuristics (train on a labeled sample, score the corpus). Returns
+    ``[w0, w1..wd]`` (intercept first).
+
+    Scale shape: the hot loop is one map-side-combined aggregation
+    per iteration over a CACHED projection — each task emits a
+    (d+2)-sized partial (per-feature residual·x sums, residual sum,
+    count), so the driver sees d-sized gradients, never rows; the
+    weight update is O(d) driver arithmetic. d is small by
+    construction (quality ratios, hashed buckets), iterations are
+    few, and the 100 TB corpus is read once into the cached
+    projection. Deterministic: zero init, fixed lr/iters; float
+    sum-order across partitions is the only nondeterminism, bounded
+    well below the 1e-6 oracle tolerance.
+    """
+    import math
+
+    cols = [F.col(c).cast("double").alias(c) for c in feature_cols]
+    data = df.select(*cols, F.col(label_col).cast("double").alias("_y"))
+    data = data.where(
+        F.lit(True)
+        & F.col("_y").isNotNull()
+        & sum(
+            (F.col(c).isNull().cast("int") for c in feature_cols),
+            F.lit(0),
+        ).eqNullSafe(0)
+    ).persist()
+    n = data.count()
+    if n == 0:
+        data.unpersist()
+        raise ValueError("logreg_train: no complete labeled rows")
+    d = len(feature_cols)
+    w = [0.0] * (d + 1)
+    try:
+        for _ in range(n_iters):
+            margin = F.lit(w[0])
+            for j, c in enumerate(feature_cols):
+                margin = margin + F.lit(w[j + 1]) * F.col(c)
+            resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col(
+                "_y"
+            )
+            aggs = [F.sum(resid).alias("g0")] + [
+                F.sum(resid * F.col(c)).alias(f"g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ]
+            g = data.agg(*aggs).collect()[0]
+            w[0] -= lr * g["g0"] / n
+            for j in range(d):
+                w[j + 1] -= lr * (
+                    g[f"g{j + 1}"] / n + l2 * w[j + 1]
+                )
+            if any(math.isnan(x) or math.isinf(x) for x in w):
+                raise ArithmeticError(
+                    "logreg_train diverged (nan/inf weights) — lower "
+                    "lr or standardize features"
+                )
+    finally:
+        data.unpersist()
+    return w
+
+
+def logreg_predict(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    out_col: str = "prob",
+) -> DataFrame:
+    """Score with a :func:`logreg_train` model — a pure Catalyst
+    expression (sigmoid of the linear form), map-only, codegen'd; the
+    d+1 weights ride in the plan as literals."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} features "
+            "(+1 intercept expected)"
+        )
+    margin = F.lit(weights[0])
+    for j, c in enumerate(feature_cols):
+        margin = margin + F.lit(weights[j + 1]) * F.col(c).cast("double")
+    return df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    )
+
+
+#: feature columns train_quality_classifier learns over
+QUALITY_FEATURES = ["alpha_ratio", "space_ratio", "mean_word_len"]
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "quality_keep",
+    n_iters: int = 40,
+    lr: float = 1.0,
+) -> tuple[list[float], DataFrame]:
+    """The standard pretraining quality pipeline step the heuristics
+    in :func:`add_quality` only approximate: featurize, train a
+    logistic model against a label column (defaults to distilling the
+    Gopher-style ``quality_keep`` flag itself — swap in human or
+    LLM-judge labels in production), and score every document.
+    Returns ``(weights, scored_df)`` where the scored frame carries
+    the rounded quality features plus ``prob``. Rows lacking complete
+    features (empty text) are excluded from training and score NULL.
+    """
+    feat = add_quality(df, text_col)
+    w = logreg_train(
+        feat, QUALITY_FEATURES, label_col=label_col,
+        n_iters=n_iters, lr=lr,
+    )
+    return w, logreg_predict(feat, w, QUALITY_FEATURES)
 
 
 def _bpe_train_local(

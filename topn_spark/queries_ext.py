@@ -5334,13 +5334,13 @@ def z02_bpe_train(spark, sf_dir):
     return _attach_scalar(mdf, totals).orderBy("rank")
 
 
-def _z03_ivfpq_mirror(con):
-    """NumPy full-pipeline mirror of ivfpq_topk's deterministic
-    contract: coarse centroids = nlist smallest-id vectors, PQ
-    codebooks trained on residuals of the train_rows smallest ids
-    (same pq_train_codebooks arithmetic: splits of the sorted sample,
-    3 Lloyd rounds, first-min argmins), stable nprobe cell sort, ADC
-    over probed cells, ties by id — float64 throughout, 1e-9."""
+def _ivfpq_adc_mirror_core(con):
+    """Shared NumPy mirror of the ivfpq deterministic contract
+    (coarse centroids = nlist smallest-id vectors, PQ codebooks on
+    residuals of the train_rows smallest ids, stable nprobe cell
+    sort, ADC over probed cells, ties by id): returns (id→row map,
+    vectors, query, full sorted candidate list). Used by the z03
+    single-stage and z15 re-rank mirrors."""
     import numpy as np
 
     from topn_spark.operators.similarity import pq_train_codebooks
@@ -5352,7 +5352,7 @@ def _z03_ivfpq_mirror(con):
     V = np.array([r[1] for r in rows], dtype=np.float32).astype(
         np.float64
     )
-    nlist, nprobe, m, nbits, train_rows, k = 8, 3, 8, 4, 64, 20
+    nlist, nprobe, m, nbits, train_rows = 8, 3, 8, 4, 64
     C = V[:nlist].copy()
     tc = (
         ((V[:train_rows, None, :] - C[None, :, :]) ** 2)
@@ -5397,7 +5397,29 @@ def _z03_ivfpq_mirror(con):
             )
         cand.append((int(ids[i]), d))
     cand.sort(key=lambda t: (t[1], t[0]))
-    return ["vec_id", "adc_dist"], cand[:k]
+    idpos = {int(v): p for p, v in enumerate(ids.tolist())}
+    return idpos, V, q, cand
+
+
+def _z03_ivfpq_mirror(con):
+    """NumPy full-pipeline mirror of ivfpq_topk's deterministic
+    contract (see _ivfpq_adc_mirror_core) — float64, 1e-9."""
+    _, _, _, cand = _ivfpq_adc_mirror_core(con)
+    return ["vec_id", "adc_dist"], cand[:20]
+
+
+def _z15_rerank_mirror(con):
+    """Mirror of ivfpq_topk_rerank: the same ADC candidate list,
+    shortlist = top-50 by (adc, id), exact squared-L2 re-score of the
+    shortlist rows, final top-20 by (exact, id) — float64, 1e-9."""
+    idpos, V, q, cand = _ivfpq_adc_mirror_core(con)
+    short = cand[:50]
+    out = [
+        (vid, adc, float(((q - V[idpos[vid]]) ** 2).sum()))
+        for vid, adc in short
+    ]
+    out.sort(key=lambda t: (t[2], t[0]))
+    return ["vec_id", "adc_dist", "exact_dist"], out[:20]
 
 
 @query(
@@ -6184,3 +6206,260 @@ def z12_video_frame_sample(spark, sf_dir):
             .cast("binary")
         ).alias("px_md5"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "z13_html_extract",
+    """SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'Title ' || doc_id END AS title,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Doc ' || doc_id || chr(10) || 'alpha ' || doc_id
+                     || ' beta' || chr(10) || 'gamma & delta'
+         WHEN 1 THEN 'item A ' || doc_id || chr(10) || 'item B'
+                     || chr(10) || 'tail link text'
+         WHEN 2 THEN 'A <tag> & B' || chr(10) || 'second ' || doc_id
+                     || ' line'
+         WHEN 3 THEN 'r1c1' || chr(10) || 'r1c2 ' || doc_id || chr(10)
+                     || 'r2' || chr(10) || 'after ' || doc_id
+       END AS text,
+       CAST(CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_links
+FROM documents WHERE doc_id < 400 ORDER BY doc_id ASC""",
+    doc="HTML -> text extraction (markup.py::extract_html_text) — "
+    "the first stage of every web-corpus pipeline: stdlib-parser "
+    "boilerplate strip (script/style/head/comments), block-element "
+    "line breaks, entity decode, whitespace collapse, title capture, "
+    "href count, all inside one Arrow mapInPandas map-only pass. "
+    "Planted HTML per doc_id across four shapes (full page with "
+    "script+style+comment+entity, list+inline-anchor, entities+br, "
+    "table cells); the oracle recomputes title/text/n_links as "
+    "closed-form strings per shape",
+)
+def z13_html_extract(spark, sf_dir):
+    from topn_spark.operators.markup import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<html><head><title>Title "), ds,
+                F.lit("</title><style>p{c:red}</style></head>"
+                      "<body><h1>Doc "), ds,
+                F.lit("</h1><p>alpha "), ds,
+                F.lit(" beta</p><script>var x="), ds,
+                F.lit(";</script><p>gamma &amp; delta</p>"
+                      "<!--hidden--></body></html>"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("<body><ul><li>item A "), ds,
+                F.lit("</li><li>item B</li></ul><div>tail "
+                      "<a href=\"/x\">link</a> text</div></body>"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("<body><p>A &lt;tag&gt; &amp; B<br>second "), ds,
+                F.lit(" line</p></body>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<body><table><tr><td>r1c1</td><td>r1c2 "), ds,
+                F.lit("</td></tr><tr><td>r2</td></tr></table>"
+                      "<p>after "), ds,
+                F.lit("</p></body>"),
+            )
+        )
+    )
+    planted = docs.select("doc_id", html.alias("html"))
+    return extract_html_text(planted).orderBy("doc_id")
+
+
+@query(
+    "z14_unicode_tokens",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Grüße ' || doc_id || ' МОСКВА 東京 café hello'
+      WHEN 1 THEN 'ΑΘΗΝΑ ١٢٣ ' || doc_id || ' mixed ２３full'
+      WHEN 2 THEN 'word ' || doc_id || ' word WORD wort'
+      ELSE '!!! ### ---' END AS text
+  FROM documents WHERE doc_id < 400),
+tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+  FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+        / NULLIF(len(toks), 0), 6) AS ttr,
+  toks[1] AS first_token
+FROM tok ORDER BY doc_id ASC""",
+    doc="Unicode-aware tokenization mode (textstats.py::tokens "
+    "mode='unicode'): \\p{L}\\p{N} category classes tokenize any "
+    "script — Cyrillic, Greek, CJK, Arabic-Indic digits, fullwidth "
+    "forms — where the historical ascii rule saw nothing. Planted "
+    "multilingual fixture across four shapes (incl. a tokenless "
+    "one); the oracle re-tokenizes in DuckDB with the same RE2 "
+    "category classes and lower() casing — the dialect alignment is "
+    "the point of the test",
+)
+def z14_unicode_tokens(spark, sf_dir):
+    from topn_spark.operators.textstats import add_token_stats, tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    text = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("Grüße "), ds, F.lit(" МОСКВА 東京 café hello")
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("ΑΘΗΝΑ ١٢٣ "), ds, F.lit(" mixed ２３full")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("word "), ds, F.lit(" word WORD wort")),
+        )
+        .otherwise(F.lit("!!! ### ---"))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return (
+        add_token_stats(planted, mode="unicode")
+        .withColumn(
+            "first_token", F.get(tokens("text", "unicode"), F.lit(0))
+        )
+        .select(
+            "doc_id", "n_tokens", "n_uniq_tokens", "ttr", "first_token"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "z15_ann_rerank",
+    None,
+    doc="Two-stage ANN retrieval (similarity.py::ivfpq_topk_rerank): "
+    "IVF-PQ ADC shortlist (k'=50) -> exact float re-score of only "
+    "the shortlist rows (broadcast id join + Catalyst zip_with "
+    "aggregate, no UDF) -> top-20 by true squared L2. Recall is "
+    "provably >= single-stage ivfpq (the shortlist is a superset of "
+    "its answer and exact ordering keeps every true neighbor). "
+    "Oracle: NumPy mirror sharing the z03 ADC core, 1e-9",
+    tol_oracle=_z15_rerank_mirror,
+    tolerance=1e-9,
+    tol_keys=("vec_id",),
+)
+def z15_ann_rerank(spark, sf_dir):
+    from topn_spark.operators.similarity import ivfpq_topk_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_rerank(
+        emb, query_id=0, k=20, rerank=50, nlist=8, nprobe=3, m=8,
+        nbits=4, train_rows=64,
+    )
+
+
+def _z16_quality_logreg_mirror(con):
+    """Pure-Python mirror of train_quality_classifier on documents
+    doc_id < 300: identical rounded features (Decimal HALF_UP mirrors
+    Spark ROUND), identical Gopher-style label rule, identical
+    full-batch GD (zero init, lr=1.0, 40 iters, float64). Sum-order
+    float noise across partitions is the only engine divergence —
+    tolerance 1e-6."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    ids, X, y = [], [], []
+    for did, text in rows:
+        if text is None or len(text) == 0:
+            continue
+        ln = float(len(text))
+        nt = len(re.findall("[a-z0-9]+", text.lower()))
+        if nt == 0:
+            continue
+        alpha = float(len(re.findall("[A-Za-z]", text)))
+        space = float(text.count(" "))
+        ar = r6(alpha / ln)
+        sr = r6(space / ln)
+        mwl = r6((ln - space) / float(nt))
+        keep = nt >= 10 and ar >= 0.6 and 2.0 <= mwl <= 12.0
+        ids.append(int(did))
+        X.append([ar, sr, mwl])
+        y.append(1.0 if keep else 0.0)
+    X = np.asarray(X, dtype=np.float64)
+    yv = np.asarray(y, dtype=np.float64)
+    n = len(yv)
+    w = np.zeros(X.shape[1] + 1)
+    lr = 1.0
+    for _ in range(40):
+        p = 1.0 / (1.0 + np.exp(-(w[0] + X @ w[1:])))
+        r = p - yv
+        w[0] -= lr * r.sum() / n
+        w[1:] -= lr * (X.T @ r) / n
+    probs = 1.0 / (1.0 + np.exp(-(w[0] + X @ w[1:])))
+    out = [
+        (ids[i], int(yv[i]), float(probs[i])) for i in range(n)
+    ]
+    return ["doc_id", "label", "prob"], out
+
+
+@query(
+    "z16_quality_logreg",
+    None,
+    doc="Trainable quality classifier (textstats.py::logreg_train / "
+    "train_quality_classifier): distributed full-batch logistic "
+    "regression over the rounded add_quality features — one "
+    "map-side-combined (d+2)-sized gradient partial per iteration "
+    "over a cached projection, O(d) driver updates, then a pure "
+    "Catalyst sigmoid scoring pass (distilling the Gopher-style "
+    "heuristic label here; human/LLM labels in production). Oracle: "
+    "pure-Python feature + GD mirror, 1e-6 (partition sum order)",
+    tol_oracle=_z16_quality_logreg_mirror,
+    tolerance=1e-6,
+    tol_keys=("doc_id",),
+)
+def z16_quality_logreg(spark, sf_dir):
+    from topn_spark.operators.textstats import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    _, scored = train_quality_classifier(docs)
+    return (
+        scored.where(F.col("prob").isNotNull())
+        .select(
+            "doc_id",
+            F.col("quality_keep").cast("int").alias("label"),
+            "prob",
+        )
+        .orderBy("doc_id")
+    )
