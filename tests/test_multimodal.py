@@ -304,6 +304,67 @@ def test_wav_roundtrip_and_chunk_walk():
     assert parse_wav(b"not audio") is None
 
 
+def test_g711_expansion_and_container():
+    """G.711 µ-law/A-law expansion hits the ITU spec landmark values,
+    is sign-symmetric over all 256 codewords, and decodes through the
+    WAV container (tags 7/6, 8-bit) inside parse_wav/decode_audio —
+    a real decode path, not a gate (round-5 ask)."""
+    from topn_spark.operators.multimodal import (
+        alaw_to_linear,
+        encode_wav_g711,
+        ulaw_to_linear,
+    )
+
+    assert ulaw_to_linear(0xFF) == 0  # +0
+    assert ulaw_to_linear(0x7F) == 0  # -0
+    assert ulaw_to_linear(0x80) == 32124  # max magnitude
+    assert ulaw_to_linear(0x00) == -32124
+    assert alaw_to_linear(0xD5) == 8  # smallest magnitude
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xAA) == 32256  # max magnitude
+    assert alaw_to_linear(0x2A) == -32256
+    for b in range(128):
+        assert ulaw_to_linear(b) == -ulaw_to_linear(b | 0x80)
+        assert alaw_to_linear(b) == -alaw_to_linear(b | 0x80)
+    enc = bytes(range(256))
+    tag, ch, sr, samples = parse_wav(encode_wav_g711(8000, 1, enc))
+    assert (tag, ch, sr) == (7, 1, 8000)
+    assert samples == [ulaw_to_linear(x) for x in enc]
+    tag, _, _, samples = parse_wav(
+        encode_wav_g711(16000, 2, enc, "alaw")
+    )
+    assert tag == 6
+    assert samples == [alaw_to_linear(x) for x in enc]
+    # odd-length data chunk: padded container still yields all frames
+    assert len(parse_wav(encode_wav_g711(8000, 1, enc[:7]))[3]) == 7
+
+
+def test_decode_audio_g711_and_unsupported_gate(spark):
+    import pytest
+
+    from topn_spark.operators.multimodal import (
+        encode_wav_g711,
+        ulaw_to_linear,
+    )
+
+    enc = bytes((i * 13) % 256 for i in range(40))
+    df = spark.createDataFrame(
+        [("u1", encode_wav_g711(8000, 1, enc))],
+        "asset_id string, payload binary",
+    )
+    row = decode_audio(df).collect()[0]
+    assert row["samples"] == [ulaw_to_linear(x) for x in enc]
+    assert (row["channels"], row["n_frames"]) == (1, 40)
+    # ADPCM (tag 2) remains a fail-fast gate
+    adpcm = bytearray(encode_wav_g711(8000, 1, enc))
+    adpcm[20] = 2
+    df_bad = spark.createDataFrame(
+        [("x", bytes(adpcm))], "asset_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="format tag 2"):
+        decode_audio(df_bad).collect()
+
+
 def test_decode_audio_stats_and_nulls(spark):
     frames = [100, -100, 50, -50, 0, 7]  # 3 stereo frames
     rows = [
@@ -520,17 +581,61 @@ class TestPngDecode:
         assert decode_png_pixels(bytes(bad)) is None
         assert decode_png_pixels(good[:30]) is None
         assert decode_png_pixels(b"not a png") is None
-        # 16-bit depth and Adam7 interlace: unsupported -> None
-        for depth, inter in ((16, 0), (8, 1)):
+        # genuinely unsupported sub-formats -> None: sub-byte depth,
+        # 16-bit palette (spec-invalid), unknown interlace method.
+        # A VALID-header hack with mismatched data also returns None
+        # (the raw length no longer fits the declared layout).
+        import zlib as _z
+
+        for depth, ctype, inter in ((4, 0, 0), (16, 3, 0), (8, 0, 2)):
             hacked = bytearray(good)
             hacked[24] = depth
+            hacked[25] = ctype
             hacked[28] = inter
-            # fix the IHDR CRC so only the feature gate fires
-            import zlib as _z
-
             crc = _z.crc32(bytes(hacked[12:29]))
             hacked[29:33] = struct.pack(">I", crc)
             assert decode_png_pixels(bytes(hacked)) is None
+
+    def test_16bit_and_adam7_round_trip(self):
+        """16-bit samples reduce to their high byte; Adam7 scatters
+        all seven passes back bit-exactly — both now REAL decode
+        paths, not gates (round-5 ask)."""
+        import random
+
+        from topn_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        rng = random.Random(3)
+        # 16-bit gray, non-interlaced: high byte survives
+        w, h = 5, 4
+        pix16 = bytes(rng.randrange(256) for _ in range(w * h * 2))
+        got, shape = decode_png_pixels(
+            encode_png(w, h, pix16, color_type=0, bit_depth=16)
+        )
+        assert shape == [h, w, 1]
+        assert got == list(pix16[0::2])
+        # Adam7 RGB at a size exercising every pass incl. empty edges
+        for (w, h) in ((13, 9), (1, 1), (2, 3), (8, 8)):
+            pix = bytes(
+                rng.randrange(256) for _ in range(w * h * 3)
+            )
+            got, shape = decode_png_pixels(
+                encode_png(w, h, pix, interlace=True)
+            )
+            assert shape == [h, w, 3]
+            assert got == list(pix)
+        # both together: 16-bit RGBA interlaced
+        w, h = 7, 3
+        pix = bytes(rng.randrange(256) for _ in range(w * h * 4 * 2))
+        got, shape = decode_png_pixels(
+            encode_png(
+                w, h, pix, color_type=6, bit_depth=16, interlace=True
+            )
+        )
+        assert shape == [h, w, 4]
+        assert got == list(pix[0::2])
 
     def test_decode_pixels_dataframe_png_and_gates(self, spark):
         import pytest

@@ -262,6 +262,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z14_unicode_tokens",
         "z15_ann_rerank",
         "z16_quality_logreg",
+        "z17_g711_audio",
     ):
         warns = [
             f

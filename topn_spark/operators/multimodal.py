@@ -8,15 +8,16 @@ is real: :func:`parse_image_header` reads PNG/GIF/JPEG/BMP dimensions
 straight from the container headers in pure stdlib, and
 :func:`decode_image` applies it per Arrow batch. The PIXEL path is
 real for every mainstream still-image format without external
-libraries: 24-bit BMP, P6 PPM, 8-bit non-interlaced PNG (IDAT is
-zlib — stdlib — inflated and unfiltered scanline by scanline), GIF
-(spec-appendix-F LZW decoded in pure Python, four-pass interlace
-re-ordered, palette-expanded), and baseline-sequential JPEG (marker
-walk, canonical Huffman entropy decode, dequant + NumPy IDCT, 4:2:0
-chroma upsample, BT.601 conversion). Exotic sub-formats (progressive
-JPEG, 16-bit/Adam7 PNG) and the model-backed featurizers fail fast
-with ``NotImplementedError`` unless the deterministic ``fake=True``
-test decoder is requested.
+libraries: 24-bit BMP, P6 PPM, 8/16-bit PNG in non-interlaced or
+Adam7 layout (IDAT is zlib — stdlib — inflated and unfiltered
+scanline by scanline, per pass for Adam7; 16-bit reduces to the high
+byte), GIF (spec-appendix-F LZW decoded in pure Python, four-pass
+interlace re-ordered, palette-expanded), and baseline-sequential JPEG
+(marker walk, canonical Huffman entropy decode, dequant + NumPy IDCT,
+4:2:0 chroma upsample, BT.601 conversion). Exotic sub-formats
+(progressive JPEG, sub-byte-depth PNG) and the model-backed
+featurizers fail fast with ``NotImplementedError`` unless the
+deterministic ``fake=True`` test decoder is requested.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks get
@@ -356,26 +357,16 @@ def _png_chunk(typ: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
+def _png_filter_sub(
     pix: bytes,
-    color_type: int = 2,
-    row_filters: list[int] | None = None,
-) -> bytes:
-    """Spec-valid 8-bit non-interlaced PNG from row-major top-down
-    sample bytes, applying the FORWARD scanline filter chosen per row
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth, default cycling 0..4) — the
-    test-fixture encoder documenting exactly what
-    :func:`decode_png_pixels` must reverse, filter by filter.
-    ``color_type``: 0 gray (1 byte/px), 2 RGB (3), 4 gray+alpha (2),
-    6 RGBA (4)."""
-    ch = _PNG_CHANNELS[color_type]
-    if color_type == 3:
-        raise ValueError("palette encoding not supported by this fixture")
-    if len(pix) != width * height * ch:
-        raise ValueError(f"pix must be width*height*{ch} bytes")
-    bpp, stride = ch, width * ch
+    height: int,
+    stride: int,
+    bpp: int,
+    row_filters: list[int] | None,
+) -> bytearray:
+    """Apply the FORWARD per-scanline filter (cycling 0..4 by default)
+    to one (sub-)image's rows — the fixture counterpart of
+    :func:`_png_unfilter`."""
     raw = bytearray()
     prior = bytes(stride)
     for y in range(height):
@@ -422,7 +413,58 @@ def encode_png(
         else:
             raise ValueError(f"filter {f} not in 0..4")
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pix: bytes,
+    color_type: int = 2,
+    row_filters: list[int] | None = None,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Spec-valid PNG from row-major top-down sample bytes, applying
+    the FORWARD scanline filter chosen per row (0=None 1=Sub 2=Up
+    3=Average 4=Paeth, default cycling 0..4) — the test-fixture
+    encoder documenting exactly what :func:`decode_png_pixels` must
+    reverse, filter by filter. ``color_type``: 0 gray (1 sample/px),
+    2 RGB (3), 4 gray+alpha (2), 6 RGBA (4). ``bit_depth`` 16 takes
+    big-endian 2-byte samples in ``pix``; ``interlace`` emits the
+    seven Adam7 passes, each filtered as its own sub-image."""
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("palette encoding not supported by this fixture")
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    bps = bit_depth // 8
+    bpp = ch * bps
+    if len(pix) != width * height * bpp:
+        raise ValueError(f"pix must be width*height*{bpp} bytes")
+    if not interlace:
+        raw = _png_filter_sub(
+            pix, height, width * bpp, bpp, row_filters
+        )
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = bytearray()
+            for j in range(hp):
+                for i in range(wp):
+                    o = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    sub += pix[o : o + bpp]
+            raw += _png_filter_sub(
+                bytes(sub), hp, wp * bpp, bpp, row_filters
+            )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -431,15 +473,69 @@ def encode_png(
     )
 
 
-def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
-    """8-bit non-interlaced PNG → (row-major top-down sample ints,
-    [h, w, channels]); palette images expand through PLTE to RGB.
-    Pure stdlib: IDAT is zlib (RFC 1950) and ``zlib`` ships with
-    Python — inflate, then reverse the per-scanline filter (None/Sub/
-    Up/Average/Paeth) against the reconstructed prior row.
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec
+#: §8.2) — each pass is an independently-filtered sub-image whose
+#: pixels scatter back onto the full grid at these offsets/strides.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``None`` for the sub-formats this path does not cover (16-bit or
-    sub-byte depths, Adam7 interlace) and for corrupt files (bad CRC,
+
+def _png_unfilter(
+    raw: bytes, off: int, h: int, stride: int, bpp: int
+) -> tuple[bytearray, int] | None:
+    """Reverse the per-scanline filters for one (sub-)image occupying
+    ``h * (1 + stride)`` bytes of ``raw`` from ``off``; returns the
+    reconstructed bytes and the new offset, or ``None`` on an invalid
+    filter id."""
+    recon = bytearray(h * stride)
+    pos = off
+    for y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        o = y * stride
+        po = o - stride
+        if f == 0:
+            recon[o : o + stride] = line
+        elif f == 1:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                recon[o + i] = (line[i] + left) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                up = recon[po + i] if y else 0
+                recon[o + i] = (line[i] + up) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                up = recon[po + i] if y else 0
+                recon[o + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = recon[o + i - bpp] if i >= bpp else 0
+                up = recon[po + i] if y else 0
+                ul = recon[po + i - bpp] if (y and i >= bpp) else 0
+                recon[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    return recon, pos
+
+
+def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
+    """8/16-bit PNG, non-interlaced or Adam7 → (row-major top-down
+    sample ints, [h, w, channels]); palette images expand through
+    PLTE to RGB. Pure stdlib: IDAT is zlib (RFC 1950) and ``zlib``
+    ships with Python — inflate, then reverse the per-scanline filter
+    (None/Sub/Up/Average/Paeth) against the reconstructed prior row;
+    Adam7 unfilters each of the seven passes as its own sub-image and
+    scatters onto the full grid. 16-bit samples reduce to their high
+    byte (the spec's sample-depth scaling approximation — at most 1
+    off the exact 255/65535 rescale, deterministic and mirrorable).
+
+    ``None`` for the sub-formats this path does not cover (sub-byte
+    depths, 16-bit palette) and for corrupt files (bad CRC,
     truncated/oversized inflate) — the caller fails fast rather than
     fabricating pixels. Cost is O(pixels) per asset, the same shape as
     any codec; each asset decodes independently inside its Arrow
@@ -475,10 +571,11 @@ def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
     ch = _PNG_CHANNELS.get(ctype)
     if (
         ch is None
-        or depth != 8
+        or depth not in (8, 16)
+        or (ctype == 3 and depth != 8)
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or w == 0
         or h == 0
         or (ctype == 3 and plte is None)
@@ -488,38 +585,43 @@ def decode_png_pixels(b: bytes) -> tuple[list[int], list[int]] | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    bpp, stride = ch, w * ch
-    if len(raw) != h * (1 + stride):
-        return None
-    recon = bytearray(h * stride)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        o = y * stride
-        po = o - stride
-        if f == 0:
-            recon[o : o + stride] = line
-        elif f == 1:
-            for i in range(stride):
-                left = recon[o + i - bpp] if i >= bpp else 0
-                recon[o + i] = (line[i] + left) & 0xFF
-        elif f == 2:
-            for i in range(stride):
-                up = recon[po + i] if y else 0
-                recon[o + i] = (line[i] + up) & 0xFF
-        elif f == 3:
-            for i in range(stride):
-                left = recon[o + i - bpp] if i >= bpp else 0
-                up = recon[po + i] if y else 0
-                recon[o + i] = (line[i] + (left + up) // 2) & 0xFF
-        elif f == 4:
-            for i in range(stride):
-                left = recon[o + i - bpp] if i >= bpp else 0
-                up = recon[po + i] if y else 0
-                ul = recon[po + i - bpp] if (y and i >= bpp) else 0
-                recon[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
-        else:
+    bps = depth // 8
+    bpp = ch * bps
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
             return None
+        un = _png_unfilter(raw, 0, h, stride, bpp)
+        if un is None:
+            return None
+        recon = un[0]
+    else:
+        recon = bytearray(h * w * bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass: zero scanlines in the stream
+            stride_p = wp * bpp
+            if pos + hp * (1 + stride_p) > len(raw):
+                return None  # truncated pass
+            un = _png_unfilter(raw, pos, hp, stride_p, bpp)
+            if un is None:
+                return None
+            sub, pos = un
+            for j in range(hp):
+                fo_row = ((y0 + j * dy) * w + x0) * bpp
+                so_row = j * stride_p
+                for i in range(wp):
+                    fo = fo_row + i * dx * bpp
+                    so = so_row + i * bpp
+                    recon[fo : fo + bpp] = sub[so : so + bpp]
+        if pos != len(raw):
+            return None  # trailing bytes: corrupt stream
+    if depth == 16:
+        # big-endian sample pairs -> high byte per sample
+        recon = recon[0::2]
     if ctype == 3:
         out: list[int] = []
         pmax = len(plte) // 3
@@ -541,13 +643,14 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Real, zero-dependency paths for every mainstream still format:
     24-bit BI_RGB BMP (BGR order, padded bottom-up rows, all reversed
     to row-major top-down RGB), binary PPM/P6 (both oracled by x89
-    against arithmetically planted pixels), 8-bit non-interlaced PNG
-    — gray/RGB/palette/alpha, all five scanline filters reversed over
-    inflated IDAT (oracled by z01) — GIF 87a/89a (pure-Python LZW,
+    against arithmetically planted pixels), 8/16-bit PNG in
+    non-interlaced or Adam7 layout — gray/RGB/palette/alpha, all five
+    scanline filters reversed over inflated IDAT, 16-bit reduced to
+    the high byte (oracled by z01) — GIF 87a/89a (pure-Python LZW,
     interlace re-order, palette expansion; oracled by z04), and
     baseline-sequential JPEG (Huffman entropy decode + IDCT + 4:2:0
     upsample; oracled by z05 via DC-exact planted blocks). Unsupported
-    sub-formats (progressive/arithmetic/12-bit JPEG; 16-bit or Adam7
+    sub-formats (progressive/arithmetic/12-bit JPEG; sub-byte-depth
     PNG; corrupt streams) fail fast per batch with
     ``NotImplementedError`` rather than fabricating pixels, keeping
     the Spark-side contract (schema, Arrow batching, partition
@@ -579,9 +682,10 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     if fmt == "png":
                         raise NotImplementedError(
                             "unsupported or corrupt PNG: the stdlib "
-                            "path covers 8-bit non-interlaced "
-                            "gray/RGB/palette/alpha with valid CRCs; "
-                            "16-bit and Adam7 need a codec library"
+                            "path covers 8/16-bit gray/RGB/palette/"
+                            "alpha, non-interlaced or Adam7, with "
+                            "valid CRCs; sub-byte depths need a "
+                            "codec library"
                         )
                     if fmt == "gif":
                         raise NotImplementedError(
@@ -633,14 +737,69 @@ def encode_wav_pcm16(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def ulaw_to_linear(b: int) -> int:
+    """One µ-law byte → linear int16 per the ITU-T G.711 expansion
+    (the classic public-domain reference arithmetic): complement,
+    rebuild the biased mantissa, shift by the segment, un-bias."""
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(b: int) -> int:
+    """One A-law byte → linear int16 per the ITU-T G.711 expansion:
+    toggle the even bits (0x55), rebuild the segment-scaled mantissa;
+    the (post-xor) sign bit SET means positive."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+#: WAVE format tags this path decodes beyond PCM16
+_WAV_G711_TAGS = {6: alaw_to_linear, 7: ulaw_to_linear}
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: int, encoded: bytes, law: str = "ulaw"
+) -> bytes:
+    """Spec-valid RIFF/WAVE container holding G.711 bytes (format tag
+    7 µ-law / 6 A-law, 8 bits per sample) — the test-fixture encoder
+    for :func:`parse_wav`'s companded paths."""
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack(
+        "<HHIIHH",
+        tag,
+        channels,
+        sample_rate,
+        sample_rate * channels,  # byte rate (1 byte/sample)
+        channels,  # block align
+        8,  # bits per sample
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(encoded)) + encoded
+    if len(encoded) & 1:
+        body += b"\x00"  # chunk padding to word alignment
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def parse_wav(
     b: bytes,
 ) -> tuple[int, int, int, list[int] | None] | None:
     """RIFF/WAVE → ``(format_tag, channels, sample_rate, samples)``
     where ``samples`` is the interleaved int16 list for uncompressed
-    PCM16 payloads and ``None`` for any other format tag / bit depth
-    (the caller decides whether that is a fail-fast). ``None`` overall
-    when the container is not a parseable WAV.
+    PCM16 (tag 1), A-law (tag 6) and µ-law (tag 7) payloads — the
+    G.711 bytes expand to linear int16 via the spec arithmetic — and
+    ``None`` for any other format tag / bit depth (the caller decides
+    whether that is a fail-fast). ``None`` overall when the container
+    is not a parseable WAV.
 
     Walks the chunk chain properly — chunk ids + little-endian u32
     sizes, word-aligned — so extra chunks (LIST, fact, cue) before or
@@ -665,6 +824,10 @@ def parse_wav(
     tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_body[:16])
     if ch <= 0 or sr <= 0:
         return None
+    if tag in _WAV_G711_TAGS and bits == 8:
+        expand = _WAV_G711_TAGS[tag]
+        n = len(data_body) // ch * ch  # whole frames only
+        return tag, ch, sr, [expand(x) for x in data_body[:n]]
     if tag != 1 or bits != 16:
         return tag, ch, sr, None  # recognized but not stdlib-decodable
     n = len(data_body) // (2 * ch) * ch  # whole frames only
@@ -716,7 +879,8 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     raise NotImplementedError(
                         f"decoding WAV format tag {tag} requires a "
                         "codec library (not in this container); the "
-                        "stdlib path covers uncompressed PCM16"
+                        "stdlib path covers uncompressed PCM16 and "
+                        "G.711 A-law/µ-law"
                     )
                 nf = len(samples) // ch
                 fmts.append("wav")

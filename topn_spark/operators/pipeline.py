@@ -1558,59 +1558,102 @@ def url_features(
     ``host`` with the port stripped outside the brackets (the plain
     ``:\\d*$`` strip would truncate the address itself).
     """
+    # Built as SEQUENTIAL intermediate columns, not one nested
+    # expression: Catalyst expressions are trees, so nesting would
+    # duplicate the hostport regexp (and whatever expression feeds
+    # url_col — possibly a large CASE) into every downstream feature,
+    # ~40x — big enough to push whole-stage codegen past Janino's
+    # 64 KB method limit and silently fall back to interpreted
+    # execution. Chained projections keep each expensive piece
+    # computed once: CollapseProject declines to merge projects when
+    # merging would duplicate non-cheap expressions.
     u = F.col(url_col)
-    scheme = F.lower(
-        F.nullif(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1), F.lit(""))
-    )
-    hostport = F.lower(
-        F.nullif(
-            F.regexp_extract(
-                u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1
-            ),
-            F.lit(""),
-        )
+    step = df.withColumn(
+        "_hostport",
+        F.lower(
+            F.nullif(
+                F.regexp_extract(
+                    u,
+                    r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)",
+                    1,
+                ),
+                F.lit(""),
+            )
+        ),
     )
     # IPv6 bracket literal: host is the bracket CONTENT; the port (and
     # the brackets) sit outside it, so no port strip can mangle it
-    ip6 = F.nullif(F.regexp_extract(hostport, r"^\[([^\]]+)\]", 1), F.lit(""))
-    host = F.coalesce(ip6, F.regexp_replace(hostport, r":\d*$", ""))
-    path = F.regexp_extract(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    step = step.withColumn(
+        "_ip6",
+        F.nullif(
+            F.regexp_extract(F.col("_hostport"), r"^\[([^\]]+)\]", 1),
+            F.lit(""),
+        ),
+    )
+    step = step.withColumn(
+        "host",
+        F.coalesce(
+            F.col("_ip6"),
+            F.regexp_replace(F.col("_hostport"), r":\d*$", ""),
+        ),
+    )
+    step = step.withColumn("_labels", F.split(F.col("host"), r"\."))
+    labels = F.col("_labels")
+    step = step.withColumn(
+        "_last2",
+        F.concat_ws(
+            ".",
+            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
+        ),
+    ).withColumn(
+        "_is_ip",
+        F.col("host").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        | F.col("_ip6").isNotNull(),
     )
     # query = first '?' up to '#', searched in the PRE-fragment part
     # only: '#section?x=1' has a fragment containing '?', no query
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
     query = F.regexp_extract(
         F.regexp_extract(u, r"^([^#]*)", 1), r"\?(.*)$", 1
-    )
-    depth = F.size(
-        F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
-    )
-    n_params = F.size(
-        F.filter(F.split(query, "&"), lambda s: s != F.lit(""))
-    )
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | ip6.isNotNull()
-    labels = F.split(host, r"\.")
-    last2 = F.concat_ws(
-        ".", F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2)
     )
     last3 = F.concat_ws(
         ".", F.slice(labels, F.greatest(F.size(labels) - 2, F.lit(1)), 3)
     )
     tld_set = F.array(*[F.lit(t) for t in two_level_tlds])
     reg = (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (F.size(labels) <= 1), host)
-        .when(F.array_contains(tld_set, last2), last3)
-        .otherwise(last2)
+        F.when(F.col("host").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_is_ip") | (F.size(labels) <= 1), F.col("host"))
+        .when(F.array_contains(tld_set, F.col("_last2")), last3)
+        .otherwise(F.col("_last2"))
     )
-    return (
-        df.withColumn("scheme", scheme)
-        .withColumn("host", host)
+    out = (
+        step.withColumn(
+            "scheme",
+            F.lower(
+                F.nullif(
+                    F.regexp_extract(
+                        u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+                    ),
+                    F.lit(""),
+                )
+            ),
+        )
         .withColumn("registered_domain", reg)
-        .withColumn("path_depth", depth)
-        .withColumn("n_params", n_params)
-        .withColumn("is_ip", F.coalesce(is_ip, F.lit(False)))
+        .withColumn(
+            "path_depth",
+            F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit(""))),
+        )
+        .withColumn(
+            "n_params",
+            F.size(
+                F.filter(F.split(query, "&"), lambda s: s != F.lit(""))
+            ),
+        )
+        .withColumn("is_ip", F.coalesce(F.col("_is_ip"), F.lit(False)))
     )
+    return out.drop("_hostport", "_ip6", "_labels", "_last2", "_is_ip")
 
 
 def domain_filter(

@@ -6026,9 +6026,21 @@ def z10_domain_cap(spark, sf_dir):
                      F.lit("/x")),
         )
     )
-    feat = url_features(
-        docs.select("doc_id", url.alias("url"))
-    ).where(F.col("registered_domain").isNotNull())
+    # persisted: two consumers (cap + totals) read the features once,
+    # and the cache boundary stops the planted CASE fixture from
+    # inlining into every url_features regexp — without it the
+    # generated sort code passes Janino's 64 KB method limit and the
+    # whole stage silently falls back to interpreted execution
+    feat = (
+        url_features(docs.select("doc_id", url.alias("url")))
+        .select("doc_id", "registered_domain")
+        .persist()
+    )
+    # filter on the CACHED columns: pushing this predicate through
+    # the projections would re-substitute the whole registered_domain
+    # expression tree (incl. the planted CASE) into the scan filter
+    # and blow whole-stage codegen past Janino's 64 KB method limit
+    feat = feat.where(F.col("registered_domain").isNotNull())
     kept = sample_k_per_group(
         feat.select("doc_id", "registered_domain"),
         ["registered_domain"], 25, "doc_id",
@@ -6463,3 +6475,103 @@ def z16_quality_logreg(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z17_g711_audio",
+    """WITH g AS (
+  SELECT doc_id, CAST(16 + doc_id % 5 AS INT) AS n
+  FROM documents WHERE doc_id < 200),
+idx AS (
+  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS i FROM g),
+raw AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 7 + i * 13) % 256 AS INT) AS by
+  FROM idx),
+cw AS (
+  SELECT doc_id, i, 255 - by AS u, xor(by, 85) AS a FROM raw),
+ex AS (
+  SELECT doc_id, i,
+    CASE WHEN doc_id % 2 = 0 THEN
+      CASE WHEN u >= 128
+        THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+        ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+      END
+    ELSE
+      CASE WHEN a >= 128 THEN
+        CASE (a // 16) % 8
+          WHEN 0 THEN (a % 16) * 16 + 8
+          WHEN 1 THEN (a % 16) * 16 + 264
+          ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+        END
+      ELSE
+        -(CASE (a // 16) % 8
+            WHEN 0 THEN (a % 16) * 16 + 8
+            WHEN 1 THEN (a % 16) * 16 + 264
+            ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+          END)
+      END
+    END AS sample
+  FROM cw)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(SUM(sample) AS BIGINT) AS sample_sum,
+  CAST(MIN(sample) AS INT) AS sample_min,
+  CAST(MAX(sample) AS INT) AS sample_max,
+  md5(string_agg(CAST(sample AS VARCHAR), ',' ORDER BY i)) AS sample_md5
+FROM ex GROUP BY doc_id ORDER BY doc_id ASC""",
+    doc="G.711 companded audio decode (multimodal.py::parse_wav tags "
+    "6/7, alaw_to_linear/ulaw_to_linear): telephony-standard µ-law "
+    "and A-law WAV payloads expand to linear int16 through the ITU "
+    "spec arithmetic inside the same Arrow decode_audio pass as "
+    "PCM16. Planted codeword streams per doc_id (µ-law on even ids, "
+    "A-law on odd); the oracle re-derives EVERY sample with the same "
+    "integer expansion written in SQL (xor/shift/bias) and pins the "
+    "full sample stream by md5",
+)
+def z17_g711_audio(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted_g711(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            n = 16 + d % 5
+            enc = bytes((d * 7 + i * 13) % 256 for i in range(n))
+            out.append(
+                encode_wav_g711(
+                    8000, 1, enc, "ulaw" if d % 2 == 0 else "alaw"
+                )
+            )
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select(
+        "doc_id", planted_g711("doc_id").alias("payload")
+    )
+    dec = decode_audio(assets)
+    return dec.select(
+        "doc_id",
+        F.col("n_frames"),
+        F.expr(
+            "aggregate(samples, 0L, (acc, x) -> acc + x)"
+        ).alias("sample_sum"),
+        F.array_min("samples").alias("sample_min"),
+        F.array_max("samples").alias("sample_max"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("samples", lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("sample_md5"),
+    ).orderBy("doc_id")
