@@ -263,6 +263,9 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z15_ann_rerank",
         "z16_quality_logreg",
         "z17_g711_audio",
+        "z18_web_pipeline",
+        "z19_bpe_unicode",
+        "z20_script_profile",
     ):
         warns = [
             f

@@ -482,6 +482,56 @@ def test_train_quality_classifier_distills_heuristic(spark):
     assert got[100].prob is None  # empty text: no features
 
 
+def test_bpe_unicode_mode_round_trip(spark):
+    """mode='unicode' trains and applies BPE on non-Latin text: the
+    trainer learns Cyrillic merges the ascii rule is blind to, and
+    apply_bpe segments with them (JVM-side pre-tokenization)."""
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "мир мир мир мира слово") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = bpe_train(df, 3, min_pair_count=2, mode="unicode")
+    # (и,р) ties (м,и) at count 12 and wins the lexicographic
+    # tie-break (и < м in code points); ascii mode learns nothing
+    assert got[:2] == [("и", "р"), ("м", "ир")]
+    assert bpe_train(df, 3, min_pair_count=2) == []
+    row = apply_bpe(
+        df.limit(1), got, keep_tokens=8, mode="unicode"
+    ).collect()[0]
+    assert row.n_words == 5
+    assert row.tokens[0] == "мир"
+    # null text tolerated in unicode mode (empty token array)
+    nul = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"
+    )
+    r = apply_bpe(nul, got, mode="unicode").collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (0, 0)
+
+
+def test_script_profile(spark):
+    """Script counts, digit class across scripts, dominant-script
+    tie-break order, and 'und' for script-free text."""
+    from topn_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "Hello Привет 東京 Γειά مرحبا 123 ٤٥"),
+        (2, "!!! 42 ???"),      # digits only: no profiled script
+        (3, None),
+        (4, "abc где"),          # 3-3 tie -> latin (priority order)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    r1 = got[1]
+    assert (r1.n_latin, r1.n_cyrillic, r1.n_han) == (5, 6, 2)
+    assert (r1.n_greek, r1.n_arabic) == (4, 7)  # ٤٥ are Arabic script
+    assert r1.n_digit == 5  # 123 + the two Arabic-Indic digits
+    assert got[2].dominant_script == "und" and got[2].n_digit == 2
+    assert got[3].dominant_script is None  # null text stays null
+    assert got[4].dominant_script == "latin"
+
+
 def test_unicode_token_mode(spark):
     """mode='unicode' tokenizes non-Latin scripts the ascii rule is
     blind to; the ascii default is unchanged."""

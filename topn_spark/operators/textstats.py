@@ -99,6 +99,45 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Unicode scripts profiled by :func:`script_profile`, in tie-break
+#: priority order. Java regex spells them \p{IsX}; RE2 (the DuckDB
+#: oracle dialect) \p{X} — counts verified identical.
+SCRIPT_CLASSES = ("Latin", "Cyrillic", "Han", "Greek", "Arabic")
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script character profile — the
+    corpus-routing signal in front of language-specific pipelines
+    (which tokenizer, which langid model, which quality rules): adds
+    ``n_latin/n_cyrillic/n_han/n_greek/n_arabic`` (characters in each
+    script), ``n_digit`` (decimal digits, any script), and
+    ``dominant_script`` (argmax, ties broken in SCRIPT_CLASSES order,
+    ``und`` when no profiled script appears). Pure Catalyst
+    ``regexp_replace`` length counts — map-only, codegen'd, no UDF;
+    built as separate projections per the url_features lesson so the
+    text expression is never tree-duplicated."""
+    out = df
+    for name in SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"n_{name.lower()}",
+            F.length(
+                F.regexp_replace(text_col, rf"[^\p{{Is{name}}}]", "")
+            ).cast("bigint"),
+        )
+    out = out.withColumn(
+        "n_digit",
+        F.length(F.regexp_replace(text_col, r"[^\p{Nd}]", "")).cast(
+            "bigint"
+        ),
+    )
+    counts = [F.col(f"n_{n.lower()}") for n in SCRIPT_CLASSES]
+    best = F.greatest(*counts)
+    dom = F.when(best <= 0, "und")
+    for name, c in zip(SCRIPT_CLASSES, counts):
+        dom = dom.when(c == best, name.lower())
+    return out.withColumn("dominant_script", dom)
+
+
 def language_scores(
     text_col: str = "text",
     markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
@@ -691,15 +730,19 @@ def apply_bpe(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_tokens: int = 0,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Apply a byte-pair-encoding merge table (Sennrich et al. 2016)
-    to each document: pre-tokenize with the engine-wide ``[a-z0-9]+``
-    word rule, split words to characters, then repeatedly merge the
-    highest-priority adjacent pair from ``merges`` (list order = rank;
-    leftmost occurrence first on rank ties inside a word) —
-    the real tokenizer-application step, giving exact trained-
-    tokenizer token counts rather than the whitespace/regex proxy of
-    ``token_count``.
+    to each document: pre-tokenize with the engine word rule
+    (``mode="ascii"`` ``[a-z0-9]+`` in-UDF; ``mode="unicode"``
+    tokenizes JVM-side with the ``\\p{L}\\p{N}`` classes — Python's
+    ``re`` lacks Unicode property classes, so the word split happens
+    in Catalyst and the UDF receives the token array), split words to
+    characters, then repeatedly merge the highest-priority adjacent
+    pair from ``merges`` (list order = rank; leftmost occurrence
+    first on rank ties inside a word) — the real
+    tokenizer-application step, giving exact trained-tokenizer token
+    counts rather than the whitespace/regex proxy of ``token_count``.
 
     Returns ``(id, n_words, n_bpe_tokens)`` (+ ``tokens`` with the
     first ``keep_tokens`` subwords when requested). One Arrow-batched
@@ -715,6 +758,8 @@ def apply_bpe(
     out_cols = f"{id_col} {idt}, n_words long, n_bpe_tokens long"
     if keep_tokens:
         out_cols += ", tokens array<string>"
+    if mode not in ("ascii", "unicode"):
+        raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
 
     def _encode_word(word):
         parts = list(word)
@@ -738,8 +783,7 @@ def apply_bpe(
             if not len(pdf):
                 continue
             ids, nw, nt, toks = [], [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = token_re.findall((text or "").lower())
+            for did, words in zip(pdf[id_col], pdf["_words"]):
                 pieces = []
                 n = 0
                 for w in words:
@@ -757,7 +801,29 @@ def apply_bpe(
                 data["tokens"] = toks
             yield pd.DataFrame(data)
 
-    return df.select(id_col, text_col).mapInPandas(_run, out_cols)
+    if mode == "ascii":
+        # in-UDF split: identical semantics, one narrow string column
+        # into Arrow instead of a token array
+        def _tok_run(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                pdf["_words"] = [
+                    token_re.findall((t or "").lower())
+                    for t in pdf[text_col]
+                ]
+                yield from _run(iter([pdf]))
+
+        return df.select(id_col, text_col).mapInPandas(
+            _tok_run, out_cols
+        )
+    words_col = F.coalesce(
+        tokens(text_col, mode), F.array().cast("array<string>")
+    ).alias("_words")
+    return df.select(id_col, words_col).mapInPandas(_run, out_cols)
 
 
 def logreg_train(
@@ -957,11 +1023,13 @@ def bpe_train(
     checkpoint_every: int = 8,
     batch_pairs: int = 64,
     vocab_driver_cap: int = 200_000,
+    mode: str = "ascii",
     stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a byte-pair-encoding merge table from a corpus — the
     Sennrich et al. 2016 loop that produces what :func:`apply_bpe`
-    consumes. Words come from the engine-wide ``[a-z0-9]+`` rule;
+    consumes. Words come from the engine token rule (``mode="ascii"``
+    ``[a-z0-9]+``; ``mode="unicode"`` trains on any script);
     pairs are counted weighted by word frequency, the most frequent
     pair merges first (ties break lexicographically on (left, right)
     — fully deterministic, partitioning-independent), and the vocab
@@ -1047,12 +1115,10 @@ def bpe_train(
     spark = df.sparkSession
     words = (
         df.select(
-            F.explode(
-                F.expr(
-                    f"regexp_extract_all(lower({text_col}), "
-                    f"'{TOKEN_RE}', 0)"
-                )
-            ).alias("word")
+            # word rule follows the engine token mode (ascii default;
+            # mode="unicode" trains on any script — the merge loop
+            # itself is script-agnostic, it just sees symbol strings)
+            F.explode(tokens(text_col, mode)).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -6575,3 +6575,279 @@ def z17_g711_audio(spark, sf_dir):
             ).cast("binary")
         ).alias("sample_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "z18_web_pipeline",
+    """WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'Title ' || doc_id END AS title,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Doc ' || doc_id || chr(10) || 'alpha ' || doc_id
+                  || ' beta' || chr(10) || 'gamma & delta'
+      WHEN 1 THEN 'item A ' || doc_id || chr(10) || 'item B'
+                  || chr(10) || 'tail link text'
+      WHEN 2 THEN 'A <tag> & B' || chr(10) || 'second ' || doc_id
+                  || ' line'
+      WHEN 3 THEN 'r1c1' || chr(10) || 'r1c2 ' || doc_id || chr(10)
+                  || 'r2' || chr(10) || 'after ' || doc_id
+    END AS text
+  FROM documents WHERE doc_id < 400),
+q AS (
+  SELECT doc_id, title, text,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS alpha_ratio,
+    ROUND(CAST(LENGTH(text)
+               - LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(len(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+'))
+                        AS DOUBLE), 0), 6) AS mean_word_len,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS BIGINT) AS n_tokens
+  FROM t)
+SELECT doc_id, title, n_tokens, alpha_ratio,
+       (n_tokens >= 10 AND alpha_ratio >= 0.6
+        AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_keep
+FROM q ORDER BY doc_id ASC""",
+    doc="END-TO-END web-corpus front end: raw planted HTML -> "
+    "markup.py::extract_html_text (boilerplate strip, entity decode, "
+    "block line rules) -> textstats.py::add_quality over the "
+    "EXTRACTED text, one composed map-only job — the first two "
+    "stages every crawl-based pretraining pipeline runs. The oracle "
+    "recomputes the extracted text as per-shape closed-form strings "
+    "(same plants as z13), then derives the identical quality "
+    "features and keep flag in SQL",
+)
+def z18_web_pipeline(spark, sf_dir):
+    from topn_spark.operators.markup import extract_html_text
+    from topn_spark.operators.textstats import add_quality
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<html><head><title>Title "), ds,
+                F.lit("</title><style>p{c:red}</style></head>"
+                      "<body><h1>Doc "), ds,
+                F.lit("</h1><p>alpha "), ds,
+                F.lit(" beta</p><script>var x="), ds,
+                F.lit(";</script><p>gamma &amp; delta</p>"
+                      "<!--hidden--></body></html>"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("<body><ul><li>item A "), ds,
+                F.lit("</li><li>item B</li></ul><div>tail "
+                      "<a href=\"/x\">link</a> text</div></body>"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("<body><p>A &lt;tag&gt; &amp; B<br>second "), ds,
+                F.lit(" line</p></body>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<body><table><tr><td>r1c1</td><td>r1c2 "), ds,
+                F.lit("</td></tr><tr><td>r2</td></tr></table>"
+                      "<p>after "), ds,
+                F.lit("</p></body>"),
+            )
+        )
+    )
+    planted = docs.select("doc_id", html.alias("html"))
+    extracted = extract_html_text(planted)
+    return (
+        add_quality(extracted)
+        .withColumn(
+            "n_tokens",
+            F.size(
+                F.expr(
+                    "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+                )
+            ).cast("bigint"),
+        )
+        .select(
+            "doc_id", "title", "n_tokens", "alpha_ratio",
+            "quality_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _z19_bpe_unicode_mirror(con):
+    """Sennrich mirror for unicode-mode BPE on the planted
+    multilingual corpus. Python's re lacks Unicode property classes,
+    so the mirror TOKENIZES THROUGH DuckDB's RE2 (the same
+    \\p{L}\\p{N} rule the engine runs JVM-side — the dialect pair
+    already proven aligned by z14), then replays the exact sequential
+    merge loop in pure Python. Exact equality (tolerance 0)."""
+    import collections
+
+    rows = con.execute(
+        r"""SELECT regexp_extract_all(lower(
+              CASE doc_id % 3
+                WHEN 0 THEN 'москва москва слово слово слово ' || doc_id
+                WHEN 1 THEN 'grüße grüße größe ' || doc_id
+                ELSE '東京 東京 京都 data ' || doc_id END),
+              '[\p{L}\p{N}]+') AS toks
+            FROM documents WHERE doc_id < 300"""
+    ).fetchall()
+    vocab = collections.Counter()
+    for (toks,) in rows:
+        for w in toks:
+            vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(12):
+        pc = collections.Counter()
+        for w, c in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < 2:
+            break
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        merges.append((a, b))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    n_tokens = sum(len(segs[w]) * c for w, c in vocab.items())
+    n_words = sum(vocab.values())
+    rows_out = [
+        (r, a, b, n_words, n_tokens)
+        for r, (a, b) in enumerate(merges)
+    ]
+    return ["rank", "lhs", "rhs", "corpus_words", "corpus_bpe_tokens"], rows_out
+
+
+@query(
+    "z19_bpe_unicode",
+    None,
+    doc="Unicode-mode BPE training + application (textstats.py::"
+    "bpe_train/apply_bpe mode='unicode'): the merge loop is "
+    "script-agnostic, so with the \\p{L}\\p{N} word rule the SAME "
+    "two-tier trainer learns Cyrillic/German/CJK subwords the ascii "
+    "rule never saw; application pre-tokenizes JVM-side (Python re "
+    "has no Unicode classes) and feeds token arrays to the Arrow "
+    "encoder. Oracle: Sennrich mirror whose tokenization runs "
+    "through DuckDB RE2 (the z14-proven dialect pair), exact",
+    tol_oracle=_z19_bpe_unicode_mirror,
+    tolerance=0.0,
+    tol_keys=("rank",),
+)
+def z19_bpe_unicode(spark, sf_dir):
+    from topn_spark.diag import _attach_scalar
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    text = (
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("москва москва слово слово слово "), ds),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("grüße grüße größe "), ds))
+        .otherwise(F.concat(F.lit("東京 東京 京都 data "), ds))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    merges = bpe_train(planted, 12, min_pair_count=2, mode="unicode")
+    totals = apply_bpe(planted, merges, mode="unicode").agg(
+        F.sum("n_words").alias("corpus_words"),
+        F.sum("n_bpe_tokens").alias("corpus_bpe_tokens"),
+    )
+    mdf = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+    return _attach_scalar(mdf, totals).orderBy("rank")
+
+
+@query(
+    "z20_script_profile",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Analysis report no ' || doc_id
+      WHEN 1 THEN 'Москва и текст номер ' || doc_id
+      WHEN 2 THEN '東京都市 statistik ' || doc_id
+      ELSE 'مرحبا بالعالم رقم ' || doc_id END AS text
+  FROM documents WHERE doc_id < 400),
+c AS (
+  SELECT doc_id,
+    CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+    CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+    CAST(length(regexp_replace(text, '[^\p{Greek}]', '', 'g')) AS BIGINT) AS n_greek,
+    CAST(length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+    CAST(length(regexp_replace(text, '[^\p{Nd}]', '', 'g')) AS BIGINT) AS n_digit
+  FROM t)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek, n_arabic, n_digit,
+  CASE
+    WHEN greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic) <= 0
+      THEN 'und'
+    WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic)
+      THEN 'latin'
+    WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic)
+      THEN 'cyrillic'
+    WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic)
+      THEN 'han'
+    WHEN n_greek = greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic)
+      THEN 'greek'
+    ELSE 'arabic' END AS dominant_script
+FROM c ORDER BY doc_id ASC""",
+    doc="Unicode script profiling (textstats.py::script_profile): "
+    "per-document character counts by script (Latin/Cyrillic/Han/"
+    "Greek/Arabic + decimal digits) and the dominant script — the "
+    "corpus-routing signal in front of language-specific pipelines. "
+    "Pure Catalyst regexp counts, map-only; the oracle recomputes "
+    "every count with RE2's \\p{Script} classes (the Java-regex/RE2 "
+    "pair verified count-identical) and mirrors the tie-break",
+)
+def z20_script_profile(spark, sf_dir):
+    from topn_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    text = (
+        F.when(d % 4 == 0, F.concat(F.lit("Analysis report no "), ds))
+        .when(d % 4 == 1, F.concat(F.lit("Москва и текст номер "), ds))
+        .when(d % 4 == 2, F.concat(F.lit("東京都市 statistik "), ds))
+        .otherwise(F.concat(F.lit("مرحبا بالعالم رقم "), ds))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return (
+        script_profile(planted)
+        .select(
+            "doc_id", "n_latin", "n_cyrillic", "n_han", "n_greek",
+            "n_arabic", "n_digit", "dominant_script",
+        )
+        .orderBy("doc_id")
+    )
