@@ -253,6 +253,41 @@ def test_cdc_snapshot_sink_classifies_and_maintains_snapshot(
     assert snap2 == {(1, "A2"), (2, "b"), (3, "c")}
 
 
+def test_cdc_replayed_epoch_dedups_on_read(spark, tmp_path):
+    """A replayed foreachBatch epoch re-appends its change rows (the
+    snapshot commit is replay-safe, the log append is not);
+    read_cdc_changes collapses the duplicates and supports
+    incremental since_epoch reads."""
+    from topn_spark.streaming.ingest import (
+        cdc_batch,
+        read_cdc_changes,
+        read_cdc_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    chg = str(tmp_path / "chg")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    cdc_batch(b1, snap, chg, ["k"], ["v"], batch_id=0)
+    # replay of epoch 0 after a checkpoint rollback
+    cdc_batch(b1, snap, chg, ["k"], ["v"], batch_id=0)
+    b2 = spark.createDataFrame([(1, "a2")], "k long, v string")
+    cdc_batch(b2, snap, chg, ["k"], ["v"], batch_id=1)
+    raw = spark.read.parquet(chg).collect()
+    assert len(raw) == 3  # the duplicate append is physically there
+    clean = {
+        (r.k, r.status, r.epoch)
+        for r in read_cdc_changes(spark, chg).collect()
+    }
+    assert clean == {(1, "added", 0), (1, "changed", 1)}
+    inc = read_cdc_changes(spark, chg, since_epoch=0).collect()
+    assert [(r.k, r.status, r.epoch) for r in inc] == [
+        (1, "changed", 1)
+    ]
+    # snapshot stayed correct through the replay
+    got = {(r.k, r.v) for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got == {(1, "a2")}
+
+
 def test_corrupt_fingerprint_store_raises_not_readmits(spark, tmp_path):
     """A store-read failure that is NOT missing-path must raise: the
     old broad `except Exception` treated a corrupt store as 'first

@@ -266,6 +266,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z18_web_pipeline",
         "z19_bpe_unicode",
         "z20_script_profile",
+        "z21_nfc_normalize",
     ):
         warns = [
             f

@@ -510,6 +510,35 @@ def test_bpe_unicode_mode_round_trip(spark):
     assert (r.n_words, r.n_bpe_tokens) == (0, 0)
 
 
+def test_normalize_unicode_forms_and_nulls(spark):
+    """NFC composes decomposed sequences (dedup-critical: both
+    spellings hash identically after), NFKC additionally folds
+    compatibility chars, NULLs pass through, bad form raises."""
+    import pytest
+
+    from topn_spark.operators.textstats import normalize_unicode
+
+    rows = [
+        (1, "cafe\u0301"),       # decomposed: e + combining acute
+        (2, "caf\u00e9"),        # precomposed: same string after NFC
+        (3, "\ufb01le \u00bd"),  # ligature + fraction (NFKC only)
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert rows[0][1] != rows[1][1]  # genuinely different codepoints
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df).collect()}
+    assert nfc[1] == nfc[2] == "caf\u00e9"
+    assert nfc[3] == "\ufb01le \u00bd"  # NFC keeps compatibility chars
+    assert nfc[4] is None
+    nfkc = {
+        r.doc_id: r.text
+        for r in normalize_unicode(df, form="NFKC").collect()
+    }
+    assert nfkc[3] == "file 1\u20442"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
+
+
 def test_script_profile(spark):
     """Script counts, digit class across scripts, dominant-script
     tie-break order, and 'und' for script-free text."""

@@ -188,6 +188,40 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized_text(text_col))
 
 
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD via the stdlib
+    ``unicodedata`` tables) — the canonicalization step in front of
+    every hash-based stage: visually identical strings with different
+    codepoint sequences (``é`` vs ``e`` + combining acute) would
+    otherwise fingerprint, dedup, and shingle apart. Adds ``out_col``
+    (default: overwrite ``text_col``).
+
+    Arrow-vectorized scalar ``pandas_udf`` — Spark has no built-in
+    normalizer, so this is the sanctioned UDF case; map-only,
+    embarrassingly parallel, no model state. NULLs pass through.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize(form, x)
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
 def ngrams_from_tokens(tok_col: str, n: int = 2) -> Column:
     """Adjacent word ``n``-grams (space-joined) over an ALREADY
     MATERIALIZED token-array column. Empty array when the document has

@@ -6851,3 +6851,58 @@ def z20_script_profile(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z21_nfc_normalize",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'cafe' || chr(769) || ' nr ' || doc_id
+      WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm ' || doc_id
+      WHEN 2 THEN 'plain text ' || doc_id
+      ELSE chr(12459) || chr(12441) || 'raw ' || doc_id END AS raw
+  FROM documents WHERE doc_id < 400)
+SELECT doc_id,
+  nfc_normalize(raw) AS text,
+  CAST(length(raw) AS BIGINT) AS n_before,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+  (nfc_normalize(raw) != raw) AS changed
+FROM t ORDER BY doc_id ASC""",
+    doc="Unicode NFC normalization (textstats.py::normalize_unicode):"
+    " canonical composition before any hash-based stage — visually "
+    "identical strings with different codepoint sequences (e +"
+    " combining acute vs precomposed e-acute) would dedup/fingerprint"
+    " apart. Arrow-vectorized stdlib unicodedata UDF (no JVM builtin"
+    " exists). Planted DECOMPOSED fixtures (combining acute/ring/"
+    "diaeresis, katakana dakuten); the oracle normalizes with"
+    " DuckDB's nfc_normalize and pins text, codepoint counts before/"
+    "after, and the changed flag",
+)
+def z21_nfc_normalize(spark, sf_dir):
+    from topn_spark.operators.textstats import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    raw = (
+        F.when(d % 4 == 0, F.concat(F.lit("cafe\u0301 nr "), ds))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("A\u030angstro\u0308m "), ds),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("plain text "), ds))
+        .otherwise(F.concat(F.lit("\u30ab\u3099raw "), ds))
+    )
+    planted = docs.select("doc_id", raw.alias("raw"))
+    out = normalize_unicode(planted, "raw", form="NFC", out_col="text")
+    return out.select(
+        "doc_id",
+        "text",
+        F.length("raw").cast("bigint").alias("n_before"),
+        F.length("text").cast("bigint").alias("n_after"),
+        (F.col("text") != F.col("raw")).alias("changed"),
+    ).orderBy("doc_id")
+

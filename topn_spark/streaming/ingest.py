@@ -390,6 +390,36 @@ def read_cdc_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
     return read_snapshot(spark, snapshot_dir)
 
 
+def read_cdc_changes(
+    spark, changes_dir: str, since_epoch: int | None = None
+) -> DataFrame:
+    """Change-log reader for downstream incremental refresh. The log
+    is append-only, so a replayed foreachBatch epoch (checkpoint
+    rollback after the batch ran) appends a second classification for
+    every key — and because the first attempt already advanced the
+    snapshot, the replay sees its own batch as applied and records
+    ``unchanged`` where the true classification was ``added`` or
+    ``changed``. Reconciliation rule, exact by case analysis: within
+    one (keys, epoch) group a non-``unchanged`` status wins (a replay
+    of an identical batch against the post-commit snapshot can only
+    produce ``unchanged`` — it can never flip added→changed or
+    unchanged→changed), identical duplicates collapse, and the result
+    is one row per key per epoch. ``since_epoch`` filters to epochs a
+    consumer has not applied. One hash-agg over (keys, epoch) — the
+    same shuffle shape as the diff that wrote the log."""
+    df = spark.read.parquet(changes_dir)
+    if since_epoch is not None:
+        df = df.where(F.col("epoch") > since_epoch)
+    cols = df.columns
+    group = [c for c in cols if c != "status"]
+    pr = F.when(F.col("status") == "unchanged", 1).otherwise(0)
+    return df.groupBy(*group).agg(
+        F.min_by(
+            "status", F.struct(pr.alias("p"), F.col("status"))
+        ).alias("status")
+    ).select(*cols)
+
+
 def cdc_snapshot_sink(
     stream: DataFrame,
     snapshot_dir: str,
