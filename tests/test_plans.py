@@ -267,6 +267,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z19_bpe_unicode",
         "z20_script_profile",
         "z21_nfc_normalize",
+        "z22_compress_ratio",
     ):
         warns = [
             f

@@ -539,6 +539,35 @@ def test_normalize_unicode_forms_and_nulls(spark):
         normalize_unicode(df, form="NFX")
 
 
+def test_compression_signals_orders_junk_prose_noise(spark):
+    """Repetitive junk compresses hardest, natural prose in between,
+    random-ish noise barely; empty/null are NULL-safe."""
+    import random
+
+    from topn_spark.operators.textstats import compression_signals
+
+    rng = random.Random(5)
+    noise = "".join(
+        chr(rng.randrange(33, 127)) for _ in range(400)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "rain in spain stays mainly in the plain and every good "
+        "boy deserves fruit from the old apple tree nearby today"
+    )
+    junk = "spam " * 80
+    df = spark.createDataFrame(
+        [(1, junk), (2, prose), (3, noise), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_signals(df).collect()}
+    assert got[1].compress_ratio < got[2].compress_ratio
+    assert got[2].compress_ratio < got[3].compress_ratio
+    assert got[1].n_bytes == 400 and got[1].n_zlib_bytes < 40
+    assert got[4].compress_ratio is None  # empty: no ratio
+    assert got[5].n_zlib_bytes is None and got[5].compress_ratio is None
+
+
 def test_script_profile(spark):
     """Script counts, digit class across scripts, dominant-script
     tie-break order, and 'und' for script-free text."""
@@ -585,6 +614,39 @@ def test_unicode_token_mode(spark):
     assert toks == ["москва", "東京", "hello", "١٢٣"]
     with pytest.raises(ValueError, match="token mode"):
         tokens("text", "latin1")
+
+
+def test_bpe_merge_table_save_load_round_trip(spark, tmp_path):
+    """The stored (rank, lhs, rhs) artifact reproduces the exact
+    table and tokenization; a gapped rank refuses to load."""
+    import pytest
+
+    from topn_spark.operators.textstats import (
+        apply_bpe,
+        bpe_train,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, 5, min_pair_count=1)
+    path = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, path)
+    loaded = load_bpe_merges(spark, path)
+    assert loaded == merges
+    a = apply_bpe(df, merges).collect()[0]
+    b = apply_bpe(df, loaded).collect()[0]
+    assert (a.n_words, a.n_bpe_tokens) == (b.n_words, b.n_bpe_tokens)
+    # gapped ranks -> corrupt artifact, refuse
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(0, "a", "b"), (2, "c", "d")], "rank int, lhs string, rhs string"
+    ).write.parquet(bad)
+    with pytest.raises(IOError, match="not.*contiguous|contiguous"):
+        load_bpe_merges(spark, bad)
 
 
 def test_bpe_train_tiers_agree_and_distributed_batches_rounds(spark):

@@ -188,6 +188,52 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized_text(text_col))
 
 
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap junk
+    detector (used in public pretraining filters alongside the Gopher
+    rules): highly repetitive or templated text compresses far below
+    natural prose, near-random noise barely compresses at all. Adds
+    ``n_bytes`` (UTF-8 length), ``n_zlib_bytes`` (RFC 1950 stream
+    length at ``level``), and ``compress_ratio`` (compressed/raw,
+    ROUND 6, NULL for empty/null docs).
+
+    Arrow-vectorized ``pandas_udf`` over stdlib ``zlib`` — the
+    sanctioned UDF case (no JVM-side zlib expression exists); map-only,
+    no model state, embarrassingly parallel. Deterministic for a fixed
+    zlib version and level, so the oracle recomputes byte-identical
+    lengths.
+    """
+    import zlib as _zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _nz(s):
+        return s.map(
+            lambda x: None
+            if x is None
+            else len(_zlib.compress(x.encode("utf-8"), level))
+        )
+
+    nb = F.octet_length(text_col).cast("bigint")
+    return (
+        df.withColumn("n_bytes", nb)
+        .withColumn("n_zlib_bytes", _nz(F.col(text_col)))
+        .withColumn(
+            "compress_ratio",
+            F.round(
+                F.col("n_zlib_bytes")
+                / F.nullif(F.col("n_bytes").cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",
@@ -978,6 +1024,33 @@ def train_quality_classifier(
         n_iters=n_iters, lr=lr,
     )
     return w, logreg_predict(feat, w, QUALITY_FEATURES)
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table as ``(rank, lhs, rhs)`` parquet
+    — the model artifact of the BPE lifecycle (train once on the
+    corpus, store, apply from any session/job). Rank order IS the
+    merge priority :func:`apply_bpe` consumes. Coalesced to one file:
+    merge tables are model-sized (10k-50k rows), not data."""
+    spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge table written by :func:`save_bpe_merges`,
+    validating that ranks are exactly 0..n-1 (a gapped or duplicated
+    rank means a corrupt/partial artifact — applying it would
+    silently change every tokenization downstream)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(len(rows))):
+        raise IOError(
+            f"corrupt BPE merge table at {path}: ranks are not "
+            f"contiguous 0..{len(rows) - 1}"
+        )
+    return [(r["lhs"], r["rhs"]) for r in rows]
 
 
 def _bpe_train_local(

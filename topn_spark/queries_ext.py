@@ -6906,3 +6906,62 @@ def z21_nfc_normalize(spark, sf_dir):
         (F.col("text") != F.col("raw")).alias("changed"),
     ).orderBy("doc_id")
 
+
+
+def _z22_compress_mirror(con):
+    """Byte-identical mirror of compression_signals on the real sf
+    documents: same stdlib zlib, same level, same ROUND-6 ratio (via
+    Decimal HALF_UP mirroring Spark ROUND). Exact (tolerance 0)."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for did, text in rows:
+        if text is None:
+            out.append((int(did), None, None, None))
+            continue
+        raw = text.encode("utf-8")
+        nz = len(zlib.compress(raw, 6))
+        ratio = (
+            None
+            if not raw
+            else float(
+                Decimal(repr(nz / float(len(raw)))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+        )
+        out.append((int(did), len(raw), nz, ratio))
+    return ["doc_id", "n_bytes", "n_zlib_bytes", "compress_ratio"], out
+
+
+@query(
+    "z22_compress_ratio",
+    None,
+    doc="zlib compressibility quality signal (textstats.py::"
+    "compression_signals): per-doc UTF-8 byte length, RFC 1950 "
+    "stream length, and the compressed/raw ratio — repetitive or "
+    "templated junk compresses far below natural prose, noise "
+    "barely compresses; the classic cheap pretraining filter beside "
+    "the Gopher rules. Arrow-vectorized stdlib zlib (no JVM "
+    "expression exists). Oracle: byte-identical Python zlib mirror "
+    "over the same documents, exact",
+    tol_oracle=_z22_compress_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z22_compress_ratio(spark, sf_dir):
+    from topn_spark.operators.textstats import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    return (
+        compression_signals(docs)
+        .select("doc_id", "n_bytes", "n_zlib_bytes", "compress_ratio")
+        .orderBy("doc_id")
+    )
