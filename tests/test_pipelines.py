@@ -614,3 +614,123 @@ def test_streaming_pipeline_macro_source_path(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.name, r.age) for r in spark.read.parquet(dst).collect()}
     assert got == {("b", 9)}
+
+
+def test_web_frontend_plugins_pipeline(spark, tmp_path):
+    """The round-7 corpus front end composed entirely from the JSON
+    spec: File -> HtmlExtract -> NormalizeUnicode -> QualityScore ->
+    Filter(quality_keep) -> FileSink; plus per-plugin validation
+    failures batched at deploy."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import compile_pipeline, run_pipeline
+
+    src = str(tmp_path / "html_src")
+    good = (
+        "<body><h1>Doc</h1><p>"
+        + "perfectly reasonable sentence with enough words here "
+        * 2
+        + "</p></body>"
+    )
+    junk = "<body><p>@@ ## !!</p></body>"
+    spark.createDataFrame(
+        [(1, good), (2, junk), (3, None)],
+        "doc_id long, html string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "web_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {"name": "extract", "plugin": "HtmlExtract", "properties": {}},
+            {
+                "name": "norm",
+                "plugin": "NormalizeUnicode",
+                "properties": {"textField": "text", "form": "NFC"},
+            },
+            {
+                "name": "quality",
+                "plugin": "QualityScore",
+                "properties": {"textField": "text"},
+            },
+            {
+                "name": "keep",
+                "plugin": "Filter",
+                "properties": {"condition": "quality_keep"},
+            },
+            {
+                "name": "sink",
+                "plugin": "FileSink",
+                "properties": {"path": dst},
+            },
+        ],
+        "connections": [
+            {"from": "src", "to": "extract"},
+            {"from": "extract", "to": "norm"},
+            {"from": "norm", "to": "quality"},
+            {"from": "quality", "to": "keep"},
+            {"from": "keep", "to": "sink"},
+        ],
+    }
+    compile_pipeline(spark, spec)
+    run_pipeline(spark, spec)
+    kept = spark.read.parquet(dst).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert kept[0].quality_keep is True
+
+    # validation: missing html column, bad form — batched at deploy
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "extract",
+                "plugin": "HtmlExtract",
+                "properties": {"htmlField": "ghost"},
+            },
+            {
+                "name": "norm",
+                "plugin": "NormalizeUnicode",
+                "properties": {"form": "NFX"},
+            },
+        ],
+        "connections": [
+            {"from": "src", "to": "extract"},
+            {"from": "extract", "to": "norm"},
+        ],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, bad)
+    msg = str(ei.value)
+    assert "ghost" in msg and "NFX" in msg
+
+
+def test_script_profile_plugin(spark, tmp_path):
+    from topn_spark.pipelines import run_pipeline
+
+    src = str(tmp_path / "sp_src")
+    spark.createDataFrame(
+        [(1, "москва текст тут"), (2, "plain english words")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "sp_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {"name": "sp", "plugin": "ScriptProfile", "properties": {}},
+            {
+                "name": "sink",
+                "plugin": "FileSink",
+                "properties": {"path": dst},
+            },
+        ],
+        "connections": [
+            {"from": "src", "to": "sp"},
+            {"from": "sp", "to": "sink"},
+        ],
+    }
+    run_pipeline(spark, spec)
+    got = {
+        r.doc_id: r.dominant_script
+        for r in spark.read.parquet(dst).collect()
+    }
+    assert got == {1: "cyrillic", 2: "latin"}

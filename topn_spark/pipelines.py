@@ -397,6 +397,91 @@ def _stage_window(spark, stage, inputs, collector, substitutions, phase):
     return df.withColumn(alias, exprs[fn]())
 
 
+def _require_field(df, field, collector, prop):
+    if field not in df.columns:
+        collector.add_failure(
+            f"Column '{field}' not in input schema.",
+            property_name=prop,
+        )
+        return False
+    return True
+
+
+def _stage_html_extract(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """HtmlExtract transform: raw markup -> (id, title, text,
+    n_links) via operators/markup.py — the web-corpus front end as a
+    pipeline plugin. Properties: htmlField (default 'html'), idField
+    (default 'doc_id')."""
+    (df,) = inputs
+    p = stage.properties
+    html_col = p.get("htmlField", "html")
+    id_col = p.get("idField", "doc_id")
+    if not (
+        _require_field(df, html_col, collector, "htmlField")
+        and _require_field(df, id_col, collector, "idField")
+    ):
+        return df
+    from topn_spark.operators.markup import extract_html_text
+
+    return extract_html_text(df, html_col=html_col, id_col=id_col)
+
+
+def _stage_quality_score(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """QualityScore transform: Gopher-style quality features + keep
+    flag (textstats.add_quality). Property: textField ('text')."""
+    (df,) = inputs
+    text_col = stage.properties.get("textField", "text")
+    if not _require_field(df, text_col, collector, "textField"):
+        return df
+    from topn_spark.operators.textstats import add_quality
+
+    return add_quality(df, text_col)
+
+
+def _stage_script_profile(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """ScriptProfile transform: per-doc Unicode script counts +
+    dominant script (textstats.script_profile). Property: textField."""
+    (df,) = inputs
+    text_col = stage.properties.get("textField", "text")
+    if not _require_field(df, text_col, collector, "textField"):
+        return df
+    from topn_spark.operators.textstats import script_profile
+
+    return script_profile(df, text_col)
+
+
+def _stage_normalize_unicode(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """NormalizeUnicode transform (textstats.normalize_unicode).
+    Properties: textField ('text'), form ('NFC')."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    form = p.get("form", "NFC")
+    # validate every property independently so one bad upstream stage
+    # doesn't mask this stage's own config errors in the batch report
+    ok = _require_field(df, text_col, collector, "textField")
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        collector.add_failure(
+            f"Unknown normalization form '{form}'.",
+            "One of NFC, NFD, NFKC, NFKD.",
+            property_name="form",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.textstats import normalize_unicode
+
+    return normalize_unicode(df, text_col, form=form)
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -410,6 +495,10 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "Joiner": ("batchjoiner", _stage_joiner),
     "Union": ("batchjoiner", _stage_union),
     "Window": ("transform", _stage_window),
+    "HtmlExtract": ("transform", _stage_html_extract),
+    "QualityScore": ("transform", _stage_quality_score),
+    "ScriptProfile": ("transform", _stage_script_profile),
+    "NormalizeUnicode": ("transform", _stage_normalize_unicode),
     "FileSink": ("batchsink", _stage_sink),
 }
 
