@@ -734,3 +734,71 @@ def test_script_profile_plugin(spark, tmp_path):
         for r in spark.read.parquet(dst).collect()
     }
     assert got == {1: "cyrillic", 2: "latin"}
+
+
+def test_filter_suite_plugins_pipeline(spark, tmp_path):
+    """GopherRules/C4LineFilter as spec plugins, keepOnly mode: C4
+    cleans lines and gates pages, Gopher gates the cleaned docs;
+    invalid keepOnly is a batched deploy-time validation failure."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import compile_pipeline, run_pipeline
+
+    src = str(tmp_path / "fs_src")
+    good_line = "the data to be of and that have with value pipeline here."
+    good = "\n".join([good_line.capitalize()] * 8 + ["no punct fragment"])
+    lorem = "lorem ipsum dolor sit amet and so on here today.\n" + good
+    spark.createDataFrame(
+        [(1, good), (2, lorem)], "doc_id long, text string"
+    ).write.parquet(src)
+    dst = str(tmp_path / "fs_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "c4",
+                "plugin": "C4LineFilter",
+                "properties": {"keepOnly": "true"},
+            },
+            {
+                "name": "gopher",
+                "plugin": "GopherRules",
+                "properties": {"keepOnly": "true"},
+            },
+            {
+                "name": "sink",
+                "plugin": "FileSink",
+                "properties": {"path": dst},
+            },
+        ],
+        "connections": [
+            {"from": "src", "to": "c4"},
+            {"from": "c4", "to": "gopher"},
+            {"from": "gopher", "to": "sink"},
+        ],
+    }
+    compile_pipeline(spark, spec)
+    run_pipeline(spark, spec)
+    kept = spark.read.parquet(dst).collect()
+    # doc 2 dies at the C4 lorem-ipsum page gate; doc 1 survives both
+    # suites with its no-punctuation fragment line removed
+    assert [r.doc_id for r in kept] == [1]
+    assert sorted(kept[0].asDict()) == ["doc_id", "text"]
+    assert "no punct fragment" not in kept[0].text
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "gopher",
+                "plugin": "GopherRules",
+                "properties": {"keepOnly": "maybe", "textField": "ghost"},
+            },
+        ],
+        "connections": [{"from": "src", "to": "gopher"}],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, bad)
+    msg = str(ei.value)
+    assert "maybe" in msg and "ghost" in msg

@@ -268,6 +268,10 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z20_script_profile",
         "z21_nfc_normalize",
         "z22_compress_ratio",
+        # round-7 second wave: published filter suites + span removal
+        "z23_gopher_rules",
+        "z24_c4_line_filter",
+        "z25_dup_span_removal",
     ):
         warns = [
             f

@@ -685,3 +685,100 @@ def test_bpe_train_tiers_agree_and_distributed_batches_rounds(spark):
     got = bpe_train(df2, 4, min_pair_count=2, vocab_driver_cap=0, stats=st)
     assert got == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
     assert st["rounds"] == 1  # 4 merges, one scheduled round
+
+
+def test_gopher_rules_per_rule_isolation(spark):
+    from topn_spark.operators.textstats import gopher_rules
+
+    rows = [
+        (1, "the data to be of and that have with pipeline value " * 6),
+        (2, "• the list of item rows here\n" * 60),  # bullets
+        (3, "the data of that value pipeline goes on and ever on...\n" * 60),
+        (4, ("the data # of value that rows # have with more size " * 7)),
+        (5, "too short to pass the fifty word gate"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].gopher_keep is True and out[1].stop_hits == 8
+    assert out[2].gopher_keep is False and out[2].frac_bullet_lines > 0.9
+    assert out[3].gopher_keep is False
+    assert out[3].frac_ellipsis_lines > 0.3
+    assert out[4].gopher_keep is False and out[4].hash_word_ratio > 0.1
+    assert out[5].gopher_keep is False and out[5].n_words < 50
+    # null text: every signal null, composite flag coalesced to False
+    assert out[6].gopher_keep is False and out[6].mean_word_len is None
+
+
+def test_c4_line_filter_rules(spark):
+    from topn_spark.operators.textstats import c4_line_filter
+
+    rows = [
+        (1, "A good long sentence number one here.\n"
+            "A good long sentence number two here!\n"
+            'A good long sentence number three here."'),
+        (2, "Uses JavaScript in a fine long sentence.\n"
+            "A good long sentence number two here.\n"
+            "A good long sentence number three here."),
+        (3, "lorem ipsum dolor sit amet here today.\n"
+            "A good long sentence number two here.\n"
+            "A good long sentence number three here."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert out[1].c4_keep is True and out[1].n_kept_lines == 3
+    # javascript match is case-insensitive; doc falls under 3 sentences
+    assert out[2].n_kept_lines == 2 and out[2].c4_keep is False
+    assert out[3].c4_keep is False  # lorem ipsum page gate
+    assert out[4].c4_keep is False and out[4].clean_text == ""
+
+
+def test_remove_duplicate_spans_keep_semantics(spark):
+    from topn_spark.operators.textstats import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one two"),
+        (2, shared + " three four"),
+        (3, "entirely different words fill this document here today"),
+        (4, "short doc"),  # below window size: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, window=8, min_count=2).collect()
+    }
+    # global first occurrence (doc 1) keeps its span; doc 2 loses it
+    assert first[1].n_removed == 0
+    assert first[1].clean_text.startswith("alpha beta")
+    assert first[2].n_removed == 8
+    assert first[2].clean_text == "three four"
+    assert first[3].n_removed == 0
+    assert first[4].n_tokens == 2 and first[4].n_dup_windows == 0
+
+    none = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, window=8, min_count=2, keep="none"
+        ).collect()
+    }
+    assert none[1].n_removed == 8 and none[1].clean_text == "one two"
+    assert none[2].n_removed == 8
+
+    with pytest.raises(ValueError, match="keep"):
+        remove_duplicate_spans(df, keep="bogus")
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from topn_spark.operators.textstats import remove_duplicate_spans
+
+    phrase = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, phrase + " filler " + phrase)], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(df, window=8, min_count=2).collect()[0]
+    # the second in-document occurrence of the 8-gram is removed;
+    # the first stays (keep='first' orders by (doc_id, pos))
+    assert out.n_dup_windows == 1 and out.n_removed == 8
+    assert out.clean_text == phrase + " filler"

@@ -99,6 +99,159 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: The Gopher rule-suite required stopwords (Rae et al. 2021,
+#: Appendix A1.1.2): a document must contain at least two of these.
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full published Gopher quality-rule suite (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1.2) as per-document
+    signals plus the composite ``gopher_keep`` flag:
+
+    - word count in [50, 100 000] ("words" = whitespace-separated
+      runs, the paper's definition — NOT the engine token rule);
+    - mean word length in [3, 10] characters;
+    - hash-symbol/word and ellipsis/word ratios both <= 0.1;
+    - <= 90% of (non-blank) lines starting with a bullet character;
+    - <= 30% of lines ending with an ellipsis;
+    - >= 80% of words containing at least one letter;
+    - at least two of the eight required stopwords present.
+
+    Unlike :func:`add_quality` (a simplified heuristic), every rule
+    here is the published one, each exposed as its own column so a
+    pipeline can re-threshold or ablate rules individually.
+
+    Scale shape: map-only Catalyst expressions — the word and line
+    arrays are bound in their own projections and referenced many
+    times (which pins the projection boundary, see
+    :func:`ngrams_from_tokens`'s perf note), so each split/regexp
+    runs once per document. At 100 TB this is one scan, no shuffle.
+    """
+    words = F.regexp_extract_all(F.lower(text_col), F.lit(r"\S+"), F.lit(0))
+    lines = F.split(F.col(text_col), "\n")
+    df = (
+        df.withColumn("_gw", words)
+        .withColumn("_gl", F.filter(lines, lambda l: F.trim(l) != ""))
+    )
+    n_words = F.size("_gw").cast("bigint")
+    n_lines = F.size("_gl").cast("double")
+    # mean word length = non-whitespace chars / words (identical to
+    # averaging per-word lengths, one regexp instead of a fold)
+    n_wchars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s", "")
+    ).cast("double")
+    n_hash = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("#"), F.lit(0))
+    ).cast("double")
+    n_ellipsis = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"\.\.\.|…"), F.lit(0)
+        )
+    ).cast("double")
+    bullet_lines = F.size(
+        F.filter(F.col("_gl"), lambda l: F.trim(l).rlike("^[-*•‣▪]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(
+            F.col("_gl"),
+            lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"),
+        )
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(F.col("_gw"), lambda w: w.rlike("\\p{L}"))
+    ).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("_gw"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    nwd = F.nullif(n_words.cast("double"), F.lit(0.0))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(n_wchars / nwd, 6))
+        .withColumn("hash_word_ratio", F.round(n_hash / nwd, 6))
+        .withColumn("ellipsis_word_ratio", F.round(n_ellipsis / nwd, 6))
+        .withColumn(
+            "frac_bullet_lines",
+            F.round(bullet_lines / F.nullif(n_lines, F.lit(0.0)), 6),
+        )
+        .withColumn(
+            "frac_ellipsis_lines",
+            F.round(ellipsis_lines / F.nullif(n_lines, F.lit(0.0)), 6),
+        )
+        .withColumn("frac_alpha_words", F.round(alpha_words / nwd, 6))
+        .withColumn("stop_hits", stop_hits)
+    )
+    keep = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("hash_word_ratio") <= 0.1)
+        & (F.col("ellipsis_word_ratio") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn(
+        "gopher_keep", F.coalesce(keep, F.lit(False))
+    ).drop("_gw", "_gl")
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that (after trimming) end in a terminal punctuation
+    mark (``. ! ? "``), contain at least five words, and do not
+    mention "javascript"; then gate the document on the cleaned text
+    — drop pages with fewer than three sentences (approximated as
+    terminal-punctuation marks in the kept text, declared semantics),
+    pages containing the placeholder phrase "lorem ipsum", and pages
+    containing a curly brace.
+
+    Emits ``clean_text`` (kept lines re-joined), the line/sentence
+    counts, and the composite ``c4_keep`` flag. Map-only higher-order
+    array expressions — one scan at 100 TB, no shuffle; the line
+    array is bound in its own projection (multi-reference pins the
+    boundary, see :func:`ngrams_from_tokens`'s perf note).
+    """
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (
+            F.size(
+                F.regexp_extract_all(F.trim(l), F.lit(r"\S+"), F.lit(0))
+            )
+            >= 5
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    df = (
+        df.withColumn("_c4k", kept)
+        .withColumn("clean_text", F.array_join("_c4k", "\n"))
+    )
+    n_sentences = F.size(
+        F.regexp_extract_all(F.col("clean_text"), F.lit("[.!?]"), F.lit(0))
+    ).cast("bigint")
+    keep = (
+        (n_sentences >= 3)
+        & ~F.lower(text_col).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return (
+        df.withColumn(
+            "n_lines",
+            F.size(F.split(F.col(text_col), "\n")).cast("bigint"),
+        )
+        .withColumn("n_kept_lines", F.size("_c4k").cast("bigint"))
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("c4_keep", F.coalesce(keep, F.lit(False)))
+        .drop("_c4k")
+    )
+
+
 #: Unicode scripts profiled by :func:`script_profile`, in tie-break
 #: priority order. Java regex spells them \p{IsX}; RE2 (the DuckDB
 #: oracle dialect) \p{X} — counts verified identical.
@@ -801,6 +954,108 @@ def duplicate_ngram_coverage(
                 "dup_frac"
             ),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    min_count: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication at token-window granularity (Lee
+    et al. 2022, arXiv:2107.06499): find every ``window``-token span
+    that occurs at least ``min_count`` times corpus-wide and REMOVE
+    the duplicated occurrences from the documents — this is the
+    removal stage that :func:`duplicate_ngram_coverage` only measures.
+    ``keep="first"`` retains the globally first occurrence of each
+    duplicated span (the paper's semantics — ordered by
+    ``(doc_id, position)``); ``keep="none"`` removes every occurrence.
+
+    Returns ``(id, n_tokens, n_dup_windows, n_removed, clean_text)``:
+    the duplicated-window starts per doc, how many token positions
+    their (merged, overlapping) spans cover, and the text rebuilt from
+    the surviving tokens (space-joined under the engine token rule).
+
+    Scale shape: one posexplode to the (doc, pos, window-hash) stream,
+    ONE shuffle keyed by the window hash (a single window pass
+    computes both the occurrence count and the global first-occurrence
+    rank — no second agg+join), a per-doc agg of removed positions,
+    and a join back to the token table. Interval merging and token
+    filtering are per-row array expressions (two-arg ``filter``
+    lambda over the token index) — never a second pass over the
+    corpus. All joins are equi-joins on the hash/doc key; nothing is
+    all-pairs and no driver state exists, so the plan is the same at
+    100 TB with the window-hash shuffle as the only data-sized cost.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from pyspark.sql.window import Window
+
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .persist()
+    )
+    starts = F.when(
+        F.col("_n") >= window,
+        F.sequence(F.lit(0), F.col("_n") - window),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "_id",
+        F.explode(starts).alias("pos"),
+        F.col("_toks").alias("_t"),
+    ).select(
+        "_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                "\x1f", F.slice("_t", F.col("pos") + 1, window)
+            )
+        ).alias("_h"),
+    )
+    w_all = Window.partitionBy("_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy("_h").orderBy("_id", "pos")
+    flagged = occ.select(
+        "_id",
+        "pos",
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+        F.row_number().over(w_ord).alias("_rn"),
+    )
+    removed = flagged.where(
+        (F.col("_cnt") >= min_count)
+        & (F.lit(keep == "none") | (F.col("_rn") > 1))
+    )
+    per_doc = removed.groupBy("_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dups")
+    )
+    joined = toks.join(per_doc, "_id", "left").withColumn(
+        "_dups", F.coalesce("_dups", F.array().cast("array<int>"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "_dups", lambda p: F.sequence(p, p + window - 1)
+            )
+        )
+    )
+    out = joined.withColumn("_cov", covered)
+    kept_toks = F.filter(
+        "_toks", lambda x, i: ~F.array_contains("_cov", i)
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.size("_dups").cast("bigint").alias("n_dup_windows"),
+        F.size("_cov").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept_toks).alias("clean_text"),
     )
 
 

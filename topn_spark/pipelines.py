@@ -482,6 +482,68 @@ def _stage_normalize_unicode(
     return normalize_unicode(df, text_col, form=form)
 
 
+def _stage_gopher_rules(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """GopherRules transform: the full published Gopher rule suite
+    (textstats.gopher_rules) — per-rule signal columns + gopher_keep.
+    Properties: textField ('text'), keepOnly ('false' — when 'true',
+    filter to gopher_keep rows and drop the signal columns)."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    keep_only = p.get("keepOnly", "false")
+    ok = _require_field(df, text_col, collector, "textField")
+    if keep_only not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepOnly '{keep_only}'.",
+            "One of true, false.",
+            property_name="keepOnly",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.textstats import gopher_rules
+
+    out = gopher_rules(df, text_col)
+    if keep_only == "true":
+        return out.where(F.col("gopher_keep")).select(*df.columns)
+    return out
+
+
+def _stage_c4_line_filter(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """C4LineFilter transform: C4-style line cleaning + page gate
+    (textstats.c4_line_filter). Properties: textField ('text'),
+    keepOnly ('false' — when 'true', keep only c4_keep pages and
+    replace the text column with the cleaned text)."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    keep_only = p.get("keepOnly", "false")
+    ok = _require_field(df, text_col, collector, "textField")
+    if keep_only not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepOnly '{keep_only}'.",
+            "One of true, false.",
+            property_name="keepOnly",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.textstats import c4_line_filter
+
+    out = c4_line_filter(df, text_col)
+    if keep_only == "true":
+        return (
+            out.where(F.col("c4_keep"))
+            .withColumn(text_col, F.col("clean_text"))
+            .select(*df.columns)
+        )
+    return out
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -499,6 +561,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "QualityScore": ("transform", _stage_quality_score),
     "ScriptProfile": ("transform", _stage_script_profile),
     "NormalizeUnicode": ("transform", _stage_normalize_unicode),
+    "GopherRules": ("transform", _stage_gopher_rules),
+    "C4LineFilter": ("transform", _stage_c4_line_filter),
     "FileSink": ("batchsink", _stage_sink),
 }
 

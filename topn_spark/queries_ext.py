@@ -6965,3 +6965,269 @@ def z22_compress_ratio(spark, sf_dir):
         .select("doc_id", "n_bytes", "n_zlib_bytes", "compress_ratio")
         .orderBy("doc_id")
     )
+
+
+#: Gopher-rule planted corpus: seven shapes, each isolating one rule
+#: (0 passes all; 1 bullet-lines; 2 ellipsis-lines; 3 hash-symbol
+#: ratio; 4 word count; 5 alpha-word fraction; 6 mean word length).
+_Z23_SHAPES = (
+    ("the data to be of and that have with pipeline value system ", 7),
+    ("• the list of item rows here\n", 60),
+    (
+        "the data of that value pipeline goes on further and ever on"
+        "...\n",
+        60,
+    ),
+    ("the data # of value that rows # have with more size ", 7),
+    ("the data of that value ", 1),
+    ("the 1111 2222 3333 of 4444 5555 6666 7777 8888 ", 6),
+    ("a b c d e of to be in at ", 6),
+)
+
+
+@query(
+    "z23_gopher_rules",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 0 THEN repeat('the data to be of and that have with pipeline value system ', 7)
+      WHEN 1 THEN repeat('• the list of item rows here' || chr(10), 60)
+      WHEN 2 THEN repeat('the data of that value pipeline goes on further and ever on...' || chr(10), 60)
+      WHEN 3 THEN repeat('the data # of value that rows # have with more size ', 7)
+      WHEN 4 THEN 'the data of that value '
+      WHEN 5 THEN repeat('the 1111 2222 3333 of 4444 5555 6666 7777 8888 ', 6)
+      ELSE repeat('a b c d e of to be in at ', 6)
+    END || 'nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 490),
+m AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '\S+') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+    text
+  FROM t),
+c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS mean_word_len,
+    ROUND(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS hash_word_ratio,
+    ROUND(CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS ellipsis_word_ratio,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS frac_bullet_lines,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS frac_ellipsis_lines,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS frac_alpha_words,
+    CAST(len(list_intersect(list_distinct(words),
+      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+  ellipsis_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
+  frac_alpha_words, stop_hits,
+  COALESCE(n_words BETWEEN 50 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+    AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+    AND frac_alpha_words >= 0.8 AND stop_hits >= 2,
+    false) AS gopher_keep
+FROM c ORDER BY doc_id ASC""",
+    doc="The full published Gopher quality-rule suite (textstats.py::"
+    "gopher_rules; Rae et al. 2021 Appendix A1.1.2): word count,"
+    " mean word length, hash/ellipsis symbol ratios, bullet- and"
+    " ellipsis-line fractions, alpha-word fraction, and the"
+    " required-stopword gate, each as its own column plus the"
+    " composite keep flag. Seven planted document shapes each"
+    " isolate exactly one rule. Map-only Catalyst arrays; the"
+    " oracle recomputes every rule with DuckDB list ops over the"
+    " identically-planted corpus, hash-exact",
+)
+def z23_gopher_rules(spark, sf_dir):
+    from topn_spark.operators.textstats import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 490
+    )
+    d = F.col("doc_id")
+    text = F.lit(None).cast("string")
+    branches = [
+        (d % 7 == i, F.lit(s * n)) for i, (s, n) in enumerate(_Z23_SHAPES)
+    ]
+    text = F.when(branches[0][0], branches[0][1])
+    for cond, val in branches[1:]:
+        text = text.when(cond, val)
+    text = F.concat(text, F.lit("nr "), d.cast("string"))
+    planted = docs.select("doc_id", text.alias("text"))
+    return (
+        gopher_rules(planted)
+        .select(
+            "doc_id", "n_words", "mean_word_len", "hash_word_ratio",
+            "ellipsis_word_ratio", "frac_bullet_lines",
+            "frac_ellipsis_lines", "frac_alpha_words", "stop_hits",
+            "gopher_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: C4 planted corpus: six shapes (0 clean page; 1 curly-brace page;
+#: 2 lorem-ipsum page; 3 javascript-heavy page; 4 no terminal
+#: punctuation anywhere; 5 quote/interrogative/exclamation endings).
+_Z24_SHAPES = (
+    "The first fine sentence sits right here.\nshort line.\n"
+    "no terminal punctuation on this line\n"
+    "A second good sentence follows on here!\n"
+    'A third closing sentence wraps it up."',
+    "Has a curly { brace marker inside it.\n"
+    "But otherwise a fine long sentence here.\n"
+    "And another good long one right here.\n"
+    "And a third one to be sure of it.",
+    "Standard Lorem Ipsum filler text goes here.\n"
+    "But otherwise a fine long sentence here.\n"
+    "And another good long one right here.\n"
+    "And a third one to be sure of it.",
+    "Please enable javascript to view this page.\n"
+    "This page needs javascript enabled to work.\n"
+    "Only one proper sentence survives in here.",
+    "a heading without any closing mark\nanother bare fragment line\n"
+    "yet more words that never end properly",
+    'He said the words clearly: "follow the data."\n'
+    "She replied with certainty that it would hold!\n"
+    "They agreed on the final plan together?",
+)
+
+
+@query(
+    "z24_c4_line_filter",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'The first fine sentence sits right here.' || chr(10) || 'short line.' || chr(10) || 'no terminal punctuation on this line' || chr(10) || 'A second good sentence follows on here!' || chr(10) || 'A third closing sentence wraps it up."'
+      WHEN 1 THEN 'Has a curly { brace marker inside it.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.'
+      WHEN 2 THEN 'Standard Lorem Ipsum filler text goes here.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.'
+      WHEN 3 THEN 'Please enable javascript to view this page.' || chr(10) || 'This page needs javascript enabled to work.' || chr(10) || 'Only one proper sentence survives in here.'
+      WHEN 4 THEN 'a heading without any closing mark' || chr(10) || 'another bare fragment line' || chr(10) || 'yet more words that never end properly'
+      ELSE 'He said the words clearly: "follow the data."' || chr(10) || 'She replied with certainty that it would hold!' || chr(10) || 'They agreed on the final plan together?'
+    END || chr(10) || 'nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 480),
+m AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(trim(l), '[.!?"]$')
+        AND len(regexp_extract_all(trim(l), '\S+')) >= 5
+        AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t),
+c AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+    text
+  FROM m)
+SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
+  COALESCE(n_sentences >= 3
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{'), false) AS c4_keep
+FROM c ORDER BY doc_id ASC""",
+    doc="C4-style line-level cleaning (textstats.py::c4_line_filter;"
+    " Raffel et al. 2020 §2.2): keep lines ending in terminal"
+    " punctuation with >= 5 words and no 'javascript' mention, then"
+    " gate the page on >= 3 sentences in the kept text, no 'lorem"
+    " ipsum', and no curly brace. Emits the cleaned text plus"
+    " line/sentence counts and the keep flag. Six planted page"
+    " shapes isolate each rule. Map-only higher-order arrays; the"
+    " oracle replays every rule in DuckDB list ops, hash-exact",
+)
+def z24_c4_line_filter(spark, sf_dir):
+    from topn_spark.operators.textstats import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    text = F.when(d % 6 == 0, F.lit(_Z24_SHAPES[0]))
+    for i in range(1, 6):
+        text = text.when(d % 6 == i, F.lit(_Z24_SHAPES[i]))
+    text = F.concat(text, F.lit("\nnr "), d.cast("string"))
+    planted = docs.select("doc_id", text.alias("text"))
+    return (
+        c4_line_filter(planted)
+        .select(
+            "doc_id", "clean_text", "n_lines", "n_kept_lines",
+            "n_sentences", "c4_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _z25_dup_span_mirror(con):
+    """Exact Python mirror of remove_duplicate_spans(window=8,
+    min_count=2, keep='first') over the real documents: same token
+    rule, same global first-occurrence ordering by (doc_id, pos),
+    same overlapping-span coverage. Exact strings (tolerance 0)."""
+    import re
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 400 "
+        "ORDER BY doc_id"
+    ).fetchall()
+    w = 8
+    toks = {
+        int(d): re.findall("[a-z0-9]+", (t or "").lower())
+        for d, t in rows
+    }
+    occ: dict[tuple, list] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - w + 1):
+            occ.setdefault(tuple(ts[p : p + w]), []).append((d, p))
+    removed: dict[int, list] = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for d, p in lst[1:]:
+                removed.setdefault(d, []).append(p)
+    out = []
+    for d in sorted(toks):
+        ts = toks[d]
+        dups = sorted(removed.get(d, []))
+        cov = set()
+        for p in dups:
+            cov.update(range(p, p + w))
+        kept = [t for i, t in enumerate(ts) if i not in cov]
+        out.append((d, len(ts), len(dups), len(cov), " ".join(kept)))
+    return (
+        ["doc_id", "n_tokens", "n_dup_windows", "n_removed",
+         "clean_text"],
+        out,
+    )
+
+
+@query(
+    "z25_dup_span_removal",
+    None,  # windowed first-occurrence logic is not ANSI-SQL-shaped;
+    # the exact Python mirror below is the oracle (tolerance 0)
+    doc="Exact-substring deduplication at token-window granularity"
+    " (textstats.py::remove_duplicate_spans; Lee et al. 2022,"
+    " arXiv:2107.06499): every 8-token span occurring >= 2 times"
+    " corpus-wide is removed except its globally first occurrence,"
+    " and the documents are rebuilt from the surviving tokens —"
+    " the REMOVAL stage whose measurement half is y18. One"
+    " window-hash-keyed shuffle computes occurrence count and"
+    " first-occurrence rank together; span merging and token"
+    " filtering are per-row array ops. Oracle: exact Python mirror"
+    " (tolerance 0) incl. the rebuilt clean_text strings",
+    tol_oracle=_z25_dup_span_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z25_dup_span_removal(spark, sf_dir):
+    from topn_spark.operators.textstats import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    return remove_duplicate_spans(
+        docs, window=8, min_count=2, keep="first"
+    ).orderBy("doc_id")
