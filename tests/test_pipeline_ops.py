@@ -941,3 +941,43 @@ def test_url_features_shapes_and_domain_filter(spark):
     assert kept_open == {1, 3, 4, 5, 6, 7, 8}
     # output schema is the input schema (features are internal)
     assert domain_filter(df, ["spam.com"]).columns == ["id", "url"]
+
+
+def test_temperature_rebalance_flattens(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import temperature_rebalance
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    rows.append((1000, None))  # null group: dropped
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_rebalance(
+        df, total=200, alpha=0.3, group_col="lang"
+    )
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    # alpha=0.3 flattening: small group (10% of rows) gets far more
+    # than 10% of the sample; shares follow n^0.3 (900^0.3 vs 100^0.3)
+    assert set(counts) == {"big", "small"}
+    small_share = counts["small"] / sum(counts.values())
+    assert small_share > 0.25  # vs 0.10 empirical
+    # exact quota arithmetic
+    z = 900.0**0.3 + 100.0**0.3
+    assert counts["big"] == int(round(200 * 900.0**0.3 / z))
+    assert counts["small"] == int(round(200 * 100.0**0.3 / z))
+    # deterministic under repartitioning
+    again = temperature_rebalance(
+        df.repartition(13), total=200, alpha=0.3, group_col="lang"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rebalance(df, total=10, alpha=1.5)
+    with pytest.raises(ValueError, match="total"):
+        temperature_rebalance(df, total=0)
+    # quota caps at group size: a huge total keeps everything non-null
+    assert (
+        temperature_rebalance(df, total=10**6, group_col="lang").count()
+        == 1000
+    )

@@ -272,6 +272,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z23_gopher_rules",
         "z24_c4_line_filter",
         "z25_dup_span_removal",
+        "z26_temperature_rebalance",
     ):
         warns = [
             f

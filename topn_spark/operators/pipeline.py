@@ -1356,6 +1356,73 @@ def mixture_sample(
     return out.drop(rn) if rank_col is None else out
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the XLM-R / multilingual
+    exponential-smoothing recipe, Conneau et al. 2020 §3.1): group g's
+    target share is ``count_g**alpha / sum_m count_m**alpha`` — alpha
+    < 1 flattens the empirical distribution so high-resource groups
+    stop drowning low-resource ones — and its quota is
+    ``min(count_g, round(total * share_g))``. Unlike
+    :func:`mixture_sample` (operator-supplied fixed weights), the
+    quotas here derive from the MEASURED group distribution.
+
+    Selection is the engine-portable determinism contract shared with
+    ``sample_k_per_group``: rank by ``(md5(id), id)`` within group,
+    keep the quota smallest — reproducible across runs, partitionings,
+    and engines, no rand().
+
+    Scale shape: one group-count aggregate whose result is
+    MODEL-sized (#groups rows — languages/domains, not data) and is
+    collected to the driver to run the quota arithmetic (the
+    sanctioned scalar-sized collect); then one grouped window whose
+    rank cut against the literal max quota is evaluated map-side
+    (WindowGroupLimit), with the per-group quota a residual filter
+    against a literal CASE map. Rows with a NULL group are dropped
+    (no quota can target them).
+    """
+    from pyspark.sql.window import Window
+
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.limit(0)
+    powed = {g: float(n) ** alpha for g, n in counts.items()}
+    z = sum(powed[g] for g in sorted(powed))
+    quotas = {
+        g: min(counts[g], int(round(total * powed[g] / z)))
+        for g in counts
+    }
+    max_q = max(quotas.values())
+    qmap = F.create_map(
+        *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_key(id_col), F.col(id_col)
+    )
+    return (
+        df.where(F.col(group_col).isNotNull())
+        .withColumn("__tr_rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("__tr_rn") <= max_q)
+        .where(F.col("__tr_rn") <= qmap[F.col(group_col)])
+        .drop("__tr_rn")
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

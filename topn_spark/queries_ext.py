@@ -7231,3 +7231,67 @@ def z25_dup_span_removal(spark, sf_dir):
     return remove_duplicate_spans(
         docs, window=8, min_count=2, keep="first"
     ).orderBy("doc_id")
+
+
+def _z26_temperature_mirror(con):
+    """Exact mirror of temperature_rebalance(total=600, alpha=0.3) on
+    the real documents: identical driver-side quota arithmetic
+    (Python float ** and round, summed in sorted-group order) and the
+    identical (md5(id), id) per-group rank cut run in DuckDB. Exact
+    (tolerance 0)."""
+    counts = dict(
+        con.execute(
+            "SELECT lang, COUNT(*) FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ).fetchall()
+    )
+    total, alpha = 600, 0.3
+    powed = {g: float(n) ** alpha for g, n in counts.items()}
+    z = sum(powed[g] for g in sorted(powed))
+    quotas = {
+        g: min(counts[g], int(round(total * powed[g] / z)))
+        for g in counts
+    }
+    out = []
+    for g in sorted(quotas):
+        rows = con.execute(
+            "SELECT lang, doc_id FROM documents WHERE lang = ? "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC "
+            "LIMIT ?",
+            [g, quotas[g]],
+        ).fetchall()
+        out.extend((str(l), int(d)) for l, d in rows)
+    out.sort()
+    return ["lang", "doc_id"], out
+
+
+@query(
+    "z26_temperature_rebalance",
+    None,  # quota arithmetic is driver-side Python; the exact mirror
+    # below replicates it bit-for-bit (tolerance 0)
+    doc="Temperature-based corpus rebalancing (pipeline.py::"
+    "temperature_rebalance; the XLM-R exponential-smoothing recipe,"
+    " Conneau et al. 2020 §3.1): per-language quotas proportional to"
+    " count^0.3 over the MEASURED language distribution — flattening"
+    " high-resource dominance — then the engine-portable"
+    " (md5(id), id) rank cut per language. The group-count aggregate"
+    " is model-sized (#languages) and runs the quota arithmetic"
+    " driver-side; the selection is one grouped window with a"
+    " map-side WindowGroupLimit cut. Oracle: exact mirror of both"
+    " stages, tolerance 0",
+    tol_oracle=_z26_temperature_mirror,
+    tolerance=0.0,
+    tol_keys=("lang", "doc_id"),
+)
+def z26_temperature_rebalance(spark, sf_dir):
+    from topn_spark.operators.pipeline import temperature_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_rebalance(
+            docs, total=600, alpha=0.3, group_col="lang",
+            id_col="doc_id",
+        )
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
