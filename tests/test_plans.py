@@ -273,6 +273,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z24_c4_line_filter",
         "z25_dup_span_removal",
         "z26_temperature_rebalance",
+        "z27_gopher_repetition",
     ):
         warns = [
             f

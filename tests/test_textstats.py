@@ -782,3 +782,29 @@ def test_remove_duplicate_spans_within_doc_repeat(spark):
     # the first stays (keep='first' orders by (doc_id, pos))
     assert out.n_dup_windows == 1 and out.n_removed == 8
     assert out.clean_text == phrase + " filler"
+
+
+def test_gopher_repetition_signals(spark):
+    from topn_spark.operators.textstats import gopher_repetition
+
+    rows = [
+        (1, "alpha beta gamma\nalpha beta gamma\nomega tail"),
+        (2, "buy now " * 20 + "end"),
+        (3, "every word appears exactly once in this clean document"),
+        (4, None),
+        (5, "one two"),  # too short for any gram rule to fire
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    # doc 1: one duplicated line of three -> 1/3 excess
+    assert out[1].frac_dup_lines == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1].gopher_rep_keep is False  # 0.3333 > 0.30
+    # doc 2: 'buy now' dominates -> top2 fraction way over 0.20
+    assert out[2].top2_char_frac > 0.5
+    assert out[2].gopher_rep_keep is False
+    assert out[3].gopher_rep_keep is True
+    assert out[3].frac_dup_lines == 0.0
+    assert out[4].gopher_rep_keep is False  # null text
+    # rules that cannot fire pass: frac None, keep True
+    assert out[5].top4_char_frac is None
+    assert out[5].gopher_rep_keep is True

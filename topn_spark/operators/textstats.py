@@ -8,6 +8,7 @@ featurizers a training-data pipeline runs before filtering/dedup.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -199,6 +200,154 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "gopher_keep", F.coalesce(keep, F.lit(False))
     ).drop("_gw", "_gl")
+
+
+#: Gopher repetition-rule thresholds (Rae et al. 2021, Table A1):
+#: a document is removed when the signal EXCEEDS its threshold.
+GOPHER_REP_THRESHOLDS = {
+    "frac_dup_lines": 0.30,
+    "frac_dup_paras": 0.30,
+    "frac_dup_line_chars": 0.20,
+    "frac_dup_para_chars": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+
+_GOPHER_REP_FIELDS = tuple(GOPHER_REP_THRESHOLDS)
+
+
+def _gopher_repetition_signals(text):
+    """Pure-Python per-document repetition signals (declared
+    semantics; the z27 oracle re-derives them independently):
+
+    - lines/paragraphs = newline / blank-line splits, stripped,
+      empties dropped; dup fraction = excess occurrences / total;
+      char fraction = chars in excess occurrences / total chars;
+    - words = the engine ascii token rule; top-n char fraction
+      (n=2..4) = count(most frequent n-gram, ties to the
+      lexicographically smallest) x gram chars / total token chars —
+      counted only when that gram actually repeats (count >= 2;
+      otherwise 0.0: a gram seen once is coverage, not repetition,
+      and would auto-fail every short document);
+    - dup-n char fraction (n=5..10) = chars of token positions
+      covered by any n-gram occurring >= 2 times / total token
+      chars (overlaps counted once);
+    - fractions round(6); denominators of zero yield None.
+    """
+    import re
+    from collections import Counter
+
+    if text is None:
+        return (None,) * len(_GOPHER_REP_FIELDS)
+
+    def _dup_stats(units):
+        if not units:
+            return None, None
+        cnt = Counter(units)
+        n = len(units)
+        chars = sum(len(u) for u in units)
+        excess = sum(c - 1 for c in cnt.values() if c > 1)
+        excess_chars = sum(
+            (c - 1) * len(u) for u, c in cnt.items() if c > 1
+        )
+        return (
+            round(excess / n, 6),
+            None if chars == 0 else round(excess_chars / chars, 6),
+        )
+
+    lines = [l.strip() for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    paras = [p.strip() for p in re.split(r"\n\s*\n", text)]
+    paras = [p for p in paras if p]
+    fdl, fdlc = _dup_stats(lines)
+    fdp, fdpc = _dup_stats(paras)
+
+    toks = re.findall("[a-z0-9]+", text.lower())
+    total_chars = sum(len(t) for t in toks)
+    out = [fdl, fdp, fdlc, fdpc]
+
+    for n in (2, 3, 4):
+        if len(toks) < n or total_chars == 0:
+            out.append(None)
+            continue
+        cnt = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        top = max(cnt.values())
+        if top < 2:
+            out.append(0.0)
+            continue
+        gram = min(g for g, c in cnt.items() if c == top)
+        out.append(
+            round(top * sum(len(t) for t in gram) / total_chars, 6)
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        if len(toks) < n or total_chars == 0:
+            out.append(None)
+            continue
+        grams = [
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        cnt = Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        out.append(
+            round(
+                sum(len(toks[j]) for j in covered) / total_chars, 6
+            )
+        )
+    return tuple(out)
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher repetition-rule suite (Rae et al. 2021,
+    Table A1) — the other half of the filter whose quality half is
+    :func:`gopher_rules`: duplicate line/paragraph fractions (count
+    and character), top-{2,3,4}-gram character fractions, and
+    duplicated-{5..10}-gram character coverage, plus the composite
+    ``gopher_rep_keep`` flag (drop when any signal exceeds its Table
+    A1 threshold; signals that cannot fire — short docs — pass).
+
+    One Arrow-batched ``pandas_udf`` returning all thirteen signals
+    as a struct: nine different gram sizes over the same token
+    stream make Catalyst higher-order folds interpreted AND
+    re-derive the tokenization per size (the SCALING.md §3 lambda
+    rules), so a single per-document Python pass with dict counters
+    is both the faster and the simpler form — the sanctioned Arrow
+    case. Map-only, no model state, embarrassingly parallel: at
+    100 TB this is one scan, no shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    fields = _GOPHER_REP_FIELDS
+
+    @pandas_udf(
+        "struct<" + ",".join(f"{f}:double" for f in fields) + ">"
+    )
+    def _rep(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_gopher_repetition_signals(x) for x in s], columns=fields
+        )
+
+    df = df.withColumn("_grep", _rep(F.col(text_col)))
+    for f in fields:
+        df = df.withColumn(f, F.col(f"_grep.{f}"))
+    keep = F.lit(True)
+    for f, thr in GOPHER_REP_THRESHOLDS.items():
+        keep = keep & (F.coalesce(F.col(f), F.lit(0.0)) <= thr)
+    return df.withColumn(
+        "gopher_rep_keep",
+        F.when(F.col(text_col).isNull(), F.lit(False)).otherwise(keep),
+    ).drop("_grep")
 
 
 def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -544,6 +544,35 @@ def _stage_c4_line_filter(
     return out
 
 
+def _stage_gopher_repetition(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """GopherRepetition transform: the Table A1 repetition-rule suite
+    (textstats.gopher_repetition). Properties: textField ('text'),
+    keepOnly ('false' — when 'true', filter to gopher_rep_keep rows
+    and drop the signal columns)."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    keep_only = p.get("keepOnly", "false")
+    ok = _require_field(df, text_col, collector, "textField")
+    if keep_only not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepOnly '{keep_only}'.",
+            "One of true, false.",
+            property_name="keepOnly",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.textstats import gopher_repetition
+
+    out = gopher_repetition(df, text_col)
+    if keep_only == "true":
+        return out.where(F.col("gopher_rep_keep")).select(*df.columns)
+    return out
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -562,6 +591,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "ScriptProfile": ("transform", _stage_script_profile),
     "NormalizeUnicode": ("transform", _stage_normalize_unicode),
     "GopherRules": ("transform", _stage_gopher_rules),
+    "GopherRepetition": ("transform", _stage_gopher_repetition),
     "C4LineFilter": ("transform", _stage_c4_line_filter),
     "FileSink": ("batchsink", _stage_sink),
 }

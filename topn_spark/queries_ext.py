@@ -7295,3 +7295,174 @@ def z26_temperature_rebalance(spark, sf_dir):
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+def _z27_repetition_mirror(con):
+    """Independent re-derivation of the Gopher repetition signals
+    (declared semantics in textstats._gopher_repetition_signals's
+    docstring) over the same planted/real text mix. Exact
+    (tolerance 0): integer counting + one round(6) per signal."""
+    import re
+    from collections import Counter
+
+    from topn_spark.operators.textstats import GOPHER_REP_THRESHOLDS
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+    def planted(did, real):
+        m = did % 5
+        if m == 0:
+            return (
+                f"alpha beta gamma {did}\nalpha beta gamma {did}\n"
+                f"omega unique tail {did}"
+            )
+        if m == 1:
+            return (
+                f"first para body {did}\n\nfirst para body {did}\n\n"
+                f"second distinct para {did}"
+            )
+        if m == 2:
+            return "buy now " * 20 + f"end {did}"
+        return real
+
+    out = []
+    for did, real in rows:
+        text = planted(int(did), real)
+        lines = [l for l in (x.strip() for x in text.split("\n")) if l]
+        paras = [
+            p for p in (x.strip() for x in re.split(r"\n\s*\n", text)) if p
+        ]
+        sig = {}
+
+        def dup(units, frac_key, char_key):
+            if not units:
+                sig[frac_key] = None
+                sig[char_key] = None
+                return
+            c = Counter(units)
+            sig[frac_key] = round(
+                sum(v - 1 for v in c.values() if v > 1) / len(units), 6
+            )
+            chars = sum(len(u) for u in units)
+            sig[char_key] = (
+                None
+                if chars == 0
+                else round(
+                    sum((v - 1) * len(u) for u, v in c.items() if v > 1)
+                    / chars,
+                    6,
+                )
+            )
+
+        dup(lines, "frac_dup_lines", "frac_dup_line_chars")
+        dup(paras, "frac_dup_paras", "frac_dup_para_chars")
+        toks = re.findall("[a-z0-9]+", text.lower())
+        tc = sum(len(t) for t in toks)
+        for n in (2, 3, 4):
+            key = f"top{n}_char_frac"
+            if len(toks) < n or tc == 0:
+                sig[key] = None
+                continue
+            c = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            top = max(c.values())
+            if top < 2:
+                sig[key] = 0.0
+                continue
+            g = min(k for k, v in c.items() if v == top)
+            sig[key] = round(top * sum(map(len, g)) / tc, 6)
+        for n in (5, 6, 7, 8, 9, 10):
+            key = f"dup{n}_char_frac"
+            if len(toks) < n or tc == 0:
+                sig[key] = None
+                continue
+            grams = [
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(grams)
+            cov: set[int] = set()
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    cov.update(range(i, i + n))
+            sig[key] = round(sum(len(toks[j]) for j in cov) / tc, 6)
+        keep = all(
+            (sig[k] or 0.0) <= thr
+            for k, thr in GOPHER_REP_THRESHOLDS.items()
+        )
+        out.append(
+            (int(did),)
+            + tuple(sig[k] for k in GOPHER_REP_THRESHOLDS)
+            + (keep,)
+        )
+    cols = (
+        ["doc_id"] + list(GOPHER_REP_THRESHOLDS) + ["gopher_rep_keep"]
+    )
+    return cols, out
+
+
+@query(
+    "z27_gopher_repetition",
+    None,  # per-doc multi-size gram counting is the declared Arrow
+    # case; the independent Python mirror below is exact (tolerance 0)
+    doc="The published Gopher repetition-rule suite (textstats.py::"
+    "gopher_repetition; Rae et al. 2021 Table A1) — duplicate"
+    " line/paragraph fractions (count + character), top-{2,3,4}-gram"
+    " character fractions, duplicated-{5..10}-gram character"
+    " coverage, and the composite keep flag with the Table A1"
+    " thresholds; completes the Gopher filter whose quality half is"
+    " z23. One Arrow pass computes all thirteen signals (nine gram"
+    " sizes would be interpreted AND re-tokenized per size as"
+    " Catalyst folds). Mixed corpus: planted dup-line/dup-para/spam"
+    " shapes + real documents. Oracle: independent Python"
+    " re-derivation, exact",
+    tol_oracle=_z27_repetition_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z27_gopher_repetition(spark, sf_dir):
+    from topn_spark.operators.textstats import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    nl = F.lit("\n")
+    text = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("alpha beta gamma "), ds, nl,
+                F.lit("alpha beta gamma "), ds, nl,
+                F.lit("omega unique tail "), ds,
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("first para body "), ds, F.lit("\n\n"),
+                F.lit("first para body "), ds, F.lit("\n\n"),
+                F.lit("second distinct para "), ds,
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("buy now " * 20 + "end "), ds),
+        )
+        .otherwise(F.col("text"))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return (
+        gopher_repetition(planted)
+        .select(
+            "doc_id", *GOPHER_REP_THRESHOLDS, "gopher_rep_keep"
+        )
+        .orderBy("doc_id")
+    )
