@@ -1,0 +1,128 @@
+"""n-gram LM / CCNet / DSIR operator tests (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from topn_spark.operators.lm import (
+    ccnet_buckets,
+    dsir_logweights,
+    perplexity_score,
+    train_bigram_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_bigram_lm_counts(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(df)
+    u = {r.w: r.c for r in uni.collect()}
+    b = {r.bg: r.c for r in bi.collect()}
+    assert u == {"a": 3, "b": 3, "c": 1}
+    # doc1: a b, b a, a b ; doc2: a b, b c
+    assert b == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_train_min_count_prunes_bigrams_not_unigrams(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(df, min_count=2)
+    assert {r.bg for r in bi.collect()} == {"a b"}
+    # the denominator table is never pruned
+    assert {r.w for r in uni.collect()} == {"a", "b", "c"}
+
+
+def test_perplexity_matches_hand_formula(spark):
+    train = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(train)
+    scored = perplexity_score(
+        _docs(spark, [(10, "a b x")]), uni, bi, k=1.0
+    ).collect()
+    assert len(scored) == 1
+    r = scored[0]
+    v = 3 + 1  # vocab {a,b,c} + OOV
+    exp_lp = math.log((3 + 1) / (3 + v)) + math.log(
+        (0 + 1) / (3 + v)
+    )  # 'a b' seen 3x, 'b x' unseen; c(a)=c(b)=3
+    assert r.n_bigrams == 2
+    assert abs(r.logprob - exp_lp) < 1e-12
+    assert abs(r.ppl - math.exp(-exp_lp / 2)) < 1e-12
+
+
+def test_perplexity_drops_short_and_null_docs(spark):
+    train = _docs(spark, [(1, "a b")])
+    uni, bi = train_bigram_lm(train)
+    scored = perplexity_score(
+        _docs(spark, [(10, "a b"), (11, "solo"), (12, None), (13, "")]),
+        uni,
+        bi,
+    )
+    assert [r.doc_id for r in scored.collect()] == [10]
+
+
+def test_spark_percentile_is_linear_interpolation(spark):
+    """The z30 mirror assumes Spark's exact percentile interpolates at
+    rank p*(n-1); pin that here so a semantics change can't silently
+    skew the mirror."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "x double")
+    got = df.agg(
+        F.percentile("x", F.array(F.lit(0.5), F.lit(1.0 / 3.0)))
+    ).collect()[0][0]
+    assert abs(got[0] - 2.0) < 1e-12
+    assert abs(got[1] - (1.0 * (1 / 3) + 2.0 * (2 / 3))) < 1e-12
+
+
+def test_ccnet_buckets_tiering(spark):
+    scored = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 1, 5, 5, 5, 50, 50, 50])],
+        "doc_id long, ppl double",
+    )
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(scored).collect()}
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_dsir_zero_when_target_equals_raw(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma"), (2, "beta beta delta")])
+    out = dsir_logweights(docs, target=docs, raw=docs, n_buckets=16)
+    rows = out.collect()
+    assert len(rows) == 2
+    # identical models: every per-bucket log-ratio is exactly 0.0
+    assert all(r.logweight == 0.0 for r in rows)
+    assert {r.doc_id: r.n_tokens for r in rows} == {1: 3, 2: 3}
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = _docs(spark, [(100 + i, "quality prose words") for i in range(5)])
+    raw = _docs(
+        spark,
+        [(200 + i, "spam junk noise") for i in range(5)]
+        + [(300 + i, "quality prose words") for i in range(5)],
+    )
+    docs = _docs(spark, [(1, "quality prose words"), (2, "spam junk noise")])
+    out = {
+        r.doc_id: r.logweight
+        for r in dsir_logweights(
+            docs, target=target, raw=raw, n_buckets=64
+        ).collect()
+    }
+    assert out[1] > out[2]
+    assert out[1] > 0.0 > out[2]
+
+
+def test_dsir_unseen_bucket_tokens_still_counted(spark):
+    """A doc token hashing to a bucket empty in BOTH corpora must not
+    be dropped by the model join (the bucket spine guarantees a
+    complete model)."""
+    corpus = _docs(spark, [(1, "alpha")])
+    docs = _docs(spark, [(9, "zzz qqq www rrr vvv")])
+    rows = dsir_logweights(
+        docs, target=corpus, raw=corpus, n_buckets=8
+    ).collect()
+    assert rows[0].n_tokens == 5
+    assert rows[0].logweight == 0.0  # identical models again

@@ -274,6 +274,11 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z25_dup_span_removal",
         "z26_temperature_rebalance",
         "z27_gopher_repetition",
+        # round-7 third wave: model-based filtering (CCNet / DSIR)
+        "z28_bigram_lm",
+        "z29_perplexity",
+        "z30_ccnet_buckets",
+        "z31_dsir_weights",
     ):
         warns = [
             f

@@ -1,0 +1,275 @@
+"""n-gram language-model training, perplexity scoring, and importance
+resampling — the model-based corpus-filtering stages (CCNet, DSIR).
+
+The published pipelines these re-express:
+
+- CCNet (Wenzek et al. 2020, arXiv:1911.00359) trains an LM on a
+  clean reference corpus (Wikipedia), scores every web document by
+  perplexity, and keeps the low-perplexity "head" bucket (head /
+  middle / tail split at the 1/3 and 2/3 percentiles). Here the LM is
+  an add-k-smoothed bigram model instead of their Kneser-Ney 5-gram —
+  the distributed shape (count tables + a gram-keyed scoring join) is
+  what matters; the smoothing order is a plug-in choice.
+- DSIR (Xie et al. 2023, arXiv:2302.03169) selects pretraining data
+  by importance resampling: hashed n-gram bag-of-words models for a
+  target (quality) corpus and the raw corpus, and per-document
+  importance log-weights  sum_f c_f(x) * (log p_target(f) -
+  log p_raw(f)).
+
+Scale shape, both families: model TRAINING is the word-count hash agg
+(map-side combined, keyed by the gram — sublinear output in corpus
+size, zipf-truncatable with ``min_count``); SCORING is one explode to
+the per-doc gram stream, an equi-join against the count table on the
+gram key, and a per-doc re-agg. Never all-pairs, no driver-side state
+beyond two scalars (vocab size / total count). Gram frequency is
+zipf-heavy, so the scoring join's hot keys ("of the") are the skew
+story at 100 TB: AQE skew-join handles the probe side, and the count
+table is broadcastable after ``min_count`` pruning. The DSIR model is
+even smaller — ``n_buckets`` rows forever, by construction.
+
+Engine-exactness: counts are exact ints; log-probabilities are one
+IEEE division + one libm ``log`` per gram and a float sum, so scores
+are mirror-checked under relative tolerance (sum order is
+plan-dependent), never hash-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from topn_spark.operators.textstats import ngrams_from_tokens, tokens
+
+__all__ = [
+    "train_bigram_lm",
+    "perplexity_score",
+    "ccnet_buckets",
+    "dsir_logweights",
+]
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = "ascii",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a bigram LM: returns ``(unigrams, bigrams)`` count
+    tables — ``unigrams (w, c)`` exact, ``bigrams (bg, c)`` with
+    ``c >= min_count`` (space-joined gram key).
+
+    ``min_count`` prunes the zipf tail of the bigram table only; the
+    unigram table is never pruned because it is the conditional's
+    denominator — pruning it would silently inflate P(w2|w1) for rare
+    contexts. Pruned bigram mass is absorbed by add-k smoothing at
+    scoring time (the standard count-pruning trade).
+
+    Both tables are ONE map-side-combined hash agg over the token /
+    gram stream — the classic word-count shape; output cardinality is
+    the vocabulary, sublinear in corpus size.
+    """
+    toks = df.select(tokens(text_col, mode).alias("_toks"))
+    unigrams = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = (
+        toks.select(F.explode(ngrams_from_tokens("_toks", 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= int(min_count))
+    )
+    return unigrams, bigrams
+
+
+def perplexity_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int | None = None,
+    k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ascii",
+) -> DataFrame:
+    """Score documents under an add-k-smoothed bigram LM:
+    ``(id, n_bigrams, logprob, ppl)``.
+
+    Per bigram ``(w1, w2)``:  ``P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1) + k*V)`` with ``V = |train vocab| + 1`` (the +1 is the OOV
+    bucket; unseen ``w1`` has ``c(w1) = 0`` and the same formula
+    applies — add-k needs no special case). ``logprob`` is the sum of
+    ``ln P`` over the document's bigrams; ``ppl = exp(-logprob /
+    n_bigrams)``. Documents with < 2 tokens have no bigrams and are
+    dropped (no model opinion).
+
+    ``vocab_size`` may be passed to skip the one model-sized count
+    action (e.g. when scoring many corpora under one model).
+
+    Plan: explode to the per-doc bigram stream, LEFT join the bigram
+    and unigram count tables on their gram keys (AQE broadcasts them
+    when ``min_count`` pruning makes them small; skew-splits the
+    zipf-hot probe keys otherwise), one per-doc re-agg. The two
+    scalars (V) are the only driver state.
+    """
+    if vocab_size is None:
+        vocab_size = unigrams.count() + 1
+    v = float(vocab_size)
+    kf = float(k)
+    grams = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            tokens(text_col, mode).alias("_toks"),
+        )
+        .select(
+            "_id",
+            F.explode(ngrams_from_tokens("_toks", 2)).alias("bg"),
+        )
+        .withColumn("w", F.substring_index("bg", " ", 1))
+    )
+    c12 = bigrams.select("bg", F.col("c").alias("_c12"))
+    c1 = unigrams.select("w", F.col("c").alias("_c1"))
+    logp = F.log(
+        (F.coalesce("_c12", F.lit(0)) + F.lit(kf))
+        / (F.coalesce("_c1", F.lit(0)) + F.lit(kf * v))
+    )
+    return (
+        grams.join(c12, "bg", "left")
+        .join(c1, "w", "left")
+        .select("_id", logp.alias("_lp"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp").alias("logprob"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "logprob",
+            F.exp(-F.col("logprob") / F.col("n_bigrams")).alias("ppl"),
+        )
+    )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail bucket assignment: exact percentile
+    thresholds of the perplexity distribution at ``cuts`` (linear
+    interpolation, Spark ``percentile``), then a map-only CASE —
+    ``bucket = head`` (lowest perplexity, cleanest) for
+    ``ppl <= t1``, ``middle`` for ``ppl <= t2``, else ``tail``.
+
+    The thresholds are TWO doubles collected to the driver (exact
+    percentile is a sort-based agg over the score column only — at
+    100 TB switch to ``approx_percentile`` with a tight accuracy; the
+    CCNet split tolerates threshold error by design since the buckets
+    are a heuristic quality tiering). The assignment pass itself is
+    map-only against literal thresholds — no second shuffle."""
+    t1, t2 = scored.agg(
+        F.percentile(
+            ppl_col, F.array(F.lit(cuts[0]), F.lit(cuts[1]))
+        ).alias("t")
+    ).collect()[0]["t"]
+    bucket = (
+        F.when(F.col(ppl_col) <= F.lit(t1), F.lit("head"))
+        .when(F.col(ppl_col) <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("bucket", bucket)
+
+
+def _bucket(col, n_buckets: int):
+    """Portable md5 feature-hash bucket (same convention as
+    textstats.hashed_features): engine-exact vs SQL/Python mirrors,
+    unlike xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % int(n_buckets)
+    ).cast("int")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ascii",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed unigram
+    bag-of-words models for the ``target`` (quality) and ``raw``
+    corpora, then per document  ``logweight = sum_b c_b(doc) *
+    (ln p_target(b) - ln p_raw(b))``  with Laplace-smoothed bucket
+    probabilities  ``p(b) = (c_b + 1) / (total + B)``.
+    Returns ``(id, n_tokens, logweight)``; empty docs are dropped.
+    High logweight = looks like the target distribution; resample the
+    corpus proportionally to ``exp(logweight)`` (or take the top
+    fraction) to shift the pretraining mixture toward the target.
+
+    The model is ``n_buckets`` rows FOREVER — the hashing trick makes
+    model size independent of corpus size, which is the point at
+    100 TB (no vocabulary to build or broadcast-version). Three hash
+    aggs (target counts, raw counts, per-doc-bucket counts) + one
+    broadcast-sized join on the bucket id.
+    """
+    b = int(n_buckets)
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col, mode)).alias("term"))
+            .select(_bucket(F.col("term"), b).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    tc = _counts(target, "_tc")
+    rc = _counts(raw, "_rc")
+    # model-sized totals (two longs on the driver)
+    tt = tc.agg(F.sum("_tc")).collect()[0][0] or 0
+    rt = rc.agg(F.sum("_rc")).collect()[0][0] or 0
+    # complete bucket spine so buckets unseen in BOTH corpora still
+    # carry their (smoothed) log-ratio — an inner join on a partial
+    # model would silently drop those doc tokens from the sum
+    spine = docs.sparkSession.range(b).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    model = (
+        spine.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("_tc", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(tt + b))
+                )
+                - F.log(
+                    (F.coalesce("_rc", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(rt + b))
+                )
+            ).alias("_lr"),
+        )
+    )
+    doc_counts = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(text_col, mode)).alias("term"),
+        )
+        .select("_id", _bucket(F.col("term"), b).alias("bucket"))
+        .groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        doc_counts.join(F.broadcast(model), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("_lr")).alias("logweight"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "logweight")
+    )

@@ -7466,3 +7466,338 @@ def z27_gopher_repetition(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based corpus filtering: CCNet perplexity + DSIR (operators/lm.py)
+# --------------------------------------------------------------------------
+
+@query(
+    "z28_bigram_lm",
+    """WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents WHERE doc_id % 5 <> 0),
+b AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bg
+  FROM t, UNNEST(range(1, len(w))) AS r(i))
+SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+HAVING COUNT(*) >= 3 ORDER BY bg ASC LIMIT 500""",
+    doc="Bigram LM TRAINING (lm.py::train_bigram_lm): the count-table "
+    "half of CCNet-style model-based filtering — one map-side-"
+    "combined hash agg over the corpus bigram stream, zipf tail "
+    "pruned at min_count=3 (the unigram denominator table is never "
+    "pruned). Counts are exact ints, hash-exact vs the DuckDB "
+    "UNNEST(range) re-derivation. Train split doc_id % 5 != 0 "
+    "(held-in corpus; z29 scores the complement pattern)",
+)
+def z28_bigram_lm(spark, sf_dir):
+    from topn_spark.operators.lm import train_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 != 0
+    )
+    _, bigrams = train_bigram_lm(docs, min_count=3)
+    return bigrams.orderBy("bg").limit(500)
+
+
+def _z29_ppl_mirror(con):
+    """Independent Python mirror of train_bigram_lm +
+    perplexity_score: same ASCII token rule, same add-k formula
+    ((c12+k)/(c1+k*V), V = vocab+1), same min_count=3 bigram
+    pruning. Sum order differs from Spark's plan-dependent partial
+    aggregation, hence tolerance (1e-9 relative) instead of hash."""
+    import math
+    import re
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for (text,) in con.execute(
+        "SELECT text FROM documents WHERE doc_id % 5 <> 0"
+    ).fetchall():
+        if text is None:
+            continue
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        uni.update(t)
+        bi.update(
+            t[i] + " " + t[i + 1] for i in range(len(t) - 1)
+        )
+    bic = {g: c for g, c in bi.items() if c >= 3}
+    v = float(len(uni) + 1)
+    k = 1.0
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        if text is None:
+            continue
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        if len(t) < 2:
+            continue
+        s = 0.0
+        n = len(t) - 1
+        for i in range(n):
+            g = t[i] + " " + t[i + 1]
+            s += math.log(
+                (bic.get(g, 0) + k) / (uni.get(t[i], 0) + k * v)
+            )
+        out.append((int(did), n, s, math.exp(-s / n)))
+    return ["doc_id", "n_bigrams", "logprob", "ppl"], out
+
+
+@query(
+    "z29_perplexity",
+    None,  # float log-prob sums are order-dependent — tolerance mirror
+    doc="CCNet-style LM perplexity SCORING (lm.py::perplexity_score; "
+    "Wenzek et al. 2020): every document scored under the add-k-"
+    "smoothed bigram model trained on the doc_id % 5 != 0 split — "
+    "explode to the per-doc bigram stream, LEFT join the bigram + "
+    "unigram count tables on their gram keys (AQE broadcast/skew "
+    "territory; the hot 'of the' keys are the 100 TB story), one "
+    "per-doc re-agg to (n_bigrams, logprob, ppl). Oracle: "
+    "independent Python mirror, 1e-9 relative",
+    tol_oracle=_z29_ppl_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z29_perplexity(spark, sf_dir):
+    from topn_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    unigrams, bigrams = train_bigram_lm(train, min_count=3)
+    scored = perplexity_score(
+        docs.where(F.col("doc_id") < 300), unigrams, bigrams, k=1.0
+    )
+    return scored.orderBy("doc_id")
+
+
+#: z30 planted quality tiers: in-model prose / one-corruption prose /
+#: out-of-vocabulary gibberish. Tier sizes 150/90/60 put the 1/3 and
+#: 2/3 percentile cuts strictly INSIDE the tier-0 and tier-1 constant
+#: runs, so ANY linear-interpolation percentile variant yields exactly
+#: the tier value and the bucket strings are engine-stable.
+_Z30_CLEAN = (
+    "the quick brown fox jumps over the lazy dog again and again"
+)
+_Z30_NOISY = (
+    "the quick brown fox jumps over the lazy zorblat vexquip"
+)
+_Z30_GIBBER = "zxqv wvut tsrq qpon nmlk kjih hgfe edcb"
+
+
+def _z30_buckets_mirror(con):
+    """Mirror of the full CCNet chain over the planted tiers: train on
+    the >= 300 docs (all planted clean), score the < 300 docs, ROUND
+    ppl to 6 (Decimal HALF_UP = Spark ROUND), rank-interpolated
+    1/3 / 2/3 thresholds, head/middle/tail CASE. Exact (tolerance 0):
+    rounding crushes sum-order ulp noise and the cuts land inside
+    constant runs."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n_train = con.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id >= 300"
+    ).fetchone()[0]
+    toks = re.findall(r"[a-z0-9]+", _Z30_CLEAN.lower())
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    uni.update(toks)
+    bi.update(
+        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+    )
+    uni = {w: c * n_train for w, c in uni.items()}
+    bi = {g: c * n_train for g, c in bi.items()}
+    v = float(len(uni) + 1)
+    k = 1.0
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def score(text):
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        s = 0.0
+        n = len(t) - 1
+        for i in range(n):
+            g = t[i] + " " + t[i + 1]
+            s += math.log(
+                (bi.get(g, 0) + k) / (uni.get(t[i], 0) + k * v)
+            )
+        return n, rnd6(math.exp(-s / n))
+
+    rows = []
+    for (did,) in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        did = int(did)
+        if did % 2 == 0:
+            text = _Z30_CLEAN
+        elif did % 10 < 7:
+            text = _Z30_NOISY
+        else:
+            text = _Z30_GIBBER
+        n, ppl = score(text)
+        rows.append([did, n, ppl])
+    ppls = sorted(r[2] for r in rows)
+    m = len(ppls)
+
+    def pct(p):
+        r = p * (m - 1)
+        lo = int(math.floor(r))
+        g = r - lo
+        hi = min(lo + 1, m - 1)
+        return ppls[lo] * (1 - g) + ppls[hi] * g
+
+    t1, t2 = pct(1.0 / 3.0), pct(2.0 / 3.0)
+    out = [
+        (
+            did,
+            n,
+            ppl,
+            "head"
+            if ppl <= t1
+            else ("middle" if ppl <= t2 else "tail"),
+        )
+        for did, n, ppl in rows
+    ]
+    return ["doc_id", "n_bigrams", "ppl", "bucket"], out
+
+
+@query(
+    "z30_ccnet_buckets",
+    None,  # bucket thresholds are driver-collected floats — mirror
+    doc="CCNet head/middle/tail bucketing (lm.py::ccnet_buckets; "
+    "Wenzek et al. 2020 keep the low-perplexity head) over planted "
+    "quality tiers: in-model prose / one-corruption prose / OOV "
+    "gibberish. Exact-percentile thresholds (two doubles to the "
+    "driver) then a map-only CASE — no second shuffle. ppl is "
+    "ROUND(...,6) BEFORE thresholding so tier runs are exactly "
+    "constant and the cuts (placed inside runs by the 150/90/60 "
+    "tier sizes) are interpolation-variant-proof. Oracle: full "
+    "Python chain mirror, exact",
+    tol_oracle=_z30_buckets_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z30_ccnet_buckets(spark, sf_dir):
+    from topn_spark.operators.lm import (
+        ccnet_buckets,
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= 300).select(
+        "doc_id", F.lit(_Z30_CLEAN).alias("text")
+    )
+    d = F.col("doc_id")
+    tier_text = (
+        F.when(d % 2 == 0, F.lit(_Z30_CLEAN))
+        .when(d % 10 < 7, F.lit(_Z30_NOISY))
+        .otherwise(F.lit(_Z30_GIBBER))
+    )
+    planted = docs.where(d < 300).select(
+        "doc_id", tier_text.alias("text")
+    )
+    unigrams, bigrams = train_bigram_lm(train)
+    scored = perplexity_score(planted, unigrams, bigrams, k=1.0).select(
+        "doc_id", "n_bigrams", F.round("ppl", 6).alias("ppl")
+    )
+    return ccnet_buckets(scored).orderBy("doc_id")
+
+
+def _z31_dsir_mirror(con):
+    """Independent DSIR mirror: same md5 bucket hash (first 8 hex
+    chars mod B — the engine-portable hashed_features convention),
+    same Laplace-smoothed bucket probabilities, same target/raw
+    splits. logweight under 1e-9 relative (per-bucket log ratios are
+    libm calls; the per-doc sum order differs)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    b = 128
+
+    def bucket(term):
+        return (
+            int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % b
+        )
+
+    def counts(sql):
+        c: Counter = Counter()
+        for (text,) in con.execute(sql).fetchall():
+            if text is None:
+                continue
+            for t in re.findall(r"[a-z0-9]+", text.lower()):
+                c[bucket(t)] += 1
+        return c
+
+    tc = counts(
+        "SELECT text FROM documents WHERE doc_id % 10 = 0"
+    )
+    rc = counts("SELECT text FROM documents")
+    tt, rt = sum(tc.values()), sum(rc.values())
+    lr = {
+        i: math.log((tc.get(i, 0) + 1.0) / float(tt + b))
+        - math.log((rc.get(i, 0) + 1.0) / float(rt + b))
+        for i in range(b)
+    }
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        if text is None:
+            continue
+        dc: Counter = Counter()
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            dc[bucket(t)] += 1
+        if not dc:
+            continue
+        out.append(
+            (
+                int(did),
+                sum(dc.values()),
+                sum(c * lr[i] for i, c in dc.items()),
+            )
+        )
+    return ["doc_id", "n_tokens", "logweight"], out
+
+
+@query(
+    "z31_dsir_weights",
+    None,  # log-ratio sums are float — tolerance mirror
+    doc="DSIR importance-resampling log-weights (lm.py::"
+    "dsir_logweights; Xie et al. 2023): hashed-unigram bag-of-words "
+    "models (128 md5 buckets — model size independent of corpus "
+    "size, the hashing-trick point at 100 TB) for the target split "
+    "(doc_id % 10 = 0) vs the raw corpus; per-doc logweight = "
+    "sum_b c_b * (ln p_target(b) - ln p_raw(b)), Laplace-smoothed. "
+    "Three hash aggs + one broadcast join on the bucket id. "
+    "Oracle: independent Python mirror, 1e-9 relative",
+    tol_oracle=_z31_dsir_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z31_dsir_weights(spark, sf_dir):
+    from topn_spark.operators.lm import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs.where(F.col("doc_id") < 300),
+        target=docs.where(F.col("doc_id") % 10 == 0),
+        raw=docs,
+        n_buckets=128,
+    ).orderBy("doc_id")
