@@ -279,6 +279,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z29_perplexity",
         "z30_ccnet_buckets",
         "z31_dsir_weights",
+        "z32_warc_parse",
     ):
         warns = [
             f

@@ -7801,3 +7801,76 @@ def z31_dsir_weights(spark, sf_dir):
         raw=docs,
         n_buckets=128,
     ).orderBy("doc_id")
+
+
+@query(
+    "z32_warc_parse",
+    """SELECT doc_id // 5 AS blob_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id) - 1
+            AS BIGINT) AS rec_idx,
+       'response' AS warc_type,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text AS payload_text
+FROM documents WHERE doc_id < 300
+ORDER BY blob_id ASC, rec_idx ASC""",
+    doc="WARC web-archive ingestion (sources/warc.py::parse_warc; ISO "
+    "28500 — the CommonCrawl front end): five documents are framed "
+    "into each WARC blob IN SPARK (version line + typed headers + "
+    "byte-exact Content-Length + CRLFCRLF terminators, cast to "
+    "binary), then the Arrow mapInPandas record walk explodes the "
+    "blobs back into records. Content-Length is sliced in BYTES — "
+    "payloads containing CRLFCRLF cannot desync the walk. Oracle: "
+    "closed-form reconstruction from the same documents, hash-exact",
+)
+def z32_warc_parse(spark, sf_dir):
+    from topn_spark.sources.warc import parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+            "<urn:doc:"
+        ),
+        d.cast("string"),
+        F.lit(">\r\nWARC-Target-URI: http://example.com/doc/"),
+        d.cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            F.expr("doc_id DIV 5").alias("blob_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["rec"],
+                ),
+                "",
+            )
+            .cast("binary")
+            .alias("content"),
+        )
+    )
+    return (
+        parse_warc(blobs)
+        .select(
+            "blob_id",
+            F.col("rec_idx").cast("bigint").alias("rec_idx"),
+            "warc_type",
+            "target_uri",
+            "content_length",
+            F.col("payload").cast("string").alias("payload_text"),
+        )
+        .orderBy("blob_id", "rec_idx")
+    )
