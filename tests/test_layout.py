@@ -94,3 +94,64 @@ def test_file_skipping_report_separates_clustered_from_random(
     # footer stats present and ordered
     for f in zrep["files"]:
         assert f["x_min"] is not None and f["x_min"] <= f["x_max"]
+
+
+def test_zorder_key_sql_matches_operator(spark):
+    """The generated-SQL mirror (oracle building block) must be
+    bit-identical to the Column expression."""
+    from topn_spark.operators.layout import zorder_key_sql
+
+    rows = [(x, y) for x in range(0, 40, 3) for y in range(0, 40, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x",
+        "y",
+        zorder_key(["x", "y"], 6).alias("z1"),
+        F.expr(zorder_key_sql(["x", "y"], 6)).alias("z2"),
+    ).collect()
+    assert all(r.z1 == r.z2 for r in got)
+
+
+def test_quantize_uniform_buckets_and_clamps(spark):
+    from topn_spark.operators.layout import quantize_uniform
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.9,), (99.9,), (100.0,), (250.0,)],
+        "v double",
+    )
+    got = [
+        r.q
+        for r in df.select(
+            quantize_uniform("v", 0.0, 100.0, bits=2).alias("q")
+        ).collect()
+    ]
+    # 4 buckets of width 25; out-of-range clamps to the edge buckets
+    assert got == [0, 0, 1, 3, 3, 3]
+
+
+def test_block_stats_and_pruning_fraction(spark):
+    from topn_spark.operators.layout import (
+        block_stats,
+        pruning_fraction,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    zb = block_stats(
+        grid.withColumn("z", zorder_key(["x", "y"], 5)),
+        dims=["x", "y"],
+        block_col=F.shiftright("z", 6),  # 16 blocks of 64 cells
+    )
+    # row-major layout: block = x >> 1 (16 blocks too)
+    lin = block_stats(
+        grid, dims=["x", "y"], block_col=F.shiftright("x", 1)
+    )
+    zf = pruning_fraction(zb, "y", 0, 7).collect()[0]
+    lf = pruning_fraction(lin, "y", 0, 7).collect()[0]
+    assert zf.n_blocks == 16 and lf.n_blocks == 16
+    # z-order blocks are 8x8 tiles: a y-range over 1/4 of the domain
+    # reads 1/4 of blocks; the x-sorted layout reads ALL blocks
+    assert lf.block_frac == 1.0
+    assert zf.block_frac == 0.25
+    assert zf.row_frac == 0.25

@@ -280,6 +280,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z30_ccnet_buckets",
         "z31_dsir_weights",
         "z32_warc_parse",
+        "z33_zorder_blocks",
     ):
         warns = [
             f

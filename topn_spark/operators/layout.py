@@ -143,3 +143,75 @@ def file_skipping_report(path: str, cols: list[str]) -> dict:
                     hits += 1
         overlap[c] = hits / (n * (n - 1) / 2)
     return {"files": per_file, "overlap_fraction": overlap}
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The :func:`zorder_key` arithmetic as portable generated SQL
+    (for oracles and engine cross-checks): identical bit placement —
+    bit ``i`` of column ``j`` lands at key bit ``len(cols)*i + j``."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) * {1 << (n * i + j)})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def quantize_uniform(
+    col: Column | str, lo: float, hi: float, bits: int = 16
+) -> Column:
+    """Uniform quantization of a numeric column into ``[0, 2**bits)``
+    (clamped) — the cheap map-only domain reduction in front of
+    :func:`zorder_key` for floating or wide columns. Equi-depth
+    (rank) quantization handles skew better but costs a quantile
+    pass; uniform is exact arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    nb = 1 << bits
+    q = F.floor(
+        (c.cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi) - float(lo))
+        * F.lit(nb)
+    ).cast("long")
+    return F.least(F.greatest(q, F.lit(0)), F.lit(nb - 1))
+
+
+def block_stats(
+    df: DataFrame,
+    dims: list[str],
+    block_col: Column,
+) -> DataFrame:
+    """Per-block count + min/max over ``dims`` for a given block
+    assignment (the z-key's top bits, a partition id, ...) — the
+    statistics parquet footers carry, materialized IN-ENGINE for
+    layout evaluation at any scale (one hash agg keyed by block;
+    contrast :func:`file_skipping_report`, which reads footers of an
+    already-written table driver-side):
+    ``(block, n, <dim>_min, <dim>_max, ...)``."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for d in dims:
+        aggs.append(F.min(d).alias(f"{d}_min"))
+        aggs.append(F.max(d).alias(f"{d}_max"))
+    return df.groupBy(block_col.alias("block")).agg(*aggs)
+
+
+def pruning_fraction(stats: DataFrame, dim: str, lo, hi) -> DataFrame:
+    """Fraction of blocks (and of rows) a range predicate
+    ``dim BETWEEN lo AND hi`` must read under min/max skipping,
+    from :func:`block_stats` output —
+    ``(n_blocks, read_blocks, block_frac, row_frac)``. The layout
+    quality metric: compare across layouts for the same predicate."""
+    overlap = (F.col(f"{dim}_min") <= F.lit(hi)) & (
+        F.col(f"{dim}_max") >= F.lit(lo)
+    )
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(overlap.cast("int")).alias("read_blocks"),
+        (F.sum(overlap.cast("int")) / F.count(F.lit(1))).alias(
+            "block_frac"
+        ),
+        (
+            F.sum(F.when(overlap, F.col("n")).otherwise(0))
+            / F.sum("n")
+        ).alias("row_frac"),
+    )

@@ -7874,3 +7874,44 @@ def z32_warc_parse(spark, sf_dir):
         )
         .orderBy("blob_id", "rec_idx")
     )
+
+
+def _z33_oracle():
+    from topn_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["o_custkey", "o_orderkey"], 8)
+    return f"""WITH k AS (
+  SELECT o_orderkey, o_custkey, {z} AS z FROM orders),
+b AS (SELECT z >> 10 AS block, o_orderkey, o_custkey FROM k)
+SELECT block, COUNT(*) AS n,
+  MIN(o_custkey) AS o_custkey_min, MAX(o_custkey) AS o_custkey_max,
+  MIN(o_orderkey) AS o_orderkey_min, MAX(o_orderkey) AS o_orderkey_max
+FROM b GROUP BY block ORDER BY block ASC"""
+
+
+@query(
+    "z33_zorder_blocks",
+    _z33_oracle(),
+    doc="Z-order block min/max accounting (layout.py::block_stats "
+    "over the x56 zorder_key): per-block (top-6-z-bits) count and "
+    "per-dimension min/max over (o_custkey, o_orderkey) — the "
+    "parquet-footer statistics a multi-dimension range scan prunes "
+    "on, materialized IN-ENGINE (one hash agg keyed by block; "
+    "contrast file_skipping_report's driver-side footer walk). "
+    "Pure integer arithmetic; the oracle re-derives the key with "
+    "generated identical SQL terms (zorder_key_sql), hash-exact",
+)
+def z33_zorder_blocks(spark, sf_dir):
+    from topn_spark.operators.layout import block_stats, zorder_key
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    keyed = ords.withColumn(
+        "z", zorder_key(["o_custkey", "o_orderkey"], bits=8)
+    )
+    return block_stats(
+        keyed,
+        dims=["o_custkey", "o_orderkey"],
+        block_col=F.shiftright("z", 10),
+    ).orderBy("block")
