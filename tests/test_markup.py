@@ -90,3 +90,15 @@ def test_extract_html_text_dataframe(spark):
     assert got[1].text == "A\nb c"
     assert got[2].text is None and got[2].n_links == 0
     assert got[3].text == "x y" and got[3].n_links == 1
+
+
+def test_extract_keep_cols_passthrough(spark):
+    from topn_spark.operators.markup import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, "http://a/", "<body><p>hello world</p></body>")],
+        "doc_id long, uri string, html string",
+    )
+    out = extract_html_text(df, keep_cols=("uri",)).collect()
+    assert out[0].uri == "http://a/"
+    assert out[0].text == "hello world"

@@ -281,6 +281,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z31_dsir_weights",
         "z32_warc_parse",
         "z33_zorder_blocks",
+        "z34_cc_pipeline",
     ):
         warns = [
             f

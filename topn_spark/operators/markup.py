@@ -134,13 +134,24 @@ def extract_html_text(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Markup → text over a corpus: ``(id, title, text, n_links)``
-    per document. One Arrow-batched ``mapInPandas`` pass — map-only,
-    no shuffle, each 100 TB partition independent; the parser is
-    stdlib, so tasks carry no model state at all."""
+    """Markup → text over a corpus: ``(id, *keep_cols, title, text,
+    n_links)`` per document. One Arrow-batched ``mapInPandas`` pass —
+    map-only, no shuffle, each 100 TB partition independent; the
+    parser is stdlib, so tasks carry no model state at all.
+    ``keep_cols`` are carried through the pass verbatim (URI, crawl
+    date, ...) — re-joining them back by id after extraction would
+    recompute or shuffle the whole corpus for columns that were
+    already in hand."""
     idt = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {idt}, title string, text string, n_links int"
+    kept = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}"
+        for c in keep_cols
+    )
+    schema = (
+        f"{id_col} {idt}{kept}, title string, text string, n_links int"
+    )
 
     def _run(it: Iterator) -> Iterator:
         import pandas as pd
@@ -152,10 +163,13 @@ def extract_html_text(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
+                    **{c: pdf[c].values for c in keep_cols},
                     "title": [t for t, _, _ in out],
                     "text": [x for _, x, _ in out],
                     "n_links": [n for _, _, n in out],
                 }
             )
 
-    return df.select(id_col, html_col).mapInPandas(_run, schema)
+    return df.select(id_col, *keep_cols, html_col).mapInPandas(
+        _run, schema
+    )

@@ -7915,3 +7915,129 @@ def z33_zorder_blocks(spark, sf_dir):
         dims=["o_custkey", "o_orderkey"],
         block_col=F.shiftright("z", 10),
     ).orderBy("block")
+
+
+@query(
+    "z34_cc_pipeline",
+    """WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'Title ' || doc_id END AS title,
+    CASE doc_id % 2
+      WHEN 0 THEN 'Doc ' || doc_id || chr(10) || 'alpha ' || doc_id
+                  || ' beta' || chr(10) || 'gamma & delta'
+      WHEN 1 THEN 'item A ' || doc_id || chr(10) || 'item B'
+                  || chr(10) || 'tail link text'
+    END AS text
+  FROM documents WHERE doc_id < 400),
+q AS (
+  SELECT doc_id, title, text,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS alpha_ratio,
+    ROUND(CAST(LENGTH(text)
+               - LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(len(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+'))
+                        AS DOUBLE), 0), 6) AS mean_word_len,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS BIGINT) AS n_tokens
+  FROM t)
+SELECT doc_id, 'http://crawl.test/doc/' || doc_id AS target_uri,
+       title, n_tokens,
+       (n_tokens >= 10 AND alpha_ratio >= 0.6
+        AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_keep
+FROM q ORDER BY doc_id ASC""",
+    doc="FULL CommonCrawl-shaped front end in ONE composed job: WARC "
+    "blobs (framed in Spark, four HTML response records each) -> "
+    "sources/warc.py::parse_warc (byte-sliced record walk) -> doc id "
+    "recovered from WARC-Target-URI -> markup.py::extract_html_text "
+    "-> textstats.py::add_quality keep gate. Everything after the "
+    "blob build is the real ingestion path a crawl dump takes — "
+    "binary archive to scored text with no intermediate "
+    "materialization. Oracle: closed-form extracted text per planted "
+    "shape (z13/z18 recipe) + the identical quality arithmetic in "
+    "SQL, hash-exact",
+)
+def z34_cc_pipeline(spark, sf_dir):
+    from topn_spark.operators.markup import extract_html_text
+    from topn_spark.operators.textstats import add_quality
+    from topn_spark.sources.warc import parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("<html><head><title>Title "), ds,
+            F.lit("</title><style>p{c:red}</style></head>"
+                  "<body><h1>Doc "), ds,
+            F.lit("</h1><p>alpha "), ds,
+            F.lit(" beta</p><script>var x="), ds,
+            F.lit(";</script><p>gamma &amp; delta</p>"
+                  "<!--hidden--></body></html>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<body><ul><li>item A "), ds,
+            F.lit("</li><li>item B</li></ul><div>tail "
+                  "<a href=\"/x\">link</a> text</div></body>"),
+        )
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            "http://crawl.test/doc/"
+        ),
+        ds,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(html).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            F.expr("doc_id DIV 4").alias("blob_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["rec"],
+                ),
+                "",
+            )
+            .cast("binary")
+            .alias("content"),
+        )
+    )
+    pages = parse_warc(blobs).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("payload").cast("string").alias("html"),
+    )
+    extracted = extract_html_text(pages, keep_cols=("target_uri",))
+    return (
+        add_quality(extracted)
+        .withColumn(
+            "n_tokens",
+            F.size(
+                F.expr(
+                    "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+                )
+            ).cast("bigint"),
+        )
+        .select(
+            "doc_id", "target_uri", "title", "n_tokens",
+            "quality_keep",
+        )
+        .orderBy("doc_id")
+    )
