@@ -126,3 +126,80 @@ def test_dsir_unseen_bucket_tokens_still_counted(spark):
     ).collect()
     assert rows[0].n_tokens == 5
     assert rows[0].logweight == 0.0  # identical models again
+
+
+def test_wb_perplexity_matches_hand_formula(spark):
+    train = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(train)
+    r = perplexity_score(
+        _docs(spark, [(10, "a b x")]), uni, bi, smoothing="wb"
+    ).collect()[0]
+    # model: c(a)=c(b)=3, c(c)=1, T=7, V=4; bigrams a b:3, b a:1, b c:1
+    # 'a b': lam=3/(3+1), p_ml=3/3, p_uni=(3+1)/(7+4)
+    # 'b x': lam=3/(3+2), p_ml=0,   p_uni=(0+1)/(7+4)
+    lam1, lam2 = 3 / 4, 3 / 5
+    p1 = lam1 * 1.0 + (1 - lam1) * (4 / 11)
+    p2 = lam2 * 0.0 + (1 - lam2) * (1 / 11)
+    exp_lp = math.log(p1) + math.log(p2)
+    assert r.n_bigrams == 2
+    assert abs(r.logprob - exp_lp) < 1e-12
+
+
+def test_wb_unseen_context_backs_off_to_unigram(spark):
+    train = _docs(spark, [(1, "a b")])
+    uni, bi = train_bigram_lm(train)
+    r = perplexity_score(
+        _docs(spark, [(10, "zz a")]), uni, bi, smoothing="wb"
+    ).collect()[0]
+    # c(zz)=0 -> lam=0 -> pure Laplace unigram on 'a': (1+1)/(2+3)
+    assert abs(r.logprob - math.log(2 / 5)) < 1e-12
+
+
+def test_smoothing_rejects_unknown(spark):
+    import pytest
+
+    train = _docs(spark, [(1, "a b")])
+    uni, bi = train_bigram_lm(train)
+    with pytest.raises(ValueError, match="smoothing"):
+        perplexity_score(
+            _docs(spark, [(10, "a b")]), uni, bi, smoothing="kn"
+        )
+
+
+def test_save_load_bigram_lm_roundtrip(spark, tmp_path):
+    from topn_spark.operators.lm import (
+        load_bigram_lm,
+        save_bigram_lm,
+    )
+
+    train = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(train)
+    path = str(tmp_path / "lm")
+    save_bigram_lm(uni, bi, path)
+    uni2, bi2, meta = load_bigram_lm(spark, path)
+    assert meta == {
+        "vocab_size": 4,
+        "total_tokens": 7,
+        "token_mode": "ascii",
+    }
+    # scoring under the loaded artifact == scoring under the live model
+    docs = _docs(spark, [(10, "a b x")])
+    a = perplexity_score(docs, uni, bi).collect()[0]
+    b = perplexity_score(
+        docs, uni2, bi2, vocab_size=meta["vocab_size"]
+    ).collect()[0]
+    assert a.logprob == b.logprob
+
+
+def test_load_bigram_lm_rejects_garbage(spark, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "notlm")
+    df = _docs(spark, [(1, "a")])
+    df.write.parquet(f"{base}/unigrams")
+    df.write.parquet(f"{base}/bigrams")
+    df.write.parquet(f"{base}/meta")
+    with pytest.raises(ValueError, match="artifact"):
+        from topn_spark.operators.lm import load_bigram_lm
+
+        load_bigram_lm(spark, base)

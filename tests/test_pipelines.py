@@ -802,3 +802,99 @@ def test_filter_suite_plugins_pipeline(spark, tmp_path):
         compile_pipeline(spark, bad)
     msg = str(ei.value)
     assert "maybe" in msg and "ghost" in msg
+
+
+def test_perplexity_filter_plugin(spark, tmp_path):
+    """PerplexityFilter scores against a SAVED LM artifact and the
+    maxPpl cut keeps only in-model records; validation failures for
+    missing modelPath / bad smoothing batch at deploy."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.operators.lm import save_bigram_lm, train_bigram_lm
+    from topn_spark.pipelines import compile_pipeline, run_pipeline
+
+    clean = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(i, clean) for i in range(20)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    model = str(tmp_path / "lm_model")
+    save_bigram_lm(uni, bi, model)
+
+    src = str(tmp_path / "ppl_src")
+    spark.createDataFrame(
+        [(1, clean), (2, "zxq wvu tsr qpo nmk jih")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "ppl_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "ppl",
+                "plugin": "PerplexityFilter",
+                "properties": {"modelPath": model, "maxPpl": "50"},
+            },
+            {"name": "sink", "plugin": "FileSink", "properties": {"path": dst}},
+        ],
+        "connections": [
+            {"from": "src", "to": "ppl"},
+            {"from": "ppl", "to": "sink"},
+        ],
+    }
+    run_pipeline(spark, spec)
+    kept = spark.read.parquet(dst).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "ppl",
+                "plugin": "PerplexityFilter",
+                "properties": {"smoothing": "kn", "maxPpl": "x"},
+            },
+        ],
+        "connections": [{"from": "src", "to": "ppl"}],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, bad)
+    msg = str(ei.value)
+    assert "modelPath" in msg and "kn" in msg and "maxPpl" in msg
+
+
+def test_dsir_weights_plugin(spark, tmp_path):
+    from topn_spark.pipelines import run_pipeline
+
+    target = str(tmp_path / "dsir_target")
+    spark.createDataFrame(
+        [(100 + i, "quality prose words") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(target)
+    src = str(tmp_path / "dsir_src")
+    spark.createDataFrame(
+        [(1, "quality prose words"), (2, "spam junk noise")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "dsir_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "w",
+                "plugin": "DsirWeights",
+                "properties": {"targetPath": target, "nBuckets": "64"},
+            },
+            {"name": "sink", "plugin": "FileSink", "properties": {"path": dst}},
+        ],
+        "connections": [
+            {"from": "src", "to": "w"},
+            {"from": "w", "to": "sink"},
+        ],
+    }
+    run_pipeline(spark, spec)
+    out = {r.doc_id: r for r in spark.read.parquet(dst).collect()}
+    assert out[1].logweight > out[2].logweight
+    assert out[1].n_tokens == 3

@@ -282,6 +282,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z32_warc_parse",
         "z33_zorder_blocks",
         "z34_cc_pipeline",
+        "z35_wb_perplexity",
     ):
         warns = [
             f

@@ -92,17 +92,32 @@ def perplexity_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "ascii",
+    smoothing: str = "addk",
 ) -> DataFrame:
-    """Score documents under an add-k-smoothed bigram LM:
+    """Score documents under a smoothed bigram LM:
     ``(id, n_bigrams, logprob, ppl)``.
 
-    Per bigram ``(w1, w2)``:  ``P(w2|w1) = (c(w1,w2) + k) /
+    ``smoothing="addk"`` (default):  ``P(w2|w1) = (c(w1,w2) + k) /
     (c(w1) + k*V)`` with ``V = |train vocab| + 1`` (the +1 is the OOV
     bucket; unseen ``w1`` has ``c(w1) = 0`` and the same formula
-    applies — add-k needs no special case). ``logprob`` is the sum of
-    ``ln P`` over the document's bigrams; ``ppl = exp(-logprob /
-    n_bigrams)``. Documents with < 2 tokens have no bigrams and are
-    dropped (no model opinion).
+    applies — add-k needs no special case).
+
+    ``smoothing="wb"`` — Witten–Bell INTERPOLATED bigram (Witten &
+    Bell 1991; what real perplexity filters run, since add-k wildly
+    over-penalizes unseen continuations of frequent words):
+    ``P(w2|w1) = lam * c12/c1 + (1-lam) * P_uni(w2)`` with
+    ``lam = c1 / (c1 + N1+(w1))`` (``N1+`` = distinct continuation
+    types of ``w1``, derived from the bigram table at no extra
+    training pass) and ``P_uni(w2) = (c2 + 1) / (T + V)`` (Laplace so
+    OOV ``w2`` stays finite). Unseen-``w1`` or no-continuation grams
+    back off entirely to the unigram term (``lam = 0``). Note
+    ``min_count`` pruning removes continuation types, shifting mass
+    toward the unigram term — prune the model OR use wb fidelity,
+    the standard trade.
+
+    ``logprob`` is the sum of ``ln P`` over the document's bigrams;
+    ``ppl = exp(-logprob / n_bigrams)``. Documents with < 2 tokens
+    have no bigrams and are dropped (no model opinion).
 
     ``vocab_size`` may be passed to skip the one model-sized count
     action (e.g. when scoring many corpora under one model).
@@ -110,9 +125,13 @@ def perplexity_score(
     Plan: explode to the per-doc bigram stream, LEFT join the bigram
     and unigram count tables on their gram keys (AQE broadcasts them
     when ``min_count`` pruning makes them small; skew-splits the
-    zipf-hot probe keys otherwise), one per-doc re-agg. The two
-    scalars (V) are the only driver state.
+    zipf-hot probe keys otherwise), one per-doc re-agg. wb adds two
+    more model-sized LEFT joins (w2 unigram, w1 continuation
+    counts) — same shape, no new data-sized shuffle. The scalars
+    (V, T) are the only driver state.
     """
+    if smoothing not in ("addk", "wb"):
+        raise ValueError(f"unknown smoothing {smoothing!r} (addk|wb)")
     if vocab_size is None:
         vocab_size = unigrams.count() + 1
     v = float(vocab_size)
@@ -130,14 +149,47 @@ def perplexity_score(
     )
     c12 = bigrams.select("bg", F.col("c").alias("_c12"))
     c1 = unigrams.select("w", F.col("c").alias("_c1"))
-    logp = F.log(
-        (F.coalesce("_c12", F.lit(0)) + F.lit(kf))
-        / (F.coalesce("_c1", F.lit(0)) + F.lit(kf * v))
-    )
+    joined = grams.join(c12, "bg", "left").join(c1, "w", "left")
+    if smoothing == "addk":
+        logp = F.log(
+            (F.coalesce("_c12", F.lit(0)) + F.lit(kf))
+            / (F.coalesce("_c1", F.lit(0)) + F.lit(kf * v))
+        )
+    else:
+        total_tokens = unigrams.agg(F.sum("c")).collect()[0][0] or 0
+        t = float(total_tokens)
+        cont = (
+            bigrams.select(
+                F.substring_index("bg", " ", 1).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("_n1p"))
+        )
+        c2 = unigrams.select(
+            F.col("w").alias("_w2"), F.col("c").alias("_c2")
+        )
+        joined = (
+            joined.withColumn(
+                "_w2c", F.substring_index("bg", " ", -1)
+            )
+            .join(cont, "w", "left")
+            .join(c2, F.col("_w2c") == F.col("_w2"), "left")
+        )
+        c1c = F.coalesce("_c1", F.lit(0)).cast("double")
+        n1p = F.coalesce("_n1p", F.lit(0)).cast("double")
+        lam = F.when(
+            (c1c > 0) & (n1p > 0), c1c / (c1c + n1p)
+        ).otherwise(F.lit(0.0))
+        p_ml = F.when(
+            c1c > 0,
+            F.coalesce("_c12", F.lit(0)).cast("double") / c1c,
+        ).otherwise(F.lit(0.0))
+        p_uni = (
+            F.coalesce("_c2", F.lit(0)) + F.lit(1.0)
+        ) / F.lit(t + v)
+        logp = F.log(lam * p_ml + (F.lit(1.0) - lam) * p_uni)
     return (
-        grams.join(c12, "bg", "left")
-        .join(c1, "w", "left")
-        .select("_id", logp.alias("_lp"))
+        joined.select("_id", logp.alias("_lp"))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -150,6 +202,58 @@ def perplexity_score(
             F.exp(-F.col("logprob") / F.col("n_bigrams")).alias("ppl"),
         )
     )
+
+
+def save_bigram_lm(
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    path: str,
+    mode: str = "ascii",
+) -> None:
+    """Persist a trained bigram LM as a reusable artifact:
+    ``path/unigrams``, ``path/bigrams`` parquet + ``path/meta``
+    (vocab_size, total_tokens, token mode) — train once on the
+    reference corpus, score any number of corpora/streams without
+    re-counting (the CCNet deployment shape; same artifact
+    discipline as save_bpe_merges)."""
+    spark = unigrams.sparkSession
+    unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
+    bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    uni = spark.read.parquet(f"{path}/unigrams")
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(int(stats["n"]) + 1, int(stats["t"] or 0), mode)],
+        "vocab_size long, total_tokens long, token_mode string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram_lm(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a :func:`save_bigram_lm` artifact →
+    ``(unigrams, bigrams, meta)``; validates the expected columns so
+    a wrong path fails loudly, not with a join of garbage."""
+    unigrams = spark.read.parquet(f"{path}/unigrams")
+    bigrams = spark.read.parquet(f"{path}/bigrams")
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if (
+        set(unigrams.columns) != {"w", "c"}
+        or set(bigrams.columns) != {"bg", "c"}
+        or len(meta_rows) != 1
+    ):
+        raise ValueError(
+            f"{path} is not a bigram-LM artifact "
+            f"(unigrams={unigrams.columns}, bigrams={bigrams.columns})"
+        )
+    m = meta_rows[0]
+    meta = {
+        "vocab_size": int(m["vocab_size"]),
+        "total_tokens": int(m["total_tokens"]),
+        "token_mode": m["token_mode"],
+    }
+    return unigrams, bigrams, meta
 
 
 def ccnet_buckets(

@@ -573,6 +573,134 @@ def _stage_gopher_repetition(
     return out
 
 
+def _stage_perplexity_filter(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PerplexityFilter transform: score every record under a SAVED
+    bigram LM artifact (lm.py::load_bigram_lm — train once, score
+    any stream) and annotate with (n_bigrams, logprob, ppl).
+    Properties: modelPath (required), textField ('text'), idField
+    ('doc_id'), smoothing ('wb'), k ('1.0'), maxPpl (optional — when
+    set, keep only records with ppl <= maxPpl and drop the score
+    columns, the CCNet head-cut deployment shape; records with < 2
+    tokens have no model opinion and are dropped by the filter)."""
+    (df,) = inputs
+    p = stage.properties
+    model_path = p.get("modelPath")
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    smoothing = p.get("smoothing", "wb")
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if not model_path:
+        collector.add_failure(
+            "Required property 'modelPath' is missing.",
+            "Point it at a save_bigram_lm artifact.",
+            property_name="modelPath",
+        )
+        ok = False
+    if smoothing not in ("addk", "wb"):
+        collector.add_failure(
+            f"Unknown smoothing '{smoothing}'.",
+            "One of addk, wb.",
+            property_name="smoothing",
+        )
+        ok = False
+    k, max_ppl = 1.0, None
+    try:
+        k = float(p.get("k", "1.0"))
+    except ValueError:
+        collector.add_failure(
+            f"Invalid k '{p.get('k')}'.",
+            "A float.",
+            property_name="k",
+        )
+        ok = False
+    if "maxPpl" in p:
+        try:
+            max_ppl = float(p["maxPpl"])
+        except ValueError:
+            collector.add_failure(
+                f"Invalid maxPpl '{p['maxPpl']}'.",
+                "A float.",
+                property_name="maxPpl",
+            )
+            ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.lm import (
+        load_bigram_lm,
+        perplexity_score,
+    )
+
+    unigrams, bigrams, meta = load_bigram_lm(spark, model_path)
+    scored = perplexity_score(
+        df,
+        unigrams,
+        bigrams,
+        vocab_size=meta["vocab_size"],
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        mode=meta["token_mode"],
+        smoothing=smoothing,
+    )
+    out = df.join(scored, id_col)
+    if max_ppl is not None:
+        return out.where(F.col("ppl") <= max_ppl).select(*df.columns)
+    return out
+
+
+def _stage_dsir_weights(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """DsirWeights transform: annotate each record with its DSIR
+    importance log-weight (lm.py::dsir_logweights) against a TARGET
+    corpus read from parquet; the raw model is the input stream
+    itself. Properties: targetPath (required), textField ('text'),
+    idField ('doc_id'), nBuckets ('256')."""
+    (df,) = inputs
+    p = stage.properties
+    target_path = p.get("targetPath")
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if not target_path:
+        collector.add_failure(
+            "Required property 'targetPath' is missing.",
+            "Point it at a parquet corpus with the text field.",
+            property_name="targetPath",
+        )
+        ok = False
+    n_buckets = 256
+    try:
+        n_buckets = int(p.get("nBuckets", "256"))
+        if n_buckets < 2:
+            raise ValueError
+    except ValueError:
+        collector.add_failure(
+            f"Invalid nBuckets '{p.get('nBuckets')}'.",
+            "An integer >= 2.",
+            property_name="nBuckets",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.lm import dsir_logweights
+
+    target = spark.read.parquet(target_path)
+    weights = dsir_logweights(
+        df,
+        target=target,
+        raw=df,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return df.join(weights, id_col)
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -593,6 +721,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "GopherRules": ("transform", _stage_gopher_rules),
     "GopherRepetition": ("transform", _stage_gopher_repetition),
     "C4LineFilter": ("transform", _stage_c4_line_filter),
+    "PerplexityFilter": ("transform", _stage_perplexity_filter),
+    "DsirWeights": ("transform", _stage_dsir_weights),
     "FileSink": ("batchsink", _stage_sink),
 }
 

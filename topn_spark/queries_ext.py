@@ -8041,3 +8041,88 @@ def z34_cc_pipeline(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _z35_wb_mirror(con):
+    """Witten-Bell interpolated-bigram mirror: identical expression
+    shapes as lm.py (lam = c1/(c1+N1+), p = lam*(c12/c1) +
+    (1-lam)*(c2+1)/(T+V) — NOT algebraically simplified, so the IEEE
+    op sequence matches), 1e-9 relative."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for (text,) in con.execute(
+        "SELECT text FROM documents WHERE doc_id % 5 <> 0"
+    ).fetchall():
+        if text is None:
+            continue
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        uni.update(t)
+        bi.update(
+            t[i] + " " + t[i + 1] for i in range(len(t) - 1)
+        )
+    cont: dict = defaultdict(int)
+    for g in bi:
+        cont[g.split(" ", 1)[0]] += 1
+    v = float(len(uni) + 1)
+    t_tot = float(sum(uni.values()))
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        if text is None:
+            continue
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if len(toks) < 2:
+            continue
+        s = 0.0
+        n = len(toks) - 1
+        for i in range(n):
+            w1, w2 = toks[i], toks[i + 1]
+            c1 = float(uni.get(w1, 0))
+            n1p = float(cont.get(w1, 0))
+            c12 = float(bi.get(w1 + " " + w2, 0))
+            lam = c1 / (c1 + n1p) if c1 > 0 and n1p > 0 else 0.0
+            p_ml = c12 / c1 if c1 > 0 else 0.0
+            p_uni = (uni.get(w2, 0) + 1.0) / (t_tot + v)
+            s += math.log(lam * p_ml + (1.0 - lam) * p_uni)
+        out.append((int(did), n, s, math.exp(-s / n)))
+    return ["doc_id", "n_bigrams", "logprob", "ppl"], out
+
+
+@query(
+    "z35_wb_perplexity",
+    None,  # float log-prob sums are order-dependent — tolerance mirror
+    doc="Witten-Bell INTERPOLATED bigram perplexity (lm.py::"
+    "perplexity_score(smoothing='wb'); Witten & Bell 1991 — the "
+    "smoothing real perplexity filters run, since add-k (z29) "
+    "over-penalizes unseen continuations of frequent words): "
+    "lam(w1) = c1/(c1+N1+) weights the ML bigram against a "
+    "Laplace unigram backoff; the continuation-type table N1+ is "
+    "derived from the bigram counts at no extra training pass, and "
+    "scoring stays the same gram-keyed join shape with two more "
+    "model-sized LEFT joins. Oracle: expression-shape-identical "
+    "Python mirror, 1e-9 relative",
+    tol_oracle=_z35_wb_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z35_wb_perplexity(spark, sf_dir):
+    from topn_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    unigrams, bigrams = train_bigram_lm(train)
+    return perplexity_score(
+        docs.where(F.col("doc_id") < 300),
+        unigrams,
+        bigrams,
+        smoothing="wb",
+    ).orderBy("doc_id")
