@@ -351,3 +351,84 @@ def test_cdc_snapshot_commit_leaves_no_staging_dir(spark, tmp_path):
     assert len(versions) == 2  # current + keep=1 predecessor
     with open(os.path.join(snap, "_MANIFEST")) as fh:
         assert fh.readline().strip() == versions[-1]
+
+
+def test_quality_corpus_sink_gates_and_dead_letters(spark, tmp_path):
+    """Rules + saved-LM perplexity cut over a stream: admissions land
+    in the corpus, every rejection lands in the dead-letter log with
+    its reason (gopher / unscored / perplexity)."""
+    from topn_spark.operators.lm import save_bigram_lm, train_bigram_lm
+    from topn_spark.streaming.ingest import quality_corpus_sink
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog jumps over the quick brown fox again today " * 3
+    ).strip()
+    train = spark.createDataFrame(
+        [(i, clean) for i in range(30)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    model = str(tmp_path / "gate_lm")
+    save_bigram_lm(uni, bi, model)
+
+    # 72 alpha words with stopwords: passes every Gopher rule but is
+    # entirely out-of-model, so only the perplexity cut can reject it
+    gibberish = (
+        "the zorb and vex of snerd that have with blim golp trun " * 6
+    ).strip()
+    bullet_spam = "• item in a list\n" * 60
+    src = str(tmp_path / "qsrc")
+    spark.createDataFrame(
+        [
+            (1, clean),
+            (2, gibberish),
+            (3, bullet_spam),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    out = str(tmp_path / "qout")
+    rej = str(tmp_path / "qrej")
+    q = quality_corpus_sink(
+        stream,
+        out,
+        rej,
+        str(tmp_path / "qck"),
+        model_path=model,
+        max_ppl=100.0,
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in kept] == [1]
+    rejects = {
+        r.doc_id: r.reason for r in spark.read.parquet(rej).collect()
+    }
+    # gibberish scores off-model; bullet spam fails the rule suite
+    # (rules run FIRST, so its reason is gopher even if also high-ppl);
+    # the one-word doc has no bigrams to score
+    assert rejects == {2: "perplexity", 3: "gopher", 4: "gopher"}
+
+
+def test_quality_gate_rules_only_keeps_ppl_out_of_reasons(
+    spark, tmp_path
+):
+    from topn_spark.streaming.ingest import quality_gate_batch
+
+    batch = spark.createDataFrame(
+        [
+            (1, ("the data teams have built many solid tools with "
+                 "care and that work well " * 4).strip()),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "ro_out")
+    rej = str(tmp_path / "ro_rej")
+    quality_gate_batch(batch, out, rej)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+    r = spark.read.parquet(rej).collect()[0]
+    assert r.doc_id == 2 and r.reason == "gopher" and r.ppl is None

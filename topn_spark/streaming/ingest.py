@@ -446,3 +446,132 @@ def cdc_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quality_gate_batch(
+    batch: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_gopher: bool = True,
+    lm: tuple | None = None,
+    max_ppl: float | None = None,
+    smoothing: str = "wb",
+    k: float = 1.0,
+) -> None:
+    """Model-based quality gate for one micro-batch: admit documents
+    that pass the Gopher rule suite AND (when an LM is supplied)
+    score at most ``max_ppl`` under the saved bigram model; append
+    admissions to ``out_dir`` and every rejection to ``reject_dir``
+    as ``(id, reason, ppl)`` — a DEAD-LETTER log with WHY, so filter
+    regressions are observable instead of silent corpus shrinkage.
+
+    ``lm`` is ``(unigrams, bigrams, meta)`` from
+    ``operators.lm.load_bigram_lm`` — loaded ONCE by the sink and
+    reused across batches (train offline, gate forever; the CCNet
+    deployment shape). Reasons, first match wins: ``gopher`` (rule
+    suite), ``unscored`` (< 2 tokens — no model opinion, rejected
+    when a ppl cut is active), ``perplexity`` (> max_ppl).
+
+    Write ordering: admissions append before rejections, so a crash
+    between the writes strands at most missing reject ACCOUNTING —
+    never data loss, and the checkpointed replay rewrites both.
+    """
+    from topn_spark.operators.textstats import gopher_rules
+
+    enriched = batch
+    if use_gopher:
+        enriched = gopher_rules(batch, text_col).select(
+            *batch.columns, "gopher_keep"
+        )
+    else:
+        enriched = batch.withColumn("gopher_keep", F.lit(True))
+    if lm is not None and max_ppl is not None:
+        from topn_spark.operators.lm import perplexity_score
+
+        unigrams, bigrams, meta = lm
+        scored = perplexity_score(
+            batch,
+            unigrams,
+            bigrams,
+            vocab_size=meta["vocab_size"],
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            mode=meta["token_mode"],
+            smoothing=smoothing,
+        ).select(id_col, "ppl")
+        enriched = enriched.join(scored, id_col, "left")
+        reason = (
+            F.when(~F.col("gopher_keep"), F.lit("gopher"))
+            .when(F.col("ppl").isNull(), F.lit("unscored"))
+            .when(F.col("ppl") > F.lit(float(max_ppl)), F.lit("perplexity"))
+        )
+    else:
+        enriched = enriched.withColumn(
+            "ppl", F.lit(None).cast("double")
+        )
+        reason = F.when(~F.col("gopher_keep"), F.lit("gopher"))
+    flagged = enriched.withColumn("_reason", reason).persist()
+    try:
+        flagged.where(F.col("_reason").isNull()).select(
+            *batch.columns
+        ).write.mode("append").parquet(out_dir)
+        flagged.where(F.col("_reason").isNotNull()).select(
+            F.col(id_col),
+            F.col("_reason").alias("reason"),
+            F.col("ppl"),
+        ).write.mode("append").parquet(reject_dir)
+    finally:
+        flagged.unpersist()
+
+
+def quality_corpus_sink(
+    stream: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_gopher: bool = True,
+    model_path: str | None = None,
+    max_ppl: float | None = None,
+    smoothing: str = "wb",
+    k: float = 1.0,
+):
+    """Wire a document stream into :func:`quality_gate_batch` via
+    ``foreachBatch`` (availableNow-compatible) — the quality sibling
+    of the dedup ingest gates: rules + saved-LM perplexity cut, with
+    a dead-letter reject log. The LM artifact is loaded and persisted
+    ONCE here (model-sized count tables), not per batch. Returns the
+    started ``StreamingQuery``."""
+    lm = None
+    if model_path is not None:
+        from topn_spark.operators.lm import load_bigram_lm
+
+        unigrams, bigrams, meta = load_bigram_lm(
+            stream.sparkSession, model_path
+        )
+        lm = (unigrams.persist(), bigrams.persist(), meta)
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        quality_gate_batch(
+            batch,
+            out_dir,
+            reject_dir,
+            text_col=text_col,
+            id_col=id_col,
+            use_gopher=use_gopher,
+            lm=lm,
+            max_ppl=max_ppl,
+            smoothing=smoothing,
+            k=k,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
