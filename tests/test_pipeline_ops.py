@@ -981,3 +981,72 @@ def test_temperature_rebalance_flattens(spark):
         temperature_rebalance(df, total=10**6, group_col="lang").count()
         == 1000
     )
+
+
+def test_export_training_shards_roundtrip(spark, tmp_path):
+    from topn_spark.operators.pipeline import (
+        export_training_shards,
+        verify_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} words here", i % 7 + 3) for i in range(100)],
+        "doc_id long, text string, n_toks long",
+    )
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        df, out, n_shards=4, token_col="n_toks"
+    )
+    m = {r.shard: r for r in manifest.collect()}
+    assert sum(r.n_docs for r in m.values()) == 100
+    # every shard dir exists and the read-back matches the manifest
+    data = spark.read.parquet(out)
+    assert data.count() == 100
+    assert data.select("shard").distinct().count() == 4
+    chk = verify_shards(spark, out, token_col="n_toks").collect()
+    assert all(r.ok for r in chk)
+
+
+def test_shard_assignment_is_reproducible_and_salted(spark):
+    from topn_spark.operators.pipeline import shard_assignment
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = {r.doc_id: r.shard for r in shard_assignment(df, 8).collect()}
+    b = {r.doc_id: r.shard for r in shard_assignment(df, 8).collect()}
+    assert a == b  # stateless determinism: re-run == same layout
+    c = {
+        r.doc_id: r.shard
+        for r in shard_assignment(df, 8, salt="v2").collect()
+    }
+    assert a != c  # salt rotates the layout
+    assert set(a.values()) == set(range(8))
+
+
+def test_verify_shards_flags_tampering(spark, tmp_path):
+    from topn_spark.operators.pipeline import export_training_shards, verify_shards
+
+    df = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(50)], "doc_id long, n_toks long"
+    )
+    out = str(tmp_path / "shards2")
+    export_training_shards(df, out, n_shards=2, token_col="n_toks")
+    # simulate a torn export: drop one shard's files
+    import glob
+    import os
+
+    victim = glob.glob(f"{out}/shard=0/*.parquet")
+    assert victim
+    for f in victim:
+        os.remove(f)
+        crc = os.path.join(
+            os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+    chk = {r.shard: r.ok for r in verify_shards(
+        spark, out, token_col="n_toks"
+    ).collect()}
+    assert chk[1] is True
+    assert chk[0] is False

@@ -283,6 +283,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z33_zorder_blocks",
         "z34_cc_pipeline",
         "z35_wb_perplexity",
+        "z36_train_shards",
     ):
         warns = [
             f

@@ -45,6 +45,10 @@ __all__ = [
     "merge_upsert",
     "pack_sequences",
     "redact_pii",
+    "shard_assignment",
+    "shard_manifest",
+    "export_training_shards",
+    "verify_shards",
     "retention",
     "scd2",
     "resample_ffill",
@@ -1746,3 +1750,102 @@ def domain_filter(
     else:
         keep = keep & F.col("registered_domain").isNotNull()
     return feat.where(keep).select(*df.columns)
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-shard assignment:
+    ``shard = md5(id || salt) mod n_shards`` — stateless and
+    reproducible across runs/engines (the property a RESUMABLE export
+    needs: re-running assigns every document to the same shard, so a
+    partially written export can be reconciled instead of redone).
+    md5 (not xxhash64) keeps the assignment engine-portable. Doc
+    counts balance ~uniformly; token counts balance by law of large
+    numbers (a greedy token-balanced packer would be sequential
+    driver state — the wrong trade at corpus scale)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % int(n_shards)
+        ).cast("int"),
+    )
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-shard accounting over a :func:`shard_assignment` frame:
+    ``(shard, n_docs[, n_tokens])`` — the manifest a trainer reads to
+    budget epochs without scanning the shards."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    return assigned.groupBy("shard").agg(*aggs)
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """The LAST stage of a training-data pipeline: write the corpus
+    as ``out_dir/shard=<k>/`` parquet plus a ``_manifest`` table of
+    per-shard doc/token counts, and return the manifest. One
+    shuffle (the partitioned write's hash exchange on ``shard``);
+    the manifest agg reuses the same keyed shape. Re-running with
+    the same salt reproduces the identical assignment — see
+    :func:`shard_assignment`."""
+    assigned = shard_assignment(df, n_shards, id_col, salt).persist()
+    try:
+        assigned.write.mode("overwrite").partitionBy("shard").parquet(
+            out_dir
+        )
+        manifest = shard_manifest(assigned, token_col)
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/_manifest"
+        )
+    finally:
+        assigned.unpersist()
+    return manifest
+
+
+def verify_shards(
+    spark,
+    out_dir: str,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Integrity check for an exported shard set: recount the written
+    shards and join against the stored ``_manifest`` —
+    ``(shard, n_docs, n_docs_actual[, n_tokens, n_tokens_actual],
+    ok)``. A torn or partially re-run export shows up as a count
+    mismatch here, not as a silent short epoch at training time."""
+    data = spark.read.parquet(out_dir)
+    actual = shard_manifest(data, token_col).select(
+        "shard",
+        F.col("n_docs").alias("n_docs_actual"),
+        *(
+            [F.col("n_tokens").alias("n_tokens_actual")]
+            if token_col is not None
+            else []
+        ),
+    )
+    stored = spark.read.parquet(f"{out_dir}/_manifest")
+    ok = F.col("n_docs") == F.col("n_docs_actual")
+    if token_col is not None:
+        ok = ok & (F.col("n_tokens") == F.col("n_tokens_actual"))
+    return (
+        stored.join(actual, "shard", "full")
+        .withColumn("ok", F.coalesce(ok, F.lit(False)))
+    )

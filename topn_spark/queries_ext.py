@@ -8126,3 +8126,39 @@ def z35_wb_perplexity(spark, sf_dir):
         bigrams,
         smoothing="wb",
     ).orderBy("doc_id")
+
+
+@query(
+    "z36_train_shards",
+    f"""WITH a AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r7'), 1, 8))
+         AS BIGINT) % 16 AS INT) AS shard,
+    len({_TOKS_DUCK}) AS n_toks
+  FROM documents)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM a GROUP BY shard ORDER BY shard ASC""",
+    doc="Training-shard export accounting (pipeline.py::"
+    "shard_assignment/shard_manifest, IO half covered by "
+    "export_training_shards/verify_shards pytests): deterministic "
+    "md5(id||salt) mod n_shards assignment — stateless and "
+    "reproducible across runs/engines, the property a RESUMABLE "
+    "export needs — plus the per-shard doc/token manifest a trainer "
+    "budgets epochs from. One keyed agg; the md5 bucket arithmetic "
+    "is the proven engine-portable convention, hash-exact",
+)
+def z36_train_shards(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        shard_assignment,
+        shard_manifest,
+    )
+    from topn_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", token_count("text")
+    )
+    assigned = shard_assignment(docs, 16, salt="r7")
+    return shard_manifest(assigned, token_col="n_toks").orderBy(
+        "shard"
+    )
