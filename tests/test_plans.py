@@ -284,6 +284,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z34_cc_pipeline",
         "z35_wb_perplexity",
         "z36_train_shards",
+        "z37_c4_span_dedup",
     ):
         warns = [
             f

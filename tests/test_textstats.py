@@ -808,3 +808,66 @@ def test_gopher_repetition_signals(spark):
     # rules that cannot fire pass: frac None, keep True
     assert out[5].top4_char_frac is None
     assert out[5].gopher_rep_keep is True
+
+
+def test_sentences_rule(spark):
+    from topn_spark.operators.textstats import sentences
+
+    df = spark.createDataFrame(
+        [(1, "One two. Three!  Four?\nFive no terminator")],
+        "doc_id long, text string",
+    )
+    got = df.select(sentences().alias("s")).collect()[0].s
+    assert got == [
+        "One two.",
+        "Three!",
+        "Four?",
+        "Five no terminator",
+    ]
+
+
+def test_sentence_span_dedup_keep_first(spark):
+    from topn_spark.operators.textstats import (
+        remove_duplicate_sentence_spans,
+    )
+
+    footer = " Footer a. Footer b. Footer c."
+    df = spark.createDataFrame(
+        [
+            (1, "Unique one." + footer),
+            (2, "Unique two." + footer),
+            (3, "Short doc. Two sentences."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_sentence_spans(df).collect()
+    }
+    # doc 1 holds the globally first footer span occurrence
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == "Unique one. Footer a. Footer b. Footer c."
+    # doc 2 loses the 3-sentence footer, keeps its unique lead
+    assert out[2].n_removed == 3
+    assert out[2].clean_text == "Unique two."
+    # below the window: untouched
+    assert out[3].n_dup_spans == 0 and out[3].n_removed == 0
+
+
+def test_sentence_span_dedup_keep_none_and_overlap(spark):
+    from topn_spark.operators.textstats import (
+        remove_duplicate_sentence_spans,
+    )
+
+    rep = "A one. B two. C three. A one. B two. C three."
+    df = spark.createDataFrame(
+        [(1, rep)], "doc_id long, text string"
+    )
+    out = remove_duplicate_sentence_spans(
+        df, keep="none"
+    ).collect()[0]
+    # the repeated half makes spans at pos 0 and 3 identical; keep=none
+    # removes both spans' coverage (all six sentences)
+    assert out.n_sentences == 6
+    assert out.n_removed == 6
+    assert out.clean_text == ""

@@ -1785,3 +1785,124 @@ def bpe_train(
     if stats is not None:
         stats["rounds"] = rounds
     return merges
+
+
+#: engine sentence rule: maximal runs of non-terminator characters
+#: plus their trailing .!? terminators — NO lookaround, so the same
+#: pattern means the same thing in Java regex (Spark) and RE2 (DuckDB
+#: oracles); segments are whitespace-trimmed and empties dropped.
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def sentences(text_col: str = "text") -> Column:
+    """Sentence array of ``text_col`` under the engine sentence rule
+    (see :data:`SENTENCE_RE`). Trimming uses an explicit ``\\s``
+    regexp (Spark ``trim`` strips only spaces, and sentences split
+    across lines carry leading newlines)."""
+    segs = F.regexp_extract_all(
+        F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)
+    )
+    trimmed = F.transform(
+        segs,
+        lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+    )
+    return F.filter(trimmed, lambda s: s != "")
+
+
+def remove_duplicate_sentence_spans(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 dedup rule (Raffel et al. 2020 §2.2: "we discarded all
+    but one of any three-sentence span occurring more than once") —
+    the corpus-wide dedup half of the C4 pipeline whose line-rule
+    half is :func:`c4_line_filter`. Sentence-granularity sibling of
+    :func:`remove_duplicate_spans` (token windows, Lee et al. 2022):
+    every ``window``-sentence span occurring >= ``min_count`` times
+    corpus-wide loses all occurrences but the globally first
+    (``keep="first"``, ordered by (doc_id, position);
+    ``keep="none"`` removes every occurrence). Documents are rebuilt
+    from the surviving sentences.
+
+    Returns ``(id, n_sentences, n_dup_spans, n_removed, clean_text)``.
+
+    Scale shape — identical to the token-window remover: one
+    posexplode to the (doc, pos, span-hash) stream, ONE shuffle keyed
+    by the span hash (count and global first-occurrence rank in a
+    single window pass), a per-doc agg of removed positions, a join
+    back, and per-row array rebuilds. No all-pairs, no driver state.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from pyspark.sql.window import Window
+
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    sents = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            sentences(text_col).alias("_s"),
+        )
+        .withColumn("_n", F.size("_s"))
+        .persist()
+    )
+    starts = F.when(
+        F.col("_n") >= window,
+        F.sequence(F.lit(0), F.col("_n") - window),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = sents.select(
+        "_id",
+        F.explode(starts).alias("pos"),
+        F.col("_s").alias("_t"),
+    ).select(
+        "_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                "\x1f", F.slice("_t", F.col("pos") + 1, window)
+            )
+        ).alias("_h"),
+    )
+    w_all = Window.partitionBy("_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy("_h").orderBy("_id", "pos")
+    flagged = occ.select(
+        "_id",
+        "pos",
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+        F.row_number().over(w_ord).alias("_rn"),
+    )
+    removed = flagged.where(
+        (F.col("_cnt") >= min_count)
+        & (F.lit(keep == "none") | (F.col("_rn") > 1))
+    )
+    per_doc = removed.groupBy("_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dups")
+    )
+    joined = sents.join(per_doc, "_id", "left").withColumn(
+        "_dups", F.coalesce("_dups", F.array().cast("array<int>"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "_dups", lambda p: F.sequence(p, p + window - 1)
+            )
+        )
+    )
+    out = joined.withColumn("_cov", covered)
+    kept = F.filter(
+        "_s", lambda x, i: ~F.array_contains("_cov", i)
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("bigint").alias("n_sentences"),
+        F.size("_dups").cast("bigint").alias("n_dup_spans"),
+        F.size("_cov").cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

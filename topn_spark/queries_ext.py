@@ -8162,3 +8162,120 @@ def z36_train_shards(spark, sf_dir):
     return shard_manifest(assigned, token_col="n_toks").orderBy(
         "shard"
     )
+
+
+def _z37_sentspan_mirror(con):
+    """Exact Python mirror of remove_duplicate_sentence_spans over the
+    planted + real corpus: same sentence rule (RE2/Java-portable, no
+    lookaround), same \\x1f-joined md5 span keys, same global
+    (doc_id, pos) first-occurrence semantics, same rebuild."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'Intro unique ' || doc_id
+                || '. Common footer one. Common footer two.'
+                || ' Common footer three.'
+    WHEN 1 THEN 'Alpha ' || doc_id || '. Beta ' || doc_id || '.'
+    ELSE text
+  END AS text
+FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
+    ).fetchall()
+    window, min_count = 3, 2
+    docs = []
+    for did, text in rows:
+        if text is None:
+            sent = []
+        else:
+            sent = [
+                re.sub(r"^\s+|\s+$", "", s)
+                for s in re.findall(r"[^.!?]+[.!?]*", text)
+            ]
+            sent = [s for s in sent if s]
+        docs.append((int(did), sent))
+    occs: dict = defaultdict(list)
+    for did, sent in docs:
+        for pos in range(len(sent) - window + 1):
+            h = hashlib.md5(
+                "\x1f".join(sent[pos : pos + window]).encode()
+            ).hexdigest()
+            occs[h].append((did, pos))
+    removed: dict = defaultdict(list)
+    for h, lst in occs.items():
+        if len(lst) < min_count:
+            continue
+        for did, pos in sorted(lst)[1:]:
+            removed[did].append(pos)
+    out = []
+    for did, sent in docs:
+        dups = sorted(removed.get(did, []))
+        cov = set()
+        for p in dups:
+            cov.update(range(p, p + window))
+        kept = [s for i, s in enumerate(sent) if i not in cov]
+        out.append(
+            (
+                did,
+                len(sent),
+                len(dups),
+                len(cov),
+                " ".join(kept),
+            )
+        )
+    return (
+        ["doc_id", "n_sentences", "n_dup_spans", "n_removed",
+         "clean_text"],
+        out,
+    )
+
+
+@query(
+    "z37_c4_span_dedup",
+    None,  # cross-doc dedup over planted fixtures — Python mirror
+    doc="The C4 DEDUP rule (textstats.py::"
+    "remove_duplicate_sentence_spans; Raffel et al. 2020 §2.2 — "
+    "'discarded all but one of any three-sentence span occurring "
+    "more than once'): the corpus-wide half of C4 whose line-rule "
+    "half is z24, at sentence granularity (the token-window sibling "
+    "is z25). One span-hash shuffle computes occurrence count and "
+    "global first-occurrence rank together; docs rebuilt from "
+    "surviving sentences. Mixed corpus: planted shared-footer docs "
+    "(every copy after the first loses the footer), two-sentence "
+    "docs (below window, untouched), and real documents. Oracle: "
+    "exact Python re-derivation, tolerance 0",
+    tol_oracle=_z37_sentspan_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z37_c4_span_dedup(spark, sf_dir):
+    from topn_spark.operators.textstats import (
+        remove_duplicate_sentence_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    text = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("Intro unique "), ds,
+                F.lit(". Common footer one. Common footer two."
+                      " Common footer three."),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("Alpha "), ds, F.lit(". Beta "), ds, F.lit("."),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return remove_duplicate_sentence_spans(planted).orderBy("doc_id")
