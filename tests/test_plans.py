@@ -285,6 +285,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z35_wb_perplexity",
         "z36_train_shards",
         "z37_c4_span_dedup",
+        "z38_unigram_lm_train",
+        "z39_unigram_lm_apply",
     ):
         warns = [
             f

@@ -871,3 +871,89 @@ def test_sentence_span_dedup_keep_none_and_overlap(spark):
     assert out.n_sentences == 6
     assert out.n_removed == 6
     assert out.clean_text == ""
+
+
+def _unigram_corpus(spark):
+    rows = [
+        (i, "the data pipeline processes the data tables and the data rows")
+        for i in range(20)
+    ] + [
+        (100 + i, "streaming windows aggregate the events hourly")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_lm_train_vocab_and_determinism(spark):
+    from topn_spark.operators.textstats import unigram_lm_train
+
+    df = _unigram_corpus(spark)
+    stats = {}
+    a = unigram_lm_train(
+        df, vocab_size=40, seed_size=200, min_count=2, stats=stats
+    )
+    b = unigram_lm_train(df, vocab_size=40, seed_size=200, min_count=2)
+    assert a == b  # fully deterministic, partitioning-independent
+    assert stats["n_pieces"] == len(a) == 40
+    pieces = {p for p, _ in a}
+    # coverage guarantee: every single character survives pruning
+    chars = {c for _, t in df.collect() for c in t.replace(" ", "")}
+    assert chars <= pieces
+    # frequent whole words become pieces
+    assert "data" in pieces and "the" in pieces
+
+
+def test_unigram_lm_apply_counts_and_oov(spark):
+    from topn_spark.operators.textstats import (
+        apply_unigram_lm,
+        unigram_lm_train,
+    )
+
+    df = _unigram_corpus(spark)
+    pieces = unigram_lm_train(df, vocab_size=40, seed_size=200, min_count=2)
+    target = spark.createDataFrame(
+        [(1, "the data rows"), (2, "zzz???")],  # z is out of vocab
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in apply_unigram_lm(target, pieces, keep_tokens=10).collect()
+    }
+    assert out[1].n_words == 3
+    # 'the' and 'data' are single pieces
+    assert out[1].tokens[:2] == ["the", "data"]
+    # OOV characters segment to raw chars instead of failing
+    assert out[2].n_lm_tokens == 3 and out[2].tokens == ["z", "z", "z"]
+
+
+def test_unigram_lm_save_load_roundtrip(spark, tmp_path):
+    import pytest
+
+    from topn_spark.operators.textstats import (
+        load_unigram_lm,
+        save_unigram_lm,
+        unigram_lm_train,
+    )
+
+    pieces = unigram_lm_train(
+        _unigram_corpus(spark), vocab_size=40, seed_size=200, min_count=2
+    )
+    path = str(tmp_path / "ulm")
+    save_unigram_lm(spark, pieces, path)
+    assert load_unigram_lm(spark, path) == pieces
+    bad = str(tmp_path / "notulm")
+    spark.createDataFrame([(1,)], "x long").write.parquet(bad)
+    with pytest.raises(ValueError, match="artifact"):
+        load_unigram_lm(spark, bad)
+
+
+def test_unigram_lm_guards(spark):
+    import pytest
+
+    from topn_spark.operators.textstats import unigram_lm_train
+
+    df = _unigram_corpus(spark)
+    with pytest.raises(ValueError, match="vocab_driver_cap"):
+        unigram_lm_train(df, vocab_size=40, vocab_driver_cap=3)
+    with pytest.raises(ValueError, match="single-character"):
+        unigram_lm_train(df, vocab_size=5)

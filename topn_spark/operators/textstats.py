@@ -1906,3 +1906,272 @@ def remove_duplicate_sentence_spans(
         F.size("_cov").cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def _unigram_viterbi(word, logp, max_len):
+    """Best unigram-LM segmentation of ``word`` under piece log-probs
+    ``logp`` — the DP both the trainer's E-step and the applier run.
+    DETERMINISM CONTRACT (the z38/z39 oracles re-implement exactly
+    this): positions advance left to right; candidate start ``i``
+    scans ASCENDING from ``max(0, j - max_len)``, and only a STRICTLY
+    better score replaces the incumbent — so on exact float ties the
+    LONGEST piece (smallest ``i``) wins. Unsegmentable prefixes
+    (possible only if a character is out of vocab) fall back to the
+    raw character with a -1e9 penalty, keeping application total."""
+    n = len(word)
+    dp = [0.0] + [None] * n
+    back = [None] * (n + 1)
+    for j in range(1, n + 1):
+        best, best_i = None, None
+        for i in range(max(0, j - max_len), j):
+            if dp[i] is None:
+                continue
+            lp = logp.get(word[i:j])
+            if lp is None:
+                continue
+            s = dp[i] + lp
+            if best is None or s > best:
+                best, best_i = s, i
+        if best is None:
+            # OOV character: emit it raw, heavily penalized
+            best, best_i = (dp[j - 1] or 0.0) - 1e9, j - 1
+        dp[j], back[j] = best, best_i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    mode: str = "ascii",
+    seed_size: int = 4000,
+    max_piece_len: int = 8,
+    min_count: int = 2,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    vocab_driver_cap: int = 200_000,
+    stats: dict | None = None,
+) -> list[tuple[str, float]]:
+    """Train a SentencePiece-style unigram-LM tokenizer (Kudo 2018,
+    arXiv:1804.10959) — the deterministic Viterbi hard-EM variant —
+    and return the piece table ``[(piece, logprob), ...]`` sorted by
+    piece, ready for :func:`apply_unigram_lm`.
+
+    Algorithm (every step deterministic, partitioning-independent —
+    the exact contract the z38 oracle re-derives):
+
+    1. DISTRIBUTED: reduce the corpus to the distinct-word frequency
+       table under the engine token rule — the only pass that touches
+       data, Heaps'-law-compressed relative to it (the same tier-1
+       discipline as :func:`bpe_train`; > ``vocab_driver_cap``
+       distinct words raises rather than silently collecting a
+       data-sized table — the distributed-E-step tier is the
+       documented extension, ~2 jobs per EM iteration).
+    2. Seed: occurrence-weighted counts of every substring of length
+       1..``max_piece_len``; vocabulary = ALL single characters (the
+       coverage guarantee) + the top ``seed_size`` multi-char pieces
+       by (count desc, piece asc) with count >= ``min_count``.
+    3. Hard-EM until the vocabulary fits ``vocab_size``: ``em_iters``
+       rounds of {Viterbi-segment every word (see
+       :func:`_unigram_viterbi` for the tie contract), recount pieces
+       weighted by word frequency, re-estimate Laplace probabilities
+       ``(c+1)/(T+n)`` (no zero-prob special cases)}, then prune the
+       multi-char pieces to ``max(vocab_size - n_chars,
+       floor(n_multi * shrink))`` keeping (count desc, piece asc) —
+       SentencePiece's shrink schedule with a rank cut standing in
+       for its likelihood-loss ranking. ``em_iters`` more rounds
+       after the final prune.
+
+    Counts are exact ints and probabilities single IEEE divisions, so
+    an independent mirror reproduces the table bit-for-bit.
+    """
+    if mode not in ("ascii", "unicode"):
+        raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
+    wf = (
+        df.select(F.explode(tokens(text_col, mode)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    n_words = wf.count()
+    if n_words > vocab_driver_cap:
+        raise ValueError(
+            f"{n_words} distinct words exceed vocab_driver_cap="
+            f"{vocab_driver_cap}; raise the cap (driver-memory trade)"
+            " or pre-floor the vocabulary with a frequency filter"
+        )
+    words = [(r["w"], int(r["f"])) for r in wf.collect()]
+    words.sort()
+    from collections import Counter
+
+    seed: Counter = Counter()
+    for w, f in words:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                seed[w[i : i + ln]] += f
+    chars = sorted(p for p in seed if len(p) == 1)
+    if vocab_size <= len(chars):
+        raise ValueError(
+            f"vocab_size={vocab_size} <= {len(chars)} mandatory "
+            "single-character pieces"
+        )
+    multi = sorted(
+        (p for p, c in seed.items() if len(p) > 1 and c >= min_count),
+        key=lambda p: (-seed[p], p),
+    )[:seed_size]
+    counts = {p: seed[p] for p in chars}
+    counts.update({p: seed[p] for p in multi})
+    em_rounds = 0
+
+    def _laplace_logp(cnts):
+        import math
+
+        total = sum(cnts.values())
+        npieces = len(cnts)
+        return {
+            p: math.log((c + 1) / (total + npieces))
+            for p, c in cnts.items()
+        }
+
+    def _em(cnts, iters):
+        nonlocal em_rounds
+        for _ in range(iters):
+            logp = _laplace_logp(cnts)
+            max_len = max(len(p) for p in cnts)
+            new = {p: 0 for p in cnts}
+            for w, f in words:
+                for p in _unigram_viterbi(w, logp, max_len):
+                    if p in new:
+                        new[p] = new[p] + f
+            cnts = new
+            em_rounds += 1
+        return cnts
+
+    while len(counts) > vocab_size:
+        counts = _em(counts, em_iters)
+        n_multi = len(counts) - len(chars)
+        target = max(
+            vocab_size - len(chars), int(n_multi * shrink)
+        )
+        target = min(target, n_multi - 1)
+        keep = sorted(
+            (p for p in counts if len(p) > 1),
+            key=lambda p: (-counts[p], p),
+        )[:target]
+        counts = {
+            p: c
+            for p, c in counts.items()
+            if len(p) == 1 or p in set(keep)
+        }
+    counts = _em(counts, em_iters)
+    if stats is not None:
+        stats["n_words"] = n_words
+        stats["em_rounds"] = em_rounds
+        stats["n_pieces"] = len(counts)
+    logp = _laplace_logp(counts)
+    return sorted(logp.items())
+
+
+def apply_unigram_lm(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tokens: int = 0,
+    mode: str = "ascii",
+) -> DataFrame:
+    """Tokenize with a trained unigram-LM piece table (the
+    :func:`apply_bpe` sibling): per word, the Viterbi-best
+    segmentation under the piece log-probs — same DP and tie
+    contract as training (:func:`_unigram_viterbi`). Returns
+    ``(id, n_words, n_lm_tokens)`` (+ ``tokens`` when requested).
+    One Arrow ``mapInPandas`` pass; the piece table rides into tasks
+    as a closure. Map-only, embarrassingly parallel."""
+    if mode not in ("ascii", "unicode"):
+        raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
+    logp = dict(pieces)
+    max_len = max((len(p) for p in logp), default=1)
+    token_re = __import__("re").compile(TOKEN_RE)
+    idt = df.schema[id_col].dataType.simpleString()
+    out_cols = f"{id_col} {idt}, n_words long, n_lm_tokens long"
+    if keep_tokens:
+        out_cols += ", tokens array<string>"
+
+    def _run(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, nw, nt, toks = [], [], [], []
+            for did, ws in zip(pdf[id_col], pdf["_words"]):
+                pieces_out = []
+                n = 0
+                for w in ws:
+                    enc = _unigram_viterbi(w, logp, max_len)
+                    n += len(enc)
+                    if keep_tokens and len(pieces_out) < keep_tokens:
+                        pieces_out.extend(enc)
+                ids.append(did)
+                nw.append(len(ws))
+                nt.append(n)
+                if keep_tokens:
+                    toks.append(pieces_out[:keep_tokens])
+            data = {id_col: ids, "n_words": nw, "n_lm_tokens": nt}
+            if keep_tokens:
+                data["tokens"] = toks
+            yield pd.DataFrame(data)
+
+    if mode == "ascii":
+
+        def _tok_run(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                pdf["_words"] = [
+                    token_re.findall((t or "").lower())
+                    for t in pdf[text_col]
+                ]
+                yield from _run(iter([pdf]))
+
+        return df.select(id_col, text_col).mapInPandas(
+            _tok_run, out_cols
+        )
+    words_col = F.coalesce(
+        tokens(text_col, mode), F.array().cast("array<string>")
+    ).alias("_words")
+    return df.select(id_col, words_col).mapInPandas(_run, out_cols)
+
+
+def save_unigram_lm(
+    spark, pieces: list[tuple[str, float]], path: str
+) -> None:
+    """Persist a unigram-LM piece table as parquet ``(piece,
+    logprob)`` — the artifact discipline of :func:`save_bpe_merges`."""
+    spark.createDataFrame(
+        list(pieces), "piece string, logprob double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram_lm(spark, path: str) -> list[tuple[str, float]]:
+    """Load a :func:`save_unigram_lm` artifact; validates columns and
+    non-emptiness so a wrong path fails loudly."""
+    df = spark.read.parquet(path)
+    if set(df.columns) != {"piece", "logprob"}:
+        raise ValueError(
+            f"{path} is not a unigram-LM artifact ({df.columns})"
+        )
+    rows = df.collect()
+    if not rows:
+        raise ValueError(f"{path} holds an empty piece table")
+    return sorted((r["piece"], float(r["logprob"])) for r in rows)

@@ -8279,3 +8279,238 @@ def z37_c4_span_dedup(spark, sf_dir):
     )
     planted = docs.select("doc_id", text.alias("text"))
     return remove_duplicate_sentence_spans(planted).orderBy("doc_id")
+
+
+def _z38_unigram_mirror_pieces(con):
+    """Independent re-derivation of the unigram-LM trainer's
+    documented contract (textstats.py::unigram_lm_train): word-freq
+    table -> occurrence-weighted substring seed (all single chars +
+    top seed_size multi by (count desc, piece asc), min_count) ->
+    Viterbi hard-EM with Laplace (c+1)/(T+n) probabilities and the
+    ascending-start strictly-greater tie rule -> shrink-prune by
+    (count desc, piece asc). Counts are ints and probabilities single
+    IEEE divisions in the same interpreter, so the table matches
+    bit-for-bit (tolerance 0)."""
+    import math
+    import re
+    from collections import Counter
+
+    VOCAB, SEED, MAXLEN, MINC, ITERS, SHRINK = 150, 1500, 8, 2, 2, 0.75
+    wf: Counter = Counter()
+    for (text,) in con.execute(
+        "SELECT text FROM documents WHERE doc_id % 5 <> 0"
+    ).fetchall():
+        if text is not None:
+            wf.update(re.findall(r"[a-z0-9]+", text.lower()))
+    words = sorted(wf.items())
+    seed: Counter = Counter()
+    for w, f in words:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(MAXLEN, n - i) + 1):
+                seed[w[i : i + ln]] += f
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        (p for p, c in seed.items() if len(p) > 1 and c >= MINC),
+        key=lambda p: (-seed[p], p),
+    )[:SEED]
+    counts = {p: seed[p] for p in chars}
+    counts.update({p: seed[p] for p in multi})
+
+    def viterbi(word, logp, max_len):
+        n = len(word)
+        dp = [0.0] + [None] * n
+        back = [None] * (n + 1)
+        for j in range(1, n + 1):
+            best, best_i = None, None
+            for i in range(max(0, j - max_len), j):
+                if dp[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                s = dp[i] + lp
+                if best is None or s > best:
+                    best, best_i = s, i
+            if best is None:
+                best, best_i = (dp[j - 1] or 0.0) - 1e9, j - 1
+            dp[j], back[j] = best, best_i
+        out = []
+        j = n
+        while j > 0:
+            i = back[j]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    def laplace(cnts):
+        total = sum(cnts.values())
+        npieces = len(cnts)
+        return {
+            p: math.log((c + 1) / (total + npieces))
+            for p, c in cnts.items()
+        }
+
+    def em(cnts, iters):
+        for _ in range(iters):
+            logp = laplace(cnts)
+            max_len = max(len(p) for p in cnts)
+            new = {p: 0 for p in cnts}
+            for w, f in words:
+                for p in viterbi(w, logp, max_len):
+                    if p in new:
+                        new[p] += f
+            cnts = new
+        return cnts
+
+    while len(counts) > VOCAB:
+        counts = em(counts, ITERS)
+        n_multi = len(counts) - len(chars)
+        target = max(VOCAB - len(chars), int(n_multi * SHRINK))
+        target = min(target, n_multi - 1)
+        keep = set(
+            sorted(
+                (p for p in counts if len(p) > 1),
+                key=lambda p: (-counts[p], p),
+            )[:target]
+        )
+        counts = {
+            p: c
+            for p, c in counts.items()
+            if len(p) == 1 or p in keep
+        }
+    counts = em(counts, ITERS)
+    logp = laplace(counts)
+    return ["piece", "logprob"], sorted(logp.items())
+
+
+@query(
+    "z38_unigram_lm_train",
+    None,  # driver-tier training over the word table — Python mirror
+    doc="SentencePiece-style unigram-LM tokenizer TRAINING "
+    "(textstats.py::unigram_lm_train; Kudo 2018, deterministic "
+    "Viterbi hard-EM variant): corpus reduced distributed-side to "
+    "the distinct-word frequency table (the bpe_train tier-1 "
+    "discipline, capped collect), then substring seeding, "
+    "Laplace-smoothed hard-EM, and the SentencePiece shrink "
+    "schedule on the driver — every step deterministic and "
+    "partitioning-independent. The tokenizer family is now "
+    "{BPE (z02), unigram-LM}. Oracle: full independent Python "
+    "re-derivation of the documented contract, exact",
+    tol_oracle=_z38_unigram_mirror_pieces,
+    tolerance=0.0,
+    tol_keys=("piece",),
+)
+def z38_unigram_lm_train(spark, sf_dir):
+    from topn_spark.operators.textstats import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 != 0
+    )
+    pieces = unigram_lm_train(
+        docs,
+        vocab_size=150,
+        seed_size=1500,
+        max_piece_len=8,
+        min_count=2,
+    )
+    return spark.createDataFrame(
+        pieces, "piece string, logprob double"
+    ).orderBy("piece")
+
+
+def _z39_unigram_apply_mirror(con):
+    """Mirror of apply_unigram_lm under the z38-trained table: same
+    Viterbi contract per word; per-doc word/piece counts plus the
+    first-40-piece string, exact."""
+    import re
+
+    cols, pieces = _z38_unigram_mirror_pieces(con)
+    logp = dict(pieces)
+    max_len = max(len(p) for p in logp)
+
+    def viterbi(word):
+        n = len(word)
+        dp = [0.0] + [None] * n
+        back = [None] * (n + 1)
+        for j in range(1, n + 1):
+            best, best_i = None, None
+            for i in range(max(0, j - max_len), j):
+                if dp[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                s = dp[i] + lp
+                if best is None or s > best:
+                    best, best_i = s, i
+            if best is None:
+                best, best_i = (dp[j - 1] or 0.0) - 1e9, j - 1
+            dp[j], back[j] = best, best_i
+        out = []
+        j = n
+        while j > 0:
+            i = back[j]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+        toks = []
+        n = 0
+        for w in ws:
+            enc = viterbi(w)
+            n += len(enc)
+            if len(toks) < 40:
+                toks.extend(enc)
+        out.append(
+            (int(did), len(ws), n, " ".join(toks[:40]))
+        )
+    return ["doc_id", "n_words", "n_lm_tokens", "head_tokens"], out
+
+
+@query(
+    "z39_unigram_lm_apply",
+    None,  # trained-tokenizer application — Python mirror
+    doc="Unigram-LM tokenizer APPLICATION (textstats.py::"
+    "apply_unigram_lm): Viterbi-best segmentation of every word "
+    "under the z38-trained piece table — same DP and tie contract "
+    "as training; one Arrow mapInPandas pass, map-only, the piece "
+    "table rides as a closure (the apply_bpe sibling — real "
+    "trained-tokenizer token counts for packing/budgeting). "
+    "Oracle: mirror shares the z38 table derivation then re-applies "
+    "the documented Viterbi contract, exact",
+    tol_oracle=_z39_unigram_apply_mirror,
+    tolerance=0.0,
+    tol_keys=("doc_id",),
+)
+def z39_unigram_lm_apply(spark, sf_dir):
+    from topn_spark.operators.textstats import (
+        apply_unigram_lm,
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_lm_train(
+        docs.where(F.col("doc_id") % 5 != 0),
+        vocab_size=150,
+        seed_size=1500,
+        max_piece_len=8,
+        min_count=2,
+    )
+    out = apply_unigram_lm(
+        docs.where(F.col("doc_id") < 300), pieces, keep_tokens=40
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_lm_tokens",
+        F.concat_ws(" ", "tokens").alias("head_tokens"),
+    ).orderBy("doc_id")
