@@ -953,7 +953,31 @@ def test_unigram_lm_guards(spark):
     from topn_spark.operators.textstats import unigram_lm_train
 
     df = _unigram_corpus(spark)
-    with pytest.raises(ValueError, match="vocab_driver_cap"):
-        unigram_lm_train(df, vocab_size=40, vocab_driver_cap=3)
     with pytest.raises(ValueError, match="single-character"):
         unigram_lm_train(df, vocab_size=5)
+    with pytest.raises(ValueError, match="token mode"):
+        unigram_lm_train(df, vocab_size=40, mode="bytes")
+
+
+def test_unigram_lm_tiers_agree(spark):
+    """The distributed E-step tier (word table above the driver cap)
+    must produce the bit-identical piece table to the driver tier —
+    integer count sums are order-independent and the Viterbi contract
+    is per-word."""
+    from topn_spark.operators.textstats import unigram_lm_train
+
+    df = _unigram_corpus(spark)
+    s1, s2 = {}, {}
+    a = unigram_lm_train(
+        df, vocab_size=40, seed_size=200, min_count=2, stats=s1
+    )
+    b = unigram_lm_train(
+        df,
+        vocab_size=40,
+        seed_size=200,
+        min_count=2,
+        vocab_driver_cap=3,  # force the distributed tier
+        stats=s2,
+    )
+    assert s1["tier"] == "driver" and s2["tier"] == "distributed"
+    assert a == b

@@ -1970,10 +1970,16 @@ def unigram_lm_train(
     1. DISTRIBUTED: reduce the corpus to the distinct-word frequency
        table under the engine token rule — the only pass that touches
        data, Heaps'-law-compressed relative to it (the same tier-1
-       discipline as :func:`bpe_train`; > ``vocab_driver_cap``
-       distinct words raises rather than silently collecting a
-       data-sized table — the distributed-E-step tier is the
-       documented extension, ~2 jobs per EM iteration).
+       discipline as :func:`bpe_train`). Up to ``vocab_driver_cap``
+       distinct words the table is collected and EM runs on the
+       driver; BEYOND the cap the word table never leaves the
+       cluster: substring seeding becomes one explode + hash agg and
+       each E-step is one Arrow segmentation pass + count agg (~1 job
+       per EM iteration, a few dozen total — EM iterations are few,
+       unlike BPE's 32k sequential merges). Only model-sized results
+       (alphabet, top-``seed_size`` pieces, per-piece counts) ever
+       reach the driver, and integer count sums are order-independent,
+       so BOTH TIERS PRODUCE THE BIT-IDENTICAL TABLE.
     2. Seed: occurrence-weighted counts of every substring of length
        1..``max_piece_len``; vocabulary = ALL single characters (the
        coverage guarantee) + the top ``seed_size`` multi-char pieces
@@ -2000,31 +2006,81 @@ def unigram_lm_train(
         .agg(F.count(F.lit(1)).alias("f"))
     )
     n_words = wf.count()
-    if n_words > vocab_driver_cap:
-        raise ValueError(
-            f"{n_words} distinct words exceed vocab_driver_cap="
-            f"{vocab_driver_cap}; raise the cap (driver-memory trade)"
-            " or pre-floor the vocabulary with a frequency filter"
-        )
-    words = [(r["w"], int(r["f"])) for r in wf.collect()]
-    words.sort()
+    distributed = n_words > vocab_driver_cap
     from collections import Counter
 
-    seed: Counter = Counter()
-    for w, f in words:
-        n = len(w)
-        for i in range(n):
-            for ln in range(1, min(max_piece_len, n - i) + 1):
-                seed[w[i : i + ln]] += f
-    chars = sorted(p for p in seed if len(p) == 1)
+    if not distributed:
+        words = [(r["w"], int(r["f"])) for r in wf.collect()]
+        words.sort()
+        seed: Counter = Counter()
+        for w, f in words:
+            n = len(w)
+            for i in range(n):
+                for ln in range(1, min(max_piece_len, n - i) + 1):
+                    seed[w[i : i + ln]] += f
+        chars = sorted(p for p in seed if len(p) == 1)
+        multi_src = seed
+    else:
+        # tier 2: the word table never leaves the cluster. Substring
+        # seeding is one explode + hash agg; only MODEL-SIZED results
+        # (alphabet, top-seed_size pieces, per-piece counts) are ever
+        # collected. Integer sums are order-independent, so both
+        # tiers produce the identical table.
+        wf = wf.persist()
+        subs = wf.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("w") - i + 1,
+                                ),
+                            ),
+                            lambda ln: F.substring(
+                                F.col("w"), i, ln
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            "f",
+        )
+        seed_df = (
+            subs.groupBy("p").agg(F.sum("f").alias("c")).persist()
+        )
+        chars = sorted(
+            r["p"]
+            for r in seed_df.where(F.length("p") == 1).collect()
+        )
+        top_multi = (
+            seed_df.where(
+                (F.length("p") > 1) & (F.col("c") >= min_count)
+            )
+            .orderBy(F.col("c").desc(), F.col("p").asc())
+            .limit(seed_size)
+            .collect()
+        )
+        char_rows = seed_df.where(F.length("p") == 1).collect()
+        seed = Counter({r["p"]: int(r["c"]) for r in char_rows})
+        seed.update({r["p"]: int(r["c"]) for r in top_multi})
+        multi_src = seed
+        seed_df.unpersist()
     if vocab_size <= len(chars):
         raise ValueError(
             f"vocab_size={vocab_size} <= {len(chars)} mandatory "
             "single-character pieces"
         )
     multi = sorted(
-        (p for p, c in seed.items() if len(p) > 1 and c >= min_count),
-        key=lambda p: (-seed[p], p),
+        (
+            p
+            for p, c in multi_src.items()
+            if len(p) > 1 and c >= min_count
+        ),
+        key=lambda p: (-multi_src[p], p),
     )[:seed_size]
     counts = {p: seed[p] for p in chars}
     counts.update({p: seed[p] for p in multi})
@@ -2040,17 +2096,43 @@ def unigram_lm_train(
             for p, c in cnts.items()
         }
 
+    def _estep_distributed(logp, max_len, piece_set):
+        def _seg(it):
+            import pandas as pd
+
+            for pdf in it:
+                out: dict = {}
+                for w, f in zip(pdf["w"], pdf["f"]):
+                    for p in _unigram_viterbi(w, logp, max_len):
+                        if p in piece_set:
+                            out[p] = out.get(p, 0) + int(f)
+                yield pd.DataFrame(
+                    {"p": list(out), "c": list(out.values())}
+                )
+
+        return {
+            r["p"]: int(r["c"])
+            for r in wf.mapInPandas(_seg, "p string, c long")
+            .groupBy("p")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+
     def _em(cnts, iters):
         nonlocal em_rounds
         for _ in range(iters):
             logp = _laplace_logp(cnts)
             max_len = max(len(p) for p in cnts)
-            new = {p: 0 for p in cnts}
-            for w, f in words:
-                for p in _unigram_viterbi(w, logp, max_len):
-                    if p in new:
-                        new[p] = new[p] + f
-            cnts = new
+            if distributed:
+                got = _estep_distributed(logp, max_len, set(cnts))
+                cnts = {p: got.get(p, 0) for p in cnts}
+            else:
+                new = {p: 0 for p in cnts}
+                for w, f in words:
+                    for p in _unigram_viterbi(w, logp, max_len):
+                        if p in new:
+                            new[p] = new[p] + f
+                cnts = new
             em_rounds += 1
         return cnts
 
@@ -2071,10 +2153,13 @@ def unigram_lm_train(
             if len(p) == 1 or p in set(keep)
         }
     counts = _em(counts, em_iters)
+    if distributed:
+        wf.unpersist()
     if stats is not None:
         stats["n_words"] = n_words
         stats["em_rounds"] = em_rounds
         stats["n_pieces"] = len(counts)
+        stats["tier"] = "distributed" if distributed else "driver"
     logp = _laplace_logp(counts)
     return sorted(logp.items())
 
