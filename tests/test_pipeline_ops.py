@@ -1050,3 +1050,31 @@ def test_verify_shards_flags_tampering(spark, tmp_path):
     ).collect()}
     assert chk[1] is True
     assert chk[0] is False
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    from topn_spark.operators.pipeline import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9, 40)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()
+    }
+    # the whole near-dup chain shares one component and one split
+    assert out[1].component == out[2].component == out[3].component == 1
+    assert out[1].split == out[2].split == out[3].split
+    # singletons: component = own id, split = the plain id-keyed rule
+    plain = {
+        r.doc_id: r.split
+        for r in assign_split(docs, "doc_id").collect()
+    }
+    for d in (9, 40):
+        assert out[d].component == d and out[d].split == plain[d]

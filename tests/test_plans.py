@@ -287,6 +287,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z37_c4_span_dedup",
         "z38_unigram_lm_train",
         "z39_unigram_lm_apply",
+        "z40_leakage_safe_split",
     ):
         warns = [
             f

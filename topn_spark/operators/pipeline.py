@@ -42,6 +42,7 @@ __all__ = [
     "contamination_check",
     "hash_sample",
     "histogram",
+    "leakage_safe_split",
     "merge_upsert",
     "pack_sequences",
     "redact_pii",
@@ -1849,3 +1850,50 @@ def verify_shards(
         stored.join(actual, "shard", "full")
         .withColumn("ok", F.coalesce(ok, F.lit(False)))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents connected by the
+    near-duplicate pair graph land in the SAME split. A plain
+    id-keyed split puts one copy of a near-duplicated document in
+    train and another in test — silent eval contamination that
+    benchmark-level decontamination (``contamination_check``) never
+    sees because the leak is corpus-internal. Composition: connected
+    components over ``pairs`` (e.g. from ``lsh_candidates`` /
+    ``ngram_jaccard_pairs``), then the deterministic
+    :func:`assign_split` keyed by the component label (min member
+    id); singleton documents key by their own id, which IS their
+    component label — one consistent rule.
+
+    One CC fixpoint over the pair graph (the x31 operator) + a
+    broadcast-sized left join of the component table + the map-only
+    split hash. Adds ``component`` and ``out_col``.
+    """
+    from topn_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    if set(comp.columns) != {"id", "component"}:
+        raise ValueError(
+            f"connected_components contract changed: {comp.columns}"
+        )
+    out = (
+        df.join(
+            comp.select(
+                F.col("id").alias("_cc_id"),
+                F.col("component").alias("_cc_comp"),
+            ),
+            df[id_col] == F.col("_cc_id"),
+            "left",
+        )
+        .withColumn(
+            "component",
+            F.coalesce(F.col("_cc_comp"), F.col(id_col)),
+        )
+        .drop("_cc_id", "_cc_comp")
+    )
+    return assign_split(out, "component", out_col)

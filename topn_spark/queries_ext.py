@@ -8514,3 +8514,63 @@ def z39_unigram_lm_apply(spark, sf_dir):
         "n_lm_tokens",
         F.concat_ws(" ", "tokens").alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+def _z40_oracle() -> str:
+    x19 = _Q["x19_lsh_neardup_pairs"].oracle
+    return f"""WITH RECURSIVE pairs AS ({x19}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+labeled AS (
+  SELECT doc_id, component,
+    CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < 'c'
+           THEN 'train'
+         WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < 'e'
+           THEN 'val'
+         ELSE 'test' END AS split
+  FROM assigned)
+SELECT doc_id, component, split FROM labeled ORDER BY doc_id ASC"""
+
+
+@query(
+    "z40_leakage_safe_split",
+    None,  # oracle patched below (embeds the x19 pair SQL)
+    doc="Near-dup-aware train/val/test split (pipeline.py::"
+    "leakage_safe_split): documents connected by the MinHash-LSH "
+    "near-duplicate graph land in the SAME split — a plain id-keyed "
+    "split puts one copy of a near-duplicated doc in train and "
+    "another in test, silent corpus-internal eval contamination "
+    "that benchmark decontamination never sees. Composition: the "
+    "x31 connected-components fixpoint over the x19 pair graph, a "
+    "component-table left join, and the deterministic md5 split "
+    "keyed by the component label (singletons key by their own "
+    "id — one consistent rule). Oracle: DuckDB recursive transitive "
+    "closure + the identical split arithmetic, hash-exact",
+)
+def z40_leakage_safe_split(spark, sf_dir):
+    from topn_spark.operators.pipeline import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _Q["x19_lsh_neardup_pairs"].builder(spark, sf_dir)
+    return leakage_safe_split(
+        docs, pairs.select("id_a", "id_b")
+    ).select("doc_id", "component", "split").orderBy("doc_id")
+
+
+_Q["z40_leakage_safe_split"] = _Q["z40_leakage_safe_split"].__class__(
+    name="z40_leakage_safe_split",
+    builder=_Q["z40_leakage_safe_split"].builder,
+    oracle=_z40_oracle(),
+    doc=_Q["z40_leakage_safe_split"].doc,
+)
