@@ -1078,3 +1078,33 @@ def test_leakage_safe_split_groups_near_dups(spark):
     }
     for d in (9, 40):
         assert out[d].component == d and out[d].split == plain[d]
+
+
+def test_corpus_report_metrics(spark):
+    from topn_spark.operators.pipeline import corpus_report
+
+    good = (
+        "this is a perfectly reasonable document with plenty of words"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good, "en"),  # exact dup of 1
+            (3, "@@ ##", "de"),
+            (4, None, None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = {r.metric: r.value for r in corpus_report(df).collect()}
+    assert m["n_docs"] == 4.0
+    assert m["n_null_text"] == 1.0
+    assert m["exact_dup_frac"] == round(1 / 3, 6)
+    assert m["quality_keep_frac"] == round(2 / 3, 6)
+    assert m["lang_frac:en"] == 0.5
+    assert m["lang_frac:null"] == 0.25
+    # no lang column -> scalar card only
+    m2 = {
+        r.metric
+        for r in corpus_report(df.drop("lang")).collect()
+    }
+    assert not any(k.startswith("lang_frac") for k in m2)

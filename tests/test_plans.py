@@ -288,6 +288,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z38_unigram_lm_train",
         "z39_unigram_lm_apply",
         "z40_leakage_safe_split",
+        "z41_corpus_report",
     ):
         warns = [
             f

@@ -40,6 +40,7 @@ __all__ = [
     "event_transitions",
     "funnel",
     "contamination_check",
+    "corpus_report",
     "hash_sample",
     "histogram",
     "leakage_safe_split",
@@ -1897,3 +1898,94 @@ def leakage_safe_split(
         .drop("_cc_id", "_cc_comp")
     )
     return assign_split(out, "component", out_col)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Corpus data card (the accounting a Datasheets/Dolma-style
+    release ships): one tall ``(metric, value)`` frame —
+    ``n_docs``, ``n_null_text``, ``total_tokens``, ``mean_tokens``,
+    ``exact_dup_frac`` (1 − distinct content hashes / docs),
+    ``quality_keep_frac`` (the add_quality gate), ``chars_p50`` /
+    ``chars_p90`` (exact length percentiles), and one
+    ``lang_frac:<lang>`` row per language when ``lang_col`` exists.
+
+    Everything numeric is ROUND(...,6) of exact counts or single
+    IEEE divisions, so the whole card hash-matches a SQL oracle.
+    Scale shape: ONE wide aggregate over a per-doc feature projection
+    (count/sum/distinct-hash/percentile all in the same pass) plus a
+    lang-keyed count agg — two scans; union of model-sized rows."""
+    from topn_spark.operators.textstats import add_quality, token_count
+
+    feats = add_quality(
+        df.withColumn("_nt", token_count(text_col)), text_col
+    )
+    scalars = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.count(F.lit(1)) - F.count(text_col))
+        .cast("double")
+        .alias("n_null_text"),
+        F.sum("_nt").cast("double").alias("total_tokens"),
+        F.round(
+            F.sum("_nt") / F.count(text_col).cast("double"), 6
+        ).alias("mean_tokens"),
+        F.round(
+            (
+                F.count(text_col)
+                - F.count_distinct(F.md5(F.col(text_col)))
+            )
+            / F.count(text_col).cast("double"),
+            6,
+        ).alias("exact_dup_frac"),
+        F.round(
+            F.sum(F.col("quality_keep").cast("int"))
+            / F.count(text_col).cast("double"),
+            6,
+        ).alias("quality_keep_frac"),
+        F.round(
+            F.percentile(F.length(text_col), F.lit(0.5)), 6
+        ).alias("chars_p50"),
+        F.round(
+            F.percentile(F.length(text_col), F.lit(0.9)), 6
+        ).alias("chars_p90"),
+    )
+    names = [
+        "n_docs", "n_null_text", "total_tokens", "mean_tokens",
+        "exact_dup_frac", "quality_keep_frac", "chars_p50",
+        "chars_p90",
+    ]
+    tall = scalars.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]),
+                F.array(*[F.col(n) for n in names]),
+            )
+        ).alias("metric", "value")
+    )
+    if lang_col is not None and lang_col in df.columns:
+        from pyspark.sql.window import Window
+
+        # the window runs over the agg OUTPUT (one row per language —
+        # model-sized), not the corpus, so the single partition is fine
+        counts = df.groupBy(lang_col).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        total = F.sum("_n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        langs = counts.select(
+            F.concat(
+                F.lit("lang_frac:"),
+                F.coalesce(F.col(lang_col), F.lit("null")),
+            ).alias("metric"),
+            F.round(F.col("_n") / total.cast("double"), 6).alias(
+                "value"
+            ),
+        )
+        tall = tall.unionByName(langs)
+    return tall

@@ -8574,3 +8574,60 @@ _Q["z40_leakage_safe_split"] = _Q["z40_leakage_safe_split"].__class__(
     oracle=_z40_oracle(),
     doc=_Q["z40_leakage_safe_split"].doc,
 )
+
+
+@query(
+    "z41_corpus_report",
+    f"""WITH q AS (
+  SELECT text, lang, LENGTH(text) AS n_chars,
+    CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_toks,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS alpha_ratio,
+    ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(len({_TOKS_DUCK}) AS DOUBLE), 0), 6) AS mean_word_len
+  FROM documents),
+s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    CAST(COUNT(*) - COUNT(text) AS DOUBLE) AS n_null_text,
+    CAST(SUM(n_toks) AS DOUBLE) AS total_tokens,
+    ROUND(SUM(n_toks) / CAST(COUNT(text) AS DOUBLE), 6) AS mean_tokens,
+    ROUND((COUNT(text) - COUNT(DISTINCT MD5(text)))
+          / CAST(COUNT(text) AS DOUBLE), 6) AS exact_dup_frac,
+    ROUND(SUM(CASE WHEN n_toks >= 10 AND alpha_ratio >= 0.6
+                    AND mean_word_len BETWEEN 2.0 AND 12.0
+              THEN 1 ELSE 0 END)
+          / CAST(COUNT(text) AS DOUBLE), 6) AS quality_keep_frac,
+    ROUND(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+    ROUND(quantile_cont(n_chars, 0.9), 6) AS chars_p90
+  FROM q)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+  UNION ALL SELECT 'n_null_text', n_null_text FROM s
+  UNION ALL SELECT 'total_tokens', total_tokens FROM s
+  UNION ALL SELECT 'mean_tokens', mean_tokens FROM s
+  UNION ALL SELECT 'exact_dup_frac', exact_dup_frac FROM s
+  UNION ALL SELECT 'quality_keep_frac', quality_keep_frac FROM s
+  UNION ALL SELECT 'chars_p50', chars_p50 FROM s
+  UNION ALL SELECT 'chars_p90', chars_p90 FROM s
+  UNION ALL
+  SELECT 'lang_frac:' || COALESCE(lang, 'null'),
+         ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+  FROM q GROUP BY lang)
+ORDER BY metric ASC""",
+    doc="Corpus data card (pipeline.py::corpus_report; the "
+    "Datasheets/Dolma-style release accounting): doc/null counts, "
+    "token totals and means, exact-duplicate fraction (distinct "
+    "content hashes), the add_quality keep rate, exact length "
+    "percentiles, and per-language mass — ONE wide aggregate over a "
+    "per-doc feature projection + a lang-keyed count agg, unioned "
+    "as a tall (metric, value) frame. Every number is ROUND-6 of "
+    "exact counts or single IEEE divisions — the whole card is "
+    "hash-exact vs the SQL re-derivation",
+)
+def z41_corpus_report(spark, sf_dir):
+    from topn_spark.operators.pipeline import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs).orderBy("metric")
