@@ -203,3 +203,30 @@ def test_load_bigram_lm_rejects_garbage(spark, tmp_path):
         from topn_spark.operators.lm import load_bigram_lm
 
         load_bigram_lm(spark, base)
+
+
+def test_update_bigram_lm_equals_retrain_on_union(spark, tmp_path):
+    from topn_spark.operators.lm import (
+        load_bigram_lm,
+        save_bigram_lm,
+        update_bigram_lm,
+    )
+
+    a = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    b = _docs(spark, [(3, "c c b a"), (4, "d a b")])
+    uni_a, bi_a = train_bigram_lm(a)
+    p0, p1 = str(tmp_path / "lm0"), str(tmp_path / "lm1")
+    save_bigram_lm(uni_a, bi_a, p0)
+    update_bigram_lm(spark, p0, b, p1)
+    uni_m, bi_m, meta_m = load_bigram_lm(spark, p1)
+    uni_u, bi_u = train_bigram_lm(a.unionByName(b))
+    assert {(r.w, r.c) for r in uni_m.collect()} == {
+        (r.w, r.c) for r in uni_u.collect()
+    }
+    assert {(r.bg, r.c) for r in bi_m.collect()} == {
+        (r.bg, r.c) for r in bi_u.collect()
+    }
+    # meta recomputed from the merged table
+    assert meta_m["total_tokens"] == 7 + 7
+    # the original artifact is untouched
+    assert load_bigram_lm(spark, p0)[2]["total_tokens"] == 7

@@ -45,6 +45,9 @@ __all__ = [
     "perplexity_score",
     "ccnet_buckets",
     "dsir_logweights",
+    "save_bigram_lm",
+    "load_bigram_lm",
+    "update_bigram_lm",
 ]
 
 
@@ -376,4 +379,55 @@ def dsir_logweights(
             F.sum(F.col("_c") * F.col("_lr")).alias("logweight"),
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "logweight")
+    )
+
+
+def update_bigram_lm(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+) -> None:
+    """Incrementally fold a new corpus slice into a saved LM artifact:
+    count tables are ADDITIVE, so (train A) ⊕ (train B) ==
+    train(A ∪ B) exactly — the monthly-crawl update path that never
+    re-reads history. Loads ``path``, counts ``new_docs`` under the
+    artifact's own token mode, outer-join-sums both tables, and
+    writes a fresh artifact at ``out_path`` (never in place: the old
+    artifact stays readable until the new one is complete — the same
+    immutable-versions discipline as the streaming state store).
+
+    Exactness caveat, by design: additivity holds for UNPRUNED
+    tables. A ``min_count``-pruned bigram table has already dropped
+    tail mass, so fold increments into the unpruned artifact and
+    prune at SCORING time (``perplexity_score`` joins absorb any
+    filter) — pruning before merging loses counts that a later slice
+    might have pushed over the threshold.
+    """
+    unigrams, bigrams, meta = load_bigram_lm(spark, path)
+    new_uni, new_bi = train_bigram_lm(
+        new_docs, text_col=text_col, mode=meta["token_mode"]
+    )
+
+    def _merge(a, b, key):
+        return (
+            a.select(key, F.col("c").alias("_a"))
+            .join(
+                b.select(key, F.col("c").alias("_b")), key, "full"
+            )
+            .select(
+                key,
+                (
+                    F.coalesce("_a", F.lit(0))
+                    + F.coalesce("_b", F.lit(0))
+                ).alias("c"),
+            )
+        )
+
+    save_bigram_lm(
+        _merge(unigrams, new_uni, "w"),
+        _merge(bigrams, new_bi, "bg"),
+        out_path,
+        mode=meta["token_mode"],
     )
