@@ -432,3 +432,30 @@ def test_quality_gate_rules_only_keeps_ppl_out_of_reasons(
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
     r = spark.read.parquet(rej).collect()[0]
     assert r.doc_id == 2 and r.reason == "gopher" and r.ppl is None
+
+
+def test_gate_report_accounts_admissions_and_reasons(spark, tmp_path):
+    from topn_spark.streaming.ingest import (
+        gate_report,
+        quality_gate_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, ("the data teams have built many solid tools with "
+                 "care and that work well " * 4).strip()),
+            (2, None),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out, rej = str(tmp_path / "gr_out"), str(tmp_path / "gr_rej")
+    # report is safe before anything ran
+    pre = gate_report(spark, out, rej).collect()
+    assert [(r.status, r.n) for r in pre] == [("admitted", 0)]
+    quality_gate_batch(batch, out, rej)
+    got = {
+        (r.status, r.reason): r.n
+        for r in gate_report(spark, out, rej).collect()
+    }
+    assert got == {("admitted", None): 1, ("rejected", "gopher"): 2}

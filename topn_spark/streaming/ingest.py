@@ -575,3 +575,39 @@ def quality_corpus_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def gate_report(spark, out_dir: str, reject_dir: str) -> DataFrame:
+    """Admission accounting over a :func:`quality_corpus_sink` run:
+    ``(status, reason, n)`` — one ``admitted`` row plus one
+    ``rejected`` row per dead-letter reason. Reads only the gate's
+    own outputs (two count aggs over model-thin columns); a dir that
+    does not exist yet (nothing admitted / nothing rejected) counts
+    as zero rows rather than failing, so the report is safe to poll
+    while the stream runs."""
+
+    def _read(path, cols):
+        try:
+            return spark.read.parquet(path).select(*cols)
+        except Exception as e:
+            if _error_condition(e) in (
+                "PATH_NOT_FOUND",
+                "UNABLE_TO_INFER_SCHEMA",
+            ):
+                return None
+            raise
+
+    rows = []
+    adm = _read(out_dir, [])
+    rows.append(("admitted", None, adm.count() if adm is not None else 0))
+    rej = _read(reject_dir, ["reason"])
+    if rej is not None:
+        rows.extend(
+            ("rejected", r["reason"], int(r["n"]))
+            for r in rej.groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "status string, reason string, n long"
+    ).orderBy("status", "reason")
