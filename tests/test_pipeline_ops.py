@@ -1108,3 +1108,22 @@ def test_corpus_report_metrics(spark):
         for r in corpus_report(df.drop("lang")).collect()
     }
     assert not any(k.startswith("lang_frac") for k in m2)
+
+
+def test_corpus_overlap_estimate_bounds(spark):
+    from topn_spark.operators.pipeline import corpus_overlap_estimate
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    a = mk([(i, base + f"tail a {i}") for i in range(20)])
+    # identical corpora: intersection == union, jaccard == 1
+    same = corpus_overlap_estimate(a, a, n=3).collect()[0]
+    assert same.ndv_a == same.ndv_b == same.ndv_union
+    assert same.jaccard_est == 1.0 and same.containment_a == 1.0
+    # disjoint vocab: estimated intersection ~0 (clamped, never neg)
+    b = mk([(i, "one two three four five six seven " * 4) for i in range(20)])
+    dis = corpus_overlap_estimate(a, b, n=3).collect()[0]
+    assert dis.est_intersection >= 0
+    assert dis.est_intersection <= 0.05 * dis.ndv_union

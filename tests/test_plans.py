@@ -289,6 +289,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z39_unigram_lm_apply",
         "z40_leakage_safe_split",
         "z41_corpus_report",
+        "z42_corpus_overlap",
     ):
         warns = [
             f

@@ -1989,3 +1989,66 @@ def corpus_report(
         )
         tall = tall.unionByName(langs)
     return tall
+
+
+def corpus_overlap_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    lgk: int = 14,
+) -> DataFrame:
+    """Sketch-based cross-corpus overlap: HLL sketches of each
+    corpus's distinct word ``n``-gram shingles plus their union give
+    ``|A ∩ B| ≈ ndv_a + ndv_b − ndv_union`` by inclusion–exclusion —
+    the contamination/overlap ESTIMATE between two 100 TB corpora
+    without ever joining them (the exact join is
+    ``contamination_check``; this is the cheap first look that
+    decides whether to run it). One row out: ``ndv_a``, ``ndv_b``,
+    ``ndv_union``, ``est_intersection`` (clamped at 0),
+    ``jaccard_est``, ``containment_a`` (= intersection / ndv_a).
+
+    Each side is one pass producing a 2^lgk-register sketch
+    (mergeable partial agg — the rollup.py machinery); the union is
+    register-wise max on the driver-sized sketches. Estimates carry
+    HLL's ~1.04/sqrt(2^lgk) relative error, amplified by the
+    subtraction when the true overlap is small — size ``lgk``
+    accordingly and treat near-zero intersections as "run the exact
+    check"."""
+    from topn_spark.operators.dedup import shingles
+
+    def _sk(df, name):
+        # non-foldable constant key: the one-row x one-row attach
+        # plans as a broadcast HASH join, not a nested-loop rescans
+        return (
+            df.select(F.explode(shingles(text_col, n)).alias("s"))
+            .agg(F.hll_sketch_agg("s", F.lit(lgk)).alias(name))
+            .withColumn(
+                "_k", F.monotonically_increasing_id() * 0 + 1
+            )
+        )
+
+    both = _sk(df_a, "sk_a").join(_sk(df_b, "sk_b"), "_k")
+    est = both.select(
+        F.hll_sketch_estimate("sk_a").alias("ndv_a"),
+        F.hll_sketch_estimate("sk_b").alias("ndv_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("ndv_union"),
+    )
+    inter = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("ndv_a") + F.col("ndv_b") - F.col("ndv_union"),
+    )
+    return est.select(
+        "ndv_a",
+        "ndv_b",
+        "ndv_union",
+        inter.alias("est_intersection"),
+        F.round(
+            inter / F.col("ndv_union").cast("double"), 6
+        ).alias("jaccard_est"),
+        F.round(
+            inter / F.col("ndv_a").cast("double"), 6
+        ).alias("containment_a"),
+    )

@@ -8631,3 +8631,50 @@ def z41_corpus_report(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_report(docs).orderBy("metric")
+
+
+@query(
+    "z42_corpus_overlap",
+    None,  # HLL estimates — tolerance vs the exact DuckDB counts
+    doc="Sketch-based cross-corpus overlap estimation (pipeline.py::"
+    "corpus_overlap_estimate): HLL sketches of each corpus's "
+    "distinct 5-gram shingles + the union sketch give "
+    "|A∩B| ≈ a + b − union by inclusion–exclusion — the "
+    "contamination first-look between two 100 TB corpora with NO "
+    "join (each side is one mergeable-sketch pass; the exact "
+    "follow-up is contamination_check). Overlapping doc_id splits "
+    "(<300 vs >=200). Oracle: exact DuckDB distinct/intersect "
+    "counts, 5% relative (observed HLL error 0.6–3.4% at lgk=14)",
+    tol_oracle="""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         || ' ' || w[i+4] AS s
+  FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)),
+A AS (SELECT DISTINCT s FROM sh WHERE doc_id < 300),
+B AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 200),
+c AS (
+  SELECT (SELECT COUNT(*) FROM A) AS ndv_a,
+         (SELECT COUNT(*) FROM B) AS ndv_b,
+         (SELECT COUNT(*) FROM
+            (SELECT s FROM A UNION SELECT s FROM B)) AS ndv_union,
+         (SELECT COUNT(*) FROM
+            (SELECT s FROM A INTERSECT SELECT s FROM B)) AS ni)
+SELECT ndv_a, ndv_b, ndv_union, ni AS est_intersection,
+       ROUND(ni / CAST(ndv_union AS DOUBLE), 6) AS jaccard_est,
+       ROUND(ni / CAST(ndv_a AS DOUBLE), 6) AS containment_a
+FROM c""",
+    tolerance=0.05,
+    tol_keys=(),
+)
+def z42_corpus_overlap(spark, sf_dir):
+    from topn_spark.operators.pipeline import corpus_overlap_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_overlap_estimate(
+        docs.where(F.col("doc_id") < 300),
+        docs.where(F.col("doc_id") >= 200),
+        n=5,
+    )
