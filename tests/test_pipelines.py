@@ -898,3 +898,51 @@ def test_dsir_weights_plugin(spark, tmp_path):
     out = {r.doc_id: r for r in spark.read.parquet(dst).collect()}
     assert out[1].logweight > out[2].logweight
     assert out[1].n_tokens == 3
+
+
+def test_example_web_corpus_lm_pipeline_runs(spark, tmp_path):
+    """The shipped examples/web_corpus_lm_pipeline.json spec runs
+    end-to-end through the CLI entry path with macro substitution."""
+    import json
+
+    from topn_spark.operators.lm import save_bigram_lm, train_bigram_lm
+    from topn_spark.pipelines import run_pipeline
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog jumps over the quick brown fox again today " * 3
+    ).strip()
+    gibberish = (
+        "the zorb and vex of snerd that have with blim golp trun " * 6
+    ).strip()
+    train = spark.createDataFrame(
+        [(i, clean) for i in range(30)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    model = str(tmp_path / "ex_model")
+    save_bigram_lm(uni, bi, model)
+    target = str(tmp_path / "ex_target")
+    train.limit(5).write.parquet(target)
+    src = str(tmp_path / "ex_src")
+    spark.createDataFrame(
+        [(1, clean), (2, gibberish), (3, "too short")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "ex_out")
+
+    spec = json.load(open("examples/web_corpus_lm_pipeline.json"))
+    run_pipeline(
+        spark,
+        spec,
+        substitutions={
+            "input": src,
+            "model": model,
+            "target": target,
+            "maxPpl": "100",
+            "out": out,
+        },
+    )
+    rows = spark.read.parquet(out).collect()
+    # only the clean in-model doc survives rules + the ppl head cut
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].logweight is not None

@@ -590,6 +590,22 @@ def _stage_perplexity_filter(
     text_col = p.get("textField", "text")
     id_col = p.get("idField", "doc_id")
     smoothing = p.get("smoothing", "wb")
+    k_raw = p.get("k", "1.0")
+    maxppl_raw = p.get("maxPpl")
+    if phase == "run":
+        # macro lifecycle parity: substitute, then re-validate the
+        # literal values below (macro'd props skipped deploy checks)
+        subs = substitutions or {}
+        model_path = substitute_macros(
+            model_path, subs, collector, "modelPath"
+        )
+        smoothing = substitute_macros(
+            smoothing, subs, collector, "smoothing"
+        )
+        k_raw = substitute_macros(k_raw, subs, collector, "k")
+        maxppl_raw = substitute_macros(
+            maxppl_raw, subs, collector, "maxPpl"
+        )
     ok = _require_field(df, text_col, collector, "textField")
     ok = _require_field(df, id_col, collector, "idField") and ok
     if not model_path:
@@ -599,7 +615,10 @@ def _stage_perplexity_filter(
             property_name="modelPath",
         )
         ok = False
-    if smoothing not in ("addk", "wb"):
+    if not contains_macro(smoothing) and smoothing not in (
+        "addk",
+        "wb",
+    ):
         collector.add_failure(
             f"Unknown smoothing '{smoothing}'.",
             "One of addk, wb.",
@@ -607,27 +626,41 @@ def _stage_perplexity_filter(
         )
         ok = False
     k, max_ppl = 1.0, None
-    try:
-        k = float(p.get("k", "1.0"))
-    except ValueError:
-        collector.add_failure(
-            f"Invalid k '{p.get('k')}'.",
-            "A float.",
-            property_name="k",
-        )
-        ok = False
-    if "maxPpl" in p:
+    if not contains_macro(k_raw):
         try:
-            max_ppl = float(p["maxPpl"])
+            k = float(k_raw)
         except ValueError:
             collector.add_failure(
-                f"Invalid maxPpl '{p['maxPpl']}'.",
+                f"Invalid k '{k_raw}'.",
+                "A float.",
+                property_name="k",
+            )
+            ok = False
+    if maxppl_raw is not None and not contains_macro(maxppl_raw):
+        try:
+            max_ppl = float(maxppl_raw)
+        except ValueError:
+            collector.add_failure(
+                f"Invalid maxPpl '{maxppl_raw}'.",
                 "A float.",
                 property_name="maxPpl",
             )
             ok = False
     if not ok:
         return df
+    if phase == "deploy" and (
+        contains_macro(model_path) or contains_macro(maxppl_raw)
+    ):
+        # schema-faithful placeholder: scoring needs the (deferred)
+        # model; with a maxPpl cut the output schema == input schema,
+        # else the three score columns append
+        if maxppl_raw is not None:
+            return df
+        return (
+            df.withColumn("n_bigrams", F.lit(None).cast("bigint"))
+            .withColumn("logprob", F.lit(None).cast("double"))
+            .withColumn("ppl", F.lit(None).cast("double"))
+        )
     from topn_spark.operators.lm import (
         load_bigram_lm,
         perplexity_score,
@@ -664,6 +697,13 @@ def _stage_dsir_weights(
     target_path = p.get("targetPath")
     text_col = p.get("textField", "text")
     id_col = p.get("idField", "doc_id")
+    nb_raw = p.get("nBuckets", "256")
+    if phase == "run":
+        subs = substitutions or {}
+        target_path = substitute_macros(
+            target_path, subs, collector, "targetPath"
+        )
+        nb_raw = substitute_macros(nb_raw, subs, collector, "nBuckets")
     ok = _require_field(df, text_col, collector, "textField")
     ok = _require_field(df, id_col, collector, "idField") and ok
     if not target_path:
@@ -674,19 +714,25 @@ def _stage_dsir_weights(
         )
         ok = False
     n_buckets = 256
-    try:
-        n_buckets = int(p.get("nBuckets", "256"))
-        if n_buckets < 2:
-            raise ValueError
-    except ValueError:
-        collector.add_failure(
-            f"Invalid nBuckets '{p.get('nBuckets')}'.",
-            "An integer >= 2.",
-            property_name="nBuckets",
-        )
-        ok = False
+    if not contains_macro(nb_raw):
+        try:
+            n_buckets = int(nb_raw)
+            if n_buckets < 2:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid nBuckets '{nb_raw}'.",
+                "An integer >= 2.",
+                property_name="nBuckets",
+            )
+            ok = False
     if not ok:
         return df
+    if phase == "deploy" and contains_macro(target_path):
+        # schema-faithful placeholder until the macro resolves
+        return df.withColumn(
+            "n_tokens", F.lit(None).cast("bigint")
+        ).withColumn("logweight", F.lit(None).cast("double"))
     from topn_spark.operators.lm import dsir_logweights
 
     target = spark.read.parquet(target_path)
