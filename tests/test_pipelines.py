@@ -946,3 +946,66 @@ def test_example_web_corpus_lm_pipeline_runs(spark, tmp_path):
     # only the clean in-model doc survives rules + the ppl head cut
     assert [r.doc_id for r in rows] == [1]
     assert rows[0].logweight is not None
+
+
+def test_lm_gated_pipeline_runs_streaming(spark, tmp_path):
+    """The SAME LM-gated spec runs under the streaming executor: the
+    saved-model perplexity cut and DSIR weights apply per micro-batch
+    through the one batch-plugin code path (train offline, gate the
+    stream forever)."""
+    import json
+
+    from topn_spark.operators.lm import save_bigram_lm, train_bigram_lm
+    from topn_spark.pipelines import run_streaming_pipeline
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog jumps over the quick brown fox again today " * 3
+    ).strip()
+    gibberish = (
+        "the zorb and vex of snerd that have with blim golp trun " * 6
+    ).strip()
+    train = spark.createDataFrame(
+        [(i, clean) for i in range(30)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    model = str(tmp_path / "st_model")
+    save_bigram_lm(uni, bi, model)
+    target = str(tmp_path / "st_target")
+    train.limit(5).write.parquet(target)
+    src = str(tmp_path / "st_src")
+    spark.createDataFrame(
+        [(1, clean), (2, gibberish)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    out = str(tmp_path / "st_out")
+
+    spec = json.load(open("examples/web_corpus_lm_pipeline.json"))
+    spec["stages"][0]["properties"]["schema"] = (
+        "doc_id long, text string"
+    )
+    subs = {
+        "input": src,
+        "model": model,
+        "target": target,
+        "maxPpl": "100",
+        "out": out,
+    }
+    q = run_streaming_pipeline(
+        spark, spec, str(tmp_path / "st_ck"), substitutions=subs
+    )
+    q.awaitTermination(120)
+    assert [
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ] == [1]
+
+    # second micro-batch drains through the same checkpoint
+    spark.createDataFrame(
+        [(3, clean), (4, gibberish)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q = run_streaming_pipeline(
+        spark, spec, str(tmp_path / "st_ck"), substitutions=subs
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 3]
