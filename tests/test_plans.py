@@ -290,6 +290,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z40_leakage_safe_split",
         "z41_corpus_report",
         "z42_corpus_overlap",
+        "z43_tokenizer_eval",
     ):
         warns = [
             f

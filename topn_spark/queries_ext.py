@@ -8678,3 +8678,82 @@ def z42_corpus_overlap(spark, sf_dir):
         docs.where(F.col("doc_id") >= 200),
         n=5,
     )
+
+
+def _z43_tokenizer_eval_mirror(con):
+    """Tokenizer-evaluation mirror: corpus-level fertility (subword
+    tokens per word) for the fixed y26 BPE table vs the z38-trained
+    unigram-LM table, composed from the two already-proven mirrors;
+    ROUND-6 of one exact-int division each (tolerance 0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    _, brows = _y26_bpe_exact(con)
+    brows = [r for r in brows if r[0] < 300]
+    bw, bt = sum(r[1] for r in brows), sum(r[2] for r in brows)
+    _, urows = _z39_unigram_apply_mirror(con)
+    uw, ut = sum(r[1] for r in urows), sum(r[2] for r in urows)
+    return (
+        ["tokenizer", "n_docs", "total_words", "total_tokens",
+         "fertility"],
+        [
+            ("bpe25", len(brows), bw, bt, rnd6(bt / bw)),
+            ("unigram150", len(urows), uw, ut, rnd6(ut / uw)),
+        ],
+    )
+
+
+@query(
+    "z43_tokenizer_eval",
+    None,  # composes two mirror-oracled tokenizers — Python mirror
+    doc="Tokenizer EVALUATION (the selection step every pretraining "
+    "setup runs before committing a vocabulary): corpus-level "
+    "fertility — subword tokens per word, the standard compression "
+    "metric — for the fixed 25-merge BPE table (y26) vs the "
+    "z38-trained 150-piece unigram-LM, both applied to the same "
+    "doc_id < 300 slice in one Arrow pass each and reduced to one "
+    "accounting row per tokenizer. Oracle: composed from the two "
+    "already-proven application mirrors, exact",
+    tol_oracle=_z43_tokenizer_eval_mirror,
+    tolerance=0.0,
+    tol_keys=("tokenizer",),
+)
+def z43_tokenizer_eval(spark, sf_dir):
+    from topn_spark.operators.textstats import (
+        apply_bpe,
+        apply_unigram_lm,
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.where(F.col("doc_id") < 300)
+    pieces = unigram_lm_train(
+        docs.where(F.col("doc_id") % 5 != 0),
+        vocab_size=150,
+        seed_size=1500,
+        max_piece_len=8,
+        min_count=2,
+    )
+
+    def _acct(applied, tok_col, name):
+        return applied.agg(
+            F.lit(name).alias("tokenizer"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(tok_col).alias("total_tokens"),
+            F.round(
+                F.sum(tok_col) / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+
+    bpe = _acct(apply_bpe(sl, _BPE_MERGES), "n_bpe_tokens", "bpe25")
+    ulm = _acct(
+        apply_unigram_lm(sl, pieces), "n_lm_tokens", "unigram150"
+    )
+    return bpe.unionByName(ulm).orderBy("tokenizer")
