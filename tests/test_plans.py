@@ -291,6 +291,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z41_corpus_report",
         "z42_corpus_overlap",
         "z43_tokenizer_eval",
+        "z44_image_neardup",
     ):
         warns = [
             f

@@ -8757,3 +8757,59 @@ def z43_tokenizer_eval(spark, sf_dir):
         apply_unigram_lm(sl, pieces), "n_lm_tokens", "unigram150"
     )
     return bpe.unionByName(ulm).orderBy("tokenizer")
+
+
+@query(
+    "z44_image_neardup",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(1.0 AS DOUBLE) AS score
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
+WHERE a.doc_id < 200 AND b.doc_id < 200
+ORDER BY id_a ASC, id_b ASC""",
+    doc="IMAGE near-duplicate detection — the multimodal x dedup "
+    "composition: planted constant-color PNGs (pixel value 16g+8 for "
+    "group g = doc_id % 10) decode to EXACT one-hot 16-bin luminance "
+    "histograms (multimodal.py::extract_features over real PNG "
+    "decode), then similarity.py::embedding_near_dup_pairs (SRP-LSH "
+    "bucket join -> exact cosine >= 0.99). Same-group vectors are "
+    "bit-identical (cosine exactly 1.0, same bucket by "
+    "construction); cross-group one-hots are orthogonal. The oracle "
+    "is the pure closed form: all within-group pairs at score 1.0, "
+    "hash-exact",
+)
+def z44_image_neardup(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from topn_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+    )
+    from topn_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def planted(doc_ids):
+        import pandas as pd
+
+        out = []
+        for d in doc_ids:
+            g = int(d) % 10
+            pix = bytes([16 * g + 8]) * (16 * 8)
+            out.append(encode_png(16, 8, pix, color_type=0))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    assets = docs.select("doc_id", planted("doc_id").alias("payload"))
+    feats = extract_features(assets).select("doc_id", "features")
+    return embedding_near_dup_pairs(
+        feats,
+        threshold=0.99,
+        id_col="doc_id",
+        vec_col="features",
+        dim=16,
+    ).orderBy("id_a", "id_b")
