@@ -480,7 +480,6 @@ def quality_gate_batch(
     """
     from topn_spark.operators.textstats import gopher_rules
 
-    enriched = batch
     if use_gopher:
         enriched = gopher_rules(batch, text_col).select(
             *batch.columns, "gopher_keep"
