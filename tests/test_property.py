@@ -299,3 +299,63 @@ def test_decoders_never_crash_on_garbage(junk, data):
         parse_wav,
     ):
         dec(payload)  # any return is fine; raising is the failure
+
+
+# ---------------------------------------------------------------------------
+# WARC framing: encode -> parse is the identity for ANY payload bytes
+# (Content-Length slicing must never desync, whatever the payload holds)
+# ---------------------------------------------------------------------------
+
+_payloads = st.lists(
+    st.binary(max_size=200), min_size=0, max_size=6
+)
+
+
+@given(payloads=_payloads, gz=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_any_payload(payloads, gz):
+    from topn_spark.sources.warc import encode_warc, parse_warc_records
+
+    recs = [
+        ("response", f"http://t/{i}", p) for i, p in enumerate(payloads)
+    ]
+    out = parse_warc_records(encode_warc(recs, gzip_members=gz))
+    assert [r["payload"] for r in out] == payloads
+    assert [r["content_length"] for r in out] == [
+        len(p) for p in payloads
+    ]
+    assert [r["target_uri"] for r in out] == [
+        f"http://t/{i}" for i in range(len(payloads))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi: segmentation always concatenates back to the word
+# (the single-char coverage guarantee), pieces come from the vocab, and
+# the tie contract is deterministic
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+
+@given(
+    word=_words,
+    vocab_words=st.lists(_words, min_size=1, max_size=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_unigram_viterbi_total_and_deterministic(word, vocab_words):
+    import math
+
+    from topn_spark.operators.textstats import _unigram_viterbi
+
+    pieces = {c for w in vocab_words + [word] for c in w}
+    pieces.update(w[:3] for w in vocab_words)
+    logp = {
+        p: math.log((i + 1) / (len(pieces) + 1))
+        for i, p in enumerate(sorted(pieces))
+    }
+    max_len = max(len(p) for p in logp)
+    seg = _unigram_viterbi(word, logp, max_len)
+    assert "".join(seg) == word
+    assert all(p in logp for p in seg)
+    assert seg == _unigram_viterbi(word, logp, max_len)
