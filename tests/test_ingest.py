@@ -459,3 +459,65 @@ def test_gate_report_accounts_admissions_and_reasons(spark, tmp_path):
         for r in gate_report(spark, out, rej).collect()
     }
     assert got == {("admitted", None): 1, ("rejected", "gopher"): 2}
+
+
+def test_quality_gate_batch_scans_source_once(spark, tmp_path):
+    """The micro-batch is persisted for the call, so the (possibly
+    expensive) upstream source materializes ONCE even though both the
+    rule projection and the admission/rejection writes derive from
+    it — pinned with an accumulator that counts source-row
+    computations."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    from topn_spark.streaming.ingest import quality_gate_batch
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(t):
+        acc.add(1)
+        return t
+
+    tick = udf(_tick, StringType())
+    good = (
+        "the data teams have built many solid tools with care "
+        "and that work well " * 4
+    ).strip()
+    base = spark.createDataFrame(
+        [(1, good), (2, "tiny")], "doc_id long, text string"
+    )
+    batch = base.select("doc_id", tick("text").alias("text"))
+    out = str(tmp_path / "ss_out")
+    rej = str(tmp_path / "ss_rej")
+    quality_gate_batch(batch, out, rej, batch_id=0)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+    assert acc.value == 2  # each source row computed exactly once
+
+
+def test_quality_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """A checkpointed foreachBatch replay re-runs the SAME batch_id;
+    with per-batch partition overwrite the rerun rewrites its own
+    output instead of appending duplicates, while distinct batch ids
+    accumulate side by side."""
+    from topn_spark.streaming.ingest import quality_gate_batch
+
+    good = (
+        "the data teams have built many solid tools with care "
+        "and that work well " * 4
+    ).strip()
+    b0 = spark.createDataFrame(
+        [(1, good), (2, "tiny")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, good)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "rp_out")
+    rej = str(tmp_path / "rp_rej")
+    quality_gate_batch(b0, out, rej, batch_id=0)
+    quality_gate_batch(b0, out, rej, batch_id=0)  # crash-replay
+    quality_gate_batch(b1, out, rej, batch_id=1)
+    kept = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]  # no duplicates
+    assert {(r.doc_id, r.batch_id) for r in kept} == {(1, 0), (3, 1)}
+    rejects = spark.read.parquet(rej).collect()
+    assert [(r.doc_id, r.reason) for r in rejects] == [(2, "gopher")]

@@ -230,3 +230,61 @@ def test_update_bigram_lm_equals_retrain_on_union(spark, tmp_path):
     assert meta_m["total_tokens"] == 7 + 7
     # the original artifact is untouched
     assert load_bigram_lm(spark, p0)[2]["total_tokens"] == 7
+
+
+def test_update_bigram_lm_refuses_in_place_overwrite(spark, tmp_path):
+    """out_path == path would clobber path/unigrams while the merged
+    plan still lazily reads it — the guard must fire BEFORE any
+    write, leaving the artifact intact."""
+    import pytest
+
+    from topn_spark.operators.lm import (
+        load_bigram_lm,
+        save_bigram_lm,
+        update_bigram_lm,
+    )
+
+    a = _docs(spark, [(1, "a b a b")])
+    uni, bi = train_bigram_lm(a)
+    p = str(tmp_path / "lm_inplace")
+    save_bigram_lm(uni, bi, p)
+    with pytest.raises(ValueError, match="fresh path"):
+        update_bigram_lm(
+            spark, p, _docs(spark, [(2, "c d")]),
+            str(tmp_path / "x/../lm_inplace"),  # normalizes to p
+        )
+    # artifact still loads and is unchanged
+    assert load_bigram_lm(spark, p)[2]["total_tokens"] == 4
+
+
+def test_perplexity_score_meta_scalars_schedule_no_jobs(spark):
+    """With vocab_size AND total_tokens supplied (the saved-artifact
+    meta path), building the wb scoring plan must run ZERO eager
+    actions — pinned by counting DataFrame.collect calls during plan
+    construction (the only eager sites in perplexity_score are the
+    two scalar derivations)."""
+    from pyspark.sql import DataFrame
+
+    from topn_spark.operators.lm import perplexity_score
+
+    docs = _docs(spark, [(1, "a b a"), (2, "b c")])
+    uni, bi = train_bigram_lm(docs)
+    calls = []
+    orig = DataFrame.collect
+    DataFrame.collect = lambda self: (calls.append(1), orig(self))[1]
+    try:
+        plan = perplexity_score(
+            docs, uni, bi, vocab_size=4, total_tokens=5,
+            smoothing="wb",
+        )
+        assert calls == []  # no eager action during construction
+        # and the supplied scalars are actually used in the result
+        rows = plan.collect()
+    finally:
+        DataFrame.collect = orig
+    assert {r.doc_id for r in rows} == {1, 2}
+    # cross-check: the threaded scalars reproduce the self-derived run
+    auto = perplexity_score(docs, uni, bi, smoothing="wb").collect()
+    got = {r.doc_id: r.ppl for r in rows}
+    for r in auto:
+        assert abs(got[r.doc_id] - r.ppl) <= 1e-12 * abs(r.ppl)

@@ -365,6 +365,7 @@ def test_knn_join_row_cap_guard(spark):
 
     rows = [(i, [float(i), 1.0]) for i in range(30)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     with pytest.raises(ValueError, match="ivf_topk/pq_topk/ivfpq_topk"):
         knn_join(df, df, k=2, max_left_rows=10)
     # explicit opt-in still works
@@ -374,6 +375,10 @@ def test_knn_join_row_cap_guard(spark):
     # entirely — for callers that already bounded the probe side
     out2 = knn_join(df, df, k=2, max_left_rows=None)
     assert out2.where("rn = 1").count() == 30
+    # the guard leaves NO cached blocks behind (the old persisted
+    # probe leaked one per call with no handle to release it)
+    cached_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert cached_after == cached_before
 
 
 def test_ivfpq_rerank_recall_never_below_plain(spark):

@@ -715,23 +715,42 @@ def test_c4_line_filter_rules(spark):
 
     rows = [
         (1, "A good long sentence number one here.\n"
+            "no.\n"
             "A good long sentence number two here!\n"
-            'A good long sentence number three here."'),
+            "A good long sentence number three here.\n"
+            "A good long sentence number four here.\n"
+            'A good long sentence number five here."'),
         (2, "Uses JavaScript in a fine long sentence.\n"
             "A good long sentence number two here.\n"
-            "A good long sentence number three here."),
+            "A good long sentence number three here.\n"
+            "A good long sentence number four here.\n"
+            "A good long sentence number five here."),
         (3, "lorem ipsum dolor sit amet here today.\n"
             "A good long sentence number two here.\n"
-            "A good long sentence number three here."),
+            "A good long sentence number three here.\n"
+            "A good long sentence number four here.\n"
+            "A good long sentence number five here."),
         (4, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in c4_line_filter(df).collect()}
-    assert out[1].c4_keep is True and out[1].n_kept_lines == 3
-    # javascript match is case-insensitive; doc falls under 3 sentences
-    assert out[2].n_kept_lines == 2 and out[2].c4_keep is False
+    # paper defaults: >= 3 words/line, >= 5 sentences/page ("no." is
+    # 1 word — dropped by the word rule, so 5 kept lines remain)
+    assert out[1].c4_keep is True and out[1].n_kept_lines == 5
+    # javascript match is case-insensitive; doc falls under 5 sentences
+    assert out[2].n_kept_lines == 4 and out[2].c4_keep is False
     assert out[3].c4_keep is False  # lorem ipsum page gate
     assert out[4].c4_keep is False and out[4].clean_text == ""
+    # thresholds are parameters: the old deliberate deviation
+    # (>= 5 words, >= 3 sentences) flips doc 2 back to a keeper
+    strict = {
+        r.doc_id: r
+        for r in c4_line_filter(
+            df, min_words=5, min_sentences=3
+        ).collect()
+    }
+    assert strict[2].c4_keep is True and strict[2].n_kept_lines == 4
+    assert strict[1].n_kept_lines == 5  # "no." fails both word rules
 
 
 def test_remove_duplicate_spans_keep_semantics(spark):

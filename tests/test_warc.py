@@ -88,3 +88,33 @@ def test_parse_warc_dataframe_explodes_records(spark):
     assert by_key[(0, 1)].payload.decode() == "κόσμε multi-byte"
     assert by_key[(1, 0)].target_uri == "http://b.example/9"
     assert by_key[(1, 0)].record_id == "<urn:test:0>"
+
+
+def test_tolerant_mode_on_truncated_gzip_member():
+    """strict=False must honor the tolerant contract on COMPRESSED
+    input too: a truncated final gzip member yields the records
+    inflated before the cut, not a ValueError."""
+    buf = encode_warc(_recs(), gzip_members=True)
+    cut = buf[:-20]  # truncate inside the final gzip member
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc_records(cut)
+    out = parse_warc_records(cut, strict=False)
+    assert 0 < len(out) < 3
+    assert out[0]["payload"] == b"hello world"
+
+
+def test_tolerant_mode_on_corrupt_gzip_member():
+    """A flipped byte inside a later member: strict raises, tolerant
+    returns the members inflated before the corruption."""
+    import zlib
+
+    first = encode_warc(_recs()[:1], gzip_members=True)
+    # second member corrupted mid-deflate-stream
+    second = bytearray(encode_warc(_recs()[1:2], gzip_members=True))
+    second[len(second) // 2] ^= 0xFF
+    buf = first + bytes(second)
+    with pytest.raises((ValueError, zlib.error)):
+        parse_warc_records(buf)
+    out = parse_warc_records(buf, strict=False)
+    assert len(out) == 1
+    assert out[0]["payload"] == b"hello world"

@@ -96,6 +96,7 @@ def perplexity_score(
     text_col: str = "text",
     mode: str = "ascii",
     smoothing: str = "addk",
+    total_tokens: int | None = None,
 ) -> DataFrame:
     """Score documents under a smoothed bigram LM:
     ``(id, n_bigrams, logprob, ppl)``.
@@ -123,7 +124,11 @@ def perplexity_score(
     have no bigrams and are dropped (no model opinion).
 
     ``vocab_size`` may be passed to skip the one model-sized count
-    action (e.g. when scoring many corpora under one model).
+    action (e.g. when scoring many corpora under one model);
+    ``total_tokens`` likewise skips the wb path's unigram-sum action
+    — both are persisted in a :func:`save_bigram_lm` artifact's meta,
+    so an artifact-backed caller (the streaming quality gate scoring
+    every micro-batch) schedules ZERO model-sized jobs per call.
 
     Plan: explode to the per-doc bigram stream, LEFT join the bigram
     and unigram count tables on their gram keys (AQE broadcasts them
@@ -159,7 +164,10 @@ def perplexity_score(
             / (F.coalesce("_c1", F.lit(0)) + F.lit(kf * v))
         )
     else:
-        total_tokens = unigrams.agg(F.sum("c")).collect()[0][0] or 0
+        if total_tokens is None:
+            total_tokens = (
+                unigrams.agg(F.sum("c")).collect()[0][0] or 0
+            )
         t = float(total_tokens)
         cont = (
             bigrams.select(
@@ -405,6 +413,17 @@ def update_bigram_lm(
     filter) — pruning before merging loses counts that a later slice
     might have pushed over the threshold.
     """
+    import os
+
+    if os.path.normpath(os.path.abspath(out_path)) == os.path.normpath(
+        os.path.abspath(path)
+    ):
+        raise ValueError(
+            f"out_path {out_path!r} is the source artifact itself: "
+            "save_bigram_lm's overwrite would clobber path/unigrams "
+            "while the merged plan still lazily reads it. Write to a "
+            "fresh path (immutable-versions discipline)."
+        )
     unigrams, bigrams, meta = load_bigram_lm(spark, path)
     new_uni, new_bi = train_bigram_lm(
         new_docs, text_col=text_col, mode=meta["token_mode"]

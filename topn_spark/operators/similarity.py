@@ -192,19 +192,22 @@ def knn_join(
     evaluation run, or pass ``None`` to skip the guard (and its extra
     action) when the caller already bounded the probe side.
 
-    The guard counts on a PERSISTED probe projection that the join
-    itself then broadcasts from cache — the probe plan (possibly an
-    expensive upstream pipeline) executes once, not twice.
+    The guard counts a ``limit(max+1)`` of the UNPERSISTED probe
+    plan, so the probe pipeline runs twice (once truncated for the
+    guard, once for the broadcast). That one bounded recompute is
+    deliberate: a persist here would have to outlive this call (the
+    join consumes the cache lazily, after return), leaking cached
+    blocks for the session with no handle to release them — callers
+    with an expensive probe pipeline should persist it THEMSELVES
+    before calling, owning the lifetime.
     """
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).cast("array<double>").alias("lv"),
     )
     if max_left_rows is not None:
-        l = l.persist()
         n = l.limit(max_left_rows + 1).count()
         if n > max_left_rows:
-            l.unpersist()
             raise ValueError(
                 f"knn_join probe side has more than {max_left_rows} "
                 "rows; this operator is an O(|L|x|R|) evaluation "

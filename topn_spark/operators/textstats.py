@@ -350,15 +350,22 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_grep")
 
 
-def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
     only lines that (after trimming) end in a terminal punctuation
-    mark (``. ! ? "``), contain at least five words, and do not
-    mention "javascript"; then gate the document on the cleaned text
-    — drop pages with fewer than three sentences (approximated as
+    mark (``. ! ? "``), contain at least ``min_words`` words
+    (paper: 3), and do not mention "javascript"; then gate the
+    document on the cleaned text — drop pages with fewer than
+    ``min_sentences`` sentences (paper: 5; approximated as
     terminal-punctuation marks in the kept text, declared semantics),
     pages containing the placeholder phrase "lorem ipsum", and pages
-    containing a curly brace.
+    containing a curly brace. The thresholds default to the published
+    §2.2 constants and are parameters for deliberate deviation.
 
     Emits ``clean_text`` (kept lines re-joined), the line/sentence
     counts, and the composite ``c4_keep`` flag. Map-only higher-order
@@ -373,7 +380,7 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(
                 F.regexp_extract_all(F.trim(l), F.lit(r"\S+"), F.lit(0))
             )
-            >= 5
+            >= int(min_words)
         )
         & ~F.lower(l).contains("javascript"),
     )
@@ -385,7 +392,7 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract_all(F.col("clean_text"), F.lit("[.!?]"), F.lit(0))
     ).cast("bigint")
     keep = (
-        (n_sentences >= 3)
+        (n_sentences >= int(min_sentences))
         & ~F.lower(text_col).contains("lorem ipsum")
         & ~F.col(text_col).contains("{")
     )

@@ -517,7 +517,9 @@ def _stage_c4_line_filter(
     """C4LineFilter transform: C4-style line cleaning + page gate
     (textstats.c4_line_filter). Properties: textField ('text'),
     keepOnly ('false' — when 'true', keep only c4_keep pages and
-    replace the text column with the cleaned text)."""
+    replace the text column with the cleaned text), minWords ('3')
+    and minSentences ('5') — the Raffel et al. §2.2 constants, as
+    properties for deliberate deviation."""
     (df,) = inputs
     p = stage.properties
     text_col = p.get("textField", "text")
@@ -530,11 +532,30 @@ def _stage_c4_line_filter(
             property_name="keepOnly",
         )
         ok = False
+    thresholds = {"minWords": 3, "minSentences": 5}
+    for prop, default in list(thresholds.items()):
+        raw = p.get(prop, str(default))
+        try:
+            thresholds[prop] = int(raw)
+            if thresholds[prop] < 0:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid {prop} '{raw}'.",
+                "A non-negative integer.",
+                property_name=prop,
+            )
+            ok = False
     if not ok:
         return df
     from topn_spark.operators.textstats import c4_line_filter
 
-    out = c4_line_filter(df, text_col)
+    out = c4_line_filter(
+        df,
+        text_col,
+        min_words=thresholds["minWords"],
+        min_sentences=thresholds["minSentences"],
+    )
     if keep_only == "true":
         return (
             out.where(F.col("c4_keep"))

@@ -7075,18 +7075,22 @@ def z23_gopher_rules(spark, sf_dir):
 #: 2 lorem-ipsum page; 3 javascript-heavy page; 4 no terminal
 #: punctuation anywhere; 5 quote/interrogative/exclamation endings).
 _Z24_SHAPES = (
-    "The first fine sentence sits right here.\nshort line.\n"
+    "The first fine sentence sits right here.\nno.\n"
     "no terminal punctuation on this line\n"
     "A second good sentence follows on here!\n"
-    'A third closing sentence wraps it up."',
+    "A third good sentence follows on here.\n"
+    "A fourth good sentence follows on here.\n"
+    'A fifth closing sentence wraps it up."',
     "Has a curly { brace marker inside it.\n"
     "But otherwise a fine long sentence here.\n"
     "And another good long one right here.\n"
-    "And a third one to be sure of it.",
+    "And a third one to be sure of it.\n"
+    "And a fourth one to seal the deal.",
     "Standard Lorem Ipsum filler text goes here.\n"
     "But otherwise a fine long sentence here.\n"
     "And another good long one right here.\n"
-    "And a third one to be sure of it.",
+    "And a third one to be sure of it.\n"
+    "And a fourth one to seal the deal.",
     "Please enable javascript to view this page.\n"
     "This page needs javascript enabled to work.\n"
     "Only one proper sentence survives in here.",
@@ -7103,9 +7107,9 @@ _Z24_SHAPES = (
     r"""WITH t AS (
   SELECT doc_id,
     CASE doc_id % 6
-      WHEN 0 THEN 'The first fine sentence sits right here.' || chr(10) || 'short line.' || chr(10) || 'no terminal punctuation on this line' || chr(10) || 'A second good sentence follows on here!' || chr(10) || 'A third closing sentence wraps it up."'
-      WHEN 1 THEN 'Has a curly { brace marker inside it.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.'
-      WHEN 2 THEN 'Standard Lorem Ipsum filler text goes here.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.'
+      WHEN 0 THEN 'The first fine sentence sits right here.' || chr(10) || 'no.' || chr(10) || 'no terminal punctuation on this line' || chr(10) || 'A second good sentence follows on here!' || chr(10) || 'A third good sentence follows on here.' || chr(10) || 'A fourth good sentence follows on here.' || chr(10) || 'A fifth closing sentence wraps it up."'
+      WHEN 1 THEN 'Has a curly { brace marker inside it.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.' || chr(10) || 'And a fourth one to seal the deal.'
+      WHEN 2 THEN 'Standard Lorem Ipsum filler text goes here.' || chr(10) || 'But otherwise a fine long sentence here.' || chr(10) || 'And another good long one right here.' || chr(10) || 'And a third one to be sure of it.' || chr(10) || 'And a fourth one to seal the deal.'
       WHEN 3 THEN 'Please enable javascript to view this page.' || chr(10) || 'This page needs javascript enabled to work.' || chr(10) || 'Only one proper sentence survives in here.'
       WHEN 4 THEN 'a heading without any closing mark' || chr(10) || 'another bare fragment line' || chr(10) || 'yet more words that never end properly'
       ELSE 'He said the words clearly: "follow the data."' || chr(10) || 'She replied with certainty that it would hold!' || chr(10) || 'They agreed on the final plan together?'
@@ -7115,7 +7119,7 @@ m AS (
   SELECT doc_id, text,
     list_filter(string_split(text, chr(10)),
       l -> regexp_matches(trim(l), '[.!?"]$')
-        AND len(regexp_extract_all(trim(l), '\S+')) >= 5
+        AND len(regexp_extract_all(trim(l), '\S+')) >= 3
         AND NOT contains(lower(l), 'javascript')) AS kept
   FROM t),
 c AS (
@@ -7127,16 +7131,16 @@ c AS (
     text
   FROM m)
 SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
-  COALESCE(n_sentences >= 3
+  COALESCE(n_sentences >= 5
     AND NOT contains(lower(text), 'lorem ipsum')
     AND NOT contains(text, '{'), false) AS c4_keep
 FROM c ORDER BY doc_id ASC""",
     doc="C4-style line-level cleaning (textstats.py::c4_line_filter;"
-    " Raffel et al. 2020 §2.2): keep lines ending in terminal"
-    " punctuation with >= 5 words and no 'javascript' mention, then"
-    " gate the page on >= 3 sentences in the kept text, no 'lorem"
-    " ipsum', and no curly brace. Emits the cleaned text plus"
-    " line/sentence counts and the keep flag. Six planted page"
+    " Raffel et al. 2020 §2.2, paper constants): keep lines ending in"
+    " terminal punctuation with >= 3 words and no 'javascript'"
+    " mention, then gate the page on >= 5 sentences in the kept text,"
+    " no 'lorem ipsum', and no curly brace. Emits the cleaned text"
+    " plus line/sentence counts and the keep flag. Six planted page"
     " shapes isolate each rule. Map-only higher-order arrays; the"
     " oracle replays every rule in DuckDB list ops, hash-exact",
 )

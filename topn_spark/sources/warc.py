@@ -42,16 +42,30 @@ __all__ = ["parse_warc", "parse_warc_records", "encode_warc"]
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(buf: bytes) -> bytes:
+def _gunzip_members(buf: bytes, strict: bool = True) -> bytes:
     """Inflate a stream of CONCATENATED gzip members (the .warc.gz
-    framing: one member per record)."""
+    framing: one member per record). ``strict=False`` returns the
+    successfully inflated prefix on a corrupt or truncated member
+    (matching :func:`parse_warc_records`'s tolerant contract: the
+    records parsed before the malformation, not an exception) —
+    a truncated final member contributes its partial inflate, which
+    the record walk then drops at its payload-truncation check."""
     out = []
     while buf:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(buf))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            if strict:
+                raise ValueError(
+                    "corrupt gzip member in WARC stream"
+                ) from None
+            break
         if not d.eof:
-            raise ValueError("truncated gzip member in WARC stream")
+            if strict:
+                raise ValueError("truncated gzip member in WARC stream")
+            break
         buf = d.unused_data
     return b"".join(out)
 
@@ -70,7 +84,7 @@ def parse_warc_records(
     before the malformation (tolerant tail-garbage mode).
     """
     if buf[:2] == b"\x1f\x8b":
-        buf = _gunzip_members(bytes(buf))
+        buf = _gunzip_members(bytes(buf), strict=strict)
     recs: list[dict] = []
     pos = 0
     n = len(buf)

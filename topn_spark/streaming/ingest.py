@@ -459,10 +459,11 @@ def quality_gate_batch(
     max_ppl: float | None = None,
     smoothing: str = "wb",
     k: float = 1.0,
+    batch_id: int | None = None,
 ) -> None:
     """Model-based quality gate for one micro-batch: admit documents
     that pass the Gopher rule suite AND (when an LM is supplied)
-    score at most ``max_ppl`` under the saved bigram model; append
+    score at most ``max_ppl`` under the saved bigram model; write
     admissions to ``out_dir`` and every rejection to ``reject_dir``
     as ``(id, reason, ppl)`` — a DEAD-LETTER log with WHY, so filter
     regressions are observable instead of silent corpus shrinkage.
@@ -470,16 +471,46 @@ def quality_gate_batch(
     ``lm`` is ``(unigrams, bigrams, meta)`` from
     ``operators.lm.load_bigram_lm`` — loaded ONCE by the sink and
     reused across batches (train offline, gate forever; the CCNet
-    deployment shape). Reasons, first match wins: ``gopher`` (rule
-    suite), ``unscored`` (< 2 tokens — no model opinion, rejected
-    when a ppl cut is active), ``perplexity`` (> max_ppl).
+    deployment shape); the artifact meta supplies ``vocab_size`` AND
+    ``total_tokens``, so scoring schedules no model-sized count jobs
+    per batch. Reasons, first match wins: ``gopher`` (rule suite),
+    ``unscored`` (< 2 tokens — no model opinion, rejected when a ppl
+    cut is active), ``perplexity`` (> max_ppl).
 
-    Write ordering: admissions append before rejections, so a crash
-    between the writes strands at most missing reject ACCOUNTING —
-    never data loss, and the checkpointed replay rewrites both.
+    Idempotence: with a ``batch_id`` (foreachBatch always has one),
+    each side writes ``mode("overwrite")`` into its own
+    ``batch_id=<N>`` partition directory, so a checkpointed REPLAY of
+    a batch that crashed mid-write rewrites that batch's output in
+    place instead of re-appending duplicates — exactly-once output
+    from an at-least-once replay contract. Readers see one
+    partitioned dataset (``spark.read.parquet(out_dir)`` with a
+    ``batch_id`` partition column). Without a ``batch_id`` (ad-hoc
+    batch use) both writes are flat appends and the caller owns
+    replay semantics — AT-LEAST-ONCE: a re-run re-appends, so dedup
+    downstream by the id column if re-runs are possible.
+
+    The micro-batch source is persisted for the scope of the call:
+    both the rule projection and the LM scoring derive from it, and
+    without the cache the single materialization of the flagged
+    frame would scan the (possibly expensive) upstream source twice.
     """
     from topn_spark.operators.textstats import gopher_rules
 
+    batch = batch.persist()
+    try:
+        _quality_gate_writes(
+            batch, out_dir, reject_dir, text_col, id_col,
+            use_gopher, lm, max_ppl, smoothing, k, batch_id,
+            gopher_rules,
+        )
+    finally:
+        batch.unpersist()
+
+
+def _quality_gate_writes(
+    batch, out_dir, reject_dir, text_col, id_col, use_gopher, lm,
+    max_ppl, smoothing, k, batch_id, gopher_rules,
+) -> None:
     if use_gopher:
         enriched = gopher_rules(batch, text_col).select(
             *batch.columns, "gopher_keep"
@@ -500,6 +531,7 @@ def quality_gate_batch(
             text_col=text_col,
             mode=meta["token_mode"],
             smoothing=smoothing,
+            total_tokens=meta.get("total_tokens"),
         ).select(id_col, "ppl")
         enriched = enriched.join(scored, id_col, "left")
         reason = (
@@ -512,16 +544,22 @@ def quality_gate_batch(
             "ppl", F.lit(None).cast("double")
         )
         reason = F.when(~F.col("gopher_keep"), F.lit("gopher"))
+    if batch_id is None:
+        out_target, rej_target, write_mode = out_dir, reject_dir, "append"
+    else:
+        out_target = f"{out_dir}/batch_id={int(batch_id)}"
+        rej_target = f"{reject_dir}/batch_id={int(batch_id)}"
+        write_mode = "overwrite"
     flagged = enriched.withColumn("_reason", reason).persist()
     try:
         flagged.where(F.col("_reason").isNull()).select(
             *batch.columns
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode(write_mode).parquet(out_target)
         flagged.where(F.col("_reason").isNotNull()).select(
             F.col(id_col),
             F.col("_reason").alias("reason"),
             F.col("ppl"),
-        ).write.mode("append").parquet(reject_dir)
+        ).write.mode(write_mode).parquet(rej_target)
     finally:
         flagged.unpersist()
 
@@ -543,8 +581,13 @@ def quality_corpus_sink(
     ``foreachBatch`` (availableNow-compatible) — the quality sibling
     of the dedup ingest gates: rules + saved-LM perplexity cut, with
     a dead-letter reject log. The LM artifact is loaded and persisted
-    ONCE here (model-sized count tables), not per batch. Returns the
-    started ``StreamingQuery``."""
+    ONCE here (model-sized count tables), not per batch. The stream's
+    epoch id is threaded through as the gate's ``batch_id``, so the
+    output is per-batch partition directories and a checkpointed
+    replay after a crash OVERWRITES its own batch instead of
+    duplicating it (idempotent sink — see
+    :func:`quality_gate_batch`). Returns the started
+    ``StreamingQuery``."""
     lm = None
     if model_path is not None:
         from topn_spark.operators.lm import load_bigram_lm
@@ -554,7 +597,7 @@ def quality_corpus_sink(
         )
         lm = (unigrams.persist(), bigrams.persist(), meta)
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
+    def _process(batch: DataFrame, batch_id: int) -> None:
         quality_gate_batch(
             batch,
             out_dir,
@@ -566,6 +609,7 @@ def quality_corpus_sink(
             max_ppl=max_ppl,
             smoothing=smoothing,
             k=k,
+            batch_id=batch_id,
         )
 
     return (
