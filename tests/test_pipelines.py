@@ -1009,3 +1009,83 @@ def test_lm_gated_pipeline_runs_streaming(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == [1, 3]
+
+
+def test_langid_plugin_routes_and_validates(spark, tmp_path):
+    """LangId classifies under a SAVED artifact; keepOnly routes a
+    corpus to one language with the input schema preserved;
+    missing modelPath / bad keepScores batch at deploy."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.operators.langid import save_langid, train_langid
+    from topn_spark.pipelines import compile_pipeline, run_pipeline
+
+    train = spark.createDataFrame(
+        [
+            ("en", "the small children read their books in the"
+                   " quiet library by the river"),
+            ("ru", "маленькие дети читают свои книги в тихой"
+                   " библиотеке у реки"),
+        ],
+        "lang string, text string",
+    )
+    counts, classes = train_langid(train)
+    model = str(tmp_path / "langid_model")
+    save_langid(counts, classes, model)
+
+    src = str(tmp_path / "lid_src")
+    spark.createDataFrame(
+        [
+            (1, "the children read books by the quiet river"),
+            (2, "дети читают книги у тихой реки"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "lid_out")
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "lid",
+                "plugin": "LangId",
+                "properties": {"modelPath": model, "keepOnly": "ru"},
+            },
+            {"name": "sink", "plugin": "FileSink", "properties": {"path": dst}},
+        ],
+        "connections": [
+            {"from": "src", "to": "lid"},
+            {"from": "lid", "to": "sink"},
+        ],
+    }
+    run_pipeline(spark, spec)
+    kept = spark.read.parquet(dst).collect()
+    assert [r.doc_id for r in kept] == [2]
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+    # annotate mode appends exactly (n_grams, lang_pred)
+    dst2 = str(tmp_path / "lid_out2")
+    spec["stages"][1]["properties"] = {"modelPath": model}
+    spec["stages"][2]["properties"] = {"path": dst2}
+    run_pipeline(spark, spec)
+    out = {r.doc_id: r for r in spark.read.parquet(dst2).collect()}
+    assert out[1].lang_pred == "en" and out[2].lang_pred == "ru"
+    assert set(out[1].asDict()) == {
+        "doc_id", "text", "n_grams", "lang_pred",
+    }
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "lid",
+                "plugin": "LangId",
+                "properties": {"keepScores": "maybe"},
+            },
+        ],
+        "connections": [{"from": "src", "to": "lid"}],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, bad)
+    msg = str(ei.value)
+    assert "modelPath" in msg and "maybe" in msg

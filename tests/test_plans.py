@@ -292,6 +292,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z42_corpus_overlap",
         "z43_tokenizer_eval",
         "z44_image_neardup",
+        # round-8: language ID, byte BPE, sequence packing
+        "z45_langid_ngram",
     ):
         warns = [
             f

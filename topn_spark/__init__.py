@@ -78,6 +78,14 @@ from topn_spark.operators.textstats import (
     duplicate_ngram_coverage,
     tfidf_top_terms,
 )
+from topn_spark.operators.langid import (
+    char_ngrams,
+    langid_model_table,
+    langid_score,
+    load_langid,
+    save_langid,
+    train_langid,
+)
 from topn_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
@@ -137,6 +145,12 @@ __all__ = [
     "pq_adc_topk",
     "pq_topk",
     "semantic_dedup",
+    "char_ngrams",
+    "train_langid",
+    "langid_model_table",
+    "langid_score",
+    "save_langid",
+    "load_langid",
     "chunk_documents",
     "chunk_by_tokens",
     "hash_sample",

@@ -1,0 +1,283 @@
+"""Character-n-gram Naive-Bayes language identification, trained
+in-engine — the real langid stage in front of language-routed corpus
+pipelines (which tokenizer, which quality rules, which mixture
+weight), replacing marker-stopword heuristics that only work for a
+handful of space-delimited Latin languages.
+
+The model is the public-knowledge TextCat / langid.py family
+(Cavnar & Trenkle 1994; Lui & Baldwin 2012): character 1..n-gram
+count profiles per language, scored as multinomial Naive Bayes with
+Laplace smoothing
+
+    score(doc, L) = ln P(L) + sum_g c_g(doc) * ln P(g | L)
+    P(g | L)      = (c(g, L) + 1) / (total(L) + V)
+
+with one shared OOV bucket (the +1 in ``V = |model grams| + 1``)
+so unseen grams stay finite and scoring never special-cases. Char
+n-grams work where word rules cannot: no whitespace assumption, so
+CJK and other unsegmented scripts classify exactly like Latin ones.
+
+Distributed shape (same as ``operators/lm.py``): TRAINING is one
+hash agg keyed by (lang, gram) — map-side combined, output bounded
+by the char-n-gram vocabulary (≤ |charset|^n, zipf-truncatable with
+``min_count``), sublinear in corpus size; the per-language totals
+and priors are model-sized aggregates. SCORING is one explode to the
+per-doc gram stream, a broadcast join against the (pivoted,
+model-sized) gram table, and a per-doc re-agg — no all-pairs
+anything, no driver-side data. The model rides to executors as a
+broadcast table; at 100 TB the only data-sized pass is the gram
+explode+agg, the classic word-count shape.
+
+Engine-exactness: counts are exact ints; per-gram log-probabilities
+are one IEEE division + one libm ``log``, and per-doc sums are
+float adds in plan-dependent order — scores are mirror-checked
+under relative tolerance (the z45 catalog entry), never
+hash-compared; predicted labels are argmax over planted fixtures
+with margins far above float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_ngrams",
+    "train_langid",
+    "langid_model_table",
+    "langid_score",
+    "save_langid",
+    "load_langid",
+]
+
+
+def char_ngrams(
+    text_col: str | Column, n_lo: int = 1, n_hi: int = 3
+) -> Column:
+    """All character n-grams of sizes ``n_lo..n_hi`` over the
+    lowercased text, concatenated into one array (the model's
+    feature stream). Pure Catalyst: one ``transform`` over an index
+    ``sequence`` per size — map-only, codegen'd, no UDF. Empty /
+    NULL text yields an empty array."""
+    if not (1 <= n_lo <= n_hi):
+        raise ValueError(f"bad n-gram range [{n_lo}, {n_hi}]")
+    s = F.lower(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+    def _slicer(n):
+        # one-arg lambda REQUIRED: a second parameter would make
+        # F.transform bind it to the array index, shadowing n
+        return lambda i: F.substring(s, i, n)
+
+    parts = []
+    for n in range(n_lo, n_hi + 1):
+        upper = F.length(s) - (n - 1)
+        parts.append(
+            # the when-guard matters: sequence(1, 0) is DESCENDING
+            # [1, 0] in Spark, not empty, so short/NULL text would
+            # emit junk grams without it
+            F.when(
+                upper >= 1,
+                F.transform(F.sequence(F.lit(1), upper), _slicer(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    out = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.coalesce(out, F.array().cast("array<string>"))
+
+
+def train_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_lo: int = 1,
+    n_hi: int = 3,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB char-n-gram model from a labelled corpus:
+    returns ``(counts, classes)`` —
+
+    * ``counts (lang, gram, c)``: exact gram counts per language,
+      pruned to ``c >= min_count`` (zipf-tail truncation; pruned
+      mass is absorbed by Laplace smoothing at scoring time),
+    * ``classes (lang, total, n_docs)``: per-language token total
+      (UNPRUNED — it is the denominator) and document count (the
+      prior's numerator).
+
+    One hash agg keyed by (lang, gram) over the exploded gram
+    stream + one model-sized agg — the word-count shape; output
+    cardinality is the char-n-gram vocabulary, sublinear in corpus
+    size."""
+    grams = df.select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_ngrams(text_col, n_lo, n_hi)).alias("gram"),
+    )
+    full = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = full.groupBy("lang").agg(F.sum("c").alias("total"))
+    ndocs = df.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    classes = classes.join(ndocs, "lang")
+    counts = full.where(F.col("c") >= int(min_count))
+    return counts, classes
+
+
+def langid_model_table(
+    counts: DataFrame, classes: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Compile the count tables into the scoring form: a WIDE gram
+    table ``(gram, lp_<lang>...)`` of per-language Laplace
+    log-probabilities, plus a meta dict with the language list and
+    per-language OOV log-prob and log-prior. The pivot is model-sized
+    (grams x languages); the language list is collected to the
+    driver (a handful of rows — model state, same class as k-means
+    centroids)."""
+    import math
+
+    cls = {
+        r["lang"]: (int(r["total"]), int(r["n_docs"]))
+        for r in classes.collect()
+    }
+    if not cls:
+        raise ValueError("empty training set: no languages")
+    langs = sorted(cls)
+    v = counts.select("gram").distinct().count() + 1  # +1 = OOV
+    all_docs = sum(nd for _, nd in cls.values())
+    meta = {
+        "langs": langs,
+        "v": int(v),
+        "oov": {
+            lang: math.log(1.0 / float(cls[lang][0] + v))
+            for lang in langs
+        },
+        "prior": {
+            lang: math.log(float(cls[lang][1]) / float(all_docs))
+            for lang in langs
+        },
+        "totals": {lang: cls[lang][0] for lang in langs},
+        "n_docs": {lang: cls[lang][1] for lang in langs},
+    }
+    wide = counts.groupBy("gram").pivot("lang", langs).agg(
+        F.first("c")
+    )
+    for lang in langs:
+        wide = wide.withColumn(
+            f"lp_{lang}",
+            F.log(
+                (F.coalesce(F.col(f"`{lang}`"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(cls[lang][0] + v))
+            ),
+        )
+    model = wide.select(
+        "gram", *[f"lp_{lang}" for lang in langs]
+    )
+    return model, meta
+
+
+def langid_score(
+    docs: DataFrame,
+    model: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_lo: int = 1,
+    n_hi: int = 3,
+    keep_scores: bool = True,
+) -> DataFrame:
+    """Classify documents under a compiled model:
+    ``(id, n_grams, lang_pred [, score_<lang>...])``.
+
+    ``lang_pred`` is the NB argmax (ties broken by language name
+    ascending — deterministic); empty documents (no grams) get
+    ``und``. Plan: one explode to the per-doc gram stream, a
+    broadcast LEFT join on the gram key (unseen grams fall back to
+    the per-language OOV bucket), one per-doc re-agg, then a map-only
+    prior add + argmax. The n-gram range must match training —
+    scoring under a different range silently mis-weights the OOV
+    mass, so pass the artifact's own values (see
+    :func:`load_langid`)."""
+    langs = meta["langs"]
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(char_ngrams(text_col, n_lo, n_hi)).alias(
+            "gram"
+        ),
+    )
+    joined = grams.join(F.broadcast(model), "gram", "left")
+    aggs = [F.count(F.col("gram")).alias("n_grams")]
+    for lang in langs:
+        aggs.append(
+            F.sum(
+                F.coalesce(
+                    F.col(f"lp_{lang}"),
+                    F.lit(float(meta["oov"][lang])),
+                )
+            ).alias(f"_s_{lang}")
+        )
+    per_doc = joined.groupBy("_id").agg(*aggs)
+    for lang in langs:
+        per_doc = per_doc.withColumn(
+            f"score_{lang}",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col(f"_s_{lang}")
+                + F.lit(float(meta["prior"][lang])),
+            ),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("n_grams") == 0, F.lit("und"))
+    for lang in langs:  # ties: first match in sorted-lang order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    cols = [
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        pred.alias("lang_pred"),
+    ]
+    if keep_scores:
+        cols.extend(F.col(f"score_{lang}") for lang in langs)
+    return per_doc.select(*cols)
+
+
+def save_langid(
+    counts: DataFrame,
+    classes: DataFrame,
+    path: str,
+    n_lo: int = 1,
+    n_hi: int = 3,
+) -> None:
+    """Persist a trained langid model as a reusable artifact:
+    ``path/counts``, ``path/classes`` parquet + ``path/meta`` (the
+    n-gram range) — train once on labelled seed corpora, classify
+    any number of corpora/streams (the same artifact discipline as
+    ``save_bigram_lm``)."""
+    spark = counts.sparkSession
+    counts.write.mode("overwrite").parquet(f"{path}/counts")
+    classes.write.mode("overwrite").parquet(f"{path}/classes")
+    spark.createDataFrame(
+        [(int(n_lo), int(n_hi))], "n_lo int, n_hi int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_langid(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a :func:`save_langid` artifact and compile it →
+    ``(model, meta)`` ready for :func:`langid_score`; ``meta`` also
+    carries the artifact's ``n_lo``/``n_hi`` so scoring uses the
+    training gram range. Validates the expected columns so a wrong
+    path fails loudly."""
+    counts = spark.read.parquet(f"{path}/counts")
+    classes = spark.read.parquet(f"{path}/classes")
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if (
+        set(counts.columns) != {"lang", "gram", "c"}
+        or set(classes.columns) != {"lang", "total", "n_docs"}
+        or len(meta_rows) != 1
+    ):
+        raise ValueError(
+            f"{path} is not a langid artifact "
+            f"(counts={counts.columns}, classes={classes.columns})"
+        )
+    model, meta = langid_model_table(counts, classes)
+    meta["n_lo"] = int(meta_rows[0]["n_lo"])
+    meta["n_hi"] = int(meta_rows[0]["n_hi"])
+    return model, meta

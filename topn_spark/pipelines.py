@@ -768,6 +768,94 @@ def _stage_dsir_weights(
     return df.join(weights, id_col)
 
 
+def _stage_langid(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """LangId transform: classify each record's language under a
+    SAVED char-n-gram Naive-Bayes model artifact
+    (langid.py::load_langid — train once on labelled seed corpora,
+    classify any stream) and annotate with (n_grams, lang_pred).
+    Properties: modelPath (required), textField ('text'), idField
+    ('doc_id'), keepScores ('false' — when 'true', also append the
+    per-language score columns; requires a literal modelPath at
+    deploy time since the score schema depends on the model's
+    language list), keepOnly (optional language code — keep only
+    records predicted as that language and drop the added columns,
+    the corpus-routing deployment shape)."""
+    (df,) = inputs
+    p = stage.properties
+    model_path = p.get("modelPath")
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    keep_scores = p.get("keepScores", "false")
+    keep_only = p.get("keepOnly")
+    if phase == "run":
+        subs = substitutions or {}
+        model_path = substitute_macros(
+            model_path, subs, collector, "modelPath"
+        )
+        keep_only = substitute_macros(
+            keep_only, subs, collector, "keepOnly"
+        )
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if not model_path:
+        collector.add_failure(
+            "Required property 'modelPath' is missing.",
+            "Point it at a save_langid artifact.",
+            property_name="modelPath",
+        )
+        ok = False
+    if keep_scores not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepScores '{keep_scores}'.",
+            "One of true, false.",
+            property_name="keepScores",
+        )
+        ok = False
+    if (
+        keep_scores == "true"
+        and contains_macro(model_path)
+        and keep_only is None
+    ):
+        collector.add_failure(
+            "keepScores=true needs a literal modelPath.",
+            "The score columns depend on the model's language list, "
+            "which a macro'd path cannot supply at deploy time.",
+            property_name="keepScores",
+        )
+        ok = False
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(model_path):
+        # schema-faithful placeholder: keepOnly preserves the input
+        # schema; otherwise the two classification columns append
+        if keep_only is not None:
+            return df
+        return df.withColumn(
+            "n_grams", F.lit(None).cast("bigint")
+        ).withColumn("lang_pred", F.lit(None).cast("string"))
+    from topn_spark.operators.langid import langid_score, load_langid
+
+    model, meta = load_langid(spark, model_path)
+    scored = langid_score(
+        df,
+        model,
+        meta,
+        id_col=id_col,
+        text_col=text_col,
+        n_lo=meta["n_lo"],
+        n_hi=meta["n_hi"],
+        keep_scores=keep_scores == "true",
+    )
+    out = df.join(scored, id_col)
+    if keep_only is not None:
+        return out.where(F.col("lang_pred") == keep_only).select(
+            *df.columns
+        )
+    return out
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -790,6 +878,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "C4LineFilter": ("transform", _stage_c4_line_filter),
     "PerplexityFilter": ("transform", _stage_perplexity_filter),
     "DsirWeights": ("transform", _stage_dsir_weights),
+    "LangId": ("transform", _stage_langid),
     "FileSink": ("batchsink", _stage_sink),
 }
 

@@ -8817,3 +8817,164 @@ def z44_image_neardup(spark, sf_dir):
         vec_col="features",
         dim=16,
     ).orderBy("id_a", "id_b")
+
+
+#: planted multilingual fixtures for the char-n-gram language-ID
+#: model (z45): six languages across three scripts (Latin, Cyrillic,
+#: Greek); HELD texts are same-language but disjoint content from the
+#: TRAIN texts, so the entry scores genuinely held-out documents.
+_Z45_TRAIN = {
+    "en": "the quick brown fox jumps over the lazy dog and the small"
+    " children read their books in the quiet library",
+    "de": "der schnelle braune fuchs springt über den faulen hund und"
+    " die kleinen kinder lesen ihre bücher in der stillen bibliothek",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux"
+    " et les petits enfants lisent leurs livres dans la bibliothèque"
+    " tranquille",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y los"
+    " niños pequeños leen sus libros en la biblioteca tranquila",
+    "ru": "быстрая коричневая лиса прыгает через ленивую собаку а"
+    " маленькие дети читают свои книги в тихой библиотеке",
+    "el": "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί"
+    " και τα μικρά παιδιά διαβάζουν τα βιβλία τους στην ήσυχη"
+    " βιβλιοθήκη",
+}
+
+_Z45_HELD = {
+    "en": "a gentle rain falls on the green hills while the old"
+    " fisherman waits by the river with his wooden boat",
+    "de": "ein sanfter regen fällt auf die grünen hügel während der"
+    " alte fischer mit seinem holzboot am fluss wartet",
+    "fr": "une pluie douce tombe sur les collines vertes pendant que"
+    " le vieux pêcheur attend près de la rivière avec son bateau en"
+    " bois",
+    "es": "una lluvia suave cae sobre las colinas verdes mientras el"
+    " viejo pescador espera junto al río con su barco de madera",
+    "ru": "тихий дождь падает на зелёные холмы пока старый рыбак ждёт"
+    " у реки со своей деревянной лодкой",
+    "el": "μια απαλή βροχή πέφτει στους πράσινους λόφους ενώ ο γέρος"
+    " ψαράς περιμένει δίπλα στο ποτάμι με την ξύλινη βάρκα του",
+}
+
+
+def _z45_langid_mirror(con):
+    """Independent pure-Python Naive-Bayes mirror of the langid
+    deterministic contract (char 1..3-grams of the lowercased text,
+    Laplace (c+1)/(total+V) with V = |model grams| + 1 shared OOV
+    bucket, log-prior from document counts, argmax with
+    sorted-language tie order). Counts are exact ints; log-prob sums
+    are compared at 1e-9 relative (per-doc sum order is
+    plan-dependent); labels exact."""
+    import math
+
+    langs = sorted(_Z45_TRAIN)
+
+    def grams(s):
+        s = s.lower()
+        out = []
+        for n in (1, 2, 3):
+            out.extend(s[i : i + n] for i in range(len(s) - n + 1))
+        return out
+
+    train_ids = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id < 120"
+        ).fetchall()
+    ]
+    counts: dict = {}
+    totals = {lang: 0 for lang in langs}
+    n_docs = {lang: 0 for lang in langs}
+    for did in train_ids:
+        lang = langs[did % 6]
+        n_docs[lang] += 1
+        for g in grams(_Z45_TRAIN[lang]):
+            counts[(lang, g)] = counts.get((lang, g), 0) + 1
+            totals[lang] += 1
+    v = len({g for (_, g) in counts}) + 1
+    all_docs = sum(n_docs.values())
+    prior = {
+        lang: math.log(n_docs[lang] / all_docs) for lang in langs
+    }
+    oov = {
+        lang: math.log(1.0 / (totals[lang] + v)) for lang in langs
+    }
+    rows = []
+    for (did,) in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id >= 120 AND"
+        " doc_id < 360 ORDER BY doc_id"
+    ).fetchall():
+        text = _Z45_HELD[langs[did % 6]] + " nr " + str(did)
+        gs = grams(text)
+        scores = {}
+        for lang in langs:
+            t = float(totals[lang] + v)
+            s = 0.0
+            for g in gs:
+                c = counts.get((lang, g))
+                s += math.log((c + 1) / t) if c else oov[lang]
+            scores[lang] = s + prior[lang]
+        best = max(scores.values())
+        pred = next(l for l in langs if scores[l] == best)
+        rows.append(
+            (did, len(gs), pred, *[scores[l] for l in langs])
+        )
+    return (
+        ["doc_id", "n_grams", "lang_pred"]
+        + [f"score_{l}" for l in langs],
+        rows,
+    )
+
+
+@query(
+    "z45_langid_ngram",
+    None,
+    doc="Character-n-gram Naive-Bayes language ID, trained in-engine"
+    " (operators/langid.py): char 1..3-gram count profiles per"
+    " language (one (lang, gram)-keyed hash agg — the word-count"
+    " shape, output bounded by the char-n-gram vocabulary), compiled"
+    " to a wide Laplace log-prob table, then scoring = one explode +"
+    " broadcast model join + per-doc re-agg + map-only prior/argmax."
+    " Trains on 120 planted docs across six languages and THREE"
+    " scripts (Latin/Cyrillic/Greek — no whitespace or Latin-script"
+    " assumption, unlike the x04 stopword heuristic), classifies 240"
+    " held-out same-language documents. Oracle: independent"
+    " pure-Python NB mirror — labels exact, log-prob scores <= 1e-9"
+    " relative (per-doc float-sum order is plan-dependent)",
+    tol_oracle=_z45_langid_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z45_langid_ngram(spark, sf_dir):
+    from topn_spark.operators.langid import (
+        langid_model_table,
+        langid_score,
+        train_langid,
+    )
+
+    langs = sorted(_Z45_TRAIN)
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lang_of = F.element_at(
+        F.array(*[F.lit(l) for l in langs]),
+        (d % 6 + 1).cast("int"),
+    )
+
+    def planted(texts):
+        e = F.when(d % 6 == 0, F.lit(texts[langs[0]]))
+        for i in range(1, 6):
+            e = e.when(d % 6 == i, F.lit(texts[langs[i]]))
+        return e
+
+    train = docs.where(d < 120).select(
+        lang_of.alias("lang"), planted(_Z45_TRAIN).alias("text")
+    )
+    held = docs.where((d >= 120) & (d < 360)).select(
+        "doc_id",
+        F.concat(
+            planted(_Z45_HELD), F.lit(" nr "), d.cast("string")
+        ).alias("text"),
+    )
+    counts, classes = train_langid(train)
+    model, meta = langid_model_table(counts, classes)
+    return langid_score(held, model, meta).orderBy("doc_id")
