@@ -294,6 +294,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z44_image_neardup",
         # round-8: language ID, byte BPE, sequence packing
         "z45_langid_ngram",
+        "z46_byte_bpe",
     ):
         warns = [
             f

@@ -1000,3 +1000,71 @@ def test_unigram_lm_tiers_agree(spark):
     )
     assert s1["tier"] == "driver" and s2["tier"] == "distributed"
     assert a == b
+
+
+def test_byte_bpe_round_trip_and_zero_oov(spark):
+    """GPT-2-style byte-level mode: base symbols are UTF-8 bytes
+    rendered latin-1, so (a) token concatenation round-trips to the
+    original word through latin-1 -> UTF-8, and (b) text in scripts
+    NEVER SEEN in training still tokenizes — worst case into single
+    bytes — with zero OOV by construction."""
+    import re
+
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    rows = [
+        (1, "héllo wörld héllo wörld data data"),
+        (2, "héllo data wörld κόσμε"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, 16, min_pair_count=2, mode="byte")
+    assert merges  # multi-byte codepoints produce learnable pairs
+    out = {
+        r.doc_id: r
+        for r in apply_bpe(
+            df, merges, mode="byte", keep_tokens=100
+        ).collect()
+    }
+    # round-trip identity: concatenated tokens re-encode to the words
+    words = re.findall(r"[^\W_]+", rows[1][1].lower(), re.UNICODE)
+    joined = "".join(out[2].tokens).encode("latin-1").decode("utf-8")
+    assert joined == "".join(words)
+    # zero OOV: a training-disjoint script still tokenizes, exactly
+    # one token per UTF-8 byte (no merges can apply)
+    ru = spark.createDataFrame(
+        [(3, "мир труд май")], "doc_id long, text string"
+    )
+    got = apply_bpe(ru, merges, mode="byte").collect()[0]
+    n_bytes = sum(
+        len(w.encode("utf-8"))
+        for w in ["мир", "труд", "май"]
+    )
+    assert got.n_words == 3 and got.n_bpe_tokens == n_bytes
+
+
+def test_byte_bpe_tiers_agree(spark):
+    """Driver and distributed tiers stay bit-identical in byte mode
+    (the rendering happens before either tier sees a symbol)."""
+    from topn_spark.operators.textstats import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld héllo wörld κόσμε κόσμε data data " * 3)],
+        "doc_id long, text string",
+    )
+    driver = bpe_train(df, 12, min_pair_count=2, mode="byte")
+    dist = bpe_train(
+        df, 12, min_pair_count=2, mode="byte", vocab_driver_cap=0
+    )
+    assert driver == dist and len(driver) > 0
+
+
+def test_bpe_mode_validation(spark):
+    import pytest
+
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ascii.unicode.byte"):
+        bpe_train(df, 2, mode="bytes")
+    with pytest.raises(ValueError, match="ascii.unicode.byte"):
+        apply_bpe(df, [("a", "b")], mode="byte3")

@@ -1235,6 +1235,16 @@ def apply_bpe(
     tokenizer-application step, giving exact trained-tokenizer token
     counts rather than the whitespace/regex proxy of ``token_count``.
 
+    ``mode="byte"`` is GPT-2-style byte-level BPE (Radford et al.
+    2019): words come from the unicode rule, then each word's UTF-8
+    BYTES become the base symbols — rendered as latin-1 characters
+    (the bijective byte<->U+00FF map, the same trick as GPT-2's
+    printable byte alphabet), so the merge walk is unchanged. The
+    base alphabet is closed (<= 256 symbols), so every string
+    tokenizes with ZERO OOV by construction — the pretraining
+    standard; ``tokens`` in this mode are byte-rendered strings
+    (decode with latin-1 -> UTF-8 to recover text).
+
     Returns ``(id, n_words, n_bpe_tokens)`` (+ ``tokens`` with the
     first ``keep_tokens`` subwords when requested). One Arrow-batched
     ``mapInPandas`` pass — pure map-only, embarrassingly parallel;
@@ -1249,8 +1259,10 @@ def apply_bpe(
     out_cols = f"{id_col} {idt}, n_words long, n_bpe_tokens long"
     if keep_tokens:
         out_cols += ", tokens array<string>"
-    if mode not in ("ascii", "unicode"):
-        raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
+    if mode not in ("ascii", "unicode", "byte"):
+        raise ValueError(
+            f"unknown token mode {mode!r} (ascii|unicode|byte)"
+        )
 
     def _encode_word(word):
         parts = list(word)
@@ -1311,8 +1323,16 @@ def apply_bpe(
         return df.select(id_col, text_col).mapInPandas(
             _tok_run, out_cols
         )
+    toks = tokens(text_col, "unicode" if mode == "byte" else mode)
+    if mode == "byte":
+        # byte-render JVM-side (UTF-8 bytes as latin-1 chars) so the
+        # UDF's merge walk stays mode-agnostic symbol pushing
+        toks = F.transform(
+            toks,
+            lambda w: F.decode(F.encode(w, "UTF-8"), "ISO-8859-1"),
+        )
     words_col = F.coalesce(
-        tokens(text_col, mode), F.array().cast("array<string>")
+        toks, F.array().cast("array<string>")
     ).alias("_words")
     return df.select(id_col, words_col).mapInPandas(_run, out_cols)
 
@@ -1630,14 +1650,32 @@ def bpe_train(
     count/re-segment Spark rounds actually used (0 on the driver
     path: the merge loop schedules no jobs at all).
     """
-    spark = df.sparkSession
-    words = (
-        df.select(
-            # word rule follows the engine token mode (ascii default;
-            # mode="unicode" trains on any script — the merge loop
-            # itself is script-agnostic, it just sees symbol strings)
-            F.explode(tokens(text_col, mode)).alias("word")
+    if mode not in ("ascii", "unicode", "byte"):
+        raise ValueError(
+            f"unknown token mode {mode!r} (ascii|unicode|byte)"
         )
+    spark = df.sparkSession
+    # word rule follows the engine token mode (ascii default;
+    # mode="unicode" trains on any script; mode="byte" is GPT-2-style
+    # byte-level BPE: unicode words, then UTF-8 bytes as base
+    # symbols, rendered latin-1 so the merge loop — script-agnostic
+    # symbol pushing — is unchanged and both tiers stay
+    # bit-identical. <= 256 base symbols => zero OOV at application
+    # time, by construction. explode projected FIRST (generators
+    # can't nest inside expressions).
+    base = df.select(
+        F.explode(
+            tokens(text_col, "unicode" if mode == "byte" else mode)
+        ).alias("word")
+    )
+    if mode == "byte":
+        base = base.select(
+            F.decode(F.encode("word", "UTF-8"), "ISO-8859-1").alias(
+                "word"
+            )
+        )
+    words = (
+        base
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         # the empty-string filter is a no-op on Spark 4 but keeps the

@@ -8687,8 +8687,9 @@ def z42_corpus_overlap(spark, sf_dir):
 def _z43_tokenizer_eval_mirror(con):
     """Tokenizer-evaluation mirror: corpus-level fertility (subword
     tokens per word) for the fixed y26 BPE table vs the z38-trained
-    unigram-LM table, composed from the two already-proven mirrors;
-    ROUND-6 of one exact-int division each (tolerance 0)."""
+    unigram-LM table vs a BYTE-level BPE trained on the z38 slice,
+    composed from the already-proven mirrors; ROUND-6 of one
+    exact-int division each (tolerance 0)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     def rnd6(x):
@@ -8703,11 +8704,53 @@ def _z43_tokenizer_eval_mirror(con):
     bw, bt = sum(r[1] for r in brows), sum(r[2] for r in brows)
     _, urows = _z39_unigram_apply_mirror(con)
     uw, ut = sum(r[1] for r in urows), sum(r[2] for r in urows)
+    # byte-level BPE: train on the same slice the unigram-LM used,
+    # apply with the min-rank leftmost walk (the apply_bpe contract)
+    train_texts = [
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM documents WHERE doc_id % 5 != 0"
+        ).fetchall()
+    ]
+    _, _, merges = _byte_bpe_mirror(con, train_texts, 24)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc_len(word):
+        parts = list(word)
+        while True:
+            cands = [
+                (ranks[(parts[i], parts[i + 1])], i)
+                for i in range(len(parts) - 1)
+                if (parts[i], parts[i + 1]) in ranks
+            ]
+            if not cands:
+                return len(parts)
+            _, i = min(cands)
+            parts = (
+                parts[:i] + [parts[i] + parts[i + 1]] + parts[i + 2 :]
+            )
+
+    yw = yt = yn = 0
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300"
+        " ORDER BY doc_id"
+    ).fetchall():
+        words = con.execute(
+            r"SELECT regexp_extract_all(lower(?), '[\p{L}\p{N}]+')",
+            [text or ""],
+        ).fetchone()[0]
+        yn += 1
+        yw += len(words)
+        yt += sum(
+            enc_len(w.encode("utf-8").decode("latin-1"))
+            for w in words
+        )
     return (
         ["tokenizer", "n_docs", "total_words", "total_tokens",
          "fertility"],
         [
             ("bpe25", len(brows), bw, bt, rnd6(bt / bw)),
+            ("bytebpe24", yn, yw, yt, rnd6(yt / yw)),
             ("unigram150", len(urows), uw, ut, rnd6(ut / uw)),
         ],
     )
@@ -8720,10 +8763,11 @@ def _z43_tokenizer_eval_mirror(con):
     "setup runs before committing a vocabulary): corpus-level "
     "fertility — subword tokens per word, the standard compression "
     "metric — for the fixed 25-merge BPE table (y26) vs the "
-    "z38-trained 150-piece unigram-LM, both applied to the same "
-    "doc_id < 300 slice in one Arrow pass each and reduced to one "
-    "accounting row per tokenizer. Oracle: composed from the two "
-    "already-proven application mirrors, exact",
+    "z38-trained 150-piece unigram-LM vs a 24-merge BYTE-level BPE "
+    "trained on the same slice (z46's mode), all applied to the "
+    "same doc_id < 300 slice in one Arrow pass each and reduced to "
+    "one accounting row per tokenizer. Oracle: composed from the "
+    "already-proven application/training mirrors, exact",
     tol_oracle=_z43_tokenizer_eval_mirror,
     tolerance=0.0,
     tol_keys=("tokenizer",),
@@ -8732,6 +8776,7 @@ def z43_tokenizer_eval(spark, sf_dir):
     from topn_spark.operators.textstats import (
         apply_bpe,
         apply_unigram_lm,
+        bpe_train,
         unigram_lm_train,
     )
 
@@ -8760,7 +8805,18 @@ def z43_tokenizer_eval(spark, sf_dir):
     ulm = _acct(
         apply_unigram_lm(sl, pieces), "n_lm_tokens", "unigram150"
     )
-    return bpe.unionByName(ulm).orderBy("tokenizer")
+    byte_merges = bpe_train(
+        docs.where(F.col("doc_id") % 5 != 0),
+        24,
+        min_pair_count=2,
+        mode="byte",
+    )
+    byt = _acct(
+        apply_bpe(sl, byte_merges, mode="byte"),
+        "n_bpe_tokens",
+        "bytebpe24",
+    )
+    return bpe.unionByName(ulm).unionByName(byt).orderBy("tokenizer")
 
 
 @query(
@@ -8978,3 +9034,134 @@ def z45_langid_ngram(spark, sf_dir):
     counts, classes = train_langid(train)
     model, meta = langid_model_table(counts, classes)
     return langid_score(held, model, meta).orderBy("doc_id")
+
+
+def _byte_bpe_mirror(con, texts, n_merges, min_pair_count=2):
+    """Shared pure-Python Sennrich mirror for BYTE-level BPE: words
+    via the DuckDB RE2 unicode rule (dialect parity with Spark's
+    Java regex), each word's UTF-8 bytes rendered as latin-1 chars
+    (the same bijection the engine applies JVM-side), then the exact
+    max-count / lexicographic-tie merge loop. Returns
+    (vocab, segs, merges) — all-int counts and string symbols, so
+    downstream comparisons are exact."""
+    import collections
+
+    vocab = collections.Counter()
+    for t in texts:
+        words = con.execute(
+            r"SELECT regexp_extract_all(lower(?), '[\p{L}\p{N}]+')",
+            [t or ""],
+        ).fetchone()[0]
+        for w in words:
+            vocab[w.encode("utf-8").decode("latin-1")] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    while len(merges) < n_merges:
+        pc = collections.Counter()
+        for w, c in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < min_pair_count:
+            break
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        merges.append((a, b))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return vocab, segs, merges
+
+
+def _rnd6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _z46_byte_bpe_mirror(con):
+    """z46 mirror: byte-level Sennrich over the six-language planted
+    corpus (multi-byte UTF-8 scripts exercise real byte merges), plus
+    the applied corpus token count and fertility — exact equality
+    expected (tolerance 0; ints + one rounded IEEE division)."""
+    langs = sorted(_Z45_TRAIN)
+    ids = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id < 240"
+        ).fetchall()
+    ]
+    texts = [_Z45_TRAIN[langs[d % 6]] for d in ids]
+    vocab, segs, merges = _byte_bpe_mirror(con, texts, 24)
+    n_words = sum(vocab.values())
+    n_tokens = sum(len(segs[w]) * c for w, c in vocab.items())
+    rows = [
+        (r, a, b, n_words, n_tokens, _rnd6(n_tokens / n_words))
+        for r, (a, b) in enumerate(merges)
+    ]
+    return (
+        ["rank", "lhs", "rhs", "corpus_words", "corpus_bpe_tokens",
+         "fertility"],
+        rows,
+    )
+
+
+@query(
+    "z46_byte_bpe",
+    None,
+    doc="BYTE-LEVEL BPE training + application (textstats.py::"
+    "bpe_train mode='byte' — GPT-2-style, Radford et al. 2019): "
+    "words from the unicode rule, UTF-8 bytes as base symbols "
+    "(rendered latin-1, the bijective byte map), so the alphabet is "
+    "closed at <= 256 symbols and ANY string tokenizes with zero "
+    "OOV by construction — the actual pretraining standard. Trains "
+    "24 merges over a six-language three-script planted corpus "
+    "(multi-byte codepoints exercise real byte merges), applies the "
+    "table back, and reports corpus words/tokens/fertility. Same "
+    "two-tier trainer as z02 (driver Sennrich for model-sized "
+    "vocabs, batched sequential-equivalent rounds beyond). Oracle: "
+    "independent pure-Python byte-Sennrich mirror, exact",
+    tol_oracle=_z46_byte_bpe_mirror,
+    tolerance=0.0,
+    tol_keys=("rank",),
+)
+def z46_byte_bpe(spark, sf_dir):
+    from topn_spark.diag import _attach_scalar
+    from topn_spark.operators.textstats import apply_bpe, bpe_train
+
+    langs = sorted(_Z45_TRAIN)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 240
+    )
+    d = F.col("doc_id")
+    text = F.when(d % 6 == 0, F.lit(_Z45_TRAIN[langs[0]]))
+    for i in range(1, 6):
+        text = text.when(d % 6 == i, F.lit(_Z45_TRAIN[langs[i]]))
+    planted = docs.select("doc_id", text.alias("text"))
+    merges = bpe_train(planted, 24, min_pair_count=2, mode="byte")
+    totals = apply_bpe(planted, merges, mode="byte").agg(
+        F.sum("n_words").alias("corpus_words"),
+        F.sum("n_bpe_tokens").alias("corpus_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+    mdf = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+    return _attach_scalar(mdf, totals).orderBy("rank")
