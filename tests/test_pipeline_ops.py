@@ -1127,3 +1127,108 @@ def test_corpus_overlap_estimate_bounds(spark):
     dis = corpus_overlap_estimate(a, b, n=3).collect()[0]
     assert dis.est_intersection >= 0
     assert dis.est_intersection <= 0.05 * dis.ndv_union
+
+
+def test_pack_token_sequences_known_layout(spark):
+    """Hand-checkable concat-and-chunk: docs split across sequence
+    boundaries, no token dropped, every non-final sequence full."""
+    from topn_spark.operators.pipeline import (
+        pack_token_sequences,
+        packed_doc_spans,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["f", "g"]),
+        (3, []),  # empty doc contributes nothing
+        (4, ["h", "i", "j", "k", "l", "m", "n"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    seqs = {
+        r.seq_id: r
+        for r in pack_token_sequences(df, seq_len=4).collect()
+    }
+    assert seqs[0].tokens == ["a", "b", "c", "d"]
+    assert seqs[1].tokens == ["e", "f", "g", "h"] and seqs[1].n_docs == 3
+    assert seqs[2].tokens == ["i", "j", "k", "l"]
+    assert seqs[3].tokens == ["m", "n"] and seqs[3].n_tokens == 2
+    # padding fills ONLY the final short sequence; n_tokens stays real
+    padded = {
+        r.seq_id: r
+        for r in pack_token_sequences(
+            df, seq_len=4, pad_token="<pad>"
+        ).collect()
+    }
+    assert padded[3].tokens == ["m", "n", "<pad>", "<pad>"]
+    assert padded[3].n_tokens == 2 and padded[0].tokens == seqs[0].tokens
+    # boundary metadata: doc 4 spans sequences 1..3 with contiguous
+    # doc_start offsets — what attention-mask resets consume
+    spans = [
+        (r.seq_id, r.seq_start, r.doc_start, r.n_tokens)
+        for r in packed_doc_spans(df, seq_len=4)
+        .where("doc_id = 4")
+        .orderBy("seq_id")
+        .collect()
+    ]
+    assert spans == [(1, 3, 0, 1), (2, 0, 1, 4), (3, 0, 5, 2)]
+    # conservation: total packed tokens == total input tokens
+    total_in = sum(len(t) for _, t in rows)
+    assert sum(r.n_tokens for r in seqs.values()) == total_in
+
+
+def test_pack_token_sequences_by_groups_and_validation(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import pack_token_sequences
+
+    rows = [
+        (1, "s1", ["a", "b", "c"]),
+        (2, "s1", ["d", "e"]),
+        (3, "s2", ["x", "y", "z", "w"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, shard string, tokens array<string>"
+    )
+    out = {
+        (r.shard, r.seq_id): r.tokens
+        for r in pack_token_sequences(
+            df, seq_len=3, by=("shard",)
+        ).collect()
+    }
+    # sequences number independently per group (the per-shard window)
+    assert out[("s1", 0)] == ["a", "b", "c"]
+    assert out[("s1", 1)] == ["d", "e"]
+    assert out[("s2", 0)] == ["x", "y", "z"]
+    assert out[("s2", 1)] == ["w"]
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_token_sequences(df, seq_len=0)
+
+
+def test_export_packed_shards_token_exact_and_tamper_detect(
+    spark, tmp_path
+):
+    """pack -> shard -> manifest composition: the manifest token
+    total equals the input corpus token count exactly, verify_shards
+    is green, and deleting a shard file fails the recount loudly."""
+    import glob
+    import os
+
+    from topn_spark.operators.pipeline import (
+        export_packed_shards,
+        verify_shards,
+    )
+
+    rows = [(i, [f"t{i}_{j}" for j in range(i % 7 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = str(tmp_path / "packed")
+    manifest = export_packed_shards(df, out, n_shards=4, seq_len=8)
+    total_in = sum(len(t) for _, t in rows)
+    got = manifest.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got == total_in  # token-exact, pads never counted
+    v = verify_shards(spark, out, token_col="n_tokens")
+    assert all(r.ok for r in v.collect())
+    # tamper: drop one data file -> that shard's recount mismatches
+    victim = sorted(glob.glob(f"{out}/shard=*/part-*.parquet"))[0]
+    os.remove(victim)
+    v2 = verify_shards(spark, out, token_col="n_tokens")
+    assert not all(r.ok for r in v2.collect())

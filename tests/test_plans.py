@@ -295,6 +295,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         # round-8: language ID, byte BPE, sequence packing
         "z45_langid_ngram",
         "z46_byte_bpe",
+        "z47_pack_sequences",
     ):
         warns = [
             f

@@ -54,6 +54,9 @@ from topn_spark.operators.pipeline import (
     histogram,
     merge_upsert,
     pack_sequences,
+    pack_token_sequences,
+    packed_doc_spans,
+    export_packed_shards,
     redact_pii,
     resample_ffill,
     resample_interpolate,
@@ -163,6 +166,9 @@ __all__ = [
     "stratified_sample",
     "stratified_split",
     "pack_sequences",
+    "pack_token_sequences",
+    "packed_doc_spans",
+    "export_packed_shards",
     "redact_pii",
     "token_heavy_hitters",
     "contamination_check",

@@ -322,6 +322,262 @@ def pack_sequences(
     )
 
 
+def _packed_spans(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    seq_len: int,
+    by: tuple[str, ...],
+    order_col: str,
+) -> DataFrame:
+    """Shared span arithmetic for GPT-style concat-and-chunk packing:
+    walk documents in ``order_col`` order, concatenate their token
+    streams, and cut every ``seq_len`` tokens — documents SPLIT
+    across sequence boundaries (unlike :func:`pack_sequences`' bin
+    fill, which keeps documents whole). Emits one row per
+    (document, sequence) overlap with pure-arithmetic offsets:
+    everything below derives from ONE prefix sum over token counts;
+    no token is exploded.
+
+    Prefix-sum shape: with ``by`` keys the cumsum is a window per
+    group. WITHOUT keys (one global token stream) a naive keyless
+    window funnels the whole dataset through one task, so for
+    integral ``order_col`` this runs the standard TWO-LEVEL scan
+    instead: order-preserving value-range buckets, a per-bucket
+    cumsum window (parallel), and a keyless window only over the
+    BUCKET-TOTALS table (one row per bucket — model-sized, the
+    benign shape), whose offsets broadcast-join back. Identical
+    result — bucket boundaries cancel out of the sum — at any
+    scale. A non-integral keyless ``order_col`` falls back to the
+    single-task window (correct, serialized; supply ``by`` or an
+    integral order there). ``order_col`` must be unique within its
+    ``by`` group: ties make "earlier document" ambiguous in ANY
+    prefix-sum formulation."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    base = df.withColumn(
+        "_n", F.size(tokens_col).cast("bigint")
+    ).where(F.col("_n") > 0)
+    integral = isinstance(
+        df.schema[order_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    bounds = None
+    if not by and integral:
+        bounds = base.agg(
+            F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+        ).collect()[0]
+    if bounds is not None and bounds["mn"] is not None:
+        mn, mx = int(bounds["mn"]), int(bounds["mx"])
+        width = max(1, (mx - mn) // 1024 + 1)
+        bucket = F.floor((F.col(order_col) - mn) / width).cast(
+            "bigint"
+        )
+        base = base.withColumn("_bkt", bucket)
+        totals = base.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
+        bw = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_bkt",
+            F.coalesce(
+                F.sum("_bn").over(bw), F.lit(0).cast("bigint")
+            ).alias("_base"),
+        )
+        iw = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = (
+            base.join(F.broadcast(offsets), "_bkt")
+            .withColumn(
+                "_off",
+                F.col("_base")
+                + F.coalesce(
+                    F.sum("_n").over(iw), F.lit(0).cast("bigint")
+                ),
+            )
+            .drop("_bkt", "_base")
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = base.withColumn(
+            "_off",
+            F.coalesce(F.sum("_n").over(w), F.lit(0).cast("bigint")),
+        )
+    spans = base.select(
+        *by,
+        F.col(id_col),
+        F.col(tokens_col).alias("_toks"),
+        "_n",
+        "_off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_off") / L),
+                F.floor((F.col("_off") + F.col("_n") - 1) / L),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * L, F.col("_off"))
+    hi = F.least(
+        (F.col("seq_id") + 1) * L, F.col("_off") + F.col("_n")
+    )
+    return spans.select(
+        *by,
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col(id_col),
+        (lo - F.col("seq_id") * L).cast("bigint").alias("seq_start"),
+        (lo - F.col("_off")).cast("bigint").alias("doc_start"),
+        (hi - lo).cast("bigint").alias("n_tokens"),
+        "_toks",
+    )
+
+
+def packed_doc_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    by: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Document-boundary metadata for :func:`pack_token_sequences`:
+    ``(seq_id, id, seq_start, doc_start, n_tokens)`` — one row per
+    (document, sequence) overlap, saying which slice of the document
+    occupies which positions of which packed sequence. This is what a
+    trainer consumes to reset attention masks / loss spans at
+    document boundaries inside a packed sequence.
+
+    Pure arithmetic over token COUNTS (one window cumsum + a
+    per-overlap explode — a document touches ``ceil(len/seq_len)+1``
+    sequences at most); the token arrays are never opened. Scale:
+    same contract as :func:`pack_sequences` — pass ``by`` (e.g. a
+    shard key) at 100 TB so the cumsum window is per-group, not one
+    global task; sequences then number independently per group,
+    which is exactly what per-shard training files want."""
+    return _packed_spans(
+        df, tokens_col, id_col, seq_len, by, order_col
+    ).drop("_toks")
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    by: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+    pad_token: str | int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing — the stage between a tokenizer and
+    shard export: concatenate tokenized documents in ``order_col``
+    order and emit fixed-length training sequences
+    ``(seq_id, n_docs, n_tokens, tokens)``; documents split across
+    boundaries, so no token is dropped and (except the final
+    sequence) every sequence is exactly ``seq_len`` long. The final
+    short sequence is emitted as-is, or padded to ``seq_len`` when
+    ``pad_token`` is given (``n_tokens`` still counts REAL tokens).
+    Deterministic: packing is pure arithmetic over token counts, so
+    the same input always yields byte-identical sequences (the
+    property that makes packed exports resumable and auditable).
+
+    Plan: the :func:`packed_doc_spans` arithmetic, then each overlap
+    slices its document's token array (``slice`` — no per-token
+    explode) and sequences reassemble with one hash agg
+    (``array_sort`` on (seq_start, piece) structs + ``flatten``).
+    One window cumsum + one shuffle on ``seq_id``. Scale: pass
+    ``by`` at 100 TB (see :func:`packed_doc_spans`)."""
+    spans = _packed_spans(
+        df, tokens_col, id_col, seq_len, by, order_col
+    )
+    piece = spans.select(
+        *by,
+        "seq_id",
+        F.struct(
+            F.col("seq_start"),
+            F.slice(
+                "_toks",
+                (F.col("doc_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ).alias("piece"),
+        ).alias("_sp"),
+    )
+    out = (
+        piece.groupBy(*by, "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_sp")),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+    )
+    if pad_token is not None:
+        elem = out.schema["tokens"].dataType.elementType.simpleString()
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(
+                    F.lit(pad_token).cast(elem),
+                    (F.lit(int(seq_len)) - F.size("tokens")).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    return out.select(*by, "seq_id", "n_docs", "n_tokens", "tokens")
+
+
+def export_packed_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    order_col: str = "doc_id",
+    pad_token: str | int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Tokenized docs -> packed fixed-length sequences -> sharded
+    training export, in one call: :func:`pack_token_sequences` then
+    :func:`export_training_shards` keyed by ``seq_id`` with
+    token-exact per-shard manifests (``n_tokens`` sums REAL tokens,
+    so the manifest total equals the input corpus token count — the
+    audit a trainer runs before an epoch). Verify with
+    :func:`verify_shards` (``token_col="n_tokens"``); a torn export
+    fails the recount loudly."""
+    packed = pack_token_sequences(
+        df,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        seq_len=seq_len,
+        order_col=order_col,
+        pad_token=pad_token,
+    )
+    return export_training_shards(
+        packed,
+        out_dir,
+        n_shards,
+        id_col="seq_id",
+        token_col="n_tokens",
+        salt=salt,
+    )
+
+
 #: redaction patterns, applied in order (URL before EMAIL so a URL
 #: containing '@' is consumed as one token; digit-runs last so the
 #: placeholders themselves are never re-matched). Plain RE2-compatible

@@ -9165,3 +9165,57 @@ def z46_byte_bpe(spark, sf_dir):
         "rank int, lhs string, rhs string",
     )
     return _attach_scalar(mdf, totals).orderBy("rank")
+
+
+@query(
+    "z47_pack_sequences",
+    r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 400),
+c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece
+  FROM s)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+    AS n_tokens,
+  flatten(list(piece ORDER BY seq_start)) AS tokens
+FROM p GROUP BY seq_id ORDER BY seq_id ASC""",
+    doc="GPT-style SEQUENCE PACKING (pipeline.py::"
+    "pack_token_sequences) — the stage between tokenizer and shard"
+    " export: concatenate tokenized documents in doc order, cut"
+    " every 32 tokens; documents split across boundaries so no token"
+    " is dropped and every non-final sequence is exactly full."
+    " Deterministic pure arithmetic over ONE window cumsum of token"
+    " counts (no per-token explode: each (doc, sequence) overlap"
+    " slices its document array), then one hash agg reassembles"
+    " sequences. The companion packed_doc_spans emits the"
+    " (seq_start, doc_start, n) boundary metadata a trainer uses for"
+    " attention-mask resets. Oracle: the identical arithmetic in"
+    " DuckDB window + list ops, hash-exact including the full token"
+    " arrays",
+)
+def z47_pack_sequences(spark, sf_dir):
+    from topn_spark.operators.pipeline import pack_token_sequences
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", tokens("text").alias("tokens"))
+    )
+    return pack_token_sequences(docs, seq_len=32).orderBy("seq_id")
