@@ -296,6 +296,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z45_langid_ngram",
         "z46_byte_bpe",
         "z47_pack_sequences",
+        "z48_script_tokens",
     ):
         warns = [
             f

@@ -1068,3 +1068,65 @@ def test_bpe_mode_validation(spark):
         bpe_train(df, 2, mode="bytes")
     with pytest.raises(ValueError, match="ascii.unicode.byte"):
         apply_bpe(df, [("a", "b")], mode="byte3")
+
+
+def test_script_mode_tokens_cjk_fallback(spark):
+    """mode='script': Han/Kana chars are one token each, other
+    scripts keep the word rule — mixed CJK/Latin text tokenizes
+    sensibly where the plain unicode rule lumps whole runs."""
+    from topn_spark.operators.textstats import add_token_stats, tokens
+
+    rows = [
+        (1, "孩子们read书books"),
+        (2, "カタカナとひらがな"),
+        (3, "plain latin 42"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", tokens("text", "script").alias("t")
+        ).collect()
+    }
+    assert got[1] == ["孩", "子", "们", "read", "书", "books"]
+    assert got[2] == list("カタカナとひらがな")
+    assert got[3] == ["plain", "latin", "42"]  # latin unchanged
+    assert got[4] is None
+    # the downstream featurizers accept the mode transparently
+    stats = {
+        r.doc_id: r.n_tokens
+        for r in add_token_stats(df, mode="script").collect()
+    }
+    assert stats[1] == 6 and stats[2] == 9 and stats[3] == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="ascii.unicode.script"):
+        tokens("text", "cjk")
+
+
+def test_script_profile_routes_tokenizer_mode(spark):
+    """The deployment shape the scope notes prescribe: script_profile
+    picks the token rule per document — char-level for Han-dominant
+    text, word rule for Latin — in one pass."""
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.textstats import script_profile, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "孩子们在图书馆里安静地读书"),
+            (2, "the children read quietly in the library"),
+        ],
+        "doc_id long, text string",
+    )
+    routed = script_profile(df).withColumn(
+        "toks",
+        F.when(
+            F.col("dominant_script") == "han",
+            tokens("text", "script"),
+        ).otherwise(tokens("text", "unicode")),
+    )
+    out = {r.doc_id: r for r in routed.collect()}
+    assert out[1].dominant_script == "han" and len(out[1].toks) == 13
+    assert out[2].dominant_script == "latin" and len(out[2].toks) == 7

@@ -21,6 +21,13 @@ TOKEN_RE = "[a-z0-9]+"
 #: (DuckDB oracles) — verified dialect-aligned incl. lower() casing.
 UNICODE_TOKEN_RE = r"[\p{L}\p{N}]+"
 
+#: unsegmented-script character class for ``mode="script"`` — the
+#: scripts written without word-delimiting whitespace, each character
+#: becoming its own token. Java regex spells scripts \p{IsX}; the
+#: RE2 (DuckDB-oracle) spelling is \p{X} — same sets, the
+#: script_profile dialect pair.
+CJK_CHAR_RE = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
+
 #: tiny per-language function-word marker sets for the n-gram/stopword
 #: heuristic language ID (public-knowledge stopword lists, truncated).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -35,7 +42,19 @@ def tokens(text_col: str = "text", mode: str = "ascii") -> Column:
     """Token array under the engine token rule. ``mode="ascii"`` is
     the historical ``[a-z0-9]+`` rule (fast, Latin-only — non-Latin
     text mis-tokenizes); ``mode="unicode"`` tokenizes letters+numbers
-    in ANY script via ``\\p{L}\\p{N}`` category classes."""
+    in ANY script via ``\\p{L}\\p{N}`` category classes;
+    ``mode="script"`` is the whitespace-free-script fallback — Han /
+    Hiragana / Katakana characters become ONE TOKEN EACH (the
+    standard char-level treatment for unsegmented scripts) while
+    every other script keeps the unicode word rule, so mixed
+    CJK/Latin text tokenizes sensibly. Route corpora here via
+    ``script_profile``'s ``dominant_script``.
+
+    The script split is two portable regex steps (space-isolate CJK
+    chars, then the unicode word rule) rather than a class
+    INTERSECTION (``&&`` exists in Java regex but not RE2, and
+    oracle parity through the DuckDB dialect pair is the contract
+    here)."""
     if mode == "ascii":
         return F.expr(
             f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
@@ -45,7 +64,18 @@ def tokens(text_col: str = "text", mode: str = "ascii") -> Column:
         return F.regexp_extract_all(
             F.lower(text_col), F.lit(UNICODE_TOKEN_RE), F.lit(0)
         )
-    raise ValueError(f"unknown token mode {mode!r} (ascii|unicode)")
+    if mode == "script":
+        spaced = F.regexp_replace(
+            F.col(text_col),
+            F.lit("(" + CJK_CHAR_RE + ")"),
+            F.lit(" $1 "),
+        )
+        return F.regexp_extract_all(
+            F.lower(spaced), F.lit(UNICODE_TOKEN_RE), F.lit(0)
+        )
+    raise ValueError(
+        f"unknown token mode {mode!r} (ascii|unicode|script)"
+    )
 
 
 def token_count(text_col: str = "text", mode: str = "ascii") -> Column:
@@ -124,6 +154,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     Unlike :func:`add_quality` (a simplified heuristic), every rule
     here is the published one, each exposed as its own column so a
     pipeline can re-threshold or ablate rules individually.
+
+    SCOPE — space-delimited text only: every word-based rule here
+    inherits the paper's whitespace word definition, so on
+    unsegmented scripts (Han/Kana: no spaces) a whole sentence counts
+    as ONE "word" and the word-count / word-length gates reject
+    systematically. Route corpora by ``script_profile``'s
+    ``dominant_script`` (z20) and gate CJK text on script-appropriate
+    signals (e.g. character counts over ``tokens(mode="script")``)
+    instead of this suite.
 
     Scale shape: map-only Catalyst expressions — the word and line
     arrays are bound in their own projections and referenced many
@@ -325,6 +364,11 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     is both the faster and the simpler form — the sanctioned Arrow
     case. Map-only, no model state, embarrassingly parallel: at
     100 TB this is one scan, no shuffle.
+
+    SCOPE: the n-grams are over whitespace words (the paper's
+    definition) — on unsegmented scripts a document is one giant
+    "word", so the duplicate-gram signals never fire; route CJK
+    corpora per :func:`gopher_rules`' scope note.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -366,6 +410,13 @@ def c4_line_filter(
     pages containing the placeholder phrase "lorem ipsum", and pages
     containing a curly brace. The thresholds default to the published
     §2.2 constants and are parameters for deliberate deviation.
+
+    SCOPE: the per-line word count splits on whitespace and the
+    sentence gate counts ``.!?`` marks — both assumptions of
+    space-delimited, Western-punctuated text (C4 is an
+    English-corpus recipe). CJK text uses ideographic punctuation
+    and no spaces, so route it per :func:`gopher_rules`' scope note
+    rather than through this filter.
 
     Emits ``clean_text`` (kept lines re-joined), the line/sentence
     counts, and the composite ``c4_keep`` flag. Map-only higher-order

@@ -9219,3 +9219,78 @@ def z47_pack_sequences(spark, sf_dir):
         .select("doc_id", tokens("text").alias("tokens"))
     )
     return pack_token_sequences(docs, seq_len=32).orderBy("seq_id")
+
+
+#: planted mixed-script fixtures for the z48 script-aware tokenizer:
+#: Han, Kana, CJK/Latin mixed (no spaces around the CJK runs), and a
+#: Latin control — the shapes where the space-delimited word rules
+#: break and the char-level fallback is the standard treatment.
+_Z48_SHAPES = (
+    "孩子们在安静的图书馆里读书他们喜欢这些故事",
+    "こどもたちはしずかなとしょかんでほんをよみます",
+    "GPT模型のtraining dataは大きい123です",
+    "plain latin words with numbers 42 only",
+)
+
+
+@query(
+    "z48_script_tokens",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN '孩子们在安静的图书馆里读书他们喜欢这些故事'
+      WHEN 1 THEN 'こどもたちはしずかなとしょかんでほんをよみます'
+      WHEN 2 THEN 'GPT模型のtraining dataは大きい123です'
+      ELSE 'plain latin words with numbers 42 only'
+    END || ' nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 400),
+s AS (
+  SELECT doc_id,
+    regexp_extract_all(
+      lower(regexp_replace(text,
+        '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g')),
+      '[\p{L}\p{N}]+') AS toks,
+    regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS wtoks
+  FROM t)
+SELECT doc_id, toks,
+  CAST(len(toks) AS BIGINT) AS n_script_tokens,
+  CAST(len(wtoks) AS BIGINT) AS n_unicode_tokens
+FROM s ORDER BY doc_id ASC""",
+    doc="Script-aware tokenization fallback for unsegmented scripts"
+    " (textstats.py::tokens mode='script'): Han/Hiragana/Katakana"
+    " characters become one token each — the standard char-level"
+    " treatment, since no whitespace word rule exists for these"
+    " scripts — while other scripts keep the unicode word rule, so"
+    " mixed CJK/Latin text tokenizes sensibly (route corpora here"
+    " via script_profile's dominant_script, z20). Implemented as two"
+    " portable regex steps (space-isolate CJK chars, then the word"
+    " rule) because RE2 lacks Java's class intersection; emitted"
+    " beside the plain unicode-rule count to show the lumping the"
+    " fallback fixes. Map-only, codegen'd, no UDF. Oracle: the"
+    " identical two-step rule in the DuckDB RE2 dialect"
+    " (\\p{IsX} -> \\p{X}), hash-exact including token arrays",
+)
+def z48_script_tokens(spark, sf_dir):
+    from topn_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    text = F.when(d % 4 == 0, F.lit(_Z48_SHAPES[0]))
+    for i in range(1, 4):
+        text = text.when(d % 4 == i, F.lit(_Z48_SHAPES[i]))
+    planted = docs.select(
+        "doc_id",
+        F.concat(text, F.lit(" nr "), d.cast("string")).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        tokens("text", "script").alias("toks"),
+        F.size(tokens("text", "script")).cast("bigint").alias(
+            "n_script_tokens"
+        ),
+        F.size(tokens("text", "unicode")).cast("bigint").alias(
+            "n_unicode_tokens"
+        ),
+    ).orderBy("doc_id")
