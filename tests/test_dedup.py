@@ -145,3 +145,58 @@ def test_dedup_against_infers_common_columns(spark):
     # only `text` is common -> dedup on text
     out = dedup_against(new, base)
     assert [r.text for r in out.collect()] == ["y"]
+
+
+def test_lsh_pairs_md5_matches_python_mirror(spark):
+    """The portable md5 MinHash family: pair set and estimated
+    Jaccard reproduce EXACTLY from an independent pure-Python mirror
+    of the documented hash recipe (the cross-engine property the
+    family exists for)."""
+    import hashlib
+    from itertools import combinations
+
+    from topn_spark.operators.dedup import lsh_pairs_md5
+
+    base = ("the cat sat on the mat near the red door today "
+            "and watched the quiet street below").split()
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:10] + ["changed"] + base[11:])),  # near dup
+        (3, " ".join(w + "x" for w in base)),  # disjoint shingles
+        (4, "too short"),  # < 3 tokens of shingle -> no signature
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.est_j
+        for r in lsh_pairs_md5(df, threshold=0.5).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def sig(text):
+        toks = __import__("re").findall("[a-z0-9]+", text.lower())
+        sh = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if not sh:
+            return None
+        return [min(md5(f"{j}:{s}") for s in sh) for j in range(8)]
+
+    sigs = {i: sig(t) for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        sa, sb = sigs[a], sigs[b]
+        if sa is None or sb is None:
+            continue
+        banded = any(
+            md5(sa[2 * k] + sa[2 * k + 1]) == md5(sb[2 * k] + sb[2 * k + 1])
+            for k in range(4)
+        )
+        est = sum(x == y for x, y in zip(sa, sb)) / 8.0
+        if banded and est >= 0.5:
+            want[(a, b)] = est
+    assert got == want and (1, 2) in got
+    # invalid band split is a config error, not silent truncation
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        lsh_pairs_md5(df, num_hashes=8, bands=3)

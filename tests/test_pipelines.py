@@ -1089,3 +1089,295 @@ def test_langid_plugin_routes_and_validates(spark, tmp_path):
         compile_pipeline(spark, bad)
     msg = str(ei.value)
     assert "modelPath" in msg and "maybe" in msg
+
+
+# ---------------------------------------------------------------- #
+# the full pretraining-data pipeline spec (examples/                #
+# pretrain_corpus_pipeline.json): WARC files on disk -> shards on   #
+# disk, every drop stage exercised by a planted pathology           #
+# ---------------------------------------------------------------- #
+
+#: clean-English sentence pool — each fixture doc is these six lines
+#: plus one doc-specific tag line, so every doc passes Gopher
+#: (>= 50 words, stopwords, mean word len) and C4 (>= 5 sentences,
+#: every line >= 3 words ending in '.').
+_E2E_LINES = (
+    "the quick brown fox jumps over the lazy dog near the river.",
+    "the small children read their books in the quiet library.",
+    "a gentle rain falls on the green hills and the fisherman waits.",
+    "the wooden boat drifts along the calm water with morning light.",
+    "every village keeps the harvest of the long summer in the barn.",
+    "the teacher walks to the market and buys bread with the coin.",
+)
+
+_E2E_SEEDS = {
+    "en": "the quick brown fox jumps over the lazy dog and the small"
+    " children read their books in the quiet library",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux"
+    " et les petits enfants lisent leurs livres dans la tranquille"
+    " bibliotheque du village pres de la riviere",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund"
+    " und die kleinen kinder lesen ihre buecher in der stillen"
+    " bibliothek des dorfes am fluss",
+}
+
+
+def _e2e_doc(tag: str) -> str:
+    return "\n".join(
+        _E2E_LINES
+        + (f"the farmer counts {tag} baskets of apples every evening.",)
+    )
+
+
+def _e2e_corpus() -> list[tuple[str, str]]:
+    """(uri, page text) fixtures: six clean docs, one exact-dup pair,
+    one near-dup pair, and one planted drop per filter stage."""
+    docs = [
+        (f"http://crawl.test/clean/{i}", _e2e_doc(f"tag{c}{c}"))
+        for i, c in enumerate("abcdef")
+    ]
+    docs += [
+        ("http://crawl.test/dup/a", _e2e_doc("dupword")),
+        ("http://crawl.test/dup/b", _e2e_doc("dupword")),
+        ("http://crawl.test/near/a", _e2e_doc("nearone")),
+        ("http://crawl.test/near/b", _e2e_doc("neartwo")),
+        # Gopher drop: far under 50 words
+        ("http://crawl.test/bad/short", "the end."),
+        # C4 drop: enough words, but no line ends in terminal
+        # punctuation -> zero kept lines -> under 5 sentences
+        (
+            "http://crawl.test/bad/nolines",
+            "\n".join(ln.rstrip(".") for ln in _E2E_LINES) + "\n"
+            + "the miller grinds the grain of the field all day",
+        ),
+        # perplexity drop: English-shaped function words around
+        # out-of-vocabulary nonsense -> passes Gopher/C4/langid,
+        # scores far above the head-cut under the fixture LM
+        (
+            "http://crawl.test/bad/gibberish",
+            "\n".join(
+                f"the {a} and the {b} of the {c} with the {d}."
+                for a, b, c, d in [
+                    ("qun", "blit", "dran", "grun"),
+                    ("vor", "mox", "felp", "snib"),
+                    ("zeth", "crad", "plon", "wisk"),
+                    ("jarn", "tove", "brill", "gyre"),
+                    ("slith", "mimsy", "borog", "rath"),
+                    ("frum", "bander", "jubju", "tulg"),
+                    ("uffish", "whiff", "burbl", "galum"),
+                ]
+            ),
+        ),
+        # language drop: French page, keepOnly=en
+        (
+            "http://crawl.test/bad/french",
+            "\n".join([_E2E_SEEDS["fr"] + "." for _ in range(7)]),
+        ),
+    ]
+    return docs
+
+
+def test_pretrain_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The product proof: the shipped examples spec runs WARC files
+    on disk through extract -> langid -> Gopher -> C4 -> perplexity
+    -> dedup -> leakage-safe split -> byte BPE -> packing -> verified
+    shards, each stage dropping exactly its planted pathology."""
+    import json
+
+    from topn_spark.operators.langid import save_langid, train_langid
+    from topn_spark.operators.lm import save_bigram_lm, train_bigram_lm
+    from topn_spark.operators.pipeline import verify_shards
+    from topn_spark.operators.textstats import (
+        bpe_train,
+        save_bpe_merges,
+    )
+    from topn_spark.sources.warc import encode_warc
+
+    docs = _e2e_corpus()
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    half = len(docs) // 2
+    for k, chunk in enumerate((docs[:half], docs[half:])):
+        (warc_dir / f"seg{k}.warc").write_bytes(
+            encode_warc(
+                [("response", uri, text.encode()) for uri, text in chunk]
+            )
+        )
+
+    # train the three artifacts once, exactly as the spec comment says
+    seeds = spark.createDataFrame(
+        list(_E2E_SEEDS.items()), "lang string, text string"
+    )
+    lang_model = str(tmp_path / "langid_model")
+    save_langid(*train_langid(seeds), lang_model)
+    clean = spark.createDataFrame(
+        [(u, t) for u, t in docs if "/bad/" not in u],
+        "doc_id string, text string",
+    )
+    lm_model = str(tmp_path / "lm_model")
+    save_bigram_lm(*train_bigram_lm(clean), lm_model)
+    merges_path = str(tmp_path / "bpe_merges")
+    save_bpe_merges(
+        spark, bpe_train(clean, 30, mode="byte"), merges_path
+    )
+
+    with open("examples/pretrain_corpus_pipeline.json") as f:
+        spec = json.load(f)
+    out_dir = str(tmp_path / "shards")
+    subs = {
+        "input": str(warc_dir / "*.warc"),
+        "langModel": lang_model,
+        "lang": "en",
+        "lmModel": lm_model,
+        "maxPpl": "80",
+        "merges": merges_path,
+        "seqLen": "16",
+        "out": out_dir,
+        "nShards": "4",
+    }
+    # deploy-phase validation passes with every macro deferred and
+    # runs NO jobs on the real corpus
+    compile_pipeline(spark, spec)
+    out = run_pipeline(spark, spec, subs)
+
+    uris = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    survivors = {u for u, _ in docs if "/bad/" not in u}
+    # each planted pathology dies at ITS stage
+    after_lang = uris(out["lang"])
+    assert "http://crawl.test/bad/french" not in after_lang
+    assert survivors | {
+        "http://crawl.test/bad/short",
+        "http://crawl.test/bad/nolines",
+        "http://crawl.test/bad/gibberish",
+    } <= after_lang
+    after_gopher = uris(out["gopher"])
+    assert "http://crawl.test/bad/short" not in after_gopher
+    assert "http://crawl.test/bad/nolines" in after_gopher
+    after_c4 = uris(out["c4"])
+    assert "http://crawl.test/bad/nolines" not in after_c4
+    assert "http://crawl.test/bad/gibberish" in after_c4
+    after_ppl = uris(out["ppl"])
+    assert "http://crawl.test/bad/gibberish" not in after_ppl
+    assert after_ppl == survivors
+    # exact dedup keeps the lexicographically-first duplicate
+    after_dedup = uris(out["dedup"])
+    assert after_dedup == survivors - {"http://crawl.test/dup/b"}
+    # leakage safety: the near-dup pair lands in ONE split
+    splits = {
+        r.doc_id: r.split for r in out["split"].collect()
+    }
+    assert (
+        splits["http://crawl.test/near/a"]
+        == splits["http://crawl.test/near/b"]
+    )
+    # packing conserves every token of the train split
+    train_tokens = {
+        r.doc_id: r.n_bpe_tokens for r in out["tok"].collect()
+    }
+    assert set(train_tokens) == {
+        u for u, s in splits.items() if s == "train"
+    }
+    packed = out["pack"].collect()
+    assert sum(r.n_tokens for r in packed) == sum(train_tokens.values())
+    assert all(
+        r.n_tokens == 16 for r in packed[:-1]
+    ) or sum(r.n_tokens != 16 for r in packed) <= 1
+    # shards on disk: manifest-verified, token-exact
+    verdict = verify_shards(spark, out_dir, token_col="n_tokens")
+    rows = verdict.collect()
+    assert rows and all(r.ok for r in rows)
+    assert sum(r.n_docs for r in rows) == len(packed)
+    assert sum(r.n_tokens for r in rows) == sum(
+        t for t in train_tokens.values()
+    )
+
+
+def test_new_stage_validation_failures(spark, tmp_path):
+    """Config validation for the round-8 plugins: every bad property
+    is COLLECTED (multi-error, the reference's FailureCollector
+    discipline), not raised first-error-only."""
+    src = _golden_source(spark, tmp_path)
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": src}},
+            {
+                "name": "split",
+                "plugin": "LeakageSafeSplit",
+                "properties": {
+                    "textField": "nope",
+                    "family": "sha9",
+                    "numHashes": "x",
+                    "threshold": "fast",
+                },
+            },
+            {
+                "name": "tok",
+                "plugin": "Tokenize",
+                "properties": {"mode": "latin"},
+            },
+            {
+                "name": "pack",
+                "plugin": "PackSequences",
+                "properties": {"seqLen": "0", "tokensField": "nope"},
+            },
+            {
+                "name": "shards",
+                "plugin": "ShardSink",
+                "properties": {"path": str(tmp_path / "s")},
+            },
+        ],
+        "connections": [
+            {"from": "src", "to": "split"},
+            {"from": "split", "to": "tok"},
+            {"from": "tok", "to": "pack"},
+            {"from": "pack", "to": "shards"},
+        ],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, spec)
+    msg = str(ei.value)
+    for frag in (
+        "textField", "sha9", "numHashes", "threshold", "latin",
+        "seqLen", "nShards",
+    ):
+        assert frag in msg, frag
+
+
+def test_warc_source_stage_reads_files(spark, tmp_path):
+    """Warc batchsource: .warc files on disk -> records, file path as
+    blob_id; strict validation catches bad literals."""
+    from topn_spark.sources.warc import encode_warc
+
+    p = tmp_path / "one.warc"
+    p.write_bytes(
+        encode_warc(
+            [
+                ("response", "http://t/1", b"<p>hello there</p>"),
+                ("request", "http://t/1", b"GET /"),
+            ]
+        )
+    )
+    spec = {
+        "stages": [
+            {
+                "name": "src",
+                "plugin": "Warc",
+                "properties": {"path": str(p)},
+            },
+        ],
+        "connections": [],
+    }
+    out = run_pipeline(spark, spec)["src"].collect()
+    assert len(out) == 2
+    assert {r.warc_type for r in out} == {"response", "request"}
+    assert all(r.blob_id.endswith("one.warc") for r in out)
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "Warc", "properties": {"strict": "no"}},
+        ],
+        "connections": [],
+    }
+    with pytest.raises(ValidationError) as ei:
+        compile_pipeline(spark, bad)
+    assert "path" in str(ei.value) and "strict" in str(ei.value)

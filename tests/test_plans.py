@@ -297,6 +297,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z46_byte_bpe",
         "z47_pack_sequences",
         "z48_script_tokens",
+        "z49_pretrain_pipeline",
     ):
         warns = [
             f

@@ -1130,3 +1130,30 @@ def test_script_profile_routes_tokenizer_mode(spark):
     out = {r.doc_id: r for r in routed.collect()}
     assert out[1].dominant_script == "han" and len(out[1].toks) == 13
     assert out[2].dominant_script == "latin" and len(out[2].toks) == 7
+
+
+def test_apply_bpe_keep_all_tokens(spark):
+    """keep_tokens=-1 keeps EVERY subword (the full-array shape a
+    sequence packer consumes): the array length equals n_bpe_tokens
+    for every document, and a positive cap still truncates."""
+    from topn_spark.operators.textstats import apply_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "newer wider low")],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    full = {
+        r.doc_id: r
+        for r in apply_bpe(df, merges, keep_tokens=-1).collect()
+    }
+    for r in full.values():
+        assert len(r.tokens) == r.n_bpe_tokens
+    assert full[1].tokens == [
+        "low", "low", "er", "low", "e", "s", "t",
+    ]
+    capped = {
+        r.doc_id: r.tokens
+        for r in apply_bpe(df, merges, keep_tokens=2).collect()
+    }
+    assert capped[1] == ["low", "low"]

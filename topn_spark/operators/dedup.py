@@ -530,3 +530,102 @@ def dedup_against(
         .join(base_keys, "_dedup_key", "left_anti")
         .drop("_dedup_key")
     )
+
+
+def lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs under the PORTABLE md5 MinHash family — the
+    x19 catalog query's hash family factored as an operator:
+    ``min(md5('<i>:' || shingle))`` per hash slot, band key =
+    ``md5(concat(row hashes))``, bucket equi-join, signature-estimated
+    Jaccard (fraction of equal slots) at ``threshold``. Returns
+    ``(id_a, id_b, est_j)`` with ``id_a < id_b``.
+
+    Use this family when the pair set must be reproducible OUTSIDE
+    the JVM (cross-engine audits, the DuckDB oracles, regulatory
+    replay): md5 is engine-portable where ``xxhash64``
+    (:func:`minhash_dedup_pairs`, the faster production family) is
+    Spark-specific. Identical plan shape: shingle explode → keyed
+    min-agg → band posexplode → bucket self-join — banded, never
+    all-pairs; the md5 evaluation is codegen'd JVM work, just a
+    costlier hash per shingle.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+        )
+    rows = num_hashes // bands
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    sh = (
+        f"if(size({toks}) >= {shingle_size},"
+        f" transform(sequence(1, size({toks}) - {shingle_size - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {shingle_size}))),"
+        f" array())"
+    )
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.explode(F.expr(sh)).alias("_s")
+    )
+    # one materialization of the signatures feeds three consumers
+    # (banding + both similarity sides), exactly as in
+    # minhash_dedup_pairs
+    sig = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))
+                ).alias(f"m{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        .persist()
+    )
+    band_rows = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.col(f"m{b * rows + r}")
+                                for r in range(rows)
+                            ]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b", "h"),
+    )
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sig.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", est.alias("est_j"))
+        .where(F.col("est_j") >= threshold)
+    )

@@ -1297,7 +1297,9 @@ def apply_bpe(
     (decode with latin-1 -> UTF-8 to recover text).
 
     Returns ``(id, n_words, n_bpe_tokens)`` (+ ``tokens`` with the
-    first ``keep_tokens`` subwords when requested). One Arrow-batched
+    first ``keep_tokens`` subwords when requested; ``keep_tokens=-1``
+    keeps ALL subwords — the full-array shape a sequence packer
+    consumes). One Arrow-batched
     ``mapInPandas`` pass — pure map-only, embarrassingly parallel;
     the merge table rides into tasks as a closure (model state,
     typically 10k-50k pairs). Python-level loop work is proportional
@@ -1343,13 +1345,18 @@ def apply_bpe(
                 for w in words:
                     enc = _encode_word(w)
                     n += len(enc)
-                    if keep_tokens and len(pieces) < keep_tokens:
+                    if keep_tokens and (
+                        keep_tokens < 0 or len(pieces) < keep_tokens
+                    ):
                         pieces.extend(enc)
                 ids.append(did)
                 nw.append(len(words))
                 nt.append(n)
                 if keep_tokens:
-                    toks.append(pieces[:keep_tokens])
+                    toks.append(
+                        pieces if keep_tokens < 0
+                        else pieces[:keep_tokens]
+                    )
             data = {id_col: ids, "n_words": nw, "n_bpe_tokens": nt}
             if keep_tokens:
                 data["tokens"] = toks

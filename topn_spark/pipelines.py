@@ -856,6 +856,379 @@ def _stage_langid(
     return out
 
 
+def _int_prop(
+    p, name, default, collector, lo=1,
+    substitutions=None, phase="deploy",
+):
+    """Parse an integer stage property with the @Macro lifecycle: a
+    ``${...}`` value defers validation at deploy (returns the
+    default as a schema-faithful placeholder) and substitutes-then-
+    validates at run, exactly like the string-prop handlers."""
+    raw = p.get(name, str(default))
+    if phase == "run":
+        raw = substitute_macros(
+            raw, substitutions or {}, collector, name
+        )
+    if contains_macro(raw):
+        return default if phase == "deploy" else None
+    try:
+        v = int(raw)
+    except (TypeError, ValueError):
+        collector.add_failure(
+            f"Invalid {name} '{raw}'.", "An integer.", property_name=name
+        )
+        return None
+    if v < lo:
+        collector.add_failure(
+            f"{name} must be >= {lo}, got {v}.", property_name=name
+        )
+        return None
+    return v
+
+
+def _stage_warc_source(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """Warc batchsource: read ``.warc``/``.warc.gz`` archives from a
+    path (glob OK) via Spark's binaryFile source and explode them
+    into WARC records (sources/warc.py::parse_warc) —
+    ``(blob_id, rec_idx, warc_type, record_id, target_uri,
+    warc_date, content_length, payload)``, ``blob_id`` = file path.
+    Properties: path (required), strict ('true': a malformed archive
+    fails the task; 'false': parse the well-formed prefix).
+
+    Scale: the archive FILE is the unit of parallelism (one binary
+    row per file, then an Arrow record walk per file) — exactly how
+    a crawl dump ships (CommonCrawl: ~1 GB .warc.gz segments)."""
+    p = stage.properties
+    path = p.get("path")
+    strict = p.get("strict", "true")
+    ok = True
+    if not path:
+        collector.add_failure(
+            "Warc source needs a 'path'.", property_name="path"
+        )
+        ok = False
+    if strict not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid strict '{strict}'.", "One of true, false.",
+            property_name="strict",
+        )
+        ok = False
+    if not ok:
+        return None
+    from topn_spark.sources.warc import parse_warc
+
+    if phase == "deploy" and contains_macro(path):
+        # schema is static (blob_id = file path) — validate downstream
+        # against an empty typed frame, the File-source literal-schema
+        # shape
+        empty = spark.createDataFrame(
+            [], "blob_id string, content binary"
+        )
+        return parse_warc(empty, id_col="blob_id", strict=True)
+    if phase == "run":
+        path = substitute_macros(
+            path, substitutions or {}, collector, "path"
+        )
+        if collector.failures:
+            return None
+    blobs = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("blob_id"), "content"
+    )
+    return parse_warc(blobs, id_col="blob_id", strict=strict == "true")
+
+
+def _stage_warc_parse(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """WarcParse transform: explode a BINARY column of WARC archive
+    bytes (already in a table — a crawl stored as blobs, or bytes
+    from a message bus) into WARC records, the in-table sibling of
+    the Warc source. Properties: contentField ('content'), idField
+    ('blob_id'), strict ('true')."""
+    (df,) = inputs
+    p = stage.properties
+    content_col = p.get("contentField", "content")
+    id_col = p.get("idField", "blob_id")
+    strict = p.get("strict", "true")
+    ok = _require_field(df, content_col, collector, "contentField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if strict not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid strict '{strict}'.", "One of true, false.",
+            property_name="strict",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.sources.warc import parse_warc
+
+    return parse_warc(
+        df, content_col=content_col, id_col=id_col,
+        strict=strict == "true",
+    )
+
+
+def _stage_leakage_split(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """LeakageSafeSplit transform: near-dup-aware train/val/test
+    split (pipeline.py::leakage_safe_split) — MinHash-LSH pair graph
+    → connected components → deterministic md5 split keyed by the
+    component label, so near-duplicate documents land in the SAME
+    split (no corpus-internal eval contamination). Appends
+    ``component`` and the split column. Properties: textField
+    ('text'), idField ('doc_id'), splitField ('split'), family
+    ('xxhash' — the fast production hash family; 'md5' — the
+    engine-portable family, reproducible outside the JVM for
+    cross-engine audit), threshold ('0.8' xxhash / '0.5' md5),
+    numHashes, bands, shingleSize."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    out_col = p.get("splitField", "split")
+    family = p.get("family", "xxhash")
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if family not in ("xxhash", "md5"):
+        collector.add_failure(
+            f"Invalid family '{family}'.", "One of xxhash, md5.",
+            property_name="family",
+        )
+        ok = False
+    num_hashes = _int_prop(
+        p, "numHashes", 32 if family == "xxhash" else 8, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    bands = _int_prop(
+        p, "bands", 8 if family == "xxhash" else 4, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    shingle = _int_prop(
+        p, "shingleSize", 3, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    thr_raw = p.get(
+        "threshold", "0.8" if family == "xxhash" else "0.5"
+    )
+    if phase == "run":
+        thr_raw = substitute_macros(
+            thr_raw, substitutions or {}, collector, "threshold"
+        )
+    if contains_macro(thr_raw):
+        threshold = 0.5 if phase == "deploy" else None
+    else:
+        try:
+            threshold = float(thr_raw)
+        except (TypeError, ValueError):
+            threshold = None
+            collector.add_failure(
+                f"Invalid threshold '{thr_raw}'.",
+                "A number in [0, 1].",
+                property_name="threshold",
+            )
+    if None in (num_hashes, bands, shingle, threshold) or not ok:
+        return df
+    if num_hashes % bands:
+        collector.add_failure(
+            f"numHashes ({num_hashes}) must divide into bands"
+            f" ({bands}).",
+            property_name="bands",
+        )
+        return df
+    if phase == "deploy":
+        # schema-faithful placeholder: the connected-components
+        # fixpoint EXECUTES jobs (iterative convergence check), which
+        # deploy-time validation must never do
+        return df.withColumn(
+            "component", F.col(id_col)
+        ).withColumn(out_col, F.lit(None).cast("string"))
+    from topn_spark.operators.dedup import (
+        lsh_pairs_md5,
+        minhash_dedup_pairs,
+    )
+    from topn_spark.operators.pipeline import leakage_safe_split
+
+    if family == "md5":
+        pairs = lsh_pairs_md5(
+            df, id_col, text_col, num_hashes, bands, shingle, threshold
+        )
+    else:
+        pairs = minhash_dedup_pairs(
+            df, id_col, text_col, threshold, num_hashes, bands, shingle
+        )
+    return leakage_safe_split(
+        df, pairs.select("id_a", "id_b"), id_col=id_col, out_col=out_col
+    )
+
+
+def _stage_tokenize(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """Tokenize transform: append the token array a packer/budgeter
+    consumes. Properties: textField ('text'), mode ('unicode' —
+    also 'ascii' or the CJK-aware 'script'; all JVM-side regex,
+    appending ``tokens`` + ``n_tokens``) OR mergesPath (a
+    save_bpe_merges artifact — apply trained byte-pair encoding,
+    appending ``n_words``/``n_bpe_tokens`` and, when keepTokens is
+    nonzero, ``tokens`` — '-1' keeps ALL subwords, the shape
+    PackSequences consumes; bpeMode 'ascii'|'unicode'|'byte' selects
+    the pre-tokenizer, idField the join-back key)."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    merges_path = p.get("mergesPath")
+    if phase == "run":
+        merges_path = substitute_macros(
+            merges_path, substitutions or {}, collector, "mergesPath"
+        )
+    ok = _require_field(df, text_col, collector, "textField")
+    if merges_path is None:
+        mode = p.get("mode", "unicode")
+        if mode not in ("ascii", "unicode", "script"):
+            collector.add_failure(
+                f"Invalid mode '{mode}'.",
+                "One of ascii, unicode, script (or set mergesPath "
+                "for trained BPE).",
+                property_name="mode",
+            )
+            ok = False
+        if not ok:
+            return df
+        from topn_spark.operators.textstats import tokens
+
+        t = tokens(text_col, mode)
+        return df.withColumn("tokens", t).withColumn(
+            "n_tokens", F.size("tokens").cast("bigint")
+        )
+    id_col = p.get("idField", "doc_id")
+    bpe_mode = p.get("bpeMode", "byte")
+    keep = _int_prop(
+        p, "keepTokens", 0, collector, lo=-1,
+        substitutions=substitutions, phase=phase,
+    )
+    if bpe_mode not in ("ascii", "unicode", "byte"):
+        collector.add_failure(
+            f"Invalid bpeMode '{bpe_mode}'.",
+            "One of ascii, unicode, byte.",
+            property_name="bpeMode",
+        )
+        return df
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if keep is None or not ok:
+        return df
+    if phase == "deploy" and contains_macro(merges_path):
+        out = df.withColumn(
+            "n_words", F.lit(None).cast("bigint")
+        ).withColumn("n_bpe_tokens", F.lit(None).cast("bigint"))
+        if keep:
+            out = out.withColumn(
+                "tokens", F.lit(None).cast("array<string>")
+            )
+        return out
+    from topn_spark.operators.textstats import (
+        apply_bpe,
+        load_bpe_merges,
+    )
+
+    merges = load_bpe_merges(spark, merges_path)
+    applied = apply_bpe(
+        df.select(id_col, text_col), merges, id_col=id_col,
+        text_col=text_col, keep_tokens=keep, mode=bpe_mode,
+    )
+    return df.join(applied, id_col)
+
+
+def _stage_pack_sequences(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PackSequences transform: GPT-style packing
+    (pipeline.py::pack_token_sequences) — concatenate tokenized
+    documents in order and emit fixed-length training sequences
+    ``(*by, seq_id, n_docs, n_tokens, tokens)``; documents split
+    across boundaries, no token dropped. Properties: tokensField
+    ('tokens'), idField ('doc_id'), seqLen ('2048'), orderField
+    (defaults to idField), byFields (comma list — ALWAYS set at
+    scale: an empty byFields is one global window partition),
+    padToken (optional pad for the final short sequence)."""
+    (df,) = inputs
+    p = stage.properties
+    tokens_col = p.get("tokensField", "tokens")
+    id_col = p.get("idField", "doc_id")
+    order_col = p.get("orderField", id_col)
+    by = tuple(
+        c.strip() for c in p.get("byFields", "").split(",") if c.strip()
+    )
+    seq_len = _int_prop(
+        p, "seqLen", 2048, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, tokens_col, collector, "tokensField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    ok = _require_field(df, order_col, collector, "orderField") and ok
+    for c in by:
+        ok = _require_field(df, c, collector, "byFields") and ok
+    if seq_len is None or not ok:
+        return df
+    from topn_spark.operators.pipeline import pack_token_sequences
+
+    return pack_token_sequences(
+        df, tokens_col=tokens_col, id_col=id_col, seq_len=seq_len,
+        by=by, order_col=order_col, pad_token=p.get("padToken"),
+    )
+
+
+def _stage_shard_sink(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """ShardSink batchsink: training-shard export
+    (pipeline.py::export_training_shards) — write the corpus as
+    ``path/shard=<k>/`` parquet with deterministic md5(id||salt)
+    mod-nShards assignment plus a ``_manifest`` of per-shard
+    doc/token counts (verify with verify_shards). Properties: path
+    (required), nShards (required), idField ('doc_id'), tokenField
+    (optional — manifest then also carries token counts), salt ('')."""
+    (df,) = inputs
+    p = stage.properties
+    path = p.get("path")
+    id_col = p.get("idField", "doc_id")
+    token_col = p.get("tokenField")
+    if not path:
+        collector.add_failure(
+            "ShardSink needs a 'path'.", property_name="path"
+        )
+        return df
+    if "nShards" not in p:
+        collector.add_failure(
+            "ShardSink needs 'nShards'.", property_name="nShards"
+        )
+        return df
+    n_shards = _int_prop(
+        p, "nShards", 1, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, id_col, collector, "idField")
+    if token_col is not None:
+        ok = _require_field(df, token_col, collector, "tokenField") and ok
+    if n_shards is None or not ok:
+        return df
+    if phase == "run":
+        path = substitute_macros(
+            path, substitutions or {}, collector, "path"
+        )
+        if collector.failures:
+            return df
+        from topn_spark.operators.pipeline import export_training_shards
+
+        export_training_shards(
+            df, path, n_shards, id_col=id_col, token_col=token_col,
+            salt=p.get("salt", ""),
+        )
+    return df
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -879,7 +1252,13 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "PerplexityFilter": ("transform", _stage_perplexity_filter),
     "DsirWeights": ("transform", _stage_dsir_weights),
     "LangId": ("transform", _stage_langid),
+    "Warc": ("batchsource", _stage_warc_source),
+    "WarcParse": ("transform", _stage_warc_parse),
+    "LeakageSafeSplit": ("transform", _stage_leakage_split),
+    "Tokenize": ("transform", _stage_tokenize),
+    "PackSequences": ("transform", _stage_pack_sequences),
     "FileSink": ("batchsink", _stage_sink),
+    "ShardSink": ("batchsink", _stage_shard_sink),
 }
 
 #: sink plugins double-book under the source name for CDAP parity
@@ -1002,6 +1381,24 @@ def run_pipeline(
     configs, execute sink writes. Returns stage-name → DataFrame so
     callers can also read results directly."""
     return _execute(spark, spec, substitutions, "run")
+
+
+def run_pipeline_with_source(
+    spark: SparkSession,
+    spec: dict,
+    source_name: str,
+    df: DataFrame,
+    substitutions: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Run a spec with the named source stage's output REPLACED by
+    ``df`` — the embedding/testing shape (drive a pipeline from an
+    in-memory frame, a fixture, or another pipeline's output without
+    a round-trip through storage). Identical run-phase semantics to
+    :func:`run_pipeline`; sinks write in append mode (the injected
+    frame is treated as one batch of a larger feed)."""
+    return _run_with_source(
+        spark, spec, source_name, df, substitutions
+    )
 
 
 def run_streaming_pipeline(

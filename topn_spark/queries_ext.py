@@ -9294,3 +9294,291 @@ def z48_script_tokens(spark, sf_dir):
             "n_unicode_tokens"
         ),
     ).orderBy("doc_id")
+
+
+#: shared word-prefix alphabet for the z49 end-to-end fixture: 40
+#: pure-letter prefixes; each planted document's body is the 40
+#: prefixes suffixed with a per-doc letter tag, so every shingle of
+#: every document carries the tag and unrelated documents share NO
+#: shingles (no spurious LSH pairs to reason about).
+_Z49_PREFIXES = (
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "anchor", "beacon",
+    "cedar", "dune", "ember", "fjord", "grove", "harbor", "island",
+    "juniper", "keel", "lagoon", "meadow", "nectar",
+)
+
+
+def _z49_oracle() -> str:
+    """Closed-form SQL mirror of the z49 pipeline: planted
+    post-extraction text per doc (the WARC/HTML layers reconstruct
+    exactly — z32/z13 proved byte-exact framing and extraction),
+    then the quality gate, exact dedup, the x19 md5 MinHash-LSH
+    family, the z40 recursive-CTE components + md5 split, and the
+    z47 packing arithmetic PARTITIONed by split."""
+    w0 = ", ".join(f"'{p}' || t" for p in _Z49_PREFIXES)
+    w1 = ", ".join(f"'{p}' || t || 'q'" for p in _Z49_PREFIXES)
+    w2 = ", ".join(
+        "'variantword'" if i == 20 else f"'{p}' || t"
+        for i, p in enumerate(_Z49_PREFIXES)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)"
+        for j in range(8)
+    )
+    mins = ", ".join(
+        f"min(md5('{j}:' || s)) AS m{j}" for j in range(8)
+    )
+    return f"""WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id // 100 AS fam, doc_id % 100 AS n,
+    translate(CAST(doc_id % 100 AS VARCHAR),
+              '0123456789', 'abcdefghij') AS t
+  FROM documents WHERE doc_id < 400),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN n % 10 = 9 THEN '== ' || CAST(n AS VARCHAR) || ' =='
+         WHEN fam = 1 THEN array_to_string([{w1}], ' ')
+         WHEN fam = 2 THEN array_to_string([{w2}], ' ')
+         ELSE array_to_string([{w0}], ' ') END AS text
+  FROM base),
+q AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS BIGINT) AS nt,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS ar,
+    ROUND(CAST(LENGTH(text)
+               - LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+               AS DOUBLE)
+          / NULLIF(CAST(len(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+'))
+                        AS DOUBLE), 0), 6) AS mwl
+  FROM docs),
+kept AS (
+  SELECT doc_id, text FROM q
+  WHERE nt >= 10 AND ar >= 0.6 AND mwl BETWEEN 2.0 AND 12.0),
+d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+    FROM kept) WHERE rn = 1),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM d),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ')
+            for i in generate_series(1, len(tk)-2)]
+      ELSE [] END) AS s
+  FROM toks),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, h FROM sig, LATERAL (VALUES
+    (0, md5(m0 || m1)), (1, md5(m2 || m3)),
+    (2, md5(m4 || m5)), (3, md5(m6 || m7))) AS v(b, h)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON cand.id_a = sa.doc_id
+  JOIN sig sb ON cand.id_b = sb.doc_id
+  WHERE ({eq}) / 8.0 >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT t.doc_id, t.tk,
+    CASE WHEN substr(md5(CAST(COALESCE(c.component, t.doc_id)
+                              AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         WHEN substr(md5(CAST(COALESCE(c.component, t.doc_id)
+                              AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         ELSE 'test' END AS split
+  FROM toks t LEFT JOIN comp c ON c.id = t.doc_id),
+c AS (
+  SELECT split, doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(tk) AS BIGINT)) OVER (
+      PARTITION BY split ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS off
+  FROM labeled WHERE len(tk) > 0),
+s AS (
+  SELECT split, doc_id, tk, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT split, seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    tk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+       :CAST(GREATEST(seq_id * 32 - off, 0)
+         + LEAST((seq_id + 1) * 32, off + n)
+         - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece
+  FROM s)
+SELECT split, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+    AS n_tokens,
+  flatten(list(piece ORDER BY seq_start)) AS tokens
+FROM p GROUP BY split, seq_id ORDER BY split ASC, seq_id ASC"""
+
+
+@query(
+    "z49_pretrain_pipeline",
+    None,  # oracle patched below (programmatically composed SQL)
+    doc="The COMPLETE pretraining-data pipeline as ONE executed spec"
+    " (pipelines.py::run_pipeline_with_source — the Dolma/RefinedWeb"
+    " shape, examples/pretrain_corpus_pipeline.json is the"
+    " disk-to-disk twin): planted WARC blobs -> WarcParse (byte-"
+    "sliced record walk) -> SQL id recovery -> HtmlExtract ->"
+    " QualityScore gate -> exact Deduplicate -> LeakageSafeSplit"
+    " (md5 MinHash-LSH pairs -> connected components -> md5 split,"
+    " so near-duplicate docs land in the SAME split) -> Tokenize ->"
+    " PackSequences (GPT-style concat-and-chunk, per-split window)."
+    " Fixture plants all four corpus pathologies: junk pages (the"
+    " quality gate drops them), exact duplicates (fam 3 = fam 0,"
+    " dedup keeps min doc_id), near duplicates (fam 2 = fam 0 with"
+    " one word changed — split-leak bait), and clean singletons."
+    " Every stage is the real registered plugin running through the"
+    " spec compiler, not a hand-wired composition. Oracle: closed-"
+    "form planted text + the x19 md5-LSH family + z40 recursive-CTE"
+    " components + z47 packing arithmetic, hash-exact including the"
+    " packed token arrays",
+)
+def z49_pretrain_pipeline(spark, sf_dir):
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    n = d % 100
+    t = F.translate(n.cast("string"), "0123456789", "abcdefghij")
+    body0 = F.concat_ws(
+        " ", *[F.concat(F.lit(p), t) for p in _Z49_PREFIXES]
+    )
+    body1 = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(p), t, F.lit("q")) for p in _Z49_PREFIXES],
+    )
+    body2 = F.concat_ws(
+        " ",
+        *[
+            F.lit("variantword") if i == 20
+            else F.concat(F.lit(p), t)
+            for i, p in enumerate(_Z49_PREFIXES)
+        ],
+    )
+    fam = F.floor(d / 100)
+    text = (
+        F.when(n % 10 == 9,
+               F.concat(F.lit("== "), n.cast("string"), F.lit(" ==")))
+        .when(fam == 1, body1)
+        .when(fam == 2, body2)
+        .otherwise(body0)
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), text, F.lit("</p></body></html>")
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            "http://crawl.test/doc/"
+        ),
+        d.cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(html).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            F.expr("doc_id DIV 4").alias("blob_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["rec"],
+                ),
+                "",
+            )
+            .cast("binary")
+            .alias("content"),
+        )
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "type": "batchsource", "plugin": "File",
+             "properties": {"path": "<injected>"}},
+            {"name": "parse", "type": "transform",
+             "plugin": "WarcParse", "properties": {}},
+            {"name": "page", "type": "transform", "plugin": "SQL",
+             "properties": {"query": (
+                 "SELECT CAST(regexp_extract(target_uri,"
+                 " 'doc/([0-9]+)$', 1) AS BIGINT) AS doc_id,"
+                 " CAST(payload AS STRING) AS html FROM ${input}"
+                 " WHERE warc_type = 'response'")}},
+            {"name": "extract", "type": "transform",
+             "plugin": "HtmlExtract", "properties": {}},
+            {"name": "quality", "type": "transform",
+             "plugin": "QualityScore", "properties": {}},
+            {"name": "keep", "type": "transform", "plugin": "Filter",
+             "properties": {"condition": "quality_keep"}},
+            {"name": "proj", "type": "transform",
+             "plugin": "Projection",
+             "properties": {"select": "doc_id, text"}},
+            {"name": "dedup", "type": "batchaggregator",
+             "plugin": "Deduplicate",
+             "properties": {"uniqueFields": "text",
+                            "tiebreak": "doc_id"}},
+            {"name": "split", "type": "transform",
+             "plugin": "LeakageSafeSplit",
+             "properties": {"family": "md5"}},
+            {"name": "tok", "type": "transform", "plugin": "Tokenize",
+             "properties": {"mode": "unicode"}},
+            {"name": "pack", "type": "transform",
+             "plugin": "PackSequences",
+             "properties": {"seqLen": "32", "byFields": "split",
+                            "orderField": "doc_id"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "parse"},
+            {"from": "parse", "to": "page"},
+            {"from": "page", "to": "extract"},
+            {"from": "extract", "to": "quality"},
+            {"from": "quality", "to": "keep"},
+            {"from": "keep", "to": "proj"},
+            {"from": "proj", "to": "dedup"},
+            {"from": "dedup", "to": "split"},
+            {"from": "split", "to": "tok"},
+            {"from": "tok", "to": "pack"},
+        ],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", blobs)
+    return out["pack"].select(
+        "split", "seq_id", "n_docs", "n_tokens", "tokens"
+    ).orderBy("split", "seq_id")
+
+
+_Q["z49_pretrain_pipeline"] = _Q["z49_pretrain_pipeline"].__class__(
+    name="z49_pretrain_pipeline",
+    builder=_Q["z49_pretrain_pipeline"].builder,
+    oracle=_z49_oracle(),
+    doc=_Q["z49_pretrain_pipeline"].doc,
+)
