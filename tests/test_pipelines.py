@@ -1381,3 +1381,134 @@ def test_warc_source_stage_reads_files(spark, tmp_path):
     with pytest.raises(ValidationError) as ei:
         compile_pipeline(spark, bad)
     assert "path" in str(ei.value) and "strict" in str(ei.value)
+
+
+def test_url_filter_stage(spark, tmp_path):
+    """UrlFilter: literal blocklist, file-based allowlist (comments
+    and blank lines skipped), malformed-URL behavior, and collected
+    validation failures."""
+    rows = [
+        (1, "http://www.example.com/a"),
+        (2, "https://sub.ads-tracker.net/b"),
+        (3, "http://news.bbc.co.uk/c"),
+        (4, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    def run(props):
+        spec = {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "gate", "plugin": "UrlFilter",
+                 "properties": props},
+            ],
+            "connections": [{"from": "src", "to": "gate"}],
+        }
+        from topn_spark.pipelines import run_pipeline_with_source
+
+        out = run_pipeline_with_source(spark, spec, "src", df)["gate"]
+        return sorted(r.doc_id for r in out.collect())
+
+    # block: matches drop; a malformed URL has no domain -> kept
+    assert run(
+        {"action": "block", "domains": "ads-tracker.net, bbc.co.uk"}
+    ) == [1, 4]
+    # allow via file artifact: only listed domains survive
+    lst = tmp_path / "allow.txt"
+    lst.write_text("# allowlist\nexample.com\n\nbbc.co.uk\n")
+    assert run(
+        {"action": "allow", "domainsPath": str(lst)}
+    ) == [1, 3]
+    # host matching distinguishes subdomains
+    assert run(
+        {"action": "block", "matchOn": "host",
+         "domains": "sub.ads-tracker.net"}
+    ) == [1, 3, 4]
+    # schema passthrough
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "gate", "plugin": "UrlFilter",
+             "properties": {"domains": "example.com"}},
+        ],
+        "connections": [{"from": "src", "to": "gate"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)["gate"]
+    assert out.columns == ["doc_id", "url"]
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "gate", "plugin": "UrlFilter",
+             "properties": {"action": "maybe", "matchOn": "tld",
+                            "urlField": "nope"}},
+        ],
+        "connections": [{"from": "src", "to": "gate"}],
+    }
+    from topn_spark.errors import ValidationError as VE
+
+    with pytest.raises(VE) as ei:
+        _ = run_pipeline_with_source(spark, bad, "src", df)
+    msg = str(ei.value)
+    for frag in ("maybe", "tld", "urlField", "domains"):
+        assert frag in msg, frag
+
+
+def test_tokenize_stage_unigram_lm_artifact(spark, tmp_path):
+    """Tokenize piecesPath: a saved unigram-LM artifact segments the
+    stream; keepTokens=-1 arrays feed PackSequences; mergesPath +
+    piecesPath together is a config error."""
+    from topn_spark.operators.textstats import (
+        save_unigram_lm,
+        unigram_lm_train,
+    )
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    corpus = spark.createDataFrame(
+        [(i, "the cats and the dogs ran fast") for i in range(6)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "unigram")
+    save_unigram_lm(
+        spark,
+        unigram_lm_train(
+            corpus, vocab_size=20, seed_size=200, max_piece_len=4
+        ),
+        path,
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "tok", "plugin": "Tokenize",
+             "properties": {"piecesPath": path, "keepTokens": "-1"}},
+            {"name": "pack", "plugin": "PackSequences",
+             "properties": {"seqLen": "8"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "tok"},
+            {"from": "tok", "to": "pack"},
+        ],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", corpus)
+    tok = out["tok"].collect()
+    assert all(len(r.tokens) == r.n_lm_tokens for r in tok)
+    packed = out["pack"].collect()
+    assert sum(r.n_tokens for r in packed) == sum(
+        r.n_lm_tokens for r in tok
+    )
+
+    from topn_spark.errors import ValidationError as VE
+
+    both = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "tok", "plugin": "Tokenize",
+             "properties": {"piecesPath": path, "mergesPath": path}},
+        ],
+        "connections": [{"from": "src", "to": "tok"}],
+    }
+    with pytest.raises(VE, match="mutually exclusive"):
+        run_pipeline_with_source(spark, both, "src", corpus)

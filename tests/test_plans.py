@@ -298,6 +298,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z47_pack_sequences",
         "z48_script_tokens",
         "z49_pretrain_pipeline",
+        "z50_url_filter",
     ):
         warns = [
             f

@@ -2279,7 +2279,8 @@ def apply_unigram_lm(
     :func:`apply_bpe` sibling): per word, the Viterbi-best
     segmentation under the piece log-probs — same DP and tie
     contract as training (:func:`_unigram_viterbi`). Returns
-    ``(id, n_words, n_lm_tokens)`` (+ ``tokens`` when requested).
+    ``(id, n_words, n_lm_tokens)`` (+ ``tokens`` when requested;
+    ``keep_tokens=-1`` keeps ALL pieces — the packer input shape).
     One Arrow ``mapInPandas`` pass; the piece table rides into tasks
     as a closure. Map-only, embarrassingly parallel."""
     if mode not in ("ascii", "unicode"):
@@ -2305,13 +2306,19 @@ def apply_unigram_lm(
                 for w in ws:
                     enc = _unigram_viterbi(w, logp, max_len)
                     n += len(enc)
-                    if keep_tokens and len(pieces_out) < keep_tokens:
+                    if keep_tokens and (
+                        keep_tokens < 0
+                        or len(pieces_out) < keep_tokens
+                    ):
                         pieces_out.extend(enc)
                 ids.append(did)
                 nw.append(len(ws))
                 nt.append(n)
                 if keep_tokens:
-                    toks.append(pieces_out[:keep_tokens])
+                    toks.append(
+                        pieces_out if keep_tokens < 0
+                        else pieces_out[:keep_tokens]
+                    )
             data = {id_col: ids, "n_words": nw, "n_lm_tokens": nt}
             if keep_tokens:
                 data["tokens"] = toks

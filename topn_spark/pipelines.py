@@ -1075,16 +1075,67 @@ def _stage_tokenize(
     appending ``n_words``/``n_bpe_tokens`` and, when keepTokens is
     nonzero, ``tokens`` — '-1' keeps ALL subwords, the shape
     PackSequences consumes; bpeMode 'ascii'|'unicode'|'byte' selects
-    the pre-tokenizer, idField the join-back key)."""
+    the pre-tokenizer, idField the join-back key) OR piecesPath (a
+    save_unigram_lm artifact — Viterbi-best segmentation under the
+    trained piece table, appending ``n_words``/``n_lm_tokens`` and
+    the same keepTokens contract; lmMode 'ascii'|'unicode')."""
     (df,) = inputs
     p = stage.properties
     text_col = p.get("textField", "text")
     merges_path = p.get("mergesPath")
+    pieces_path = p.get("piecesPath")
+    if merges_path is not None and pieces_path is not None:
+        collector.add_failure(
+            "mergesPath and piecesPath are mutually exclusive.",
+            "A stage applies ONE trained tokenizer.",
+            property_name="piecesPath",
+        )
+        return df
     if phase == "run":
         merges_path = substitute_macros(
             merges_path, substitutions or {}, collector, "mergesPath"
         )
+        pieces_path = substitute_macros(
+            pieces_path, substitutions or {}, collector, "piecesPath"
+        )
     ok = _require_field(df, text_col, collector, "textField")
+    if pieces_path is not None:
+        id_col = p.get("idField", "doc_id")
+        lm_mode = p.get("lmMode", "ascii")
+        keep = _int_prop(
+            p, "keepTokens", 0, collector, lo=-1,
+            substitutions=substitutions, phase=phase,
+        )
+        if lm_mode not in ("ascii", "unicode"):
+            collector.add_failure(
+                f"Invalid lmMode '{lm_mode}'.",
+                "One of ascii, unicode.",
+                property_name="lmMode",
+            )
+            ok = False
+        ok = _require_field(df, id_col, collector, "idField") and ok
+        if keep is None or not ok:
+            return df
+        if phase == "deploy" and contains_macro(pieces_path):
+            out = df.withColumn(
+                "n_words", F.lit(None).cast("bigint")
+            ).withColumn("n_lm_tokens", F.lit(None).cast("bigint"))
+            if keep:
+                out = out.withColumn(
+                    "tokens", F.lit(None).cast("array<string>")
+                )
+            return out
+        from topn_spark.operators.textstats import (
+            apply_unigram_lm,
+            load_unigram_lm,
+        )
+
+        pieces = load_unigram_lm(spark, pieces_path)
+        applied = apply_unigram_lm(
+            df.select(id_col, text_col), pieces, id_col=id_col,
+            text_col=text_col, keep_tokens=keep, mode=lm_mode,
+        )
+        return df.join(applied, id_col)
     if merges_path is None:
         mode = p.get("mode", "unicode")
         if mode not in ("ascii", "unicode", "script"):
@@ -1139,6 +1190,92 @@ def _stage_tokenize(
         text_col=text_col, keep_tokens=keep, mode=bpe_mode,
     )
     return df.join(applied, id_col)
+
+
+def _stage_url_filter(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """UrlFilter transform: domain-blocklist/allowlist source
+    filtering (the UT1-style stage every web-corpus recipe runs
+    before content filters — Dolma, RefinedWeb, C4 all gate on
+    domain first, it is the cheapest signal): decompose the URL with
+    pipeline.py::url_features and keep/drop rows whose
+    ``registered_domain`` (or ``host``) is in the list. Properties:
+    urlField ('url'), action ('block' — drop matches — or 'allow' —
+    keep only matches), matchOn ('registered_domain' | 'host'),
+    domains (comma literal list) OR domainsPath (text file, one
+    domain per line, '#' comments — the artifact shape; matched via
+    a broadcast-friendly join, never a collected driver set, so a
+    millions-of-domains UT1 list stays executor-side). Output schema
+    = input schema (feature columns are internal)."""
+    (df,) = inputs
+    p = stage.properties
+    url_col = p.get("urlField", "url")
+    action = p.get("action", "block")
+    match_on = p.get("matchOn", "registered_domain")
+    domains = p.get("domains")
+    domains_path = p.get("domainsPath")
+    ok = _require_field(df, url_col, collector, "urlField")
+    if action not in ("block", "allow"):
+        collector.add_failure(
+            f"Invalid action '{action}'.", "One of block, allow.",
+            property_name="action",
+        )
+        ok = False
+    if match_on not in ("registered_domain", "host"):
+        collector.add_failure(
+            f"Invalid matchOn '{match_on}'.",
+            "One of registered_domain, host.",
+            property_name="matchOn",
+        )
+        ok = False
+    if (domains is None) == (domains_path is None):
+        collector.add_failure(
+            "Exactly one of 'domains' or 'domainsPath' is required.",
+            "A comma list for small literal lists, a one-per-line "
+            "text file for blocklist artifacts.",
+            property_name="domains",
+        )
+        ok = False
+    if phase == "run":
+        domains_path = substitute_macros(
+            domains_path, substitutions or {}, collector, "domainsPath"
+        )
+        domains = substitute_macros(
+            domains, substitutions or {}, collector, "domains"
+        )
+    if not ok:
+        return df
+    if phase == "deploy":
+        return df  # filter never changes the schema
+    from topn_spark.operators.pipeline import url_features
+
+    feats = url_features(df, url_col=url_col)
+    key = F.lower(F.col(match_on))
+    if domains is not None:
+        wanted = [
+            d.strip().lower() for d in domains.split(",") if d.strip()
+        ]
+        hit = key.isin(wanted)
+        out = feats.where(
+            hit if action == "allow"
+            else ~F.coalesce(hit, F.lit(False))
+        )
+    else:
+        dlist = (
+            spark.read.text(domains_path)
+            .select(F.lower(F.trim("value")).alias("_dom"))
+            .where(
+                (F.col("_dom") != "") & ~F.col("_dom").startswith("#")
+            )
+            .distinct()
+        )
+        out = feats.join(
+            dlist,
+            key == F.col("_dom"),
+            "left_semi" if action == "allow" else "left_anti",
+        )
+    return out.select(*df.columns)
 
 
 def _stage_pack_sequences(
@@ -1255,6 +1392,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "Warc": ("batchsource", _stage_warc_source),
     "WarcParse": ("transform", _stage_warc_parse),
     "LeakageSafeSplit": ("transform", _stage_leakage_split),
+    "UrlFilter": ("transform", _stage_url_filter),
     "Tokenize": ("transform", _stage_tokenize),
     "PackSequences": ("transform", _stage_pack_sequences),
     "FileSink": ("batchsink", _stage_sink),

@@ -9582,3 +9582,81 @@ _Q["z49_pretrain_pipeline"] = _Q["z49_pretrain_pipeline"].__class__(
     oracle=_z49_oracle(),
     doc=_Q["z49_pretrain_pipeline"].doc,
 )
+
+
+@query(
+    "z50_url_filter",
+    """WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'http://www.example.com/page/' || doc_id
+      WHEN 1 THEN 'https://sub.ads-tracker.net/x/' || doc_id || '?y=1'
+      WHEN 2 THEN 'http://news.bbc.co.uk/story/' || doc_id
+      WHEN 3 THEN 'http://192.168.0.1/admin/' || doc_id
+      WHEN 4 THEN 'https://blog.example.org/post/' || doc_id
+      ELSE 'https://shop.mall-site.com/item/' || doc_id
+    END AS url
+  FROM documents WHERE doc_id < 600)
+SELECT doc_id, url,
+  CASE doc_id % 6
+    WHEN 0 THEN 'example.com'
+    WHEN 4 THEN 'example.org'
+    ELSE 'mall-site.com' END AS registered_domain
+FROM t WHERE doc_id % 6 IN (0, 4, 5)
+ORDER BY doc_id ASC""",
+    doc="Domain-blocklist URL filtering as a pipeline stage"
+    " (pipelines.py::UrlFilter — the UT1-style source gate every"
+    " web-corpus recipe runs before content filters): planted URLs"
+    " covering a www host, a subdomained tracker, a two-level-TLD"
+    " host (bbc.co.uk — naive last-two-labels would wrongly emit"
+    " 'co.uk'), an IPv4 literal, and two clean domains; the stage"
+    " derives registered_domain via the z09-proven url_features"
+    " decomposition and drops the blocklisted rows (tracker, the"
+    " co.uk host, the IP) through the REAL registered plugin"
+    " executing a spec. Literal lists filter map-side isin; artifact"
+    " lists (domainsPath) join broadcast-side so a millions-of-"
+    "domains UT1 file never reaches the driver. Oracle: closed-form"
+    " keep set + domains per planted shape (derivation fidelity on"
+    " harder shapes is z09's contract), hash-exact",
+)
+def z50_url_filter(spark, sf_dir):
+    from topn_spark.operators.pipeline import url_features
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 600
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    shapes = [
+        F.concat(F.lit("http://www.example.com/page/"), ds),
+        F.concat(
+            F.lit("https://sub.ads-tracker.net/x/"), ds, F.lit("?y=1")
+        ),
+        F.concat(F.lit("http://news.bbc.co.uk/story/"), ds),
+        F.concat(F.lit("http://192.168.0.1/admin/"), ds),
+        F.concat(F.lit("https://blog.example.org/post/"), ds),
+        F.concat(F.lit("https://shop.mall-site.com/item/"), ds),
+    ]
+    url = F.when(d % 6 == 0, shapes[0])
+    for i in range(1, 6):
+        url = url.when(d % 6 == i, shapes[i])
+    planted = docs.select("doc_id", url.alias("url"))
+    spec = {
+        "stages": [
+            {"name": "src", "type": "batchsource", "plugin": "File",
+             "properties": {"path": "<injected>"}},
+            {"name": "gate", "type": "transform", "plugin": "UrlFilter",
+             "properties": {
+                 "action": "block",
+                 "domains":
+                 "ads-tracker.net, bbc.co.uk, 192.168.0.1"}},
+        ],
+        "connections": [{"from": "src", "to": "gate"}],
+    }
+    kept = run_pipeline_with_source(spark, spec, "src", planted)["gate"]
+    return (
+        url_features(kept)
+        .select("doc_id", "url", "registered_domain")
+        .orderBy("doc_id")
+    )
