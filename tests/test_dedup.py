@@ -200,3 +200,24 @@ def test_lsh_pairs_md5_matches_python_mirror(spark):
 
     with pytest.raises(ValueError, match="divide"):
         lsh_pairs_md5(df, num_hashes=8, bands=3)
+
+
+def test_neardup_keep_best(spark):
+    """Each component keeps its highest-score member (ties: lowest
+    id); singletons always survive; component column is the min
+    member id."""
+    from topn_spark.operators.dedup import neardup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7), (9, 2)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.component
+        for r in neardup_keep_best(docs, pairs, "score").collect()
+    }
+    # component {1,2,3}: 2 and 3 tie at 9 -> lowest id 2 survives
+    assert out == {2: 1, 4: 4, 9: 9}

@@ -1512,3 +1512,46 @@ def test_tokenize_stage_unigram_lm_artifact(spark, tmp_path):
     }
     with pytest.raises(VE, match="mutually exclusive"):
         run_pipeline_with_source(spark, both, "src", corpus)
+
+
+def test_pii_redact_stage(spark):
+    """PiiRedact plugin: annotate mode appends the accounting
+    columns; replaceText swaps the text in place and keeps the
+    input schema."""
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, "write to a@b.io now"), (2, "clean")],
+        "doc_id long, text string",
+    )
+
+    def spec(props):
+        return {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "pii", "plugin": "PiiRedact",
+                 "properties": props},
+            ],
+            "connections": [{"from": "src", "to": "pii"}],
+        }
+
+    out = run_pipeline_with_source(spark, spec({}), "src", df)["pii"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].clean_text == "write to |||EMAIL_ADDRESS||| now"
+    assert rows[1].text == "write to a@b.io now"  # original kept
+    assert rows[2].pii_total == 0
+
+    out2 = run_pipeline_with_source(
+        spark, spec({"replaceText": "true"}), "src", df
+    )["pii"]
+    assert out2.columns == ["doc_id", "text"]
+    got = {r.doc_id: r.text for r in out2.collect()}
+    assert got[1] == "write to |||EMAIL_ADDRESS||| now"
+
+    from topn_spark.errors import ValidationError as VE
+
+    with pytest.raises(VE, match="replaceText"):
+        run_pipeline_with_source(
+            spark, spec({"replaceText": "yes"}), "src", df
+        )

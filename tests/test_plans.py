@@ -299,6 +299,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z48_script_tokens",
         "z49_pretrain_pipeline",
         "z50_url_filter",
+        "z51_pii_redact",
+        "z52_neardup_keep_best",
     ):
         warns = [
             f

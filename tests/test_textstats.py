@@ -1157,3 +1157,34 @@ def test_apply_bpe_keep_all_tokens(spark):
         for r in apply_bpe(df, merges, keep_tokens=2).collect()
     }
     assert capped[1] == ["low", "low"]
+
+
+def test_redact_pii_known_shapes(spark):
+    """Each PII class redacts to its standard placeholder; counts
+    come from the ORIGINAL text; precedence keeps an email's digits
+    away from the phone pattern; null text stays null."""
+    from topn_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "host 192.168.0.1 then call 555-123-4567 or (555) 867-5309"),
+        (3, "user555-123-4567@example.com is an address not a phone"),
+        (4, "nothing sensitive here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].clean_text == "mail me at |||EMAIL_ADDRESS||| today"
+    assert out[1].n_emails == 1 and out[1].pii_total == 1
+    assert out[2].clean_text == (
+        "host |||IP_ADDRESS||| then call |||PHONE_NUMBER|||"
+        " or |||PHONE_NUMBER|||"
+    )
+    assert (out[2].n_ips, out[2].n_phones, out[2].pii_total) == (1, 2, 3)
+    # email claims its whole span first: no phone placeholder appears
+    assert out[3].clean_text == (
+        "|||EMAIL_ADDRESS||| is an address not a phone"
+    )
+    assert out[3].n_emails == 1
+    assert out[4].clean_text == rows[3][1] and out[4].pii_total == 0
+    assert out[5].clean_text is None and out[5].pii_total is None

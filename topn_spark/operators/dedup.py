@@ -629,3 +629,53 @@ def lsh_pairs_md5(
         .select("id_a", "id_b", est.alias("est_j"))
         .where(F.col("est_j") >= threshold)
     )
+
+
+def neardup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate collapse keeping the BEST copy: documents
+    connected by the near-dup pair graph form a component
+    (:func:`connected_components`), and each component keeps its
+    highest-``score_col`` member (ties: lowest id — deterministic).
+    The refinement over min-id collapse (x31's convention): when a
+    page is crawled five times at varying extraction quality, the
+    corpus should keep the cleanest copy, not the one with the
+    smallest id. Singletons key by their own id and always survive.
+
+    Adds ``component``; one CC fixpoint over the pair graph (edges
+    only, never documents), a broadcast-sized component-table left
+    join, and one per-component window rank — at 100 TB the window
+    partitions by component (bounded group sizes: components ARE
+    near-dup clusters), never globally."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs)
+    if set(comp.columns) != {"id", "component"}:
+        raise ValueError(
+            f"connected_components contract changed: {comp.columns}"
+        )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(
+            comp.select(
+                F.col("id").alias("_cc_id"),
+                F.col("component").alias("_cc_comp"),
+            ),
+            df[id_col] == F.col("_cc_id"),
+            "left",
+        )
+        .withColumn(
+            "component",
+            F.coalesce(F.col("_cc_comp"), F.col(id_col)),
+        )
+        .drop("_cc_id", "_cc_comp")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2370,3 +2370,74 @@ def load_unigram_lm(spark, path: str) -> list[tuple[str, float]]:
     if not rows:
         raise ValueError(f"{path} holds an empty piece table")
     return sorted((r["piece"], float(r["logprob"])) for r in rows)
+
+
+#: PII patterns (the Dolma/BigScience public redaction recipe shapes),
+#: deliberately RE2-compatible — NO lookaround — so the DuckDB oracle
+#: runs the IDENTICAL expressions. Email before IP before phone: an
+#: address can embed digit runs a later pattern would misread, so the
+#: most-specific pattern claims its span first (documented precedence,
+#: mirrored verbatim by the oracle).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "|||EMAIL_ADDRESS|||",
+    ),
+    (
+        "ip",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "|||IP_ADDRESS|||",
+    ),
+    (
+        "phone",
+        r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+        "|||PHONE_NUMBER|||",
+    ),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the release-gate stage every public corpus
+    ships through (Dolma's postprocess taggers, BigScience ROOTS):
+    replace email addresses, IPv4 literals, and phone numbers with
+    the standard ``|||EMAIL_ADDRESS|||`` / ``|||IP_ADDRESS|||`` /
+    ``|||PHONE_NUMBER|||`` placeholder tokens and count each class.
+
+    Adds ``clean_text`` plus ``n_emails`` / ``n_ips`` / ``n_phones``
+    (match counts on the ORIGINAL text, so the accounting a data
+    card aggregates is independent of replacement order) and
+    ``pii_total``. Patterns apply in :data:`PII_PATTERNS` order —
+    email first, so an address's digit runs can't be half-eaten by
+    the phone pattern. Regex-only by design (the public-recipe
+    baseline); a learned NER pass is a model-scoring stage, not a
+    rewrite rule, and composes downstream.
+
+    Scale shape: pure Catalyst ``regexp_replace`` /
+    ``regexp_extract_all`` — map-only, codegen'd, no UDF, one scan
+    at 100 TB. Each replace is bound in its own sequential
+    projection so the (possibly large) text expression is computed
+    once, not re-inlined per pattern."""
+    out = df
+    counts = {}
+    for name, pat, _ in PII_PATTERNS:
+        counts[name] = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+    cleaned = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, token)
+        # sequential projection boundary: keep each replace computed
+        # once (see url_features' codegen note)
+        out = out.withColumn("_pii_tmp", cleaned)
+        cleaned = F.col("_pii_tmp")
+    return (
+        out.withColumnRenamed("_pii_tmp", "clean_text")
+        .withColumn("n_emails", counts["email"])
+        .withColumn("n_ips", counts["ip"])
+        .withColumn("n_phones", counts["phone"])
+        .withColumn(
+            "pii_total",
+            counts["email"] + counts["ip"] + counts["phone"],
+        )
+    )

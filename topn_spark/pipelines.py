@@ -1192,6 +1192,39 @@ def _stage_tokenize(
     return df.join(applied, id_col)
 
 
+def _stage_pii_redact(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PiiRedact transform: regex PII redaction
+    (textstats.redact_pii — emails/IPs/phones to the standard
+    placeholder tokens + per-class counts). Properties: textField
+    ('text'), replaceText ('false' — when 'true', overwrite the text
+    column with the redacted text and keep the input schema, the
+    release-gate deployment shape)."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    replace_text = p.get("replaceText", "false")
+    ok = _require_field(df, text_col, collector, "textField")
+    if replace_text not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid replaceText '{replace_text}'.",
+            "One of true, false.",
+            property_name="replaceText",
+        )
+        ok = False
+    if not ok:
+        return df
+    from topn_spark.operators.textstats import redact_pii
+
+    out = redact_pii(df, text_col)
+    if replace_text == "true":
+        return out.withColumn(text_col, F.col("clean_text")).select(
+            *df.columns
+        )
+    return out
+
+
 def _stage_url_filter(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -1393,6 +1426,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "WarcParse": ("transform", _stage_warc_parse),
     "LeakageSafeSplit": ("transform", _stage_leakage_split),
     "UrlFilter": ("transform", _stage_url_filter),
+    "PiiRedact": ("transform", _stage_pii_redact),
     "Tokenize": ("transform", _stage_tokenize),
     "PackSequences": ("transform", _stage_pack_sequences),
     "FileSink": ("batchsink", _stage_sink),

@@ -9660,3 +9660,176 @@ def z50_url_filter(spark, sf_dir):
         .select("doc_id", "url", "registered_domain")
         .orderBy("doc_id")
     )
+
+
+def _z51_oracle() -> str:
+    """DuckDB mirror of redact_pii: IDENTICAL RE2-compatible
+    patterns (that compatibility is why the operator bans
+    lookaround), same email -> ip -> phone precedence, counts on the
+    original text."""
+    from topn_spark.operators.textstats import PII_PATTERNS
+
+    pats = {name: (pat, tok) for name, pat, tok in PII_PATTERNS}
+    clean = "text"
+    for name, _, _ in PII_PATTERNS:
+        pat, tok = pats[name]
+        clean = f"regexp_replace({clean}, '{pat}', '{tok}', 'g')"
+    cnt = {
+        name: f"CAST(len(regexp_extract_all(text, '{pats[name][0]}'))"
+        " AS BIGINT)"
+        for name in pats
+    }
+    return f"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'contact me at user' || doc_id
+                  || '@mail-example.com for details'
+      WHEN 1 THEN 'server at 10.0.' || (doc_id % 200)
+                  || '.25 responded then called (555) 867-5309 twice'
+      WHEN 2 THEN 'call 555-123-4567 or email a.b' || doc_id
+                  || '@x.co now'
+      WHEN 3 THEN text
+      ELSE 'no pii here just words ' || doc_id
+    END AS text
+  FROM documents WHERE doc_id < 500)
+SELECT doc_id, {clean} AS clean_text,
+  {cnt['email']} AS n_emails,
+  {cnt['ip']} AS n_ips,
+  {cnt['phone']} AS n_phones,
+  {cnt['email']} + {cnt['ip']} + {cnt['phone']} AS pii_total
+FROM t ORDER BY doc_id ASC"""
+
+
+@query(
+    "z51_pii_redact",
+    None,  # oracle patched below (composed from PII_PATTERNS)
+    doc="PII redaction (textstats.py::redact_pii, PiiRedact plugin)"
+    " — the release-gate stage every public corpus ships through"
+    " (Dolma postprocess, ROOTS): emails, IPv4 literals, and phone"
+    " numbers replaced by the standard |||EMAIL_ADDRESS||| /"
+    " |||IP_ADDRESS||| / |||PHONE_NUMBER||| placeholders, per-class"
+    " counts on the ORIGINAL text so data-card accounting is"
+    " replacement-order independent; email->ip->phone precedence so"
+    " an address's digit runs can't be half-eaten. Planted shapes"
+    " cover each class, a mixed multi-PII doc, real corpus text, and"
+    " a clean control. Pure Catalyst regexp chain in sequential"
+    " projections — map-only, codegen'd, one scan at 100 TB. Oracle:"
+    " the IDENTICAL patterns (RE2-compatible by design, no"
+    " lookaround) and precedence in DuckDB, hash-exact",
+)
+def z51_pii_redact(spark, sf_dir):
+    from topn_spark.operators.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    text = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("contact me at user"), ds,
+                F.lit("@mail-example.com for details"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("server at 10.0."), (d % 200).cast("string"),
+                F.lit(".25 responded then called (555) 867-5309"
+                      " twice"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("call 555-123-4567 or email a.b"), ds,
+                F.lit("@x.co now"),
+            ),
+        )
+        .when(d % 5 == 3, F.col("text"))
+        .otherwise(
+            F.concat(F.lit("no pii here just words "), ds)
+        )
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return redact_pii(planted).select(
+        "doc_id", "clean_text", "n_emails", "n_ips", "n_phones",
+        "pii_total",
+    ).orderBy("doc_id")
+
+
+_Q["z51_pii_redact"] = _Q["z51_pii_redact"].__class__(
+    name="z51_pii_redact",
+    builder=_Q["z51_pii_redact"].builder,
+    oracle=_z51_oracle(),
+    doc=_Q["z51_pii_redact"].doc,
+)
+
+
+def _z52_oracle() -> str:
+    x19 = _Q["x19_lsh_neardup_pairs"].oracle
+    return f"""WITH RECURSIVE pairs AS ({x19}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         CAST(LENGTH(d.text) AS BIGINT) AS score
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+ranked AS (
+  SELECT doc_id, component, score,
+    ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT doc_id, component, score FROM ranked
+WHERE rn = 1 ORDER BY doc_id ASC"""
+
+
+@query(
+    "z52_neardup_keep_best",
+    None,  # oracle patched below (embeds the x19 pair SQL)
+    doc="Quality-aware near-duplicate collapse (dedup.py::"
+    "neardup_keep_best): each MinHash-LSH component keeps its"
+    " HIGHEST-scoring member (ties: lowest id) instead of the"
+    " min-id convention — when a page is crawled five times at"
+    " varying extraction quality, the corpus keeps the cleanest"
+    " copy. Composition: x31 connected components over the x19 pair"
+    " graph + a component-table left join + one per-component window"
+    " rank (bounded partitions — components ARE near-dup clusters;"
+    " singletons survive keyed by their own id). Score here ="
+    " LENGTH(text), a deterministic cross-engine proxy for any"
+    " quality signal (the operator takes any score column, e.g. the"
+    " z16 classifier's). Oracle: DuckDB recursive transitive closure"
+    " + identical rank arithmetic, hash-exact",
+)
+def z52_neardup_keep_best(spark, sf_dir):
+    from topn_spark.operators.dedup import neardup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text").cast("bigint")
+    )
+    pairs = _Q["x19_lsh_neardup_pairs"].builder(spark, sf_dir)
+    return (
+        neardup_keep_best(
+            docs, pairs.select("id_a", "id_b"), "score"
+        )
+        .select("doc_id", "component", "score")
+        .orderBy("doc_id")
+    )
+
+
+_Q["z52_neardup_keep_best"] = _Q["z52_neardup_keep_best"].__class__(
+    name="z52_neardup_keep_best",
+    builder=_Q["z52_neardup_keep_best"].builder,
+    oracle=_z52_oracle(),
+    doc=_Q["z52_neardup_keep_best"].doc,
+)
