@@ -187,3 +187,49 @@ def test_empty_training_set_raises(spark):
     counts, classes = train_langid(empty)
     with pytest.raises(ValueError, match="no languages"):
         langid_model_table(counts, classes)
+
+
+def test_update_langid_fold_equals_retrain(spark, tmp_path):
+    """Incremental artifact fold == retrain on the union, exactly
+    (count tables are additive); new languages appear; in-place
+    update refused."""
+    import pytest
+
+    from topn_spark.operators.langid import (
+        load_langid,
+        save_langid,
+        train_langid,
+        update_langid,
+    )
+
+    a = spark.createDataFrame(
+        [("en", "the cat sat on the mat"),
+         ("de", "die katze sass auf der matte")],
+        "lang string, text string",
+    )
+    b = spark.createDataFrame(
+        [("en", "the dog ran to the park"),
+         ("fr", "le chien court vers le parc")],
+        "lang string, text string",
+    )
+    p_a = str(tmp_path / "m_a")
+    p_ab = str(tmp_path / "m_ab")
+    p_union = str(tmp_path / "m_union")
+    save_langid(*train_langid(a), p_a)
+    update_langid(spark, p_a, b, p_ab)
+    save_langid(*train_langid(a.unionByName(b)), p_union)
+
+    def table(path):
+        c = spark.read.parquet(f"{path}/counts")
+        return {
+            (r.lang, r.gram): r.c for r in c.collect()
+        }, {
+            (r.lang, r.total, r.n_docs)
+            for r in spark.read.parquet(f"{path}/classes").collect()
+        }
+
+    assert table(p_ab) == table(p_union)
+    model, meta = load_langid(spark, p_ab)
+    assert set(meta["langs"]) == {"en", "de", "fr"}
+    with pytest.raises(ValueError, match="fresh path"):
+        update_langid(spark, p_ab, b, p_ab)

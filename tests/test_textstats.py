@@ -1188,3 +1188,59 @@ def test_redact_pii_known_shapes(spark):
     assert out[3].n_emails == 1
     assert out[4].clean_text == rows[3][1] and out[4].pii_total == 0
     assert out[5].clean_text is None and out[5].pii_total is None
+
+
+def test_bpe_gpt2_export_round_trip(spark, tmp_path):
+    """GPT-2/HF interchange format: byte-mode merges export to
+    merges.txt + vocab.json and import back EXACTLY; the byte table
+    matches the published GPT-2 mapping landmarks; tokenization
+    under re-imported merges is unchanged; a non-byte file fails
+    loudly."""
+    import json
+
+    from topn_spark.operators.textstats import (
+        _gpt2_byte_to_unicode,
+        apply_bpe,
+        bpe_train,
+        load_bpe_gpt2,
+        save_bpe_gpt2,
+    )
+
+    # published-table landmarks: printable ascii identity, space ->
+    # U+0120 (the famous 'Ġ'), byte 0 -> U+0100
+    b2u = _gpt2_byte_to_unicode()
+    assert b2u[ord("a")] == "a" and b2u[ord("!")] == "!"
+    assert b2u[32] == "Ġ" and b2u[0] == "Ā"
+    assert sorted(set(b2u.values())) and len(set(b2u.values())) == 256
+
+    df = spark.createDataFrame(
+        [(1, "der fluss fließt über grüne hügel"),
+         (2, "the rivers flow over green hills")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, 20, mode="byte")
+    path = str(tmp_path / "gpt2")
+    save_bpe_gpt2(merges, path)
+    assert load_bpe_gpt2(path) == merges
+    # multi-byte codepoints (ü, ß) exported as table chars, and
+    # application under the round-tripped table is identical
+    a = apply_bpe(df, merges, mode="byte", keep_tokens=-1).collect()
+    b = apply_bpe(
+        df, load_bpe_gpt2(path), mode="byte", keep_tokens=-1
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # vocab layout: 256 byte symbols then merges, ids contiguous
+    vocab = json.load(open(f"{path}/vocab.json"))
+    assert len(vocab) >= 256 + 1
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    # a merges file with characters outside the table is rejected
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "merges.txt").write_text("#version: 0.2\n中 文\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="not byte-level"):
+        load_bpe_gpt2(str(bad))
+    (bad / "merges.txt").write_text("no header\na b\n")
+    with pytest.raises(ValueError, match="version"):
+        load_bpe_gpt2(str(bad))

@@ -281,3 +281,93 @@ def load_langid(spark, path: str) -> tuple[DataFrame, dict]:
     meta["n_lo"] = int(meta_rows[0]["n_lo"])
     meta["n_hi"] = int(meta_rows[0]["n_hi"])
     return model, meta
+
+
+def update_langid(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> None:
+    """Incrementally fold newly-labelled seed documents into a saved
+    langid artifact — the :func:`~topn_spark.operators.lm.
+    update_bigram_lm` discipline applied to the NB model: gram and
+    class count tables are ADDITIVE, so (train A) ⊕ (train B) ==
+    train(A ∪ B) exactly; new languages simply appear as new rows.
+    Loads the raw count tables from ``path``, counts ``new_docs``
+    under the artifact's own gram range, outer-join-sums, and writes
+    a fresh artifact at ``out_path`` (never in place — the old
+    artifact stays readable until the new one is complete).
+
+    Exactness caveat, as for the LM: additivity holds for UNPRUNED
+    count tables (``train_langid(min_count=1)``, the default) —
+    prune at scoring time, not before merging."""
+    import os
+
+    if os.path.normpath(os.path.abspath(out_path)) == os.path.normpath(
+        os.path.abspath(path)
+    ):
+        raise ValueError(
+            f"out_path {out_path!r} is the source artifact itself: "
+            "the overwrite would clobber it while the merged plan "
+            "still lazily reads it. Write to a fresh path."
+        )
+    counts = spark.read.parquet(f"{path}/counts")
+    classes = spark.read.parquet(f"{path}/classes")
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if (
+        set(counts.columns) != {"lang", "gram", "c"}
+        or set(classes.columns) != {"lang", "total", "n_docs"}
+        or len(meta_rows) != 1
+    ):
+        raise ValueError(f"{path} is not a langid artifact")
+    n_lo, n_hi = int(meta_rows[0]["n_lo"]), int(meta_rows[0]["n_hi"])
+    new_counts, new_classes = train_langid(
+        new_docs, text_col=text_col, label_col=label_col,
+        n_lo=n_lo, n_hi=n_hi,
+    )
+    merged_counts = (
+        counts.select("lang", "gram", F.col("c").alias("_a"))
+        .join(
+            new_counts.select(
+                "lang", "gram", F.col("c").alias("_b")
+            ),
+            ["lang", "gram"],
+            "full",
+        )
+        .select(
+            "lang",
+            "gram",
+            (
+                F.coalesce("_a", F.lit(0)) + F.coalesce("_b", F.lit(0))
+            ).alias("c"),
+        )
+    )
+    merged_classes = (
+        classes.select(
+            "lang",
+            F.col("total").alias("_ta"),
+            F.col("n_docs").alias("_da"),
+        )
+        .join(
+            new_classes.select(
+                "lang",
+                F.col("total").alias("_tb"),
+                F.col("n_docs").alias("_db"),
+            ),
+            "lang",
+            "full",
+        )
+        .select(
+            "lang",
+            (
+                F.coalesce("_ta", F.lit(0)) + F.coalesce("_tb", F.lit(0))
+            ).alias("total"),
+            (
+                F.coalesce("_da", F.lit(0)) + F.coalesce("_db", F.lit(0))
+            ).alias("n_docs"),
+        )
+    )
+    save_langid(merged_counts, merged_classes, out_path, n_lo, n_hi)

@@ -2441,3 +2441,107 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             counts["email"] + counts["ip"] + counts["phone"],
         )
     )
+
+
+def _gpt2_byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode table (Radford et al. 2019 reference
+    implementation, public): printable latin bytes map to themselves,
+    every other byte shifts into U+0100+ so all 256 symbols are
+    visible characters. This is the rendering the interchange FORMAT
+    uses; the engine's internal render is plain latin-1
+    (:func:`apply_bpe` ``mode="byte"``), so export/import re-map."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def save_bpe_gpt2(merges: list[tuple[str, str]], path: str) -> None:
+    """Export a ``mode="byte"`` merge table in the GPT-2/HuggingFace
+    interchange format: ``path/merges.txt`` (``#version: 0.2``
+    header, one space-separated merge per line in rank order) and
+    ``path/vocab.json`` (token → id; the 256 byte symbols in byte
+    order take ids 0–255, each merge's concatenation appends next —
+    the layout HF's BPE trainer emits). Symbols re-render from the
+    engine's latin-1 byte alphabet to the GPT-2 byte↔unicode table,
+    so the artifact drops straight into any GPT-2-compatible
+    tokenizer loader. Driver-side file write — the merge table is
+    model state (10k–50k pairs), never corpus-sized."""
+    import json
+    import os
+
+    b2u = _gpt2_byte_to_unicode()
+
+    def render(sym: str) -> str:
+        return "".join(b2u[b] for b in sym.encode("latin-1"))
+
+    os.makedirs(path, exist_ok=True)
+    with open(
+        os.path.join(path, "merges.txt"), "w", encoding="utf-8"
+    ) as f:
+        f.write("#version: 0.2\n")
+        for lhs, rhs in merges:
+            f.write(f"{render(lhs)} {render(rhs)}\n")
+    vocab: dict[str, int] = {}
+    for b in range(256):
+        vocab[b2u[b]] = b
+    for lhs, rhs in merges:
+        tok = render(lhs) + render(rhs)
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    with open(
+        os.path.join(path, "vocab.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(vocab, f, ensure_ascii=False)
+
+
+def load_bpe_gpt2(path: str) -> list[tuple[str, str]]:
+    """Load a GPT-2-format ``merges.txt`` back into the engine's
+    latin-1 byte render — ``save_bpe_gpt2``'s inverse, also the
+    import path for any published GPT-2-compatible tokenizer.
+    Validates the header and that every symbol round-trips through
+    the byte table (a non-byte-level merges file fails loudly)."""
+    import os
+
+    u2b = {u: b for b, u in _gpt2_byte_to_unicode().items()}
+
+    def unrender(sym: str) -> str:
+        try:
+            return bytes(u2b[c] for c in sym).decode("latin-1")
+        except KeyError as e:
+            raise ValueError(
+                f"{path}/merges.txt is not byte-level GPT-2 format: "
+                f"symbol {sym!r} holds a non-table character {e}"
+            ) from None
+
+    merges = []
+    with open(
+        os.path.join(path, "merges.txt"), encoding="utf-8"
+    ) as f:
+        header = f.readline()
+        if not header.startswith("#version:"):
+            raise ValueError(
+                f"{path}/merges.txt has no '#version:' header "
+                f"(got {header!r})"
+            )
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            lhs, sep, rhs = line.partition(" ")
+            if not sep or not rhs:
+                raise ValueError(
+                    f"unparseable merge line {line!r} in "
+                    f"{path}/merges.txt"
+                )
+            merges.append((unrender(lhs), unrender(rhs)))
+    return merges
