@@ -82,12 +82,15 @@ from topn_spark.operators.textstats import (
     tfidf_top_terms,
 )
 from topn_spark.operators.langid import (
+    char_array,
     char_ngrams,
+    char_ngrams_from_chars,
     langid_model_table,
     langid_score,
     load_langid,
     save_langid,
     train_langid,
+    update_langid,
 )
 from topn_spark.operators.similarity import (
     cosine_topk,
@@ -148,11 +151,14 @@ __all__ = [
     "pq_adc_topk",
     "pq_topk",
     "semantic_dedup",
+    "char_array",
     "char_ngrams",
+    "char_ngrams_from_chars",
     "train_langid",
     "langid_model_table",
     "langid_score",
     "save_langid",
+    "update_langid",
     "load_langid",
     "chunk_documents",
     "chunk_by_tokens",

