@@ -17,7 +17,7 @@ from topn_spark.operators.pipeline import (
     chunk_documents,
     contamination_check,
     pack_sequences,
-    redact_pii,
+    scrub_pii,
 )
 from topn_spark.operators.textstats import add_quality, add_token_stats
 
@@ -57,7 +57,7 @@ def test_full_corpus_pipeline(spark):
     assert 0 < n4 <= n3
 
     # 5. redact + chunk + token counts (map-only chain)
-    prepared = clean.withColumn("text", redact_pii("text"))
+    prepared = clean.withColumn("text", scrub_pii("text"))
     chunks = chunk_documents(prepared, size=200, overlap=50)
     assert chunks.where(F.col("chunk_len") > 200).count() == 0
     chunks = add_token_stats(chunks, "chunk")

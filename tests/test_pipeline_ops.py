@@ -17,7 +17,7 @@ from topn_spark.operators.pipeline import (
     chunk_documents,
     hash_sample,
     pack_sequences,
-    redact_pii,
+    scrub_pii,
     token_heavy_hitters,
 )
 
@@ -114,7 +114,7 @@ def test_redaction_scrubs_all_pii(spark):
         "id long, text string",
     )
     out = {r.id: r.clean for r in
-           df.select("id", redact_pii("text").alias("clean")).collect()}
+           df.select("id", scrub_pii("text").alias("clean")).collect()}
     assert out[1] == "mail <EMAIL> now"
     assert out[2] == "see <URL> and call <ID>"
     assert out[3] == "short digits 123456 stay"  # runs < 7 digits kept

@@ -1555,3 +1555,103 @@ def test_pii_redact_stage(spark):
         run_pipeline_with_source(
             spark, spec({"replaceText": "yes"}), "src", df
         )
+
+
+def test_quality_classifier_stage(spark, tmp_path):
+    """QualityClassifier: a saved logreg artifact gates the stream;
+    annotate mode appends prob; artifact/feature mismatches fail at
+    the stage, not in the dot product."""
+    from topn_spark.operators.textstats import (
+        QUALITY_FEATURES,
+        add_quality,
+        logreg_train,
+        save_logreg,
+    )
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    good = "the quick brown fox jumps over the lazy dog again today"
+    bad = "=== 1 2 3 !!! === ### 4 5 ((( ))) [[[ ]]] ??? 6 7 !!!"
+    train = spark.createDataFrame(
+        [(i, good if i % 2 else bad) for i in range(40)],
+        "doc_id long, text string",
+    )
+    w = logreg_train(
+        add_quality(train), QUALITY_FEATURES,
+        label_col="quality_keep", n_iters=30,
+    )
+    path = str(tmp_path / "logreg")
+    save_logreg(spark, w, QUALITY_FEATURES, path)
+
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, None)],
+        "doc_id long, text string",
+    )
+
+    def run(props):
+        spec = {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "q", "plugin": "QualityClassifier",
+                 "properties": dict({"modelPath": path}, **props)},
+            ],
+            "connections": [{"from": "src", "to": "q"}],
+        }
+        return run_pipeline_with_source(spark, spec, "src", df)["q"]
+
+    ann = {r.doc_id: r for r in run({}).collect()}
+    assert ann[1].prob > ann[2].prob
+    assert ann[3].prob is None  # no features -> no opinion
+    cut = (ann[1].prob + ann[2].prob) / 2
+    gated = run({"minProb": repr(cut)})
+    assert gated.columns == ["doc_id", "text"]
+    assert [r.doc_id for r in gated.collect()] == [1]
+
+    # a wrong artifact fails loudly
+    from topn_spark.operators.textstats import load_logreg
+
+    spark.createDataFrame(
+        [(1, 2.0)], "a long, b double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "junk"))
+    with pytest.raises(ValueError, match="not a logreg artifact"):
+        load_logreg(spark, str(tmp_path / "junk"))
+
+
+def test_dedup_against_stage(spark, tmp_path):
+    """DedupAgainst: the incremental-ingest gate drops rows whose
+    content already exists in the base corpus on disk."""
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")],
+        "doc_id long, text string",
+    ).write.parquet(base)
+    df = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "also seen")],
+        "doc_id long, text string",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "gate", "plugin": "DedupAgainst",
+             "properties": {"basePath": base, "uniqueFields": "text"}},
+        ],
+        "connections": [{"from": "src", "to": "gate"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)["gate"]
+    assert sorted(r.doc_id for r in out.collect()) == [2]
+    assert out.columns == ["doc_id", "text"]
+
+    from topn_spark.errors import ValidationError as VE
+
+    bad = dict(spec)
+    bad["stages"] = [
+        spec["stages"][0],
+        {"name": "gate", "plugin": "DedupAgainst",
+         "properties": {"uniqueFields": "nope"}},
+    ]
+    with pytest.raises(VE) as ei:
+        run_pipeline_with_source(spark, bad, "src", df)
+    msg = str(ei.value)
+    assert "basePath" in msg and "nope" in msg

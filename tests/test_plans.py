@@ -301,6 +301,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z50_url_filter",
         "z51_pii_redact",
         "z52_neardup_keep_best",
+        "z53_unpack_round_trip",
     ):
         warns = [
             f

@@ -1244,3 +1244,19 @@ def test_bpe_gpt2_export_round_trip(spark, tmp_path):
     (bad / "merges.txt").write_text("no header\na b\n")
     with pytest.raises(ValueError, match="version"):
         load_bpe_gpt2(str(bad))
+
+
+def test_logreg_artifact_round_trip(spark, tmp_path):
+    """save_logreg/load_logreg: weights + feature order round-trip
+    exactly; mismatched weight count refused at save."""
+    import pytest
+
+    from topn_spark.operators.textstats import load_logreg, save_logreg
+
+    w = [0.5, -1.25, 3.0]
+    feats = ["alpha_ratio", "mean_word_len"]
+    p = str(tmp_path / "m")
+    save_logreg(spark, w, feats, p)
+    assert load_logreg(spark, p) == (w, feats)
+    with pytest.raises(ValueError, match="intercept"):
+        save_logreg(spark, [1.0], feats, p)

@@ -35,6 +35,8 @@ from topn_spark.pipelines import (
     run_streaming_pipeline,
 )
 from topn_spark.operators.dedup import (
+    lsh_pairs_md5,
+    neardup_keep_best,
     connected_components,
     dedup_exact,
     minhash_dedup_pairs,
@@ -56,8 +58,9 @@ from topn_spark.operators.pipeline import (
     pack_sequences,
     pack_token_sequences,
     packed_doc_spans,
+    unpack_sequences,
     export_packed_shards,
-    redact_pii,
+    scrub_pii,
     resample_ffill,
     resample_interpolate,
     sessionize,
@@ -75,6 +78,11 @@ from topn_spark.operators.pipeline import (
     zscore,
 )
 from topn_spark.operators.textstats import (
+    load_bpe_gpt2,
+    load_logreg,
+    redact_pii,
+    save_bpe_gpt2,
+    save_logreg,
     add_repetition_signals,
     apply_bpe,
     bpe_train,
@@ -173,9 +181,17 @@ __all__ = [
     "stratified_split",
     "pack_sequences",
     "pack_token_sequences",
+    "unpack_sequences",
     "packed_doc_spans",
     "export_packed_shards",
     "redact_pii",
+    "scrub_pii",
+    "lsh_pairs_md5",
+    "neardup_keep_best",
+    "save_logreg",
+    "load_logreg",
+    "save_bpe_gpt2",
+    "load_bpe_gpt2",
     "token_heavy_hitters",
     "contamination_check",
     "histogram",

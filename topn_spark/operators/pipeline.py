@@ -46,7 +46,7 @@ __all__ = [
     "leakage_safe_split",
     "merge_upsert",
     "pack_sequences",
-    "redact_pii",
+    "scrub_pii",
     "shard_assignment",
     "shard_manifest",
     "export_training_shards",
@@ -582,19 +582,23 @@ def export_packed_shards(
 #: containing '@' is consumed as one token; digit-runs last so the
 #: placeholders themselves are never re-matched). Plain RE2-compatible
 #: syntax — portable between Java regex (Spark) and RE2 (DuckDB).
-PII_PATTERNS: tuple[tuple[str, str], ...] = (
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"https?://\S+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{7,}", "<ID>"),
 )
 
 
-def redact_pii(col: Column | str) -> Column:
+def scrub_pii(col: Column | str) -> Column:
     """Scrub URLs, email addresses, and long digit runs (ids, phone
-    numbers, SSNs) to typed placeholders. A chained regexp_replace —
+    numbers, SSNs) to typed placeholders — the lightweight COLUMN
+    form for inline text prep. The release-gate DataFrame operator
+    with per-class accounting and the standard Dolma placeholder
+    tokens is :func:`topn_spark.operators.textstats.redact_pii`
+    (the z51 entry / PiiRedact plugin). A chained regexp_replace —
     codegen'd, map-only; the 100 TB cost is one scan."""
     out = F.col(col) if isinstance(col, str) else col
-    for pat, repl in PII_PATTERNS:
+    for pat, repl in SCRUB_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
 
@@ -2308,3 +2312,57 @@ def corpus_overlap_estimate(
             inter / F.col("ndv_a").cast("double"), 6
         ).alias("containment_a"),
     )
+
+
+def unpack_sequences(
+    packed: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rebuild per-document token arrays from packed training
+    sequences + their boundary spans — the inverse of
+    :func:`pack_token_sequences`, and the AUDIT for it: packing is
+    lossless iff this returns exactly the pre-packing arrays (the
+    z53 catalog entry states that identity against the oracle).
+    Production uses: reconstruct a document from a packed shard for
+    inspection/debugging, or verify an exported epoch end-to-end.
+
+    ``packed`` is the pack output (``seq_id, tokens`` + ``by``),
+    ``spans`` the matching :func:`packed_doc_spans` frame (``seq_id,
+    id, seq_start, doc_start, n_tokens`` + ``by``; pass the SAME
+    ``by``/``seq_len``/order used when packing). Plan: equi-join on
+    (``by``, seq_id) — both sides already carry that key, so AQE
+    broadcasts or co-shuffles it — each overlap slices its piece out
+    of the sequence array, and one hash agg per document reassembles
+    (``array_sort`` on (doc_start, piece) structs + ``flatten``),
+    the exact mirror of the packer's reassembly."""
+    piece = packed.select(
+        *by,
+        "seq_id",
+        F.col("tokens").alias("_seq_toks"),
+    ).join(spans, [*by, "seq_id"])
+    out = (
+        piece.select(
+            *by,
+            F.col(id_col),
+            F.struct(
+                F.col("doc_start"),
+                F.slice(
+                    "_seq_toks",
+                    (F.col("seq_start") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ).alias("piece"),
+            ).alias("_sp"),
+        )
+        .groupBy(*by, id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_sp")),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens"),
+        )
+    )
+    return out

@@ -2545,3 +2545,48 @@ def load_bpe_gpt2(path: str) -> list[tuple[str, str]]:
                 )
             merges.append((unrender(lhs), unrender(rhs)))
     return merges
+
+
+def save_logreg(
+    spark, weights: list[float], feature_cols: list[str], path: str
+) -> None:
+    """Persist a trained :func:`logreg_train` model as a reusable
+    artifact: ``(idx, feature, weight)`` parquet with the intercept
+    at idx 0 — the save_bigram_lm/save_langid discipline applied to
+    the quality classifier (train once on labels, gate any
+    corpus/stream). Row order IS the feature order
+    :func:`logreg_predict` consumes."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} "
+            "features (+1 intercept expected)"
+        )
+    rows = [(0, "__intercept__", float(weights[0]))] + [
+        (i + 1, c, float(w))
+        for i, (c, w) in enumerate(zip(feature_cols, weights[1:]))
+    ]
+    spark.createDataFrame(
+        rows, "idx int, feature string, weight double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_logreg(spark, path: str) -> tuple[list[float], list[str]]:
+    """Load a :func:`save_logreg` artifact → ``(weights,
+    feature_cols)``. Validates the schema and the idx-0 intercept so
+    a wrong path fails loudly, not as a silently mis-ordered dot
+    product."""
+    table = spark.read.parquet(path)
+    if set(table.columns) != {"idx", "feature", "weight"}:
+        raise ValueError(f"{path} is not a logreg artifact")
+    rows = sorted(table.collect(), key=lambda r: r["idx"])
+    if (
+        not rows
+        or rows[0]["idx"] != 0
+        or rows[0]["feature"] != "__intercept__"
+        or [r["idx"] for r in rows] != list(range(len(rows)))
+    ):
+        raise ValueError(f"{path} is not a logreg artifact")
+    return (
+        [float(r["weight"]) for r in rows],
+        [r["feature"] for r in rows[1:]],
+    )

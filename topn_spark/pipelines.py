@@ -1192,6 +1192,144 @@ def _stage_tokenize(
     return df.join(applied, id_col)
 
 
+def _stage_quality_classifier(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """QualityClassifier transform: score every record under a SAVED
+    logistic-regression artifact (textstats.load_logreg — train once
+    with logreg_train/train_quality_classifier, gate any stream):
+    featurize with add_quality, sigmoid-score with the artifact's
+    weights (pure Catalyst, weights as literals). Properties:
+    modelPath (required), textField ('text'), probField ('prob'),
+    minProb (optional — keep only records with prob >= minProb and
+    drop the added columns, the gate deployment shape; records
+    without complete features score NULL and are dropped by the
+    gate)."""
+    (df,) = inputs
+    p = stage.properties
+    model_path = p.get("modelPath")
+    text_col = p.get("textField", "text")
+    prob_col = p.get("probField", "prob")
+    minprob_raw = p.get("minProb")
+    if phase == "run":
+        subs = substitutions or {}
+        model_path = substitute_macros(
+            model_path, subs, collector, "modelPath"
+        )
+        minprob_raw = substitute_macros(
+            minprob_raw, subs, collector, "minProb"
+        )
+    ok = _require_field(df, text_col, collector, "textField")
+    if not model_path:
+        collector.add_failure(
+            "Required property 'modelPath' is missing.",
+            "Point it at a save_logreg artifact.",
+            property_name="modelPath",
+        )
+        ok = False
+    min_prob = None
+    if minprob_raw is not None and not contains_macro(minprob_raw):
+        try:
+            min_prob = float(minprob_raw)
+        except (TypeError, ValueError):
+            collector.add_failure(
+                f"Invalid minProb '{minprob_raw}'.",
+                "A number in [0, 1].",
+                property_name="minProb",
+            )
+            ok = False
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(model_path):
+        # schema-faithful placeholder: the gate preserves the input
+        # schema; annotate mode appends the feature + prob columns
+        if minprob_raw is not None:
+            return df
+        from topn_spark.operators.textstats import add_quality
+
+        return add_quality(df, text_col).withColumn(
+            prob_col, F.lit(None).cast("double")
+        )
+    from topn_spark.operators.textstats import (
+        add_quality,
+        load_logreg,
+        logreg_predict,
+    )
+
+    weights, feature_cols = load_logreg(spark, model_path)
+    feat = add_quality(df, text_col)
+    missing = [c for c in feature_cols if c not in feat.columns]
+    if missing:
+        collector.add_failure(
+            f"Artifact features {missing} not produced by the "
+            "add_quality featurizer.",
+            "The artifact must be trained over add_quality columns.",
+            property_name="modelPath",
+        )
+        return df
+    scored = logreg_predict(feat, weights, feature_cols, prob_col)
+    if minprob_raw is not None:
+        return scored.where(F.col(prob_col) >= min_prob).select(
+            *df.columns
+        )
+    return scored
+
+
+def _stage_dedup_against(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """DedupAgainst batchjoiner-shaped transform: cross-corpus exact
+    dedup gate (dedup.dedup_against) — keep only records whose
+    ``uniqueFields`` content does NOT already appear in a BASE corpus
+    on disk, the incremental-ingest check a pipeline runs before
+    admitting a new crawl against the existing corpus. Properties:
+    basePath (required — parquet of the existing corpus), uniqueFields
+    (comma list, default = all common columns). Planned as a LEFT
+    ANTI join on the md5 content digest — both sides shuffle 16-byte
+    keys, or broadcast when the base digest set is small."""
+    (df,) = inputs
+    p = stage.properties
+    base_path = p.get("basePath")
+    if phase == "run":
+        base_path = substitute_macros(
+            base_path, substitutions or {}, collector, "basePath"
+        )
+    uniq = [
+        c.strip()
+        for c in p.get("uniqueFields", "").split(",")
+        if c.strip()
+    ]
+    ok = True
+    if not base_path:
+        collector.add_failure(
+            "DedupAgainst needs 'basePath'.", property_name="basePath"
+        )
+        ok = False
+    missing = [c for c in uniq if c not in df.columns]
+    if missing:
+        collector.add_failure(
+            f"Columns {missing} not in input schema.",
+            property_name="uniqueFields",
+        )
+        ok = False
+    if not ok:
+        return df
+    if phase == "deploy":
+        return df  # anti join preserves the schema; base unread
+    from topn_spark.operators.dedup import dedup_against
+
+    base = spark.read.parquet(base_path)
+    if uniq:
+        bad = [c for c in uniq if c not in base.columns]
+        if bad:
+            collector.add_failure(
+                f"Columns {bad} not in the base corpus schema.",
+                property_name="uniqueFields",
+            )
+            return df
+    return dedup_against(df, base, subset=uniq or None)
+
+
 def _stage_pii_redact(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -1427,6 +1565,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "LeakageSafeSplit": ("transform", _stage_leakage_split),
     "UrlFilter": ("transform", _stage_url_filter),
     "PiiRedact": ("transform", _stage_pii_redact),
+    "QualityClassifier": ("transform", _stage_quality_classifier),
+    "DedupAgainst": ("transform", _stage_dedup_against),
     "Tokenize": ("transform", _stage_tokenize),
     "PackSequences": ("transform", _stage_pack_sequences),
     "FileSink": ("batchsink", _stage_sink),

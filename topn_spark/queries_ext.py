@@ -1385,11 +1385,16 @@ SELECT doc_id,
     '[0-9]{7,}', '<ID>', 'g') AS clean,
   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
 FROM aug ORDER BY doc_id ASC LIMIT 200""",
-    doc="PII redaction: URL → email → digit-run regexp_replace chain "
-    "over deterministically augmented text (corpus has no native PII)",
+    doc="Inline PII scrub (pipeline.py::scrub_pii, the lightweight "
+    "column form; the accounting release gate is z51): URL → email → "
+    "digit-run regexp_replace chain over deterministically augmented "
+    "text (corpus has no native PII)",
 )
 def x37_redaction(spark, sf_dir):
-    from topn_spark.operators.pipeline import PII_PATTERNS, redact_pii
+    from topn_spark.operators.pipeline import (
+        SCRUB_PATTERNS,
+        scrub_pii,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.select(
@@ -1404,11 +1409,11 @@ def x37_redaction(spark, sf_dir):
             F.col("doc_id").cast("string"),
         ).alias("t"),
     )
-    email_pat = PII_PATTERNS[1][0]
+    email_pat = SCRUB_PATTERNS[1][0]
     return (
         aug.select(
             "doc_id",
-            redact_pii("t").alias("clean"),
+            scrub_pii("t").alias("clean"),
             F.size(
                 F.expr(f"regexp_extract_all(t, '{email_pat}', 0)")
             ).cast("bigint").alias("n_emails"),
@@ -9833,3 +9838,44 @@ _Q["z52_neardup_keep_best"] = _Q["z52_neardup_keep_best"].__class__(
     oracle=_z52_oracle(),
     doc=_Q["z52_neardup_keep_best"].doc,
 )
+
+
+@query(
+    "z53_unpack_round_trip",
+    """SELECT doc_id,
+  regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+FROM documents
+WHERE doc_id < 400
+  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+ORDER BY doc_id ASC""",
+    doc="Packing losslessness stated AS A QUERY (pipeline.py::"
+    "unpack_sequences, the inverse/audit of pack_token_sequences):"
+    " tokenize -> pack into 32-token sequences -> rebuild every"
+    " document from the packed sequences plus the packed_doc_spans"
+    " boundary metadata. The oracle is simply the ORIGINAL token"
+    " arrays — hash-equality proves the full pack/unpack cycle"
+    " drops and reorders nothing (the property a manifest-verified"
+    " packed export rests on), not merely that counts add up."
+    " Plan: one equi-join of sequences and spans on seq_id (both"
+    " sides carry the key; AQE broadcasts the smaller), per-overlap"
+    " array slices, one per-doc hash agg reassembly — the packer's"
+    " own shapes run backwards. Production use: reconstruct any"
+    " document from a packed shard for inspection, or audit an"
+    " exported epoch end-to-end",
+)
+def z53_unpack_round_trip(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        pack_token_sequences,
+        packed_doc_spans,
+        unpack_sequences,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", tokens("text").alias("tokens"))
+    )
+    packed = pack_token_sequences(docs, seq_len=32)
+    spans = packed_doc_spans(docs, seq_len=32)
+    return unpack_sequences(packed, spans).orderBy("doc_id")
