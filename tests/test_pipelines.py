@@ -1137,6 +1137,14 @@ def _e2e_corpus() -> list[tuple[str, str]]:
         for i, c in enumerate("abcdef")
     ]
     docs += [
+        # PII plant: survives every filter, redacted in place before
+        # tokenization (trained INTO the LM so its bigrams are
+        # in-vocab — the gate under test is PiiRedact, not ppl)
+        (
+            "http://crawl.test/clean/pii",
+            _e2e_doc("piitag")
+            + "\nwrite to me at bob@mail-example.com for details.",
+        ),
         ("http://crawl.test/dup/a", _e2e_doc("dupword")),
         ("http://crawl.test/dup/b", _e2e_doc("dupword")),
         ("http://crawl.test/near/a", _e2e_doc("nearone")),
@@ -1173,6 +1181,9 @@ def _e2e_corpus() -> list[tuple[str, str]]:
             "http://crawl.test/bad/french",
             "\n".join([_E2E_SEEDS["fr"] + "." for _ in range(7)]),
         ),
+        # domain drop: clean English text on a blocklisted domain
+        ("http://blocked.ads-spam.example/bad/domain",
+         _e2e_doc("blocked")),
     ]
     return docs
 
@@ -1226,6 +1237,7 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, tmp_path):
     out_dir = str(tmp_path / "shards")
     subs = {
         "input": str(warc_dir / "*.warc"),
+        "blocklist": "ads-spam.example, other-junk.example",
         "langModel": lang_model,
         "lang": "en",
         "lmModel": lm_model,
@@ -1243,6 +1255,9 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, tmp_path):
     uris = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
     survivors = {u for u, _ in docs if "/bad/" not in u}
     # each planted pathology dies at ITS stage
+    after_urls = uris(out["urls"])
+    assert "http://blocked.ads-spam.example/bad/domain" not in after_urls
+    assert survivors <= after_urls
     after_lang = uris(out["lang"])
     assert "http://crawl.test/bad/french" not in after_lang
     assert survivors | {
@@ -1270,6 +1285,16 @@ def test_pretrain_corpus_pipeline_end_to_end(spark, tmp_path):
         splits["http://crawl.test/near/a"]
         == splits["http://crawl.test/near/b"]
     )
+    # PII redacted in place before tokenization: no raw address
+    # anywhere, placeholder present on the planted doc (when its
+    # split is train)
+    pii_rows = {r.doc_id: r.text for r in out["pii"].collect()}
+    assert all("bob@" not in t for t in pii_rows.values())
+    if "http://crawl.test/clean/pii" in pii_rows:
+        assert (
+            "|||EMAIL_ADDRESS|||"
+            in pii_rows["http://crawl.test/clean/pii"]
+        )
     # packing conserves every token of the train split
     train_tokens = {
         r.doc_id: r.n_bpe_tokens for r in out["tok"].collect()
