@@ -521,3 +521,77 @@ def test_quality_gate_batch_replay_is_idempotent(spark, tmp_path):
     assert {(r.doc_id, r.batch_id) for r in kept} == {(1, 0), (3, 1)}
     rejects = spark.read.parquet(rej).collect()
     assert [(r.doc_id, r.reason) for r in rejects] == [(2, "gopher")]
+
+
+def test_quality_sink_langid_routing_and_pii_redaction(spark, tmp_path):
+    """The streaming twin of the batch Dolma path: saved-langid
+    routing rejects off-language docs FIRST (reason 'language'),
+    rules run next, and admissions are PII-redacted in place so raw
+    addresses never land in the corpus."""
+    from topn_spark.operators.langid import save_langid, train_langid
+    from topn_spark.streaming.ingest import (
+        gate_report,
+        quality_corpus_sink,
+    )
+
+    seeds = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox jumps over the lazy dog and"
+             " the children read their books in the quiet library"),
+            ("de", "der schnelle braune fuchs springt ueber den"
+             " faulen hund und die kinder lesen ihre buecher in der"
+             " stillen bibliothek"),
+        ],
+        "lang string, text string",
+    )
+    lang_model = str(tmp_path / "lang_model")
+    save_langid(*train_langid(seeds), lang_model)
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog jumps over the quick brown fox again today " * 3
+    ).strip()
+    with_pii = clean + " contact bob@mail-example.com for details"
+    german = (
+        "der schnelle braune fuchs springt ueber den faulen hund "
+        "und die kinder lesen ihre buecher in der bibliothek " * 3
+    ).strip()
+    src = str(tmp_path / "lsrc")
+    spark.createDataFrame(
+        [(1, clean), (2, with_pii), (3, german), (4, "• spam\n" * 60)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    out = str(tmp_path / "lout")
+    rej = str(tmp_path / "lrej")
+    q = quality_corpus_sink(
+        stream,
+        out,
+        rej,
+        str(tmp_path / "lck"),
+        langid_path=lang_model,
+        keep_lang="en",
+        redact=True,
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert sorted(kept) == [1, 2]
+    assert "bob@" not in kept[2]
+    assert "|||EMAIL_ADDRESS|||" in kept[2]
+    rejects = {
+        r.doc_id: r.reason for r in spark.read.parquet(rej).collect()
+    }
+    # language routing OUTRANKS the rule suite; the spam doc is
+    # English-scored? no — char-grams of bullet spam are off-model
+    # for both languages; whatever langid says, it must carry ONE of
+    # the two reasons deterministically recorded here
+    assert rejects[3] == "language"
+    assert rejects[4] in ("language", "gopher")
+    report = {
+        (r.status, r.reason): r.n
+        for r in gate_report(spark, out, rej).collect()
+    }
+    assert report[("admitted", None)] == 2

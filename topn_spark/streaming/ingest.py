@@ -460,22 +460,34 @@ def quality_gate_batch(
     smoothing: str = "wb",
     k: float = 1.0,
     batch_id: int | None = None,
+    langid: tuple | None = None,
+    keep_lang: str | None = None,
+    redact: bool = False,
 ) -> None:
     """Model-based quality gate for one micro-batch: admit documents
-    that pass the Gopher rule suite AND (when an LM is supplied)
+    that (when a langid model is supplied) classify as ``keep_lang``,
+    pass the Gopher rule suite, AND (when an LM is supplied)
     score at most ``max_ppl`` under the saved bigram model; write
-    admissions to ``out_dir`` and every rejection to ``reject_dir``
+    admissions to ``out_dir`` (PII-redacted in place when
+    ``redact`` — the release-gate form, so raw addresses never land
+    in the corpus) and every rejection to ``reject_dir``
     as ``(id, reason, ppl)`` — a DEAD-LETTER log with WHY, so filter
     regressions are observable instead of silent corpus shrinkage.
+
+    ``langid`` is ``(model, meta)`` from
+    ``operators.langid.load_langid`` — like the LM, loaded ONCE by
+    the sink; classification is one broadcast-join pass per batch.
 
     ``lm`` is ``(unigrams, bigrams, meta)`` from
     ``operators.lm.load_bigram_lm`` — loaded ONCE by the sink and
     reused across batches (train offline, gate forever; the CCNet
     deployment shape); the artifact meta supplies ``vocab_size`` AND
     ``total_tokens``, so scoring schedules no model-sized count jobs
-    per batch. Reasons, first match wins: ``gopher`` (rule suite),
-    ``unscored`` (< 2 tokens — no model opinion, rejected when a ppl
-    cut is active), ``perplexity`` (> max_ppl).
+    per batch. Reasons, first match wins — the Dolma stage order:
+    ``language`` (lang_pred != keep_lang, incl. empty docs scoring
+    ``und``), ``gopher`` (rule suite), ``unscored`` (< 2 tokens — no
+    model opinion, rejected when a ppl cut is active), ``perplexity``
+    (> max_ppl).
 
     Idempotence: with a ``batch_id`` (foreachBatch always has one),
     each side writes ``mode("overwrite")`` into its own
@@ -501,7 +513,7 @@ def quality_gate_batch(
         _quality_gate_writes(
             batch, out_dir, reject_dir, text_col, id_col,
             use_gopher, lm, max_ppl, smoothing, k, batch_id,
-            gopher_rules,
+            gopher_rules, langid, keep_lang, redact,
         )
     finally:
         batch.unpersist()
@@ -510,6 +522,7 @@ def quality_gate_batch(
 def _quality_gate_writes(
     batch, out_dir, reject_dir, text_col, id_col, use_gopher, lm,
     max_ppl, smoothing, k, batch_id, gopher_rules,
+    langid=None, keep_lang=None, redact=False,
 ) -> None:
     if use_gopher:
         enriched = gopher_rules(batch, text_col).select(
@@ -544,6 +557,21 @@ def _quality_gate_writes(
             "ppl", F.lit(None).cast("double")
         )
         reason = F.when(~F.col("gopher_keep"), F.lit("gopher"))
+    if langid is not None and keep_lang is not None:
+        from topn_spark.operators.langid import langid_score
+
+        model, lmeta = langid
+        lang = langid_score(
+            batch, model, lmeta, id_col=id_col, text_col=text_col,
+            n_lo=lmeta["n_lo"], n_hi=lmeta["n_hi"],
+            keep_scores=False,
+        ).select(id_col, "lang_pred")
+        enriched = enriched.join(lang, id_col, "left")
+        reason = F.when(
+            F.coalesce(F.col("lang_pred"), F.lit("und"))
+            != F.lit(keep_lang),
+            F.lit("language"),
+        ).otherwise(reason)
     if batch_id is None:
         out_target, rej_target, write_mode = out_dir, reject_dir, "append"
     else:
@@ -552,7 +580,14 @@ def _quality_gate_writes(
         write_mode = "overwrite"
     flagged = enriched.withColumn("_reason", reason).persist()
     try:
-        flagged.where(F.col("_reason").isNull()).select(
+        admitted = flagged.where(F.col("_reason").isNull())
+        if redact:
+            from topn_spark.operators.textstats import redact_pii
+
+            admitted = redact_pii(admitted, text_col).withColumn(
+                text_col, F.col("clean_text")
+            )
+        admitted.select(
             *batch.columns
         ).write.mode(write_mode).parquet(out_target)
         flagged.where(F.col("_reason").isNotNull()).select(
@@ -576,11 +611,18 @@ def quality_corpus_sink(
     max_ppl: float | None = None,
     smoothing: str = "wb",
     k: float = 1.0,
+    langid_path: str | None = None,
+    keep_lang: str | None = None,
+    redact: bool = False,
 ):
     """Wire a document stream into :func:`quality_gate_batch` via
     ``foreachBatch`` (availableNow-compatible) — the quality sibling
-    of the dedup ingest gates: rules + saved-LM perplexity cut, with
-    a dead-letter reject log. The LM artifact is loaded and persisted
+    of the dedup ingest gates: optional saved-langid routing
+    (``langid_path`` + ``keep_lang``), rules + saved-LM perplexity
+    cut, optional in-place PII redaction of admissions (``redact``),
+    with a dead-letter reject log — the streaming twin of the batch
+    Dolma path in ``examples/pretrain_corpus_pipeline.json``. The LM
+    and langid artifacts are loaded and persisted
     ONCE here (model-sized count tables), not per batch. The stream's
     epoch id is threaded through as the gate's ``batch_id``, so the
     output is per-batch partition directories and a checkpointed
@@ -596,6 +638,12 @@ def quality_corpus_sink(
             stream.sparkSession, model_path
         )
         lm = (unigrams.persist(), bigrams.persist(), meta)
+    lang_model = None
+    if langid_path is not None:
+        from topn_spark.operators.langid import load_langid
+
+        model, lmeta = load_langid(stream.sparkSession, langid_path)
+        lang_model = (model.persist(), lmeta)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         quality_gate_batch(
@@ -610,6 +658,9 @@ def quality_corpus_sink(
             smoothing=smoothing,
             k=k,
             batch_id=batch_id,
+            langid=lang_model,
+            keep_lang=keep_lang,
+            redact=redact,
         )
 
     return (
