@@ -359,3 +359,53 @@ def test_unigram_viterbi_total_and_deterministic(word, vocab_words):
     assert "".join(seg) == word
     assert all(p in logp for p in seg)
     assert seg == _unigram_viterbi(word, logp, max_len)
+
+
+def test_pack_unpack_round_trip_property(spark):
+    """Property: for ANY corpus of token arrays and ANY seq_len,
+    pack_token_sequences is lossless — unpack_sequences rebuilds
+    every non-empty document exactly, every non-final sequence is
+    exactly full, and the token total is conserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from topn_spark.operators.pipeline import (
+        pack_token_sequences,
+        packed_doc_spans,
+        unpack_sequences,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        seq_len=st.integers(min_value=1, max_value=7),
+    )
+    def check(docs, seq_len):
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(docs)],
+            "doc_id long, tokens array<string>",
+        )
+        packed = pack_token_sequences(df, seq_len=seq_len).collect()
+        spans = packed_doc_spans(df, seq_len=seq_len)
+        rebuilt = {
+            r.doc_id: r.tokens
+            for r in unpack_sequences(
+                pack_token_sequences(df, seq_len=seq_len), spans
+            ).collect()
+        }
+        want = {i: t for i, t in enumerate(docs) if t}
+        assert rebuilt == want
+        total = sum(len(t) for t in docs)
+        assert sum(r.n_tokens for r in packed) == total
+        full = sorted(r.n_tokens for r in packed)
+        # at most one non-full sequence (the final remainder)
+        assert sum(1 for n in full if n != seq_len) <= 1
+
+    check()
