@@ -1232,3 +1232,45 @@ def test_export_packed_shards_token_exact_and_tamper_detect(
     os.remove(victim)
     v2 = verify_shards(spark, out, token_col="n_tokens")
     assert not all(r.ok for r in v2.collect())
+
+
+def test_token_budget_mixture(spark):
+    """Each group fills to AT LEAST its token quota in md5(id) order
+    (boundary doc included, overshoot < one doc); unlisted groups
+    drop; an exhausted group yields everything it has."""
+    import hashlib
+
+    import pytest
+
+    from topn_spark.operators.pipeline import token_budget_mixture
+
+    rows = [(i, "a" if i < 20 else "b", 10) for i in range(24)]
+    rows.append((100, "c", 10))  # unlisted group
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    out = token_budget_mixture(
+        df, {"a": 0.5, "b": 0.5}, 100
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.source, []).append(r.doc_id)
+    # quota 50 tokens = 5 docs of 10 each, exactly (no crossing)
+    assert len(got["a"]) == 5
+    # group b has only 4 docs x 10 = 40 < 50: exhausted, all kept
+    assert sorted(got["b"]) == [20, 21, 22, 23]
+    assert "c" not in got
+    # md5 order: the kept a-docs are the 5 smallest by md5(doc_id)
+    order = sorted(
+        range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    assert sorted(got["a"]) == sorted(order[:5])
+    # boundary crossing: uneven doc sizes overshoot by < one doc
+    df2 = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 30), (3, "a", 30)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out2 = token_budget_mixture(df2, {"a": 1.0}, 40).collect()
+    assert sum(r.n_tokens for r in out2) == 60  # 30 < 40 -> next included
+    with pytest.raises(ValueError, match="weight"):
+        token_budget_mixture(df, {}, 10)

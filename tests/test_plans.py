@@ -302,6 +302,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z51_pii_redact",
         "z52_neardup_keep_best",
         "z53_unpack_round_trip",
+        "z54_token_budget_mixture",
     ):
         warns = [
             f

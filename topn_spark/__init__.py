@@ -58,6 +58,7 @@ from topn_spark.operators.pipeline import (
     pack_sequences,
     pack_token_sequences,
     packed_doc_spans,
+    token_budget_mixture,
     unpack_sequences,
     export_packed_shards,
     scrub_pii,
@@ -182,6 +183,7 @@ __all__ = [
     "pack_sequences",
     "pack_token_sequences",
     "unpack_sequences",
+    "token_budget_mixture",
     "packed_doc_spans",
     "export_packed_shards",
     "redact_pii",

@@ -2366,3 +2366,56 @@ def unpack_sequences(
         )
     )
     return out
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Dataset-mixture sampling by TOKEN budget — how training mixes
+    are actually specified ("1T tokens: 60% web / 20% code / 20%
+    books"): group g receives documents until its token quota
+    ``round(total_tokens * weights[g])`` is reached. Documents are
+    taken in the engine-portable md5(id) order (same determinism
+    contract as :func:`mixture_sample`, which budgets document
+    COUNTS); the document that crosses the quota boundary is
+    INCLUDED, so each group reaches at least its quota unless the
+    group itself is exhausted — the overshoot is bounded by one
+    document. Groups absent from ``weights`` are dropped.
+
+    Scale shape: one grouped window cumsum over ``token_col`` (the
+    exact deterministic prefix needs it — same shuffle class as
+    :func:`pack_sequences`), then a map-only filter against a
+    literal CASE quota map. Quota arithmetic is driver-side on the
+    config dict; no data-dependent collect."""
+    from pyspark.sql.window import Window
+
+    if not weights:
+        raise ValueError("token_budget_mixture needs >= 1 weight")
+    if total_tokens < 0:
+        raise ValueError(f"negative total_tokens {total_tokens}")
+    quotas = {
+        g: int(round(total_tokens * w)) for g, w in weights.items()
+    }
+    qmap = F.create_map(
+        *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_key(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col).cast("bigint")).over(w),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        df.where(F.col(group_col).isin(*quotas.keys()))
+        .withColumn("_cum_before", cum_before)
+        .where(F.col("_cum_before") < qmap[F.col(group_col)])
+        .drop("_cum_before")
+    )

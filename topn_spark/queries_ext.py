@@ -9879,3 +9879,51 @@ def z53_unpack_round_trip(spark, sf_dir):
     packed = pack_token_sequences(docs, seq_len=32)
     spans = packed_doc_spans(docs, seq_len=32)
     return unpack_sequences(packed, spans).orderBy("doc_id")
+
+
+@query(
+    "z54_token_budget_mixture",
+    """WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, lang, n_tokens FROM c
+WHERE cum_before < CASE lang
+  WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 500 END
+ORDER BY doc_id ASC""",
+    doc="TOKEN-budget dataset-mixture sampling (pipeline.py::"
+    "token_budget_mixture) — how training mixes are actually"
+    " specified ('1T tokens: 60% web / 20% code / 20% books'),"
+    " where mixture_sample (y21) budgets document COUNTS: each"
+    " group takes documents in the engine-portable md5(id) order"
+    " until its token quota round(total*weight) is reached, the"
+    " boundary-crossing document included (overshoot bounded by one"
+    " document; quotas en 3000 / de 1500 / zh 500 of a 5000-token"
+    " budget at weights 0.6/0.3/0.1). One grouped window cumsum +"
+    " a map-only filter against the literal quota map — quota"
+    " arithmetic is driver-side config, never a data collect."
+    " Oracle: identical cumsum-prefix arithmetic in DuckDB over the"
+    " same md5 order, hash-exact",
+)
+def z54_token_budget_mixture(spark, sf_dir):
+    from topn_spark.operators.pipeline import token_budget_mixture
+    from topn_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return token_budget_mixture(
+        docs,
+        {"en": 0.6, "de": 0.3, "zh": 0.1},
+        5000,
+        group_col="lang",
+    ).orderBy("doc_id")
