@@ -1680,3 +1680,92 @@ def test_dedup_against_stage(spark, tmp_path):
         run_pipeline_with_source(spark, bad, "src", df)
     msg = str(ei.value)
     assert "basePath" in msg and "nope" in msg
+
+
+def test_neardup_collapse_stage(spark):
+    """NearDupCollapse: near-dup texts collapse to the best-scoring
+    survivor (or min id without a score); validation failures
+    collected."""
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    base = ("the cat sat on the mat near the red door today and "
+            "watched the quiet street below for a while longer").split()
+    near = " ".join(base[:12] + ["changed"] + base[13:])
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(base), 5.0),
+            (2, near, 9.0),
+            (3, "totally different words entirely here", 1.0),
+        ],
+        "doc_id long, text string, score double",
+    )
+
+    def run(props):
+        spec = {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "nd", "plugin": "NearDupCollapse",
+                 "properties": props},
+            ],
+            "connections": [{"from": "src", "to": "nd"}],
+        }
+        out = run_pipeline_with_source(spark, spec, "src", df)["nd"]
+        return sorted(r.doc_id for r in out.collect())
+
+    # md5 family catches the planted pair; best score (doc 2) wins
+    assert run({"family": "md5", "scoreField": "score"}) == [2, 3]
+    # min-id convention without a score
+    assert run({"family": "md5"}) == [1, 3]
+
+    from topn_spark.errors import ValidationError as VE
+
+    with pytest.raises(VE) as ei:
+        run({"family": "sha", "numHashes": "x", "scoreField": "nope"})
+    msg = str(ei.value)
+    for frag in ("sha", "numHashes", "scoreField"):
+        assert frag in msg, frag
+
+
+def test_token_budget_mixture_stage(spark):
+    """TokenBudgetMixture: weights parse from the spec string; each
+    group fills to its token quota; macro'd weights defer at deploy."""
+    from topn_spark.pipelines import (
+        compile_pipeline,
+        run_pipeline_with_source,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", 10) for i in range(14)],
+        "doc_id long, source string, n_tokens long",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File", "properties": {"path": "x"}},
+            {"name": "mix", "plugin": "TokenBudgetMixture",
+             "properties": {"weights": "a:0.5, b:0.5",
+                            "totalTokens": "60"}},
+        ],
+        "connections": [{"from": "src", "to": "mix"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)["mix"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.source, []).append(r.doc_id)
+    assert len(got["a"]) == 3 and len(got["b"]) == 3  # 30 tokens each
+
+    from topn_spark.errors import ValidationError as VE
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mix", "plugin": "TokenBudgetMixture",
+             "properties": {"weights": "nonsense"}},
+        ],
+        "connections": [{"from": "src", "to": "mix"}],
+    }
+    with pytest.raises(VE) as ei:
+        run_pipeline_with_source(spark, bad, "src", df)
+    msg = str(ei.value)
+    assert "weights" in msg and "totalTokens" in msg

@@ -1064,6 +1064,170 @@ def _stage_leakage_split(
     )
 
 
+def _stage_neardup_collapse(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """NearDupCollapse transform: collapse MinHash-LSH near-dup
+    components to ONE survivor each (dedup.neardup_keep_best) —
+    keep the highest-``scoreField`` member (ties: lowest id), or
+    min-id when no score is given (the x31 convention). Properties:
+    textField ('text'), idField ('doc_id'), scoreField (optional),
+    family ('xxhash' | 'md5'), threshold, numHashes, bands,
+    shingleSize — the LeakageSafeSplit pair-graph knobs. Appends
+    ``component``."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    score_col = p.get("scoreField")
+    family = p.get("family", "xxhash")
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if score_col is not None:
+        ok = _require_field(df, score_col, collector, "scoreField") and ok
+    if family not in ("xxhash", "md5"):
+        collector.add_failure(
+            f"Invalid family '{family}'.", "One of xxhash, md5.",
+            property_name="family",
+        )
+        ok = False
+    num_hashes = _int_prop(
+        p, "numHashes", 32 if family == "xxhash" else 8, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    bands = _int_prop(
+        p, "bands", 8 if family == "xxhash" else 4, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    shingle = _int_prop(
+        p, "shingleSize", 3, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    thr_raw = p.get(
+        "threshold", "0.8" if family == "xxhash" else "0.5"
+    )
+    if phase == "run":
+        thr_raw = substitute_macros(
+            thr_raw, substitutions or {}, collector, "threshold"
+        )
+    try:
+        threshold = (
+            0.5 if contains_macro(thr_raw) else float(thr_raw)
+        )
+    except (TypeError, ValueError):
+        threshold = None
+        collector.add_failure(
+            f"Invalid threshold '{thr_raw}'.", "A number in [0, 1].",
+            property_name="threshold",
+        )
+    if None in (num_hashes, bands, shingle, threshold) or not ok:
+        return df
+    if num_hashes % bands:
+        collector.add_failure(
+            f"numHashes ({num_hashes}) must divide into bands"
+            f" ({bands}).",
+            property_name="bands",
+        )
+        return df
+    if phase == "deploy":
+        # the CC fixpoint executes jobs — never at validation time
+        return df.withColumn("component", F.col(id_col))
+    from topn_spark.operators.dedup import (
+        lsh_pairs_md5,
+        minhash_dedup_pairs,
+        neardup_keep_best,
+    )
+
+    if family == "md5":
+        pairs = lsh_pairs_md5(
+            df, id_col, text_col, num_hashes, bands, shingle, threshold
+        )
+    else:
+        pairs = minhash_dedup_pairs(
+            df, id_col, text_col, threshold, num_hashes, bands, shingle
+        )
+    pairs = pairs.select("id_a", "id_b")
+    if score_col is not None:
+        return neardup_keep_best(df, pairs, score_col, id_col=id_col)
+    # min-id convention: rank on a constant score
+    scored = df.withColumn("_nd_score", F.lit(0))
+    return neardup_keep_best(
+        scored, pairs, "_nd_score", id_col=id_col
+    ).drop("_nd_score")
+
+
+def _stage_token_budget_mixture(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """TokenBudgetMixture transform: fill each group to its token
+    quota (pipeline.token_budget_mixture — training mixes are
+    specified in TOKENS). Properties: weights (required,
+    'group:weight,group:weight' — e.g. 'web:0.6,code:0.2,books:0.2'),
+    totalTokens (required), groupField ('source'), idField
+    ('doc_id'), tokenField ('n_tokens')."""
+    (df,) = inputs
+    p = stage.properties
+    weights_raw = p.get("weights")
+    group_col = p.get("groupField", "source")
+    id_col = p.get("idField", "doc_id")
+    token_col = p.get("tokenField", "n_tokens")
+    if phase == "run":
+        weights_raw = substitute_macros(
+            weights_raw, substitutions or {}, collector, "weights"
+        )
+    total = _int_prop(
+        p, "totalTokens", 0, collector, lo=0,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, group_col, collector, "groupField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    ok = _require_field(df, token_col, collector, "tokenField") and ok
+    if "totalTokens" not in p:
+        collector.add_failure(
+            "TokenBudgetMixture needs 'totalTokens'.",
+            property_name="totalTokens",
+        )
+        ok = False
+    weights = None
+    if not weights_raw:
+        collector.add_failure(
+            "TokenBudgetMixture needs 'weights'.",
+            "Format: 'group:weight,group:weight'.",
+            property_name="weights",
+        )
+        ok = False
+    elif not contains_macro(weights_raw):
+        try:
+            weights = {
+                g.strip(): float(w)
+                for g, w in (
+                    part.split(":", 1)
+                    for part in weights_raw.split(",")
+                    if part.strip()
+                )
+            }
+            if not weights:
+                raise ValueError("empty")
+        except ValueError:
+            weights = None
+            collector.add_failure(
+                f"Unparseable weights '{weights_raw}'.",
+                "Format: 'group:weight,group:weight'.",
+                property_name="weights",
+            )
+            ok = False
+    if total is None or not ok:
+        return df
+    if phase == "deploy" or weights is None:
+        return df  # filter preserves the schema
+    from topn_spark.operators.pipeline import token_budget_mixture
+
+    return token_budget_mixture(
+        df, weights, total, group_col=group_col, id_col=id_col,
+        token_col=token_col,
+    )
+
+
 def _stage_tokenize(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -1564,6 +1728,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "WarcParse": ("transform", _stage_warc_parse),
     "LeakageSafeSplit": ("transform", _stage_leakage_split),
     "UrlFilter": ("transform", _stage_url_filter),
+    "NearDupCollapse": ("transform", _stage_neardup_collapse),
+    "TokenBudgetMixture": ("transform", _stage_token_budget_mixture),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),
