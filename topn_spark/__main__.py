@@ -11,6 +11,9 @@ than write code (the reference's own audience):
   prints every collected failure across all stages, exit 1 on any.
 - ``query NAME [--sf-dir DIR]`` — run a catalog query and print it.
 - ``list-queries [PREFIX]`` — list catalog entries with their docs.
+- ``verify-shards DIR [--token-field F]`` — recount an exported
+  shard set against its stored ``_manifest`` (the torn-export
+  audit); prints the per-shard verdict table, exit 1 on mismatch.
 """
 
 from __future__ import annotations
@@ -90,6 +93,29 @@ def _cmd_list_queries(args) -> int:
     return 0
 
 
+def _cmd_verify_shards(args) -> int:
+    from topn_spark.operators.pipeline import verify_shards
+
+    verdict = verify_shards(
+        _session(), args.dir, token_col=args.token_field
+    )
+    rows = verdict.orderBy("shard").collect()
+    for r in rows:
+        print(r.asDict())
+    bad = [r for r in rows if not r.ok]
+    if not rows:
+        print("no shards found", file=sys.stderr)
+        return 1
+    if bad:
+        print(
+            f"{len(bad)}/{len(rows)} shards FAILED verification",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"all {len(rows)} shards verified")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="topn_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     lq = sub.add_parser("list-queries", help="list catalog entries")
     lq.add_argument("prefix", nargs="?", default="")
     lq.set_defaults(fn=_cmd_list_queries)
+
+    vs = sub.add_parser(
+        "verify-shards",
+        help="recount an exported shard set against its _manifest",
+    )
+    vs.add_argument("dir")
+    vs.add_argument("--token-field", default=None)
+    vs.set_defaults(fn=_cmd_verify_shards)
 
     args = p.parse_args(argv)
     return args.fn(args)
