@@ -7,9 +7,11 @@ The published pipelines these re-express:
   clean reference corpus (Wikipedia), scores every web document by
   perplexity, and keeps the low-perplexity "head" bucket (head /
   middle / tail split at the 1/3 and 2/3 percentiles). Here the LM is
-  an add-k-smoothed bigram model instead of their Kneser-Ney 5-gram —
-  the distributed shape (count tables + a gram-keyed scoring join) is
-  what matters; the smoothing order is a plug-in choice.
+  a bigram model with pluggable smoothing — add-k, Witten–Bell, or
+  interpolated Kneser–Ney (what their KenLM actually runs, at order
+  2 instead of 5) — the distributed shape (count tables + a
+  gram-keyed scoring join) is what matters; the n-gram order is the
+  remaining fidelity gap, and raising it only widens the gram key.
 - DSIR (Xie et al. 2023, arXiv:2302.03169) selects pretraining data
   by importance resampling: hashed n-gram bag-of-words models for a
   target (quality) corpus and the raw corpus, and per-document
@@ -97,6 +99,8 @@ def perplexity_score(
     mode: str = "ascii",
     smoothing: str = "addk",
     total_tokens: int | None = None,
+    discount: float = 0.75,
+    n_bigram_types: int | None = None,
 ) -> DataFrame:
     """Score documents under a smoothed bigram LM:
     ``(id, n_bigrams, logprob, ppl)``.
@@ -119,6 +123,28 @@ def perplexity_score(
     toward the unigram term — prune the model OR use wb fidelity,
     the standard trade.
 
+    ``smoothing="kn"`` — INTERPOLATED Kneser–Ney bigram (Kneser &
+    Ney 1995; Chen & Goodman 1999 eq. 4.26 — the smoothing KenLM and
+    hence the actual CCNet pipeline use; wb/addk are the cheaper
+    plug-ins):  ``P(w2|w1) = max(c12 - D, 0)/c1b +
+    (D * N1+(w1,·)/c1b) * P_cont(w2)``  with absolute discount
+    ``D = discount`` (default 0.75, the textbook value; pass the
+    count-of-counts estimate ``n1/(n1+2*n2)`` if you have it) and the
+    CONTINUATION probability ``P_cont(w2) = (N1+(·,w2) + 1) /
+    (N_bb + V)`` — Laplace over left-context type counts so OOV
+    ``w2`` stays finite (same deviation-for-finiteness as the wb
+    path's Laplace unigram; ``N_bb`` = distinct bigram types). The
+    denominator ``c1b = sum_w2 c(w1,w2)`` is derived from the BIGRAM
+    table (not the unigram table) so the discounted mass and the
+    backoff weight are consistent by construction; unseen-``w1``
+    grams back off entirely to ``P_cont``. Both context tables
+    (``c1b``/``N1+(w1,·)`` and ``N1+(·,w2)``) come from the bigram
+    counts at no extra training pass. ``min_count`` pruning removes
+    continuation types AND discounted mass — prune the model OR use
+    kn fidelity, same trade as wb. ``n_bigram_types`` may be passed
+    to skip the one model-sized count action (artifact-backed
+    callers scoring every micro-batch).
+
     ``logprob`` is the sum of ``ln P`` over the document's bigrams;
     ``ppl = exp(-logprob / n_bigrams)``. Documents with < 2 tokens
     have no bigrams and are dropped (no model opinion).
@@ -138,8 +164,14 @@ def perplexity_score(
     counts) — same shape, no new data-sized shuffle. The scalars
     (V, T) are the only driver state.
     """
-    if smoothing not in ("addk", "wb"):
-        raise ValueError(f"unknown smoothing {smoothing!r} (addk|wb)")
+    if smoothing not in ("addk", "wb", "kn"):
+        raise ValueError(
+            f"unknown smoothing {smoothing!r} (addk|wb|kn)"
+        )
+    if smoothing == "kn" and not (0.0 <= float(discount) < 1.0):
+        raise ValueError(
+            f"kn discount must be in [0, 1), got {discount!r}"
+        )
     if vocab_size is None:
         vocab_size = unigrams.count() + 1
     v = float(vocab_size)
@@ -163,6 +195,51 @@ def perplexity_score(
             (F.coalesce("_c12", F.lit(0)) + F.lit(kf))
             / (F.coalesce("_c1", F.lit(0)) + F.lit(kf * v))
         )
+    elif smoothing == "kn":
+        if n_bigram_types is None:
+            n_bigram_types = bigrams.count()
+        d = float(discount)
+        nbb_v = float(n_bigram_types) + v
+        # both context tables derive from the bigram counts: one
+        # grouped agg each, model-sized output, no extra corpus pass
+        ctx = (
+            bigrams.select(
+                F.substring_index("bg", " ", 1).alias("w"), "c"
+            )
+            .groupBy("w")
+            .agg(
+                F.sum("c").alias("_c1b"),
+                F.count(F.lit(1)).alias("_n1p"),
+            )
+        )
+        rcont = (
+            bigrams.select(
+                F.substring_index("bg", " ", -1).alias("_w2")
+            )
+            .groupBy("_w2")
+            .agg(F.count(F.lit(1)).alias("_r1p"))
+        )
+        joined = (
+            joined.withColumn(
+                "_w2c", F.substring_index("bg", " ", -1)
+            )
+            .join(ctx, "w", "left")
+            .join(rcont, F.col("_w2c") == F.col("_w2"), "left")
+        )
+        c1b = F.coalesce("_c1b", F.lit(0)).cast("double")
+        n1p = F.coalesce("_n1p", F.lit(0)).cast("double")
+        c12d = F.coalesce("_c12", F.lit(0)).cast("double")
+        p_cont = (
+            F.coalesce("_r1p", F.lit(0)) + F.lit(1.0)
+        ) / F.lit(nbb_v)
+        # expression shapes mirror the oracle verbatim — do not
+        # algebraically simplify (max(c12-D,0)/c1b, D*n1p/c1b)
+        p_kn = F.when(
+            c1b > 0,
+            F.greatest(c12d - F.lit(d), F.lit(0.0)) / c1b
+            + (F.lit(d) * n1p / c1b) * p_cont,
+        ).otherwise(p_cont)
+        logp = F.log(p_kn)
     else:
         if total_tokens is None:
             total_tokens = (

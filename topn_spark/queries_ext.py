@@ -9927,3 +9927,103 @@ def z54_token_budget_mixture(spark, sf_dir):
         5000,
         group_col="lang",
     ).orderBy("doc_id")
+
+
+def _z55_kn_mirror(con):
+    """Interpolated Kneser-Ney bigram mirror: identical expression
+    shapes as lm.py (p = max(c12-D,0)/c1b + (D*n1p/c1b)*p_cont,
+    p_cont = (r1p+1)/(N_bb+V) — NOT algebraically simplified, so the
+    IEEE op sequence matches), 1e-9 relative."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for (text,) in con.execute(
+        "SELECT text FROM documents WHERE doc_id % 5 <> 0"
+    ).fetchall():
+        if text is None:
+            continue
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        uni.update(t)
+        bi.update(
+            t[i] + " " + t[i + 1] for i in range(len(t) - 1)
+        )
+    c1b_t: dict = defaultdict(int)
+    n1p_t: dict = defaultdict(int)
+    r1p_t: dict = defaultdict(int)
+    for g, c in bi.items():
+        w1, w2 = g.split(" ", 1)
+        c1b_t[w1] += c
+        n1p_t[w1] += 1
+        r1p_t[w2] += 1
+    v = float(len(uni) + 1)
+    d = 0.75
+    nbb_v = float(len(bi)) + v
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        if text is None:
+            continue
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if len(toks) < 2:
+            continue
+        s = 0.0
+        n = len(toks) - 1
+        for i in range(n):
+            w1, w2 = toks[i], toks[i + 1]
+            c1b = float(c1b_t.get(w1, 0))
+            n1p = float(n1p_t.get(w1, 0))
+            c12 = float(bi.get(w1 + " " + w2, 0))
+            p_cont = (r1p_t.get(w2, 0) + 1.0) / nbb_v
+            if c1b > 0:
+                p = (
+                    max(c12 - d, 0.0) / c1b
+                    + (d * n1p / c1b) * p_cont
+                )
+            else:
+                p = p_cont
+            s += math.log(p)
+        out.append((int(did), n, s, math.exp(-s / n)))
+    return ["doc_id", "n_bigrams", "logprob", "ppl"], out
+
+
+@query(
+    "z55_kn_perplexity",
+    None,  # float log-prob sums are order-dependent — tolerance mirror
+    doc="Interpolated KNESER-NEY bigram perplexity (lm.py::"
+    "perplexity_score(smoothing='kn'); Kneser & Ney 1995, Chen &"
+    " Goodman 1999 eq. 4.26 — the smoothing KenLM and hence the"
+    " actual CCNet pipeline run; z29 add-k and z35 Witten-Bell are"
+    " the cheaper plug-ins): absolute discount D=0.75 off every"
+    " seen bigram, the freed mass D*N1+(w1,.)/c1b routed to the"
+    " CONTINUATION distribution P_cont(w2) ~ how many distinct"
+    " contexts w2 follows (Laplace over N_bb+V so OOV stays"
+    " finite) — the 'Francisco problem' fix: frequent-but-"
+    "predictable words get low continuation mass. Both context"
+    " tables derive from the bigram counts at no extra training"
+    " pass; scoring keeps the same gram-keyed join shape with two"
+    " model-sized LEFT joins. Oracle: expression-shape-identical"
+    " Python mirror, 1e-9 relative",
+    tol_oracle=_z55_kn_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z55_kn_perplexity(spark, sf_dir):
+    from topn_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    unigrams, bigrams = train_bigram_lm(train)
+    return perplexity_score(
+        docs.where(F.col("doc_id") < 300),
+        unigrams,
+        bigrams,
+        smoothing="kn",
+    ).orderBy("doc_id")
