@@ -162,8 +162,18 @@ def test_smoothing_rejects_unknown(spark):
     uni, bi = train_bigram_lm(train)
     with pytest.raises(ValueError, match="smoothing"):
         perplexity_score(
-            _docs(spark, [(10, "a b")]), uni, bi, smoothing="kn"
+            _docs(spark, [(10, "a b")]), uni, bi, smoothing="gt"
         )
+
+
+def test_smoothing_accepts_kn(spark):
+    train = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    uni, bi = train_bigram_lm(train)
+    r = perplexity_score(
+        _docs(spark, [(10, "a b")]), uni, bi, smoothing="kn"
+    ).collect()[0]
+    assert r.n_bigrams == 1
+    assert r.logprob < 0.0
 
 
 def test_save_load_bigram_lm_roundtrip(spark, tmp_path):
