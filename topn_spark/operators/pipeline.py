@@ -341,18 +341,22 @@ def _packed_spans(
 
     Prefix-sum shape: with ``by`` keys the cumsum is a window per
     group. WITHOUT keys (one global token stream) a naive keyless
-    window funnels the whole dataset through one task, so for
-    integral ``order_col`` this runs the standard TWO-LEVEL scan
-    instead: order-preserving value-range buckets, a per-bucket
-    cumsum window (parallel), and a keyless window only over the
-    BUCKET-TOTALS table (one row per bucket — model-sized, the
-    benign shape), whose offsets broadcast-join back. Identical
-    result — bucket boundaries cancel out of the sum — at any
-    scale. A non-integral keyless ``order_col`` falls back to the
-    single-task window (correct, serialized; supply ``by`` or an
-    integral order there). ``order_col`` must be unique within its
-    ``by`` group: ties make "earlier document" ambiguous in ANY
-    prefix-sum formulation."""
+    window funnels the whole dataset through one task, so this runs
+    the standard TWO-LEVEL scan instead: order-preserving buckets
+    (value-range for an integral ``order_col``; lexicographic
+    3-char prefix for a string one — a prefix of the sort key
+    always extends its order, and for the md5-shuffled order a
+    pretraining pipeline actually packs in, 3 hex chars give 4096
+    uniform buckets), a per-bucket cumsum window (parallel), and a
+    keyless window only over the BUCKET-TOTALS table (one row per
+    bucket — model-sized, the benign shape), whose offsets
+    broadcast-join back. Identical result — bucket boundaries
+    cancel out of the sum — at any scale. Other keyless order
+    types (timestamp, float) fall back to the single-task window
+    (correct, serialized; supply ``by`` or an integral/string order
+    there). ``order_col`` must be unique within its ``by`` group:
+    ties make "earlier document" ambiguous in ANY prefix-sum
+    formulation."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
@@ -362,21 +366,25 @@ def _packed_spans(
     base = df.withColumn(
         "_n", F.size(tokens_col).cast("bigint")
     ).where(F.col("_n") > 0)
+    order_type = df.schema[order_col].dataType
     integral = isinstance(
-        df.schema[order_col].dataType,
+        order_type,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
-    bounds = None
+    bucket = None
     if not by and integral:
         bounds = base.agg(
             F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
         ).collect()[0]
-    if bounds is not None and bounds["mn"] is not None:
-        mn, mx = int(bounds["mn"]), int(bounds["mx"])
-        width = max(1, (mx - mn) // 1024 + 1)
-        bucket = F.floor((F.col(order_col) - mn) / width).cast(
-            "bigint"
-        )
+        if bounds["mn"] is not None:
+            mn, mx = int(bounds["mn"]), int(bounds["mx"])
+            width = max(1, (mx - mn) // 1024 + 1)
+            bucket = F.floor((F.col(order_col) - mn) / width).cast(
+                "bigint"
+            )
+    elif not by and isinstance(order_type, T.StringType):
+        bucket = F.substring(F.col(order_col), 1, 3)
+    if bucket is not None:
         base = base.withColumn("_bkt", bucket)
         totals = base.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
         bw = Window.orderBy(F.col("_bkt").asc()).rowsBetween(
@@ -2387,11 +2395,21 @@ def token_budget_mixture(
     group itself is exhausted — the overshoot is bounded by one
     document. Groups absent from ``weights`` are dropped.
 
-    Scale shape: one grouped window cumsum over ``token_col`` (the
-    exact deterministic prefix needs it — same shuffle class as
-    :func:`pack_sequences`), then a map-only filter against a
-    literal CASE quota map. Quota arithmetic is driver-side on the
-    config dict; no data-dependent collect."""
+    Scale shape: mixture groups are FEW (web/code/books — 3-10), so
+    a plain ``Window.partitionBy(group)`` SUM cumsum would funnel
+    each group's entire row stream through one task, and a sum-based
+    cut gets no WindowGroupLimit pruning (unlike the count-quota
+    samplers). This instead runs the same TWO-LEVEL scan as
+    :func:`packed_doc_spans`: bucket each group by an md5-prefix of
+    the sampling key (256 order-preserving buckets — the bucket is a
+    PREFIX of the primary sort key, so bucket order extends row
+    order), per-(group, bucket) cumsum windows run in parallel, and
+    the only serialized window is over the (group, bucket) TOTALS
+    table (<= 256 * n_groups rows — model-sized), whose offsets
+    broadcast-join back. Identical result — bucket boundaries cancel
+    out of the sum. Then a map-only filter against a literal quota
+    map. Quota arithmetic is driver-side on the config dict; no
+    data-dependent collect."""
     from pyspark.sql.window import Window
 
     if not weights:
@@ -2404,18 +2422,38 @@ def token_budget_mixture(
     qmap = F.create_map(
         *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
     )
-    w = (
+    base = (
+        df.where(F.col(group_col).isin(*quotas.keys()))
+        .withColumn("_hk", _hash_key(id_col))
+        .withColumn("_bkt", F.substring("_hk", 1, 2))
+    )
+    totals = base.groupBy(group_col, "_bkt").agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("_bn")
+    )
+    bw = (
         Window.partitionBy(group_col)
-        .orderBy(_hash_key(id_col), F.col(id_col))
+        .orderBy(F.col("_bkt").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(
-        F.sum(F.col(token_col).cast("bigint")).over(w),
+    offsets = totals.select(
+        group_col,
+        "_bkt",
+        F.coalesce(
+            F.sum("_bn").over(bw), F.lit(0).cast("bigint")
+        ).alias("_base"),
+    )
+    iw = (
+        Window.partitionBy(group_col, "_bkt")
+        .orderBy(F.col("_hk").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("_base") + F.coalesce(
+        F.sum(F.col(token_col).cast("bigint")).over(iw),
         F.lit(0).cast("bigint"),
     )
     return (
-        df.where(F.col(group_col).isin(*quotas.keys()))
+        base.join(F.broadcast(offsets), [group_col, "_bkt"])
         .withColumn("_cum_before", cum_before)
         .where(F.col("_cum_before") < qmap[F.col(group_col)])
-        .drop("_cum_before")
+        .select(*df.columns)
     )
