@@ -1769,3 +1769,30 @@ def test_token_budget_mixture_stage(spark):
         run_pipeline_with_source(spark, bad, "src", df)
     msg = str(ei.value)
     assert "weights" in msg and "totalTokens" in msg
+
+
+def test_pack_sequences_stage_sep_token(spark):
+    """PackSequences sepToken: the EOS separator is appended after
+    every document (cast to the token element type), counted as a
+    real training token."""
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, [7, 8]), (2, [9]), (3, [4, 5, 6])],
+        "doc_id long, tokens array<int>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "pack", "plugin": "PackSequences",
+             "properties": {"seqLen": "4", "sepToken": "0"}},
+        ],
+        "connections": [{"from": "src", "to": "pack"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)
+    packed = sorted(out["pack"].collect(), key=lambda r: r.seq_id)
+    flat = [t for r in packed for t in r.tokens]
+    assert flat == [7, 8, 0, 9, 0, 4, 5, 6, 0]
+    assert sum(r.n_tokens for r in packed) == 9
+    assert all(r.n_tokens == 4 for r in packed[:-1])

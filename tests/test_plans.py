@@ -303,6 +303,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z52_neardup_keep_best",
         "z53_unpack_round_trip",
         "z54_token_budget_mixture",
+        "z55_kn_perplexity",
+        "z56_pack_with_eos",
     ):
         warns = [
             f

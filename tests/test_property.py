@@ -409,3 +409,67 @@ def test_pack_unpack_round_trip_property(spark):
         assert sum(1 for n in full if n != seq_len) <= 1
 
     check()
+
+
+def test_pack_unpack_round_trip_with_sep_property(spark):
+    """Property: with sep_token, packing appends exactly one
+    separator per non-empty document (token total = corpus + n_docs),
+    the flattened stream ends with a separator, and unpack with the
+    same sep_token strips it — round trip still lossless."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from topn_spark.operators.pipeline import (
+        pack_token_sequences,
+        packed_doc_spans,
+        unpack_sequences,
+    )
+
+    SEP = "<eos>"
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        seq_len=st.integers(min_value=1, max_value=7),
+    )
+    def check(docs, seq_len):
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(docs)],
+            "doc_id long, tokens array<string>",
+        )
+        packed = pack_token_sequences(
+            df, seq_len=seq_len, sep_token=SEP
+        ).collect()
+        spans = packed_doc_spans(df, seq_len=seq_len, sep_token=SEP)
+        rebuilt = {
+            r.doc_id: r.tokens
+            for r in unpack_sequences(
+                pack_token_sequences(
+                    df, seq_len=seq_len, sep_token=SEP
+                ),
+                spans,
+                sep_token=SEP,
+            ).collect()
+        }
+        want = {i: t for i, t in enumerate(docs) if t}
+        assert rebuilt == want
+        n_docs = len(want)
+        total = sum(len(t) for t in docs) + n_docs
+        assert sum(r.n_tokens for r in packed) == total
+        flat = [
+            t
+            for r in sorted(packed, key=lambda r: r.seq_id)
+            for t in r.tokens
+        ]
+        assert flat.count(SEP) == n_docs
+        if flat:
+            assert flat[-1] == SEP
+
+    check()

@@ -329,6 +329,7 @@ def _packed_spans(
     seq_len: int,
     by: tuple[str, ...],
     order_col: str,
+    sep_token: str | int | None = None,
 ) -> DataFrame:
     """Shared span arithmetic for GPT-style concat-and-chunk packing:
     walk documents in ``order_col`` order, concatenate their token
@@ -356,16 +357,33 @@ def _packed_spans(
     (correct, serialized; supply ``by`` or an integral/string order
     there). ``order_col`` must be unique within its ``by`` group:
     ties make "earlier document" ambiguous in ANY prefix-sum
-    formulation."""
+    formulation.
+
+    ``sep_token`` appends the tokenizer's EOS/separator after EVERY
+    document before concatenation — the universal GPT-pipeline
+    convention (the in-band boundary most training stacks expect, in
+    addition to the span metadata). The span arithmetic simply sees
+    each document one token longer; empty documents are still
+    dropped BEFORE the separator is added, so no lone separators are
+    emitted."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     L = int(seq_len)
     if L < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    base = df.withColumn(
-        "_n", F.size(tokens_col).cast("bigint")
-    ).where(F.col("_n") > 0)
+    base = df.where(F.size(tokens_col) > 0)
+    if sep_token is not None:
+        elem = df.schema[
+            tokens_col
+        ].dataType.elementType.simpleString()
+        base = base.withColumn(
+            tokens_col,
+            F.concat(
+                tokens_col, F.array(F.lit(sep_token).cast(elem))
+            ),
+        )
+    base = base.withColumn("_n", F.size(tokens_col).cast("bigint"))
     order_type = df.schema[order_col].dataType
     integral = isinstance(
         order_type,
@@ -457,13 +475,16 @@ def packed_doc_spans(
     seq_len: int = 2048,
     by: tuple[str, ...] = (),
     order_col: str = "doc_id",
+    sep_token: str | int | None = None,
 ) -> DataFrame:
     """Document-boundary metadata for :func:`pack_token_sequences`:
     ``(seq_id, id, seq_start, doc_start, n_tokens)`` — one row per
     (document, sequence) overlap, saying which slice of the document
     occupies which positions of which packed sequence. This is what a
     trainer consumes to reset attention masks / loss spans at
-    document boundaries inside a packed sequence.
+    document boundaries inside a packed sequence. With ``sep_token``
+    (pass the SAME value used when packing) each document's stream
+    includes its trailing separator, so ``n_tokens`` sums count it.
 
     Pure arithmetic over token COUNTS (one window cumsum + a
     per-overlap explode — a document touches ``ceil(len/seq_len)+1``
@@ -473,7 +494,7 @@ def packed_doc_spans(
     global task; sequences then number independently per group,
     which is exactly what per-shard training files want."""
     return _packed_spans(
-        df, tokens_col, id_col, seq_len, by, order_col
+        df, tokens_col, id_col, seq_len, by, order_col, sep_token
     ).drop("_toks")
 
 
@@ -485,6 +506,7 @@ def pack_token_sequences(
     by: tuple[str, ...] = (),
     order_col: str = "doc_id",
     pad_token: str | int | None = None,
+    sep_token: str | int | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing — the stage between a tokenizer and
     shard export: concatenate tokenized documents in ``order_col``
@@ -494,9 +516,14 @@ def pack_token_sequences(
     sequence) every sequence is exactly ``seq_len`` long. The final
     short sequence is emitted as-is, or padded to ``seq_len`` when
     ``pad_token`` is given (``n_tokens`` still counts REAL tokens).
-    Deterministic: packing is pure arithmetic over token counts, so
-    the same input always yields byte-identical sequences (the
-    property that makes packed exports resumable and auditable).
+    ``sep_token`` appends the tokenizer's EOS/separator after every
+    document before concatenation (the GPT convention); separators
+    ARE training tokens, so ``n_tokens`` counts them (total = corpus
+    tokens + one per document) — unlike ``pad_token``, which never
+    counts. Deterministic: packing is pure arithmetic over token
+    counts, so the same input always yields byte-identical sequences
+    (the property that makes packed exports resumable and
+    auditable).
 
     Plan: the :func:`packed_doc_spans` arithmetic, then each overlap
     slices its document's token array (``slice`` — no per-token
@@ -505,7 +532,7 @@ def pack_token_sequences(
     One window cumsum + one shuffle on ``seq_id``. Scale: pass
     ``by`` at 100 TB (see :func:`packed_doc_spans`)."""
     spans = _packed_spans(
-        df, tokens_col, id_col, seq_len, by, order_col
+        df, tokens_col, id_col, seq_len, by, order_col, sep_token
     )
     piece = spans.select(
         *by,
@@ -558,13 +585,15 @@ def export_packed_shards(
     seq_len: int = 2048,
     order_col: str = "doc_id",
     pad_token: str | int | None = None,
+    sep_token: str | int | None = None,
     salt: str = "",
 ) -> DataFrame:
     """Tokenized docs -> packed fixed-length sequences -> sharded
     training export, in one call: :func:`pack_token_sequences` then
     :func:`export_training_shards` keyed by ``seq_id`` with
     token-exact per-shard manifests (``n_tokens`` sums REAL tokens,
-    so the manifest total equals the input corpus token count — the
+    so the manifest total equals the input corpus token count, plus
+    one separator per document when ``sep_token`` is given — the
     audit a trainer runs before an epoch). Verify with
     :func:`verify_shards` (``token_col="n_tokens"``); a torn export
     fails the recount loudly."""
@@ -575,6 +604,7 @@ def export_packed_shards(
         seq_len=seq_len,
         order_col=order_col,
         pad_token=pad_token,
+        sep_token=sep_token,
     )
     return export_training_shards(
         packed,
@@ -2327,6 +2357,7 @@ def unpack_sequences(
     spans: DataFrame,
     id_col: str = "doc_id",
     by: tuple[str, ...] = (),
+    sep_token: str | int | None = None,
 ) -> DataFrame:
     """Rebuild per-document token arrays from packed training
     sequences + their boundary spans — the inverse of
@@ -2339,7 +2370,9 @@ def unpack_sequences(
     ``packed`` is the pack output (``seq_id, tokens`` + ``by``),
     ``spans`` the matching :func:`packed_doc_spans` frame (``seq_id,
     id, seq_start, doc_start, n_tokens`` + ``by``; pass the SAME
-    ``by``/``seq_len``/order used when packing). Plan: equi-join on
+    ``by``/``seq_len``/order — and ``sep_token``, which strips the
+    one trailing separator every packed document carries, restoring
+    the pre-packing arrays exactly). Plan: equi-join on
     (``by``, seq_id) — both sides already carry that key, so AQE
     broadcasts or co-shuffles it — each overlap slices its piece out
     of the sequence array, and one hash agg per document reassembles
@@ -2373,6 +2406,11 @@ def unpack_sequences(
             ).alias("tokens"),
         )
     )
+    if sep_token is not None:
+        out = out.withColumn(
+            "tokens",
+            F.slice("tokens", 1, F.size("tokens") - 1),
+        )
     return out
 
 

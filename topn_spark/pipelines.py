@@ -1624,7 +1624,9 @@ def _stage_pack_sequences(
     ('tokens'), idField ('doc_id'), seqLen ('2048'), orderField
     (defaults to idField), byFields (comma list — ALWAYS set at
     scale: an empty byFields is one global window partition),
-    padToken (optional pad for the final short sequence)."""
+    padToken (optional pad for the final short sequence), sepToken
+    (optional EOS/separator appended after every document — the GPT
+    convention; counts as a real training token)."""
     (df,) = inputs
     p = stage.properties
     tokens_col = p.get("tokensField", "tokens")
@@ -1649,6 +1651,7 @@ def _stage_pack_sequences(
     return pack_token_sequences(
         df, tokens_col=tokens_col, id_col=id_col, seq_len=seq_len,
         by=by, order_col=order_col, pad_token=p.get("padToken"),
+        sep_token=p.get("sepToken"),
     )
 
 

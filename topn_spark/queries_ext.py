@@ -9908,9 +9908,15 @@ ORDER BY doc_id ASC""",
     " until its token quota round(total*weight) is reached, the"
     " boundary-crossing document included (overshoot bounded by one"
     " document; quotas en 3000 / de 1500 / zh 500 of a 5000-token"
-    " budget at weights 0.6/0.3/0.1). One grouped window cumsum +"
-    " a map-only filter against the literal quota map — quota"
-    " arithmetic is driver-side config, never a data collect."
+    " budget at weights 0.6/0.3/0.1). Mixture groups are FEW, so a"
+    " per-group cumsum window would serialize each group through"
+    " one task; instead the two-level scan buckets each group by a"
+    " 2-hex md5 prefix (order-preserving: the bucket is a prefix of"
+    " the sort key), cumsums per (group,bucket) in parallel, and"
+    " windows only the model-sized bucket-totals table, offsets"
+    " broadcast back; then a map-only filter against the literal"
+    " quota map — quota arithmetic is driver-side config, never a"
+    " data collect."
     " Oracle: identical cumsum-prefix arithmetic in DuckDB over the"
     " same md5 order, hash-exact",
 )
@@ -10027,3 +10033,71 @@ def z55_kn_perplexity(spark, sf_dir):
         bigrams,
         smoothing="kn",
     ).orderBy("doc_id")
+
+
+@query(
+    "z56_pack_with_eos",
+    r"""WITH t AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS okey,
+    list_append(
+      regexp_extract_all(lower(text), '[a-z0-9]+'), '</s>') AS toks
+  FROM documents WHERE doc_id < 400
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+c AS (
+  SELECT okey, toks, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+s AS (
+  SELECT okey, toks, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece
+  FROM s)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+    AS n_tokens,
+  flatten(list(piece ORDER BY seq_start)) AS tokens
+FROM p GROUP BY seq_id ORDER BY seq_id ASC""",
+    doc="Sequence packing WITH the in-band EOS separator"
+    " (pipeline.py::pack_token_sequences sep_token=) — the GPT"
+    " convention: the tokenizer's EOS is appended after EVERY"
+    " document before concatenation, so a trainer sees document"
+    " boundaries in-band as well as via the span metadata;"
+    " separators are real training tokens (manifest total = corpus"
+    " tokens + one per document). Documents are packed in"
+    " md5(doc_id) order — the shuffled order a real pretraining"
+    " pipeline uses — which exercises the STRING-order two-level"
+    " prefix sum: lexicographic 3-char-prefix buckets cumsum in"
+    " parallel and only the bucket-totals table takes a keyless"
+    " window (the md5 prefix is uniform, 4096 buckets at any"
+    " scale). Oracle: identical +1-per-doc arithmetic in DuckDB"
+    " over the same md5 order, hash-exact including the full token"
+    " arrays",
+)
+def z56_pack_with_eos(spark, sf_dir):
+    from topn_spark.operators.pipeline import pack_token_sequences
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("okey"),
+            tokens("text").alias("tokens"),
+        )
+    )
+    return pack_token_sequences(
+        docs,
+        id_col="okey",
+        seq_len=32,
+        order_col="okey",
+        sep_token="</s>",
+    ).orderBy("seq_id")
