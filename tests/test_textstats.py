@@ -1260,3 +1260,90 @@ def test_logreg_artifact_round_trip(spark, tmp_path):
     assert load_logreg(spark, p) == (w, feats)
     with pytest.raises(ValueError, match="intercept"):
         save_logreg(spark, [1.0], feats, p)
+
+
+def test_unigram_hf_export_round_trip(spark, tmp_path):
+    """HF tokenizer.json Unigram interchange: a trained piece table
+    exports, imports back EXACTLY, and segmentation under the
+    re-imported table is identical; an independently constructed
+    tokenizer.json loads to the expected table; malformed / BPE
+    files fail loudly."""
+    import json
+
+    import pytest
+
+    from topn_spark.operators.textstats import (
+        apply_unigram_lm,
+        load_unigram_hf,
+        save_unigram_hf,
+        unigram_lm_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cats and the dogs ran fast"),
+         (2, "cats ran and dogs ran")],
+        "doc_id long, text string",
+    )
+    pieces = unigram_lm_train(
+        df, vocab_size=20, seed_size=100, max_piece_len=4
+    )
+    path = str(tmp_path / "hf")
+    save_unigram_hf(pieces, path)
+    assert load_unigram_hf(path) == sorted(
+        (p, float(lp)) for p, lp in pieces
+    )
+    a = apply_unigram_lm(df, pieces, keep_tokens=-1).collect()
+    b = apply_unigram_lm(
+        df, load_unigram_hf(path), keep_tokens=-1
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # file shape: model.type Unigram, unk at unk_id 0 with logprob 0
+    doc = json.load(open(f"{path}/tokenizer.json"))
+    assert doc["model"]["type"] == "Unigram"
+    assert doc["model"]["vocab"][doc["model"]["unk_id"]] == [
+        "<unk>", 0.0,
+    ]
+    # an independently written HF file (piece order scrambled, unk
+    # mid-list) imports to the sorted engine table
+    ind = tmp_path / "ind"
+    ind.mkdir()
+    (ind / "tokenizer.json").write_text(
+        json.dumps(
+            {
+                "version": "1.0",
+                "model": {
+                    "type": "Unigram",
+                    "unk_id": 1,
+                    "vocab": [
+                        ["zz", -3.5],
+                        ["<unk>", 0.0],
+                        ["ab", -1.25],
+                    ],
+                },
+            }
+        )
+    )
+    assert load_unigram_hf(str(ind)) == [("ab", -1.25), ("zz", -3.5)]
+    # rejections: BPE model type, malformed vocab entry, dup pieces
+    (ind / "tokenizer.json").write_text(
+        json.dumps({"model": {"type": "BPE", "vocab": {}}})
+    )
+    with pytest.raises(ValueError, match="not a Unigram"):
+        load_unigram_hf(str(ind))
+    (ind / "tokenizer.json").write_text(
+        json.dumps(
+            {"model": {"type": "Unigram", "unk_id": 0,
+                       "vocab": [["a", "x"]]}}
+        )
+    )
+    with pytest.raises(ValueError, match="logprob"):
+        load_unigram_hf(str(ind))
+    (ind / "tokenizer.json").write_text(
+        json.dumps(
+            {"model": {"type": "Unigram", "unk_id": 0,
+                       "vocab": [["u", 0.0], ["a", -1.0],
+                                 ["a", -2.0]]}}
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        load_unigram_hf(str(ind))

@@ -2547,6 +2547,108 @@ def load_bpe_gpt2(path: str) -> list[tuple[str, str]]:
     return merges
 
 
+def save_unigram_hf(
+    pieces: list[tuple[str, float]],
+    path: str,
+    unk_piece: str = "<unk>",
+) -> None:
+    """Export a :func:`unigram_lm_train` piece table as a
+    HuggingFace ``tokenizer.json`` Unigram model — the published
+    interchange format (tokenizers library schema: top-level
+    ``model`` of ``type: "Unigram"`` whose ``vocab`` is a rank-
+    ordered list of ``[piece, logprob]`` pairs, ``unk_id`` indexing
+    the unknown piece), so a tokenizer trained in-engine drops into
+    any HF-compatible loader — the :func:`save_bpe_gpt2` discipline
+    applied to the SentencePiece-style family. The unknown piece
+    takes id 0 with logprob 0.0 (it never wins a Viterbi path over
+    real pieces); trained pieces follow in sorted order, exactly the
+    :func:`load_unigram_lm` contract. Driver-side file write — the
+    piece table is model state, never corpus-sized."""
+    import json
+    import os
+
+    table = sorted((p, float(lp)) for p, lp in pieces)
+    if not table:
+        raise ValueError("empty piece table")
+    if any(p == unk_piece for p, _ in table):
+        raise ValueError(
+            f"unk piece {unk_piece!r} collides with a trained piece"
+        )
+    doc = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": None,
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [[unk_piece, 0.0]]
+            + [[p, lp] for p, lp in table],
+            "byte_fallback": False,
+        },
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(
+        os.path.join(path, "tokenizer.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(doc, f, ensure_ascii=False)
+
+
+def load_unigram_hf(path: str) -> list[tuple[str, float]]:
+    """Load a HF ``tokenizer.json`` Unigram model back into the
+    engine's piece-table shape — :func:`save_unigram_hf`'s inverse,
+    also the import path for any published unigram/SentencePiece
+    tokenizer in that format. Validates the model type, the vocab
+    entry shape, piece uniqueness, and that the ``unk_id`` entry
+    exists (then drops it — the engine's Viterbi treats uncovered
+    characters explicitly), so a BPE-model or malformed file fails
+    loudly rather than segmenting garbage."""
+    import json
+    import os
+
+    with open(
+        os.path.join(path, "tokenizer.json"), encoding="utf-8"
+    ) as f:
+        doc = json.load(f)
+    model = doc.get("model")
+    if not isinstance(model, dict) or model.get("type") != "Unigram":
+        raise ValueError(
+            f"{path}/tokenizer.json is not a Unigram model "
+            f"(model.type={None if not isinstance(model, dict) else model.get('type')!r})"
+        )
+    vocab = model.get("vocab")
+    if not isinstance(vocab, list) or not vocab:
+        raise ValueError(f"{path}/tokenizer.json has no vocab list")
+    unk_id = model.get("unk_id")
+    pieces = []
+    for i, entry in enumerate(vocab):
+        if (
+            not isinstance(entry, (list, tuple))
+            or len(entry) != 2
+            or not isinstance(entry[0], str)
+            or not isinstance(entry[1], (int, float))
+        ):
+            raise ValueError(
+                f"vocab entry {i} is not [piece, logprob]: {entry!r}"
+            )
+        if i == unk_id:
+            continue
+        pieces.append((entry[0], float(entry[1])))
+    if unk_id is not None and not (
+        isinstance(unk_id, int) and 0 <= unk_id < len(vocab)
+    ):
+        raise ValueError(f"unk_id {unk_id!r} outside vocab")
+    if not pieces:
+        raise ValueError(f"{path}/tokenizer.json holds only unk")
+    if len({p for p, _ in pieces}) != len(pieces):
+        raise ValueError(f"duplicate pieces in {path}/tokenizer.json")
+    return sorted(pieces)
+
+
 def save_logreg(
     spark, weights: list[float], feature_cols: list[str], path: str
 ) -> None:
