@@ -1796,3 +1796,91 @@ def test_pack_sequences_stage_sep_token(spark):
     assert flat == [7, 8, 0, 9, 0, 4, 5, 6, 0]
     assert sum(r.n_tokens for r in packed) == 9
     assert all(r.n_tokens == 4 for r in packed[:-1])
+
+
+def test_routed_quality_stage(spark, tmp_path):
+    """RoutedQuality plugin: per-language thresholds from the spec
+    (JSON routes), per-language LM gate from saved artifacts
+    (lmPaths), keepOnly gate shape; bad routes JSON / unknown
+    params / max_ppl-without-model are collected failures."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.operators.lm import (
+        save_bigram_lm,
+        train_bigram_lm,
+    )
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    en = (
+        "the data to be of and that have with pipeline value"
+        " system goes right here now.\n" * 7
+    )
+    de = (
+        "der die das und mit von daten wert system hier gehen"
+        " weiter voran jetzt gleich.\n" * 7
+    )
+    df = spark.createDataFrame(
+        [(1, "en", en), (2, "de", de), (3, "fr", en)],
+        "doc_id long, lang string, text string",
+    )
+    lm_path = str(tmp_path / "enlm")
+    save_bigram_lm(*train_bigram_lm(df.where("lang = 'en'")), lm_path)
+
+    routes = (
+        '{"en": {"max_ppl": 1000.0}, "de": {"min_stop_hits": 3,'
+        ' "stopwords": ["der", "die", "das", "und", "mit", "von"]}}'
+    )
+
+    def spec(props):
+        return {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "rq", "plugin": "RoutedQuality",
+                 "properties": props},
+            ],
+            "connections": [{"from": "src", "to": "rq"}],
+        }
+
+    out = run_pipeline_with_source(
+        spark,
+        spec({"routes": routes,
+              "lmPaths": '{"en": "%s"}' % lm_path}),
+        "src",
+        df,
+    )["rq"].collect()
+    got = {r.doc_id: r for r in out}
+    assert got[1].routed_keep and got[1].ppl is not None
+    assert got[2].routed_keep and got[2].ppl is None
+    assert got[3].route_reason == "unrouted"
+
+    kept = run_pipeline_with_source(
+        spark,
+        spec({"routes": routes, "lmPaths": '{"en": "%s"}' % lm_path,
+              "keepOnly": "true"}),
+        "src",
+        df,
+    )["rq"]
+    assert kept.columns == df.columns
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(
+            spark,
+            spec({"routes": '{"en": {"min_wordz": 1}}',
+                  "keepOnly": "maybe"}),
+            "src",
+            df,
+        )
+    msg = str(ei.value)
+    assert "min_wordz" in msg and "keepOnly" in msg
+    with pytest.raises(ValidationError, match="lmPaths"):
+        run_pipeline_with_source(
+            spark, spec({"routes": '{"en": {"max_ppl": 5.0}}'}),
+            "src", df,
+        )
+    with pytest.raises(ValidationError, match="not valid JSON"):
+        run_pipeline_with_source(
+            spark, spec({"routes": "{nope"}), "src", df
+        )

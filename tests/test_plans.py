@@ -305,6 +305,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z54_token_budget_mixture",
         "z55_kn_perplexity",
         "z56_pack_with_eos",
+        "z57_routed_quality",
     ):
         warns = [
             f

@@ -1347,3 +1347,72 @@ def test_unigram_hf_export_round_trip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         load_unigram_hf(str(ind))
+
+
+def test_routed_quality_lm_routing(spark):
+    """Per-language LM routing: each language scores under ITS OWN
+    bigram model (ppl equals a direct perplexity_score call on that
+    language's subset), the route's max_ppl gates it, a route with
+    max_ppl but no model fails loudly, and unknown route parameters
+    are rejected."""
+    import pytest
+
+    from topn_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+    from topn_spark.operators.textstats import routed_quality
+
+    base = (
+        "the data to be of and that have with pipeline value"
+        " system goes right here now.\n"
+    )
+    de_base = (
+        "der die das und mit von daten wert system hier gehen"
+        " weiter voran jetzt gleich.\n"
+    )
+    rows = [(i, "en", base * 7) for i in range(4)] + [
+        (i + 10, "de", de_base * 7) for i in range(4)
+    ]
+    # one EN doc of out-of-domain words -> high ppl under the EN LM
+    rows.append((99, "en", "zzz qqq vvv kkk www " * 30 + ".\n" + base * 6))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    en_lm = train_bigram_lm(
+        df.where((F.col("lang") == "en") & (F.col("doc_id") < 50))
+    )
+    de_lm = train_bigram_lm(df.where(F.col("lang") == "de"))
+    lms = {
+        "en": (*en_lm, {"vocab_size": None, "token_mode": "ascii"}),
+        "de": (*de_lm, {"vocab_size": None, "token_mode": "ascii"}),
+    }
+    # vocab_size=None -> perplexity_score derives it; mirror that in
+    # the direct calls below
+    routes = {
+        "en": {"max_ppl": 20.0},
+        "de": {
+            "max_ppl": 20.0,
+            "stopwords": ["der", "die", "das", "und", "mit", "von"],
+        },
+    }
+    out = routed_quality(df, routes, lms=lms).select(
+        "doc_id", "lang", "ppl", "route_reason", "routed_keep"
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    direct = {}
+    for g, (uni, bi, _) in lms.items():
+        for r in perplexity_score(
+            df.where(F.col("lang") == g), uni, bi, smoothing="wb"
+        ).collect():
+            direct[r.doc_id] = r.ppl
+    for i in list(range(4)) + [i + 10 for i in range(4)] + [99]:
+        # identical model + expression; only the float sum order of
+        # the per-doc logprob re-agg may differ between jobs
+        assert abs(got[i].ppl - direct[i]) <= 1e-9 * direct[i], i
+    assert got[0].routed_keep and got[10].routed_keep
+    assert got[99].route_reason == "perplexity"
+
+    with pytest.raises(ValueError, match="max_ppl but no LM"):
+        routed_quality(df, {"en": {"max_ppl": 10.0}})
+    with pytest.raises(ValueError, match="unknown route parameter"):
+        routed_quality(df, {"en": {"min_wordz": 3}})

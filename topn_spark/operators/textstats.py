@@ -459,6 +459,263 @@ def c4_line_filter(
     )
 
 
+#: Published defaults for :func:`routed_quality` — the Gopher
+#: Appendix A1.1.2 gates plus C4 §2.2's five-sentence page gate. A
+#: route overrides any subset; an explicit ``None`` DISABLES that
+#: rule for the route (the CJK reality: whitespace word rules don't
+#: apply — see :func:`gopher_rules`' scope note).
+ROUTE_DEFAULTS: dict[str, object] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_hash_word_ratio": 0.1,
+    "max_ellipsis_word_ratio": 0.1,
+    "max_frac_bullet_lines": 0.9,
+    "max_frac_ellipsis_lines": 0.3,
+    "min_frac_alpha_words": 0.8,
+    "min_stop_hits": 2,
+    "stopwords": list(GOPHER_STOPWORDS),
+    "min_sentences": 5,
+    "max_ppl": None,
+}
+
+
+def routed_quality(
+    df: DataFrame,
+    routes: dict[str, dict],
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lms: dict[str, tuple] | None = None,
+    smoothing: str = "wb",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-language routed quality thresholds — the Dolma
+    per-language reality: one corpus, one signal computation, but
+    EACH language gates on its own Gopher/C4/LM parameters (German
+    compounds push mean word length past the English [3,10] band;
+    CJK disables whitespace word rules entirely; each language has
+    its own stopword list and its own perplexity model). ``routes``
+    maps a language code to parameter overrides of
+    :data:`ROUTE_DEFAULTS` (absent key → published default;
+    explicit ``None`` → rule disabled for that route).
+
+    Emits the input columns plus the gopher signal columns,
+    ``n_sentences`` (C4's cleaned-page sentence count),
+    ``route_stop_hits`` (distinct-word hits against the ROUTE'S
+    stopword list), ``ppl`` (when the route has an LM), and the
+    verdict: ``route_reason`` — the FIRST failing gate in Dolma
+    stage order (``unrouted``, ``words``, ``word_len``,
+    ``symbols``, ``lines``, ``alpha``, ``stopwords``,
+    ``sentences``, ``unscored``, ``perplexity``; null = admitted) —
+    and ``routed_keep``. Documents whose language has no route are
+    ``unrouted`` (observable, never silently dropped).
+
+    ``lms`` maps language → ``(unigrams, bigrams, meta)`` from
+    ``operators.lm.load_bigram_lm``; a route that sets ``max_ppl``
+    MUST have a model (validated loudly — a missing model would
+    otherwise reject every document of that language as unscored).
+
+    Scale shape: signals are computed ONCE over the corpus
+    (map-only Catalyst arrays — :func:`gopher_rules` +
+    :func:`c4_line_filter`); the per-language thresholds live in a
+    BROADCAST table joined on the language column (including each
+    route's stopword array, intersected map-side — the threshold
+    config never becomes a CASE-expression per language and never
+    collects data); perplexity scoring runs one
+    :func:`~topn_spark.operators.lm.perplexity_score` pass per
+    LM'd language over that language's DISJOINT subset (model
+    broadcast, ≈ one corpus pass total across routes). No
+    data-sized shuffle beyond the per-doc LM re-agg."""
+    spark = df.sparkSession
+    unknown = {
+        key
+        for cfg in routes.values()
+        for key in cfg
+        if key not in ROUTE_DEFAULTS
+    }
+    if unknown:
+        raise ValueError(
+            f"unknown route parameter(s) {sorted(unknown)!r} "
+            f"(valid: {sorted(ROUTE_DEFAULTS)})"
+        )
+    for g, cfg in routes.items():
+        if (
+            {**ROUTE_DEFAULTS, **cfg}["max_ppl"] is not None
+            and (lms is None or g not in lms)
+        ):
+            raise ValueError(
+                f"route {g!r} sets max_ppl but no LM was supplied "
+                "for it (pass lms={lang: load_bigram_lm(...)})"
+            )
+
+    # gopher_keep / stop_hits are the fixed published-constant
+    # composites — superseded here by the per-route verdict and the
+    # per-route stopword hits, so they are dropped from the surface
+    sig = c4_line_filter(gopher_rules(df, text_col), text_col).drop(
+        "clean_text", "n_lines", "n_kept_lines", "c4_keep",
+        "gopher_keep", "stop_hits",
+    )
+    sig = sig.withColumn(
+        "_rw",
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0)
+            )
+        ),
+    )
+    num_keys = [
+        ("min_words", "bigint"),
+        ("max_words", "bigint"),
+        ("min_mean_word_len", "double"),
+        ("max_mean_word_len", "double"),
+        ("max_hash_word_ratio", "double"),
+        ("max_ellipsis_word_ratio", "double"),
+        ("max_frac_bullet_lines", "double"),
+        ("max_frac_ellipsis_lines", "double"),
+        ("min_frac_alpha_words", "double"),
+        ("min_stop_hits", "bigint"),
+        ("min_sentences", "bigint"),
+        ("max_ppl", "double"),
+    ]
+    rows = []
+    for g, cfg in sorted(routes.items()):
+        full = {**ROUTE_DEFAULTS, **cfg}
+        rows.append(
+            tuple(
+                [g]
+                + [full[key] for key, _ in num_keys]
+                + [
+                    None
+                    if full["stopwords"] is None
+                    else [str(s) for s in full["stopwords"]]
+                ]
+            )
+        )
+    schema = (
+        "_route_lang string, "
+        + ", ".join(f"_r_{key} {t}" for key, t in num_keys)
+        + ", _r_stopwords array<string>"
+    )
+    thr = spark.createDataFrame(rows, schema)
+    joined = sig.join(
+        F.broadcast(thr),
+        sig[lang_col] == thr["_route_lang"],
+        "left",
+    ).withColumn(
+        "route_stop_hits",
+        F.size(F.array_intersect("_rw", "_r_stopwords")).cast(
+            "bigint"
+        ),
+    )
+
+    scored = None
+    if lms:
+        from topn_spark.operators.lm import perplexity_score
+
+        for g in sorted(lms):
+            cfg = routes.get(g)
+            if cfg is None:
+                continue
+            if {**ROUTE_DEFAULTS, **cfg}["max_ppl"] is None:
+                continue
+            unigrams, bigrams, meta = lms[g]
+            part = perplexity_score(
+                df.where(F.col(lang_col) == g),
+                unigrams,
+                bigrams,
+                vocab_size=meta["vocab_size"],
+                k=k,
+                id_col=id_col,
+                text_col=text_col,
+                mode=meta["token_mode"],
+                smoothing=smoothing,
+                total_tokens=meta.get("total_tokens"),
+            ).select(F.col(id_col).alias("_ppl_id"), "ppl")
+            scored = part if scored is None else scored.unionAll(part)
+    if scored is not None:
+        joined = joined.join(
+            scored,
+            joined[id_col] == scored["_ppl_id"],
+            "left",
+        ).drop("_ppl_id")
+    else:
+        joined = joined.withColumn(
+            "ppl", F.lit(None).cast("double")
+        )
+
+    def lo(rule: str, col):
+        # fails when a lower bound is set and the signal is below it
+        # (or null — a null signal can't prove it passes)
+        r = F.col(f"_r_{rule}")
+        return r.isNotNull() & ~F.coalesce(col >= r, F.lit(False))
+
+    def hi(rule: str, col):
+        r = F.col(f"_r_{rule}")
+        return r.isNotNull() & ~F.coalesce(col <= r, F.lit(False))
+
+    reason = (
+        F.when(F.col("_route_lang").isNull(), F.lit("unrouted"))
+        .when(
+            lo("min_words", F.col("n_words"))
+            | hi("max_words", F.col("n_words")),
+            F.lit("words"),
+        )
+        .when(
+            lo("min_mean_word_len", F.col("mean_word_len"))
+            | hi("max_mean_word_len", F.col("mean_word_len")),
+            F.lit("word_len"),
+        )
+        .when(
+            hi("max_hash_word_ratio", F.col("hash_word_ratio"))
+            | hi(
+                "max_ellipsis_word_ratio",
+                F.col("ellipsis_word_ratio"),
+            ),
+            F.lit("symbols"),
+        )
+        .when(
+            hi("max_frac_bullet_lines", F.col("frac_bullet_lines"))
+            | hi(
+                "max_frac_ellipsis_lines",
+                F.col("frac_ellipsis_lines"),
+            ),
+            F.lit("lines"),
+        )
+        .when(
+            lo("min_frac_alpha_words", F.col("frac_alpha_words")),
+            F.lit("alpha"),
+        )
+        .when(
+            lo("min_stop_hits", F.col("route_stop_hits")),
+            F.lit("stopwords"),
+        )
+        .when(
+            lo("min_sentences", F.col("n_sentences")),
+            F.lit("sentences"),
+        )
+        .when(
+            F.col("_r_max_ppl").isNotNull()
+            & F.col("ppl").isNull(),
+            F.lit("unscored"),
+        )
+        .when(
+            hi("max_ppl", F.col("ppl")), F.lit("perplexity")
+        )
+    )
+    return (
+        joined.withColumn("route_reason", reason)
+        .withColumn("routed_keep", F.col("route_reason").isNull())
+        .drop(
+            "_rw",
+            "_route_lang",
+            "_r_stopwords",
+            *[f"_r_{key}" for key, _ in num_keys],
+        )
+    )
+
+
 #: Unicode scripts profiled by :func:`script_profile`, in tie-break
 #: priority order. Java regex spells them \p{IsX}; RE2 (the DuckDB
 #: oracle dialect) \p{X} — counts verified identical.

@@ -705,6 +705,173 @@ def _stage_perplexity_filter(
     return out
 
 
+def _stage_routed_quality(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """RoutedQuality transform: per-language routed quality gate
+    (textstats.py::routed_quality) — one signal computation, each
+    language gated on its own Gopher/C4/LM parameters via a
+    broadcast thresholds table (the Dolma per-language deployment
+    shape). Properties: routes (required JSON object: lang ->
+    overrides of ROUTE_DEFAULTS, explicit null disables a rule),
+    langField ('lang'), textField ('text'), idField ('doc_id'),
+    lmPaths (optional JSON object: lang -> save_bigram_lm artifact
+    path — required for every route that sets maxPpl/max_ppl),
+    smoothing ('wb'), keepOnly ('false' — when 'true', admit only
+    routed_keep rows and emit the INPUT schema, the gate
+    deployment shape)."""
+    import json
+
+    from topn_spark.operators.textstats import ROUTE_DEFAULTS
+
+    (df,) = inputs
+    p = stage.properties
+    routes_raw = p.get("routes")
+    lm_paths_raw = p.get("lmPaths")
+    lang_col = p.get("langField", "lang")
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    smoothing = p.get("smoothing", "wb")
+    keep_only = p.get("keepOnly", "false")
+    if phase == "run":
+        subs = substitutions or {}
+        routes_raw = substitute_macros(
+            routes_raw, subs, collector, "routes"
+        )
+        lm_paths_raw = substitute_macros(
+            lm_paths_raw, subs, collector, "lmPaths"
+        )
+    ok = _require_field(df, lang_col, collector, "langField")
+    ok = _require_field(df, text_col, collector, "textField") and ok
+    if not routes_raw:
+        collector.add_failure(
+            "Required property 'routes' is missing.",
+            "A JSON object: lang -> parameter overrides.",
+            property_name="routes",
+        )
+        return df
+    routes = None
+    if not contains_macro(routes_raw):
+        try:
+            routes = json.loads(routes_raw)
+        except ValueError:
+            collector.add_failure(
+                f"routes is not valid JSON: {routes_raw[:80]!r}.",
+                "A JSON object: lang -> parameter overrides.",
+                property_name="routes",
+            )
+            ok = False
+        if routes is not None and (
+            not isinstance(routes, dict)
+            or not all(
+                isinstance(cfg, dict) for cfg in routes.values()
+            )
+        ):
+            collector.add_failure(
+                "routes must map language -> override object.",
+                "e.g. {\"en\": {}, \"de\": {\"min_stop_hits\": 3}}",
+                property_name="routes",
+            )
+            routes, ok = None, False
+        if routes is not None:
+            bad = sorted(
+                {
+                    key
+                    for cfg in routes.values()
+                    for key in cfg
+                    if key not in ROUTE_DEFAULTS
+                }
+            )
+            if bad:
+                collector.add_failure(
+                    f"Unknown route parameter(s) {bad}.",
+                    f"Valid: {sorted(ROUTE_DEFAULTS)}.",
+                    property_name="routes",
+                )
+                ok = False
+    lm_paths = {}
+    if lm_paths_raw is not None and not contains_macro(lm_paths_raw):
+        try:
+            lm_paths = json.loads(lm_paths_raw)
+        except ValueError:
+            collector.add_failure(
+                f"lmPaths is not valid JSON: {lm_paths_raw[:80]!r}.",
+                "A JSON object: lang -> artifact path.",
+                property_name="lmPaths",
+            )
+            ok = False
+        if not isinstance(lm_paths, dict):
+            collector.add_failure(
+                "lmPaths must map language -> artifact path.",
+                property_name="lmPaths",
+            )
+            lm_paths, ok = {}, False
+    if routes is not None:
+        unmodeled = sorted(
+            g
+            for g, cfg in routes.items()
+            if {**ROUTE_DEFAULTS, **cfg}["max_ppl"] is not None
+            and g not in lm_paths
+        )
+        if unmodeled and not contains_macro(lm_paths_raw or ""):
+            collector.add_failure(
+                f"Route(s) {unmodeled} set max_ppl but lmPaths has "
+                "no model for them.",
+                "Add the language to lmPaths.",
+                property_name="lmPaths",
+            )
+            ok = False
+    if keep_only not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepOnly '{keep_only}'.",
+            "'true' or 'false'.",
+            property_name="keepOnly",
+        )
+        ok = False
+    if not ok or routes is None:
+        return df
+    if phase == "deploy" and (
+        contains_macro(routes_raw)
+        or contains_macro(lm_paths_raw or "")
+    ):
+        if keep_only == "true":
+            return df
+        # schema-faithful placeholder for the annotate shape
+        out = df
+        for name, t in (
+            ("n_words", "bigint"), ("mean_word_len", "double"),
+            ("hash_word_ratio", "double"),
+            ("ellipsis_word_ratio", "double"),
+            ("frac_bullet_lines", "double"),
+            ("frac_ellipsis_lines", "double"),
+            ("frac_alpha_words", "double"),
+            ("n_sentences", "bigint"),
+            ("route_stop_hits", "bigint"), ("ppl", "double"),
+            ("route_reason", "string"), ("routed_keep", "boolean"),
+        ):
+            out = out.withColumn(name, F.lit(None).cast(t))
+        return out
+    from topn_spark.operators.lm import load_bigram_lm
+    from topn_spark.operators.textstats import routed_quality
+
+    lms = {
+        g: load_bigram_lm(spark, path)
+        for g, path in lm_paths.items()
+    }
+    out = routed_quality(
+        df,
+        routes,
+        lang_col=lang_col,
+        text_col=text_col,
+        id_col=id_col,
+        lms=lms or None,
+        smoothing=smoothing,
+    )
+    if keep_only == "true":
+        return out.where(F.col("routed_keep")).select(*df.columns)
+    return out
+
+
 def _stage_dsir_weights(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -1725,6 +1892,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "GopherRepetition": ("transform", _stage_gopher_repetition),
     "C4LineFilter": ("transform", _stage_c4_line_filter),
     "PerplexityFilter": ("transform", _stage_perplexity_filter),
+    "RoutedQuality": ("transform", _stage_routed_quality),
     "DsirWeights": ("transform", _stage_dsir_weights),
     "LangId": ("transform", _stage_langid),
     "Warc": ("batchsource", _stage_warc_source),

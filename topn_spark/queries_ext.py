@@ -10101,3 +10101,181 @@ def z56_pack_with_eos(spark, sf_dir):
         order_col="okey",
         sep_token="</s>",
     ).orderBy("seq_id")
+
+
+#: planted fixtures for z57 per-language routed quality: English
+#: prose (passes the published defaults), a no-terminal-punctuation
+#: page (C4 sentence gate), and German compound-noun prose whose
+#: mean word length (~12.6) violates the English [3,10] band but
+#: fits the German route's widened [3,14] band.
+_Z57_SHAPES = (
+    (
+        "the data to be of and that have with pipeline value"
+        " system goes right here now.\n",
+        7,
+    ),
+    ("the data to be of and that have with more value ", 6),
+    (
+        "der die das und mit von einer hier"
+        " donaudampfschifffahrtsgesellschaft kapitaenspatent"
+        " wertschoepfungskette weiterverarbeitungsprozess"
+        " qualitaetssicherungsmassnahme"
+        " softwareentwicklungsumgebung.\n",
+        6,
+    ),
+)
+
+
+@query(
+    "z57_routed_quality",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+      ELSE 'fr' END AS lang,
+    CASE (doc_id % 9) // 3
+      WHEN 0 THEN repeat('the data to be of and that have with pipeline value system goes right here now.' || chr(10), 7)
+      WHEN 1 THEN repeat('the data to be of and that have with more value ', 6)
+      ELSE repeat('der die das und mit von einer hier donaudampfschifffahrtsgesellschaft kapitaenspatent wertschoepfungskette weiterverarbeitungsprozess qualitaetssicherungsmassnahme softwareentwicklungsumgebung.' || chr(10), 6)
+    END || chr(10) || 'nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 490),
+r AS (
+  SELECT * FROM (VALUES
+    ('en', CAST(50 AS BIGINT), CAST(100000 AS BIGINT), 3.0, 10.0,
+     0.1, 0.1, 0.9, 0.3, 0.8, CAST(2 AS BIGINT),
+     ['the','be','to','of','and','that','have','with'],
+     CAST(5 AS BIGINT), CAST(NULL AS DOUBLE)),
+    ('de', CAST(40 AS BIGINT), CAST(100000 AS BIGINT), 3.0, 14.0,
+     0.1, 0.1, 0.9, 0.3, 0.8, CAST(3 AS BIGINT),
+     ['der','die','das','und','mit','von'],
+     CAST(5 AS BIGINT), CAST(NULL AS DOUBLE))
+  ) AS v(lang, min_words, max_words, min_mwl, max_mwl, max_hash,
+         max_ell, max_bull, max_elll, min_alpha, min_stop,
+         stopwords, min_sent, max_ppl)),
+m AS (
+  SELECT doc_id, lang,
+    regexp_extract_all(lower(text), '\S+') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) != '')
+      AS lines,
+    list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(trim(l), '[.!?"]$')
+        AND len(regexp_extract_all(trim(l), '\S+')) >= 3
+        AND NOT contains(lower(l), 'javascript')) AS kept,
+    text
+  FROM t),
+c AS (
+  SELECT doc_id, lang,
+    CAST(len(words) AS BIGINT) AS n_words,
+    ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS mean_word_len,
+    ROUND(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS hash_word_ratio,
+    ROUND(CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS ellipsis_word_ratio,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS frac_bullet_lines,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+          / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS frac_ellipsis_lines,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+          / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS frac_alpha_words,
+    list_distinct(words) AS dwords,
+    CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences
+  FROM m),
+j AS (
+  SELECT c.*, r.lang AS route_lang, r.min_words, r.max_words,
+    r.min_mwl, r.max_mwl, r.max_hash, r.max_ell, r.max_bull,
+    r.max_elll, r.min_alpha, r.min_stop, r.min_sent, r.max_ppl,
+    CASE WHEN r.stopwords IS NULL THEN NULL
+      ELSE CAST(len(list_intersect(c.dwords, r.stopwords)) AS BIGINT)
+    END AS route_stop_hits,
+    CAST(NULL AS DOUBLE) AS ppl
+  FROM c LEFT JOIN r ON c.lang = r.lang),
+v AS (
+  SELECT doc_id, lang, n_words, mean_word_len, route_stop_hits,
+    n_sentences, ppl,
+    CASE
+      WHEN route_lang IS NULL THEN 'unrouted'
+      WHEN (min_words IS NOT NULL AND NOT COALESCE(n_words >= min_words, false))
+        OR (max_words IS NOT NULL AND NOT COALESCE(n_words <= max_words, false))
+        THEN 'words'
+      WHEN (min_mwl IS NOT NULL AND NOT COALESCE(mean_word_len >= min_mwl, false))
+        OR (max_mwl IS NOT NULL AND NOT COALESCE(mean_word_len <= max_mwl, false))
+        THEN 'word_len'
+      WHEN (max_hash IS NOT NULL AND NOT COALESCE(hash_word_ratio <= max_hash, false))
+        OR (max_ell IS NOT NULL AND NOT COALESCE(ellipsis_word_ratio <= max_ell, false))
+        THEN 'symbols'
+      WHEN (max_bull IS NOT NULL AND NOT COALESCE(frac_bullet_lines <= max_bull, false))
+        OR (max_elll IS NOT NULL AND NOT COALESCE(frac_ellipsis_lines <= max_elll, false))
+        THEN 'lines'
+      WHEN min_alpha IS NOT NULL AND NOT COALESCE(frac_alpha_words >= min_alpha, false)
+        THEN 'alpha'
+      WHEN min_stop IS NOT NULL AND NOT COALESCE(route_stop_hits >= min_stop, false)
+        THEN 'stopwords'
+      WHEN min_sent IS NOT NULL AND NOT COALESCE(n_sentences >= min_sent, false)
+        THEN 'sentences'
+      WHEN max_ppl IS NOT NULL AND ppl IS NULL THEN 'unscored'
+      WHEN max_ppl IS NOT NULL AND NOT COALESCE(ppl <= max_ppl, false)
+        THEN 'perplexity'
+    END AS route_reason
+  FROM j)
+SELECT doc_id, lang, n_words, mean_word_len, route_stop_hits,
+  n_sentences, ppl, route_reason,
+  route_reason IS NULL AS routed_keep
+FROM v ORDER BY doc_id ASC""",
+    doc="PER-LANGUAGE ROUTED QUALITY THRESHOLDS (textstats.py::"
+    "routed_quality) — the Dolma per-language reality: one corpus,"
+    " one signal computation, but each language gates on its own"
+    " Gopher/C4/LM parameters. Planted two-language fixture: English"
+    " prose passes the published defaults; German compound-noun"
+    " prose (mean word length ~12.6) fails the English [3,10] band"
+    " but passes the German route's widened [3,14] band with its"
+    " own stopword list (min 3 of der/die/das/und/mit/von); a"
+    " no-terminal-punctuation page hits the C4 sentence gate;"
+    " French documents have no route and surface as 'unrouted'"
+    " (observable, never silently dropped). route_reason is the"
+    " FIRST failing gate in Dolma stage order. Scale: signals"
+    " map-only over one scan; thresholds (including each route's"
+    " stopword array) are a BROADCAST table joined on lang — never"
+    " a per-language CASE chain, never a collect. Oracle: the full"
+    " rule+routing arithmetic replayed in DuckDB over a VALUES"
+    " route table, hash-exact",
+)
+def z57_routed_quality(spark, sf_dir):
+    from topn_spark.operators.textstats import routed_quality
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 490
+    )
+    d = F.col("doc_id")
+    lang = (
+        F.when(d % 3 == 0, F.lit("en"))
+        .when(d % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    shape = F.floor((d % 9) / 3)
+    text = (
+        F.when(shape == 0, F.lit(_Z57_SHAPES[0][0] * _Z57_SHAPES[0][1]))
+        .when(shape == 1, F.lit(_Z57_SHAPES[1][0] * _Z57_SHAPES[1][1]))
+        .otherwise(F.lit(_Z57_SHAPES[2][0] * _Z57_SHAPES[2][1]))
+    )
+    text = F.concat(text, F.lit("\nnr "), d.cast("string"))
+    planted = docs.select(
+        "doc_id", lang.alias("lang"), text.alias("text")
+    )
+    routes = {
+        "en": {},
+        "de": {
+            "min_words": 40,
+            "max_mean_word_len": 14.0,
+            "min_stop_hits": 3,
+            "stopwords": ["der", "die", "das", "und", "mit", "von"],
+        },
+    }
+    return (
+        routed_quality(planted, routes)
+        .select(
+            "doc_id", "lang", "n_words", "mean_word_len",
+            "route_stop_hits", "n_sentences", "ppl",
+            "route_reason", "routed_keep",
+        )
+        .orderBy("doc_id")
+    )
