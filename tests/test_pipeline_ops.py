@@ -1274,3 +1274,102 @@ def test_token_budget_mixture(spark):
     assert sum(r.n_tokens for r in out2) == 60  # 30 < 40 -> next included
     with pytest.raises(ValueError, match="weight"):
         token_budget_mixture(df, {}, 10)
+
+
+def test_epoch_mixture_repeats_and_truncates(spark):
+    """epoch_mixture: a group smaller than its quota repeats (full
+    epochs + md5-order partial prefix, token totals hit the quota
+    exactly up to one boundary doc); a group at its quota runs one
+    epoch; max_epochs caps; truncation degenerates to
+    token_budget_mixture's prefix."""
+    from topn_spark.operators.pipeline import (
+        epoch_mixture,
+        token_budget_mixture,
+    )
+
+    rows = [(i, "web", 10) for i in range(10)] + [
+        (100 + i, "wiki", 10) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int"
+    )
+    got = {
+        r.doc_id: r.n_epochs
+        for r in epoch_mixture(
+            df, {"web": 0.5, "wiki": 0.5}, 200
+        ).collect()
+    }
+    # web: quota 100 == group tokens -> exactly one epoch each
+    assert all(got[i] == 1 for i in range(10))
+    # wiki: quota 100 over 30 tokens -> 3 full epochs + 10-token
+    # remainder -> exactly one doc at 4
+    assert sorted(got[100 + i] for i in range(3)) == [3, 3, 4]
+    assert sum(e * 10 for d, e in got.items() if d >= 100) == 100
+    capped = {
+        r.doc_id: r.n_epochs
+        for r in epoch_mixture(
+            df, {"web": 0.5, "wiki": 0.5}, 200, max_epochs=2
+        ).collect()
+        if r.doc_id >= 100
+    }
+    assert set(capped.values()) == {2}
+    t1 = epoch_mixture(df, {"web": 1.0}, 50)
+    t2 = token_budget_mixture(df, {"web": 1.0}, 50)
+    assert sorted(r.doc_id for r in t1.collect()) == sorted(
+        r.doc_id for r in t2.collect()
+    )
+    assert all(r.n_epochs == 1 for r in t1.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_mixture(df, {"web": 1.0}, 50, max_epochs=0)
+
+
+def test_ngram_decontaminate_flags_and_drops(spark):
+    """ngram_decontaminate: a 13-word eval span quoted inside a
+    training page is one colliding instance; repeated quoting counts
+    instances; min_hits thresholds; drop returns the input schema;
+    too-short docs can't collide; bad params fail loudly."""
+    import pytest
+
+    from topn_spark.operators.dedup import ngram_decontaminate
+
+    quote = (
+        "the quick brown fox jumps over the lazy dog near the"
+        " river bank"
+    )
+    ev = spark.createDataFrame(
+        [(1, quote + " today indeed")], "qid long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "intro " + quote + " outro words here"),
+            (2, "totally clean text with many plain words but no"
+                " overlap with anything evaluated"),
+            (3, "twice " + quote + " and again " + quote + " end"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_contam_grams, r.contaminated)
+        for r in ngram_decontaminate(tr, ev, n=13).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3][0] >= 2 and got[3][1]
+    assert got[4] == (0, False)
+    # min_hits=2 clears the single-quote page
+    got2 = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(tr, ev, n=13, min_hits=2).collect()
+    }
+    assert got2[1] is False and got2[3] is True
+    dropped = ngram_decontaminate(tr, ev, n=13, action="drop")
+    assert dropped.columns == tr.columns
+    assert sorted(r.doc_id for r in dropped.collect()) == [2, 4]
+    with pytest.raises(ValueError, match="action"):
+        ngram_decontaminate(tr, ev, action="purge")
+    with pytest.raises(ValueError, match="min_hits"):
+        ngram_decontaminate(tr, ev, min_hits=0)

@@ -1884,3 +1884,65 @@ def test_routed_quality_stage(spark, tmp_path):
         run_pipeline_with_source(
             spark, spec({"routes": "{nope"}), "src", df
         )
+
+
+def test_epoch_mixture_and_decontaminate_stages(spark, tmp_path):
+    """EpochMixture + Decontaminate plugins: spec-driven repeat
+    counts and benchmark decontamination from a parquet eval set;
+    collected validation failures for bad action / missing props."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    quote = (
+        "the quick brown fox jumps over the lazy dog near the"
+        " river bank"
+    )
+    ev_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, quote + " today indeed")], "qid long, text string"
+    ).write.parquet(ev_path)
+    df = spark.createDataFrame(
+        [
+            (1, "web", 10, "intro " + quote + " outro words here"),
+            (2, "web", 10, "clean words all the way through this"),
+            (3, "wiki", 10, "clean wiki words all the way through"),
+        ],
+        "doc_id long, source string, n_tokens int, text string",
+    )
+
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "dc", "plugin": "Decontaminate",
+             "properties": {"evalPath": ev_path, "action": "drop"}},
+            {"name": "mix", "plugin": "EpochMixture",
+             "properties": {"weights": "web:0.5,wiki:0.5",
+                            "totalTokens": "40"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "dc"},
+            {"from": "dc", "to": "mix"},
+        ],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)
+    assert sorted(r.doc_id for r in out["dc"].collect()) == [2, 3]
+    mixed = {r.doc_id: r.n_epochs for r in out["mix"].collect()}
+    # quotas 20/20 over 10-token groups -> 2 epochs each survivor
+    assert mixed == {2: 2, 3: 2}
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "dc", "plugin": "Decontaminate",
+             "properties": {"action": "purge", "n": "0"}},
+        ],
+        "connections": [{"from": "src", "to": "dc"}],
+    }
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(spark, bad, "src", df)
+    msg = str(ei.value)
+    assert "evalPath" in msg and "purge" in msg and "n" in msg

@@ -306,6 +306,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z55_kn_perplexity",
         "z56_pack_with_eos",
         "z57_routed_quality",
+        "z58_ngram_decontaminate",
+        "z59_epoch_mixture",
     ):
         warns = [
             f

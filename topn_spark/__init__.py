@@ -36,6 +36,7 @@ from topn_spark.pipelines import (
 )
 from topn_spark.operators.dedup import (
     lsh_pairs_md5,
+    ngram_decontaminate,
     neardup_keep_best,
     connected_components,
     dedup_exact,
@@ -59,6 +60,7 @@ from topn_spark.operators.pipeline import (
     pack_token_sequences,
     packed_doc_spans,
     token_budget_mixture,
+    epoch_mixture,
     unpack_sequences,
     export_packed_shards,
     scrub_pii,
@@ -146,6 +148,7 @@ __all__ = [
     "dedup_exact",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_decontaminate",
     "simhash",
     "connected_components",
     "pagerank",
@@ -184,6 +187,7 @@ __all__ = [
     "pack_token_sequences",
     "unpack_sequences",
     "token_budget_mixture",
+    "epoch_mixture",
     "packed_doc_spans",
     "export_packed_shards",
     "redact_pii",

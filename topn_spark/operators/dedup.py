@@ -679,3 +679,97 @@ def neardup_keep_best(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    mode: str = "ascii",
+    min_hits: int = 1,
+    action: str = "flag",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by ``n``-gram collision — the
+    published pretraining-hygiene recipe (GPT-3, Brown et al. 2020
+    Appendix C: drop training documents sharing any 13-gram with an
+    eval benchmark; PaLM and LLaMA run the same shape at 8–10
+    grams): every training document is checked against the
+    benchmark's complete word ``n``-gram set, and a document with
+    ``>= min_hits`` colliding gram INSTANCES is contaminated.
+    Distinct from :func:`dedup_against` (whole-document digest
+    equality — misses a benchmark question quoted inside a larger
+    page) and from ``leakage_safe_split`` (near-dup clustering
+    within one corpus): this is the substring-level gate against an
+    EXTERNAL eval set. The diagnostic sibling
+    ``pipeline.contamination_check`` reports DISTINCT shared grams
+    for contaminated ids only; this operator is the release gate —
+    full-frame flag/drop, instance counts, md5'd join keys,
+    ``min_hits`` thresholding.
+
+    ``action="flag"`` annotates with ``n_contam_grams`` (colliding
+    gram instances) and ``contaminated``; ``action="drop"`` returns
+    clean rows in the input schema (the release shape).
+
+    Scale shape: the benchmark side reduces to its DISTINCT md5'd
+    gram set — benchmark-sized, never corpus-sized — and
+    ``broadcast_eval`` (default) pins it as a broadcast inner join
+    against the training gram stream (explode + map-side hash, the
+    only data-sized term; one per-doc count agg follows). With a
+    corpus-sized "eval" side pass ``broadcast_eval=False`` and the
+    collision check becomes an ordinary shuffled equi-join on
+    16-byte keys. No token array survives the explode — grams hash
+    to md5 before the join."""
+    from topn_spark.operators.textstats import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if action not in ("flag", "drop"):
+        raise ValueError(f"unknown action {action!r} (flag|drop)")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    ev_text = eval_text_col or text_col
+    ev_grams = (
+        eval_df.select(tokens(ev_text, mode).alias("_toks"))
+        .select(F.explode(ngrams_from_tokens("_toks", n)).alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev_grams = F.broadcast(ev_grams)
+    hits = (
+        train.select(
+            F.col(id_col).alias("_cid"),
+            tokens(text_col, mode).alias("_toks"),
+        )
+        .select(
+            "_cid",
+            F.explode(ngrams_from_tokens("_toks", n)).alias("_g"),
+        )
+        .select("_cid", F.md5("_g").alias("_gh"))
+        .join(ev_grams, "_gh")
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contam_grams"))
+    )
+    out = (
+        train.join(
+            hits, train[id_col] == hits["_cid"], "left"
+        )
+        .drop("_cid")
+        .withColumn(
+            "n_contam_grams",
+            F.coalesce(F.col("n_contam_grams"), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contam_grams") >= int(min_hits)
+        )
+    )
+    if action == "drop":
+        return out.where(~F.col("contaminated")).select(*train.columns)
+    return out

@@ -709,7 +709,10 @@ def contamination_check(
     Returns ``(id_col, n_shared_grams)`` for contaminated docs only.
     The standard eval-leakage gate for training corpora (as in GPT-3 /
     Gopher dataset reports): drop or flag training docs whose n-gram
-    overlap with the eval set exceeds a threshold.
+    overlap with the eval set exceeds a threshold. This is the
+    DIAGNOSTIC form; ``dedup.ngram_decontaminate`` is the release
+    gate built on the same collision — full-frame flag/drop at the
+    published 13-gram setting, instance counts, md5'd join keys.
 
     Scale shape: both sides explode to *distinct* n-grams per doc
     (dedup before the join keeps the shuffle minimal), then an
@@ -2460,10 +2463,33 @@ def token_budget_mixture(
     qmap = F.create_map(
         *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
     )
-    base = (
-        df.where(F.col(group_col).isin(*quotas.keys()))
-        .withColumn("_hk", _hash_key(id_col))
-        .withColumn("_bkt", F.substring("_hk", 1, 2))
+    cum = _grouped_cum_before(
+        df.where(F.col(group_col).isin(*quotas.keys())),
+        group_col,
+        id_col,
+        token_col,
+    )
+    return cum.where(
+        F.col("_cum_before") < qmap[F.col(group_col)]
+    ).select(*df.columns)
+
+
+def _grouped_cum_before(
+    df: DataFrame, group_col: str, id_col: str, token_col: str
+) -> DataFrame:
+    """Per-row deterministic token prefix ``_cum_before``: the sum of
+    ``token_col`` over same-group rows EARLIER in the
+    engine-portable ``(md5(id), id)`` order — the primitive under
+    :func:`token_budget_mixture` and :func:`epoch_mixture`. Runs the
+    two-level scan (see :func:`_packed_spans`): 2-hex-md5-prefix
+    buckets (order-preserving — the bucket is a prefix of the
+    primary sort key), per-(group, bucket) cumsum windows in
+    parallel, one window over only the (group, bucket) totals table,
+    offsets broadcast back."""
+    from pyspark.sql.window import Window
+
+    base = df.withColumn("_hk", _hash_key(id_col)).withColumn(
+        "_bkt", F.substring("_hk", 1, 2)
     )
     totals = base.groupBy(group_col, "_bkt").agg(
         F.sum(F.col(token_col).cast("bigint")).alias("_bn")
@@ -2492,6 +2518,79 @@ def token_budget_mixture(
     return (
         base.join(F.broadcast(offsets), [group_col, "_bkt"])
         .withColumn("_cum_before", cum_before)
-        .where(F.col("_cum_before") < qmap[F.col(group_col)])
-        .select(*df.columns)
+        .drop("_hk", "_bkt", "_base")
+    )
+
+
+def epoch_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_epochs: int | None = None,
+) -> DataFrame:
+    """Dataset-mixture sampling WITH REPETITION — how real training
+    mixes hit their quotas when a domain is smaller than its share
+    (the LLaMA/DoReMi reality: Wikipedia at 4.5% of a 1.4T-token
+    budget is ~5 epochs of Wikipedia): group g's token quota
+    ``round(total_tokens * weights[g])`` is filled by repeating the
+    WHOLE group ``quota div group_tokens`` times plus a partial
+    epoch — the deterministic md5(id)-order prefix that
+    :func:`token_budget_mixture` would take (boundary document
+    included). Emits one row per document with ``n_epochs`` (how
+    many times the trainer should see it; rows at 0 are dropped) —
+    repeat counts, not materialized copies, so the output stays
+    corpus-sized. ``max_epochs`` caps repetition (the
+    data-constrained-scaling rule of thumb that value decays after
+    ~4 epochs — Muennighoff et al. 2023); groups larger than their
+    quota degenerate to the truncation :func:`token_budget_mixture`
+    performs (``n_epochs=1`` on the prefix). All arithmetic is
+    exact bigint (quota div, remainder, prefix comparison), so an
+    independent mirror reproduces it bit-for-bit.
+
+    Scale shape: one model-sized per-group token-sum agg
+    (broadcast-joined back), the same two-level
+    :func:`_grouped_cum_before` scan for the partial-epoch prefix,
+    and a map-only epoch expression against the literal quota map —
+    no data-sized window, no collect."""
+    if not weights:
+        raise ValueError("epoch_mixture needs >= 1 weight")
+    if total_tokens < 0:
+        raise ValueError(f"negative total_tokens {total_tokens}")
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    quotas = {
+        g: int(round(total_tokens * w)) for g, w in weights.items()
+    }
+    qmap = F.create_map(
+        *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
+    )
+    filtered = df.where(F.col(group_col).isin(*quotas.keys()))
+    sums = filtered.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("_gsum")
+    )
+    cum = (
+        _grouped_cum_before(filtered, group_col, id_col, token_col)
+        .join(F.broadcast(sums), group_col)
+        .withColumn("_q", qmap[F.col(group_col)].cast("bigint"))
+    )
+    full = F.when(
+        F.col("_gsum") > 0, F.expr("_q div _gsum")
+    ).otherwise(F.lit(0).cast("bigint"))
+    cum = cum.withColumn("_full", full).withColumn(
+        "_rem", F.col("_q") - F.col("_full") * F.col("_gsum")
+    )
+    n_epochs = F.col("_full") + F.when(
+        F.col("_cum_before") < F.col("_rem"), F.lit(1)
+    ).otherwise(F.lit(0)).cast("bigint")
+    if max_epochs is not None:
+        n_epochs = F.least(
+            n_epochs, F.lit(int(max_epochs)).cast("bigint")
+        )
+    return (
+        cum.withColumn("n_epochs", n_epochs)
+        .where(F.col("n_epochs") > 0)
+        .select(*df.columns, "n_epochs")
     )

@@ -1395,6 +1395,157 @@ def _stage_token_budget_mixture(
     )
 
 
+def _stage_epoch_mixture(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """EpochMixture transform: fill each group to its token quota
+    WITH REPETITION (pipeline.epoch_mixture — small domains run
+    multiple epochs, the LLaMA/DoReMi mixes); appends ``n_epochs``
+    repeat counts, drops zero-epoch rows. Properties: weights
+    (required, 'group:weight,...'), totalTokens (required),
+    maxEpochs (optional cap), groupField ('source'), idField
+    ('doc_id'), tokenField ('n_tokens')."""
+    (df,) = inputs
+    p = stage.properties
+    weights_raw = p.get("weights")
+    group_col = p.get("groupField", "source")
+    id_col = p.get("idField", "doc_id")
+    token_col = p.get("tokenField", "n_tokens")
+    if phase == "run":
+        weights_raw = substitute_macros(
+            weights_raw, substitutions or {}, collector, "weights"
+        )
+    total = _int_prop(
+        p, "totalTokens", 0, collector, lo=0,
+        substitutions=substitutions, phase=phase,
+    )
+    max_epochs = None
+    if "maxEpochs" in p:
+        max_epochs = _int_prop(
+            p, "maxEpochs", 1, collector, lo=1,
+            substitutions=substitutions, phase=phase,
+        )
+    ok = _require_field(df, group_col, collector, "groupField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    ok = _require_field(df, token_col, collector, "tokenField") and ok
+    if "totalTokens" not in p:
+        collector.add_failure(
+            "EpochMixture needs 'totalTokens'.",
+            property_name="totalTokens",
+        )
+        ok = False
+    weights = None
+    if not weights_raw:
+        collector.add_failure(
+            "EpochMixture needs 'weights'.",
+            "Format: 'group:weight,group:weight'.",
+            property_name="weights",
+        )
+        ok = False
+    elif not contains_macro(weights_raw):
+        try:
+            weights = {
+                g.strip(): float(w)
+                for g, w in (
+                    part.split(":", 1)
+                    for part in weights_raw.split(",")
+                    if part.strip()
+                )
+            }
+            if not weights:
+                raise ValueError("empty")
+        except ValueError:
+            weights = None
+            collector.add_failure(
+                f"Unparseable weights '{weights_raw}'.",
+                "Format: 'group:weight,group:weight'.",
+                property_name="weights",
+            )
+            ok = False
+    if total is None or not ok:
+        return df
+    if phase == "deploy" or weights is None:
+        return df.withColumn(
+            "n_epochs", F.lit(None).cast("bigint")
+        )
+    from topn_spark.operators.pipeline import epoch_mixture
+
+    return epoch_mixture(
+        df, weights, total, group_col=group_col, id_col=id_col,
+        token_col=token_col, max_epochs=max_epochs,
+    )
+
+
+def _stage_decontaminate(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """Decontaminate transform: benchmark decontamination by n-gram
+    collision (dedup.ngram_decontaminate — the GPT-3 Appendix C
+    recipe). Properties: evalPath (required — parquet of the eval
+    benchmark), n ('13'), minHits ('1'), action ('flag' annotates
+    n_contam_grams + contaminated; 'drop' emits clean rows in the
+    input schema), textField ('text'), evalTextField (defaults to
+    textField), idField ('doc_id')."""
+    (df,) = inputs
+    p = stage.properties
+    eval_path = p.get("evalPath")
+    text_col = p.get("textField", "text")
+    ev_text_col = p.get("evalTextField", text_col)
+    id_col = p.get("idField", "doc_id")
+    action = p.get("action", "flag")
+    if phase == "run":
+        eval_path = substitute_macros(
+            eval_path, substitutions or {}, collector, "evalPath"
+        )
+    n = _int_prop(
+        p, "n", 13, collector, lo=1,
+        substitutions=substitutions, phase=phase,
+    )
+    min_hits = _int_prop(
+        p, "minHits", 1, collector, lo=1,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if not eval_path:
+        collector.add_failure(
+            "Required property 'evalPath' is missing.",
+            "Point it at the eval benchmark parquet.",
+            property_name="evalPath",
+        )
+        ok = False
+    if action not in ("flag", "drop"):
+        collector.add_failure(
+            f"Invalid action '{action}'.",
+            "'flag' or 'drop'.",
+            property_name="action",
+        )
+        ok = False
+    if n is None or min_hits is None or not ok:
+        return df
+    if phase == "deploy" and contains_macro(eval_path):
+        if action == "drop":
+            return df
+        return df.withColumn(
+            "n_contam_grams", F.lit(None).cast("bigint")
+        ).withColumn("contaminated", F.lit(None).cast("boolean"))
+    from topn_spark.operators.dedup import ngram_decontaminate
+
+    eval_df = spark.read.parquet(eval_path)
+    if ev_text_col not in eval_df.columns:
+        collector.add_failure(
+            f"Eval benchmark at '{eval_path}' has no field "
+            f"'{ev_text_col}'.",
+            f"Fields: {eval_df.columns}.",
+            property_name="evalTextField",
+        )
+        return df
+    return ngram_decontaminate(
+        df, eval_df, n=n, text_col=text_col, id_col=id_col,
+        eval_text_col=ev_text_col, min_hits=min_hits, action=action,
+    )
+
+
 def _stage_tokenize(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -1901,6 +2052,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "UrlFilter": ("transform", _stage_url_filter),
     "NearDupCollapse": ("transform", _stage_neardup_collapse),
     "TokenBudgetMixture": ("transform", _stage_token_budget_mixture),
+    "EpochMixture": ("transform", _stage_epoch_mixture),
+    "Decontaminate": ("transform", _stage_decontaminate),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),

@@ -10279,3 +10279,177 @@ def z57_routed_quality(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: z58 planted decontamination fixtures: two eval "benchmark"
+#: passages; train shapes quote a 13-word span of E0, quote E1
+#: wholesale, stay clean, or are too short to hold any 13-gram.
+_Z58_EVAL = (
+    "the quick brown fox jumps over the lazy dog near the river"
+    " bank today",
+    "to be or not to be that is the question whether tis nobler"
+    " in the mind",
+)
+_Z58_TRAIN = (
+    "a web page quoting the quick brown fox jumps over the lazy"
+    " dog near the river bank for flavor",
+    "a perfectly clean document about nothing in particular with"
+    " plenty of ordinary words to say here",
+    "an essay citing to be or not to be that is the question"
+    " whether tis nobler in the mind at length",
+    "too short to match",
+)
+
+
+@query(
+    "z58_ngram_decontaminate",
+    r"""WITH ev AS (
+  SELECT CASE doc_id % 2 WHEN 0
+      THEN 'the quick brown fox jumps over the lazy dog near the river bank today'
+      ELSE 'to be or not to be that is the question whether tis nobler in the mind'
+    END AS text
+  FROM documents WHERE doc_id < 30),
+eg AS (
+  SELECT DISTINCT u.g FROM (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM ev) s,
+  UNNEST(CASE WHEN len(toks) >= 13
+    THEN list_transform(range(1, len(toks) - 11),
+      i -> array_to_string(toks[i:i+12], ' '))
+    ELSE [] END) AS u(g)),
+t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'a web page quoting the quick brown fox jumps over the lazy dog near the river bank for flavor'
+      WHEN 1 THEN 'a perfectly clean document about nothing in particular with plenty of ordinary words to say here'
+      WHEN 2 THEN 'an essay citing to be or not to be that is the question whether tis nobler in the mind at length'
+      ELSE 'too short to match'
+    END || ' nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 400),
+tg AS (
+  SELECT doc_id, u.g FROM (
+    SELECT doc_id,
+      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM t) s,
+  UNNEST(CASE WHEN len(toks) >= 13
+    THEN list_transform(range(1, len(toks) - 11),
+      i -> array_to_string(toks[i:i+12], ' '))
+    ELSE [] END) AS u(g)),
+h AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam_grams
+  FROM tg JOIN eg USING (g) GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(h.n_contam_grams, 0) AS n_contam_grams,
+  COALESCE(h.n_contam_grams, 0) >= 1 AS contaminated
+FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id ASC""",
+    doc="BENCHMARK DECONTAMINATION by 13-gram collision"
+    " (dedup.py::ngram_decontaminate) — the published"
+    " pretraining-hygiene recipe (GPT-3 Appendix C; PaLM/LLaMA at"
+    " 8-10 grams): flag every training document sharing any word"
+    " 13-gram with an eval benchmark. Distinct from whole-document"
+    " digest dedup (misses a benchmark question quoted inside a"
+    " larger page) and from within-corpus near-dup splits: this is"
+    " the substring gate against an EXTERNAL eval set. Planted"
+    " shapes: a page quoting a 13-word eval span (1 colliding"
+    " instance), a clean page, a page quoting a full eval passage"
+    " (many instances), and a page too short to hold any 13-gram."
+    " Scale: eval reduces to its DISTINCT md5'd gram set"
+    " (benchmark-sized, broadcast); train explodes grams map-side"
+    " into the broadcast join + one per-doc count agg. Oracle:"
+    " identical tokenization + n-gram window + join arithmetic in"
+    " DuckDB, hash-exact",
+)
+def z58_ngram_decontaminate(spark, sf_dir):
+    from topn_spark.operators.dedup import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ev = docs.where(d < 30).select(
+        F.when(d % 2 == 0, F.lit(_Z58_EVAL[0]))
+        .otherwise(F.lit(_Z58_EVAL[1]))
+        .alias("text")
+    )
+    text = (
+        F.when(d % 4 == 0, F.lit(_Z58_TRAIN[0]))
+        .when(d % 4 == 1, F.lit(_Z58_TRAIN[1]))
+        .when(d % 4 == 2, F.lit(_Z58_TRAIN[2]))
+        .otherwise(F.lit(_Z58_TRAIN[3]))
+    )
+    train = docs.where(d < 400).select(
+        "doc_id",
+        F.concat(text, F.lit(" nr "), d.cast("string")).alias("text"),
+    )
+    return (
+        ngram_decontaminate(train, ev, n=13)
+        .select("doc_id", "n_contam_grams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "z59_epoch_mixture",
+    r"""WITH t AS (
+  SELECT doc_id, lang, CAST(doc_id % 7 + 1 AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+s AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS gsum
+  FROM t GROUP BY lang),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum
+  FROM t),
+j AS (
+  SELECT c.doc_id, c.lang, c.n_tokens, c.cum, s.gsum,
+    CAST(CASE c.lang WHEN 'en' THEN 2000 WHEN 'de' THEN 6000
+      ELSE 12000 END AS BIGINT) AS q
+  FROM c JOIN s USING (lang)),
+e AS (
+  SELECT doc_id, lang, n_tokens,
+    LEAST(
+      (CASE WHEN gsum > 0 THEN q // gsum ELSE 0 END)
+      + (CASE WHEN cum < q - (CASE WHEN gsum > 0 THEN q // gsum
+           ELSE 0 END) * gsum THEN 1 ELSE 0 END),
+      5) AS n_epochs
+  FROM j)
+SELECT doc_id, lang, n_tokens, CAST(n_epochs AS BIGINT) AS n_epochs
+FROM e WHERE n_epochs > 0 ORDER BY doc_id ASC""",
+    doc="MIXTURE SAMPLING WITH REPETITION (pipeline.py::"
+    "epoch_mixture) — how real training mixes hit quotas when a"
+    " domain is smaller than its share (LLaMA/DoReMi: small"
+    " domains run multiple epochs): group g's token quota"
+    " round(total*w) is filled by repeating the whole group"
+    " quota div group_tokens times plus the deterministic"
+    " md5-order partial-epoch prefix (boundary doc included);"
+    " n_epochs is a repeat COUNT, not materialized copies, capped"
+    " at 5 (the data-constrained-scaling rule of thumb); groups"
+    " larger than their quota degenerate to z54's truncation."
+    " Quotas en 2000 / de 6000 / zh 12000 over doc_id%7+1 token"
+    " counts. All arithmetic exact bigint (div, remainder, prefix"
+    " compare). Scale: one model-sized group-sum agg broadcast"
+    " back, the two-level z54 cumsum for the prefix, map-only"
+    " epoch expression. Oracle: identical integer arithmetic in"
+    " DuckDB, hash-exact",
+)
+def z59_epoch_mixture(spark, sf_dir):
+    from topn_spark.operators.pipeline import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % 7) + 1).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        epoch_mixture(
+            docs,
+            {"en": 0.1, "de": 0.3, "zh": 0.6},
+            20000,
+            group_col="lang",
+            max_epochs=5,
+        )
+        .orderBy("doc_id")
+    )
