@@ -671,6 +671,182 @@ def quality_corpus_sink(
     )
 
 
+def routed_gate_batch(
+    batch: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    routes: dict[str, dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    langid: tuple | None = None,
+    lms: dict[str, tuple] | None = None,
+    smoothing: str = "wb",
+    batch_id: int | None = None,
+    redact: bool = False,
+) -> None:
+    """PER-LANGUAGE routed quality gate for one micro-batch — the
+    streaming form of
+    :func:`~topn_spark.operators.textstats.routed_quality`, and the
+    multilingual generalization of :func:`quality_gate_batch` (which
+    admits ONE language under ONE parameter set): classify each
+    document's language under the saved NB model (``langid`` from
+    ``operators.langid.load_langid``; or trust an existing
+    ``lang_col``), gate it on ITS language's Gopher/C4/LM route, and
+    write admissions to ``out_dir`` (PII-redacted in place when
+    ``redact``) with the predicted language attached, rejections to
+    ``reject_dir`` as ``(id, reason, lang)`` — route_reason IS the
+    dead-letter reason (``unrouted`` covers off-mix languages, so
+    nothing is silently dropped).
+
+    Same idempotence contract as :func:`quality_gate_batch`: with a
+    ``batch_id``, both sides overwrite their own ``batch_id=<N>``
+    partition directory, so checkpointed replays are exactly-once;
+    without one, flat appends (caller owns replay semantics). The
+    micro-batch is persisted for the scope of the call — signals,
+    per-language LM scoring, and both writes all derive from it."""
+    if (lang_col is None) == (langid is None):
+        raise ValueError(
+            "pass exactly one of lang_col (trusted column) or "
+            "langid (saved model)"
+        )
+    from topn_spark.operators.textstats import routed_quality
+
+    batch = batch.persist()
+    try:
+        if langid is not None:
+            from topn_spark.operators.langid import langid_score
+
+            model, lmeta = langid
+            lang = langid_score(
+                batch, model, lmeta, id_col=id_col,
+                text_col=text_col, n_lo=lmeta["n_lo"],
+                n_hi=lmeta["n_hi"], keep_scores=False,
+            ).select(id_col, "lang_pred")
+            src = batch.join(lang, id_col, "left").withColumn(
+                "lang_pred",
+                F.coalesce(F.col("lang_pred"), F.lit("und")),
+            )
+            lang_column = "lang_pred"
+        else:
+            src = batch
+            lang_column = lang_col
+        routed = routed_quality(
+            src,
+            routes,
+            lang_col=lang_column,
+            text_col=text_col,
+            id_col=id_col,
+            lms=lms,
+            smoothing=smoothing,
+        )
+        if batch_id is None:
+            out_target, rej_target, mode = out_dir, reject_dir, "append"
+        else:
+            out_target = f"{out_dir}/batch_id={int(batch_id)}"
+            rej_target = f"{reject_dir}/batch_id={int(batch_id)}"
+            mode = "overwrite"
+        routed = routed.persist()
+        try:
+            admitted = routed.where(F.col("routed_keep"))
+            if redact:
+                from topn_spark.operators.textstats import redact_pii
+
+                admitted = redact_pii(admitted, text_col).withColumn(
+                    text_col, F.col("clean_text")
+                )
+            admitted.select(
+                *batch.columns,
+                F.col(lang_column).alias("gate_lang"),
+            ).write.mode(mode).parquet(out_target)
+            routed.where(~F.col("routed_keep")).select(
+                F.col(id_col),
+                F.col("route_reason").alias("reason"),
+                F.col(lang_column).alias("gate_lang"),
+            ).write.mode(mode).parquet(rej_target)
+        finally:
+            routed.unpersist()
+    finally:
+        batch.unpersist()
+
+
+def routed_corpus_sink(
+    stream: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    routes: dict[str, dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    langid_path: str | None = None,
+    lm_paths: dict[str, str] | None = None,
+    smoothing: str = "wb",
+    redact: bool = False,
+):
+    """Wire a document stream into :func:`routed_gate_batch` via
+    ``foreachBatch`` (availableNow-compatible) — the per-language
+    streaming Dolma gate: langid + per-language thresholds +
+    per-language perplexity models + optional PII redaction, with
+    route_reason dead-letters. All artifacts (the NB language model,
+    one bigram LM per routed language) are loaded and persisted
+    ONCE here, never per batch; a route that sets ``max_ppl`` with
+    no model in ``lm_paths`` fails at wiring time (the
+    :func:`~topn_spark.operators.textstats.routed_quality`
+    validation), not mid-stream. Epoch ids thread through as
+    ``batch_id`` for the exactly-once partition contract. Returns
+    the started ``StreamingQuery``."""
+    from topn_spark.operators.textstats import ROUTE_DEFAULTS
+
+    for g, cfg in routes.items():
+        if {**ROUTE_DEFAULTS, **cfg}["max_ppl"] is not None and (
+            not lm_paths or g not in lm_paths
+        ):
+            raise ValueError(
+                f"route {g!r} sets max_ppl but no LM was supplied "
+                "for it (pass lm_paths={lang: artifact_path})"
+            )
+    lang_model = None
+    if langid_path is not None:
+        from topn_spark.operators.langid import load_langid
+
+        model, lmeta = load_langid(stream.sparkSession, langid_path)
+        lang_model = (model.persist(), lmeta)
+    lms = None
+    if lm_paths:
+        from topn_spark.operators.lm import load_bigram_lm
+
+        lms = {}
+        for g, path in lm_paths.items():
+            unigrams, bigrams, meta = load_bigram_lm(
+                stream.sparkSession, path
+            )
+            lms[g] = (unigrams.persist(), bigrams.persist(), meta)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        routed_gate_batch(
+            batch,
+            out_dir,
+            reject_dir,
+            routes,
+            text_col=text_col,
+            id_col=id_col,
+            lang_col=lang_col,
+            langid=lang_model,
+            lms=lms,
+            smoothing=smoothing,
+            batch_id=batch_id,
+            redact=redact,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def gate_report(spark, out_dir: str, reject_dir: str) -> DataFrame:
     """Admission accounting over a :func:`quality_corpus_sink` run:
     ``(status, reason, n)`` — one ``admitted`` row plus one
