@@ -656,7 +656,7 @@ def test_routed_corpus_sink_per_language_gates(spark, tmp_path):
     ).write.parquet(src)
 
     routes = {
-        "en": {"min_sentences": None, "max_ppl": 30.0},
+        "en": {"min_sentences": None, "max_ppl": 5.0},
         "de": {
             "min_sentences": None,
             "min_stop_hits": 3,
