@@ -89,3 +89,90 @@ def test_full_corpus_pipeline(spark):
     )
     max_chunk = packed.agg(F.max("n_tokens")).first()[0]
     assert worst <= 512 + max_chunk  # a bin overflows by < one document
+
+
+def test_multilingual_gate_pipeline_spec(spark, tmp_path):
+    """examples/multilingual_gate_pipeline.json runs end-to-end
+    through the REAL registered plugins: LangId annotates, each
+    language passes only its own route, the benchmark-quoting page
+    drops at Decontaminate, and the small domain repeats at
+    EpochMixture."""
+    import json
+
+    from topn_spark.operators.langid import save_langid, train_langid
+    from topn_spark.pipelines import run_pipeline
+
+    seeds = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox jumps over the lazy dog and"
+             " the children read their books in the quiet library"),
+            ("de", "der schnelle braune fuchs springt ueber den"
+             " faulen hund und die kinder lesen ihre buecher in der"
+             " stillen bibliothek"),
+        ],
+        "lang string, text string",
+    )
+    lang_model = str(tmp_path / "mg_lang")
+    save_langid(*train_langid(seeds), lang_model)
+
+    quote = (
+        "the quick brown fox jumps over the lazy dog near the"
+        " river bank"
+    )
+    ev_path = str(tmp_path / "mg_eval")
+    spark.createDataFrame(
+        [(1, quote + " today indeed")], "qid long, text string"
+    ).write.parquet(ev_path)
+
+    clean_en = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog jumps over the quick brown fox again today " * 3
+    ).strip()
+    german = (
+        "der schnelle braune fuchs springt ueber den faulen hund "
+        "und die kinder lesen ihre buecher in der bibliothek " * 3
+    ).strip()
+    src_path = str(tmp_path / "mg_src")
+    spark.createDataFrame(
+        [
+            (1, clean_en),
+            (2, "intro " + quote + " outro " + clean_en),
+            (3, german),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src_path)
+
+    spec = json.load(open("examples/multilingual_gate_pipeline.json"))
+    out_path = str(tmp_path / "mg_out")
+    routes = json.dumps({
+        "en": {"min_sentences": None},
+        "de": {
+            "min_sentences": None,
+            "min_stop_hits": 3,
+            "stopwords": ["der", "die", "das", "und", "mit", "von"],
+        },
+    })
+    out = run_pipeline(
+        spark,
+        spec,
+        substitutions={
+            "input": src_path,
+            "langModel": lang_model,
+            "routes": routes,
+            "lmPaths": "{}",
+            "evalSet": ev_path,
+            "weights": "en:0.5,de:0.5",
+            "totalTokens": "400",
+            "maxEpochs": "4",
+            "out": out_path,
+        },
+    )
+    got = {
+        r.doc_id: (r.lang_pred, r.n_epochs)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # doc 2 (benchmark quote) dropped; doc 1 (en) and doc 3 (de)
+    # survive and repeat toward their 200-token quotas
+    assert sorted(got) == [1, 3]
+    assert got[1][0] == "en" and got[3][0] == "de"
+    assert got[1][1] >= 2 and got[3][1] >= 2
