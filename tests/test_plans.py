@@ -308,6 +308,10 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z57_routed_quality",
         "z58_ngram_decontaminate",
         "z59_epoch_mixture",
+        # round-9 second wave: attribute sidecars + mixer
+        "z60_tag_attributes",
+        "z61_mixer",
+        "z62_scrub_dup_paragraphs",
     ):
         warns = [
             f

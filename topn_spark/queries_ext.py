@@ -10453,3 +10453,239 @@ def z59_epoch_mixture(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: z60/z61 planted attribute fixtures: six shapes, each lighting up a
+#: different tagger family (prose+stopwords, digits, ellipsis lines,
+#: bullets, hash spam, whitespace-only NULL-ratio edge).
+_Z60_SHAPES = (
+    "the data of that value pipeline runs with care and detail here",
+    "call 555 0199 ext 42 room 101 now",
+    "the story goes on...\nthe tale goes on...\nplain line of text here",
+    "• item one\n• item two\n- item three\nthe end of list",
+    "# # tags of # doom with # spam",
+)
+
+_Z60_SQL_TEXT = r"""SELECT doc_id,
+    CASE WHEN doc_id % 6 = 5 THEN '   '
+      ELSE (CASE doc_id % 6
+        WHEN 0 THEN 'the data of that value pipeline runs with care and detail here'
+        WHEN 1 THEN 'call 555 0199 ext 42 room 101 now'
+        WHEN 2 THEN 'the story goes on...' || chr(10) || 'the tale goes on...' || chr(10) || 'plain line of text here'
+        WHEN 3 THEN '• item one' || chr(10) || '• item two' || chr(10) || '- item three' || chr(10) || 'the end of list'
+        ELSE '# # tags of # doom with # spam'
+      END) || ' nr ' || doc_id END AS text
+  FROM documents WHERE doc_id < 480"""
+
+_Z60_SQL_ATTRS = r"""m AS (
+  SELECT doc_id, text,
+    regexp_extract_all(lower(text), '\S+') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM t),
+a AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS char_length,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS line_count,
+    CAST(len(words) AS BIGINT) AS word_count,
+    ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS mean_word_len,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+      / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS alpha_word_frac,
+    ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS digit_char_frac,
+    ROUND(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+      / NULLIF(CAST(len(words) AS DOUBLE), 0), 6) AS hash_word_ratio,
+    CAST(len(list_intersect(list_distinct(words),
+      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS DOUBLE)
+      / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS bullet_line_frac,
+    ROUND(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6) AS ellipsis_line_frac
+  FROM m)"""
+
+
+def _z60_text():
+    d = F.col("doc_id")
+    m = d % 6
+    base = F.when(m == 0, F.lit(_Z60_SHAPES[0]))
+    for i in range(1, 5):
+        base = base.when(m == i, F.lit(_Z60_SHAPES[i]))
+    return F.when(m == 5, F.lit("   ")).otherwise(
+        F.concat(base, F.lit(" nr "), d.cast("string"))
+    )
+
+
+@query(
+    "z60_tag_attributes",
+    "WITH t AS (" + _Z60_SQL_TEXT + """),
+""" + _Z60_SQL_ATTRS + """
+SELECT * FROM a ORDER BY doc_id ASC""",
+    doc="ATTRIBUTE SIDECAR TAGGING (attributes.py::tag_attributes)"
+    " — the Dolma/RedPajama-v2 tag-then-mix architecture's first"
+    " half: the full doc-level tagger registry (length, line/word"
+    " counts, mean word length, alpha-word + digit-char fractions,"
+    " hash-symbol ratio, Gopher stopword hits, bullet/ellipsis"
+    " line fractions) evaluated in ONE map-only scan into the"
+    " sidecar row (id + one column per tagger). Signals are"
+    " computed once per corpus; every later mix reads only the"
+    " attribute columns its rules touch (parquet column pruning)."
+    " Six planted shapes, incl. whitespace-only (NULL ratios) and"
+    " NULL-free counts as exact BIGINTs, every ratio ROUND(x,6) of"
+    " one IEEE division. Oracle: every tagger expression replayed"
+    " verbatim in DuckDB (RE2-portable by design), hash-exact",
+)
+def z60_tag_attributes(spark, sf_dir):
+    from topn_spark.operators.attributes import tag_attributes
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    planted = docs.select("doc_id", _z60_text().alias("text"))
+    return tag_attributes(planted).orderBy("doc_id")
+
+
+#: z61 mixer config: OR of two include AND-lists (prose gate OR
+#: bullet-heavy gate), two exclude lists (digit spam, hash spam).
+_Z61_CONFIG = {
+    "include": [
+        [["word_count", ">=", 8], ["stop_hits", ">=", 2]],
+        [["bullet_line_frac", ">", 0.5]],
+    ],
+    "exclude": [
+        [["digit_char_frac", ">", 0.2]],
+        [["hash_word_ratio", ">", 0.1]],
+    ],
+}
+
+
+@query(
+    "z61_mixer",
+    "WITH t AS (" + _Z60_SQL_TEXT + """),
+""" + _Z60_SQL_ATTRS + """
+SELECT doc_id, word_count, stop_hits, bullet_line_frac
+FROM a
+WHERE (COALESCE(word_count >= 8 AND stop_hits >= 2, false)
+       OR COALESCE(bullet_line_frac > 0.5, false))
+  AND NOT COALESCE(digit_char_frac > 0.2, false)
+  AND NOT COALESCE(hash_word_ratio > 0.1, false)
+ORDER BY doc_id ASC""",
+    doc="DECLARATIVE CORPUS MIXER (attributes.py::apply_mixer) —"
+    " the tag-then-mix architecture's second half: a JSON rule"
+    " config (include = OR of AND-lists of [attr, op, value]"
+    " triples, exclude likewise, Dolma mixer semantics) evaluated"
+    " over the z60 attribute sidecar, NULL attributes matching"
+    " nothing on either side (whitespace-only docs fall out of"
+    " include, never trip exclude). Kept shapes: prose (include"
+    " AND-list 1), ellipsis prose (same), bullet list (include"
+    " AND-list 2); digit spam + hash spam shapes are excluded."
+    " Plan: one id-equi left join to the sidecar + a literal"
+    " predicate — re-mixing a 100 TB corpus touches text only in"
+    " the final join. Oracle: identical COALESCE'd boolean"
+    " algebra in DuckDB, hash-exact",
+)
+def z61_mixer(spark, sf_dir):
+    from topn_spark.operators.attributes import apply_mixer, tag_attributes
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    planted = docs.select("doc_id", _z60_text().alias("text"))
+    attrs = tag_attributes(planted)
+    return (
+        apply_mixer(planted, attrs, _Z61_CONFIG, keep_attrs=True)
+        .select("doc_id", "word_count", "stop_hits", "bullet_line_frac")
+        .orderBy("doc_id")
+    )
+
+
+#: z62 planted paragraph shapes: boilerplate shared across 3/4 of
+#: docs (first occurrence survives in doc 0), a cookie banner
+#: duplicated across docs AND within one doc, and clean docs.
+_Z62_BOILER = "subscribe to our newsletter for updates"
+_Z62_COOKIE = "this site uses cookies to improve your experience"
+
+
+@query(
+    "z62_scrub_dup_paragraphs",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'doc body ' || doc_id || chr(10) || chr(10)
+        || 'subscribe to our newsletter for updates'
+        || chr(10) || chr(10) || 'more body ' || doc_id
+      WHEN 1 THEN 'subscribe to our newsletter for updates'
+        || chr(10) || chr(10) || 'doc body beta ' || doc_id
+      WHEN 2 THEN 'doc body gamma ' || doc_id || chr(10) || chr(10)
+        || 'this site uses cookies to improve your experience'
+        || chr(10) || chr(10)
+        || 'this site uses cookies to improve your experience'
+      ELSE 'doc body delta ' || doc_id
+    END AS text
+  FROM documents WHERE doc_id < 300),
+p AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, paras[i] AS para
+  FROM (SELECT doc_id,
+          string_split(text, chr(10) || chr(10)) AS paras
+        FROM t) s,
+  UNNEST(range(1, len(paras) + 1)) AS r(i)),
+d AS (
+  SELECT doc_id, pos, para,
+    (trim(para) <> '') AND (ROW_NUMBER() OVER (
+      PARTITION BY md5(para) ORDER BY doc_id ASC, pos ASC) > 1) AS dup
+  FROM p)
+SELECT doc_id,
+  array_to_string(
+    list(CASE WHEN dup THEN '' ELSE para END ORDER BY pos ASC),
+    chr(10) || chr(10)) AS text,
+  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+FROM d GROUP BY doc_id ORDER BY doc_id ASC""",
+    doc="BOILERPLATE-PARAGRAPH SCRUB (attributes.py::"
+    "scrub_dup_paragraphs = dup_paragraph_spans + replace_spans) —"
+    " the FineWeb/Dolma span-level cleanup whole-document dedup"
+    " cannot express: every paragraph occurrence that is not the"
+    " corpus-wide FIRST occurrence of its exact text (first ="
+    " smallest (id, position); blank paragraphs never tagged) is"
+    " spliced out of the text via the sorted span fold, separators"
+    " preserved byte-exactly. Planted shapes: a newsletter banner"
+    " shared by 3/4 of docs (survives only in doc 0), a cookie"
+    " banner duplicated across docs AND twice within one doc, and"
+    " clean docs. Scale: paragraph explode + map-side-combinable"
+    " min(struct(id,pos)) per md5 key (boilerplate skew safe) +"
+    " join back + per-doc bounded span collect; the splice is a"
+    " map-only Catalyst aggregate fold. Oracle: DuckDB rebuilds"
+    " each text by blanking non-first paragraph occurrences and"
+    " re-joining on the separator — value equality proves the"
+    " span offset arithmetic end to end, hash-exact",
+)
+def z62_scrub_dup_paragraphs(spark, sf_dir):
+    from topn_spark.operators.attributes import scrub_dup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    sep = F.lit("\n\n")
+    text = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("doc body "), ds, sep, F.lit(_Z62_BOILER), sep,
+                F.lit("more body "), ds,
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit(_Z62_BOILER), sep, F.lit("doc body beta "), ds),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("doc body gamma "), ds, sep, F.lit(_Z62_COOKIE),
+                sep, F.lit(_Z62_COOKIE),
+            ),
+        )
+        .otherwise(F.concat(F.lit("doc body delta "), ds))
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return scrub_dup_paragraphs(planted).orderBy("doc_id")
