@@ -1946,3 +1946,177 @@ def test_epoch_mixture_and_decontaminate_stages(spark, tmp_path):
         run_pipeline_with_source(spark, bad, "src", df)
     msg = str(ei.value)
     assert "evalPath" in msg and "purge" in msg and "n" in msg
+
+
+def test_tag_attributes_and_mixer_stages(spark, tmp_path):
+    """TagAttributes + Mixer plugins: the spec-driven tag-then-mix
+    loop — tag a corpus into a sidecar parquet, then re-mix from a
+    JSON rule config without recomputing signals."""
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "the data of that value pipeline runs with care"),
+            (2, "call 555 0199 ext 42 room 101 now ok then"),
+            (3, "the story of that goes on and on and on here"),
+        ],
+        "doc_id long, text string",
+    )
+    tag_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "tag", "plugin": "TagAttributes",
+             "properties": {
+                 "taggers": "word_count, stop_hits, digit_char_frac"
+             }},
+        ],
+        "connections": [{"from": "src", "to": "tag"}],
+    }
+    out = run_pipeline_with_source(spark, tag_spec, "src", df)["tag"]
+    assert out.columns == [
+        "doc_id", "word_count", "stop_hits", "digit_char_frac"
+    ]
+    ap = str(tmp_path / "attrs")
+    out.write.parquet(ap)
+
+    cfg = (
+        '{"include": [[["stop_hits", ">=", 2]]],'
+        ' "exclude": [[["digit_char_frac", ">", 0.1]]]}'
+    )
+    mix_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mix", "plugin": "Mixer",
+             "properties": {"config": cfg, "attributesPath": ap}},
+        ],
+        "connections": [{"from": "src", "to": "mix"}],
+    }
+    mixed = run_pipeline_with_source(spark, mix_spec, "src", df)["mix"]
+    assert mixed.columns == df.columns  # filter shape
+    assert sorted(r.doc_id for r in mixed.collect()) == [1, 3]
+
+
+def test_mixer_stage_span_replacement(spark, tmp_path):
+    """Mixer span_replacement through the spec: a span-attribute
+    sidecar (dup_paragraph_spans) drives text splicing."""
+    from topn_spark.operators.attributes import dup_paragraph_spans
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, "u one\n\nBOILER"), (2, "BOILER\n\nu two")],
+        "doc_id long, text string",
+    )
+    ap = str(tmp_path / "spans")
+    dup_paragraph_spans(df).write.parquet(ap)
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mix", "plugin": "Mixer",
+             "properties": {
+                 "config": '{"span_replacement":'
+                           ' [{"span": "dup_paragraph_spans"}]}',
+                 "attributesPath": ap,
+             }},
+        ],
+        "connections": [{"from": "src", "to": "mix"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)["mix"]
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert rows[1] == "u one\n\nBOILER"
+    assert rows[2] == "\n\nu two"
+
+
+def test_tag_attributes_and_mixer_validation(spark, tmp_path):
+    """Collected validation failures: unknown taggers, missing
+    Mixer props, malformed JSON, unknown attribute in rules."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+
+    def spec(plugin, props):
+        return {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "s", "plugin": plugin, "properties": props},
+            ],
+            "connections": [{"from": "src", "to": "s"}],
+        }
+
+    with pytest.raises(ValidationError, match="Unknown tagger"):
+        run_pipeline_with_source(
+            spark, spec("TagAttributes", {"taggers": "word_count,nope"}),
+            "src", df,
+        )
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(spark, spec("Mixer", {}), "src", df)
+    msg = str(ei.value)
+    assert "config" in msg and "attributesPath" in msg
+    ap = str(tmp_path / "attrs")
+    spark.createDataFrame(
+        [(1, 3)], "doc_id long, word_count long"
+    ).write.parquet(ap)
+    with pytest.raises(ValidationError, match="not valid JSON"):
+        run_pipeline_with_source(
+            spark,
+            spec("Mixer", {"config": "{nope", "attributesPath": ap}),
+            "src", df,
+        )
+    with pytest.raises(ValidationError, match="unknown attribute"):
+        run_pipeline_with_source(
+            spark,
+            spec("Mixer", {
+                "config": '{"include": [[["bogus", ">", 1]]]}',
+                "attributesPath": ap,
+            }),
+            "src", df,
+        )
+
+
+def test_tag_attributes_and_mixer_macro_lifecycle(spark, tmp_path):
+    """@Macro lifecycle: macro-deferred taggers/config/attributesPath
+    pass deploy (schema-faithful placeholders) and resolve at run."""
+    from topn_spark.pipelines import compile_pipeline, run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, "the data of that value here"), (2, "9 9 9 9 9 9")],
+        "doc_id long, text string",
+    )
+    ap = str(tmp_path / "attrs")
+    spark.createDataFrame(
+        [(1, 4), (2, 0)], "doc_id long, stop_hits long"
+    ).write.parquet(ap)
+    src_path = str(tmp_path / "src")
+    df.write.parquet(src_path)
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": src_path, "format": "parquet"}},
+            {"name": "tag", "plugin": "TagAttributes",
+             "properties": {"taggers": "${tg}"}},
+            {"name": "mix", "plugin": "Mixer",
+             "properties": {"config": "${cfg}",
+                            "attributesPath": "${ap}"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "tag"},
+            {"from": "src", "to": "mix"},
+        ],
+    }
+    compile_pipeline(spark, spec)  # deploy: macros defer, no failure
+    out = run_pipeline_with_source(
+        spark, spec, "src", df,
+        {"tg": "stop_hits",
+         "cfg": '{"include": [[["stop_hits", ">=", 2]]]}',
+         "ap": ap},
+    )
+    assert out["tag"].columns == ["doc_id", "stop_hits"]
+    assert [r.doc_id for r in out["mix"].collect()] == [1]

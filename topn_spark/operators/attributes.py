@@ -171,6 +171,23 @@ DOC_TAGGERS: dict[str, tuple[tuple[str, ...], object]] = {
 }
 
 
+#: Output Spark type per tagger (exact counts are BIGINT, every
+#: ratio a ROUND(x, 6) DOUBLE) — lets spec compilers build
+#: schema-faithful deploy placeholders without evaluating taggers.
+DOC_TAGGER_TYPES: dict[str, str] = {
+    "char_length": "bigint",
+    "line_count": "bigint",
+    "word_count": "bigint",
+    "mean_word_len": "double",
+    "alpha_word_frac": "double",
+    "digit_char_frac": "double",
+    "hash_word_ratio": "double",
+    "stop_hits": "bigint",
+    "bullet_line_frac": "double",
+    "ellipsis_line_frac": "double",
+}
+
+
 def doc_tagger_names() -> tuple[str, ...]:
     """Registered doc-level tagger names, registry order."""
     return tuple(DOC_TAGGERS)

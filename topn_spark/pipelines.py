@@ -2022,6 +2022,162 @@ def _stage_shard_sink(
     return df
 
 
+def _stage_tag_attributes(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """TagAttributes transform: evaluate the doc-level tagger
+    registry (attributes.py::tag_attributes) in one map-only scan
+    and emit the SIDECAR rows (idField + one column per tagger) —
+    route them to a FileSink beside the corpus, then re-mix with
+    the Mixer stage as often as thresholds change. Properties:
+    taggers (optional CSV of registry names; default = the full
+    registry), idField ('doc_id'), textField ('text'). With a
+    macro-deferred taggers list the deploy-time schema is
+    unknowable, so the stage passes its input through at deploy and
+    resolves at run."""
+    from topn_spark.operators.attributes import (
+        DOC_TAGGER_TYPES,
+        DOC_TAGGERS,
+        tag_attributes,
+    )
+
+    (df,) = inputs
+    p = stage.properties
+    taggers_raw = p.get("taggers")
+    id_col = p.get("idField", "doc_id")
+    text_col = p.get("textField", "text")
+    if phase == "run":
+        taggers_raw = substitute_macros(
+            taggers_raw, substitutions or {}, collector, "taggers"
+        )
+    ok = _require_field(df, id_col, collector, "idField")
+    ok = _require_field(df, text_col, collector, "textField") and ok
+    names = None
+    if taggers_raw and not contains_macro(taggers_raw):
+        names = [t.strip() for t in taggers_raw.split(",") if t.strip()]
+        unknown = [n for n in names if n not in DOC_TAGGERS]
+        if unknown:
+            collector.add_failure(
+                f"Unknown tagger(s) {unknown}.",
+                f"Registered: {list(DOC_TAGGERS)}.",
+                property_name="taggers",
+            )
+            ok = False
+        if not names:
+            collector.add_failure(
+                "taggers must name at least one tagger.",
+                property_name="taggers",
+            )
+            ok = False
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(taggers_raw or ""):
+        return df
+    if phase == "deploy":
+        out = df.select(id_col)
+        for n in names or list(DOC_TAGGERS):
+            out = out.withColumn(
+                n, F.lit(None).cast(DOC_TAGGER_TYPES[n])
+            )
+        return out
+    return tag_attributes(df, names, id_col=id_col, text_col=text_col)
+
+
+def _stage_mixer(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """Mixer transform: produce a corpus mix from declarative rules
+    over a pre-computed attribute sidecar (attributes.py::
+    apply_mixer — Dolma mixer semantics: keep iff some include
+    AND-list matches and no exclude AND-list does, NULL attributes
+    match nothing; then span_replacement splices). Properties:
+    config (required JSON: {"include": [[[attr, op, value], ...],
+    ...], "exclude": [...], "span_replacement": [{"span": ...,
+    "replacement": ...}]}), attributesPath (required — the sidecar
+    parquet written by TagAttributes + FileSink), idField
+    ('doc_id'), textField ('text'). Output keeps the input schema
+    (the filter deployment shape), so the macro-deferred deploy
+    placeholder is the input itself."""
+    import json
+
+    from topn_spark.operators.attributes import apply_mixer, mixer_errors
+
+    (df,) = inputs
+    p = stage.properties
+    config_raw = p.get("config")
+    attrs_path = p.get("attributesPath")
+    id_col = p.get("idField", "doc_id")
+    text_col = p.get("textField", "text")
+    if phase == "run":
+        subs = substitutions or {}
+        config_raw = substitute_macros(
+            config_raw, subs, collector, "config"
+        )
+        attrs_path = substitute_macros(
+            attrs_path, subs, collector, "attributesPath"
+        )
+    ok = _require_field(df, id_col, collector, "idField")
+    for prop, val in (("config", config_raw),
+                      ("attributesPath", attrs_path)):
+        if not val:
+            collector.add_failure(
+                f"Required property '{prop}' is missing.",
+                property_name=prop,
+            )
+            ok = False
+    config = None
+    if config_raw and not contains_macro(config_raw):
+        try:
+            config = json.loads(config_raw)
+        except ValueError:
+            collector.add_failure(
+                f"config is not valid JSON: {config_raw[:80]!r}.",
+                "The mixer rule object.",
+                property_name="config",
+            )
+            ok = False
+        if config is not None and not isinstance(config, dict):
+            collector.add_failure(
+                "config must be a JSON object.",
+                property_name="config",
+            )
+            config, ok = None, False
+    if not ok:
+        return df
+    if phase == "deploy" and (
+        contains_macro(config_raw or "")
+        or contains_macro(attrs_path or "")
+    ):
+        return df
+    attrs = spark.read.parquet(attrs_path)
+    if id_col not in attrs.columns:
+        collector.add_failure(
+            f"Attribute sidecar at '{attrs_path}' has no id field "
+            f"'{id_col}'.",
+            f"Fields: {attrs.columns}.",
+            property_name="attributesPath",
+        )
+        return df
+    errs = mixer_errors(config, attrs.columns)
+    for rule in (config or {}).get("span_replacement", []) or []:
+        if isinstance(rule, dict) and "span" in rule:
+            if not _require_field(df, text_col, collector, "textField"):
+                break
+    if errs:
+        for e in errs:
+            collector.add_failure(
+                f"Invalid mixer config: {e}.", property_name="config"
+            )
+        return df
+    try:
+        return apply_mixer(
+            df, attrs, config, id_col=id_col, text_col=text_col
+        )
+    except ValueError as exc:  # column clash
+        collector.add_failure(str(exc), property_name="config")
+        return df
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2054,6 +2210,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "TokenBudgetMixture": ("transform", _stage_token_budget_mixture),
     "EpochMixture": ("transform", _stage_epoch_mixture),
     "Decontaminate": ("transform", _stage_decontaminate),
+    "TagAttributes": ("transform", _stage_tag_attributes),
+    "Mixer": ("transform", _stage_mixer),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),
