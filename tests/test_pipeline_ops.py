@@ -1326,6 +1326,70 @@ def test_epoch_mixture_repeats_and_truncates(spark):
         epoch_mixture(df, {"web": 1.0}, 50, max_epochs=0)
 
 
+def test_expand_epochs_materializes_and_interleaves(spark):
+    """expand_epochs: one row per (doc, epoch) with epoch in
+    [0, n_epochs); zero/NULL counts dropped; order_key is the
+    md5(id:epoch||salt) interleave — deterministic, salt-sensitive,
+    and distinct per copy."""
+    import hashlib
+
+    from topn_spark.operators.pipeline import expand_epochs
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0), (4, None)],
+        "doc_id long, n_epochs long",
+    )
+    rows = expand_epochs(df).collect()
+    got = sorted((r.doc_id, r.epoch) for r in rows)
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    keys = {(r.doc_id, r.epoch): r.order_key for r in rows}
+    assert keys[(1, 2)] == hashlib.md5(b"1:2").hexdigest()
+    assert len(set(keys.values())) == 4  # every copy distinct
+    salted = {
+        (r.doc_id, r.epoch): r.order_key
+        for r in expand_epochs(df, salt="run7").collect()
+    }
+    assert salted[(1, 2)] == hashlib.md5(b"1:2run7").hexdigest()
+    assert salted[(1, 2)] != keys[(1, 2)]
+
+
+def test_epoch_mixture_stage_expand(spark):
+    """EpochMixture plugin expand='true': the stage emits the
+    trainer stream (epoch + order_key); invalid expand collects."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [(1, "web", 10), (2, "web", 10)],
+        "doc_id long, source string, n_tokens int",
+    )
+
+    def spec(props):
+        return {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "mix", "plugin": "EpochMixture",
+                 "properties": {"weights": "web:1.0",
+                                "totalTokens": "40", **props}},
+            ],
+            "connections": [{"from": "src", "to": "mix"}],
+        }
+
+    out = run_pipeline_with_source(
+        spark, spec({"expand": "true"}), "src", df
+    )["mix"]
+    assert {"epoch", "order_key"} <= set(out.columns)
+    # quota 40 over 20 tokens -> 2 epochs each -> 4 stream rows
+    assert out.count() == 4
+    with pytest.raises(ValidationError, match="expand"):
+        run_pipeline_with_source(
+            spark, spec({"expand": "maybe"}), "src", df
+        )
+
+
 def test_ngram_decontaminate_flags_and_drops(spark):
     """ngram_decontaminate: a 13-word eval span quoted inside a
     training page is one colliding instance; repeated quoting counts

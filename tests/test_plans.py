@@ -312,6 +312,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z60_tag_attributes",
         "z61_mixer",
         "z62_scrub_dup_paragraphs",
+        "z63_expand_epochs",
     ):
         warns = [
             f

@@ -2594,3 +2594,43 @@ def epoch_mixture(
         .where(F.col("n_epochs") > 0)
         .select(*df.columns, "n_epochs")
     )
+
+
+def expand_epochs(
+    df: DataFrame,
+    n_epochs_col: str = "n_epochs",
+    id_col: str = "doc_id",
+    salt: str = "",
+    epoch_col: str = "epoch",
+    order_col: str = "order_key",
+) -> DataFrame:
+    """Materialize :func:`epoch_mixture`'s repeat counts into the
+    stream a trainer actually consumes: one row per (document,
+    epoch) — ``epoch`` in ``[0, n_epochs)`` — plus a deterministic
+    GLOBAL INTERLEAVE key ``order_key = md5(id || ':' || epoch ||
+    salt)``. Reading in ``order_key`` order shuffles the epochs of
+    every repeated document uniformly through the whole stream (the
+    property multi-epoch training needs: copies of one document must
+    not cluster — md5 makes the interleave engine-portable and
+    reproducible, the same discipline as :func:`shard_assignment`,
+    and ``salt`` re-deals the order per training run). Rows with
+    ``n_epochs`` NULL or < 1 are dropped (epoch_mixture emits none).
+
+    Scale shape: one ``explode(sequence(...))`` — map-only, output
+    sized by the total epoch count (what the trainer reads anyway);
+    the interleave is a sort the shard writer performs per shard, or
+    a ``repartitionByRange(order_key)`` at export — never a global
+    driver-side sort here.
+    """
+    n = F.col(n_epochs_col).cast("bigint")
+    out = df.where(n >= 1).withColumn(
+        epoch_col,
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n - 1)),
+    )
+    key = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.col(epoch_col).cast("string"),
+        F.lit(salt),
+    )
+    return out.withColumn(order_col, F.md5(key))

@@ -1404,7 +1404,10 @@ def _stage_epoch_mixture(
     repeat counts, drops zero-epoch rows. Properties: weights
     (required, 'group:weight,...'), totalTokens (required),
     maxEpochs (optional cap), groupField ('source'), idField
-    ('doc_id'), tokenField ('n_tokens')."""
+    ('doc_id'), tokenField ('n_tokens'), expand ('false' — when
+    'true', materialize one row per (document, epoch) with the
+    md5 global-interleave ``order_key`` via
+    pipeline.expand_epochs; salt re-deals the interleave)."""
     (df,) = inputs
     p = stage.properties
     weights_raw = p.get("weights")
@@ -1462,18 +1465,34 @@ def _stage_epoch_mixture(
                 property_name="weights",
             )
             ok = False
+    expand = p.get("expand", "false")
+    if expand not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid expand '{expand}'.",
+            "'true' or 'false'.",
+            property_name="expand",
+        )
+        ok = False
     if total is None or not ok:
         return df
     if phase == "deploy" or weights is None:
-        return df.withColumn(
-            "n_epochs", F.lit(None).cast("bigint")
-        )
-    from topn_spark.operators.pipeline import epoch_mixture
+        out = df.withColumn("n_epochs", F.lit(None).cast("bigint"))
+        if expand == "true":
+            out = out.withColumn(
+                "epoch", F.lit(None).cast("bigint")
+            ).withColumn("order_key", F.lit(None).cast("string"))
+        return out
+    from topn_spark.operators.pipeline import epoch_mixture, expand_epochs
 
-    return epoch_mixture(
+    mixed = epoch_mixture(
         df, weights, total, group_col=group_col, id_col=id_col,
         token_col=token_col, max_epochs=max_epochs,
     )
+    if expand == "true":
+        return expand_epochs(
+            mixed, id_col=id_col, salt=p.get("salt", "")
+        )
+    return mixed
 
 
 def _stage_decontaminate(

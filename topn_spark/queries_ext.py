@@ -10689,3 +10689,77 @@ def z62_scrub_dup_paragraphs(spark, sf_dir):
     )
     planted = docs.select("doc_id", text.alias("text"))
     return scrub_dup_paragraphs(planted).orderBy("doc_id")
+
+
+@query(
+    "z63_expand_epochs",
+    r"""WITH t AS (
+  SELECT doc_id, lang, CAST(doc_id % 7 + 1 AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+s AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS gsum
+  FROM t GROUP BY lang),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum
+  FROM t),
+j AS (
+  SELECT c.doc_id, c.lang, c.n_tokens, c.cum, s.gsum,
+    CAST(CASE c.lang WHEN 'en' THEN 2000 WHEN 'de' THEN 6000
+      ELSE 12000 END AS BIGINT) AS q
+  FROM c JOIN s USING (lang)),
+e AS (
+  SELECT doc_id,
+    LEAST(
+      (CASE WHEN gsum > 0 THEN q // gsum ELSE 0 END)
+      + (CASE WHEN cum < q - (CASE WHEN gsum > 0 THEN q // gsum
+           ELSE 0 END) * gsum THEN 1 ELSE 0 END),
+      5) AS n_epochs
+  FROM j),
+x AS (
+  SELECT doc_id, CAST(u.ep AS BIGINT) AS epoch
+  FROM e, UNNEST(range(n_epochs)) AS u(ep)
+  WHERE n_epochs > 0)
+SELECT doc_id, epoch,
+  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+    AS order_key
+FROM x ORDER BY order_key ASC, doc_id ASC""",
+    doc="EPOCH EXPANSION + GLOBAL INTERLEAVE (pipeline.py::"
+    "expand_epochs) — the link between mixture sampling and the"
+    " trainer: z59's per-document repeat counts materialized into"
+    " one row per (document, epoch) with the deterministic"
+    " interleave key order_key = md5(id || ':' || epoch), so"
+    " reading in key order spreads every repeated document's"
+    " copies uniformly through the stream instead of clustering"
+    " them (the multi-epoch training requirement); md5 keeps the"
+    " order engine-portable and a salt re-deals it per run."
+    " Scale: one explode(sequence) map-only pass sized by the"
+    " total epoch count the trainer reads anyway; the interleave"
+    " is a per-shard sort or repartitionByRange at export, never"
+    " a driver-side sort. Oracle: z59's exact integer arithmetic"
+    " + UNNEST(range) + the same md5 key in DuckDB, hash-exact",
+)
+def z63_expand_epochs(spark, sf_dir):
+    from topn_spark.operators.pipeline import epoch_mixture, expand_epochs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % 7) + 1).cast("bigint").alias("n_tokens"),
+    )
+    mixed = epoch_mixture(
+        docs,
+        {"en": 0.1, "de": 0.3, "zh": 0.6},
+        20000,
+        group_col="lang",
+        max_epochs=5,
+    )
+    return (
+        expand_epochs(mixed)
+        .select("doc_id", "epoch", "order_key")
+        .orderBy("order_key", "doc_id")
+    )
