@@ -176,3 +176,83 @@ def test_multilingual_gate_pipeline_spec(spark, tmp_path):
     assert sorted(got) == [1, 3]
     assert got[1][0] == "en" and got[3][0] == "de"
     assert got[1][1] >= 2 and got[3][1] >= 2
+
+
+def test_tag_then_mix_pipeline_specs(spark, tmp_path):
+    """examples/tag_corpus_pipeline.json + mix_release_pipeline.json
+    run end-to-end through the real registered plugins: one tagging
+    pass writes the attribute sidecar, then TWO different releases
+    are mixed from rule strings alone — no signal recomputation —
+    with the PII release gate masking on the way out."""
+    import json
+
+    from topn_spark.pipelines import run_pipeline
+
+    src_path = str(tmp_path / "tm_src")
+    spark.createDataFrame(
+        [
+            (1, "the data of that value pipeline runs with care"
+                " and detail contact me at bob@example.com"),
+            (2, "# # tags of # doom with # spam and the rest"),
+            (3, "call 555 0199 ext 42 room 101 now ok then fine"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src_path)
+
+    attrs_path = str(tmp_path / "tm_attrs")
+    tag_spec = json.load(open("examples/tag_corpus_pipeline.json"))
+    run_pipeline(
+        spark,
+        tag_spec,
+        substitutions={
+            "input": src_path,
+            "taggers": "word_count,stop_hits,digit_char_frac,"
+                       "hash_word_ratio",
+            "attrsOut": attrs_path,
+        },
+    )
+    sidecar = spark.read.parquet(attrs_path)
+    assert set(sidecar.columns) == {
+        "doc_id", "word_count", "stop_hits", "digit_char_frac",
+        "hash_word_ratio",
+    }
+
+    mix_spec = json.load(open("examples/mix_release_pipeline.json"))
+    out1 = str(tmp_path / "tm_rel1")
+    run_pipeline(
+        spark,
+        mix_spec,
+        substitutions={
+            "input": src_path,
+            "attrs": attrs_path,
+            "rules": json.dumps({
+                "include": [[["stop_hits", ">=", 2]]],
+                "exclude": [[["hash_word_ratio", ">", 0.1]]],
+            }),
+            "out": out1,
+        },
+    )
+    rel1 = {r.doc_id: r.text for r in spark.read.parquet(out1).collect()}
+    # doc 2 excluded by hash spam, doc 3 fails the stopword include;
+    # doc 1 survives with its email masked by the release gate
+    assert sorted(rel1) == [1]
+    assert "bob@example.com" not in rel1[1]
+    assert "EMAIL" in rel1[1]
+
+    # a second release from the SAME sidecar, looser rules
+    out2 = str(tmp_path / "tm_rel2")
+    run_pipeline(
+        spark,
+        mix_spec,
+        substitutions={
+            "input": src_path,
+            "attrs": attrs_path,
+            "rules": json.dumps({
+                "exclude": [[["digit_char_frac", ">", 0.5]]],
+            }),
+            "out": out2,
+        },
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out2).collect()
+    ) == [1, 2, 3]
