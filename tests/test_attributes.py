@@ -261,3 +261,50 @@ def test_mixer_span_replacement_rule(spark):
     }
     assert rows[0] == "u zero\n\nBOILER"
     assert rows[1] == "\n\nu one"
+
+
+def test_tag_attributes_incremental(spark):
+    df1 = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    sidecar = tag_attributes(df1, ["word_count", "stop_hits"])
+    df2 = _docs(spark, [(1, "a b c"), (2, "d e f"), (3, "the end of it")])
+    from topn_spark.operators.attributes import tag_attributes_incremental
+
+    new = tag_attributes_incremental(
+        df2, sidecar, ["word_count", "stop_hits"]
+    )
+    rows = new.collect()
+    assert [r.doc_id for r in rows] == [3]
+    assert rows[0].word_count == 4 and rows[0].stop_hits == 2
+    # appended union == from-scratch tagging
+    full = sidecar.unionByName(new)
+    scratch = tag_attributes(df2, ["word_count", "stop_hits"])
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    with pytest.raises(ValueError, match="signal version"):
+        tag_attributes_incremental(df2, sidecar, ["word_count"])
+
+
+def test_mixer_report_counts(spark):
+    docs = _docs(spark, [(i, f"t{i}") for i in range(1, 6)])
+    attrs = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.9, 1), (3, 0.1, 200), (4, None, 10)],
+        "doc_id bigint, score double, n bigint",
+    )
+    cfg = {
+        "include": [[["score", ">=", 0.5]], [["n", ">=", 10]]],
+        "exclude": [[["n", ">", 100]]],
+    }
+    from topn_spark.operators.attributes import mixer_report
+
+    rep = {r.rule: r.n_docs for r in mixer_report(docs, attrs, cfg).collect()}
+    assert rep == {
+        "include[0]": 2,  # docs 1, 2
+        "include[1]": 3,  # docs 1, 3, 4
+        "exclude[0]": 1,  # doc 3
+        "kept": 3,        # 1, 2, 4 (3 excluded, 5 unjoined)
+        "total": 5,
+    }
+    assert rep["kept"] == apply_mixer(docs, attrs, cfg).count()
+    with pytest.raises(ValueError, match="invalid mixer config"):
+        mixer_report(docs, attrs, {"include": [[["bogus", ">", 1]]]})

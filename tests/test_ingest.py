@@ -710,3 +710,61 @@ def test_routed_corpus_sink_per_language_gates(spark, tmp_path):
             {"en": {"max_ppl": 5.0}},
             langid_path=lang_model,
         )
+
+
+def test_decontam_gate_streaming(spark, tmp_path):
+    """decontam_corpus_sink: ingest-time benchmark decontamination —
+    quoting docs dead-letter with gram counts, clean docs admit, and
+    a restarted stream keeps gating new batches against the same
+    persisted gram set."""
+    from topn_spark.streaming.ingest import decontam_corpus_sink
+
+    quote = (
+        "the quick brown fox jumps over the lazy dog near the"
+        " river bank"
+    )
+    ev_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, quote + " today indeed")], "qid long, text string"
+    ).write.parquet(ev_path)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rej = str(tmp_path / "rej")
+    ck = str(tmp_path / "ck")
+    _write_docs(
+        spark,
+        src,
+        [
+            (1, "intro " + quote + " outro with words"),
+            (2, "a perfectly clean document about nothing much"),
+        ],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    decontam_corpus_sink(
+        stream, ev_path, out, rej, ck
+    ).awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+    rejected = spark.read.parquet(rej).collect()
+    assert [(r.doc_id, r.reason) for r in rejected] == [
+        (1, "contaminated")
+    ]
+    assert rejected[0].n_contam_grams >= 1
+
+    # restart: a new batch gates against the same benchmark
+    _write_docs(
+        spark,
+        src,
+        [(3, "more clean text that matches no benchmark gram"),
+         (4, "again " + quote + " quoted verbatim here")],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    decontam_corpus_sink(
+        stream, ev_path, out, rej, ck
+    ).awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [2, 3]
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(rej).collect()
+    ) == [1, 4]

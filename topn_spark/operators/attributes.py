@@ -65,11 +65,13 @@ __all__ = [
     "DOC_TAGGERS",
     "doc_tagger_names",
     "tag_attributes",
+    "tag_attributes_incremental",
     "dup_paragraph_spans",
     "replace_spans",
     "scrub_dup_paragraphs",
     "mixer_errors",
     "apply_mixer",
+    "mixer_report",
     "MIXER_OPS",
 ]
 
@@ -237,6 +239,37 @@ def tag_attributes(
         DOC_TAGGERS[n][1](bound).alias(n) for n in names
     ]
     return b.select(*cols)
+
+
+def tag_attributes_incremental(
+    df: DataFrame,
+    existing: DataFrame,
+    taggers: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tag ONLY the documents missing from an existing sidecar and
+    return the rows to APPEND — how a growing corpus keeps its
+    attributes current without re-tagging history (Dolma re-tags new
+    shards only; signals are deterministic, so old rows never go
+    stale). The tagger set must match the existing sidecar's columns
+    exactly — a drifted registry would silently fork signal versions,
+    so it fails loudly instead; re-tag from scratch to change it.
+
+    Shape: one id-equi LEFT ANTI join against the sidecar's id column
+    (column pruning reads nothing else), then the usual one-scan
+    tagging over the new rows only.
+    """
+    names = list(DOC_TAGGERS) if taggers is None else list(taggers)
+    expected = {id_col, *names}
+    if set(existing.columns) != expected:
+        raise ValueError(
+            f"existing sidecar columns {sorted(existing.columns)} do "
+            f"not match the requested tagger set {sorted(expected)}; "
+            "re-tag from scratch to change the signal version"
+        )
+    new = df.join(existing.select(id_col), id_col, "left_anti")
+    return tag_attributes(new, names, id_col=id_col, text_col=text_col)
 
 
 # --------------------------------------------------------------------------
@@ -570,3 +603,60 @@ def apply_mixer(
     if keep_attrs:
         return j
     return j.select(*docs.columns)
+
+
+def mixer_report(
+    docs: DataFrame,
+    attrs: DataFrame,
+    config: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-rule accounting for a mixer config — the release data
+    card's "why did documents drop" table (Dolma's mixer emits the
+    same statistics): one row per rule with how many documents its
+    AND-list matched, plus ``total`` and ``kept`` summary rows.
+    ``(rule, n_docs)`` with rules named ``include[i]`` /
+    ``exclude[i]`` in config order, NULL-safe exactly like
+    :func:`apply_mixer` (a NULL attribute matches nothing), so
+    ``kept`` here equals ``apply_mixer(...).count()``.
+
+    One scan: every rule becomes a 0/1 projection over the id-equi
+    joined frame, summed in a single hash agg to one model-sized
+    row, then unpivoted to the report rows — no per-rule job, no
+    data-sized anything.
+    """
+    errs = mixer_errors(config, attrs.columns)
+    if id_col not in docs.columns or id_col not in attrs.columns:
+        errs.append(f"id column '{id_col}' must exist in docs and attrs")
+    if errs:
+        raise ValueError("invalid mixer config: " + "; ".join(errs))
+    j = docs.join(attrs, id_col, "left")
+    flags: list[tuple[str, Column]] = []
+    for section in ("include", "exclude"):
+        for i, clause in enumerate(config.get(section, []) or []):
+            flags.append(
+                (f"{section}[{i}]", _clauses_col([clause]))
+            )
+    inc = _clauses_col(config.get("include", []))
+    exc = _clauses_col(config.get("exclude", []))
+    keep = F.lit(True) if inc is None else inc
+    if exc is not None:
+        keep = keep & ~exc
+    flags.append(("kept", keep))
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum(c.cast("int")).cast("bigint").alias(f"_f{i}")
+        for i, (_, c) in enumerate(flags)
+    ]
+    row = j.agg(*aggs)
+    return (
+        row.select(
+            F.expr(
+                f"stack({len(flags) + 1}, "
+                + ", ".join(
+                    f"'{n}', _f{i}" for i, (n, _) in enumerate(flags)
+                )
+                + ", 'total', total) as (rule, n_docs)"
+            )
+        )
+        .orderBy("rule")
+    )

@@ -681,9 +681,34 @@ def neardup_keep_best(
     )
 
 
+def eval_gram_digests(
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    mode: str = "ascii",
+) -> DataFrame:
+    """Reduce an eval benchmark to its DISTINCT md5'd word-``n``-gram
+    set — the benchmark-sized ``(gram_hash)`` frame
+    :func:`ngram_decontaminate` joins against. Compute (and persist)
+    it ONCE when the same benchmark gates many corpora or every
+    micro-batch of a stream (see
+    ``streaming.ingest.decontam_corpus_sink``): the gram build is the
+    only eval-side work, and it never changes between batches."""
+    from topn_spark.operators.textstats import ngrams_from_tokens, tokens
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return (
+        eval_df.select(tokens(text_col, mode).alias("_toks"))
+        .select(F.explode(ngrams_from_tokens("_toks", n)).alias("_g"))
+        .select(F.md5("_g").alias("gram_hash"))
+        .distinct()
+    )
+
+
 def ngram_decontaminate(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -692,6 +717,7 @@ def ngram_decontaminate(
     min_hits: int = 1,
     action: str = "flag",
     broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by ``n``-gram collision — the
     published pretraining-hygiene recipe (GPT-3, Brown et al. 2020
@@ -722,7 +748,12 @@ def ngram_decontaminate(
     corpus-sized "eval" side pass ``broadcast_eval=False`` and the
     collision check becomes an ordinary shuffled equi-join on
     16-byte keys. No token array survives the explode — grams hash
-    to md5 before the join."""
+    to md5 before the join.
+
+    ``eval_grams`` short-circuits the eval-side gram build with a
+    precomputed :func:`eval_gram_digests` frame (column
+    ``gram_hash``) — pass it when one benchmark gates many corpora
+    or a stream, so the gram set is built (and persisted) once."""
     from topn_spark.operators.textstats import (
         ngrams_from_tokens,
         tokens,
@@ -734,13 +765,15 @@ def ngram_decontaminate(
         raise ValueError(f"unknown action {action!r} (flag|drop)")
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
-    ev_text = eval_text_col or text_col
-    ev_grams = (
-        eval_df.select(tokens(ev_text, mode).alias("_toks"))
-        .select(F.explode(ngrams_from_tokens("_toks", n)).alias("_g"))
-        .select(F.md5("_g").alias("_gh"))
-        .distinct()
-    )
+    if eval_grams is not None:
+        ev_grams = eval_grams.select(F.col("gram_hash").alias("_gh"))
+    elif eval_df is None:
+        raise ValueError("need eval_df or eval_grams")
+    else:
+        ev_text = eval_text_col or text_col
+        ev_grams = eval_gram_digests(
+            eval_df, n, text_col=ev_text, mode=mode
+        ).select(F.col("gram_hash").alias("_gh"))
     if broadcast_eval:
         ev_grams = F.broadcast(ev_grams)
     hits = (

@@ -10763,3 +10763,54 @@ def z63_expand_epochs(spark, sf_dir):
         .select("doc_id", "epoch", "order_key")
         .orderBy("order_key", "doc_id")
     )
+
+
+@query(
+    "z64_mixer_report",
+    "WITH t AS (" + _Z60_SQL_TEXT + """),
+""" + _Z60_SQL_ATTRS + """
+SELECT rule, n_docs FROM (
+  SELECT 'include[0]' AS rule, CAST(SUM(CASE WHEN
+      COALESCE(word_count >= 8 AND stop_hits >= 2, false)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM a
+  UNION ALL
+  SELECT 'include[1]', CAST(SUM(CASE WHEN
+      COALESCE(bullet_line_frac > 0.5, false)
+    THEN 1 ELSE 0 END) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'exclude[0]', CAST(SUM(CASE WHEN
+      COALESCE(digit_char_frac > 0.2, false)
+    THEN 1 ELSE 0 END) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'exclude[1]', CAST(SUM(CASE WHEN
+      COALESCE(hash_word_ratio > 0.1, false)
+    THEN 1 ELSE 0 END) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'kept', CAST(SUM(CASE WHEN
+      (COALESCE(word_count >= 8 AND stop_hits >= 2, false)
+       OR COALESCE(bullet_line_frac > 0.5, false))
+      AND NOT COALESCE(digit_char_frac > 0.2, false)
+      AND NOT COALESCE(hash_word_ratio > 0.1, false)
+    THEN 1 ELSE 0 END) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'total', CAST(COUNT(*) AS BIGINT) FROM a
+) r ORDER BY rule ASC""",
+    doc="MIXER RULE ACCOUNTING (attributes.py::mixer_report) — the"
+    " release data card's 'why documents dropped' table (Dolma's"
+    " mixer emits the same statistics): one row per rule with its"
+    " AND-list match count over the z60 sidecar, plus kept/total"
+    " summary rows; NULL-safe exactly like apply_mixer, so 'kept'"
+    " equals the z61 release row count. One scan: every rule a 0/1"
+    " projection summed in a single hash agg to one model-sized"
+    " row, unpivoted via stack — no per-rule job. Oracle: the same"
+    " COALESCE'd CASE sums as a UNION ALL in DuckDB, hash-exact",
+)
+def z64_mixer_report(spark, sf_dir):
+    from topn_spark.operators.attributes import mixer_report, tag_attributes
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    planted = docs.select("doc_id", _z60_text().alias("text"))
+    attrs = tag_attributes(planted)
+    return mixer_report(planted, attrs, _Z61_CONFIG)

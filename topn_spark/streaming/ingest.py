@@ -881,3 +881,113 @@ def gate_report(spark, out_dir: str, reject_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "status string, reason string, n long"
     ).orderBy("status", "reason")
+
+
+def decontam_gate_batch(
+    batch: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    eval_grams: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    mode: str = "ascii",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> None:
+    """Benchmark-decontamination gate for one micro-batch: admit
+    documents sharing fewer than ``min_hits`` word-``n``-gram
+    instances with the eval benchmark (the GPT-3 Appendix C recipe,
+    applied at INGEST time — new crawl data is checked against the
+    eval suite before it ever lands in the corpus, instead of one
+    giant decontamination pass before each training run). Admissions
+    keep the input schema in ``out_dir``; every rejection dead-letters
+    to ``reject_dir`` as ``(id, reason='contaminated',
+    n_contam_grams)`` so benchmark collisions are observable.
+
+    ``eval_grams`` is the precomputed
+    :func:`~topn_spark.operators.dedup.eval_gram_digests` frame —
+    loaded and persisted ONCE by :func:`decontam_corpus_sink`
+    (benchmark-sized, broadcast into the per-batch join), never
+    rebuilt per batch.
+
+    Same idempotence contract as :func:`quality_gate_batch`: with a
+    ``batch_id``, each side overwrites its own ``batch_id=<N>``
+    partition directory, so checkpointed replays rewrite in place
+    (exactly-once output from at-least-once replays); without one,
+    flat appends and the caller owns replay semantics.
+    """
+    from topn_spark.operators.dedup import ngram_decontaminate
+
+    flagged = ngram_decontaminate(
+        batch, None, n=n, text_col=text_col, id_col=id_col,
+        min_hits=min_hits, mode=mode, eval_grams=eval_grams,
+    ).persist()
+    if batch_id is None:
+        out_target, rej_target, write_mode = out_dir, reject_dir, "append"
+    else:
+        out_target = f"{out_dir}/batch_id={int(batch_id)}"
+        rej_target = f"{reject_dir}/batch_id={int(batch_id)}"
+        write_mode = "overwrite"
+    try:
+        flagged.where(~F.col("contaminated")).select(
+            *batch.columns
+        ).write.mode(write_mode).parquet(out_target)
+        flagged.where(F.col("contaminated")).select(
+            F.col(id_col),
+            F.lit("contaminated").alias("reason"),
+            F.col("n_contam_grams"),
+        ).write.mode(write_mode).parquet(rej_target)
+    finally:
+        flagged.unpersist()
+
+
+def decontam_corpus_sink(
+    stream: DataFrame,
+    eval_path: str,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    n: int = 13,
+    min_hits: int = 1,
+    mode: str = "ascii",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+):
+    """Wire a document stream into :func:`decontam_gate_batch` via
+    ``foreachBatch`` (availableNow-compatible) — the ingest-time
+    twin of the batch ``Decontaminate`` pipeline stage: the eval
+    benchmark at ``eval_path`` (parquet) reduces ONCE here to its
+    distinct md5'd gram set (benchmark-sized, persisted), and every
+    micro-batch pays only its own gram explode + broadcast join.
+    The stream's epoch id becomes the gate's ``batch_id``
+    (per-batch overwrite partitions — idempotent under checkpointed
+    replay). Returns the started ``StreamingQuery``."""
+    from topn_spark.operators.dedup import eval_gram_digests
+
+    eval_df = stream.sparkSession.read.parquet(eval_path)
+    ev_grams = eval_gram_digests(
+        eval_df, n, text_col=eval_text_col or text_col, mode=mode
+    ).persist()
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        decontam_gate_batch(
+            batch,
+            out_dir,
+            reject_dir,
+            ev_grams,
+            n=n,
+            min_hits=min_hits,
+            mode=mode,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
