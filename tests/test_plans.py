@@ -313,6 +313,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z61_mixer",
         "z62_scrub_dup_paragraphs",
         "z63_expand_epochs",
+        "z64_mixer_report",
     ):
         warns = [
             f
