@@ -221,3 +221,51 @@ def test_neardup_keep_best(spark):
     }
     # component {1,2,3}: 2 and 3 tie at 9 -> lowest id 2 survives
     assert out == {2: 1, 4: 4, 9: 9}
+
+
+def test_contamination_report_per_benchmark(spark):
+    """contamination_report: a gram shared by two benchmarks counts
+    against EACH; clean benchmarks report zeros; min_hits
+    thresholds; bad params fail loudly."""
+    import pytest
+
+    from topn_spark.operators.dedup import contamination_report
+
+    shared = "alpha beta gamma delta epsilon"
+    bench = spark.createDataFrame(
+        [
+            ("t1", shared + " one two"),
+            ("t2", shared + " six seven"),
+            ("t3", "nothing here overlaps with anything at all"),
+        ],
+        "benchmark string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro " + shared + " outro"),   # hits t1 AND t2
+            (2, "totally clean words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.benchmark: (
+            r.n_eval_grams, r.n_contaminated_docs, r.n_contam_instances
+        )
+        for r in contamination_report(train, bench, n=5).collect()
+    }
+    # each benchmark has 3 distinct 5-grams; the shared 5-gram is
+    # gram #1 of both t1 and t2, quoted once by doc 1
+    assert rep["t1"] == (3, 1, 1)
+    assert rep["t2"] == (3, 1, 1)
+    assert rep["t3"] == (3, 0, 0)
+    high = {
+        r.benchmark: r.n_contaminated_docs
+        for r in contamination_report(
+            train, bench, n=5, min_hits=2
+        ).collect()
+    }
+    assert high == {"t1": 0, "t2": 0, "t3": 0}
+    with pytest.raises(ValueError, match="n must be"):
+        contamination_report(train, bench, n=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        contamination_report(train, bench, min_hits=0)

@@ -768,3 +768,42 @@ def test_decontam_gate_streaming(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(rej).collect()
     ) == [1, 4]
+
+
+def test_attributes_sink_streams_sidecar(spark, tmp_path):
+    """attributes_sink: the sidecar accumulates across restarted
+    streams, equals from-scratch tagging, and feeds apply_mixer."""
+    from topn_spark.operators.attributes import apply_mixer, tag_attributes
+    from topn_spark.streaming.ingest import attributes_sink
+
+    src = str(tmp_path / "src")
+    attrs = str(tmp_path / "attrs")
+    ck = str(tmp_path / "ck")
+    _write_docs(
+        spark,
+        src,
+        [(1, "the data of that value runs here"), (2, "9 9 9 9")],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    attributes_sink(
+        stream, attrs, ck, taggers=["word_count", "stop_hits"]
+    ).awaitTermination(120)
+
+    _write_docs(spark, src, [(3, "the end of the story here now")])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    attributes_sink(
+        stream, attrs, ck, taggers=["word_count", "stop_hits"]
+    ).awaitTermination(120)
+
+    sidecar = spark.read.parquet(attrs)
+    docs = spark.read.parquet(src)
+    scratch = tag_attributes(docs, ["word_count", "stop_hits"])
+    assert sorted(
+        map(tuple, sidecar.select("doc_id", "word_count", "stop_hits").collect())
+    ) == sorted(map(tuple, scratch.collect()))
+    kept = apply_mixer(
+        docs,
+        sidecar.drop("batch_id"),
+        {"include": [[["stop_hits", ">=", 2]]]},
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]

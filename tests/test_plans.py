@@ -314,6 +314,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z62_scrub_dup_paragraphs",
         "z63_expand_epochs",
         "z64_mixer_report",
+        "z65_contamination_report",
     ):
         warns = [
             f

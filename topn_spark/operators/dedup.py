@@ -806,3 +806,95 @@ def ngram_decontaminate(
     if action == "drop":
         return out.where(~F.col("contaminated")).select(*train.columns)
     return out
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "benchmark",
+    eval_text_col: str | None = None,
+    mode: str = "ascii",
+    min_hits: int = 1,
+) -> DataFrame:
+    """PER-BENCHMARK decontamination accounting — the form dataset
+    reports actually publish (GPT-3 Appendix C reports leakage per
+    eval TASK, not one pooled number; an eval suite is many
+    benchmarks and a doc clean for one may quote another): for every
+    distinct value of ``bench_col`` in ``benchmarks``, the number of
+    training documents with ``>= min_hits`` colliding word-``n``-gram
+    instances against THAT benchmark, plus instance totals —
+    ``(benchmark, n_eval_grams, n_contaminated_docs,
+    n_contam_instances)``.
+
+    A gram shared by several benchmarks counts against each (the
+    per-task report must not depend on which task "claimed" the gram
+    first), which is why this is not a GROUP BY over
+    :func:`ngram_decontaminate` output — the pooled gate collapses
+    the gram set across tasks.
+
+    Scale shape: the eval side reduces to its distinct
+    ``(benchmark, gram_hash)`` pairs (suite-sized, broadcast); train
+    explodes to per-doc gram instances ONCE, hashes, joins, then one
+    ``(doc, benchmark)`` count agg feeds one benchmark-level agg —
+    the z58 shape with a benchmark key riding through the join.
+    """
+    from topn_spark.operators.textstats import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    ev_text = eval_text_col or text_col
+    ev = (
+        benchmarks.select(
+            F.col(bench_col).alias("_b"),
+            tokens(ev_text, mode).alias("_toks"),
+        )
+        .select(
+            "_b", F.explode(ngrams_from_tokens("_toks", n)).alias("_g")
+        )
+        .select("_b", F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    gram_counts = ev.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_grams")
+    )
+    doc_hits = (
+        train.select(
+            F.col(id_col).alias("_cid"),
+            tokens(text_col, mode).alias("_toks"),
+        )
+        .select(
+            "_cid",
+            F.explode(ngrams_from_tokens("_toks", n)).alias("_g"),
+        )
+        .select("_cid", F.md5("_g").alias("_gh"))
+        .join(F.broadcast(ev), "_gh")
+        .groupBy("_cid", "_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_inst"))
+        .where(F.col("_inst") >= int(min_hits))
+    )
+    per_bench = doc_hits.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated_docs"),
+        F.sum("_inst").cast("bigint").alias("n_contam_instances"),
+    )
+    return (
+        gram_counts.join(per_bench, "_b", "left")
+        .select(
+            F.col("_b").alias(bench_col),
+            "n_eval_grams",
+            F.coalesce(
+                F.col("n_contaminated_docs"), F.lit(0).cast("bigint")
+            ).alias("n_contaminated_docs"),
+            F.coalesce(
+                F.col("n_contam_instances"), F.lit(0).cast("bigint")
+            ).alias("n_contam_instances"),
+        )
+        .orderBy(bench_col)
+    )

@@ -10814,3 +10814,99 @@ def z64_mixer_report(spark, sf_dir):
     planted = docs.select("doc_id", _z60_text().alias("text"))
     attrs = tag_attributes(planted)
     return mixer_report(planted, attrs, _Z61_CONFIG)
+
+
+@query(
+    "z65_contamination_report",
+    r"""WITH ev AS (
+  SELECT CASE doc_id % 2 WHEN 0 THEN 'task_fox' ELSE 'task_hamlet' END
+      AS benchmark,
+    CASE doc_id % 2 WHEN 0
+      THEN 'the quick brown fox jumps over the lazy dog near the river bank today'
+      ELSE 'to be or not to be that is the question whether tis nobler in the mind'
+    END AS text
+  FROM documents WHERE doc_id < 30),
+eg AS (
+  SELECT DISTINCT benchmark, u.g FROM (
+    SELECT benchmark,
+      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM ev) s,
+  UNNEST(CASE WHEN len(toks) >= 13
+    THEN list_transform(range(1, len(toks) - 11),
+      i -> array_to_string(toks[i:i+12], ' '))
+    ELSE [] END) AS u(g)),
+gc AS (
+  SELECT benchmark, CAST(COUNT(*) AS BIGINT) AS n_eval_grams
+  FROM eg GROUP BY benchmark),
+t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'a web page quoting the quick brown fox jumps over the lazy dog near the river bank for flavor'
+      WHEN 1 THEN 'a perfectly clean document about nothing in particular with plenty of ordinary words to say here'
+      WHEN 2 THEN 'an essay citing to be or not to be that is the question whether tis nobler in the mind at length'
+      ELSE 'too short to match'
+    END || ' nr ' || doc_id AS text
+  FROM documents WHERE doc_id < 400),
+tg AS (
+  SELECT doc_id, u.g FROM (
+    SELECT doc_id,
+      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM t) s,
+  UNNEST(CASE WHEN len(toks) >= 13
+    THEN list_transform(range(1, len(toks) - 11),
+      i -> array_to_string(toks[i:i+12], ' '))
+    ELSE [] END) AS u(g)),
+h AS (
+  SELECT doc_id, benchmark, CAST(COUNT(*) AS BIGINT) AS inst
+  FROM tg JOIN eg USING (g) GROUP BY doc_id, benchmark
+  HAVING COUNT(*) >= 1),
+pb AS (
+  SELECT benchmark,
+    CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs,
+    CAST(SUM(inst) AS BIGINT) AS n_contam_instances
+  FROM h GROUP BY benchmark)
+SELECT gc.benchmark, gc.n_eval_grams,
+  COALESCE(pb.n_contaminated_docs, 0) AS n_contaminated_docs,
+  COALESCE(pb.n_contam_instances, 0) AS n_contam_instances
+FROM gc LEFT JOIN pb USING (benchmark)
+ORDER BY benchmark ASC""",
+    doc="PER-BENCHMARK CONTAMINATION REPORT (dedup.py::"
+    "contamination_report) — the form dataset reports publish"
+    " (GPT-3 Appendix C reports leakage per eval TASK): for each"
+    " benchmark in the suite, its distinct gram count, how many"
+    " training docs collide with >= min_hits gram instances, and"
+    " the instance totals. NOT a GROUP BY over the pooled z58 gate"
+    " — a gram shared by several tasks must count against each."
+    " Planted: the fox passage (quoted 13 words by 1/4 of docs,"
+    " one instance each) and the hamlet passage (quoted wholesale"
+    " by another 1/4, four instances each); clean + too-short"
+    " shapes hit nothing. Scale: suite-sized distinct (benchmark,"
+    " gram) pairs broadcast; ONE train gram explode feeds one"
+    " (doc,benchmark) agg then one benchmark agg. Oracle:"
+    " identical tokenize/gram/join/agg arithmetic in DuckDB,"
+    " hash-exact",
+)
+def z65_contamination_report(spark, sf_dir):
+    from topn_spark.operators.dedup import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ev = docs.where(d < 30).select(
+        F.when(d % 2 == 0, F.lit("task_fox"))
+        .otherwise(F.lit("task_hamlet"))
+        .alias("benchmark"),
+        F.when(d % 2 == 0, F.lit(_Z58_EVAL[0]))
+        .otherwise(F.lit(_Z58_EVAL[1]))
+        .alias("text"),
+    )
+    text = (
+        F.when(d % 4 == 0, F.lit(_Z58_TRAIN[0]))
+        .when(d % 4 == 1, F.lit(_Z58_TRAIN[1]))
+        .when(d % 4 == 2, F.lit(_Z58_TRAIN[2]))
+        .otherwise(F.lit(_Z58_TRAIN[3]))
+    )
+    train = docs.where(d < 400).select(
+        "doc_id",
+        F.concat(text, F.lit(" nr "), d.cast("string")).alias("text"),
+    )
+    return contamination_report(train, ev, n=13)

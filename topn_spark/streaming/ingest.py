@@ -991,3 +991,44 @@ def decontam_corpus_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attributes_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    taggers: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Tag each micro-batch with the doc-level tagger registry and
+    grow the attribute SIDECAR as the corpus streams in — the
+    streaming twin of the ``TagAttributes`` pipeline stage and the
+    incremental complement of
+    ``operators.attributes.tag_attributes_incremental``: signals are
+    deterministic per document, so tagging at ingest means no
+    re-tagging pass ever runs over history, and every future mix
+    (``apply_mixer`` / the ``Mixer`` stage) reads the accumulated
+    sidecar as ONE partitioned dataset.
+
+    Each batch writes ``mode("overwrite")`` into its own
+    ``batch_id=<N>`` partition directory — the same exactly-once
+    replay contract as the quality gates (a checkpointed replay
+    rewrites its batch in place). Tagging is map-only, so the sink
+    adds no shuffle to the ingest path. Returns the started
+    ``StreamingQuery``."""
+    from topn_spark.operators.attributes import tag_attributes
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        tag_attributes(
+            batch, taggers, id_col=id_col, text_col=text_col
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
