@@ -315,6 +315,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z63_expand_epochs",
         "z64_mixer_report",
         "z65_contamination_report",
+        "z66_sft_chat_prep",
     ):
         warns = [
             f

@@ -1,0 +1,98 @@
+"""SFT conversation prep (operators/sft.py): chat-template rendering
+shapes and the structural QC rule set with first-failure reasons."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from topn_spark.operators.sft import (
+    CHAT_TEMPLATES,
+    conversation_qc,
+    render_chat,
+)
+
+_SCHEMA = (
+    "conv_id bigint, messages array<struct<role:string,content:string>>"
+)
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_render_chatml_and_plain(spark):
+    df = _conv(
+        spark,
+        [(1, [("system", "be helpful"), ("user", "hi"),
+              ("assistant", "hello")])],
+    )
+    chatml = render_chat(df).collect()[0].text
+    assert chatml == (
+        "<|im_start|>system\nbe helpful<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>"
+    )
+    plain = render_chat(df, template="plain").collect()[0].text
+    assert plain == "system: be helpful\nuser: hi\nassistant: hello"
+    assert set(CHAT_TEMPLATES) == {"chatml", "plain"}
+    with pytest.raises(ValueError, match="unknown template"):
+        render_chat(df, template="llama")
+
+
+def test_render_edges_and_out_col(spark):
+    df = _conv(spark, [(1, []), (2, None)])
+    rows = {r.conv_id: r.text for r in render_chat(df).collect()}
+    assert rows[1] == "" and rows[2] is None
+    # overwrite an existing column in place
+    df2 = _conv(
+        spark, [(1, [("user", "hi"), ("assistant", "yo")])]
+    ).withColumn("text", F.lit("old"))
+    out = render_chat(df2).collect()[0]
+    assert out.text.startswith("<|im_start|>user")
+    assert out.conv_id == 1
+
+
+@pytest.mark.parametrize(
+    "messages,reason",
+    [
+        ([("system", "s"), ("user", "q"), ("assistant", "a")], None),
+        ([("user", "q"), ("assistant", "a"), ("user", "q2"),
+          ("assistant", "a2")], None),
+        ([], "no_messages"),
+        (None, "no_messages"),
+        ([("user", "q"), ("tool", "t"), ("assistant", "a")], "bad_role"),
+        ([("user", "q"), ("assistant", "   ")], "empty_content"),
+        ([("user", "q"), ("system", "late"), ("assistant", "a")],
+         "misplaced_system"),
+        ([("user", "q"), ("user", "q2"), ("assistant", "a")],
+         "not_alternating"),
+        ([("assistant", "a"), ("user", "q")], "not_alternating"),
+        ([("system", "only")], "not_alternating"),
+        ([("user", "q"), ("assistant", "a"), ("user", "tail")],
+         "assistant_last"),
+    ],
+)
+def test_conversation_qc_reasons(spark, messages, reason):
+    row = conversation_qc(_conv(spark, [(1, messages)])).collect()[0]
+    assert row.qc_reason == reason
+    assert row.qc_pass is (reason is None)
+    assert row.n_turns == (len(messages) if messages else 0)
+
+
+def test_conversation_qc_rule_order_and_roles(spark):
+    # multiple failures: reason is the FIRST rule in declared order
+    row = conversation_qc(
+        _conv(spark, [(1, [("tool", "   "), ("user", "q")])])
+    ).collect()[0]
+    assert row.bad_role and row.empty_content and row.assistant_last
+    assert row.qc_reason == "bad_role"
+    # custom allowed_roles admits the tool turn (alternation still
+    # judges it as a non-user/assistant body turn)
+    row2 = conversation_qc(
+        _conv(spark, [(1, [("user", "q"), ("tool", "t"),
+                           ("assistant", "a")])]),
+        allowed_roles=("system", "user", "assistant", "tool"),
+    ).collect()[0]
+    assert not row2.bad_role
+    assert row2.qc_reason == "not_alternating"

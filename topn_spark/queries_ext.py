@@ -10910,3 +10910,173 @@ def z65_contamination_report(spark, sf_dir):
         F.concat(text, F.lit(" nr "), d.cast("string")).alias("text"),
     )
     return contamination_report(train, ev, n=13)
+
+
+def _z66_messages():
+    """Planted SFT conversations: eight structural shapes keyed by
+    doc_id % 8, content salted with the id for uniqueness."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def msg(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    def s(x):
+        return F.lit(x)
+
+    return (
+        F.when(d % 8 == 0, F.array(
+            msg("system", F.concat(s("sys "), ds)),
+            msg("user", F.concat(s("hi "), ds)),
+            msg("assistant", F.concat(s("hello "), ds)),
+        ))
+        .when(d % 8 == 1, F.array(
+            msg("user", F.concat(s("q1 "), ds)),
+            msg("assistant", s("a1")),
+            msg("user", s("q2")),
+            msg("assistant", F.concat(s("a2 "), ds)),
+        ))
+        .when(d % 8 == 2, F.array(
+            msg("user", s("x")),
+            msg("user", F.concat(s("y "), ds)),
+            msg("assistant", s("z")),
+        ))
+        .when(d % 8 == 3, F.array(
+            msg("user", F.concat(s("x "), ds)),
+            msg("assistant", s("y")),
+            msg("user", s("tail")),
+        ))
+        .when(d % 8 == 4, F.array(
+            msg("user", s("x")),
+            msg("tool", F.concat(s("t "), ds)),
+            msg("assistant", s("y")),
+        ))
+        .when(d % 8 == 5, F.array(
+            msg("user", F.concat(s("x "), ds)),
+            msg("assistant", s("   ")),
+        ))
+        .when(d % 8 == 6, F.array(
+            msg("user", s("x")),
+            msg("system", F.concat(s("late "), ds)),
+            msg("assistant", s("y")),
+        ))
+        .otherwise(
+            F.array().cast(
+                "array<struct<role:string,content:string>>"
+            )
+        )
+    )
+
+
+@query(
+    "z66_sft_chat_prep",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 8
+      WHEN 0 THEN [{'role': 'system', 'content': 'sys ' || doc_id},
+                   {'role': 'user', 'content': 'hi ' || doc_id},
+                   {'role': 'assistant', 'content': 'hello ' || doc_id}]
+      WHEN 1 THEN [{'role': 'user', 'content': 'q1 ' || doc_id},
+                   {'role': 'assistant', 'content': 'a1'},
+                   {'role': 'user', 'content': 'q2'},
+                   {'role': 'assistant', 'content': 'a2 ' || doc_id}]
+      WHEN 2 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'user', 'content': 'y ' || doc_id},
+                   {'role': 'assistant', 'content': 'z'}]
+      WHEN 3 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'},
+                   {'role': 'user', 'content': 'tail'}]
+      WHEN 4 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'tool', 'content': 't ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      WHEN 5 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': '   '}]
+      WHEN 6 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'system', 'content': 'late ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])
+    END AS m
+  FROM documents WHERE doc_id < 400),
+q AS (
+  SELECT conv_id, m,
+    list_transform(m, x -> x.role) AS roles,
+    CAST(len(m) AS BIGINT) AS n_turns,
+    (m IS NULL OR len(m) = 0) AS no_messages
+  FROM t),
+f AS (
+  SELECT conv_id, n_turns, no_messages,
+    CASE WHEN no_messages THEN false ELSE
+      len(list_filter(roles, r -> r IS NULL
+        OR r NOT IN ('system', 'user', 'assistant'))) > 0 END
+      AS bad_role,
+    CASE WHEN no_messages THEN false ELSE
+      len(list_filter(m, x -> x.content IS NULL
+        OR trim(x.content) = '')) > 0 END AS empty_content,
+    CASE WHEN no_messages THEN false ELSE
+      list_contains(roles[2:], 'system') END AS misplaced_system,
+    CASE WHEN no_messages THEN false ELSE (
+      len(CASE WHEN roles[1] = 'system' THEN roles[2:]
+          ELSE roles END) = 0
+      OR len(list_filter(
+        CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END,
+        (r, i) -> r <> CASE WHEN (i - 1) % 2 = 0 THEN 'user'
+                       ELSE 'assistant' END)) > 0
+    ) END AS not_alternating,
+    CASE WHEN no_messages THEN false ELSE
+      roles[len(roles)] <> 'assistant' END AS assistant_last,
+    CASE WHEN len(m) = 0 THEN ''
+      ELSE array_to_string(list_transform(m,
+        x -> '<|im_start|>' || x.role || chr(10) || x.content
+             || '<|im_end|>'), chr(10)) END AS text
+  FROM q)
+SELECT conv_id, n_turns, no_messages, bad_role, empty_content,
+  misplaced_system, not_alternating, assistant_last,
+  CASE WHEN no_messages THEN 'no_messages'
+       WHEN bad_role THEN 'bad_role'
+       WHEN empty_content THEN 'empty_content'
+       WHEN misplaced_system THEN 'misplaced_system'
+       WHEN not_alternating THEN 'not_alternating'
+       WHEN assistant_last THEN 'assistant_last' END AS qc_reason,
+  (CASE WHEN no_messages THEN 'no_messages'
+       WHEN bad_role THEN 'bad_role'
+       WHEN empty_content THEN 'empty_content'
+       WHEN misplaced_system THEN 'misplaced_system'
+       WHEN not_alternating THEN 'not_alternating'
+       WHEN assistant_last THEN 'assistant_last' END) IS NULL
+    AS qc_pass,
+  text
+FROM f ORDER BY conv_id ASC""",
+    doc="SFT CONVERSATION PREP (operators/sft.py::conversation_qc +"
+    " render_chat) — the post-pretraining data modality: message"
+    " arrays (array<struct<role,content>>) structurally QC'd (roles"
+    " from the allowed set, optional system only at position 0,"
+    " strict user/assistant alternation user-first, non-empty"
+    " content, assistant-final — per-rule flags + first-failure"
+    " qc_reason, the observable-gate discipline) and flattened to"
+    " training text under the public ChatML template"
+    " (<|im_start|>role\\ncontent<|im_end|>, newline-joined)."
+    " Eight planted shapes each isolating one rule. All pure array"
+    " algebra over one projection-bound message array — map-only,"
+    " no UDF. Oracle: identical list_transform/list_filter/indexed"
+    " lambda algebra + the verbatim template concatenation in"
+    " DuckDB, hash-exact",
+)
+def z66_sft_chat_prep(spark, sf_dir):
+    from topn_spark.operators.sft import conversation_qc, render_chat
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    convs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        _z66_messages().alias("messages"),
+    )
+    out = conversation_qc(convs)
+    out = render_chat(out, out_col="text")
+    return out.select(
+        "conv_id", "n_turns", "no_messages", "bad_role",
+        "empty_content", "misplaced_system", "not_alternating",
+        "assistant_last", "qc_reason", "qc_pass", "text",
+    ).orderBy("conv_id")
