@@ -316,6 +316,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z64_mixer_report",
         "z65_contamination_report",
         "z66_sft_chat_prep",
+        "z67_best_of_n",
     ):
         warns = [
             f

@@ -317,3 +317,54 @@ def test_read_json_rescued_captures_malformed_rows(spark, tmp_path):
     assert any("broken json" in r._corrupt_record for r in bad)
     # corrupt rows carry NULL data fields (quarantine-able as-is)
     assert all(r.id is None for r in bad)
+
+
+def test_dolma_interchange_round_trip(spark, tmp_path):
+    """write_dolma/read_dolma: gzip jsonl with the spec's required
+    id/text/source fields (id stringified), metadata columns riding
+    along; non-Dolma input fails loudly."""
+    import pytest
+
+    from topn_spark.sources.io import read_dolma, write_dolma
+
+    df = spark.createDataFrame(
+        [(1, "alpha text", "web", 0.9), (2, "beta text", "wiki", 0.2)],
+        "doc_id long, text string, source string, score double",
+    )
+    path = str(tmp_path / "dolma")
+    write_dolma(df, path, coalesce_files=1)
+    import glob
+    import gzip
+    import json
+
+    files = glob.glob(f"{path}/part-*.json.gz")
+    assert len(files) == 1
+    lines = [
+        json.loads(l)
+        for l in gzip.open(files[0], "rt").read().splitlines()
+    ]
+    assert {l["id"] for l in lines} == {"1", "2"}
+    assert all(
+        isinstance(l["id"], str) and "text" in l and "source" in l
+        and "score" in l
+        for l in lines
+    )
+    back = read_dolma(spark, path)
+    assert dict(back.dtypes)["id"] == "string"
+    got = {(r.id, r.text, r.source, r.score) for r in back.collect()}
+    assert got == {("1", "alpha text", "web", 0.9),
+                   ("2", "beta text", "wiki", 0.2)}
+
+    # default source stamp when the corpus has none
+    df2 = df.drop("source")
+    path2 = str(tmp_path / "dolma2")
+    write_dolma(df2, path2, source_col=None, default_source="crawl9")
+    assert {
+        r.source for r in read_dolma(spark, path2).collect()
+    } == {"crawl9"}
+
+    # a random json dir is not a Dolma corpus
+    path3 = str(tmp_path / "notdolma")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.json(path3)
+    with pytest.raises(ValueError, match="missing required field"):
+        read_dolma(spark, path3)

@@ -11080,3 +11080,54 @@ def z66_sft_chat_prep(spark, sf_dir):
         "empty_content", "misplaced_system", "not_alternating",
         "assistant_last", "qc_reason", "qc_pass", "text",
     ).orderBy("conv_id")
+
+
+@query(
+    "z67_best_of_n",
+    r"""WITH s AS (
+  SELECT doc_id // 8 AS prompt_id,
+    doc_id % 8 AS sample_id,
+    CAST((doc_id * 37) % 100 AS BIGINT) AS score,
+    'resp ' || doc_id AS response
+  FROM documents WHERE doc_id < 480),
+r AS (
+  SELECT prompt_id, sample_id, score, response,
+    ROW_NUMBER() OVER (
+      PARTITION BY prompt_id
+      ORDER BY score DESC NULLS LAST, sample_id ASC) AS rk
+  FROM s)
+SELECT prompt_id, sample_id, score, response
+FROM r WHERE rk <= 1
+ORDER BY prompt_id ASC""",
+    doc="BEST-OF-N REJECTION SAMPLING (operators/topn.py::"
+    "topn_grouped, size=1) — the reference's grouped top-N"
+    " (TopN.java semantics: desc, null-smallest) IS the SFT/RLHF"
+    " best-of-n step: n scored samples per prompt, keep the"
+    " highest-reward response (deterministic sample_id tiebreak),"
+    " the standard rejection-sampling data construction (Llama 2's"
+    " RS fine-tuning; WebGPT best-of-n). Planted: 8 samples per"
+    " prompt with a (doc_id*37)%100 reward. Scale: WindowGroupLimit"
+    " evaluates the rank cut map-side, so at most one row per"
+    " prompt per partition shuffles — the grouped bounded heap."
+    " Oracle: identical window SQL in DuckDB, hash-exact",
+)
+def z67_best_of_n(spark, sf_dir):
+    from topn_spark.operators.topn import topn_grouped
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    samples = docs.select(
+        (d / 8).cast("bigint").alias("prompt_id"),
+        (d % 8).alias("sample_id"),
+        ((d * 37) % 100).cast("bigint").alias("score"),
+        F.concat(F.lit("resp "), d.cast("string")).alias("response"),
+    )
+    return topn_grouped(
+        samples,
+        "prompt_id",
+        "score",
+        size=1,
+        tiebreak=F.col("sample_id").asc(),
+    ).orderBy("prompt_id")

@@ -141,3 +141,70 @@ def read_json_rescued(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+#: Dolma document-format required fields (allenai/dolma data spec:
+#: one JSON object per line, gzip members, ``id`` a STRING).
+_DOLMA_FIELDS = ("id", "text", "source")
+
+
+def write_dolma(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    default_source: str = "topn_spark",
+    mode: str = "error",
+    coalesce_files: int | None = None,
+) -> None:
+    """Export a corpus in the Dolma interchange format (the
+    allenai/dolma data spec, the lingua franca of open pretraining
+    releases): gzip'd JSON-lines with one document per line and the
+    required ``id`` (string), ``text``, ``source`` fields. Every
+    other input column rides along as an extra JSON field (the spec
+    allows arbitrary metadata). ``source_col=None`` stamps
+    ``default_source`` on every document.
+
+    Scale: a map-only columnar→JSON projection; gzip is per-file, so
+    bound file count with ``coalesce_files`` toward the spec's
+    ~1 GB-per-shard convention."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+    ]
+    if source_col is not None:
+        cols.append(F.col(source_col).cast("string").alias("source"))
+    else:
+        cols.append(F.lit(default_source).alias("source"))
+    taken = {id_col, text_col, source_col}
+    extras = [c for c in df.columns if c not in taken]
+    out = df.select(*cols, *extras)
+    write(
+        out, path, fmt="json", mode=mode,
+        coalesce_files=coalesce_files, compression="gzip",
+    )
+
+
+def read_dolma(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Ingest a Dolma-format corpus (gzip'd JSON-lines). Validates
+    the spec's required fields are present and ``id`` reads as a
+    string; pass ``schema`` to skip inference on large corpora (the
+    spec's core: ``id string, text string, source string`` plus any
+    metadata fields)."""
+    df = read(spark, path, fmt="json", schema=schema)
+    missing = [f for f in _DOLMA_FIELDS if f not in df.columns]
+    if missing:
+        raise ValueError(
+            f"not a Dolma corpus: missing required field(s) {missing} "
+            f"at {path!r} (have: {df.columns})"
+        )
+    if dict(df.dtypes)["id"] != "string":
+        df = df.withColumn("id", df["id"].cast("string"))
+    return df
