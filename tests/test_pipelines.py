@@ -2120,3 +2120,60 @@ def test_tag_attributes_and_mixer_macro_lifecycle(spark, tmp_path):
     )
     assert out["tag"].columns == ["doc_id", "stop_hits"]
     assert [r.doc_id for r in out["mix"].collect()] == [1]
+
+
+def test_conversation_qc_and_render_chat_stages(spark):
+    """ConversationQc + RenderChat plugins: spec-driven SFT prep —
+    gate malformed conversations, then flatten survivors to ChatML;
+    collected validation for bad template / roles / keepOnly."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    df = spark.createDataFrame(
+        [
+            (1, [("user", "hi"), ("assistant", "hello")]),
+            (2, [("user", "hi"), ("user", "again"),
+                 ("assistant", "ok")]),
+        ],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "qc", "plugin": "ConversationQc",
+             "properties": {"keepOnly": "true"}},
+            {"name": "render", "plugin": "RenderChat",
+             "properties": {}},
+        ],
+        "connections": [
+            {"from": "src", "to": "qc"},
+            {"from": "qc", "to": "render"},
+        ],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", df)
+    assert [r.conv_id for r in out["qc"].collect()] == [1]
+    rendered = out["render"].collect()[0]
+    assert rendered.text.startswith("<|im_start|>user\nhi")
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "qc", "plugin": "ConversationQc",
+             "properties": {"allowedRoles": " ,", "keepOnly": "maybe"}},
+            {"name": "render", "plugin": "RenderChat",
+             "properties": {"template": "llama"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "qc"},
+            {"from": "qc", "to": "render"},
+        ],
+    }
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(spark, bad, "src", df)
+    msg = str(ei.value)
+    assert "allowedRoles" in msg and "keepOnly" in msg and "llama" in msg

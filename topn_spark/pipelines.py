@@ -2197,6 +2197,78 @@ def _stage_mixer(
         return df
 
 
+def _stage_conversation_qc(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """ConversationQc transform: structural SFT-conversation gate
+    (sft.conversation_qc — roles from the allowed set, system only
+    first, strict user/assistant alternation, non-empty content,
+    assistant-final; per-rule flags + first-failure qc_reason).
+    Properties: messagesField ('messages'), allowedRoles (CSV,
+    default 'system,user,assistant'), keepOnly ('false' — when
+    'true', admit only qc_pass rows and emit the INPUT schema, the
+    gate deployment shape)."""
+    from topn_spark.operators.sft import conversation_qc
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    roles_raw = p.get("allowedRoles", "system,user,assistant")
+    keep_only = p.get("keepOnly", "false")
+    ok = _require_field(df, messages_col, collector, "messagesField")
+    roles = tuple(
+        r.strip() for r in roles_raw.split(",") if r.strip()
+    )
+    if not roles:
+        collector.add_failure(
+            "allowedRoles must name at least one role.",
+            property_name="allowedRoles",
+        )
+        ok = False
+    if keep_only not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid keepOnly '{keep_only}'.",
+            "'true' or 'false'.",
+            property_name="keepOnly",
+        )
+        ok = False
+    if not ok:
+        return df
+    out = conversation_qc(df, messages_col, allowed_roles=roles)
+    if keep_only == "true":
+        return out.where(F.col("qc_pass")).select(*df.columns)
+    return out
+
+
+def _stage_render_chat(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """RenderChat transform: flatten message arrays to training text
+    under a named chat template (sft.render_chat — 'chatml' or
+    'plain'). Properties: messagesField ('messages'), template
+    ('chatml'), outField ('text')."""
+    from topn_spark.operators.sft import CHAT_TEMPLATES, render_chat
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    template = p.get("template", "chatml")
+    out_col = p.get("outField", "text")
+    ok = _require_field(df, messages_col, collector, "messagesField")
+    if template not in CHAT_TEMPLATES:
+        collector.add_failure(
+            f"Unknown template '{template}'.",
+            f"One of {list(CHAT_TEMPLATES)}.",
+            property_name="template",
+        )
+        ok = False
+    if not ok:
+        return df
+    return render_chat(
+        df, messages_col, template=template, out_col=out_col
+    )
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2231,6 +2303,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "Decontaminate": ("transform", _stage_decontaminate),
     "TagAttributes": ("transform", _stage_tag_attributes),
     "Mixer": ("transform", _stage_mixer),
+    "ConversationQc": ("transform", _stage_conversation_qc),
+    "RenderChat": ("transform", _stage_render_chat),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),
