@@ -256,3 +256,51 @@ def test_tag_then_mix_pipeline_specs(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out2).collect()
     ) == [1, 2, 3]
+
+
+def test_sft_pipeline_spec(spark, tmp_path):
+    """examples/sft_pipeline.json end-to-end: malformed conversations
+    drop at the QC gate, survivors render to ChatML, tokenize, pack,
+    and land as manifest-verified shards whose token total equals the
+    rendered corpus."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from topn_spark.pipelines import run_pipeline
+
+    src_path = str(tmp_path / "sft_src")
+    spark.createDataFrame(
+        [
+            (1, [("system", "be helpful"), ("user", "hello there"),
+                 ("assistant", "hi how can i help")]),
+            (2, [("user", "what is spark"), ("assistant",
+                 "a distributed engine"), ("user", "thanks"),
+                 ("assistant", "welcome")]),
+            (3, [("user", "broken"), ("user", "double send"),
+                 ("assistant", "ok")]),
+        ],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    ).write.parquet(src_path)
+
+    spec = json.load(open("examples/sft_pipeline.json"))
+    out_path = str(tmp_path / "sft_shards")
+    staged = run_pipeline(
+        spark,
+        spec,
+        substitutions={
+            "input": src_path,
+            "seqLen": "16",
+            "nShards": "2",
+            "out": out_path,
+        },
+    )
+    assert [r.conv_id for r in staged["qc"].orderBy("conv_id").collect()] == [1, 2]
+    rendered = staged["render"].orderBy("conv_id").collect()
+    assert rendered[0].text.startswith("<|im_start|>system")
+    n_tok = staged["tok"].agg(F.sum("n_tokens")).collect()[0][0]
+    packed = spark.read.parquet(out_path)
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == n_tok
+    manifest = spark.read.parquet(f"{out_path}/_manifest")
+    assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == n_tok

@@ -1437,3 +1437,37 @@ def test_ngram_decontaminate_flags_and_drops(spark):
         ngram_decontaminate(tr, ev, action="purge")
     with pytest.raises(ValueError, match="min_hits"):
         ngram_decontaminate(tr, ev, min_hits=0)
+
+
+def test_score_bin_sample_recipe(spark):
+    """score_bin_sample: bin 1 holds the best scores; rates 1/0 keep/
+    drop wholesale; fractional rates are deterministic under
+    repartitioning; NULL scores drop; bad rates fail loudly."""
+    import pytest
+
+    from topn_spark.operators.pipeline import score_bin_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 41)] + [(99, None)],
+        "doc_id long, score double",
+    )
+    out = score_bin_sample(df, "score", [1.0, 0.0]).collect()
+    got = {r.doc_id: r.score_bin for r in out}
+    # 40 scored docs, 2 bins: top 20 scores (21..40) = bin 1, kept;
+    # bin 2 dropped; the NULL-score doc never binned
+    assert sorted(got) == list(range(21, 41))
+    assert set(got.values()) == {1}
+    half = score_bin_sample(df, "score", [0.5])
+    kept1 = sorted(r.doc_id for r in half.collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in score_bin_sample(
+            df.repartition(7), "score", [0.5]
+        ).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent
+    assert 0 < len(kept1) < 40
+    with pytest.raises(ValueError, match="outside"):
+        score_bin_sample(df, "score", [1.5])
+    with pytest.raises(ValueError, match="at least one"):
+        score_bin_sample(df, "score", [])

@@ -317,6 +317,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z65_contamination_report",
         "z66_sft_chat_prep",
         "z67_best_of_n",
+        "z68_score_bin_sample",
     ):
         warns = [
             f

@@ -122,6 +122,79 @@ def hash_sample(
     )
 
 
+def score_bin_sample(
+    df: DataFrame,
+    score_col: str,
+    keep_rates: list[float],
+    id_col: str = "doc_id",
+    bin_col: str = "score_bin",
+    buckets: int = 64,
+) -> DataFrame:
+    """Quality-bin sampling — the FineWeb-Edu / DCLM recipe: rank the
+    corpus by a quality score (classifier probability, LM signal),
+    cut it into ``len(keep_rates)`` equal NTILE bins (bin 1 = best),
+    and keep each bin at its own deterministic rate — keep the top
+    bins wholesale, downsample the middle, drop the tail. Appends
+    ``bin_col``; rows are kept iff ``md5(id)``'s 8-hex prefix falls
+    below ``floor(rate * 2^32)`` (the :func:`hash_sample`
+    discipline: stable across re-runs, partitioning, and engines —
+    rates 1.0/0.0 short-circuit to keep-all/drop-all).
+
+    Binning uses the exact two-phase global rank
+    (:func:`~topn_spark.operators.topn.rank_low_cardinality` +
+    ``ntile_from_rank`` — NO keyless ``ntile()`` window, which would
+    sort the corpus on one task; see SCALING.md §2) ordered by
+    ``(score DESC NULLS LAST, id ASC)``, so bins reproduce SQL
+    ``NTILE`` exactly at any parallelism.
+    """
+    n_bins = len(keep_rates)
+    if n_bins < 1:
+        raise ValueError("keep_rates must name at least one bin")
+    for r in keep_rates:
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"keep rate {r} outside [0, 1]")
+    from topn_spark.operators.topn import (
+        ntile_from_rank,
+        rank_low_cardinality,
+    )
+
+    # unscored rows cannot be binned: drop them up front (the rank's
+    # negated-ascending order would otherwise float NULLs to bin 1).
+    # The global rank runs under a non-foldable constant key so the
+    # 1-row stats attach is a broadcast HASH join, not a BNLJ rescan.
+    ranked = rank_low_cardinality(
+        df.where(F.col(score_col).isNotNull()).withColumn(
+            "_sbk",
+            (F.monotonically_increasing_id() * 0 + 1).cast("int"),
+        ),
+        ["_sbk"],
+        score_col,
+        ascending=False,
+        tiebreak=[id_col],
+        buckets=buckets,
+        rank_col="_sbr",
+        total_col="_sbt",
+    ).drop("_sbk")
+    binned = ranked.withColumn(
+        bin_col,
+        ntile_from_rank(F.col("_sbr"), F.col("_sbt"), n_bins).cast("int"),
+    ).drop("_sbr", "_sbt")
+    prefix = F.substring(_hash_key(id_col), 1, 8)
+    keep = None
+    for i, r in enumerate(keep_rates, start=1):
+        r = float(r)
+        if r >= 1.0:
+            cond = F.lit(True)
+        elif r <= 0.0:
+            cond = F.lit(False)
+        else:
+            thr = format(int(r * 4294967296), "08x")
+            cond = prefix < F.lit(thr)
+        clause = (F.col(bin_col) == i) & cond
+        keep = clause if keep is None else keep | clause
+    return binned.where(keep)
+
+
 def sample_k_per_group(
     df: DataFrame,
     key_cols: list[str],

@@ -11131,3 +11131,54 @@ def z67_best_of_n(spark, sf_dir):
         size=1,
         tiebreak=F.col("sample_id").asc(),
     ).orderBy("prompt_id")
+
+
+@query(
+    "z68_score_bin_sample",
+    r"""WITH s AS (
+  SELECT doc_id, CAST((doc_id * 37) % 100 AS BIGINT) AS score
+  FROM documents WHERE doc_id < 480),
+b AS (
+  SELECT doc_id, score,
+    CAST(NTILE(5) OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+      AS score_bin
+  FROM s)
+SELECT doc_id, score, score_bin FROM b
+WHERE CASE score_bin
+    WHEN 1 THEN true
+    WHEN 2 THEN true
+    WHEN 3 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '80000000'
+    WHEN 4 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '40000000'
+    ELSE false END
+ORDER BY doc_id ASC""",
+    doc="QUALITY-BIN SAMPLING (pipeline.py::score_bin_sample) — the"
+    " FineWeb-Edu/DCLM release recipe: rank by a quality score, cut"
+    " into NTILE bins (bin 1 = best), keep each bin at its own"
+    " deterministic rate (here 1.0/1.0/0.5/0.25/0.0 over 5 bins):"
+    " top bins wholesale, middle downsampled by the md5 8-hex-prefix"
+    " threshold (engine-portable, rerun-stable), tail dropped."
+    " Binning is the exact two-phase global rank + ntile_from_rank"
+    " — NO keyless ntile window, so the corpus sort stays parallel"
+    " (the x13 equivalence, reused as a release stage). Oracle:"
+    " DuckDB NTILE over the identical (score DESC, id ASC) order +"
+    " the same md5 prefix thresholds, hash-exact",
+)
+def z68_score_bin_sample(spark, sf_dir):
+    from topn_spark.operators.pipeline import score_bin_sample
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    scored = docs.select(
+        "doc_id", ((d * 37) % 100).cast("bigint").alias("score")
+    )
+    return (
+        score_bin_sample(
+            scored, "score", [1.0, 1.0, 0.5, 0.25, 0.0]
+        )
+        .select("doc_id", "score", "score_bin")
+        .orderBy("doc_id")
+    )
