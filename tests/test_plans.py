@@ -318,6 +318,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z66_sft_chat_prep",
         "z67_best_of_n",
         "z68_score_bin_sample",
+        "z69_redact_conversation",
+        "z70_preference_pairs",
     ):
         warns = [
             f

@@ -96,3 +96,57 @@ def test_conversation_qc_rule_order_and_roles(spark):
     ).collect()[0]
     assert not row2.bad_role
     assert row2.qc_reason == "not_alternating"
+
+
+def test_redact_conversation_in_place(spark):
+    from topn_spark.operators.sft import redact_conversation
+
+    df = _conv(
+        spark,
+        [
+            (1, [("user", "mail bob@x.org or 10.0.0.1"),
+                 ("assistant", "call (555) 123-4567 ok")]),
+            (2, [("user", "clean"), ("assistant", "also clean")]),
+            (3, None),
+        ],
+    )
+    rows = {r.conv_id: r for r in redact_conversation(df).collect()}
+    c1 = [m.content for m in rows[1].messages]
+    assert c1[0] == "mail |||EMAIL_ADDRESS||| or |||IP_ADDRESS|||"
+    assert c1[1] == "call |||PHONE_NUMBER||| ok"
+    assert [m.role for m in rows[1].messages] == ["user", "assistant"]
+    assert (rows[1].pii_email, rows[1].pii_ip, rows[1].pii_phone,
+            rows[1].pii_total) == (1, 1, 1, 3)
+    assert rows[2].pii_total == 0
+    assert rows[2].messages[0].content == "clean"
+    assert rows[3].messages is None and rows[3].pii_total == 0
+
+
+def test_preference_pairs_tiebreaks_and_margin(spark):
+    from topn_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            # prompt 1: clear ordering
+            (1, 0, 1.0, "worst"), (1, 1, 9.0, "best"), (1, 2, 5.0, "mid"),
+            # prompt 2: all tied -> no positive gap -> dropped
+            (2, 0, 3.0, "a"), (2, 1, 3.0, "b"),
+            # prompt 3: tie at the top (ids 0,1) and bottom (ids 2,3)
+            (3, 0, 8.0, "t0"), (3, 1, 8.0, "t1"),
+            (3, 2, 2.0, "b2"), (3, 3, 2.0, "b3"),
+            # prompt 4: single sample -> dropped
+            (4, 0, 5.0, "only"),
+            # prompt 5: gap below margin -> dropped at min_gap=2
+            (5, 0, 5.0, "lo"), (5, 1, 6.0, "hi"),
+        ],
+        "prompt_id long, sample_id long, score double, response string",
+    )
+    rows = {r.prompt_id: r for r in preference_pairs(df).collect()}
+    assert sorted(rows) == [1, 3, 5]
+    assert (rows[1].chosen_id, rows[1].rejected_id) == (1, 0)
+    assert rows[1].chosen_response == "best"
+    assert rows[1].score_gap == 8.0 and rows[1].n_samples == 3
+    # top tie -> lowest id; bottom tie -> highest id
+    assert (rows[3].chosen_id, rows[3].rejected_id) == (0, 3)
+    margin = {r.prompt_id for r in preference_pairs(df, min_gap=2.0).collect()}
+    assert margin == {1, 3}

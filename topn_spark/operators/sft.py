@@ -34,6 +34,8 @@ __all__ = [
     "CHAT_TEMPLATES",
     "render_chat",
     "conversation_qc",
+    "redact_conversation",
+    "preference_pairs",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -191,3 +193,125 @@ def conversation_qc(
     return out.withColumn(
         "qc_pass", F.col("qc_reason").isNull()
     ).drop("_qc_m")
+
+
+def redact_conversation(
+    df: DataFrame,
+    messages_col: str = "messages",
+) -> DataFrame:
+    """The PII release gate for the SFT modality: apply the engine's
+    standard PII patterns (``textstats.PII_PATTERNS`` — emails, IPv4
+    literals, phone numbers, to the ``|||EMAIL_ADDRESS|||``-style
+    placeholders, same order/precedence as the z51 document gate) to
+    EVERY message content IN PLACE, preserving roles and turn
+    structure, and append per-class counts over the ORIGINAL turns
+    (``pii_email``/``pii_ip``/``pii_phone``, BIGINT — counted before
+    redaction so the accounting is order-independent) plus
+    ``pii_total``. Redacting the rendered text instead would destroy
+    the message structure every SFT trainer consumes — this keeps
+    the array shape.
+
+    Pure Catalyst: one ``transform`` rewriting each content through
+    the chained ``regexp_replace``s, counts via per-turn
+    ``regexp_extract_all`` sizes summed with ``aggregate`` — all
+    over one projection-bound message array, map-only.
+    """
+    from topn_spark.operators.textstats import PII_PATTERNS
+
+    b = df.withColumn("_rp_m", F.col(messages_col))
+    m = F.col("_rp_m")
+
+    def _clean(content):
+        out = content
+        for _, pat, placeholder in PII_PATTERNS:
+            out = F.regexp_replace(out, pat, placeholder)
+        return out
+
+    redacted = F.transform(
+        m,
+        lambda x: F.struct(
+            x["role"].alias("role"), _clean(x["content"]).alias("content")
+        ),
+    )
+    out = b.withColumn(messages_col, redacted)
+    total = None
+    for name, pat, _ in PII_PATTERNS:
+        cnt = F.aggregate(
+            m,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.coalesce(
+                F.size(
+                    F.regexp_extract_all(x["content"], F.lit(pat), F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        out = out.withColumn(f"pii_{name}", F.coalesce(cnt, F.lit(0)))
+        col = F.col(f"pii_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("pii_total", total).drop("_rp_m")
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    score_col: str = "score",
+    id_col: str = "sample_id",
+    response_col: str = "response",
+    min_gap: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF reward-data step
+    (one prompt, n scored samples → a (chosen, rejected) pair):
+    per prompt, ``chosen`` is the highest-score sample (ties → lowest
+    ``id_col``) and ``rejected`` the lowest (ties → HIGHEST id, so a
+    two-way tie never selects the same row); prompts are emitted only
+    with >= 2 samples AND a strictly positive score gap of at least
+    ``min_gap`` (a tied pair carries no preference signal — the
+    margin filter is the standard reward-data hygiene). Output:
+    ``(prompt, chosen_id/score/response, rejected_id/score/response,
+    score_gap, n_samples)``.
+
+    Scale shape: ONE hash aggregate per prompt — both extremes are
+    ``min``/``max`` over ``struct(score, ±id, response)`` (struct
+    ordering encodes the tiebreaks; the response rides as payload,
+    never compared because ids are unique), map-side combinable, so
+    a hot prompt with millions of samples still partial-aggregates.
+    Contrast :func:`~topn_spark.operators.topn.topn_grouped` (z67):
+    that keeps best-of-n rows; this builds the pairwise frame.
+    """
+    score = F.col(score_col).cast("double")
+    sid = F.col(id_col).cast("bigint")
+    agg = df.groupBy(prompt_col).agg(
+        F.max(
+            F.struct(
+                score.alias("s"),
+                (-sid).alias("negid"),
+                F.col(response_col).alias("r"),
+            )
+        ).alias("_c"),
+        F.min(
+            F.struct(
+                score.alias("s"),
+                (-sid).alias("negid"),
+                F.col(response_col).alias("r"),
+            )
+        ).alias("_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+    )
+    out = agg.select(
+        F.col(prompt_col),
+        (-F.col("_c.negid")).alias("chosen_id"),
+        F.col("_c.s").alias("chosen_score"),
+        F.col("_c.r").alias("chosen_response"),
+        (-F.col("_r.negid")).alias("rejected_id"),
+        F.col("_r.s").alias("rejected_score"),
+        F.col("_r.r").alias("rejected_response"),
+        (F.col("_c.s") - F.col("_r.s")).alias("score_gap"),
+        "n_samples",
+    )
+    return out.where(
+        (F.col("n_samples") >= 2)
+        & (F.col("score_gap") > 0)
+        & (F.col("score_gap") >= float(min_gap))
+    )

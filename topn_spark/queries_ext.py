@@ -11182,3 +11182,171 @@ def z68_score_bin_sample(spark, sf_dir):
         .select("doc_id", "score", "score_bin")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z69_redact_conversation",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 3
+      WHEN 0 THEN [{'role': 'user',
+                    'content': 'mail me at bob' || doc_id || '@example.com or 10.0.0.' || doc_id % 250},
+                   {'role': 'assistant',
+                    'content': 'noted ' || doc_id}]
+      WHEN 1 THEN [{'role': 'user',
+                    'content': 'call (555) 123-4567 and 555-987-6543 nr ' || doc_id},
+                   {'role': 'assistant',
+                    'content': 'ok also reach a' || doc_id || '@b.co'}]
+      ELSE [{'role': 'user', 'content': 'clean question ' || doc_id},
+            {'role': 'assistant', 'content': 'clean answer ' || doc_id}]
+    END AS m
+  FROM documents WHERE doc_id < 400),
+r AS (
+  SELECT conv_id,
+    list_transform(m, x -> {'role': x.role,
+      'content': regexp_replace(regexp_replace(regexp_replace(
+        x.content,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '|||EMAIL_ADDRESS|||', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        '|||IP_ADDRESS|||', 'g'),
+        '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}',
+        '|||PHONE_NUMBER|||', 'g')}) AS mm,
+    CAST(COALESCE(list_aggregate(list_transform(m, x ->
+      len(regexp_extract_all(x.content,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))), 'sum'), 0)
+      AS BIGINT) AS pii_email,
+    CAST(COALESCE(list_aggregate(list_transform(m, x ->
+      len(regexp_extract_all(x.content,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))), 'sum'), 0)
+      AS BIGINT) AS pii_ip,
+    CAST(COALESCE(list_aggregate(list_transform(m, x ->
+      len(regexp_extract_all(x.content,
+        '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))), 'sum'), 0)
+      AS BIGINT) AS pii_phone
+  FROM t)
+SELECT conv_id, pii_email, pii_ip, pii_phone,
+  pii_email + pii_ip + pii_phone AS pii_total,
+  array_to_string(list_transform(mm,
+    x -> '<|im_start|>' || x.role || chr(10) || x.content
+         || '<|im_end|>'), chr(10)) AS text
+FROM r ORDER BY conv_id ASC""",
+    doc="CONVERSATION PII RELEASE GATE (operators/sft.py::"
+    "redact_conversation) — the z51 document gate applied to the"
+    " SFT modality: every message content rewritten IN PLACE"
+    " through the engine's standard PII patterns (emails, IPv4,"
+    " phones → placeholder tokens, same order/precedence),"
+    " preserving roles and turn structure (redacting the rendered"
+    " text would destroy the array every trainer consumes);"
+    " per-class counts over the ORIGINAL turns + pii_total."
+    " Rendered after redaction to prove the in-place rewrite end"
+    " to end. Pure Catalyst transform/aggregate over one bound"
+    " array. Oracle: the identical RE2 patterns + 'g'-flagged"
+    " chained replaces + per-turn count sums in DuckDB, hash-exact",
+)
+def z69_redact_conversation(spark, sf_dir):
+    from topn_spark.operators.sft import redact_conversation, render_chat
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def msg(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    messages = (
+        F.when(d % 3 == 0, F.array(
+            msg("user", F.concat(
+                F.lit("mail me at bob"), ds, F.lit("@example.com or 10.0.0."),
+                (d % 250).cast("string"))),
+            msg("assistant", F.concat(F.lit("noted "), ds)),
+        ))
+        .when(d % 3 == 1, F.array(
+            msg("user", F.concat(
+                F.lit("call (555) 123-4567 and 555-987-6543 nr "), ds)),
+            msg("assistant", F.concat(
+                F.lit("ok also reach a"), ds, F.lit("@b.co"))),
+        ))
+        .otherwise(F.array(
+            msg("user", F.concat(F.lit("clean question "), ds)),
+            msg("assistant", F.concat(F.lit("clean answer "), ds)),
+        ))
+    )
+    convs = docs.select(
+        d.alias("conv_id"), messages.alias("messages")
+    )
+    out = redact_conversation(convs)
+    out = render_chat(out, out_col="text")
+    return out.select(
+        "conv_id", "pii_email", "pii_ip", "pii_phone", "pii_total",
+        "text",
+    ).orderBy("conv_id")
+
+
+@query(
+    "z70_preference_pairs",
+    r"""WITH s AS (
+  SELECT doc_id // 6 AS prompt_id,
+    CAST(doc_id % 6 AS BIGINT) AS sample_id,
+    CAST(CASE WHEN doc_id % 6 >= 4 THEN 7
+      ELSE (doc_id * 41) % 50 END AS DOUBLE) AS score,
+    'resp ' || doc_id AS response
+  FROM documents WHERE doc_id < 480),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      ORDER BY score DESC, sample_id ASC) AS rc,
+    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      ORDER BY score ASC, sample_id DESC) AS rr,
+    CAST(COUNT(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+      AS n_samples
+  FROM s),
+c AS (SELECT prompt_id, sample_id AS chosen_id,
+        score AS chosen_score, response AS chosen_response,
+        n_samples
+      FROM r WHERE rc = 1),
+j AS (SELECT prompt_id, sample_id AS rejected_id,
+        score AS rejected_score, response AS rejected_response
+      FROM r WHERE rr = 1)
+SELECT c.prompt_id, chosen_id, chosen_score, chosen_response,
+  rejected_id, rejected_score, rejected_response,
+  chosen_score - rejected_score AS score_gap, n_samples
+FROM c JOIN j USING (prompt_id)
+WHERE n_samples >= 2 AND chosen_score - rejected_score > 0
+  AND chosen_score - rejected_score >= 5.0
+ORDER BY prompt_id ASC""",
+    doc="PREFERENCE-PAIR CONSTRUCTION (operators/sft.py::"
+    "preference_pairs) — the DPO/RLHF reward-data step: per prompt,"
+    " chosen = highest-score sample (ties -> lowest id), rejected ="
+    " lowest (ties -> HIGHEST id, so a two-way tie never selects"
+    " the same row), emitted only with >= 2 samples and a strictly"
+    " positive gap >= min_gap (tied pairs carry no preference"
+    " signal). Planted: 6 samples per prompt with two forced-tie"
+    " scores, min_gap 5. Scale: ONE hash agg per prompt — extremes"
+    " as min/max over struct(score, ±id, response payload),"
+    " map-side combinable, so a hot prompt with millions of samples"
+    " still partial-aggregates; no window over data. Oracle:"
+    " dual row_number windows + join in DuckDB encoding the same"
+    " tiebreaks, hash-exact",
+)
+def z70_preference_pairs(spark, sf_dir):
+    from topn_spark.operators.sft import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    s = d % 6
+    samples = docs.select(
+        (d / 6).cast("bigint").alias("prompt_id"),
+        s.cast("bigint").alias("sample_id"),
+        F.when(s >= 4, F.lit(7.0))
+        .otherwise(((d * 41) % 50).cast("double"))
+        .alias("score"),
+        F.concat(F.lit("resp "), d.cast("string")).alias("response"),
+    )
+    return preference_pairs(samples, min_gap=5.0).orderBy("prompt_id")
