@@ -2177,3 +2177,64 @@ def test_conversation_qc_and_render_chat_stages(spark):
         run_pipeline_with_source(spark, bad, "src", df)
     msg = str(ei.value)
     assert "allowedRoles" in msg and "keepOnly" in msg and "llama" in msg
+
+
+def test_redact_conversation_and_preference_pairs_stages(spark):
+    """RedactConversation + PreferencePairs plugins: spec-driven SFT
+    reward-data prep with PII scrubbed in the message arrays."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    conv = spark.createDataFrame(
+        [(1, [("user", "mail bob@x.org"), ("assistant", "ok")])],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "redact", "plugin": "RedactConversation",
+             "properties": {}},
+        ],
+        "connections": [{"from": "src", "to": "redact"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", conv)["redact"]
+    row = out.collect()[0]
+    assert row.messages[0].content == "mail |||EMAIL_ADDRESS|||"
+    assert row.pii_email == 1
+
+    samples = spark.createDataFrame(
+        [(1, 0, 1.0, "bad"), (1, 1, 9.0, "good"),
+         (2, 0, 5.0, "only")],
+        "prompt_id long, sample_id long, score double, response string",
+    )
+    pp_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "pairs", "plugin": "PreferencePairs",
+             "type": "batchaggregator",
+             "properties": {"minGap": "2"}},
+        ],
+        "connections": [{"from": "src", "to": "pairs"}],
+    }
+    pairs = run_pipeline_with_source(spark, pp_spec, "src", samples)["pairs"]
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert rows[0].chosen_response == "good"
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "pairs", "plugin": "PreferencePairs",
+             "type": "batchaggregator",
+             "properties": {"minGap": "-1"}},
+        ],
+        "connections": [{"from": "src", "to": "pairs"}],
+    }
+    with pytest.raises(ValidationError, match="minGap"):
+        run_pipeline_with_source(spark, bad, "src", samples)

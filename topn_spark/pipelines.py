@@ -2269,6 +2269,73 @@ def _stage_render_chat(
     )
 
 
+def _stage_redact_conversation(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """RedactConversation transform: in-place per-turn PII redaction
+    for SFT message arrays (sft.redact_conversation — standard
+    patterns/placeholders, per-class counts over the original
+    turns). Properties: messagesField ('messages')."""
+    from topn_spark.operators.sft import redact_conversation
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    if not _require_field(df, messages_col, collector, "messagesField"):
+        return df
+    return redact_conversation(df, messages_col)
+
+
+def _stage_preference_pairs(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PreferencePairs aggregator: DPO/RLHF reward-data construction
+    (sft.preference_pairs — per prompt, chosen/rejected extremes with
+    deterministic tiebreaks, positive-margin filter). Properties:
+    promptField ('prompt_id'), scoreField ('score'), idField
+    ('sample_id'), responseField ('response'), minGap ('0')."""
+    from topn_spark.operators.sft import preference_pairs
+
+    (df,) = inputs
+    p = stage.properties
+    prompt_col = p.get("promptField", "prompt_id")
+    score_col = p.get("scoreField", "score")
+    id_col = p.get("idField", "sample_id")
+    response_col = p.get("responseField", "response")
+    min_gap_raw = p.get("minGap", "0")
+    ok = True
+    for prop, col in (
+        ("promptField", prompt_col), ("scoreField", score_col),
+        ("idField", id_col), ("responseField", response_col),
+    ):
+        ok = _require_field(df, col, collector, prop) and ok
+    if phase == "run":
+        min_gap_raw = substitute_macros(
+            min_gap_raw, substitutions or {}, collector, "minGap"
+        )
+    min_gap = 0.0
+    if not contains_macro(min_gap_raw):
+        try:
+            min_gap = float(min_gap_raw)
+            if min_gap < 0:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid minGap '{min_gap_raw}'.",
+                "A number >= 0.",
+                property_name="minGap",
+            )
+            ok = False
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(p.get("minGap", "0")):
+        min_gap = 0.0
+    return preference_pairs(
+        df, prompt_col=prompt_col, score_col=score_col,
+        id_col=id_col, response_col=response_col, min_gap=min_gap,
+    )
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2305,6 +2372,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "Mixer": ("transform", _stage_mixer),
     "ConversationQc": ("transform", _stage_conversation_qc),
     "RenderChat": ("transform", _stage_render_chat),
+    "RedactConversation": ("transform", _stage_redact_conversation),
+    "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),
