@@ -2238,3 +2238,39 @@ def test_redact_conversation_and_preference_pairs_stages(spark):
     }
     with pytest.raises(ValidationError, match="minGap"):
         run_pipeline_with_source(spark, bad, "src", samples)
+
+
+def test_loss_spans_stage(spark):
+    """LossSpans plugin: spans line up with the rendered text; bad
+    template rejected with the allowed list."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    conv = spark.createDataFrame(
+        [(1, [("user", "hi"), ("assistant", "yo!")])],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    )
+
+    def spec(template):
+        return {
+            "stages": [
+                {"name": "src", "plugin": "File",
+                 "properties": {"path": "x"}},
+                {"name": "spans", "plugin": "LossSpans",
+                 "properties": {"template": template}},
+            ],
+            "connections": [{"from": "src", "to": "spans"}],
+        }
+
+    out = run_pipeline_with_source(spark, spec("plain"), "src", conv)
+    row = out["spans"].collect()[0]
+    (s,) = row.loss_spans
+    assert row.text[s.start:s.end] == "yo!"
+    assert row.loss_chars == 3
+
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(spark, spec("llama"), "src", conv)
+    assert "chatml" in str(ei.value)

@@ -320,6 +320,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z68_score_bin_sample",
         "z69_redact_conversation",
         "z70_preference_pairs",
+        "z71_loss_spans",
     ):
         warns = [
             f

@@ -122,6 +122,43 @@ def test_redact_conversation_in_place(spark):
     assert rows[3].messages is None and rows[3].pii_total == 0
 
 
+def test_loss_spans_extracts_assistant_content(spark):
+    from topn_spark.operators.sft import loss_spans
+
+    df = _conv(
+        spark,
+        [
+            (1, [("system", "be helpful"), ("user", "hi"),
+                 ("assistant", "hello")]),
+            (2, [("user", "q1"), ("assistant", "a1"),
+                 ("user", "quote: a1"), ("assistant", "a2!")]),
+            (3, []),
+            (4, None),
+            (5, [("user", None), ("assistant", "x")]),
+        ],
+    )
+    for template in ("chatml", "plain"):
+        rows = {
+            r.conv_id: r
+            for r in loss_spans(df, template=template).collect()
+        }
+        # every span extracts exactly the assistant content, even
+        # when a user turn quotes it (conv 2)
+        for cid, contents in ((1, ["hello"]), (2, ["a1", "a2!"])):
+            r = rows[cid]
+            got = [r.text[s.start:s.end] for s in r.loss_spans]
+            assert got == contents
+            assert r.loss_chars == sum(len(c) for c in contents)
+            assert r.total_chars == len(r.text)
+        assert list(rows[3].loss_spans) == []
+        assert rows[3].loss_chars == 0 and rows[3].total_chars == 0
+        assert rows[4].loss_spans is None and rows[4].text is None
+        # NULL content poisons the offsets -> spans NULL, observable
+        assert rows[5].loss_spans is None
+    with pytest.raises(ValueError, match="unknown template"):
+        loss_spans(df, template="llama")
+
+
 def test_preference_pairs_tiebreaks_and_margin(spark):
     from topn_spark.operators.sft import preference_pairs
 

@@ -36,6 +36,7 @@ __all__ = [
     "conversation_qc",
     "redact_conversation",
     "preference_pairs",
+    "loss_spans",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -251,6 +252,117 @@ def redact_conversation(
         col = F.col(f"pii_{name}")
         total = col if total is None else total + col
     return out.withColumn("pii_total", total).drop("_rp_m")
+
+
+def loss_spans(
+    df: DataFrame,
+    messages_col: str = "messages",
+    template: str = "chatml",
+    loss_role: str = "assistant",
+    text_col: str = "text",
+    spans_col: str = "loss_spans",
+) -> DataFrame:
+    """Loss-masking spans — the SFT trainer handoff: render the
+    conversation under ``template`` (byte-identical to
+    :func:`render_chat`) and emit the character offsets of every
+    ``loss_role`` turn's CONTENT inside that rendered text, as
+    ``spans_col``: ``array<struct<start, end>>`` (0-based, half-open,
+    in turn order). Trainers compute loss only inside these spans
+    (the universal instruction-tuning convention: user/system tokens
+    are context, assistant tokens are supervised), so the spans must
+    be derived from exactly the same template arithmetic as the text
+    — computing them post-hoc by searching for the content is wrong
+    the moment a user turn quotes the assistant. Also appends
+    ``loss_chars`` (sum of span widths, BIGINT) and ``total_chars``
+    (rendered length).
+
+    Semantics at the edges: an empty message array yields empty
+    spans over the empty string; a NULL array yields NULL text/spans
+    (same as :func:`render_chat`); any NULL role or content poisons
+    the offset arithmetic, so the spans are NULL for that row — run
+    :func:`conversation_qc` first, which flags exactly those rows.
+
+    Scale shape: ONE ``aggregate`` fold per row over the
+    projection-bound message array carrying ``struct(offset, spans)``
+    — linear in turns, map-only, no UDF, no shuffle; at 100 TB this
+    adds nothing beyond the render scan.
+    """
+    if template not in CHAT_TEMPLATES:
+        raise ValueError(
+            f"unknown template {template!r} (have: {CHAT_TEMPLATES})"
+        )
+    b = df.withColumn("_ls_m", F.col(messages_col))
+    m = F.col("_ls_m")
+    # per-message layout under the template: content starts at
+    # offset + prefix(role); the rendered message is
+    # prefix + len(content) + suffix; the join adds 1 ('\n') between
+    # messages (adding it after the last one is harmless — the
+    # running offset is never read again).
+    if template == "chatml":
+        # "<|im_start|>" (12) + role + "\n" (1) ... "<|im_end|>" (10)
+        def _prefix(x: Column) -> Column:
+            return (F.lit(13) + F.length(x["role"])).cast("bigint")
+
+        _suffix = 10
+    else:
+        # role + ": " (2), no suffix
+        def _prefix(x: Column) -> Column:
+            return (F.length(x["role"]) + F.lit(2)).cast("bigint")
+
+        _suffix = 0
+
+    empty_spans = F.array().cast(
+        "array<struct<start:bigint,end:bigint>>"
+    )
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("off"), empty_spans.alias("spans")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        p = _prefix(x)
+        clen = F.length(x["content"]).cast("bigint")
+        start = acc["off"] + p
+        span = F.struct(
+            start.alias("start"), (start + clen).alias("end")
+        )
+        spans = F.when(
+            x["role"] == loss_role,
+            F.concat(acc["spans"], F.array(span)),
+        ).otherwise(acc["spans"])
+        return F.struct(
+            (acc["off"] + p + clen + F.lit(_suffix) + F.lit(1)).alias(
+                "off"
+            ),
+            spans.alias("spans"),
+        )
+
+    folded = F.aggregate(m, zero, _step)
+    # a NULL role/content mid-fold leaves off NULL but may keep
+    # already-collected spans — blank the row's spans entirely so the
+    # failure is observable, not partial
+    poisoned = F.exists(
+        m, lambda x: x["role"].isNull() | x["content"].isNull()
+    )
+    spans = F.when(~F.coalesce(poisoned, F.lit(True)), folded["spans"])
+    rendered = F.array_join(
+        F.transform(m, lambda x: _render_one(template, x)), "\n"
+    )
+    out = b
+    for name, col in (
+        (text_col, rendered),
+        (spans_col, spans),
+        (
+            "loss_chars",
+            F.aggregate(
+                spans,
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc + (s["end"] - s["start"]),
+            ),
+        ),
+        ("total_chars", F.length(rendered).cast("bigint")),
+    ):
+        out = out.withColumn(name, col)
+    return out.drop("_ls_m")
 
 
 def preference_pairs(

@@ -2336,6 +2336,36 @@ def _stage_preference_pairs(
     )
 
 
+def _stage_loss_spans(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """LossSpans transform: render + assistant-content char spans for
+    loss masking (sft.loss_spans — same template arithmetic as
+    RenderChat, 0-based half-open offsets, loss_chars/total_chars).
+    Properties: messagesField ('messages'), template ('chatml'),
+    lossRole ('assistant')."""
+    from topn_spark.operators.sft import CHAT_TEMPLATES, loss_spans
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    template = p.get("template", "chatml")
+    loss_role = p.get("lossRole", "assistant")
+    ok = _require_field(df, messages_col, collector, "messagesField")
+    if template not in CHAT_TEMPLATES:
+        collector.add_failure(
+            f"Unknown template '{template}'.",
+            f"One of: {', '.join(CHAT_TEMPLATES)}.",
+            property_name="template",
+        )
+        ok = False
+    if not ok:
+        return df
+    return loss_spans(
+        df, messages_col, template=template, loss_role=loss_role
+    )
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2373,6 +2403,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "ConversationQc": ("transform", _stage_conversation_qc),
     "RenderChat": ("transform", _stage_render_chat),
     "RedactConversation": ("transform", _stage_redact_conversation),
+    "LossSpans": ("transform", _stage_loss_spans),
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),

@@ -11350,3 +11350,130 @@ def z70_preference_pairs(spark, sf_dir):
         F.concat(F.lit("resp "), d.cast("string")).alias("response"),
     )
     return preference_pairs(samples, min_gap=5.0).orderBy("prompt_id")
+
+
+@query(
+    "z71_loss_spans",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 8
+      WHEN 0 THEN [{'role': 'system', 'content': 'sys ' || doc_id},
+                   {'role': 'user', 'content': 'hi ' || doc_id},
+                   {'role': 'assistant', 'content': 'hello ' || doc_id}]
+      WHEN 1 THEN [{'role': 'user', 'content': 'q1 ' || doc_id},
+                   {'role': 'assistant', 'content': 'a1'},
+                   {'role': 'user', 'content': 'q2'},
+                   {'role': 'assistant', 'content': 'a2 ' || doc_id}]
+      WHEN 2 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'user', 'content': 'y ' || doc_id},
+                   {'role': 'assistant', 'content': 'z'}]
+      WHEN 3 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'},
+                   {'role': 'user', 'content': 'tail'}]
+      WHEN 4 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'tool', 'content': 't ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      WHEN 5 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': '   '}]
+      WHEN 6 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'system', 'content': 'late ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])
+    END AS m
+  FROM documents WHERE doc_id < 400),
+u AS (
+  SELECT conv_id, i, m[i].role AS role, m[i].content AS content,
+    13 + length(m[i].role) AS prefix,
+    13 + length(m[i].role) + length(m[i].content) + 10 AS rlen
+  FROM t, UNNEST(range(1, len(m) + 1)) AS r(i)),
+o AS (
+  SELECT conv_id, i, role, content, prefix,
+    COALESCE(SUM(rlen + 1) OVER (PARTITION BY conv_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM u),
+txt AS (
+  SELECT conv_id,
+    CASE WHEN len(m) = 0 THEN '' ELSE array_to_string(
+      list_transform(m, x -> '<|im_start|>' || x.role || chr(10)
+        || x.content || '<|im_end|>'), chr(10)) END AS text
+  FROM t),
+a AS (
+  SELECT conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY i) - 1
+      AS BIGINT) AS span_idx,
+    CAST(off + prefix AS BIGINT) AS span_start,
+    CAST(off + prefix + length(content) AS BIGINT) AS span_end,
+    content
+  FROM o WHERE role = 'assistant'),
+g AS (
+  SELECT conv_id,
+    CAST(SUM(span_end - span_start) AS BIGINT) AS loss_chars
+  FROM a GROUP BY conv_id)
+SELECT a.conv_id, span_idx, span_start, span_end,
+  substr(txt.text, CAST(span_start AS INTEGER) + 1,
+    CAST(span_end - span_start AS INTEGER)) AS span_text,
+  substr(txt.text, CAST(span_start AS INTEGER) + 1,
+    CAST(span_end - span_start AS INTEGER)) = a.content AS span_ok,
+  g.loss_chars,
+  CAST(length(txt.text) AS BIGINT) AS total_chars
+FROM a
+JOIN txt ON a.conv_id = txt.conv_id
+JOIN g ON a.conv_id = g.conv_id
+ORDER BY a.conv_id ASC, span_idx ASC""",
+    doc="SFT LOSS-MASKING SPANS (operators/sft.py::loss_spans) — the"
+    " trainer handoff after chat rendering: per conversation, the"
+    " 0-based half-open char offsets of every assistant turn's"
+    " CONTENT inside the ChatML-rendered text (user/system tokens"
+    " are context, assistant tokens are supervised — the universal"
+    " instruction-tuning convention), derived from the SAME template"
+    " arithmetic as the text (post-hoc content search is wrong the"
+    " moment a user turn quotes the assistant). Emitted exploded"
+    " with a SELF-CHECK: span_ok proves substr(text, start, end)"
+    " round-trips each assistant content byte-exactly, over the z66"
+    " eight-shape fixture. Scale: ONE aggregate fold per row"
+    " carrying struct(offset, spans) — linear in turns, map-only, no"
+    " UDF, no shuffle. Oracle: UNNEST-with-ordinality + prefix-sum"
+    " window re-deriving the offsets independently in DuckDB,"
+    " hash-exact including the extracted substrings",
+)
+def z71_loss_spans(spark, sf_dir):
+    from topn_spark.operators.sft import loss_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    convs = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        _z66_messages().alias("messages"),
+    )
+    out = loss_spans(convs)
+    asst = F.filter(
+        F.col("messages"), lambda x: x["role"] == F.lit("assistant")
+    )
+    ex = out.select(
+        "conv_id",
+        "text",
+        "loss_chars",
+        "total_chars",
+        asst.alias("_asst"),
+        F.posexplode("loss_spans").alias("span_idx", "_sp"),
+    )
+    span_text = F.col("text").substr(
+        F.col("_sp.start").cast("int") + F.lit(1),
+        (F.col("_sp.end") - F.col("_sp.start")).cast("int"),
+    )
+    return ex.select(
+        "conv_id",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.col("_sp.start").alias("span_start"),
+        F.col("_sp.end").alias("span_end"),
+        span_text.alias("span_text"),
+        (
+            span_text
+            == F.element_at(
+                F.col("_asst"), F.col("span_idx") + 1
+            )["content"]
+        ).alias("span_ok"),
+        "loss_chars",
+        "total_chars",
+    ).orderBy("conv_id", "span_idx")
