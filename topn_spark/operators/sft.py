@@ -37,6 +37,7 @@ __all__ = [
     "redact_conversation",
     "preference_pairs",
     "loss_spans",
+    "token_loss_mask",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -363,6 +364,88 @@ def loss_spans(
     ):
         out = out.withColumn(name, col)
     return out.drop("_ls_m")
+
+
+def token_loss_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    spans_col: str = "loss_spans",
+    tokens_col: str = "tokens",
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """Char spans → token-level supervise mask — the last SFT prep
+    step: tokenize ``text_col`` by whitespace WITH character offsets
+    and mark each token supervised iff its ``[start, end)`` interval
+    OVERLAPS any span in ``spans_col`` (overlap, not containment —
+    under whitespace tokenization the template glues markup to the
+    last content word, e.g. ``hello<|im_end|>``, and a containment
+    rule would silently unsupervise every turn's final token).
+    Appends ``tokens_col`` (``array<struct<tok, start, end>>``),
+    ``mask_col`` (``array<boolean>``, aligned), and ``n_supervised``.
+
+    Offsets are exact because the split pattern ``\\s`` consumes
+    exactly ONE character per separator: offsets are the running sum
+    of part lengths + 1, folded left to right; empty parts (runs of
+    whitespace) advance the offset but emit no token. NULL text or
+    NULL spans yield NULL outputs (observable — QC upstream).
+
+    Scale shape: one ``split`` + one ``aggregate`` fold + one
+    ``transform``×``exists`` per row, all over projection-bound
+    arrays — map-only, no UDF, no shuffle; span count per row is
+    turns-bounded, so the overlap test is effectively linear.
+    """
+    b = df.withColumn("_tm_t", F.col(text_col)).withColumn(
+        "_tm_s", F.col(spans_col)
+    )
+    parts = F.split(F.col("_tm_t"), r"\s")
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("off"),
+        F.array()
+        .cast("array<struct<tok:string,start:bigint,end:bigint>>")
+        .alias("toks"),
+    )
+
+    def _step(acc: Column, p: Column) -> Column:
+        plen = F.length(p).cast("bigint")
+        tok = F.struct(
+            p.alias("tok"),
+            acc["off"].alias("start"),
+            (acc["off"] + plen).alias("end"),
+        )
+        toks = F.when(
+            plen > 0, F.concat(acc["toks"], F.array(tok))
+        ).otherwise(acc["toks"])
+        return F.struct(
+            (acc["off"] + plen + 1).alias("off"), toks.alias("toks")
+        )
+
+    toks = F.aggregate(parts, zero, _step)["toks"]
+    spans = F.col("_tm_s")
+    mask = F.when(
+        spans.isNotNull() & toks.isNotNull(),
+        F.transform(
+            toks,
+            lambda t: F.exists(
+                spans,
+                lambda s: (t["start"] < s["end"])
+                & (t["end"] > s["start"]),
+            ),
+        ),
+    )
+    out = (
+        b.withColumn(tokens_col, F.when(spans.isNotNull(), toks))
+        .withColumn(mask_col, mask)
+        .withColumn(
+            "n_supervised",
+            F.aggregate(
+                mask,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.when(x, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            ),
+        )
+    )
+    return out.drop("_tm_t", "_tm_s")
 
 
 def preference_pairs(
