@@ -1,0 +1,48 @@
+"""Gate-artifact discipline guard (the round-8/round-9 lesson).
+
+The round's committed full-catalog replay (``ORACLE_FULL_r{N}.txt``,
+written by ``python tools/check_oracle.py`` over the whole registry)
+must cover EVERY ``@query`` catalog entry — an operator that lands
+after the replay has no committed correctness artifact, which is the
+process violation flagged in two consecutive verdicts. This test
+makes the violation impossible to commit silently: add an entry, and
+the suite is red until the full replay is re-run and committed.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_oracle_full() -> tuple[int, Path]:
+    best = None
+    for p in REPO.glob("ORACLE_FULL_r*.txt"):
+        m = re.fullmatch(r"ORACLE_FULL_r(\d+)\.txt", p.name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    assert best is not None, "no ORACLE_FULL_r*.txt artifact in repo root"
+    return best
+
+
+def test_every_catalog_entry_has_a_gate_artifact_row():
+    from topn_spark.queries import QUERIES
+
+    rnd, path = _latest_oracle_full()
+    rows = {}
+    for line in path.read_text().splitlines():
+        m = re.match(r"^(\w+): (OK\(tol[^)]*\)|OK|rows-only|FAIL\S*)", line)
+        if m:
+            rows[m.group(1)] = m.group(2)
+    missing = sorted(set(QUERIES) - set(rows))
+    assert not missing, (
+        f"{len(missing)} catalog entr{'y' if len(missing) == 1 else 'ies'} "
+        f"missing from {path.name}: {missing} — re-run the full gate "
+        f"replay (python tools/check_oracle.py /root/testdata/sf0.01 "
+        f"> ORACLE_FULL_r{rnd}.txt) and commit it; nothing lands after "
+        f"the round's replay"
+    )
+    bad = sorted(k for k, v in rows.items() if v.startswith("FAIL"))
+    assert not bad, f"failing gate rows in {path.name}: {bad}"

@@ -1437,6 +1437,26 @@ def test_ngram_decontaminate_flags_and_drops(spark):
         ngram_decontaminate(tr, ev, action="purge")
     with pytest.raises(ValueError, match="min_hits"):
         ngram_decontaminate(tr, ev, min_hits=0)
+    # successive gates against DIFFERENT benchmarks compose via
+    # renamed outputs; reusing the default names would clobber the
+    # first pass's verdicts -> loud
+    ev2 = spark.createDataFrame(
+        [(1, "totally clean text with many plain words but no"
+             " overlap with anything evaluated")],
+        "qid long, text string",
+    )
+    first = ngram_decontaminate(tr, ev, n=13)
+    with pytest.raises(ValueError, match="already exist"):
+        ngram_decontaminate(first, ev2, n=13)
+    both = {
+        r.doc_id: (r.contaminated, r.c2)
+        for r in ngram_decontaminate(
+            first, ev2, n=13, count_col="n2", flag_col="c2"
+        ).collect()
+    }
+    assert both[1] == (True, False)
+    assert both[2] == (False, True)
+    assert both[4] == (False, False)
 
 
 def test_score_bin_sample_recipe(spark):

@@ -321,6 +321,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z69_redact_conversation",
         "z70_preference_pairs",
         "z71_loss_spans",
+        "z72_token_loss_mask",
     ):
         warns = [
             f

@@ -187,3 +187,81 @@ def test_preference_pairs_tiebreaks_and_margin(spark):
     assert (rows[3].chosen_id, rows[3].rejected_id) == (0, 3)
     margin = {r.prompt_id for r in preference_pairs(df, min_gap=2.0).collect()}
     assert margin == {1, 3}
+
+
+def test_token_loss_mask_offsets_and_overlap(spark):
+    from topn_spark.operators.sft import token_loss_mask
+
+    span_t = "array<struct<start:bigint,end:bigint>>"
+    df = spark.createDataFrame(
+        [
+            # ChatML-ish: span covers 'reply 42' whose final token is
+            # markup-glued ('42<|im_end|>') -> overlap must supervise it
+            (1, "ask q\nreply 42<|im_end|> tail", [(6, 14)]),
+            # multi-space + trailing runs: offsets skip empty parts
+            (2, "x   y z  ", [(4, 5)]),
+            (3, None, [(0, 2)]),          # NULL text
+            (4, "words here", None),      # NULL spans
+            (5, "", []),                  # empty text + empty spans
+            (6, "abc def", []),           # no spans -> all false
+        ],
+        f"conv_id long, text string, loss_spans {span_t}",
+    )
+    rows = {r.conv_id: r for r in token_loss_mask(df).collect()}
+
+    r1 = rows[1]
+    toks = [(t.tok, t.start, t.end) for t in r1.tokens]
+    assert toks == [
+        ("ask", 0, 3), ("q", 4, 5), ("reply", 6, 11),
+        ("42<|im_end|>", 12, 24), ("tail", 25, 29),
+    ]
+    # every token's offsets round-trip through the text
+    assert all(r1.text[t.start:t.end] == t.tok for t in r1.tokens)
+    assert list(r1.loss_mask) == [False, False, True, True, False]
+    assert r1.n_supervised == 2
+
+    r2 = rows[2]
+    assert [(t.tok, t.start, t.end) for t in r2.tokens] == [
+        ("x", 0, 1), ("y", 4, 5), ("z", 6, 7)
+    ]
+    assert list(r2.loss_mask) == [False, True, False]
+
+    # NULL text / NULL spans -> NULL outputs, observable
+    for cid in (3, 4):
+        r = rows[cid]
+        assert r.tokens is None and r.loss_mask is None
+        assert r.n_supervised is None
+    # empty text -> zero tokens, zero supervised (not NULL)
+    assert list(rows[5].tokens) == [] and rows[5].n_supervised == 0
+    # empty span list -> all-false mask
+    assert list(rows[6].loss_mask) == [False, False]
+    assert rows[6].n_supervised == 0
+
+
+def test_preference_pairs_null_scores_and_string_ids(spark):
+    from topn_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            # string ids: tiebreaks compare the raw column
+            (1, "s0", 8.0, "t0"), (1, "s1", 8.0, "t1"),
+            (1, "s2", 2.0, "b2"), (1, "s3", 2.0, "b3"),
+            # NULL scores are excluded BEFORE aggregation: prompt 2
+            # still pairs from its two scored samples
+            (2, "a", None, "null1"), (2, "b", 1.0, "lo"),
+            (2, "c", 4.0, "hi"), (2, "d", None, "null2"),
+            # all-NULL prompt -> dropped entirely
+            (3, "x", None, "n"), (3, "y", None, "n"),
+            # one valid score -> n_samples < 2 -> dropped
+            (4, "x", None, "n"), (4, "y", 5.0, "only"),
+        ],
+        "prompt_id long, sample_id string, score double, response string",
+    )
+    rows = {r.prompt_id: r for r in preference_pairs(df).collect()}
+    assert sorted(rows) == [1, 2]
+    # top tie -> lowest id; bottom tie -> highest id; ids stay strings
+    assert (rows[1].chosen_id, rows[1].rejected_id) == ("s0", "s3")
+    r2 = rows[2]
+    assert (r2.chosen_id, r2.rejected_id) == ("c", "b")
+    assert r2.n_samples == 2 and r2.score_gap == 3.0
+    assert r2.chosen_response == "hi" and r2.rejected_response == "lo"

@@ -368,3 +368,12 @@ def test_dolma_interchange_round_trip(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "a long, b string").write.json(path3)
     with pytest.raises(ValueError, match="missing required field"):
         read_dolma(spark, path3)
+
+    # a passthrough column named like a required Dolma field would
+    # produce duplicate JSON keys -> loud, not silent
+    clash1 = df.withColumn("id", F.lit("meta"))
+    with pytest.raises(ValueError, match="collide"):
+        write_dolma(clash1, str(tmp_path / "c1"))
+    clash2 = df2.withColumn("source", F.lit("old"))
+    with pytest.raises(ValueError, match="collide"):
+        write_dolma(clash2, str(tmp_path / "c2"), source_col=None)

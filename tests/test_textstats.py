@@ -1416,3 +1416,42 @@ def test_routed_quality_lm_routing(spark):
         routed_quality(df, {"en": {"max_ppl": 10.0}})
     with pytest.raises(ValueError, match="unknown route parameter"):
         routed_quality(df, {"en": {"min_wordz": 3}})
+
+
+def test_routed_quality_no_stopwords_route(spark):
+    """A route that disables word rules with stopwords=None (the CJK
+    config) must not reject everything via the DEFAULT min_stop_hits
+    — the hits gate is auto-disabled; explicitly setting both is
+    inconsistent and raises at validation."""
+    import pytest
+
+    from topn_spark.operators.textstats import routed_quality
+
+    text = (
+        "the data to be of and that have with pipeline value"
+        " system goes right here now.\n"
+    ) * 7
+    df = spark.createDataFrame(
+        [(1, "ja", text), (2, "ja", text)],
+        "doc_id long, lang string, text string",
+    )
+    out = routed_quality(
+        df,
+        {
+            "ja": {
+                "stopwords": None,
+                "min_words": None,
+                "max_words": None,
+                "min_mean_word_len": None,
+                "max_mean_word_len": None,
+                "min_frac_alpha_words": None,
+                "min_sentences": None,
+            }
+        },
+    ).select("doc_id", "route_reason", "routed_keep")
+    for r in out.collect():
+        assert r.route_reason is None and r.routed_keep, r
+    with pytest.raises(ValueError, match="disables stopwords"):
+        routed_quality(
+            df, {"ja": {"stopwords": None, "min_stop_hits": 2}}
+        )

@@ -57,6 +57,7 @@ from topn_spark.operators.pipeline import (
     histogram,
     merge_upsert,
     pack_sequences,
+    pack_masked_sequences,
     pack_token_sequences,
     packed_doc_spans,
     token_budget_mixture,
@@ -184,6 +185,7 @@ __all__ = [
     "stratified_sample",
     "stratified_split",
     "pack_sequences",
+    "pack_masked_sequences",
     "pack_token_sequences",
     "unpack_sequences",
     "token_budget_mixture",

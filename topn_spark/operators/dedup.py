@@ -718,6 +718,8 @@ def ngram_decontaminate(
     action: str = "flag",
     broadcast_eval: bool = True,
     eval_grams: DataFrame | None = None,
+    count_col: str = "n_contam_grams",
+    flag_col: str = "contaminated",
 ) -> DataFrame:
     """Benchmark decontamination by ``n``-gram collision — the
     published pretraining-hygiene recipe (GPT-3, Brown et al. 2020
@@ -736,9 +738,13 @@ def ngram_decontaminate(
     full-frame flag/drop, instance counts, md5'd join keys,
     ``min_hits`` thresholding.
 
-    ``action="flag"`` annotates with ``n_contam_grams`` (colliding
-    gram instances) and ``contaminated``; ``action="drop"`` returns
-    clean rows in the input schema (the release shape).
+    ``action="flag"`` annotates with ``count_col`` (colliding gram
+    instances, default ``n_contam_grams``) and ``flag_col`` (default
+    ``contaminated``); ``action="drop"`` returns clean rows in the
+    input schema (the release shape). Successive gates against
+    DIFFERENT benchmarks compose by renaming the outputs — if either
+    output column already exists in the input, this raises rather
+    than silently clobbering the earlier pass's verdicts.
 
     Scale shape: the benchmark side reduces to its DISTINCT md5'd
     gram set — benchmark-sized, never corpus-sized — and
@@ -765,6 +771,13 @@ def ngram_decontaminate(
         raise ValueError(f"unknown action {action!r} (flag|drop)")
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    clobber = [c for c in (count_col, flag_col) if c in train.columns]
+    if clobber:
+        raise ValueError(
+            f"output column(s) {clobber!r} already exist in the "
+            f"training frame — pass count_col/flag_col to compose "
+            f"successive decontamination gates observably"
+        )
     if eval_grams is not None:
         ev_grams = eval_grams.select(F.col("gram_hash").alias("_gh"))
     elif eval_df is None:
@@ -788,7 +801,7 @@ def ngram_decontaminate(
         .select("_cid", F.md5("_g").alias("_gh"))
         .join(ev_grams, "_gh")
         .groupBy("_cid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contam_grams"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_col))
     )
     out = (
         train.join(
@@ -796,15 +809,15 @@ def ngram_decontaminate(
         )
         .drop("_cid")
         .withColumn(
-            "n_contam_grams",
-            F.coalesce(F.col("n_contam_grams"), F.lit(0).cast("bigint")),
+            count_col,
+            F.coalesce(F.col(count_col), F.lit(0).cast("bigint")),
         )
         .withColumn(
-            "contaminated", F.col("n_contam_grams") >= int(min_hits)
+            flag_col, F.col(count_col) >= int(min_hits)
         )
     )
     if action == "drop":
-        return out.where(~F.col("contaminated")).select(*train.columns)
+        return out.where(~F.col(flag_col)).select(*train.columns)
     return out
 
 

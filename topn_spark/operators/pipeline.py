@@ -447,14 +447,19 @@ def _packed_spans(
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     base = df.where(F.size(tokens_col) > 0)
     if sep_token is not None:
-        elem = df.schema[
-            tokens_col
-        ].dataType.elementType.simpleString()
+        # a Column separator is used verbatim (pack_masked_sequences
+        # injects a struct<token, mask> element); a scalar casts to
+        # the stream's element type
+        if isinstance(sep_token, Column):
+            sep_val = sep_token
+        else:
+            elem = df.schema[
+                tokens_col
+            ].dataType.elementType.simpleString()
+            sep_val = F.lit(sep_token).cast(elem)
         base = base.withColumn(
             tokens_col,
-            F.concat(
-                tokens_col, F.array(F.lit(sep_token).cast(elem))
-            ),
+            F.concat(tokens_col, F.array(sep_val)),
         )
     base = base.withColumn("_n", F.size(tokens_col).cast("bigint"))
     order_type = df.schema[order_col].dataType
@@ -647,6 +652,151 @@ def pack_token_sequences(
             ),
         )
     return out.select(*by, "seq_id", "n_docs", "n_tokens", "tokens")
+
+
+def pack_masked_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    mask_col: str = "loss_mask",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    by: tuple[str, ...] = (),
+    order_col: str = "doc_id",
+    pad_token: str | int | None = None,
+    sep_token: str | int | None = None,
+    sep_supervised: bool = False,
+) -> DataFrame:
+    """Sequence packing that PRESERVES a per-token loss mask — the
+    missing link between SFT prep and shard export: without it, the
+    supervise/ignore decision made by
+    :func:`~topn_spark.operators.sft.token_loss_mask` dies at the
+    packing stage and the packed shards are untrainable for
+    instruction tuning (everything would be supervised, prompts
+    included). Same concat-and-chunk arithmetic as
+    :func:`pack_token_sequences`, but each document contributes
+    ``zip(tokens, mask)`` pairs, so every packed sequence emits
+    ``tokens`` and an ALIGNED ``mask_col`` plus ``n_supervised``
+    (real supervised tokens — the number a trainer's loss
+    normalization needs per sequence).
+
+    A document whose mask is NULL or misaligned
+    (``len(mask) != len(tokens)``) raises AT EXECUTION with its id —
+    silently packing an unmasked document would train on prompt
+    tokens, the worst silent failure an SFT pipeline has. Separators
+    injected by ``sep_token`` carry ``sep_supervised`` (default
+    False; pass True when EOS after an assistant turn should be
+    learned — the stop-token convention). ``pad_token`` positions
+    are NEVER supervised and never counted in ``n_tokens``.
+
+    Scale shape: identical to :func:`pack_token_sequences` — the
+    zip adds one map-only projection; the span arithmetic still
+    runs on token COUNTS (one two-level prefix-sum, no keyless
+    window for integral/string ``order_col``), pieces slice without
+    a per-token explode, and sequences reassemble with one hash agg
+    on ``seq_id``. Pass ``by`` at 100 TB for per-shard numbering."""
+    elem = df.schema[tokens_col].dataType.elementType.simpleString()
+    zipped = F.zip_with(
+        tokens_col,
+        mask_col,
+        lambda t, m: F.struct(t.alias("t"), m.alias("m")),
+    )
+    ok = (
+        F.col(tokens_col).isNotNull()
+        & F.col(mask_col).isNotNull()
+        & (F.size(tokens_col) == F.size(mask_col))
+    )
+    guarded = F.when(ok, zipped).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pack_masked_sequences: NULL or misaligned "
+                    "loss mask for id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    dfz = df.withColumn("_zt", guarded)
+    sep = None
+    if sep_token is not None:
+        sep = F.struct(
+            F.lit(sep_token).cast(elem).alias("t"),
+            F.lit(bool(sep_supervised)).alias("m"),
+        )
+    spans = _packed_spans(
+        dfz, "_zt", id_col, seq_len, by, order_col, sep
+    )
+    piece = spans.select(
+        *by,
+        "seq_id",
+        F.struct(
+            F.col("seq_start"),
+            F.slice(
+                "_toks",
+                (F.col("doc_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ).alias("piece"),
+        ).alias("_sp"),
+    )
+    merged = piece.groupBy(*by, "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("_sp")),
+                lambda s: s["piece"],
+            )
+        ).alias("_all"),
+    )
+    out = (
+        merged.select(
+            *by,
+            "seq_id",
+            "n_docs",
+            F.transform("_all", lambda x: x["t"]).alias("tokens"),
+            F.transform("_all", lambda x: x["m"]).alias(mask_col),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+        .withColumn(
+            "n_supervised",
+            F.aggregate(
+                mask_col,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.when(x, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            ),
+        )
+    )
+    if pad_token is not None:
+        pad_n = (F.lit(int(seq_len)) - F.size("tokens")).cast("int")
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(F.lit(pad_token).cast(elem), pad_n),
+            ),
+        ).withColumn(
+            mask_col,
+            F.concat(
+                mask_col,
+                F.array_repeat(
+                    F.lit(False),
+                    (F.lit(int(seq_len)) - F.size(mask_col)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    return out.select(
+        *by,
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        "n_supervised",
+        "tokens",
+        mask_col,
+    )
 
 
 def export_packed_shards(

@@ -463,46 +463,49 @@ def preference_pairs(
     two-way tie never selects the same row); prompts are emitted only
     with >= 2 samples AND a strictly positive score gap of at least
     ``min_gap`` (a tied pair carries no preference signal — the
-    margin filter is the standard reward-data hygiene). Output:
-    ``(prompt, chosen_id/score/response, rejected_id/score/response,
-    score_gap, n_samples)``.
+    margin filter is the standard reward-data hygiene). Rows whose
+    score casts to NULL are excluded BEFORE aggregation (a scoreless
+    sample carries no preference signal either way; ``n_samples``
+    therefore counts validly-SCORED samples, so the exclusion is
+    observable per prompt). ``id_col`` keeps its input type — the
+    tiebreak compares the raw column (string ids work), it is never
+    cast. Output: ``(prompt, chosen_id/score/response,
+    rejected_id/score/response, score_gap, n_samples)``.
 
     Scale shape: ONE hash aggregate per prompt — both extremes are
-    ``min``/``max`` over ``struct(score, ±id, response)`` (struct
-    ordering encodes the tiebreaks; the response rides as payload,
+    ``min``/``max`` over ``struct(-score, id, response)`` (negating
+    the score instead of the id lets ONE struct ordering encode both
+    tiebreaks over the raw id: min = best score then lowest id, max
+    = worst score then highest id; the response rides as payload,
     never compared because ids are unique), map-side combinable, so
     a hot prompt with millions of samples still partial-aggregates.
     Contrast :func:`~topn_spark.operators.topn.topn_grouped` (z67):
     that keeps best-of-n rows; this builds the pairwise frame.
     """
     score = F.col(score_col).cast("double")
-    sid = F.col(id_col).cast("bigint")
-    agg = df.groupBy(prompt_col).agg(
-        F.max(
-            F.struct(
-                score.alias("s"),
-                (-sid).alias("negid"),
-                F.col(response_col).alias("r"),
-            )
-        ).alias("_c"),
-        F.min(
-            F.struct(
-                score.alias("s"),
-                (-sid).alias("negid"),
-                F.col(response_col).alias("r"),
-            )
-        ).alias("_r"),
-        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+    ext = F.struct(
+        (-score).alias("ns"),
+        F.col(id_col).alias("i"),
+        F.col(response_col).alias("r"),
+    )
+    agg = (
+        df.where(score.isNotNull())
+        .groupBy(prompt_col)
+        .agg(
+            F.min(ext).alias("_c"),
+            F.max(ext).alias("_r"),
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        )
     )
     out = agg.select(
         F.col(prompt_col),
-        (-F.col("_c.negid")).alias("chosen_id"),
-        F.col("_c.s").alias("chosen_score"),
+        F.col("_c.i").alias("chosen_id"),
+        (-F.col("_c.ns")).alias("chosen_score"),
         F.col("_c.r").alias("chosen_response"),
-        (-F.col("_r.negid")).alias("rejected_id"),
-        F.col("_r.s").alias("rejected_score"),
+        F.col("_r.i").alias("rejected_id"),
+        (-F.col("_r.ns")).alias("rejected_score"),
         F.col("_r.r").alias("rejected_response"),
-        (F.col("_c.s") - F.col("_r.s")).alias("score_gap"),
+        (F.col("_r.ns") - F.col("_c.ns")).alias("score_gap"),
         "n_samples",
     )
     return out.where(

@@ -499,7 +499,10 @@ def routed_quality(
     its own stopword list and its own perplexity model). ``routes``
     maps a language code to parameter overrides of
     :data:`ROUTE_DEFAULTS` (absent key → published default;
-    explicit ``None`` → rule disabled for that route).
+    explicit ``None`` → rule disabled for that route; disabling
+    ``stopwords`` also disables the DEFAULT ``min_stop_hits`` gate —
+    no list means no hits to count — while explicitly setting both
+    ``stopwords=None`` and a ``min_stop_hits`` raises at validation).
 
     Emits the input columns plus the gopher signal columns,
     ``n_sentences`` (C4's cleaned-page sentence count),
@@ -549,6 +552,21 @@ def routed_quality(
                 f"route {g!r} sets max_ppl but no LM was supplied "
                 "for it (pass lms={lang: load_bigram_lm(...)})"
             )
+        # stopwords=None (the CJK "no word rules" config) makes
+        # route_stop_hits NULL for every document; an explicit
+        # min_stop_hits alongside it would reject the whole language
+        # as 'stopwords'. Inconsistent on purpose -> loud; the
+        # DEFAULT min_stop_hits is auto-disabled below instead.
+        if (
+            {**ROUTE_DEFAULTS, **cfg}["stopwords"] is None
+            and cfg.get("min_stop_hits") is not None
+            and "min_stop_hits" in cfg
+        ):
+            raise ValueError(
+                f"route {g!r} disables stopwords (None) but sets "
+                "min_stop_hits — the gate would reject every "
+                "document; drop min_stop_hits or supply a list"
+            )
 
     # gopher_keep / stop_hits are the fixed published-constant
     # composites — superseded here by the per-route verdict and the
@@ -582,6 +600,9 @@ def routed_quality(
     rows = []
     for g, cfg in sorted(routes.items()):
         full = {**ROUTE_DEFAULTS, **cfg}
+        if full["stopwords"] is None:
+            # no stopword list -> the hits gate is absent, not failed
+            full["min_stop_hits"] = None
         rows.append(
             tuple(
                 [g]

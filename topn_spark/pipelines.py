@@ -1504,7 +1504,9 @@ def _stage_decontaminate(
     benchmark), n ('13'), minHits ('1'), action ('flag' annotates
     n_contam_grams + contaminated; 'drop' emits clean rows in the
     input schema), textField ('text'), evalTextField (defaults to
-    textField), idField ('doc_id')."""
+    textField), idField ('doc_id'), countField/flagField (rename the
+    flag outputs so successive gates against different benchmarks
+    compose — the operator raises on a clobber)."""
     (df,) = inputs
     p = stage.properties
     eval_path = p.get("evalPath")
@@ -1512,6 +1514,8 @@ def _stage_decontaminate(
     ev_text_col = p.get("evalTextField", text_col)
     id_col = p.get("idField", "doc_id")
     action = p.get("action", "flag")
+    count_col = p.get("countField", "n_contam_grams")
+    flag_col = p.get("flagField", "contaminated")
     if phase == "run":
         eval_path = substitute_macros(
             eval_path, substitutions or {}, collector, "evalPath"
@@ -1540,14 +1544,22 @@ def _stage_decontaminate(
             property_name="action",
         )
         ok = False
+    for prop, col in (("countField", count_col), ("flagField", flag_col)):
+        if col in df.columns:
+            collector.add_failure(
+                f"Output field '{col}' already exists in the input.",
+                f"Set '{prop}' so successive gates compose.",
+                property_name=prop,
+            )
+            ok = False
     if n is None or min_hits is None or not ok:
         return df
     if phase == "deploy" and contains_macro(eval_path):
         if action == "drop":
             return df
         return df.withColumn(
-            "n_contam_grams", F.lit(None).cast("bigint")
-        ).withColumn("contaminated", F.lit(None).cast("boolean"))
+            count_col, F.lit(None).cast("bigint")
+        ).withColumn(flag_col, F.lit(None).cast("boolean"))
     from topn_spark.operators.dedup import ngram_decontaminate
 
     eval_df = spark.read.parquet(eval_path)
@@ -1562,6 +1574,7 @@ def _stage_decontaminate(
     return ngram_decontaminate(
         df, eval_df, n=n, text_col=text_col, id_col=id_col,
         eval_text_col=ev_text_col, min_hits=min_hits, action=action,
+        count_col=count_col, flag_col=flag_col,
     )
 
 

@@ -11477,3 +11477,154 @@ def z71_loss_spans(spark, sf_dir):
         "loss_chars",
         "total_chars",
     ).orderBy("conv_id", "span_idx")
+
+
+@query(
+    "z72_token_loss_mask",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'a  bb' || chr(10) || 'ccc ' || doc_id
+        || '<|im_end|> dd'
+      WHEN 1 THEN 'x   y z  '
+      WHEN 3 THEN 'plain words here'
+      WHEN 4 THEN ''
+      ELSE NULL END AS text,
+    CASE doc_id % 5
+      WHEN 0 THEN [{'s': 0, 'e': 1},
+        {'s': 6, 'e': 10 + length(CAST(doc_id AS VARCHAR))}]
+      WHEN 1 THEN [{'s': 4, 'e': 5}]
+      WHEN 2 THEN [{'s': 0, 'e': 2}]
+      WHEN 4 THEN CAST([] AS STRUCT(s INTEGER, e INTEGER)[])
+      ELSE NULL END AS spans
+  FROM documents WHERE doc_id < 300),
+p AS (
+  SELECT conv_id, spans, regexp_split_to_array(text, '\s') AS parts
+  FROM t WHERE text IS NOT NULL AND spans IS NOT NULL),
+u AS (
+  SELECT conv_id, spans, i, parts[i] AS part,
+    COALESCE(SUM(length(parts[i]) + 1) OVER (PARTITION BY conv_id
+      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS off
+  FROM p, UNNEST(range(1, len(parts) + 1)) AS r(i)),
+tok AS (
+  SELECT conv_id, i, part AS tokn,
+    CAST(off AS BIGINT) AS ts,
+    CAST(off + length(part) AS BIGINT) AS te,
+    len(list_filter(spans,
+      x -> off < x.e AND off + length(part) > x.s)) > 0 AS sup
+  FROM u WHERE length(part) > 0),
+g AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN sup THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_supervised,
+    string_agg(CASE WHEN sup THEN '1' ELSE '0' END, ''
+      ORDER BY i) AS mask_str,
+    string_agg(tokn || ':' || ts || ':' || te, '|' ORDER BY i)
+      AS toks_sig
+  FROM tok GROUP BY conv_id)
+SELECT t.conv_id,
+  CASE WHEN t.text IS NULL OR t.spans IS NULL THEN NULL
+    ELSE COALESCE(g.n_tokens, 0) END AS n_tokens,
+  CASE WHEN t.text IS NULL OR t.spans IS NULL THEN NULL
+    ELSE COALESCE(g.n_supervised, 0) END AS n_supervised,
+  CASE WHEN t.text IS NULL OR t.spans IS NULL THEN NULL
+    ELSE COALESCE(g.mask_str, '') END AS mask_str,
+  CASE WHEN t.text IS NULL OR t.spans IS NULL THEN NULL
+    ELSE COALESCE(g.toks_sig, '') END AS toks_sig
+FROM t LEFT JOIN g USING (conv_id)
+ORDER BY conv_id ASC""",
+    doc="TOKEN-LEVEL LOSS MASK (operators/sft.py::token_loss_mask) —"
+    " char spans -> per-token supervise mask, the last SFT prep step"
+    " before tokenizer handoff: whitespace tokens WITH exact char"
+    " offsets (the split pattern consumes exactly one char per"
+    " separator, so offsets are a running length sum; empty parts"
+    " from whitespace runs advance the offset but emit no token),"
+    " each token supervised iff [start,end) OVERLAPS any loss span"
+    " (overlap, not containment — the template glues markup to the"
+    " final content word, e.g. '42<|im_end|>', and containment would"
+    " unsupervise every turn's last token). Planted five-shape"
+    " fixture: glued-markup span end, multi-space+trailing runs,"
+    " NULL text, NULL spans, empty text + empty spans (NULL inputs"
+    " -> NULL outputs, observable). Scale: one split + one aggregate"
+    " fold + transform*exists per row over projection-bound arrays —"
+    " map-only, no UDF, no shuffle. Oracle: UNNEST-with-ordinality +"
+    " prefix-sum window re-deriving offsets independently in DuckDB,"
+    " hash-exact over token signature and mask strings",
+)
+def z72_token_loss_mask(spark, sf_dir):
+    from topn_spark.operators.sft import token_loss_mask
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    m = d % 5
+    ids = d.cast("string")
+    span_t = "array<struct<start:bigint,end:bigint>>"
+
+    def sp(s, e):
+        return F.struct(
+            s.cast("bigint").alias("start"),
+            e.cast("bigint").alias("end"),
+        )
+
+    text = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("a  bb\nccc "), ids, F.lit("<|im_end|> dd")
+            ),
+        )
+        .when(m == 1, F.lit("x   y z  "))
+        .when(m == 3, F.lit("plain words here"))
+        .when(m == 4, F.lit(""))
+    )
+    spans = (
+        F.when(
+            m == 0,
+            F.array(
+                sp(F.lit(0), F.lit(1)),
+                sp(F.lit(6), F.lit(10) + F.length(ids)),
+            ),
+        )
+        .when(m == 1, F.array(sp(F.lit(4), F.lit(5))))
+        .when(m == 2, F.array(sp(F.lit(0), F.lit(2))))
+        .when(m == 4, F.array().cast(span_t))
+    )
+    base = docs.select(
+        d.alias("conv_id"),
+        text.alias("text"),
+        spans.alias("loss_spans"),
+    )
+    out = token_loss_mask(base)
+    toks = F.col("tokens")
+    mask = F.col("loss_mask")
+    return out.select(
+        "conv_id",
+        F.when(toks.isNotNull(), F.size(toks).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        "n_supervised",
+        F.when(
+            mask.isNotNull(),
+            F.array_join(
+                F.transform(
+                    mask, lambda b: F.when(b, "1").otherwise("0")
+                ),
+                "",
+            ),
+        ).alias("mask_str"),
+        F.when(
+            toks.isNotNull(),
+            F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.concat_ws(
+                        ":", t["tok"], t["start"], t["end"]
+                    ),
+                ),
+                "|",
+            ),
+        ).alias("toks_sig"),
+    ).orderBy("conv_id")

@@ -181,6 +181,17 @@ def write_dolma(
         cols.append(F.lit(default_source).alias("source"))
     taken = {id_col, text_col, source_col}
     extras = [c for c in df.columns if c not in taken]
+    # a passthrough column literally named 'id'/'text'/'source'
+    # (distinct from id_col/text_col/source_col) would ride into
+    # extras and collide with the projected required field ->
+    # duplicate JSON keys in the exported corpus. Loud, not silent.
+    clash = [c for c in extras if c in _DOLMA_FIELDS]
+    if clash:
+        raise ValueError(
+            f"column(s) {clash!r} collide with required Dolma "
+            f"field(s): rename or drop them, or pass them as "
+            f"id_col/text_col/source_col"
+        )
     out = df.select(*cols, *extras)
     write(
         out, path, fmt="json", mode=mode,
