@@ -260,9 +260,11 @@ def test_tag_then_mix_pipeline_specs(spark, tmp_path):
 
 def test_sft_pipeline_spec(spark, tmp_path):
     """examples/sft_pipeline.json end-to-end: malformed conversations
-    drop at the QC gate, survivors render to ChatML, tokenize, pack,
-    and land as manifest-verified shards whose token total equals the
-    rendered corpus."""
+    drop at the QC gate, survivors render to ChatML with an aligned
+    per-token loss mask (LossMask), pack WITH the mask riding through
+    (PackMasked), and land as manifest-verified shards whose token
+    AND supervised-token totals reconcile — the trainable-shard
+    property."""
     import json
 
     from pyspark.sql import functions as F
@@ -297,10 +299,20 @@ def test_sft_pipeline_spec(spark, tmp_path):
         },
     )
     assert [r.conv_id for r in staged["qc"].orderBy("conv_id").collect()] == [1, 2]
-    rendered = staged["render"].orderBy("conv_id").collect()
+    rendered = staged["mask"].orderBy("conv_id").collect()
     assert rendered[0].text.startswith("<|im_start|>system")
-    n_tok = staged["tok"].agg(F.sum("n_tokens")).collect()[0][0]
+    # LossMask emits packable aligned arrays
+    for r in rendered:
+        assert len(r.tokens) == len(r.loss_mask)
+        assert 0 < r.n_supervised < len(r.tokens)
+    n_docs = len(rendered)
+    n_tok = sum(len(r.tokens) for r in rendered) + n_docs  # + EOS each
+    n_sup = sum(r.n_supervised for r in rendered) + n_docs  # EOS learned
     packed = spark.read.parquet(out_path)
     assert packed.agg(F.sum("n_tokens")).collect()[0][0] == n_tok
+    assert packed.agg(F.sum("n_supervised")).collect()[0][0] == n_sup
+    # every packed sequence keeps tokens and mask aligned
+    for r in packed.collect():
+        assert len(r.tokens) == len(r.loss_mask)
     manifest = spark.read.parquet(f"{out_path}/_manifest")
     assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == n_tok

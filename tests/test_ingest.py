@@ -807,3 +807,53 @@ def test_attributes_sink_streams_sidecar(spark, tmp_path):
         {"include": [[["stop_hits", ">=", 2]]]},
     )
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_sft_corpus_sink_lands_trainable_conversations(spark, tmp_path):
+    """Streaming SFT gate: malformed conversations dead-letter with
+    their first-failing QC rule; admissions land PII-redacted AND
+    trainable — rendered text with aligned tokens/loss_mask/
+    n_supervised ready for PackMasked; a replay overwrites its own
+    batch partition."""
+    from topn_spark.streaming.ingest import sft_corpus_sink
+
+    src = str(tmp_path / "sftsrc")
+    spark.createDataFrame(
+        [
+            (1, [("user", "mail me at bob@x.org"),
+                 ("assistant", "will do")]),
+            (2, [("user", "broken"), ("user", "double send"),
+                 ("assistant", "ok")]),
+            (3, [("user", "hi"), ("assistant", "   ")]),
+            (4, [("system", "be terse"), ("user", "2+2?"),
+                 ("assistant", "4")]),
+        ],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>"
+    ).parquet(src)
+    out = str(tmp_path / "sftout")
+    rej = str(tmp_path / "sftrej")
+    q = sft_corpus_sink(
+        stream, out, rej, str(tmp_path / "sftck"), redact=True
+    )
+    q.awaitTermination(120)
+    kept = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert sorted(kept) == [1, 4]
+    r1 = kept[1]
+    # redaction happened in the landed messages AND the rendered text
+    assert "bob@x.org" not in r1.text
+    assert "|||EMAIL_ADDRESS|||" in r1.messages[0].content
+    for r in kept.values():
+        assert len(r.tokens) == len(r.loss_mask)
+        assert 0 < r.n_supervised < len(r.tokens)
+        # the supervised tokens are exactly the assistant span's
+        sup = [t for t, m in zip(r.tokens, r.loss_mask) if m]
+        assert sup, r
+    rejects = {
+        r.conv_id: r.reason for r in spark.read.parquet(rej).collect()
+    }
+    assert rejects == {2: "not_alternating", 3: "empty_content"}

@@ -2274,3 +2274,133 @@ def test_loss_spans_stage(spark):
     with pytest.raises(ValidationError) as ei:
         run_pipeline_with_source(spark, spec("llama"), "src", conv)
     assert "chatml" in str(ei.value)
+
+
+def test_loss_mask_and_pack_masked_stages(spark):
+    """LossMask + PackMasked plugins: one spec takes conversations to
+    packed trainable sequences (aligned mask, n_supervised); bad
+    sepSupervised and a missing mask field are rejected loudly."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    conv = spark.createDataFrame(
+        [
+            (1, [("user", "two plus two"), ("assistant", "four")]),
+            (2, [("user", "say hi"), ("assistant", "hi there")]),
+        ],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mask", "plugin": "LossMask", "properties": {}},
+            {"name": "pack", "plugin": "PackMasked",
+             "properties": {"idField": "conv_id", "seqLen": "8",
+                            "sepToken": "</s>",
+                            "sepSupervised": "true"}},
+        ],
+        "connections": [{"from": "src", "to": "mask"},
+                        {"from": "mask", "to": "pack"}],
+    }
+    staged = run_pipeline_with_source(spark, spec, "src", conv)
+    masked = staged["mask"].collect()
+    for r in masked:
+        assert len(r.tokens) == len(r.loss_mask)
+        assert isinstance(r.tokens[0], str)
+    packed = staged["pack"].collect()
+    assert sum(r.n_tokens for r in packed) == (
+        sum(len(r.tokens) for r in masked) + len(masked)
+    )
+    assert sum(r.n_supervised for r in packed) == (
+        sum(r.n_supervised for r in masked) + len(masked)
+    )
+
+    bad_sep = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mask", "plugin": "LossMask", "properties": {}},
+            {"name": "pack", "plugin": "PackMasked",
+             "properties": {"idField": "conv_id",
+                            "sepSupervised": "maybe"}},
+        ],
+        "connections": [{"from": "src", "to": "mask"},
+                        {"from": "mask", "to": "pack"}],
+    }
+    with pytest.raises(ValidationError, match="sepSupervised"):
+        run_pipeline_with_source(spark, bad_sep, "src", conv)
+    no_mask = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "pack", "plugin": "PackMasked",
+             "properties": {"idField": "conv_id"}},
+        ],
+        "connections": [{"from": "src", "to": "pack"}],
+    }
+    with pytest.raises(ValidationError, match="maskField"):
+        run_pipeline_with_source(spark, no_mask, "src", conv)
+
+
+def test_fim_and_token_windows_stages(spark):
+    """FimTransform + TokenWindows plugins: spec-driven code-corpus
+    prep; invalid rate and stride > window rejected loudly."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 30) for i in range(20)],
+        "doc_id long, text string",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "fim", "plugin": "FimTransform",
+             "properties": {"rate": "1.0"}},
+            {"name": "tok", "plugin": "Tokenize", "properties": {}},
+            {"name": "win", "plugin": "TokenWindows",
+             "properties": {"window": "8", "stride": "4"}},
+        ],
+        "connections": [{"from": "src", "to": "fim"},
+                        {"from": "fim", "to": "tok"},
+                        {"from": "tok", "to": "win"}],
+    }
+    staged = run_pipeline_with_source(spark, spec, "src", docs)
+    assert all(
+        r.fim_style in ("psm", "spm") for r in staged["fim"].collect()
+    )
+    wins = staged["win"].collect()
+    assert all(1 <= r.n_tokens <= 8 for r in wins)
+    assert {r.doc_id for r in wins} == set(range(20))
+
+    bad_rate = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "fim", "plugin": "FimTransform",
+             "properties": {"rate": "1.5"}},
+        ],
+        "connections": [{"from": "src", "to": "fim"}],
+    }
+    with pytest.raises(ValidationError, match="rate"):
+        run_pipeline_with_source(spark, bad_rate, "src", docs)
+    bad_stride = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "tok", "plugin": "Tokenize", "properties": {}},
+            {"name": "win", "plugin": "TokenWindows",
+             "properties": {"window": "8", "stride": "9"}},
+        ],
+        "connections": [{"from": "src", "to": "tok"},
+                        {"from": "tok", "to": "win"}],
+    }
+    with pytest.raises(ValidationError, match="stride"):
+        run_pipeline_with_source(spark, bad_stride, "src", docs)

@@ -322,6 +322,10 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z70_preference_pairs",
         "z71_loss_spans",
         "z72_token_loss_mask",
+        "z73_pack_masked",
+        "z74_unpack_masked_round_trip",
+        "z75_fim_transform",
+        "z76_conversation_report",
     ):
         warns = [
             f

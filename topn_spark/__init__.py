@@ -53,15 +53,19 @@ from topn_spark.operators.pipeline import (
     chunk_documents,
     contamination_check,
     dedup_lines,
+    fim_transform,
     hash_sample,
     histogram,
     merge_upsert,
     pack_sequences,
     pack_masked_sequences,
+    packing_report,
     pack_token_sequences,
     packed_doc_spans,
     token_budget_mixture,
+    token_windows,
     epoch_mixture,
+    unpack_masked_sequences,
     unpack_sequences,
     export_packed_shards,
     scrub_pii,
@@ -175,6 +179,7 @@ __all__ = [
     "load_langid",
     "chunk_documents",
     "chunk_by_tokens",
+    "fim_transform",
     "hash_sample",
     "assign_split",
     "sample_k_per_group",
@@ -186,9 +191,12 @@ __all__ = [
     "stratified_split",
     "pack_sequences",
     "pack_masked_sequences",
+    "packing_report",
     "pack_token_sequences",
+    "unpack_masked_sequences",
     "unpack_sequences",
     "token_budget_mixture",
+    "token_windows",
     "epoch_mixture",
     "packed_doc_spans",
     "export_packed_shards",

@@ -2640,6 +2640,77 @@ def unpack_sequences(
     return out
 
 
+def unpack_masked_sequences(
+    packed: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = (),
+    sep_token: str | int | None = None,
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """Rebuild per-document ``(tokens, mask)`` pairs from
+    mask-preserving packed sequences + boundary spans — the inverse
+    and AUDIT of :func:`pack_masked_sequences`: masked packing is
+    lossless iff this returns exactly the pre-packing token arrays
+    AND the pre-packing masks (the z74 catalog entry states that
+    identity against the oracle — counts adding up is not enough;
+    a swapped mask bit trains the wrong tokens silently).
+
+    ``spans`` is the :func:`packed_doc_spans` frame built with the
+    SAME ``seq_len``/order/``sep_token`` (span arithmetic counts
+    tokens, so it is mask-agnostic). Both parallel arrays slice by
+    the same offsets and reassemble in one hash agg per document;
+    ``sep_token`` strips the trailing separator from BOTH arrays.
+
+    Plan: the :func:`unpack_sequences` shapes with one extra
+    projection-bound slice/transform per row — equi-join on
+    (``by``, seq_id), per-overlap slices, one per-doc hash agg."""
+    piece = packed.select(
+        *by,
+        "seq_id",
+        F.col("tokens").alias("_seq_toks"),
+        F.col(mask_col).alias("_seq_mask"),
+    ).join(spans, [*by, "seq_id"])
+    out = (
+        piece.select(
+            *by,
+            F.col(id_col),
+            F.struct(
+                F.col("doc_start"),
+                F.slice(
+                    "_seq_toks",
+                    (F.col("seq_start") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ).alias("pt"),
+                F.slice(
+                    "_seq_mask",
+                    (F.col("seq_start") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ).alias("pm"),
+            ).alias("_sp"),
+        )
+        .groupBy(*by, id_col)
+        .agg(F.array_sort(F.collect_list("_sp")).alias("_ps"))
+        .select(
+            *by,
+            id_col,
+            F.flatten(
+                F.transform(F.col("_ps"), lambda s: s["pt"])
+            ).alias("tokens"),
+            F.flatten(
+                F.transform(F.col("_ps"), lambda s: s["pm"])
+            ).alias(mask_col),
+        )
+    )
+    if sep_token is not None:
+        out = out.withColumn(
+            "tokens", F.slice("tokens", 1, F.size("tokens") - 1)
+        ).withColumn(
+            mask_col, F.slice(mask_col, 1, F.size(mask_col) - 1)
+        )
+    return out
+
+
 def token_budget_mixture(
     df: DataFrame,
     weights: dict[str, float],
@@ -2857,3 +2928,226 @@ def expand_epochs(
         F.lit(salt),
     )
     return out.withColumn(order_col, F.md5(key))
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+    prefix_token: str = "<fim_prefix>",
+    middle_token: str = "<fim_middle>",
+    suffix_token: str = "<fim_suffix>",
+    out_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Fill-in-the-middle transformation — the code-model training
+    staple (Bavarian et al. 2022, "Efficient Training of Language
+    Models to Fill in the Middle"; the FIM-for-free result: apply to
+    a fraction of documents, keep the rest autoregressive): split a
+    document's characters into (prefix, middle, suffix) at two
+    uniform cut points and rearrange with sentinel tokens so the
+    model learns to infill — PSM ``<p>prefix<s>suffix<m>middle`` or
+    SPM ``<p><s>suffix<m>prefix`` + ``middle`` (the paper's joined
+    variant; the trainer's target is always the middle, at the end).
+
+    Everything is DETERMINISTIC from md5(id||salt) — the property a
+    reproducible training corpus needs, and what ``df.sample`` +
+    Python ``random`` cannot give across re-runs/partitionings:
+    hex digits 1-8 gate which documents transform (``rate``), 9-16
+    pick PSM vs SPM (``spm_rate``), and digit pairs 17-18 / 19-20
+    place the two cuts (1/256 granularity of the document length —
+    the published recipe's uniform split, quantized). Untransformed
+    documents pass through unchanged with ``fim_style`` NULL;
+    transformed rows carry 'psm' / 'spm'. NULL or empty text never
+    transforms. Character arithmetic (codepoints, not bytes) so the
+    split never tears a multibyte char.
+
+    Scale shape: ONE map-only codegen'd projection — md5 + substring
+    slices + concat; no shuffle, no UDF; at 100 TB this is scan
+    cost, embarrassingly parallel. Each derived piece is built from
+    the projected text attribute, never re-derived."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if not 0.0 <= spm_rate <= 1.0:
+        raise ValueError(f"spm_rate must be in [0, 1], got {spm_rate}")
+    out_col = out_col or text_col
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(str(salt)))
+    )
+    base = df.withColumn("_fim_h", h)
+    hh = F.col("_fim_h")
+
+    def _gate(r: float, pos: int) -> Column:
+        # rate 1.0 would format to the 9-char '100000000', which
+        # lexicographically EXCLUDES most hashes — treat the
+        # endpoints exactly instead
+        if r >= 1.0:
+            return F.lit(True)
+        if r <= 0.0:
+            return F.lit(False)
+        return F.substring(hh, pos, 8) < F.lit(f"{int(r * 16**8):08x}")
+
+    t = F.col(text_col)
+    n = F.length(t)
+    u1 = F.conv(F.substring(hh, 17, 2), 16, 10).cast("bigint")
+    u2 = F.conv(F.substring(hh, 19, 2), 16, 10).cast("bigint")
+    c1 = F.floor(u1 * (n + 1) / 256).cast("int")
+    c2 = F.floor(u2 * (n + 1) / 256).cast("int")
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    base = (
+        base.withColumn(
+            "_fim_on",
+            t.isNotNull() & (n > 0) & _gate(rate, 1),
+        )
+        .withColumn("_fim_lo", lo)
+        .withColumn("_fim_hi", hi)
+    )
+    lo_c, hi_c = F.col("_fim_lo"), F.col("_fim_hi")
+    base = (
+        base.withColumn("_fim_p", F.substring(t, 1, lo_c))
+        .withColumn("_fim_m", F.substring(t, lo_c + 1, hi_c - lo_c))
+        .withColumn("_fim_s", F.substring(t, hi_c + 1, n - hi_c))
+    )
+    style = F.when(
+        F.col("_fim_on"),
+        F.when(_gate(spm_rate, 9), F.lit("spm")).otherwise(
+            F.lit("psm")
+        ),
+    )
+    base = base.withColumn("fim_style", style)
+    p, m, s = F.col("_fim_p"), F.col("_fim_m"), F.col("_fim_s")
+    psm = F.concat(
+        F.lit(prefix_token), p, F.lit(suffix_token), s,
+        F.lit(middle_token), m,
+    )
+    spm = F.concat(
+        F.lit(prefix_token), F.lit(suffix_token), s,
+        F.lit(middle_token), p, m,
+    )
+    rendered = (
+        F.when(F.col("fim_style") == "spm", spm)
+        .when(F.col("fim_style") == "psm", psm)
+        .otherwise(t)
+    )
+    return base.withColumn(out_col, rendered).drop(
+        "_fim_h", "_fim_on", "_fim_lo", "_fim_hi",
+        "_fim_p", "_fim_m", "_fim_s",
+    )
+
+
+def packing_report(
+    packed: DataFrame,
+    seq_len: int,
+    mask_col: str | None = None,
+) -> DataFrame:
+    """Packing-efficiency data card — the ONE-row audit a trainer
+    reads before an epoch (the sibling of :func:`corpus_report` for
+    the packed artifact): sequence and document counts, token
+    totals, ``fill_ratio`` (real tokens / capacity — how much of the
+    context window the pack actually uses; padding-wasteful packs
+    show up here), full-sequence count, docs-per-sequence extremes
+    and mean (how fragmented documents are). With ``mask_col`` (a
+    :func:`pack_masked_sequences` output) adds ``n_supervised`` and
+    ``supervised_ratio`` — the loss-bearing fraction of the epoch,
+    the number that catches an SFT export whose masks died upstream.
+
+    Input is a pack output (``seq_id, n_docs, n_tokens, tokens``
+    [, mask]); all columns are read pre-aggregated, so this is ONE
+    map-side-combinable hash aggregate to a scalar-sized row — at
+    100 TB the cost is a scan of the pack metadata columns (the
+    token arrays are never opened; column pruning drops them)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum("n_docs").cast("bigint").alias("n_doc_slices"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(
+            (F.col("n_tokens") == int(seq_len)).cast("bigint")
+        ).cast("bigint").alias("n_full_sequences"),
+        F.round(
+            F.sum("n_tokens")
+            / (F.count(F.lit(1)) * F.lit(int(seq_len))),
+            6,
+        ).alias("fill_ratio"),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_seq"),
+        F.round(F.sum("n_docs") / F.count(F.lit(1)), 6).alias(
+            "mean_docs_per_seq"
+        ),
+    ]
+    if mask_col is not None:
+        aggs += [
+            F.sum("n_supervised").cast("bigint").alias("n_supervised"),
+            F.round(F.sum("n_supervised") / F.sum("n_tokens"), 6).alias(
+                "supervised_ratio"
+            ),
+        ]
+    return packed.agg(*aggs)
+
+
+def token_windows(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    window: int = 2048,
+    stride: int = 1024,
+) -> DataFrame:
+    """Token-level sliding windows — the long-document handling
+    BEFORE packing when documents exceed the context length (the
+    published MLM/CLM chunking recipe: overlapping windows so no
+    token loses its left context entirely, stride < window giving
+    each boundary region two views): emits one row per window —
+    ``(id, win_idx, win_start, n_tokens, tokens)`` with windows
+    starting at ``0, stride, 2*stride, …``; a document of
+    ``len <= window`` tokens yields exactly one (whole) window, and
+    the final window of a longer document is the clipped tail
+    (always > ``window - stride`` tokens, so no sliver rows).
+    Empty/NULL token arrays yield no rows. Deterministic pure
+    arithmetic — the same input always chunks identically.
+
+    Contrast :func:`chunk_documents` (CHARACTER windows for
+    embedding/retrieval prep) and :func:`pack_token_sequences`
+    (concatenates ACROSS documents): this splits WITHIN a document
+    on token positions, the trainer-facing unit.
+
+    Scale shape: one ``explode(sequence(0, n_wins-1))`` + one
+    projection-bound ``slice`` per window — map-only, no shuffle,
+    no UDF; output rows ≈ input tokens / stride. The sequence is
+    guarded so ``n_wins >= 1`` before the explode (the
+    F.sequence(0, -1) trap)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 1 <= stride <= window:
+        raise ValueError(
+            f"stride must be in [1, window], got {stride}"
+        )
+    n = F.size(tokens_col).cast("bigint")
+    base = df.where(F.col(tokens_col).isNotNull() & (n > 0))
+    n_wins = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((n - window + stride - 1) / stride).cast("bigint"),
+        )
+    ).cast("bigint")
+    ex = base.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("_tw_toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_wins - 1)).alias(
+            "win_idx"
+        ),
+    )
+    start = (F.col("win_idx") * stride).cast("bigint")
+    piece = F.slice(
+        "_tw_toks", (start + 1).cast("int"), int(window)
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("win_idx").cast("bigint").alias("win_idx"),
+        start.alias("win_start"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        piece.alias("tokens"),
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "preference_pairs",
     "loss_spans",
     "token_loss_mask",
+    "conversation_report",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -348,21 +349,24 @@ def loss_spans(
     rendered = F.array_join(
         F.transform(m, lambda x: _render_one(template, x)), "\n"
     )
-    out = b
-    for name, col in (
-        (text_col, rendered),
-        (spans_col, spans),
-        (
-            "loss_chars",
-            F.aggregate(
-                spans,
-                F.lit(0).cast("bigint"),
-                lambda acc, s: acc + (s["end"] - s["start"]),
-            ),
+    # sequential withColumn + F.col references: the fold/render
+    # expressions are BIG, and re-embedding them in loss_chars /
+    # total_chars would tree-duplicate them per reference (the
+    # url_features lesson) — downstream columns read the projected
+    # attributes instead
+    out = b.withColumn(text_col, rendered).withColumn(
+        spans_col, spans
+    )
+    out = out.withColumn(
+        "loss_chars",
+        F.aggregate(
+            F.col(spans_col),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + (s["end"] - s["start"]),
         ),
-        ("total_chars", F.length(rendered).cast("bigint")),
-    ):
-        out = out.withColumn(name, col)
+    ).withColumn(
+        "total_chars", F.length(F.col(text_col)).cast("bigint")
+    )
     return out.drop("_ls_m")
 
 
@@ -421,29 +425,37 @@ def token_loss_mask(
 
     toks = F.aggregate(parts, zero, _step)["toks"]
     spans = F.col("_tm_s")
-    mask = F.when(
-        spans.isNotNull() & toks.isNotNull(),
-        F.transform(
-            toks,
-            lambda t: F.exists(
-                spans,
-                lambda s: (t["start"] < s["end"])
-                & (t["end"] > s["start"]),
+    # chain on projected attributes: the offset fold is a BIG
+    # expression, and building mask/n_supervised from the raw `toks`
+    # expression would tree-duplicate it per reference (measured 3×
+    # wall on the SFT prep chain) — tokens_col is NULL iff spans or
+    # toks is NULL, so gating on it preserves the NULL semantics
+    out = b.withColumn(
+        tokens_col, F.when(spans.isNotNull(), toks)
+    )
+    tc = F.col(tokens_col)
+    out = out.withColumn(
+        mask_col,
+        F.when(
+            tc.isNotNull(),
+            F.transform(
+                tc,
+                lambda t: F.exists(
+                    spans,
+                    lambda s: (t["start"] < s["end"])
+                    & (t["end"] > s["start"]),
+                ),
             ),
         ),
     )
-    out = (
-        b.withColumn(tokens_col, F.when(spans.isNotNull(), toks))
-        .withColumn(mask_col, mask)
-        .withColumn(
-            "n_supervised",
-            F.aggregate(
-                mask,
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc
-                + F.when(x, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-            ),
-        )
+    out = out.withColumn(
+        "n_supervised",
+        F.aggregate(
+            F.col(mask_col),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.when(x, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        ),
     )
     return out.drop("_tm_t", "_tm_s")
 
@@ -512,4 +524,78 @@ def preference_pairs(
         (F.col("n_samples") >= 2)
         & (F.col("score_gap") > 0)
         & (F.col("score_gap") >= float(min_gap))
+    )
+
+def conversation_report(
+    df: DataFrame, messages_col: str = "messages"
+) -> DataFrame:
+    """SFT corpus data card — the release-note aggregate for a
+    conversation corpus (the sibling of
+    :func:`~topn_spark.operators.pipeline.corpus_report` for the
+    document corpus): ONE row of corpus-level structure —
+    conversation counts (total / NULL / empty), turn totals and
+    per-role splits (user / assistant / system / other, where
+    'other' is any unexpected or NULL role — observable, never
+    silently folded), ``max_turns``, ``mean_turns`` (over non-NULL
+    conversations, ROUND 6), character totals, and
+    ``assistant_char_ratio`` — the fraction of corpus characters a
+    trainer would supervise, the number that catches a corpus whose
+    assistant turns are one-liners under walls of user context.
+
+    Scale shape: per-row signals are projection-bound size/filter/
+    fold expressions (map-only, no UDF); the report is ONE global
+    hash aggregate of sums/counts/max — all map-side combinable, so
+    the shuffle carries one partial row per task. Output is
+    scalar-sized by definition."""
+    m = F.col(messages_col)
+
+    def _role_n(role: str) -> Column:
+        return F.when(
+            m.isNotNull(),
+            F.size(F.filter(m, lambda x: x["role"] == F.lit(role))),
+        ).cast("bigint")
+
+    def _chars(filtered: Column) -> Column:
+        return F.when(
+            m.isNotNull(),
+            F.aggregate(
+                filtered,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.coalesce(
+                    F.length(x["content"]).cast("bigint"), F.lit(0)
+                ),
+            ),
+        )
+
+    sig = df.select(
+        m.isNull().cast("bigint").alias("_is_null"),
+        F.when(m.isNotNull(), F.size(m)).cast("bigint").alias("_nt"),
+        _role_n("user").alias("_nu"),
+        _role_n("assistant").alias("_na"),
+        _role_n("system").alias("_ns"),
+        _chars(
+            F.filter(m, lambda x: x["role"] == F.lit("assistant"))
+        ).alias("_ac"),
+        _chars(m).alias("_tc"),
+    )
+    nt = F.col("_nt")
+    return sig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversations"),
+        F.sum("_is_null").cast("bigint").alias("n_null"),
+        F.sum((nt == 0).cast("bigint")).cast("bigint").alias("n_empty"),
+        F.sum(nt).cast("bigint").alias("n_turns"),
+        F.sum("_nu").cast("bigint").alias("n_user_turns"),
+        F.sum("_na").cast("bigint").alias("n_assistant_turns"),
+        F.sum("_ns").cast("bigint").alias("n_system_turns"),
+        (
+            F.sum(nt) - F.sum("_nu") - F.sum("_na") - F.sum("_ns")
+        ).cast("bigint").alias("n_other_turns"),
+        F.max(nt).cast("bigint").alias("max_turns"),
+        F.round(F.sum(nt) / F.count(nt), 6).alias("mean_turns"),
+        F.sum("_ac").cast("bigint").alias("assistant_chars"),
+        F.sum("_tc").cast("bigint").alias("total_chars"),
+        F.round(F.sum("_ac") / F.sum("_tc"), 6).alias(
+            "assistant_char_ratio"
+        ),
     )

@@ -2282,6 +2282,195 @@ def _stage_render_chat(
     )
 
 
+def _stage_fim(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """FimTransform transform: deterministic fill-in-the-middle
+    (pipeline.py::fim_transform — Bavarian et al. 2022 PSM/SPM with
+    md5-derived gates and cut points). Properties: textField
+    ('text'), idField ('doc_id'), rate ('0.5'), spmRate ('0.5'),
+    prefixToken/middleToken/suffixToken (the sentinels), outField
+    (defaults to textField), salt ('')."""
+    (df,) = inputs
+    p = stage.properties
+    text_col = p.get("textField", "text")
+    id_col = p.get("idField", "doc_id")
+    ok = _require_field(df, text_col, collector, "textField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    rates = {}
+    for prop, default in (("rate", 0.5), ("spmRate", 0.5)):
+        raw = p.get(prop, str(default))
+        if phase == "run":
+            raw = substitute_macros(
+                raw, substitutions or {}, collector, prop
+            )
+        if contains_macro(str(raw)):
+            rates[prop] = default
+            continue
+        try:
+            v = float(raw)
+        except (TypeError, ValueError):
+            v = None
+        if v is None or not 0.0 <= v <= 1.0:
+            collector.add_failure(
+                f"Invalid {prop} '{raw}'.",
+                "A fraction in [0, 1].",
+                property_name=prop,
+            )
+            ok = False
+        else:
+            rates[prop] = v
+    if not ok:
+        return df
+    from topn_spark.operators.pipeline import fim_transform
+
+    return fim_transform(
+        df, text_col=text_col, id_col=id_col,
+        rate=rates["rate"], spm_rate=rates["spmRate"],
+        prefix_token=p.get("prefixToken", "<fim_prefix>"),
+        middle_token=p.get("middleToken", "<fim_middle>"),
+        suffix_token=p.get("suffixToken", "<fim_suffix>"),
+        out_col=p.get("outField"), salt=p.get("salt", ""),
+    )
+
+
+def _stage_token_windows(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """TokenWindows transform: token-level sliding windows for
+    long-document chunking (pipeline.py::token_windows — overlapping
+    stride windows, clipped tails, one row per window). Properties:
+    tokensField ('tokens'), idField ('doc_id'), window ('2048'),
+    stride ('1024' — must be in [1, window])."""
+    (df,) = inputs
+    p = stage.properties
+    tokens_col = p.get("tokensField", "tokens")
+    id_col = p.get("idField", "doc_id")
+    window = _int_prop(
+        p, "window", 2048, collector, lo=1,
+        substitutions=substitutions, phase=phase,
+    )
+    stride = _int_prop(
+        p, "stride", 1024, collector, lo=1,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, tokens_col, collector, "tokensField")
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    if window is not None and stride is not None and stride > window:
+        collector.add_failure(
+            f"stride ({stride}) exceeds window ({window}).",
+            "Use stride <= window.",
+            property_name="stride",
+        )
+        ok = False
+    if window is None or stride is None or not ok:
+        return df
+    from topn_spark.operators.pipeline import token_windows
+
+    return token_windows(
+        df, tokens_col=tokens_col, id_col=id_col,
+        window=window, stride=stride,
+    )
+
+
+def _stage_loss_mask(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """LossMask transform: the SFT render->supervise step in one
+    stage — render the conversation under the template, derive the
+    assistant-content char spans (sft.loss_spans), convert them to a
+    whitespace-token supervise mask (sft.token_loss_mask), and emit
+    PACKABLE columns: ``outField`` (rendered text), ``tokens``
+    (array<string> — plain tokens, offsets dropped), ``loss_mask``
+    (aligned booleans) and ``n_supervised``. Feed the output to
+    PackMasked so the mask survives packing. Properties:
+    messagesField ('messages'), template ('chatml'), lossRole
+    ('assistant'), outField ('text')."""
+    from topn_spark.operators.sft import (
+        CHAT_TEMPLATES,
+        loss_spans,
+        token_loss_mask,
+    )
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    template = p.get("template", "chatml")
+    loss_role = p.get("lossRole", "assistant")
+    out_col = p.get("outField", "text")
+    ok = _require_field(df, messages_col, collector, "messagesField")
+    if template not in CHAT_TEMPLATES:
+        collector.add_failure(
+            f"Unknown template '{template}'.",
+            f"One of {list(CHAT_TEMPLATES)}.",
+            property_name="template",
+        )
+        ok = False
+    if not ok:
+        return df
+    spanned = loss_spans(
+        df, messages_col, template=template, loss_role=loss_role,
+        text_col=out_col,
+    )
+    masked = token_loss_mask(spanned, text_col=out_col)
+    return masked.withColumn(
+        "tokens", F.transform("tokens", lambda t: t["tok"])
+    )
+
+
+def _stage_pack_masked(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PackMasked transform: mask-preserving sequence packing
+    (pipeline.py::pack_masked_sequences) — concat-and-chunk packing
+    where every packed sequence carries an ALIGNED per-token loss
+    mask plus n_supervised, so SFT shards stay trainable. NULL or
+    misaligned masks fail at execution with the document id.
+    Properties: tokensField ('tokens'), maskField ('loss_mask'),
+    idField ('doc_id'), seqLen ('2048'), orderField (defaults to
+    idField), byFields (comma list — ALWAYS set at scale), padToken
+    (pad positions are never supervised), sepToken, sepSupervised
+    ('false' — 'true' when the EOS after an assistant turn should be
+    learned)."""
+    (df,) = inputs
+    p = stage.properties
+    tokens_col = p.get("tokensField", "tokens")
+    mask_col = p.get("maskField", "loss_mask")
+    id_col = p.get("idField", "doc_id")
+    order_col = p.get("orderField", id_col)
+    by = tuple(
+        c.strip() for c in p.get("byFields", "").split(",") if c.strip()
+    )
+    seq_len = _int_prop(
+        p, "seqLen", 2048, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    sep_sup = p.get("sepSupervised", "false").lower()
+    ok = _require_field(df, tokens_col, collector, "tokensField")
+    ok = _require_field(df, mask_col, collector, "maskField") and ok
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    ok = _require_field(df, order_col, collector, "orderField") and ok
+    for c in by:
+        ok = _require_field(df, c, collector, "byFields") and ok
+    if sep_sup not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid sepSupervised '{p.get('sepSupervised')}'.",
+            "'true' or 'false'.",
+            property_name="sepSupervised",
+        )
+        ok = False
+    if seq_len is None or not ok:
+        return df
+    from topn_spark.operators.pipeline import pack_masked_sequences
+
+    return pack_masked_sequences(
+        df, tokens_col=tokens_col, mask_col=mask_col, id_col=id_col,
+        seq_len=seq_len, by=by, order_col=order_col,
+        pad_token=p.get("padToken"), sep_token=p.get("sepToken"),
+        sep_supervised=sep_sup == "true",
+    )
+
+
 def _stage_redact_conversation(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -2415,6 +2604,10 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "Mixer": ("transform", _stage_mixer),
     "ConversationQc": ("transform", _stage_conversation_qc),
     "RenderChat": ("transform", _stage_render_chat),
+    "LossMask": ("transform", _stage_loss_mask),
+    "PackMasked": ("transform", _stage_pack_masked),
+    "FimTransform": ("transform", _stage_fim),
+    "TokenWindows": ("transform", _stage_token_windows),
     "RedactConversation": ("transform", _stage_redact_conversation),
     "LossSpans": ("transform", _stage_loss_spans),
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),

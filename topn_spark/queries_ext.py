@@ -11628,3 +11628,448 @@ def z72_token_loss_mask(spark, sf_dir):
             ),
         ).alias("toks_sig"),
     ).orderBy("conv_id")
+
+
+@query(
+    "z73_pack_masked",
+    r"""WITH t AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS okey,
+    list_append(
+      regexp_extract_all(lower(text), '[a-z0-9]+'), '</s>') AS toks,
+    list_append(
+      list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> length(x) >= 4), false) AS msk
+  FROM documents WHERE doc_id < 400
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+c AS (
+  SELECT okey, toks, msk, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+s AS (
+  SELECT okey, toks, msk, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece,
+    msk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+        :CAST(GREATEST(seq_id * 32 - off, 0)
+          + LEAST((seq_id + 1) * 32, off + n)
+          - GREATEST(seq_id * 32, off) AS BIGINT)] AS mpiece
+  FROM s)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+    AS n_tokens,
+  CAST(len(list_filter(flatten(list(mpiece ORDER BY seq_start)),
+    x -> x)) AS BIGINT) AS n_supervised,
+  flatten(list(piece ORDER BY seq_start)) AS tokens,
+  flatten(list(mpiece ORDER BY seq_start)) AS loss_mask
+FROM p GROUP BY seq_id ORDER BY seq_id ASC""",
+    doc="MASK-PRESERVING SEQUENCE PACKING (pipeline.py::"
+    "pack_masked_sequences) — the missing SFT->shard link: packing"
+    " that carries a per-token supervise mask through GPT-style"
+    " concat-and-chunk, so packed shards stay trainable for"
+    " instruction tuning (without it the mask from token_loss_mask"
+    " dies at the packing stage and prompts would be supervised)."
+    " Each document contributes zip(tokens, mask); every sequence"
+    " emits aligned tokens + loss_mask + n_supervised (the trainer's"
+    " per-sequence loss normalizer); the injected EOS carries the"
+    " sep_supervised policy (False here); NULL/misaligned masks"
+    " raise at execution with the document id. Packed in md5(doc_id)"
+    " order — exercises the string-order two-level prefix sum (3-char"
+    " buckets, keyless window only over bucket totals). Content-"
+    "derived mask (token length >= 4) proves alignment survives"
+    " splitting across sequence boundaries. Oracle: identical"
+    " dual-array slice arithmetic in DuckDB, hash-exact including"
+    " both full arrays",
+)
+def z73_pack_masked(spark, sf_dir):
+    from topn_spark.operators.pipeline import pack_masked_sequences
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("okey"),
+            tokens("text").alias("tokens"),
+        )
+        .withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: F.length(t) >= 4),
+        )
+    )
+    return pack_masked_sequences(
+        docs,
+        id_col="okey",
+        order_col="okey",
+        seq_len=32,
+        sep_token="</s>",
+    ).orderBy("seq_id")
+
+
+@query(
+    "z74_unpack_masked_round_trip",
+    r"""SELECT doc_id,
+  regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens,
+  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+    x -> length(x) >= 4) AS loss_mask
+FROM documents
+WHERE doc_id < 400
+  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+ORDER BY doc_id ASC""",
+    doc="MASKED-packing losslessness stated AS A QUERY (pipeline.py"
+    "::unpack_masked_sequences, inverse/audit of"
+    " pack_masked_sequences): tokenize + derive a content mask ->"
+    " pack into 32-token sequences WITH the mask and an EOS"
+    " separator -> rebuild every document's (tokens, mask) pair"
+    " from the packed sequences plus packed_doc_spans metadata."
+    " The oracle is the ORIGINAL arrays — hash-equality proves the"
+    " mask rides the full cycle bit-exactly (counts adding up is"
+    " NOT enough: a swapped mask bit silently trains the wrong"
+    " tokens), the property a trainable packed export rests on."
+    " Plan: the unpack equi-join on seq_id + per-overlap dual"
+    " slices + one per-doc hash agg — the packer's shapes run"
+    " backwards; the second array adds only projection-bound"
+    " slices. Production use: audit an exported SFT epoch"
+    " end-to-end before training",
+)
+def z74_unpack_masked_round_trip(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        pack_masked_sequences,
+        packed_doc_spans,
+        unpack_masked_sequences,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", tokens("text").alias("tokens"))
+        .withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: F.length(t) >= 4),
+        )
+    )
+    packed = pack_masked_sequences(docs, seq_len=32, sep_token="</s>")
+    spans = packed_doc_spans(docs, seq_len=32, sep_token="</s>")
+    return unpack_masked_sequences(
+        packed, spans, sep_token="</s>"
+    ).orderBy("doc_id")
+
+
+@query(
+    "z75_fim_transform",
+    r"""WITH t AS (
+  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h,
+    length(text) AS n
+  FROM documents WHERE doc_id < 500),
+c AS (
+  SELECT *,
+    substr(h, 1, 8) < '80000000' AND n > 0 AS fim_on,
+    ((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(h, 18, 1)) - 1) AS u1,
+    ((strpos('0123456789abcdef', substr(h, 19, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(h, 20, 1)) - 1) AS u2
+  FROM t),
+d AS (
+  SELECT *,
+    LEAST((u1 * (n + 1)) // 256, (u2 * (n + 1)) // 256) AS lo,
+    GREATEST((u1 * (n + 1)) // 256, (u2 * (n + 1)) // 256) AS hi
+  FROM c),
+e AS (
+  SELECT doc_id, text, n, lo, hi,
+    CASE WHEN fim_on THEN
+      CASE WHEN substr(h, 9, 8) < '80000000'
+        THEN 'spm' ELSE 'psm' END
+    END AS fim_style,
+    substr(text, 1, CAST(lo AS INTEGER)) AS p,
+    substr(text, CAST(lo + 1 AS INTEGER),
+      CAST(hi - lo AS INTEGER)) AS m,
+    substr(text, CAST(hi + 1 AS INTEGER),
+      CAST(n - hi AS INTEGER)) AS s
+  FROM d)
+SELECT doc_id, fim_style,
+  CASE fim_style
+    WHEN 'spm' THEN '<fim_prefix>' || '<fim_suffix>' || s
+      || '<fim_middle>' || p || m
+    WHEN 'psm' THEN '<fim_prefix>' || p || '<fim_suffix>' || s
+      || '<fim_middle>' || m
+    ELSE text END AS text
+FROM e ORDER BY doc_id ASC""",
+    doc="FILL-IN-THE-MIDDLE transformation (pipeline.py::"
+    "fim_transform) — the code-model training staple (Bavarian et"
+    " al. 2022, FIM-for-free): split a document's characters at two"
+    " uniform cuts into (prefix, middle, suffix) and rearrange with"
+    " sentinels so the model learns to infill — PSM"
+    " <p>prefix<s>suffix<m>middle or the joined SPM variant;"
+    " untransformed documents pass through with fim_style NULL."
+    " Every decision is DETERMINISTIC from md5(doc_id): hex 1-8"
+    " gates the 50% transform rate, 9-16 picks PSM/SPM, digit pairs"
+    " 17-18/19-20 place the cuts at 1/256 granularity — the"
+    " reproducibility df.sample + Python random cannot give."
+    " Character (codepoint) arithmetic — never tears a multibyte"
+    " char. Scale: ONE map-only codegen'd projection (md5 +"
+    " substring slices + concat), no shuffle, no UDF. Oracle:"
+    " identical hex-digit/cut arithmetic re-derived in DuckDB via"
+    " strpos digit decoding, hash-exact over the rendered text",
+)
+def z75_fim_transform(spark, sf_dir):
+    from topn_spark.operators.pipeline import fim_transform
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    return fim_transform(docs).select(
+        "doc_id", "fim_style", "text"
+    ).orderBy("doc_id")
+
+
+@query(
+    "z76_conversation_report",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 8 THEN NULL ELSE
+    CASE doc_id % 8
+      WHEN 0 THEN [{'role': 'system', 'content': 'sys ' || doc_id},
+                   {'role': 'user', 'content': 'hi ' || doc_id},
+                   {'role': 'assistant', 'content': 'hello ' || doc_id}]
+      WHEN 1 THEN [{'role': 'user', 'content': 'q1 ' || doc_id},
+                   {'role': 'assistant', 'content': 'a1'},
+                   {'role': 'user', 'content': 'q2'},
+                   {'role': 'assistant', 'content': 'a2 ' || doc_id}]
+      WHEN 2 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'user', 'content': 'y ' || doc_id},
+                   {'role': 'assistant', 'content': 'z'}]
+      WHEN 3 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'},
+                   {'role': 'user', 'content': 'tail'}]
+      WHEN 4 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'tool', 'content': 't ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      WHEN 5 THEN [{'role': 'user', 'content': 'x ' || doc_id},
+                   {'role': 'assistant', 'content': '   '}]
+      WHEN 6 THEN [{'role': 'user', 'content': 'x'},
+                   {'role': 'system', 'content': 'late ' || doc_id},
+                   {'role': 'assistant', 'content': 'y'}]
+      ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])
+    END END AS m
+  FROM documents WHERE doc_id < 450),
+r AS (
+  SELECT doc_id,
+    CASE WHEN m IS NULL THEN 1 ELSE 0 END AS is_null,
+    CASE WHEN m IS NULL THEN NULL
+      ELSE CAST(len(m) AS BIGINT) END AS nt,
+    CASE WHEN m IS NULL THEN NULL ELSE CAST(len(list_filter(m,
+      x -> x.role = 'user')) AS BIGINT) END AS nu,
+    CASE WHEN m IS NULL THEN NULL ELSE CAST(len(list_filter(m,
+      x -> x.role = 'assistant')) AS BIGINT) END AS na,
+    CASE WHEN m IS NULL THEN NULL ELSE CAST(len(list_filter(m,
+      x -> x.role = 'system')) AS BIGINT) END AS ns,
+    CASE WHEN m IS NULL THEN NULL ELSE CAST(COALESCE(
+      list_sum(list_transform(list_filter(m,
+        x -> x.role = 'assistant'), x -> length(x.content))), 0)
+      AS BIGINT) END AS ac,
+    CASE WHEN m IS NULL THEN NULL ELSE CAST(COALESCE(
+      list_sum(list_transform(m, x -> length(x.content))), 0)
+      AS BIGINT) END AS tc
+  FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversations,
+  CAST(SUM(is_null) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_empty,
+  CAST(SUM(nt) AS BIGINT) AS n_turns,
+  CAST(SUM(nu) AS BIGINT) AS n_user_turns,
+  CAST(SUM(na) AS BIGINT) AS n_assistant_turns,
+  CAST(SUM(ns) AS BIGINT) AS n_system_turns,
+  CAST(SUM(nt) - SUM(nu) - SUM(na) - SUM(ns) AS BIGINT)
+    AS n_other_turns,
+  CAST(MAX(nt) AS BIGINT) AS max_turns,
+  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(nt), 6) AS mean_turns,
+  CAST(SUM(ac) AS BIGINT) AS assistant_chars,
+  CAST(SUM(tc) AS BIGINT) AS total_chars,
+  ROUND(CAST(SUM(ac) AS DOUBLE) / SUM(tc), 6)
+    AS assistant_char_ratio
+FROM r""",
+    doc="SFT CORPUS DATA CARD (operators/sft.py::"
+    "conversation_report) — the release-note aggregate for a"
+    " conversation corpus, sibling of corpus_report (z41) for the"
+    " document corpus: ONE row of corpus structure — conversation"
+    " counts (total/NULL/empty), turn totals and per-role splits"
+    " (user/assistant/system/other — 'other' catches unexpected"
+    " roles like the planted 'tool' turns, observable not folded),"
+    " max/mean turns, character totals, and assistant_char_ratio"
+    " (the fraction of corpus characters a trainer supervises — the"
+    " number that catches one-line answers under walls of context)."
+    " Fixture: the eight z66 structural shapes plus a NULL-messages"
+    " branch. Scale: per-row projection-bound size/filter/fold"
+    " signals (map-only) into ONE map-side-combinable global hash"
+    " agg — shuffle carries one partial row per task; output is"
+    " scalar-sized. Oracle: identical list algebra + the ROUND-6"
+    " single-division trick in DuckDB, hash-exact",
+)
+def z76_conversation_report(spark, sf_dir):
+    from topn_spark.operators.sft import conversation_report
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 450
+    )
+    d = F.col("doc_id")
+    msg_t = "array<struct<role:string,content:string>>"
+    convs = docs.select(
+        F.when(d % 9 == 8, F.lit(None).cast(msg_t))
+        .otherwise(_z66_messages())
+        .alias("messages")
+    )
+    return conversation_report(convs)
+
+
+@query(
+    "z77_packing_report",
+    r"""WITH t AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS okey,
+    list_append(
+      regexp_extract_all(lower(text), '[a-z0-9]+'), '</s>') AS toks,
+    list_append(
+      list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> length(x) >= 4), false) AS msk
+  FROM documents WHERE doc_id < 400
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+c AS (
+  SELECT okey, toks, msk, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+s AS (
+  SELECT okey, msk, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    msk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+        :CAST(GREATEST(seq_id * 32 - off, 0)
+          + LEAST((seq_id + 1) * 32, off + n)
+          - GREATEST(seq_id * 32, off) AS BIGINT)] AS mpiece
+  FROM s),
+q AS (
+  SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(len(flatten(list(mpiece))) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(flatten(list(mpiece)), x -> x))
+      AS BIGINT) AS n_supervised
+  FROM p GROUP BY seq_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences,
+  CAST(SUM(n_docs) AS BIGINT) AS n_doc_slices,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN n_tokens = 32 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_full_sequences,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * 32), 6)
+    AS fill_ratio,
+  CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_seq,
+  ROUND(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*), 6)
+    AS mean_docs_per_seq,
+  CAST(SUM(n_supervised) AS BIGINT) AS n_supervised,
+  ROUND(CAST(SUM(n_supervised) AS DOUBLE) / SUM(n_tokens), 6)
+    AS supervised_ratio
+FROM q""",
+    doc="PACKING-EFFICIENCY DATA CARD (pipeline.py::packing_report)"
+    " — the one-row audit a trainer reads before an epoch, over the"
+    " z73 masked pack: sequence/doc-slice counts, token totals,"
+    " fill_ratio (real tokens / n_sequences*seq_len — padding waste"
+    " shows up here), full-sequence count, docs-per-sequence"
+    " extremes and mean (document fragmentation), n_supervised and"
+    " supervised_ratio (the loss-bearing fraction — catches an SFT"
+    " export whose masks died upstream). Scale: ONE map-side-"
+    "combinable hash agg over the pack's METADATA columns — the"
+    " token arrays are never opened (column pruning drops them);"
+    " scalar-sized output. Oracle: re-derives the z73 pack"
+    " arithmetic in DuckDB then the identical aggregate, ROUND-6"
+    " single divisions, hash-exact",
+)
+def z77_packing_report(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        pack_masked_sequences,
+        packing_report,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("okey"),
+            tokens("text").alias("tokens"),
+        )
+        .withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: F.length(t) >= 4),
+        )
+    )
+    packed = pack_masked_sequences(
+        docs, id_col="okey", order_col="okey", seq_len=32,
+        sep_token="</s>",
+    )
+    return packing_report(packed, seq_len=32, mask_col="loss_mask")
+
+
+@query(
+    "z78_token_windows",
+    r"""WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 400),
+c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM t WHERE len(toks) > 0),
+w AS (
+  SELECT doc_id, toks, n,
+    CAST(1 + GREATEST(0, (n - 16 + 8 - 1) // 8) AS BIGINT)
+      AS n_wins
+  FROM c),
+e AS (
+  SELECT doc_id, toks, n, u.i AS win_idx
+  FROM w, UNNEST(range(0, n_wins)) AS u(i))
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+  CAST(win_idx * 8 AS BIGINT) AS win_start,
+  CAST(len(toks[CAST(win_idx * 8 + 1 AS BIGINT)
+    :CAST(LEAST(win_idx * 8 + 16, n) AS BIGINT)]) AS BIGINT)
+    AS n_tokens,
+  toks[CAST(win_idx * 8 + 1 AS BIGINT)
+    :CAST(LEAST(win_idx * 8 + 16, n) AS BIGINT)] AS tokens
+FROM e ORDER BY doc_id ASC, win_idx ASC""",
+    doc="TOKEN-LEVEL SLIDING WINDOWS (pipeline.py::token_windows) —"
+    " long-document handling BEFORE packing when documents exceed"
+    " the context length (the published MLM/CLM chunking recipe:"
+    " overlapping windows, stride < window, so boundary regions get"
+    " two views and no token loses all left context): one row per"
+    " window at starts 0, stride, 2*stride, …; len <= window yields"
+    " exactly one whole window; the final window is the clipped"
+    " tail, always > window - stride tokens (no sliver rows)."
+    " Window 16 / stride 8 over the tokenized documents. Contrast"
+    " chunk_documents (char windows, retrieval prep) and packing"
+    " (concatenates ACROSS docs). Scale: one guarded"
+    " explode(sequence) + projection-bound slices — map-only, no"
+    " shuffle, no UDF; rows ~ tokens/stride. Oracle:"
+    " UNNEST(range(n_wins)) + identical floor/clip arithmetic in"
+    " DuckDB, hash-exact including the full window arrays",
+)
+def z78_token_windows(spark, sf_dir):
+    from topn_spark.operators.pipeline import token_windows
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select("doc_id", tokens("text").alias("tokens"))
+    )
+    return token_windows(docs, window=16, stride=8).orderBy(
+        "doc_id", "win_idx"
+    )

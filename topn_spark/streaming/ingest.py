@@ -1032,3 +1032,116 @@ def attributes_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sft_gate_batch(
+    batch: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    messages_col: str = "messages",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+    redact: bool = False,
+    batch_id: int | None = None,
+) -> None:
+    """Structural SFT ingest gate for one micro-batch — the
+    conversation-modality sibling of :func:`quality_gate_batch`:
+    admit conversations that pass
+    :func:`~topn_spark.operators.sft.conversation_qc` (roles,
+    alternation, content, assistant-final), optionally PII-redact
+    the message arrays in place
+    (:func:`~topn_spark.operators.sft.redact_conversation` — the
+    release-gate form), then land them TRAINABLE: rendered ``text``
+    plus aligned ``tokens`` / ``loss_mask`` / ``n_supervised`` from
+    the loss_spans → token_loss_mask chain, ready for PackMasked.
+    Every rejection goes to ``reject_dir`` as ``(id, reason)`` with
+    the first-failing QC rule — the dead-letter log that makes a
+    malformed-upstream regression observable instead of silent
+    corpus shrinkage.
+
+    Idempotence contract of the gate family: with a ``batch_id``
+    each side overwrites its own ``batch_id=<N>`` partition
+    directory (exactly-once output from at-least-once replays);
+    without one, flat appends and the caller owns replay semantics.
+
+    Scale: QC/redact/render/mask are all projection-bound map-only
+    array algebra (no shuffle, no UDF) — per batch this is one scan
+    of the micro-batch; the batch is persisted for the scope of the
+    call because both writes derive from the same QC projection."""
+    from topn_spark.operators.sft import (
+        conversation_qc,
+        loss_spans,
+        redact_conversation,
+        token_loss_mask,
+    )
+
+    flagged = conversation_qc(batch, messages_col).persist()
+    try:
+        if batch_id is None:
+            out_target, rej_target = out_dir, reject_dir
+            mode = "append"
+        else:
+            out_target = f"{out_dir}/batch_id={int(batch_id)}"
+            rej_target = f"{reject_dir}/batch_id={int(batch_id)}"
+            mode = "overwrite"
+        kept = flagged.where(F.col("qc_pass")).select(*batch.columns)
+        if redact:
+            kept = redact_conversation(kept, messages_col).select(
+                *batch.columns
+            )
+        masked = token_loss_mask(
+            loss_spans(kept, messages_col, template=template)
+        )
+        trainable = masked.select(
+            *batch.columns,
+            "text",
+            F.transform("tokens", lambda t: t["tok"]).alias("tokens"),
+            "loss_mask",
+            "n_supervised",
+        )
+        trainable.write.mode(mode).parquet(out_target)
+        flagged.where(~F.col("qc_pass")).select(
+            F.col(id_col),
+            F.col("qc_reason").alias("reason"),
+        ).write.mode(mode).parquet(rej_target)
+    finally:
+        flagged.unpersist()
+
+
+def sft_corpus_sink(
+    stream: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    messages_col: str = "messages",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+    redact: bool = False,
+):
+    """Wire a conversation stream into :func:`sft_gate_batch` via
+    ``foreachBatch`` (availableNow-compatible) — the streaming twin
+    of the batch SFT spec (``examples/sft_pipeline.json``): QC gate
+    with a dead-letter reason log, optional in-place PII redaction,
+    and trainable (text, tokens, loss_mask) landings per batch. The
+    stream's epoch id threads through as ``batch_id``, so a
+    checkpointed replay OVERWRITES its own batch partition instead
+    of duplicating it. Returns the started ``StreamingQuery``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sft_gate_batch(
+            batch,
+            out_dir,
+            reject_dir,
+            messages_col=messages_col,
+            id_col=id_col,
+            template=template,
+            redact=redact,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
