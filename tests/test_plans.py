@@ -326,6 +326,11 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z74_unpack_masked_round_trip",
         "z75_fim_transform",
         "z76_conversation_report",
+        "z77_packing_report",
+        "z78_token_windows",
+        "z79_dedup_conversations",
+        "z80_ngram_diversity",
+        "z81_bpe_loss_mask",
     ):
         warns = [
             f

@@ -265,3 +265,66 @@ def test_preference_pairs_null_scores_and_string_ids(spark):
     assert (r2.chosen_id, r2.rejected_id) == ("c", "b")
     assert r2.n_samples == 2 and r2.score_gap == 3.0
     assert r2.chosen_response == "hi" and r2.rejected_response == "lo"
+
+
+def test_dedup_conversations_prompt_keyed(spark):
+    """dedup_conversations: formatting variants of the same prompt
+    collide after normalization, the smallest id survives, and
+    keyless/NULL conversations always pass through."""
+    from topn_spark.operators.sft import dedup_conversations
+
+    df = _conv(
+        spark,
+        [
+            (5, [("user", "What is   Spark?"), ("assistant", "a")]),
+            (2, [("user", "  what is spark? "), ("assistant", "b")]),
+            (9, [("user", "what is spark?"), ("assistant", "c")]),
+            (3, [("user", "unique prompt"), ("assistant", "d")]),
+            (4, [("assistant", "no user turn")]),
+            (6, None),
+        ],
+    )
+    out = {r.conv_id: r for r in dedup_conversations(df).collect()}
+    # 2 < 5 < 9 share the normalized prompt; keyless 4 and NULL 6 stay
+    assert sorted(out) == [2, 3, 4, 6]
+    assert out[2].prompt_digest == out[2].prompt_digest
+    assert out[4].prompt_digest is None
+    assert out[6].prompt_digest is None
+    assert out[3].prompt_digest != out[2].prompt_digest
+
+
+def test_bpe_loss_mask_expands_and_packs(spark):
+    """bpe_loss_mask: subtokens inherit their whitespace unit's bit
+    (counts reconcile with apply_bpe on the same text), NULL masks
+    stay observable, and the output feeds pack_masked_sequences
+    directly — the fully tokenizer-aligned SFT chain."""
+    from topn_spark.operators.pipeline import pack_masked_sequences
+    from topn_spark.operators.sft import bpe_loss_mask
+
+    merges = [("l", "l"), ("h", "e"), ("he", "ll"), ("o", "k")]
+    df = spark.createDataFrame(
+        [
+            (1, ["hello", "ok"], [True, False]),
+            (2, ["hell", "no"], [False, True]),
+            (3, ["x"], None),
+        ],
+        "conv_id long, tokens array<string>, loss_mask array<boolean>",
+    )
+    out = {r.conv_id: r for r in bpe_loss_mask(df, merges).collect()}
+    # hello -> hell|o (supervised), ok -> ok (not)
+    assert list(out[1].tokens) == ["hell", "o", "ok"]
+    assert list(out[1].loss_mask) == [True, True, False]
+    assert out[1].n_bpe_tokens == 3 and out[1].n_supervised == 2
+    assert list(out[2].tokens) == ["hell", "n", "o"]
+    assert list(out[2].loss_mask) == [False, True, True]
+    assert out[3].tokens is None and out[3].n_supervised is None
+
+    packed = pack_masked_sequences(
+        bpe_loss_mask(df.where(F.col("loss_mask").isNotNull()), merges),
+        id_col="conv_id", order_col="conv_id", seq_len=4,
+    ).collect()
+    assert sum(r.n_tokens for r in packed) == 6
+    assert sum(r.n_supervised for r in packed) == 4
+
+    with pytest.raises(ValueError, match="mode"):
+        bpe_loss_mask(df, merges, mode="word")

@@ -1455,3 +1455,28 @@ def test_routed_quality_no_stopwords_route(spark):
         routed_quality(
             df, {"ja": {"stopwords": None, "min_stop_hits": 2}}
         )
+
+
+def test_ngram_diversity_ratios(spark):
+    """ngram_diversity: totals/distincts per n over a corpus with a
+    planted repetition structure; bad ns fail loudly."""
+    import pytest
+
+    from topn_spark.operators.textstats import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.n: r for r in ngram_diversity(df).collect()}
+    # unigrams: a b a b | a b c -> 7 total, 3 distinct
+    assert rows[1].total_ngrams == 7 and rows[1].distinct_ngrams == 3
+    # bigrams: 'a b','b a','a b' | 'a b','b c' -> 5 total, 3 distinct
+    assert rows[2].total_ngrams == 5 and rows[2].distinct_ngrams == 3
+    assert rows[2].distinct_ratio == 0.6
+    # trigrams: 'a b a','b a b' | 'a b c' -> 3 total, 3 distinct
+    assert rows[3].total_ngrams == 3 and rows[3].distinct_ngrams == 3
+    with pytest.raises(ValueError, match="ns"):
+        ngram_diversity(df, ns=())
+    with pytest.raises(ValueError, match="ns"):
+        ngram_diversity(df, ns=(0,))

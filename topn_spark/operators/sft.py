@@ -39,6 +39,8 @@ __all__ = [
     "loss_spans",
     "token_loss_mask",
     "conversation_report",
+    "dedup_conversations",
+    "bpe_loss_mask",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -599,3 +601,156 @@ def conversation_report(
             "assistant_char_ratio"
         ),
     )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    messages_col: str = "messages",
+    id_col: str = "conv_id",
+    key_role: str = "user",
+) -> DataFrame:
+    """Prompt-level conversation dedup — the standard instruct-set
+    cleanup (the Alpaca-style recipe: many generated conversations
+    share the same prompt; keeping several trains the same input
+    with conflicting targets): conversations are keyed by the md5 of
+    their FIRST ``key_role`` turn's NORMALIZED content (lowercased,
+    whitespace runs collapsed, trimmed — so formatting variants
+    collide), and one conversation per key survives, the one with
+    the smallest ``id_col`` (deterministic across runs/engines).
+    Conversations with NO ``key_role`` turn or NULL content have no
+    prompt to compare — they always survive (observable upstream via
+    :func:`conversation_qc`, never silently dropped here). Appends
+    ``prompt_digest`` (NULL for keyless rows). Contrast
+    :func:`preference_pairs`: that CONSUMES shared-prompt groups;
+    this removes accidental ones from an SFT corpus.
+
+    Scale shape: one map-only digest projection, one
+    map-side-combinable ``min(id)`` hash agg per digest (digest
+    cardinality ≤ corpus), and one equi-join back on (digest, id) —
+    the exact-dedup shape (``dedup.dedup_exact``), never all-pairs;
+    a viral prompt duplicated millions of times is one hot agg key,
+    which partial aggregation absorbs."""
+    m = F.col(messages_col)
+    # F.get is NULL-safe out of bounds (element_at throws under ANSI
+    # when the conversation has no key_role turn)
+    first_key = F.get(
+        F.filter(m, lambda x: x["role"] == F.lit(key_role)), 0
+    )["content"]
+    norm = F.trim(
+        F.regexp_replace(F.lower(first_key), r"\s+", " ")
+    )
+    b = df.withColumn(
+        "prompt_digest",
+        F.when(m.isNotNull(), F.md5(norm)),
+    )
+    winners = (
+        b.where(F.col("prompt_digest").isNotNull())
+        .groupBy("prompt_digest")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    kept = b.join(
+        winners,
+        (b["prompt_digest"] == winners["prompt_digest"])
+        & (b[id_col] == winners["_keep_id"]),
+        "left_semi",
+    )
+    keyless = b.where(F.col("prompt_digest").isNull())
+    return kept.unionByName(keyless)
+
+
+def bpe_loss_mask(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "conv_id",
+    tokens_col: str = "tokens",
+    mask_col: str = "loss_mask",
+    mode: str = "byte",
+) -> DataFrame:
+    """Expand a whitespace-token supervise mask to TRAINED-TOKENIZER
+    subtokens — the last alignment step before packing when the
+    trainer consumes BPE ids rather than whitespace tokens: each
+    whitespace token from :func:`token_loss_mask` is one pre-token
+    unit (subtokens never cross it, so the expansion is exact — every
+    subtoken inherits its unit's supervise bit), encoded with the
+    SAME merge walk as the corpus tokenizer
+    (``textstats.bpe_encode_word`` — bit-identical to ``apply_bpe``,
+    so SFT and pretraining token counts reconcile). ``mode="byte"``
+    renders each unit's UTF-8 bytes as latin-1 symbols JVM-side
+    first (GPT-2 byte-level, zero OOV — the recommended form, and
+    the only one that tokenizes template markup like ``<|im_end|>``
+    compactly once those merges are trained); ``mode="char"`` merges
+    codepoints directly.
+
+    Emits ``(id, tokens, loss_mask, n_bpe_tokens, n_supervised)``
+    with the OUTPUT arrays named like the inputs so the result feeds
+    :func:`~topn_spark.operators.pipeline.pack_masked_sequences`
+    directly. NULL or misaligned input rows yield NULL outputs
+    (observable — same contract as token_loss_mask).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, merge table
+    as a closure (model-sized) — map-only, embarrassingly parallel,
+    Python work linear in characters; there is no SQL-expressible
+    merge walk, which is exactly why this is the UDF tier."""
+    from topn_spark.operators.textstats import bpe_encode_word
+
+    if mode not in ("byte", "char"):
+        raise ValueError(f"unknown mode {mode!r} (byte|char)")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {idt}, tokens array<string>, "
+        "loss_mask array<boolean>, n_bpe_tokens long, "
+        "n_supervised long"
+    )
+    toks = F.col(tokens_col)
+    if mode == "byte":
+        toks = F.transform(
+            toks,
+            lambda w: F.decode(F.encode(w, "UTF-8"), "ISO-8859-1"),
+        )
+    src = df.select(
+        F.col(id_col), toks.alias("_w"), F.col(mask_col).alias("_m")
+    )
+
+    def _run(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, t_out, m_out, nt, ns = [], [], [], [], []
+            for did, words, bits in zip(
+                pdf[id_col], pdf["_w"], pdf["_m"]
+            ):
+                ids.append(did)
+                if (
+                    words is None
+                    or bits is None
+                    or len(words) != len(bits)
+                ):
+                    t_out.append(None)
+                    m_out.append(None)
+                    nt.append(None)
+                    ns.append(None)
+                    continue
+                subs: list = []
+                sm: list = []
+                for w, b in zip(words, bits):
+                    enc = bpe_encode_word(w, ranks)
+                    subs.extend(enc)
+                    sm.extend([bool(b)] * len(enc))
+                t_out.append(subs)
+                m_out.append(sm)
+                nt.append(len(subs))
+                ns.append(int(sum(sm)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tokens": t_out,
+                    "loss_mask": m_out,
+                    "n_bpe_tokens": nt,
+                    "n_supervised": ns,
+                }
+            )
+
+    return src.mapInPandas(_run, out_schema)

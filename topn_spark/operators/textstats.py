@@ -1544,6 +1544,27 @@ def remove_duplicate_spans(
     )
 
 
+def bpe_encode_word(word, ranks) -> list[str]:
+    """The BPE merge walk over ONE pre-token: split to characters,
+    then repeatedly merge the highest-priority adjacent pair from
+    ``ranks`` (``{(left, right): rank}``; lower rank wins, leftmost
+    occurrence on ties) — Sennrich et al. 2016 application. Shared by
+    :func:`apply_bpe` (documents) and the SFT mask expander
+    (``sft.bpe_loss_mask``), so subtokenization is bit-identical
+    between the pretraining and SFT paths."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -1596,19 +1617,7 @@ def apply_bpe(
         )
 
     def _encode_word(word):
-        parts = list(word)
-        while len(parts) > 1:
-            best, best_i = None, -1
-            for i in range(len(parts) - 1):
-                r = ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best is None or r < best):
-                    best, best_i = r, i
-            if best is None:
-                break
-            parts[best_i : best_i + 2] = [
-                parts[best_i] + parts[best_i + 1]
-            ]
-        return parts
+        return bpe_encode_word(word, ranks)
 
     def _run(it):
         import pandas as pd
@@ -2969,4 +2978,69 @@ def load_logreg(spark, path: str) -> tuple[list[float], list[str]]:
     return (
         [float(r["weight"]) for r in rows],
         [r["feature"] for r in rows[1:]],
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+    mode: str = "ascii",
+) -> DataFrame:
+    """Lexical-diversity report — the repetitiveness release metric
+    (distinct-n-gram ratios; the published form of "this corpus is
+    templated" evidence, the corpus-level dual of the per-document
+    Gopher repetition rules): per ``n``, the TOTAL n-gram instance
+    count, the DISTINCT n-gram count, and ``distinct_ratio``
+    (ROUND 6) — a low ratio at n=2/3 means the corpus repeats
+    phrasing wholesale, the signal boilerplate/spam floods show up
+    in even after per-document filters pass.
+
+    Scale shape: tokens materialize ONCE per document (the
+    ngrams_from_tokens projection-binding rule), every requested
+    ``n`` builds its tagged gram array from that same bound column,
+    and ONE explode feeds ONE hash aggregate keyed by ``n`` with
+    count + exact count(DISTINCT md5(gram)) — grams hash to 16-byte
+    digests before the distinct shuffle. Exact distinct is the only
+    shuffle-sized term (same class as decontamination's gram
+    stream); for a cheaper approximate form at extreme scale, swap
+    ``approx_count_distinct`` (the z42 HLL path) — this operator
+    keeps the exact, oracle-checkable form."""
+    from topn_spark.operators.textstats import (  # self, explicit
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    if not ns or any(int(n) < 1 for n in ns):
+        raise ValueError(f"ns must be positive ints, got {ns!r}")
+    bound = df.select(tokens(text_col, mode).alias("_toks"))
+
+    def _tag(n: int) -> Column:
+        # ONE-arg lambda: a second (even defaulted) parameter makes
+        # F.transform treat it as the (element, index) form and feed
+        # the INDEX into it
+        return F.transform(
+            ngrams_from_tokens("_toks", n),
+            lambda g: F.struct(
+                F.lit(n).cast("bigint").alias("n"),
+                F.md5(g).alias("gh"),
+            ),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(int(n)) for n in ns]))
+    exploded = bound.select(F.explode(tagged).alias("_t")).select(
+        F.col("_t.n").alias("n"), F.col("_t.gh").alias("gh")
+    )
+    return (
+        exploded.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.countDistinct("gh").cast("bigint").alias(
+                "distinct_ngrams"
+            ),
+            F.round(
+                F.countDistinct("gh") / F.count(F.lit(1)), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("n")
     )

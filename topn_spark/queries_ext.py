@@ -12073,3 +12073,282 @@ def z78_token_windows(spark, sf_dir):
     return token_windows(docs, window=16, stride=8).orderBy(
         "doc_id", "win_idx"
     )
+
+
+@query(
+    "z79_dedup_conversations",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE
+      WHEN doc_id % 4 = 2 OR doc_id % 4 = 3 THEN NULL
+      ELSE md5(trim(regexp_replace(lower(
+        CASE WHEN doc_id % 2 = 0
+          THEN 'ASK   ' || CAST(doc_id % 50 AS VARCHAR) || '  pls'
+          ELSE 'ask ' || CAST(doc_id % 50 AS VARCHAR) || ' pls'
+        END), '\s+', ' ', 'g')))
+    END AS prompt_digest
+  FROM documents WHERE doc_id < 400),
+w AS (
+  SELECT prompt_digest, MIN(conv_id) AS keep_id
+  FROM t WHERE prompt_digest IS NOT NULL
+  GROUP BY prompt_digest)
+SELECT conv_id, prompt_digest FROM t
+WHERE prompt_digest IS NULL
+   OR EXISTS (SELECT 1 FROM w
+      WHERE w.prompt_digest = t.prompt_digest
+        AND w.keep_id = t.conv_id)
+ORDER BY conv_id ASC""",
+    doc="PROMPT-LEVEL CONVERSATION DEDUP (operators/sft.py::"
+    "dedup_conversations) — the standard instruct-set cleanup"
+    " (Alpaca-style: generated conversations share prompts, and"
+    " keeping several trains one input against conflicting"
+    " targets): conversations keyed by md5 of the FIRST user turn's"
+    " NORMALIZED content (lower + whitespace-collapse + trim, so"
+    " the planted 'ASK   7  pls'/'ask 7 pls' variants collide); one"
+    " survivor per key — the smallest id, deterministic."
+    " Conversations with no user turn or NULL messages have no"
+    " prompt to compare and always survive (keyless, digest NULL,"
+    " observable). Fixture: 400 conversations over 50 planted"
+    " prompts in two formatting variants + keyless/NULL shapes."
+    " Scale: one map-only digest projection, one map-side-"
+    "combinable min(id) agg per digest, one semi-join back — the"
+    " exact-dedup shape, never all-pairs; a viral prompt is one hot"
+    " agg key absorbed by partial aggregation. Oracle: identical"
+    " normalization + window-free MIN/EXISTS in DuckDB, hash-exact",
+)
+def z79_dedup_conversations(spark, sf_dir):
+    from topn_spark.operators.sft import dedup_conversations
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    pid = (d % 50).cast("string")
+    msg_t = "array<struct<role:string,content:string>>"
+
+    def msg(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    prompt = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("ASK   "), pid, F.lit("  pls")),
+    ).otherwise(F.concat(F.lit("ask "), pid, F.lit(" pls")))
+    msgs = (
+        F.when(d % 4 == 2, F.lit(None).cast(msg_t))
+        .when(
+            d % 4 == 3,
+            F.array(msg("assistant", F.concat(F.lit("solo "), ds))),
+        )
+        .otherwise(
+            F.array(
+                msg("user", prompt),
+                msg("assistant", F.concat(F.lit("resp "), ds)),
+            )
+        )
+    )
+    convs = docs.select(d.alias("conv_id"), msgs.alias("messages"))
+    return (
+        dedup_conversations(convs)
+        .select("conv_id", "prompt_digest")
+        .orderBy("conv_id")
+    )
+
+
+@query(
+    "z80_ngram_diversity",
+    r"""WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 500),
+g AS (
+  SELECT nn.n AS n, u.g AS gram
+  FROM t, (SELECT UNNEST([1, 2, 3]) AS n) nn,
+  UNNEST(CASE WHEN len(toks) >= nn.n
+    THEN list_transform(range(1, len(toks) - nn.n + 2),
+      i -> array_to_string(toks[i:i + nn.n - 1], ' '))
+    ELSE [] END) AS u(g))
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+  CAST(COUNT(DISTINCT md5(gram)) AS BIGINT) AS distinct_ngrams,
+  ROUND(CAST(COUNT(DISTINCT md5(gram)) AS DOUBLE) / COUNT(*), 6)
+    AS distinct_ratio
+FROM g GROUP BY n ORDER BY n ASC""",
+    doc="LEXICAL-DIVERSITY REPORT (textstats.py::ngram_diversity) —"
+    " the corpus repetitiveness release metric: per n in {1,2,3},"
+    " total n-gram instances, DISTINCT n-grams, and distinct_ratio"
+    " — a low ratio at n=2/3 is the 'templated corpus' signal that"
+    " survives per-document filters (the corpus-level dual of the"
+    " Gopher repetition rules; this synthetic corpus's ~31-word"
+    " vocabulary makes the ratios tiny, which is exactly what the"
+    " metric should say about it). Scale: tokens bound ONCE per doc,"
+    " all n built from the same projection, ONE explode into ONE"
+    " hash agg keyed by n; grams md5 to 16-byte digests before the"
+    " exact-distinct shuffle (the only data-sized term — swap the"
+    " z42 HLL path for approximate at extreme scale). Oracle:"
+    " UNNEST cross join over n + identical gram construction in"
+    " DuckDB, hash-exact",
+)
+def z80_ngram_diversity(spark, sf_dir):
+    from topn_spark.operators.textstats import ngram_diversity
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    return ngram_diversity(docs)
+
+
+#: z81 planted merge table (byte mode: symbols are latin-1-rendered
+#: UTF-8 bytes; the ("\xc3", "\xb6") pair merges the two bytes of
+#: 'ö' — a REAL byte merge a char-mode walk never sees).
+_Z81_MERGES = [
+    ("l", "l"), ("h", "e"), ("he", "ll"), ("a", "b"), ("b", "a"),
+    ("\xc3", "\xb6"), ("w", "\xc3\xb6"), ("ab", "ba"),
+]
+
+
+def _z81_fixture(d: int):
+    m3 = d % 3
+    if m3 == 0:
+        return (
+            ["hello", "wörld", f"{d % 10}<|im_end|>"],
+            [False, True, True],
+        )
+    if m3 == 1:
+        return (["ab", "ba", "abba"], [True, False, True])
+    return (["x"], None)
+
+
+def _z81_bpe_mask_mirror(con):
+    """z81 mirror: an INDEPENDENT pure-Python byte-BPE walk over the
+    planted (tokens, mask) fixture — lowest rank wins, leftmost on
+    ties, each subtoken inherits its whitespace unit's bit."""
+    ranks = {m: i for i, m in enumerate(_Z81_MERGES)}
+
+    def enc(word):
+        parts = list(word)
+        while len(parts) > 1:
+            cands = [
+                (ranks[(parts[i], parts[i + 1])], i)
+                for i in range(len(parts) - 1)
+                if (parts[i], parts[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+        return parts
+
+    ids = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id < 300"
+        ).fetchall()
+    ]
+    rows = []
+    for d in ids:
+        toks, bits = _z81_fixture(d)
+        if bits is None:
+            rows.append((d, None, None, None, None))
+            continue
+        subs, sm = [], []
+        for w, b in zip(toks, bits):
+            for s in enc(w.encode("utf-8").decode("latin-1")):
+                subs.append(s)
+                sm.append(b)
+        rows.append(
+            (
+                d,
+                len(subs),
+                sum(sm),
+                "|".join(subs),
+                "".join("1" if x else "0" for x in sm),
+            )
+        )
+    return (
+        ["conv_id", "n_bpe_tokens", "n_supervised", "toks_sig",
+         "mask_str"],
+        rows,
+    )
+
+
+@query(
+    "z81_bpe_loss_mask",
+    None,
+    doc="BPE-ALIGNED LOSS MASK (operators/sft.py::bpe_loss_mask) —"
+    " the last alignment step before packing when the trainer"
+    " consumes trained-tokenizer ids: each whitespace token from"
+    " token_loss_mask is one pre-token unit, encoded with the SAME"
+    " merge walk as the corpus tokenizer (textstats.bpe_encode_word"
+    " — shared code with apply_bpe, so SFT and pretraining token"
+    " counts reconcile), every subtoken inheriting its unit's"
+    " supervise bit. Byte mode: UTF-8 bytes rendered latin-1"
+    " JVM-side; the planted ('\\xc3','\\xb6') merge fuses the two"
+    " bytes of 'o-umlaut' — a real byte merge. NULL-mask rows yield"
+    " NULL outputs (observable). Scale: one Arrow mapInPandas pass,"
+    " merge table as closure — map-only; no SQL merge walk exists,"
+    " hence the UDF tier. Oracle: INDEPENDENT pure-Python byte-BPE"
+    " mirror over the same fixture, exact (tolerance 0)",
+    tol_oracle=_z81_bpe_mask_mirror,
+    tolerance=0.0,
+    tol_keys=("conv_id",),
+)
+def z81_bpe_loss_mask(spark, sf_dir):
+    from topn_spark.operators.sft import bpe_loss_mask
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    m3 = d % 3
+    tok_t = "array<string>"
+    msk_t = "array<boolean>"
+    tokens = (
+        F.when(
+            m3 == 0,
+            F.array(
+                F.lit("hello"),
+                F.lit("wörld"),
+                F.concat((d % 10).cast("string"), F.lit("<|im_end|>")),
+            ),
+        )
+        .when(m3 == 1, F.array(F.lit("ab"), F.lit("ba"), F.lit("abba")))
+        .otherwise(F.array(F.lit("x")))
+        .cast(tok_t)
+    )
+    mask = (
+        F.when(
+            m3 == 0,
+            F.array(F.lit(False), F.lit(True), F.lit(True)),
+        )
+        .when(
+            m3 == 1,
+            F.array(F.lit(True), F.lit(False), F.lit(True)),
+        )
+        .cast(msk_t)
+    )
+    base = docs.select(
+        d.alias("conv_id"),
+        tokens.alias("tokens"),
+        mask.alias("loss_mask"),
+    )
+    out = bpe_loss_mask(base, _Z81_MERGES)
+    toks, msk = F.col("tokens"), F.col("loss_mask")
+    return out.select(
+        "conv_id",
+        "n_bpe_tokens",
+        "n_supervised",
+        F.when(toks.isNotNull(), F.array_join(toks, "|")).alias(
+            "toks_sig"
+        ),
+        F.when(
+            msk.isNotNull(),
+            F.array_join(
+                F.transform(
+                    msk, lambda b: F.when(b, "1").otherwise("0")
+                ),
+                "",
+            ),
+        ).alias("mask_str"),
+    ).orderBy("conv_id")
