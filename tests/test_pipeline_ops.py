@@ -1725,3 +1725,24 @@ def test_packing_report_reconciles(spark):
     # without a mask the supervision columns are absent
     plain = packing_report(packed, seq_len=4).columns
     assert "n_supervised" not in plain
+
+
+def test_corpus_diff_statuses(spark):
+    """corpus_diff: added/removed/changed/unchanged classification,
+    including the NULL-text sentinel (present-with-NULL is a change
+    against text, not an add/remove)."""
+    from topn_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "now set"), (5, "new doc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "changed", 5: "added",
+    }

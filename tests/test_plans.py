@@ -331,6 +331,8 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z79_dedup_conversations",
         "z80_ngram_diversity",
         "z81_bpe_loss_mask",
+        "z82_corpus_diff",
+        "z83_sft_decontaminate",
     ):
         warns = [
             f

@@ -3151,3 +3151,55 @@ def token_windows(
         F.size(piece).cast("bigint").alias("n_tokens"),
         piece.alias("tokens"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the release-engineering audit between
+    two versions of a dataset (what a v2 release note's "N documents
+    added, M removed, K edited" line is computed from, and the first
+    question after a pipeline change: WHAT did it touch?): full
+    outer join of the two snapshots on ``id_col``, each document
+    classified ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, md5(text) differs — NULL text treated as its
+    own digest state, so NULL→text and text→NULL count as changes),
+    or ``unchanged``. Emits one row per distinct id:
+    ``(id, status, old_digest, new_digest)`` — feed a groupBy(status)
+    count for the release-note summary, or filter ``changed`` to
+    inspect edits.
+
+    Scale shape: two map-only digest projections and ONE full outer
+    shuffle join on the id (both sides hash-partitioned once; AQE
+    broadcasts a small side). Digests compare as 16-byte strings —
+    the text columns are never carried through the join."""
+    # NULL-sentinel digest: md5(NULL) is NULL, which would make "row
+    # present with NULL text" indistinguishable from "row absent" in
+    # the outer join — coalesce to a non-hex sentinel so digest
+    # nullness signals PRESENCE and the sentinel still compares
+    sig = F.coalesce(F.md5(F.col(text_col)), F.lit("NULL"))
+    o = old.select(
+        F.col(id_col).alias("_id"), sig.alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), sig.alias("new_digest")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") == F.col("new_digest"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        "old_digest",
+        "new_digest",
+    )

@@ -12352,3 +12352,199 @@ def z81_bpe_loss_mask(spark, sf_dir):
             ),
         ).alias("mask_str"),
     ).orderBy("conv_id")
+
+
+@query(
+    "z82_corpus_diff",
+    r"""WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+vold AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text
+  FROM docs WHERE doc_id < 450),
+vnew AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM docs WHERE doc_id < 450 AND doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id, text FROM docs WHERE doc_id >= 450),
+o AS (SELECT doc_id, COALESCE(md5(text), 'NULL') AS old_digest
+      FROM vold),
+n AS (SELECT doc_id, COALESCE(md5(text), 'NULL') AS new_digest
+      FROM vnew),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    old_digest, new_digest
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+  CASE WHEN old_digest IS NULL THEN 'added'
+       WHEN new_digest IS NULL THEN 'removed'
+       WHEN old_digest = new_digest THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  old_digest, new_digest
+FROM j ORDER BY doc_id ASC""",
+    doc="CORPUS SNAPSHOT DIFF (pipeline.py::corpus_diff) — the"
+    " release-engineering audit between two dataset versions (the"
+    " 'N added, M removed, K edited' release-note line, and the"
+    " first question after a pipeline change): full outer join on"
+    " id, per-document status added/removed/changed/unchanged from"
+    " NULL-SENTINEL md5 digests (md5(NULL) is NULL, which would"
+    " make 'present with NULL text' indistinguishable from 'absent'"
+    " — the sentinel keeps digest nullness = presence, and the"
+    " planted NULL-text rows prove NULL->text counts as changed,"
+    " not re-added). Planted v2: every 7th doc removed, every 5th"
+    " edited, 50 new ids appended. Scale: two map-only digest"
+    " projections + ONE outer shuffle join on the id carrying only"
+    " 16-byte digests (text never crosses the shuffle). Oracle:"
+    " identical sentinel/join/CASE in DuckDB, hash-exact",
+)
+def z82_corpus_diff(spark, sf_dir):
+    from topn_spark.operators.pipeline import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    ).select("doc_id", "text")
+    d = F.col("doc_id")
+    vold = docs.where(d < 450).select(
+        "doc_id",
+        F.when(d % 11 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    vnew = (
+        docs.where((d < 450) & (d % 7 != 0))
+        .select(
+            "doc_id",
+            F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(docs.where(d >= 450))
+    )
+    return corpus_diff(vold, vnew).orderBy("doc_id")
+
+
+#: z83 planted benchmark quote (11 words — every 8-gram window of a
+#: quoting assistant turn collides).
+_Z83_QUOTE = (
+    "the quick brown fox jumps over the lazy dog near the river"
+)
+
+
+@query(
+    "z83_sft_decontaminate",
+    r"""WITH conv AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 2
+      WHEN 0 THEN [
+        {'role': 'user', 'content': 'tell me a classic line'},
+        {'role': 'assistant', 'content':
+          'sure here it is """ + _Z83_QUOTE + r""" nr ' || doc_id}]
+      ELSE [
+        {'role': 'user', 'content': 'say something original'},
+        {'role': 'assistant', 'content':
+          'an entirely novel reply with plenty of ordinary words'
+          || ' nr ' || doc_id}]
+    END AS m
+  FROM documents WHERE doc_id < 400),
+rendered AS (
+  SELECT conv_id, array_to_string(
+    list_transform(m, x -> '<|im_start|>' || x.role || chr(10)
+      || x.content || '<|im_end|>'), chr(10)) AS text
+  FROM conv),
+ev AS (
+  SELECT 'benchmark item: """ + _Z83_QUOTE + r"""' AS text),
+eg AS (
+  SELECT DISTINCT u.g FROM (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM ev) s,
+  UNNEST(CASE WHEN len(toks) >= 8
+    THEN list_transform(range(1, len(toks) - 6),
+      i -> array_to_string(toks[i:i+7], ' '))
+    ELSE [] END) AS u(g)),
+tg AS (
+  SELECT conv_id, u.g FROM (
+    SELECT conv_id,
+      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM rendered) s,
+  UNNEST(CASE WHEN len(toks) >= 8
+    THEN list_transform(range(1, len(toks) - 6),
+      i -> array_to_string(toks[i:i+7], ' '))
+    ELSE [] END) AS u(g)),
+hits AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_contam_grams
+  FROM tg JOIN eg USING (g) GROUP BY conv_id)
+SELECT r.conv_id,
+  CAST(COALESCE(h.n_contam_grams, 0) AS BIGINT) AS n_contam_grams,
+  COALESCE(h.n_contam_grams, 0) >= 1 AS contaminated
+FROM rendered r LEFT JOIN hits h ON r.conv_id = h.conv_id
+ORDER BY r.conv_id ASC""",
+    doc="SFT BENCHMARK DECONTAMINATION — the conversation-modality"
+    " composition of the GPT-3 n-gram gate (sft.render_chat ->"
+    " dedup.ngram_decontaminate): an SFT set leaks eval benchmarks"
+    " through ASSISTANT turns (a model trained on them parrots the"
+    " benchmark), so the gate runs over the RENDERED text — the"
+    " same surface the trainer sees, markup tokens and all — with"
+    " 8-grams (the LLaMA-class SFT setting; 13 is the pretraining"
+    " default). Planted: every even conversation quotes an 11-word"
+    " benchmark line inside its assistant turn; odd ones are clean."
+    " Scale: render is map-only; the gate is the z58 shape — eval"
+    " reduces to a broadcast DISTINCT gram set, ONE train explode."
+    " Oracle: ChatML render re-derived in DuckDB list ops + the"
+    " z58 gram SQL at n=8, hash-exact",
+)
+def z83_sft_decontaminate(spark, sf_dir):
+    from topn_spark.operators.dedup import ngram_decontaminate
+    from topn_spark.operators.sft import render_chat
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def msg(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    msgs = F.when(
+        d % 2 == 0,
+        F.array(
+            msg("user", F.lit("tell me a classic line")),
+            msg(
+                "assistant",
+                F.concat(
+                    F.lit("sure here it is " + _Z83_QUOTE + " nr "),
+                    ds,
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            msg("user", F.lit("say something original")),
+            msg(
+                "assistant",
+                F.concat(
+                    F.lit(
+                        "an entirely novel reply with plenty of"
+                        " ordinary words nr "
+                    ),
+                    ds,
+                ),
+            ),
+        )
+    )
+    convs = docs.select(d.alias("conv_id"), msgs.alias("messages"))
+    rendered = render_chat(convs).select("conv_id", "text")
+    ev = convs.sparkSession.createDataFrame(
+        [(1, "benchmark item: " + _Z83_QUOTE)],
+        "qid long, text string",
+    )
+    return (
+        ngram_decontaminate(
+            rendered, ev, n=8, id_col="conv_id"
+        )
+        .select("conv_id", "n_contam_grams", "contaminated")
+        .orderBy("conv_id")
+    )
