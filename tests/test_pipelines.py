@@ -2404,3 +2404,57 @@ def test_fim_and_token_windows_stages(spark):
     }
     with pytest.raises(ValidationError, match="stride"):
         run_pipeline_with_source(spark, bad_stride, "src", docs)
+
+
+def test_bpe_loss_mask_stage(spark, tmp_path):
+    """BpeLossMask plugin: the full spec-driven tokenizer-aligned SFT
+    chain — LossMask -> BpeLossMask (saved merges) -> PackMasked;
+    missing mergesPath rejected loudly."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.operators.textstats import save_bpe_merges
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    merges_path = str(tmp_path / "merges")
+    save_bpe_merges(spark, [("h", "i"), ("o", "k")], merges_path)
+    conv = spark.createDataFrame(
+        [(1, [("user", "hi hi"), ("assistant", "ok ok ok")])],
+        "conv_id long, "
+        "messages array<struct<role:string,content:string>>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mask", "plugin": "LossMask", "properties": {}},
+            {"name": "bpe", "plugin": "BpeLossMask",
+             "properties": {"mergesPath": merges_path,
+                            "mode": "char"}},
+            {"name": "pack", "plugin": "PackMasked",
+             "properties": {"idField": "conv_id", "seqLen": "64"}},
+        ],
+        "connections": [{"from": "src", "to": "mask"},
+                        {"from": "mask", "to": "bpe"},
+                        {"from": "bpe", "to": "pack"}],
+    }
+    staged = run_pipeline_with_source(spark, spec, "src", conv)
+    b = staged["bpe"].collect()[0]
+    assert len(b.tokens) == len(b.loss_mask)
+    # 'ok' merges to one supervised subtoken inside the assistant turn
+    assert "ok" in b.tokens and "hi" in b.tokens
+    packed = staged["pack"].collect()[0]
+    assert packed.n_supervised == b.n_supervised
+
+    bad = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "mask", "plugin": "LossMask", "properties": {}},
+            {"name": "bpe", "plugin": "BpeLossMask", "properties": {}},
+        ],
+        "connections": [{"from": "src", "to": "mask"},
+                        {"from": "mask", "to": "bpe"}],
+    }
+    with pytest.raises(ValidationError, match="mergesPath"):
+        run_pipeline_with_source(spark, bad, "src", conv)

@@ -2471,6 +2471,58 @@ def _stage_pack_masked(
     )
 
 
+def _stage_bpe_loss_mask(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """BpeLossMask transform: expand the whitespace-token supervise
+    mask to trained-tokenizer subtokens (sft.bpe_loss_mask — the
+    same merge walk as Tokenize's mergesPath path, so SFT and
+    pretraining token counts reconcile). Run it between LossMask and
+    PackMasked when the trainer consumes BPE ids. Properties:
+    mergesPath (required — a save_bpe_merges artifact), idField
+    ('conv_id'), tokensField ('tokens'), maskField ('loss_mask'),
+    mode ('byte' | 'char')."""
+    (df,) = inputs
+    p = stage.properties
+    merges_path = p.get("mergesPath")
+    id_col = p.get("idField", "conv_id")
+    tokens_col = p.get("tokensField", "tokens")
+    mask_col = p.get("maskField", "loss_mask")
+    mode = p.get("mode", "byte")
+    ok = _require_field(df, id_col, collector, "idField")
+    ok = _require_field(df, tokens_col, collector, "tokensField") and ok
+    ok = _require_field(df, mask_col, collector, "maskField") and ok
+    if not merges_path:
+        collector.add_failure(
+            "Required property 'mergesPath' is missing.",
+            "Point it at a save_bpe_merges artifact.",
+            property_name="mergesPath",
+        )
+        ok = False
+    if mode not in ("byte", "char"):
+        collector.add_failure(
+            f"Invalid mode '{mode}'.", "'byte' or 'char'.",
+            property_name="mode",
+        )
+        ok = False
+    if phase == "run" and merges_path:
+        merges_path = substitute_macros(
+            merges_path, substitutions or {}, collector, "mergesPath"
+        )
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(merges_path):
+        return df
+    from topn_spark.operators.sft import bpe_loss_mask
+    from topn_spark.operators.textstats import load_bpe_merges
+
+    merges = load_bpe_merges(spark, merges_path)
+    return bpe_loss_mask(
+        df, merges, id_col=id_col, tokens_col=tokens_col,
+        mask_col=mask_col, mode=mode,
+    )
+
+
 def _stage_redact_conversation(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -2608,6 +2660,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "PackMasked": ("transform", _stage_pack_masked),
     "FimTransform": ("transform", _stage_fim),
     "TokenWindows": ("transform", _stage_token_windows),
+    "BpeLossMask": ("transform", _stage_bpe_loss_mask),
     "RedactConversation": ("transform", _stage_redact_conversation),
     "LossSpans": ("transform", _stage_loss_spans),
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
