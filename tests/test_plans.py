@@ -333,6 +333,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z81_bpe_loss_mask",
         "z82_corpus_diff",
         "z83_sft_decontaminate",
+        "z84_multimodal_chat",
     ):
         warns = [
             f

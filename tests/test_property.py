@@ -473,3 +473,68 @@ def test_pack_unpack_round_trip_with_sep_property(spark):
             assert flat[-1] == SEP
 
     check()
+
+
+def test_pack_masked_round_trip_property(spark):
+    """Property: for ANY corpus of (tokens, mask) pairs and ANY
+    seq_len, pack_masked_sequences keeps the mask bit-aligned — every
+    packed sequence has len(tokens) == len(mask), the supervised
+    total is conserved, and unpack_masked_sequences rebuilds every
+    non-empty document's (tokens, mask) pair exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from topn_spark.operators.pipeline import (
+        pack_masked_sequences,
+        packed_doc_spans,
+        unpack_masked_sequences,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "bb", "ccc"]),
+                    st.booleans(),
+                ),
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        seq_len=st.integers(min_value=1, max_value=5),
+    )
+    def check(docs, seq_len):
+        rows = [
+            (i, [t for t, _ in d], [m for _, m in d])
+            for i, d in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, tokens array<string>, "
+            "loss_mask array<boolean>",
+        )
+        packed_df = pack_masked_sequences(df, seq_len=seq_len)
+        packed = packed_df.collect()
+        for r in packed:
+            assert len(r.tokens) == len(r.loss_mask)
+            assert r.n_supervised == sum(r.loss_mask)
+        assert sum(r.n_supervised for r in packed) == sum(
+            m for d in docs for _, m in d
+        )
+        spans = packed_doc_spans(df, seq_len=seq_len)
+        rebuilt = {
+            r.doc_id: (list(r.tokens), list(r.loss_mask))
+            for r in unpack_masked_sequences(
+                pack_masked_sequences(df, seq_len=seq_len), spans
+            ).collect()
+        }
+        want = {
+            i: ([t for t, _ in d], [m for _, m in d])
+            for i, d in enumerate(docs)
+            if d
+        }
+        assert rebuilt == want
+
+    check()

@@ -328,3 +328,49 @@ def test_bpe_loss_mask_expands_and_packs(spark):
 
     with pytest.raises(ValueError, match="mode"):
         bpe_loss_mask(df, merges, mode="word")
+
+
+def test_render_multimodal_chat_and_asset_gate(spark):
+    """render_multimodal_chat: image turns render the fixed
+    placeholder with the aligned asset sidecar in order; the asset
+    gate counts dangling references; text-only conversations are
+    untouched passthroughs."""
+    from topn_spark.operators.sft import (
+        render_multimodal_chat,
+        validate_conversation_assets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [("user", None, 10), ("user", "describe", None),
+                 ("assistant", "a cat", None)]),
+            (2, [("user", "caption: dog", 11),
+                 ("assistant", "ok", None)]),
+            (3, [("user", "plain", None),
+                 ("assistant", "text", None)]),
+            (4, [("user", None, 10), ("user", None, 999),
+                 ("assistant", "two", None)]),
+        ],
+        "conv_id long, messages array<struct<"
+        "role:string,content:string,asset_id:bigint>>",
+    )
+    assets = spark.createDataFrame(
+        [(10,), (11,), (12,)], "asset_id long"
+    )
+    out = {
+        r.conv_id: r
+        for r in validate_conversation_assets(
+            render_multimodal_chat(df), assets
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.text.split("\n")[1] == "<|image|><|im_end|>"
+    assert list(r1.asset_ids) == [10] and r1.n_images == 1
+    assert r1.assets_ok
+    # caption turn: text renders, asset still listed
+    assert "caption: dog" in out[2].text
+    assert list(out[2].asset_ids) == [11]
+    assert out[3].n_images == 0 and out[3].assets_ok
+    # the dangling 999 counts; placeholder order preserved
+    assert list(out[4].asset_ids) == [10, 999]
+    assert out[4].n_missing == 1 and not out[4].assets_ok

@@ -41,6 +41,8 @@ __all__ = [
     "conversation_report",
     "dedup_conversations",
     "bpe_loss_mask",
+    "render_multimodal_chat",
+    "validate_conversation_assets",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -754,3 +756,112 @@ def bpe_loss_mask(
             )
 
     return src.mapInPandas(_run, out_schema)
+
+
+def render_multimodal_chat(
+    df: DataFrame,
+    messages_col: str = "messages",
+    template: str = "chatml",
+    image_token: str = "<|image|>",
+) -> DataFrame:
+    """Render INTERLEAVED multimodal conversations — the VLM-SFT
+    modality (LLaVA-class pipelines: a turn is either text or an
+    image reference): messages are
+    ``array<struct<role, content, asset_id>>`` where an image turn
+    carries ``asset_id`` with NULL ``content``; rendering emits the
+    FIXED ``image_token`` placeholder in the text (trainers reserve
+    one token id and splice vision embeddings at its positions) and
+    the ALIGNED ``asset_ids`` sidecar (ids in placeholder order —
+    the i-th placeholder is the i-th id, which is the whole
+    contract) plus ``n_images``. Text turns render exactly as
+    :func:`render_chat` (same template arithmetic). A turn with
+    BOTH content and asset_id renders its text and still lists the
+    asset (caption-style); a turn with neither renders empty —
+    :func:`conversation_qc`'s empty_content rule already flags
+    those upstream.
+
+    Scale shape: pure Catalyst — one transform building a
+    content-coalesced view + the render join, one filter/transform
+    for the sidecar, all over the projection-bound array; map-only,
+    no UDF, no shuffle."""
+    if template not in CHAT_TEMPLATES:
+        raise ValueError(
+            f"unknown template {template!r} (have: {CHAT_TEMPLATES})"
+        )
+    b = df.withColumn("_rm_m", F.col(messages_col))
+    m = F.col("_rm_m")
+    view = F.transform(
+        m,
+        lambda x: F.struct(
+            x["role"].alias("role"),
+            F.coalesce(
+                x["content"],
+                F.when(
+                    x["asset_id"].isNotNull(), F.lit(image_token)
+                ),
+            ).alias("content"),
+        ),
+    )
+    rendered = F.array_join(
+        F.transform(view, lambda x: _render_one(template, x)), "\n"
+    )
+    asset_ids = F.filter(
+        F.transform(m, lambda x: x["asset_id"]),
+        lambda a: a.isNotNull(),
+    )
+    out = b.withColumn("text", rendered).withColumn(
+        "asset_ids", asset_ids
+    )
+    return out.withColumn(
+        "n_images", F.size(F.col("asset_ids")).cast("bigint")
+    ).drop("_rm_m")
+
+
+def validate_conversation_assets(
+    convs: DataFrame,
+    assets: DataFrame,
+    id_col: str = "conv_id",
+    messages_col: str = "messages",
+    asset_key: str = "asset_id",
+) -> DataFrame:
+    """Referential-integrity gate for multimodal conversations: every
+    ``asset_id`` a conversation references must exist in the asset
+    registry (the decoded-image table the vision encoder reads) —
+    a dangling reference trains a placeholder against nothing, and
+    the failure is silent without this gate. Appends ``n_missing``
+    (dangling references) and ``assets_ok``.
+
+    Scale shape: explode the per-conversation asset ids (rows =
+    image references, not tokens), ONE anti-join against the
+    registry key (broadcast when the registry is dimension-sized,
+    else a shuffled equi-join on the id), one count re-agg, one
+    join back — the decontamination shape with the registry as the
+    gram set; conversations with no images never explode a row."""
+    m = F.col(messages_col)
+    refs = convs.select(
+        F.col(id_col).alias("_vid"),
+        F.explode(
+            F.filter(
+                F.transform(m, lambda x: x["asset_id"]),
+                lambda a: a.isNotNull(),
+            )
+        ).alias("_aid"),
+    )
+    reg = assets.select(F.col(asset_key).alias("_aid")).distinct()
+    missing = (
+        refs.join(reg, "_aid", "left_anti")
+        .groupBy("_vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+    )
+    out = (
+        convs.join(
+            missing, convs[id_col] == missing["_vid"], "left"
+        )
+        .drop("_vid")
+        .withColumn(
+            "n_missing",
+            F.coalesce(F.col("n_missing"), F.lit(0).cast("bigint")),
+        )
+        .withColumn("assets_ok", F.col("n_missing") == 0)
+    )
+    return out

@@ -12548,3 +12548,148 @@ def z83_sft_decontaminate(spark, sf_dir):
         .select("conv_id", "n_contam_grams", "contaminated")
         .orderBy("conv_id")
     )
+
+
+@query(
+    "z84_multimodal_chat",
+    r"""WITH t AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 4
+      WHEN 0 THEN [
+        {'role': 'user', 'content': 'plain q ' || doc_id,
+         'asset_id': CAST(NULL AS BIGINT)},
+        {'role': 'assistant', 'content': 'plain a',
+         'asset_id': CAST(NULL AS BIGINT)}]
+      WHEN 1 THEN [
+        {'role': 'user', 'content': CAST(NULL AS VARCHAR),
+         'asset_id': CAST(doc_id % 500 AS BIGINT)},
+        {'role': 'user', 'content': 'what is this',
+         'asset_id': CAST(NULL AS BIGINT)},
+        {'role': 'assistant', 'content': 'an image ' || doc_id,
+         'asset_id': CAST(NULL AS BIGINT)}]
+      WHEN 2 THEN [
+        {'role': 'user', 'content': 'caption: cat ' || doc_id,
+         'asset_id': CAST(doc_id % 250 AS BIGINT)},
+        {'role': 'assistant', 'content': 'nice cat',
+         'asset_id': CAST(NULL AS BIGINT)}]
+      ELSE [
+        {'role': 'user', 'content': CAST(NULL AS VARCHAR),
+         'asset_id': CAST(doc_id + 1000000 AS BIGINT)},
+        {'role': 'assistant', 'content': 'dangling ' || doc_id,
+         'asset_id': CAST(NULL AS BIGINT)}]
+    END AS m
+  FROM documents WHERE doc_id < 400),
+r AS (
+  SELECT conv_id,
+    array_to_string(list_transform(m,
+      x -> '<|im_start|>' || x.role || chr(10)
+        || COALESCE(x.content,
+             CASE WHEN x.asset_id IS NOT NULL
+               THEN '<|image|>' END)
+        || '<|im_end|>'), chr(10)) AS text,
+    list_filter(list_transform(m, x -> x.asset_id),
+      a -> a IS NOT NULL) AS asset_ids
+  FROM t),
+reg AS (SELECT DISTINCT vec_id FROM embeddings),
+miss AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_missing
+  FROM (SELECT conv_id, u.a FROM r, UNNEST(asset_ids) AS u(a)) e
+  WHERE NOT EXISTS (SELECT 1 FROM reg WHERE reg.vec_id = e.a)
+  GROUP BY conv_id)
+SELECT r.conv_id, r.text,
+  CAST(len(r.asset_ids) AS BIGINT) AS n_images,
+  CASE WHEN len(r.asset_ids) = 0 THEN ''
+    ELSE array_to_string(list_transform(r.asset_ids,
+      a -> CAST(a AS VARCHAR)), ',') END AS assets_sig,
+  CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_missing,
+  COALESCE(m.n_missing, 0) = 0 AS assets_ok
+FROM r LEFT JOIN miss m ON r.conv_id = m.conv_id
+ORDER BY r.conv_id ASC""",
+    doc="INTERLEAVED MULTIMODAL CONVERSATIONS (operators/sft.py::"
+    "render_multimodal_chat + validate_conversation_assets) — the"
+    " VLM-SFT modality (LLaVA-class): a turn is text OR an image"
+    " reference (asset_id with NULL content); rendering emits the"
+    " fixed <|image|> placeholder (trainers reserve one token id"
+    " and splice vision embeddings at its positions) plus the"
+    " ALIGNED asset_ids sidecar in placeholder order, and the"
+    " referential-integrity gate counts DANGLING references against"
+    " the asset registry (a dangling id trains a placeholder"
+    " against nothing, silently, without this). Fixture: text-only,"
+    " image-turn, caption-style (text AND asset), and dangling-"
+    "reference shapes against the embeddings table as the registry."
+    " Scale: render is map-only Catalyst; the gate explodes image"
+    " REFERENCES (not tokens) into one anti-join against the"
+    " registry key + count re-agg — the decontamination shape."
+    " Oracle: identical list algebra + NOT EXISTS anti-join in"
+    " DuckDB, hash-exact including the rendered text",
+)
+def z84_multimodal_chat(spark, sf_dir):
+    from topn_spark.operators.sft import (
+        render_multimodal_chat,
+        validate_conversation_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def msg(role, content, asset):
+        return F.struct(
+            F.lit(role).alias("role"),
+            content.alias("content"),
+            asset.cast("bigint").alias("asset_id"),
+        )
+
+    snull = F.lit(None).cast("string")
+    anull = F.lit(None).cast("bigint")
+    m4 = d % 4
+    msgs = (
+        F.when(m4 == 0, F.array(
+            msg("user", F.concat(F.lit("plain q "), ds), anull),
+            msg("assistant", F.lit("plain a"), anull),
+        ))
+        .when(m4 == 1, F.array(
+            msg("user", snull, d % 500),
+            msg("user", F.lit("what is this"), anull),
+            msg(
+                "assistant",
+                F.concat(F.lit("an image "), ds),
+                anull,
+            ),
+        ))
+        .when(m4 == 2, F.array(
+            msg(
+                "user",
+                F.concat(F.lit("caption: cat "), ds),
+                d % 250,
+            ),
+            msg("assistant", F.lit("nice cat"), anull),
+        ))
+        .otherwise(F.array(
+            msg("user", snull, d + 1000000),
+            msg(
+                "assistant",
+                F.concat(F.lit("dangling "), ds),
+                anull,
+            ),
+        ))
+    )
+    convs = docs.select(d.alias("conv_id"), msgs.alias("messages"))
+    rendered = render_multimodal_chat(convs)
+    gated = validate_conversation_assets(rendered, emb, asset_key="vec_id")
+    return gated.select(
+        "conv_id",
+        "text",
+        "n_images",
+        F.array_join(
+            F.transform(
+                F.col("asset_ids"), lambda a: a.cast("string")
+            ),
+            ",",
+        ).alias("assets_sig"),
+        "n_missing",
+        "assets_ok",
+    ).orderBy("conv_id")
