@@ -334,6 +334,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z82_corpus_diff",
         "z83_sft_decontaminate",
         "z84_multimodal_chat",
+        "z85_preference_margin_report",
     ):
         warns = [
             f

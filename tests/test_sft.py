@@ -374,3 +374,25 @@ def test_render_multimodal_chat_and_asset_gate(spark):
     # the dangling 999 counts; placeholder order preserved
     assert list(out[4].asset_ids) == [10, 999]
     assert out[4].n_missing == 1 and not out[4].assets_ok
+
+
+def test_preference_margin_report_classes(spark):
+    from topn_spark.operators.sft import preference_margin_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0), (1, 9.0), (1, 5.0),        # paired, gap 8
+            (2, 3.0), (2, 3.0),                  # tied
+            (3, 5.0),                            # single
+            (4, None), (4, None),                # no valid score
+            (5, None), (5, 2.0), (5, 4.0),       # paired, gap 2
+        ],
+        "prompt_id long, score double",
+    )
+    r = preference_margin_report(df).collect()[0]
+    assert r.n_prompts == 5
+    assert (r.n_no_valid, r.n_single, r.n_tied, r.n_paired) == (
+        1, 1, 1, 2,
+    )
+    assert r.mean_gap == 5.0
+    assert (r.min_gap, r.max_gap) == (2.0, 8.0)

@@ -43,6 +43,7 @@ __all__ = [
     "bpe_loss_mask",
     "render_multimodal_chat",
     "validate_conversation_assets",
+    "preference_margin_report",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -865,3 +866,63 @@ def validate_conversation_assets(
         .withColumn("assets_ok", F.col("n_missing") == 0)
     )
     return out
+
+
+def preference_margin_report(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Preference-data margin report — the DPO/reward-data release
+    card (the accounting that goes WITH :func:`preference_pairs`:
+    that operator silently drops tied, singleton, and unscorable
+    prompts by design, and this makes the drops — and the margin
+    distribution the trainer's implicit-reward gap depends on —
+    observable): ONE row with ``n_prompts``, the drop classes
+    (``n_no_valid`` — no non-NULL score, ``n_single`` — one valid
+    sample, ``n_tied`` — >= 2 samples, zero gap), ``n_paired``
+    (emittable prompts), and the paired-gap distribution
+    ``mean_gap`` (ROUND 6) / ``min_gap`` / ``max_gap``. A corpus
+    whose mean gap hugs zero trains a weak preference signal; one
+    whose n_tied dwarfs n_paired was scored by a saturated reward
+    model — both are this report's findings.
+
+    Scale shape: one map-side-combinable hash agg per prompt
+    (count/min/max), then one global agg to a scalar-sized row —
+    the same two-level aggregate class as every data card here."""
+    score = F.col(score_col).cast("double")
+    per = df.groupBy(prompt_col).agg(
+        F.count(score).cast("bigint").alias("_n_valid"),
+        F.max(score).alias("_mx"),
+        F.min(score).alias("_mn"),
+    )
+    gap = F.col("_mx") - F.col("_mn")
+    cls = (
+        F.when(F.col("_n_valid") == 0, F.lit("no_valid"))
+        .when(F.col("_n_valid") == 1, F.lit("single"))
+        .when(gap == 0, F.lit("tied"))
+        .otherwise(F.lit("paired"))
+    )
+    tagged = per.select(
+        F.col("_n_valid"), gap.alias("_gap"), cls.alias("_cls")
+    )
+    paired_gap = F.when(F.col("_cls") == "paired", F.col("_gap"))
+    n_paired = F.sum(
+        (F.col("_cls") == "paired").cast("bigint")
+    ).cast("bigint")
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+        F.sum((F.col("_cls") == "no_valid").cast("bigint"))
+        .cast("bigint")
+        .alias("n_no_valid"),
+        F.sum((F.col("_cls") == "single").cast("bigint"))
+        .cast("bigint")
+        .alias("n_single"),
+        F.sum((F.col("_cls") == "tied").cast("bigint"))
+        .cast("bigint")
+        .alias("n_tied"),
+        n_paired.alias("n_paired"),
+        F.round(F.sum(paired_gap) / n_paired, 6).alias("mean_gap"),
+        F.min(paired_gap).alias("min_gap"),
+        F.max(paired_gap).alias("max_gap"),
+    )

@@ -12693,3 +12693,73 @@ def z84_multimodal_chat(spark, sf_dir):
         "n_missing",
         "assets_ok",
     ).orderBy("conv_id")
+
+
+@query(
+    "z85_preference_margin_report",
+    r"""WITH s AS (
+  SELECT (doc_id // 6) AS prompt_id,
+    CASE
+      WHEN (doc_id // 6) % 11 = 10 THEN NULL
+      WHEN (doc_id // 6) % 7 = 6 AND doc_id % 6 > 0 THEN NULL
+      WHEN (doc_id // 6) % 5 = 4 THEN CAST(9 AS DOUBLE)
+      ELSE CAST((doc_id * 37) % 23 AS DOUBLE) END AS score
+  FROM documents WHERE doc_id < 480),
+per AS (
+  SELECT prompt_id,
+    CAST(COUNT(score) AS BIGINT) AS n_valid,
+    MAX(score) - MIN(score) AS gap
+  FROM s GROUP BY prompt_id),
+tagged AS (
+  SELECT n_valid, gap,
+    CASE WHEN n_valid = 0 THEN 'no_valid'
+         WHEN n_valid = 1 THEN 'single'
+         WHEN gap = 0 THEN 'tied'
+         ELSE 'paired' END AS cls
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_prompts,
+  CAST(SUM(CASE WHEN cls = 'no_valid' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_no_valid,
+  CAST(SUM(CASE WHEN cls = 'single' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_single,
+  CAST(SUM(CASE WHEN cls = 'tied' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tied,
+  CAST(SUM(CASE WHEN cls = 'paired' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_paired,
+  ROUND(SUM(CASE WHEN cls = 'paired' THEN gap END)
+    / SUM(CASE WHEN cls = 'paired' THEN 1 END), 6) AS mean_gap,
+  MIN(CASE WHEN cls = 'paired' THEN gap END) AS min_gap,
+  MAX(CASE WHEN cls = 'paired' THEN gap END) AS max_gap
+FROM tagged""",
+    doc="PREFERENCE-DATA MARGIN REPORT (operators/sft.py::"
+    "preference_margin_report) — the DPO release card that goes"
+    " WITH preference_pairs (z70): that operator silently drops"
+    " tied/singleton/unscorable prompts by design; this makes the"
+    " drop classes and the margin distribution the implicit-reward"
+    " gap depends on observable — n_prompts, n_no_valid, n_single,"
+    " n_tied, n_paired, mean/min/max paired gap. Planted: 80"
+    " prompts of 6 samples with all-NULL, one-valid, forced-tie,"
+    " and integer-scored shapes (integer scores keep the gap sum"
+    " exact in IEEE — the ROUND-6 single-division trick needs it)."
+    " Scale: one map-side-combinable per-prompt hash agg + one"
+    " global agg to a scalar row. Oracle: identical per-prompt/"
+    "global CASE aggregates in DuckDB, hash-exact",
+)
+def z85_preference_margin_report(spark, sf_dir):
+    from topn_spark.operators.sft import preference_margin_report
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    p = (d / 6).cast("bigint")
+    score = (
+        F.when(p % 11 == 10, F.lit(None).cast("double"))
+        .when((p % 7 == 6) & (d % 6 > 0), F.lit(None).cast("double"))
+        .when(p % 5 == 4, F.lit(9.0))
+        .otherwise(((d * 37) % 23).cast("double"))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"), score.alias("score")
+    )
+    return preference_margin_report(samples)
