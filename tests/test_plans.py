@@ -335,6 +335,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z83_sft_decontaminate",
         "z84_multimodal_chat",
         "z85_preference_margin_report",
+        "z86_conversation_neardup",
     ):
         warns = [
             f

@@ -471,6 +471,76 @@ def x18_approx_percentile(spark, sf_dir):
     )
 
 
+def _portable_minhash_pairs(df, id_col="doc_id", text_col="text"):
+    """The x19 portable-md5 MinHash-LSH pair pipeline over ANY
+    (id, text) frame: 3-word shingles, 8 seeded-md5 min-hashes,
+    4 bands x 2 rows, bucket self-join, signature-estimated Jaccard
+    >= 0.5. Shared by x19 (documents) and z86 (rendered
+    conversations) so both modalities prove the SAME shape."""
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    sh = (
+        f"if(size({toks}) >= 3,"
+        f" transform(sequence(1, size({toks}) - 2),"
+        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
+    )
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.explode(F.expr(sh)).alias("_s")
+    )
+    # Four consumers read sig (both band-join sides + both similarity
+    # sides); persist so the tokenize/shingle/hash pipeline runs once.
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"m{j}")
+            for j in range(8)
+        ]
+    ).persist()
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "h"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_m", matches)
+        .where(F.col("_m") >= 4)
+        .select("id_a", "id_b", (F.col("_m") / 8.0).alias("est_j"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "x19_lsh_neardup_pairs",
     """WITH toks AS (
@@ -515,68 +585,8 @@ ORDER BY id_a ASC, id_b ASC""",
     "shape; this query proves the pipeline cross-engine.",
 )
 def x19_lsh_neardup_pairs(spark, sf_dir):
-    from topn_spark.operators.dedup import ensure_parallelism
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-    sh = (
-        f"if(size({toks}) >= 3,"
-        f" transform(sequence(1, size({toks}) - 2),"
-        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
-    )
-    exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.expr(sh)).alias("_s")
-    )
-    # Four consumers read sig (both band-join sides + both similarity
-    # sides); persist so the tokenize/shingle/hash pipeline runs once.
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"m{j}")
-            for j in range(8)
-        ]
-    ).persist()
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
-                    for b in range(4)
-                ]
-            )
-        ).alias("b", "h"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("c"),
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.h") == F.col("c.h"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(8)]
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(8)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(8)
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("_m", matches)
-        .where(F.col("_m") >= 4)
-        .select("id_a", "id_b", (F.col("_m") / 8.0).alias("est_j"))
-        .orderBy("id_a", "id_b")
-    )
+    return _portable_minhash_pairs(docs)
 
 
 @query(
@@ -12763,3 +12773,111 @@ def z85_preference_margin_report(spark, sf_dir):
         p.alias("prompt_id"), score.alias("score")
     )
     return preference_margin_report(samples)
+
+
+#: z86 oracle: the x19 MinHash-LSH SQL body over a rendered-
+#: conversation CTE instead of the documents table.
+_Z86_SQL = r"""WITH conv AS (
+  SELECT doc_id AS conv_id,
+    [{'role': 'user', 'content': 'paraphrase please'},
+     {'role': 'assistant', 'content':
+       array_to_string(list_transform(range(0, 12),
+         i -> CASE WHEN i = 11 AND doc_id % 2 = 1 THEN 'reworded'
+           ELSE 'w' || i || 'g' || (doc_id // 2) END), ' ')}]
+    AS m
+  FROM documents WHERE doc_id < 200),
+rendered AS (
+  SELECT conv_id, array_to_string(
+    list_transform(m, x -> x.role || ': ' || x.content),
+    chr(10)) AS text
+  FROM conv),
+toks AS (
+  SELECT conv_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM rendered
+), sh AS (
+  SELECT conv_id, unnest(
+    CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i:i+2], ' ')
+            for i in generate_series(1, len(t)-2)]
+      ELSE [] END) AS s
+  FROM toks
+), sig AS (
+  SELECT conv_id,
+    min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1,
+    min(md5('2:' || s)) AS m2, min(md5('3:' || s)) AS m3,
+    min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+    min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7
+  FROM sh GROUP BY conv_id
+), bands AS (
+  SELECT conv_id, b, h FROM sig, LATERAL (VALUES
+    (0, md5(m0 || m1)), (1, md5(m2 || m3)),
+    (2, md5(m4 || m5)), (3, md5(m6 || m7))) AS v(b, h)
+), cand AS (
+  SELECT DISTINCT a.conv_id AS id_a, c.conv_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.h = c.h AND a.conv_id < c.conv_id
+)
+SELECT cand.id_a, cand.id_b,
+  ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)
+  ) / 8.0 AS est_j
+FROM cand JOIN sig sa ON cand.id_a = sa.conv_id
+JOIN sig sb ON cand.id_b = sb.conv_id
+WHERE ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)) >= 4
+ORDER BY id_a ASC, id_b ASC"""
+
+
+@query(
+    "z86_conversation_neardup",
+    _Z86_SQL,
+    doc="CONVERSATION NEAR-DUP PAIRS (sft.render_chat + the x19"
+    " portable MinHash-LSH pipeline via the shared"
+    " _portable_minhash_pairs) — the near-dup gate exact prompt"
+    " dedup (z79) misses: two conversations whose assistant turns"
+    " differ by one reworded token are training-set duplicates even"
+    " though their prompts and digests differ; LSH over the"
+    " RENDERED text (plain template) finds them without all-pairs."
+    " Planted: 100 conversation pairs, each pair's assistant turn"
+    " 12 group-salted words with the odd member's last word"
+    " reworded (high within-pair shingle overlap, none across"
+    " groups). Scale: the x19 shape — shingle explode, 8 md5"
+    " min-hash aggs, band bucket self-join (candidates only from"
+    " shared buckets), signature-estimated Jaccard cut. Oracle:"
+    " identical render + x19 SQL in DuckDB, hash-exact",
+)
+def z86_conversation_neardup(spark, sf_dir):
+    from topn_spark.operators.sft import render_chat
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    d = F.col("doc_id")
+    g = (d / 2).cast("bigint").cast("string")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.when(
+            (i == 11) & (d % 2 == 1), F.lit("reworded")
+        ).otherwise(
+            F.concat(F.lit("w"), i.cast("string"), F.lit("g"), g)
+        ),
+    )
+    msgs = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.lit("paraphrase please").alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.array_join(words, " ").alias("content"),
+        ),
+    )
+    convs = docs.select(d.alias("conv_id"), msgs.alias("messages"))
+    rendered = render_chat(convs, template="plain").select(
+        "conv_id", "text"
+    )
+    return _portable_minhash_pairs(rendered, id_col="conv_id")
