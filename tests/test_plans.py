@@ -336,6 +336,7 @@ def test_audit_scale_accepts_clean_plans(spark):
         "z84_multimodal_chat",
         "z85_preference_margin_report",
         "z86_conversation_neardup",
+        "z87_unigram_loss_mask",
     ):
         warns = [
             f

@@ -396,3 +396,28 @@ def test_preference_margin_report_classes(spark):
     )
     assert r.mean_gap == 5.0
     assert (r.min_gap, r.max_gap) == (2.0, 8.0)
+
+
+def test_unigram_loss_mask_segments_and_ties(spark):
+    """unigram_loss_mask: pieces inherit their unit's bit, the tie
+    contract picks the longest piece, OOV characters emit raw, and
+    the output packs like the BPE path."""
+    from topn_spark.operators.sft import unigram_loss_mask
+
+    pieces = [("a", -2.0), ("b", -2.0), ("ab", -4.0), ("c", -1.0)]
+    df = spark.createDataFrame(
+        [
+            # 'ab' as one piece (-4.0) TIES 'a'+'b' (-4.0): longest wins
+            (1, ["ab", "cc"], [True, False]),
+            (2, ["aZc"], [True]),    # Z is OOV -> raw char
+            (3, ["ab"], None),       # NULL mask -> NULL outputs
+        ],
+        "conv_id long, tokens array<string>, loss_mask array<boolean>",
+    )
+    out = {r.conv_id: r for r in unigram_loss_mask(df, pieces).collect()}
+    assert list(out[1].tokens) == ["ab", "c", "c"]
+    assert list(out[1].loss_mask) == [True, False, False]
+    assert out[1].n_lm_tokens == 3 and out[1].n_supervised == 1
+    assert list(out[2].tokens) == ["a", "Z", "c"]
+    assert list(out[2].loss_mask) == [True, True, True]
+    assert out[3].tokens is None and out[3].n_supervised is None

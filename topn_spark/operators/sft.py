@@ -44,6 +44,7 @@ __all__ = [
     "render_multimodal_chat",
     "validate_conversation_assets",
     "preference_margin_report",
+    "unigram_loss_mask",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
@@ -699,14 +700,40 @@ def bpe_loss_mask(
     if mode not in ("byte", "char"):
         raise ValueError(f"unknown mode {mode!r} (byte|char)")
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    return _expand_subtoken_mask(
+        df,
+        lambda w: bpe_encode_word(w, ranks),
+        id_col,
+        tokens_col,
+        mask_col,
+        count_col="n_bpe_tokens",
+        byte_render=mode == "byte",
+    )
+
+
+def _expand_subtoken_mask(
+    df: DataFrame,
+    encode,
+    id_col: str,
+    tokens_col: str,
+    mask_col: str,
+    count_col: str,
+    byte_render: bool,
+) -> DataFrame:
+    """Shared Arrow pass for the subtoken mask expanders
+    (:func:`bpe_loss_mask`, :func:`unigram_loss_mask`): each
+    whitespace unit encodes via ``encode`` and every subtoken
+    inherits its unit's supervise bit; NULL/misaligned rows yield
+    NULL outputs (observable). ``byte_render`` pre-renders UTF-8
+    bytes as latin-1 symbols JVM-side (the GPT-2 byte alphabet)."""
     idt = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{id_col} {idt}, tokens array<string>, "
-        "loss_mask array<boolean>, n_bpe_tokens long, "
+        f"loss_mask array<boolean>, {count_col} long, "
         "n_supervised long"
     )
     toks = F.col(tokens_col)
-    if mode == "byte":
+    if byte_render:
         toks = F.transform(
             toks,
             lambda w: F.decode(F.encode(w, "UTF-8"), "ISO-8859-1"),
@@ -739,7 +766,7 @@ def bpe_loss_mask(
                 subs: list = []
                 sm: list = []
                 for w, b in zip(words, bits):
-                    enc = bpe_encode_word(w, ranks)
+                    enc = encode(w)
                     subs.extend(enc)
                     sm.extend([bool(b)] * len(enc))
                 t_out.append(subs)
@@ -751,12 +778,49 @@ def bpe_loss_mask(
                     id_col: ids,
                     "tokens": t_out,
                     "loss_mask": m_out,
-                    "n_bpe_tokens": nt,
+                    count_col: nt,
                     "n_supervised": ns,
                 }
             )
 
     return src.mapInPandas(_run, out_schema)
+
+
+def unigram_loss_mask(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    id_col: str = "conv_id",
+    tokens_col: str = "tokens",
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """The :func:`bpe_loss_mask` sibling for the unigram-LM
+    tokenizer (SentencePiece family): each whitespace unit from
+    :func:`token_loss_mask` segments under the trained piece table
+    with the SAME Viterbi DP and tie contract as
+    ``textstats.apply_unigram_lm`` (shared ``_unigram_viterbi`` —
+    longest piece wins exact float ties, OOV characters emit raw
+    with the -1e9 penalty, so application stays total), every piece
+    inheriting its unit's supervise bit. Emits
+    ``(id, tokens, loss_mask, n_lm_tokens, n_supervised)`` — the
+    same packable shape, so either trained tokenizer feeds
+    :func:`~topn_spark.operators.pipeline.pack_masked_sequences`.
+
+    Scale shape: one Arrow mapInPandas pass, piece table as a
+    closure — map-only; the DP is O(chars × max_piece_len) per
+    unit, the tokenizer-service cost class."""
+    from topn_spark.operators.textstats import _unigram_viterbi
+
+    logp = dict(pieces)
+    max_len = max((len(p) for p in logp), default=1)
+    return _expand_subtoken_mask(
+        df,
+        lambda w: _unigram_viterbi(w, logp, max_len),
+        id_col,
+        tokens_col,
+        mask_col,
+        count_col="n_lm_tokens",
+        byte_render=False,
+    )
 
 
 def render_multimodal_chat(

@@ -12881,3 +12881,159 @@ def z86_conversation_neardup(spark, sf_dir):
         "conv_id", "text"
     )
     return _portable_minhash_pairs(rendered, id_col="conv_id")
+
+
+#: z87 planted unigram piece table (log-probs; 'ab' vs 'a'+'b'
+#: exercises the longest-piece-on-tie contract, 'Z' is OOV).
+_Z87_PIECES = [
+    ("a", -2.0), ("b", -2.0), ("c", -2.5), ("d", -2.5),
+    ("ab", -3.0), ("cd", -4.0), ("abcd", -8.0), ("x", -1.5),
+    ("1", -2.0), ("2", -2.0), ("3", -2.0), ("4", -2.0),
+    ("5", -2.0), ("6", -2.0), ("7", -2.0), ("8", -2.0),
+    ("9", -2.0), ("0", -2.0),
+]
+
+
+def _z87_unigram_mask_mirror(con):
+    """z87 mirror: an INDEPENDENT Viterbi DP over the planted
+    (tokens, mask) fixture — ascending start scan, strictly-better
+    replacement (longest piece wins float ties), OOV chars emitted
+    raw at -1e9 — each piece inheriting its unit's bit."""
+    logp = dict(_Z87_PIECES)
+    mx = max(len(p) for p in logp)
+
+    def enc(word):
+        n = len(word)
+        dp = [0.0] + [None] * n
+        back = [None] * (n + 1)
+        for j in range(1, n + 1):
+            best, bi = None, None
+            for i in range(max(0, j - mx), j):
+                if dp[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                s = dp[i] + lp
+                if best is None or s > best:
+                    best, bi = s, i
+            if best is None:
+                best, bi = (dp[j - 1] or 0.0) - 1e9, j - 1
+            dp[j], back[j] = best, bi
+        out, j = [], n
+        while j > 0:
+            i = back[j]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    ids = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE doc_id < 300"
+        ).fetchall()
+    ]
+    rows = []
+    for d in ids:
+        m3 = d % 3
+        if m3 == 2:
+            rows.append((d, None, None, None, None))
+            continue
+        if m3 == 0:
+            toks = ["abcd", f"ab{d % 10}", "aZb"]
+            bits = [False, True, True]
+        else:
+            toks = ["abab", "cdcd"]
+            bits = [True, False]
+        subs, sm = [], []
+        for w, b in zip(toks, bits):
+            for s in enc(w):
+                subs.append(s)
+                sm.append(b)
+        rows.append(
+            (
+                d,
+                len(subs),
+                sum(sm),
+                "|".join(subs),
+                "".join("1" if x else "0" for x in sm),
+            )
+        )
+    return (
+        ["conv_id", "n_lm_tokens", "n_supervised", "toks_sig",
+         "mask_str"],
+        rows,
+    )
+
+
+@query(
+    "z87_unigram_loss_mask",
+    None,
+    doc="UNIGRAM-LM-ALIGNED LOSS MASK (operators/sft.py::"
+    "unigram_loss_mask) — the bpe_loss_mask sibling for the"
+    " SentencePiece-family tokenizer: each whitespace unit segments"
+    " under the trained piece table with the SAME Viterbi DP and"
+    " tie contract as apply_unigram_lm (shared _unigram_viterbi —"
+    " longest piece wins exact float ties, OOV chars emit raw at"
+    " -1e9 so application stays total), every piece inheriting its"
+    " unit's supervise bit — either trained tokenizer now feeds"
+    " pack_masked_sequences. Planted: tie-exercising 'ab' pieces,"
+    " an OOV 'Z', NULL-mask rows observable. Scale: one Arrow"
+    " mapInPandas pass, piece table as closure — map-only. Oracle:"
+    " INDEPENDENT Python Viterbi mirror over the same fixture,"
+    " exact (tolerance 0)",
+    tol_oracle=_z87_unigram_mask_mirror,
+    tolerance=0.0,
+    tol_keys=("conv_id",),
+)
+def z87_unigram_loss_mask(spark, sf_dir):
+    from topn_spark.operators.sft import unigram_loss_mask
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    m3 = d % 3
+    tokens = (
+        F.when(
+            m3 == 0,
+            F.array(
+                F.lit("abcd"),
+                F.concat(F.lit("ab"), (d % 10).cast("string")),
+                F.lit("aZb"),
+            ),
+        )
+        .when(m3 == 1, F.array(F.lit("abab"), F.lit("cdcd")))
+        .otherwise(F.array(F.lit("x")))
+        .cast("array<string>")
+    )
+    mask = (
+        F.when(m3 == 0, F.array(F.lit(False), F.lit(True), F.lit(True)))
+        .when(m3 == 1, F.array(F.lit(True), F.lit(False)))
+        .cast("array<boolean>")
+    )
+    base = docs.select(
+        d.alias("conv_id"),
+        tokens.alias("tokens"),
+        mask.alias("loss_mask"),
+    )
+    out = unigram_loss_mask(base, _Z87_PIECES)
+    toks, msk = F.col("tokens"), F.col("loss_mask")
+    return out.select(
+        "conv_id",
+        "n_lm_tokens",
+        "n_supervised",
+        F.when(toks.isNotNull(), F.array_join(toks, "|")).alias(
+            "toks_sig"
+        ),
+        F.when(
+            msk.isNotNull(),
+            F.array_join(
+                F.transform(
+                    msk, lambda b: F.when(b, "1").otherwise("0")
+                ),
+                "",
+            ),
+        ).alias("mask_str"),
+    ).orderBy("conv_id")
