@@ -269,3 +269,35 @@ def test_contamination_report_per_benchmark(spark):
         contamination_report(train, bench, n=0)
     with pytest.raises(ValueError, match="min_hits"):
         contamination_report(train, bench, min_hits=0)
+
+
+def test_dup_cluster_report(spark):
+    from topn_spark.operators.dedup import dup_cluster_report
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), (None,)],
+        "text string",
+    )
+    rows = {
+        r.cluster_size: r for r in dup_cluster_report(df).collect()
+    }
+    # c alone + the NULL document (its own observable cluster)
+    assert rows[1].n_clusters == 2 and rows[1].n_excess == 0
+    assert rows[2].n_clusters == 1 and rows[2].n_docs == 2
+    assert rows[3].n_clusters == 1 and rows[3].n_excess == 2
+    assert set(rows) == {1, 2, 3}
+
+
+def test_dup_cluster_report_all_unique(spark):
+    from topn_spark.operators.dedup import dup_cluster_report
+
+    df = spark.createDataFrame(
+        [("x",), ("y",)], "text string"
+    )
+    [r] = dup_cluster_report(df).collect()
+    assert (
+        r.cluster_size == 1
+        and r.n_clusters == 2
+        and r.n_docs == 2
+        and r.n_excess == 0
+    )

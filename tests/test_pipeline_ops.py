@@ -1746,3 +1746,51 @@ def test_corpus_diff_statuses(spark):
         1: "unchanged", 2: "changed", 3: "removed",
         4: "changed", 5: "added",
     }
+
+
+# ------------------------------------------------------ epoch_shuffle
+
+
+def test_epoch_shuffle_deterministic_and_balanced(spark):
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    b = epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    # reproducible: same epoch -> identical assignment and order
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        # exact 1..n positions within every shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+        # hash balance: no shard grabs the corpus
+        assert len(poss) < 120
+
+
+def test_epoch_shuffle_changes_between_epochs(spark):
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    e1 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    }
+    e2 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(df, epoch=2, n_shards=4).collect()
+    }
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 50  # the salt actually permutes
+
+
+def test_epoch_shuffle_validates(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, epoch=0, n_shards=0)

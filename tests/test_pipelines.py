@@ -2458,3 +2458,65 @@ def test_bpe_loss_mask_stage(spark, tmp_path):
     }
     with pytest.raises(ValidationError, match="mergesPath"):
         run_pipeline_with_source(spark, bad, "src", conv)
+
+
+def test_kto_labels_and_epoch_shuffle_stages(spark):
+    """KtoLabels + EpochShuffle plugins: spec-driven unpaired
+    preference labeling and the between-epoch reshuffle, with
+    property validation."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    samples = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 9.0), (2, 0, None)],
+        "prompt_id long, sample_id long, score double",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "kto", "plugin": "KtoLabels",
+             "properties": {"threshold": "5"}},
+        ],
+        "connections": [{"from": "src", "to": "kto"}],
+    }
+    out = run_pipeline_with_source(spark, spec, "src", samples)["kto"]
+    rows = {r.sample_id: r for r in out.collect() if r.prompt_id == 1}
+    assert rows[0].label is False and rows[1].label is True
+
+    bad = dict(spec)
+    bad["stages"] = [
+        spec["stages"][0],
+        {"name": "kto", "plugin": "KtoLabels",
+         "properties": {"threshold": "high"}},
+    ]
+    with pytest.raises(ValidationError, match="threshold"):
+        run_pipeline_with_source(spark, bad, "src", samples)
+
+    docs = spark.range(50).withColumnRenamed("id", "doc_id")
+    sh_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "shuf", "plugin": "EpochShuffle",
+             "properties": {"epoch": "2", "numShards": "4"}},
+        ],
+        "connections": [{"from": "src", "to": "shuf"}],
+    }
+    shuf = run_pipeline_with_source(spark, sh_spec, "src", docs)["shuf"]
+    got = shuf.collect()
+    assert len(got) == 50 and all(r.epoch == 2 for r in got)
+    assert {r.shard for r in got} == {0, 1, 2, 3}
+
+    missing = dict(sh_spec)
+    missing["stages"] = [
+        sh_spec["stages"][0],
+        {"name": "shuf", "plugin": "EpochShuffle",
+         "properties": {"numShards": "0"}},
+    ]
+    with pytest.raises(ValidationError) as ei:
+        run_pipeline_with_source(spark, missing, "src", docs)
+    msg = str(ei.value)
+    assert "epoch" in msg and "numShards" in msg

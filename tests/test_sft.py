@@ -421,3 +421,58 @@ def test_unigram_loss_mask_segments_and_ties(spark):
     assert list(out[2].tokens) == ["a", "Z", "c"]
     assert list(out[2].loss_mask) == [True, True, True]
     assert out[3].tokens is None and out[3].n_supervised is None
+
+
+# ---------------------------------------------------------------- kto
+
+
+def _kto_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "prompt_id bigint, sample_id bigint, score double"
+    )
+
+
+def test_kto_labels_prompt_mean(spark):
+    df = _kto_rows(
+        spark,
+        [
+            (1, 10, 1.0), (1, 11, 3.0), (1, 12, 5.0),
+            (2, 20, 4.0), (2, 21, None),
+            (3, 30, None), (3, 31, None),
+        ],
+    )
+    from topn_spark.operators.sft import kto_labels
+
+    out = {
+        r.sample_id: r
+        for r in kto_labels(df).collect()
+    }
+    # prompt 1: mean 3.0 -> 1.0 undesirable, 3.0/5.0 desirable (>=)
+    assert out[10].label is False
+    assert out[11].label is True
+    assert out[12].label is True
+    assert out[10].ref_point == 3.0 and out[10].n_valid == 3
+    # prompt 2: single valid score == its own mean -> desirable;
+    # the NULL-scored sibling keeps label NULL, never dropped
+    assert out[20].label is True
+    assert out[21].label is None and out[21].n_valid == 1
+    # prompt 3: no valid scores -> NULL ref_point, NULL labels
+    assert out[30].label is None and out[30].ref_point is None
+    assert out[30].n_valid == 0
+
+
+def test_kto_labels_fixed_threshold(spark):
+    df = _kto_rows(
+        spark, [(1, 10, 2.0), (1, 11, 7.0), (1, 12, None)]
+    )
+    from topn_spark.operators.sft import kto_labels
+
+    out = {
+        r.sample_id: r
+        for r in kto_labels(df, threshold=5.0).collect()
+    }
+    assert out[10].label is False and out[10].ref_point == 5.0
+    assert out[11].label is True
+    # unscored: NULL label AND NULL ref_point under a fixed cut
+    assert out[12].label is None and out[12].ref_point is None
+    assert all(out[k].n_valid == 2 for k in (10, 11, 12))

@@ -911,3 +911,47 @@ def contamination_report(
         )
         .orderBy(bench_col)
     )
+
+
+def dup_cluster_report(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-multiplicity histogram — the release-audit view of
+    :func:`dedup_exact` (that operator KEEPS one row per digest; this
+    one reports how much it would remove and in what shape): group by
+    content digest, then histogram the cluster sizes. One output row
+    per distinct multiplicity: ``cluster_size`` (rows sharing a
+    digest), ``n_clusters`` (digests with that multiplicity),
+    ``n_docs = cluster_size * n_clusters`` (corpus rows they
+    account for) and ``n_excess = n_docs - n_clusters`` (rows exact
+    dedup would drop). The ``cluster_size = 1`` row is the unique
+    mass; a heavy tail at high multiplicities is the boilerplate
+    signature this report exists to catch BEFORE a dedup pass
+    rewrites the corpus. NULL text hashes to a NULL digest; those
+    rows are counted as one cluster of their own multiplicity (md5
+    NULL-coalesced to a sentinel, so NULL documents stay observable
+    instead of vanishing from the audit).
+
+    Scale shape: two hash aggregates — per-digest counts (map-side
+    combinable; the digest shuffle is the same one exact dedup
+    already pays) then a re-agg over the multiplicity domain, which
+    is log-sized (distinct cluster sizes, not clusters). No window,
+    no sort; the final ORDER BY sorts a report-sized frame.
+    """
+    sig = F.coalesce(F.md5(F.col(text_col)), F.lit("NULL"))
+    sizes = df.groupBy(sig.alias("_h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .withColumn(
+            "n_excess",
+            (F.col("n_docs") - F.col("n_clusters")).cast("bigint"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -3203,3 +3203,58 @@ def corpus_diff(
         "old_digest",
         "new_digest",
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic between-epoch reshuffle — the trainer-side
+    permutation every multi-epoch run needs (reading shards in the
+    same order each epoch correlates batch composition across epochs;
+    the fix is a fresh pseudo-random global order per epoch that is
+    still REPRODUCIBLE, never ``rand()``): every row gets an
+    epoch-salted content key ``md5(epoch || ':' || id)``, a balanced
+    ``shard = key-prefix mod n_shards`` assignment, and an exact
+    1-based ``pos`` within its shard ordered by ``(key, id)`` — a
+    different permutation every epoch, the same permutation every
+    re-run of the same epoch (resumable training; compare
+    :func:`shard_assignment`, whose UNsalted key is deliberately
+    epoch-stable for resumable exports).
+
+    Scale shape: the shard assignment is a stateless map-only
+    projection; the only stateful step is one ``row_number`` window
+    PARTITIONED BY shard — parallelism = ``n_shards``, each task
+    sorting ``|corpus| / n_shards`` rows. That is the right trade
+    exactly because ``n_shards`` is the trainer's own parallelism
+    unit: a 100 TB corpus exports to 10⁴–10⁵ shards, so each sort
+    task handles ~1 GB and no task ever sees the global order. For
+    a SMALL ``n_shards`` on a large corpus, raise ``n_shards`` (the
+    trainer can always read k shards per worker) rather than asking
+    one task to sort the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(
+        F.concat(
+            F.lit(f"{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % int(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ekey").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_ekey", key)
+        .withColumn("epoch", F.lit(int(epoch)).cast("int"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_ekey")
+    )

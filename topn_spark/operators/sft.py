@@ -990,3 +990,62 @@ def preference_margin_report(
         F.min(paired_gap).alias("min_gap"),
         F.max(paired_gap).alias("max_gap"),
     )
+
+
+def kto_labels(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    score_col: str = "score",
+    threshold: float | None = None,
+) -> DataFrame:
+    """KTO binary preference labels (Ethayarajh et al. 2024) — the
+    unpaired sibling of :func:`preference_pairs`: KTO trains on
+    independent (prompt, response, desirable?) examples, so every
+    scored sample becomes a row instead of only the per-prompt
+    extremes surviving. ``label`` is ``score >= reference point``;
+    the reference point is the fixed ``threshold`` when given
+    (corpus-calibrated rubric cut), else the per-prompt MEAN of the
+    validly-scored samples (the KTO reward baseline: desirable =
+    better than the policy's average draw for that prompt). Rows
+    whose score casts to NULL keep ``label = NULL`` (and NULL
+    ``ref_point`` under a fixed threshold) instead of being dropped —
+    the unscored count stays observable and the caller decides.
+    ``n_valid`` (scored samples in the prompt) rides along so a
+    downstream balance check can weight desirable/undesirable counts
+    the way the KTO loss expects.
+
+    Scale shape: fixed threshold → pure map-only projection. Mean
+    mode → ONE map-side-combinable hash agg per prompt (sum/count)
+    plus an equi-join back on the prompt key — both sides hash-
+    partition on the same key, and a hot prompt with millions of
+    samples still partial-aggregates. No window, no sort.
+    """
+    score = F.col(score_col).cast("double")
+    if threshold is not None:
+        ref = F.when(
+            score.isNotNull(), F.lit(float(threshold))
+        ).cast("double")
+        base = df.withColumn("ref_point", ref)
+        # n_valid without a window: one agg + join keeps the
+        # map-side-combinable shape (a window would re-sort).
+        counts = df.groupBy(prompt_col).agg(
+            F.sum(score.isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_valid")
+        )
+        base = base.join(counts, prompt_col)
+    else:
+        stats = df.groupBy(prompt_col).agg(
+            F.avg(score).alias("ref_point"),
+            F.sum(score.isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_valid"),
+        )
+        base = df.join(stats, prompt_col)
+    return base.withColumn(
+        "label",
+        F.when(
+            score.isNotNull() & F.col("ref_point").isNotNull(),
+            score >= F.col("ref_point"),
+        ),
+    )

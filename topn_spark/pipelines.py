@@ -2620,6 +2620,100 @@ def _stage_loss_spans(
     )
 
 
+def _stage_kto_labels(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """KtoLabels transform: unpaired binary preference labels
+    (sft.kto_labels — label = score >= fixed threshold or per-prompt
+    mean of the validly-scored samples; NULL scores keep NULL labels,
+    n_valid rides along). Properties: promptField ('prompt_id'),
+    scoreField ('score'), threshold (optional number; macro-able —
+    absent means the per-prompt mean reference point)."""
+    from topn_spark.operators.sft import kto_labels
+
+    (df,) = inputs
+    p = stage.properties
+    prompt_col = p.get("promptField", "prompt_id")
+    score_col = p.get("scoreField", "score")
+    thr_raw = p.get("threshold")
+    ok = _require_field(df, prompt_col, collector, "promptField")
+    ok = _require_field(df, score_col, collector, "scoreField") and ok
+    if thr_raw is not None and phase == "run":
+        thr_raw = substitute_macros(
+            thr_raw, substitutions or {}, collector, "threshold"
+        )
+    threshold = None
+    if thr_raw is not None and not contains_macro(thr_raw):
+        try:
+            threshold = float(thr_raw)
+        except ValueError:
+            collector.add_failure(
+                f"Invalid threshold '{thr_raw}'.",
+                "A number, or omit for the per-prompt mean.",
+                property_name="threshold",
+            )
+            ok = False
+    if not ok:
+        return df
+    return kto_labels(
+        df, prompt_col=prompt_col, score_col=score_col,
+        threshold=threshold,
+    )
+
+
+def _stage_epoch_shuffle(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """EpochShuffle transform: deterministic between-epoch reshuffle
+    (pipeline.epoch_shuffle — epoch-salted md5 key, mod-n_shards
+    assignment, exact per-shard positions). Properties: epoch
+    (required int, macro-able), numShards (required int >= 1,
+    macro-able), idField ('doc_id')."""
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    (df,) = inputs
+    p = stage.properties
+    id_col = p.get("idField", "doc_id")
+    ok = _require_field(df, id_col, collector, "idField")
+    vals = {}
+    for prop, lo in (("epoch", 0), ("numShards", 1)):
+        raw = p.get(prop)
+        if raw is None:
+            collector.add_failure(
+                f"Required property '{prop}' is missing.",
+                "Provide an integer.",
+                property_name=prop,
+            )
+            ok = False
+            continue
+        if phase == "run":
+            raw = substitute_macros(
+                raw, substitutions or {}, collector, prop
+            )
+        if contains_macro(raw):
+            vals[prop] = lo  # deferred; placeholder for deploy
+            continue
+        try:
+            v = int(raw)
+            if v < lo:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid {prop} '{raw}'.",
+                f"An integer >= {lo}.",
+                property_name=prop,
+            )
+            ok = False
+            continue
+        vals[prop] = v
+    if not ok:
+        return df
+    return epoch_shuffle(
+        df, epoch=vals["epoch"], n_shards=vals["numShards"],
+        id_col=id_col,
+    )
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2664,6 +2758,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "RedactConversation": ("transform", _stage_redact_conversation),
     "LossSpans": ("transform", _stage_loss_spans),
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
+    "KtoLabels": ("transform", _stage_kto_labels),
+    "EpochShuffle": ("transform", _stage_epoch_shuffle),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),

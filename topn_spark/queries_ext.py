@@ -13037,3 +13037,144 @@ def z87_unigram_loss_mask(spark, sf_dir):
             ),
         ).alias("mask_str"),
     ).orderBy("conv_id")
+
+
+@query(
+    "z88_epoch_shuffle",
+    r"""WITH a AS (
+  SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+b AS (
+  SELECT doc_id, k,
+    CAST(CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 8 AS INT)
+      AS shard
+  FROM a)
+SELECT doc_id, CAST(1 AS INT) AS epoch, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+       AS BIGINT) AS pos
+FROM b ORDER BY shard ASC, pos ASC""",
+    doc="BETWEEN-EPOCH RESHUFFLE (pipeline.py::epoch_shuffle) — the"
+    " trainer-side deterministic permutation: every row gets an"
+    " epoch-salted md5(epoch||':'||id) key, a balanced key-prefix"
+    " mod-n_shards assignment, and an exact 1-based pos within its"
+    " shard ordered by (key, id) — a different permutation every"
+    " epoch, the same permutation on every re-run of the same epoch"
+    " (resumable multi-epoch training; z36's UNsalted"
+    " shard_assignment is deliberately epoch-stable for exports)."
+    " Scale: stateless map-only assignment + ONE row_number window"
+    " partitioned by shard — parallelism = n_shards, each task"
+    " sorting corpus/n_shards rows (~1 GB at 10^5 shards on 100 TB);"
+    " no task ever sees the global order. Oracle: identical md5"
+    " arithmetic + windowed row_number in DuckDB, hash-exact",
+)
+def z88_epoch_shuffle(spark, sf_dir):
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, epoch=1, n_shards=8).orderBy(
+        "shard", "pos"
+    )
+
+
+@query(
+    "z89_kto_labels",
+    r"""WITH s AS (
+  SELECT doc_id // 5 AS prompt_id, doc_id AS sample_id,
+    CASE WHEN doc_id % 13 = 12 OR (doc_id // 5) % 16 = 15 THEN NULL
+         ELSE CAST((doc_id * 17) % 10 AS DOUBLE) END AS score
+  FROM documents WHERE doc_id < 400),
+p AS (
+  SELECT prompt_id, AVG(score) AS ref_point,
+         CAST(COUNT(score) AS BIGINT) AS n_valid
+  FROM s GROUP BY prompt_id)
+SELECT s.prompt_id, s.sample_id, s.score,
+  ROUND(p.ref_point, 6) AS ref_point_r, p.n_valid,
+  CASE WHEN s.score IS NOT NULL AND p.ref_point IS NOT NULL
+       THEN s.score >= p.ref_point END AS label
+FROM s JOIN p USING (prompt_id)
+ORDER BY sample_id ASC""",
+    doc="KTO BINARY PREFERENCE LABELS (operators/sft.py::"
+    "kto_labels) — the unpaired sibling of preference_pairs (z70):"
+    " KTO trains on independent (prompt, response, desirable?)"
+    " examples, so every scored sample becomes a labeled row instead"
+    " of only the per-prompt extremes surviving; label = score >="
+    " per-prompt mean of the validly-scored samples (the KTO reward"
+    " baseline), NULL-scored rows keep label NULL (observable, the"
+    " caller decides), n_valid rides along for the desirable/"
+    "undesirable balance check the KTO loss weights by. Planted: 80"
+    " prompts x 5 integer-scored samples with scattered NULLs and"
+    " one fully-unscored prompt stripe (integer scores keep the"
+    " mean's dividend exact in IEEE, so the >= cut and the ROUND-6"
+    " projection are engine-stable). Scale: ONE map-side-combinable"
+    " per-prompt hash agg + an equi-join back on the prompt key —"
+    " no window, no sort. Oracle: identical CASE aggregates + join"
+    " in DuckDB, hash-exact",
+)
+def z89_kto_labels(spark, sf_dir):
+    from topn_spark.operators.sft import kto_labels
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    p = (d / 5).cast("bigint")
+    score = F.when(
+        (d % 13 == 12) | (p % 16 == 15),
+        F.lit(None).cast("double"),
+    ).otherwise(((d * 17) % 10).cast("double"))
+    samples = docs.select(
+        p.alias("prompt_id"), d.alias("sample_id"),
+        score.alias("score"),
+    )
+    out = kto_labels(samples)
+    return out.select(
+        "prompt_id",
+        "sample_id",
+        "score",
+        F.round("ref_point", 6).alias("ref_point_r"),
+        "n_valid",
+        "label",
+    ).orderBy("sample_id")
+
+
+@query(
+    "z90_dup_cluster_report",
+    r"""WITH u AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0),
+c AS (
+  SELECT COALESCE(md5(text), 'NULL') AS h,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM u GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+  CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_excess
+FROM c GROUP BY cluster_size ORDER BY cluster_size ASC""",
+    doc="DUPLICATE-MULTIPLICITY HISTOGRAM (operators/dedup.py::"
+    "dup_cluster_report) — the release-audit view of exact dedup"
+    " (x01/q31 KEEP one row per digest; this reports how much a"
+    " dedup pass would remove and in what shape BEFORE it rewrites"
+    " the corpus): per-digest counts re-aggregated over the"
+    " multiplicity domain — cluster_size, n_clusters, n_docs,"
+    " n_excess; the heavy tail at high multiplicities is the"
+    " boilerplate signature. Planted: the corpus unioned with its"
+    " doc_id%10 and doc_id%100 slices (multiplicities 1/2/3)."
+    " Scale: two hash aggs — the per-digest one is the same"
+    " map-side-combinable shuffle exact dedup already pays; the"
+    " re-agg domain is distinct cluster SIZES (log-sized), and the"
+    " ORDER BY sorts a report-sized frame. Oracle: identical"
+    " digest-count-histogram SQL in DuckDB, hash-exact",
+)
+def z90_dup_cluster_report(spark, sf_dir):
+    from topn_spark.operators.dedup import dup_cluster_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        docs.select("text")
+        .unionAll(docs.where(F.col("doc_id") % 10 == 0).select("text"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 100 == 0).select("text")
+        )
+    )
+    return dup_cluster_report(u)
