@@ -298,3 +298,81 @@ def test_perplexity_score_meta_scalars_schedule_no_jobs(spark):
     got = {r.doc_id: r.ppl for r in rows}
     for r in auto:
         assert abs(got[r.doc_id] - r.ppl) <= 1e-12 * abs(r.ppl)
+
+
+def test_perplexity_contrast_prefers_domain_docs(spark):
+    from topn_spark.operators.lm import (
+        perplexity_contrast,
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    # domain vocab kept comparable to the general vocab (doc 2 is
+    # filler breadth): add-k gives unseen grams probability 1/V, so
+    # a tiny domain vocabulary would INFLATE out-of-domain docs —
+    # the known add-k artifact the contrast only cancels when both
+    # models see realistic vocabularies
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta"),
+            (2, "alpha beta gamma delta epsilon mu nu xi"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "zeta eta zeta eta theta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    domain = train_bigram_lm(corpus.where("doc_id <= 2"))
+    general = train_bigram_lm(corpus)
+    out = {
+        r.doc_id: r
+        for r in perplexity_contrast(
+            corpus, domain, general
+        ).collect()
+    }
+    # domain-slice docs score better under the domain model
+    assert out[1].keep and out[1].log_ratio < 0
+    assert not out[4].keep and out[4].log_ratio > 0
+    # the fused pass equals two single-model scorings exactly
+    import math
+
+    d = {
+        r.doc_id: r
+        for r in perplexity_score(corpus, *domain).collect()
+    }
+    g = {
+        r.doc_id: r
+        for r in perplexity_score(corpus, *general).collect()
+    }
+    for k in out:
+        assert math.isclose(
+            out[k].ppl_domain, d[k].ppl, rel_tol=1e-12
+        )
+        assert math.isclose(
+            out[k].ppl_general, g[k].ppl, rel_tol=1e-12
+        )
+        assert math.isclose(
+            out[k].log_ratio,
+            math.log(out[k].ppl_domain / out[k].ppl_general),
+            rel_tol=1e-9,
+        )
+
+
+def test_perplexity_contrast_threshold_and_short_docs(spark):
+    from topn_spark.operators.lm import (
+        perplexity_contrast,
+        train_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d"), (3, "single")],
+        "doc_id bigint, text string",
+    )
+    lm = train_bigram_lm(corpus)
+    out = perplexity_contrast(
+        corpus, lm, lm, max_log_ratio=0.5
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    # same model both sides -> log_ratio exactly 0, under the cut
+    assert all(r.log_ratio == 0.0 and r.keep for r in out)
+    # <2 tokens -> no bigrams -> dropped (no model opinion)
+    assert set(got) == {1, 2}

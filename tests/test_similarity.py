@@ -499,3 +499,46 @@ class TestIvfPq:
         assert got[0].vec_id == "v03"
         with pytest.raises(ValueError, match="not found"):
             ivfpq_topk(df, query_id="nope", nlist=4, m=2, train_rows=40)
+
+
+def test_contrastive_triplets_hand_case(spark):
+    from topn_spark.operators.similarity import contrastive_triplets
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.1, 0.9], 1),
+            (5, [0.5, 0.5], None),  # unlabeled: excluded both sides
+            (6, [-1.0, 0.0], 2),    # singleton label: no positive
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r.anchor_id: r for r in contrastive_triplets(df).collect()}
+    # singleton label 2 has no same-label neighbor -> dropped
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].pos_id == 2 and out[2].pos_id == 1
+    # hardest negative for (1,0)-ish anchors is the (0.1, 0.9) vec
+    assert out[1].neg_id == 4 and out[2].neg_id == 4
+    # anchor 3's hardest negative is the (0.9, 0.1) label-0 vec;
+    # the labeled singleton (6) is a VALID negative, just not nearest
+    assert out[3].pos_id == 4 and out[3].neg_id == 2
+    for r in out.values():
+        assert r.margin == r.pos_score - r.neg_score
+        assert r.margin > 0  # well-separated fixture
+        assert r.neg_id != 5  # NULL label never a negative
+
+
+def test_contrastive_triplets_guard(spark):
+    import pytest
+
+    from topn_spark.operators.similarity import contrastive_triplets
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(10)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        contrastive_triplets(df, max_rows=5)
+    assert contrastive_triplets(df, max_rows=None).count() == 10

@@ -527,3 +527,104 @@ def update_bigram_lm(
         out_path,
         mode=meta["token_mode"],
     )
+
+
+def perplexity_contrast(
+    docs: DataFrame,
+    domain: tuple[DataFrame, DataFrame],
+    general: tuple[DataFrame, DataFrame],
+    k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ascii",
+    domain_vocab_size: int | None = None,
+    general_vocab_size: int | None = None,
+    max_log_ratio: float = 0.0,
+) -> DataFrame:
+    """Two-model perplexity CONTRAST filter — the domain-targeting
+    selection rule behind DSIR-style and RHO-style curation (score a
+    document under a DOMAIN LM and a GENERAL LM; what matters is the
+    DIFFERENCE, not either absolute perplexity, because document
+    length and vocabulary burstiness cancel between the two models):
+    ``log_ratio = ln(ppl_domain / ppl_general)`` — the per-token
+    cross-entropy difference in nats — and ``keep = log_ratio <=
+    max_log_ratio`` (0.0 keeps documents at least as likely under
+    the domain model). Both models are add-k bigram LMs as trained
+    by :func:`train_bigram_lm`; ``domain`` / ``general`` are their
+    ``(unigrams, bigrams)`` pairs.
+
+    Scale shape: ONE corpus explode to the per-doc bigram stream
+    (NOT one per model — the whole point of fusing the two scorings),
+    four model-sized LEFT joins (each model's bigram + unigram count
+    tables; AQE broadcasts pruned models, skew-splits the zipf-hot
+    probe keys otherwise), one per-doc re-agg computing both logprob
+    sums in the same pass. The vocab-size scalars are the only
+    driver state; pass them explicitly to schedule zero model-sized
+    jobs per call (artifact-backed callers).
+    """
+    du, db = domain
+    gu, gb = general
+    if domain_vocab_size is None:
+        domain_vocab_size = du.count() + 1
+    if general_vocab_size is None:
+        general_vocab_size = gu.count() + 1
+    vd, vg, kf = (
+        float(domain_vocab_size),
+        float(general_vocab_size),
+        float(k),
+    )
+    grams = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            tokens(text_col, mode).alias("_toks"),
+        )
+        .select(
+            "_id",
+            F.explode(ngrams_from_tokens("_toks", 2)).alias("bg"),
+        )
+        .withColumn("w", F.substring_index("bg", " ", 1))
+    )
+    joined = (
+        grams.join(
+            db.select("bg", F.col("c").alias("_dc12")), "bg", "left"
+        )
+        .join(
+            du.select("w", F.col("c").alias("_dc1")), "w", "left"
+        )
+        .join(
+            gb.select("bg", F.col("c").alias("_gc12")), "bg", "left"
+        )
+        .join(
+            gu.select("w", F.col("c").alias("_gc1")), "w", "left"
+        )
+    )
+
+    def _addk(c12, c1, v):
+        return F.log(
+            (F.coalesce(c12, F.lit(0)) + F.lit(kf))
+            / (F.coalesce(c1, F.lit(0)) + F.lit(kf * v))
+        )
+
+    agg = (
+        joined.select(
+            "_id",
+            _addk(F.col("_dc12"), F.col("_dc1"), vd).alias("_dlp"),
+            _addk(F.col("_gc12"), F.col("_gc1"), vg).alias("_glp"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_dlp").alias("_dsum"),
+            F.sum("_glp").alias("_gsum"),
+        )
+    )
+    n = F.col("n_bigrams")
+    log_ratio = (F.col("_gsum") - F.col("_dsum")) / n
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.exp(-F.col("_dsum") / n).alias("ppl_domain"),
+        F.exp(-F.col("_gsum") / n).alias("ppl_general"),
+        log_ratio.alias("log_ratio"),
+        (log_ratio <= F.lit(float(max_log_ratio))).alias("keep"),
+    )

@@ -1091,3 +1091,98 @@ def ivfpq_topk_rerank(
     return exact.orderBy(
         F.col("exact_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Hard-triplet mining for embedding-model training (FaceNet /
+    sentence-encoder recipe): for every labeled anchor, ``pos`` is
+    its most-similar SAME-label neighbor and ``neg`` its
+    most-similar DIFFERENT-label neighbor — the hardest negative,
+    the one sitting closest to the anchor on the wrong side of the
+    boundary. ``margin = pos_score - neg_score`` (cosine); rows with
+    ``margin <= 0`` are the active triplets a triplet/InfoNCE loss
+    actually learns from, and a corpus whose margins are all large
+    has no hard examples left to mine. Ties break on the lowest
+    neighbor id (deterministic across engines). Unlabeled rows
+    (NULL ``label_col``) are excluded from BOTH sides — a NULL label
+    can neither certify a positive nor a negative. Anchors missing
+    either side (singleton label, or a single-label corpus) are
+    dropped with the join.
+
+    Scale warning: O(n²) brute-force scoring — the evaluation
+    baseline, guarded by ``max_rows`` exactly like :func:`knn_join`
+    (raise it deliberately, or ``None`` to skip the guard and its
+    extra action). The 100 TB path mines within LSH / IVF buckets
+    first (:func:`random_hyperplane_lsh`, :func:`ivf_assign`) and
+    runs THIS operator per bucket: hard positives and hard negatives
+    are by definition near the anchor, so bucketing loses only the
+    easy pairs a hard-mining pass ignores anyway.
+    """
+    labeled = df.where(F.col(label_col).isNotNull())
+    a = labeled.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("_av"),
+        F.col(label_col).alias("_al"),
+    )
+    if max_rows is not None:
+        n = a.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"contrastive_triplets input has more than "
+                f"{max_rows} labeled rows; this is the O(n^2) "
+                "evaluation baseline. Bucket with LSH/IVF and mine "
+                "per bucket, pass a larger max_rows deliberately, "
+                "or max_rows=None to skip the guard."
+            )
+    b = labeled.select(
+        F.col(id_col).alias("other_id"),
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+        F.col(label_col).alias("_bl"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_av", "_bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("anchor_id") != F.col("other_id"))
+        .withColumn(
+            "score",
+            dot / (_norm(F.col("_av")) * _norm(F.col("_bv"))),
+        )
+        .select("anchor_id", "_al", "_bl", "other_id", "score")
+    )
+    tiebreak = F.col("other_id").asc()
+    pos = topn_grouped(
+        pairs.where(F.col("_al") == F.col("_bl")),
+        "anchor_id",
+        "score",
+        1,
+        tiebreak=tiebreak,
+    ).select(
+        "anchor_id",
+        F.col("other_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = topn_grouped(
+        pairs.where(F.col("_al") != F.col("_bl")),
+        "anchor_id",
+        "score",
+        1,
+        tiebreak=tiebreak,
+    ).select(
+        "anchor_id",
+        F.col("other_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+    )
+    return pos.join(neg, "anchor_id").withColumn(
+        "margin", F.col("pos_score") - F.col("neg_score")
+    )

@@ -13178,3 +13178,165 @@ def z90_dup_cluster_report(spark, sf_dir):
         )
     )
     return dup_cluster_report(u)
+
+
+def _z91_contrast_mirror(con):
+    """z91 mirror: INDEPENDENT two-model add-k contrast — same ASCII
+    token rule, same (c12+k)/(c1+k*V) formula per model, log_ratio =
+    (lp_general - lp_domain)/n. Sum order differs from Spark's
+    partial aggregation, hence tolerance (1e-9 relative)."""
+    import math
+    import re
+    from collections import Counter
+
+    def train(sql):
+        uni, bi = Counter(), Counter()
+        for (text,) in con.execute(sql).fetchall():
+            if text is None:
+                continue
+            t = re.findall(r"[a-z0-9]+", text.lower())
+            uni.update(t)
+            bi.update(
+                t[i] + " " + t[i + 1] for i in range(len(t) - 1)
+            )
+        return uni, bi
+
+    du, db = train("SELECT text FROM documents WHERE lang = 'en'")
+    gu, gb = train("SELECT text FROM documents")
+    vd, vg, k = float(len(du) + 1), float(len(gu) + 1), 1.0
+    out = []
+    for did, text in con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 300 "
+        "ORDER BY doc_id"
+    ).fetchall():
+        if text is None:
+            continue
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        if len(t) < 2:
+            continue
+        n = len(t) - 1
+        ds = gs = 0.0
+        for i in range(n):
+            g = t[i] + " " + t[i + 1]
+            ds += math.log(
+                (db.get(g, 0) + k) / (du.get(t[i], 0) + k * vd)
+            )
+            gs += math.log(
+                (gb.get(g, 0) + k) / (gu.get(t[i], 0) + k * vg)
+            )
+        lr = (gs - ds) / n
+        out.append(
+            (
+                int(did),
+                n,
+                math.exp(-ds / n),
+                math.exp(-gs / n),
+                lr,
+                lr <= 0.0,
+            )
+        )
+    return (
+        ["doc_id", "n_bigrams", "ppl_domain", "ppl_general",
+         "log_ratio", "keep"],
+        out,
+    )
+
+
+@query(
+    "z91_ppl_contrast",
+    None,  # float log-prob sums are order-dependent — tolerance mirror
+    doc="TWO-MODEL PERPLEXITY CONTRAST (lm.py::perplexity_contrast)"
+    " — the domain-targeting selection rule behind DSIR-style and"
+    " RHO-style curation: score every document under a DOMAIN add-k"
+    " bigram LM (trained on the lang='en' slice) and a GENERAL one"
+    " (all docs); keep = ln(ppl_domain/ppl_general) <= 0, the"
+    " per-token cross-entropy DIFFERENCE, which cancels the length"
+    " and burstiness effects either absolute perplexity carries"
+    " (z29/z31 are the single-model siblings). Scale: ONE corpus"
+    " explode — not one per model, the point of fusing the scorings"
+    " — four model-sized LEFT joins, one per-doc re-agg computing"
+    " both logprob sums. Oracle: independent Python two-model"
+    " mirror, 1e-9 relative",
+    tol_oracle=_z91_contrast_mirror,
+    tolerance=1e-9,
+    tol_keys=("doc_id",),
+)
+def z91_ppl_contrast(spark, sf_dir):
+    from topn_spark.operators.lm import (
+        perplexity_contrast,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    domain = train_bigram_lm(docs.where(F.col("lang") == "en"))
+    general = train_bigram_lm(docs)
+    return perplexity_contrast(
+        docs.where(F.col("doc_id") < 300), domain, general
+    ).orderBy("doc_id")
+
+
+def _z92_triplet_mirror(con):
+    """z92 mirror: NumPy cosine matrix over the embeddings table,
+    hardest same-label / different-label neighbor per anchor with
+    the (score desc, id asc) tiebreak. Summation order differs from
+    Spark's left-to-right fold, hence tolerance (1e-9 relative)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings "
+        "WHERE label IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    lab = np.array([r[2] for r in rows])
+    nv = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = nv @ nv.T
+    out = []
+    for i in range(len(ids)):
+        same = (lab == lab[i]) & (ids != ids[i])
+        diff = lab != lab[i]
+        if not same.any() or not diff.any():
+            continue
+
+        def best(mask):
+            # score desc, id asc — lexicographic on (-score, id)
+            cand = np.flatnonzero(mask)
+            k = cand[np.lexsort((ids[cand], -s[i, cand]))[0]]
+            return int(ids[k]), float(s[i, k])
+
+        pi, ps = best(same)
+        ni, ns = best(diff)
+        out.append((int(ids[i]), pi, ps, ni, ns, ps - ns))
+    return (
+        ["anchor_id", "pos_id", "pos_score", "neg_id", "neg_score",
+         "margin"],
+        out,
+    )
+
+
+@query(
+    "z92_contrastive_triplets",
+    None,  # float cosine scores — tolerance mirror (SURVEY §2.6)
+    doc="HARD-TRIPLET MINING (similarity.py::contrastive_triplets)"
+    " — the embedding-model training-data step (FaceNet / sentence-"
+    "encoder recipe): per labeled anchor, the most-similar SAME-"
+    "label neighbor (hard positive) and most-similar DIFFERENT-"
+    "label neighbor (hard negative) with margin = pos - neg cosine;"
+    " margin <= 0 rows are the active triplets the loss learns"
+    " from. Ties break on lowest neighbor id; NULL labels excluded"
+    " both sides; singleton-label anchors drop with the join."
+    " Scale: O(n^2) guarded evaluation baseline (knn_join's"
+    " max_rows contract); the 100 TB path buckets with LSH/IVF"
+    " first and mines per bucket — hard pairs are near the anchor"
+    " by definition, bucketing loses only easy pairs. Oracle:"
+    " NumPy cosine-matrix mirror with the same tiebreak, 1e-9"
+    " relative",
+    tol_oracle=_z92_triplet_mirror,
+    tolerance=1e-9,
+    tol_keys=("anchor_id",),
+)
+def z92_contrastive_triplets(spark, sf_dir):
+    from topn_spark.operators.similarity import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_triplets(emb).orderBy("anchor_id")
