@@ -301,3 +301,37 @@ def test_dup_cluster_report_all_unique(spark):
         and r.n_docs == 2
         and r.n_excess == 0
     )
+
+
+def test_dedup_lineage_maps_to_keeper(spark):
+    from topn_spark.operators.dedup import dedup_lineage
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (3, "a"), (2, "b"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lineage(df).collect()}
+    assert out[1].keeper_id == 1 and out[1].is_keeper
+    assert out[5].keeper_id == 1 and not out[5].is_keeper
+    assert out[3].cluster_size == 3
+    assert out[2].keeper_id == 2 and out[2].cluster_size == 1
+    # NULL text: its own observable cluster, never dropped
+    assert out[4].keeper_id == 4 and out[4].is_keeper
+
+
+def test_dedup_lineage_agrees_with_dedup_exact(spark):
+    from topn_spark.operators.dedup import dedup_exact, dedup_lineage
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 7}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_exact(
+            df, subset=["text"], tiebreak=["doc_id"]
+        ).collect()
+    }
+    lineage = dedup_lineage(df).collect()
+    assert {r.keeper_id for r in lineage} == kept
+    assert sum(r.is_keeper for r in lineage) == len(kept)

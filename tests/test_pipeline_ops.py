@@ -1794,3 +1794,50 @@ def test_epoch_shuffle_validates(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(df, epoch=0, n_shards=0)
+
+
+# -------------------------------------------------- curriculum_stages
+
+
+def test_curriculum_stages_matches_window_ntile(spark):
+    from pyspark.sql.window import Window
+
+    from topn_spark.operators.pipeline import curriculum_stages
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(100)],
+        "doc_id bigint, score bigint",
+    )
+    got = {
+        r.doc_id: (r.rank, r.stage)
+        for r in curriculum_stages(df, "score", 3).collect()
+    }
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    ref = {
+        r.doc_id: (r.rank, r.stage)
+        for r in df.select(
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.ntile(3).over(w).cast("int").alias("stage"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_curriculum_stages_descending_and_validation(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import curriculum_stages
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 1)], "doc_id bigint, score bigint"
+    )
+    out = {
+        r.doc_id: r.rank
+        for r in curriculum_stages(
+            df, "score", 2, ascending=False
+        ).collect()
+    }
+    assert out == {2: 1, 1: 2, 3: 3}
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "score", 0)

@@ -542,3 +542,36 @@ def test_contrastive_triplets_guard(spark):
     with pytest.raises(ValueError, match="max_rows"):
         contrastive_triplets(df, max_rows=5)
     assert contrastive_triplets(df, max_rows=None).count() == 10
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    from topn_spark.operators.similarity import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    # 30 vecs hugging centroid 0, 3 hugging centroid 1: the cap
+    # stops the head cluster dominating the sample
+    rows = [(i, [1.0 + 0.001 * i, 0.0], 0) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0 + 0.001 * i], 0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = cluster_balanced_sample(df, cents, 5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.sample_rank)
+    assert len(by_cluster[0]) == 5  # capped
+    assert sorted(by_cluster[0]) == [1, 2, 3, 4, 5]
+    assert len(by_cluster[1]) == 3  # smaller cluster kept whole
+    # sample is a subset of the assignment, cluster labels agree
+    assign = {
+        r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()
+    }
+    assert all(assign[r.vec_id] == r.cluster for r in out)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k_per_cluster"):
+        cluster_balanced_sample(df, cents, 0)

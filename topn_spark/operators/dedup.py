@@ -955,3 +955,48 @@ def dup_cluster_report(
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_lineage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup provenance map — the governance artifact a corpus
+    rewrite must leave behind (:func:`dedup_exact` keeps one row per
+    digest and silently drops the rest; takedown requests, licensing
+    audits, and "which training doc does this duplicate collapse
+    into?" questions all need the DROPPED ids resolvable): every
+    input row mapped to its cluster's canonical keeper —
+    ``(id, keeper_id, is_keeper, cluster_size)`` with the keeper =
+    lowest id per digest (dedup_exact's exact rule, so the map and
+    the dedup pass agree by construction). NULL text is coalesced to
+    a sentinel digest — NULL documents form their own observable
+    cluster instead of vanishing from the lineage.
+
+    Scale shape: one map-side-combinable per-digest hash agg
+    (min-id keeper + count — model row per DISTINCT digest) and one
+    equi-join back on the digest; both sides hash-partition on the
+    same key, the same shuffle exact dedup already pays. A
+    boilerplate digest with millions of members is one hot join key
+    — AQE skew-join splits it, and the keeper side is one row per
+    digest so the broadcast threshold usually removes the join
+    entirely after the agg.
+    """
+    sig = F.coalesce(F.md5(F.col(text_col)), F.lit("NULL"))
+    keyed = df.select(
+        F.col(id_col), sig.alias("_h")
+    )
+    keepers = keyed.groupBy("_h").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+    return (
+        keyed.join(keepers, "_h")
+        .select(
+            id_col,
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+            "cluster_size",
+        )
+    )

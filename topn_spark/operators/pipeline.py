@@ -3258,3 +3258,55 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("_ekey")
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    buckets: int = 64,
+) -> DataFrame:
+    """Curriculum-learning stage assignment (easy→hard data ordering;
+    Bengio et al. 2009): exact global rank by ``(score_col, id_col)``
+    — ascending by default, so the classic short-to-long length
+    curriculum is ``score_col="n_chars"`` — cut into ``n_stages``
+    contiguous blocks with SQL ``NTILE`` semantics (first
+    ``total % n`` stages one row larger), appended as ``rank`` and
+    ``stage`` (1-based). A trainer feeds stage 1 first and unlocks
+    later stages on schedule; within a stage,
+    :func:`epoch_shuffle` restores per-epoch randomness, so
+    curriculum (BETWEEN stages) and shuffling (WITHIN a stage)
+    compose instead of fighting.
+
+    Scale shape: the two-phase exact global rank
+    (:func:`~topn_spark.operators.topn.rank_low_cardinality` —
+    per-value-range bucket counts + offsets, so the sort runs at
+    ``buckets``-way parallelism, never one global sort task) plus a
+    literal ntile projection from (rank, total). No data-sized
+    window, no collect.
+    """
+    from topn_spark.operators.topn import (
+        ntile_from_rank,
+        rank_low_cardinality,
+    )
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    ranked = rank_low_cardinality(
+        df,
+        [],
+        score_col,
+        ascending=ascending,
+        tiebreak=[id_col],
+        buckets=buckets,
+        rank_col="rank",
+        total_col="_total",
+    )
+    return ranked.withColumn(
+        "stage",
+        ntile_from_rank(
+            F.col("rank"), F.col("_total"), int(n_stages)
+        ).cast("int"),
+    ).drop("_total")

@@ -1186,3 +1186,45 @@ def contrastive_triplets(
     return pos.join(neg, "anchor_id").withColumn(
         "margin", F.col("pos_score") - F.col("neg_score")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k_per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced corpus sampling (the DataComp / SemDeDup-
+    family recipe's selection half): assign every row to its nearest
+    centroid (:func:`kmeans_assign` — centroids from
+    :func:`kmeans_lloyd` or :func:`sample_centroids`), then keep a
+    deterministic ≤``k_per_cluster`` uniform sample PER CLUSTER by
+    smallest md5(id) — so no embedding-space mode dominates the
+    sample the way a global uniform draw lets the head cluster
+    dominate a web corpus. Appends ``cluster``, ``dist_sq`` and the
+    1-based ``sample_rank``; reproducible across runs, partitionings,
+    and engines (content-hash order, never ``rand()``).
+
+    Scale shape: assignment is map-only with the k×d centroid model
+    riding as literals; the cap is one ``row_number`` window per
+    cluster that Spark >= 3.5 evaluates map-side (WindowGroupLimit —
+    at most k rows per cluster per input partition reach the
+    shuffle), so the sample never materializes a cluster.
+    """
+    from topn_spark.operators.pipeline import sample_k_per_group
+
+    if k_per_cluster < 1:
+        raise ValueError(
+            f"k_per_cluster must be >= 1, got {k_per_cluster}"
+        )
+    assigned = kmeans_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    )
+    return sample_k_per_group(
+        assigned,
+        ["cluster"],
+        int(k_per_cluster),
+        id_col,
+        rank_col="sample_rank",
+    )

@@ -13340,3 +13340,147 @@ def z92_contrastive_triplets(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return contrastive_triplets(emb).orderBy("anchor_id")
+
+
+@query(
+    "z93_dedup_lineage",
+    r"""WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+k AS (
+  SELECT COALESCE(md5(text), 'NULL') AS h,
+         MIN(doc_id) AS keeper_id,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM u GROUP BY 1)
+SELECT u.doc_id, k.keeper_id,
+       u.doc_id = k.keeper_id AS is_keeper, k.cluster_size
+FROM u JOIN k ON COALESCE(md5(u.text), 'NULL') = k.h
+ORDER BY u.doc_id ASC""",
+    doc="EXACT-DEDUP PROVENANCE MAP (operators/dedup.py::"
+    "dedup_lineage) — the governance artifact a corpus rewrite must"
+    " leave behind: x01/q31 KEEP one row per digest and drop the"
+    " rest; takedown requests and licensing audits need the DROPPED"
+    " ids resolvable, so every row maps to its cluster's canonical"
+    " keeper (lowest id — dedup_exact's exact rule, so map and dedup"
+    " agree by construction), with is_keeper and cluster_size"
+    " observable and NULL text as its own sentinel cluster. Planted:"
+    " the corpus plus an id-shifted copy of its doc_id%10 slice"
+    " (cross-copy exact dups with distinct ids). Scale: one"
+    " map-side-combinable per-digest hash agg + one equi-join back"
+    " on the digest — the same shuffle exact dedup already pays;"
+    " the keeper side is one row per digest (broadcast/AQE"
+    " territory). Oracle: identical digest-group-join SQL in"
+    " DuckDB, hash-exact",
+)
+def z93_dedup_lineage(spark, sf_dir):
+    from topn_spark.operators.dedup import dedup_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_lineage(u).orderBy("doc_id")
+
+
+@query(
+    "z94_curriculum_stages",
+    r"""SELECT doc_id, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+       AS BIGINT) AS rank,
+  CAST(ntile(5) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT)
+    AS stage
+FROM documents ORDER BY rank ASC""",
+    doc="CURRICULUM-LEARNING STAGE ASSIGNMENT (pipeline.py::"
+    "curriculum_stages; Bengio et al. 2009) — easy-to-hard data"
+    " ordering: exact global rank by (n_chars, doc_id) — the classic"
+    " short-to-long length curriculum — cut into 5 contiguous"
+    " NTILE-semantics stages; a trainer feeds stage 1 first, and"
+    " WITHIN a stage epoch_shuffle (z88) restores per-epoch"
+    " randomness, so curriculum and shuffling compose. Scale: the"
+    " two-phase exact global rank (rank_low_cardinality — value-"
+    "range bucket counts + broadcast offsets, 64-way sort"
+    " parallelism, never one global sort task; the x13/z68 shape)"
+    " plus a literal ntile projection from (rank, total). Oracle:"
+    " plain window row_number + ntile in DuckDB, hash-exact",
+)
+def z94_curriculum_stages(spark, sf_dir):
+    from topn_spark.operators.pipeline import curriculum_stages
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return curriculum_stages(
+        docs, "n_chars", 5, id_col="doc_id"
+    ).orderBy("rank")
+
+
+#: z95 planted centroids: unit spike on dim (j) per cluster j — the
+#: k x d model that rides into the task as literals.
+_Z95_CENTROIDS = [
+    [1.0 if d == j else 0.0 for d in range(64)] for j in range(4)
+]
+
+
+def _z95_cluster_sample_mirror(con):
+    """z95 mirror: INDEPENDENT Python replication of kmeans_assign
+    (left-to-right (a-b)^2 fold per centroid — the same IEEE op
+    order as Spark's F.aggregate, so dist_sq is bit-exact — argmin
+    with first-min tie to the lowest cluster id) + the md5(id)
+    per-cluster k-smallest cap. Tolerance 0."""
+    import hashlib
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    per = {}
+    for vid, emb in rows:
+        best, bd = 0, None
+        for j, c in enumerate(_Z95_CENTROIDS):
+            s = 0.0
+            for a, b in zip(emb, c):
+                d = float(a) - b
+                s += d * d
+            if bd is None or s < bd:
+                bd, best = s, j
+        h = hashlib.md5(str(vid).encode()).hexdigest()
+        per.setdefault(best, []).append((h, vid, bd))
+    out = []
+    for j, members in per.items():
+        members.sort()
+        for rank, (_, vid, bd) in enumerate(members[:10], 1):
+            out.append((int(vid), j, bd, rank))
+    return ["vec_id", "cluster", "dist_sq", "sample_rank"], out
+
+
+@query(
+    "z95_cluster_balanced_sample",
+    None,  # float dist_sq + model-based assignment — mirror oracle
+    doc="DIVERSITY-BALANCED SAMPLING (similarity.py::"
+    "cluster_balanced_sample) — the DataComp/SemDeDup-family"
+    " selection half: nearest-centroid assignment (kmeans_assign,"
+    " k x d model as literals, map-only) then a deterministic"
+    " <=10-row uniform sample PER CLUSTER by smallest md5(id), so"
+    " no embedding-space mode dominates the sample the way a global"
+    " uniform draw lets the head cluster dominate a web corpus."
+    " Planted: 4 unit-spike centroids. Scale: map-only assignment +"
+    " one WindowGroupLimit-evaluated rank cut (at most k rows per"
+    " cluster per input partition reach the shuffle). Oracle:"
+    " independent Python fold-order-exact assignment + hashlib md5"
+    " cap mirror, tolerance 0",
+    tol_oracle=_z95_cluster_sample_mirror,
+    tolerance=0.0,
+    tol_keys=("vec_id",),
+)
+def z95_cluster_balanced_sample(spark, sf_dir):
+    from topn_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, _Z95_CENTROIDS, 10)
+    return out.select(
+        "vec_id", "cluster", "dist_sq", "sample_rank"
+    ).orderBy("vec_id")
