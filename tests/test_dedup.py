@@ -335,3 +335,41 @@ def test_dedup_lineage_agrees_with_dedup_exact(spark):
     lineage = dedup_lineage(df).collect()
     assert {r.keeper_id for r in lineage} == kept
     assert sum(r.is_keeper for r in lineage) == len(kept)
+
+
+def test_memorization_risk_counts_df1_grams(spark):
+    from topn_spark.operators.dedup import memorization_risk
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # grams: abc, bcd, cde
+            (2, "a b c x y"),       # shares abc with doc 1
+            (3, "a b c x y"),       # exact copy of doc 2
+            (4, "q r"),             # too short for n=3
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r for r in memorization_risk(df, n=3).collect()
+    }
+    # doc 1: 'a b c' shared with 2/3 -> 2 of 3 grams unique
+    assert out[1].n_grams == 3 and out[1].n_unique == 2
+    assert out[1].uniq_ratio == 0.666667
+    # exact copies: every gram df >= 2 -> zero unique
+    assert out[2].n_unique == 0 and out[3].n_unique == 0
+    # short doc observable with NULL ratio
+    assert out[4].n_grams == 0 and out[4].uniq_ratio is None
+
+
+def test_memorization_risk_within_doc_repeat_not_unique_loss(spark):
+    from topn_spark.operators.dedup import memorization_risk
+
+    # a gram repeated WITHIN one doc is still df=1 (distinct per
+    # doc): document frequency, not raw frequency
+    df = spark.createDataFrame(
+        [(1, "p q r p q r")], "doc_id bigint, text string"
+    )
+    [r] = memorization_risk(df, n=3).collect()
+    # gram stream p-q-r, q-r-p, r-p-q, p-q-r -> 3 DISTINCT grams,
+    # each in exactly one document
+    assert r.n_grams == 3 and r.n_unique == 3

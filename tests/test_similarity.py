@@ -575,3 +575,53 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
 
     with pytest.raises(ValueError, match="k_per_cluster"):
         cluster_balanced_sample(df, cents, 0)
+
+
+def test_mmr_rerank_diversifies(spark):
+    from topn_spark.operators.similarity import mmr_rerank
+
+    # candidates: two near-identical top hits + one orthogonal.
+    # plain relevance order: 10, 11, 12 — MMR must demote the
+    # near-copy 11 below the diverse 12.
+    rows = [
+        (1, 10, 0.99, [1.0, 0.0]),
+        (1, 11, 0.98, [0.999, 0.001]),
+        (1, 12, 0.60, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id bigint, cand_id bigint, rel_score double,"
+        " embedding array<double>",
+    )
+    out = sorted(
+        mmr_rerank(df, k=3, lam=0.5).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.cand_id for r in out] == [10, 12, 11]
+    # first pick's criterion is lam * rel
+    assert abs(out[0].mmr_score - 0.5 * 0.99) < 1e-12
+    assert out[0].mmr_rank == 1
+
+
+def test_mmr_rerank_caps_ties_and_validates(spark):
+    import pytest
+
+    from topn_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (7, 1, 0.5, [1.0, 0.0]),
+        (7, 2, 0.5, [0.0, 1.0]),  # tied rel: lowest id first
+        (8, 9, 0.1, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id bigint, cand_id bigint, rel_score double,"
+        " embedding array<double>",
+    )
+    out = mmr_rerank(df, k=1, lam=1.0).collect()
+    got = {r.query_id: r.cand_id for r in out}
+    assert got == {7: 1, 8: 9}  # k cap per query, tie -> lowest id
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, lam=1.5)
+    with pytest.raises(ValueError, match="k"):
+        mmr_rerank(df, k=0)

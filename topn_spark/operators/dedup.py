@@ -1000,3 +1000,71 @@ def dedup_lineage(
             "cluster_size",
         )
     )
+
+
+def memorization_risk(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rare-long-n-gram memorization audit (the risk signal from the
+    LM-memorization literature — Carlini et al. 2021/2023, Lee et
+    al. 2022: sequences that occur ONCE in the corpus are the ones a
+    model can only emit by memorizing, and duplicated ones are the
+    ones it memorizes fastest; this scores both ends): per document,
+    the count of distinct word ``n``-grams, how many of them occur in
+    NO other document (``n_unique``, corpus document-frequency 1),
+    and ``uniq_ratio`` — a high ratio marks content whose
+    regurgitation would be verbatim-traceable (PII dumps, keys,
+    boilerplate-free personal text), a low ratio marks heavily
+    shared/template text. Documents shorter than ``n`` tokens emit
+    zero grams and a NULL ratio (no opinion, observable).
+
+    Scale shape: the decontamination shape WITHOUT the join back —
+    one explode of the per-doc DISTINCT gram set (md5'd to 16-byte
+    keys before the shuffle, the z80 trick), ONE gram-keyed
+    map-side-combinable agg of ``(doc_frequency, min(doc_id))`` —
+    and because a df-1 gram's ``min(doc_id)`` IS its only document,
+    the per-doc unique counts come from re-aggregating the filtered
+    gram table by that id: no second corpus-sized join. A LEFT join
+    from the id spine restores zero-gram documents.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                shingles(text_col, n),
+                lambda s: F.md5(s),
+            )
+        ).alias("_gm"),
+    )
+    per_doc = grams.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    dfreq = grams.groupBy("_gm").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.min("_id").alias("_only"),
+    )
+    uniq = (
+        dfreq.where(F.col("_df") == 1)
+        .groupBy(F.col("_only").alias("_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    spine = df.select(F.col(id_col).alias("_id"))
+    ng = F.coalesce("n_grams", F.lit(0)).cast("bigint")
+    nu = F.coalesce("n_unique", F.lit(0)).cast("bigint")
+    return (
+        spine.join(per_doc, "_id", "left")
+        .join(uniq, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            ng.alias("n_grams"),
+            nu.alias("n_unique"),
+            F.round(
+                nu.cast("double")
+                / F.nullif(ng.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("uniq_ratio"),
+        )
+    )

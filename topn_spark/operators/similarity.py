@@ -1228,3 +1228,91 @@ def cluster_balanced_sample(
         id_col,
         rank_col="sample_rank",
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel_score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass retrieval training data needs between
+    ANN shortlist and final top-k (a plain cosine top-k returns ten
+    near-copies of the best hit; MMR trades relevance against
+    redundancy): greedily select ``k`` candidates per query, each
+    pick maximizing ``lam * rel - (1 - lam) * max cosine to the
+    already-selected set`` (first pick: relevance alone scaled by
+    ``lam``; ties break on lowest candidate id). Emits ``mmr_rank``
+    (1-based selection order) and ``mmr_score`` (the criterion value
+    at selection) alongside the input relevance.
+
+    Scale shape: ONE shuffle keyed by ``query_col`` into an
+    Arrow-batched ``applyInPandas`` — the greedy loop is inherently
+    sequential but only over a SHORTLIST (each group is the ANN
+    top-m for one query, m ~ tens, by construction upstream), so
+    per-group work is O(k·m·d) NumPy and groups are embarrassingly
+    parallel. Never feed a whole corpus as one query's candidate
+    set — shortlist first (:func:`ivf_topk` / :func:`pq_topk`).
+    """
+    if not 0.0 <= float(lam) <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import numpy as np
+    import pandas as pd
+
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"{query_col} {dtypes[query_col]}, {id_col} {dtypes[id_col]},"
+        " mmr_rank int, rel_score double, mmr_score double"
+    )
+    kk, lm = int(k), float(lam)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        nv = v / norms[:, None]
+        sims = nv @ nv.T
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        chosen: list[int] = []
+        scores: list[float] = []
+        free = list(range(m))
+        while free and len(chosen) < kk:
+            best_i, best_s = None, None
+            for i in free:
+                pen = (
+                    max(float(sims[i, j]) for j in chosen)
+                    if chosen
+                    else 0.0
+                )
+                s = lm * float(rel[i]) - (1.0 - lm) * pen
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and ids[i] < ids[best_i])
+                ):
+                    best_i, best_s = i, s
+            chosen.append(best_i)
+            scores.append(best_s)
+            free.remove(best_i)
+        q = pdf[query_col].iloc[0]
+        return pd.DataFrame(
+            {
+                query_col: [q] * len(chosen),
+                id_col: ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1),
+                "rel_score": rel[chosen],
+                "mmr_score": scores,
+            }
+        )
+
+    return df.groupBy(query_col).applyInPandas(_mmr, out_schema)

@@ -13484,3 +13484,169 @@ def z95_cluster_balanced_sample(spark, sf_dir):
     return out.select(
         "vec_id", "cluster", "dist_sq", "sample_rank"
     ).orderBy("vec_id")
+
+
+@query(
+    "z96_memorization_risk",
+    r"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM base),
+g AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gm
+  FROM t, UNNEST(range(1, len(w) - 6)) AS s(i)
+  WHERE len(w) >= 8),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM g GROUP BY doc_id),
+d AS (
+  SELECT gm, COUNT(*) AS dfreq, MIN(doc_id) AS only_doc
+  FROM g GROUP BY gm),
+u AS (
+  SELECT only_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+  FROM d WHERE dfreq = 1 GROUP BY only_doc)
+SELECT base.doc_id,
+  COALESCE(pd.n_grams, 0) AS n_grams,
+  COALESCE(u.n_unique, 0) AS n_unique,
+  ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
+        / NULLIF(CAST(COALESCE(pd.n_grams, 0) AS DOUBLE), 0), 6)
+    AS uniq_ratio
+FROM base
+LEFT JOIN pd ON base.doc_id = pd.doc_id
+LEFT JOIN u ON base.doc_id = u.doc_id
+ORDER BY base.doc_id ASC""",
+    doc="RARE-N-GRAM MEMORIZATION AUDIT (operators/dedup.py::"
+    "memorization_risk; Carlini et al. 2021/23, Lee et al. 2022) —"
+    " per document: distinct 8-gram count, how many of those grams"
+    " occur in NO other document (corpus document-frequency 1), and"
+    " the uniq_ratio — high marks content a model can only emit by"
+    " memorizing (verbatim-traceable PII/keys), low marks shared"
+    " template text; <n-token docs emit 0 grams and NULL ratio."
+    " Planted: the corpus plus an id-shifted doc_id%10 copy, whose"
+    " members' ratios collapse to 0 (every gram shared). Scale: the"
+    " decontamination shape WITHOUT a join back — one DISTINCT-gram"
+    " explode (md5'd to 16-byte keys pre-shuffle), ONE gram-keyed"
+    " map-side-combinable (count, min(doc_id)) agg; a df-1 gram's"
+    " min(doc_id) IS its only document, so per-doc unique counts"
+    " re-aggregate the filtered gram table — no second corpus-sized"
+    " term. Oracle: identical distinct-gram df SQL in DuckDB,"
+    " hash-exact",
+)
+def z96_memorization_risk(spark, sf_dir):
+    from topn_spark.operators.dedup import memorization_risk
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return memorization_risk(base, n=8).orderBy("doc_id")
+
+
+def _z97_mmr_mirror(con):
+    """z97 mirror: INDEPENDENT NumPy MMR replay — cosine relevance
+    of each candidate to each query, then the same greedy
+    lam*rel - (1-lam)*max-sim-to-selected loop with the lowest-id
+    tiebreak. Float sums differ in order from Spark's fold, hence
+    tolerance (1e-9 relative)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    nv = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qm = ids < 5
+    cm = (ids % 25 == 7)
+    qids, qv = ids[qm], nv[qm]
+    cids, cv = ids[cm], nv[cm]
+    sims = cv @ cv.T
+    out = []
+    for qi in range(len(qids)):
+        rel = cv @ qv[qi]
+        chosen, scores = [], []
+        free = list(range(len(cids)))
+        lam = 0.7
+        while free and len(chosen) < 8:
+            bi, bs = None, None
+            for i in free:
+                pen = (
+                    max(float(sims[i, j]) for j in chosen)
+                    if chosen
+                    else 0.0
+                )
+                s = lam * float(rel[i]) - (1.0 - lam) * pen
+                if bs is None or s > bs or (
+                    s == bs and cids[i] < cids[bi]
+                ):
+                    bi, bs = i, s
+            chosen.append(bi)
+            scores.append(bs)
+            free.remove(bi)
+        for rank, (i, s) in enumerate(zip(chosen, scores), 1):
+            out.append(
+                (
+                    int(qids[qi]),
+                    int(cids[i]),
+                    rank,
+                    float(rel[i]),
+                    s,
+                )
+            )
+    return (
+        ["query_id", "cand_id", "mmr_rank", "rel_score", "mmr_score"],
+        out,
+    )
+
+
+@query(
+    "z97_mmr_rerank",
+    None,  # float cosine/greedy scores — tolerance mirror
+    doc="MAXIMAL MARGINAL RELEVANCE RE-RANKING (similarity.py::"
+    "mmr_rerank; Carbonell & Goldstein 1998) — the diversity pass"
+    " between ANN shortlist and final top-k that stops a retrieval"
+    " training set being ten near-copies of the best hit: greedy"
+    " k-selection per query maximizing lam*rel - (1-lam)*max cosine"
+    " to the already-selected set, lowest-id tiebreak, mmr_rank /"
+    " mmr_score observable. Scale: ONE shuffle keyed by query into"
+    " Arrow-batched applyInPandas; the sequential greedy loop runs"
+    " per SHORTLIST (tens of rows by construction), groups"
+    " embarrassingly parallel — never a corpus as one candidate"
+    " set. Oracle: independent NumPy greedy replay, 1e-9 relative",
+    tol_oracle=_z97_mmr_mirror,
+    tolerance=1e-9,
+    tol_keys=("query_id", "mmr_rank"),
+)
+def z97_mmr_rerank(spark, sf_dir):
+    from topn_spark.operators.similarity import _norm, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    c = emb.where(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cands = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "rel_score",
+            dot / (_norm(F.col("_qv")) * _norm(F.col("embedding"))),
+        )
+        .select("query_id", "cand_id", "rel_score", "embedding")
+    )
+    out = mmr_rerank(cands, k=8, lam=0.7)
+    return out.orderBy("query_id", "mmr_rank")
