@@ -476,3 +476,80 @@ def test_kto_labels_fixed_threshold(spark):
     # unscored: NULL label AND NULL ref_point under a fixed cut
     assert out[12].label is None and out[12].ref_point is None
     assert all(out[k].n_valid == 2 for k in (10, 11, 12))
+
+
+# -------------------------------------------- conversation_paths
+
+
+def test_conversation_paths_tree_and_edge_cases(spark):
+    from topn_spark.operators.sft import conversation_paths
+
+    rows = [
+        # conv 1: root 10 -> 11 -> 12, branch 10 -> 13
+        (1, 10, None, "prompter"),
+        (1, 11, 10, "assistant"),
+        (1, 12, 11, "prompter"),
+        (1, 13, 10, "assistant"),
+        # conv 2: single message
+        (2, 20, None, "prompter"),
+        # conv 3: orphan — parent 99 does not exist
+        (3, 30, 99, "assistant"),
+        # conv 4: 2-cycle
+        (4, 40, 41, "prompter"),
+        (4, 41, 40, "assistant"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id bigint, msg_id bigint, parent_id bigint, role string",
+    )
+    out = {r.leaf_id: r for r in conversation_paths(df).collect()}
+    assert out[12].path_ids == "10>11>12" and out[12].depth == 3
+    assert out[12].path_roles == "prompter>assistant>prompter"
+    assert out[13].path_ids == "10>13" and out[13].is_complete
+    assert out[20].depth == 1 and out[20].is_complete
+    # orphan: partial path, flagged incomplete
+    assert out[30].is_complete is False and out[30].path_ids == "30"
+    # cycle: every node has a child, so no leaf is emitted for conv 4
+    assert all(r.conv_id != 4 for r in out.values())
+    assert set(out) == {12, 13, 20, 30}
+
+
+def test_conversation_paths_depth_matches_sql_walk(spark):
+    from topn_spark.operators.sft import conversation_paths
+
+    # a pure chain of 6: exactly one leaf at depth 6
+    rows = [(7, i, None if i == 0 else i - 1, "r") for i in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id bigint, msg_id bigint, parent_id bigint, role string",
+    )
+    got = conversation_paths(df).collect()
+    assert len(got) == 1
+    assert got[0].depth == 6
+    assert got[0].path_ids == "0>1>2>3>4>5"
+
+
+# ---------------------------------------- preference_length_bias
+
+
+def test_preference_length_bias_counts(spark):
+    from topn_spark.operators.sft import preference_length_bias
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "long-chosen-response", "short"),
+            (2, "tiny", "a-longer-rejected"),
+            (3, "same", "size"),
+            (4, None, "present"),
+        ],
+        "prompt_id bigint, chosen_response string,"
+        " rejected_response string",
+    )
+    [r] = preference_length_bias(pairs).collect()
+    assert r.n_pairs == 4 and r.n_null == 1
+    assert r.n_chosen_longer == 1
+    assert r.n_rejected_longer == 1
+    assert r.n_tied_len == 1
+    # means over the 3 valid pairs only
+    assert r.mean_chosen_chars == round((20 + 4 + 4) / 3, 6)
+    assert r.frac_chosen_longer == round(1 / 3, 6)

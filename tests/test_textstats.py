@@ -1480,3 +1480,53 @@ def test_ngram_diversity_ratios(spark):
         ngram_diversity(df, ns=())
     with pytest.raises(ValueError, match="ns"):
         ngram_diversity(df, ns=(0,))
+
+
+def test_corpus_divergence_identical_and_disjoint(spark):
+    import math
+
+    from topn_spark.operators.textstats import corpus_divergence
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    # identical corpora -> JS exactly 0, full vocab overlap
+    [r] = corpus_divergence(a, a).collect()
+    assert r.js_divergence == 0.0
+    assert r.vocab_a == r.vocab_b == r.vocab_shared == 3
+    assert r.n_tokens_a == r.n_tokens_b == 5
+
+    # fully disjoint vocabularies -> JS = ln 2, zero shared
+    b = spark.createDataFrame(
+        [(1, "delta epsilon")], "doc_id bigint, text string"
+    )
+    [r2] = corpus_divergence(a, b).collect()
+    assert abs(r2.js_divergence - math.log(2)) < 1e-12
+    assert r2.vocab_shared == 0 and r2.vocab_b == 2
+
+
+def test_corpus_divergence_partial_overlap_mirror(spark):
+    import math
+    from collections import Counter
+
+    from topn_spark.operators.textstats import corpus_divergence
+
+    a = spark.createDataFrame(
+        [(1, "x x y")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x z z z")], "doc_id bigint, text string"
+    )
+    [r] = corpus_divergence(a, b).collect()
+    ca, cb = Counter({"x": 2, "y": 1}), Counter({"x": 1, "z": 3})
+    js = 0.0
+    for w in set(ca) | set(cb):
+        p, q = ca.get(w, 0) / 3, cb.get(w, 0) / 4
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log(p / m)
+        if q:
+            js += 0.5 * q * math.log(q / m)
+    assert abs(r.js_divergence - js) < 1e-12
+    assert r.vocab_shared == 1

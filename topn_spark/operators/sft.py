@@ -1049,3 +1049,170 @@ def kto_labels(
             score >= F.col("ref_point"),
         ),
     )
+
+
+def conversation_paths(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    msg_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+) -> DataFrame:
+    """Message-TREE flattening — the OASST-style prep step (crowd
+    conversation datasets are trees: one prompt, several candidate
+    replies, each with its own subtree; a trainer consumes LINEAR
+    threads): emit one row per leaf with its root-to-leaf path —
+    ``(conv, leaf_id, depth, path_ids, path_roles, is_complete)``.
+    ``is_complete`` is False when the walk hit a dangling
+    ``parent_id`` (orphaned subtree — observable, never silently
+    emitted as a root) or a parent cycle; complete paths always
+    start at a NULL-parent root. Leaves are messages no other
+    message names as parent; a single-message conversation is one
+    depth-1 path.
+
+    Scale shape: ONE ``repartition`` shuffle keyed by the
+    conversation id into a partition-level Arrow ``mapInPandas``
+    that groups in pandas — NOT per-group ``applyInPandas``: a
+    conversation tree is tens of rows, so per-group Python calls
+    dominate at corpus scale (measured 34.7 s → 1.6 s at 500 k
+    messages, SCALING.md) while one call per PARTITION amortizes
+    them; each partition holds complete conversations by the
+    repartition, and the walk itself is trivial. Contrast the
+    iterative self-join a GLOBAL tree would need (depth joins over
+    the full corpus): conversation data is partitionable by design,
+    so the partition-local walk is the right trade.
+    """
+    import pandas as pd
+
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"{conv_col} {dtypes[conv_col]}, {msg_col} {dtypes[msg_col]},"
+        " depth int, path_ids string, path_roles string,"
+        " is_complete boolean"
+    )
+
+    def _norm(v):
+        # Arrow->pandas renders nullable ints as float64: fold an
+        # integral float back to int so ids compare and print stably
+        if v is None or pd.isna(v):
+            return None
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    def _walk_conv(conv, parent, role, rows):
+        has_child = {p for p in parent.values() if p is not None}
+        for leaf in parent:
+            if leaf in has_child:
+                continue
+            ids, cur, seen, complete = [], leaf, set(), True
+            while True:
+                if cur in seen:  # parent cycle: bail, observable
+                    complete = False
+                    break
+                seen.add(cur)
+                ids.append(cur)
+                p = parent.get(cur)
+                if p is None:
+                    break
+                if p not in parent:  # dangling parent pointer
+                    complete = False
+                    break
+                cur = p
+            ids.reverse()
+            rows.append(
+                (
+                    conv,
+                    leaf,
+                    len(ids),
+                    ">".join(str(i) for i in ids),
+                    ">".join(str(role.get(i, "")) for i in ids),
+                    complete,
+                )
+            )
+
+    cols = [
+        conv_col, msg_col, "depth", "path_ids", "path_roles",
+        "is_complete",
+    ]
+
+    def _paths(batches) -> "pd.DataFrame":
+        # one call per PARTITION: concatenate the Arrow batches (a
+        # conversation may straddle batch boundaries within the
+        # partition), then group in pandas — per-conversation Python
+        # call overhead amortizes over the whole partition
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        rows: list = []
+        for conv, g in pdf.groupby(conv_col, sort=False, dropna=False):
+            parent, role = {}, {}
+            for mid, p, r in zip(
+                g[msg_col], g[parent_col], g[role_col]
+            ):
+                mid = _norm(mid)
+                parent[mid] = _norm(p)
+                role[mid] = r
+            _walk_conv(conv, parent, role, rows)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.select(conv_col, msg_col, parent_col, role_col)
+        .repartition(F.col(conv_col))
+        .mapInPandas(_paths, out_schema)
+        .withColumnRenamed(msg_col, "leaf_id")
+    )
+
+
+def preference_length_bias(
+    pairs: DataFrame,
+    chosen_col: str = "chosen_response",
+    rejected_col: str = "rejected_response",
+) -> DataFrame:
+    """Length-bias report for preference data — the known DPO/reward-
+    model failure mode (Singhal et al. 2023: when chosen responses
+    are systematically LONGER, the trained reward learns verbosity,
+    not quality; every preference release needs this number next to
+    z85's margin report): over a :func:`preference_pairs` frame, ONE
+    scalar row — pair count, how often chosen is longer / shorter /
+    tied (NULL-response pairs counted separately, never silently
+    dropped), mean chosen/rejected char lengths (ROUND 6) and the
+    mean length gap. ``frac_chosen_longer`` far above 0.5 is the
+    red flag.
+
+    Scale shape: map-only length projections into ONE global
+    aggregate of counts/sums — all map-side combinable; output is
+    one row by definition.
+    """
+    cl = F.length(chosen_col)
+    rl = F.length(rejected_col)
+    both = cl.isNotNull() & rl.isNotNull()
+    n_valid = F.sum(both.cast("bigint")).cast("bigint")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((~both).cast("bigint")).cast("bigint").alias("n_null"),
+        F.sum((both & (cl > rl)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_chosen_longer"),
+        F.sum((both & (cl < rl)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_rejected_longer"),
+        F.sum((both & (cl == rl)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tied_len"),
+        F.round(
+            F.sum(F.when(both, cl)).cast("double") / n_valid, 6
+        ).alias("mean_chosen_chars"),
+        F.round(
+            F.sum(F.when(both, rl)).cast("double") / n_valid, 6
+        ).alias("mean_rejected_chars"),
+        F.round(
+            F.sum(F.when(both, cl - rl)).cast("double") / n_valid, 6
+        ).alias("mean_len_gap"),
+        F.round(
+            F.sum((both & (cl > rl)).cast("bigint")).cast("double")
+            / n_valid,
+            6,
+        ).alias("frac_chosen_longer"),
+    )

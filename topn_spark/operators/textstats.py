@@ -3044,3 +3044,71 @@ def ngram_diversity(
         )
         .orderBy("n")
     )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    mode: str = "ascii",
+) -> DataFrame:
+    """Unigram-distribution divergence between two corpora — the
+    release-card "how far did the data shift?" number (compare a new
+    corpus snapshot against the previous release, a candidate source
+    against the accepted mixture, or train vs eval distributions):
+    ONE row with token/vocab totals per side, the shared-vocab count,
+    and the Jensen–Shannon divergence between the two unigram
+    distributions (JS, natural log: ``0.5*KL(p||m) + 0.5*KL(q||m)``
+    with ``m = (p+q)/2`` — symmetric, bounded by ln 2, and defined
+    even where one side's probability is zero, which is exactly the
+    case KL alone cannot handle across different vocabularies).
+
+    Scale shape: one map-side-combinable unigram hash agg per corpus
+    (the word-count shape, output = vocabulary, sublinear in corpus
+    size), a model-sized FULL OUTER join on the token key, and one
+    global agg of the per-token JS contributions. The only driver
+    state is the two total-token scalars (the same model-sized-
+    collect budget as the LM vocab sizes).
+    """
+    def counts(df):
+        return (
+            df.select(F.explode(tokens(text_col, mode)).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca, cb = counts(a), counts(b)
+    na = ca.agg(F.sum("c")).collect()[0][0] or 0
+    nb = cb.agg(F.sum("c")).collect()[0][0] or 0
+    j = ca.select("w", F.col("c").alias("_ca")).join(
+        cb.select("w", F.col("c").alias("_cb")), "w", "full_outer"
+    )
+    p = F.coalesce("_ca", F.lit(0)).cast("double") / F.lit(
+        float(max(na, 1))
+    )
+    q = F.coalesce("_cb", F.lit(0)).cast("double") / F.lit(
+        float(max(nb, 1))
+    )
+    m = (p + q) / 2
+    # 0*ln(0/m) = 0 by convention: guard each side's term
+    contrib = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    return j.agg(
+        F.lit(int(na)).cast("bigint").alias("n_tokens_a"),
+        F.lit(int(nb)).cast("bigint").alias("n_tokens_b"),
+        F.sum(F.col("_ca").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("vocab_a"),
+        F.sum(F.col("_cb").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("vocab_b"),
+        F.sum(
+            (F.col("_ca").isNotNull() & F.col("_cb").isNotNull()).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("vocab_shared"),
+        F.sum(contrib).alias("js_divergence"),
+    )

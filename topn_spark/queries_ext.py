@@ -13650,3 +13650,219 @@ def z97_mmr_rerank(spark, sf_dir):
     )
     out = mmr_rerank(cands, k=8, lam=0.7)
     return out.orderBy("query_id", "mmr_rank")
+
+
+@query(
+    "z98_conversation_paths",
+    r"""WITH RECURSIVE msgs AS (
+  SELECT (doc_id // 10) AS conv_id, doc_id AS msg_id,
+    CASE WHEN doc_id % 10 = 0 THEN NULL
+         WHEN doc_id % 10 <= 4 THEN doc_id - 1
+         ELSE doc_id - 5 END AS parent_id,
+    CASE WHEN (CASE WHEN doc_id % 10 <= 4 THEN doc_id % 10 + 1
+                    ELSE doc_id % 10 - 3 END) % 2 = 1
+         THEN 'prompter' ELSE 'assistant' END AS role
+  FROM documents WHERE doc_id < 500),
+p AS (
+  SELECT conv_id, msg_id AS leaf_id, msg_id AS cur,
+         parent_id AS nxt, 1 AS depth,
+         CAST(msg_id AS VARCHAR) AS path_ids,
+         role AS path_roles
+  FROM msgs WHERE msg_id NOT IN
+    (SELECT parent_id FROM msgs WHERE parent_id IS NOT NULL)
+  UNION ALL
+  SELECT p.conv_id, p.leaf_id, m.msg_id, m.parent_id, p.depth + 1,
+         CAST(m.msg_id AS VARCHAR) || '>' || p.path_ids,
+         m.role || '>' || p.path_roles
+  FROM p JOIN msgs m ON p.nxt = m.msg_id)
+SELECT conv_id, leaf_id, CAST(depth AS INT) AS depth, path_ids,
+       path_roles, TRUE AS is_complete
+FROM p WHERE nxt IS NULL
+ORDER BY leaf_id ASC""",
+    doc="MESSAGE-TREE FLATTENING (operators/sft.py::"
+    "conversation_paths) — the OASST-style prep step: crowd"
+    " conversation datasets are TREES (one prompt, several candidate"
+    " replies, each with a subtree); a trainer consumes LINEAR"
+    " threads, so every leaf emits its root-to-leaf path with depth,"
+    " id/role signatures, and is_complete FALSE on dangling parents"
+    " or cycles (observable, never silently rooted). Planted: 50"
+    " ten-message trees — a 5-chain with one branch per chain node,"
+    " 5 leaves per tree. Scale: ONE conversation-keyed shuffle into"
+    " Arrow applyInPandas; trees are small by construction, so the"
+    " per-group pointer walk is trivial and groups embarrassingly"
+    " parallel — contrast the corpus-wide iterative self-join a"
+    " global tree would need. Oracle: DuckDB WITH RECURSIVE walk of"
+    " the same planted tree, hash-exact",
+)
+def z98_conversation_paths(spark, sf_dir):
+    from topn_spark.operators.sft import conversation_paths
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    d = F.col("doc_id")
+    i = d % 10
+    parent = (
+        F.when(i == 0, F.lit(None).cast("bigint"))
+        .when(i <= 4, d - 1)
+        .otherwise(d - 5)
+    )
+    depth1 = F.when(i <= 4, i + 1).otherwise(i - 3)
+    role = F.when(depth1 % 2 == 1, F.lit("prompter")).otherwise(
+        F.lit("assistant")
+    )
+    msgs = docs.select(
+        (d / 10).cast("bigint").alias("conv_id"),
+        d.alias("msg_id"),
+        parent.alias("parent_id"),
+        role.alias("role"),
+    )
+    return conversation_paths(msgs).orderBy("leaf_id")
+
+
+@query(
+    "z99_preference_length_bias",
+    r"""WITH s AS (
+  SELECT (doc_id // 6) AS prompt_id, doc_id AS sample_id,
+    CAST((doc_id * 37) % 23 AS DOUBLE) AS score,
+    repeat('r', CASE WHEN (doc_id * 37) % 23 > 11
+                     THEN 40 + doc_id % 7 ELSE 10 + doc_id % 7 END)
+      AS response
+  FROM documents WHERE doc_id < 480),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      ORDER BY score DESC, sample_id ASC) AS rc,
+    ROW_NUMBER() OVER (PARTITION BY prompt_id
+      ORDER BY score ASC, sample_id DESC) AS rr,
+    COUNT(*) OVER (PARTITION BY prompt_id) AS n,
+    MAX(score) OVER (PARTITION BY prompt_id)
+      - MIN(score) OVER (PARTITION BY prompt_id) AS gap
+  FROM s),
+c AS (SELECT prompt_id, response AS chosen_response, n, gap
+      FROM r WHERE rc = 1),
+j AS (SELECT prompt_id, response AS rejected_response
+      FROM r WHERE rr = 1),
+lens AS (
+  SELECT LENGTH(chosen_response) AS cl,
+         LENGTH(rejected_response) AS rl
+  FROM c JOIN j USING (prompt_id)
+  WHERE n >= 2 AND gap > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(0 AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_chosen_longer,
+  CAST(SUM(CASE WHEN cl < rl THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rejected_longer,
+  CAST(SUM(CASE WHEN cl = rl THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tied_len,
+  ROUND(CAST(SUM(cl) AS DOUBLE) / COUNT(*), 6) AS mean_chosen_chars,
+  ROUND(CAST(SUM(rl) AS DOUBLE) / COUNT(*), 6)
+    AS mean_rejected_chars,
+  ROUND(CAST(SUM(cl - rl) AS DOUBLE) / COUNT(*), 6) AS mean_len_gap,
+  ROUND(CAST(SUM(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS frac_chosen_longer
+FROM lens""",
+    doc="PREFERENCE LENGTH-BIAS REPORT (operators/sft.py::"
+    "preference_length_bias; Singhal et al. 2023) — the verbosity-"
+    "bias number every DPO/reward release needs next to z85's margin"
+    " report: when chosen responses are systematically LONGER, the"
+    " trained reward learns verbosity, not quality. Over the z70"
+    " preference_pairs frame: pair count, chosen-longer/shorter/tied"
+    " splits (NULL-response pairs counted separately), ROUND-6 mean"
+    " lengths and gap, frac_chosen_longer. Planted: 80 prompts of 6"
+    " integer-scored samples whose high-score responses are"
+    " deliberately longer (frac_chosen_longer pins at 1). Scale:"
+    " map-only length projections into ONE map-side-combinable"
+    " global agg — a scalar row. Oracle: identical pair construction"
+    " (DuckDB arg_min/arg_max over the same (-score, id) ordering)"
+    " + CASE aggregates, hash-exact",
+)
+def z99_preference_length_bias(spark, sf_dir):
+    from topn_spark.operators.sft import (
+        preference_length_bias,
+        preference_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    score = ((d * 37) % 23).cast("double")
+    rlen = F.when(
+        (d * 37) % 23 > 11, 40 + d % 7
+    ).otherwise(10 + d % 7)
+    samples = docs.select(
+        (d / 6).cast("bigint").alias("prompt_id"),
+        d.alias("sample_id"),
+        score.alias("score"),
+        F.repeat(F.lit("r"), rlen.cast("int")).alias("response"),
+    )
+    pairs = preference_pairs(samples)
+    return preference_length_bias(pairs)
+
+
+def _z100_divergence_mirror(con):
+    """z100 mirror: INDEPENDENT Python JS divergence between the two
+    slices' unigram distributions — same ASCII token rule, same
+    0.5*KL(p||m)+0.5*KL(q||m) with the 0*ln0=0 convention. Float sum
+    order differs from Spark's partial aggregation, hence tolerance
+    (1e-9 relative)."""
+    import math
+    import re
+    from collections import Counter
+
+    def counts(sql):
+        c = Counter()
+        for (text,) in con.execute(sql).fetchall():
+            if text is not None:
+                c.update(re.findall(r"[a-z0-9]+", text.lower()))
+        return c
+
+    ca = counts("SELECT text FROM documents WHERE lang = 'en'")
+    cb = counts("SELECT text FROM documents WHERE lang <> 'en'")
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for w in set(ca) | set(cb):
+        p = ca.get(w, 0) / max(na, 1)
+        q = cb.get(w, 0) / max(nb, 1)
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+    shared = sum(1 for w in ca if w in cb)
+    return (
+        ["n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b",
+         "vocab_shared", "js_divergence"],
+        [(na, nb, len(ca), len(cb), shared, js)],
+    )
+
+
+@query(
+    "z100_corpus_divergence",
+    None,  # float log sums are order-dependent — tolerance mirror
+    doc="CORPUS DISTRIBUTION-SHIFT REPORT (textstats.py::"
+    "corpus_divergence) — the release-card number for 'how far did"
+    " the data move': Jensen-Shannon divergence between two corpora's"
+    " unigram distributions (symmetric, bounded by ln 2, defined"
+    " across DIFFERENT vocabularies — the case plain KL cannot"
+    " handle), plus per-side token/vocab totals and the shared-vocab"
+    " count; here the en slice vs the non-en rest, a maximally-"
+    "shifted pair. Scale: one map-side-combinable unigram hash agg"
+    " per corpus (vocabulary-sized output), a model-sized FULL OUTER"
+    " join on the token key, one global agg of per-token JS"
+    " contributions; driver state = two scalars. Oracle: independent"
+    " Python Counter mirror, 1e-9 relative",
+    tol_oracle=_z100_divergence_mirror,
+    tolerance=1e-9,
+    tol_keys=("n_tokens_a",),
+)
+def z100_corpus_divergence(spark, sf_dir):
+    from topn_spark.operators.textstats import corpus_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
