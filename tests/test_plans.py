@@ -473,3 +473,58 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_epoch_shuffle_plan_single_shard_exchange(spark):
+    """z88 contract: the reshuffle is ONE hash exchange on the shard
+    key — never a global sort (rangepartitioning)."""
+    from topn_spark.catalog import load_table
+    from topn_spark.operators.pipeline import epoch_shuffle
+
+    df = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    plan = (
+        epoch_shuffle(df, 1, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_curriculum_stages_plan_no_global_sort(spark):
+    """z94 contract: exact global rank through the two-phase bucket
+    scan — broadcast offsets, no rangepartitioning exchange."""
+    from topn_spark.catalog import load_table
+    from topn_spark.operators.pipeline import curriculum_stages
+
+    df = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "n_chars"
+    )
+    plan = (
+        curriculum_stages(df, "n_chars", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_cluster_balanced_sample_plan_window_group_limit(spark):
+    """z95 contract: the per-cluster cap evaluates map-side
+    (WindowGroupLimit) so a cluster never materializes."""
+    from topn_spark.catalog import load_table
+    from topn_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = [[1.0 if d == j else 0.0 for d in range(64)] for j in range(2)]
+    plan = (
+        cluster_balanced_sample(emb, cents, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
