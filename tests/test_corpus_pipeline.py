@@ -316,3 +316,49 @@ def test_sft_pipeline_spec(spark, tmp_path):
         assert len(r.tokens) == len(r.loss_mask)
     manifest = spark.read.parquet(f"{out_path}/_manifest")
     assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == n_tok
+
+
+def test_preference_pipeline_example_end_to_end(spark, tmp_path):
+    """examples/preference_pipeline.json: one scored-samples table
+    fans out to the DPO pair frame (margin-gated) AND the unpaired
+    KTO frame, both landing as parquet."""
+    import json
+
+    from topn_spark.pipelines import run_pipeline
+
+    src_path = str(tmp_path / "pref_src")
+    spark.createDataFrame(
+        [
+            (1, 10, 1.0, "weak"), (1, 11, 9.0, "strong"),
+            (2, 20, 5.0, "only"),
+            (3, 30, 4.0, "a"), (3, 31, 4.5, "b"),  # gap < minGap
+            (4, 40, None, "unscored"), (4, 41, 3.0, "scored"),
+        ],
+        "prompt_id long, sample_id long, score double,"
+        " response string",
+    ).write.parquet(src_path)
+
+    spec = json.load(open("examples/preference_pipeline.json"))
+    staged = run_pipeline(
+        spark,
+        spec,
+        substitutions={
+            "input": src_path,
+            "minGap": "1",
+            "pairsOut": str(tmp_path / "pairs"),
+            "ktoOut": str(tmp_path / "kto"),
+        },
+    )
+    pairs = {r.prompt_id: r for r in staged["pairs"].collect()}
+    # only prompt 1 has >= 2 samples AND gap >= 1
+    assert set(pairs) == {1}
+    assert pairs[1].chosen_response == "strong"
+    kto = {
+        (r.prompt_id, r.sample_id): r for r in staged["kto"].collect()
+    }
+    assert len(kto) == 7  # every sample labeled, none dropped
+    assert kto[(1, 11)].label is True and kto[(1, 10)].label is False
+    assert kto[(4, 40)].label is None  # unscored observable
+    # both sinks landed readable parquet
+    assert spark.read.parquet(str(tmp_path / "pairs")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "kto")).count() == 7

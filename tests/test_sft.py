@@ -553,3 +553,95 @@ def test_preference_length_bias_counts(spark):
     # means over the 3 valid pairs only
     assert r.mean_chosen_chars == round((20 + 4 + 4) / 3, 6)
     assert r.frac_chosen_longer == round(1 / 3, 6)
+
+
+# ----------------------------------------- truncate_conversation
+
+
+def test_truncate_conversation_suffix_and_system(spark):
+    from topn_spark.operators.sft import truncate_conversation
+
+    df = _conv(
+        spark,
+        [
+            (1, [("system", "sys12345"), ("user", "aaaa"),
+                 ("assistant", "bbbb"), ("user", "cccc")]),
+            (2, [("user", "xxxxxxxxxx"), ("assistant", "yy")]),
+            (3, None),
+            (4, [("system", "s" * 50)]),
+            (5, []),
+        ],
+    )
+    out = {
+        r.conv_id: r
+        for r in truncate_conversation(df, max_chars=17).collect()
+    }
+    # budget 17: system (8) kept, suffix [bbbb, cccc] (8) fits,
+    # adding aaaa (12) would not -> oldest body turn dropped
+    r1 = out[1]
+    assert [m.role for m in r1.messages_fit] == [
+        "system", "assistant", "user",
+    ]
+    assert r1.n_turns_dropped == 1 and r1.chars_kept == 16
+    assert r1.over_budget is False
+    # no system: plain suffix fit
+    assert out[2].n_turns_dropped == 0 and out[2].chars_kept == 12
+    # NULL conversation passes through NULL accounting
+    assert out[3].messages_fit is None
+    assert out[3].n_turns_dropped is None
+    # system alone exceeding the budget: kept but flagged
+    assert out[4].over_budget is True and out[4].chars_kept == 50
+    assert out[5].messages_fit == [] and out[5].chars_kept == 0
+
+
+def test_truncate_conversation_keep_system_false_and_validation(spark):
+    import pytest
+
+    from topn_spark.operators.sft import truncate_conversation
+
+    df = _conv(
+        spark,
+        [(1, [("system", "ssssssss"), ("user", "aa")])],
+    )
+    [r] = truncate_conversation(
+        df, max_chars=5, keep_system=False
+    ).collect()
+    # system not pinned: it is just an oldest turn, dropped to fit
+    assert [m.role for m in r.messages_fit] == ["user"]
+    assert r.n_turns_dropped == 1 and r.over_budget is False
+    with pytest.raises(ValueError, match="max_chars"):
+        truncate_conversation(df, max_chars=-1)
+
+
+# ------------------------------------------------ json_output_qc
+
+
+def test_json_output_qc_flags(spark):
+    from topn_spark.operators.sft import json_output_qc
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"answer": "y", "confidence": 1.0}'),
+            (2, '{"confidence": 0.5}'),
+            (3, "nope {"),
+            (4, "[1,2]"),
+            (5, None),
+        ],
+        "id bigint, response string",
+    )
+    out = {
+        r.id: r
+        for r in json_output_qc(
+            df, required_keys=("answer", "confidence")
+        ).collect()
+    }
+    assert out[1].qc_pass and out[1].missing_keys == []
+    assert out[2].is_object and out[2].missing_keys == ["answer"]
+    assert not out[2].qc_pass
+    assert out[3].is_valid_json is False
+    assert out[3].missing_keys == ["answer", "confidence"]
+    # a JSON array parses but is not an object: keys unreachable
+    assert out[4].is_valid_json is True and out[4].is_object is False
+    assert not out[4].qc_pass
+    # NULL response: all flags NULL, observable
+    assert out[5].is_valid_json is None and out[5].qc_pass is None

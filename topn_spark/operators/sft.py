@@ -1216,3 +1216,139 @@ def preference_length_bias(
             6,
         ).alias("frac_chosen_longer"),
     )
+
+
+def truncate_conversation(
+    df: DataFrame,
+    messages_col: str = "messages",
+    max_chars: int = 4096,
+    keep_system: bool = True,
+    out_col: str = "messages_fit",
+) -> DataFrame:
+    """Context-budget truncation for conversations — the SFT-prep
+    step for dialogues longer than the model's context: keep the
+    leading system message (when ``keep_system``) plus the LONGEST
+    SUFFIX of the remaining turns whose total content length fits
+    ``max_chars`` — the standard sliding-context recipe (recent turns
+    carry the training signal; dropping the OLDEST turns preserves
+    the local exchange structure, and a suffix cut never splits a
+    turn). Emits ``out_col`` (the fitted message array),
+    ``n_turns_dropped``, ``chars_kept`` and ``over_budget`` (True
+    when even the kept prefix — a lone system message longer than the
+    whole budget — exceeds it; observable, never silently emitted as
+    fitting). NULL message arrays pass through NULL with NULL
+    accounting.
+
+    Scale shape: pure Catalyst array algebra over the projection-
+    bound message array — suffix sums via ``aggregate`` over
+    ``slice`` per candidate cut (O(turns²) per row, turns are tens
+    by construction), map-only, no UDF, no shuffle. Mirrors into
+    DuckDB list ops for the oracle (z101).
+    """
+    if max_chars < 0:
+        raise ValueError(f"max_chars must be >= 0, got {max_chars}")
+    b = df.withColumn("_tc_m", F.col(messages_col))
+    m = F.col("_tc_m")
+    n = F.size(m)
+    clen = lambda x: F.coalesce(F.length(x["content"]), F.lit(0))  # noqa: E731
+    has_sys = (
+        F.lit(bool(keep_system))
+        & (n >= 1)
+        & (F.element_at(m, 1)["role"] == "system")
+    )
+    sys_arr = F.when(has_sys, F.slice(m, 1, 1)).otherwise(
+        F.array().cast(df.schema[messages_col].dataType)
+    )
+    sys_chars = F.when(
+        has_sys, clen(F.element_at(m, 1))
+    ).otherwise(F.lit(0))
+    body = F.when(has_sys, F.slice(m, 2, F.greatest(n - 1, F.lit(0)))).otherwise(m)
+    nb = F.size(body)
+    budget = F.lit(int(max_chars)) - sys_chars
+
+    def suffix_sum(i):
+        return F.aggregate(
+            F.slice(body, i, nb - i + 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + clen(x),
+        )
+
+    # suffix sums are monotone non-increasing in i, so valid cuts
+    # form a suffix of 1..nb: first valid = nb + 1 - count(valid).
+    # sequence(1, 0) is DESCENDING [1, 0] — guard the empty body.
+    n_valid = F.when(
+        nb >= 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), nb),
+                lambda i: suffix_sum(i) <= budget,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    cut = nb + 1 - n_valid
+    kept_body = F.slice(body, cut, nb - cut + 1)
+    fitted = F.concat(sys_arr, kept_body)
+    chars_kept = sys_chars.cast("bigint") + suffix_sum(cut)
+    out = (
+        b.withColumn(
+            out_col, F.when(m.isNotNull(), fitted)
+        )
+        .withColumn(
+            "n_turns_dropped",
+            F.when(m.isNotNull(), (cut - 1).cast("bigint")),
+        )
+        .withColumn(
+            "chars_kept", F.when(m.isNotNull(), chars_kept)
+        )
+        .withColumn(
+            "over_budget",
+            F.when(m.isNotNull(), sys_chars > F.lit(int(max_chars))),
+        )
+        .drop("_tc_m")
+    )
+    return out
+
+
+def json_output_qc(
+    df: DataFrame,
+    col: str = "response",
+    required_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Structured-output QC — the validity gate for JSON-mode SFT
+    data (function-calling / tool-use / extraction sets train the
+    model to EMIT json; a response that does not parse, is not an
+    object, or misses a contract key is a corrupt label, and public
+    tool-use sets ship plenty of each): appends ``is_valid_json``
+    (parses at all, Spark's JSON parser = the training-side parser),
+    ``is_object``, ``missing_keys`` (the ``required_keys`` not
+    present, in contract order — ALL of them when the response is
+    not an object, since none are reachable) and ``qc_pass``. NULL
+    responses keep NULL flags — observable, the caller decides.
+
+    Scale shape: pure per-row JSON expressions (``try_parse_json``,
+    ``json_object_keys``, array algebra) — map-only, no UDF, no
+    shuffle. Parser caveat: edge dialects (trailing commas) differ
+    between JSON parsers; the gate's contract is SPARK's parser.
+    """
+    c = F.col(col)
+    keys = F.json_object_keys(c)
+    is_valid = F.try_parse_json(c).isNotNull()
+    is_object = keys.isNotNull()
+    req = F.array(*[F.lit(k) for k in required_keys]).cast(
+        "array<string>"
+    )
+    missing = F.when(is_object, F.array_except(req, keys)).otherwise(
+        req
+    )
+    present = c.isNotNull()
+    return (
+        df.withColumn(
+            "is_valid_json", F.when(present, is_valid)
+        )
+        .withColumn("is_object", F.when(present, is_object))
+        .withColumn("missing_keys", F.when(present, missing))
+        .withColumn(
+            "qc_pass",
+            F.when(present, is_object & (F.size(missing) == 0)),
+        )
+    )

@@ -13866,3 +13866,216 @@ def z100_corpus_divergence(spark, sf_dir):
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
     )
+
+
+@query(
+    "z101_truncate_conversation",
+    r"""WITH conv AS (
+  SELECT doc_id AS conv_id,
+    CASE doc_id % 5
+      WHEN 0 THEN [{'role': 'system', 'content': 'sysABCDE'}]
+        || list_transform(range(1, 7), j -> {
+             'role': CASE WHEN j % 2 = 1 THEN 'user'
+                          ELSE 'assistant' END,
+             'content': repeat('a', 3 + (doc_id + j) % 5)})
+      WHEN 1 THEN list_transform(range(1, 5), j -> {
+             'role': CASE WHEN j % 2 = 1 THEN 'user'
+                          ELSE 'assistant' END,
+             'content': repeat('b', 10 + doc_id % 4)})
+      WHEN 2 THEN NULL
+      WHEN 3 THEN [{'role': 'system', 'content': repeat('s', 60)}]
+      ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])
+    END AS m
+  FROM documents WHERE doc_id < 300),
+t AS (
+  SELECT conv_id, m,
+    (len(m) >= 1 AND m[1].role = 'system') AS has_sys
+  FROM conv WHERE m IS NOT NULL),
+u AS (
+  SELECT conv_id, m, has_sys,
+    CASE WHEN has_sys THEN length(coalesce(m[1].content, ''))
+         ELSE 0 END AS sys_chars,
+    CASE WHEN has_sys THEN m[2:] ELSE m END AS body
+  FROM t),
+v AS (
+  SELECT conv_id, m, has_sys, sys_chars, body,
+    len(body) AS nb,
+    40 - sys_chars AS budget
+  FROM u),
+w AS (
+  SELECT *,
+    nb + 1 - len(list_filter(range(1, nb + 1), i ->
+      coalesce(list_sum(list_transform(body[i:],
+        x -> length(coalesce(x.content, '')))), 0) <= budget))
+      AS cut
+  FROM v)
+SELECT conv_id,
+  coalesce(array_to_string(list_transform(
+    (CASE WHEN has_sys THEN m[1:1]
+          ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[])
+     END) || body[cut:],
+    x -> x.role || '=' || coalesce(x.content, '')), '|'), '')
+    AS fit_sig,
+  CAST(cut - 1 AS BIGINT) AS n_turns_dropped,
+  CAST(sys_chars + coalesce(list_sum(list_transform(body[cut:],
+    x -> length(coalesce(x.content, '')))), 0) AS BIGINT)
+    AS chars_kept,
+  sys_chars > 40 AS over_budget
+FROM w
+UNION ALL
+SELECT conv_id, NULL, NULL, NULL, NULL
+FROM conv WHERE m IS NULL
+ORDER BY conv_id ASC""",
+    doc="CONTEXT-BUDGET CONVERSATION TRUNCATION (operators/sft.py::"
+    "truncate_conversation) — the SFT-prep step for dialogues longer"
+    " than the model context: keep the leading system message plus"
+    " the LONGEST SUFFIX of remaining turns fitting max_chars (the"
+    " sliding-context recipe — recent turns carry the signal, a"
+    " suffix cut never splits a turn); over_budget flags a system"
+    " prefix alone exceeding the budget, NULL conversations pass"
+    " through NULL. Planted: five shapes — system+6 turns, no-system,"
+    " NULL, 60-char system over the 40 budget, empty. Scale: pure"
+    " Catalyst array algebra (suffix sums via aggregate-over-slice,"
+    " O(turns²) per row over tens of turns), map-only, no UDF."
+    " Oracle: identical list-algebra truncation in DuckDB,"
+    " hash-exact over the rendered fit signature",
+)
+def z101_truncate_conversation(spark, sf_dir):
+    from topn_spark.operators.sft import truncate_conversation
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    mk = lambda role, content: F.struct(  # noqa: E731
+        role.alias("role"), content.alias("content")
+    )
+    sys_turn = mk(F.lit("system"), F.lit("sysABCDE"))
+    body6 = F.transform(
+        F.sequence(F.lit(1), F.lit(6)),
+        lambda j: mk(
+            F.when(j % 2 == 1, F.lit("user")).otherwise(
+                F.lit("assistant")
+            ),
+            F.repeat(F.lit("a"), (F.lit(3) + (d + j) % 5).cast("int")),
+        ),
+    )
+    body4 = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda j: mk(
+            F.when(j % 2 == 1, F.lit("user")).otherwise(
+                F.lit("assistant")
+            ),
+            F.repeat(F.lit("b"), (F.lit(10) + d % 4).cast("int")),
+        ),
+    )
+    mtype = "array<struct<role:string,content:string>>"
+    m = (
+        F.when(d % 5 == 0, F.concat(F.array(sys_turn), body6))
+        .when(d % 5 == 1, body4)
+        .when(d % 5 == 2, F.lit(None).cast(mtype))
+        .when(
+            d % 5 == 3,
+            F.array(mk(F.lit("system"), F.repeat(F.lit("s"), 60))),
+        )
+        .otherwise(F.array().cast(mtype))
+    )
+    conv = docs.select(d.alias("conv_id"), m.alias("messages"))
+    out = truncate_conversation(conv, max_chars=40)
+    fit = F.col("messages_fit")
+    sig = F.array_join(
+        F.transform(
+            fit,
+            lambda x: F.concat(
+                x["role"], F.lit("="), F.coalesce(x["content"], F.lit(""))
+            ),
+        ),
+        "|",
+    )
+    return out.select(
+        "conv_id",
+        F.when(fit.isNotNull(), sig).alias("fit_sig"),
+        "n_turns_dropped",
+        "chars_kept",
+        "over_budget",
+    ).orderBy("conv_id")
+
+
+@query(
+    "z102_json_output_qc",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN '{"answer": "yes", "confidence": 0.9}'
+      WHEN 1 THEN '{"answer": "no"}'
+      WHEN 2 THEN 'not json at all'
+      WHEN 3 THEN '[1, 2, 3]'
+      WHEN 4 THEN '"just a string"'
+      ELSE NULL
+    END AS response
+  FROM documents WHERE doc_id < 300),
+q AS (
+  SELECT doc_id, response,
+    CASE WHEN response IS NULL THEN NULL
+         ELSE json_valid(response) END AS is_valid_json,
+    CASE WHEN response IS NOT NULL AND json_valid(response)
+              AND json_type(response) = 'OBJECT'
+         THEN json_keys(response) END AS keys
+  FROM s)
+SELECT doc_id, response, is_valid_json,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE keys IS NOT NULL END AS is_object,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE coalesce(array_to_string(
+         list_filter(['answer', 'confidence'],
+           k -> keys IS NULL OR NOT list_contains(keys, k)), ','),
+         '')
+  END AS missing_sig,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE keys IS NOT NULL AND len(list_filter(
+         ['answer', 'confidence'],
+         k -> NOT list_contains(keys, k))) = 0
+  END AS qc_pass
+FROM q ORDER BY doc_id ASC""",
+    doc="STRUCTURED-OUTPUT QC (operators/sft.py::json_output_qc) —"
+    " the validity gate for JSON-mode SFT data (function-calling /"
+    " tool-use / extraction labels): is_valid_json (parses at all),"
+    " is_object, missing_keys in contract order (ALL required keys"
+    " when the response is not an object — none are reachable), and"
+    " qc_pass; NULL responses keep NULL flags. Planted: object-"
+    "complete / object-missing-key / invalid / array / scalar / NULL"
+    " stripes (edge dialects like trailing commas differ between"
+    " parsers and are deliberately absent — the gate's contract is"
+    " Spark's parser). Scale: per-row JSON expressions, map-only, no"
+    " UDF. Oracle: DuckDB json_valid/json_type/json_keys + identical"
+    " list algebra, hash-exact",
+)
+def z102_json_output_qc(spark, sf_dir):
+    from topn_spark.operators.sft import json_output_qc
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    resp = (
+        F.when(d % 6 == 0, F.lit('{"answer": "yes", "confidence": 0.9}'))
+        .when(d % 6 == 1, F.lit('{"answer": "no"}'))
+        .when(d % 6 == 2, F.lit("not json at all"))
+        .when(d % 6 == 3, F.lit("[1, 2, 3]"))
+        .when(d % 6 == 4, F.lit('"just a string"'))
+    )
+    base = docs.select("doc_id", resp.alias("response"))
+    out = json_output_qc(
+        base, required_keys=("answer", "confidence")
+    )
+    return out.select(
+        "doc_id",
+        "response",
+        "is_valid_json",
+        "is_object",
+        F.when(
+            F.col("missing_keys").isNotNull(),
+            F.array_join("missing_keys", ","),
+        ).alias("missing_sig"),
+        "qc_pass",
+    ).orderBy("doc_id")
