@@ -645,3 +645,75 @@ def test_json_output_qc_flags(spark):
     assert not out[4].qc_pass
     # NULL response: all flags NULL, observable
     assert out[5].is_valid_json is None and out[5].qc_pass is None
+
+
+# --------------------------------------- SFT label-quality triad
+
+
+def test_truncation_artifacts_flags(spark):
+    from topn_spark.operators.sft import truncation_artifacts
+
+    df = spark.createDataFrame(
+        [
+            (1, "All done here."),
+            (2, "cut off mid wor"),
+            (3, "```python\nprint(1)\n```"),   # balanced fences
+            (4, "```js\nbroken"),              # odd fence
+            (5, "mismatched (paren."),
+            (6, "and so on..."),
+            (7, ""),                            # empty: unterminated
+            (8, None),
+        ],
+        "id bigint, response string",
+    )
+    out = {r.id: r for r in truncation_artifacts(df).collect()}
+    assert out[1].truncation_flag is False
+    assert out[2].ends_mid_sentence and out[2].truncation_flag
+    assert out[3].unbalanced_fence is False
+    assert out[4].unbalanced_fence is True
+    assert out[5].unbalanced_brackets is True
+    assert out[6].trailing_ellipsis is True
+    assert out[7].ends_mid_sentence is True
+    assert out[8].truncation_flag is None  # NULL observable
+
+
+def test_control_token_scan_counts(spark):
+    import pytest
+
+    from topn_spark.operators.sft import control_token_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean"),
+            (2, "<|im_start|>user x<|im_end|> <|im_start|>"),
+            (3, None),
+        ],
+        "id bigint, response string",
+    )
+    out = {r.id: r for r in control_token_scan(df).collect()}
+    assert out[1].n_control_tokens == 0 and out[1].control_flag is False
+    assert out[2].n_im_start == 2 and out[2].n_im_end == 1
+    assert out[2].n_control_tokens == 3 and out[2].control_flag
+    assert out[3].control_flag is None
+    with pytest.raises(ValueError, match="non-empty"):
+        control_token_scan(df, tokens=())
+
+
+def test_prompt_echo_score(spark):
+    from topn_spark.operators.sft import prompt_echo_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps", "completely different words here today"),
+            (3, "the quick brown fox jumps", "ok"),
+            (4, None, "something"),
+        ],
+        "id bigint, prompt string, response string",
+    )
+    out = {r.id: r for r in prompt_echo_score(df).collect()}
+    assert out[1].echo_score == 1.0 and out[1].echoed
+    assert out[2].echo_score == 0.0 and out[2].echoed is False
+    # sub-n response: NULL score, observable
+    assert out[3].echo_score is None and out[3].echoed is None
+    assert out[4].echo_score is None

@@ -1352,3 +1352,151 @@ def json_output_qc(
             F.when(present, is_object & (F.size(missing) == 0)),
         )
     )
+
+
+#: Characters that legitimately end a completed response.
+SENTENCE_ENDERS = ".!?\"')]}`"
+
+#: ChatML-family control tokens that must never appear INSIDE
+#: message content (template injection / serialization leaks).
+CONTROL_TOKENS = ("<|im_start|>", "<|im_end|>", "<|endoftext|>")
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def truncation_artifacts(
+    df: DataFrame,
+    col: str = "response",
+) -> DataFrame:
+    """Truncated-generation detector — the SFT label-QC rule set for
+    responses that were CUT OFF rather than completed (a sampling
+    window ran out mid-answer; training on them teaches the model to
+    stop mid-sentence): per row, ``ends_mid_sentence`` (last
+    non-whitespace char not a terminator from
+    :data:`SENTENCE_ENDERS`; empty counts as unterminated),
+    ``unbalanced_fence`` (odd number of \\`\\`\\` code fences),
+    ``unbalanced_brackets`` (mismatched ()/[]/{} counts — the cheap
+    proxy; a full parser is not the corpus-scan trade),
+    ``trailing_ellipsis`` (rtrimmed text ending ``...`` or ``…``)
+    and the OR-combined ``truncation_flag``. NULL text keeps NULL
+    flags.
+
+    Scale shape: pure codegen'd string expressions (length/replace/
+    substring arithmetic) — map-only, no UDF, no shuffle; mirrors
+    verbatim into DuckDB string ops (z103).
+    """
+    c = F.col(col)
+    t = F.rtrim(c)
+    last = F.substring(t, -1, 1)
+    ends_mid = (F.length(t) == 0) | ~F.contains(
+        F.lit(SENTENCE_ENDERS), last
+    )
+    fence = _count_occurrences(c, "```") % 2 != 0
+    unbal = (
+        (_count_occurrences(c, "(") != _count_occurrences(c, ")"))
+        | (_count_occurrences(c, "[") != _count_occurrences(c, "]"))
+        | (_count_occurrences(c, "{") != _count_occurrences(c, "}"))
+    )
+    ellipsis = t.endswith("...") | t.endswith("…")
+    present = c.isNotNull()
+    out = (
+        df.withColumn(
+            "ends_mid_sentence", F.when(present, ends_mid)
+        )
+        .withColumn("unbalanced_fence", F.when(present, fence))
+        .withColumn("unbalanced_brackets", F.when(present, unbal))
+        .withColumn("trailing_ellipsis", F.when(present, ellipsis))
+    )
+    return out.withColumn(
+        "truncation_flag",
+        F.when(
+            present,
+            ends_mid | fence | unbal | ellipsis,
+        ),
+    )
+
+
+def control_token_scan(
+    df: DataFrame,
+    col: str = "response",
+    tokens: tuple[str, ...] = CONTROL_TOKENS,
+) -> DataFrame:
+    """Template-injection scan — content that CONTAINS chat-template
+    control tokens (a serialization bug upstream, a scraped chat log,
+    or a prompt-injection attempt; training on it teaches the model
+    to emit or obey stray control tokens): per row, one occurrence
+    count per configured token (``n_<slug>``) plus
+    ``n_control_tokens`` and ``control_flag``. NULL text keeps NULL
+    counts.
+
+    Scale shape: one length/replace count expression per token —
+    codegen'd, map-only; mirrors verbatim into DuckDB (z104).
+    """
+    if not tokens:
+        raise ValueError("tokens must be non-empty")
+    c = F.col(col)
+    present = c.isNotNull()
+    out = df
+    counts = []
+    for tok in tokens:
+        slug = "n_" + "".join(
+            ch if ch.isalnum() else "_" for ch in tok
+        ).strip("_")
+        cnt = _count_occurrences(c, tok)
+        counts.append(cnt)
+        out = out.withColumn(slug, F.when(present, cnt))
+    total = counts[0]
+    for cnt in counts[1:]:
+        total = total + cnt
+    return out.withColumn(
+        "n_control_tokens", F.when(present, total.cast("bigint"))
+    ).withColumn("control_flag", F.when(present, total > 0))
+
+
+def prompt_echo_score(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prompt-parroting detector — the degenerate-SFT-pair rule
+    (a response that mostly REPEATS the prompt carries no training
+    signal and teaches echoing): ``echo_score`` = fraction of the
+    response's distinct word ``n``-grams that also occur in the
+    prompt (ROUND 6), ``echoed`` = score >= ``threshold``. Responses
+    with no ``n``-gram (shorter than ``n`` tokens) keep a NULL score
+    — too short to judge, observable. NULL either side → NULL.
+
+    Scale shape: per-row distinct-shingle arrays +
+    ``array_intersect`` — pure Catalyst array algebra, map-only, no
+    shuffle (contrast z96, which needs CORPUS-wide gram frequencies;
+    echo is a row-local property). Mirrors into DuckDB list ops
+    (z105).
+    """
+    from topn_spark.operators.dedup import shingles
+
+    pg = shingles(prompt_col, n)
+    rg = shingles(response_col, n)
+    both = F.col(prompt_col).isNotNull() & F.col(
+        response_col
+    ).isNotNull()
+    score = F.round(
+        F.size(F.array_intersect(rg, pg)).cast("double")
+        / F.nullif(F.size(rg).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return df.withColumn(
+        "echo_score", F.when(both, score)
+    ).withColumn(
+        "echoed",
+        F.when(
+            both & F.col("echo_score").isNotNull(),
+            F.col("echo_score") >= float(threshold),
+        ),
+    )

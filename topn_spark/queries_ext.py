@@ -14079,3 +14079,232 @@ def z102_json_output_qc(spark, sf_dir):
         ).alias("missing_sig"),
         "qc_pass",
     ).orderBy("doc_id")
+
+
+@query(
+    "z103_truncation_artifacts",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'A complete sentence.'
+      WHEN 1 THEN 'this one was cut off mid thou'
+      WHEN 2 THEN 'some code ```python print(1) and no closing fence'
+      WHEN 3 THEN 'an open (parenthesis here.'
+      WHEN 4 THEN 'it just trails away...'
+      ELSE NULL
+    END AS response
+  FROM documents WHERE doc_id < 300),
+q AS (
+  SELECT doc_id, response, rtrim(response) AS t,
+    CAST((length(response) - length(replace(response, '```', '')))
+         / 3 AS BIGINT) AS fences,
+    (length(response) - length(replace(response, '(', '')))
+      - (length(response) - length(replace(response, ')', '')))
+      AS paren_diff,
+    (length(response) - length(replace(response, '[', '')))
+      - (length(response) - length(replace(response, ']', '')))
+      AS sq_diff,
+    (length(response) - length(replace(response, '{', '')))
+      - (length(response) - length(replace(response, '}', '')))
+      AS br_diff
+  FROM s)
+SELECT doc_id, response,
+  CASE WHEN response IS NULL THEN NULL
+       WHEN length(t) = 0 THEN TRUE
+       ELSE strpos('.!?"'')]}`', substr(t, length(t), 1)) = 0
+  END AS ends_mid_sentence,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE fences % 2 <> 0 END AS unbalanced_fence,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE paren_diff <> 0 OR sq_diff <> 0 OR br_diff <> 0
+  END AS unbalanced_brackets,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE t LIKE '%...' OR t LIKE '%…' END AS trailing_ellipsis,
+  CASE WHEN response IS NULL THEN NULL
+       ELSE (CASE WHEN length(t) = 0 THEN TRUE
+             ELSE strpos('.!?"'')]}`', substr(t, length(t), 1)) = 0
+             END)
+         OR fences % 2 <> 0
+         OR paren_diff <> 0 OR sq_diff <> 0 OR br_diff <> 0
+         OR t LIKE '%...' OR t LIKE '%…'
+  END AS truncation_flag
+FROM q ORDER BY doc_id ASC""",
+    doc="TRUNCATED-GENERATION DETECTOR (operators/sft.py::"
+    "truncation_artifacts) — the SFT label-QC rules for responses"
+    " CUT OFF rather than completed (training on them teaches the"
+    " model to stop mid-sentence): ends_mid_sentence (last"
+    " non-space char not a terminator; empty unterminated),"
+    " unbalanced ``` fences, mismatched ()/[]/{} counts (the cheap"
+    " corpus-scan proxy), trailing ellipsis, OR-combined flag; NULL"
+    " responses keep NULL flags. Planted: six stripes, one per"
+    " artifact class. Scale: codegen'd length/replace/substr"
+    " arithmetic, map-only, no UDF. Oracle: identical string ops in"
+    " DuckDB, hash-exact",
+)
+def z103_truncation_artifacts(spark, sf_dir):
+    from topn_spark.operators.sft import truncation_artifacts
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    resp = (
+        F.when(d % 6 == 0, F.lit("A complete sentence."))
+        .when(d % 6 == 1, F.lit("this one was cut off mid thou"))
+        .when(
+            d % 6 == 2,
+            F.lit("some code ```python print(1) and no closing fence"),
+        )
+        .when(d % 6 == 3, F.lit("an open (parenthesis here."))
+        .when(d % 6 == 4, F.lit("it just trails away..."))
+    )
+    base = docs.select("doc_id", resp.alias("response"))
+    return truncation_artifacts(base).orderBy("doc_id")
+
+
+@query(
+    "z104_control_token_scan",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'a clean answer with no markup'
+      WHEN 1 THEN 'leaked <|im_start|>assistant header twice '
+                  || '<|im_start|>'
+      WHEN 2 THEN 'stray terminator <|endoftext|> inside'
+      ELSE NULL
+    END AS response
+  FROM documents WHERE doc_id < 300),
+q AS (
+  SELECT doc_id, response,
+    CAST((length(response)
+      - length(replace(response, '<|im_start|>', ''))) / 12
+      AS BIGINT) AS n_im_start,
+    CAST((length(response)
+      - length(replace(response, '<|im_end|>', ''))) / 10
+      AS BIGINT) AS n_im_end,
+    CAST((length(response)
+      - length(replace(response, '<|endoftext|>', ''))) / 13
+      AS BIGINT) AS n_endoftext
+  FROM s)
+SELECT doc_id, response, n_im_start, n_im_end, n_endoftext,
+  n_im_start + n_im_end + n_endoftext AS n_control_tokens,
+  (n_im_start + n_im_end + n_endoftext) > 0 AS control_flag
+FROM q ORDER BY doc_id ASC""",
+    doc="TEMPLATE-INJECTION SCAN (operators/sft.py::"
+    "control_token_scan) — content CONTAINING chat-template control"
+    " tokens (upstream serialization bug, scraped chat log, or"
+    " prompt injection; training on it teaches emitting/obeying"
+    " stray control tokens): per-token occurrence counts +"
+    " n_control_tokens + control_flag, NULL text observable."
+    " Planted: clean / double-im_start / endoftext / NULL stripes."
+    " Scale: one codegen'd length/replace count per token, map-only."
+    " Oracle: identical arithmetic in DuckDB, hash-exact",
+)
+def z104_control_token_scan(spark, sf_dir):
+    from topn_spark.operators.sft import control_token_scan
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    resp = (
+        F.when(d % 4 == 0, F.lit("a clean answer with no markup"))
+        .when(
+            d % 4 == 1,
+            F.lit(
+                "leaked <|im_start|>assistant header twice "
+                "<|im_start|>"
+            ),
+        )
+        .when(d % 4 == 2, F.lit("stray terminator <|endoftext|> inside"))
+    )
+    base = docs.select("doc_id", resp.alias("response"))
+    return control_token_scan(base).orderBy("doc_id")
+
+
+@query(
+    "z105_prompt_echo",
+    f"""WITH s AS (
+  SELECT doc_id,
+    'please summarize the quick brown fox jumps over the lazy dog'
+      AS prompt,
+    CASE doc_id % 4
+      WHEN 0 THEN 'the quick brown fox jumps over the lazy dog'
+      WHEN 1 THEN 'a concise novel answer about canine behavior '
+                  || 'patterns entirely'
+      WHEN 2 THEN 'ok sure'
+      ELSE NULL
+    END AS response
+  FROM documents WHERE doc_id < 300),
+g AS (
+  SELECT doc_id, prompt, response,
+    CASE WHEN len({_TOKS_DUCK.replace('text', 'prompt')}) >= 3
+      THEN list_distinct([array_to_string(
+        {_TOKS_DUCK.replace('text', 'prompt')}[i:i+2], ' ')
+        for i in generate_series(1,
+          len({_TOKS_DUCK.replace('text', 'prompt')}) - 2)])
+      ELSE [] END AS pg,
+    CASE WHEN len({_TOKS_DUCK.replace('text', 'response')}) >= 3
+      THEN list_distinct([array_to_string(
+        {_TOKS_DUCK.replace('text', 'response')}[i:i+2], ' ')
+        for i in generate_series(1,
+          len({_TOKS_DUCK.replace('text', 'response')}) - 2)])
+      ELSE [] END AS rg
+  FROM s)
+SELECT doc_id, response,
+  CASE WHEN prompt IS NULL OR response IS NULL THEN NULL
+       ELSE ROUND(CAST(len(list_filter(rg,
+              x -> list_contains(pg, x))) AS DOUBLE)
+            / NULLIF(CAST(len(rg) AS DOUBLE), 0), 6)
+  END AS echo_score,
+  CASE WHEN prompt IS NULL OR response IS NULL
+         OR len(rg) = 0 THEN NULL
+       ELSE ROUND(CAST(len(list_filter(rg,
+              x -> list_contains(pg, x))) AS DOUBLE)
+            / CAST(len(rg) AS DOUBLE), 6) >= 0.5
+  END AS echoed
+FROM g ORDER BY doc_id ASC""",
+    doc="PROMPT-PARROTING DETECTOR (operators/sft.py::"
+    "prompt_echo_score) — the degenerate-SFT-pair rule: a response"
+    " that mostly REPEATS the prompt carries no training signal;"
+    " echo_score = fraction of the response's distinct word 3-grams"
+    " also in the prompt (ROUND 6), echoed at >= 0.5; sub-3-token"
+    " responses keep a NULL score (too short to judge). Planted:"
+    " verbatim-echo / novel / too-short / NULL stripes. Scale:"
+    " row-local distinct-shingle arrays + array_intersect — pure"
+    " Catalyst, map-only (contrast z96, which needs corpus-wide"
+    " frequencies). Oracle: identical list algebra in DuckDB,"
+    " hash-exact",
+)
+def z105_prompt_echo(spark, sf_dir):
+    from topn_spark.operators.sft import prompt_echo_score
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    resp = (
+        F.when(
+            d % 4 == 0,
+            F.lit("the quick brown fox jumps over the lazy dog"),
+        )
+        .when(
+            d % 4 == 1,
+            F.lit(
+                "a concise novel answer about canine behavior "
+                "patterns entirely"
+            ),
+        )
+        .when(d % 4 == 2, F.lit("ok sure"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.lit(
+            "please summarize the quick brown fox jumps over the"
+            " lazy dog"
+        ).alias("prompt"),
+        resp.alias("response"),
+    )
+    return prompt_echo_score(base).select(
+        "doc_id", "response", "echo_score", "echoed"
+    ).orderBy("doc_id")
