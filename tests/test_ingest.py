@@ -857,3 +857,53 @@ def test_sft_corpus_sink_lands_trainable_conversations(spark, tmp_path):
         r.conv_id: r.reason for r in spark.read.parquet(rej).collect()
     }
     assert rejects == {2: "not_alternating", 3: "empty_content"}
+
+
+def test_drift_monitor_sink_detects_shift(spark, tmp_path):
+    """Streaming drift monitor: an in-distribution batch logs a low
+    JS divergence, a shifted batch crosses the threshold; one row
+    per batch_id partition, replay-idempotent by construction."""
+    import math
+
+    from topn_spark.streaming.ingest import drift_monitor_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "drift")
+    ck = str(tmp_path / "ck")
+
+    # reference distribution: the accepted corpus vocabulary
+    reference = {"alpha": 40, "beta": 30, "gamma": 30}
+
+    # batch 1: same distribution as the reference
+    _write_docs(
+        spark, src,
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta gamma alpha")],
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    q = drift_monitor_sink(stream, reference, out, ck, max_js=0.3)
+    q.awaitTermination(120)
+
+    # batch 2: a shifted feed — disjoint vocabulary
+    _write_docs(
+        spark, src,
+        [(3, "zeta eta theta iota"), (4, "zeta eta theta kappa")],
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    q = drift_monitor_sink(stream, reference, out, ck, max_js=0.3)
+    q.awaitTermination(120)
+
+    rows = {
+        r.batch_id: r for r in spark.read.parquet(out).collect()
+    }
+    assert len(rows) == 2
+    b1, b2 = rows[min(rows)], rows[max(rows)]
+    assert b1.drifted is False and b1.js_divergence < 0.05
+    assert b1.vocab_shared == 3 and b1.n_tokens == 8
+    # disjoint vocab: JS == ln 2, flagged
+    assert b2.drifted is True
+    assert abs(b2.js_divergence - math.log(2)) < 1e-9
+    assert b2.vocab_shared == 0

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from topn_spark.operators.dedup import dedup_exact
+from topn_spark.operators.textstats import tokens
 
 
 def _error_condition(e) -> str:
@@ -1137,6 +1138,118 @@ def sft_corpus_sink(
             template=template,
             redact=redact,
             batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drift_monitor_batch(
+    batch: DataFrame,
+    reference: dict[str, int],
+    out_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+    mode: str = "ascii",
+    max_js: float | None = None,
+) -> None:
+    """Distribution-drift check for one micro-batch — the streaming
+    twin of :func:`~topn_spark.operators.textstats.corpus_divergence`
+    (a batch whose unigram distribution lurches away from the
+    accepted reference corpus usually means an upstream feed change:
+    a new crawler locale, a source swap, a parser regression; the
+    time to notice is AT INGEST, not after the shards ship): compute
+    the Jensen–Shannon divergence between the batch's unigram
+    distribution and a driver-held ``reference`` count dict (built
+    once from the accepted corpus — model-sized, broadcast into the
+    join), and append one ``(batch_id, n_tokens, vocab,
+    vocab_shared, js_divergence, drifted)`` row to the monitor log
+    under its own ``batch_id=<N>`` partition — the same exactly-once
+    replay contract as the other gates. ``drifted`` is NULL when no
+    ``max_js`` threshold is configured (monitor-only mode).
+
+    Scale shape: one map-side-combinable unigram agg over the batch
+    + a broadcast join against the reference vocabulary — per-batch
+    cost, nothing data-sized on the driver.
+    """
+    spark = batch.sparkSession
+    n_ref = sum(reference.values())
+    ref_df = F.broadcast(
+        spark.createDataFrame(
+            list(reference.items()), "w string, rc long"
+        )
+    )
+    counts = (
+        batch.select(F.explode(tokens(text_col, mode)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = counts.agg(F.sum("c")).collect()[0][0] or 0
+    j = counts.join(ref_df, "w", "full_outer")
+    p = F.coalesce("c", F.lit(0)).cast("double") / F.lit(
+        float(max(nb, 1))
+    )
+    q = F.coalesce("rc", F.lit(0)).cast("double") / F.lit(
+        float(max(n_ref, 1))
+    )
+    m = (p + q) / 2
+    contrib = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    row = j.agg(
+        F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+        F.lit(int(nb)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("vocab"),
+        F.sum(
+            (F.col("c").isNotNull() & F.col("rc").isNotNull()).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("vocab_shared"),
+        F.sum(contrib).alias("js_divergence"),
+    ).withColumn(
+        "drifted",
+        F.lit(None).cast("boolean")
+        if max_js is None
+        else F.col("js_divergence") > float(max_js),
+    )
+    row.write.mode("overwrite").parquet(
+        f"{out_dir}/batch_id={int(batch_id)}"
+    )
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    reference: dict[str, int],
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    mode: str = "ascii",
+    max_js: float | None = None,
+):
+    """Attach :func:`drift_monitor_batch` to a stream: one monitor
+    row per micro-batch under ``batch_id=<N>`` partitions
+    (exactly-once under replay), reference distribution held
+    driver-side and broadcast per batch. Returns the started
+    ``StreamingQuery``; read the log back with
+    ``spark.read.parquet(out_dir)`` and alert on ``drifted``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        drift_monitor_batch(
+            batch,
+            reference,
+            out_dir,
+            int(batch_id),
+            text_col=text_col,
+            mode=mode,
+            max_js=max_js,
         )
 
     return (
