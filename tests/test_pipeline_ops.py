@@ -1841,3 +1841,41 @@ def test_curriculum_stages_descending_and_validation(spark):
     assert out == {2: 1, 1: 2, 3: 3}
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "score", 0)
+
+
+# -------------------------------------------------- attrition_report
+
+
+def test_attrition_report_cumulative_and_null_flags(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import attrition_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", True, True), ("a", True, False), ("a", False, True),
+            ("b", True, None), ("b", True, True),
+        ],
+        "source string, q boolean, d boolean",
+    )
+    rows = {
+        (r.source, r.stage): r
+        for r in attrition_report(
+            df, ["q", "d"], group_col="source"
+        ).collect()
+    }
+    assert rows[("a", 0)].n_docs == 3
+    assert rows[("a", 1)].n_docs == 2  # q survivors
+    assert rows[("a", 2)].n_docs == 1  # q AND d
+    assert rows[("a", 2)].frac_of_input == 0.333333
+    # NULL flag = not surviving (the abstaining gate admits nothing)
+    assert rows[("b", 2)].n_docs == 1
+    assert rows[("b", 1)].stage_name == "q"
+
+    glob = {
+        r.stage: r.n_docs
+        for r in attrition_report(df, ["q", "d"]).collect()
+    }
+    assert glob == {0: 5, 1: 4, 2: 2}
+    with pytest.raises(ValueError, match="stage_flags"):
+        attrition_report(df, [])

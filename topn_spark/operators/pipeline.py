@@ -3310,3 +3310,59 @@ def curriculum_stages(
             F.col("rank"), F.col("_total"), int(n_stages)
         ).cast("int"),
     ).drop("_total")
+
+
+def attrition_report(
+    df: DataFrame,
+    stage_flags: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pipeline attrition funnel — THE table every data paper
+    publishes (RefinedWeb Table 2, FineWeb's step plot: how many
+    documents survive each successive gate): given boolean columns
+    marking survival of each stage IN ORDER, emit one row per stage
+    (plus ``stage 0`` = raw input) with the count surviving the
+    CUMULATIVE conjunction of stages so far and its ROUND-6 fraction
+    of the input — per ``group_col`` when given (the per-source
+    funnel that shows WHICH feed a gate is eating). NULL flags count
+    as not-surviving (a gate that abstained did not admit the row).
+
+    Scale shape: ONE map-side-combinable hash aggregate computing
+    every cumulative-AND sum in the same pass (no per-stage scans),
+    then a literal ``stack`` unpivot of the aggregate row —
+    report-sized output by construction.
+    """
+    if not stage_flags:
+        raise ValueError("stage_flags must be non-empty")
+    names = ["input"] + list(stage_flags)
+    cum = F.lit(True)
+    sums = [F.count(F.lit(1)).cast("bigint").alias("_s0")]
+    for k, flag in enumerate(stage_flags, 1):
+        cum = cum & F.coalesce(F.col(flag), F.lit(False))
+        sums.append(
+            F.sum(cum.cast("bigint")).cast("bigint").alias(f"_s{k}")
+        )
+    keys = [group_col] if group_col else []
+    agg = df.groupBy(*keys).agg(*sums)
+    stack_args = ", ".join(
+        f"{k}, '{name}', _s{k}" for k, name in enumerate(names)
+    )
+    # the group's input count (_s0) rides alongside the unpivot so
+    # the fraction is a plain projection — no second pass, no window
+    unpivot = agg.selectExpr(
+        *keys,
+        "_s0 as _input",
+        f"stack({len(names)}, {stack_args})"
+        " as (stage, stage_name, n_docs)",
+    )
+    return unpivot.select(
+        *keys,
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.nullif(F.col("_input").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("frac_of_input"),
+    )

@@ -14308,3 +14308,87 @@ def z105_prompt_echo(spark, sf_dir):
     return prompt_echo_score(base).select(
         "doc_id", "response", "echo_score", "echoed"
     ).orderBy("doc_id")
+
+
+@query(
+    "z106_attrition_funnel",
+    f"""WITH q AS (
+  SELECT doc_id, source, text,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          AS DOUBLE) / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6)
+      AS alpha_ratio,
+    ROUND(CAST(LENGTH(text)
+          - LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+          / NULLIF(CAST(len({_TOKS_DUCK}) AS DOUBLE), 0), 6)
+      AS mean_word_len,
+    len({_TOKS_DUCK}) AS _nt
+  FROM documents),
+f AS (
+  SELECT source,
+    COALESCE(_nt >= 10 AND alpha_ratio >= 0.6
+             AND mean_word_len BETWEEN 2.0 AND 12.0, FALSE)
+      AS k1,
+    COALESCE(doc_id = MIN(doc_id) OVER (
+      PARTITION BY COALESCE(md5(text), 'NULL')), FALSE) AS k2,
+    COALESCE(substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80',
+             FALSE) AS k3
+  FROM q),
+c AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS s2,
+    CAST(SUM(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END)
+      AS BIGINT) AS s3
+  FROM f GROUP BY source),
+u AS (
+  SELECT source, 0 AS stage, 'input' AS stage_name, s0 AS n_docs,
+         s0 AS inp FROM c
+  UNION ALL
+  SELECT source, 1, 'quality_keep', s1, s0 FROM c
+  UNION ALL
+  SELECT source, 2, 'is_keeper', s2, s0 FROM c
+  UNION ALL
+  SELECT source, 3, 'sampled', s3, s0 FROM c)
+SELECT source, CAST(stage AS INT) AS stage, stage_name, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE)
+        / NULLIF(CAST(inp AS DOUBLE), 0), 6) AS frac_of_input
+FROM u ORDER BY source ASC, stage ASC""",
+    doc="PIPELINE ATTRITION FUNNEL (operators/pipeline.py::"
+    "attrition_report) — THE table every data paper publishes"
+    " (RefinedWeb Table 2, the FineWeb step plot): per source, how"
+    " many documents survive each successive gate — here the real"
+    " composition quality_keep (add_quality, the x03 rules) →"
+    " exact-dedup keeper (dedup_lineage, the z93 rule) → md5"
+    " hash-sample gate — as cumulative-AND counts and ROUND-6"
+    " fractions of input, with stage 0 = raw and NULL flags counted"
+    " as not-surviving (an abstaining gate admitted nothing). Scale:"
+    " the flags are the upstream operators' own shapes; the funnel"
+    " itself is ONE map-side-combinable agg computing every"
+    " cumulative sum in the same pass + a literal stack unpivot —"
+    " report-sized output. Oracle: identical x03 quality fragment +"
+    " keeper window + CASE funnel in DuckDB, hash-exact",
+)
+def z106_attrition_funnel(spark, sf_dir):
+    from topn_spark.operators.dedup import dedup_lineage
+    from topn_spark.operators.pipeline import attrition_report
+    from topn_spark.operators.textstats import add_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = add_quality(docs).select(
+        "doc_id", "source", "quality_keep"
+    )
+    lineage = dedup_lineage(docs).select("doc_id", "is_keeper")
+    sampled = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < "80"
+    )
+    base = flagged.join(lineage, "doc_id").withColumn(
+        "sampled", sampled
+    )
+    return attrition_report(
+        base,
+        ["quality_keep", "is_keeper", "sampled"],
+        group_col="source",
+    ).orderBy("source", "stage")
