@@ -373,3 +373,32 @@ def test_memorization_risk_within_doc_repeat_not_unique_loss(spark):
     # gram stream p-q-r, q-r-p, r-p-q, p-q-r -> 3 DISTINCT grams,
     # each in exactly one document
     assert r.n_grams == 3 and r.n_unique == 3
+
+
+def test_split_doc_pairs_matches_chunk_overlap(spark):
+    from topn_spark.operators.dedup import split_doc_pairs
+
+    words = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(words[:16])),     # tail-8 = w8..w15
+        (2, " ".join(words[8:24])),    # head-8 = w8..w15 -> pair
+        (3, " ".join(words[16:30])),   # head-8 = w16..w23 -> pair w/2
+        (4, "short doc"),              # < k tokens: no keys
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b) for r in split_doc_pairs(df, k=8).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
+
+
+def test_split_doc_pairs_excludes_self_chorus(spark):
+    from topn_spark.operators.dedup import split_doc_pairs
+
+    # head == tail within ONE doc (repeated chorus): no self pair
+    chorus = " ".join(f"c{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{chorus} middle words here {chorus}")],
+        "doc_id bigint, text string",
+    )
+    assert split_doc_pairs(df, k=8).count() == 0

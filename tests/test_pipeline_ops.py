@@ -1879,3 +1879,32 @@ def test_attrition_report_cumulative_and_null_flags(spark):
     assert glob == {0: 5, 1: 4, 2: 2}
     with pytest.raises(ValueError, match="stage_flags"):
         attrition_report(df, [])
+
+
+# ----------------------------------------------------- canonical_url
+
+
+def test_canonical_url_collapses_variants(spark):
+    from topn_spark.operators.pipeline import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://Site.com/a/?utm_source=x&b=2&a=1#frag"),
+            (2, "http://site.com:80/a?a=1&b=2"),
+            (3, "http://site.com/a?b=2&a=1"),
+            (4, "https://x.org:443/"),
+            (5, "https://x.org/p?gclid=9&ref=h&z=1"),
+            (6, "not a url"),
+            (7, None),
+        ],
+        "id bigint, url string",
+    )
+    out = {r.id: r.canonical_url for r in canonical_url(df).collect()}
+    # variants 1-3 collapse to one key: host lowercased, default port
+    # and fragment stripped, tracking params dropped, params sorted,
+    # trailing slash removed
+    assert out[1] == out[2] == out[3] == "http://site.com/a?a=1&b=2"
+    assert out[4] == "https://x.org/"
+    assert out[5] == "https://x.org/p?z=1"
+    # malformed passes through unchanged; NULL stays NULL
+    assert out[6] == "not a url" and out[7] is None

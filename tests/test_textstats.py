@@ -1530,3 +1530,26 @@ def test_corpus_divergence_partial_overlap_mirror(spark):
             js += 0.5 * q * math.log(q / m)
     assert abs(r.js_divergence - js) < 1e-12
     assert r.vocab_shared == 1
+
+
+def test_table_signals_classes(spark):
+    from topn_spark.operators.textstats import table_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain prose with no numbers in sight today"),
+            (2, "99 44 100 77 62 totals 8123"),
+            (3, "| a | b | c |\n| x | y | z |\n| p | q | r |"),
+            (4, "1. one\n2. two\nprose"),
+            (5, ""),
+            (6, None),
+        ],
+        "id bigint, text string",
+    )
+    out = {r.id: r for r in table_signals(df).collect()}
+    assert out[1].table_like is False and out[1].digit_ratio == 0.0
+    assert out[2].table_like and out[2].digit_ratio > 0.25
+    assert out[3].table_like and out[3].n_pipes >= 10
+    assert out[4].table_like and out[4].numeric_line_frac == 0.666667
+    # empty and NULL keep NULL signals, observable
+    assert out[5].table_like is None and out[6].digit_ratio is None

@@ -1068,3 +1068,52 @@ def memorization_risk(
             ).alias("uniq_ratio"),
         )
     )
+
+
+def split_doc_pairs(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split-document stitching candidates — web corpora are full of
+    ONE article arriving as several rows (pagination, scraper
+    chunking, our own :func:`~topn_spark.operators.pipeline.
+    chunk_documents` with overlap): when piece A's LAST ``k`` tokens
+    equal piece B's FIRST ``k`` tokens, B is the continuation
+    candidate of A. Emits ``(id_a, id_b, boundary)`` pairs (the
+    shared boundary gram rides along for audit); documents shorter
+    than ``k`` tokens emit no keys (nothing to match), and exact
+    self-matches (a doc whose head equals its own tail — a repeated
+    chorus) are excluded by ``id_a != id_b``.
+
+    Scale shape: two map-only key projections (head / tail k-gram,
+    md5'd to 16-byte join keys) and ONE equi-join tail→head — the
+    exact-dedup join class, never all-pairs; a viral boilerplate
+    boundary (every page of a site sharing the same footer opening)
+    is a hot join key — AQE skew territory, same as dedup_lineage.
+    """
+    toks = _tokens(text_col)
+    head = F.when(
+        F.size(toks) >= int(k),
+        F.md5(F.array_join(F.slice(toks, 1, int(k)), " ")),
+    )
+    tail = F.when(
+        F.size(toks) >= int(k),
+        F.md5(
+            F.array_join(
+                F.slice(toks, -int(k), int(k)), " "
+            )
+        ),
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), tail.alias("_key")
+    ).where(F.col("_key").isNotNull())
+    b = df.select(
+        F.col(id_col).alias("id_b"), head.alias("_key")
+    ).where(F.col("_key").isNotNull())
+    return (
+        a.join(b, "_key")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.col("_key").alias("boundary"))
+    )

@@ -3366,3 +3366,85 @@ def attrition_report(
             6,
         ).alias("frac_of_input"),
     )
+
+
+#: Query parameters that track, not address, content (the standard
+#: canonicalization drop set).
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL canonicalization for web-corpus dedup — the reason naive
+    URL-exact dedup under-merges (the same page arrives as
+    ``http://Site.com/a/?utm_source=x#frag`` and
+    ``http://site.com/a``): lowercase the scheme and host, strip the
+    fragment, strip default ports (``:80`` http / ``:443`` https),
+    drop tracking query parameters (:data:`TRACKING_PARAMS` —
+    ``utm_*``, click ids, ``ref``), SORT the surviving parameters
+    (order never addresses content), and strip one trailing slash
+    from a non-root path. Malformed URLs (no ``scheme://``) pass
+    through unchanged — canonicalizing garbage forges collisions.
+    Dedup then groups on ``out_col`` exactly like text-exact dedup
+    groups on the content digest.
+
+    Scale shape: chained codegen'd regexp/split/array projections —
+    map-only, no UDF; mirrors into DuckDB string/list ops (z109).
+    """
+    u = F.col(url_col)
+    m = F.regexp_extract(
+        u,
+        r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$",
+        0,
+    )
+    valid = m != ""
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)", 1
+    )
+    def _keep(p):
+        key = F.split(p, "=")[0]
+        cond = F.length(p) > 0
+        for pref in TRACKING_PARAMS:
+            if pref.endswith("_"):
+                cond = cond & ~p.startswith(pref)
+            else:
+                cond = cond & (key != pref)
+        return cond
+
+    params = F.filter(F.split(query, "&"), _keep)
+    qcanon = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(valid, canon).otherwise(u)
+    )

@@ -3112,3 +3112,70 @@ def corpus_divergence(
         .alias("vocab_shared"),
         F.sum(contrib).alias("js_divergence"),
     )
+
+
+def table_signals(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Table-/data-dump detection signals — the quality-routing rule
+    for documents that are mostly NUMBERS or grid markup (price
+    lists, CSV dumps, sports tables: prose filters mis-score them
+    and most pretraining recipes either drop or route them to a
+    dedicated pipeline): per row, ``digit_ratio`` (digit chars /
+    chars, ROUND 6), ``n_pipes`` / ``n_tabs`` (grid separators),
+    ``numeric_line_frac`` (fraction of non-empty lines starting
+    with a digit, ROUND 6) and the OR-combined ``table_like`` flag
+    (digit_ratio >= 0.25, or >= 10 pipes, or half the lines
+    numeric). NULL/empty text keeps NULL signals.
+
+    Scale shape: codegen'd regexp/length/split arithmetic — map-only,
+    no UDF; mirrors into DuckDB string ops (z108).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    digit_ratio = F.round(
+        digits.cast("double")
+        / F.nullif(n_chars.cast("double"), F.lit(0.0)),
+        6,
+    )
+    n_pipes = (
+        n_chars - F.length(F.replace(c, F.lit("|"), F.lit("")))
+    ).cast("bigint")
+    n_tabs = (
+        n_chars - F.length(F.replace(c, F.lit("\t"), F.lit("")))
+    ).cast("bigint")
+    lines = F.filter(
+        F.split(c, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    numeric_lines = F.filter(
+        lines,
+        lambda ln: F.substring(F.ltrim(ln), 1, 1).rlike("^[0-9]$"),
+    )
+    numeric_line_frac = F.round(
+        F.size(numeric_lines).cast("double")
+        / F.nullif(F.size(lines).cast("double"), F.lit(0.0)),
+        6,
+    )
+    present = c.isNotNull() & (n_chars > 0)
+    out = (
+        df.withColumn("digit_ratio", F.when(present, digit_ratio))
+        .withColumn("n_pipes", F.when(present, n_pipes))
+        .withColumn("n_tabs", F.when(present, n_tabs))
+        .withColumn(
+            "numeric_line_frac", F.when(present, numeric_line_frac)
+        )
+    )
+    return out.withColumn(
+        "table_like",
+        F.when(
+            present,
+            (F.coalesce(F.col("digit_ratio"), F.lit(0.0)) >= 0.25)
+            | (F.col("n_pipes") >= 10)
+            | (
+                F.coalesce(F.col("numeric_line_frac"), F.lit(0.0))
+                >= 0.5
+            ),
+        ),
+    )

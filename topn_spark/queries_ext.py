@@ -14392,3 +14392,282 @@ def z106_attrition_funnel(spark, sf_dir):
         ["quality_keep", "is_keeper", "sampled"],
         group_col="source",
     ).orderBy("source", "stage")
+
+
+@query(
+    "z107_split_doc_pairs",
+    r"""WITH d AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      CASE WHEN doc_id % 2 = 0 THEN range(0, 12)
+           ELSE range(4, 20) END,
+      i -> 'w' || i || 'g' || (doc_id // 2)), ' ') AS text
+  FROM documents WHERE doc_id < 200),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM d),
+k AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 8
+         THEN md5(array_to_string(w[1:8], ' ')) END AS head,
+    CASE WHEN len(w) >= 8
+         THEN md5(array_to_string(w[len(w)-7:len(w)], ' ')) END
+      AS tail
+  FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tail AS boundary
+FROM k a JOIN k b
+  ON a.tail = b.head AND a.doc_id <> b.doc_id
+ORDER BY id_a ASC, id_b ASC""",
+    doc="SPLIT-DOCUMENT STITCHING CANDIDATES (operators/dedup.py::"
+    "split_doc_pairs) — web corpora carry ONE article as several"
+    " rows (pagination, scraper chunking, chunk_documents overlap):"
+    " piece A's last k tokens equalling piece B's first k makes B"
+    " the continuation candidate, with the boundary gram riding for"
+    " audit; sub-k docs emit no keys, self-matches excluded."
+    " Planted: 100 pairs — even doc = tokens 0..11, odd = 4..19 of"
+    " the same group salt, so tail-8(even) == head-8(odd) exactly"
+    " within each pair. Scale: two map-only md5 key projections +"
+    " ONE tail->head equi-join (the exact-dedup join class, never"
+    " all-pairs; a viral footer boundary is AQE skew-join"
+    " territory). Oracle: identical slice/md5/join SQL in DuckDB,"
+    " hash-exact",
+)
+def z107_split_doc_pairs(spark, sf_dir):
+    from topn_spark.operators.dedup import split_doc_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    d = F.col("doc_id")
+    g = (d / 2).cast("bigint").cast("string")
+    rng = F.when(
+        d % 2 == 0, F.sequence(F.lit(0), F.lit(11))
+    ).otherwise(F.sequence(F.lit(4), F.lit(19)))
+    text = F.array_join(
+        F.transform(
+            rng,
+            lambda i: F.concat(
+                F.lit("w"), i.cast("string"), F.lit("g"), g
+            ),
+        ),
+        " ",
+    )
+    pieces = docs.select(d.alias("doc_id"), text.alias("text"))
+    return split_doc_pairs(pieces, k=8).orderBy("id_a", "id_b")
+
+
+@query(
+    "z108_table_signals",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'ordinary prose about nothing numeric at all'
+      WHEN 1 THEN 'q1 2024 7581 9213 4417 total 21211 up 14 pct'
+      WHEN 2 THEN '| name | qty | price |' || chr(10)
+                  || '| bolt | 12 | 0.30 |' || chr(10)
+                  || '| nut | 7 | 0.10 |'
+      WHEN 3 THEN '1. first item' || chr(10) || '2. second item'
+                  || chr(10) || 'a closing prose line'
+      WHEN 4 THEN ''
+      ELSE NULL
+    END AS text
+  FROM documents WHERE doc_id < 300),
+q AS (
+  SELECT doc_id, text,
+    length(text) AS nc,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+    CAST(length(text) - length(replace(text, '|', ''))
+      AS BIGINT) AS n_pipes,
+    CAST(length(text) - length(replace(text, chr(9), ''))
+      AS BIGINT) AS n_tabs,
+    list_filter(string_split(text, chr(10)),
+      ln -> length(trim(ln)) > 0) AS lines
+  FROM s),
+r AS (
+  SELECT doc_id, text, n_pipes, n_tabs,
+    ROUND(CAST(nd AS DOUBLE) / NULLIF(CAST(nc AS DOUBLE), 0), 6)
+      AS digit_ratio,
+    ROUND(CAST(len(list_filter(lines, ln ->
+        regexp_matches(substr(ltrim(ln), 1, 1), '^[0-9]$')))
+      AS DOUBLE) / NULLIF(CAST(len(lines) AS DOUBLE), 0), 6)
+      AS numeric_line_frac,
+    nc
+  FROM q)
+SELECT doc_id, text,
+  CASE WHEN text IS NULL OR nc = 0 THEN NULL
+       ELSE digit_ratio END AS digit_ratio,
+  CASE WHEN text IS NULL OR nc = 0 THEN NULL
+       ELSE n_pipes END AS n_pipes,
+  CASE WHEN text IS NULL OR nc = 0 THEN NULL
+       ELSE n_tabs END AS n_tabs,
+  CASE WHEN text IS NULL OR nc = 0 THEN NULL
+       ELSE numeric_line_frac END AS numeric_line_frac,
+  CASE WHEN text IS NULL OR nc = 0 THEN NULL
+       ELSE coalesce(digit_ratio, 0) >= 0.25 OR n_pipes >= 10
+            OR coalesce(numeric_line_frac, 0) >= 0.5
+  END AS table_like
+FROM r ORDER BY doc_id ASC""",
+    doc="TABLE-/DATA-DUMP DETECTION (operators/textstats.py::"
+    "table_signals) — the quality-routing rule for documents that"
+    " are mostly numbers or grid markup (price lists, CSV dumps:"
+    " prose filters mis-score them, so recipes drop or route them):"
+    " digit_ratio, pipe/tab counts, numeric-leading-line fraction,"
+    " OR-combined table_like; NULL/empty text keeps NULL signals."
+    " Planted: prose / digit-heavy / pipe-table / numbered-list /"
+    " empty / NULL stripes. Scale: codegen'd regexp/length/split"
+    " arithmetic, map-only. Oracle: identical string ops in DuckDB,"
+    " hash-exact",
+)
+def z108_table_signals(spark, sf_dir):
+    from topn_spark.operators.textstats import table_signals
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    d = F.col("doc_id")
+    nl = "\n"
+    text = (
+        F.when(
+            d % 6 == 0,
+            F.lit("ordinary prose about nothing numeric at all"),
+        )
+        .when(
+            d % 6 == 1,
+            F.lit("q1 2024 7581 9213 4417 total 21211 up 14 pct"),
+        )
+        .when(
+            d % 6 == 2,
+            F.lit(
+                "| name | qty | price |" + nl
+                + "| bolt | 12 | 0.30 |" + nl
+                + "| nut | 7 | 0.10 |"
+            ),
+        )
+        .when(
+            d % 6 == 3,
+            F.lit(
+                "1. first item" + nl + "2. second item" + nl
+                + "a closing prose line"
+            ),
+        )
+        .when(d % 6 == 4, F.lit(""))
+    )
+    base = docs.select("doc_id", text.alias("text"))
+    return table_signals(base).orderBy("doc_id")
+
+
+@query(
+    "z109_canonical_url",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'http://Site-' || (doc_id // 8)
+                  || '.com/a/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'http://site-' || (doc_id // 8) || '.com:80/a?a=1&b=2'
+      WHEN 2 THEN 'https://x-' || (doc_id // 8) || '.org:443/'
+      WHEN 3 THEN 'https://x-' || (doc_id // 8)
+                  || '.org/p?gclid=99&ref=h&z=1'
+      WHEN 4 THEN 'https://x-' || (doc_id // 8) || '.org/p?z=1'
+      WHEN 5 THEN 'not a url ' || doc_id
+      WHEN 6 THEN NULL
+      ELSE 'http://site-' || (doc_id // 8) || '.com/a'
+    END AS url
+  FROM documents WHERE doc_id < 400),
+p AS (
+  SELECT doc_id, url,
+    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS valid,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    coalesce(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1), '')
+      AS query0
+  FROM s),
+h AS (
+  SELECT doc_id, url, valid, scheme,
+    CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+         THEN substr(host0, 1, length(host0) - 3)
+         WHEN scheme = 'https' AND host0 LIKE '%:443'
+         THEN substr(host0, 1, length(host0) - 4)
+         ELSE host0 END AS host,
+    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+         THEN substr(path0, 1, length(path0) - 1)
+         ELSE path0 END AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query0, '&'),
+      q -> length(q) > 0 AND NOT starts_with(q, 'utm_')
+        AND string_split(q, '=')[1] NOT IN
+          ('gclid', 'fbclid', 'ref', 'mc_cid', 'mc_eid'))), '&'),
+      '') AS qc
+  FROM p)
+SELECT doc_id, url,
+  CASE WHEN url IS NULL THEN NULL
+       WHEN NOT valid THEN url
+       ELSE scheme || '://' || host || path
+            || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+  END AS canonical_url
+FROM h ORDER BY doc_id ASC""",
+    doc="URL CANONICALIZATION (operators/pipeline.py::"
+    "canonical_url) — why naive URL-exact dedup under-merges: the"
+    " same page arrives as http://Site.com/a/?utm_source=x#frag and"
+    " http://site.com/a; lowercase scheme+host, strip fragment and"
+    " default ports, drop tracking params (utm_*, click ids, ref),"
+    " SORT surviving params, strip one trailing slash on non-root"
+    " paths; malformed URLs pass through unchanged (canonicalizing"
+    " garbage forges collisions). Planted: eight stripes per group"
+    " whose first/second/eighth variants collapse to ONE canonical"
+    " key. Scale: chained codegen'd regexp/split/array projections,"
+    " map-only. Oracle: identical regexp/list SQL in DuckDB,"
+    " hash-exact",
+)
+def z109_canonical_url(spark, sf_dir):
+    from topn_spark.operators.pipeline import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    g = (d / 8).cast("bigint").cast("string")
+    url = (
+        F.when(
+            d % 8 == 0,
+            F.concat(
+                F.lit("http://Site-"), g,
+                F.lit(".com/a/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            d % 8 == 1,
+            F.concat(
+                F.lit("http://site-"), g, F.lit(".com:80/a?a=1&b=2")
+            ),
+        )
+        .when(
+            d % 8 == 2,
+            F.concat(F.lit("https://x-"), g, F.lit(".org:443/")),
+        )
+        .when(
+            d % 8 == 3,
+            F.concat(
+                F.lit("https://x-"), g,
+                F.lit(".org/p?gclid=99&ref=h&z=1"),
+            ),
+        )
+        .when(
+            d % 8 == 4,
+            F.concat(F.lit("https://x-"), g, F.lit(".org/p?z=1")),
+        )
+        .when(
+            d % 8 == 5,
+            F.concat(F.lit("not a url "), d.cast("string")),
+        )
+        .when(d % 8 == 6, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("http://site-"), g, F.lit(".com/a"))
+        )
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    return canonical_url(base).orderBy("doc_id")
