@@ -2520,3 +2520,70 @@ def test_kto_labels_and_epoch_shuffle_stages(spark):
         run_pipeline_with_source(spark, missing, "src", docs)
     msg = str(ei.value)
     assert "epoch" in msg and "numShards" in msg
+
+
+def test_truncate_json_canonical_stages(spark):
+    """TruncateConversation + JsonOutputQc + CanonicalUrl plugins:
+    property validation and the keepOnly drop mode."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import run_pipeline_with_source
+
+    conv = spark.createDataFrame(
+        [(1, [("system", "ssssssss"), ("user", "aaaa"),
+              ("assistant", "bbbb")])],
+        "conv_id long,"
+        " messages array<struct<role:string,content:string>>",
+    )
+    spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "fit", "plugin": "TruncateConversation",
+             "properties": {"maxChars": "12"}},
+        ],
+        "connections": [{"from": "src", "to": "fit"}],
+    }
+    [row] = run_pipeline_with_source(spark, spec, "src", conv)["fit"].collect()
+    assert [m.role for m in row.messages_fit] == ["system", "assistant"]
+
+    bad = dict(spec)
+    bad["stages"] = [spec["stages"][0],
+                     {"name": "fit", "plugin": "TruncateConversation",
+                      "properties": {"maxChars": "-3"}}]
+    with pytest.raises(ValidationError, match="maxChars"):
+        run_pipeline_with_source(spark, bad, "src", conv)
+
+    js = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "broken {")],
+        "id long, response string",
+    )
+    js_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "qc", "plugin": "JsonOutputQc",
+             "properties": {"requiredKeys": "a",
+                            "keepOnly": "true"}},
+        ],
+        "connections": [{"from": "src", "to": "qc"}],
+    }
+    kept = run_pipeline_with_source(spark, js_spec, "src", js)["qc"]
+    assert [r.id for r in kept.collect()] == [1]
+    assert kept.columns == js.columns  # keepOnly strips the flags
+
+    urls = spark.createDataFrame(
+        [(1, "http://A.com/x/?utm_source=s")], "id long, url string"
+    )
+    cu_spec = {
+        "stages": [
+            {"name": "src", "plugin": "File",
+             "properties": {"path": "x"}},
+            {"name": "canon", "plugin": "CanonicalUrl",
+             "properties": {}},
+        ],
+        "connections": [{"from": "src", "to": "canon"}],
+    }
+    [u] = run_pipeline_with_source(spark, cu_spec, "src", urls)["canon"].collect()
+    assert u.canonical_url == "http://a.com/x"

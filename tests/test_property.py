@@ -538,3 +538,78 @@ def test_pack_masked_round_trip_property(spark):
         assert rebuilt == want
 
     check()
+
+
+# ------------------------------------------- truncate_conversation
+
+
+def _model_truncate(msgs, max_chars, keep_system):
+    """Reference model: pin the system turn, longest fitting suffix."""
+    has_sys = keep_system and bool(msgs) and msgs[0][0] == "system"
+    sys_part = msgs[:1] if has_sys else []
+    sys_chars = len(msgs[0][1] or "") if has_sys else 0
+    body = msgs[1:] if has_sys else msgs
+    budget = max_chars - sys_chars
+    cut = len(body)
+    total = 0
+    # grow the suffix from the end while it fits
+    for i in range(len(body) - 1, -1, -1):
+        total += len(body[i][1] or "")
+        if total <= budget:
+            cut = i
+        else:
+            break
+    kept = sys_part + body[cut:]
+    chars = sys_chars + sum(len(c or "") for _, c in body[cut:])
+    return kept, cut, chars, sys_chars > max_chars
+
+
+_turn = st.tuples(
+    st.sampled_from(["system", "user", "assistant"]),
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        max_size=12,
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    convs=st.lists(
+        st.lists(_turn, min_size=0, max_size=8), min_size=1, max_size=6
+    ),
+    max_chars=st.sampled_from([0, 5, 17, 60, 10_000]),
+    keep_system=st.booleans(),
+)
+def test_truncate_conversation_matches_model(
+    spark, convs, max_chars, keep_system
+):
+    from topn_spark.operators.sft import truncate_conversation
+
+    df = spark.createDataFrame(
+        [(i, [(r, c) for r, c in conv]) for i, conv in enumerate(convs)],
+        "conv_id long,"
+        " messages array<struct<role:string,content:string>>",
+    )
+    got = {
+        r.conv_id: r
+        for r in truncate_conversation(
+            df, max_chars=max_chars, keep_system=keep_system
+        ).collect()
+    }
+    for i, conv in enumerate(convs):
+        kept, dropped, chars, over = _model_truncate(
+            conv, max_chars, keep_system
+        )
+        r = got[i]
+        assert [(m.role, m.content) for m in r.messages_fit] == kept
+        assert r.n_turns_dropped == dropped
+        assert r.chars_kept == chars
+        assert r.over_budget == over
+        # the invariant the trainer relies on: within budget unless
+        # the pinned system prefix alone exceeds it
+        assert r.chars_kept <= max_chars or r.over_budget

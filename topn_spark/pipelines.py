@@ -2714,6 +2714,104 @@ def _stage_epoch_shuffle(
     )
 
 
+def _stage_truncate_conversation(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """TruncateConversation transform: context-budget suffix
+    truncation (sft.truncate_conversation — system pinned, longest
+    fitting suffix of turns, over_budget observable). Properties:
+    messagesField ('messages'), maxChars (required int >= 0,
+    macro-able), keepSystem ('true')."""
+    from topn_spark.operators.sft import truncate_conversation
+
+    (df,) = inputs
+    p = stage.properties
+    messages_col = p.get("messagesField", "messages")
+    keep_system = p.get("keepSystem", "true").lower() != "false"
+    raw = p.get("maxChars")
+    ok = _require_field(df, messages_col, collector, "messagesField")
+    if raw is None:
+        collector.add_failure(
+            "Required property 'maxChars' is missing.",
+            "Provide an integer >= 0.",
+            property_name="maxChars",
+        )
+        return df
+    if phase == "run":
+        raw = substitute_macros(
+            raw, substitutions or {}, collector, "maxChars"
+        )
+    max_chars = 0
+    if not contains_macro(raw):
+        try:
+            max_chars = int(raw)
+            if max_chars < 0:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid maxChars '{raw}'.",
+                "An integer >= 0.",
+                property_name="maxChars",
+            )
+            ok = False
+    if not ok:
+        return df
+    return truncate_conversation(
+        df,
+        messages_col=messages_col,
+        max_chars=max_chars,
+        keep_system=keep_system,
+    )
+
+
+def _stage_json_output_qc(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """JsonOutputQc transform: structured-output validity gate
+    (sft.json_output_qc — is_valid_json / is_object / missing_keys /
+    qc_pass). Properties: field ('response'), requiredKeys
+    (comma-separated, optional), keepOnly ('false' — drop failing
+    rows when 'true')."""
+    from topn_spark.operators.sft import json_output_qc
+
+    (df,) = inputs
+    p = stage.properties
+    col = p.get("field", "response")
+    keys = tuple(
+        k.strip()
+        for k in p.get("requiredKeys", "").split(",")
+        if k.strip()
+    )
+    keep_only = p.get("keepOnly", "false").lower() == "true"
+    if not _require_field(df, col, collector, "field"):
+        return df
+    out = json_output_qc(df, col=col, required_keys=keys)
+    if keep_only:
+        out = out.where(F.col("qc_pass")).drop(
+            "is_valid_json", "is_object", "missing_keys", "qc_pass"
+        )
+    return out
+
+
+def _stage_canonical_url(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """CanonicalUrl transform: URL canonicalization for web-corpus
+    dedup (pipeline.canonical_url — lowercase scheme/host, strip
+    fragment/default ports/tracking params, sort params, trim
+    trailing slash). Properties: urlField ('url'), outField
+    ('canonical_url')."""
+    from topn_spark.operators.pipeline import canonical_url
+
+    (df,) = inputs
+    p = stage.properties
+    url_col = p.get("urlField", "url")
+    out_col = p.get("outField", "canonical_url")
+    if not _require_field(df, url_col, collector, "urlField"):
+        return df
+    return canonical_url(df, url_col=url_col, out_col=out_col)
+
+
 #: plugin registry: (expected stage type, handler)
 PLUGINS: dict[str, tuple[str, Callable]] = {
     "File": ("batchsource", _stage_source),
@@ -2760,6 +2858,9 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
     "KtoLabels": ("transform", _stage_kto_labels),
     "EpochShuffle": ("transform", _stage_epoch_shuffle),
+    "TruncateConversation": ("transform", _stage_truncate_conversation),
+    "JsonOutputQc": ("transform", _stage_json_output_qc),
+    "CanonicalUrl": ("transform", _stage_canonical_url),
     "PiiRedact": ("transform", _stage_pii_redact),
     "QualityClassifier": ("transform", _stage_quality_classifier),
     "DedupAgainst": ("transform", _stage_dedup_against),
