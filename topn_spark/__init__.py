@@ -35,6 +35,10 @@ from topn_spark.pipelines import (
     run_streaming_pipeline,
 )
 from topn_spark.operators.dedup import (
+    dedup_lineage,
+    dup_cluster_report,
+    memorization_risk,
+    split_doc_pairs,
     lsh_pairs_md5,
     ngram_decontaminate,
     neardup_keep_best,
@@ -49,6 +53,10 @@ from topn_spark.operators.layout import write_zordered, zorder_key
 from topn_spark.operators.ranges import interval_overlap_join
 from topn_spark.operators.pipeline import (
     assign_split,
+    attrition_report,
+    canonical_url,
+    curriculum_stages,
+    epoch_shuffle,
     chunk_by_tokens,
     chunk_documents,
     contamination_check,
@@ -215,6 +223,14 @@ __all__ = [
     "resample_ffill",
     "resample_interpolate",
     "sessionize",
+    "epoch_shuffle",
+    "curriculum_stages",
+    "canonical_url",
+    "attrition_report",
+    "dedup_lineage",
+    "dup_cluster_report",
+    "memorization_risk",
+    "split_doc_pairs",
     "winsorize",
     "zscore",
     "robust_zscore",

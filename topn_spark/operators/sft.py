@@ -45,6 +45,16 @@ __all__ = [
     "validate_conversation_assets",
     "preference_margin_report",
     "unigram_loss_mask",
+    "kto_labels",
+    "conversation_paths",
+    "preference_length_bias",
+    "truncate_conversation",
+    "json_output_qc",
+    "truncation_artifacts",
+    "control_token_scan",
+    "prompt_echo_score",
+    "CONTROL_TOKENS",
+    "SENTENCE_ENDERS",
 ]
 
 #: Registered template names; each shape is a fixed concatenation so
