@@ -1496,17 +1496,27 @@ def prompt_echo_score(
     both = F.col(prompt_col).isNotNull() & F.col(
         response_col
     ).isNotNull()
+    # bind the shingle arrays as PROJECTED attributes before scoring:
+    # CollapseProject would otherwise re-inline the tokenizer into
+    # every downstream reference (the url_features tree-duplication
+    # hazard — O(tokens²) regexp work per row on long documents)
+    b = df.withColumn("_pe_pg", pg).withColumn("_pe_rg", rg)
     score = F.round(
-        F.size(F.array_intersect(rg, pg)).cast("double")
-        / F.nullif(F.size(rg).cast("double"), F.lit(0.0)),
+        F.size(F.array_intersect(F.col("_pe_rg"), F.col("_pe_pg")))
+        .cast("double")
+        / F.nullif(
+            F.size(F.col("_pe_rg")).cast("double"), F.lit(0.0)
+        ),
         6,
     )
-    return df.withColumn(
-        "echo_score", F.when(both, score)
-    ).withColumn(
-        "echoed",
-        F.when(
-            both & F.col("echo_score").isNotNull(),
-            F.col("echo_score") >= float(threshold),
-        ),
+    return (
+        b.withColumn("echo_score", F.when(both, score))
+        .withColumn(
+            "echoed",
+            F.when(
+                both & F.col("echo_score").isNotNull(),
+                F.col("echo_score") >= float(threshold),
+            ),
+        )
+        .drop("_pe_pg", "_pe_rg")
     )
