@@ -1908,3 +1908,52 @@ def test_canonical_url_collapses_variants(spark):
     assert out[5] == "https://x.org/p?z=1"
     # malformed passes through unchanged; NULL stays NULL
     assert out[6] == "not a url" and out[7] is None
+
+
+# ----------------------------------------------- parallel_page_pairs
+
+
+def test_parallel_page_pairs_matches_locales(spark):
+    from topn_spark.operators.pipeline import parallel_page_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://en.shop.com/about", "en"),
+            (2, "https://fr.shop.com/about", "fr"),
+            (3, "https://shop.com/de/about", "de"),
+            (4, "https://shop.com/other", "en"),
+            (5, "https://shop.com/other", "en"),  # same lang: no pair
+            (6, None, "ja"),
+        ],
+        "doc_id bigint, url string, lang string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.lang_a, r.lang_b)
+        for r in parallel_page_pairs(df).collect()
+    }
+    # subdomain and path variants all collapse to one page key
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == ("en", "fr")
+
+
+def test_k_anonymity_check_flags_small_groups(spark):
+    import pytest
+
+    from topn_spark.operators.pipeline import k_anonymity_check
+
+    df = spark.createDataFrame(
+        [("us", "m")] * 5 + [("fr", "f")] * 2 + [(None, "m")],
+        "zip string, sex string",
+    )
+    out = {
+        (r.zip, r.sex): r
+        for r in k_anonymity_check(df, ["zip", "sex"], k=3).collect()
+    }
+    assert out[("us", "m")].at_risk is False
+    assert out[("fr", "f")].at_risk and out[("fr", "f")].group_size == 2
+    # NULL is a combination value of its own — still audited
+    assert out[(None, "m")].at_risk is True
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_check(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_check(df, ["zip"], k=0)

@@ -3448,3 +3448,102 @@ def canonical_url(
     return df.withColumn(
         out_col, F.when(valid, canon).otherwise(u)
     )
+
+
+#: Language markers recognized in hosts/paths when deriving the
+#: language-neutral page key (the ParaCrawl URL-matching heuristic).
+LANG_MARKERS_URL = (
+    "en", "fr", "de", "es", "zh", "it", "pt", "ru", "ja", "ko",
+)
+
+
+def parallel_page_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    markers: tuple[str, ...] = LANG_MARKERS_URL,
+) -> DataFrame:
+    """Bitext candidate mining from URL structure — the ParaCrawl /
+    WMT web-corpus heuristic (a site publishes the SAME page under
+    ``en.site.com/about`` and ``fr.site.com/about``, or
+    ``site.com/en/about`` and ``site.com/fr/about``; those page
+    pairs are translation candidates, the raw material of parallel
+    corpora): canonicalize each URL (:func:`canonical_url`), strip
+    ONE leading language subdomain label and ONE leading language
+    path segment (from ``markers``), and join documents sharing the
+    resulting language-neutral ``page_key`` with DIFFERENT
+    ``lang_col`` values — ``(id_a, id_b, lang_a, lang_b,
+    page_key)``, ``id_a < id_b``. URLs with no language marker keep
+    their canonical form as the key (same-language pairs are
+    excluded by the lang predicate, so plain duplicates never
+    surface here — :func:`canonical_url` + exact dedup owns those).
+
+    Scale shape: map-only canonicalization + key projection, ONE
+    equi self-join on the md5'd page key (the exact-dedup join
+    class); a template page shared by every locale of a large site
+    is a hot key — AQE skew territory, and the different-lang
+    predicate keeps the output to cross-locale pairs only.
+    """
+    alts = "|".join(markers)
+    canon = canonical_url(df, url_col=url_col, out_col="_pp_canon")
+    # one leading language subdomain label (en.site.com -> site.com)
+    dehost = F.regexp_replace(
+        F.col("_pp_canon"),
+        f"^([a-z][a-z0-9+.-]*://)(?:{alts})\\.",
+        "$1",
+    )
+    # one leading language path segment (/en/about -> /about)
+    depath = F.regexp_replace(
+        dehost, f"^([a-z][a-z0-9+.-]*://[^/]*)/(?:{alts})(/|$)", "$1$2"
+    )
+    keyed = canon.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.md5(depath).alias("page_key"),
+    )
+    a = keyed.select(
+        F.col("_id").alias("id_a"),
+        F.col("_lang").alias("lang_a"),
+        "page_key",
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_lang").alias("lang_b"),
+        "page_key",
+    )
+    return a.join(b, "page_key").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("lang_a") != F.col("lang_b"))
+    ).select("id_a", "id_b", "lang_a", "lang_b", "page_key")
+
+
+def k_anonymity_check(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity release gate for structured/metadata columns —
+    the privacy audit a TABULAR training set (or a document corpus's
+    metadata sidecar) needs before release (Sweeney 2002: a row
+    whose quasi-identifier combination is shared by fewer than ``k``
+    rows re-identifies a person when joined against an outside
+    table): one row per quasi-identifier combination with its
+    ``group_size`` and ``at_risk = group_size < k``; NULLs are a
+    combination value of their own (a NULL zip code still
+    identifies). The release rule is "generalize or drop every
+    at-risk group", and this output IS that worklist.
+
+    Scale shape: ONE map-side-combinable hash aggregate over the
+    quasi-identifier key — the word-count shape; output cardinality
+    is the number of distinct combinations, sublinear in rows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < int(k))
+    )

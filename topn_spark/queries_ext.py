@@ -14671,3 +14671,114 @@ def z109_canonical_url(spark, sf_dir):
     )
     base = docs.select("doc_id", url.alias("url"))
     return canonical_url(base).orderBy("doc_id")
+
+
+@query(
+    "z110_parallel_page_pairs",
+    r"""WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'https://en.site-' || (doc_id // 8) || '.com/about'
+      WHEN 1 THEN 'https://fr.site-' || (doc_id // 8) || '.com/about'
+      WHEN 2 THEN 'https://site-' || (doc_id // 8) || '.com/de/about'
+      WHEN 3 THEN 'https://site-' || (doc_id // 8) || '.com/about'
+      WHEN 4 THEN 'https://other-' || (doc_id // 8) || '.org/page'
+      WHEN 5 THEN 'https://other-' || (doc_id // 8) || '.org/page'
+      WHEN 6 THEN NULL
+      ELSE 'not a url ' || doc_id
+    END AS url,
+    CASE doc_id % 8 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+      WHEN 2 THEN 'de' WHEN 3 THEN 'zh' WHEN 4 THEN 'en'
+      WHEN 5 THEN 'en' WHEN 6 THEN 'ja' ELSE 'ko' END AS lang
+  FROM documents WHERE doc_id < 400),
+k AS (
+  SELECT doc_id, lang,
+    md5(regexp_replace(regexp_replace(url,
+      '^([a-z][a-z0-9+.-]*://)(?:en|fr|de|es|zh|it|pt|ru|ja|ko)\.',
+      '\1'),
+      '^([a-z][a-z0-9+.-]*://[^/]*)/(?:en|fr|de|es|zh|it|pt|ru|ja|ko)(/|$)',
+      '\1\2')) AS page_key
+  FROM s WHERE url IS NOT NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  a.lang AS lang_a, b.lang AS lang_b, a.page_key
+FROM k a JOIN k b
+  ON a.page_key = b.page_key AND a.doc_id < b.doc_id
+     AND a.lang <> b.lang
+ORDER BY id_a ASC, id_b ASC""",
+    doc="BITEXT CANDIDATE MINING FROM URL STRUCTURE (operators/"
+    "pipeline.py::parallel_page_pairs) — the ParaCrawl/WMT"
+    " heuristic: a site publishes the SAME page under"
+    " en.site.com/about and fr.site.com/about (or /en/ vs /fr/ path"
+    " prefixes); canonicalize (z109), strip one language subdomain"
+    " label and one language path segment, join documents sharing"
+    " the language-neutral page key with DIFFERENT langs — the raw"
+    " material of parallel corpora. Planted: 50 groups of"
+    " subdomain-/path-/bare-variant pages (6 cross-lang pairs each),"
+    " a same-lang duplicate pair the lang predicate excludes, NULL"
+    " and malformed URLs. Scale: map-only canonicalize+key"
+    " projections + ONE md5-key equi self-join (exact-dedup class;"
+    " a template page across every locale is AQE skew territory)."
+    " Oracle: identical regexp strips + join in DuckDB (inputs"
+    " planted canonical, so the z109 chain is identity), hash-exact",
+)
+def z110_parallel_page_pairs(spark, sf_dir):
+    from topn_spark.operators.pipeline import parallel_page_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    g = (d / 8).cast("bigint").cast("string")
+    url = (
+        F.when(d % 8 == 0,
+               F.concat(F.lit("https://en.site-"), g, F.lit(".com/about")))
+        .when(d % 8 == 1,
+              F.concat(F.lit("https://fr.site-"), g, F.lit(".com/about")))
+        .when(d % 8 == 2,
+              F.concat(F.lit("https://site-"), g, F.lit(".com/de/about")))
+        .when(d % 8 == 3,
+              F.concat(F.lit("https://site-"), g, F.lit(".com/about")))
+        .when(d % 8 == 4,
+              F.concat(F.lit("https://other-"), g, F.lit(".org/page")))
+        .when(d % 8 == 5,
+              F.concat(F.lit("https://other-"), g, F.lit(".org/page")))
+        .when(d % 8 == 6, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("not a url "), d.cast("string")))
+    )
+    lang = (
+        F.when(d % 8 == 0, F.lit("en")).when(d % 8 == 1, F.lit("fr"))
+        .when(d % 8 == 2, F.lit("de")).when(d % 8 == 3, F.lit("zh"))
+        .when(d % 8 == 4, F.lit("en")).when(d % 8 == 5, F.lit("en"))
+        .when(d % 8 == 6, F.lit("ja")).otherwise(F.lit("ko"))
+    )
+    base = docs.select(
+        "doc_id", url.alias("url"), lang.alias("lang")
+    )
+    return parallel_page_pairs(base).orderBy("id_a", "id_b")
+
+
+@query(
+    "z111_k_anonymity",
+    r"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size,
+  COUNT(*) < 30 AS at_risk
+FROM documents GROUP BY lang, source
+ORDER BY lang ASC, source ASC""",
+    doc="K-ANONYMITY RELEASE GATE (operators/pipeline.py::"
+    "k_anonymity_check; Sweeney 2002) — the privacy audit a tabular"
+    " training set or a corpus metadata sidecar needs before"
+    " release: a quasi-identifier combination shared by fewer than"
+    " k rows re-identifies a person under an outside join; one row"
+    " per combination with group_size and at_risk = size < k (the"
+    " generalize-or-drop worklist). Run here over the REAL (lang,"
+    " source) metadata at k=30, no planting. Scale: ONE map-side-"
+    "combinable hash agg over the quasi-identifier key — the"
+    " word-count shape, output = distinct combinations. Oracle:"
+    " identical GROUP BY in DuckDB, hash-exact",
+)
+def z111_k_anonymity(spark, sf_dir):
+    from topn_spark.operators.pipeline import k_anonymity_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_check(docs, ["lang", "source"], k=30).orderBy(
+        "lang", "source"
+    )
