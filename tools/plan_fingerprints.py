@@ -58,6 +58,13 @@ def normalize(plan: str) -> str:
         # the counter on all of them, not just x_, or entries that
         # compile after a catalog addition fingerprint differently
         s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_#", s)
+        # CollapseProject's common-subexpression aliases carry the
+        # same session-global counter (_common_expr_N): an entry
+        # compiled after a catalog addition shifts every later
+        # number — normalize it like the lambda counter (verified:
+        # 22 spurious fingerprint diffs in round 10 were exactly
+        # this, with byte-identical trees)
+        s = re.sub(r"_common_expr_\d+", "_common_expr_#", s)
         # checkpointed RDD ids (iterative builders) are session
         # counters, and the recorded callsite depends on JVM stack
         # introspection luck (NativeMethodAccessorImpl vs <unknown>)
