@@ -717,3 +717,64 @@ def test_prompt_echo_score(spark):
     # sub-n response: NULL score, observable
     assert out[3].echo_score is None and out[3].echoed is None
     assert out[4].echo_score is None
+
+
+# ------------------------------------------------- group_zscore
+
+
+def test_group_zscore_normalizes_within_prompt(spark):
+    import math
+
+    from topn_spark.operators.sft import group_zscore
+
+    df = _kto_rows(
+        spark,
+        [
+            (1, 10, 1.0), (1, 11, 2.0), (1, 12, 3.0),
+            (2, 20, 5.0), (2, 21, 5.0),   # zero variance
+            (3, 30, 7.0),                  # singleton
+            (4, 40, None), (4, 41, 1.0), (4, 42, 3.0),
+        ],
+    )
+    out = {r.sample_id: r for r in group_zscore(df).collect()}
+    # prompt 1: mean 2, std 1 -> z = -1, 0, 1
+    assert out[10].score_z == -1.0 and out[12].score_z == 1.0
+    assert out[11].score_z == 0.0
+    # zero variance / singleton: NULL z, never forged as 0
+    assert out[20].score_z is None and out[30].score_z is None
+    # NULL score keeps NULL z but does not perturb the group stats
+    assert out[40].score_z is None
+    assert math.isclose(out[41].score_mean, 2.0)
+    assert out[41].n_valid == 2
+
+
+# --------------------------------------------- pairwise_winrate
+
+
+def test_pairwise_winrate_matrix(spark):
+    from topn_spark.operators.sft import pairwise_winrate
+
+    rows = [
+        # prompt 1: a=5 (best of 3,5), b=4, c=NULL
+        (1, "a", 0, 3.0), (1, "a", 1, 5.0),
+        (1, "b", 2, 4.0), (1, "c", 3, None),
+        # prompt 2: a=2, b=2 (tie), c=9
+        (2, "a", 4, 2.0), (2, "b", 5, 2.0), (2, "c", 6, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id bigint, model string, sample_id bigint,"
+        " score double",
+    )
+    out = {
+        (r.model_a, r.model_b): r
+        for r in pairwise_winrate(df).collect()
+    }
+    ab = out[("a", "b")]
+    # prompt 1: a wins (best-of-n 5 > 4); prompt 2: tie
+    assert ab.n_prompts == 2 and ab.wins_a == 1 and ab.ties == 1
+    assert ab.win_rate_a == 0.75  # 1 win + half a tie over 2
+    # c only scored on prompt 2: shared-prompt count drops
+    ac = out[("a", "c")]
+    assert ac.n_prompts == 1 and ac.wins_b == 1
+    assert ac.win_rate_a == 0.0

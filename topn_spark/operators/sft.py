@@ -1520,3 +1520,111 @@ def prompt_echo_score(
         )
         .drop("_pe_pg", "_pe_rg")
     )
+
+
+def group_zscore(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    out_col: str = "score_z",
+) -> DataFrame:
+    """Per-group reward normalization — the step between reward
+    scoring and pairing/weighting in an RLHF pipeline (raw reward
+    scales drift across prompts and reward-model versions; GRPO-
+    style advantages and best-of-n weighting both want the score's
+    position WITHIN its prompt's sample group, not its absolute
+    value): ``(score - group mean) / group stddev`` (sample stddev),
+    appended with the group ``n_valid``/``score_mean``/``score_std``
+    so the normalization is auditable. Groups with fewer than 2
+    valid scores or zero variance keep a NULL z (no position
+    information — observable, never forged as 0). NULL scores keep
+    NULL z and do not perturb the group stats.
+
+    Scale shape: ONE map-side-combinable hash agg per group
+    (count/mean/stddev) + the equi-join back on the group key —
+    the kto_labels shape; no window, no sort.
+    """
+    score = F.col(score_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.sum(score.isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.avg(score).alias("score_mean"),
+        F.stddev_samp(score).alias("score_std"),
+    )
+    joined = df.join(stats, group_col)
+    z = F.when(
+        score.isNotNull()
+        & (F.col("n_valid") >= 2)
+        & F.col("score_std").isNotNull()
+        & (F.col("score_std") > 0),
+        (score - F.col("score_mean")) / F.col("score_std"),
+    )
+    return joined.withColumn(out_col, z)
+
+
+def pairwise_winrate(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    model_col: str = "model",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pairwise win-rate matrix — the arena-style readout for
+    multi-model preference data (k models each scored on shared
+    prompts; before fitting Elo/Bradley-Terry, every release reads
+    the raw head-to-head table): for every model pair (a < b
+    lexicographically), over the prompts where BOTH have a scored
+    sample, count a-wins / b-wins / ties and the ROUND-6
+    ``win_rate_a`` (ties count half, the standard convention).
+    Multiple samples of one model on one prompt are reduced to that
+    model's BEST score first (per-prompt max — the best-of-n
+    convention), so the comparison is one row per (prompt, model).
+
+    Scale shape: one map-side-combinable (prompt, model) max-agg,
+    ONE prompt-keyed self-join producing k²/2 rows per prompt
+    (k = models, a handful by construction — the join explodes in
+    MODELS, never in prompts), and one (model_a, model_b) hash agg
+    to a k²-sized report.
+    """
+    best = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(prompt_col, model_col)
+        .agg(F.max(F.col(score_col).cast("double")).alias("_s"))
+    )
+    a = best.select(
+        F.col(prompt_col).alias("_p"),
+        F.col(model_col).alias("model_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = best.select(
+        F.col(prompt_col).alias("_p"),
+        F.col(model_col).alias("model_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = a.join(b, "_p").where(
+        F.col("model_a") < F.col("model_b")
+    )
+    wins_a = F.sum(
+        (F.col("_sa") > F.col("_sb")).cast("bigint")
+    ).cast("bigint")
+    wins_b = F.sum(
+        (F.col("_sa") < F.col("_sb")).cast("bigint")
+    ).cast("bigint")
+    ties = F.sum(
+        (F.col("_sa") == F.col("_sb")).cast("bigint")
+    ).cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    return pairs.groupBy("model_a", "model_b").agg(
+        n.alias("n_prompts"),
+        wins_a.alias("wins_a"),
+        wins_b.alias("wins_b"),
+        ties.alias("ties"),
+        F.round(
+            (
+                wins_a.cast("double")
+                + ties.cast("double") / 2
+            )
+            / n.cast("double"),
+            6,
+        ).alias("win_rate_a"),
+    )

@@ -14791,3 +14791,133 @@ def z111_k_anonymity(spark, sf_dir):
     return k_anonymity_check(docs, ["lang", "source"], k=30).orderBy(
         "lang", "source"
     )
+
+
+@query(
+    "z112_group_zscore",
+    r"""WITH s AS (
+  SELECT (doc_id // 5) AS prompt_id, doc_id AS sample_id,
+    CASE WHEN doc_id % 11 = 10 THEN NULL
+         WHEN (doc_id // 5) % 9 = 8 THEN CAST(4 AS DOUBLE)
+         ELSE CAST((doc_id * 13) % 17 AS DOUBLE) END AS score
+  FROM documents WHERE doc_id < 400),
+g AS (
+  SELECT prompt_id,
+    CAST(COUNT(score) AS BIGINT) AS n_valid,
+    AVG(score) AS score_mean,
+    STDDEV_SAMP(score) AS score_std
+  FROM s GROUP BY prompt_id)
+SELECT s.prompt_id, s.sample_id, s.score,
+  g.n_valid,
+  ROUND(g.score_mean, 6) AS mean_r,
+  ROUND(g.score_std, 6) AS std_r,
+  CASE WHEN s.score IS NOT NULL AND g.n_valid >= 2
+            AND g.score_std IS NOT NULL AND g.score_std > 0
+       THEN ROUND((s.score - g.score_mean) / g.score_std, 6)
+  END AS z_r
+FROM s JOIN g USING (prompt_id)
+ORDER BY sample_id ASC""",
+    doc="PER-PROMPT REWARD NORMALIZATION (operators/sft.py::"
+    "group_zscore) — the step between reward scoring and pairing/"
+    "weighting (GRPO-style advantages, best-of-n weighting: raw"
+    " reward scales drift across prompts and RM versions; what"
+    " matters is the score's position WITHIN its prompt's samples):"
+    " (score - group mean)/group sample-stddev with auditable group"
+    " stats; <2 valid scores or zero variance keep NULL z —"
+    " observable, never forged as 0. Planted: integer scores (sums"
+    " of squares exact in IEEE, so the ROUND-6 mean/std/z are"
+    " engine-stable) with NULL stripes and one forced-constant"
+    " prompt stripe. Scale: ONE map-side-combinable per-prompt agg"
+    " + the equi-join back — the kto_labels shape, no window."
+    " Oracle: identical AVG/STDDEV_SAMP/CASE SQL in DuckDB,"
+    " hash-exact on the ROUND-6 projections",
+)
+def z112_group_zscore(spark, sf_dir):
+    from topn_spark.operators.sft import group_zscore
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    d = F.col("doc_id")
+    p = (d / 5).cast("bigint")
+    score = (
+        F.when(d % 11 == 10, F.lit(None).cast("double"))
+        .when(p % 9 == 8, F.lit(4.0))
+        .otherwise(((d * 13) % 17).cast("double"))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"), d.alias("sample_id"),
+        score.alias("score"),
+    )
+    out = group_zscore(samples)
+    return out.select(
+        "prompt_id", "sample_id", "score", "n_valid",
+        F.round("score_mean", 6).alias("mean_r"),
+        F.round("score_std", 6).alias("std_r"),
+        F.round("score_z", 6).alias("z_r"),
+    ).orderBy("sample_id")
+
+
+@query(
+    "z113_pairwise_winrate",
+    r"""WITH s AS (
+  SELECT (doc_id // 8) AS prompt_id,
+    'm' || (doc_id % 4) AS model, doc_id AS sample_id,
+    CASE WHEN doc_id % 4 = 3 AND (doc_id // 8) % 3 = 0 THEN NULL
+         ELSE CAST((doc_id * 7) % 29 AS DOUBLE)
+           + CASE doc_id % 4 WHEN 0 THEN 10 ELSE 0 END
+    END AS score
+  FROM documents WHERE doc_id < 480),
+best AS (
+  SELECT prompt_id, model, MAX(score) AS s
+  FROM s WHERE score IS NOT NULL GROUP BY prompt_id, model)
+SELECT a.model AS model_a, b.model AS model_b,
+  CAST(COUNT(*) AS BIGINT) AS n_prompts,
+  CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_a,
+  CAST(SUM(CASE WHEN a.s < b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_b,
+  CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS ties,
+  ROUND((SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END)
+         + SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) / 2.0)
+        / COUNT(*), 6) AS win_rate_a
+FROM best a JOIN best b
+  ON a.prompt_id = b.prompt_id AND a.model < b.model
+GROUP BY a.model, b.model
+ORDER BY model_a ASC, model_b ASC""",
+    doc="PAIRWISE WIN-RATE MATRIX (operators/sft.py::"
+    "pairwise_winrate) — the arena-style head-to-head readout for"
+    " multi-model preference data, read before any Elo/Bradley-"
+    "Terry fit: per model pair over SHARED scored prompts, wins/"
+    "losses/ties and ROUND-6 win_rate_a with ties counting half;"
+    " multiple samples of one model on a prompt reduce to its BEST"
+    " score first (the best-of-n convention). Planted: 4 models x"
+    " 60 prompts with model m0 given a +10 offset (dominates every"
+    " pair) and an m3 NULL stripe (shared-prompt counts drop"
+    " observably). Scale: one (prompt, model) max-agg, ONE prompt-"
+    "keyed self-join that explodes in MODELS (a handful) never"
+    " prompts, one k²-sized report agg. Oracle: identical max/join/"
+    "CASE SQL in DuckDB, hash-exact",
+)
+def z113_pairwise_winrate(spark, sf_dir):
+    from topn_spark.operators.sft import pairwise_winrate
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    p = (d / 8).cast("bigint")
+    score = F.when(
+        (d % 4 == 3) & (p % 3 == 0), F.lit(None).cast("double")
+    ).otherwise(
+        ((d * 7) % 29).cast("double")
+        + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        d.alias("sample_id"),
+        score.alias("score"),
+    )
+    return pairwise_winrate(samples).orderBy("model_a", "model_b")
