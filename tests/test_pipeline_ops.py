@@ -1957,3 +1957,36 @@ def test_k_anonymity_check_flags_small_groups(spark):
         k_anonymity_check(df, [])
     with pytest.raises(ValueError, match="k must"):
         k_anonymity_check(df, ["zip"], k=0)
+
+
+def test_curriculum_then_epoch_shuffle_compose(spark):
+    """The documented composition: curriculum decides BETWEEN-stage
+    order, epoch_shuffle restores randomness WITHIN a stage — the
+    stage boundary is preserved by the reshuffle."""
+    from topn_spark.operators.pipeline import (
+        curriculum_stages,
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 31) % 97) for i in range(120)],
+        "doc_id bigint, difficulty bigint",
+    )
+    staged = curriculum_stages(df, "difficulty", 3)
+    stage1 = staged.where("stage = 1")
+    shuffled = epoch_shuffle(stage1, epoch=1, n_shards=4)
+    rows = shuffled.collect()
+    # membership preserved: the reshuffle permutes, never leaks
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in stage1.collect()
+    }
+    assert len(rows) == 40  # ntile(3) of 120
+    # and the within-stage order differs from the curriculum order
+    by_pos = [
+        r.doc_id
+        for r in sorted(rows, key=lambda r: (r.shard, r.pos))
+    ]
+    by_rank = [
+        r.doc_id for r in stage1.orderBy("rank").collect()
+    ]
+    assert by_pos != by_rank

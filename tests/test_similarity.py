@@ -625,3 +625,30 @@ def test_mmr_rerank_caps_ties_and_validates(spark):
         mmr_rerank(df, lam=1.5)
     with pytest.raises(ValueError, match="k"):
         mmr_rerank(df, k=0)
+
+
+def test_contrastive_triplets_anchor_subset_consistent(spark):
+    """anchors= bounds the probe side only: results for the probed
+    anchors equal the full run's rows for those anchors (neighbors
+    still drawn from the whole table)."""
+    from topn_spark.operators.similarity import contrastive_triplets
+
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 11) % 17)], i % 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    full = {
+        r.anchor_id: (r.pos_id, r.neg_id)
+        for r in contrastive_triplets(df).collect()
+    }
+    sub = {
+        r.anchor_id: (r.pos_id, r.neg_id)
+        for r in contrastive_triplets(
+            df, anchors=df.where("vec_id < 10")
+        ).collect()
+    }
+    assert set(sub) == {k for k in full if k < 10}
+    assert all(sub[k] == full[k] for k in sub)

@@ -1150,11 +1150,19 @@ def contrastive_triplets(
         # norm bound as a projected attribute FIRST, so the divide
         # lambda references a column — inlining _norm into the
         # transform would recompute it per element (64×)
+        # a zero vector has no direction: map it to the zero unit
+        # vector (cosine 0 vs everything) instead of dividing by 0
+        # (ANSI mode raises DIVIDE_BY_ZERO)
         base = src.select(
             F.col(id_col).alias(idn),
             F.col(vec_col).cast("array<double>").alias("_v"),
             F.col(label_col).alias(labn),
-        ).withColumn("_nm", _norm(F.col("_v")))
+        ).withColumn(
+            "_nm",
+            F.when(_norm(F.col("_v")) > 0, _norm(F.col("_v"))).otherwise(
+                F.lit(1.0)
+            ),
+        )
         return base.select(
             idn,
             F.transform(
