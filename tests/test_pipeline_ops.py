@@ -1896,6 +1896,7 @@ def test_canonical_url_collapses_variants(spark):
             (5, "https://x.org/p?gclid=9&ref=h&z=1"),
             (6, "not a url"),
             (7, None),
+            (8, "https://x.org"),
         ],
         "id bigint, url string",
     )
@@ -1908,6 +1909,9 @@ def test_canonical_url_collapses_variants(spark):
     assert out[5] == "https://x.org/p?z=1"
     # malformed passes through unchanged; NULL stays NULL
     assert out[6] == "not a url" and out[7] is None
+    # root page: the bare form (empty path) and the slash form are
+    # the same page and MUST converge
+    assert out[8] == out[4] == "https://x.org/"
 
 
 # ----------------------------------------------- parallel_page_pairs

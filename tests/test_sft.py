@@ -478,6 +478,28 @@ def test_kto_labels_fixed_threshold(spark):
     assert all(out[k].n_valid == 2 for k in (10, 11, 12))
 
 
+def test_kto_labels_null_prompt_key_kept(spark):
+    # a NULL prompt key never equi-matches its stats row: the join
+    # is LEFT so the row stays observable instead of vanishing
+    df = _kto_rows(
+        spark, [(1, 10, 2.0), (None, 11, 9.0), (None, 12, None)]
+    )
+    from topn_spark.operators.sft import kto_labels
+
+    out = {r.sample_id: r for r in kto_labels(df).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[11].ref_point is None and out[11].label is None
+    assert out[11].n_valid is None
+
+    fixed = {
+        r.sample_id: r for r in kto_labels(df, threshold=5.0).collect()
+    }
+    assert set(fixed) == {10, 11, 12}
+    # fixed cut still labels the scored NULL-key row; n_valid is the
+    # only joined column and stays NULL
+    assert fixed[11].label is True and fixed[11].n_valid is None
+
+
 # -------------------------------------------- conversation_paths
 
 
@@ -509,9 +531,11 @@ def test_conversation_paths_tree_and_edge_cases(spark):
     assert out[20].depth == 1 and out[20].is_complete
     # orphan: partial path, flagged incomplete
     assert out[30].is_complete is False and out[30].path_ids == "30"
-    # cycle: every node has a child, so no leaf is emitted for conv 4
-    assert all(r.conv_id != 4 for r in out.values())
-    assert set(out) == {12, 13, 20, 30}
+    # pure cycle: no leaf exists, but the conversation must not
+    # vanish — ONE incomplete sentinel walk from the smallest msg_id
+    assert out[40].conv_id == 4 and out[40].is_complete is False
+    assert out[40].path_ids == "41>40" and out[40].depth == 2
+    assert set(out) == {12, 13, 20, 30, 40}
 
 
 def test_conversation_paths_depth_matches_sql_walk(spark):
@@ -746,6 +770,19 @@ def test_group_zscore_normalizes_within_prompt(spark):
     assert out[40].score_z is None
     assert math.isclose(out[41].score_mean, 2.0)
     assert out[41].n_valid == 2
+
+
+def test_group_zscore_null_group_key_kept(spark):
+    from topn_spark.operators.sft import group_zscore
+
+    df = _kto_rows(
+        spark, [(1, 10, 1.0), (1, 11, 3.0), (None, 12, 7.0)]
+    )
+    out = {r.sample_id: r for r in group_zscore(df).collect()}
+    # the NULL-key row survives (LEFT stats join) with NULL stats/z
+    assert set(out) == {10, 11, 12}
+    assert out[12].score_z is None and out[12].n_valid is None
+    assert out[12].score_mean is None
 
 
 # --------------------------------------------- pairwise_winrate

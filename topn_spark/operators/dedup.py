@@ -969,8 +969,12 @@ def dedup_lineage(
     into?" questions all need the DROPPED ids resolvable): every
     input row mapped to its cluster's canonical keeper —
     ``(id, keeper_id, is_keeper, cluster_size)`` with the keeper =
-    lowest id per digest (dedup_exact's exact rule, so the map and
-    the dedup pass agree by construction). NULL text is coalesced to
+    lowest id per digest. That is the rule of a dedup pass run as
+    ``dedup_exact(df, tiebreak=[id_col])`` — run WITH that tiebreak
+    the two agree by construction; ``dedup_exact`` WITHOUT a
+    tiebreak keeps an arbitrary row per digest (``dropDuplicates``)
+    and only the cluster membership, not the keeper identity, is
+    guaranteed to match this map. NULL text is coalesced to
     a sentinel digest — NULL documents form their own observable
     cluster instead of vanishing from the lineage.
 

@@ -3385,8 +3385,11 @@ def canonical_url(
     fragment, strip default ports (``:80`` http / ``:443`` https),
     drop tracking query parameters (:data:`TRACKING_PARAMS` —
     ``utm_*``, click ids, ``ref``), SORT the surviving parameters
-    (order never addresses content), and strip one trailing slash
-    from a non-root path. Malformed URLs (no ``scheme://``) pass
+    (order never addresses content), strip one trailing slash
+    from a non-root path, and normalize an EMPTY path to ``/``
+    (``http://site.com`` and ``http://site.com/`` are the same root
+    page — the most-duplicated URL on a site — so both forms must
+    converge). Malformed URLs (no ``scheme://``) pass
     through unchanged — canonicalizing garbage forges collisions.
     Dedup then groups on ``out_col`` exactly like text-exact dedup
     groups on the content digest.
@@ -3421,6 +3424,9 @@ def canonical_url(
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, 1, F.length(path) - 1),
     ).otherwise(path)
+    # RFC 3986: with an authority, an empty path is equivalent to
+    # "/" — without this the two root forms never merge
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)", 1
     )

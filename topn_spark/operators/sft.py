@@ -1022,7 +1022,12 @@ def kto_labels(
     the unscored count stays observable and the caller decides.
     ``n_valid`` (scored samples in the prompt) rides along so a
     downstream balance check can weight desirable/undesirable counts
-    the way the KTO loss expects.
+    the way the KTO loss expects. Rows with a NULL prompt key are
+    kept too (stats joins are LEFT joins — equi-joins never match
+    NULL keys, so an inner join would silently drop them): they
+    keep NULL ``ref_point``/``n_valid``/``label`` in mean mode, and
+    the fixed-threshold label plus NULL ``n_valid`` under a given
+    ``threshold``.
 
     Scale shape: fixed threshold → pure map-only projection. Mean
     mode → ONE map-side-combinable hash agg per prompt (sum/count)
@@ -1043,7 +1048,9 @@ def kto_labels(
             .cast("bigint")
             .alias("n_valid")
         )
-        base = base.join(counts, prompt_col)
+        # LEFT: a NULL prompt key never equi-matches its own group
+        # row — inner would silently drop the row from the output
+        base = base.join(counts, prompt_col, "left")
     else:
         stats = df.groupBy(prompt_col).agg(
             F.avg(score).alias("ref_point"),
@@ -1051,7 +1058,7 @@ def kto_labels(
             .cast("bigint")
             .alias("n_valid"),
         )
-        base = df.join(stats, prompt_col)
+        base = df.join(stats, prompt_col, "left")
     return base.withColumn(
         "label",
         F.when(
@@ -1078,7 +1085,10 @@ def conversation_paths(
     emitted as a root) or a parent cycle; complete paths always
     start at a NULL-parent root. Leaves are messages no other
     message names as parent; a single-message conversation is one
-    depth-1 path.
+    depth-1 path. A conversation that is a PURE parent cycle (every
+    message named as a parent, so no leaf exists) still surfaces:
+    one ``is_complete=False`` sentinel walk from its smallest
+    msg_id, instead of the conversation vanishing from the output.
 
     Scale shape: ONE ``repartition`` shuffle keyed by the
     conversation id into a partition-level Arrow ``mapInPandas``
@@ -1112,9 +1122,18 @@ def conversation_paths(
 
     def _walk_conv(conv, parent, role, rows):
         has_child = {p for p in parent.values() if p is not None}
-        for leaf in parent:
-            if leaf in has_child:
-                continue
+        leaves = [m for m in parent if m not in has_child]
+        if not leaves:
+            # pure parent cycle: every message is someone's parent,
+            # so no leaf exists and the conversation would vanish
+            # from the output entirely — emit ONE sentinel walk from
+            # the smallest msg_id (deterministic pseudo-leaf); the
+            # in-walk cycle detector below marks it is_complete=False
+            non_null = [m for m in parent if m is not None]
+            if not non_null:
+                return
+            leaves = [min(non_null)]
+        for leaf in leaves:
             ids, cur, seen, complete = [], leaf, set(), True
             while True:
                 if cur in seen:  # parent cycle: bail, observable
@@ -1538,7 +1557,10 @@ def group_zscore(
     so the normalization is auditable. Groups with fewer than 2
     valid scores or zero variance keep a NULL z (no position
     information — observable, never forged as 0). NULL scores keep
-    NULL z and do not perturb the group stats.
+    NULL z and do not perturb the group stats. Rows with a NULL
+    group key keep NULL stats and z too (the stats join is a LEFT
+    join — NULL keys never equi-match, so an inner join would
+    silently drop those rows).
 
     Scale shape: ONE map-side-combinable hash agg per group
     (count/mean/stddev) + the equi-join back on the group key —
@@ -1552,7 +1574,7 @@ def group_zscore(
         F.avg(score).alias("score_mean"),
         F.stddev_samp(score).alias("score_std"),
     )
-    joined = df.join(stats, group_col)
+    joined = df.join(stats, group_col, "left")
     z = F.when(
         score.isNotNull()
         & (F.col("n_valid") >= 2)

@@ -3068,13 +3068,19 @@ def corpus_divergence(
     size), a model-sized FULL OUTER join on the token key, and one
     global agg of the per-token JS contributions. The only driver
     state is the two total-token scalars (the same model-sized-
-    collect budget as the LM vocab sizes).
+    collect budget as the LM vocab sizes). Each per-corpus count
+    frame is ``persist()``-ed around the total-token collect so the
+    corpus is scanned ONCE per side — without it the full-outer join
+    would recompute both unigram aggs from the raw corpora; the
+    cached frames are vocabulary-sized (evictable LRU cache, never
+    corpus-sized).
     """
     def counts(df):
         return (
             df.select(F.explode(tokens(text_col, mode)).alias("w"))
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
         )
 
     ca, cb = counts(a), counts(b)

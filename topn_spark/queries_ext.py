@@ -14576,7 +14576,7 @@ def z108_table_signals(spark, sf_dir):
       WHEN 2 THEN 'https://x-' || (doc_id // 8) || '.org:443/'
       WHEN 3 THEN 'https://x-' || (doc_id // 8)
                   || '.org/p?gclid=99&ref=h&z=1'
-      WHEN 4 THEN 'https://x-' || (doc_id // 8) || '.org/p?z=1'
+      WHEN 4 THEN 'https://x-' || (doc_id // 8) || '.org'
       WHEN 5 THEN 'not a url ' || doc_id
       WHEN 6 THEN NULL
       ELSE 'http://site-' || (doc_id // 8) || '.com/a'
@@ -14604,6 +14604,7 @@ h AS (
          ELSE host0 END AS host,
     CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
          THEN substr(path0, 1, length(path0) - 1)
+         WHEN path0 = '' THEN '/'
          ELSE path0 END AS path,
     coalesce(array_to_string(list_sort(list_filter(
       string_split(query0, '&'),
@@ -14625,10 +14626,13 @@ FROM h ORDER BY doc_id ASC""",
     " http://site.com/a; lowercase scheme+host, strip fragment and"
     " default ports, drop tracking params (utm_*, click ids, ref),"
     " SORT surviving params, strip one trailing slash on non-root"
-    " paths; malformed URLs pass through unchanged (canonicalizing"
+    " paths, normalize an EMPTY path to '/' (http://site.com and"
+    " http://site.com/ are the same root page — both forms must"
+    " merge); malformed URLs pass through unchanged (canonicalizing"
     " garbage forges collisions). Planted: eight stripes per group"
     " whose first/second/eighth variants collapse to ONE canonical"
-    " key. Scale: chained codegen'd regexp/split/array projections,"
+    " key and whose bare-root/port-443-root variants collapse to"
+    " another. Scale: chained codegen'd regexp/split/array projections,"
     " map-only. Oracle: identical regexp/list SQL in DuckDB,"
     " hash-exact",
 )
@@ -14667,7 +14671,7 @@ def z109_canonical_url(spark, sf_dir):
         )
         .when(
             d % 8 == 4,
-            F.concat(F.lit("https://x-"), g, F.lit(".org/p?z=1")),
+            F.concat(F.lit("https://x-"), g, F.lit(".org")),
         )
         .when(
             d % 8 == 5,

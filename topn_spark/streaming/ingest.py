@@ -1183,10 +1183,14 @@ def drift_monitor_batch(
             list(reference.items()), "w string, rc long"
         )
     )
+    # persist: the total-token collect below and the full-outer join
+    # would otherwise each recompute the unigram agg from the raw
+    # batch — one scan, vocabulary-sized cache, freed after the write
     counts = (
         batch.select(F.explode(tokens(text_col, mode)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     nb = counts.agg(F.sum("c")).collect()[0][0] or 0
     j = counts.join(ref_df, "w", "full_outer")
@@ -1223,6 +1227,7 @@ def drift_monitor_batch(
     row.write.mode("overwrite").parquet(
         f"{out_dir}/batch_id={int(batch_id)}"
     )
+    counts.unpersist()
 
 
 def drift_monitor_sink(
