@@ -288,6 +288,33 @@ def test_sft_pipeline_spec(spark, tmp_path):
 
     spec = json.load(open("examples/sft_pipeline.json"))
     out_path = str(tmp_path / "sft_shards")
+    # the binary branch needs a vocabulary artifact: build it from a
+    # prefix run (src -> qc -> mask -> pack) over the same spec — the
+    # realistic flow, where the tokenizer/vocab is trained on the
+    # corpus before the export pipeline runs
+    from topn_spark.operators.binshard import save_vocab, token_vocab
+
+    prefix_names = {"src", "qc", "mask", "pack"}
+    prefix = {
+        **spec,
+        "stages": [
+            s for s in spec["stages"] if s["name"] in prefix_names
+        ],
+        "connections": [
+            c
+            for c in spec["connections"]
+            if c["from"] in prefix_names and c["to"] in prefix_names
+        ],
+    }
+    pre = run_pipeline(
+        spark,
+        prefix,
+        substitutions={"input": src_path, "seqLen": "16"},
+    )
+    vocab_path = str(tmp_path / "sft_vocab")
+    save_vocab(token_vocab(pre["pack"], specials=("<pad>",)), vocab_path)
+
+    bin_out = str(tmp_path / "sft_bin")
     staged = run_pipeline(
         spark,
         spec,
@@ -296,6 +323,8 @@ def test_sft_pipeline_spec(spark, tmp_path):
             "seqLen": "16",
             "nShards": "2",
             "out": out_path,
+            "vocab": vocab_path,
+            "binOut": bin_out,
         },
     )
     assert [r.conv_id for r in staged["qc"].orderBy("conv_id").collect()] == [1, 2]
@@ -316,6 +345,23 @@ def test_sft_pipeline_spec(spark, tmp_path):
         assert len(r.tokens) == len(r.loss_mask)
     manifest = spark.read.parquet(f"{out_path}/_manifest")
     assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == n_tok
+    # binary branch: the .bin/.idx/.msk export reconciles to the
+    # same totals and reads back with the mask bit-exact
+    from topn_spark.operators.binshard import (
+        read_bin_shards,
+        verify_bin_shards,
+    )
+
+    back = read_bin_shards(spark, bin_out)
+    assert back.agg(F.sum("n_tokens")).collect()[0][0] == n_tok
+    assert back.agg(F.sum("n_supervised")).collect()[0][0] == n_sup
+    enc_cols = ["seq_id", "n_tokens", "n_supervised", "loss_mask"]
+    assert staged["encode"].select(*enc_cols).exceptAll(
+        back.select(*enc_cols)
+    ).count() == 0
+    assert all(
+        r.ok for r in verify_bin_shards(spark, bin_out).collect()
+    )
 
 
 def test_preference_pipeline_example_end_to_end(spark, tmp_path):

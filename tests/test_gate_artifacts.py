@@ -46,3 +46,30 @@ def test_every_catalog_entry_has_a_gate_artifact_row():
     )
     bad = sorted(k for k, v in rows.items() if v.startswith("FAIL"))
     assert not bad, f"failing gate rows in {path.name}: {bad}"
+
+
+def test_committed_replay_matches_current_source_tree():
+    """The round-10 gate-ordering hole, closed for CODE changes: the
+    committed ORACLE_FULL carries a sha256 over the operator source
+    tree it replayed (tools/check_oracle.py::source_tree_digest);
+    recompute it here, so editing ANY topn_spark source file (or
+    __spark_entry__.py) after the committed replay turns the suite
+    red — not just adding a catalog entry. Artifacts from rounds
+    before the stamp existed are exempt (no header line)."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_oracle import source_tree_digest
+
+    rnd, path = _latest_oracle_full()
+    first = path.read_text().splitlines()[0] if path.stat().st_size else ""
+    m = re.match(r"^SOURCE_DIGEST ([0-9a-f]{64})$", first)
+    if not m:
+        return  # pre-stamp artifact (r10 and earlier)
+    current = source_tree_digest(str(REPO))
+    assert current == m.group(1), (
+        f"operator source tree changed AFTER the committed replay "
+        f"{path.name} (digest {m.group(1)[:12]}… vs current "
+        f"{current[:12]}…) — re-run the full gate replay and commit "
+        f"it as the LAST code-bearing change of the round"
+    )

@@ -25,6 +25,37 @@ from topn_spark.queries import QUERIES
 from topn_spark.session import get_session
 
 
+def source_tree_digest(repo_root: str | None = None) -> str:
+    """sha256 over the sorted relative paths + contents of every
+    non-test source file the replay certifies (``topn_spark/**/*.py``
+    plus ``__spark_entry__.py``). Stamped into the ORACLE_FULL
+    header; ``tests/test_gate_artifacts.py`` recomputes it, so ANY
+    operator-source edit after the committed replay — not just a new
+    catalog entry — turns the suite red until the replay is re-run
+    (the round-10 ``8a3afe1`` gate-ordering hole, closed)."""
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "__spark_entry__.py")]
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "topn_spark")
+    ):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        paths.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".py")
+        )
+    for p in sorted(os.path.relpath(p, root) for p in paths):
+        h.update(p.encode())
+        h.update(b"\0")
+        with open(os.path.join(root, p), "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -103,6 +134,10 @@ def check_tolerance(q, sdf, srows, con) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not only:
+        # full-replay header: certify WHICH source tree this replay
+        # covers (guard test recomputes and compares)
+        print(f"SOURCE_DIGEST {source_tree_digest()}")
     spark = get_session(
         app_name="oracle_check", shuffle_partitions=8, driver_memory="8g"
     )

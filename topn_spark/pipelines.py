@@ -2054,6 +2054,110 @@ def _stage_shard_sink(
     return df
 
 
+def _stage_encode_ids(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """EncodeIds transform: replace a string-token array with its
+    integer-id array under a saved vocabulary artifact
+    (binshard.py::encode_token_ids — the step between a string
+    tokenizer and binary export; OOV raises, never substitutes).
+    Properties: vocabPath (required — a save_vocab artifact),
+    tokensField ('tokens'), outField (defaults to tokensField)."""
+    (df,) = inputs
+    p = stage.properties
+    vocab_path = p.get("vocabPath")
+    tokens_col = p.get("tokensField", "tokens")
+    ok = _require_field(df, tokens_col, collector, "tokensField")
+    if not vocab_path:
+        collector.add_failure(
+            "Required property 'vocabPath' is missing.",
+            "Point it at a save_vocab artifact.",
+            property_name="vocabPath",
+        )
+        ok = False
+    if phase == "run" and vocab_path:
+        vocab_path = substitute_macros(
+            vocab_path, substitutions or {}, collector, "vocabPath"
+        )
+    if not ok:
+        return df
+    if phase == "deploy" and contains_macro(vocab_path):
+        return df
+    from topn_spark.operators.binshard import (
+        encode_token_ids,
+        load_vocab,
+    )
+
+    vocab = load_vocab(spark, vocab_path)
+    return encode_token_ids(
+        df, vocab, tokens_col=tokens_col,
+        out_col=p.get("outField", tokens_col),
+    )
+
+
+def _stage_bin_shard_sink(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """BinShardSink batchsink: trainer-native binary shard export
+    (binshard.py::export_bin_shards) — fixed-layout .bin token
+    stream + .idx sequence index + .msk loss-mask bitstream per
+    shard, plus a byte-exact _manifest (verify with
+    verify_bin_shards). Properties: path (required), nShards
+    (required), idField ('seq_id'), tokensField ('tokens'),
+    maskField ('loss_mask'; 'none' exports without a mask), dtype
+    ('auto' | 'uint16' | 'uint32'), salt ('')."""
+    (df,) = inputs
+    p = stage.properties
+    path = p.get("path")
+    id_col = p.get("idField", "seq_id")
+    tokens_col = p.get("tokensField", "tokens")
+    mask_col: str | None = p.get("maskField", "loss_mask")
+    if mask_col == "none":
+        mask_col = None
+    dtype = p.get("dtype", "auto")
+    if not path:
+        collector.add_failure(
+            "BinShardSink needs a 'path'.", property_name="path"
+        )
+        return df
+    if "nShards" not in p:
+        collector.add_failure(
+            "BinShardSink needs 'nShards'.", property_name="nShards"
+        )
+        return df
+    n_shards = _int_prop(
+        p, "nShards", 1, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    ok = _require_field(df, id_col, collector, "idField")
+    ok = _require_field(df, tokens_col, collector, "tokensField") and ok
+    if mask_col is not None:
+        ok = _require_field(df, mask_col, collector, "maskField") and ok
+    if dtype not in ("auto", "uint16", "uint32"):
+        collector.add_failure(
+            f"Invalid dtype '{dtype}'.",
+            "'auto', 'uint16' or 'uint32'.",
+            property_name="dtype",
+        )
+        ok = False
+    if n_shards is None or not ok:
+        return df
+    if phase == "run":
+        path = substitute_macros(
+            path, substitutions or {}, collector, "path"
+        )
+        if collector.failures:
+            return df
+        from topn_spark.operators.binshard import export_bin_shards
+
+        export_bin_shards(
+            df, path, n_shards, tokens_col=tokens_col,
+            mask_col=mask_col, id_col=id_col, dtype=dtype,
+            salt=p.get("salt", ""),
+        )
+    return df
+
+
 def _stage_tag_attributes(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -2866,8 +2970,10 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "DedupAgainst": ("transform", _stage_dedup_against),
     "Tokenize": ("transform", _stage_tokenize),
     "PackSequences": ("transform", _stage_pack_sequences),
+    "EncodeIds": ("transform", _stage_encode_ids),
     "FileSink": ("batchsink", _stage_sink),
     "ShardSink": ("batchsink", _stage_shard_sink),
+    "BinShardSink": ("batchsink", _stage_bin_shard_sink),
 }
 
 #: sink plugins double-book under the source name for CDAP parity

@@ -14925,3 +14925,214 @@ def z113_pairwise_winrate(spark, sf_dir):
         score.alias("score"),
     )
     return pairwise_winrate(samples).orderBy("model_a", "model_b")
+
+
+@query(
+    "z114_token_vocab",
+    r"""WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS token
+  FROM documents WHERE doc_id < 400),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token)
+SELECT token, token_id, n FROM (
+  SELECT token,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) + 1
+      AS BIGINT) AS token_id,
+    n
+  FROM c
+  UNION ALL
+  SELECT v.token, CAST(v.sid AS BIGINT), CAST(0 AS BIGINT)
+  FROM (VALUES ('<pad>', 0), ('</s>', 1)) AS v(token, sid))
+ORDER BY token_id ASC""",
+    doc="DENSE TOKEN-ID VOCABULARY (operators/binshard.py::"
+    "token_vocab) — the id-assignment step between a string"
+    " tokenizer (apply_bpe / bpe_loss_mask emit subtoken STRINGS)"
+    " and trainer-native binary export (which needs integer ids):"
+    " specials take ids 0..k-1 in the given order (pad first, so id"
+    " 0 is the pad id), then corpus tokens by count DESC, token ASC"
+    " — deterministic across runs/engines; a special also present"
+    " in the corpus keeps ONE id. Planted: the real corpus under"
+    " the engine token rule plus two unseen specials. Scale: one"
+    " token explode into a map-side-combinable hash agg (output ="
+    " vocabulary, sublinear in corpus size) then the two-phase"
+    " bucketed exact rank — NO keyless window, the vocab sort stays"
+    " parallel at any vocabulary size. Oracle: count + ROW_NUMBER"
+    " + specials UNION in DuckDB, hash-exact",
+)
+def z114_token_vocab(spark, sf_dir):
+    from topn_spark.operators.binshard import token_vocab
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(tokens("text").alias("tokens"))
+    )
+    return token_vocab(docs, specials=("<pad>", "</s>")).orderBy(
+        "token_id"
+    )
+
+
+@query(
+    "z115_encode_token_ids",
+    r"""WITH d AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 300),
+t AS (SELECT unnest(toks) AS token FROM d),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+v AS (
+  SELECT token,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1
+      AS BIGINT) AS tid
+  FROM c),
+u AS (
+  SELECT doc_id, r.i AS i, toks[r.i] AS token
+  FROM d, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+e AS (
+  SELECT doc_id, list(v.tid ORDER BY u.i) AS ids
+  FROM u JOIN v USING (token) GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.toks IS NULL THEN NULL
+       ELSE COALESCE(e.ids, CAST([] AS BIGINT[])) END AS tokens
+FROM d LEFT JOIN e USING (doc_id)
+ORDER BY doc_id ASC""",
+    doc="TOKEN-ID ENCODING (operators/binshard.py::"
+    "encode_token_ids) — apply a z114 vocabulary to replace string-"
+    "token arrays with integer-id arrays, position-exact: the map"
+    " rides into tasks as a model-sized closure inside ONE Arrow"
+    " pandas_udf projection (a per-token explode+equi-join would"
+    " shuffle one row per token OCCURRENCE — the data-sized shape"
+    " this avoids); OOV raises (a total byte-BPE vocab never"
+    " misses — a miss means a stale artifact), NULL arrays stay"
+    " NULL. Planted: the real corpus encoded under its own full"
+    " vocabulary (no OOV by construction). Oracle: ordinality-"
+    "preserving unnest + vocab join + ordered re-list in DuckDB,"
+    " hash-exact including the full arrays",
+)
+def z115_encode_token_ids(spark, sf_dir):
+    from topn_spark.operators.binshard import (
+        encode_token_ids,
+        token_vocab,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", tokens("text").alias("tokens"))
+    )
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in token_vocab(docs).collect()
+    }
+    return encode_token_ids(docs, vocab).orderBy("doc_id")
+
+
+@query(
+    "z116_bin_shard_round_trip",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_append(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)), 0) AS toks,
+    list_append(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> length(x) >= 4), false) AS msk
+  FROM documents WHERE doc_id < 300
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+c AS (
+  SELECT doc_id, toks, msk, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+s AS (
+  SELECT doc_id, toks, msk, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece,
+    msk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+        :CAST(GREATEST(seq_id * 32 - off, 0)
+          + LEAST((seq_id + 1) * 32, off + n)
+          - GREATEST(seq_id * 32, off) AS BIGINT)] AS mpiece
+  FROM s),
+q AS (
+  SELECT seq_id,
+    CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+      AS n_tokens,
+    CAST(len(list_filter(flatten(list(mpiece ORDER BY seq_start)),
+      x -> x)) AS BIGINT) AS n_supervised,
+    flatten(list(piece ORDER BY seq_start)) AS tokens,
+    flatten(list(mpiece ORDER BY seq_start)) AS loss_mask
+  FROM p GROUP BY seq_id),
+sh AS (
+  SELECT *,
+    CAST(CAST(('0x' || substring(md5(CAST(seq_id AS VARCHAR)
+      || 'z116'), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+  FROM q)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+    AS BIGINT) AS seq_index,
+  seq_id, n_tokens, n_supervised, tokens, loss_mask
+FROM sh ORDER BY seq_id ASC""",
+    doc="TRAINER-NATIVE BINARY SHARD ROUND TRIP (operators/"
+    "binshard.py::export_bin_shards/read_bin_shards) — the round-9"
+    " task-list closer: packed token+mask sequences written as the"
+    " memory-mapped trainer shape (little-endian .bin token stream,"
+    " .idx sequence-offset index, .msk LSB-first loss-mask"
+    " bitstream, byte-exact _manifest) and read back — this entry"
+    " RUNS the export to disk and returns the read-back, so the"
+    " oracle match proves the binary encode/decode is lossless"
+    " INCLUDING the mask bits, the md5 shard assignment, and the"
+    " in-shard write order. Planted: token-length ids (1..~20) with"
+    " an unsupervised EOS id 0, packed at seq_len 32 in doc_id"
+    " order, 8 shards. Scale: ONE repartition-by-shard shuffle into"
+    " a streaming Arrow writer (bytes go straight to executor-local"
+    " files, nothing driver-sized); read is one task per shard."
+    " Oracle: the z73 dual-array slice arithmetic + z36 md5-mod"
+    " shard rule + ROW_NUMBER write order in DuckDB, hash-exact"
+    " including both full arrays",
+)
+def z116_bin_shard_round_trip(spark, sf_dir):
+    import os
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+    )
+    from topn_spark.operators.pipeline import pack_masked_sequences
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", tokens("text").alias("tokens"))
+        .where(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                "tokens", lambda t: F.length(t).cast("bigint")
+            ).alias("tokens"),
+            F.transform(
+                "tokens", lambda t: F.length(t) >= 4
+            ).alias("loss_mask"),
+        )
+    )
+    packed = pack_masked_sequences(
+        docs,
+        id_col="doc_id",
+        order_col="doc_id",
+        seq_len=32,
+        sep_token=0,
+    )
+    out_dir = f"/tmp/topn_z116_{os.path.basename(sf_dir.rstrip('/'))}"
+    export_bin_shards(packed, out_dir, 8, salt="z116")
+    return read_bin_shards(spark, out_dir).orderBy("seq_id")
