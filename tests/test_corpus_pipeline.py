@@ -375,13 +375,13 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
     src_path = str(tmp_path / "pref_src")
     spark.createDataFrame(
         [
-            (1, 10, 1.0, "weak"), (1, 11, 9.0, "strong"),
-            (2, 20, 5.0, "only"),
-            (3, 30, 4.0, "a"), (3, 31, 4.5, "b"),  # gap < minGap
-            (4, 40, None, "unscored"), (4, 41, 3.0, "scored"),
+            (1, 10, 1.0, "weak", "mA"), (1, 11, 9.0, "strong", "mB"),
+            (2, 20, 5.0, "only", "mA"),
+            (3, 30, 4.0, "a", "mA"), (3, 31, 4.5, "b", "mB"),
+            (4, 40, None, "unscored", "mA"), (4, 41, 3.0, "scored", "mB"),
         ],
         "prompt_id long, sample_id long, score double,"
-        " response string",
+        " response string, model string",
     ).write.parquet(src_path)
 
     spec = json.load(open("examples/preference_pipeline.json"))
@@ -393,6 +393,7 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
             "minGap": "1",
             "pairsOut": str(tmp_path / "pairs"),
             "ktoOut": str(tmp_path / "kto"),
+            "eloOut": str(tmp_path / "elo"),
         },
     )
     pairs = {r.prompt_id: r for r in staged["pairs"].collect()}
@@ -404,6 +405,17 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
     }
     assert len(kto) == 7  # every sample labeled, none dropped
     assert kto[(1, 11)].label is True and kto[(1, 10)].label is False
+    # arena branch: WinRate matrix -> Bradley-Terry ratings landed
+    wr = {(r.model_a, r.model_b): r for r in staged["winrate"].collect()}
+    # shared scored prompts for (mA, mB): 1 and 3, mB wins both
+    assert wr[("mA", "mB")].n_prompts == 2
+    assert wr[("mA", "mB")].wins_b == 2
+    elo = {
+        r.model: r
+        for r in spark.read.parquet(str(tmp_path / "elo")).collect()
+    }
+    assert elo["mB"].rating > elo["mA"].rating
+    assert all(r.converged for r in elo.values())
     assert kto[(4, 40)].label is None  # unscored observable
     # both sinks landed readable parquet
     assert spark.read.parquet(str(tmp_path / "pairs")).count() == 1

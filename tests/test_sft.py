@@ -815,3 +815,156 @@ def test_pairwise_winrate_matrix(spark):
     ac = out[("a", "c")]
     assert ac.n_prompts == 1 and ac.wins_b == 1
     assert ac.win_rate_a == 0.0
+
+
+# --------------------------------------------- bradley_terry_fit
+
+
+def _arena_samples(spark):
+    # 3 models on 40 shared prompts; m0 strictly strongest, m2 weakest
+    rows = []
+    for p in range(40):
+        rows.append((p, "m0", p * 3 + 0, float((p * 7) % 11) + 6.0))
+        rows.append((p, "m1", p * 3 + 1, float((p * 5) % 11) + 3.0))
+        rows.append((p, "m2", p * 3 + 2, float((p * 3) % 11)))
+    return spark.createDataFrame(
+        rows,
+        "prompt_id bigint, model string, sample_id bigint,"
+        " score double",
+    )
+
+
+def test_bradley_terry_dominance_and_anchor(spark):
+    import math
+
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    m = pairwise_winrate(_arena_samples(spark))
+    out = bradley_terry_fit(m, smoothing=0.5).collect()
+    assert [r.model for r in out] == ["m0", "m1", "m2"]
+    assert out[0].rating > out[1].rating > out[2].rating
+    assert all(r.converged for r in out)
+    # geometric-mean-1 anchor <=> ratings sum to ~0
+    assert abs(sum(math.log(r.strength) for r in out)) < 1e-9
+    assert abs(sum(r.rating for r in out)) < 1e-6
+
+
+def test_bradley_terry_matches_independent_mm_mirror(spark):
+    import math
+
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    m = pairwise_winrate(_arena_samples(spark))
+    got = {
+        r.model: r.strength
+        for r in bradley_terry_fit(m, smoothing=0.5).collect()
+    }
+    # independent mirror: dict-keyed MM, different accumulation order
+    w = {}
+    for r in m.collect():
+        w[(r.model_a, r.model_b)] = (
+            w.get((r.model_a, r.model_b), 0.0)
+            + r.wins_a + r.ties / 2 + 0.5
+        )
+        w[(r.model_b, r.model_a)] = (
+            w.get((r.model_b, r.model_a), 0.0)
+            + r.wins_b + r.ties / 2 + 0.5
+        )
+    models = sorted({a for a, _ in w})
+    pi = {mm: 1.0 for mm in models}
+    for _ in range(2000):
+        new = {}
+        for i in models:
+            wi = sum(w[(i, j)] for j in models if (i, j) in w)
+            den = sum(
+                (w[(i, j)] + w[(j, i)]) / (pi[i] + pi[j])
+                for j in models
+                if (i, j) in w
+            )
+            new[i] = wi / den
+        gm = math.exp(
+            sum(math.log(v) for v in new.values()) / len(models)
+        )
+        new = {kk: v / gm for kk, v in new.items()}
+        if max(
+            abs(math.log(new[kk]) - math.log(pi[kk])) for kk in models
+        ) < 1e-13:
+            pi = new
+            break
+        pi = new
+    for mm in models:
+        assert abs(got[mm] - pi[mm]) < 1e-9
+
+
+def test_bradley_terry_zero_win_raises_without_smoothing(spark):
+    import pytest as _pytest
+
+    from topn_spark.operators.sft import bradley_terry_fit
+
+    # c never wins anything
+    m = spark.createDataFrame(
+        [("a", "b", 15, 10, 5, 0), ("a", "c", 10, 10, 0, 0),
+         ("b", "c", 10, 10, 0, 0)],
+        "model_a string, model_b string, n_prompts bigint,"
+        " wins_a bigint, wins_b bigint, ties bigint",
+    )
+    with _pytest.raises(ValueError, match="zero effective wins"):
+        bradley_terry_fit(m)
+    out = {
+        r.model: r for r in bradley_terry_fit(m, smoothing=0.5).collect()
+    }
+    assert out["c"].rating < out["b"].rating < out["a"].rating
+
+
+def test_bt_ratings_artifact_round_trip_and_anchor_check(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        load_bt_ratings,
+        pairwise_winrate,
+        save_bt_ratings,
+    )
+
+    fit = bradley_terry_fit(
+        pairwise_winrate(_arena_samples(spark)), smoothing=0.5
+    )
+    p = str(tmp_path / "bt")
+    save_bt_ratings(fit, p)
+    back = load_bt_ratings(spark, p)
+    assert {r.model for r in back.collect()} == {"m0", "m1", "m2"}
+    # a filtered artifact breaks the geometric-mean anchor -> loud
+    p2 = str(tmp_path / "bt_bad")
+    fit.where("model <> 'm0'").coalesce(1).write.parquet(p2)
+    with _pytest.raises(IOError, match="anchor"):
+        load_bt_ratings(spark, p2)
+
+
+def test_bt_calibration_bins_and_ece(spark):
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        bt_calibration,
+        pairwise_winrate,
+    )
+
+    m = pairwise_winrate(_arena_samples(spark))
+    fit = bradley_terry_fit(m, smoothing=0.5)
+    cal = bt_calibration(m, fit, n_bins=4).collect()
+    assert all(0 <= r.bin < 4 for r in cal)
+    # every matrix pair lands in exactly one bin
+    assert sum(r.n_pairs for r in cal) == m.count()
+    for r in cal:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_predicted - r.observed)) < 2e-6
+    # ECE = sum of contribs, bounded by the worst bin gap
+    ece = sum(r.ece_contrib for r in cal)
+    assert 0.0 <= ece <= max(r.abs_gap for r in cal) + 1e-9

@@ -1650,3 +1650,242 @@ def pairwise_winrate(
             6,
         ).alias("win_rate_a"),
     )
+
+
+def bradley_terry_fit(
+    matrix: DataFrame,
+    smoothing: float = 0.0,
+    max_iter: int = 1000,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """Bradley–Terry strength fit over a :func:`pairwise_winrate`
+    matrix — the arena-style model comparison the win-rate table is
+    the sufficient statistic for (Bradley & Terry 1952; the z113
+    head-to-head counts are exactly the ``w_ab`` the likelihood
+    needs): model strengths ``pi`` maximizing
+    ``prod p_ab^w_ab`` with ``p_ab = pi_a/(pi_a+pi_b)``, fitted with
+    Hunter's (2004) MM iteration
+    ``pi_i <- W_i / sum_j n_ij/(pi_i+pi_j)``. Ties count HALF a win
+    to each side — the same convention as ``win_rate_a``, so the fit
+    and the raw table read consistently. ``smoothing`` adds that
+    many pseudo-wins to BOTH directions of every observed pair (a
+    symmetric prior that keeps strengths finite when some model
+    never wins; with the default 0, a model with zero effective wins
+    RAISES — a -inf rating forged as a number is the silent failure
+    mode).
+
+    Deterministic anchor/tie contract: strengths start at 1, are
+    re-normalized to geometric mean 1 every sweep (so ``rating =
+    400*log10(strength)`` is an Elo-scale score centred at 0 — the
+    familiar 400-point-per-decade convention), and the input counts
+    are read in sorted (model_a, model_b) order — bit-identical
+    refits on re-run. If the comparison graph is disconnected,
+    cross-component ratios are unidentifiable by construction
+    (within-component orderings are still exact); the deterministic
+    init keeps even that case reproducible.
+
+    Returns one row per model: ``(model, strength, rating,
+    wins_eff, n_games, n_iter, converged)``.
+
+    Scale shape: the matrix is k²-sized (k = models, a handful) —
+    collected to the driver, fitted with a model-sized NumPy loop,
+    returned as a createDataFrame. The DATA-sized work already
+    happened in :func:`pairwise_winrate`; fitting on the sufficient
+    statistic is exactly why the win matrix exists.
+    """
+    import math
+
+    rows = sorted(
+        (
+            (r["model_a"], r["model_b"], int(r["wins_a"]),
+             int(r["wins_b"]), int(r["ties"]))
+            for r in matrix.select(
+                "model_a", "model_b", "wins_a", "wins_b", "ties"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    models = sorted({m for r in rows for m in (r[0], r[1])})
+    idx = {m: i for i, m in enumerate(models)}
+    k = len(models)
+    schema = (
+        "model string, strength double, rating double,"
+        " wins_eff double, n_games double, n_iter int,"
+        " converged boolean"
+    )
+    if k == 0:
+        # empty matrix (e.g. deploy-phase schema propagation):
+        # empty ratings frame, correct schema, nothing executed
+        return matrix.sparkSession.createDataFrame([], schema)
+    # effective directed wins (ties half, symmetric smoothing)
+    w = [[0.0] * k for _ in range(k)]
+    for ma, mb, wa, wb, t in rows:
+        i, j = idx[ma], idx[mb]
+        w[i][j] += wa + t / 2.0 + float(smoothing)
+        w[j][i] += wb + t / 2.0 + float(smoothing)
+    wins = [sum(w[i][j] for j in range(k)) for i in range(k)]
+    games = [
+        sum(w[i][j] + w[j][i] for j in range(k)) for i in range(k)
+    ]
+    zero = [models[i] for i in range(k) if wins[i] <= 0.0]
+    if zero:
+        raise ValueError(
+            "bradley_terry_fit: model(s) with zero effective wins "
+            f"{zero} — the MLE strength is 0 (rating -inf); pass "
+            "smoothing > 0 to regularize"
+        )
+    pi = [1.0] * k
+    n_iter, converged = 0, False
+    for n_iter in range(1, int(max_iter) + 1):
+        new = []
+        for i in range(k):
+            denom = sum(
+                (w[i][j] + w[j][i]) / (pi[i] + pi[j])
+                for j in range(k)
+                if j != i and (w[i][j] + w[j][i]) > 0
+            )
+            new.append(wins[i] / denom if denom > 0 else pi[i])
+        # geometric-mean-1 anchor, every sweep
+        log_gm = sum(math.log(p) for p in new) / k
+        new = [p / math.exp(log_gm) for p in new]
+        delta = max(
+            abs(math.log(new[i]) - math.log(pi[i])) for i in range(k)
+        )
+        pi = new
+        if delta < tol:
+            converged = True
+            break
+    spark = matrix.sparkSession
+    out = [
+        (
+            models[i],
+            pi[i],
+            400.0 * math.log10(pi[i]),
+            wins[i],
+            games[i],
+            n_iter,
+            converged,
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(out, schema).orderBy(
+        F.col("rating").desc(), F.col("model").asc()
+    )
+
+
+def save_bt_ratings(ratings: DataFrame, path: str) -> None:
+    """Persist a :func:`bradley_terry_fit` frame as parquet
+    (coalesced — ratings are model-sized): the release artifact an
+    arena leaderboard or a reward-data weighting step loads."""
+    ratings.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bt_ratings(spark, path: str) -> DataFrame:
+    """Load a ratings artifact written by :func:`save_bt_ratings`,
+    validating the geometric-mean-1 anchor still holds (a filtered
+    or hand-edited artifact would silently shift every rating)."""
+    df = spark.read.parquet(path)
+    row = df.agg(
+        F.avg(F.log("strength")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row["n"] and abs(row["m"]) > 1e-6:
+        raise IOError(
+            f"corrupt BT ratings at {path}: mean log-strength "
+            f"{row['m']:.2e} != 0 — the geometric-mean-1 anchor is "
+            "broken (filtered or edited artifact)"
+        )
+    return df
+
+
+def bt_calibration(
+    matrix: DataFrame,
+    ratings: DataFrame,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration report for a Bradley–Terry fit — the ECE-shaped
+    check that the fitted strengths actually PREDICT the observed
+    head-to-head outcomes (a fit can order models correctly and
+    still be miscalibrated; reward-data weighting by predicted win
+    probability inherits that error): every matrix pair scored with
+    ``p_pred = s_a/(s_a+s_b)``, bucketed into ``n_bins`` equal
+    predicted-probability bins, and per bin: pair count, game count,
+    game-weighted mean predicted probability, observed
+    ties-count-half win rate, the absolute gap, and ``ece_contrib``
+    (gap weighted by the bin's share of games — the report's total
+    ECE is ``SUM(ece_contrib)``). All ROUND-6 of exact sums/single
+    divisions.
+
+    Scale shape: a broadcast join of the model-sized ratings onto
+    the k²-sized matrix (twice, for each side), one hash agg over
+    at most ``n_bins`` groups, plus a 1-row total attached by
+    broadcast — nothing data-sized anywhere."""
+    s = ratings.select(
+        F.col("model"), F.col("strength")
+    )
+    j = (
+        matrix.join(
+            F.broadcast(
+                s.select(
+                    F.col("model").alias("model_a"),
+                    F.col("strength").alias("_sa"),
+                )
+            ),
+            "model_a",
+        )
+        .join(
+            F.broadcast(
+                s.select(
+                    F.col("model").alias("model_b"),
+                    F.col("strength").alias("_sb"),
+                )
+            ),
+            "model_b",
+        )
+        .withColumn(
+            "_games",
+            (
+                F.col("wins_a") + F.col("wins_b") + F.col("ties")
+            ).cast("double"),
+        )
+        .withColumn(
+            "_weff",
+            F.col("wins_a").cast("double")
+            + F.col("ties").cast("double") / 2,
+        )
+        .withColumn(
+            "_pred", F.col("_sa") / (F.col("_sa") + F.col("_sb"))
+        )
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(int(n_bins) - 1),
+                F.floor(F.col("_pred") * int(n_bins)).cast("int"),
+            ).cast("int"),
+        )
+    )
+    per_bin = j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_games").cast("double").alias("n_games"),
+        F.sum(F.col("_pred") * F.col("_games")).alias("_pw"),
+        F.sum("_weff").alias("_ow"),
+    )
+    total = j.agg(F.sum("_games").alias("_tot"))
+    pred = F.col("_pw") / F.col("n_games")
+    obs = F.col("_ow") / F.col("n_games")
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_pairs",
+            F.round("n_games", 6).alias("n_games"),
+            F.round(pred, 6).alias("mean_predicted"),
+            F.round(obs, 6).alias("observed"),
+            F.round(F.abs(pred - obs), 6).alias("abs_gap"),
+            F.round(
+                F.abs(pred - obs) * F.col("n_games") / F.col("_tot"),
+                6,
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )

@@ -2054,6 +2054,83 @@ def _stage_shard_sink(
     return df
 
 
+def _stage_winrate(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """WinRate aggregator: the arena head-to-head matrix
+    (sft.pairwise_winrate — per model pair over shared scored
+    prompts: wins/losses/ties + win_rate_a with ties half, best-of-n
+    reduction per (prompt, model) first). Properties: promptField
+    ('prompt_id'), modelField ('model'), scoreField ('score')."""
+    from topn_spark.operators.sft import pairwise_winrate
+
+    (df,) = inputs
+    p = stage.properties
+    prompt_col = p.get("promptField", "prompt_id")
+    model_col = p.get("modelField", "model")
+    score_col = p.get("scoreField", "score")
+    ok = True
+    for prop, col in (
+        ("promptField", prompt_col), ("modelField", model_col),
+        ("scoreField", score_col),
+    ):
+        ok = _require_field(df, col, collector, prop) and ok
+    if not ok:
+        return df
+    return pairwise_winrate(
+        df, prompt_col=prompt_col, model_col=model_col,
+        score_col=score_col,
+    )
+
+
+def _stage_elo_fit(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """EloFit aggregator: Bradley–Terry strength fit over a WinRate
+    matrix (sft.bradley_terry_fit — Hunter MM on the model-sized
+    sufficient statistic, geometric-mean-1 anchor, Elo-scale
+    rating). Runs the driver-side fit ONLY in the run phase (the fit
+    collects the matrix; at deploy it propagates the empty ratings
+    schema). Properties: smoothing ('0.5' — zero-win models raise
+    at 0), maxIter ('1000')."""
+    from topn_spark.operators.sft import bradley_terry_fit
+
+    (df,) = inputs
+    p = stage.properties
+    ok = True
+    for col in ("model_a", "model_b", "wins_a", "wins_b", "ties"):
+        ok = _require_field(df, col, collector, "input") and ok
+    smoothing_raw = p.get("smoothing", "0.5")
+    max_iter = _int_prop(
+        p, "maxIter", 1, collector,
+        substitutions=substitutions, phase=phase,
+    ) if "maxIter" in p else 1000
+    if phase == "run":
+        smoothing_raw = substitute_macros(
+            smoothing_raw, substitutions or {}, collector, "smoothing"
+        )
+    smoothing = 0.5
+    if not contains_macro(smoothing_raw):
+        try:
+            smoothing = float(smoothing_raw)
+            if smoothing < 0:
+                raise ValueError
+        except ValueError:
+            collector.add_failure(
+                f"Invalid smoothing '{smoothing_raw}'.",
+                "A non-negative number.",
+                property_name="smoothing",
+            )
+            ok = False
+    if not ok or max_iter is None:
+        return df
+    if phase != "run":
+        return bradley_terry_fit(df.limit(0))
+    return bradley_terry_fit(
+        df, smoothing=smoothing, max_iter=max_iter
+    )
+
+
 def _stage_encode_ids(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -2960,6 +3037,8 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "RedactConversation": ("transform", _stage_redact_conversation),
     "LossSpans": ("transform", _stage_loss_spans),
     "PreferencePairs": ("batchaggregator", _stage_preference_pairs),
+    "WinRate": ("batchaggregator", _stage_winrate),
+    "EloFit": ("batchaggregator", _stage_elo_fit),
     "KtoLabels": ("transform", _stage_kto_labels),
     "EpochShuffle": ("transform", _stage_epoch_shuffle),
     "TruncateConversation": ("transform", _stage_truncate_conversation),

@@ -15136,3 +15136,222 @@ def z116_bin_shard_round_trip(spark, sf_dir):
     out_dir = f"/tmp/topn_z116_{os.path.basename(sf_dir.rstrip('/'))}"
     export_bin_shards(packed, out_dir, 8, salt="z116")
     return read_bin_shards(spark, out_dir).orderBy("seq_id")
+
+
+_Z117_MATRIX_SQL = r"""WITH s AS (
+  SELECT (doc_id // 8) AS prompt_id,
+    'm' || (doc_id % 4) AS model,
+    CASE WHEN doc_id % 4 = 3 AND (doc_id // 8) % 3 = 0 THEN NULL
+         ELSE CAST((doc_id * 7) % 29 AS DOUBLE)
+           + CASE doc_id % 4 WHEN 0 THEN 10 ELSE 0 END
+    END AS score
+  FROM documents WHERE doc_id < 480),
+best AS (
+  SELECT prompt_id, model, MAX(score) AS s
+  FROM s WHERE score IS NOT NULL GROUP BY prompt_id, model)
+SELECT a.model AS model_a, b.model AS model_b,
+  CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_a,
+  CAST(SUM(CASE WHEN a.s < b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_b,
+  CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS ties
+FROM best a JOIN best b
+  ON a.prompt_id = b.prompt_id AND a.model < b.model
+GROUP BY a.model, b.model"""
+
+
+def _z117_bt_mm(con, smoothing=0.5, tol=1e-12, max_iter=1000):
+    """Independent Bradley–Terry MM fit over the z113-planted win
+    matrix (computed in DuckDB SQL): dict-keyed accumulation in a
+    DIFFERENT order than the operator's sorted-list walk, same
+    Hunter (2004) update, same per-sweep geometric-mean-1 anchor.
+    Float summation order differs, hence tolerance (1e-9)."""
+    import math
+
+    rows = con.execute(_Z117_MATRIX_SQL).fetchall()
+    w: dict = {}
+    for ma, mb, wa, wb, t in rows:
+        w[(ma, mb)] = w.get((ma, mb), 0.0) + wa + t / 2 + smoothing
+        w[(mb, ma)] = w.get((mb, ma), 0.0) + wb + t / 2 + smoothing
+    models = sorted({a for a, _ in w})
+    pi = {m: 1.0 for m in models}
+    for _ in range(max_iter):
+        new = {}
+        for i in models:
+            wi = sum(v for (a, _), v in w.items() if a == i)
+            den = sum(
+                (w[(i, j)] + w[(j, i)]) / (pi[i] + pi[j])
+                for j in models
+                if (i, j) in w
+            )
+            new[i] = wi / den
+        gm = math.exp(
+            sum(math.log(v) for v in new.values()) / len(models)
+        )
+        new = {k: v / gm for k, v in new.items()}
+        delta = max(
+            abs(math.log(new[k]) - math.log(pi[k])) for k in models
+        )
+        pi = new
+        if delta < tol:
+            break
+    wins = {
+        i: sum(v for (a, _), v in w.items() if a == i)
+        for i in models
+    }
+    games = {
+        i: sum(
+            w[(i, j)] + w[(j, i)] for j in models if (i, j) in w
+        )
+        for i in models
+    }
+    return pi, wins, games
+
+
+def _z117_bt_exact(con):
+    import math
+
+    pi, wins, games = _z117_bt_mm(con)
+    out = [
+        (m, pi[m], 400.0 * math.log10(pi[m]), wins[m], games[m])
+        for m in sorted(pi)
+    ]
+    return ["model", "strength", "rating", "wins_eff", "n_games"], out
+
+
+@query(
+    "z117_bradley_terry",
+    None,
+    tol_oracle=_z117_bt_exact,
+    tolerance=1e-9,
+    tol_keys=("model",),
+    doc="BRADLEY–TERRY STRENGTH FIT (operators/sft.py::"
+    "bradley_terry_fit) — the arena model comparison the z113"
+    " win-rate matrix is the sufficient statistic for (Bradley &"
+    " Terry 1952): strengths maximizing prod p_ab^w_ab with ties"
+    " counting half, fitted by Hunter's (2004) MM iteration with a"
+    " per-sweep geometric-mean-1 anchor (rating = 400*log10(s),"
+    " Elo-scale centred at 0); smoothing=0.5 symmetric pseudo-wins"
+    " (zero-win models otherwise RAISE — a -inf rating forged as a"
+    " number is the silent failure). Planted: the z113 fixture —"
+    " m0's +10 offset must dominate the fit, the m3 NULL stripe"
+    " thins its games. Scale: the data-sized work happened in"
+    " pairwise_winrate; the fit is a model-sized driver loop on the"
+    " k² sufficient statistic — exactly why the win matrix exists."
+    " Oracle: INDEPENDENT dict-keyed MM mirror over the same"
+    " DuckDB-computed matrix, tolerance 1e-9 (summation order)",
+)
+def z117_bradley_terry(spark, sf_dir):
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    p = (d / 8).cast("bigint")
+    score = F.when(
+        (d % 4 == 3) & (p % 3 == 0), F.lit(None).cast("double")
+    ).otherwise(
+        ((d * 7) % 29).cast("double")
+        + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        d.alias("sample_id"),
+        score.alias("score"),
+    )
+    fit = bradley_terry_fit(
+        pairwise_winrate(samples), smoothing=0.5
+    )
+    return fit.select(
+        "model", "strength", "rating", "wins_eff", "n_games"
+    ).orderBy("model")
+
+
+def _z118_cal_exact(con):
+    pi, _, _ = _z117_bt_mm(con)
+    rows = con.execute(_Z117_MATRIX_SQL).fetchall()
+    n_bins = 4
+    bins: dict = {}
+    for ma, mb, wa, wb, t in rows:
+        games = float(wa + wb + t)
+        weff = wa + t / 2.0
+        pred = pi[ma] / (pi[ma] + pi[mb])
+        b = min(n_bins - 1, int(pred * n_bins))
+        acc = bins.setdefault(b, [0, 0.0, 0.0, 0.0])
+        acc[0] += 1
+        acc[1] += games
+        acc[2] += pred * games
+        acc[3] += weff
+    tot = sum(a[1] for a in bins.values())
+    out = []
+    for b in sorted(bins):
+        n_pairs, games, pw, ow = bins[b]
+        pred = pw / games
+        obs = ow / games
+        out.append(
+            (
+                b, n_pairs, round(games, 6), round(pred, 6),
+                round(obs, 6), round(abs(pred - obs), 6),
+                round(abs(pred - obs) * games / tot, 6),
+            )
+        )
+    return (
+        ["bin", "n_pairs", "n_games", "mean_predicted", "observed",
+         "abs_gap", "ece_contrib"],
+        out,
+    )
+
+
+@query(
+    "z118_bt_calibration",
+    None,
+    tol_oracle=_z118_cal_exact,
+    tolerance=1e-6,
+    tol_keys=("bin",),
+    doc="BRADLEY–TERRY CALIBRATION REPORT (operators/sft.py::"
+    "bt_calibration) — the ECE-shaped check that fitted strengths"
+    " PREDICT observed head-to-heads (a fit can order models"
+    " correctly and still be miscalibrated; reward-data weighting"
+    " by predicted win probability inherits that error): every pair"
+    " scored p = s_a/(s_a+s_b), bucketed into 4 equal probability"
+    " bins; per bin pair/game counts, game-weighted mean predicted,"
+    " observed ties-half win rate, |gap|, and ece_contrib (total"
+    " ECE = SUM). Scale: broadcast model-sized ratings onto the k²"
+    " matrix, one <=n_bins-group agg, 1-row total by broadcast —"
+    " nothing data-sized. Oracle: independent Python binning over"
+    " the mirror MM fit, tolerance 1e-6 (ROUND-6 projections over"
+    " a 1e-9-matched fit)",
+)
+def z118_bt_calibration(spark, sf_dir):
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        bt_calibration,
+        pairwise_winrate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    p = (d / 8).cast("bigint")
+    score = F.when(
+        (d % 4 == 3) & (p % 3 == 0), F.lit(None).cast("double")
+    ).otherwise(
+        ((d * 7) % 29).cast("double")
+        + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        d.alias("sample_id"),
+        score.alias("score"),
+    )
+    matrix = pairwise_winrate(samples)
+    fit = bradley_terry_fit(matrix, smoothing=0.5)
+    return bt_calibration(matrix, fit, n_bins=4).orderBy("bin")
