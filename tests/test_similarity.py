@@ -652,3 +652,133 @@ def test_contrastive_triplets_anchor_subset_consistent(spark):
     }
     assert set(sub) == {k for k in full if k < 10}
     assert all(sub[k] == full[k] for k in sub)
+
+
+def _clustered_vectors(n=120, dim=8, k=4, jitter=0.05, shared=0.0):
+    """Deterministic labeled clusters, each vector = optional shared
+    base direction + its label's component + small hash jitter.
+    ``shared=0`` gives well-separated clusters (cross-label cosine
+    ~0); ``shared>0`` overlaps them (hard negatives genuinely NEAR
+    the anchor — the regime bucketed hard mining targets)."""
+    rows = []
+    for i in range(n):
+        lab = i % k
+        vec = [0.0] * dim
+        vec[0] += shared
+        vec[lab] += 1.0
+        vec[(lab + 4) % dim] += 0.3
+        for d in range(dim):
+            h = (i * 31 + d * 17) % 97
+            vec[d] += jitter * ((h / 96.0) - 0.5)
+        rows.append((i, vec, f"c{lab}"))
+    return rows
+
+
+def test_contrastive_triplets_bucketed_recall_vs_brute(spark):
+    from topn_spark.operators.similarity import (
+        contrastive_triplets,
+        contrastive_triplets_bucketed,
+    )
+
+    # overlapping clusters (strong shared direction): the hardest
+    # negative IS near the anchor, the regime bucketing targets
+    df = spark.createDataFrame(
+        _clustered_vectors(shared=2.0),
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    brute = {
+        r.anchor_id: r for r in contrastive_triplets(df).collect()
+    }
+    lsh = {
+        r.anchor_id: r
+        for r in contrastive_triplets_bucketed(
+            df, dim=8, n_bits=4, n_tables=6
+        ).collect()
+    }
+    # every brute anchor is recovered (enough tables on separated
+    # clusters), and the candidate-subset property holds: bucketed
+    # extremes can never EXCEED the brute extremes
+    assert set(lsh) == set(brute)
+    hit_pos = hit_neg = 0
+    for aid, b in brute.items():
+        l = lsh[aid]
+        assert l.pos_score <= b.pos_score + 1e-12
+        assert l.neg_score <= b.neg_score + 1e-12
+        hit_pos += l.pos_id == b.pos_id
+        hit_neg += l.neg_id == b.neg_id
+    # planted hard pairs recovered: high recall of the exact ids
+    assert hit_pos >= 0.9 * len(brute)
+    assert hit_neg >= 0.9 * len(brute)
+
+
+def test_contrastive_triplets_bucketed_ivf_probes(spark):
+    from topn_spark.operators.similarity import (
+        contrastive_triplets,
+        contrastive_triplets_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_vectors(),
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    # centroids = the true planted centers -> IVF cells == clusters;
+    # nprobe=2 lets each anchor see its neighboring cell too, which
+    # is where its hardest NEGATIVE lives
+    cents = []
+    for lab in range(4):
+        c = [0.0] * 8
+        c[lab] = 1.0
+        c[(lab + 4) % 8] = 0.3
+        cents.append(c)
+    brute = {
+        r.anchor_id: r for r in contrastive_triplets(df).collect()
+    }
+    ivf = {
+        r.anchor_id: r
+        for r in contrastive_triplets_bucketed(
+            df, centroids=cents, nprobe=2
+        ).collect()
+    }
+    assert set(ivf) == set(brute)
+    # positives live in the anchor's own cell: exact recovery
+    assert all(
+        ivf[a].pos_id == brute[a].pos_id
+        and abs(ivf[a].pos_score - brute[a].pos_score) < 1e-12
+        for a in brute
+    )
+    # subset property for negatives
+    assert all(
+        ivf[a].neg_score <= brute[a].neg_score + 1e-12 for a in brute
+    )
+    hit = sum(ivf[a].neg_id == brute[a].neg_id for a in brute)
+    assert hit >= 0.8 * len(brute)
+
+
+def test_contrastive_triplets_bucketed_contracts(spark):
+    from topn_spark.operators.similarity import (
+        contrastive_triplets_bucketed,
+    )
+
+    rows = _clustered_vectors(n=40)
+    # NULL label excluded from both sides; zero vector guarded
+    rows.append((1000, [0.0] * 8, None))
+    rows.append((1001, [0.0] * 8, "c0"))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    out = {
+        r.anchor_id: r
+        for r in contrastive_triplets_bucketed(
+            df, dim=8, n_bits=3, n_tables=4
+        ).collect()
+    }
+    assert 1000 not in out
+    assert all(r.pos_id != 1000 and r.neg_id != 1000 for r in out.values())
+    # single-label corpus -> no negatives anywhere -> empty output
+    single = spark.createDataFrame(
+        [(i, v, "only") for i, v, _ in _clustered_vectors(n=20)],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    assert contrastive_triplets_bucketed(
+        single, dim=8, n_bits=3, n_tables=2
+    ).count() == 0

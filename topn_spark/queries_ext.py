@@ -15355,3 +15355,119 @@ def z118_bt_calibration(spark, sf_dir):
     matrix = pairwise_winrate(samples)
     fit = bradley_terry_fit(matrix, smoothing=0.5)
     return bt_calibration(matrix, fit, n_bins=4).orderBy("bin")
+
+
+def _z119_bucketed_triplets_exact(con):
+    """Exact Python mirror of the LSH-bucketed triplet miner over
+    the real embeddings (labels planted c0..c4 by vec_id*13 mod 5):
+    SAME seeded hyperplanes (random.Random(seed+t).gauss), SAME
+    sequential float64 fold order for norms/dots (bit-identical to
+    Spark's aggregate fold), same (table, bucket) candidate sets and
+    (-score, id) tie rule. Tolerance 1e-9 covers any residual
+    platform rounding."""
+    import math
+    import random
+
+    dim, n_bits, n_tables, seed = 64, 6, 3, 42
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500"
+        " ORDER BY vec_id"
+    ).fetchall()
+    units, labels = {}, {}
+    for vid, emb in rows:
+        v = [float(x) for x in emb]
+        sq = 0.0
+        for x in v:
+            sq += x * x
+        nm = math.sqrt(sq)
+        if not nm > 0:
+            nm = 1.0
+        units[vid] = [x / nm for x in v]
+        labels[vid] = "c" + str((vid * 13) % 5)
+    tables = []
+    for t in range(n_tables):
+        rng = random.Random(seed + t)
+        planes = [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_bits)
+        ]
+        buckets: dict = {}
+        for vid, u in units.items():
+            b = 0
+            for j, p in enumerate(planes):
+                d = 0.0
+                for x, y in zip(u, p):
+                    d += x * y
+                if d > 0:
+                    b += 1 << j
+            buckets.setdefault(b, []).append(vid)
+        tables.append(buckets)
+    best_p: dict = {}
+    best_n: dict = {}
+    for buckets in tables:
+        for members in buckets.values():
+            for a in members:
+                ua = units[a]
+                for o in members:
+                    if o == a:
+                        continue
+                    s = 0.0
+                    for x, y in zip(ua, units[o]):
+                        s += x * y
+                    key = (-s, o)
+                    tgt = best_p if labels[o] == labels[a] else best_n
+                    if a not in tgt or key < tgt[a]:
+                        tgt[a] = key
+    out = []
+    for a in sorted(set(best_p) & set(best_n)):
+        ns_p, pid = best_p[a]
+        ns_n, nid = best_n[a]
+        out.append((a, pid, -ns_p, nid, -ns_n, ns_n - ns_p))
+    return (
+        ["anchor_id", "pos_id", "pos_score", "neg_id", "neg_score",
+         "margin"],
+        out,
+    )
+
+
+@query(
+    "z119_bucketed_triplets",
+    None,
+    tol_oracle=_z119_bucketed_triplets_exact,
+    tolerance=1e-9,
+    tol_keys=("anchor_id",),
+    doc="LSH-BUCKETED HARD-TRIPLET MINING (operators/similarity.py::"
+    "contrastive_triplets_bucketed) — the SHIPPED 100 TB path the"
+    " z92 brute baseline's docstring prescribed in prose: mine the"
+    " hardest same/different-label neighbors WITHIN n_tables"
+    " independent SRP-LSH buckets (hard pairs are by definition"
+    " NEAR the anchor — bucketing loses only easy pairs), same"
+    " (-score, lowest-id) tie contract as brute via the identical"
+    " conditional-extremes hash agg. Planted: the real 64-dim"
+    " embeddings with labels vec_id*13 mod 5; 3 tables x 6 bits,"
+    " seed 42. Scale: map-only seeded bucket projections + ONE"
+    " bucket-keyed equi self-join per table feeding the extremes"
+    " agg — pairs bounded by bucket occupancy, the quadratic term"
+    " is gone; skewed buckets are AQE skew-join territory, recall"
+    " buys with n_tables/nprobe. Oracle: exact Python mirror (same"
+    " seeded planes, same sequential fold order), tolerance 1e-9",
+)
+def z119_bucketed_triplets(spark, sf_dir):
+    from topn_spark.operators.similarity import (
+        contrastive_triplets_bucketed,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            "embedding",
+            F.concat(
+                F.lit("c"), ((F.col("vec_id") * 13) % 5).cast("string")
+            ).alias("label"),
+        )
+    )
+    return contrastive_triplets_bucketed(
+        emb, dim=64, n_bits=6, n_tables=3, seed=42
+    ).orderBy("anchor_id")
