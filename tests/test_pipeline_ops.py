@@ -1994,3 +1994,126 @@ def test_curriculum_then_epoch_shuffle_compose(spark):
         r.doc_id for r in stage1.orderBy("rank").collect()
     ]
     assert by_pos != by_rank
+
+
+# ------------------------------------- pack_multimodal_sequences
+
+
+def test_pack_multimodal_binding_survives_boundaries(spark):
+    from topn_spark.operators.pipeline import pack_multimodal_sequences
+
+    rows = [
+        (1, ["a", "<|image|>", "bb", "ccc", "<|image|>", "dd"],
+         [False, False, True, True, False, True], [101, 102]),
+        (2, ["xx", "yy"], [True, False], None),
+        (3, ["<|image|>"], [False], [300]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id bigint, tokens array<string>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    out = {
+        r.seq_id: r
+        for r in pack_multimodal_sequences(
+            df, seq_len=4, sep_token="<eos>", sep_supervised=True
+        ).collect()
+    }
+    # conv 1 splits across seq 0/1: its FIRST placeholder (asset
+    # 101) lands in seq 0, its SECOND (102) in seq 1 — the binding
+    # survives the boundary, which is the whole point
+    assert out[0].tokens == ["a", "<|image|>", "bb", "ccc"]
+    assert list(out[0].asset_ids) == [101]
+    assert out[1].tokens[0] == "<|image|>"
+    assert list(out[1].asset_ids) == [102]
+    assert list(out[2].asset_ids) == [300]
+    # masks aligned, separators supervised per policy, NULL assets
+    # mean no images
+    for r in out.values():
+        assert len(r.tokens) == len(r.loss_mask)
+        assert r.n_images == len(r.asset_ids)
+    assert out[1].loss_mask == [False, True, True, True]
+
+
+def test_pack_multimodal_glued_placeholder_raises(spark):
+    import pytest as _pytest
+
+    from topn_spark.operators.pipeline import pack_multimodal_sequences
+
+    # the placeholder glued to markup is NOT its own token: the
+    # count mismatch must raise with the id, never mis-bind
+    df = spark.createDataFrame(
+        [(7, ["<|image|><|im_end|>", "x"], [False, True], [1])],
+        "conv_id bigint, tokens array<string>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    with _pytest.raises(Exception, match="mismatch for id 7"):
+        pack_multimodal_sequences(df, seq_len=4).collect()
+    # too many assets for the placeholders: same loud contract
+    df2 = spark.createDataFrame(
+        [(8, ["<|image|>", "x"], [False, True], [1, 2])],
+        "conv_id bigint, tokens array<string>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    with _pytest.raises(Exception, match="mismatch for id 8"):
+        pack_multimodal_sequences(df2, seq_len=4).collect()
+
+
+def test_multimodal_chain_render_gate_pack_e2e(spark):
+    """The VLM-SFT chain end-to-end: render_multimodal_chat ->
+    special-token pre-split tokenization -> dangling-ref gate
+    (validate_conversation_assets) -> pack_multimodal_sequences.
+    The dangling reference is caught BEFORE packing; survivors pack
+    with per-sequence manifests intact."""
+    from pyspark.sql import functions as F
+
+    from topn_spark.operators.pipeline import pack_multimodal_sequences
+    from topn_spark.operators.sft import (
+        render_multimodal_chat,
+        validate_conversation_assets,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            (1, [("user", "describe this", None),
+                 ("user", None, 11), ("assistant", "a cat photo", None)]),
+            (2, [("user", None, 99),  # dangling: 99 not in registry
+                 ("assistant", "hmm", None)]),
+        ],
+        "conv_id bigint, messages array<struct<role:string,"
+        "content:string,asset_id:bigint>>",
+    )
+    assets = spark.createDataFrame(
+        [(11,), (12,)], "asset_id bigint"
+    )
+    gated = validate_conversation_assets(msgs, assets)
+    flags = {r.conv_id: r.assets_ok for r in gated.collect()}
+    assert flags == {1: True, 2: False}
+    ok = gated.where("assets_ok")
+    rendered = render_multimodal_chat(ok)
+    # special-token pre-split: the placeholder becomes its own token
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(
+                "text", r"(<\|image\|>)", r" $1 "
+            ),
+            r"\s+",
+        ),
+        lambda t: t != "",
+    )
+    tok_df = rendered.select(
+        "conv_id",
+        toks.alias("tokens"),
+        "asset_ids",
+    ).withColumn(
+        "loss_mask",
+        F.transform("tokens", lambda t: F.length(t) >= 4),
+    )
+    packed = pack_multimodal_sequences(
+        tok_df, seq_len=6, sep_token="<eos>"
+    ).collect()
+    # conversation 1's single image appears in exactly one manifest
+    all_assets = [a for r in packed for a in r.asset_ids]
+    assert all_assets == [11]
+    n_ph = sum(r.tokens.count("<|image|>") for r in packed)
+    assert n_ph == 1

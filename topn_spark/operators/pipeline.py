@@ -799,6 +799,204 @@ def pack_masked_sequences(
     )
 
 
+def pack_multimodal_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    mask_col: str = "loss_mask",
+    assets_col: str = "asset_ids",
+    id_col: str = "conv_id",
+    seq_len: int = 2048,
+    by: tuple[str, ...] = (),
+    order_col: str = "conv_id",
+    image_token: str = "<|image|>",
+    pad_token: str | int | None = None,
+    sep_token: str | int | None = None,
+    sep_supervised: bool = False,
+) -> DataFrame:
+    """Sequence packing that preserves the loss mask AND the
+    placeholder→asset binding — the VLM analogue of
+    :func:`pack_masked_sequences` (the round-9 lesson one modality
+    up: :func:`~topn_spark.operators.sft.render_multimodal_chat`'s
+    contract is that the i-th ``image_token`` placeholder binds to
+    the i-th ``asset_ids`` entry, and packing that splits a
+    conversation across sequence boundaries silently breaks it —
+    the vision encoder would splice the WRONG image into a
+    placeholder): every packed sequence emits aligned ``tokens`` /
+    ``mask_col`` / ``n_supervised`` exactly like masked packing,
+    plus its OWN ``asset_ids`` manifest — the assets whose
+    placeholders physically landed in that sequence, in placeholder
+    order — and ``n_images``.
+
+    Input contract: the placeholder appears as its OWN token (the
+    special-token pre-split every real tokenizer applies before
+    BPE); a document whose placeholder-token count differs from
+    ``len(asset_ids)`` RAISES with its id — a glued or lost
+    placeholder is a broken binding, the silent failure this
+    operator exists to prevent (``asset_ids`` NULL means no images,
+    same as empty). NULL/misaligned masks raise as in masked
+    packing. Separators and pads never reference an asset and are
+    never supervised (separator supervision follows
+    ``sep_supervised``).
+
+    Scale shape: identical to :func:`pack_masked_sequences` — the
+    per-token asset refs are built map-only (placeholder positions
+    bound as a projected array; per-placeholder ordinal via
+    array_position over that IMAGE-sized array), ride the same
+    zip through the span arithmetic, and the per-sequence manifest
+    is one filter over the reassembled refs. No extra shuffle, no
+    UDF."""
+    elem = df.schema[tokens_col].dataType.elementType.simpleString()
+    a_elem = df.schema[assets_col].dataType.elementType.simpleString()
+    img = F.lit(image_token).cast(elem)
+    bound = (
+        df.withColumn("_mt", F.col(tokens_col))
+        .withColumn(
+            "_ma", F.coalesce(F.col(assets_col), F.array().cast(
+                f"array<{a_elem}>"
+            ))
+        )
+        .withColumn(
+            "_php",
+            F.filter(
+                F.transform(
+                    "_mt", lambda t, i: F.when(t == img, i)
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    aligned = (
+        F.col(tokens_col).isNotNull()
+        & F.col(mask_col).isNotNull()
+        & (F.size(tokens_col) == F.size(mask_col))
+        & (F.size("_php") == F.size("_ma"))
+    )
+    refs = F.transform(
+        "_mt",
+        lambda t, i: F.when(
+            t == img,
+            F.element_at(
+                "_ma",
+                F.array_position(F.col("_php"), i).cast("int"),
+            ),
+        ),
+    )
+    zipped = F.zip_with(
+        F.zip_with(
+            tokens_col,
+            mask_col,
+            lambda t, m: F.struct(t.alias("t"), m.alias("m")),
+        ),
+        refs,
+        lambda tm, a: F.struct(
+            tm["t"].alias("t"), tm["m"].alias("m"), a.alias("a")
+        ),
+    )
+    guarded = F.when(aligned, zipped).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pack_multimodal_sequences: NULL/misaligned "
+                    "mask or placeholder/asset count mismatch for "
+                    "id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    dfz = bound.withColumn("_zt", guarded).drop("_mt", "_ma", "_php")
+    sep = None
+    if sep_token is not None:
+        sep = F.struct(
+            F.lit(sep_token).cast(elem).alias("t"),
+            F.lit(bool(sep_supervised)).alias("m"),
+            F.lit(None).cast(a_elem).alias("a"),
+        )
+    spans = _packed_spans(
+        dfz, "_zt", id_col, seq_len, by, order_col, sep
+    )
+    piece = spans.select(
+        *by,
+        "seq_id",
+        F.struct(
+            F.col("seq_start"),
+            F.slice(
+                "_toks",
+                (F.col("doc_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ).alias("piece"),
+        ).alias("_sp"),
+    )
+    merged = piece.groupBy(*by, "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("_sp")),
+                lambda s: s["piece"],
+            )
+        ).alias("_all"),
+    )
+    out = (
+        merged.select(
+            *by,
+            "seq_id",
+            "n_docs",
+            F.transform("_all", lambda x: x["t"]).alias("tokens"),
+            F.transform("_all", lambda x: x["m"]).alias(mask_col),
+            F.filter(
+                F.transform("_all", lambda x: x["a"]),
+                lambda a: a.isNotNull(),
+            ).alias(assets_col),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+        .withColumn(
+            "n_supervised",
+            F.aggregate(
+                mask_col,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + F.when(x, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "n_images", F.size(assets_col).cast("bigint")
+        )
+    )
+    if pad_token is not None:
+        pad_n = (F.lit(int(seq_len)) - F.size("tokens")).cast("int")
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(F.lit(pad_token).cast(elem), pad_n),
+            ),
+        ).withColumn(
+            mask_col,
+            F.concat(
+                mask_col,
+                F.array_repeat(
+                    F.lit(False),
+                    (F.lit(int(seq_len)) - F.size(mask_col)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    return out.select(
+        *by,
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        "n_supervised",
+        "n_images",
+        "tokens",
+        mask_col,
+        assets_col,
+    )
+
+
 def export_packed_shards(
     df: DataFrame,
     out_dir: str,

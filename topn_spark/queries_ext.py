@@ -15471,3 +15471,143 @@ def z119_bucketed_triplets(spark, sf_dir):
     return contrastive_triplets_bucketed(
         emb, dim=64, n_bits=6, n_tables=3, seed=42
     ).orderBy("anchor_id")
+
+
+@query(
+    "z120_multimodal_pack",
+    r"""WITH base AS (
+  SELECT doc_id,
+    COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             CAST([] AS VARCHAR[])) AS w
+  FROM documents WHERE doc_id < 400),
+t AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN list_append(
+        list_prepend('<img>', list_append(w, '<img>')), '</s>')
+      WHEN 1 THEN list_append(w, '</s>')
+      ELSE list_append(list_append(w, '<img>'), '</s>')
+    END AS toks,
+    CASE doc_id % 3
+      WHEN 0 THEN [doc_id * 2, doc_id * 2 + 1]
+      WHEN 1 THEN CAST([] AS BIGINT[])
+      ELSE [doc_id * 2]
+    END AS assets
+  FROM base
+  WHERE CASE doc_id % 3 WHEN 1 THEN len(w) > 0 ELSE TRUE END),
+u AS (
+  SELECT doc_id, toks, assets, r.i AS i, toks[r.i] AS tok,
+    CAST(SUM(CASE WHEN toks[r.i] = '<img>' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS ph_ord
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+z AS (
+  SELECT doc_id,
+    list(tok ORDER BY i) AS toks,
+    list(tok <> '<img>' AND tok <> '</s>' AND length(tok) >= 4
+      ORDER BY i) AS msk,
+    list(CASE WHEN tok = '<img>' THEN assets[ph_ord] END
+      ORDER BY i) AS refs
+  FROM u GROUP BY doc_id, assets),
+c AS (
+  SELECT doc_id, toks, msk, refs,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM z),
+s AS (
+  SELECT doc_id, toks, msk, refs, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece,
+    msk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+        :CAST(GREATEST(seq_id * 32 - off, 0)
+          + LEAST((seq_id + 1) * 32, off + n)
+          - GREATEST(seq_id * 32, off) AS BIGINT)] AS mpiece,
+    refs[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS rpiece
+  FROM s)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+    AS n_tokens,
+  CAST(len(list_filter(flatten(list(mpiece ORDER BY seq_start)),
+    x -> x)) AS BIGINT) AS n_supervised,
+  CAST(len(list_filter(flatten(list(rpiece ORDER BY seq_start)),
+    x -> x IS NOT NULL)) AS BIGINT) AS n_images,
+  flatten(list(piece ORDER BY seq_start)) AS tokens,
+  flatten(list(mpiece ORDER BY seq_start)) AS loss_mask,
+  list_filter(flatten(list(rpiece ORDER BY seq_start)),
+    x -> x IS NOT NULL) AS asset_ids
+FROM p GROUP BY seq_id ORDER BY seq_id ASC""",
+    doc="MULTIMODAL MASK+ASSET PACKING (operators/pipeline.py::"
+    "pack_multimodal_sequences) — the VLM analogue of the r9"
+    " mask-through-packing gap, closed: packing that preserves BOTH"
+    " the loss mask and the placeholder->asset binding (z84's"
+    " contract: the i-th <img> placeholder binds the i-th asset id;"
+    " a conversation split across sequence boundaries must hand"
+    " each sequence exactly the assets whose placeholders landed in"
+    " it, in order — a broken binding splices the WRONG image into"
+    " a placeholder, silently). Planted: three conversation shapes"
+    " over the real corpus — leading+trailing image (assets 2d,"
+    " 2d+1), text-only, trailing image — packed at seq_len 32 with"
+    " an unsupervised EOS; placeholders/EOS never supervised."
+    " Scale: identical to z73 masked packing — per-token refs built"
+    " map-only (placeholder positions bound as a projected"
+    " image-sized array), one triple zip through the same span"
+    " arithmetic, manifest = one filter; no extra shuffle, no UDF."
+    " Oracle: TRIPLE-array slice arithmetic + windowed placeholder"
+    " ordinals in DuckDB, hash-exact incl. all three arrays",
+)
+def z120_multimodal_pack(spark, sf_dir):
+    from topn_spark.operators.pipeline import (
+        pack_multimodal_sequences,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    d = F.col("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(d < 400)
+        .select(
+            "doc_id",
+            F.coalesce(
+                tokens("text"), F.array().cast("array<string>")
+            ).alias("w"),
+        )
+    )
+    img = F.array(F.lit("<img>"))
+    toks = (
+        F.when(d % 3 == 0, F.concat(img, F.col("w"), img))
+        .when(d % 3 == 1, F.col("w"))
+        .otherwise(F.concat(F.col("w"), img))
+    )
+    assets = (
+        F.when(d % 3 == 0, F.array(d * 2, d * 2 + 1))
+        .when(d % 3 == 1, F.array().cast("array<bigint>"))
+        .otherwise(F.array(d * 2))
+    )
+    planted = docs.select(
+        "doc_id", toks.alias("tokens"), assets.alias("asset_ids")
+    ).withColumn(
+        "loss_mask",
+        F.transform(
+            "tokens",
+            lambda t: (t != "<img>") & (F.length(t) >= 4),
+        ),
+    )
+    return pack_multimodal_sequences(
+        planted,
+        id_col="doc_id",
+        order_col="doc_id",
+        seq_len=32,
+        image_token="<img>",
+        sep_token="</s>",
+    ).orderBy("seq_id")
