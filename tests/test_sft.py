@@ -968,3 +968,52 @@ def test_bt_calibration_bins_and_ece(spark):
     # ECE = sum of contribs, bounded by the worst bin gap
     ece = sum(r.ece_contrib for r in cal)
     assert 0.0 <= ece <= max(r.abs_gap for r in cal) + 1e-9
+
+
+def test_bradley_terry_bootstrap_cis_and_determinism(spark):
+    import pytest as _pytest
+
+    from topn_spark.operators.sft import (
+        bradley_terry_bootstrap,
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    df = _arena_samples(spark)
+    out = bradley_terry_bootstrap(df, n_boot=50).collect()
+    by = {r.model: r for r in out}
+    fit = {
+        r.model: r.rating
+        for r in bradley_terry_fit(
+            pairwise_winrate(df), smoothing=0.5
+        ).collect()
+    }
+    for m, r in by.items():
+        # point estimate IS the plain fit on the original sample
+        assert abs(r.rating - fit[m]) < 1e-9
+        assert r.rating_lo <= r.rating <= r.rating_hi
+        assert r.n_boot == 50
+    # strong separation: the dominant model's LOWER bound clears the
+    # runner-up's UPPER bound
+    assert by["m0"].rating_lo > by["m1"].rating_hi
+    assert by["m1"].rating_lo > by["m2"].rating_hi
+    # deterministic resampling: bit-identical re-run
+    again = {
+        r.model: r
+        for r in bradley_terry_bootstrap(df, n_boot=50).collect()
+    }
+    for m in by:
+        assert again[m].rating_lo == by[m].rating_lo
+        assert again[m].rating_hi == by[m].rating_hi
+    # a different salt draws different replicates
+    salted = {
+        r.model: r
+        for r in bradley_terry_bootstrap(
+            df, n_boot=50, salt="x"
+        ).collect()
+    }
+    assert any(
+        salted[m].rating_lo != by[m].rating_lo for m in by
+    )
+    with _pytest.raises(ValueError, match="smoothing must be > 0"):
+        bradley_terry_bootstrap(df, smoothing=0.0)

@@ -1705,18 +1705,55 @@ def bradley_terry_fit(
         ),
         key=lambda t: (t[0], t[1]),
     )
-    models = sorted({m for r in rows for m in (r[0], r[1])})
-    idx = {m: i for i, m in enumerate(models)}
-    k = len(models)
     schema = (
         "model string, strength double, rating double,"
         " wins_eff double, n_games double, n_iter int,"
         " converged boolean"
     )
-    if k == 0:
+    if not rows:
         # empty matrix (e.g. deploy-phase schema propagation):
         # empty ratings frame, correct schema, nothing executed
         return matrix.sparkSession.createDataFrame([], schema)
+    models, pi, wins, games, n_iter, converged = _bt_mm_core(
+        rows, smoothing, max_iter, tol
+    )
+    k = len(models)
+    spark = matrix.sparkSession
+    out = [
+        (
+            models[i],
+            pi[i],
+            400.0 * math.log10(pi[i]),
+            wins[i],
+            games[i],
+            n_iter,
+            converged,
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(out, schema).orderBy(
+        F.col("rating").desc(), F.col("model").asc()
+    )
+
+
+def _bt_mm_core(
+    rows: list,
+    smoothing: float,
+    max_iter: int,
+    tol: float,
+    caller: str = "bradley_terry_fit",
+):
+    """Hunter-MM Bradley–Terry core shared by the point fit and the
+    bootstrap: ``rows`` is a sorted list of ``(model_a, model_b,
+    wins_a, wins_b, ties)`` (ints for the point fit, weighted floats
+    for bootstrap replicates). Returns ``(models, pi, wins, games,
+    n_iter, converged)`` with the per-sweep geometric-mean-1 anchor —
+    the deterministic contract both callers share."""
+    import math
+
+    models = sorted({m for r in rows for m in (r[0], r[1])})
+    idx = {m: i for i, m in enumerate(models)}
+    k = len(models)
     # effective directed wins (ties half, symmetric smoothing)
     w = [[0.0] * k for _ in range(k)]
     for ma, mb, wa, wb, t in rows:
@@ -1730,7 +1767,7 @@ def bradley_terry_fit(
     zero = [models[i] for i in range(k) if wins[i] <= 0.0]
     if zero:
         raise ValueError(
-            "bradley_terry_fit: model(s) with zero effective wins "
+            f"{caller}: model(s) with zero effective wins "
             f"{zero} — the MLE strength is 0 (rating -inf); pass "
             "smoothing > 0 to regularize"
         )
@@ -1755,20 +1792,184 @@ def bradley_terry_fit(
         if delta < tol:
             converged = True
             break
-    spark = matrix.sparkSession
-    out = [
-        (
-            models[i],
-            pi[i],
-            400.0 * math.log10(pi[i]),
-            wins[i],
-            games[i],
-            n_iter,
-            converged,
+    return models, pi, wins, games, n_iter, converged
+
+
+#: cumulative Poisson(1) CDF, P(X <= k) for k = 0..6 — the inverse-CDF
+#: table the deterministic bootstrap weights are drawn through (weights
+#: above 7 have probability < 1e-4 and are capped). The EXACT constants
+#: are part of the reproducibility contract (oracle mirrors them).
+POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def bradley_terry_bootstrap(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    model_col: str = "model",
+    score_col: str = "score",
+    n_boot: int = 100,
+    smoothing: float = 0.5,
+    max_iter: int = 1000,
+    tol: float = 1e-12,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "",
+) -> DataFrame:
+    """Bradley–Terry ratings WITH bootstrap confidence intervals —
+    the arena-leaderboard shape (a rating without its interval is
+    misread the moment two models are 10 points apart on 50
+    prompts): the prompt-level bootstrap standard in public arena
+    methodology, run DISTRIBUTED via deterministic Poisson(1)
+    resampling weights (the classic Poisson-bootstrap approximation
+    of multinomial resampling — each prompt's weight in replicate b
+    is an inverse-CDF draw through :data:`POISSON1_CDF` from the
+    uniform ``md5(prompt‖':'‖b‖salt)``, so every run/engine
+    reproduces the same replicates). Replicate ``-1`` is the
+    original sample (weight 1 everywhere) and provides the point
+    estimate; ``rating_lo``/``rating_hi`` are the nearest-rank
+    ``lo``/``hi`` quantiles over the ``n_boot`` replicate ratings
+    (sorted; index ``floor(lo*(B-1))`` / ``ceil(hi*(B-1))`` — a
+    fixed, engine-stable rule). ``smoothing`` must be positive: a
+    bootstrap replicate routinely resamples away a model's every
+    win, and the fit on that replicate must stay finite.
+
+    Returns ``(model, strength, rating, rating_lo, rating_hi,
+    n_games, n_boot)`` sorted by rating descending.
+
+    Scale shape: the data-sized work is one (prompt, model) max-agg
+    and ONE prompt-keyed self-join exploding in MODELS (exactly
+    :func:`pairwise_winrate`); the replicate explode happens on the
+    already-reduced (prompt, pair) outcome rows and feeds a
+    map-side-combinable hash agg, so the shuffle carries at most
+    ``(n_boot+1)·k²`` rows per task — replicate matrices, never
+    data. The ``n_boot+1`` driver MM fits run on k²-sized
+    statistics (:func:`_bt_mm_core`, the z117 core)."""
+    import math
+
+    if not float(smoothing) > 0:
+        raise ValueError(
+            "bradley_terry_bootstrap: smoothing must be > 0 — a "
+            "bootstrap replicate can resample away all of a model's "
+            "wins, and its fit must stay finite"
         )
-        for i in range(k)
-    ]
-    return spark.createDataFrame(out, schema).orderBy(
+    best = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(prompt_col, model_col)
+        .agg(F.max(F.col(score_col).cast("double")).alias("_s"))
+    )
+    a = best.select(
+        F.col(prompt_col).alias("_p"),
+        F.col(model_col).alias("model_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = best.select(
+        F.col(prompt_col).alias("_p"),
+        F.col(model_col).alias("model_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = (
+        a.join(b, "_p")
+        .where(F.col("model_a") < F.col("model_b"))
+        .select(
+            "_p",
+            "model_a",
+            "model_b",
+            (F.col("_sa") > F.col("_sb")).cast("double").alias("_wa"),
+            (F.col("_sa") < F.col("_sb")).cast("double").alias("_wb"),
+            (F.col("_sa") == F.col("_sb")).cast("double").alias("_t"),
+        )
+    )
+    rep = pairs.withColumn(
+        "_b",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_p").cast("string"),
+                    F.lit(":"),
+                    F.col("_b").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(4294967296.0)
+    wexpr = F.lit(len(POISSON1_CDF)).cast("double")
+    for kk in range(len(POISSON1_CDF) - 1, -1, -1):
+        wexpr = F.when(
+            u < F.lit(POISSON1_CDF[kk]), F.lit(float(kk))
+        ).otherwise(wexpr)
+    weight = F.when(F.col("_b") == -1, F.lit(1.0)).otherwise(wexpr)
+    mats = (
+        rep.withColumn("_w", weight)
+        .groupBy("_b", "model_a", "model_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_wa")).alias("wins_a"),
+            F.sum(F.col("_w") * F.col("_wb")).alias("wins_b"),
+            F.sum(F.col("_w") * F.col("_t")).alias("ties"),
+        )
+        .collect()
+    )
+    schema = (
+        "model string, strength double, rating double,"
+        " rating_lo double, rating_hi double, n_games double,"
+        " n_boot int"
+    )
+    if not mats:
+        # no pair ever shares a scored prompt: nothing to rate
+        return df.sparkSession.createDataFrame([], schema)
+    by_rep: dict = {}
+    for r in mats:
+        by_rep.setdefault(int(r["_b"]), []).append(
+            (
+                r["model_a"], r["model_b"], float(r["wins_a"]),
+                float(r["wins_b"]), float(r["ties"]),
+            )
+        )
+    for bb in by_rep:
+        by_rep[bb].sort(key=lambda t: (t[0], t[1]))
+    models, pi, wins, games, _, _ = _bt_mm_core(
+        by_rep[-1], smoothing, max_iter, tol,
+        caller="bradley_terry_bootstrap",
+    )
+    ratings = {m: [] for m in models}
+    for bb in range(int(n_boot)):
+        bm, bpi, _, _, _, _ = _bt_mm_core(
+            by_rep[bb], smoothing, max_iter, tol,
+            caller="bradley_terry_bootstrap",
+        )
+        for i, m in enumerate(bm):
+            ratings[m].append(400.0 * math.log10(bpi[i]))
+    i_lo = int(math.floor(lo * (int(n_boot) - 1)))
+    i_hi = int(math.ceil(hi * (int(n_boot) - 1)))
+    out = []
+    for i, m in enumerate(models):
+        rs = sorted(ratings[m])
+        out.append(
+            (
+                m,
+                pi[i],
+                400.0 * math.log10(pi[i]),
+                rs[i_lo],
+                rs[i_hi],
+                games[i],
+                int(n_boot),
+            )
+        )
+    return df.sparkSession.createDataFrame(out, schema).orderBy(
         F.col("rating").desc(), F.col("model").asc()
     )
 

@@ -15611,3 +15611,186 @@ def z120_multimodal_pack(spark, sf_dir):
         image_token="<img>",
         sep_token="</s>",
     ).orderBy("seq_id")
+
+
+def _z121_bt_bootstrap_exact(con):
+    """Independent mirror of the distributed Poisson bootstrap over
+    the z113 plant: per-(prompt, pair) outcomes from DuckDB SQL, the
+    SAME md5(prompt:b) inverse-CDF Poisson(1) weights, a dict-keyed
+    MM fit per replicate (different accumulation order than the
+    operator's sorted-list core), the same nearest-rank quantile
+    rule. Tolerance 1e-9 (MM summation order)."""
+    import hashlib
+    import math
+
+    from topn_spark.operators.sft import POISSON1_CDF
+
+    rows = con.execute(
+        r"""WITH s AS (
+  SELECT (doc_id // 8) AS prompt_id,
+    'm' || (doc_id % 4) AS model,
+    CASE WHEN doc_id % 4 = 3 AND (doc_id // 8) % 3 = 0 THEN NULL
+         ELSE CAST((doc_id * 7) % 29 AS DOUBLE)
+           + CASE doc_id % 4 WHEN 0 THEN 10 ELSE 0 END
+    END AS score
+  FROM documents WHERE doc_id < 480),
+best AS (
+  SELECT prompt_id, model, MAX(score) AS sc
+  FROM s WHERE score IS NOT NULL GROUP BY prompt_id, model)
+SELECT a.prompt_id, a.model, b.model,
+  CAST(CASE WHEN a.sc > b.sc THEN 1 ELSE 0 END AS DOUBLE),
+  CAST(CASE WHEN a.sc < b.sc THEN 1 ELSE 0 END AS DOUBLE),
+  CAST(CASE WHEN a.sc = b.sc THEN 1 ELSE 0 END AS DOUBLE)
+FROM best a JOIN best b
+  ON a.prompt_id = b.prompt_id AND a.model < b.model"""
+    ).fetchall()
+    n_boot, smoothing, salt = 50, 0.5, "z121"
+
+    def pweight(p, b):
+        if b == -1:
+            return 1.0
+        u = int(
+            hashlib.md5(f"{p}:{b}{salt}".encode()).hexdigest()[:8],
+            16,
+        ) / 4294967296.0
+        for kk, c in enumerate(POISSON1_CDF):
+            if u < c:
+                return float(kk)
+        return float(len(POISSON1_CDF))
+
+    def mm_fit(w):
+        models = sorted({a for a, _ in w})
+        pi = {m: 1.0 for m in models}
+        wins = {
+            i: sum(v for (a, _), v in w.items() if a == i)
+            for i in models
+        }
+        for _ in range(1000):
+            new = {}
+            for i in models:
+                den = sum(
+                    (w[(i, j)] + w[(j, i)]) / (pi[i] + pi[j])
+                    for j in models
+                    if (i, j) in w
+                )
+                new[i] = wins[i] / den
+            gm = math.exp(
+                sum(math.log(v) for v in new.values()) / len(models)
+            )
+            new = {m: v / gm for m, v in new.items()}
+            delta = max(
+                abs(math.log(new[m]) - math.log(pi[m]))
+                for m in models
+            )
+            pi = new
+            if delta < 1e-12:
+                break
+        return pi, wins
+
+    reps: dict = {}
+    for b in range(-1, n_boot):
+        w: dict = {}
+        for p, ma, mb, wa, wb, t in rows:
+            wt = pweight(p, b)
+            w[(ma, mb)] = (
+                w.get((ma, mb), 0.0) + wt * wa + wt * t / 2 + 0.0
+            )
+            w[(mb, ma)] = (
+                w.get((mb, ma), 0.0) + wt * wb + wt * t / 2 + 0.0
+            )
+        # smoothing applies once per observed PAIR (both directions)
+        pairs = {(a, c) for (a, c) in w}
+        for key in pairs:
+            w[key] += smoothing
+        reps[b] = mm_fit(w)
+    pi0, wins0 = reps[-1]
+    models = sorted(pi0)
+    # games = wins_eff(m) + losses_eff(m): recompute directly
+    w0: dict = {}
+    for p, ma, mb, wa, wb, t in rows:
+        w0[(ma, mb)] = w0.get((ma, mb), 0.0) + wa + t / 2
+        w0[(mb, ma)] = w0.get((mb, ma), 0.0) + wb + t / 2
+    for key in {(a, c) for (a, c) in w0}:
+        w0[key] += smoothing
+    games = {
+        m: sum(
+            w0[(m, j)] + w0[(j, m)]
+            for j in models
+            if (m, j) in w0
+        )
+        for m in models
+    }
+    ratings = {
+        m: sorted(
+            400.0 * math.log10(reps[b][0][m]) for b in range(n_boot)
+        )
+        for m in models
+    }
+    i_lo = int(math.floor(0.025 * (n_boot - 1)))
+    i_hi = int(math.ceil(0.975 * (n_boot - 1)))
+    out = [
+        (
+            m,
+            pi0[m],
+            400.0 * math.log10(pi0[m]),
+            ratings[m][i_lo],
+            ratings[m][i_hi],
+            games[m],
+            n_boot,
+        )
+        for m in models
+    ]
+    return (
+        ["model", "strength", "rating", "rating_lo", "rating_hi",
+         "n_games", "n_boot"],
+        out,
+    )
+
+
+@query(
+    "z121_bt_bootstrap",
+    None,
+    tol_oracle=_z121_bt_bootstrap_exact,
+    tolerance=1e-9,
+    tol_keys=("model",),
+    doc="BRADLEY–TERRY RATINGS WITH BOOTSTRAP CONFIDENCE INTERVALS"
+    " (operators/sft.py::bradley_terry_bootstrap) — the arena-"
+    "leaderboard shape (a rating without its interval is misread"
+    " the moment two models sit 10 points apart on 50 prompts):"
+    " prompt-level bootstrap run DISTRIBUTED via deterministic"
+    " Poisson(1) resampling weights — each prompt's weight in"
+    " replicate b is an inverse-CDF draw through the fixed"
+    " POISSON1_CDF table from uniform md5(prompt:b:salt), so every"
+    " run/engine reproduces the same replicates; replicate -1 is"
+    " the original sample (point estimate = the z117 fit);"
+    " nearest-rank 2.5%/97.5% quantiles. Planted: the z113 fixture,"
+    " 50 replicates. Scale: the replicate explode happens on the"
+    " already-reduced (prompt, pair) outcome rows and feeds a"
+    " map-side-combinable agg — the shuffle carries (B+1)·k² rows,"
+    " never data; B+1 driver MM fits on k² statistics. Oracle:"
+    " independent Python mirror (same md5 weights, dict-keyed MM),"
+    " tolerance 1e-9",
+)
+def z121_bt_bootstrap(spark, sf_dir):
+    from topn_spark.operators.sft import bradley_terry_bootstrap
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 480
+    )
+    d = F.col("doc_id")
+    p = (d / 8).cast("bigint")
+    score = F.when(
+        (d % 4 == 3) & (p % 3 == 0), F.lit(None).cast("double")
+    ).otherwise(
+        ((d * 7) % 29).cast("double")
+        + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+    )
+    samples = docs.select(
+        p.alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        d.alias("sample_id"),
+        score.alias("score"),
+    )
+    return bradley_terry_bootstrap(
+        samples, n_boot=50, salt="z121"
+    ).orderBy("model")
