@@ -257,3 +257,61 @@ def test_idx_header_layout(spark, tmp_path):
     (n,) = struct.unpack_from("<Q", raw, 20)
     assert version == 1 and code == 2 and has_mask == 1
     assert n == packed.count()
+
+
+# ------------------------------------------------- epoch ordering
+
+
+def test_epoch_order_permutation_and_determinism(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        export_epoch_order,
+        read_epoch_order,
+    )
+
+    out = str(tmp_path / "shards_ep")
+    packed = _packed(spark)
+    export_bin_shards(packed, out, 3)
+    man = {
+        r.shard: r
+        for r in export_epoch_order(spark, out, epoch=0).collect()
+    }
+    # every shard gets a position; positions are a permutation
+    assert sorted(r.shard_pos for r in man.values()) == list(
+        range(len(man))
+    )
+    back = read_epoch_order(spark, out, epoch=0)
+    rows = back.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for k, rs in by_shard.items():
+        # a true permutation of 0..n_seqs-1
+        assert sorted(x.seq_index for x in rs) == list(range(len(rs)))
+        assert man[k].n_seqs == len(rs)
+        # and NOT the identity order (shuffled), for non-tiny shards
+        if len(rs) > 4:
+            ordered = [
+                x.seq_index
+                for x in sorted(rs, key=lambda y: y.position)
+            ]
+            assert ordered != sorted(ordered)
+    # every epoch-order position dereferences a real sequence
+    seqs = read_bin_shards(spark, out).select(
+        "shard", F.col("seq_index").alias("si")
+    )
+    joined = back.join(
+        seqs,
+        (back.shard == seqs.shard) & (back.seq_index == seqs.si),
+    )
+    assert joined.count() == len(rows)
+    # deterministic re-export: identical bytes
+    import os as _os
+
+    f = _os.path.join(out, "shard_00000.ep0000")
+    b1 = open(f, "rb").read()
+    export_epoch_order(spark, out, epoch=0)
+    assert open(f, "rb").read() == b1
+    # a different epoch is a different permutation
+    export_epoch_order(spark, out, epoch=1)
+    b2 = open(_os.path.join(out, "shard_00000.ep0001"), "rb").read()
+    assert b2 != b1

@@ -907,3 +907,57 @@ def test_drift_monitor_sink_detects_shift(spark, tmp_path):
     assert b2.drifted is True
     assert abs(b2.js_divergence - math.log(2)) < 1e-9
     assert b2.vocab_shared == 0
+
+
+def test_arena_monitor_sink_tracks_ratings(spark, tmp_path):
+    """Streaming arena monitor: per-batch win matrices and BT
+    ratings under batch_id partitions; a regressed model shows up
+    in the rating history; replay after restart stays idempotent."""
+    from topn_spark.streaming.ingest import arena_monitor_sink
+
+    src = str(tmp_path / "arena_src")
+    out = str(tmp_path / "arena")
+    ck = str(tmp_path / "arena_ck")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "prompt_id long, model string, score double",
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "prompt_id long, model string, score double"
+        ).parquet(src)
+        q = arena_monitor_sink(stream, out, ck)
+        q.awaitTermination(120)
+
+    # batch 1: mA dominates mB on every shared prompt
+    write_batch(
+        [(p, "mA", 9.0) for p in range(10)]
+        + [(p, "mB", 1.0) for p in range(10)]
+    )
+    run()
+    # batch 2: mB now wins everything — the regression signal
+    write_batch(
+        [(p, "mA", 1.0) for p in range(100, 110)]
+        + [(p, "mB", 9.0) for p in range(100, 110)]
+    )
+    run()
+
+    hist = spark.read.parquet(f"{out}/ratings").collect()
+    by = {(r.batch_id, r.model): r for r in hist}
+    b1, b2 = min(r.batch_id for r in hist), max(
+        r.batch_id for r in hist
+    )
+    assert by[(b1, "mA")].rating > by[(b1, "mB")].rating
+    assert by[(b2, "mB")].rating > by[(b2, "mA")].rating
+    assert all(r.converged for r in hist)
+    mat = spark.read.parquet(f"{out}/matrix").collect()
+    m1 = [r for r in mat if r.batch_id == b1][0]
+    assert (m1.model_a, m1.wins_a, m1.wins_b) == ("mA", 10, 0)
+    # restart with the same checkpoint and no new data: no dupes
+    run()
+    assert len(spark.read.parquet(f"{out}/ratings").collect()) == len(
+        hist
+    )

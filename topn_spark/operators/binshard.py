@@ -680,3 +680,148 @@ def verify_bin_shards(
                 yield pd.DataFrame(out)
 
     return _shard_frame(spark, out_dir).mapInPandas(_verify, schema)
+
+
+# ------------------------------------------------------------------
+# epoch ordering
+# ------------------------------------------------------------------
+
+def export_epoch_order(
+    spark: SparkSession,
+    out_dir: str,
+    epoch: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-epoch consumption order for a binary shard
+    set — the dataloader's missing half (trainers that memory-map
+    ``.bin``/``.idx`` shards consume a PERMUTATION per epoch; doing
+    the shuffle at training time either costs a global index the
+    size of the corpus or silently repeats the storage order): the
+    standard two-level shuffle, materialized — a salted-md5
+    permutation OF the shards (epoch-level macro order) and, inside
+    every shard, a salted-md5 permutation of its sequences, written
+    as one little-endian uint32 file ``shard_<k>.ep<epoch>`` per
+    shard (the trainer walks shards in macro order and within each
+    shard follows its permutation file — two O(1)-memory reads, no
+    corpus-sized index anywhere). Same epoch+salt → byte-identical
+    files; a new epoch is a fresh permutation (the
+    :func:`~topn_spark.operators.pipeline.epoch_shuffle` contract,
+    at the binary layer). Returns the epoch manifest —
+    ``(shard, shard_pos, n_seqs)`` — also written to
+    ``_epoch_<epoch>`` parquet beside the shards.
+
+    Scale shape: one task per shard (the verify shape), each writing
+    its own permutation file from its ``.idx`` sequence count —
+    nothing data-sized on the driver; the macro shard order is
+    model-sized arithmetic over the manifest."""
+    import hashlib
+
+    man = (
+        spark.read.parquet(os.path.join(out_dir, "_manifest"))
+        .select("shard", "n_seqs")
+        .collect()
+    )
+    def shard_key(k):
+        return hashlib.md5(
+            f"{int(epoch)}:{int(k)}{salt}".encode()
+        ).hexdigest()
+
+    order = sorted(
+        (int(r["shard"]) for r in man), key=lambda k: (shard_key(k), k)
+    )
+    pos = {k: i for i, k in enumerate(order)}
+    rows = [
+        (int(r["shard"]), pos[int(r["shard"])], int(r["n_seqs"]))
+        for r in man
+    ]
+    schema = "shard int, shard_pos int, n_seqs bigint"
+    work = spark.createDataFrame(rows, schema).repartition(
+        max(len(rows), 1), "shard"
+    )
+
+    def _write(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                k, n = int(r.shard), int(r.n_seqs)
+                keys = [
+                    (
+                        hashlib.md5(
+                            f"{int(epoch)}:{k}:{i}{salt}".encode()
+                        ).hexdigest(),
+                        i,
+                    )
+                    for i in range(n)
+                ]
+                keys.sort()
+                perm = np.asarray(
+                    [i for _, i in keys], dtype="<u4"
+                )
+                with open(
+                    os.path.join(
+                        out_dir,
+                        f"shard_{k:05d}.ep{int(epoch):04d}",
+                    ),
+                    "wb",
+                ) as f:
+                    f.write(perm.tobytes())
+                out.append(
+                    {
+                        "shard": k,
+                        "shard_pos": int(r.shard_pos),
+                        "n_seqs": n,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    got = work.mapInPandas(_write, schema).collect()
+    ep = spark.createDataFrame(got, schema)
+    ep.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+    )
+    return spark.createDataFrame(got, schema).orderBy("shard")
+
+
+def read_epoch_order(
+    spark: SparkSession, out_dir: str, epoch: int
+) -> DataFrame:
+    """Read an :func:`export_epoch_order` epoch back as
+    ``(shard, shard_pos, position, seq_index)`` — ``position`` is
+    the within-shard visit order, ``seq_index`` the stored sequence
+    it dereferences (the :func:`read_bin_shards` index). One task
+    per shard; the round-trip pytest checks each file is a true
+    permutation of ``0..n_seqs-1``."""
+    schema = (
+        "shard int, shard_pos int, position bigint, seq_index bigint"
+    )
+    ep = spark.read.parquet(
+        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+    )
+    work = ep.repartition(
+        max(ep.count(), 1), "shard"
+    )
+
+    def _read(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                k = int(r.shard)
+                perm = np.fromfile(
+                    os.path.join(
+                        out_dir,
+                        f"shard_{k:05d}.ep{int(epoch):04d}",
+                    ),
+                    dtype="<u4",
+                )
+                yield pd.DataFrame(
+                    {
+                        "shard": k,
+                        "shard_pos": int(r.shard_pos),
+                        "position": np.arange(
+                            len(perm), dtype="int64"
+                        ),
+                        "seq_index": perm.astype("int64"),
+                    }
+                )
+
+    return work.mapInPandas(_read, schema)

@@ -15794,3 +15794,103 @@ def z121_bt_bootstrap(spark, sf_dir):
     return bradley_terry_bootstrap(
         samples, n_boot=50, salt="z121"
     ).orderBy("model")
+
+
+@query(
+    "z122_epoch_order",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_append(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)), 0) AS toks
+  FROM documents WHERE doc_id < 300
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+c AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+q AS (
+  SELECT DISTINCT u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+sh AS (
+  SELECT seq_id,
+    CAST(CAST(('0x' || substring(md5(CAST(seq_id AS VARCHAR)
+      || 'z122s'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM q),
+idx AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+      AS BIGINT) AS seq_index
+  FROM sh),
+sp AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (
+      ORDER BY md5('0:' || CAST(shard AS VARCHAR) || 'z122'),
+               shard) - 1 AS INT) AS shard_pos
+  FROM (SELECT DISTINCT shard FROM idx))
+SELECT i.shard, sp.shard_pos,
+  CAST(ROW_NUMBER() OVER (PARTITION BY i.shard
+    ORDER BY md5('0:' || CAST(i.shard AS VARCHAR) || ':'
+      || CAST(i.seq_index AS VARCHAR) || 'z122'),
+      i.seq_index) - 1 AS BIGINT) AS position,
+  i.seq_index
+FROM idx i JOIN sp ON i.shard = sp.shard
+ORDER BY i.shard ASC, position ASC""",
+    doc="PER-EPOCH BINARY CONSUMPTION ORDER (operators/binshard.py"
+    "::export_epoch_order/read_epoch_order) — the dataloader's"
+    " missing half: trainers consuming memory-mapped .bin/.idx"
+    " shards need a fresh PERMUTATION per epoch without a"
+    " corpus-sized global index; this materializes the standard"
+    " two-level shuffle — a salted-md5 permutation OF the shards"
+    " plus a salted-md5 within-shard permutation written as one"
+    " little-endian uint32 file per shard per epoch (byte-identical"
+    " on re-run; a new epoch/salt is a fresh permutation — the z88"
+    " epoch_shuffle contract at the binary layer). The entry RUNS"
+    " pack+export+epoch-export to disk and returns the read-back"
+    " order. Scale: one task per shard writing its own permutation"
+    " file (the verify shape); macro order is model-sized"
+    " arithmetic. Oracle: identical md5 permutation arithmetic in"
+    " DuckDB over the same shard layout, hash-exact",
+)
+def z122_epoch_order(spark, sf_dir):
+    import os
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        export_epoch_order,
+        read_epoch_order,
+    )
+    from topn_spark.operators.pipeline import pack_masked_sequences
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", tokens("text").alias("tokens"))
+        .where(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                "tokens", lambda t: F.length(t).cast("bigint")
+            ).alias("tokens"),
+            F.transform(
+                "tokens", lambda t: F.length(t) >= 4
+            ).alias("loss_mask"),
+        )
+    )
+    packed = pack_masked_sequences(
+        docs,
+        id_col="doc_id",
+        order_col="doc_id",
+        seq_len=32,
+        sep_token=0,
+    )
+    out_dir = f"/tmp/topn_z122_{os.path.basename(sf_dir.rstrip('/'))}"
+    export_bin_shards(packed, out_dir, 4, salt="z122s")
+    export_epoch_order(spark, out_dir, epoch=0, salt="z122")
+    return read_epoch_order(spark, out_dir, epoch=0).orderBy(
+        "shard", "position"
+    )

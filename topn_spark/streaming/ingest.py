@@ -1263,3 +1263,94 @@ def drift_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def arena_monitor_batch(
+    batch: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    prompt_col: str = "prompt_id",
+    model_col: str = "model",
+    score_col: str = "score",
+    smoothing: float = 0.5,
+) -> None:
+    """Arena-rating monitor for one micro-batch of scored samples —
+    the streaming readout of the z113→z117 chain (an evaluation
+    service streams (prompt, model, score) rows; the time to notice
+    a model regressing — or a scorer drifting — is AT INGEST, per
+    batch, not at the next weekly leaderboard build): compute the
+    batch's pairwise win-rate matrix and its Bradley–Terry fit
+    (``smoothing`` keeps every per-batch fit finite) and append one
+    row per model — ``(batch_id, model, strength, rating, wins_eff,
+    n_games, converged)`` — plus the matrix itself under
+    ``batch_id=<N>`` partitions: the same exactly-once replay
+    contract as the other gates (a replayed epoch overwrites its own
+    partition, never duplicates). Batches whose samples share no
+    prompt across two models append nothing — observable as a
+    missing batch partition, never a fabricated rating.
+
+    Scale shape: per batch, the z113 shapes (max-agg + model-keyed
+    self-join + k²-agg) and a driver MM fit on the k² statistic —
+    per-batch cost, nothing data-sized on the driver."""
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    matrix = pairwise_winrate(
+        batch, prompt_col=prompt_col, model_col=model_col,
+        score_col=score_col,
+    ).persist()
+    try:
+        fit = bradley_terry_fit(matrix, smoothing=smoothing)
+        rows = fit.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("bigint")
+        ).select(
+            "batch_id", "model", "strength", "rating",
+            "wins_eff", "n_games", "converged",
+        )
+        rows.write.mode("overwrite").parquet(
+            f"{out_dir}/ratings/batch_id={int(batch_id)}"
+        )
+        matrix.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("bigint")
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/matrix/batch_id={int(batch_id)}"
+        )
+    finally:
+        matrix.unpersist()
+
+
+def arena_monitor_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    prompt_col: str = "prompt_id",
+    model_col: str = "model",
+    score_col: str = "score",
+    smoothing: float = 0.5,
+):
+    """Attach :func:`arena_monitor_batch` to a stream of scored
+    samples: per-batch win matrices and Bradley–Terry ratings under
+    ``batch_id=<N>`` partitions (exactly-once under replay).
+    Returns the started ``StreamingQuery``; read the rating history
+    back with ``spark.read.parquet(f"{out_dir}/ratings")`` and
+    alert on a rating drop."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        arena_monitor_batch(
+            batch,
+            out_dir,
+            int(batch_id),
+            prompt_col=prompt_col,
+            model_col=model_col,
+            score_col=score_col,
+            smoothing=smoothing,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
