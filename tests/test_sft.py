@@ -1017,3 +1017,66 @@ def test_bradley_terry_bootstrap_cis_and_determinism(spark):
     )
     with _pytest.raises(ValueError, match="smoothing must be > 0"):
         bradley_terry_bootstrap(df, smoothing=0.0)
+
+
+def test_length_controlled_winrate_separates_bias_from_quality(spark):
+    from topn_spark.operators.sft import length_controlled_winrate
+
+    # equal true quality, mA longer, judge rewards length: the raw
+    # rate shows an edge, the length-controlled rate must not
+    rows = []
+    for p in range(200):
+        la = 200 + (p * 37) % 300
+        lb = 150 + (p * 53) % 200
+        sa = 0.004 * la + ((p * 13) % 11) * 0.3
+        sb = 0.004 * lb + ((p * 29) % 11) * 0.3
+        rows.append((p, "mA", sa, "x" * la))
+        rows.append((p, "mB", sb, "x" * lb))
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, model string, score double, response string",
+    )
+    [r] = length_controlled_winrate(df).collect()
+    assert r.raw_winrate_a > 0.55
+    assert abs(r.lc_winrate_a - 0.5) < 0.05
+    assert r.beta_len > 0 and r.converged
+    # genuinely better AND longer: lc stays clearly above 0.5
+    rows2 = []
+    for p in range(200):
+        la = 250 + (p * 37) % 200
+        lb = 150 + (p * 53) % 200
+        sa = 2.0 + 0.004 * la + ((p * 13) % 11) * 0.3
+        sb = 0.004 * lb + ((p * 29) % 11) * 0.3
+        rows2.append((p, "mA", sa, "x" * la))
+        rows2.append((p, "mB", sb, "x" * lb))
+    [r2] = length_controlled_winrate(
+        spark.createDataFrame(
+            rows2,
+            "prompt_id long, model string, score double,"
+            " response string",
+        )
+    ).collect()
+    assert r2.lc_winrate_a > 0.75
+    assert r2.lc_winrate_a < r2.raw_winrate_a
+
+
+def test_length_controlled_winrate_edge_contracts(spark):
+    from topn_spark.operators.sft import length_controlled_winrate
+
+    # all outcomes tied -> excluded; zero length variance -> beta 0
+    rows = [
+        (p, m, 5.0 if p < 3 else float(p % 2 + (m == "a")), "xxxx")
+        for p in range(10)
+        for m in ("a", "b")
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, model string, score double, response string",
+    )
+    [r] = length_controlled_winrate(df).collect()
+    assert r.n_ties == 3 and r.n_pairs == 7
+    assert r.beta_len == 0.0  # constant length: no length signal
+    # empty input -> empty frame with the right schema
+    empty = length_controlled_winrate(df.where("score IS NULL"))
+    assert empty.count() == 0
+    assert "lc_winrate_a" in empty.columns

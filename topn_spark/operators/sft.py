@@ -2090,3 +2090,222 @@ def bt_calibration(
         )
         .orderBy("bin")
     )
+
+
+def length_controlled_winrate(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    model_col: str = "model",
+    score_col: str = "score",
+    response_col: str = "response",
+    max_iter: int = 25,
+    tol: float = 1e-10,
+    l2: float = 1.0,
+) -> DataFrame:
+    """Length-controlled win rate per model pair — the arena
+    correction for the best-documented judge bias (longer answers
+    win more regardless of quality; AlpacaEval 2 made the
+    length-controlled variant the headline number): per pair, a
+    two-parameter logistic fit ``P(a beats b) = sigmoid(b0 + b1·z)``
+    over the pair's shared non-tied prompts, where ``z`` is the
+    response-length gap SCALED by the pair's sample std (scale-only
+    — not centered, so the intercept's reference point stays at a
+    zero gap), reported as ``lc_winrate_a = sigmoid(b0)`` — the win
+    probability AT ZERO length gap — beside the raw rate; the gap
+    between them is the length bias the raw number hides, and
+    ``beta_len`` is its direction/strength. Per (prompt, model) the
+    best-of-n row is reduced first (max score; score ties take the
+    SHORTEST response — deterministic without an id column). Tied
+    pair outcomes carry no win signal for a logistic and are
+    excluded (counted in ``n_ties``, observable). Pairs whose
+    length gaps have zero variance keep ``beta_len = 0`` (no
+    length signal exists) and fit the intercept only. The fit is
+    RIDGE-regularized (``l2``, an absolute penalty ``l2·‖β‖²/2`` —
+    the sklearn-default-C equivalent the public length-controlled
+    evaluators use): under quasi-separation (a pair whose outcomes
+    the length gap fully explains) an unpenalized MLE diverges and
+    ``sigmoid(b0)`` would saturate to a meaningless 0/1; the
+    penalty keeps every pair's fit finite and comparable.
+
+    Scale shape: the z113 shapes (per-(prompt, model) max-agg + the
+    prompt-keyed pair self-join that explodes in MODELS) produce
+    the pair rows ONCE and persist them; then each Newton iteration
+    is ONE map-side-combinable per-pair aggregate of the 2×2
+    gradient/Hessian sufficient statistics (five sums) with the
+    current coefficients broadcast back as a k²-sized literal frame
+    — the driver solves k² independent 2×2 systems per sweep.
+    Iterations × one agg pass; nothing data-sized on the driver.
+    """
+    import math
+
+    best = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(prompt_col, model_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col).cast("double")).alias("ns"),
+                    F.length(response_col).cast("double").alias("ln"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col(prompt_col).alias("_p"),
+            F.col(model_col).alias("_m"),
+            (-F.col("_b.ns")).alias("_s"),
+            F.col("_b.ln").alias("_l"),
+        )
+    )
+    a = best.select(
+        F.col("_p"),
+        F.col("_m").alias("model_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_l").alias("_la"),
+    )
+    b = best.select(
+        F.col("_p"),
+        F.col("_m").alias("model_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_l").alias("_lb"),
+    )
+    pairs = (
+        a.join(b, "_p")
+        .where(F.col("model_a") < F.col("model_b"))
+        .select(
+            "model_a",
+            "model_b",
+            (F.col("_sa") > F.col("_sb")).alias("_win"),
+            (F.col("_sa") == F.col("_sb")).alias("_tie"),
+            (F.col("_la") - F.col("_lb")).alias("_dx"),
+        )
+    )
+    used = pairs.where(~F.col("_tie")).persist()
+    try:
+        moments = used.groupBy("model_a", "model_b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("_win").cast("bigint"))
+            .cast("bigint")
+            .alias("wins_a"),
+            F.avg("_dx").alias("mx"),
+            F.stddev_samp("_dx").alias("sx"),
+        )
+        ties = (
+            pairs.where(F.col("_tie"))
+            .groupBy("model_a", "model_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ties"))
+        )
+        mrows = {
+            (r["model_a"], r["model_b"]): r
+            for r in moments.collect()
+        }
+        if not mrows:
+            return df.sparkSession.createDataFrame(
+                [],
+                "model_a string, model_b string, n_pairs bigint,"
+                " n_ties bigint, raw_winrate_a double,"
+                " lc_winrate_a double, beta_len double,"
+                " n_iter int, converged boolean",
+            )
+        spark = df.sparkSession
+        mdf = F.broadcast(moments.select("model_a", "model_b", "sx"))
+        # scale-only standardization — NOT centered: sigmoid(b0) must
+        # be the win probability at a ZERO length gap, and removing
+        # the pair's mean gap would move that reference point
+        z = F.when(
+            F.col("sx").isNotNull() & (F.col("sx") > 0),
+            F.col("_dx") / F.col("sx"),
+        ).otherwise(F.lit(0.0))
+        zed = used.join(mdf, ["model_a", "model_b"]).select(
+            "model_a",
+            "model_b",
+            F.col("_win").cast("double").alias("_y"),
+            z.alias("_z"),
+        ).persist()
+        betas = {k: (0.0, 0.0) for k in mrows}
+        n_iter, converged = 0, False
+        for n_iter in range(1, int(max_iter) + 1):
+            bdf = F.broadcast(
+                spark.createDataFrame(
+                    [(ka, kb, b0, b1) for (ka, kb), (b0, b1) in
+                     sorted(betas.items())],
+                    "model_a string, model_b string,"
+                    " _b0 double, _b1 double",
+                )
+            )
+            eta = F.col("_b0") + F.col("_b1") * F.col("_z")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = p * (F.lit(1.0) - p)
+            stats = (
+                zed.join(bdf, ["model_a", "model_b"])
+                .groupBy("model_a", "model_b")
+                .agg(
+                    F.sum(F.col("_y") - p).alias("g0"),
+                    F.sum((F.col("_y") - p) * F.col("_z")).alias("g1"),
+                    F.sum(w).alias("h00"),
+                    F.sum(w * F.col("_z")).alias("h01"),
+                    F.sum(w * F.col("_z") * F.col("_z")).alias("h11"),
+                )
+                .collect()
+            )
+            delta = 0.0
+            new = {}
+            for r in stats:
+                k = (r["model_a"], r["model_b"])
+                b0, b1 = betas[k]
+                # ridge: gradient -= l2*beta, Hessian += l2*I
+                g0 = float(r["g0"]) - float(l2) * b0
+                g1 = float(r["g1"]) - float(l2) * b1
+                h00 = float(r["h00"]) + float(l2)
+                h01 = float(r["h01"])
+                h11 = float(r["h11"]) + float(l2)
+                det = h00 * h11 - h01 * h01
+                if mrows[k]["sx"] is None or not mrows[k]["sx"] > 0:
+                    # zero length variance: intercept-only fit
+                    d0 = g0 / h00 if h00 > 0 else 0.0
+                    d1 = 0.0
+                elif det > 1e-12:
+                    d0 = (h11 * g0 - h01 * g1) / det
+                    d1 = (h00 * g1 - h01 * g0) / det
+                else:
+                    d0 = g0 / h00 if h00 > 0 else 0.0
+                    d1 = 0.0
+                # damp huge separation steps; the fit stays finite
+                d0 = max(-10.0, min(10.0, d0))
+                d1 = max(-10.0, min(10.0, d1))
+                new[k] = (b0 + d0, b1 + d1)
+                delta = max(delta, abs(d0), abs(d1))
+            betas = new
+            if delta < tol:
+                converged = True
+                break
+        zed.unpersist()
+        trows = {
+            (r["model_a"], r["model_b"]): int(r["n_ties"])
+            for r in ties.collect()
+        }
+        out = []
+        for k in sorted(mrows):
+            m = mrows[k]
+            b0, b1 = betas[k]
+            out.append(
+                (
+                    k[0],
+                    k[1],
+                    int(m["n"]),
+                    trows.get(k, 0),
+                    round(float(m["wins_a"]) / float(m["n"]), 6),
+                    round(1.0 / (1.0 + math.exp(-b0)), 6),
+                    round(b1, 6),
+                    n_iter,
+                    converged,
+                )
+            )
+        return spark.createDataFrame(
+            out,
+            "model_a string, model_b string, n_pairs bigint,"
+            " n_ties bigint, raw_winrate_a double,"
+            " lc_winrate_a double, beta_len double,"
+            " n_iter int, converged boolean",
+        ).orderBy("model_a", "model_b")
+    finally:
+        used.unpersist()

@@ -15894,3 +15894,163 @@ def z122_epoch_order(spark, sf_dir):
     return read_epoch_order(spark, out_dir, epoch=0).orderBy(
         "shard", "position"
     )
+
+
+def _z123_lcw_exact(con):
+    """Independent mirror of the length-controlled win rate: same
+    plant arithmetic from DuckDB rows, same best-of-n reduction
+    (max score, tie -> shortest), same scale-only z, same ridge
+    (l2=1) Newton with the 2x2 solve written differently (numpy
+    linalg vs the operator's closed form). Tolerance 1e-5 on the
+    ROUND-6 projections."""
+    import math
+
+    rows = con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 450"
+    ).fetchall()
+    samples = []
+    for (d,) in rows:
+        p, m = d // 9, d % 3
+        ln = 100 + (d * 37) % 200 + (80 if m == 0 else 0)
+        s = (
+            0.004 * ln
+            + ((d * 13) % 11) * 0.3
+            + (0.5 if m == 0 else 0.0)
+        )
+        samples.append((p, f"m{m}", float(s), float(ln)))
+    best: dict = {}
+    for p, m, s, ln in samples:
+        k = (p, m)
+        cur = best.get(k)
+        if cur is None or (-s, ln) < cur:
+            best[k] = (-s, ln)
+    pairs: dict = {}
+    prompts = sorted({p for p, _ in best})
+    models = sorted({m for _, m in best})
+    for p in prompts:
+        for i, ma in enumerate(models):
+            for mb in models[i + 1:]:
+                if (p, ma) in best and (p, mb) in best:
+                    sa, la = -best[(p, ma)][0], best[(p, ma)][1]
+                    sb, lb = -best[(p, mb)][0], best[(p, mb)][1]
+                    pairs.setdefault((ma, mb), []).append(
+                        (sa, la, sb, lb)
+                    )
+    out = []
+    for k in sorted(pairs):
+        data = pairs[k]
+        used = [
+            (1.0 if sa > sb else 0.0, la - lb)
+            for sa, la, sb, lb in data
+            if sa != sb
+        ]
+        n_ties = len(data) - len(used)
+        n = len(used)
+        wins = sum(y for y, _ in used)
+        mean = sum(dx for _, dx in used) / n
+        var = sum((dx - mean) ** 2 for _, dx in used) / (n - 1)
+        sx = math.sqrt(var)
+        zs = [
+            (y, dx / sx if sx > 0 else 0.0) for y, dx in used
+        ]
+        b0 = b1 = 0.0
+        n_iter, converged = 0, False
+        for n_iter in range(1, 26):
+            g0 = g1 = h00 = h01 = h11 = 0.0
+            for y, z in zs:
+                pr = 1.0 / (1.0 + math.exp(-(b0 + b1 * z)))
+                w = pr * (1.0 - pr)
+                g0 += y - pr
+                g1 += (y - pr) * z
+                h00 += w
+                h01 += w * z
+                h11 += w * z * z
+            g0 -= b0
+            g1 -= b1
+            h00 += 1.0
+            h11 += 1.0
+            det = h00 * h11 - h01 * h01
+            if sx <= 0:
+                d0, d1 = (g0 / h00 if h00 > 0 else 0.0), 0.0
+            elif det > 1e-12:
+                d0 = (h11 * g0 - h01 * g1) / det
+                d1 = (h00 * g1 - h01 * g0) / det
+            else:
+                d0, d1 = (g0 / h00 if h00 > 0 else 0.0), 0.0
+            d0 = max(-10.0, min(10.0, d0))
+            d1 = max(-10.0, min(10.0, d1))
+            b0 += d0
+            b1 += d1
+            if max(abs(d0), abs(d1)) < 1e-10:
+                converged = True
+                break
+        out.append(
+            (
+                k[0], k[1], n, n_ties,
+                round(wins / n, 6),
+                round(1.0 / (1.0 + math.exp(-b0)), 6),
+                round(b1, 6),
+                converged,
+            )
+        )
+    return (
+        ["model_a", "model_b", "n_pairs", "n_ties", "raw_winrate_a",
+         "lc_winrate_a", "beta_len", "converged"],
+        out,
+    )
+
+
+@query(
+    "z123_length_controlled_winrate",
+    None,
+    tol_oracle=_z123_lcw_exact,
+    tolerance=1e-5,
+    tol_keys=("model_a", "model_b"),
+    doc="LENGTH-CONTROLLED WIN RATE (operators/sft.py::"
+    "length_controlled_winrate) — the arena correction for the"
+    " best-documented judge bias (longer answers win regardless of"
+    " quality; the length-controlled variant is the public-eval"
+    " headline number): per model pair a ridge-regularized"
+    " two-parameter logistic over shared non-tied prompts with the"
+    " scale-only standardized length gap as covariate;"
+    " lc_winrate_a = sigmoid(intercept) = the win probability at a"
+    " ZERO length gap, beside the raw rate; ties counted"
+    " observably; zero-variance pairs fit intercept-only; ridge"
+    " keeps quasi-separated pairs finite. Planted: 3 models x 50"
+    " prompts x 3 samples, m0 longer AND slightly better with"
+    " deterministic noise — raw vs lc must split the two effects."
+    " Scale: pair rows built ONCE by the z113 shapes and persisted;"
+    " each Newton sweep is ONE map-side-combinable per-pair agg of"
+    " five sufficient-statistic sums with k²-sized coefficients"
+    " broadcast back; the driver solves k² independent 2x2 systems."
+    " Oracle: independent Python Newton mirror, tolerance 1e-5",
+)
+def z123_length_controlled_winrate(spark, sf_dir):
+    from topn_spark.operators.sft import length_controlled_winrate
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").where(d < 450)
+    m = d % 3
+    ln = (
+        F.lit(100)
+        + (d * 37) % 200
+        + F.when(m == 0, F.lit(80)).otherwise(F.lit(0))
+    ).cast("int")
+    score = (
+        F.lit(0.004) * ln.cast("double")
+        + ((d * 13) % 11).cast("double") * 0.3
+        + F.when(m == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    # response built via rpad: length is all that matters
+    samples = docs.select(
+        (d / 9).cast("bigint").alias("prompt_id"),
+        F.concat(F.lit("m"), m.cast("string")).alias("model"),
+        score.alias("score"),
+        F.rpad(F.lit("x"), ln, "x").alias("response"),
+    )
+    # n_iter is a global diagnostic (the shared Newton loop runs
+    # until EVERY pair converges) — dropped so the per-pair mirror
+    # compares only the fit contract
+    return length_controlled_winrate(samples).drop("n_iter").orderBy(
+        "model_a", "model_b"
+    )
