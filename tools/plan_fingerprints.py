@@ -69,7 +69,16 @@ def normalize(plan: str) -> str:
         # counters, and the recorded callsite depends on JVM stack
         # introspection luck (NativeMethodAccessorImpl vs <unknown>)
         s = re.sub(r"RDD\[\d+\]", "RDD", s)
-        s = re.sub(r" at localCheckpoint at [^,\]]+", " at localCheckpoint", s)
+        # recorded RDD callsites depend on JVM stack introspection
+        # luck (NativeMethodAccessorImpl.java:0 vs <unknown>:0 —
+        # inlining flips after enough JIT warmup, so an entry that
+        # compiles LATER in a bigger catalog records a different
+        # callsite for the same plan): strip the site, keep the op
+        s = re.sub(
+            r" at (localCheckpoint|applySchemaToPythonRDD) at [^,\]]+",
+            r" at \1",
+            s,
+        )
         # Detail values are hashed as flat comma-fragment MULTISETS:
         # multi-distinct rewrites (RewriteDistinctAggregates) emit
         # Expand slots, grouping-key order, and sort/partitioning key
