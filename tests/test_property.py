@@ -613,3 +613,107 @@ def test_truncate_conversation_matches_model(
         # the invariant the trainer relies on: within budget unless
         # the pinned system prefix alone exceeds it
         assert r.chars_kept <= max_chars or r.over_budget
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=70000),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    n_shards=st.sampled_from([1, 2, 5]),
+)
+def test_bin_shard_round_trip_property(spark, tmp_path_factory, docs, n_shards):
+    """Any token/mask corpus survives the binary export byte-exactly:
+    export -> read equals the packed input (ids, masks, counts), and
+    verify stays green — across dtype boundaries (ids above 65535
+    force uint32), empty docs, and shard counts."""
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.operators.pipeline import pack_masked_sequences
+
+    rows = [
+        (i, toks, [t % 3 == 0 for t in toks])
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    packed = pack_masked_sequences(
+        df, id_col="doc_id", order_col="doc_id", seq_len=7,
+        sep_token=1,
+    ).persist()
+    out = str(tmp_path_factory.mktemp("binprop"))
+    if packed.count() == 0:
+        return  # nothing to export: empty corpora pack to nothing
+    export_bin_shards(packed, out, n_shards)
+    back = read_bin_shards(spark, out)
+    cols = ["seq_id", "n_tokens", "n_supervised", "tokens", "loss_mask"]
+    assert packed.select(*cols).exceptAll(back.select(*cols)).count() == 0
+    assert back.select(*cols).exceptAll(packed.select(*cols)).count() == 0
+    assert all(r.ok for r in verify_bin_shards(spark, out).collect())
+    packed.unpersist()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w", "xx", "longword", "<img>"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seq_len=st.sampled_from([3, 5, 11]),
+)
+def test_multimodal_pack_binding_property(spark, docs, seq_len):
+    """For ANY conversation mix, the packed per-sequence manifests
+    (a) concatenate back to each doc's asset list in order, and
+    (b) every sequence's manifest length equals its placeholder
+    count — the binding invariant under arbitrary boundary splits."""
+    from topn_spark.operators.pipeline import pack_multimodal_sequences
+
+    rows = []
+    for i, toks in enumerate(docs):
+        n_img = sum(1 for t in toks if t == "<img>")
+        assets = [i * 100 + j for j in range(n_img)]
+        rows.append((i, toks, [len(t) >= 4 for t in toks], assets))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id bigint, tokens array<string>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    out = pack_multimodal_sequences(
+        df, id_col="conv_id", order_col="conv_id", seq_len=seq_len,
+        image_token="<img>", sep_token="</s>",
+    ).orderBy("seq_id").collect()
+    # (b) per-sequence: manifest length == placeholder count
+    for r in out:
+        assert len(r.asset_ids) == r.tokens.count("<img>")
+        assert r.n_images == len(r.asset_ids)
+        assert len(r.tokens) == len(r.loss_mask)
+    # (a) global: manifests concatenated in seq order reproduce every
+    # doc's asset list in order (docs packed in conv_id order)
+    got = [a for r in out for a in r.asset_ids]
+    want = [a for _, _, _, assets in rows for a in assets]
+    assert got == want
