@@ -1080,3 +1080,43 @@ def test_length_controlled_winrate_edge_contracts(spark):
     empty = length_controlled_winrate(df.where("score IS NULL"))
     assert empty.count() == 0
     assert "lc_winrate_a" in empty.columns
+
+
+def test_length_controlled_winrate_per_pair_convergence(spark):
+    """Convergence is per pair: a balanced zero-variance pair
+    freezes at sweep 1 (its first Newton step is exactly zero)
+    even when another pair is still iterating at max_iter — one
+    slow pair must not mark every pair non-converged."""
+    from topn_spark.operators.sft import length_controlled_winrate
+
+    rows = []
+    # pair (a, b): constant length, perfectly balanced outcomes
+    for p in range(10):
+        rows.append((p, "a", float(5 + p % 2), "xxxx"))
+        rows.append((p, "b", float(5 + (p + 1) % 2), "xxxx"))
+    # pair (c, d): strong length signal — needs several sweeps
+    for p in range(100, 300):
+        la = 200 + (p * 37) % 300
+        lb = 150 + (p * 53) % 200
+        rows.append((p, "c", 0.004 * la + (p * 13) % 11 * 0.3, "x" * la))
+        rows.append((p, "d", 0.004 * lb + (p * 29) % 11 * 0.3, "x" * lb))
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, model string, score double, response string",
+    )
+    got = {
+        (r.model_a, r.model_b): r
+        for r in length_controlled_winrate(df, max_iter=2).collect()
+    }
+    ab, cd = got[("a", "b")], got[("c", "d")]
+    assert ab.converged and ab.n_iter == 1
+    assert not cd.converged and cd.n_iter == 2
+    # and with enough sweeps, the slow pair converges on its own
+    got2 = {
+        (r.model_a, r.model_b): r
+        for r in length_controlled_winrate(df).collect()
+    }
+    assert got2[("c", "d")].converged
+    assert got2[("a", "b")].n_iter == 1  # frozen early, unchanged
+    # fits are identical whether or not the other pair kept going
+    assert abs(got2[("a", "b")].lc_winrate_a - ab.lc_winrate_a) < 1e-12

@@ -1695,10 +1695,13 @@ def bradley_terry_fit(
     """
     import math
 
+    # float(), not int(): the counts may be decay-WEIGHTED effective
+    # wins (streaming/ingest.py's half-life leaderboard) — integer
+    # matrices pass through bit-identically either way
     rows = sorted(
         (
-            (r["model_a"], r["model_b"], int(r["wins_a"]),
-             int(r["wins_b"]), int(r["ties"]))
+            (r["model_a"], r["model_b"], float(r["wins_a"]),
+             float(r["wins_b"]), float(r["ties"]))
             for r in matrix.select(
                 "model_a", "model_b", "wins_a", "wins_b", "ties"
             ).collect()
@@ -2134,6 +2137,11 @@ def length_controlled_winrate(
     gradient/Hessian sufficient statistics (five sums) with the
     current coefficients broadcast back as a k²-sized literal frame
     — the driver solves k² independent 2×2 systems per sweep.
+    Convergence is PER PAIR: a pair freezes the sweep its own step
+    drops below ``tol`` (``n_iter``/``converged`` are that pair's
+    own diagnostics — one pathological pair never marks the others
+    non-converged) and frozen pairs drop out of the broadcast join,
+    so late sweeps aggregate only the still-active rows.
     Iterations × one agg pass; nothing data-sized on the driver.
     """
     import math
@@ -2222,12 +2230,21 @@ def length_controlled_winrate(
             z.alias("_z"),
         ).persist()
         betas = {k: (0.0, 0.0) for k in mrows}
-        n_iter, converged = 0, False
-        for n_iter in range(1, int(max_iter) + 1):
+        # per-pair convergence: a pair freezes the sweep its own
+        # Newton step drops below tol (its n_iter/converged are ITS
+        # diagnostics — one pathological pair must not mark every
+        # pair non-converged), and frozen pairs drop out of the
+        # broadcast join so later sweeps aggregate only active rows
+        iters = {k: int(max_iter) for k in mrows}
+        conv = {k: False for k in mrows}
+        active = set(mrows)
+        for sweep in range(1, int(max_iter) + 1):
+            if not active:
+                break
             bdf = F.broadcast(
                 spark.createDataFrame(
                     [(ka, kb, b0, b1) for (ka, kb), (b0, b1) in
-                     sorted(betas.items())],
+                     sorted(betas.items()) if (ka, kb) in active],
                     "model_a string, model_b string,"
                     " _b0 double, _b1 double",
                 )
@@ -2247,8 +2264,6 @@ def length_controlled_winrate(
                 )
                 .collect()
             )
-            delta = 0.0
-            new = {}
             for r in stats:
                 k = (r["model_a"], r["model_b"])
                 b0, b1 = betas[k]
@@ -2272,12 +2287,11 @@ def length_controlled_winrate(
                 # damp huge separation steps; the fit stays finite
                 d0 = max(-10.0, min(10.0, d0))
                 d1 = max(-10.0, min(10.0, d1))
-                new[k] = (b0 + d0, b1 + d1)
-                delta = max(delta, abs(d0), abs(d1))
-            betas = new
-            if delta < tol:
-                converged = True
-                break
+                betas[k] = (b0 + d0, b1 + d1)
+                if max(abs(d0), abs(d1)) < tol:
+                    iters[k] = sweep
+                    conv[k] = True
+                    active.discard(k)
         zed.unpersist()
         trows = {
             (r["model_a"], r["model_b"]): int(r["n_ties"])
@@ -2296,8 +2310,8 @@ def length_controlled_winrate(
                     round(float(m["wins_a"]) / float(m["n"]), 6),
                     round(1.0 / (1.0 + math.exp(-b0)), 6),
                     round(b1, 6),
-                    n_iter,
-                    converged,
+                    iters[k],
+                    conv[k],
                 )
             )
         return spark.createDataFrame(

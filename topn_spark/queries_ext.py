@@ -16048,9 +16048,8 @@ def z123_length_controlled_winrate(spark, sf_dir):
         score.alias("score"),
         F.rpad(F.lit("x"), ln, "x").alias("response"),
     )
-    # n_iter is a global diagnostic (the shared Newton loop runs
-    # until EVERY pair converges) — dropped so the per-pair mirror
-    # compares only the fit contract
+    # n_iter is per-pair but the mirror reports only converged —
+    # dropped so the comparison covers the fit contract
     return length_controlled_winrate(samples).drop("n_iter").orderBy(
         "model_a", "model_b"
     )
