@@ -315,3 +315,498 @@ def test_epoch_order_permutation_and_determinism(spark, tmp_path):
     export_epoch_order(spark, out, epoch=1)
     b2 = open(_os.path.join(out, "shard_00000.ep0001"), "rb").read()
     assert b2 != b1
+
+
+def test_bin_negative_id_raises(spark, tmp_path):
+    # a negative id would silently wrap to a huge uint64 in the
+    # .idx seq_ids field, severing the parquet audit link
+    df = spark.createDataFrame(
+        [(-5, [1, 2], [True, False])],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    with pytest.raises(Exception, match="negative id -5"):
+        export_bin_shards(df, str(tmp_path / "sneg"), 1)
+
+
+def test_bin_writes_are_atomic_no_temp_leftovers(spark, tmp_path):
+    # every file lands via temp-name + rename: no .inprogress-*
+    # residue after a clean export, and the final names are complete
+    out = str(tmp_path / "shards_atomic")
+    export_bin_shards(_packed(spark), out, 2)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out, "*.inprogress-*")) == []
+
+
+# ----------------------------------------- multimodal .ast sidecar
+
+
+def _mm_frame(spark, n=30):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                list(range(1, 4 + i % 3)),
+                [bool(j % 2) for j in range(3 + i % 3)],
+                [i * 2, i * 2 + 1] if i % 3 == 0
+                else ([i * 2] if i % 3 == 2 else []),
+            )
+            for i in range(n)
+        ],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+
+
+def test_ast_round_trip_hash_exact(spark, tmp_path):
+    out = str(tmp_path / "ast")
+    df = _mm_frame(spark)
+    man = export_bin_shards(df, out, 4, assets_col="asset_ids")
+    rows = man.collect()
+    assert sum(r.n_assets for r in rows) == sum(
+        len(r.asset_ids) for r in df.collect()
+    )
+    assert all(r.ast_bytes > 0 for r in rows)
+    back = read_bin_shards(spark, out)
+    cols = ["seq_id", "tokens", "loss_mask", "asset_ids"]
+    assert df.select(*cols).exceptAll(back.select(*cols)).count() == 0
+    assert back.count() == df.count()
+    # no-asset export keeps the legacy read schema (no asset_ids)
+    out2 = str(tmp_path / "noast")
+    export_bin_shards(df.drop("asset_ids"), out2, 2)
+    assert "asset_ids" not in read_bin_shards(spark, out2).columns
+
+
+def test_ast_torn_file_detected(spark, tmp_path):
+    from topn_spark.operators.binshard import verify_bin_shards
+
+    out = str(tmp_path / "ast_torn")
+    export_bin_shards(_mm_frame(spark), out, 3, assets_col="asset_ids")
+    v0 = verify_bin_shards(spark, out)
+    assert all(r.ok for r in v0.collect())
+    # flip one byte in one .ast payload: that shard, and only that
+    # shard, must report ok=False
+    victim = os.path.join(out, "shard_00001.ast")
+    raw = bytearray(open(victim, "rb").read())
+    raw[-1] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+    v = {r.shard: r for r in verify_bin_shards(spark, out).collect()}
+    assert v[1].ok is False and v[1].ast_crc32_actual != v[1].ast_crc32
+    assert all(r.ok for s, r in v.items() if s != 1)
+
+
+def test_ast_null_array_and_negative_ref_raise(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1, 2], [True, False], None)],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    with pytest.raises(Exception, match="NULL asset array"):
+        export_bin_shards(
+            df, str(tmp_path / "a1"), 1, assets_col="asset_ids"
+        )
+    df2 = spark.createDataFrame(
+        [(1, [1, 2], [True, False], [-3])],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    )
+    with pytest.raises(Exception, match="negative asset ref"):
+        export_bin_shards(
+            df2, str(tmp_path / "a2"), 1, assets_col="asset_ids"
+        )
+
+
+# ----------------------------------------------- incremental export
+
+
+def _corpus(spark, change=(), drop=()):
+    rows = []
+    for i in range(40):
+        if i in drop:
+            continue
+        toks = list(range(1, 4 + i % 5))
+        if i in change:
+            toks = [99] + toks
+        rows.append(
+            (i, toks, [bool(j % 2) for j in range(len(toks))])
+        )
+    return spark.createDataFrame(
+        rows,
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+
+
+def _file_hashes(out):
+    import glob as _glob
+    import hashlib
+
+    return {
+        os.path.basename(p): hashlib.md5(
+            open(p, "rb").read()
+        ).hexdigest()
+        for p in _glob.glob(os.path.join(out, "shard_*"))
+    }
+
+
+def test_incremental_noop_writes_nothing(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        export_epoch_order,
+    )
+
+    out = str(tmp_path / "incr")
+    export_bin_shards(_corpus(spark), out, 6, salt="i")
+    export_epoch_order(spark, out, 0)
+    before = _file_hashes(out)
+    man = export_bin_shards(
+        _corpus(spark), out, 6, salt="i", incremental=True
+    )
+    assert all(not r.rewritten for r in man.collect())
+    assert _file_hashes(out) == before  # incl. epoch files intact
+    assert any(".ep" in k for k in before)
+    assert _read_meta(spark, out)["export_version"] == 1
+
+
+def test_incremental_delta_rewrites_only_affected_shard(
+    spark, tmp_path
+):
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        export_epoch_order,
+        verify_bin_shards,
+    )
+
+    out = str(tmp_path / "incr2")
+    export_bin_shards(_corpus(spark), out, 6, salt="i")
+    export_epoch_order(spark, out, 0)
+    before = _file_hashes(out)
+    man = export_bin_shards(
+        _corpus(spark, change={7}), out, 6, salt="i",
+        incremental=True,
+    )
+    rewritten = {r.shard for r in man.collect() if r.rewritten}
+    assert len(rewritten) == 1
+    (k,) = rewritten
+    after = _file_hashes(out)
+    # epoch artifacts are views of the previous dataset version
+    assert not any(".ep" in f for f in after)
+    changed = {
+        f for f in before
+        if ".ep" not in f and after.get(f) != before[f]
+    }
+    assert changed and all(
+        f.startswith(f"shard_{k:05d}") for f in changed
+    )
+    # byte-identical to a full re-export of the same corpus
+    full = str(tmp_path / "full")
+    export_bin_shards(_corpus(spark, change={7}), full, 6, salt="i")
+    assert _file_hashes(full) == after
+    assert all(r.ok for r in verify_bin_shards(spark, out).collect())
+    assert _read_meta(spark, out)["export_version"] == 2
+
+
+def test_incremental_orphan_shard_deleted(spark, tmp_path):
+    out = str(tmp_path / "incr3")
+    export_bin_shards(_corpus(spark), out, 40, salt="o")
+    # keep only ids that land in a few shards: every other shard is
+    # an orphan and must disappear from disk and manifest
+    kept = _corpus(spark).limit(3)
+    man = export_bin_shards(
+        kept, out, 40, salt="o", incremental=True
+    )
+    shards = {r.shard for r in man.collect()}
+    assert len(shards) <= 3
+    files = _file_hashes(out)
+    assert {
+        int(f.split("_")[1].split(".")[0])
+        for f in files if f.endswith(".bin")
+    } == shards
+    back = read_bin_shards(spark, out)
+    assert back.count() == 3
+
+
+def test_incremental_param_mismatch_and_missing_prior_raise(
+    spark, tmp_path
+):
+    out = str(tmp_path / "incr4")
+    with pytest.raises(Exception, match="needs a prior export"):
+        export_bin_shards(
+            _corpus(spark), out, 4, incremental=True
+        )
+    export_bin_shards(_corpus(spark), out, 4, salt="x")
+    with pytest.raises(Exception, match="parameters differ"):
+        export_bin_shards(
+            _corpus(spark), out, 8, salt="x", incremental=True
+        )
+    with pytest.raises(Exception, match="parameters differ"):
+        export_bin_shards(
+            _corpus(spark), out, 4, salt="y", incremental=True
+        )
+    with pytest.raises(Exception, match="parameters differ"):
+        export_bin_shards(
+            _corpus(spark), out, 4, salt="x", mask_col=None,
+            incremental=True,
+        )
+
+
+# ------------------------------------------- windowed resume read
+
+
+def _win_setup(spark, tmp_path):
+    from topn_spark.operators.binshard import export_epoch_order
+
+    out = str(tmp_path / "win")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                list(range(i % 7 + 1)),
+                [bool(j % 2) for j in range(i % 7 + 1)],
+            )
+            for i in range(50)
+        ],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    export_bin_shards(df, out, 5, salt="w")
+    export_epoch_order(spark, out, 3, salt="w")
+    return out
+
+
+def test_window_read_equals_full_order_slice(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        read_bin_window,
+        read_epoch_order,
+    )
+
+    out = _win_setup(spark, tmp_path)
+    full = (
+        read_epoch_order(spark, out, 3)
+        .join(read_bin_shards(spark, out), ["shard", "seq_index"])
+        .orderBy("shard_pos", "position")
+        .collect()
+    )
+    win = (
+        read_bin_window(spark, out, 3, 17, 36)
+        .orderBy("global_pos")
+        .collect()
+    )
+    assert [r.global_pos for r in win] == list(range(17, 36))
+    for g, r in zip(range(17, 36), win):
+        f = full[g]
+        assert (f.seq_id, f.tokens, f.loss_mask) == (
+            r.seq_id, r.tokens, r.loss_mask,
+        )
+    # empty window is legal; out-of-range is not
+    from topn_spark.operators.binshard import read_bin_window as rbw
+
+    assert rbw(spark, out, 3, 10, 10).count() == 0
+    with pytest.raises(Exception, match="out of range"):
+        rbw(spark, out, 3, 0, 51).collect()
+
+
+def test_window_read_touches_only_window_bytes(spark, tmp_path):
+    """Seek-don't-scan, proven destructively: zero out the token
+    bytes of every sequence OUTSIDE the window (in every shard) —
+    the window read is unaffected, while a full read changes."""
+    import struct as _struct
+
+    from topn_spark.operators.binshard import (
+        _parse_idx,
+        read_bin_window,
+        read_epoch_order,
+    )
+
+    out = _win_setup(spark, tmp_path)
+    start, stop = 20, 28
+    win_before = (
+        read_bin_window(spark, out, 3, start, stop)
+        .orderBy("global_pos")
+        .collect()
+    )
+    inside = {(r.shard, r.seq_index) for r in win_before}
+    # epoch macro order -> which (shard, seq_index) are in-window
+    for p in sorted(
+        __import__("glob").glob(os.path.join(out, "shard_*.idx"))
+    ):
+        shard = int(os.path.basename(p).split("_")[1].split(".")[0])
+        code, _, lens, _, _, tok_ptrs, _ = _parse_idx(p)
+        item = 2 if code == 2 else 4
+        binp = p[:-4] + ".bin"
+        raw = bytearray(open(binp, "rb").read())
+        for i in range(len(lens)):
+            if (shard, i) not in inside:
+                o = int(tok_ptrs[i])
+                raw[o : o + int(lens[i]) * item] = bytes(
+                    int(lens[i]) * item
+                )
+        open(binp, "wb").write(bytes(raw))
+    win_after = (
+        read_bin_window(spark, out, 3, start, stop)
+        .orderBy("global_pos")
+        .collect()
+    )
+    assert [
+        (r.seq_id, r.tokens, r.loss_mask) for r in win_before
+    ] == [(r.seq_id, r.tokens, r.loss_mask) for r in win_after]
+    # sanity: the destruction was real — a full read differs now
+    full_toks = {
+        r.seq_id: r.tokens
+        for r in read_bin_shards(spark, out).collect()
+    }
+    assert any(
+        all(t == 0 for t in v) and len(v) > 0
+        for v in full_toks.values()
+    )
+
+
+# ------------------------------------------- preference shards
+
+
+def _pair_frame(spark, n=30):
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                list(range(1, 3 + p % 4)),
+                [False] + [True] * (1 + p % 4),
+                list(range(5, 6 + p % 3)),
+                [False] + [True] * (p % 3),
+            )
+            for p in range(n)
+        ],
+        "pair_id bigint, chosen_tokens array<bigint>,"
+        " chosen_mask array<boolean>,"
+        " rejected_tokens array<bigint>,"
+        " rejected_mask array<boolean>",
+    )
+
+
+def test_preference_round_trip_and_adjacency(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        _parse_idx,
+        export_preference_shards,
+        read_preference_shards,
+        verify_preference_shards,
+    )
+
+    out = str(tmp_path / "pref")
+    pairs = _pair_frame(spark)
+    export_preference_shards(pairs, out, 4, salt="p")
+    back = read_preference_shards(spark, out)
+    cols = [
+        "pair_id", "chosen_tokens", "chosen_mask",
+        "rejected_tokens", "rejected_mask",
+    ]
+    assert pairs.select(*cols).exceptAll(
+        back.select(*cols)
+    ).count() == 0
+    assert back.count() == pairs.count()
+    v = verify_preference_shards(spark, out)
+    assert all(r.ok and r.pairing_ok for r in v.collect())
+    # the paired index IS physical adjacency: even ids at even
+    # positions, partner immediately after, in every shard
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(out, "shard_*.idx")):
+        _, _, _, ids, _, _, _ = _parse_idx(p)
+        assert len(ids) % 2 == 0
+        for i in range(0, len(ids), 2):
+            assert ids[i] % 2 == 0 and ids[i + 1] == ids[i] + 1
+
+
+def test_preference_pairing_violation_detected(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        export_preference_shards,
+        read_preference_shards,
+        verify_preference_shards,
+    )
+
+    # a plain export (odd ids only) is NOT a preference directory:
+    # verify flags pairing_ok=False, read raises
+    out = str(tmp_path / "pref_bad")
+    plain = spark.createDataFrame(
+        [(i, [1, 2], [True, False]) for i in range(1, 9, 2)],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    export_bin_shards(plain, out, 1)
+    assert not any(
+        r.pairing_ok
+        for r in verify_preference_shards(spark, out).collect()
+    )
+    with pytest.raises(Exception, match="pairing invariant|odd"):
+        read_preference_shards(spark, out).collect()
+    # mask columns must be both-or-neither
+    with pytest.raises(Exception, match="both"):
+        export_preference_shards(
+            _pair_frame(spark), str(tmp_path / "x"), 2,
+            chosen_mask_col=None,
+        )
+
+
+def test_preference_incremental_delta(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        export_preference_shards,
+    )
+
+    out = str(tmp_path / "pref_incr")
+    export_preference_shards(_pair_frame(spark), out, 5, salt="q")
+    before = _file_hashes(out)
+    # change ONE pair's rejected side: only its shard rewrites
+    changed = _pair_frame(spark).withColumn(
+        "rejected_tokens",
+        F.when(
+            F.col("pair_id") == 11, F.array(F.lit(77), F.lit(78))
+        ).otherwise(F.col("rejected_tokens")),
+    ).withColumn(
+        "rejected_mask",
+        F.when(
+            F.col("pair_id") == 11,
+            F.array(F.lit(True), F.lit(True)),
+        ).otherwise(F.col("rejected_mask")),
+    )
+    man = export_preference_shards(
+        changed, out, 5, salt="q", incremental=True
+    )
+    rw = {r.shard for r in man.collect() if r.rewritten}
+    assert len(rw) == 1
+    after = _file_hashes(out)
+    diff = {f for f in before if after.get(f) != before[f]}
+    (k,) = rw
+    assert diff and all(f.startswith(f"shard_{k:05d}") for f in diff)
+
+
+# ------------------------------------------------------ data card
+
+
+def test_bin_shard_data_card(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        bin_shard_data_card,
+        export_epoch_order,
+    )
+
+    out = str(tmp_path / "card")
+    df = _corpus(spark)
+    export_bin_shards(df, out, 4, salt="c")
+    export_epoch_order(spark, out, 0, salt="c")
+    export_epoch_order(spark, out, 1, salt="c")
+    [card] = bin_shard_data_card(spark, out).collect()
+    rows = df.collect()
+    n_tok = sum(len(r.tokens) for r in rows)
+    assert card.n_shards == 4 and card.n_seqs == 40
+    assert card.n_tokens == n_tok
+    assert card.n_supervised == sum(
+        sum(r.loss_mask) for r in rows
+    )
+    assert card.bin_bytes == 2 * n_tok  # uint16
+    assert card.min_seq_len == min(len(r.tokens) for r in rows)
+    assert card.max_seq_len == max(len(r.tokens) for r in rows)
+    assert card.epochs_exported == [0, 1]
+    assert card.dtype == "uint16" and card.has_mask
+    # a partially exported epoch is not coverage
+    os.remove(os.path.join(out, "shard_00002.ep0001"))
+    [card2] = bin_shard_data_card(spark, out).collect()
+    assert card2.epochs_exported == [0]

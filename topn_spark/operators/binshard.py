@@ -40,10 +40,19 @@ a copy of its encoding):
     u64[n]    msk_ptrs  (byte offset in ``.msk``; only if has_mask)
     ========  =====================================================
 
+``shard_<k>.ast`` (only when an assets column is exported)
+    per-sequence multimodal asset-ref ids in placeholder order —
+    magic ``b"TNSPAST1"``, u32 version, u64 n_seqs, u32 n_assets
+    per sequence, u64 byte offset per sequence, u64 ref payload.
 ``_manifest`` (parquet, one row per non-empty shard)
     ``shard, n_seqs, n_tokens, n_supervised, dtype, bin_bytes,
-    msk_bytes, bin_crc32, msk_crc32`` — the byte-level accounting
-    :func:`verify_bin_shards` recounts.
+    msk_bytes, bin_crc32, msk_crc32, ast_bytes, ast_crc32,
+    n_assets, content_sig`` — the byte-level accounting
+    :func:`verify_bin_shards` recounts; ``content_sig`` is the
+    logical signature incremental re-export diffs against.
+``_manifest_meta`` (parquet, one row)
+    export parameters + ``export_version`` — bumped by every
+    incremental export that actually rewrote something.
 
 Reference parity: the reference engine (TopN.java) has no trainer
 export at all — this is north-star surface for the training-data
@@ -55,6 +64,7 @@ from __future__ import annotations
 import glob
 import os
 import struct
+import uuid
 import zlib
 
 import numpy as np
@@ -62,7 +72,35 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _atomic_open(path: str):
+    """Open ``path`` for writing through a task-attempt-unique temp
+    name; the returned handle carries ``.final_path`` and must be
+    closed via :func:`_atomic_close`. A retried or speculative
+    duplicate task attempt writing the same shard then never
+    interleaves with the winner — each attempt streams to its own
+    temp file and the LAST ``os.replace`` (atomic on POSIX) wins
+    whole, so the manifest's crc always describes one complete
+    attempt's bytes, never a torn splice."""
+    tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
+    fh = open(tmp, "wb")
+    fh.final_path = path  # type: ignore[attr-defined]
+    fh.tmp_path = tmp  # type: ignore[attr-defined]
+    return fh
+
+
+def _atomic_close(fh) -> None:
+    fh.close()
+    os.replace(fh.tmp_path, fh.final_path)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    fh = _atomic_open(path)
+    fh.write(data)
+    _atomic_close(fh)
+
 _MAGIC = b"TNSPBIN1"
+_AST_MAGIC = b"TNSPAST1"
 _VERSION = 1
 #: dtype_code -> (numpy dtype string, max token id)
 _DTYPES = {2: ("<u2", (1 << 16) - 1), 4: ("<u4", (1 << 32) - 1)}
@@ -70,10 +108,55 @@ _DTYPES = {2: ("<u2", (1 << 16) - 1), 4: ("<u4", (1 << 32) - 1)}
 _MANIFEST_SCHEMA = (
     "shard int, n_seqs bigint, n_tokens bigint, n_supervised bigint,"
     " dtype string, bin_bytes bigint, msk_bytes bigint,"
-    " bin_crc32 bigint, msk_crc32 bigint"
+    " bin_crc32 bigint, msk_crc32 bigint, ast_bytes bigint,"
+    " ast_crc32 bigint, n_assets bigint, content_sig string"
+)
+
+_META_SCHEMA = (
+    "version int, dtype string, has_mask boolean,"
+    " has_assets boolean, n_shards int, salt string,"
+    " export_version bigint"
 )
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _read_meta(spark: SparkSession, out_dir: str) -> dict | None:
+    """Load the ``_manifest_meta`` row (export parameters + version)
+    as a dict; None when the directory predates the meta artifact
+    (treated as a mask-only, asset-less export wherever only
+    read-compat matters — incremental re-export REQUIRES the meta)."""
+    path = os.path.join(out_dir, "_manifest_meta")
+    if not os.path.isdir(path):
+        return None
+    [r] = spark.read.parquet(path).collect()
+    return r.asDict()
+
+
+def _write_meta(
+    spark: SparkSession, out_dir: str, meta: dict
+) -> None:
+    spark.createDataFrame(
+        [tuple(meta[f] for f in (
+            "version", "dtype", "has_mask", "has_assets",
+            "n_shards", "salt", "export_version",
+        ))],
+        _META_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_manifest_meta")
+    )
+
+
+def _content_sig(n: int, xor: int) -> str:
+    """Per-shard logical content signature: sequence count + the
+    XOR of per-sequence ``xxhash64(id, tokens[, mask][, assets])``
+    — order-insensitive (ids are unique, so the multiset-XOR
+    degenerate case of repeated elements cannot occur) and
+    computable EITHER inside the export writer (free — it already
+    walks every row) or as one map-side-combinable aggregate
+    without touching shard files, which is exactly what incremental
+    re-export needs to decide which shards changed."""
+    return f"{int(n)}:{int(xor) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 # ------------------------------------------------------------------
@@ -218,6 +301,22 @@ def encode_token_ids(
 # binary export
 # ------------------------------------------------------------------
 
+def _remove_epoch_artifacts(out_dir: str) -> None:
+    """Delete every epoch-order artifact (``*.ep*`` permutation
+    files + ``_epoch_*`` manifests): an epoch order is a view of ONE
+    dataset version, so any export that changes shard content
+    invalidates it — a trainer silently consuming a stale
+    permutation over new data is the failure this prevents (a
+    deleted file fails LOUDLY at read time)."""
+    import shutil
+
+    for p in glob.glob(os.path.join(out_dir, "shard_*.ep*")):
+        os.remove(p)
+    for d in glob.glob(os.path.join(out_dir, "_epoch_*")):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 def _pick_dtype(df: DataFrame, tokens_col: str, dtype: str) -> int:
     """Resolve the dtype code, validating the id range with one
     scalar aggregate (min/max over array elements — model-sized
@@ -260,6 +359,9 @@ def export_bin_shards(
     id_col: str = "seq_id",
     dtype: str = "auto",
     salt: str = "",
+    assets_col: str | None = None,
+    shard_key_col: str | None = None,
+    incremental: bool = False,
 ) -> DataFrame:
     """Write packed sequences as trainer-native binary shards —
     ``shard_<k>.bin`` token stream + ``.idx`` offset index +
@@ -272,6 +374,47 @@ def export_bin_shards(
     ``id_col`` order within each shard, so re-running reproduces
     byte-identical files. Pass ``mask_col=None`` for pretraining
     shards (no supervise mask — ``has_mask=0`` in the index).
+
+    ``assets_col`` (multimodal exports): an aligned
+    ``shard_<k>.ast`` sidecar carries each sequence's asset-ref
+    ids in placeholder order — the
+    :func:`~topn_spark.operators.pipeline.pack_multimodal_sequences`
+    binding, delivered to the memory-mapped layer (a VLM trainer
+    splices the i-th vision embedding at the i-th placeholder; a
+    binding that does not survive export splices the WRONG image,
+    silently). Layout: ``TNSPAST1`` magic, u32 version, u64 n_seqs,
+    u32 n_assets per sequence, u64 byte offset per sequence, then
+    the u64 ref payload — two pointer reads per sequence, exactly
+    like ``.idx``. The refs must be non-negative integers (encode
+    string asset keys first — :func:`encode_token_ids` works on any
+    string-array column); a NULL asset array or a negative ref
+    RAISES with the sequence id, and ``verify_bin_shards`` recounts
+    ``.ast`` bytes/crc like the other streams.
+
+    ``shard_key_col`` hashes a DIFFERENT column for shard
+    assignment than the ``id_col`` used for ordering/audit — the
+    hook paired exports build on (e.g. preference pairs: assign by
+    pair id, order by ``pair_id*2 + stream`` so chosen/rejected
+    land adjacent in the same shard).
+
+    ``incremental=True`` re-exports only what changed: each
+    manifest row stores a logical ``content_sig`` (sequence count +
+    XOR of per-sequence ``xxhash64`` — order-insensitive, and
+    computed for free inside the writer); an incremental run first
+    computes the new signatures with ONE map-side-combinable
+    aggregate (no file I/O), rewrites only shards whose signature
+    differs or which are new, deletes orphaned shards, carries
+    unchanged manifest rows forward byte-identically, and bumps
+    ``export_version`` in ``_manifest_meta``. A no-op delta
+    rewrites nothing and leaves the version untouched. Export
+    parameters (dtype, mask/assets presence, n_shards, salt) must
+    match the prior export — a mismatch RAISES (the assignment or
+    encoding changed, so every shard would differ; run a full
+    export). Any actual change invalidates the epoch-order
+    artifacts (``*.ep*`` files + ``_epoch_*`` manifests are views
+    of a dataset version) — they are deleted; re-export epochs
+    after the data changes. The returned manifest carries an extra
+    ``rewritten`` boolean per shard.
 
     Loud-failure contract (the SFT-export lessons): non-integral
     token arrays, negative ids, ids over the dtype range, NULL
@@ -290,7 +433,11 @@ def export_bin_shards(
     ``out_dir`` must be storage every executor can reach (one task
     writes each shard file in full; memory-mapped trainer formats
     are POSIX files by nature — export to a shared filesystem, or
-    run the export co-located with the training storage).
+    run the export co-located with the training storage). Every
+    file is written through a task-attempt-unique temp name and
+    atomically renamed on close, so retried or speculative
+    duplicate attempts can never interleave into a torn shard —
+    the last complete attempt wins whole.
     """
     from topn_spark.operators.pipeline import shard_assignment
 
@@ -306,25 +453,115 @@ def export_bin_shards(
             f"export_bin_shards: {id_col} must be integral (the "
             ".idx seq_ids field is uint64)"
         )
+    has_ast = assets_col is not None
+    if has_ast:
+        a_elem = df.schema[
+            assets_col
+        ].dataType.elementType.simpleString()
+        if a_elem not in _INTEGRAL:
+            raise ValueError(
+                f"export_bin_shards: {assets_col} elements are "
+                f"{a_elem}; the .ast ref stream is uint64 — encode "
+                "string asset keys to dense ids first"
+            )
     code = _pick_dtype(df, tokens_col, dtype)
     np_dtype, _ = _DTYPES[code]
     dtype_name = "uint16" if code == 2 else "uint32"
     has_mask = mask_col is not None
-
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "shard_*")):
-        os.remove(stale)
+    spark = df.sparkSession
 
     cols = [F.col("shard"), F.col(id_col).cast("bigint").alias("_id"),
             F.col(tokens_col).alias("_toks")]
+    sig_cols = ["_id", "_toks"]
     if has_mask:
         cols.append(F.col(mask_col).alias("_mask"))
-    assigned = (
-        shard_assignment(df, n_shards, id_col, salt)
-        .select(*cols)
-        .repartition(int(n_shards), "shard")
-        .sortWithinPartitions("shard", "_id")
+        sig_cols.append("_mask")
+    if has_ast:
+        cols.append(F.col(assets_col).alias("_ast"))
+        sig_cols.append("_ast")
+    assigned = shard_assignment(
+        df, n_shards, shard_key_col or id_col, salt
+    ).select(*cols)
+    assigned = assigned.withColumn(
+        "_h", F.xxhash64(*[F.col(c) for c in sig_cols])
     )
+
+    os.makedirs(out_dir, exist_ok=True)
+    old_rows: dict[int, dict] = {}
+    changed: set[int] | None = None
+    meta = _read_meta(spark, out_dir)
+    if incremental:
+        if meta is None:
+            raise ValueError(
+                "export_bin_shards: incremental=True needs a prior "
+                f"export at {out_dir} (no _manifest_meta found) — "
+                "run a full export first"
+            )
+        want = {
+            "dtype": dtype_name, "has_mask": has_mask,
+            "has_assets": has_ast, "n_shards": int(n_shards),
+            "salt": salt,
+        }
+        diff = {
+            k: (meta[k], v) for k, v in want.items()
+            if meta[k] != v
+        }
+        if diff:
+            raise ValueError(
+                "export_bin_shards: incremental export parameters "
+                f"differ from the prior export: {diff} — every "
+                "shard would change; run a full export"
+            )
+        old_rows = {
+            int(r["shard"]): r.asDict()
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "_manifest")
+            ).collect()
+        }
+        # ONE aggregate pass decides the delta — no file I/O, no
+        # write shuffle for unchanged shards
+        sigs = {
+            int(r["shard"]): _content_sig(r["n"], r["x"])
+            for r in assigned.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor("_h").alias("x"),
+            ).collect()
+        }
+        changed = {
+            k for k, s in sigs.items()
+            if k not in old_rows
+            or old_rows[k]["content_sig"] != s
+        }
+        orphans = set(old_rows) - set(sigs)
+        if not changed and not orphans:
+            return (
+                spark.read.parquet(
+                    os.path.join(out_dir, "_manifest")
+                )
+                .withColumn("rewritten", F.lit(False))
+                .orderBy("shard")
+            )
+        suffixes = [".bin", ".idx", ".msk", ".ast"]
+        for k in changed | orphans:
+            for sfx in suffixes:
+                p = os.path.join(out_dir, f"shard_{k:05d}{sfx}")
+                if os.path.exists(p):
+                    os.remove(p)
+        for k in orphans:
+            old_rows.pop(k)
+        # epoch artifacts describe the previous dataset version
+        _remove_epoch_artifacts(out_dir)
+        assigned = assigned.where(
+            F.col("shard").isin([int(k) for k in changed])
+        )
+    else:
+        for stale in glob.glob(os.path.join(out_dir, "shard_*")):
+            os.remove(stale)
+        _remove_epoch_artifacts(out_dir)
+
+    assigned = assigned.repartition(
+        int(n_shards), "shard"
+    ).sortWithinPartitions("shard", "_id")
 
     def _write(batches):
         state: dict | None = None
@@ -332,13 +569,11 @@ def export_bin_shards(
         def open_shard(k):
             return {
                 "k": int(k),
-                "bin": open(
-                    os.path.join(out_dir, f"shard_{int(k):05d}.bin"),
-                    "wb",
+                "bin": _atomic_open(
+                    os.path.join(out_dir, f"shard_{int(k):05d}.bin")
                 ),
-                "msk": open(
-                    os.path.join(out_dir, f"shard_{int(k):05d}.msk"),
-                    "wb",
+                "msk": _atomic_open(
+                    os.path.join(out_dir, f"shard_{int(k):05d}.msk")
                 )
                 if has_mask
                 else None,
@@ -349,6 +584,13 @@ def export_bin_shards(
                 "msk_bytes": 0,
                 "bin_crc": 0,
                 "msk_crc": 0,
+                # asset refs are image-count-sized (one u64 per
+                # placeholder vs thousands of token bytes) — safe
+                # to buffer until close, unlike the token stream
+                "ast_lens": [],
+                "ast_refs": [],
+                "sig_n": 0,
+                "sig_xor": 0,
             }
 
         def close_shard(s):
@@ -378,16 +620,44 @@ def export_bin_shards(
                     out=msk_ptrs[1:],
                 )
                 parts.append(msk_ptrs.tobytes())
-            with open(
-                os.path.join(
-                    out_dir, f"shard_{s['k']:05d}.idx"
-                ),
-                "wb",
-            ) as f:
-                f.write(b"".join(parts))
-            s["bin"].close()
+            # data streams land before the index that points at them
+            _atomic_close(s["bin"])
             if s["msk"] is not None:
-                s["msk"].close()
+                _atomic_close(s["msk"])
+            _atomic_write(
+                os.path.join(out_dir, f"shard_{s['k']:05d}.idx"),
+                b"".join(parts),
+            )
+            ast_bytes, ast_crc, n_assets = 0, 0, 0
+            if has_ast:
+                alens = np.asarray(s["ast_lens"], dtype="<u4")
+                ast_ptrs = np.zeros(n, dtype="<u8")
+                np.cumsum(
+                    alens[:-1].astype("<u8") * 8, out=ast_ptrs[1:]
+                )
+                payload = (
+                    np.concatenate(s["ast_refs"])
+                    if s["ast_refs"]
+                    else np.asarray([], dtype="<u8")
+                ).astype("<u8")
+                ast_raw = b"".join(
+                    (
+                        _AST_MAGIC,
+                        struct.pack("<IQ", _VERSION, n),
+                        alens.tobytes(),
+                        ast_ptrs.tobytes(),
+                        payload.tobytes(),
+                    )
+                )
+                _atomic_write(
+                    os.path.join(
+                        out_dir, f"shard_{s['k']:05d}.ast"
+                    ),
+                    ast_raw,
+                )
+                ast_bytes = len(ast_raw)
+                ast_crc = zlib.crc32(ast_raw)
+                n_assets = int(alens.sum(dtype="int64"))
             return {
                 "shard": s["k"],
                 "n_seqs": n,
@@ -398,11 +668,18 @@ def export_bin_shards(
                 "msk_bytes": s["msk_bytes"] if has_mask else 0,
                 "bin_crc32": s["bin_crc"],
                 "msk_crc32": s["msk_crc"] if has_mask else 0,
+                "ast_bytes": ast_bytes,
+                "ast_crc32": ast_crc,
+                "n_assets": n_assets,
+                "content_sig": _content_sig(
+                    s["sig_n"], s["sig_xor"]
+                ),
             }
 
         out_rows = []
         for pdf in batches:
             masks = pdf["_mask"] if has_mask else None
+            asts = pdf["_ast"] if has_ast else None
             for i in range(len(pdf)):
                 k = int(pdf["shard"].iloc[i])
                 sid = int(pdf["_id"].iloc[i])
@@ -411,6 +688,14 @@ def export_bin_shards(
                     raise ValueError(
                         f"export_bin_shards: NULL token array for "
                         f"id {sid}"
+                    )
+                if sid < 0:
+                    # the .idx seq_ids field is uint64: a negative
+                    # id would silently wrap to a huge value and
+                    # sever the parquet audit link
+                    raise ValueError(
+                        f"export_bin_shards: negative id {sid} in "
+                        f"{id_col} — .idx seq_ids are uint64"
                     )
                 if state is None or state["k"] != k:
                     if state is not None:
@@ -442,6 +727,25 @@ def export_bin_shards(
                     state["nsup"].append(int(np.sum(m)))
                 else:
                     state["nsup"].append(0)
+                if has_ast:
+                    a = asts.iloc[i]
+                    if a is None:
+                        raise ValueError(
+                            "export_bin_shards: NULL asset array "
+                            f"for id {sid} — a sequence without "
+                            "images carries an EMPTY array"
+                        )
+                    refs = np.asarray(a, dtype="int64")
+                    if len(refs) and refs.min() < 0:
+                        raise ValueError(
+                            "export_bin_shards: negative asset ref "
+                            f"{int(refs.min())} for id {sid} — "
+                            ".ast refs are uint64"
+                        )
+                    state["ast_lens"].append(len(refs))
+                    state["ast_refs"].append(refs.astype("<u8"))
+                state["sig_n"] += 1
+                state["sig_xor"] ^= int(pdf["_h"].iloc[i])
         if state is not None:
             out_rows.append(close_shard(state))
         if out_rows:
@@ -449,15 +753,50 @@ def export_bin_shards(
 
     # collect executes the write exactly once; the manifest is
     # n_shards rows — model-sized by definition
-    rows = assigned.mapInPandas(_write, _MANIFEST_SCHEMA).collect()
-    spark = df.sparkSession
-    manifest = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    rows = [
+        r.asDict()
+        for r in assigned.mapInPandas(
+            _write, _MANIFEST_SCHEMA
+        ).collect()
+    ]
+    fields = [
+        f.strip().split(" ")[0] for f in _MANIFEST_SCHEMA.split(",")
+    ]
+    if incremental:
+        written = {int(r["shard"]) for r in rows}
+        rows.extend(
+            r for k, r in old_rows.items() if k not in written
+        )
+    data = [tuple(r[f] for f in fields) for r in rows]
+    manifest = spark.createDataFrame(data, _MANIFEST_SCHEMA)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "_manifest")
     )
-    return spark.createDataFrame(rows, _MANIFEST_SCHEMA).orderBy(
-        "shard"
+    _write_meta(
+        spark,
+        out_dir,
+        {
+            "version": _VERSION,
+            "dtype": dtype_name,
+            "has_mask": has_mask,
+            "has_assets": has_ast,
+            "n_shards": int(n_shards),
+            "salt": salt,
+            "export_version": (
+                int(meta["export_version"]) + 1
+                if incremental and meta is not None
+                else 1
+            ),
+        },
     )
+    out = spark.createDataFrame(data, _MANIFEST_SCHEMA)
+    if incremental:
+        out = out.withColumn(
+            "rewritten", F.col("shard").isin(
+                [int(k) for k in written]
+            )
+        )
+    return out.orderBy("shard")
 
 
 def _parse_idx(path: str):
@@ -495,6 +834,33 @@ def _parse_idx(path: str):
     return code, bool(has_mask), lens, ids, nsup, tok_ptrs, msk_ptrs
 
 
+def _parse_ast(path: str):
+    """Parse one ``.ast`` sidecar into (alens, ast_ptrs, payload) —
+    shared by the reader and verifier."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:8] != _AST_MAGIC:
+        raise IOError(f"{path}: bad magic {raw[:8]!r}")
+    version, n = struct.unpack_from("<IQ", raw, 8)
+    if version != _VERSION:
+        raise IOError(f"{path}: unsupported version {version}")
+    off = 20
+    alens = np.frombuffer(raw, dtype="<u4", count=n, offset=off)
+    off += 4 * n
+    ast_ptrs = np.frombuffer(raw, dtype="<u8", count=n, offset=off)
+    off += 8 * n
+    total = int(alens.astype("int64").sum())
+    payload = np.frombuffer(
+        raw, dtype="<u8", count=total, offset=off
+    )
+    off += 8 * total
+    if off != len(raw):
+        raise IOError(
+            f"{path}: {len(raw) - off} trailing bytes after refs"
+        )
+    return alens, ast_ptrs, payload
+
+
 def _shard_frame(spark: SparkSession, out_dir: str) -> DataFrame:
     """The shard work-list from the manifest (NOT a directory
     listing — stale files from an older, wider export must not leak
@@ -511,17 +877,24 @@ def read_bin_shards(
     """Read an :func:`export_bin_shards` directory back as a
     DataFrame — ``(shard, seq_index, seq_id, n_tokens, n_supervised,
     tokens, loss_mask)`` with ``loss_mask`` NULL when the export
-    carried none. The round-trip inverse the export's pytest drives:
+    carried none, plus ``asset_ids`` when the export carried an
+    ``.ast`` sidecar (``_manifest_meta`` records which — the output
+    schema is the export's shape, not a guess from file listings).
+    The round-trip inverse the export's pytest drives:
     read output must equal the packed frame the export consumed,
     masks bit-exact. Shards are listed from the ``_manifest`` (never
     a directory listing — stale files from an older export with
     more shards must not resurface), one task per shard, each task
     reading only its own files: parallel, nothing on the driver."""
+    meta = _read_meta(spark, out_dir)
+    has_ast = bool(meta and meta["has_assets"])
     schema = (
         "shard int, seq_index bigint, seq_id bigint,"
         " n_tokens bigint, n_supervised bigint,"
         " tokens array<bigint>, loss_mask array<boolean>"
     )
+    if has_ast:
+        schema += ", asset_ids array<bigint>"
 
     def _read(batches):
         for pdf in batches:
@@ -536,6 +909,9 @@ def read_bin_shards(
                     if has_mask
                     else None
                 )
+                if has_ast:
+                    alens, _, payload = _parse_ast(base + ".ast")
+                    apos = 0
                 rows = []
                 pos = 0
                 for i in range(len(lens)):
@@ -551,24 +927,31 @@ def read_bin_shards(
                         m = bits.astype(bool).tolist()
                     else:
                         m = None
-                    rows.append(
-                        (
-                            int(k),
-                            i,
-                            int(ids[i]),
-                            ln,
-                            int(nsup[i]),
-                            t,
-                            m,
-                        )
+                    row = (
+                        int(k),
+                        i,
+                        int(ids[i]),
+                        ln,
+                        int(nsup[i]),
+                        t,
+                        m,
                     )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "shard", "seq_index", "seq_id", "n_tokens",
-                        "n_supervised", "tokens", "loss_mask",
-                    ],
-                )
+                    if has_ast:
+                        an = int(alens[i])
+                        row = row + (
+                            payload[apos : apos + an]
+                            .astype("int64")
+                            .tolist(),
+                        )
+                        apos += an
+                    rows.append(row)
+                cols = [
+                    "shard", "seq_index", "seq_id", "n_tokens",
+                    "n_supervised", "tokens", "loss_mask",
+                ]
+                if has_ast:
+                    cols.append("asset_ids")
+                yield pd.DataFrame(rows, columns=cols)
 
     return _shard_frame(spark, out_dir).mapInPandas(_read, schema)
 
@@ -592,8 +975,12 @@ def verify_bin_shards(
         + ", n_seqs_actual bigint, n_tokens_actual bigint,"
         " n_supervised_actual bigint, bin_bytes_actual bigint,"
         " msk_bytes_actual bigint, bin_crc32_actual bigint,"
-        " msk_crc32_actual bigint, ok boolean"
+        " msk_crc32_actual bigint, ast_bytes_actual bigint,"
+        " ast_crc32_actual bigint, n_assets_actual bigint,"
+        " ok boolean"
     )
+    meta = _read_meta(spark, out_dir)
+    has_ast = bool(meta and meta["has_assets"])
 
     def _verify(batches):
         for pdf in batches:
@@ -612,6 +999,10 @@ def verify_bin_shards(
                     "msk_bytes": int(r.msk_bytes),
                     "bin_crc32": int(r.bin_crc32),
                     "msk_crc32": int(r.msk_crc32),
+                    "ast_bytes": int(r.ast_bytes),
+                    "ast_crc32": int(r.ast_crc32),
+                    "n_assets": int(r.n_assets),
+                    "content_sig": r.content_sig,
                 }
                 try:
                     code, has_mask, lens, ids, nsup, tok_ptrs, \
@@ -656,12 +1047,41 @@ def verify_bin_shards(
                     else:
                         actual["msk_bytes_actual"] = 0
                         actual["msk_crc32_actual"] = 0
+                    if has_ast:
+                        # _parse_ast re-derives counts and rejects
+                        # trailing bytes; crc over the whole file
+                        # catches header tears too
+                        with open(base + ".ast", "rb") as f:
+                            araw = f.read()
+                        alens, ast_ptrs, _ = _parse_ast(
+                            base + ".ast"
+                        )
+                        exp_ast = np.zeros(len(alens), dtype="<u8")
+                        np.cumsum(
+                            alens[:-1].astype("<u8") * 8,
+                            out=exp_ast[1:],
+                        )
+                        consistent = (
+                            consistent
+                            and np.array_equal(ast_ptrs, exp_ast)
+                            and len(alens) == len(lens)
+                        )
+                        actual["ast_bytes_actual"] = len(araw)
+                        actual["ast_crc32_actual"] = zlib.crc32(araw)
+                        actual["n_assets_actual"] = int(
+                            alens.astype("int64").sum()
+                        )
+                    else:
+                        actual["ast_bytes_actual"] = 0
+                        actual["ast_crc32_actual"] = 0
+                        actual["n_assets_actual"] = 0
                     ok = consistent and all(
                         stored[k] == actual[k + "_actual"]
                         for k in (
                             "n_seqs", "n_tokens", "n_supervised",
                             "bin_bytes", "msk_bytes", "bin_crc32",
-                            "msk_crc32",
+                            "msk_crc32", "ast_bytes", "ast_crc32",
+                            "n_assets",
                         )
                     )
                 except (OSError, IOError):
@@ -672,6 +1092,8 @@ def verify_bin_shards(
                             "n_supervised_actual",
                             "bin_bytes_actual", "msk_bytes_actual",
                             "bin_crc32_actual", "msk_crc32_actual",
+                            "ast_bytes_actual", "ast_crc32_actual",
+                            "n_assets_actual",
                         )
                     }
                     ok = False
@@ -757,14 +1179,13 @@ def export_epoch_order(
                 perm = np.asarray(
                     [i for _, i in keys], dtype="<u4"
                 )
-                with open(
+                _atomic_write(
                     os.path.join(
                         out_dir,
                         f"shard_{k:05d}.ep{int(epoch):04d}",
                     ),
-                    "wb",
-                ) as f:
-                    f.write(perm.tobytes())
+                    perm.tobytes(),
+                )
                 out.append(
                     {
                         "shard": k,
@@ -825,3 +1246,486 @@ def read_epoch_order(
                 )
 
     return work.mapInPandas(_read, schema)
+
+
+# ------------------------------------------------------------------
+# windowed (trainer-resume) read
+# ------------------------------------------------------------------
+
+def read_bin_window(
+    spark: SparkSession,
+    out_dir: str,
+    epoch: int,
+    start: int,
+    stop: int,
+) -> DataFrame:
+    """Read sequences ``[start, stop)`` of epoch ``epoch``'s global
+    consumption order WITHOUT scanning the corpus — the
+    trainer-resume path (:func:`read_bin_shards` streams whole
+    shards; resuming from step *s* of an interrupted epoch needs
+    exactly the sequences the dataloader would have served next):
+    global position ``g`` dereferences through the epoch's macro
+    shard order (``shard_pos`` from the ``_epoch_<e>`` manifest),
+    the shard's ``.ep`` permutation file, and the ``.idx`` offset
+    table — three pointer reads — then ONE seek+read per sequence
+    in ``.bin``/``.msk``. Returns ``(global_pos, shard, shard_pos,
+    position, seq_index, seq_id, n_tokens, n_supervised, tokens,
+    loss_mask[, asset_ids])`` — identical to slicing the full-order
+    read, which is what the pytest asserts.
+
+    Out-of-range bounds RAISE (a resume step beyond the epoch is a
+    bookkeeping bug upstream — serving a short window silently
+    would skip data).
+
+    Scale shape: the driver holds only the shard-level manifest
+    (model-sized); one task per OVERLAPPING shard, and each task's
+    I/O is its permutation slice + index headers (index-sized) +
+    exactly the windowed sequences' bytes (seek, don't scan) — per-
+    task bytes proportional to its share of the window, regardless
+    of shard size."""
+    man = sorted(
+        (
+            (int(r["shard_pos"]), int(r["shard"]), int(r["n_seqs"]))
+            for r in spark.read.parquet(
+                os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+            ).collect()
+        )
+    )
+    total = sum(n for _, _, n in man)
+    start, stop = int(start), int(stop)
+    if start < 0 or stop > total or start > stop:
+        raise ValueError(
+            f"read_bin_window: window [{start}, {stop}) out of "
+            f"range for epoch {epoch} with {total} sequences"
+        )
+    meta = _read_meta(spark, out_dir)
+    has_ast = bool(meta and meta["has_assets"])
+    work = []
+    g0 = 0
+    for pos, k, n in man:
+        s = max(start, g0)
+        e = min(stop, g0 + n)
+        if s < e:
+            work.append((k, pos, g0, s - g0, e - g0))
+        g0 += n
+    schema = (
+        "global_pos bigint, shard int, shard_pos int,"
+        " position bigint, seq_index bigint, seq_id bigint,"
+        " n_tokens bigint, n_supervised bigint,"
+        " tokens array<bigint>, loss_mask array<boolean>"
+    )
+    if has_ast:
+        schema += ", asset_ids array<bigint>"
+    wdf = spark.createDataFrame(
+        work, "shard int, shard_pos int, g0 bigint, ls bigint,"
+        " le bigint"
+    ).repartition(max(len(work), 1), "shard")
+
+    def _read(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                k = int(r.shard)
+                ls, le = int(r.ls), int(r.le)
+                base = os.path.join(out_dir, f"shard_{k:05d}")
+                with open(
+                    base + f".ep{int(epoch):04d}", "rb"
+                ) as f:
+                    f.seek(4 * ls)
+                    perm = np.frombuffer(
+                        f.read(4 * (le - ls)), dtype="<u4"
+                    )
+                code, has_mask, lens, ids, nsup, tok_ptrs, \
+                    msk_ptrs = _parse_idx(base + ".idx")
+                itemsize = 2 if code == 2 else 4
+                np_dtype, _ = _DTYPES[code]
+                if has_ast:
+                    alens, ast_ptrs, payload = _parse_ast(
+                        base + ".ast"
+                    )
+                    a_starts = ast_ptrs // 8
+                rows = []
+                with open(base + ".bin", "rb") as fb, open(
+                    base + ".msk", "rb"
+                ) if has_mask else _NullCtx() as fm:
+                    for j, si in enumerate(perm):
+                        si = int(si)
+                        ln = int(lens[si])
+                        fb.seek(int(tok_ptrs[si]))
+                        t = np.frombuffer(
+                            fb.read(ln * itemsize), dtype=np_dtype
+                        ).astype("int64").tolist()
+                        if has_mask:
+                            nb = (ln + 7) // 8
+                            fm.seek(int(msk_ptrs[si]))
+                            m = np.unpackbits(
+                                np.frombuffer(
+                                    fm.read(nb), dtype="u1"
+                                ),
+                                bitorder="little",
+                            )[:ln].astype(bool).tolist()
+                        else:
+                            m = None
+                        row = (
+                            int(r.g0) + ls + j, k,
+                            int(r.shard_pos), ls + j, si,
+                            int(ids[si]), ln, int(nsup[si]), t, m,
+                        )
+                        if has_ast:
+                            a0 = int(a_starts[si])
+                            row = row + (
+                                payload[a0 : a0 + int(alens[si])]
+                                .astype("int64").tolist(),
+                            )
+                        rows.append(row)
+                cols = [
+                    "global_pos", "shard", "shard_pos", "position",
+                    "seq_index", "seq_id", "n_tokens",
+                    "n_supervised", "tokens", "loss_mask",
+                ]
+                if has_ast:
+                    cols.append("asset_ids")
+                yield pd.DataFrame(rows, columns=cols)
+
+    return wdf.mapInPandas(_read, schema)
+
+
+class _NullCtx:
+    """Context manager standing in for the absent .msk handle."""
+
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+# ------------------------------------------------------------------
+# preference (chosen/rejected) binary shards
+# ------------------------------------------------------------------
+
+def export_preference_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    pair_id_col: str = "pair_id",
+    chosen_tokens_col: str = "chosen_tokens",
+    rejected_tokens_col: str = "rejected_tokens",
+    chosen_mask_col: str | None = "chosen_mask",
+    rejected_mask_col: str | None = "rejected_mask",
+    dtype: str = "auto",
+    salt: str = "",
+    incremental: bool = False,
+) -> DataFrame:
+    """Trainer-native binary export for PREFERENCE pairs — the
+    DPO/KTO analogue of :func:`export_bin_shards` (a preference
+    trainer consumes (chosen, rejected) token streams plus their
+    prompt-masking loss masks, memory-mapped and PAIRED; exporting
+    the two sides independently loses the pairing, the one thing a
+    preference loss needs): each pair becomes TWO sequences in the
+    standard ``.bin``/``.idx``/``.msk`` layout under
+    ``seq_id = 2*pair_id + stream`` (stream 0 = chosen, 1 =
+    rejected), with shard assignment hashed on the PAIR id — both
+    halves land in the same shard, and the ascending-id in-shard
+    order makes them physically ADJACENT (chosen at even index *i*,
+    rejected at *i*+1). That adjacency IS the paired index: a
+    trainer reads pair *p* of a shard as sequences ``2p``/``2p+1``
+    — no side table — and any tooling that understands the base
+    format can still read the shards. Masks are both-or-neither
+    (``None`` both columns for mask-less export); pair ids must be
+    non-negative. Reuses the base exporter wholesale: ONE shuffle,
+    atomic writes, crc manifest, ``content_sig`` (so
+    ``incremental=True`` re-exports only shards whose PAIRS
+    changed). Returns the manifest.
+
+    Round-trip inverse: :func:`read_preference_shards`; integrity:
+    :func:`verify_preference_shards` (byte level + the even/odd
+    adjacency invariant)."""
+    if (chosen_mask_col is None) != (rejected_mask_col is None):
+        raise ValueError(
+            "export_preference_shards: chosen/rejected mask "
+            "columns must both be set or both be None"
+        )
+    if df.schema[pair_id_col].dataType.simpleString() not in (
+        _INTEGRAL
+    ):
+        raise ValueError(
+            f"export_preference_shards: {pair_id_col} must be "
+            "integral"
+        )
+    pid = F.col(pair_id_col).cast("bigint")
+    has_mask = chosen_mask_col is not None
+
+    def side(stream, toks_col, mask_col):
+        cols = [
+            pid.alias("pair_id"),
+            (pid * 2 + F.lit(stream)).alias("seq_id"),
+            F.col(toks_col).alias("tokens"),
+        ]
+        if has_mask:
+            cols.append(F.col(mask_col).alias("loss_mask"))
+        return df.select(*cols)
+
+    stacked = side(0, chosen_tokens_col, chosen_mask_col).unionAll(
+        side(1, rejected_tokens_col, rejected_mask_col)
+    )
+    return export_bin_shards(
+        stacked,
+        out_dir,
+        n_shards,
+        tokens_col="tokens",
+        mask_col="loss_mask" if has_mask else None,
+        id_col="seq_id",
+        dtype=dtype,
+        salt=salt,
+        shard_key_col="pair_id",
+        incremental=incremental,
+    )
+
+
+def read_preference_shards(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """Read an :func:`export_preference_shards` directory back as
+    one row per PAIR — ``(shard, pair_index, pair_id,
+    chosen_tokens, chosen_mask, rejected_tokens, rejected_mask,
+    chosen_n_tokens, rejected_n_tokens, chosen_n_supervised,
+    rejected_n_supervised)`` — by pairing the physically adjacent
+    even/odd sequences inside each shard task: map-only, NO join,
+    no shuffle (the pairing was laid out at export time; a
+    reshape-by-join would shuffle the corpus to rediscover what
+    adjacency already encodes). A shard that violates the pairing
+    invariant (odd sequence count, a half with the wrong id parity
+    or a mismatched partner id — i.e. not an
+    export_preference_shards directory, or a torn one) RAISES with
+    the shard and offending index."""
+    meta = _read_meta(spark, out_dir)
+    if meta and meta["has_assets"]:
+        raise ValueError(
+            "read_preference_shards: preference shards carry no "
+            ".ast sidecar"
+        )
+    schema = (
+        "shard int, pair_index bigint, pair_id bigint,"
+        " chosen_n_tokens bigint, rejected_n_tokens bigint,"
+        " chosen_n_supervised bigint, rejected_n_supervised bigint,"
+        " chosen_tokens array<bigint>, rejected_tokens array<bigint>,"
+        " chosen_mask array<boolean>, rejected_mask array<boolean>"
+    )
+
+    def _read(batches):
+        for pdf in batches:
+            for k in pdf["shard"].tolist():
+                base = os.path.join(out_dir, f"shard_{int(k):05d}")
+                code, has_mask, lens, ids, nsup, tok_ptrs, \
+                    msk_ptrs = _parse_idx(base + ".idx")
+                np_dtype, _ = _DTYPES[code]
+                toks = np.fromfile(base + ".bin", dtype=np_dtype)
+                mraw = (
+                    np.fromfile(base + ".msk", dtype="u1")
+                    if has_mask
+                    else None
+                )
+                if len(lens) % 2:
+                    raise IOError(
+                        f"shard {k}: odd sequence count "
+                        f"{len(lens)} — not a preference shard"
+                    )
+
+                def seq(i):
+                    ln = int(lens[i])
+                    p0 = int(tok_ptrs[i]) // (
+                        2 if code == 2 else 4
+                    )
+                    t = toks[p0 : p0 + ln].astype(
+                        "int64"
+                    ).tolist()
+                    if has_mask:
+                        mp = int(msk_ptrs[i])
+                        nb = (ln + 7) // 8
+                        m = np.unpackbits(
+                            mraw[mp : mp + nb], bitorder="little"
+                        )[:ln].astype(bool).tolist()
+                    else:
+                        m = None
+                    return t, m, ln, int(nsup[i])
+
+                rows = []
+                for i in range(0, len(lens), 2):
+                    cid, rid = int(ids[i]), int(ids[i + 1])
+                    if cid % 2 != 0 or rid != cid + 1:
+                        raise IOError(
+                            f"shard {k}: sequences {i}/{i + 1} "
+                            f"carry ids {cid}/{rid} — pairing "
+                            "invariant broken"
+                        )
+                    ct, cm, cln, cns = seq(i)
+                    rt, rm, rln, rns = seq(i + 1)
+                    rows.append(
+                        (
+                            int(k), i // 2, cid // 2,
+                            cln, rln, cns, rns,
+                            ct, rt, cm, rm,
+                        )
+                    )
+                cols = [
+                    "shard", "pair_index", "pair_id",
+                    "chosen_n_tokens", "rejected_n_tokens",
+                    "chosen_n_supervised", "rejected_n_supervised",
+                    "chosen_tokens", "rejected_tokens",
+                    "chosen_mask", "rejected_mask",
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return _shard_frame(spark, out_dir).mapInPandas(_read, schema)
+
+
+def verify_preference_shards(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """:func:`verify_bin_shards` plus the preference PAIRING
+    invariant — per shard, re-parse the ``.idx`` id table and check
+    even count + even/odd adjacent ids; returns the byte-level
+    verify frame with an extra ``pairing_ok`` column and ``ok``
+    folded over both. A torn file fails the byte level; a shard
+    whose ids no longer pair (e.g. one written by the plain
+    exporter) fails ``pairing_ok`` — both loud at audit time, not
+    at training time."""
+    v = verify_bin_shards(spark, out_dir)
+    schema = "shard int, pairing_ok boolean"
+
+    def _pairing(batches):
+        for pdf in batches:
+            out = []
+            for k in pdf["shard"].tolist():
+                base = os.path.join(out_dir, f"shard_{int(k):05d}")
+                try:
+                    _, _, _, ids, _, _, _ = _parse_idx(
+                        base + ".idx"
+                    )
+                    ok = len(ids) % 2 == 0 and all(
+                        int(ids[i]) % 2 == 0
+                        and int(ids[i + 1]) == int(ids[i]) + 1
+                        for i in range(0, len(ids), 2)
+                    )
+                except (OSError, IOError):
+                    ok = False
+                out.append({"shard": int(k), "pairing_ok": ok})
+            if out:
+                yield pd.DataFrame(out)
+
+    p = _shard_frame(spark, out_dir).mapInPandas(_pairing, schema)
+    return (
+        v.withColumnRenamed("ok", "_bytes_ok")
+        .join(p, "shard")
+        .withColumn(
+            "ok", F.col("_bytes_ok") & F.col("pairing_ok")
+        )
+        .drop("_bytes_ok")
+    )
+
+
+# ------------------------------------------------------------------
+# data card
+# ------------------------------------------------------------------
+
+def bin_shard_data_card(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """One-row release summary of a binary shard set — the
+    :func:`~topn_spark.operators.pipeline.data_card` contract at
+    the binary layer (the artifact a training run is ACTUALLY fed;
+    a data card that describes the parquet corpus but not the
+    exported shards documents the wrong thing): totals from the
+    ``_manifest`` (already byte-exact), per-sequence length
+    extremes re-read from the ``.idx`` tables (index-sized, one
+    task per shard — lengths are not in the manifest), dtype /
+    stream flags / ``export_version`` from ``_manifest_meta``, and
+    ``epochs_exported`` = the epoch numbers whose ``_epoch_<e>``
+    manifest AND per-shard ``.ep`` files are all present (a partial
+    epoch export is not coverage). Columns: ``n_shards, n_seqs,
+    n_tokens, n_supervised, supervised_ratio, n_assets, dtype,
+    has_mask, has_assets, export_version, bin_bytes, msk_bytes,
+    ast_bytes, min_seq_len, max_seq_len, mean_seq_len,
+    epochs_exported``."""
+    man = spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    meta = _read_meta(spark, out_dir) or {
+        "dtype": None, "has_mask": True, "has_assets": False,
+        "export_version": 1,
+    }
+    lens_schema = "shard int, min_len bigint, max_len bigint"
+
+    def _lens(batches):
+        for pdf in batches:
+            out = []
+            for k in pdf["shard"].tolist():
+                _, _, lens, _, _, _, _ = _parse_idx(
+                    os.path.join(
+                        out_dir, f"shard_{int(k):05d}.idx"
+                    )
+                )
+                out.append(
+                    {
+                        "shard": int(k),
+                        "min_len": int(lens.min()) if len(lens)
+                        else None,
+                        "max_len": int(lens.max()) if len(lens)
+                        else None,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    shards = {int(r["shard"]) for r in man.select("shard").collect()}
+    epochs = []
+    for d in sorted(glob.glob(os.path.join(out_dir, "_epoch_*"))):
+        try:
+            e = int(os.path.basename(d).split("_")[-1])
+        except ValueError:
+            continue
+        if all(
+            os.path.exists(
+                os.path.join(
+                    out_dir, f"shard_{k:05d}.ep{e:04d}"
+                )
+            )
+            for k in shards
+        ):
+            epochs.append(e)
+    lens = _shard_frame(spark, out_dir).mapInPandas(
+        _lens, lens_schema
+    )
+    totals = man.join(lens, "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_supervised").cast("bigint").alias("n_supervised"),
+        F.sum("n_assets").cast("bigint").alias("n_assets"),
+        F.sum("bin_bytes").cast("bigint").alias("bin_bytes"),
+        F.sum("msk_bytes").cast("bigint").alias("msk_bytes"),
+        F.sum("ast_bytes").cast("bigint").alias("ast_bytes"),
+        F.min("min_len").cast("bigint").alias("min_seq_len"),
+        F.max("max_len").cast("bigint").alias("max_seq_len"),
+    )
+    return totals.select(
+        "n_shards", "n_seqs", "n_tokens", "n_supervised",
+        F.round(
+            F.col("n_supervised").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("supervised_ratio"),
+        "n_assets",
+        F.lit(meta["dtype"]).alias("dtype"),
+        F.lit(bool(meta["has_mask"])).alias("has_mask"),
+        F.lit(bool(meta["has_assets"])).alias("has_assets"),
+        F.lit(int(meta["export_version"])).cast("bigint").alias(
+            "export_version"
+        ),
+        "bin_bytes", "msk_bytes", "ast_bytes",
+        "min_seq_len", "max_seq_len",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_seqs").cast("double"),
+            6,
+        ).alias("mean_seq_len"),
+        F.lit(epochs).cast("array<int>").alias("epochs_exported"),
+    )
