@@ -961,3 +961,140 @@ def test_arena_monitor_sink_tracks_ratings(spark, tmp_path):
     assert len(spark.read.parquet(f"{out}/ratings").collect()) == len(
         hist
     )
+
+
+def test_arena_monitor_no_shared_prompt_batch_writes_nothing(
+    spark, tmp_path
+):
+    """A batch whose samples share no prompt across two models has
+    no win signal: the monitor must append NOTHING — the missing
+    batch_id partition is the documented observable — and the next
+    comparable batch still rates normally."""
+    import os
+
+    from topn_spark.streaming.ingest import arena_monitor_sink
+
+    src = str(tmp_path / "arena_src2")
+    out = str(tmp_path / "arena2")
+    ck = str(tmp_path / "arena_ck2")
+
+    def run():
+        stream = spark.readStream.schema(
+            "prompt_id long, model string, score double"
+        ).parquet(src)
+        q = arena_monitor_sink(stream, out, ck)
+        q.awaitTermination(120)
+
+    # batch 0: disjoint prompts per model -> empty win matrix
+    spark.createDataFrame(
+        [(p, "mA", 5.0) for p in range(5)]
+        + [(p, "mB", 5.0) for p in range(100, 105)],
+        "prompt_id long, model string, score double",
+    ).write.mode("append").parquet(src)
+    run()
+    assert not os.path.exists(os.path.join(out, "ratings"))
+    # batch 1: shared prompts -> rated
+    spark.createDataFrame(
+        [(p, "mA", 9.0) for p in range(5)]
+        + [(p, "mB", 1.0) for p in range(5)],
+        "prompt_id long, model string, score double",
+    ).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(f"{out}/ratings").collect()
+    assert {r.batch_id for r in rows} == {1}
+
+
+def _arena_batch(spark, wins_b, n=10, base=0):
+    """n shared prompts; mB wins the first `wins_b`, mA the rest."""
+    rows = []
+    for p in range(n):
+        pid = base + p
+        rows.append((pid, "mA", 1.0 if p < wins_b else 9.0))
+        rows.append((pid, "mB", 9.0 if p < wins_b else 1.0))
+    return spark.createDataFrame(
+        rows, "prompt_id long, model string, score double"
+    )
+
+
+def test_arena_cumulative_drift_accumulates(spark, tmp_path):
+    """A slow regression invisible per batch crosses the cumulative
+    signal: batch 0 is balanced, every later batch gives mB a 6-4
+    edge — each batch's own fit is a noisy constant, while the
+    cumulative drift (rating vs the first batch's fit) grows from 0
+    as evidence accumulates. Replaying a batch recomputes the
+    cumulative partition identically (pure function of partitions
+    <= N)."""
+    from topn_spark.streaming.ingest import arena_monitor_batch
+
+    out = str(tmp_path / "arena_cum")
+    arena_monitor_batch(_arena_batch(spark, 5), out, 0)
+    for b in range(1, 5):
+        arena_monitor_batch(
+            _arena_batch(spark, 6, base=1000 * b), out, b
+        )
+    cum = {
+        (r.batch_id, r.model): r
+        for r in spark.read.parquet(f"{out}/cumulative").collect()
+    }
+    # first batch: cumulative == baseline, drift exactly 0
+    assert cum[(0, "mB")].drift == 0.0
+    # the drift grows with accumulating evidence...
+    drifts = [cum[(b, "mB")].drift for b in range(5)]
+    assert drifts[4] > drifts[1] > drifts[0]
+    assert drifts[4] > 20.0  # Elo-scale: clearly alertable
+    # ...while each batch's own fit is flat (no growing signal)
+    per = {
+        (r.batch_id, r.model): r.rating
+        for r in spark.read.parquet(f"{out}/ratings").collect()
+    }
+    gaps = [per[(b, "mB")] - per[(b, "mA")] for b in range(1, 5)]
+    assert max(gaps) - min(gaps) < 1e-6  # identical per-batch fits
+    # replay idempotency: re-running batch 3 rewrites its
+    # cumulative partition byte-identically
+    before = sorted(
+        (r.model, r.rating, r.drift)
+        for r in spark.read.parquet(
+            f"{out}/cumulative/batch_id=3"
+        ).collect()
+    )
+    arena_monitor_batch(_arena_batch(spark, 6, base=3000), out, 3)
+    after = sorted(
+        (r.model, r.rating, r.drift)
+        for r in spark.read.parquet(
+            f"{out}/cumulative/batch_id=3"
+        ).collect()
+    )
+    assert before == after
+
+
+def test_arena_decayed_ratings_forget(spark, tmp_path):
+    """Exponential forgetting: after three pro-mA batches and one
+    strongly pro-mB batch, the half-life-1 leaderboard flips to mB
+    while the cumulative fit still has mA on top — the production
+    model-swap signal."""
+    from topn_spark.streaming.ingest import arena_monitor_batch
+
+    out = str(tmp_path / "arena_dec")
+    for b in range(3):
+        arena_monitor_batch(
+            _arena_batch(spark, 2, base=1000 * b), out, b,
+            half_life_batches=1.0,
+        )
+    arena_monitor_batch(
+        _arena_batch(spark, 10, base=9000), out, 3,
+        half_life_batches=1.0,
+    )
+    dec = {
+        r.model: r.rating
+        for r in spark.read.parquet(
+            f"{out}/decayed/batch_id=3"
+        ).collect()
+    }
+    cum = {
+        r.model: r.rating
+        for r in spark.read.parquet(
+            f"{out}/cumulative/batch_id=3"
+        ).collect()
+    }
+    assert dec["mB"] > dec["mA"]  # recent sweep dominates
+    assert cum["mA"] > cum["mB"]  # history still dominates

@@ -1273,6 +1273,8 @@ def arena_monitor_batch(
     model_col: str = "model",
     score_col: str = "score",
     smoothing: float = 0.5,
+    cumulative: bool = True,
+    half_life_batches: float | None = None,
 ) -> None:
     """Arena-rating monitor for one micro-batch of scored samples —
     the streaming readout of the z113→z117 chain (an evaluation
@@ -1289,9 +1291,33 @@ def arena_monitor_batch(
     prompt across two models append nothing — observable as a
     missing batch partition, never a fabricated rating.
 
+    ``cumulative=True`` additionally fits the SUMMED win matrix
+    over every committed batch ``<= batch_id`` (the matrix
+    partitions ARE the state — k²-sized rows, no second statestore
+    to reconcile) and writes it under ``cumulative/batch_id=<N>``
+    with a per-model ``drift`` column: the cumulative rating minus
+    the same model's rating fitted on the FIRST committed batch
+    alone (NULL for models the first batch never rated). A slow
+    per-batch regression that each batch's own noisy fit hides
+    accumulates in ``drift`` — that is the monitor's alerting
+    signal. Because the cumulative fit is a pure function of the
+    partitions ``<= batch_id``, a replayed batch recomputes and
+    overwrites byte-identically: restart-idempotent by
+    construction, no decayed/incremental state to corrupt.
+
+    ``half_life_batches`` also writes ``decayed/batch_id=<N>``:
+    the production leaderboard shape — batch *b*'s matrix weighted
+    ``0.5^((N-b)/half_life)`` (exponential forgetting, so a model
+    swap shows up in the ratings within ~a half-life instead of
+    being diluted by months of stale wins), fitted over the
+    weighted effective counts (the BT likelihood accepts weighted
+    sufficient statistics directly).
+
     Scale shape: per batch, the z113 shapes (max-agg + model-keyed
     self-join + k²-agg) and a driver MM fit on the k² statistic —
-    per-batch cost, nothing data-sized on the driver."""
+    per-batch cost, nothing data-sized on the driver; the
+    cumulative/decayed reads scan only (batches × k²) matrix rows,
+    never samples."""
     from topn_spark.operators.sft import (
         bradley_terry_fit,
         pairwise_winrate,
@@ -1302,6 +1328,13 @@ def arena_monitor_batch(
         score_col=score_col,
     ).persist()
     try:
+        if matrix.limit(1).count() == 0:
+            # no prompt shared across two models: nothing to rate —
+            # skip the writes entirely so the missing batch_id
+            # partition stays the documented observable signal
+            # (an empty partition would read as a fitted-but-empty
+            # batch)
+            return
         fit = bradley_terry_fit(matrix, smoothing=smoothing)
         rows = fit.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("bigint")
@@ -1317,6 +1350,77 @@ def arena_monitor_batch(
         ).write.mode("overwrite").parquet(
             f"{out_dir}/matrix/batch_id={int(batch_id)}"
         )
+        if cumulative or half_life_batches is not None:
+            spark = batch.sparkSession
+            hist = (
+                spark.read.parquet(f"{out_dir}/matrix")
+                .where(F.col("batch_id") <= int(batch_id))
+                .persist()
+            )
+            try:
+                pair_sums = ["wins_a", "wins_b", "ties"]
+                if cumulative:
+                    cum = bradley_terry_fit(
+                        hist.groupBy("model_a", "model_b").agg(
+                            *[
+                                F.sum(c).alias(c)
+                                for c in pair_sums
+                            ]
+                        ),
+                        smoothing=smoothing,
+                    )
+                    first = int(
+                        hist.agg(F.min("batch_id")).collect()[0][0]
+                    )
+                    base = bradley_terry_fit(
+                        hist.where(
+                            F.col("batch_id") == first
+                        ).select("model_a", "model_b", *pair_sums),
+                        smoothing=smoothing,
+                    ).select(
+                        "model",
+                        F.col("rating").alias("_r0"),
+                    )
+                    cum.join(F.broadcast(base), "model", "left").select(
+                        F.lit(int(batch_id)).cast("bigint").alias(
+                            "batch_id"
+                        ),
+                        "model", "strength", "rating",
+                        "wins_eff", "n_games", "converged",
+                        (F.col("rating") - F.col("_r0")).alias(
+                            "drift"
+                        ),
+                    ).write.mode("overwrite").parquet(
+                        f"{out_dir}/cumulative/batch_id="
+                        f"{int(batch_id)}"
+                    )
+                if half_life_batches is not None:
+                    w = F.pow(
+                        F.lit(0.5),
+                        (F.lit(int(batch_id)) - F.col("batch_id"))
+                        / F.lit(float(half_life_batches)),
+                    )
+                    decayed = bradley_terry_fit(
+                        hist.groupBy("model_a", "model_b").agg(
+                            *[
+                                F.sum(F.col(c) * w).alias(c)
+                                for c in pair_sums
+                            ]
+                        ),
+                        smoothing=smoothing,
+                    )
+                    decayed.select(
+                        F.lit(int(batch_id)).cast("bigint").alias(
+                            "batch_id"
+                        ),
+                        "model", "strength", "rating",
+                        "wins_eff", "n_games", "converged",
+                    ).write.mode("overwrite").parquet(
+                        f"{out_dir}/decayed/batch_id="
+                        f"{int(batch_id)}"
+                    )
+            finally:
+                hist.unpersist()
     finally:
         matrix.unpersist()
 
@@ -1329,13 +1433,18 @@ def arena_monitor_sink(
     model_col: str = "model",
     score_col: str = "score",
     smoothing: float = 0.5,
+    cumulative: bool = True,
+    half_life_batches: float | None = None,
 ):
     """Attach :func:`arena_monitor_batch` to a stream of scored
     samples: per-batch win matrices and Bradley–Terry ratings under
-    ``batch_id=<N>`` partitions (exactly-once under replay).
-    Returns the started ``StreamingQuery``; read the rating history
-    back with ``spark.read.parquet(f"{out_dir}/ratings")`` and
-    alert on a rating drop."""
+    ``batch_id=<N>`` partitions (exactly-once under replay), plus
+    the cumulative fit + drift signal and, with
+    ``half_life_batches``, the exponentially-forgetting
+    leaderboard. Returns the started ``StreamingQuery``; read the
+    rating history back with
+    ``spark.read.parquet(f"{out_dir}/ratings")`` (or
+    ``.../cumulative`` / ``.../decayed``) and alert on ``drift``."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         arena_monitor_batch(
@@ -1346,6 +1455,8 @@ def arena_monitor_sink(
             model_col=model_col,
             score_col=score_col,
             smoothing=smoothing,
+            cumulative=cumulative,
+            half_life_batches=half_life_batches,
         )
 
     return (
