@@ -28,6 +28,19 @@ on byte-identical code; see VERDICT r2 §wrong-3).
 Optional: $SPARK_GRAFT_QUERIES — comma-separated names or name
 prefixes (e.g. "q" = the survey suite only) restricts which catalog
 entries run; unset runs everything (the driver's default).
+
+Drift discipline (the r10/r11 lesson — three verdicts re-litigated
+1.5-3x phantom regressions that were machine noise on identical
+code): each entry's min-of-N is compared against the most recent
+committed BENCH_DETAIL_r{K}.jsonl beside this script (override via
+$SPARK_GRAFT_PREV_DETAIL; set it empty to disable). An entry slower
+than 1.5x its prior committed value is automatically RE-TIMED
+(min-of-3 more trials after a cache clear); if the re-time recovers
+it the detail record carries "retimed": true, and if it still
+exceeds the band it carries "drift": true plus "prev_sec" — so the
+committed artifact self-annotates which entries are measured slower
+vs merely noisy, and no phantom survives into the next round's
+comparison unexamined.
 """
 
 from __future__ import annotations
@@ -59,14 +72,30 @@ def main() -> None:
     ]
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
 
-    per_query: dict[str, float] = {}
-    survey_total = 0.0  # q01-q32: the queries BASELINE.md measured
-    extended_total = 0.0  # x*: extension ops with no baseline analogue
-    for name, q in sorted(QUERIES.items()):
-        if only and not any(name.startswith(p) for p in only):
-            continue
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_DETAIL")
+    if prev_path is None:
+        committed = sorted(
+            (
+                p for p in os.listdir(here)
+                if re.fullmatch(r"BENCH_DETAIL_r(\d+)\.jsonl", p)
+            ),
+            key=lambda p: int(re.findall(r"\d+", p)[0]),
+        )
+        prev_path = os.path.join(here, committed[-1]) if committed else ""
+    prev: dict[str, float] = {}
+    if prev_path and os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            for ln in fh:
+                try:
+                    rec = json.loads(ln)
+                    prev[rec["q"]] = float(rec["sec"])
+                except (ValueError, KeyError):
+                    continue
+
+    def time_query(q, n):
         dt = float("inf")
-        for _ in range(trials):
+        for _ in range(n):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).collect()
             dt = min(dt, time.perf_counter() - t0)
@@ -75,6 +104,24 @@ def main() -> None:
             # cache and time only the tail of the pipeline. Drop all
             # cached data so every trial measures identical work.
             spark.catalog.clearCache()
+        return dt
+
+    per_query: dict[str, float] = {}
+    annot: dict[str, dict] = {}
+    survey_total = 0.0  # q01-q32: the queries BASELINE.md measured
+    extended_total = 0.0  # x*: extension ops with no baseline analogue
+    for name, q in sorted(QUERIES.items()):
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        dt = time_query(q, trials)
+        p = prev.get(name)
+        if p is not None and dt > 1.5 * p:
+            # quiet-box discipline: re-time before recording a drift
+            dt = min(dt, time_query(q, 3))
+            if dt > 1.5 * p:
+                annot[name] = {"drift": True, "prev_sec": p}
+            else:
+                annot[name] = {"retimed": True}
         per_query[name] = round(dt, 4)
         if name.startswith("q"):
             survey_total += dt
@@ -97,7 +144,9 @@ def main() -> None:
         ),
     )
     lines = [
-        json.dumps({"q": name, "sec": per_query[name]})
+        json.dumps(
+            {"q": name, "sec": per_query[name], **annot.get(name, {})}
+        )
         for name in sorted(
             per_query, key=lambda n: (n.startswith("x"), n)
         )
