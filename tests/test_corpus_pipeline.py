@@ -385,6 +385,38 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
     ).write.parquet(src_path)
 
     spec = json.load(open("examples/preference_pipeline.json"))
+    # binary branch needs a vocabulary: build it from a prefix run
+    # over the pair frame's tokenized responses (the realistic flow —
+    # the tokenizer artifact exists before the export runs)
+    from topn_spark.operators.binshard import save_vocab, token_vocab
+
+    prefix_names = {"src", "pairs", "pairTok"}
+    prefix = {
+        **spec,
+        "stages": [
+            s for s in spec["stages"] if s["name"] in prefix_names
+        ],
+        "connections": [
+            c
+            for c in spec["connections"]
+            if c["from"] in prefix_names and c["to"] in prefix_names
+        ],
+    }
+    pre = run_pipeline(
+        spark, prefix,
+        substitutions={"input": src_path, "minGap": "1"},
+    )
+    vocab_path = str(tmp_path / "pref_vocab")
+    both = pre["pairTok"].select(
+        F.explode(
+            F.array(
+                F.col("chosen_tokens"), F.col("rejected_tokens")
+            )
+        ).alias("tokens")
+    )
+    save_vocab(token_vocab(both), vocab_path)
+
+    pref_bin = str(tmp_path / "pref_bin")
     staged = run_pipeline(
         spark,
         spec,
@@ -394,6 +426,9 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
             "pairsOut": str(tmp_path / "pairs"),
             "ktoOut": str(tmp_path / "kto"),
             "eloOut": str(tmp_path / "elo"),
+            "vocab": vocab_path,
+            "prefBinOut": pref_bin,
+            "nShards": "2",
         },
     )
     pairs = {r.prompt_id: r for r in staged["pairs"].collect()}
@@ -420,3 +455,123 @@ def test_preference_pipeline_example_end_to_end(spark, tmp_path):
     # both sinks landed readable parquet
     assert spark.read.parquet(str(tmp_path / "pairs")).count() == 1
     assert spark.read.parquet(str(tmp_path / "kto")).count() == 7
+    # binary branch: the paired shards read back as the id-encoded
+    # pair frame, adjacency invariant verified
+    from topn_spark.operators.binshard import (
+        read_preference_shards,
+        verify_preference_shards,
+    )
+
+    enc = staged["encodeRejected"]
+    back = read_preference_shards(spark, pref_bin)
+    cols = ["pair_id", "chosen_tokens", "rejected_tokens"]
+    assert enc.select(*cols).exceptAll(
+        back.select(*cols)
+    ).count() == 0
+    assert back.count() == 1  # one surviving pair
+    assert all(
+        r.ok and r.pairing_ok
+        for r in verify_preference_shards(spark, pref_bin).collect()
+    )
+
+
+def test_multimodal_pipeline_spec(spark, tmp_path):
+    """examples/multimodal_pipeline.json end-to-end: the dangling
+    asset-reference gate drops the broken conversation BEFORE any
+    export, packing preserves the placeholder->asset binding, and
+    the binary sink lands .bin/.idx/.msk/.ast shards that read back
+    equal to the packed frame on all streams."""
+    import json
+
+    from topn_spark.operators.binshard import (
+        read_bin_shards,
+        save_vocab,
+        token_vocab,
+        verify_bin_shards,
+    )
+    from topn_spark.pipelines import run_pipeline
+
+    src_path = str(tmp_path / "mm_src")
+    img = "<|image|>"
+    spark.createDataFrame(
+        [
+            (1, [img, "describe", "this", "scene"],
+             [False, False, True, True], [100]),
+            (2, ["compare", img, "with", img, "please"],
+             [True, False, True, False, True], [101, 102]),
+            (3, ["text", "only", "conversation"],
+             [True, True, True], []),
+            (4, [img, "dangling", "reference"],
+             [False, True, True], [999]),
+        ],
+        "conv_id long, tokens array<string>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>",
+    ).write.parquet(src_path)
+    assets_path = str(tmp_path / "mm_assets")
+    spark.createDataFrame(
+        [(100,), (101,), (102,), (103,)], "asset_id long"
+    ).write.parquet(assets_path)
+
+    spec = json.load(open("examples/multimodal_pipeline.json"))
+    prefix_names = {"src", "assetRegistry", "validate", "gate"}
+    prefix = {
+        **spec,
+        "stages": [
+            s for s in spec["stages"] if s["name"] in prefix_names
+        ],
+        "connections": [
+            c
+            for c in spec["connections"]
+            if c["from"] in prefix_names and c["to"] in prefix_names
+        ],
+    }
+    pre = run_pipeline(
+        spark, prefix,
+        substitutions={"input": src_path, "assets": assets_path},
+    )
+    # the gate: conv 4 references an unregistered asset and drops
+    assert sorted(
+        r.conv_id for r in pre["gate"].collect()
+    ) == [1, 2, 3]
+    assert {
+        r.conv_id: r.n_missing for r in pre["validate"].collect()
+    } == {1: 0, 2: 0, 3: 0, 4: 1}
+    vocab_path = str(tmp_path / "mm_vocab")
+    save_vocab(
+        token_vocab(
+            pre["gate"].select("tokens"),
+            specials=("<|endoftext|>",),
+        ),
+        vocab_path,
+    )
+    bin_out = str(tmp_path / "mm_bin")
+    staged = run_pipeline(
+        spark,
+        spec,
+        substitutions={
+            "input": src_path,
+            "assets": assets_path,
+            "seqLen": "6",
+            "nShards": "2",
+            "vocab": vocab_path,
+            "binOut": bin_out,
+        },
+    )
+    packed = staged["encode"]
+    back = read_bin_shards(spark, bin_out)
+    cols = ["seq_id", "tokens", "loss_mask", "asset_ids"]
+    assert packed.select(*cols).exceptAll(
+        back.select(*cols)
+    ).count() == 0
+    assert back.count() == packed.count()
+    # the binding survived: every exported asset ref is registered,
+    # and each original conversation's refs appear in order
+    all_refs = [
+        a
+        for r in back.orderBy("seq_id").collect()
+        for a in (r.asset_ids or [])
+    ]
+    assert sorted(all_refs) == [100, 101, 102]
+    assert all(
+        r.ok for r in verify_bin_shards(spark, bin_out).collect()
+    )

@@ -2181,8 +2181,11 @@ def _stage_bin_shard_sink(
     shard, plus a byte-exact _manifest (verify with
     verify_bin_shards). Properties: path (required), nShards
     (required), idField ('seq_id'), tokensField ('tokens'),
-    maskField ('loss_mask'; 'none' exports without a mask), dtype
-    ('auto' | 'uint16' | 'uint32'), salt ('')."""
+    maskField ('loss_mask'; 'none' exports without a mask),
+    assetsField ('none'; a multimodal asset-ref array column adds
+    the .ast sidecar), dtype ('auto' | 'uint16' | 'uint32'),
+    salt (''), incremental ('false'; 'true' rewrites only shards
+    whose content signature changed)."""
     (df,) = inputs
     p = stage.properties
     path = p.get("path")
@@ -2191,6 +2194,9 @@ def _stage_bin_shard_sink(
     mask_col: str | None = p.get("maskField", "loss_mask")
     if mask_col == "none":
         mask_col = None
+    assets_col: str | None = p.get("assetsField", "none")
+    if assets_col == "none":
+        assets_col = None
     dtype = p.get("dtype", "auto")
     if not path:
         collector.add_failure(
@@ -2210,11 +2216,23 @@ def _stage_bin_shard_sink(
     ok = _require_field(df, tokens_col, collector, "tokensField") and ok
     if mask_col is not None:
         ok = _require_field(df, mask_col, collector, "maskField") and ok
+    if assets_col is not None:
+        ok = _require_field(
+            df, assets_col, collector, "assetsField"
+        ) and ok
     if dtype not in ("auto", "uint16", "uint32"):
         collector.add_failure(
             f"Invalid dtype '{dtype}'.",
             "'auto', 'uint16' or 'uint32'.",
             property_name="dtype",
+        )
+        ok = False
+    incremental = p.get("incremental", "false")
+    if incremental not in ("true", "false"):
+        collector.add_failure(
+            f"Invalid incremental '{incremental}'.",
+            "'true' or 'false'.",
+            property_name="incremental",
         )
         ok = False
     if n_shards is None or not ok:
@@ -2230,7 +2248,214 @@ def _stage_bin_shard_sink(
         export_bin_shards(
             df, path, n_shards, tokens_col=tokens_col,
             mask_col=mask_col, id_col=id_col, dtype=dtype,
+            salt=p.get("salt", ""), assets_col=assets_col,
+            incremental=incremental == "true",
+        )
+    return df
+
+
+def _stage_validate_assets(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """ValidateAssets batchjoiner: referential-integrity gate for
+    multimodal asset references — every id in the FIRST input's
+    ``refsField`` array must exist in the SECOND input's
+    ``assetKey`` registry column (a dangling ref would splice a
+    vision embedding from nothing, silently); appends ``n_missing``
+    and ``assets_ok`` so a downstream Filter can gate BEFORE the
+    binary export. Properties: refsField ('asset_ids'), assetKey
+    ('asset_id'). Scale shape: explode the refs (rows = image
+    references, not tokens), one anti-join against the distinct
+    registry key (broadcast-sized registries broadcast), one
+    count re-agg joined back on a row id — the decontamination
+    shape."""
+    if len(inputs) != 2:
+        raise ValueError(
+            "ValidateAssets needs exactly 2 inputs "
+            "(data, asset registry); got "
+            f"{len(inputs)}"
+        )
+    df, registry = inputs
+    p = stage.properties
+    refs_col = p.get("refsField", "asset_ids")
+    asset_key = p.get("assetKey", "asset_id")
+    ok = _require_field(df, refs_col, collector, "refsField")
+    ok = _require_field(
+        registry, asset_key, collector, "assetKey"
+    ) and ok
+    if not ok:
+        return df
+    rid = F.monotonically_increasing_id()
+    base = df.withColumn("_vid", rid)
+    refs = base.select(
+        "_vid",
+        F.explode(
+            F.filter(
+                F.coalesce(
+                    F.col(refs_col),
+                    F.array().cast(
+                        df.schema[refs_col].dataType.simpleString()
+                    ),
+                ),
+                lambda a: a.isNotNull(),
+            )
+        ).alias("_aid"),
+    )
+    reg = registry.select(
+        F.col(asset_key).alias("_aid")
+    ).distinct()
+    missing = (
+        refs.join(reg, "_aid", "left_anti")
+        .groupBy("_vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_missing"))
+    )
+    return (
+        base.join(missing, "_vid", "left")
+        .withColumn(
+            "n_missing",
+            F.coalesce(
+                F.col("n_missing"), F.lit(0).cast("bigint")
+            ),
+        )
+        .withColumn("assets_ok", F.col("n_missing") == 0)
+        .drop("_vid")
+    )
+
+
+def _stage_pack_multimodal(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PackMultimodal transform: mask- AND asset-binding-preserving
+    sequence packing (pipeline.py::pack_multimodal_sequences) —
+    every packed sequence carries the assets whose placeholders
+    physically landed in it, in placeholder order. Properties:
+    seqLen (required), idField ('conv_id'), tokensField ('tokens'),
+    maskField ('loss_mask'), assetsField ('asset_ids'), imageToken
+    ('<|image|>'), sepToken (optional), sepSupervised ('false')."""
+    (df,) = inputs
+    p = stage.properties
+    if "seqLen" not in p:
+        collector.add_failure(
+            "PackMultimodal needs 'seqLen'.",
+            property_name="seqLen",
+        )
+        return df
+    seq_len = _int_prop(
+        p, "seqLen", 1, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    id_col = p.get("idField", "conv_id")
+    tokens_col = p.get("tokensField", "tokens")
+    mask_col = p.get("maskField", "loss_mask")
+    assets_col = p.get("assetsField", "asset_ids")
+    ok = _require_field(df, id_col, collector, "idField")
+    for f, n in (
+        (tokens_col, "tokensField"),
+        (mask_col, "maskField"),
+        (assets_col, "assetsField"),
+    ):
+        ok = _require_field(df, f, collector, n) and ok
+    if seq_len is None or not ok:
+        return df
+    from topn_spark.operators.pipeline import (
+        pack_multimodal_sequences,
+    )
+
+    return pack_multimodal_sequences(
+        df,
+        tokens_col=tokens_col,
+        mask_col=mask_col,
+        assets_col=assets_col,
+        id_col=id_col,
+        seq_len=seq_len,
+        order_col=id_col,
+        image_token=p.get("imageToken", "<|image|>"),
+        sep_token=p.get("sepToken"),
+        sep_supervised=p.get("sepSupervised", "false") == "true",
+    )
+
+
+def _stage_preference_bin_shard_sink(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """PreferenceBinShardSink batchsink: paired chosen/rejected
+    binary export (binshard.py::export_preference_shards) — each
+    pair lands as adjacent even/odd sequences of one shard, the
+    DPO-trainer shape. Properties: path (required), nShards
+    (required), pairIdField ('pair_id'), chosenTokensField
+    ('chosen_tokens'), rejectedTokensField ('rejected_tokens'),
+    chosenMaskField / rejectedMaskField ('chosen_mask' /
+    'rejected_mask'; BOTH 'none' exports mask-less), dtype
+    ('auto'), salt (''), incremental ('false')."""
+    (df,) = inputs
+    p = stage.properties
+    path = p.get("path")
+    if not path:
+        collector.add_failure(
+            "PreferenceBinShardSink needs a 'path'.",
+            property_name="path",
+        )
+        return df
+    if "nShards" not in p:
+        collector.add_failure(
+            "PreferenceBinShardSink needs 'nShards'.",
+            property_name="nShards",
+        )
+        return df
+    n_shards = _int_prop(
+        p, "nShards", 1, collector,
+        substitutions=substitutions, phase=phase,
+    )
+    pair_col = p.get("pairIdField", "pair_id")
+    ct = p.get("chosenTokensField", "chosen_tokens")
+    rt = p.get("rejectedTokensField", "rejected_tokens")
+    cm: str | None = p.get("chosenMaskField", "chosen_mask")
+    rm: str | None = p.get("rejectedMaskField", "rejected_mask")
+    if cm == "none":
+        cm = None
+    if rm == "none":
+        rm = None
+    if (cm is None) != (rm is None):
+        collector.add_failure(
+            "chosenMaskField/rejectedMaskField must both be set "
+            "or both be 'none'.",
+            property_name="chosenMaskField",
+        )
+        return df
+    ok = _require_field(df, pair_col, collector, "pairIdField")
+    ok = _require_field(df, ct, collector, "chosenTokensField") and ok
+    ok = _require_field(
+        df, rt, collector, "rejectedTokensField"
+    ) and ok
+    if cm is not None:
+        ok = _require_field(
+            df, cm, collector, "chosenMaskField"
+        ) and ok
+        ok = _require_field(
+            df, rm, collector, "rejectedMaskField"
+        ) and ok
+    if n_shards is None or not ok:
+        return df
+    if phase == "run":
+        path = substitute_macros(
+            path, substitutions or {}, collector, "path"
+        )
+        if collector.failures:
+            return df
+        from topn_spark.operators.binshard import (
+            export_preference_shards,
+        )
+
+        export_preference_shards(
+            df, path, n_shards,
+            pair_id_col=pair_col,
+            chosen_tokens_col=ct,
+            rejected_tokens_col=rt,
+            chosen_mask_col=cm,
+            rejected_mask_col=rm,
+            dtype=p.get("dtype", "auto"),
             salt=p.get("salt", ""),
+            incremental=p.get("incremental", "false") == "true",
         )
     return df
 
@@ -3053,6 +3278,11 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "FileSink": ("batchsink", _stage_sink),
     "ShardSink": ("batchsink", _stage_shard_sink),
     "BinShardSink": ("batchsink", _stage_bin_shard_sink),
+    "ValidateAssets": ("batchjoiner", _stage_validate_assets),
+    "PackMultimodal": ("transform", _stage_pack_multimodal),
+    "PreferenceBinShardSink": (
+        "batchsink", _stage_preference_bin_shard_sink,
+    ),
 }
 
 #: sink plugins double-book under the source name for CDAP parity
