@@ -16053,3 +16053,847 @@ def z123_length_controlled_winrate(spark, sf_dir):
     return length_controlled_winrate(samples).drop("n_iter").orderBy(
         "model_a", "model_b"
     )
+
+
+_Z124_PACK_SQL = r"""WITH base AS (
+  SELECT doc_id,
+    list_transform(
+      COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               CAST([] AS VARCHAR[])),
+      x -> CAST(length(x) AS BIGINT)) AS w
+  FROM documents WHERE doc_id < 300),
+t AS (
+  SELECT doc_id,
+    list_append(CASE doc_id % 3
+      WHEN 0 THEN list_prepend(CAST(9999 AS BIGINT),
+        list_append(w, CAST(9999 AS BIGINT)))
+      WHEN 1 THEN w
+      ELSE list_append(w, CAST(9999 AS BIGINT))
+    END, CAST(0 AS BIGINT)) AS toks,
+    CASE doc_id % 3
+      WHEN 0 THEN [doc_id * 2, doc_id * 2 + 1]
+      WHEN 1 THEN CAST([] AS BIGINT[])
+      ELSE [doc_id * 2]
+    END AS assets
+  FROM base
+  WHERE CASE doc_id % 3 WHEN 1 THEN len(w) > 0 ELSE TRUE END),
+u AS (
+  SELECT doc_id, toks, assets, r.i AS i, toks[r.i] AS tok,
+    CAST(SUM(CASE WHEN toks[r.i] = 9999 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS ph_ord
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+z AS (
+  SELECT doc_id,
+    list(tok ORDER BY i) AS toks,
+    list(tok <> 9999 AND tok >= 4 ORDER BY i) AS msk,
+    list(CASE WHEN tok = 9999 THEN assets[ph_ord] END
+      ORDER BY i) AS refs
+  FROM u GROUP BY doc_id, assets),
+c AS (
+  SELECT doc_id, toks, msk, refs,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM z),
+s AS (
+  SELECT doc_id, toks, msk, refs, n, off, u.seq_id AS seq_id
+  FROM c, UNNEST(range(off // 32, (off + n - 1) // 32 + 1))
+    AS u(seq_id)),
+p AS (
+  SELECT seq_id,
+    GREATEST(seq_id * 32, off) - seq_id * 32 AS seq_start,
+    toks[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS piece,
+    msk[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+        :CAST(GREATEST(seq_id * 32 - off, 0)
+          + LEAST((seq_id + 1) * 32, off + n)
+          - GREATEST(seq_id * 32, off) AS BIGINT)] AS mpiece,
+    refs[CAST(GREATEST(seq_id * 32 - off, 0) + 1 AS BIGINT)
+         :CAST(GREATEST(seq_id * 32 - off, 0)
+           + LEAST((seq_id + 1) * 32, off + n)
+           - GREATEST(seq_id * 32, off) AS BIGINT)] AS rpiece
+  FROM s),
+q AS (
+  SELECT seq_id,
+    CAST(len(flatten(list(piece ORDER BY seq_start))) AS BIGINT)
+      AS n_tokens,
+    CAST(len(list_filter(flatten(list(mpiece ORDER BY seq_start)),
+      x -> x)) AS BIGINT) AS n_supervised,
+    flatten(list(piece ORDER BY seq_start)) AS tokens,
+    flatten(list(mpiece ORDER BY seq_start)) AS loss_mask,
+    list_filter(flatten(list(rpiece ORDER BY seq_start)),
+      x -> x IS NOT NULL) AS asset_ids
+  FROM p GROUP BY seq_id)"""
+
+
+@query(
+    "z124_multimodal_bin_round_trip",
+    _Z124_PACK_SQL + r""",
+sh AS (
+  SELECT *,
+    CAST(CAST(('0x' || substring(md5(CAST(seq_id AS VARCHAR)
+      || 'z124'), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+  FROM q)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+    AS BIGINT) AS seq_index,
+  seq_id, n_tokens, n_supervised, tokens, loss_mask, asset_ids
+FROM sh ORDER BY seq_id ASC""",
+    doc="MULTIMODAL BINARY SHARD ROUND TRIP (operators/binshard.py"
+    "::export_bin_shards assets_col + read_bin_shards) — the r11"
+    " verdict's VLM-trainer gap, closed: z120's mask+binding-"
+    "preserving packed sequences written to the memory-mapped layer"
+    " with a third aligned stream — the .ast sidecar carrying each"
+    " sequence's asset-ref ids in placeholder order (offsets + u64"
+    " refs, crc'd in the manifest, recounted by verify) — and read"
+    " back; the oracle match proves the binary encode/decode is"
+    " lossless on ALL THREE streams (tokens, mask bits, asset"
+    " refs) plus the md5 shard rule and write order. Planted:"
+    " token-length ids with placeholder id 9999 in the three z120"
+    " conversation shapes (leading+trailing/none/trailing image),"
+    " packed at seq_len 32 with an unsupervised EOS 0, 8 shards."
+    " Scale: the z116 shape exactly — ONE repartition-by-shard"
+    " shuffle into a streaming Arrow byte writer; refs are"
+    " image-count-sized. Oracle: z120's triple-array slice"
+    " arithmetic + z116's md5-mod shard rule in DuckDB, hash-exact"
+    " including all three arrays",
+)
+def z124_multimodal_bin_round_trip(spark, sf_dir):
+    import os
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+    )
+    from topn_spark.operators.pipeline import (
+        pack_multimodal_sequences,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    d = F.col("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(d < 300)
+        .select(
+            "doc_id",
+            F.transform(
+                F.coalesce(
+                    tokens("text"), F.array().cast("array<string>")
+                ),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("w"),
+        )
+    )
+    img = F.array(F.lit(9999).cast("bigint"))
+    toks = (
+        F.when(d % 3 == 0, F.concat(img, F.col("w"), img))
+        .when(d % 3 == 1, F.col("w"))
+        .otherwise(F.concat(F.col("w"), img))
+    )
+    assets = (
+        F.when(d % 3 == 0, F.array(d * 2, d * 2 + 1))
+        .when(d % 3 == 1, F.array().cast("array<bigint>"))
+        .otherwise(F.array(d * 2))
+    )
+    planted = docs.select(
+        "doc_id", toks.alias("tokens"), assets.alias("asset_ids")
+    ).withColumn(
+        "loss_mask",
+        F.transform(
+            "tokens", lambda t: (t != 9999) & (t >= 4)
+        ),
+    )
+    packed = pack_multimodal_sequences(
+        planted,
+        id_col="doc_id",
+        order_col="doc_id",
+        seq_len=32,
+        image_token=9999,
+        sep_token=0,
+    )
+    out_dir = f"/tmp/topn_z124_{os.path.basename(sf_dir.rstrip('/'))}"
+    export_bin_shards(
+        packed, out_dir, 8, assets_col="asset_ids", salt="z124"
+    )
+    return read_bin_shards(spark, out_dir).orderBy("seq_id")
+
+
+@query(
+    "z125_incremental_bin_export",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id = 137
+      THEN list_prepend(CAST(7777 AS BIGINT), list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> CAST(length(x) AS BIGINT)))
+      ELSE list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> CAST(length(x) AS BIGINT))
+    END AS toks
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z125'), 1, 8)) AS BIGINT) % 6 AS INT) AS shard
+  FROM t)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+    AS BIGINT) AS seq_index,
+  doc_id AS seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM m ORDER BY seq_id ASC""",
+    doc="INCREMENTAL BINARY RE-EXPORT (operators/binshard.py::"
+    "export_bin_shards incremental=True) — the r11 verdict's other"
+    " binary-layer gap: a corpus delta must not rewrite a 100 TB"
+    " shard set. Every manifest row stores a logical content_sig"
+    " (count + XOR of per-sequence xxhash64, accumulated FREE"
+    " inside the export writer); an incremental run recomputes the"
+    " signatures with ONE map-side-combinable aggregate (no file"
+    " I/O), rewrites only shards whose signature changed, deletes"
+    " orphans, and bumps export_version. This entry RUNS the full"
+    " v1 export, then the incremental v2 export (one document"
+    " altered — exactly one shard's signature changes), and returns"
+    " the v2 read-back: the oracle match proves delta-export ="
+    " declarative result, byte-for-byte (the only-affected-shard"
+    " and no-op-writes-nothing properties are pytest-pinned)."
+    " Planted: token-length ids for doc_id < 250, doc 137 prepended"
+    " a 7777 marker in v2, 6 shards. Scale: the delta decision is"
+    " one aggregate over the corpus; the write shuffle carries ONLY"
+    " changed shards' rows. Oracle: md5-mod shard rule +"
+    " ROW_NUMBER in DuckDB over the v2 corpus, hash-exact",
+)
+def z125_incremental_bin_export(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    d = F.col("doc_id")
+
+    def corpus(v2: bool):
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .where(d < 250)
+            .select(
+                "doc_id",
+                F.transform(
+                    tokens("text"),
+                    lambda t: F.length(t).cast("bigint"),
+                ).alias("tokens"),
+            )
+            .where(F.size("tokens") > 0)
+        )
+        if v2:
+            base = base.withColumn(
+                "tokens",
+                F.when(
+                    d == 137,
+                    F.concat(
+                        F.array(F.lit(7777).cast("bigint")),
+                        F.col("tokens"),
+                    ),
+                ).otherwise(F.col("tokens")),
+            )
+        return base.withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: t >= 4),
+        )
+
+    out_dir = f"/tmp/topn_z125_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_bin_shards(
+        corpus(False), out_dir, 6, id_col="doc_id", salt="z125"
+    )
+    export_bin_shards(
+        corpus(True), out_dir, 6, id_col="doc_id", salt="z125",
+        incremental=True,
+    )
+    return read_bin_shards(spark, out_dir).orderBy("seq_id")
+
+
+@query(
+    "z126_bin_window_read",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 200
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id AS seq_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z126'), 1, 8)) AS BIGINT) % 5 AS INT) AS shard
+  FROM t),
+ix AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+      AS BIGINT) AS seq_index
+  FROM m),
+pos AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+      md5('2:' || CAST(shard AS VARCHAR) || ':'
+        || CAST(seq_index AS VARCHAR) || 'z126e'),
+      seq_index) - 1 AS BIGINT) AS position
+  FROM ix),
+sh AS (
+  SELECT shard, COUNT(*) AS n_seqs,
+    md5('2:' || CAST(shard AS VARCHAR) || 'z126e') AS skey
+  FROM pos GROUP BY shard),
+sp AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (ORDER BY skey, shard) - 1 AS INT)
+      AS shard_pos,
+    CAST(COALESCE(SUM(n_seqs) OVER (ORDER BY skey, shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS base
+  FROM sh)
+SELECT base + position AS global_pos, shard, shard_pos, position,
+  seq_index, seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM pos JOIN sp USING (shard)
+WHERE base + position >= 40 AND base + position < 120
+ORDER BY global_pos ASC""",
+    doc="TRAINER-RESUME WINDOW READ (operators/binshard.py::"
+    "read_bin_window) — the r11 verdict's resume gap: read"
+    " sequences [40, 120) of epoch 2's global consumption order"
+    " WITHOUT scanning the corpus — global position dereferences"
+    " through the epoch's macro shard order, the per-shard .ep"
+    " permutation file (seek to the slice), and the .idx offset"
+    " table, then ONE seek+read per sequence in .bin/.msk; per-task"
+    " bytes are proportional to the window (pytest proves it"
+    " destructively by zeroing all out-of-window token bytes)."
+    " This entry RUNS export + epoch-order export + the window"
+    " read; the oracle recomputes the whole dereference chain —"
+    " md5-mod shard assignment, within-shard ascending-id layout,"
+    " salted-md5 within-shard permutation AND macro shard order,"
+    " cumulative global offsets, the slice — in DuckDB, hash-exact"
+    " including the token and mask arrays. Planted: token-length"
+    " ids for doc_id < 200, 5 shards, epoch 2, salt'd permutation.",
+)
+def z126_bin_window_read(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        export_epoch_order,
+        read_bin_window,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: t >= 4),
+        )
+    )
+    out_dir = f"/tmp/topn_z126_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_bin_shards(
+        docs, out_dir, 5, id_col="doc_id", salt="z126"
+    )
+    export_epoch_order(spark, out_dir, 2, salt="z126e")
+    return read_bin_window(spark, out_dir, 2, 40, 120).orderBy(
+        "global_pos"
+    )
+
+
+@query(
+    "z127_preference_bin_round_trip",
+    r"""WITH t AS (
+  SELECT doc_id AS pair_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS ct
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+p AS (
+  SELECT pair_id, ct,
+    list_prepend(CAST(5 AS BIGINT),
+      list_transform(ct, x -> LEAST(x, CAST(9 AS BIGINT)))) AS rt,
+    list_transform(ct, x -> x >= 4) AS cm,
+    CAST(CAST(('0x' || substring(md5(CAST(pair_id AS VARCHAR)
+      || 'z127'), 1, 8)) AS BIGINT) % 6 AS INT) AS shard
+  FROM t),
+f AS (
+  SELECT *, list_transform(rt, x -> x >= 3) AS rm FROM p)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pair_id) - 1
+    AS BIGINT) AS pair_index,
+  pair_id,
+  CAST(len(ct) AS BIGINT) AS chosen_n_tokens,
+  CAST(len(rt) AS BIGINT) AS rejected_n_tokens,
+  CAST(len(list_filter(cm, x -> x)) AS BIGINT)
+    AS chosen_n_supervised,
+  CAST(len(list_filter(rm, x -> x)) AS BIGINT)
+    AS rejected_n_supervised,
+  ct AS chosen_tokens, rt AS rejected_tokens,
+  cm AS chosen_mask, rm AS rejected_mask
+FROM f ORDER BY pair_id ASC""",
+    doc="PREFERENCE-PAIR BINARY ROUND TRIP (operators/binshard.py"
+    "::export_preference_shards/read_preference_shards) — the r11"
+    " verdict's post-training binary gap: DPO/KTO trainers consume"
+    " PAIRED chosen/rejected token+mask streams memory-mapped, and"
+    " exporting the sides independently loses the one thing the"
+    " loss needs. Each pair lands as two sequences of the STANDARD"
+    " .bin/.idx/.msk layout under seq_id = 2*pair_id + stream,"
+    " sharded on the PAIR id — both halves in the same shard,"
+    " physically adjacent (chosen at even index i, rejected at"
+    " i+1): the adjacency IS the paired index, machine-checked by"
+    " verify_preference_shards, and base-format tooling still"
+    " reads the shards. The paired read is map-only (NO join — a"
+    " reshape-by-join would shuffle the corpus to rediscover what"
+    " adjacency encodes). Planted: chosen = token-length ids,"
+    " rejected = capped lengths behind a 5-marker, masks >=4/>=3,"
+    " 6 shards. Oracle: md5-mod-on-pair shard rule + ROW_NUMBER"
+    " pair order in DuckDB, hash-exact on all four arrays",
+)
+def z127_preference_bin_round_trip(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        export_preference_shards,
+        read_preference_shards,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("chosen_tokens"),
+        )
+        .where(F.size("chosen_tokens") > 0)
+        .withColumn(
+            "rejected_tokens",
+            F.concat(
+                F.array(F.lit(5).cast("bigint")),
+                F.transform(
+                    "chosen_tokens", lambda t: F.least(t, F.lit(9))
+                ),
+            ),
+        )
+        .withColumn(
+            "chosen_mask",
+            F.transform("chosen_tokens", lambda t: t >= 4),
+        )
+        .withColumn(
+            "rejected_mask",
+            F.transform("rejected_tokens", lambda t: t >= 3),
+        )
+    )
+    out_dir = f"/tmp/topn_z127_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_preference_shards(pairs, out_dir, 6, salt="z127")
+    return read_preference_shards(spark, out_dir).orderBy("pair_id")
+
+
+_Z128_MATRIX_SQL = r"""WITH s AS (
+  SELECT (doc_id // 120) AS batch_id,
+    (doc_id // 8) AS prompt_id,
+    'm' || (doc_id % 4) AS model,
+    CAST((doc_id * 7) % 29 AS DOUBLE)
+      + CASE doc_id % 4 WHEN 0 THEN 10 ELSE 0 END
+      + CASE doc_id % 4 WHEN 3 THEN 6.0 * (doc_id // 120)
+        ELSE 0 END AS score
+  FROM documents WHERE doc_id < 480),
+best AS (
+  SELECT batch_id, prompt_id, model, MAX(score) AS s
+  FROM s GROUP BY batch_id, prompt_id, model)
+SELECT a.batch_id, a.model AS model_a, b.model AS model_b,
+  CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_a,
+  CAST(SUM(CASE WHEN a.s < b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_b,
+  CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+    AS ties
+FROM best a JOIN best b
+  ON a.batch_id = b.batch_id AND a.prompt_id = b.prompt_id
+  AND a.model < b.model
+GROUP BY a.batch_id, a.model, b.model"""
+
+
+def _z128_decayed_bt_exact(con):
+    """Independent mirror of the decayed Bradley–Terry leaderboard:
+    per-batch win matrices from DuckDB SQL, the SAME
+    0.5^((N-b)/half_life) weights applied to a dict-keyed effective-
+    win accumulation (different summation order than the operator's
+    Spark agg + sorted-list MM core), same Hunter MM + geometric-
+    mean-1 anchor. Tolerance 1e-9 (float summation order)."""
+    import math
+
+    rows = con.execute(_Z128_MATRIX_SQL).fetchall()
+    last, half_life, smoothing = 3, 1.0, 0.5
+    w: dict = {}
+    for b, ma, mb, wa, wb, t in rows:
+        g = 0.5 ** ((last - b) / half_life)
+        w[(ma, mb)] = (
+            w.get((ma, mb), 0.0) + g * (wa + t / 2) + 0.0
+        )
+        w[(mb, ma)] = (
+            w.get((mb, ma), 0.0) + g * (wb + t / 2) + 0.0
+        )
+    # smoothing applies per observed DIRECTED pair once, as in the
+    # operator's matrix-level fit over the weighted sums
+    for k in list(w):
+        w[k] += smoothing
+    models = sorted({a for a, _ in w})
+    pi = {m: 1.0 for m in models}
+    for _ in range(1000):
+        new = {}
+        for i in models:
+            wi = sum(v for (a, _), v in w.items() if a == i)
+            den = sum(
+                (w[(i, j)] + w[(j, i)]) / (pi[i] + pi[j])
+                for j in models
+                if (i, j) in w
+            )
+            new[i] = wi / den
+        gm = math.exp(
+            sum(math.log(v) for v in new.values()) / len(models)
+        )
+        new = {k: v / gm for k, v in new.items()}
+        delta = max(
+            abs(math.log(new[k]) - math.log(pi[k])) for k in models
+        )
+        pi = new
+        if delta < 1e-12:
+            break
+    wins = {
+        i: sum(v for (a, _), v in w.items() if a == i)
+        for i in models
+    }
+    games = {
+        i: sum(w[(i, j)] + w[(j, i)] for j in models if (i, j) in w)
+        for i in models
+    }
+    out = [
+        (m, pi[m], 400.0 * math.log10(pi[m]), wins[m], games[m])
+        for m in sorted(pi)
+    ]
+    return (
+        ["model", "strength", "rating", "wins_eff", "n_games"],
+        out,
+    )
+
+
+@query(
+    "z128_decayed_bt_leaderboard",
+    None,
+    tol_oracle=_z128_decayed_bt_exact,
+    tolerance=1e-9,
+    tol_keys=("model",),
+    doc="DECAYED (EXPONENTIAL-FORGETTING) ARENA LEADERBOARD"
+    " (operators/sft.py::pairwise_winrate + bradley_terry_fit over"
+    " half-life-weighted effective counts; the batch-level core of"
+    " streaming/ingest.py::arena_monitor_batch half_life_batches) —"
+    " the production leaderboard shape: a model swap must show in"
+    " the ratings within ~a half-life instead of being diluted by"
+    " months of stale wins, so batch b's win matrix is weighted"
+    " 0.5^((N-b)/half_life) before the fit (the BT likelihood"
+    " accepts weighted sufficient statistics directly; the fit"
+    " core is float-transparent). Planted: the z117 fixture plus a"
+    " batch dimension (4 batches of 120 docs) where m3 improves"
+    " 6 points per batch — the decayed fit must rank m3 above its"
+    " undecayed standing. Scale: per-batch matrices are the z113"
+    " shapes; the decay+fit touches only (batches x k²) rows."
+    " Oracle: INDEPENDENT dict-keyed weighted MM mirror over the"
+    " same DuckDB-computed per-batch matrices, tolerance 1e-9",
+)
+def z128_decayed_bt_leaderboard(spark, sf_dir):
+    from topn_spark.operators.sft import (
+        bradley_terry_fit,
+        pairwise_winrate,
+    )
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").where(d < 480)
+    samples = docs.select(
+        (d / 120).cast("bigint").alias("batch_id"),
+        (d / 8).cast("bigint").alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        (
+            ((d * 7) % 29).cast("double")
+            + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+            + F.when(
+                d % 4 == 3, (d / 120).cast("bigint") * 6.0
+            ).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    mats = []
+    for b in range(4):
+        mats.append(
+            pairwise_winrate(
+                samples.where(F.col("batch_id") == b)
+            ).withColumn("batch_id", F.lit(b).cast("bigint"))
+        )
+    hist = mats[0]
+    for m in mats[1:]:
+        hist = hist.unionByName(m)
+    last, half_life = 3, 1.0
+    w = F.pow(
+        F.lit(0.5),
+        (F.lit(last) - F.col("batch_id")) / F.lit(half_life),
+    )
+    decayed = hist.groupBy("model_a", "model_b").agg(
+        *[
+            F.sum(F.col(c) * w).alias(c)
+            for c in ("wins_a", "wins_b", "ties")
+        ]
+    )
+    return (
+        bradley_terry_fit(decayed, smoothing=0.5)
+        .select(
+            "model", "strength", "rating", "wins_eff", "n_games"
+        )
+        .orderBy("model")
+    )
+
+
+@query(
+    "z129_bin_data_card",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 220
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id, toks,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(len(list_filter(toks, x -> x >= 4)) AS BIGINT) AS nsup,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z129'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM t)
+SELECT
+  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(SUM(nsup) AS BIGINT) AS n_supervised,
+  ROUND(CAST(SUM(nsup) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+    AS supervised_ratio,
+  CAST(0 AS BIGINT) AS n_assets,
+  'uint16' AS dtype,
+  TRUE AS has_mask,
+  FALSE AS has_assets,
+  CAST(1 AS BIGINT) AS export_version,
+  CAST(2 * SUM(n) AS BIGINT) AS bin_bytes,
+  CAST(SUM((n + 7) // 8) AS BIGINT) AS msk_bytes,
+  CAST(0 AS BIGINT) AS ast_bytes,
+  CAST(MIN(n) AS BIGINT) AS min_seq_len,
+  CAST(MAX(n) AS BIGINT) AS max_seq_len,
+  ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS mean_seq_len,
+  CAST([0, 1] AS INT[]) AS epochs_exported
+FROM m""",
+    doc="BINARY SHARD DATA CARD (operators/binshard.py::"
+    "bin_shard_data_card) — the release-accounting family completed"
+    " at the binary layer (the r11 forward-build item): a data card"
+    " that describes the parquet corpus but not the exported shards"
+    " documents the wrong artifact, so this one summarizes what the"
+    " trainer is ACTUALLY fed — totals from the byte-exact"
+    " _manifest, per-sequence length extremes re-read from the"
+    " index-sized .idx tables (one task per shard), stream"
+    " flags/dtype/export_version from _manifest_meta, and"
+    " epochs_exported = epochs whose manifest AND per-shard .ep"
+    " files are ALL present (a partial epoch export is not"
+    " coverage — pytest-pinned). This entry RUNS export + two"
+    " epoch-order exports and returns the one-row card; the oracle"
+    " recomputes every field declaratively from the corpus"
+    " (bin_bytes = 2 x tokens under uint16, msk_bytes = sum of"
+    " ceil(len/8) — the format arithmetic itself). Planted:"
+    " token-length ids for doc_id < 220, 4 shards, epochs 0 and 1.",
+)
+def z129_bin_data_card(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        bin_shard_data_card,
+        export_bin_shards,
+        export_epoch_order,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 220)
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask",
+            F.transform("tokens", lambda t: t >= 4),
+        )
+    )
+    out_dir = f"/tmp/topn_z129_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_bin_shards(
+        docs, out_dir, 4, id_col="doc_id", salt="z129"
+    )
+    export_epoch_order(spark, out_dir, 0, salt="z129")
+    export_epoch_order(spark, out_dir, 1, salt="z129")
+    return bin_shard_data_card(spark, out_dir)
+
+
+def _z130_mm_fit(w):
+    import math
+
+    models = sorted({a for a, _ in w})
+    pi = {m: 1.0 for m in models}
+    for _ in range(1000):
+        new = {}
+        for i in models:
+            wi = sum(v for (a, _), v in w.items() if a == i)
+            den = sum(
+                (w[(i, j)] + w[(j, i)]) / (pi[i] + pi[j])
+                for j in models
+                if (i, j) in w
+            )
+            new[i] = wi / den
+        gm = math.exp(
+            sum(math.log(v) for v in new.values()) / len(models)
+        )
+        new = {k: v / gm for k, v in new.items()}
+        delta = max(
+            abs(math.log(new[k]) - math.log(pi[k])) for k in models
+        )
+        pi = new
+        if delta < 1e-12:
+            break
+    return pi
+
+
+def _z130_cumulative_drift_exact(con):
+    """Independent mirror of the cumulative arena monitor's final
+    batch: per-batch matrices from DuckDB SQL, dict-keyed MM fits
+    of the SUMMED matrix (batches <= 3) and of batch 0 alone,
+    drift = cumulative rating - first-batch rating. Tolerance 1e-9
+    (MM summation order)."""
+    import math
+
+    rows = con.execute(_Z128_MATRIX_SQL).fetchall()
+    smoothing = 0.5
+
+    def acc(batches):
+        w: dict = {}
+        seen = set()
+        for b, ma, mb, wa, wb, t in rows:
+            if b not in batches:
+                continue
+            w[(ma, mb)] = w.get((ma, mb), 0.0) + wa + t / 2
+            w[(mb, ma)] = w.get((mb, ma), 0.0) + wb + t / 2
+            seen.add((ma, mb))
+        # smoothing once per direction of each pair ROW the fit
+        # sees — the cumulative fit consumes ONE summed row per pair
+        for k in list(w):
+            w[k] += smoothing
+        return w
+
+    cum = _z130_mm_fit(acc({0, 1, 2, 3}))
+    base = _z130_mm_fit(acc({0}))
+    out = [
+        (
+            m,
+            400.0 * math.log10(cum[m]),
+            400.0 * math.log10(cum[m])
+            - 400.0 * math.log10(base[m]),
+        )
+        for m in sorted(cum)
+    ]
+    return ["model", "rating", "drift"], out
+
+
+@query(
+    "z130_arena_cumulative_drift",
+    None,
+    tol_oracle=_z130_cumulative_drift_exact,
+    tolerance=1e-9,
+    tol_keys=("model",),
+    doc="CUMULATIVE ARENA STATE + DRIFT SIGNAL (streaming/"
+    "ingest.py::arena_monitor_batch cumulative=True) — the r11"
+    " verdict task: a slow regression invisible in each batch's own"
+    " noisy fit must surface, so the monitor fits the SUMMED win"
+    " matrix over every committed batch <= N (the matrix partitions"
+    " ARE the state — k²-sized, no second statestore) and emits"
+    " drift = cumulative rating minus the same model's rating on"
+    " the FIRST batch alone. Because the output is a pure function"
+    " of partitions <= N, a replayed batch overwrites"
+    " byte-identically: restart-idempotent with NO mutable state"
+    " (pytest-pinned, plus the empty-batch skip contract). This"
+    " entry RUNS the monitor over the four z128-planted batches"
+    " (m3 improves 6 points per batch) and returns the final"
+    " batch's cumulative partition — m3's drift must be the large"
+    " positive outlier. Scale: per batch the z113 shapes; the"
+    " cumulative read scans (batches x k²) matrix rows, never"
+    " samples. Oracle: INDEPENDENT dict-keyed MM fits of the"
+    " summed and first-batch matrices in DuckDB+Python, drift"
+    " differenced the same way, tolerance 1e-9",
+)
+def z130_arena_cumulative_drift(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.streaming.ingest import arena_monitor_batch
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").where(d < 480)
+    samples = docs.select(
+        (d / 120).cast("bigint").alias("batch_id"),
+        (d / 8).cast("bigint").alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        (
+            ((d * 7) % 29).cast("double")
+            + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+            + F.when(
+                d % 4 == 3, (d / 120).cast("bigint") * 6.0
+            ).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    out_dir = f"/tmp/topn_z130_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for b in range(4):
+        arena_monitor_batch(
+            samples.where(F.col("batch_id") == b).drop("batch_id"),
+            out_dir,
+            b,
+        )
+    return (
+        spark.read.parquet(f"{out_dir}/cumulative/batch_id=3")
+        .select("model", "rating", "drift")
+        .orderBy("model")
+    )

@@ -1336,18 +1336,16 @@ def arena_monitor_batch(
             # batch)
             return
         fit = bradley_terry_fit(matrix, smoothing=smoothing)
-        rows = fit.withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("bigint")
-        ).select(
-            "batch_id", "model", "strength", "rating",
+        # the batch_id=<N> partition path carries the id — embedding
+        # it as a data column too would collide with partition
+        # discovery on read-back
+        fit.select(
+            "model", "strength", "rating",
             "wins_eff", "n_games", "converged",
-        )
-        rows.write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             f"{out_dir}/ratings/batch_id={int(batch_id)}"
         )
-        matrix.withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("bigint")
-        ).write.mode("overwrite").parquet(
+        matrix.write.mode("overwrite").parquet(
             f"{out_dir}/matrix/batch_id={int(batch_id)}"
         )
         if cumulative or half_life_batches is not None:
@@ -1382,9 +1380,6 @@ def arena_monitor_batch(
                         F.col("rating").alias("_r0"),
                     )
                     cum.join(F.broadcast(base), "model", "left").select(
-                        F.lit(int(batch_id)).cast("bigint").alias(
-                            "batch_id"
-                        ),
                         "model", "strength", "rating",
                         "wins_eff", "n_games", "converged",
                         (F.col("rating") - F.col("_r0")).alias(
@@ -1410,9 +1405,6 @@ def arena_monitor_batch(
                         smoothing=smoothing,
                     )
                     decayed.select(
-                        F.lit(int(batch_id)).cast("bigint").alias(
-                            "batch_id"
-                        ),
                         "model", "strength", "rating",
                         "wins_eff", "n_games", "converged",
                     ).write.mode("overwrite").parquet(
