@@ -810,3 +810,68 @@ def test_bin_shard_data_card(spark, tmp_path):
     os.remove(os.path.join(out, "shard_00002.ep0001"))
     [card2] = bin_shard_data_card(spark, out).collect()
     assert card2.epochs_exported == [0]
+
+
+def test_pair_epoch_order_and_preference_window(spark, tmp_path):
+    """Pair-unit epochs permute PAIRS (a sequence-level permutation
+    would tear every chosen/rejected pair apart); the preference
+    window equals the same slice of the full pair order; unit
+    mismatches and odd shards are refused loudly."""
+    from topn_spark.operators.binshard import (
+        export_epoch_order,
+        export_preference_shards,
+        read_bin_window,
+        read_epoch_order,
+        read_preference_shards,
+        read_preference_window,
+    )
+
+    out = str(tmp_path / "pw")
+    export_preference_shards(_pair_frame(spark, 40), out, 4, salt="w")
+    man = export_epoch_order(spark, out, 1, salt="w", unit="pair")
+    assert all(
+        r.unit == "pair" and r.n_units * 2 == r.n_seqs
+        for r in man.collect()
+    )
+    full = (
+        read_epoch_order(spark, out, 1)
+        .join(
+            read_preference_shards(spark, out).withColumnRenamed(
+                "pair_index", "seq_index"
+            ),
+            ["shard", "seq_index"],
+        )
+        .orderBy("shard_pos", "position")
+        .collect()
+    )
+    win = (
+        read_preference_window(spark, out, 1, 11, 29)
+        .orderBy("global_pos")
+        .collect()
+    )
+    assert [r.global_pos for r in win] == list(range(11, 29))
+    for g, r in zip(range(11, 29), win):
+        f = full[g]
+        assert (
+            f.pair_id, f.chosen_tokens, f.chosen_mask,
+            f.rejected_tokens, f.rejected_mask,
+        ) == (
+            r.pair_id, r.chosen_tokens, r.chosen_mask,
+            r.rejected_tokens, r.rejected_mask,
+        )
+    # unit cross-checks: each window reader refuses the other's unit
+    export_epoch_order(spark, out, 2, salt="w")  # seq unit
+    with pytest.raises(Exception, match="read_preference_window"):
+        read_bin_window(spark, out, 1, 0, 5)
+    with pytest.raises(Exception, match="unit='pair'"):
+        read_preference_window(spark, out, 2, 0, 5)
+    # an odd-count (non-preference) shard set cannot take pair unit
+    out2 = str(tmp_path / "pw_odd")
+    plain = spark.createDataFrame(
+        [(1, [1, 2], [True, False])],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    export_bin_shards(plain, out2, 1)
+    with pytest.raises(Exception, match="even"):
+        export_epoch_order(spark, out2, 0, unit="pair")

@@ -1113,6 +1113,7 @@ def export_epoch_order(
     out_dir: str,
     epoch: int,
     salt: str = "",
+    unit: str = "seq",
 ) -> DataFrame:
     """Deterministic per-epoch consumption order for a binary shard
     set — the dataloader's missing half (trainers that memory-map
@@ -1129,8 +1130,18 @@ def export_epoch_order(
     files; a new epoch is a fresh permutation (the
     :func:`~topn_spark.operators.pipeline.epoch_shuffle` contract,
     at the binary layer). Returns the epoch manifest —
-    ``(shard, shard_pos, n_seqs)`` — also written to
+    ``(shard, shard_pos, n_seqs, unit, n_units)`` — also written to
     ``_epoch_<epoch>`` parquet beside the shards.
+
+    ``unit="pair"`` (preference shard sets —
+    :func:`export_preference_shards`): the permutation runs over
+    PAIRS (``n_seqs/2`` units per shard; an odd sequence count
+    RAISES with the shard), so a DPO dataloader consumes whole
+    (chosen, rejected) pairs in shuffled order — a sequence-level
+    permutation would tear every pair apart, the exact silent
+    failure the adjacency layout exists to prevent. Pair-unit
+    epochs are consumed via :func:`read_preference_window`;
+    :func:`read_bin_window` REFUSES them.
 
     Scale shape: one task per shard (the verify shape), each writing
     its own permutation file from its ``.idx`` sequence count —
@@ -1138,11 +1149,26 @@ def export_epoch_order(
     model-sized arithmetic over the manifest."""
     import hashlib
 
+    if unit not in ("seq", "pair"):
+        raise ValueError(
+            f"export_epoch_order: unknown unit {unit!r} (seq|pair)"
+        )
     man = (
         spark.read.parquet(os.path.join(out_dir, "_manifest"))
         .select("shard", "n_seqs")
         .collect()
     )
+    if unit == "pair":
+        odd = sorted(
+            int(r["shard"]) for r in man if int(r["n_seqs"]) % 2
+        )
+        if odd:
+            raise ValueError(
+                "export_epoch_order: unit='pair' needs an even "
+                f"sequence count in every shard; shard(s) {odd} "
+                "are odd — not a preference shard set"
+            )
+
     def shard_key(k):
         return hashlib.md5(
             f"{int(epoch)}:{int(k)}{salt}".encode()
@@ -1152,11 +1178,21 @@ def export_epoch_order(
         (int(r["shard"]) for r in man), key=lambda k: (shard_key(k), k)
     )
     pos = {k: i for i, k in enumerate(order)}
+    div = 2 if unit == "pair" else 1
     rows = [
-        (int(r["shard"]), pos[int(r["shard"])], int(r["n_seqs"]))
+        (
+            int(r["shard"]),
+            pos[int(r["shard"])],
+            int(r["n_seqs"]),
+            unit,
+            int(r["n_seqs"]) // div,
+        )
         for r in man
     ]
-    schema = "shard int, shard_pos int, n_seqs bigint"
+    schema = (
+        "shard int, shard_pos int, n_seqs bigint, unit string,"
+        " n_units bigint"
+    )
     work = spark.createDataFrame(rows, schema).repartition(
         max(len(rows), 1), "shard"
     )
@@ -1165,7 +1201,7 @@ def export_epoch_order(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                k, n = int(r.shard), int(r.n_seqs)
+                k, n = int(r.shard), int(r.n_units)
                 keys = [
                     (
                         hashlib.md5(
@@ -1190,7 +1226,9 @@ def export_epoch_order(
                     {
                         "shard": k,
                         "shard_pos": int(r.shard_pos),
-                        "n_seqs": n,
+                        "n_seqs": int(r.n_seqs),
+                        "unit": r.unit,
+                        "n_units": n,
                     }
                 )
             if out:
@@ -1283,12 +1321,26 @@ def read_bin_window(
     exactly the windowed sequences' bytes (seek, don't scan) — per-
     task bytes proportional to its share of the window, regardless
     of shard size."""
+    ep_rows = spark.read.parquet(
+        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+    ).collect()
+    units = {
+        r["unit"] for r in ep_rows if "unit" in r.asDict()
+    } or {"seq"}
+    if units != {"seq"}:
+        raise ValueError(
+            f"read_bin_window: epoch {epoch} is a "
+            f"{sorted(units)}-unit order — pair-unit epochs are "
+            "consumed via read_preference_window"
+        )
     man = sorted(
         (
-            (int(r["shard_pos"]), int(r["shard"]), int(r["n_seqs"]))
-            for r in spark.read.parquet(
-                os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
-            ).collect()
+            (
+                int(r["shard_pos"]),
+                int(r["shard"]),
+                int(r.asDict().get("n_units", r["n_seqs"])),
+            )
+            for r in ep_rows
         )
     )
     total = sum(n for _, _, n in man)
@@ -1729,3 +1781,146 @@ def bin_shard_data_card(
         ).alias("mean_seq_len"),
         F.lit(epochs).cast("array<int>").alias("epochs_exported"),
     )
+
+
+def read_preference_window(
+    spark: SparkSession,
+    out_dir: str,
+    epoch: int,
+    start: int,
+    stop: int,
+) -> DataFrame:
+    """Trainer-resume window over a PREFERENCE shard set: pairs
+    ``[start, stop)`` of a pair-unit epoch order
+    (:func:`export_epoch_order` with ``unit="pair"``) — the DPO
+    dataloader's resume path. Pair *p* of a shard dereferences to
+    its adjacent sequences ``2p``/``2p+1`` (the
+    :func:`export_preference_shards` layout), each read with one
+    ``.idx``-offset seek in ``.bin``/``.msk`` — per-task bytes
+    proportional to the window, like :func:`read_bin_window`. A
+    seq-unit epoch RAISES (consuming it pairwise would tear pairs),
+    as do broken id adjacency and out-of-range bounds. Returns
+    ``(global_pos, shard, shard_pos, position, pair_index, pair_id,
+    chosen_n_tokens, rejected_n_tokens, chosen_n_supervised,
+    rejected_n_supervised, chosen_tokens, rejected_tokens,
+    chosen_mask, rejected_mask)``."""
+    ep_rows = spark.read.parquet(
+        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+    ).collect()
+    units = {
+        r["unit"] for r in ep_rows if "unit" in r.asDict()
+    } or {"seq"}
+    if units != {"pair"}:
+        raise ValueError(
+            f"read_preference_window: epoch {epoch} is a "
+            f"{sorted(units)}-unit order — export it with "
+            "unit='pair' (a sequence-level permutation would tear "
+            "every pair apart)"
+        )
+    man = sorted(
+        (
+            (int(r["shard_pos"]), int(r["shard"]), int(r["n_units"]))
+            for r in ep_rows
+        )
+    )
+    total = sum(n for _, _, n in man)
+    start, stop = int(start), int(stop)
+    if start < 0 or stop > total or start > stop:
+        raise ValueError(
+            f"read_preference_window: window [{start}, {stop}) out "
+            f"of range for epoch {epoch} with {total} pairs"
+        )
+    work = []
+    g0 = 0
+    for pos, k, n in man:
+        s = max(start, g0)
+        e = min(stop, g0 + n)
+        if s < e:
+            work.append((k, pos, g0, s - g0, e - g0))
+        g0 += n
+    schema = (
+        "global_pos bigint, shard int, shard_pos int,"
+        " position bigint, pair_index bigint, pair_id bigint,"
+        " chosen_n_tokens bigint, rejected_n_tokens bigint,"
+        " chosen_n_supervised bigint, rejected_n_supervised bigint,"
+        " chosen_tokens array<bigint>, rejected_tokens array<bigint>,"
+        " chosen_mask array<boolean>, rejected_mask array<boolean>"
+    )
+    wdf = spark.createDataFrame(
+        work, "shard int, shard_pos int, g0 bigint, ls bigint,"
+        " le bigint"
+    ).repartition(max(len(work), 1), "shard")
+
+    def _read(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                k = int(r.shard)
+                ls, le = int(r.ls), int(r.le)
+                base = os.path.join(out_dir, f"shard_{k:05d}")
+                with open(
+                    base + f".ep{int(epoch):04d}", "rb"
+                ) as f:
+                    f.seek(4 * ls)
+                    perm = np.frombuffer(
+                        f.read(4 * (le - ls)), dtype="<u4"
+                    )
+                code, has_mask, lens, ids, nsup, tok_ptrs, \
+                    msk_ptrs = _parse_idx(base + ".idx")
+                itemsize = 2 if code == 2 else 4
+                np_dtype, _ = _DTYPES[code]
+                rows = []
+                with open(base + ".bin", "rb") as fb, open(
+                    base + ".msk", "rb"
+                ) if has_mask else _NullCtx() as fm:
+
+                    def seq(si):
+                        ln = int(lens[si])
+                        fb.seek(int(tok_ptrs[si]))
+                        t = np.frombuffer(
+                            fb.read(ln * itemsize), dtype=np_dtype
+                        ).astype("int64").tolist()
+                        if has_mask:
+                            nb = (ln + 7) // 8
+                            fm.seek(int(msk_ptrs[si]))
+                            m = np.unpackbits(
+                                np.frombuffer(
+                                    fm.read(nb), dtype="u1"
+                                ),
+                                bitorder="little",
+                            )[:ln].astype(bool).tolist()
+                        else:
+                            m = None
+                        return t, m, ln, int(nsup[si])
+
+                    for j, p in enumerate(perm):
+                        p = int(p)
+                        cid, rid = int(ids[2 * p]), int(
+                            ids[2 * p + 1]
+                        )
+                        if cid % 2 != 0 or rid != cid + 1:
+                            raise IOError(
+                                f"shard {k}: pair {p} carries ids "
+                                f"{cid}/{rid} — pairing invariant "
+                                "broken"
+                            )
+                        ct, cm, cln, cns = seq(2 * p)
+                        rt, rm, rln, rns = seq(2 * p + 1)
+                        rows.append(
+                            (
+                                int(r.g0) + ls + j, k,
+                                int(r.shard_pos), ls + j, p,
+                                cid // 2, cln, rln, cns, rns,
+                                ct, rt, cm, rm,
+                            )
+                        )
+                cols = [
+                    "global_pos", "shard", "shard_pos", "position",
+                    "pair_index", "pair_id",
+                    "chosen_n_tokens", "rejected_n_tokens",
+                    "chosen_n_supervised", "rejected_n_supervised",
+                    "chosen_tokens", "rejected_tokens",
+                    "chosen_mask", "rejected_mask",
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return wdf.mapInPandas(_read, schema)

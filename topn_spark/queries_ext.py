@@ -16897,3 +16897,124 @@ def z130_arena_cumulative_drift(spark, sf_dir):
         .select("model", "rating", "drift")
         .orderBy("model")
     )
+
+
+@query(
+    "z131_preference_window_read",
+    r"""WITH t AS (
+  SELECT doc_id AS pair_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS ct
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+p AS (
+  SELECT pair_id, ct,
+    list_prepend(CAST(5 AS BIGINT),
+      list_transform(ct, x -> LEAST(x, CAST(9 AS BIGINT)))) AS rt,
+    list_transform(ct, x -> x >= 4) AS cm,
+    CAST(CAST(('0x' || substring(md5(CAST(pair_id AS VARCHAR)
+      || 'z131'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM t),
+f AS (
+  SELECT *, list_transform(rt, x -> x >= 3) AS rm FROM p),
+ix AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pair_id) - 1
+      AS BIGINT) AS pair_index
+  FROM f),
+pos AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+      md5('1:' || CAST(shard AS VARCHAR) || ':'
+        || CAST(pair_index AS VARCHAR) || 'z131e'),
+      pair_index) - 1 AS BIGINT) AS position
+  FROM ix),
+sh AS (
+  SELECT shard, COUNT(*) AS n_units,
+    md5('1:' || CAST(shard AS VARCHAR) || 'z131e') AS skey
+  FROM pos GROUP BY shard),
+sp AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (ORDER BY skey, shard) - 1 AS INT)
+      AS shard_pos,
+    CAST(COALESCE(SUM(n_units) OVER (ORDER BY skey, shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS base
+  FROM sh)
+SELECT base + position AS global_pos, shard, shard_pos, position,
+  pair_index, pair_id,
+  CAST(len(ct) AS BIGINT) AS chosen_n_tokens,
+  CAST(len(rt) AS BIGINT) AS rejected_n_tokens,
+  CAST(len(list_filter(cm, x -> x)) AS BIGINT)
+    AS chosen_n_supervised,
+  CAST(len(list_filter(rm, x -> x)) AS BIGINT)
+    AS rejected_n_supervised,
+  ct AS chosen_tokens, rt AS rejected_tokens,
+  cm AS chosen_mask, rm AS rejected_mask
+FROM pos JOIN sp USING (shard)
+WHERE base + position >= 10 AND base + position < 70
+ORDER BY global_pos ASC""",
+    doc="PAIRED TRAINER-RESUME WINDOW (operators/binshard.py::"
+    "export_epoch_order unit='pair' + read_preference_window) — the"
+    " DPO dataloader's missing half: a sequence-level epoch"
+    " permutation over a preference shard set would tear every"
+    " chosen/rejected pair apart, so pair-unit epochs permute PAIRS"
+    " (n_seqs/2 units per shard, odd shards RAISE) and the window"
+    " read dereferences pair p to its adjacent sequences 2p/2p+1"
+    " with one .idx seek each — per-task bytes proportional to the"
+    " window; unit mismatches in either direction RAISE"
+    " (pytest-pinned). This entry RUNS preference export +"
+    " pair-unit epoch export + the window read of pairs [10, 70) of"
+    " epoch 1; the oracle recomputes the full chain — md5-mod-on-"
+    "pair shard rule, ROW_NUMBER pair order, salted-md5 pair AND"
+    " macro permutations, cumulative offsets, the slice — in"
+    " DuckDB, hash-exact on all four arrays. Planted: the z127"
+    " fixture, 4 shards, epoch 1.",
+)
+def z131_preference_window_read(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        export_epoch_order,
+        export_preference_shards,
+        read_preference_window,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("chosen_tokens"),
+        )
+        .where(F.size("chosen_tokens") > 0)
+        .withColumn(
+            "rejected_tokens",
+            F.concat(
+                F.array(F.lit(5).cast("bigint")),
+                F.transform(
+                    "chosen_tokens", lambda t: F.least(t, F.lit(9))
+                ),
+            ),
+        )
+        .withColumn(
+            "chosen_mask",
+            F.transform("chosen_tokens", lambda t: t >= 4),
+        )
+        .withColumn(
+            "rejected_mask",
+            F.transform("rejected_tokens", lambda t: t >= 3),
+        )
+    )
+    out_dir = f"/tmp/topn_z131_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_preference_shards(pairs, out_dir, 4, salt="z131")
+    export_epoch_order(spark, out_dir, 1, salt="z131e", unit="pair")
+    return read_preference_window(spark, out_dir, 1, 10, 70).orderBy(
+        "global_pos"
+    )
