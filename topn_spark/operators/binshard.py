@@ -317,20 +317,14 @@ def _remove_epoch_artifacts(out_dir: str) -> None:
             shutil.rmtree(d)
 
 
-def _pick_dtype(df: DataFrame, tokens_col: str, dtype: str) -> int:
-    """Resolve the dtype code, validating the id range with one
-    scalar aggregate (min/max over array elements — model-sized
-    driver state)."""
+def _resolve_dtype(lo: int, hi: int, dtype: str) -> int:
+    """Resolve the dtype code from the observed token-id range
+    (collected as part of the single per-shard stats aggregate —
+    never its own scan)."""
     if dtype not in ("auto", "uint16", "uint32"):
         raise ValueError(
             f"unknown dtype {dtype!r} (auto|uint16|uint32)"
         )
-    row = df.agg(
-        F.min(F.array_min(tokens_col)).alias("lo"),
-        F.max(F.array_max(tokens_col)).alias("hi"),
-    ).collect()[0]
-    lo = row["lo"] if row["lo"] is not None else 0
-    hi = row["hi"] if row["hi"] is not None else 0
     if lo < 0:
         raise ValueError(
             f"export_bin_shards: negative token id {lo} — binary "
@@ -464,9 +458,6 @@ def export_bin_shards(
                 f"{a_elem}; the .ast ref stream is uint64 — encode "
                 "string asset keys to dense ids first"
             )
-    code = _pick_dtype(df, tokens_col, dtype)
-    np_dtype, _ = _DTYPES[code]
-    dtype_name = "uint16" if code == 2 else "uint32"
     has_mask = mask_col is not None
     spark = df.sparkSession
 
@@ -485,6 +476,28 @@ def export_bin_shards(
     assigned = assigned.withColumn(
         "_h", F.xxhash64(*[F.col(c) for c in sig_cols])
     )
+
+    # ONE per-shard stats aggregate (map-side combinable, n_shards
+    # output rows) carries everything pre-write decisions need: the
+    # token-id range for dtype resolution AND the per-shard content
+    # signatures the incremental delta diffs against — never two
+    # scans where one suffices (at corpus scale, input passes ARE
+    # the cost model)
+    stats = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor("_h").alias("x"),
+        F.min(F.array_min("_toks")).alias("lo"),
+        F.max(F.array_max("_toks")).alias("hi"),
+    ).collect()
+    lo = min(
+        (r["lo"] for r in stats if r["lo"] is not None), default=0
+    )
+    hi = max(
+        (r["hi"] for r in stats if r["hi"] is not None), default=0
+    )
+    code = _resolve_dtype(int(lo), int(hi), dtype)
+    np_dtype, _ = _DTYPES[code]
+    dtype_name = "uint16" if code == 2 else "uint32"
 
     os.makedirs(out_dir, exist_ok=True)
     old_rows: dict[int, dict] = {}
@@ -518,14 +531,12 @@ def export_bin_shards(
                 os.path.join(out_dir, "_manifest")
             ).collect()
         }
-        # ONE aggregate pass decides the delta — no file I/O, no
-        # write shuffle for unchanged shards
+        # the stats pass already computed the signatures — the delta
+        # decision costs no additional file or input I/O, and a
+        # no-op re-export is exactly ONE scan
         sigs = {
             int(r["shard"]): _content_sig(r["n"], r["x"])
-            for r in assigned.groupBy("shard").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor("_h").alias("x"),
-            ).collect()
+            for r in stats
         }
         changed = {
             k for k, s in sigs.items()
