@@ -875,3 +875,20 @@ def test_pair_epoch_order_and_preference_window(spark, tmp_path):
     export_bin_shards(plain, out2, 1)
     with pytest.raises(Exception, match="even"):
         export_epoch_order(spark, out2, 0, unit="pair")
+
+
+def test_window_read_carries_asset_refs(spark, tmp_path):
+    from topn_spark.operators.binshard import (
+        export_epoch_order,
+        read_bin_window,
+    )
+
+    out = str(tmp_path / "win_ast")
+    df = _mm_frame(spark)
+    export_bin_shards(df, out, 3, assets_col="asset_ids")
+    export_epoch_order(spark, out, 0)
+    win = read_bin_window(spark, out, 0, 5, 25).collect()
+    assert len(win) == 20
+    want = {r.seq_id: r.asset_ids for r in df.collect()}
+    for r in win:
+        assert r.asset_ids == want[r.seq_id]
