@@ -121,6 +121,46 @@ _META_SCHEMA = (
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
+def _write_driver_parquet(
+    out_path: str, rows: list[dict], ddl: str
+) -> None:
+    """Write a MODEL-SIZED table (the shard manifest, the export
+    meta row, an epoch manifest — n_shards rows at most) as one
+    parquet file directly from the driver via pyarrow. A Spark
+    write job costs seconds of fixed scheduler/commit overhead per
+    invocation — measured ~4 s for a one-row table on local[32] —
+    which dominated the whole export for small shard counts; the
+    data here never lives on executors in the first place (it is
+    collected accounting), so shipping it back through a job buys
+    nothing. Types map 1:1 onto what a Spark write of the same DDL
+    produced, so ``spark.read.parquet`` consumers see an identical
+    schema. The directory is replaced atomically (tmp dir +
+    rename)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_types = {
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().split(" ")
+        fields.append(pa.field(name, pa_types[typ]))
+    table = pa.Table.from_pylist(
+        [dict(r) for r in rows], schema=pa.schema(fields)
+    )
+    tmp = f"{out_path}.inprogress-{uuid.uuid4().hex}"
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp, out_path)
+
+
 def _read_meta(spark: SparkSession, out_dir: str) -> dict | None:
     """Load the ``_manifest_meta`` row (export parameters + version)
     as a dict; None when the directory predates the meta artifact
@@ -136,14 +176,10 @@ def _read_meta(spark: SparkSession, out_dir: str) -> dict | None:
 def _write_meta(
     spark: SparkSession, out_dir: str, meta: dict
 ) -> None:
-    spark.createDataFrame(
-        [tuple(meta[f] for f in (
-            "version", "dtype", "has_mask", "has_assets",
-            "n_shards", "salt", "export_version",
-        ))],
+    _write_driver_parquet(
+        os.path.join(out_dir, "_manifest_meta"),
+        [meta],
         _META_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_manifest_meta")
     )
 
 
@@ -779,9 +815,10 @@ def export_bin_shards(
             r for k, r in old_rows.items() if k not in written
         )
     data = [tuple(r[f] for f in fields) for r in rows]
-    manifest = spark.createDataFrame(data, _MANIFEST_SCHEMA)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_manifest")
+    _write_driver_parquet(
+        os.path.join(out_dir, "_manifest"),
+        sorted(rows, key=lambda r: r["shard"]),
+        _MANIFEST_SCHEMA,
     )
     _write_meta(
         spark,
@@ -1246,9 +1283,10 @@ def export_epoch_order(
                 yield pd.DataFrame(out)
 
     got = work.mapInPandas(_write, schema).collect()
-    ep = spark.createDataFrame(got, schema)
-    ep.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
+    _write_driver_parquet(
+        os.path.join(out_dir, f"_epoch_{int(epoch):04d}"),
+        sorted((r.asDict() for r in got), key=lambda r: r["shard"]),
+        schema,
     )
     return spark.createDataFrame(got, schema).orderBy("shard")
 
