@@ -717,3 +717,171 @@ def test_multimodal_pack_binding_property(spark, docs, seq_len):
     got = [a for r in out for a in r.asset_ids]
     want = [a for _, _, _, assets in rows for a in assets]
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    base=st.lists(
+        st.lists(st.integers(0, 99), min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    ),
+    data=st.data(),
+    n_shards=st.sampled_from([1, 3, 5]),
+)
+def test_incremental_export_equals_full_property(
+    spark, tmp_path_factory, base, data, n_shards
+):
+    """For ANY base corpus and ANY delta (mutate / drop / append
+    documents), an incremental re-export leaves the directory
+    byte-identical to a full export of the v2 corpus, and every
+    shard containing a touched id is marked rewritten."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    from hypothesis import strategies as hst
+
+    from topn_spark.operators.binshard import export_bin_shards
+
+    def frame(docs):
+        return spark.createDataFrame(
+            [
+                (i, toks, [t % 2 == 0 for t in toks])
+                for i, toks in docs
+            ],
+            "seq_id bigint, tokens array<bigint>,"
+            " loss_mask array<boolean>",
+        )
+
+    v1 = list(enumerate(base))
+    ids = [i for i, _ in v1]
+    mutate = data.draw(
+        hst.sets(hst.sampled_from(ids), max_size=len(ids))
+    )
+    drop = data.draw(
+        hst.sets(
+            hst.sampled_from([i for i in ids if i not in mutate]),
+            max_size=max(len(ids) - len(mutate) - 1, 0),
+        )
+        if len(mutate) < len(ids)
+        else hst.just(set())
+    )
+    extra = data.draw(hst.integers(0, 2))
+    v2 = [
+        (i, ([77] + toks) if i in mutate else toks)
+        for i, toks in v1
+        if i not in drop
+    ] + [(len(ids) + j, [7, 8, 9]) for j in range(extra)]
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in _glob.glob(os.path.join(d, "shard_*"))
+        }
+
+    inc = str(tmp_path_factory.mktemp("incprop"))
+    export_bin_shards(frame(v1), inc, n_shards, salt="pp")
+    man = export_bin_shards(
+        frame(v2), inc, n_shards, salt="pp", incremental=True
+    )
+    full = str(tmp_path_factory.mktemp("fullprop"))
+    export_bin_shards(frame(v2), full, n_shards, salt="pp")
+    assert hashes(inc) == hashes(full)
+    # every shard holding a touched id must have been rewritten
+    from topn_spark.operators.pipeline import shard_assignment
+
+    touched = (
+        set(mutate)
+        | set(drop)
+        | {len(ids) + j for j in range(extra)}
+    )
+    if touched:
+        owner = {
+            int(r["seq_id"]): int(r["shard"])
+            for r in shard_assignment(
+                frame(
+                    [(i, [0]) for i in touched]
+                ),
+                n_shards,
+                "seq_id",
+                "pp",
+            ).collect()
+        }
+        rewritten = {
+            int(r["shard"]) for r in man.collect() if r["rewritten"]
+        }
+        # dropped ids whose shard became empty are orphans (no
+        # manifest row), so check only shards that still exist
+        alive = {int(r["shard"]) for r in man.collect()}
+        assert {
+            s for i, s in owner.items() if s in alive
+        } <= rewritten | (set(owner.values()) - alive)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 50), min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+    ),
+    data=st.data(),
+    epoch=st.integers(0, 3),
+)
+def test_window_read_equals_slice_property(
+    spark, tmp_path_factory, docs, data, epoch
+):
+    """For ANY corpus and ANY window [a, b), read_bin_window equals
+    the same slice of the full epoch-order read."""
+    from hypothesis import strategies as hst
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        export_epoch_order,
+        read_bin_shards,
+        read_bin_window,
+        read_epoch_order,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, toks, [t % 2 == 0 for t in toks])
+            for i, toks in enumerate(docs)
+        ],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    out = str(tmp_path_factory.mktemp("winprop"))
+    export_bin_shards(df, out, 4, salt="wp")
+    export_epoch_order(spark, out, epoch, salt="wp")
+    n = len(docs)
+    a = data.draw(hst.integers(0, n))
+    b = data.draw(hst.integers(a, n))
+    full = (
+        read_epoch_order(spark, out, epoch)
+        .join(read_bin_shards(spark, out), ["shard", "seq_index"])
+        .orderBy("shard_pos", "position")
+        .collect()
+    )
+    win = (
+        read_bin_window(spark, out, epoch, a, b)
+        .orderBy("global_pos")
+        .collect()
+    )
+    assert [r.global_pos for r in win] == list(range(a, b))
+    for g, r in zip(range(a, b), win):
+        f = full[g]
+        assert (f.seq_id, f.tokens, f.loss_mask) == (
+            r.seq_id, r.tokens, r.loss_mask,
+        )
