@@ -1098,3 +1098,83 @@ def test_arena_decayed_ratings_forget(spark, tmp_path):
     }
     assert dec["mB"] > dec["mA"]  # recent sweep dominates
     assert cum["mA"] > cum["mB"]  # history still dominates
+
+
+def test_bin_export_sink_maintains_shards_incrementally(
+    spark, tmp_path
+):
+    """Streaming maintenance of a trainer binary shard set: each
+    micro-batch lands in the corpus store and the export re-runs
+    INCREMENTALLY — after every commit the shards read back as the
+    full store, only shards the batch touched rewrite, and a
+    restart with no new data changes nothing."""
+    import glob
+    import hashlib
+    import os
+
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.streaming.ingest import bin_export_sink
+
+    src = str(tmp_path / "bin_src")
+    corpus = str(tmp_path / "bin_store")
+    out = str(tmp_path / "bin_out")
+    ck = str(tmp_path / "bin_ck")
+
+    def rows(lo, hi):
+        return [
+            (i, list(range(1, 3 + i % 4)),
+             [bool(j % 2) for j in range(2 + i % 4)])
+            for i in range(lo, hi)
+        ]
+
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = bin_export_sink(stream, corpus, out, ck, 6, salt="bs")
+        q.awaitTermination(180)
+
+    def hashes():
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(out, "shard_*"))
+        }
+
+    spark.createDataFrame(rows(0, 10), schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert read_bin_shards(spark, out).count() == 10
+    assert _read_meta(spark, out)["export_version"] == 1
+    h1 = hashes()
+
+    spark.createDataFrame(rows(10, 15), schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    back = read_bin_shards(spark, out)
+    assert back.count() == 15
+    full = spark.createDataFrame(rows(0, 15), schema)
+    cols = ["seq_id", "tokens", "loss_mask"]
+    assert full.select(*cols).exceptAll(
+        back.select(*cols)
+    ).count() == 0
+    assert all(r.ok for r in verify_bin_shards(spark, out).collect())
+    assert _read_meta(spark, out)["export_version"] == 2
+    h2 = hashes()
+    # shards untouched by batch 2 kept their exact bytes
+    same = [f for f in h1 if h2.get(f) == h1[f]]
+    assert same, "at least one shard should be untouched"
+    # restart with no new data: nothing changes at all
+    run()
+    assert hashes() == h2
+    assert _read_meta(spark, out)["export_version"] == 2

@@ -1457,3 +1457,107 @@ def arena_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bin_export_batch(
+    batch: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    batch_id: int,
+    n_shards: int,
+    tokens_col: str = "tokens",
+    mask_col: str | None = "loss_mask",
+    id_col: str = "seq_id",
+    dtype: str = "auto",
+    salt: str = "",
+    assets_col: str | None = None,
+) -> DataFrame:
+    """Keep a trainer-native binary shard set CURRENT from one
+    micro-batch of packed sequences — streaming maintenance for
+    :func:`~topn_spark.operators.binshard.export_bin_shards` (the
+    batch story ends with a corpus snapshot; a pipeline that ingests
+    continuously would otherwise re-export everything per batch, the
+    exact cost the incremental layer exists to avoid): the batch
+    lands under ``corpus_dir/batch_id=<N>`` (overwrite — the replay
+    contract of the other gates), then the FULL store re-exports
+    incrementally: the one-pass content-signature diff rewrites only
+    shards whose sequences this batch touched, deletes orphans, and
+    bumps ``export_version``. Because the export is a pure function
+    of the store and a replayed batch overwrites its own partition,
+    a replay converges to byte-identical shards — idempotent with
+    no extra ledger. ``id_col`` must be corpus-unique across batches
+    (it is the .idx audit link); the first batch runs a full export.
+    Epoch-order artifacts are views of a dataset version and are
+    invalidated by any actual change — re-export epochs once ingest
+    settles. Returns the manifest.
+
+    Scale shape: one partition-overwrite write of the batch, then
+    the incremental export's two passes over the store (ONE stats
+    aggregate + a write shuffle carrying only changed shards'
+    rows)."""
+    import os
+
+    from topn_spark.operators.binshard import export_bin_shards
+
+    spark = batch.sparkSession
+    batch.write.mode("overwrite").parquet(
+        f"{corpus_dir}/batch_id={int(batch_id)}"
+    )
+    corpus = spark.read.parquet(corpus_dir).drop("batch_id")
+    return export_bin_shards(
+        corpus,
+        out_dir,
+        n_shards,
+        tokens_col=tokens_col,
+        mask_col=mask_col,
+        id_col=id_col,
+        dtype=dtype,
+        salt=salt,
+        assets_col=assets_col,
+        incremental=os.path.isdir(
+            os.path.join(out_dir, "_manifest_meta")
+        ),
+    )
+
+
+def bin_export_sink(
+    stream: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int,
+    tokens_col: str = "tokens",
+    mask_col: str | None = "loss_mask",
+    id_col: str = "seq_id",
+    dtype: str = "auto",
+    salt: str = "",
+    assets_col: str | None = None,
+):
+    """Attach :func:`bin_export_batch` to a stream of packed
+    sequences: every micro-batch lands in the corpus store and the
+    binary shard set incrementally re-exports — after each commit,
+    ``read_bin_shards(out_dir)`` equals the full store, and
+    ``verify_bin_shards`` stays green. Returns the started
+    ``StreamingQuery``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bin_export_batch(
+            batch,
+            corpus_dir,
+            out_dir,
+            int(batch_id),
+            n_shards,
+            tokens_col=tokens_col,
+            mask_col=mask_col,
+            id_col=id_col,
+            dtype=dtype,
+            salt=salt,
+            assets_col=assets_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
