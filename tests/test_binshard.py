@@ -892,3 +892,49 @@ def test_window_read_carries_asset_refs(spark, tmp_path):
     want = {r.seq_id: r.asset_ids for r in df.collect()}
     for r in win:
         assert r.asset_ids == want[r.seq_id]
+
+
+# ------------------------------------------- loud-failure hardening
+
+
+def test_duplicate_id_raises(spark, tmp_path):
+    """id_col uniqueness is a hard contract: content_sig's
+    multiset-XOR is blind to {A,A} -> {B,B} and .idx seq_ids are
+    the audit link — a duplicate must raise, not export."""
+    df = spark.createDataFrame(
+        [(7, [1, 2], [True, False]), (7, [3, 4], [False, True]),
+         (8, [5], [True])],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    with pytest.raises(Exception, match="duplicate.*7"):
+        export_bin_shards(df, str(tmp_path / "dup"), 1)
+
+
+def test_verify_truncated_idx_reports_not_raises(spark, tmp_path):
+    """A corrupt .idx that np.frombuffer rejects (ValueError, not
+    OSError) must still land as ok=False with NULL actuals — the
+    verify job itself never fails."""
+    out = str(tmp_path / "trunc")
+    export_bin_shards(_corpus(spark), out, 2, salt="t")
+    victim = os.path.join(out, "shard_00000.idx")
+    raw = open(victim, "rb").read()
+    open(victim, "wb").write(raw[: len(raw) // 3])  # torn mid-array
+    rows = {r.shard: r for r in verify_bin_shards(spark, out).collect()}
+    assert rows[0].ok is False and rows[0].n_seqs_actual is None
+    assert rows[1].ok is True
+
+
+def test_incremental_sweeps_orphaned_temp_files(spark, tmp_path):
+    """Failed/killed task attempts leave shard_*.inprogress-* temp
+    files; a long-lived incremental out_dir must not accumulate
+    them (they are never referenced by any manifest)."""
+    out = str(tmp_path / "sweep")
+    export_bin_shards(_corpus(spark), out, 3, salt="s")
+    orphan = os.path.join(out, "shard_00001.bin.inprogress-dead")
+    open(orphan, "wb").write(b"partial attempt")
+    man = export_bin_shards(
+        _corpus(spark), out, 3, salt="s", incremental=True
+    )
+    assert all(not r.rewritten for r in man.collect())  # still no-op
+    assert not os.path.exists(orphan)

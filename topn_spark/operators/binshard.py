@@ -448,9 +448,16 @@ def export_bin_shards(
 
     Loud-failure contract (the SFT-export lessons): non-integral
     token arrays, negative ids, ids over the dtype range, NULL
-    token arrays, non-integral ``id_col``, and a mask whose length
-    differs from its token array all RAISE with the offending
-    sequence id — never a silently wrong shard.
+    token arrays, non-integral ``id_col``, a mask whose length
+    differs from its token array, and a DUPLICATE ``id_col`` value
+    all RAISE with the offending sequence id — never a silently
+    wrong shard. ``id_col`` uniqueness is a hard contract, not a
+    convention: the ``.idx`` seq_ids are the parquet audit link,
+    and ``content_sig``'s multiset-XOR is only collision-safe for
+    unique ids (``{A, A} -> {B, B}`` keeps both count and XOR
+    identical, so an incremental export could silently skip a
+    changed shard). The writer walks each shard sorted by id, so
+    duplicates surface as adjacent rows and the check is free.
 
     Scale shape: ONE shuffle (hash repartition on the shard key +
     in-partition sort — the exchange the partitioned parquet write
@@ -561,6 +568,15 @@ def export_bin_shards(
                 f"differ from the prior export: {diff} — every "
                 "shard would change; run a full export"
             )
+        # failed/killed task attempts leave .inprogress temp files;
+        # the full-export path sweeps them via its glob('shard_*'),
+        # but incremental deletes only exact final names — sweep
+        # here too (temp names are never referenced by any
+        # manifest, so deletion is always safe)
+        for stale in glob.glob(
+            os.path.join(out_dir, "shard_*.inprogress-*")
+        ):
+            os.remove(stale)
         old_rows = {
             int(r["shard"]): r.asDict()
             for r in spark.read.parquet(
@@ -748,6 +764,19 @@ def export_bin_shards(
                     if state is not None:
                         out_rows.append(close_shard(state))
                     state = open_shard(k)
+                if state["ids"] and state["ids"][-1] == sid:
+                    # the content_sig XOR is only collision-safe
+                    # under unique ids ({A,A} -> {B,B} keeps count
+                    # and XOR identical) and .idx seq_ids are the
+                    # audit link — rows arrive sorted by _id per
+                    # shard, so duplicates are adjacent: raise here
+                    # rather than export a silently ambiguous shard
+                    raise ValueError(
+                        f"export_bin_shards: duplicate {id_col} "
+                        f"{sid} — ids must be unique (the "
+                        "content_sig and .idx audit link both "
+                        "require it)"
+                    )
                 arr = np.asarray(toks, dtype="int64")
                 b = arr.astype(np_dtype).tobytes()
                 state["bin"].write(b)
@@ -1132,7 +1161,14 @@ def verify_bin_shards(
                             "n_assets",
                         )
                     )
-                except (OSError, IOError):
+                except (OSError, ValueError, struct.error):
+                    # OSError: missing/unreadable file; ValueError /
+                    # struct.error: a truncated or corrupt stream
+                    # that np.frombuffer / struct.unpack rejects
+                    # before _parse_* can normalize it — all of
+                    # them are "this shard is damaged", which the
+                    # docstring promises as ok=False with NULL
+                    # actuals, never a failed verify job
                     actual = {
                         k: None
                         for k in (
@@ -1708,7 +1744,7 @@ def verify_preference_shards(
                         and int(ids[i + 1]) == int(ids[i]) + 1
                         for i in range(0, len(ids), 2)
                     )
-                except (OSError, IOError):
+                except (OSError, ValueError, struct.error):
                     ok = False
                 out.append({"shard": int(k), "pairing_ok": ok})
             if out:
