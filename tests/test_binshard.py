@@ -11,6 +11,7 @@ import struct
 import pytest
 from pyspark.sql import functions as F
 
+from topn_spark.operators.binfs import LocalBinaryStore
 from topn_spark.operators.binshard import (
     encode_token_ids,
     export_bin_shards,
@@ -632,7 +633,7 @@ def test_window_read_touches_only_window_bytes(spark, tmp_path):
         __import__("glob").glob(os.path.join(out, "shard_*.idx"))
     ):
         shard = int(os.path.basename(p).split("_")[1].split(".")[0])
-        code, _, lens, _, _, tok_ptrs, _ = _parse_idx(p)
+        code, _, lens, _, _, tok_ptrs, _ = _parse_idx(LocalBinaryStore(), p)
         item = 2 if code == 2 else 4
         binp = p[:-4] + ".bin"
         raw = bytearray(open(binp, "rb").read())
@@ -711,7 +712,7 @@ def test_preference_round_trip_and_adjacency(spark, tmp_path):
     import glob as _glob
 
     for p in _glob.glob(os.path.join(out, "shard_*.idx")):
-        _, _, _, ids, _, _, _ = _parse_idx(p)
+        _, _, _, ids, _, _, _ = _parse_idx(LocalBinaryStore(), p)
         assert len(ids) % 2 == 0
         for i in range(0, len(ids), 2):
             assert ids[i] % 2 == 0 and ids[i + 1] == ids[i] + 1
@@ -860,11 +861,24 @@ def test_pair_epoch_order_and_preference_window(spark, tmp_path):
             r.rejected_tokens, r.rejected_mask,
         )
     # unit cross-checks: each window reader refuses the other's unit
-    export_epoch_order(spark, out, 2, salt="w")  # seq unit
     with pytest.raises(Exception, match="read_preference_window"):
         read_bin_window(spark, out, 1, 0, 5)
+    # a preference (layout='pair') set refuses a seq-unit epoch
+    # outright — it would tear pairs at consumption time
     with pytest.raises(Exception, match="unit='pair'"):
-        read_preference_window(spark, out, 2, 0, 5)
+        export_epoch_order(spark, out, 2, salt="w")
+    # ... and a seq-unit epoch on a PLAIN even-count set is refused
+    # by the pairwise window reader
+    out3 = str(tmp_path / "pw_seq")
+    plain_even = spark.createDataFrame(
+        [(0, [1, 2], [True, False]), (1, [3, 4], [False, True])],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    export_bin_shards(plain_even, out3, 1)
+    export_epoch_order(spark, out3, 2)
+    with pytest.raises(Exception, match="unit='pair'"):
+        read_preference_window(spark, out3, 2, 0, 1)
     # an odd-count (non-preference) shard set cannot take pair unit
     out2 = str(tmp_path / "pw_odd")
     plain = spark.createDataFrame(
@@ -938,3 +952,120 @@ def test_incremental_sweeps_orphaned_temp_files(spark, tmp_path):
     )
     assert all(not r.rewritten for r in man.collect())  # still no-op
     assert not os.path.exists(orphan)
+
+
+# ------------------------------------------- storage backend seam
+
+
+def _stores(tmp_path):
+    from topn_spark.operators.binfs import ObjectStoreBinaryStore
+
+    return [
+        ("posix", LocalBinaryStore()),
+        ("object", ObjectStoreBinaryStore(str(tmp_path / "bucket"))),
+    ]
+
+
+def test_backend_round_trip_export_verify_read(spark, tmp_path):
+    """The z116-shape round trip through BOTH storage backends: the
+    shard layer must never rely on POSIX-only behavior (rename,
+    append, seek-write) — the object backend exposes only PUT /
+    ranged-GET / list / delete, and executor tasks talk to it
+    directly (the store object ships inside the write closure)."""
+    packed = _packed(spark)
+    want = sorted(
+        (r.seq_id, r.tokens, r.loss_mask)
+        for r in packed.select(
+            "seq_id", "tokens", "loss_mask"
+        ).collect()
+    )
+    for name, st in _stores(tmp_path):
+        out = str(tmp_path / f"rt_{name}")
+        man = export_bin_shards(packed, out, 4, store=st).collect()
+        assert sum(r.n_seqs for r in man) == len(want)
+        assert all(
+            r.ok
+            for r in verify_bin_shards(spark, out, store=st).collect()
+        )
+        got = sorted(
+            (r.seq_id, r.tokens, r.loss_mask)
+            for r in read_bin_shards(spark, out, store=st).collect()
+        )
+        assert got == want, name
+
+
+def test_backend_window_and_epoch_read(spark, tmp_path):
+    """Window read over the object backend: seek maps to ranged
+    GETs, and the window equals the same slice of the full epoch
+    order — the seek-don't-scan property survives object storage."""
+    from topn_spark.operators.binshard import (
+        export_epoch_order,
+        read_bin_window,
+        read_epoch_order,
+    )
+
+    packed = _packed(spark)
+    slices = {}
+    for name, st in _stores(tmp_path):
+        out = str(tmp_path / f"win_{name}")
+        export_bin_shards(packed, out, 3, salt="b", store=st)
+        export_epoch_order(spark, out, 1, salt="e", store=st)
+        order = read_epoch_order(
+            spark, out, 1, store=st
+        ).orderBy("shard", "position").collect()
+        assert {r.unit for r in order} == {"seq"}
+        win = read_bin_window(
+            spark, out, 1, 7, 19, store=st
+        ).orderBy("global_pos").collect()
+        assert [r.global_pos for r in win] == list(range(7, 19))
+        slices[name] = [
+            (r.seq_id, r.tokens, r.loss_mask) for r in win
+        ]
+    # both backends serve byte-identical content
+    assert slices["posix"] == slices["object"]
+
+
+def test_backend_preference_and_incremental(spark, tmp_path):
+    """Preference export + incremental delta through the object
+    backend: the signature diff, shard rewrite, and manifest
+    carry-forward all run on object-store verbs only."""
+    from topn_spark.operators.binshard import (
+        export_preference_shards,
+        read_preference_shards,
+        verify_preference_shards,
+    )
+    from topn_spark.operators.binfs import ObjectStoreBinaryStore
+
+    st = ObjectStoreBinaryStore(str(tmp_path / "bucket2"))
+    out = str(tmp_path / "pref_obj")
+    export_preference_shards(_pair_frame(spark, 30), out, 3, store=st)
+    assert all(
+        r.ok
+        for r in verify_preference_shards(
+            spark, out, store=st
+        ).collect()
+    )
+    n0 = read_preference_shards(spark, out, store=st).count()
+    assert n0 == 30
+    # incremental: one pair changes -> only its shard rewrites
+    changed = _pair_frame(spark, 30).withColumn(
+        "chosen_tokens",
+        F.when(
+            F.col("pair_id") == 5,
+            F.array(F.lit(42).cast("bigint")),
+        ).otherwise(F.col("chosen_tokens")),
+    ).withColumn(
+        "chosen_mask",
+        F.when(
+            F.col("pair_id") == 5, F.array(F.lit(True))
+        ).otherwise(F.col("chosen_mask")),
+    )
+    man = export_preference_shards(
+        changed, out, 3, incremental=True, store=st
+    ).collect()
+    assert sum(1 for r in man if r.rewritten) == 1
+    got = {
+        r.pair_id: r.chosen_tokens
+        for r in read_preference_shards(spark, out, store=st).collect()
+    }
+    assert got[5] == [42] and len(got) == 30

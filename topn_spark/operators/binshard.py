@@ -61,10 +61,8 @@ pipeline, sized per the round-9/10 verdict task list.
 
 from __future__ import annotations
 
-import glob
 import os
 import struct
-import uuid
 import zlib
 
 import numpy as np
@@ -72,32 +70,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _atomic_open(path: str):
-    """Open ``path`` for writing through a task-attempt-unique temp
-    name; the returned handle carries ``.final_path`` and must be
-    closed via :func:`_atomic_close`. A retried or speculative
-    duplicate task attempt writing the same shard then never
-    interleaves with the winner — each attempt streams to its own
-    temp file and the LAST ``os.replace`` (atomic on POSIX) wins
-    whole, so the manifest's crc always describes one complete
-    attempt's bytes, never a torn splice."""
-    tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
-    fh = open(tmp, "wb")
-    fh.final_path = path  # type: ignore[attr-defined]
-    fh.tmp_path = tmp  # type: ignore[attr-defined]
-    return fh
-
-
-def _atomic_close(fh) -> None:
-    fh.close()
-    os.replace(fh.tmp_path, fh.final_path)
-
-
-def _atomic_write(path: str, data: bytes) -> None:
-    fh = _atomic_open(path)
-    fh.write(data)
-    _atomic_close(fh)
+from topn_spark.operators.binfs import LocalBinaryStore
 
 _MAGIC = b"TNSPBIN1"
 _AST_MAGIC = b"TNSPAST1"
@@ -115,68 +88,53 @@ _MANIFEST_SCHEMA = (
 _META_SCHEMA = (
     "version int, dtype string, has_mask boolean,"
     " has_assets boolean, n_shards int, salt string,"
-    " export_version bigint"
+    " export_version bigint, layout string"
+)
+
+_EPOCH_SCHEMA = (
+    "shard int, shard_pos int, n_seqs bigint, unit string,"
+    " n_units bigint, export_version bigint"
 )
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _write_driver_parquet(
-    out_path: str, rows: list[dict], ddl: str
-) -> None:
-    """Write a MODEL-SIZED table (the shard manifest, the export
-    meta row, an epoch manifest — n_shards rows at most) as one
-    parquet file directly from the driver via pyarrow. A Spark
-    write job costs seconds of fixed scheduler/commit overhead per
-    invocation — measured ~4 s for a one-row table on local[32] —
-    which dominated the whole export for small shard counts; the
-    data here never lives on executors in the first place (it is
-    collected accounting), so shipping it back through a job buys
-    nothing. Types map 1:1 onto what a Spark write of the same DDL
-    produced, so ``spark.read.parquet`` consumers see an identical
-    schema. The directory is replaced atomically (tmp dir +
-    rename)."""
-    import shutil
+def _fields(ddl: str) -> list[str]:
+    return [p.strip().split(" ")[0] for p in ddl.split(",")]
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    pa_types = {
-        "int": pa.int32(),
-        "bigint": pa.int64(),
-        "string": pa.string(),
-        "boolean": pa.bool_(),
-    }
-    fields = []
-    for part in ddl.split(","):
-        name, typ = part.strip().split(" ")
-        fields.append(pa.field(name, pa_types[typ]))
-    table = pa.Table.from_pylist(
-        [dict(r) for r in rows], schema=pa.schema(fields)
+def _rows_df(
+    spark: SparkSession, rows: list[dict], ddl: str
+) -> DataFrame:
+    """Model-sized accounting rows (driver-side dicts from the
+    storage backend) as a DataFrame in the DDL's column order."""
+    names = _fields(ddl)
+    return spark.createDataFrame(
+        [tuple(r[n] for n in names) for r in rows], ddl
     )
-    tmp = f"{out_path}.inprogress-{uuid.uuid4().hex}"
-    os.makedirs(tmp)
-    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-    shutil.rmtree(out_path, ignore_errors=True)
-    os.rename(tmp, out_path)
 
 
-def _read_meta(spark: SparkSession, out_dir: str) -> dict | None:
+def _read_meta(
+    spark: SparkSession, out_dir: str, store=None
+) -> dict | None:
     """Load the ``_manifest_meta`` row (export parameters + version)
     as a dict; None when the directory predates the meta artifact
     (treated as a mask-only, asset-less export wherever only
-    read-compat matters — incremental re-export REQUIRES the meta)."""
-    path = os.path.join(out_dir, "_manifest_meta")
-    if not os.path.isdir(path):
-        return None
-    [r] = spark.read.parquet(path).collect()
-    return r.asDict()
+    read-compat matters — incremental re-export REQUIRES the meta).
+    Driver-side through the storage backend — accounting tables are
+    model-sized, and a Spark job per read costs ~4 s of fixed
+    scheduler overhead (measured; the round-12 lesson)."""
+    st = store or LocalBinaryStore()
+    rows = st.read_parquet_rows(os.path.join(out_dir, "_manifest_meta"))
+    return dict(rows[0]) if rows else None
 
 
-def _write_meta(
-    spark: SparkSession, out_dir: str, meta: dict
-) -> None:
-    _write_driver_parquet(
+def _read_manifest_rows(out_dir: str, store) -> list[dict] | None:
+    return store.read_parquet_rows(os.path.join(out_dir, "_manifest"))
+
+
+def _write_meta(out_dir: str, meta: dict, store) -> None:
+    store.write_parquet(
         os.path.join(out_dir, "_manifest_meta"),
         [meta],
         _META_SCHEMA,
@@ -337,20 +295,19 @@ def encode_token_ids(
 # binary export
 # ------------------------------------------------------------------
 
-def _remove_epoch_artifacts(out_dir: str) -> None:
+def _remove_epoch_artifacts(out_dir: str, store=None) -> None:
     """Delete every epoch-order artifact (``*.ep*`` permutation
     files + ``_epoch_*`` manifests): an epoch order is a view of ONE
     dataset version, so any export that changes shard content
     invalidates it — a trainer silently consuming a stale
     permutation over new data is the failure this prevents (a
-    deleted file fails LOUDLY at read time)."""
-    import shutil
-
-    for p in glob.glob(os.path.join(out_dir, "shard_*.ep*")):
-        os.remove(p)
-    for d in glob.glob(os.path.join(out_dir, "_epoch_*")):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    deleted file fails LOUDLY at read time, with the
+    ``export_version`` remediation message)."""
+    st = store or LocalBinaryStore()
+    for n in st.list(out_dir, "shard_*.ep*"):
+        st.remove(os.path.join(out_dir, n))
+    for n in st.list(out_dir, "_epoch_*"):
+        st.remove(os.path.join(out_dir, n))
 
 
 def _resolve_dtype(lo: int, hi: int, dtype: str) -> int:
@@ -392,6 +349,8 @@ def export_bin_shards(
     assets_col: str | None = None,
     shard_key_col: str | None = None,
     incremental: bool = False,
+    store=None,
+    layout: str = "seq",
 ) -> DataFrame:
     """Write packed sequences as trainer-native binary shards —
     ``shard_<k>.bin`` token stream + ``.idx`` offset index +
@@ -462,19 +421,26 @@ def export_bin_shards(
     Scale shape: ONE shuffle (hash repartition on the shard key +
     in-partition sort — the exchange the partitioned parquet write
     pays too), then a single Arrow ``mapInPandas`` pass in which
-    each task streams its shards' bytes straight to disk:
+    each task streams its shards' bytes straight to storage:
     nothing data-sized ever sits on the driver, and memory per task
-    is one Arrow batch plus the open file buffers. The manifest is
+    is one Arrow batch plus the open write buffers. The manifest is
     n_shards rows (model-sized) — collected once so the write
     executes exactly once, then persisted next to the shards.
-    ``out_dir`` must be storage every executor can reach (one task
-    writes each shard file in full; memory-mapped trainer formats
-    are POSIX files by nature — export to a shared filesystem, or
-    run the export co-located with the training storage). Every
-    file is written through a task-attempt-unique temp name and
-    atomically renamed on close, so retried or speculative
-    duplicate attempts can never interleave into a torn shard —
-    the last complete attempt wins whole.
+
+    ``store`` selects the storage backend
+    (:mod:`topn_spark.operators.binfs`): the default
+    :class:`~topn_spark.operators.binfs.LocalBinaryStore` writes
+    POSIX files on storage every executor can reach (a shared
+    filesystem, or export co-located with the training storage);
+    :class:`~topn_spark.operators.binfs.ObjectStoreBinaryStore` (or
+    a real S3/GCS backend implementing its six verbs) writes
+    whole-object PUTs. Either way every file becomes visible only
+    complete — temp-name + atomic rename on POSIX, atomic PUT on
+    object stores — so retried or speculative duplicate attempts
+    can never interleave into a torn shard: the last complete
+    attempt wins whole. ``layout`` is recorded in the meta
+    (``"pair"`` for :func:`export_preference_shards` directories)
+    so readers and the data card can dispatch on the shard flavor.
     """
     from topn_spark.operators.pipeline import shard_assignment
 
@@ -503,6 +469,7 @@ def export_bin_shards(
             )
     has_mask = mask_col is not None
     spark = df.sparkSession
+    st = store or LocalBinaryStore()
 
     cols = [F.col("shard"), F.col(id_col).cast("bigint").alias("_id"),
             F.col(tokens_col).alias("_toks")]
@@ -542,10 +509,10 @@ def export_bin_shards(
     np_dtype, _ = _DTYPES[code]
     dtype_name = "uint16" if code == 2 else "uint32"
 
-    os.makedirs(out_dir, exist_ok=True)
+    st.makedirs(out_dir)
     old_rows: dict[int, dict] = {}
     changed: set[int] | None = None
-    meta = _read_meta(spark, out_dir)
+    meta = _read_meta(spark, out_dir, st)
     if incremental:
         if meta is None:
             raise ValueError(
@@ -556,11 +523,12 @@ def export_bin_shards(
         want = {
             "dtype": dtype_name, "has_mask": has_mask,
             "has_assets": has_ast, "n_shards": int(n_shards),
-            "salt": salt,
+            "salt": salt, "layout": layout,
         }
         diff = {
-            k: (meta[k], v) for k, v in want.items()
-            if meta[k] != v
+            k: (meta.get(k, "seq" if k == "layout" else None), v)
+            for k, v in want.items()
+            if meta.get(k, "seq" if k == "layout" else None) != v
         }
         if diff:
             raise ValueError(
@@ -569,23 +537,20 @@ def export_bin_shards(
                 "shard would change; run a full export"
             )
         # failed/killed task attempts leave .inprogress temp files;
-        # the full-export path sweeps them via its glob('shard_*'),
+        # the full-export path sweeps them via its shard_* listing,
         # but incremental deletes only exact final names — sweep
         # here too (temp names are never referenced by any
         # manifest, so deletion is always safe)
-        for stale in glob.glob(
-            os.path.join(out_dir, "shard_*.inprogress-*")
-        ):
-            os.remove(stale)
+        for stale in st.list(out_dir, "shard_*.inprogress-*"):
+            st.remove(os.path.join(out_dir, stale))
         old_rows = {
-            int(r["shard"]): r.asDict()
-            for r in spark.read.parquet(
-                os.path.join(out_dir, "_manifest")
-            ).collect()
+            int(r["shard"]): dict(r)
+            for r in _read_manifest_rows(out_dir, st) or []
         }
         # the stats pass already computed the signatures — the delta
         # decision costs no additional file or input I/O, and a
-        # no-op re-export is exactly ONE scan
+        # no-op re-export is exactly ONE scan (and the ONLY Spark
+        # job: the accounting tables read driver-side)
         sigs = {
             int(r["shard"]): _content_sig(r["n"], r["x"])
             for r in stats
@@ -598,8 +563,13 @@ def export_bin_shards(
         orphans = set(old_rows) - set(sigs)
         if not changed and not orphans:
             return (
-                spark.read.parquet(
-                    os.path.join(out_dir, "_manifest")
+                _rows_df(
+                    spark,
+                    sorted(
+                        old_rows.values(),
+                        key=lambda r: r["shard"],
+                    ),
+                    _MANIFEST_SCHEMA,
                 )
                 .withColumn("rewritten", F.lit(False))
                 .orderBy("shard")
@@ -607,20 +577,20 @@ def export_bin_shards(
         suffixes = [".bin", ".idx", ".msk", ".ast"]
         for k in changed | orphans:
             for sfx in suffixes:
-                p = os.path.join(out_dir, f"shard_{k:05d}{sfx}")
-                if os.path.exists(p):
-                    os.remove(p)
+                st.remove(
+                    os.path.join(out_dir, f"shard_{k:05d}{sfx}")
+                )
         for k in orphans:
             old_rows.pop(k)
         # epoch artifacts describe the previous dataset version
-        _remove_epoch_artifacts(out_dir)
+        _remove_epoch_artifacts(out_dir, st)
         assigned = assigned.where(
             F.col("shard").isin([int(k) for k in changed])
         )
     else:
-        for stale in glob.glob(os.path.join(out_dir, "shard_*")):
-            os.remove(stale)
-        _remove_epoch_artifacts(out_dir)
+        for stale in st.list(out_dir, "shard_*"):
+            st.remove(os.path.join(out_dir, stale))
+        _remove_epoch_artifacts(out_dir, st)
 
     assigned = assigned.repartition(
         int(n_shards), "shard"
@@ -632,10 +602,10 @@ def export_bin_shards(
         def open_shard(k):
             return {
                 "k": int(k),
-                "bin": _atomic_open(
+                "bin": st.open_write(
                     os.path.join(out_dir, f"shard_{int(k):05d}.bin")
                 ),
-                "msk": _atomic_open(
+                "msk": st.open_write(
                     os.path.join(out_dir, f"shard_{int(k):05d}.msk")
                 )
                 if has_mask
@@ -684,10 +654,10 @@ def export_bin_shards(
                 )
                 parts.append(msk_ptrs.tobytes())
             # data streams land before the index that points at them
-            _atomic_close(s["bin"])
+            st.finalize(s["bin"])
             if s["msk"] is not None:
-                _atomic_close(s["msk"])
-            _atomic_write(
+                st.finalize(s["msk"])
+            st.write_bytes(
                 os.path.join(out_dir, f"shard_{s['k']:05d}.idx"),
                 b"".join(parts),
             )
@@ -712,7 +682,7 @@ def export_bin_shards(
                         payload.tobytes(),
                     )
                 )
-                _atomic_write(
+                st.write_bytes(
                     os.path.join(
                         out_dir, f"shard_{s['k']:05d}.ast"
                     ),
@@ -835,22 +805,17 @@ def export_bin_shards(
             _write, _MANIFEST_SCHEMA
         ).collect()
     ]
-    fields = [
-        f.strip().split(" ")[0] for f in _MANIFEST_SCHEMA.split(",")
-    ]
     if incremental:
         written = {int(r["shard"]) for r in rows}
         rows.extend(
             r for k, r in old_rows.items() if k not in written
         )
-    data = [tuple(r[f] for f in fields) for r in rows]
-    _write_driver_parquet(
+    st.write_parquet(
         os.path.join(out_dir, "_manifest"),
         sorted(rows, key=lambda r: r["shard"]),
         _MANIFEST_SCHEMA,
     )
     _write_meta(
-        spark,
         out_dir,
         {
             "version": _VERSION,
@@ -864,9 +829,11 @@ def export_bin_shards(
                 if incremental and meta is not None
                 else 1
             ),
+            "layout": layout,
         },
+        st,
     )
-    out = spark.createDataFrame(data, _MANIFEST_SCHEMA)
+    out = _rows_df(spark, rows, _MANIFEST_SCHEMA)
     if incremental:
         out = out.withColumn(
             "rewritten", F.col("shard").isin(
@@ -876,11 +843,10 @@ def export_bin_shards(
     return out.orderBy("shard")
 
 
-def _parse_idx(path: str):
+def _parse_idx(store, path: str):
     """Parse one ``.idx`` file into (code, has_mask, lens, ids,
     nsup, tok_ptrs, msk_ptrs) — shared by the reader and verifier."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    raw = store.read_bytes(path)
     if raw[:8] != _MAGIC:
         raise IOError(f"{path}: bad magic {raw[:8]!r}")
     version, code, has_mask = struct.unpack_from("<III", raw, 8)
@@ -911,11 +877,10 @@ def _parse_idx(path: str):
     return code, bool(has_mask), lens, ids, nsup, tok_ptrs, msk_ptrs
 
 
-def _parse_ast(path: str):
+def _parse_ast(store, path: str):
     """Parse one ``.ast`` sidecar into (alens, ast_ptrs, payload) —
     shared by the reader and verifier."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    raw = store.read_bytes(path)
     if raw[:8] != _AST_MAGIC:
         raise IOError(f"{path}: bad magic {raw[:8]!r}")
     version, n = struct.unpack_from("<IQ", raw, 8)
@@ -938,18 +903,27 @@ def _parse_ast(path: str):
     return alens, ast_ptrs, payload
 
 
-def _shard_frame(spark: SparkSession, out_dir: str) -> DataFrame:
+def _shard_frame(
+    spark: SparkSession, out_dir: str, store
+) -> DataFrame:
     """The shard work-list from the manifest (NOT a directory
     listing — stale files from an older, wider export must not leak
-    into a read), one shard per partition."""
-    manifest = spark.read.parquet(os.path.join(out_dir, "_manifest"))
-    shards = manifest.select("shard").distinct()
-    n = shards.count()
-    return manifest.repartition(max(int(n), 1), "shard")
+    into a read), one shard per partition. The manifest is read
+    driver-side (model-sized; no Spark job) and distributed as a
+    local relation."""
+    rows = _read_manifest_rows(out_dir, store)
+    if rows is None:
+        raise IOError(
+            f"no _manifest at {out_dir} — not an export_bin_shards "
+            "directory"
+        )
+    return _rows_df(spark, rows, _MANIFEST_SCHEMA).repartition(
+        max(len(rows), 1), "shard"
+    )
 
 
 def read_bin_shards(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, store=None
 ) -> DataFrame:
     """Read an :func:`export_bin_shards` directory back as a
     DataFrame — ``(shard, seq_index, seq_id, n_tokens, n_supervised,
@@ -963,7 +937,8 @@ def read_bin_shards(
     a directory listing — stale files from an older export with
     more shards must not resurface), one task per shard, each task
     reading only its own files: parallel, nothing on the driver."""
-    meta = _read_meta(spark, out_dir)
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
     has_ast = bool(meta and meta["has_assets"])
     schema = (
         "shard int, seq_index bigint, seq_id bigint,"
@@ -978,16 +953,22 @@ def read_bin_shards(
             for k in pdf["shard"].tolist():
                 base = os.path.join(out_dir, f"shard_{int(k):05d}")
                 code, has_mask, lens, ids, nsup, tok_ptrs, msk_ptrs \
-                    = _parse_idx(base + ".idx")
+                    = _parse_idx(st, base + ".idx")
                 np_dtype, _ = _DTYPES[code]
-                toks = np.fromfile(base + ".bin", dtype=np_dtype)
+                toks = np.frombuffer(
+                    st.read_bytes(base + ".bin"), dtype=np_dtype
+                )
                 mraw = (
-                    np.fromfile(base + ".msk", dtype="u1")
+                    np.frombuffer(
+                        st.read_bytes(base + ".msk"), dtype="u1"
+                    )
                     if has_mask
                     else None
                 )
                 if has_ast:
-                    alens, _, payload = _parse_ast(base + ".ast")
+                    alens, _, payload = _parse_ast(
+                        st, base + ".ast"
+                    )
                     apos = 0
                 rows = []
                 pos = 0
@@ -1030,11 +1011,13 @@ def read_bin_shards(
                     cols.append("asset_ids")
                 yield pd.DataFrame(rows, columns=cols)
 
-    return _shard_frame(spark, out_dir).mapInPandas(_read, schema)
+    return _shard_frame(spark, out_dir, st).mapInPandas(
+        _read, schema
+    )
 
 
 def verify_bin_shards(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, store=None
 ) -> DataFrame:
     """Integrity check for a binary shard set — the
     :func:`~topn_spark.operators.pipeline.verify_shards` contract at
@@ -1056,7 +1039,8 @@ def verify_bin_shards(
         " ast_crc32_actual bigint, n_assets_actual bigint,"
         " ok boolean"
     )
-    meta = _read_meta(spark, out_dir)
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
     has_ast = bool(meta and meta["has_assets"])
 
     def _verify(batches):
@@ -1083,10 +1067,9 @@ def verify_bin_shards(
                 }
                 try:
                     code, has_mask, lens, ids, nsup, tok_ptrs, \
-                        msk_ptrs = _parse_idx(base + ".idx")
+                        msk_ptrs = _parse_idx(st, base + ".idx")
                     itemsize = 2 if code == 2 else 4
-                    with open(base + ".bin", "rb") as f:
-                        braw = f.read()
+                    braw = st.read_bytes(base + ".bin")
                     exp_tok = np.zeros(len(lens), dtype="<u8")
                     np.cumsum(
                         lens[:-1].astype("<u8") * itemsize,
@@ -1109,8 +1092,7 @@ def verify_bin_shards(
                         "bin_crc32_actual": zlib.crc32(braw),
                     }
                     if has_mask:
-                        with open(base + ".msk", "rb") as f:
-                            mraw = f.read()
+                        mraw = st.read_bytes(base + ".msk")
                         exp_msk = np.zeros(len(lens), dtype="<u8")
                         np.cumsum(
                             (lens[:-1].astype("<u8") + 7) // 8,
@@ -1128,10 +1110,9 @@ def verify_bin_shards(
                         # _parse_ast re-derives counts and rejects
                         # trailing bytes; crc over the whole file
                         # catches header tears too
-                        with open(base + ".ast", "rb") as f:
-                            araw = f.read()
+                        araw = st.read_bytes(base + ".ast")
                         alens, ast_ptrs, _ = _parse_ast(
-                            base + ".ast"
+                            st, base + ".ast"
                         )
                         exp_ast = np.zeros(len(alens), dtype="<u8")
                         np.cumsum(
@@ -1185,7 +1166,9 @@ def verify_bin_shards(
             if out:
                 yield pd.DataFrame(out)
 
-    return _shard_frame(spark, out_dir).mapInPandas(_verify, schema)
+    return _shard_frame(spark, out_dir, st).mapInPandas(
+        _verify, schema
+    )
 
 
 # ------------------------------------------------------------------
@@ -1198,6 +1181,7 @@ def export_epoch_order(
     epoch: int,
     salt: str = "",
     unit: str = "seq",
+    store=None,
 ) -> DataFrame:
     """Deterministic per-epoch consumption order for a binary shard
     set — the dataloader's missing half (trainers that memory-map
@@ -1214,8 +1198,15 @@ def export_epoch_order(
     files; a new epoch is a fresh permutation (the
     :func:`~topn_spark.operators.pipeline.epoch_shuffle` contract,
     at the binary layer). Returns the epoch manifest —
-    ``(shard, shard_pos, n_seqs, unit, n_units)`` — also written to
-    ``_epoch_<epoch>`` parquet beside the shards.
+    ``(shard, shard_pos, n_seqs, unit, n_units, export_version)`` —
+    also written to ``_epoch_<epoch>`` parquet beside the shards.
+    ``export_version`` stamps WHICH dataset version this order is a
+    view of (the store's current ``_manifest_meta`` version): every
+    epoch reader refuses a version mismatch with a remediation
+    message instead of serving a stale permutation — the
+    mid-training corpus-bump story (an incremental export deletes
+    epoch artifacts, but a partially synced directory or an
+    operator re-copying old ``.ep`` files must still fail loudly).
 
     ``unit="pair"`` (preference shard sets —
     :func:`export_preference_shards`): the permutation runs over
@@ -1237,11 +1228,24 @@ def export_epoch_order(
         raise ValueError(
             f"export_epoch_order: unknown unit {unit!r} (seq|pair)"
         )
-    man = (
-        spark.read.parquet(os.path.join(out_dir, "_manifest"))
-        .select("shard", "n_seqs")
-        .collect()
-    )
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
+    export_version = int(meta["export_version"]) if meta else 1
+    layout = (meta or {}).get("layout") or "seq"
+    if layout == "pair" and unit != "pair":
+        # a sequence-level permutation over a preference shard set
+        # would tear every (chosen, rejected) pair apart — the
+        # exact silent failure the adjacency layout prevents
+        raise ValueError(
+            "export_epoch_order: this is a preference (layout="
+            "'pair') shard set — export the epoch with unit='pair'"
+        )
+    man = _read_manifest_rows(out_dir, st)
+    if man is None:
+        raise IOError(
+            f"no _manifest at {out_dir} — not an export_bin_shards "
+            "directory"
+        )
     if unit == "pair":
         odd = sorted(
             int(r["shard"]) for r in man if int(r["n_seqs"]) % 2
@@ -1270,13 +1274,11 @@ def export_epoch_order(
             int(r["n_seqs"]),
             unit,
             int(r["n_seqs"]) // div,
+            export_version,
         )
         for r in man
     ]
-    schema = (
-        "shard int, shard_pos int, n_seqs bigint, unit string,"
-        " n_units bigint"
-    )
+    schema = _EPOCH_SCHEMA
     work = spark.createDataFrame(rows, schema).repartition(
         max(len(rows), 1), "shard"
     )
@@ -1299,7 +1301,7 @@ def export_epoch_order(
                 perm = np.asarray(
                     [i for _, i in keys], dtype="<u4"
                 )
-                _atomic_write(
+                st.write_bytes(
                     os.path.join(
                         out_dir,
                         f"shard_{k:05d}.ep{int(epoch):04d}",
@@ -1313,13 +1315,14 @@ def export_epoch_order(
                         "n_seqs": int(r.n_seqs),
                         "unit": r.unit,
                         "n_units": n,
+                        "export_version": int(r.export_version),
                     }
                 )
             if out:
                 yield pd.DataFrame(out)
 
     got = work.mapInPandas(_write, schema).collect()
-    _write_driver_parquet(
+    st.write_parquet(
         os.path.join(out_dir, f"_epoch_{int(epoch):04d}"),
         sorted((r.asDict() for r in got), key=lambda r: r["shard"]),
         schema,
@@ -1327,33 +1330,97 @@ def export_epoch_order(
     return spark.createDataFrame(got, schema).orderBy("shard")
 
 
-def read_epoch_order(
-    spark: SparkSession, out_dir: str, epoch: int
-) -> DataFrame:
-    """Read an :func:`export_epoch_order` epoch back as
-    ``(shard, shard_pos, position, seq_index)`` — ``position`` is
-    the within-shard visit order, ``seq_index`` the stored sequence
-    it dereferences (the :func:`read_bin_shards` index). One task
-    per shard; the round-trip pytest checks each file is a true
-    permutation of ``0..n_seqs-1``."""
-    schema = (
-        "shard int, shard_pos int, position bigint, seq_index bigint"
-    )
-    ep = spark.read.parquet(
+def _load_epoch(
+    spark: SparkSession, out_dir: str, epoch: int, store
+) -> list[dict]:
+    """Load an epoch manifest's rows, enforcing the version-stamped
+    lifecycle: a missing epoch and a stale ``export_version`` both
+    RAISE with what happened and what to do — a trainer resuming
+    after a corpus version bump must see "the data moved,
+    re-export", never a bare missing-file error or (worse) a stale
+    permutation served silently."""
+    meta = _read_meta(spark, out_dir, store)
+    rows = store.read_parquet_rows(
         os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
     )
-    work = ep.repartition(
-        max(ep.count(), 1), "shard"
+    if rows is None:
+        cur = (
+            f" (store is at export_version "
+            f"{int(meta['export_version'])})"
+            if meta
+            else ""
+        )
+        raise IOError(
+            f"epoch {int(epoch)} has no exported order at "
+            f"{out_dir}{cur} — epoch orders are views of ONE "
+            "dataset version and are invalidated whenever an "
+            "export changes shard content; re-run "
+            "export_epoch_order for this epoch"
+        )
+    stamped = {
+        int(r["export_version"])
+        for r in rows
+        if r.get("export_version") is not None
+    }
+    if meta and stamped and stamped != {int(meta["export_version"])}:
+        raise IOError(
+            f"epoch {int(epoch)} order was exported at "
+            f"export_version {sorted(stamped)}, but the store is "
+            f"now at {int(meta['export_version'])} — the corpus "
+            "changed under this view; re-run export_epoch_order "
+            "(and re-derive any resume offsets against the new "
+            "order)"
+        )
+    return rows
+
+
+def read_epoch_order(
+    spark: SparkSession, out_dir: str, epoch: int, store=None
+) -> DataFrame:
+    """Read an :func:`export_epoch_order` epoch back as
+    ``(shard, shard_pos, unit, position, seq_index)`` — ``position``
+    is the within-shard visit order, ``seq_index`` the stored UNIT
+    it dereferences: for a ``unit='seq'`` epoch that is the
+    :func:`read_bin_shards` sequence index (a permutation of
+    ``0..n_seqs-1`` per shard); for a ``unit='pair'`` epoch it is
+    the PAIR index (a permutation of ``0..n_pairs-1`` — pair *p*
+    dereferences to adjacent sequences ``2p``/``2p+1``). The
+    ``unit`` column makes the distinction self-describing, so a
+    consumer driving sequence reads from a pair-unit order cannot
+    misinterpret it silently; :func:`read_bin_window` /
+    :func:`read_preference_window` additionally enforce the unit.
+    A missing epoch or an ``export_version`` mismatch RAISES with
+    the remediation story. One task per shard; the round-trip
+    pytest checks each file is a true permutation."""
+    st = store or LocalBinaryStore()
+    rows = _load_epoch(spark, out_dir, epoch, st)
+    schema = (
+        "shard int, shard_pos int, unit string, position bigint,"
+        " seq_index bigint"
     )
+    work = _rows_df(
+        spark,
+        [
+            {
+                "shard": r["shard"],
+                "shard_pos": r["shard_pos"],
+                "unit": r.get("unit", "seq"),
+            }
+            for r in rows
+        ],
+        "shard int, shard_pos int, unit string",
+    ).repartition(max(len(rows), 1), "shard")
 
     def _read(batches):
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 k = int(r.shard)
-                perm = np.fromfile(
-                    os.path.join(
-                        out_dir,
-                        f"shard_{k:05d}.ep{int(epoch):04d}",
+                perm = np.frombuffer(
+                    st.read_bytes(
+                        os.path.join(
+                            out_dir,
+                            f"shard_{k:05d}.ep{int(epoch):04d}",
+                        )
                     ),
                     dtype="<u4",
                 )
@@ -1361,6 +1428,7 @@ def read_epoch_order(
                     {
                         "shard": k,
                         "shard_pos": int(r.shard_pos),
+                        "unit": r.unit,
                         "position": np.arange(
                             len(perm), dtype="int64"
                         ),
@@ -1381,6 +1449,7 @@ def read_bin_window(
     epoch: int,
     start: int,
     stop: int,
+    store=None,
 ) -> DataFrame:
     """Read sequences ``[start, stop)`` of epoch ``epoch``'s global
     consumption order WITHOUT scanning the corpus — the
@@ -1398,7 +1467,10 @@ def read_bin_window(
 
     Out-of-range bounds RAISE (a resume step beyond the epoch is a
     bookkeeping bug upstream — serving a short window silently
-    would skip data).
+    would skip data), as do a missing epoch order and an
+    ``export_version`` mismatch (the store changed under the epoch
+    view — the raise says to re-export the epoch order, not a bare
+    missing-file error).
 
     Scale shape: the driver holds only the shard-level manifest
     (model-sized); one task per OVERLAPPING shard, and each task's
@@ -1406,12 +1478,9 @@ def read_bin_window(
     exactly the windowed sequences' bytes (seek, don't scan) — per-
     task bytes proportional to its share of the window, regardless
     of shard size."""
-    ep_rows = spark.read.parquet(
-        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
-    ).collect()
-    units = {
-        r["unit"] for r in ep_rows if "unit" in r.asDict()
-    } or {"seq"}
+    st = store or LocalBinaryStore()
+    ep_rows = _load_epoch(spark, out_dir, epoch, st)
+    units = {r.get("unit", "seq") for r in ep_rows} or {"seq"}
     if units != {"seq"}:
         raise ValueError(
             f"read_bin_window: epoch {epoch} is a "
@@ -1423,7 +1492,7 @@ def read_bin_window(
             (
                 int(r["shard_pos"]),
                 int(r["shard"]),
-                int(r.asDict().get("n_units", r["n_seqs"])),
+                int(r.get("n_units", r["n_seqs"])),
             )
             for r in ep_rows
         )
@@ -1435,7 +1504,7 @@ def read_bin_window(
             f"read_bin_window: window [{start}, {stop}) out of "
             f"range for epoch {epoch} with {total} sequences"
         )
-    meta = _read_meta(spark, out_dir)
+    meta = _read_meta(spark, out_dir, st)
     has_ast = bool(meta and meta["has_assets"])
     work = []
     g0 = 0
@@ -1464,26 +1533,28 @@ def read_bin_window(
                 k = int(r.shard)
                 ls, le = int(r.ls), int(r.le)
                 base = os.path.join(out_dir, f"shard_{k:05d}")
-                with open(
-                    base + f".ep{int(epoch):04d}", "rb"
+                with st.open_read(
+                    base + f".ep{int(epoch):04d}"
                 ) as f:
                     f.seek(4 * ls)
                     perm = np.frombuffer(
                         f.read(4 * (le - ls)), dtype="<u4"
                     )
                 code, has_mask, lens, ids, nsup, tok_ptrs, \
-                    msk_ptrs = _parse_idx(base + ".idx")
+                    msk_ptrs = _parse_idx(st, base + ".idx")
                 itemsize = 2 if code == 2 else 4
                 np_dtype, _ = _DTYPES[code]
                 if has_ast:
                     alens, ast_ptrs, payload = _parse_ast(
-                        base + ".ast"
+                        st, base + ".ast"
                     )
                     a_starts = ast_ptrs // 8
                 rows = []
-                with open(base + ".bin", "rb") as fb, open(
-                    base + ".msk", "rb"
-                ) if has_mask else _NullCtx() as fm:
+                with st.open_read(base + ".bin") as fb, (
+                    st.open_read(base + ".msk")
+                    if has_mask
+                    else _NullCtx()
+                ) as fm:
                     for j, si in enumerate(perm):
                         si = int(si)
                         ln = int(lens[si])
@@ -1552,6 +1623,7 @@ def export_preference_shards(
     dtype: str = "auto",
     salt: str = "",
     incremental: bool = False,
+    store=None,
 ) -> DataFrame:
     """Trainer-native binary export for PREFERENCE pairs — the
     DPO/KTO analogue of :func:`export_bin_shards` (a preference
@@ -1616,11 +1688,13 @@ def export_preference_shards(
         salt=salt,
         shard_key_col="pair_id",
         incremental=incremental,
+        store=store,
+        layout="pair",
     )
 
 
 def read_preference_shards(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, store=None
 ) -> DataFrame:
     """Read an :func:`export_preference_shards` directory back as
     one row per PAIR — ``(shard, pair_index, pair_id,
@@ -1635,7 +1709,8 @@ def read_preference_shards(
     or a mismatched partner id — i.e. not an
     export_preference_shards directory, or a torn one) RAISES with
     the shard and offending index."""
-    meta = _read_meta(spark, out_dir)
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
     if meta and meta["has_assets"]:
         raise ValueError(
             "read_preference_shards: preference shards carry no "
@@ -1654,11 +1729,15 @@ def read_preference_shards(
             for k in pdf["shard"].tolist():
                 base = os.path.join(out_dir, f"shard_{int(k):05d}")
                 code, has_mask, lens, ids, nsup, tok_ptrs, \
-                    msk_ptrs = _parse_idx(base + ".idx")
+                    msk_ptrs = _parse_idx(st, base + ".idx")
                 np_dtype, _ = _DTYPES[code]
-                toks = np.fromfile(base + ".bin", dtype=np_dtype)
+                toks = np.frombuffer(
+                    st.read_bytes(base + ".bin"), dtype=np_dtype
+                )
                 mraw = (
-                    np.fromfile(base + ".msk", dtype="u1")
+                    np.frombuffer(
+                        st.read_bytes(base + ".msk"), dtype="u1"
+                    )
                     if has_mask
                     else None
                 )
@@ -1713,11 +1792,13 @@ def read_preference_shards(
                 ]
                 yield pd.DataFrame(rows, columns=cols)
 
-    return _shard_frame(spark, out_dir).mapInPandas(_read, schema)
+    return _shard_frame(spark, out_dir, st).mapInPandas(
+        _read, schema
+    )
 
 
 def verify_preference_shards(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, store=None
 ) -> DataFrame:
     """:func:`verify_bin_shards` plus the preference PAIRING
     invariant — per shard, re-parse the ``.idx`` id table and check
@@ -1727,7 +1808,8 @@ def verify_preference_shards(
     whose ids no longer pair (e.g. one written by the plain
     exporter) fails ``pairing_ok`` — both loud at audit time, not
     at training time."""
-    v = verify_bin_shards(spark, out_dir)
+    st = store or LocalBinaryStore()
+    v = verify_bin_shards(spark, out_dir, store=st)
     schema = "shard int, pairing_ok boolean"
 
     def _pairing(batches):
@@ -1737,7 +1819,7 @@ def verify_preference_shards(
                 base = os.path.join(out_dir, f"shard_{int(k):05d}")
                 try:
                     _, _, _, ids, _, _, _ = _parse_idx(
-                        base + ".idx"
+                        st, base + ".idx"
                     )
                     ok = len(ids) % 2 == 0 and all(
                         int(ids[i]) % 2 == 0
@@ -1750,7 +1832,9 @@ def verify_preference_shards(
             if out:
                 yield pd.DataFrame(out)
 
-    p = _shard_frame(spark, out_dir).mapInPandas(_pairing, schema)
+    p = _shard_frame(spark, out_dir, st).mapInPandas(
+        _pairing, schema
+    )
     return (
         v.withColumnRenamed("ok", "_bytes_ok")
         .join(p, "shard")
@@ -1766,7 +1850,7 @@ def verify_preference_shards(
 # ------------------------------------------------------------------
 
 def bin_shard_data_card(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, store=None
 ) -> DataFrame:
     """One-row release summary of a binary shard set — the
     :func:`~topn_spark.operators.pipeline.data_card` contract at
@@ -1776,51 +1860,106 @@ def bin_shard_data_card(
     ``_manifest`` (already byte-exact), per-sequence length
     extremes re-read from the ``.idx`` tables (index-sized, one
     task per shard — lengths are not in the manifest), dtype /
-    stream flags / ``export_version`` from ``_manifest_meta``, and
-    ``epochs_exported`` = the epoch numbers whose ``_epoch_<e>``
-    manifest AND per-shard ``.ep`` files are all present (a partial
-    epoch export is not coverage). Columns: ``n_shards, n_seqs,
-    n_tokens, n_supervised, supervised_ratio, n_assets, dtype,
-    has_mask, has_assets, export_version, bin_bytes, msk_bytes,
-    ast_bytes, min_seq_len, max_seq_len, mean_seq_len,
-    epochs_exported``."""
-    man = spark.read.parquet(os.path.join(out_dir, "_manifest"))
-    meta = _read_meta(spark, out_dir) or {
+    stream flags / ``layout`` / ``export_version`` from
+    ``_manifest_meta``, and ``epochs_exported`` = the epoch numbers
+    whose ``_epoch_<e>`` manifest AND per-shard ``.ep`` files are
+    all present AND whose stamped ``export_version`` matches the
+    store's current version (a partial or stale epoch export is
+    not coverage). Columns: ``n_shards, n_seqs, n_tokens,
+    n_supervised, supervised_ratio, n_assets, dtype, has_mask,
+    has_assets, export_version, bin_bytes, msk_bytes, ast_bytes,
+    min_seq_len, max_seq_len, mean_seq_len, epochs_exported``.
+
+    Preference shard sets (``layout='pair'`` —
+    :func:`export_preference_shards`) additionally report the
+    per-STREAM accounting a DPO release review actually needs (a
+    chosen/rejected asymmetry in supervised ratio is a masking bug
+    upstream): ``n_pairs, chosen_n_tokens, rejected_n_tokens,
+    chosen_n_supervised, rejected_n_supervised,
+    chosen_supervised_ratio, rejected_supervised_ratio``, re-read
+    from the ``.idx`` tables by even/odd adjacency (index-sized,
+    same one-task-per-shard pass as the length extremes)."""
+    st = store or LocalBinaryStore()
+    man_rows = _read_manifest_rows(out_dir, st)
+    if man_rows is None:
+        raise IOError(
+            f"no _manifest at {out_dir} — not an export_bin_shards "
+            "directory"
+        )
+    man = _rows_df(spark, man_rows, _MANIFEST_SCHEMA)
+    meta = _read_meta(spark, out_dir, st) or {
         "dtype": None, "has_mask": True, "has_assets": False,
         "export_version": 1,
     }
+    layout = meta.get("layout") or "seq"
+    is_pair = layout == "pair"
     lens_schema = "shard int, min_len bigint, max_len bigint"
+    if is_pair:
+        lens_schema += (
+            ", n_pairs bigint, chosen_n_tokens bigint,"
+            " rejected_n_tokens bigint, chosen_n_supervised bigint,"
+            " rejected_n_supervised bigint"
+        )
 
     def _lens(batches):
         for pdf in batches:
             out = []
             for k in pdf["shard"].tolist():
-                _, _, lens, _, _, _, _ = _parse_idx(
+                _, _, lens, _, nsup, _, _ = _parse_idx(
+                    st,
                     os.path.join(
                         out_dir, f"shard_{int(k):05d}.idx"
+                    ),
+                )
+                row = {
+                    "shard": int(k),
+                    "min_len": int(lens.min()) if len(lens)
+                    else None,
+                    "max_len": int(lens.max()) if len(lens)
+                    else None,
+                }
+                if is_pair:
+                    # chosen at even index, rejected at odd — the
+                    # export_preference_shards adjacency layout
+                    l64 = lens.astype("int64")
+                    s64 = nsup.astype("int64")
+                    row.update(
+                        {
+                            "n_pairs": len(lens) // 2,
+                            "chosen_n_tokens": int(l64[0::2].sum()),
+                            "rejected_n_tokens": int(
+                                l64[1::2].sum()
+                            ),
+                            "chosen_n_supervised": int(
+                                s64[0::2].sum()
+                            ),
+                            "rejected_n_supervised": int(
+                                s64[1::2].sum()
+                            ),
+                        }
                     )
-                )
-                out.append(
-                    {
-                        "shard": int(k),
-                        "min_len": int(lens.min()) if len(lens)
-                        else None,
-                        "max_len": int(lens.max()) if len(lens)
-                        else None,
-                    }
-                )
+                out.append(row)
             if out:
                 yield pd.DataFrame(out)
 
-    shards = {int(r["shard"]) for r in man.select("shard").collect()}
+    shards = {int(r["shard"]) for r in man_rows}
+    cur_version = int(meta["export_version"])
     epochs = []
-    for d in sorted(glob.glob(os.path.join(out_dir, "_epoch_*"))):
+    for name in st.list(out_dir, "_epoch_*"):
         try:
-            e = int(os.path.basename(d).split("_")[-1])
+            e = int(name.split("_")[-1])
         except ValueError:
             continue
+        ep_rows = st.read_parquet_rows(os.path.join(out_dir, name))
+        stamped = {
+            int(r["export_version"])
+            for r in ep_rows or []
+            if r.get("export_version") is not None
+        }
+        if stamped and stamped != {cur_version}:
+            continue  # stale view of an older dataset version
         if all(
-            os.path.exists(
+            st.exists(
                 os.path.join(
                     out_dir, f"shard_{k:05d}.ep{e:04d}"
                 )
@@ -1828,10 +1967,10 @@ def bin_shard_data_card(
             for k in shards
         ):
             epochs.append(e)
-    lens = _shard_frame(spark, out_dir).mapInPandas(
+    lens = _shard_frame(spark, out_dir, st).mapInPandas(
         _lens, lens_schema
     )
-    totals = man.join(lens, "shard").agg(
+    aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_shards"),
         F.sum("n_seqs").cast("bigint").alias("n_seqs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1842,30 +1981,57 @@ def bin_shard_data_card(
         F.sum("ast_bytes").cast("bigint").alias("ast_bytes"),
         F.min("min_len").cast("bigint").alias("min_seq_len"),
         F.max("max_len").cast("bigint").alias("max_seq_len"),
-    )
-    return totals.select(
-        "n_shards", "n_seqs", "n_tokens", "n_supervised",
+    ]
+    if is_pair:
+        aggs += [
+            F.sum(c).cast("bigint").alias(c)
+            for c in (
+                "n_pairs", "chosen_n_tokens", "rejected_n_tokens",
+                "chosen_n_supervised", "rejected_n_supervised",
+            )
+        ]
+    totals = man.join(lens, "shard").agg(*aggs)
+    cols = [
+        F.col("n_shards"), F.col("n_seqs"), F.col("n_tokens"),
+        F.col("n_supervised"),
         F.round(
             F.col("n_supervised").cast("double")
             / F.col("n_tokens").cast("double"),
             6,
         ).alias("supervised_ratio"),
-        "n_assets",
+        F.col("n_assets"),
         F.lit(meta["dtype"]).alias("dtype"),
         F.lit(bool(meta["has_mask"])).alias("has_mask"),
         F.lit(bool(meta["has_assets"])).alias("has_assets"),
-        F.lit(int(meta["export_version"])).cast("bigint").alias(
-            "export_version"
-        ),
-        "bin_bytes", "msk_bytes", "ast_bytes",
-        "min_seq_len", "max_seq_len",
+        F.lit(layout).alias("layout"),
+        F.lit(cur_version).cast("bigint").alias("export_version"),
+        F.col("bin_bytes"), F.col("msk_bytes"), F.col("ast_bytes"),
+        F.col("min_seq_len"), F.col("max_seq_len"),
         F.round(
             F.col("n_tokens").cast("double")
             / F.col("n_seqs").cast("double"),
             6,
         ).alias("mean_seq_len"),
         F.lit(epochs).cast("array<int>").alias("epochs_exported"),
-    )
+    ]
+    if is_pair:
+        cols += [
+            F.col("n_pairs"),
+            F.col("chosen_n_tokens"), F.col("rejected_n_tokens"),
+            F.col("chosen_n_supervised"),
+            F.col("rejected_n_supervised"),
+            F.round(
+                F.col("chosen_n_supervised").cast("double")
+                / F.col("chosen_n_tokens").cast("double"),
+                6,
+            ).alias("chosen_supervised_ratio"),
+            F.round(
+                F.col("rejected_n_supervised").cast("double")
+                / F.col("rejected_n_tokens").cast("double"),
+                6,
+            ).alias("rejected_supervised_ratio"),
+        ]
+    return totals.select(*cols)
 
 
 def read_preference_window(
@@ -1874,6 +2040,7 @@ def read_preference_window(
     epoch: int,
     start: int,
     stop: int,
+    store=None,
 ) -> DataFrame:
     """Trainer-resume window over a PREFERENCE shard set: pairs
     ``[start, stop)`` of a pair-unit epoch order
@@ -1884,17 +2051,15 @@ def read_preference_window(
     ``.idx``-offset seek in ``.bin``/``.msk`` — per-task bytes
     proportional to the window, like :func:`read_bin_window`. A
     seq-unit epoch RAISES (consuming it pairwise would tear pairs),
-    as do broken id adjacency and out-of-range bounds. Returns
+    as do broken id adjacency, out-of-range bounds, a missing
+    epoch order, and an ``export_version`` mismatch. Returns
     ``(global_pos, shard, shard_pos, position, pair_index, pair_id,
     chosen_n_tokens, rejected_n_tokens, chosen_n_supervised,
     rejected_n_supervised, chosen_tokens, rejected_tokens,
     chosen_mask, rejected_mask)``."""
-    ep_rows = spark.read.parquet(
-        os.path.join(out_dir, f"_epoch_{int(epoch):04d}")
-    ).collect()
-    units = {
-        r["unit"] for r in ep_rows if "unit" in r.asDict()
-    } or {"seq"}
+    st = store or LocalBinaryStore()
+    ep_rows = _load_epoch(spark, out_dir, epoch, st)
+    units = {r.get("unit", "seq") for r in ep_rows} or {"seq"}
     if units != {"pair"}:
         raise ValueError(
             f"read_preference_window: epoch {epoch} is a "
@@ -1942,21 +2107,23 @@ def read_preference_window(
                 k = int(r.shard)
                 ls, le = int(r.ls), int(r.le)
                 base = os.path.join(out_dir, f"shard_{k:05d}")
-                with open(
-                    base + f".ep{int(epoch):04d}", "rb"
+                with st.open_read(
+                    base + f".ep{int(epoch):04d}"
                 ) as f:
                     f.seek(4 * ls)
                     perm = np.frombuffer(
                         f.read(4 * (le - ls)), dtype="<u4"
                     )
                 code, has_mask, lens, ids, nsup, tok_ptrs, \
-                    msk_ptrs = _parse_idx(base + ".idx")
+                    msk_ptrs = _parse_idx(st, base + ".idx")
                 itemsize = 2 if code == 2 else 4
                 np_dtype, _ = _DTYPES[code]
                 rows = []
-                with open(base + ".bin", "rb") as fb, open(
-                    base + ".msk", "rb"
-                ) if has_mask else _NullCtx() as fm:
+                with st.open_read(base + ".bin") as fb, (
+                    st.open_read(base + ".msk")
+                    if has_mask
+                    else _NullCtx()
+                ) as fm:
 
                     def seq(si):
                         ln = int(lens[si])
