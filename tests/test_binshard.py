@@ -1069,3 +1069,137 @@ def test_backend_preference_and_incremental(spark, tmp_path):
         for r in read_preference_shards(spark, out, store=st).collect()
     }
     assert got[5] == [42] and len(got) == 30
+
+
+# ------------------------------------- input-pass (scan) contracts
+
+
+def test_export_family_input_pass_counts(spark, tmp_path):
+    """Pin the export family's scan shape with an instrumented
+    source: a counting mapInPandas stage rides between the corpus
+    and the exporter, so an accumulator totals rows-read × passes.
+    The r12 export-path regressions (a second stats scan; per-write
+    job overhead) were caught by bench numbers — this pins the
+    contract structurally: full export = exactly TWO passes (stats
+    + write), incremental no-op = exactly ONE (stats only),
+    incremental delta = TWO (the delta decision rides the stats
+    pass; the write pass re-reads the source, shuffling only the
+    changed shards' rows)."""
+    from topn_spark.operators.binshard import _read_meta
+
+    acc = spark.sparkContext.accumulator(0)
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    n = 40
+    base = _corpus(spark)
+    df = base.mapInPandas(counting, ddl)
+    out = str(tmp_path / "passes")
+
+    export_bin_shards(df, out, 6, salt="p")
+    assert acc.value == 2 * n  # stats + write, nothing else
+
+    man = export_bin_shards(df, out, 6, salt="p", incremental=True)
+    assert all(not r.rewritten for r in man.collect())
+    assert acc.value == 3 * n  # no-op adds exactly ONE pass
+    assert _read_meta(spark, out)["export_version"] == 1
+
+    changed = _corpus(spark, change=(3,)).mapInPandas(counting, ddl)
+    man = export_bin_shards(
+        changed, out, 6, salt="p", incremental=True
+    )
+    assert sum(1 for r in man.collect() if r.rewritten) == 1
+    assert acc.value == 5 * n  # delta adds stats + write, not three
+
+
+def test_delta_export_batch_sized_stats_and_cross_check(
+    spark, tmp_path
+):
+    """export_bin_shards_delta's signature fold reads ONLY the
+    batch (accumulator-proven), produces bytes identical to a
+    from-scratch export, and its post-write cross-check RAISES when
+    the batch is not a pure append (an update in place breaks the
+    XOR fold's soundness)."""
+    import glob as _glob
+    import hashlib
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards_delta,
+    )
+    from topn_spark.operators.pipeline import shard_assignment
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [1 + i % 6, 9], [True, bool(i % 2)])
+             for i in range(lo, hi)],
+            ddl,
+        )
+
+    out = str(tmp_path / "delta")
+    export_bin_shards(mk(0, 50), out, 5, salt="d")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    batch = mk(50, 56).mapInPandas(counting, ddl)
+    store_df = shard_assignment(mk(0, 56), 5, "seq_id", "d")
+    man = export_bin_shards_delta(
+        batch, store_df, out, 5, salt="d"
+    ).collect()
+    # the batch was scanned once for the fold and once inside
+    # store_df's rewrite? no — store_df is a separate frame; the
+    # BATCH frame is read exactly once (the fold aggregate)
+    assert acc.value == 6
+    touched = {r.shard for r in man if r.rewritten}
+    assert touched == {
+        r.shard
+        for r in shard_assignment(mk(50, 56), 5, "seq_id", "d")
+        .select("shard").distinct().collect()
+    }
+    clean = str(tmp_path / "delta_clean")
+    export_bin_shards(mk(0, 56), clean, 5, salt="d")
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in _glob.glob(os.path.join(d, "shard_*"))
+        }
+
+    assert hashes(out) == hashes(clean)
+    # non-append batch (updates an EXISTING id in place in the
+    # store): the fold predicts a grown shard, the rewrite finds
+    # the same count -> loud cross-check, never silent divergence
+    upd = spark.createDataFrame([(3, [42], [True])], ddl)
+    store2 = shard_assignment(
+        mk(0, 56), 5, "seq_id", "d"
+    ).withColumn(
+        "tokens",
+        F.when(
+            F.col("seq_id") == 3, F.array(F.lit(42).cast("bigint"))
+        ).otherwise(F.col("tokens")),
+    ).withColumn(
+        "loss_mask",
+        F.when(
+            F.col("seq_id") == 3, F.array(F.lit(True))
+        ).otherwise(F.col("loss_mask")),
+    )
+    with pytest.raises(Exception, match="not a pure append"):
+        export_bin_shards_delta(upd, store2, out, 5, salt="d")

@@ -1178,3 +1178,164 @@ def test_bin_export_sink_maintains_shards_incrementally(
     run()
     assert hashes() == h2
     assert _read_meta(spark, out)["export_version"] == 2
+
+
+def test_bin_export_batch_reads_only_touched_partitions(
+    spark, tmp_path
+):
+    """The batch-proportional contract, proven destructively: after
+    batch 1 lands, every corpus-store partition of a shard NOT
+    touched by batch 2 is POISONED (parquet bytes replaced with
+    garbage, so any read of them throws). Batch 2's commit must
+    still succeed — the signature fold reads only the batch and the
+    rewrite partition-prunes to touched shards — and the resulting
+    shard files must be byte-identical to a from-scratch export of
+    the full corpus."""
+    import glob
+    import hashlib
+    import os
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.operators.pipeline import shard_assignment
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    corpus = str(tmp_path / "pp_store")
+    out = str(tmp_path / "pp_out")
+
+    def rows(lo, hi):
+        return [
+            (i, list(range(1, 3 + i % 5)),
+             [bool(j % 2) for j in range(2 + i % 5)])
+            for i in range(lo, hi)
+        ]
+
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    b1 = spark.createDataFrame(rows(0, 60), schema)
+    b2 = spark.createDataFrame(rows(60, 66), schema)
+    bin_export_batch(b1, corpus, out, 0, 8, salt="pp")
+    touched = {
+        r.shard
+        for r in shard_assignment(b2, 8, "seq_id", "pp")
+        .select("shard").distinct().collect()
+    }
+    assert 0 < len(touched) < 8  # the test needs untouched shards
+    poisoned = 0
+    for d in glob.glob(os.path.join(corpus, "shard=*")):
+        k = int(d.split("=")[-1])
+        if k in touched:
+            continue
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"),
+                           recursive=True):
+            open(f, "wb").write(b"POISONED NOT PARQUET")
+            poisoned += 1
+    assert poisoned  # the trap is actually armed
+    man = bin_export_batch(b2, corpus, out, 1, 8, salt="pp")
+    assert {r.shard for r in man.collect() if r.rewritten} == touched
+    # binary read-back equals the full corpus (untouched shards'
+    # BINARY files are intact; only the parquet store was poisoned)
+    back = sorted(
+        (r.seq_id, r.tokens, r.loss_mask)
+        for r in read_bin_shards(spark, out).collect()
+    )
+    assert back == sorted(rows(0, 66))
+    assert all(r.ok for r in verify_bin_shards(spark, out).collect())
+    # byte-identical vs a from-scratch export of the same corpus
+    clean = str(tmp_path / "pp_clean")
+    export_bin_shards(
+        spark.createDataFrame(rows(0, 66), schema), clean, 8,
+        salt="pp",
+    )
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(d, "shard_*"))
+        }
+
+    assert hashes(out) == hashes(clean)
+
+
+def test_bin_export_batch_replay_converges(spark, tmp_path):
+    """A replayed batch_id (restart re-delivering the last batch)
+    replaces its own partitions and falls back to the full-store
+    diff — converging to the same bytes with no double-fold."""
+    import glob
+    import hashlib
+    import os
+
+    from topn_spark.operators.binshard import _read_meta
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    corpus = str(tmp_path / "rp_store")
+    out = str(tmp_path / "rp_out")
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [1 + i % 7, 2], [True, False])
+             for i in range(lo, hi)],
+            schema,
+        )
+
+    bin_export_batch(mk(0, 20), corpus, out, 0, 4, salt="r")
+    bin_export_batch(mk(20, 25), corpus, out, 1, 4, salt="r")
+    v2 = _read_meta(spark, out)["export_version"]
+
+    def hashes():
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(out, "shard_*"))
+        }
+
+    h = hashes()
+    # replay batch 1: partitions replaced, full-store diff, no-op
+    bin_export_batch(mk(20, 25), corpus, out, 1, 4, salt="r")
+    assert hashes() == h
+    assert _read_meta(spark, out)["export_version"] == v2
+
+
+def test_bin_export_batch_epoch_rederivation(spark, tmp_path):
+    """With epochs=, each content-changing commit re-derives the
+    listed epoch orders at the NEW export_version — the trainer's
+    read_bin_window finds a current order after every settle
+    instead of a version-mismatch raise."""
+    from topn_spark.operators.binshard import read_bin_window
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    corpus = str(tmp_path / "ep_store")
+    out = str(tmp_path / "ep_out")
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [i % 5, 3], [True, True]) for i in range(lo, hi)],
+            schema,
+        )
+
+    bin_export_batch(
+        mk(0, 12), corpus, out, 0, 3, salt="e", epochs=(0,)
+    )
+    assert read_bin_window(spark, out, 0, 0, 12).count() == 12
+    bin_export_batch(
+        mk(12, 17), corpus, out, 1, 3, salt="e", epochs=(0,)
+    )
+    # the re-derived order covers the grown corpus, version-current
+    win = read_bin_window(spark, out, 0, 0, 17).collect()
+    assert sorted(r.seq_id for r in win) == list(range(17))

@@ -337,264 +337,49 @@ def _resolve_dtype(lo: int, hi: int, dtype: str) -> int:
     return code
 
 
-def export_bin_shards(
+def _hashed_projection(
     df: DataFrame,
-    out_dir: str,
-    n_shards: int,
-    tokens_col: str = "tokens",
-    mask_col: str | None = "loss_mask",
-    id_col: str = "seq_id",
-    dtype: str = "auto",
-    salt: str = "",
-    assets_col: str | None = None,
-    shard_key_col: str | None = None,
-    incremental: bool = False,
-    store=None,
-    layout: str = "seq",
+    tokens_col: str,
+    mask_col: str | None,
+    id_col: str,
+    assets_col: str | None,
 ) -> DataFrame:
-    """Write packed sequences as trainer-native binary shards —
-    ``shard_<k>.bin`` token stream + ``.idx`` offset index +
-    ``.msk`` loss-mask bitstream (see module docstring for the
-    layout) plus a ``_manifest`` parquet of byte-exact per-shard
-    accounting, returned as a DataFrame. Shard assignment is the
-    same deterministic ``md5(id||salt) mod n_shards`` as the parquet
-    exporter (:func:`~topn_spark.operators.pipeline.
-    shard_assignment`), and sequences are laid out in ascending
-    ``id_col`` order within each shard, so re-running reproduces
-    byte-identical files. Pass ``mask_col=None`` for pretraining
-    shards (no supervise mask — ``has_mask=0`` in the index).
-
-    ``assets_col`` (multimodal exports): an aligned
-    ``shard_<k>.ast`` sidecar carries each sequence's asset-ref
-    ids in placeholder order — the
-    :func:`~topn_spark.operators.pipeline.pack_multimodal_sequences`
-    binding, delivered to the memory-mapped layer (a VLM trainer
-    splices the i-th vision embedding at the i-th placeholder; a
-    binding that does not survive export splices the WRONG image,
-    silently). Layout: ``TNSPAST1`` magic, u32 version, u64 n_seqs,
-    u32 n_assets per sequence, u64 byte offset per sequence, then
-    the u64 ref payload — two pointer reads per sequence, exactly
-    like ``.idx``. The refs must be non-negative integers (encode
-    string asset keys first — :func:`encode_token_ids` works on any
-    string-array column); a NULL asset array or a negative ref
-    RAISES with the sequence id, and ``verify_bin_shards`` recounts
-    ``.ast`` bytes/crc like the other streams.
-
-    ``shard_key_col`` hashes a DIFFERENT column for shard
-    assignment than the ``id_col`` used for ordering/audit — the
-    hook paired exports build on (e.g. preference pairs: assign by
-    pair id, order by ``pair_id*2 + stream`` so chosen/rejected
-    land adjacent in the same shard).
-
-    ``incremental=True`` re-exports only what changed: each
-    manifest row stores a logical ``content_sig`` (sequence count +
-    XOR of per-sequence ``xxhash64`` — order-insensitive, and
-    computed for free inside the writer); an incremental run first
-    computes the new signatures with ONE map-side-combinable
-    aggregate (no file I/O), rewrites only shards whose signature
-    differs or which are new, deletes orphaned shards, carries
-    unchanged manifest rows forward byte-identically, and bumps
-    ``export_version`` in ``_manifest_meta``. A no-op delta
-    rewrites nothing and leaves the version untouched. Export
-    parameters (dtype, mask/assets presence, n_shards, salt) must
-    match the prior export — a mismatch RAISES (the assignment or
-    encoding changed, so every shard would differ; run a full
-    export). Any actual change invalidates the epoch-order
-    artifacts (``*.ep*`` files + ``_epoch_*`` manifests are views
-    of a dataset version) — they are deleted; re-export epochs
-    after the data changes. The returned manifest carries an extra
-    ``rewritten`` boolean per shard.
-
-    Loud-failure contract (the SFT-export lessons): non-integral
-    token arrays, negative ids, ids over the dtype range, NULL
-    token arrays, non-integral ``id_col``, a mask whose length
-    differs from its token array, and a DUPLICATE ``id_col`` value
-    all RAISE with the offending sequence id — never a silently
-    wrong shard. ``id_col`` uniqueness is a hard contract, not a
-    convention: the ``.idx`` seq_ids are the parquet audit link,
-    and ``content_sig``'s multiset-XOR is only collision-safe for
-    unique ids (``{A, A} -> {B, B}`` keeps both count and XOR
-    identical, so an incremental export could silently skip a
-    changed shard). The writer walks each shard sorted by id, so
-    duplicates surface as adjacent rows and the check is free.
-
-    Scale shape: ONE shuffle (hash repartition on the shard key +
-    in-partition sort — the exchange the partitioned parquet write
-    pays too), then a single Arrow ``mapInPandas`` pass in which
-    each task streams its shards' bytes straight to storage:
-    nothing data-sized ever sits on the driver, and memory per task
-    is one Arrow batch plus the open write buffers. The manifest is
-    n_shards rows (model-sized) — collected once so the write
-    executes exactly once, then persisted next to the shards.
-
-    ``store`` selects the storage backend
-    (:mod:`topn_spark.operators.binfs`): the default
-    :class:`~topn_spark.operators.binfs.LocalBinaryStore` writes
-    POSIX files on storage every executor can reach (a shared
-    filesystem, or export co-located with the training storage);
-    :class:`~topn_spark.operators.binfs.ObjectStoreBinaryStore` (or
-    a real S3/GCS backend implementing its six verbs) writes
-    whole-object PUTs. Either way every file becomes visible only
-    complete — temp-name + atomic rename on POSIX, atomic PUT on
-    object stores — so retried or speculative duplicate attempts
-    can never interleave into a torn shard: the last complete
-    attempt wins whole. ``layout`` is recorded in the meta
-    (``"pair"`` for :func:`export_preference_shards` directories)
-    so readers and the data card can dispatch on the shard flavor.
-    """
-    from topn_spark.operators.pipeline import shard_assignment
-
-    elem = df.schema[tokens_col].dataType.elementType.simpleString()
-    if elem not in _INTEGRAL:
-        raise ValueError(
-            f"export_bin_shards: {tokens_col} elements are {elem}; "
-            "binary export needs integer token ids — run "
-            "encode_token_ids (or a BPE id encode) first"
-        )
-    if df.schema[id_col].dataType.simpleString() not in _INTEGRAL:
-        raise ValueError(
-            f"export_bin_shards: {id_col} must be integral (the "
-            ".idx seq_ids field is uint64)"
-        )
-    has_ast = assets_col is not None
-    if has_ast:
-        a_elem = df.schema[
-            assets_col
-        ].dataType.elementType.simpleString()
-        if a_elem not in _INTEGRAL:
-            raise ValueError(
-                f"export_bin_shards: {assets_col} elements are "
-                f"{a_elem}; the .ast ref stream is uint64 — encode "
-                "string asset keys to dense ids first"
-            )
-    has_mask = mask_col is not None
-    spark = df.sparkSession
-    st = store or LocalBinaryStore()
-
-    cols = [F.col("shard"), F.col(id_col).cast("bigint").alias("_id"),
-            F.col(tokens_col).alias("_toks")]
+    """Project a shard-assigned frame (``shard`` column present) to
+    the writer's canonical columns and stamp the per-row signature
+    hash ``_h = xxhash64(id, tokens[, mask][, assets])`` — the ONE
+    definition of the row hash, shared by the full exporter's stats
+    pass, the incremental diff, and the streaming delta's
+    batch-side fold (a second definition drifting from this one
+    would silently desynchronize incremental exports)."""
+    cols = [
+        F.col("shard"),
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(tokens_col).alias("_toks"),
+    ]
     sig_cols = ["_id", "_toks"]
-    if has_mask:
+    if mask_col is not None:
         cols.append(F.col(mask_col).alias("_mask"))
         sig_cols.append("_mask")
-    if has_ast:
+    if assets_col is not None:
         cols.append(F.col(assets_col).alias("_ast"))
         sig_cols.append("_ast")
-    assigned = shard_assignment(
-        df, n_shards, shard_key_col or id_col, salt
-    ).select(*cols)
-    assigned = assigned.withColumn(
+    return df.select(*cols).withColumn(
         "_h", F.xxhash64(*[F.col(c) for c in sig_cols])
     )
 
-    # ONE per-shard stats aggregate (map-side combinable, n_shards
-    # output rows) carries everything pre-write decisions need: the
-    # token-id range for dtype resolution AND the per-shard content
-    # signatures the incremental delta diffs against — never two
-    # scans where one suffices (at corpus scale, input passes ARE
-    # the cost model)
-    stats = assigned.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor("_h").alias("x"),
-        F.min(F.array_min("_toks")).alias("lo"),
-        F.max(F.array_max("_toks")).alias("hi"),
-    ).collect()
-    lo = min(
-        (r["lo"] for r in stats if r["lo"] is not None), default=0
-    )
-    hi = max(
-        (r["hi"] for r in stats if r["hi"] is not None), default=0
-    )
-    code = _resolve_dtype(int(lo), int(hi), dtype)
+
+def _make_shard_writer(
+    st, out_dir, code, has_mask, has_ast, dtype_name, id_col
+):
+    """Build the mapInPandas shard-writer closure — each task
+    streams its shards' bytes straight to the storage backend and
+    yields the model-sized manifest rows. Shared verbatim by the
+    full/incremental exporter and the batch-proportional streaming
+    delta exporter (:func:`export_bin_shards_delta`): one writer,
+    one byte layout, regardless of which planner decided WHICH
+    shards to rewrite. Input batches must arrive repartitioned by
+    shard and sorted by (shard, _id)."""
     np_dtype, _ = _DTYPES[code]
-    dtype_name = "uint16" if code == 2 else "uint32"
-
-    st.makedirs(out_dir)
-    old_rows: dict[int, dict] = {}
-    changed: set[int] | None = None
-    meta = _read_meta(spark, out_dir, st)
-    if incremental:
-        if meta is None:
-            raise ValueError(
-                "export_bin_shards: incremental=True needs a prior "
-                f"export at {out_dir} (no _manifest_meta found) — "
-                "run a full export first"
-            )
-        want = {
-            "dtype": dtype_name, "has_mask": has_mask,
-            "has_assets": has_ast, "n_shards": int(n_shards),
-            "salt": salt, "layout": layout,
-        }
-        diff = {
-            k: (meta.get(k, "seq" if k == "layout" else None), v)
-            for k, v in want.items()
-            if meta.get(k, "seq" if k == "layout" else None) != v
-        }
-        if diff:
-            raise ValueError(
-                "export_bin_shards: incremental export parameters "
-                f"differ from the prior export: {diff} — every "
-                "shard would change; run a full export"
-            )
-        # failed/killed task attempts leave .inprogress temp files;
-        # the full-export path sweeps them via its shard_* listing,
-        # but incremental deletes only exact final names — sweep
-        # here too (temp names are never referenced by any
-        # manifest, so deletion is always safe)
-        for stale in st.list(out_dir, "shard_*.inprogress-*"):
-            st.remove(os.path.join(out_dir, stale))
-        old_rows = {
-            int(r["shard"]): dict(r)
-            for r in _read_manifest_rows(out_dir, st) or []
-        }
-        # the stats pass already computed the signatures — the delta
-        # decision costs no additional file or input I/O, and a
-        # no-op re-export is exactly ONE scan (and the ONLY Spark
-        # job: the accounting tables read driver-side)
-        sigs = {
-            int(r["shard"]): _content_sig(r["n"], r["x"])
-            for r in stats
-        }
-        changed = {
-            k for k, s in sigs.items()
-            if k not in old_rows
-            or old_rows[k]["content_sig"] != s
-        }
-        orphans = set(old_rows) - set(sigs)
-        if not changed and not orphans:
-            return (
-                _rows_df(
-                    spark,
-                    sorted(
-                        old_rows.values(),
-                        key=lambda r: r["shard"],
-                    ),
-                    _MANIFEST_SCHEMA,
-                )
-                .withColumn("rewritten", F.lit(False))
-                .orderBy("shard")
-            )
-        suffixes = [".bin", ".idx", ".msk", ".ast"]
-        for k in changed | orphans:
-            for sfx in suffixes:
-                st.remove(
-                    os.path.join(out_dir, f"shard_{k:05d}{sfx}")
-                )
-        for k in orphans:
-            old_rows.pop(k)
-        # epoch artifacts describe the previous dataset version
-        _remove_epoch_artifacts(out_dir, st)
-        assigned = assigned.where(
-            F.col("shard").isin([int(k) for k in changed])
-        )
-    else:
-        for stale in st.list(out_dir, "shard_*"):
-            st.remove(os.path.join(out_dir, stale))
-        _remove_epoch_artifacts(out_dir, st)
-
-    assigned = assigned.repartition(
-        int(n_shards), "shard"
-    ).sortWithinPartitions("shard", "_id")
 
     def _write(batches):
         state: dict | None = None
@@ -796,6 +581,260 @@ def export_bin_shards(
             out_rows.append(close_shard(state))
         if out_rows:
             yield pd.DataFrame(out_rows)
+    return _write
+
+
+def export_bin_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    tokens_col: str = "tokens",
+    mask_col: str | None = "loss_mask",
+    id_col: str = "seq_id",
+    dtype: str = "auto",
+    salt: str = "",
+    assets_col: str | None = None,
+    shard_key_col: str | None = None,
+    incremental: bool = False,
+    store=None,
+    layout: str = "seq",
+) -> DataFrame:
+    """Write packed sequences as trainer-native binary shards —
+    ``shard_<k>.bin`` token stream + ``.idx`` offset index +
+    ``.msk`` loss-mask bitstream (see module docstring for the
+    layout) plus a ``_manifest`` parquet of byte-exact per-shard
+    accounting, returned as a DataFrame. Shard assignment is the
+    same deterministic ``md5(id||salt) mod n_shards`` as the parquet
+    exporter (:func:`~topn_spark.operators.pipeline.
+    shard_assignment`), and sequences are laid out in ascending
+    ``id_col`` order within each shard, so re-running reproduces
+    byte-identical files. Pass ``mask_col=None`` for pretraining
+    shards (no supervise mask — ``has_mask=0`` in the index).
+
+    ``assets_col`` (multimodal exports): an aligned
+    ``shard_<k>.ast`` sidecar carries each sequence's asset-ref
+    ids in placeholder order — the
+    :func:`~topn_spark.operators.pipeline.pack_multimodal_sequences`
+    binding, delivered to the memory-mapped layer (a VLM trainer
+    splices the i-th vision embedding at the i-th placeholder; a
+    binding that does not survive export splices the WRONG image,
+    silently). Layout: ``TNSPAST1`` magic, u32 version, u64 n_seqs,
+    u32 n_assets per sequence, u64 byte offset per sequence, then
+    the u64 ref payload — two pointer reads per sequence, exactly
+    like ``.idx``. The refs must be non-negative integers (encode
+    string asset keys first — :func:`encode_token_ids` works on any
+    string-array column); a NULL asset array or a negative ref
+    RAISES with the sequence id, and ``verify_bin_shards`` recounts
+    ``.ast`` bytes/crc like the other streams.
+
+    ``shard_key_col`` hashes a DIFFERENT column for shard
+    assignment than the ``id_col`` used for ordering/audit — the
+    hook paired exports build on (e.g. preference pairs: assign by
+    pair id, order by ``pair_id*2 + stream`` so chosen/rejected
+    land adjacent in the same shard).
+
+    ``incremental=True`` re-exports only what changed: each
+    manifest row stores a logical ``content_sig`` (sequence count +
+    XOR of per-sequence ``xxhash64`` — order-insensitive, and
+    computed for free inside the writer); an incremental run first
+    computes the new signatures with ONE map-side-combinable
+    aggregate (no file I/O), rewrites only shards whose signature
+    differs or which are new, deletes orphaned shards, carries
+    unchanged manifest rows forward byte-identically, and bumps
+    ``export_version`` in ``_manifest_meta``. A no-op delta
+    rewrites nothing and leaves the version untouched. Export
+    parameters (dtype, mask/assets presence, n_shards, salt) must
+    match the prior export — a mismatch RAISES (the assignment or
+    encoding changed, so every shard would differ; run a full
+    export). Any actual change invalidates the epoch-order
+    artifacts (``*.ep*`` files + ``_epoch_*`` manifests are views
+    of a dataset version) — they are deleted; re-export epochs
+    after the data changes. The returned manifest carries an extra
+    ``rewritten`` boolean per shard.
+
+    Loud-failure contract (the SFT-export lessons): non-integral
+    token arrays, negative ids, ids over the dtype range, NULL
+    token arrays, non-integral ``id_col``, a mask whose length
+    differs from its token array, and a DUPLICATE ``id_col`` value
+    all RAISE with the offending sequence id — never a silently
+    wrong shard. ``id_col`` uniqueness is a hard contract, not a
+    convention: the ``.idx`` seq_ids are the parquet audit link,
+    and ``content_sig``'s multiset-XOR is only collision-safe for
+    unique ids (``{A, A} -> {B, B}`` keeps both count and XOR
+    identical, so an incremental export could silently skip a
+    changed shard). The writer walks each shard sorted by id, so
+    duplicates surface as adjacent rows and the check is free.
+
+    Scale shape: ONE shuffle (hash repartition on the shard key +
+    in-partition sort — the exchange the partitioned parquet write
+    pays too), then a single Arrow ``mapInPandas`` pass in which
+    each task streams its shards' bytes straight to storage:
+    nothing data-sized ever sits on the driver, and memory per task
+    is one Arrow batch plus the open write buffers. The manifest is
+    n_shards rows (model-sized) — collected once so the write
+    executes exactly once, then persisted next to the shards.
+
+    ``store`` selects the storage backend
+    (:mod:`topn_spark.operators.binfs`): the default
+    :class:`~topn_spark.operators.binfs.LocalBinaryStore` writes
+    POSIX files on storage every executor can reach (a shared
+    filesystem, or export co-located with the training storage);
+    :class:`~topn_spark.operators.binfs.ObjectStoreBinaryStore` (or
+    a real S3/GCS backend implementing its six verbs) writes
+    whole-object PUTs. Either way every file becomes visible only
+    complete — temp-name + atomic rename on POSIX, atomic PUT on
+    object stores — so retried or speculative duplicate attempts
+    can never interleave into a torn shard: the last complete
+    attempt wins whole. ``layout`` is recorded in the meta
+    (``"pair"`` for :func:`export_preference_shards` directories)
+    so readers and the data card can dispatch on the shard flavor.
+    """
+    from topn_spark.operators.pipeline import shard_assignment
+
+    elem = df.schema[tokens_col].dataType.elementType.simpleString()
+    if elem not in _INTEGRAL:
+        raise ValueError(
+            f"export_bin_shards: {tokens_col} elements are {elem}; "
+            "binary export needs integer token ids — run "
+            "encode_token_ids (or a BPE id encode) first"
+        )
+    if df.schema[id_col].dataType.simpleString() not in _INTEGRAL:
+        raise ValueError(
+            f"export_bin_shards: {id_col} must be integral (the "
+            ".idx seq_ids field is uint64)"
+        )
+    has_ast = assets_col is not None
+    if has_ast:
+        a_elem = df.schema[
+            assets_col
+        ].dataType.elementType.simpleString()
+        if a_elem not in _INTEGRAL:
+            raise ValueError(
+                f"export_bin_shards: {assets_col} elements are "
+                f"{a_elem}; the .ast ref stream is uint64 — encode "
+                "string asset keys to dense ids first"
+            )
+    has_mask = mask_col is not None
+    spark = df.sparkSession
+    st = store or LocalBinaryStore()
+
+    assigned = _hashed_projection(
+        shard_assignment(df, n_shards, shard_key_col or id_col, salt),
+        tokens_col, mask_col, id_col, assets_col,
+    )
+
+    # ONE per-shard stats aggregate (map-side combinable, n_shards
+    # output rows) carries everything pre-write decisions need: the
+    # token-id range for dtype resolution AND the per-shard content
+    # signatures the incremental delta diffs against — never two
+    # scans where one suffices (at corpus scale, input passes ARE
+    # the cost model)
+    stats = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor("_h").alias("x"),
+        F.min(F.array_min("_toks")).alias("lo"),
+        F.max(F.array_max("_toks")).alias("hi"),
+    ).collect()
+    lo = min(
+        (r["lo"] for r in stats if r["lo"] is not None), default=0
+    )
+    hi = max(
+        (r["hi"] for r in stats if r["hi"] is not None), default=0
+    )
+    code = _resolve_dtype(int(lo), int(hi), dtype)
+    np_dtype, _ = _DTYPES[code]
+    dtype_name = "uint16" if code == 2 else "uint32"
+
+    st.makedirs(out_dir)
+    old_rows: dict[int, dict] = {}
+    changed: set[int] | None = None
+    meta = _read_meta(spark, out_dir, st)
+    if incremental:
+        if meta is None:
+            raise ValueError(
+                "export_bin_shards: incremental=True needs a prior "
+                f"export at {out_dir} (no _manifest_meta found) — "
+                "run a full export first"
+            )
+        want = {
+            "dtype": dtype_name, "has_mask": has_mask,
+            "has_assets": has_ast, "n_shards": int(n_shards),
+            "salt": salt, "layout": layout,
+        }
+        diff = {
+            k: (meta.get(k, "seq" if k == "layout" else None), v)
+            for k, v in want.items()
+            if meta.get(k, "seq" if k == "layout" else None) != v
+        }
+        if diff:
+            raise ValueError(
+                "export_bin_shards: incremental export parameters "
+                f"differ from the prior export: {diff} — every "
+                "shard would change; run a full export"
+            )
+        # failed/killed task attempts leave .inprogress temp files;
+        # the full-export path sweeps them via its shard_* listing,
+        # but incremental deletes only exact final names — sweep
+        # here too (temp names are never referenced by any
+        # manifest, so deletion is always safe)
+        for stale in st.list(out_dir, "shard_*.inprogress-*"):
+            st.remove(os.path.join(out_dir, stale))
+        old_rows = {
+            int(r["shard"]): dict(r)
+            for r in _read_manifest_rows(out_dir, st) or []
+        }
+        # the stats pass already computed the signatures — the delta
+        # decision costs no additional file or input I/O, and a
+        # no-op re-export is exactly ONE scan (and the ONLY Spark
+        # job: the accounting tables read driver-side)
+        sigs = {
+            int(r["shard"]): _content_sig(r["n"], r["x"])
+            for r in stats
+        }
+        changed = {
+            k for k, s in sigs.items()
+            if k not in old_rows
+            or old_rows[k]["content_sig"] != s
+        }
+        orphans = set(old_rows) - set(sigs)
+        if not changed and not orphans:
+            return (
+                _rows_df(
+                    spark,
+                    sorted(
+                        old_rows.values(),
+                        key=lambda r: r["shard"],
+                    ),
+                    _MANIFEST_SCHEMA,
+                )
+                .withColumn("rewritten", F.lit(False))
+                .orderBy("shard")
+            )
+        suffixes = [".bin", ".idx", ".msk", ".ast"]
+        for k in changed | orphans:
+            for sfx in suffixes:
+                st.remove(
+                    os.path.join(out_dir, f"shard_{k:05d}{sfx}")
+                )
+        for k in orphans:
+            old_rows.pop(k)
+        # epoch artifacts describe the previous dataset version
+        _remove_epoch_artifacts(out_dir, st)
+        assigned = assigned.where(
+            F.col("shard").isin([int(k) for k in changed])
+        )
+    else:
+        for stale in st.list(out_dir, "shard_*"):
+            st.remove(os.path.join(out_dir, stale))
+        _remove_epoch_artifacts(out_dir, st)
+
+    assigned = assigned.repartition(
+        int(n_shards), "shard"
+    ).sortWithinPartitions("shard", "_id")
+
+    _write = _make_shard_writer(
+        st, out_dir, code, has_mask, has_ast, dtype_name, id_col
+    )
 
     # collect executes the write exactly once; the manifest is
     # n_shards rows — model-sized by definition
@@ -841,6 +880,226 @@ def export_bin_shards(
             )
         )
     return out.orderBy("shard")
+
+
+def _parse_sig(sig: str) -> tuple[int, int]:
+    """Invert :func:`_content_sig` — ``(n, xor)`` from the stored
+    manifest string."""
+    n, x = sig.split(":")
+    return int(n), int(x, 16)
+
+
+def export_bin_shards_delta(
+    batch: DataFrame,
+    store_df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    tokens_col: str = "tokens",
+    mask_col: str | None = "loss_mask",
+    id_col: str = "seq_id",
+    salt: str = "",
+    assets_col: str | None = None,
+    store=None,
+) -> DataFrame:
+    """Batch-proportional incremental re-export: bring a binary
+    shard set up to date after APPENDING ``batch`` to a corpus
+    whose full content is ``store_df`` — without ever scanning the
+    full corpus. ``export_bin_shards(incremental=True)`` diffs
+    per-shard content signatures it recomputes from the WHOLE
+    store (one full pass, plus the rewrite's read); at streaming
+    cadence that is corpus-size work per micro-batch — 200 TB of
+    input per 1 GB commit at the 100 TB design point. This path
+    costs input proportional to the batch plus the touched shards:
+
+    1. The per-shard signature is ``count + XOR(xxhash64(row))``
+       (:func:`_content_sig`) — XOR is incrementally updatable, so
+       the new signature of every touched shard is FOLDED from the
+       batch rows alone against the manifest's stored value: one
+       map-side-combinable aggregate over the BATCH, zero store
+       input. (Sound because ids are append-only unique — the
+       exporter's hard contract; the writer raises on duplicates,
+       and the post-write cross-check below would catch a violated
+       fold.)
+    2. ``store_df`` must carry the deterministic ``shard`` column
+       as a PARTITION column (land batches via
+       :func:`~topn_spark.operators.pipeline.shard_assignment` and
+       ``partitionBy("shard", ...)`` — the
+       :func:`~topn_spark.streaming.ingest.bin_export_batch`
+       layout): the rewrite filters ``shard IN touched`` and
+       Catalyst prunes to exactly the touched shards' partitions —
+       untouched partitions are never opened (the pytest proves it
+       by poisoning them).
+    3. The rewrite reuses the standard writer verbatim (same ONE
+       repartition-by-shard shuffle, atomic writes, crc manifest),
+       then CROSS-CHECKS each written shard's signature against
+       the batch-side fold: a mismatch means the append-only/
+       unique-id contract was violated (or store and batch
+       disagree) and RAISES — the export never silently diverges
+       from what a from-scratch export would produce.
+
+    Unchanged manifest rows carry forward byte-identically,
+    ``export_version`` bumps, and epoch artifacts (views of the
+    previous dataset version) are deleted. Orphan shards cannot
+    arise under append-only maintenance. An empty batch is a no-op
+    that writes nothing and leaves the version untouched. Dtype is
+    FIXED by the prior export: a batch token id outside the stored
+    dtype's range raises with instructions to run a full export
+    (silently widening would rewrite every shard under a streaming
+    trigger). Returns the full manifest with ``rewritten``.
+
+    Reference parity: the reference engine (TopN.java) has no
+    trainer export; this is the round-12 verdict's top-ranked gap
+    ("make bin_export_sink batch-proportional")."""
+    from topn_spark.operators.pipeline import shard_assignment
+
+    spark = batch.sparkSession
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
+    if meta is None:
+        raise ValueError(
+            "export_bin_shards_delta: needs a prior export at "
+            f"{out_dir} (no _manifest_meta found) — run a full "
+            "export first"
+        )
+    has_mask = mask_col is not None
+    has_ast = assets_col is not None
+    want = {
+        "has_mask": has_mask, "has_assets": has_ast,
+        "n_shards": int(n_shards), "salt": salt, "layout": "seq",
+    }
+    diff = {
+        k: (meta.get(k, "seq" if k == "layout" else None), v)
+        for k, v in want.items()
+        if meta.get(k, "seq" if k == "layout" else None) != v
+    }
+    if diff:
+        raise ValueError(
+            "export_bin_shards_delta: parameters differ from the "
+            f"prior export: {diff} — every shard would change; run "
+            "a full export"
+        )
+    dtype_name = meta["dtype"]
+    code = 2 if dtype_name == "uint16" else 4
+    old_rows = {
+        int(r["shard"]): dict(r)
+        for r in _read_manifest_rows(out_dir, st) or []
+    }
+
+    if "shard" not in batch.columns:
+        batch = shard_assignment(batch, n_shards, id_col, salt)
+    hashed_b = _hashed_projection(
+        batch, tokens_col, mask_col, id_col, assets_col
+    )
+    # ONE batch-sized aggregate: the signature fold AND the
+    # dtype-range guard ride the same pass — zero store input
+    bstats = hashed_b.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor("_h").alias("x"),
+        F.min(F.array_min("_toks")).alias("lo"),
+        F.max(F.array_max("_toks")).alias("hi"),
+    ).collect()
+    if not bstats:
+        return (
+            _rows_df(
+                spark,
+                sorted(old_rows.values(), key=lambda r: r["shard"]),
+                _MANIFEST_SCHEMA,
+            )
+            .withColumn("rewritten", F.lit(False))
+            .orderBy("shard")
+        )
+    lo = min(r["lo"] for r in bstats if r["lo"] is not None)
+    hi = max(r["hi"] for r in bstats if r["hi"] is not None)
+    if lo < 0:
+        raise ValueError(
+            f"export_bin_shards_delta: negative token id {lo} — "
+            "binary token streams are unsigned"
+        )
+    if hi > _DTYPES[code][1]:
+        raise ValueError(
+            f"export_bin_shards_delta: batch token id {hi} exceeds "
+            f"the stored export dtype {dtype_name} — the whole "
+            "store needs re-encoding; run a full export with "
+            "dtype='uint32'"
+        )
+    predicted: dict[int, str] = {}
+    for r in bstats:
+        k = int(r["shard"])
+        if k in old_rows:
+            n0, x0 = _parse_sig(old_rows[k]["content_sig"])
+        else:
+            n0, x0 = 0, 0
+        predicted[k] = _content_sig(
+            n0 + int(r["n"]), x0 ^ int(r["x"])
+        )
+    touched = sorted(predicted)
+
+    for stale in st.list(out_dir, "shard_*.inprogress-*"):
+        st.remove(os.path.join(out_dir, stale))
+    for k in touched:
+        for sfx in (".bin", ".idx", ".msk", ".ast"):
+            st.remove(os.path.join(out_dir, f"shard_{k:05d}{sfx}"))
+    _remove_epoch_artifacts(out_dir, st)
+
+    # the rewrite's ONLY store input: the touched shards'
+    # partitions (Catalyst partition-prunes the IN filter)
+    src = _hashed_projection(
+        store_df.where(F.col("shard").isin(touched)),
+        tokens_col, mask_col, id_col, assets_col,
+    )
+    src = src.repartition(
+        max(len(touched), 1), "shard"
+    ).sortWithinPartitions("shard", "_id")
+    writer = _make_shard_writer(
+        st, out_dir, code, has_mask, has_ast, dtype_name, id_col
+    )
+    rows = [
+        r.asDict()
+        for r in src.mapInPandas(writer, _MANIFEST_SCHEMA).collect()
+    ]
+    written = {int(r["shard"]) for r in rows}
+    for r in rows:
+        k = int(r["shard"])
+        if r["content_sig"] != predicted[k]:
+            raise RuntimeError(
+                f"export_bin_shards_delta: shard {k} wrote "
+                f"content_sig {r['content_sig']} but the batch "
+                f"fold predicted {predicted[k]} — the batch is "
+                "not a pure append of new unique ids (an id was "
+                "updated, removed, or duplicated), so the "
+                "incremental fold is unsound here; run "
+                "export_bin_shards(incremental=True) against the "
+                "full store"
+            )
+    missing = set(touched) - written
+    if missing:
+        raise RuntimeError(
+            f"export_bin_shards_delta: shards {sorted(missing)} "
+            "received batch rows but the store rewrite produced "
+            "no data for them — store_df does not contain the "
+            "landed batch"
+        )
+    rows.extend(
+        r for k, r in old_rows.items() if k not in written
+    )
+    st.write_parquet(
+        os.path.join(out_dir, "_manifest"),
+        sorted(rows, key=lambda r: r["shard"]),
+        _MANIFEST_SCHEMA,
+    )
+    _write_meta(
+        out_dir,
+        {**meta, "export_version": int(meta["export_version"]) + 1},
+        st,
+    )
+    return (
+        _rows_df(spark, rows, _MANIFEST_SCHEMA)
+        .withColumn(
+            "rewritten",
+            F.col("shard").isin([int(k) for k in written]),
+        )
+        .orderBy("shard")
+    )
 
 
 def _parse_idx(store, path: str):

@@ -1471,53 +1471,146 @@ def bin_export_batch(
     dtype: str = "auto",
     salt: str = "",
     assets_col: str | None = None,
+    store=None,
+    epochs: tuple[int, ...] = (),
+    epoch_salt: str = "",
 ) -> DataFrame:
     """Keep a trainer-native binary shard set CURRENT from one
     micro-batch of packed sequences — streaming maintenance for
-    :func:`~topn_spark.operators.binshard.export_bin_shards` (the
-    batch story ends with a corpus snapshot; a pipeline that ingests
-    continuously would otherwise re-export everything per batch, the
-    exact cost the incremental layer exists to avoid): the batch
-    lands under ``corpus_dir/batch_id=<N>`` (overwrite — the replay
-    contract of the other gates), then the FULL store re-exports
-    incrementally: the one-pass content-signature diff rewrites only
-    shards whose sequences this batch touched, deletes orphans, and
-    bumps ``export_version``. Because the export is a pure function
-    of the store and a replayed batch overwrites its own partition,
-    a replay converges to byte-identical shards — idempotent with
-    no extra ledger. ``id_col`` must be corpus-unique across batches
-    (it is the .idx audit link); the first batch runs a full export.
-    Epoch-order artifacts are views of a dataset version and are
-    invalidated by any actual change — re-export epochs once ingest
-    settles. Returns the manifest.
+    :func:`~topn_spark.operators.binshard.export_bin_shards`, at
+    BATCH-PROPORTIONAL cost (the round-12 shape re-ran the full
+    store's signature scan AND rewrite read per commit — 200 TB of
+    input per 1 GB micro-batch at the design point; input passes
+    ARE the cost model):
 
-    Scale shape: one partition-overwrite write of the batch, then
-    the incremental export's two passes over the store (ONE stats
-    aggregate + a write shuffle carrying only changed shards'
-    rows)."""
+    1. The batch lands in the corpus store partitioned by
+       ``(shard, batch_id)`` — ``shard`` is the SAME deterministic
+       ``md5(id||salt) mod n_shards`` the exporter uses
+       (:func:`~topn_spark.operators.pipeline.shard_assignment`),
+       computed at land time, so the store's physical layout IS the
+       export's shard layout and the rewrite can partition-prune.
+    2. Steady state (a batch id never seen before): the
+       batch-proportional
+       :func:`~topn_spark.operators.binshard.export_bin_shards_delta`
+       — per-shard signatures FOLD from the batch alone against the
+       stored manifest (one batch-sized aggregate, zero store
+       input) and the rewrite reads ONLY the touched shards'
+       partitions. Per-commit input = batch + touched shards,
+       independent of corpus size.
+    3. Replay (this ``batch_id``'s partitions already exist — a
+       restarted ``foreachBatch`` re-delivering its last batch):
+       the previously landed partitions are replaced and the export
+       falls back to the full-store signature diff
+       (``incremental=True``), which converges to byte-identical
+       shards no matter where the failed attempt stopped — the
+       batch-side fold would double-count replayed rows, so replay
+       correctness deliberately buys the full scan (rare) rather
+       than a ledger.
+    4. First batch (no ``_manifest_meta``): full export.
+
+    ``id_col`` must be corpus-unique across batches and batches
+    must be pure APPENDS (the .idx audit link + the signature
+    fold's soundness; the writer raises on duplicates and the delta
+    cross-checks its fold against the written shards). With
+    ``epochs``, the listed epoch orders are (re)derived after any
+    commit that changed shard content — closing the version-bump
+    resume story: a trainer's ``read_bin_window`` keeps finding a
+    current-version epoch order once ingest settles. Returns the
+    manifest.
+
+    Scale shape per commit: one batch write (shuffle-free append),
+    one batch-sized aggregate, one rewrite shuffle over touched
+    shards' rows only; epoch re-derivation is index-sized. The
+    corpus store stays a Spark-managed parquet dataset (any
+    cluster filesystem); ``store`` routes only the BINARY layer's
+    I/O (:mod:`topn_spark.operators.binfs`)."""
+    import glob as _glob
     import os
+    import shutil
 
-    from topn_spark.operators.binshard import export_bin_shards
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        export_bin_shards,
+        export_bin_shards_delta,
+        export_epoch_order,
+    )
+    from topn_spark.operators.pipeline import shard_assignment
 
     spark = batch.sparkSession
-    batch.write.mode("overwrite").parquet(
-        f"{corpus_dir}/batch_id={int(batch_id)}"
+    assigned = shard_assignment(batch, n_shards, id_col, salt)
+    replayed = _glob.glob(
+        os.path.join(
+            corpus_dir, "shard=*", f"batch_id={int(batch_id)}"
+        )
+    )
+    for d in replayed:
+        # replace the failed/duplicate delivery wholesale — the
+        # replay contract of the other streaming gates
+        shutil.rmtree(d, ignore_errors=True)
+    assigned.withColumn(
+        "batch_id", F.lit(int(batch_id))
+    ).write.mode("append").partitionBy("shard", "batch_id").parquet(
+        corpus_dir
+    )
+    first = (
+        _read_meta(spark, out_dir, store) is None
     )
     corpus = spark.read.parquet(corpus_dir).drop("batch_id")
-    return export_bin_shards(
-        corpus,
-        out_dir,
-        n_shards,
-        tokens_col=tokens_col,
-        mask_col=mask_col,
-        id_col=id_col,
-        dtype=dtype,
-        salt=salt,
-        assets_col=assets_col,
-        incremental=os.path.isdir(
-            os.path.join(out_dir, "_manifest_meta")
-        ),
-    )
+    if first:
+        man = export_bin_shards(
+            corpus.drop("shard"),
+            out_dir,
+            n_shards,
+            tokens_col=tokens_col,
+            mask_col=mask_col,
+            id_col=id_col,
+            dtype=dtype,
+            salt=salt,
+            assets_col=assets_col,
+            store=store,
+        )
+        changed = True
+    elif replayed:
+        man = export_bin_shards(
+            corpus.drop("shard"),
+            out_dir,
+            n_shards,
+            tokens_col=tokens_col,
+            mask_col=mask_col,
+            id_col=id_col,
+            dtype=dtype,
+            salt=salt,
+            assets_col=assets_col,
+            incremental=True,
+            store=store,
+        )
+        changed = any(r["rewritten"] for r in man.collect())
+    else:
+        man = export_bin_shards_delta(
+            assigned,
+            corpus,
+            out_dir,
+            n_shards,
+            tokens_col=tokens_col,
+            mask_col=mask_col,
+            id_col=id_col,
+            salt=salt,
+            assets_col=assets_col,
+            store=store,
+        )
+        changed = any(r["rewritten"] for r in man.collect())
+    if epochs:
+        from topn_spark.operators.binfs import LocalBinaryStore
+
+        st = store or LocalBinaryStore()
+        for e in epochs:
+            if changed or not st.exists(
+                os.path.join(out_dir, f"_epoch_{int(e):04d}")
+            ):
+                export_epoch_order(
+                    spark, out_dir, e, salt=epoch_salt, store=st
+                )
+    return man
 
 
 def bin_export_sink(
@@ -1532,12 +1625,21 @@ def bin_export_sink(
     dtype: str = "auto",
     salt: str = "",
     assets_col: str | None = None,
+    store=None,
+    epochs: tuple[int, ...] = (),
+    epoch_salt: str = "",
 ):
     """Attach :func:`bin_export_batch` to a stream of packed
-    sequences: every micro-batch lands in the corpus store and the
-    binary shard set incrementally re-exports — after each commit,
+    sequences: every micro-batch lands in the shard-partitioned
+    corpus store and the binary shard set re-exports at
+    BATCH-PROPORTIONAL cost (signature fold from the batch +
+    partition-pruned rewrite of touched shards; full-store diff
+    only on replay) — after each commit,
     ``read_bin_shards(out_dir)`` equals the full store, and
-    ``verify_bin_shards`` stays green. Returns the started
+    ``verify_bin_shards`` stays green. With ``epochs``, the listed
+    epoch orders are re-derived whenever a commit changes shard
+    content, so trainer resume via ``read_bin_window`` always
+    finds a current-version order. Returns the started
     ``StreamingQuery``."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -1553,6 +1655,9 @@ def bin_export_sink(
             dtype=dtype,
             salt=salt,
             assets_col=assets_col,
+            store=store,
+            epochs=epochs,
+            epoch_salt=epoch_salt,
         )
 
     return (
