@@ -575,3 +575,69 @@ def test_multimodal_pipeline_spec(spark, tmp_path):
     assert all(
         r.ok for r in verify_bin_shards(spark, bin_out).collect()
     )
+
+
+def test_validate_assets_stable_id_join(spark, tmp_path):
+    """ValidateAssets keys its count re-join on the user-supplied
+    idField (stable across plan re-evaluation) — content-identical
+    rows with different ids still get THEIR OWN n_missing; a
+    monotonically_increasing_id keyed join could renumber between
+    branches and attach the verdict to the wrong rows. Missing
+    idField in the schema is a collected deploy-time failure."""
+    import pytest
+
+    from topn_spark.errors import ValidationError
+    from topn_spark.pipelines import compile_pipeline, run_pipeline
+
+    a_path = str(tmp_path / "va_rows")
+    spark.createDataFrame(
+        [(1, [7]), (2, [7]), (3, [8]), (4, [8])],
+        "cid long, refs array<bigint>",
+    ).write.parquet(a_path)
+    reg_path = str(tmp_path / "va_reg")
+    spark.createDataFrame([(7,)], "asset_id long").write.parquet(
+        reg_path
+    )
+
+    def spec(props):
+        return {
+            "stages": [
+                {
+                    "name": "a",
+                    "type": "batchsource",
+                    "plugin": "File",
+                    "properties": {"path": a_path},
+                },
+                {
+                    "name": "reg",
+                    "type": "batchsource",
+                    "plugin": "File",
+                    "properties": {"path": reg_path},
+                },
+                {
+                    "name": "v",
+                    "type": "batchjoiner",
+                    "plugin": "ValidateAssets",
+                    "properties": props,
+                },
+            ],
+            "connections": [
+                {"from": "a", "to": "v"},
+                {"from": "reg", "to": "v"},
+            ],
+        }
+
+    out = run_pipeline(
+        spark,
+        spec({"refsField": "refs", "idField": "cid"}),
+    )["v"]
+    got = {r.cid: (r.n_missing, r.assets_ok) for r in out.collect()}
+    # rows 3/4 are content-identical yet each carries its own verdict
+    assert got == {
+        1: (0, True), 2: (0, True), 3: (1, False), 4: (1, False)
+    }
+    with pytest.raises(ValidationError, match="idField"):
+        compile_pipeline(
+            spark,
+            spec({"refsField": "refs", "idField": "nope"}),
+        )

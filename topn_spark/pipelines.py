@@ -2264,11 +2264,23 @@ def _stage_validate_assets(
     vision embedding from nothing, silently); appends ``n_missing``
     and ``assets_ok`` so a downstream Filter can gate BEFORE the
     binary export. Properties: refsField ('asset_ids'), assetKey
-    ('asset_id'). Scale shape: explode the refs (rows = image
-    references, not tokens), one anti-join against the distinct
-    registry key (broadcast-sized registries broadcast), one
-    count re-agg joined back on a row id — the decontamination
-    shape."""
+    ('asset_id'), idField (optional but RECOMMENDED: a stable
+    unique row id like conv_id — the count re-join then keys on
+    it). Scale shape: explode the refs (rows = image references,
+    not tokens), one anti-join against the distinct registry key
+    (broadcast-sized registries broadcast), one count re-agg
+    joined back on the row id — the decontamination shape.
+
+    Row-identity determinism: the two join branches re-evaluate
+    the same plan, so the row id joining them back MUST be stable
+    across re-evaluation — ``monotonically_increasing_id`` is NOT
+    (shuffle-order nondeterminism or a task retry upstream can
+    renumber rows between branches, silently attaching n_missing
+    to the wrong rows and letting a dangling ref through the
+    gate). With ``idField`` the join keys on the user's stable id;
+    without one, the id-stamped frame is pinned with
+    ``localCheckpoint`` (materialized once, both branches read the
+    SAME numbering) before branching."""
     if len(inputs) != 2:
         raise ValueError(
             "ValidateAssets needs exactly 2 inputs "
@@ -2279,14 +2291,23 @@ def _stage_validate_assets(
     p = stage.properties
     refs_col = p.get("refsField", "asset_ids")
     asset_key = p.get("assetKey", "asset_id")
+    id_field = p.get("idField")
     ok = _require_field(df, refs_col, collector, "refsField")
     ok = _require_field(
         registry, asset_key, collector, "assetKey"
     ) and ok
+    if id_field:
+        ok = _require_field(df, id_field, collector, "idField") and ok
     if not ok:
         return df
-    rid = F.monotonically_increasing_id()
-    base = df.withColumn("_vid", rid)
+    if id_field:
+        base = df.withColumn("_vid", F.col(id_field))
+    else:
+        # lazy checkpoint: pins the numbering at first evaluation
+        # (eager=True would run a job during deploy-time validation)
+        base = df.withColumn(
+            "_vid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=(phase == "run"))
     refs = base.select(
         "_vid",
         F.explode(
