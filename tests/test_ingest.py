@@ -1339,3 +1339,60 @@ def test_bin_export_batch_epoch_rederivation(spark, tmp_path):
     # the re-derived order covers the grown corpus, version-current
     win = read_bin_window(spark, out, 0, 0, 17).collect()
     assert sorted(r.seq_id for r in win) == list(range(17))
+
+
+def test_arena_monitor_bootstrap_cis_stream(spark, tmp_path):
+    """bootstrap=n lands deterministic match-level CIs beside the
+    cumulative and decayed leaderboards every commit: the point
+    rating sits inside its interval, a lopsided pair separates with
+    non-overlapping intervals, and a replayed batch rewrites the CI
+    partition byte-identically (deterministic replicates)."""
+    from topn_spark.streaming.ingest import arena_monitor_sink
+
+    src = str(tmp_path / "ci_src")
+    out = str(tmp_path / "ci")
+    ck = str(tmp_path / "ci_ck")
+    schema = "prompt_id long, model string, score double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = arena_monitor_sink(
+            stream, out, ck, half_life_batches=2.0, bootstrap=40
+        )
+        q.awaitTermination(180)
+
+    # mA beats mB on 30 prompts -> a separation the CI should hold
+    write_batch(
+        [(p, "mA", 9.0) for p in range(30)]
+        + [(p, "mB", 1.0) for p in range(30)]
+    )
+    run()
+    write_batch(
+        [(p, "mA", 9.0) for p in range(100, 125)]
+        + [(p, "mB", 1.0) for p in range(100, 125)]
+    )
+    run()
+
+    for path in (f"{out}/cumulative_ci", f"{out}/decayed_ci"):
+        ci = spark.read.parquet(path).collect()
+        assert {r.batch_id for r in ci} == {0, 1}
+        for r in ci:
+            assert r.rating_lo <= r.rating <= r.rating_hi
+            assert r.n_boot == 40
+        last = {r.model: r for r in ci if r.batch_id == 1}
+        # 55 one-sided wins: intervals must not overlap
+        assert last["mA"].rating_lo > last["mB"].rating_hi
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{out}/decayed_ci").collect())
+    )
+    # restart with no new data: nothing changes (replay determinism)
+    run()
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/decayed_ci").collect())
+    )
+    assert before == after

@@ -1120,3 +1120,56 @@ def test_length_controlled_winrate_per_pair_convergence(spark):
     assert got2[("a", "b")].n_iter == 1  # frozen early, unchanged
     # fits are identical whether or not the other pair kept going
     assert abs(got2[("a", "b")].lc_winrate_a - ab.lc_winrate_a) < 1e-12
+
+
+def test_bt_matrix_bootstrap_shapes_and_determinism(spark):
+    """Match-level Poisson bootstrap over an aggregated win matrix:
+    point rating inside the interval, more games -> tighter
+    interval, weighted (decayed) counts accepted, identical calls
+    reproduce identical intervals, smoothing=0 refused."""
+    import pytest
+
+    from topn_spark.operators.sft import (
+        bradley_terry_matrix_bootstrap,
+    )
+
+    def mat(scale):
+        return spark.createDataFrame(
+            [
+                ("a", "b", 30.0 * scale, 10.0 * scale, 2.0 * scale),
+                ("a", "c", 25.0 * scale, 15.0 * scale, 0.0),
+                ("b", "c", 18.0 * scale, 18.0 * scale, 4.0 * scale),
+            ],
+            "model_a string, model_b string, wins_a double,"
+            " wins_b double, ties double",
+        )
+
+    small = bradley_terry_matrix_bootstrap(
+        mat(1.0), n_boot=60
+    ).collect()
+    assert [r.model for r in small][0] == "a"  # a dominates
+    for r in small:
+        assert r.rating_lo <= r.rating <= r.rating_hi
+        assert r.n_boot == 60
+    big = bradley_terry_matrix_bootstrap(
+        mat(20.0), n_boot=60
+    ).collect()
+    w_small = {
+        r.model: r.rating_hi - r.rating_lo for r in small
+    }
+    w_big = {r.model: r.rating_hi - r.rating_lo for r in big}
+    assert all(w_big[m] < w_small[m] for m in w_small)
+    again = bradley_terry_matrix_bootstrap(
+        mat(1.0), n_boot=60
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, small))
+    # fractional (decayed) counts work directly
+    frac = bradley_terry_matrix_bootstrap(
+        mat(0.37), n_boot=20
+    ).collect()
+    assert len(frac) == 3
+    with pytest.raises(Exception, match="smoothing"):
+        bradley_terry_matrix_bootstrap(mat(1.0), smoothing=0.0)
+    # empty matrix -> empty frame, correct schema
+    empty = bradley_terry_matrix_bootstrap(mat(1.0).limit(0))
+    assert empty.count() == 0 and "rating_lo" in empty.columns

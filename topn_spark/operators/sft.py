@@ -1977,6 +1977,128 @@ def bradley_terry_bootstrap(
     )
 
 
+def bradley_terry_matrix_bootstrap(
+    matrix: DataFrame,
+    n_boot: int = 100,
+    smoothing: float = 0.5,
+    max_iter: int = 1000,
+    tol: float = 1e-12,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "",
+) -> DataFrame:
+    """Bradley–Terry ratings with bootstrap CIs from an AGGREGATED
+    win matrix — the streaming-monitor shape: the arena monitor's
+    state is per-batch k² win matrices (deliberately — matrices,
+    never samples), so the prompt-level bootstrap
+    (:func:`bradley_terry_bootstrap`, which needs per-prompt
+    outcome rows) cannot run over the cumulative/decayed history.
+    This runs a MATCH-level Poisson bootstrap instead: resampling
+    each match with an i.i.d. Poisson(1) weight makes each
+    aggregated count's replicate total Poisson-distributed with
+    mean equal to the count (a sum of n independent Poisson(1)
+    draws is Poisson(n)), so one deterministic Poisson draw per
+    ``(pair, outcome, replicate)`` — seeded from
+    ``md5(pair‖replicate‖salt)``, reproducible across runs —
+    replaces per-match resampling entirely. Works unchanged on
+    WEIGHTED (decayed) matrices: Poisson accepts a real-valued
+    mean, which is exactly the effective-count semantics of
+    exponential forgetting.
+
+    Honest-scope note (document, don't hide): a match-level
+    bootstrap quantifies match-sampling noise only; prompt-level
+    correlation (several models scored on the same prompt) is
+    unavailable after aggregation, so these intervals can be
+    narrower than :func:`bradley_terry_bootstrap`'s on the same
+    data — use the prompt-level op for offline leaderboards, this
+    one for uncertainty on streaming state.
+
+    Returns ``(model, strength, rating, rating_lo, rating_hi,
+    n_games, n_boot)`` sorted by rating descending; empty matrix →
+    empty frame. Scale shape: the matrix is k²-sized by
+    construction, so the whole computation — ``n_boot + 1`` MM
+    fits (:func:`_bt_mm_core`) — is driver math on model-sized
+    state; nothing data-sized anywhere."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    if not float(smoothing) > 0:
+        raise ValueError(
+            "bradley_terry_matrix_bootstrap: smoothing must be > 0 "
+            "— a replicate can resample away all of a model's wins,"
+            " and its fit must stay finite"
+        )
+    schema = (
+        "model string, strength double, rating double,"
+        " rating_lo double, rating_hi double, n_games double,"
+        " n_boot int"
+    )
+    rows = sorted(
+        (
+            (
+                r["model_a"], r["model_b"], float(r["wins_a"]),
+                float(r["wins_b"]), float(r["ties"]),
+            )
+            for r in matrix.select(
+                "model_a", "model_b", "wins_a", "wins_b", "ties"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    if not rows:
+        return matrix.sparkSession.createDataFrame([], schema)
+    models, pi, wins, games, _, _ = _bt_mm_core(
+        rows, smoothing, max_iter, tol,
+        caller="bradley_terry_matrix_bootstrap",
+    )
+    ratings = {m: [] for m in models}
+    for b in range(int(n_boot)):
+        rep = []
+        for ma, mb, wa, wb, t in rows:
+            seed = int(
+                hashlib.md5(
+                    f"{ma}|{mb}:{b}{salt}".encode()
+                ).hexdigest()[:16],
+                16,
+            )
+            rng = np.random.default_rng(seed)
+            rep.append(
+                (
+                    ma, mb,
+                    float(rng.poisson(wa)),
+                    float(rng.poisson(wb)),
+                    float(rng.poisson(t)),
+                )
+            )
+        bm, bpi, _, _, _, _ = _bt_mm_core(
+            rep, smoothing, max_iter, tol,
+            caller="bradley_terry_matrix_bootstrap",
+        )
+        for i, m in enumerate(bm):
+            ratings[m].append(400.0 * math.log10(bpi[i]))
+    i_lo = int(math.floor(lo * (int(n_boot) - 1)))
+    i_hi = int(math.ceil(hi * (int(n_boot) - 1)))
+    out = []
+    for i, m in enumerate(models):
+        rs = sorted(ratings[m])
+        out.append(
+            (
+                m,
+                pi[i],
+                400.0 * math.log10(pi[i]),
+                rs[i_lo],
+                rs[i_hi],
+                games[i],
+                int(n_boot),
+            )
+        )
+    return matrix.sparkSession.createDataFrame(out, schema).orderBy(
+        F.col("rating").desc(), F.col("model").asc()
+    )
+
+
 def save_bt_ratings(ratings: DataFrame, path: str) -> None:
     """Persist a :func:`bradley_terry_fit` frame as parquet
     (coalesced — ratings are model-sized): the release artifact an

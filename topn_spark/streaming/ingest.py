@@ -1275,6 +1275,7 @@ def arena_monitor_batch(
     smoothing: float = 0.5,
     cumulative: bool = True,
     half_life_batches: float | None = None,
+    bootstrap: int | None = None,
 ) -> None:
     """Arena-rating monitor for one micro-batch of scored samples —
     the streaming readout of the z113→z117 chain (an evaluation
@@ -1313,6 +1314,19 @@ def arena_monitor_batch(
     weighted effective counts (the BT likelihood accepts weighted
     sufficient statistics directly).
 
+    ``bootstrap=n`` adds UNCERTAINTY to both online leaderboards —
+    the signal a production pager actually needs (a 10-point drift
+    between two models on 50 prompts is noise; the same drift
+    outside the interval is an incident): the match-level Poisson
+    bootstrap over the aggregated matrices
+    (:func:`~topn_spark.operators.sft.
+    bradley_terry_matrix_bootstrap` — deterministic replicates, so
+    a replayed batch rewrites byte-identically) lands
+    ``(model, strength, rating, rating_lo, rating_hi, n_games,
+    n_boot)`` under ``cumulative_ci/batch_id=<N>`` and
+    ``decayed_ci/batch_id=<N>``, beside (not inside) the point
+    leaderboards so their schemas stay stable.
+
     Scale shape: per batch, the z113 shapes (max-agg + model-keyed
     self-join + k²-agg) and a driver MM fit on the k² statistic —
     per-batch cost, nothing data-sized on the driver; the
@@ -1320,6 +1334,7 @@ def arena_monitor_batch(
     never samples."""
     from topn_spark.operators.sft import (
         bradley_terry_fit,
+        bradley_terry_matrix_bootstrap,
         pairwise_winrate,
     )
 
@@ -1358,14 +1373,11 @@ def arena_monitor_batch(
             try:
                 pair_sums = ["wins_a", "wins_b", "ties"]
                 if cumulative:
+                    cum_m = hist.groupBy("model_a", "model_b").agg(
+                        *[F.sum(c).alias(c) for c in pair_sums]
+                    )
                     cum = bradley_terry_fit(
-                        hist.groupBy("model_a", "model_b").agg(
-                            *[
-                                F.sum(c).alias(c)
-                                for c in pair_sums
-                            ]
-                        ),
-                        smoothing=smoothing,
+                        cum_m, smoothing=smoothing
                     )
                     first = int(
                         hist.agg(F.min("batch_id")).collect()[0][0]
@@ -1389,20 +1401,29 @@ def arena_monitor_batch(
                         f"{out_dir}/cumulative/batch_id="
                         f"{int(batch_id)}"
                     )
+                    if bootstrap:
+                        bradley_terry_matrix_bootstrap(
+                            cum_m,
+                            n_boot=int(bootstrap),
+                            smoothing=smoothing,
+                        ).write.mode("overwrite").parquet(
+                            f"{out_dir}/cumulative_ci/batch_id="
+                            f"{int(batch_id)}"
+                        )
                 if half_life_batches is not None:
                     w = F.pow(
                         F.lit(0.5),
                         (F.lit(int(batch_id)) - F.col("batch_id"))
                         / F.lit(float(half_life_batches)),
                     )
+                    dec_m = hist.groupBy("model_a", "model_b").agg(
+                        *[
+                            F.sum(F.col(c) * w).alias(c)
+                            for c in pair_sums
+                        ]
+                    )
                     decayed = bradley_terry_fit(
-                        hist.groupBy("model_a", "model_b").agg(
-                            *[
-                                F.sum(F.col(c) * w).alias(c)
-                                for c in pair_sums
-                            ]
-                        ),
-                        smoothing=smoothing,
+                        dec_m, smoothing=smoothing
                     )
                     decayed.select(
                         "model", "strength", "rating",
@@ -1411,6 +1432,15 @@ def arena_monitor_batch(
                         f"{out_dir}/decayed/batch_id="
                         f"{int(batch_id)}"
                     )
+                    if bootstrap:
+                        bradley_terry_matrix_bootstrap(
+                            dec_m,
+                            n_boot=int(bootstrap),
+                            smoothing=smoothing,
+                        ).write.mode("overwrite").parquet(
+                            f"{out_dir}/decayed_ci/batch_id="
+                            f"{int(batch_id)}"
+                        )
             finally:
                 hist.unpersist()
     finally:
@@ -1427,16 +1457,20 @@ def arena_monitor_sink(
     smoothing: float = 0.5,
     cumulative: bool = True,
     half_life_batches: float | None = None,
+    bootstrap: int | None = None,
 ):
     """Attach :func:`arena_monitor_batch` to a stream of scored
     samples: per-batch win matrices and Bradley–Terry ratings under
     ``batch_id=<N>`` partitions (exactly-once under replay), plus
-    the cumulative fit + drift signal and, with
-    ``half_life_batches``, the exponentially-forgetting
-    leaderboard. Returns the started ``StreamingQuery``; read the
-    rating history back with
+    the cumulative fit + drift signal, with ``half_life_batches``
+    the exponentially-forgetting leaderboard, and with
+    ``bootstrap=n`` deterministic match-level bootstrap CIs under
+    ``cumulative_ci``/``decayed_ci`` — drift WITH uncertainty, the
+    shape a production leaderboard pages on. Returns the started
+    ``StreamingQuery``; read the rating history back with
     ``spark.read.parquet(f"{out_dir}/ratings")`` (or
-    ``.../cumulative`` / ``.../decayed``) and alert on ``drift``."""
+    ``.../cumulative`` / ``.../decayed`` / ``.../decayed_ci``) and
+    alert on ``drift`` outside the interval."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         arena_monitor_batch(
@@ -1449,6 +1483,7 @@ def arena_monitor_sink(
             smoothing=smoothing,
             cumulative=cumulative,
             half_life_batches=half_life_batches,
+            bootstrap=bootstrap,
         )
 
     return (
