@@ -2587,3 +2587,47 @@ def test_truncate_json_canonical_stages(spark):
     }
     [u] = run_pipeline_with_source(spark, cu_spec, "src", urls)["canon"].collect()
     assert u.canonical_url == "http://a.com/x"
+
+
+def test_cli_verify_bin_shards_layout_dispatch(spark, tmp_path):
+    """verify-bin-shards dispatches on the recorded layout: a clean
+    standard set and a clean preference set both exit 0; tearing a
+    preference shard's pairing (or any byte) exits 1."""
+    import os
+
+    from topn_spark.__main__ import main
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        export_preference_shards,
+    )
+
+    std = str(tmp_path / "cli_std")
+    export_bin_shards(
+        spark.createDataFrame(
+            [(i, [1 + i % 4, 2], [True, False]) for i in range(12)],
+            "seq_id bigint, tokens array<bigint>,"
+            " loss_mask array<boolean>",
+        ),
+        std, 2,
+    )
+    assert main(["verify-bin-shards", std]) == 0
+
+    pref = str(tmp_path / "cli_pref")
+    export_preference_shards(
+        spark.createDataFrame(
+            [
+                (i, [1, 2], [False, True], [3], [True])
+                for i in range(8)
+            ],
+            "pair_id bigint, chosen_tokens array<bigint>,"
+            " chosen_mask array<boolean>,"
+            " rejected_tokens array<bigint>,"
+            " rejected_mask array<boolean>",
+        ),
+        pref, 2,
+    )
+    assert main(["verify-bin-shards", pref]) == 0
+    victim = os.path.join(pref, "shard_00000.bin")
+    raw = open(victim, "rb").read()
+    open(victim, "wb").write(raw[:-2])
+    assert main(["verify-bin-shards", pref]) == 1

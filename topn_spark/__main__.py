@@ -14,6 +14,10 @@ than write code (the reference's own audience):
 - ``verify-shards DIR [--token-field F]`` — recount an exported
   shard set against its stored ``_manifest`` (the torn-export
   audit); prints the per-shard verdict table, exit 1 on mismatch.
+- ``verify-bin-shards DIR`` — byte-level verify of a trainer-native
+  BINARY shard set (.bin/.idx/.msk/.ast vs the crc manifest),
+  dispatching on the recorded layout: preference (pair) sets also
+  re-check the even/odd pairing invariant. Exit 1 on any bad shard.
 """
 
 from __future__ import annotations
@@ -116,6 +120,43 @@ def _cmd_verify_shards(args) -> int:
     return 0
 
 
+def _cmd_verify_bin_shards(args) -> int:
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        verify_bin_shards,
+        verify_preference_shards,
+    )
+
+    spark = _session()
+    meta = _read_meta(spark, args.dir)
+    layout = (meta or {}).get("layout") or "seq"
+    verify = (
+        verify_preference_shards if layout == "pair"
+        else verify_bin_shards
+    )
+    rows = verify(spark, args.dir).orderBy("shard").collect()
+    show = [
+        "shard", "n_seqs", "n_tokens", "bin_bytes", "bin_crc32",
+        "ok",
+    ] + (["pairing_ok"] if layout == "pair" else [])
+    for r in rows:
+        d = r.asDict()
+        print({k: d[k] for k in show})
+    if not rows:
+        print("no shards found", file=sys.stderr)
+        return 1
+    bad = [r for r in rows if not r.ok]
+    if bad:
+        print(
+            f"{len(bad)}/{len(rows)} shards FAILED verification "
+            f"(layout={layout})",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"all {len(rows)} shards verified (layout={layout})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="topn_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +191,14 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("dir")
     vs.add_argument("--token-field", default=None)
     vs.set_defaults(fn=_cmd_verify_shards)
+
+    vb = sub.add_parser(
+        "verify-bin-shards",
+        help="byte-level verify of a trainer binary shard set "
+        "(layout-aware: preference sets also check pairing)",
+    )
+    vb.add_argument("dir")
+    vb.set_defaults(fn=_cmd_verify_bin_shards)
 
     args = p.parse_args(argv)
     return args.fn(args)
