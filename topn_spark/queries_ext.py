@@ -15831,7 +15831,7 @@ sp AS (
       ORDER BY md5('0:' || CAST(shard AS VARCHAR) || 'z122'),
                shard) - 1 AS INT) AS shard_pos
   FROM (SELECT DISTINCT shard FROM idx))
-SELECT i.shard, sp.shard_pos,
+SELECT i.shard, sp.shard_pos, 'seq' AS unit,
   CAST(ROW_NUMBER() OVER (PARTITION BY i.shard
     ORDER BY md5('0:' || CAST(i.shard AS VARCHAR) || ':'
       || CAST(i.seq_index AS VARCHAR) || 'z122'),
@@ -16705,6 +16705,7 @@ SELECT
   'uint16' AS dtype,
   TRUE AS has_mask,
   FALSE AS has_assets,
+  'seq' AS layout,
   CAST(1 AS BIGINT) AS export_version,
   CAST(2 * SUM(n) AS BIGINT) AS bin_bytes,
   CAST(SUM((n + 7) // 8) AS BIGINT) AS msk_bytes,
