@@ -73,3 +73,26 @@ def test_committed_replay_matches_current_source_tree():
         f"{current[:12]}…) — re-run the full gate replay and commit "
         f"it as the LAST code-bearing change of the round"
     )
+
+
+def test_coverage_header_matches_registry():
+    """COVERAGE.md's header is the coverage map a reader trusts
+    first, and it went stale in three separate rounds (said 275 in
+    r10, 285 in r11 AND r12 while the registry grew). Pin the
+    header's entry count to the live registry and its cited
+    committed-replay artifact to the newest ORACLE_FULL on disk, so
+    the doc cannot fork from reality a fourth time."""
+    import topn_spark.queries_ext  # noqa: F401  (registration)
+    from topn_spark.queries import QUERIES
+
+    head = (REPO / "COVERAGE.md").read_text()[:2500]
+    assert f"{len(QUERIES)} catalog queries" in head, (
+        f"COVERAGE.md header does not say '{len(QUERIES)} catalog "
+        "queries' — regenerate the header from the registry"
+    )
+    rnd, path = _latest_oracle_full()
+    assert path.name in head, (
+        f"COVERAGE.md header cites a different replay artifact than "
+        f"the newest on disk ({path.name}) — update the citation "
+        "when the round's replay is committed"
+    )
