@@ -1203,3 +1203,39 @@ def test_delta_export_batch_sized_stats_and_cross_check(
     )
     with pytest.raises(Exception, match="not a pure append"):
         export_bin_shards_delta(upd, store2, out, 5, salt="d")
+
+
+def test_range_sharding_round_trip_and_scheme_guard(spark, tmp_path):
+    """Range sharding (shard = id // seqs_per_shard): contiguous
+    bounded shards, full round trip, and the scheme is a hard
+    incremental contract — re-exporting under a different scheme
+    (or hash) raises instead of silently moving every row."""
+    from topn_spark.operators.binshard import _read_meta
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    df = spark.createDataFrame(
+        [(i, [1 + i % 6], [True]) for i in range(47)], ddl
+    )
+    out = str(tmp_path / "range")
+    man = export_bin_shards(df, out, 0, seqs_per_shard=10).collect()
+    assert [r.shard for r in man] == [0, 1, 2, 3, 4]
+    assert [r.n_seqs for r in man] == [10, 10, 10, 10, 7]
+    assert _read_meta(spark, out)["shard_scheme"] == "range:10"
+    back = read_bin_shards(spark, out)
+    assert back.count() == 47
+    # each shard holds exactly its contiguous id range
+    got = {
+        (r.shard, r.seq_id) for r in back.select("shard", "seq_id").collect()
+    }
+    assert got == {(i // 10, i) for i in range(47)}
+    with pytest.raises(Exception, match="shard_scheme"):
+        export_bin_shards(
+            df, out, 0, seqs_per_shard=20, incremental=True
+        )
+    with pytest.raises(Exception, match="shard_scheme"):
+        export_bin_shards(df, out, 5, incremental=True)
+    with pytest.raises(Exception, match="positive"):
+        export_bin_shards(df, str(tmp_path / "r0"), 0)

@@ -1396,3 +1396,51 @@ def test_arena_monitor_bootstrap_cis_stream(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out}/decayed_ci").collect())
     )
     assert before == after
+
+
+def test_bin_export_batch_range_sharding_touches_only_tail(
+    spark, tmp_path
+):
+    """The flat-per-commit shape: under range sharding, a batch of
+    monotonically increasing ids touches ONLY the tail shard(s) —
+    proven by poisoning every non-tail store partition before the
+    commit; per-commit work is O(batch + seqs_per_shard) no matter
+    how large the store grows."""
+    import glob
+    import os
+
+    from topn_spark.operators.binshard import read_bin_shards
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    corpus = str(tmp_path / "rg_store")
+    out = str(tmp_path / "rg_out")
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [1 + i % 7], [True]) for i in range(lo, hi)],
+            schema,
+        )
+
+    bin_export_batch(
+        mk(0, 95), corpus, out, 0, 0, salt="", seqs_per_shard=20
+    )
+    # batch 2: ids 95..104 -> touches shards 4 (tail) and 5 (new)
+    for d in glob.glob(os.path.join(corpus, "shard=*")):
+        if int(d.split("=")[-1]) < 4:
+            for f in glob.glob(
+                os.path.join(d, "**", "*.parquet"), recursive=True
+            ):
+                open(f, "wb").write(b"POISON")
+    man = bin_export_batch(
+        mk(95, 105), corpus, out, 1, 0, salt="", seqs_per_shard=20
+    )
+    assert {r.shard for r in man.collect() if r.rewritten} == {4, 5}
+    back = read_bin_shards(spark, out)
+    assert back.count() == 105
+    assert sorted(
+        r.seq_id for r in back.select("seq_id").collect()
+    ) == list(range(105))

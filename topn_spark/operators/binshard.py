@@ -88,7 +88,7 @@ _MANIFEST_SCHEMA = (
 _META_SCHEMA = (
     "version int, dtype string, has_mask boolean,"
     " has_assets boolean, n_shards int, salt string,"
-    " export_version bigint, layout string"
+    " export_version bigint, layout string, shard_scheme string"
 )
 
 _EPOCH_SCHEMA = (
@@ -335,6 +335,67 @@ def _resolve_dtype(lo: int, hi: int, dtype: str) -> int:
             f"{'uint16' if code == 2 else 'uint32'} range"
         )
     return code
+
+
+def _shard_scheme(
+    n_shards: int, salt: str, seqs_per_shard: int | None
+) -> str:
+    """Canonical description of how rows map to shards — stored in
+    ``_manifest_meta`` and compared by incremental/delta exports (a
+    scheme change moves every row, so every shard would differ)."""
+    if seqs_per_shard is not None:
+        return f"range:{int(seqs_per_shard)}"
+    return f"hash:{int(n_shards)}:{salt}"
+
+
+def _assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    salt: str,
+    seqs_per_shard: int | None,
+) -> DataFrame:
+    """Stamp the deterministic ``shard`` column under one of two
+    schemes:
+
+    ``hash`` (default) — ``md5(id||salt) mod n_shards``
+    (:func:`~topn_spark.operators.pipeline.shard_assignment`):
+    uniform balance at a FIXED shard count; the right default for
+    one-shot corpus exports.
+
+    ``range`` (``seqs_per_shard`` set) — ``shard = id //
+    seqs_per_shard``: shard count GROWS with the corpus and each
+    shard is a bounded contiguous id range. This is the streaming-
+    maintenance scheme: ids arriving in roughly increasing order
+    land in the TAIL shard(s) only, so an incremental commit
+    rewrites O(batch + seqs_per_shard) bytes no matter how large
+    the store has grown — under hash sharding a batch's rows
+    scatter across ALL shards, and every touched shard's size
+    grows with the corpus, so per-commit cost climbs back to
+    corpus-proportional. Training-order randomness is unaffected:
+    epoch orders shuffle both across and within shards regardless
+    of the layout scheme."""
+    if seqs_per_shard is not None:
+        if int(seqs_per_shard) <= 0:
+            raise ValueError(
+                f"seqs_per_shard must be positive, got "
+                f"{seqs_per_shard}"
+            )
+        return df.withColumn(
+            "shard",
+            F.floor(
+                F.col(key_col).cast("bigint")
+                / F.lit(int(seqs_per_shard))
+            ).cast("int"),
+        )
+    if int(n_shards) <= 0:
+        raise ValueError(
+            f"n_shards must be positive (got {n_shards}) unless "
+            "seqs_per_shard selects range sharding"
+        )
+    from topn_spark.operators.pipeline import shard_assignment
+
+    return shard_assignment(df, n_shards, key_col, salt)
 
 
 def _hashed_projection(
@@ -598,6 +659,7 @@ def export_bin_shards(
     incremental: bool = False,
     store=None,
     layout: str = "seq",
+    seqs_per_shard: int | None = None,
 ) -> DataFrame:
     """Write packed sequences as trainer-native binary shards —
     ``shard_<k>.bin`` token stream + ``.idx`` offset index +
@@ -688,9 +750,14 @@ def export_bin_shards(
     attempt wins whole. ``layout`` is recorded in the meta
     (``"pair"`` for :func:`export_preference_shards` directories)
     so readers and the data card can dispatch on the shard flavor.
-    """
-    from topn_spark.operators.pipeline import shard_assignment
 
+    ``seqs_per_shard`` selects RANGE sharding (``shard = key //
+    seqs_per_shard``; ``n_shards`` is then ignored — pass 0):
+    shard count grows with the corpus and each shard is a bounded
+    contiguous id range, which is what streaming maintenance needs
+    for flat per-commit cost (see :func:`_assign_shards`). The
+    scheme is recorded in the meta and an incremental export under
+    a different scheme RAISES (every row would move)."""
     elem = df.schema[tokens_col].dataType.elementType.simpleString()
     if elem not in _INTEGRAL:
         raise ValueError(
@@ -719,7 +786,10 @@ def export_bin_shards(
     st = store or LocalBinaryStore()
 
     assigned = _hashed_projection(
-        shard_assignment(df, n_shards, shard_key_col or id_col, salt),
+        _assign_shards(
+            df, n_shards, shard_key_col or id_col, salt,
+            seqs_per_shard,
+        ),
         tokens_col, mask_col, id_col, assets_col,
     )
 
@@ -756,15 +826,29 @@ def export_bin_shards(
                 f"export at {out_dir} (no _manifest_meta found) — "
                 "run a full export first"
             )
+        scheme = _shard_scheme(n_shards, salt, seqs_per_shard)
         want = {
             "dtype": dtype_name, "has_mask": has_mask,
-            "has_assets": has_ast, "n_shards": int(n_shards),
-            "salt": salt, "layout": layout,
+            "has_assets": has_ast, "layout": layout,
+            "shard_scheme": scheme,
         }
+
+        def _stored(k):
+            if k == "layout":
+                return meta.get("layout", "seq")
+            if k == "shard_scheme":
+                # meta predating the scheme field can only be a
+                # hash export — reconstruct its scheme string
+                return meta.get(
+                    "shard_scheme",
+                    f"hash:{meta['n_shards']}:{meta['salt']}",
+                )
+            return meta.get(k)
+
         diff = {
-            k: (meta.get(k, "seq" if k == "layout" else None), v)
+            k: (_stored(k), v)
             for k, v in want.items()
-            if meta.get(k, "seq" if k == "layout" else None) != v
+            if _stored(k) != v
         }
         if diff:
             raise ValueError(
@@ -828,8 +912,13 @@ def export_bin_shards(
             st.remove(os.path.join(out_dir, stale))
         _remove_epoch_artifacts(out_dir, st)
 
+    nparts = (
+        int(n_shards)
+        if seqs_per_shard is None
+        else max(len(changed) if changed is not None else len(stats), 1)
+    )
     assigned = assigned.repartition(
-        int(n_shards), "shard"
+        nparts, "shard"
     ).sortWithinPartitions("shard", "_id")
 
     _write = _make_shard_writer(
@@ -869,6 +958,9 @@ def export_bin_shards(
                 else 1
             ),
             "layout": layout,
+            "shard_scheme": _shard_scheme(
+                n_shards, salt, seqs_per_shard
+            ),
         },
         st,
     )
@@ -900,6 +992,7 @@ def export_bin_shards_delta(
     salt: str = "",
     assets_col: str | None = None,
     store=None,
+    seqs_per_shard: int | None = None,
 ) -> DataFrame:
     """Batch-proportional incremental re-export: bring a binary
     shard set up to date after APPENDING ``batch`` to a corpus
@@ -947,11 +1040,18 @@ def export_bin_shards_delta(
     (silently widening would rewrite every shard under a streaming
     trigger). Returns the full manifest with ``rewritten``.
 
+    Under RANGE sharding (``seqs_per_shard`` — the streaming
+    scheme, see :func:`_assign_shards`) and roughly increasing
+    ids, the touched set is the TAIL shard(s) only, so per-commit
+    cost is O(batch + seqs_per_shard) — genuinely FLAT as the
+    store grows. Under hash sharding a batch's rows scatter, so
+    the touched set (and its total size) grows with batch size and
+    store size; the delta still never scans untouched partitions,
+    but hash is the wrong scheme for high-cadence maintenance.
+
     Reference parity: the reference engine (TopN.java) has no
     trainer export; this is the round-12 verdict's top-ranked gap
     ("make bin_export_sink batch-proportional")."""
-    from topn_spark.operators.pipeline import shard_assignment
-
     spark = batch.sparkSession
     st = store or LocalBinaryStore()
     meta = _read_meta(spark, out_dir, st)
@@ -963,14 +1063,26 @@ def export_bin_shards_delta(
         )
     has_mask = mask_col is not None
     has_ast = assets_col is not None
+    scheme = _shard_scheme(n_shards, salt, seqs_per_shard)
     want = {
         "has_mask": has_mask, "has_assets": has_ast,
-        "n_shards": int(n_shards), "salt": salt, "layout": "seq",
+        "layout": "seq", "shard_scheme": scheme,
     }
+
+    def _stored(k):
+        if k == "layout":
+            return meta.get("layout", "seq")
+        if k == "shard_scheme":
+            return meta.get(
+                "shard_scheme",
+                f"hash:{meta['n_shards']}:{meta['salt']}",
+            )
+        return meta.get(k)
+
     diff = {
-        k: (meta.get(k, "seq" if k == "layout" else None), v)
+        k: (_stored(k), v)
         for k, v in want.items()
-        if meta.get(k, "seq" if k == "layout" else None) != v
+        if _stored(k) != v
     }
     if diff:
         raise ValueError(
@@ -986,7 +1098,9 @@ def export_bin_shards_delta(
     }
 
     if "shard" not in batch.columns:
-        batch = shard_assignment(batch, n_shards, id_col, salt)
+        batch = _assign_shards(
+            batch, n_shards, id_col, salt, seqs_per_shard
+        )
     hashed_b = _hashed_projection(
         batch, tokens_col, mask_col, id_col, assets_col
     )
@@ -1883,6 +1997,7 @@ def export_preference_shards(
     salt: str = "",
     incremental: bool = False,
     store=None,
+    seqs_per_shard: int | None = None,
 ) -> DataFrame:
     """Trainer-native binary export for PREFERENCE pairs — the
     DPO/KTO analogue of :func:`export_bin_shards` (a preference
@@ -1949,6 +2064,7 @@ def export_preference_shards(
         incremental=incremental,
         store=store,
         layout="pair",
+        seqs_per_shard=seqs_per_shard,
     )
 
 

@@ -1509,6 +1509,7 @@ def bin_export_batch(
     store=None,
     epochs: tuple[int, ...] = (),
     epoch_salt: str = "",
+    seqs_per_shard: int | None = None,
 ) -> DataFrame:
     """Keep a trainer-native binary shard set CURRENT from one
     micro-batch of packed sequences — streaming maintenance for
@@ -1558,21 +1559,36 @@ def bin_export_batch(
     shards' rows only; epoch re-derivation is index-sized. The
     corpus store stays a Spark-managed parquet dataset (any
     cluster filesystem); ``store`` routes only the BINARY layer's
-    I/O (:mod:`topn_spark.operators.binfs`)."""
+    I/O (:mod:`topn_spark.operators.binfs`).
+
+    **Use ``seqs_per_shard`` (range sharding) for high-cadence
+    maintenance.** Streaming ids arrive roughly increasing, so
+    under ``shard = id // seqs_per_shard`` each commit touches
+    only the TAIL shard(s) — per-commit cost is
+    O(batch + seqs_per_shard) FLAT no matter how large the store
+    grows, and shard count grows with the corpus (the 100 TB
+    shape). Under the default hash scheme a batch's rows scatter
+    across shards whose individual size grows with the store, so
+    per-commit cost creeps back toward corpus-proportional even
+    though untouched partitions are never read. Epoch orders
+    shuffle across and within shards either way, so training-order
+    randomness is unaffected by the layout scheme."""
     import glob as _glob
     import os
     import shutil
 
     from topn_spark.operators.binshard import (
+        _assign_shards,
         _read_meta,
         export_bin_shards,
         export_bin_shards_delta,
         export_epoch_order,
     )
-    from topn_spark.operators.pipeline import shard_assignment
 
     spark = batch.sparkSession
-    assigned = shard_assignment(batch, n_shards, id_col, salt)
+    assigned = _assign_shards(
+        batch, n_shards, id_col, salt, seqs_per_shard
+    )
     replayed = _glob.glob(
         os.path.join(
             corpus_dir, "shard=*", f"batch_id={int(batch_id)}"
@@ -1590,7 +1606,23 @@ def bin_export_batch(
     first = (
         _read_meta(spark, out_dir, store) is None
     )
-    corpus = spark.read.parquet(corpus_dir).drop("batch_id")
+    # read the store with the KNOWN schema (the batch's own fields
+    # + the partition columns): schema inference would read parquet
+    # footers from arbitrary store files at planning time — at
+    # 100 TB that is a pointless listing+footer storm, and it
+    # breaks the partition-pruning guarantee the delta path rests
+    # on (planning must not open untouched shards' files either)
+    from pyspark.sql import types as T
+
+    store_schema = T.StructType(
+        list(assigned.schema.fields)
+        + [T.StructField("batch_id", T.LongType())]
+    )
+    corpus = (
+        spark.read.schema(store_schema)
+        .parquet(corpus_dir)
+        .drop("batch_id")
+    )
     if first:
         man = export_bin_shards(
             corpus.drop("shard"),
@@ -1603,6 +1635,7 @@ def bin_export_batch(
             salt=salt,
             assets_col=assets_col,
             store=store,
+            seqs_per_shard=seqs_per_shard,
         )
         changed = True
     elif replayed:
@@ -1618,6 +1651,7 @@ def bin_export_batch(
             assets_col=assets_col,
             incremental=True,
             store=store,
+            seqs_per_shard=seqs_per_shard,
         )
         changed = any(r["rewritten"] for r in man.collect())
     else:
@@ -1632,6 +1666,7 @@ def bin_export_batch(
             salt=salt,
             assets_col=assets_col,
             store=store,
+            seqs_per_shard=seqs_per_shard,
         )
         changed = any(r["rewritten"] for r in man.collect())
     if epochs:
@@ -1663,6 +1698,7 @@ def bin_export_sink(
     store=None,
     epochs: tuple[int, ...] = (),
     epoch_salt: str = "",
+    seqs_per_shard: int | None = None,
 ):
     """Attach :func:`bin_export_batch` to a stream of packed
     sequences: every micro-batch lands in the shard-partitioned
@@ -1693,6 +1729,7 @@ def bin_export_sink(
             store=store,
             epochs=epochs,
             epoch_salt=epoch_salt,
+            seqs_per_shard=seqs_per_shard,
         )
 
     return (
