@@ -2631,3 +2631,46 @@ def test_cli_verify_bin_shards_layout_dispatch(spark, tmp_path):
     raw = open(victim, "rb").read()
     open(victim, "wb").write(raw[:-2])
     assert main(["verify-bin-shards", pref]) == 1
+
+
+def test_bin_shard_sink_range_sharding_property(spark, tmp_path):
+    """BinShardSink seqsPerShard selects range sharding (nShards
+    not needed); the exported shards are contiguous id ranges."""
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        read_bin_shards,
+    )
+    from topn_spark.pipelines import run_pipeline
+
+    src = str(tmp_path / "rs_src")
+    spark.createDataFrame(
+        [(i, [1 + i % 3], [True]) for i in range(25)],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    ).write.parquet(src)
+    out = str(tmp_path / "rs_out")
+    run_pipeline(
+        spark,
+        {
+            "stages": [
+                {
+                    "name": "in",
+                    "type": "batchsource",
+                    "plugin": "File",
+                    "properties": {"path": src},
+                },
+                {
+                    "name": "sink",
+                    "type": "batchsink",
+                    "plugin": "BinShardSink",
+                    "properties": {
+                        "path": out,
+                        "seqsPerShard": "10",
+                    },
+                },
+            ],
+            "connections": [{"from": "in", "to": "sink"}],
+        },
+    )
+    assert _read_meta(spark, out)["shard_scheme"] == "range:10"
+    assert read_bin_shards(spark, out).count() == 25

@@ -2037,7 +2037,9 @@ def _stage_shard_sink(
     ok = _require_field(df, id_col, collector, "idField")
     if token_col is not None:
         ok = _require_field(df, token_col, collector, "tokenField") and ok
-    if n_shards is None or not ok:
+    if (seqs_per_shard is None and n_shards is None) or (
+        "seqsPerShard" in p and seqs_per_shard is None
+    ) or not ok:
         return df
     if phase == "run":
         path = substitute_macros(
@@ -2185,7 +2187,10 @@ def _stage_bin_shard_sink(
     assetsField ('none'; a multimodal asset-ref array column adds
     the .ast sidecar), dtype ('auto' | 'uint16' | 'uint32'),
     salt (''), incremental ('false'; 'true' rewrites only shards
-    whose content signature changed)."""
+    whose content signature changed), seqsPerShard (optional:
+    RANGE sharding — shard = id // seqsPerShard, shard count grows
+    with the corpus; nShards is then ignored. The streaming-
+    maintenance scheme: commits touch only tail shards)."""
     (df,) = inputs
     p = stage.properties
     path = p.get("path")
@@ -2203,15 +2208,25 @@ def _stage_bin_shard_sink(
             "BinShardSink needs a 'path'.", property_name="path"
         )
         return df
-    if "nShards" not in p:
-        collector.add_failure(
-            "BinShardSink needs 'nShards'.", property_name="nShards"
+    seqs_per_shard = None
+    if "seqsPerShard" in p:
+        seqs_per_shard = _int_prop(
+            p, "seqsPerShard", 1, collector,
+            substitutions=substitutions, phase=phase,
         )
-        return df
-    n_shards = _int_prop(
-        p, "nShards", 1, collector,
-        substitutions=substitutions, phase=phase,
-    )
+        n_shards = 0
+    else:
+        if "nShards" not in p:
+            collector.add_failure(
+                "BinShardSink needs 'nShards' (or 'seqsPerShard' "
+                "for range sharding).",
+                property_name="nShards",
+            )
+            return df
+        n_shards = _int_prop(
+            p, "nShards", 1, collector,
+            substitutions=substitutions, phase=phase,
+        )
     ok = _require_field(df, id_col, collector, "idField")
     ok = _require_field(df, tokens_col, collector, "tokensField") and ok
     if mask_col is not None:
@@ -2250,6 +2265,7 @@ def _stage_bin_shard_sink(
             mask_col=mask_col, id_col=id_col, dtype=dtype,
             salt=p.get("salt", ""), assets_col=assets_col,
             incremental=incremental == "true",
+            seqs_per_shard=seqs_per_shard,
         )
     return df
 
