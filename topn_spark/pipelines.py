@@ -2037,9 +2037,7 @@ def _stage_shard_sink(
     ok = _require_field(df, id_col, collector, "idField")
     if token_col is not None:
         ok = _require_field(df, token_col, collector, "tokenField") and ok
-    if (seqs_per_shard is None and n_shards is None) or (
-        "seqsPerShard" in p and seqs_per_shard is None
-    ) or not ok:
+    if n_shards is None or not ok:
         return df
     if phase == "run":
         path = substitute_macros(
@@ -2250,7 +2248,9 @@ def _stage_bin_shard_sink(
             property_name="incremental",
         )
         ok = False
-    if n_shards is None or not ok:
+    if (seqs_per_shard is None and n_shards is None) or (
+        "seqsPerShard" in p and seqs_per_shard is None
+    ) or not ok:
         return df
     if phase == "run":
         path = substitute_macros(
