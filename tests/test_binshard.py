@@ -1239,3 +1239,77 @@ def test_range_sharding_round_trip_and_scheme_guard(spark, tmp_path):
         export_bin_shards(df, out, 5, incremental=True)
     with pytest.raises(Exception, match="positive"):
         export_bin_shards(df, str(tmp_path / "r0"), 0)
+
+
+# --------------------------------------------- trainer resume cursor
+
+
+def test_resume_cursor_windows_rollover_and_version_guard(
+    spark, tmp_path
+):
+    """resume_bin_window serves consecutive windows across commits,
+    rolls to the next epoch's order at exhaustion, dispatches pair
+    layouts to the pairwise reader, and refuses a cursor minted at
+    an older export_version."""
+    from topn_spark.operators.binshard import (
+        commit_trainer_cursor,
+        export_epoch_order,
+        export_preference_shards,
+        read_bin_window,
+        resume_bin_window,
+    )
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(n, mark=None):
+        return spark.createDataFrame(
+            [
+                (i, [99] if i == mark else [1 + i % 6], [True])
+                for i in range(n)
+            ],
+            ddl,
+        )
+
+    out = str(tmp_path / "cur")
+    export_bin_shards(mk(30), out, 3, salt="c")
+    export_epoch_order(spark, out, 0, salt="c0")
+    export_epoch_order(spark, out, 1, salt="c1")
+    served = []
+    cur = None
+    for _ in range(4):  # 12 + 12 + 6(rollover clamp) + 12
+        frame, cur = resume_bin_window(spark, out, 12)
+        served.append(frame.orderBy("global_pos").collect())
+        commit_trainer_cursor(out, cur)
+    assert [len(w) for w in served] == [12, 12, 6, 12]
+    # windows 1-3 tile epoch 0 exactly
+    e0 = read_bin_window(spark, out, 0, 0, 30).orderBy(
+        "global_pos"
+    ).collect()
+    flat = [r.seq_id for w in served[:3] for r in w]
+    assert flat == [r.seq_id for r in e0]
+    # window 4 is epoch 1's head
+    assert cur["epoch"] == 1 and cur["next_pos"] == 12
+    e1 = read_bin_window(spark, out, 1, 0, 12).orderBy(
+        "global_pos"
+    ).collect()
+    assert [r.seq_id for r in served[3]] == [r.seq_id for r in e1]
+    # corpus version bump -> committed cursor refused loudly
+    export_bin_shards(
+        mk(30, mark=7), out, 3, salt="c", incremental=True
+    )
+    export_epoch_order(spark, out, 0, salt="c0")
+    with pytest.raises(Exception, match="export_version"):
+        resume_bin_window(spark, out, 12)
+    # pair layout dispatches to the pairwise reader
+    pout = str(tmp_path / "cur_pairs")
+    export_preference_shards(
+        _pair_frame(spark, 10), pout, 2, salt="p"
+    )
+    export_epoch_order(spark, pout, 0, salt="p0", unit="pair")
+    frame, cur = resume_bin_window(spark, pout, 4)
+    rows = frame.collect()
+    assert len(rows) == 4 and "chosen_tokens" in frame.columns
+    assert cur == {"epoch": 0, "next_pos": 4, "export_version": 1}

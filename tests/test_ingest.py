@@ -1444,3 +1444,81 @@ def test_bin_export_batch_range_sharding_touches_only_tail(
     assert sorted(
         r.seq_id for r in back.select("seq_id").collect()
     ) == list(range(105))
+
+
+def test_preference_bin_export_sink_streaming_pairs(
+    spark, tmp_path
+):
+    """Streaming DPO shard maintenance: pairs accumulate across
+    micro-batches at batch-proportional cost, adjacency survives
+    every delta (verify_preference_shards recounts it), pair-unit
+    epoch orders re-derive per commit, and the resume window serves
+    the grown pair set."""
+    from topn_spark.operators.binshard import (
+        read_preference_shards,
+        read_preference_window,
+        verify_preference_shards,
+    )
+    from topn_spark.streaming.ingest import preference_bin_export_sink
+
+    src = str(tmp_path / "pp_src")
+    corpus = str(tmp_path / "pp_store")
+    out = str(tmp_path / "pp_out")
+    ck = str(tmp_path / "pp_ck")
+    schema = (
+        "pair_id bigint, chosen_tokens array<bigint>,"
+        " chosen_mask array<boolean>,"
+        " rejected_tokens array<bigint>,"
+        " rejected_mask array<boolean>"
+    )
+
+    def rows(lo, hi):
+        return [
+            (p, [1 + p % 5, 2], [False, True],
+             [3, 4, 5], [False, True, True])
+            for p in range(lo, hi)
+        ]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = preference_bin_export_sink(
+            stream, corpus, out, ck, 0,
+            seqs_per_shard=8, epochs=(0,), epoch_salt="e",
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(rows(0, 20), schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert read_preference_shards(spark, out).count() == 20
+    spark.createDataFrame(rows(20, 31), schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    back = {
+        r.pair_id: (r.chosen_tokens, r.rejected_mask)
+        for r in read_preference_shards(spark, out).collect()
+    }
+    assert len(back) == 31
+    assert back[25] == ([1 + 25 % 5, 2], [False, True, True])
+    v = verify_preference_shards(spark, out).collect()
+    assert all(r.ok and r.pairing_ok for r in v)
+    # the re-derived pair-unit epoch covers all 31 pairs
+    win = read_preference_window(spark, out, 0, 0, 31).collect()
+    assert sorted(r.pair_id for r in win) == list(range(31))
+    # restart with no new data: nothing changes
+    import glob
+    import hashlib
+    import os
+
+    h = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "shard_*"))
+    }
+    run()
+    h2 = {
+        os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "shard_*"))
+    }
+    assert h == h2

@@ -2674,3 +2674,28 @@ def test_bin_shard_sink_range_sharding_property(spark, tmp_path):
     )
     assert _read_meta(spark, out)["shard_scheme"] == "range:10"
     assert read_bin_shards(spark, out).count() == 25
+
+
+def test_cli_bin_data_card_and_object_root(spark, tmp_path, capsys):
+    """bin-data-card prints the card; --object-root drives both
+    CLI commands through the object-store backend."""
+    from topn_spark.__main__ import main
+    from topn_spark.operators.binfs import ObjectStoreBinaryStore
+    from topn_spark.operators.binshard import export_bin_shards
+
+    df = spark.createDataFrame(
+        [(i, [1 + i % 4], [True]) for i in range(9)],
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>",
+    )
+    root = str(tmp_path / "cli_bucket")
+    st = ObjectStoreBinaryStore(root)
+    export_bin_shards(df, "b/corpus", 2, store=st)
+    assert main(
+        ["verify-bin-shards", "b/corpus", "--object-root", root]
+    ) == 0
+    assert main(
+        ["bin-data-card", "b/corpus", "--object-root", root]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "n_seqs: 9" in out and "layout: seq" in out

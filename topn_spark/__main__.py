@@ -14,10 +14,15 @@ than write code (the reference's own audience):
 - ``verify-shards DIR [--token-field F]`` — recount an exported
   shard set against its stored ``_manifest`` (the torn-export
   audit); prints the per-shard verdict table, exit 1 on mismatch.
-- ``verify-bin-shards DIR`` — byte-level verify of a trainer-native
-  BINARY shard set (.bin/.idx/.msk/.ast vs the crc manifest),
-  dispatching on the recorded layout: preference (pair) sets also
-  re-check the even/odd pairing invariant. Exit 1 on any bad shard.
+- ``verify-bin-shards DIR [--object-root ROOT]`` — byte-level verify
+  of a trainer-native BINARY shard set (.bin/.idx/.msk/.ast vs the
+  crc manifest), dispatching on the recorded layout: preference
+  (pair) sets also re-check the even/odd pairing invariant.
+  ``--object-root`` verifies a set written through the object-store
+  backend (DIR is then the key prefix). Exit 1 on any bad shard.
+- ``bin-data-card DIR [--object-root ROOT]`` — print the one-row
+  release card of a binary shard set (layout-aware: preference sets
+  include the per-stream chosen/rejected accounting).
 """
 
 from __future__ import annotations
@@ -120,6 +125,14 @@ def _cmd_verify_shards(args) -> int:
     return 0
 
 
+def _bin_store(args):
+    if getattr(args, "object_root", None):
+        from topn_spark.operators.binfs import ObjectStoreBinaryStore
+
+        return ObjectStoreBinaryStore(args.object_root)
+    return None  # LocalBinaryStore default inside the operators
+
+
 def _cmd_verify_bin_shards(args) -> int:
     from topn_spark.operators.binshard import (
         _read_meta,
@@ -128,13 +141,16 @@ def _cmd_verify_bin_shards(args) -> int:
     )
 
     spark = _session()
-    meta = _read_meta(spark, args.dir)
+    st = _bin_store(args)
+    meta = _read_meta(spark, args.dir, st)
     layout = (meta or {}).get("layout") or "seq"
     verify = (
         verify_preference_shards if layout == "pair"
         else verify_bin_shards
     )
-    rows = verify(spark, args.dir).orderBy("shard").collect()
+    rows = verify(spark, args.dir, store=st).orderBy(
+        "shard"
+    ).collect()
     show = [
         "shard", "n_seqs", "n_tokens", "bin_bytes", "bin_crc32",
         "ok",
@@ -154,6 +170,17 @@ def _cmd_verify_bin_shards(args) -> int:
         )
         return 1
     print(f"all {len(rows)} shards verified (layout={layout})")
+    return 0
+
+
+def _cmd_bin_data_card(args) -> int:
+    from topn_spark.operators.binshard import bin_shard_data_card
+
+    [row] = bin_shard_data_card(
+        _session(), args.dir, store=_bin_store(args)
+    ).collect()
+    for k, v in row.asDict().items():
+        print(f"{k}: {v}")
     return 0
 
 
@@ -198,7 +225,16 @@ def main(argv: list[str] | None = None) -> int:
         "(layout-aware: preference sets also check pairing)",
     )
     vb.add_argument("dir")
+    vb.add_argument("--object-root", default=None)
     vb.set_defaults(fn=_cmd_verify_bin_shards)
+
+    dc = sub.add_parser(
+        "bin-data-card",
+        help="print the one-row release card of a binary shard set",
+    )
+    dc.add_argument("dir")
+    dc.add_argument("--object-root", default=None)
+    dc.set_defaults(fn=_cmd_bin_data_card)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -993,6 +993,8 @@ def export_bin_shards_delta(
     assets_col: str | None = None,
     store=None,
     seqs_per_shard: int | None = None,
+    shard_key_col: str | None = None,
+    layout: str = "seq",
 ) -> DataFrame:
     """Batch-proportional incremental re-export: bring a binary
     shard set up to date after APPENDING ``batch`` to a corpus
@@ -1066,7 +1068,7 @@ def export_bin_shards_delta(
     scheme = _shard_scheme(n_shards, salt, seqs_per_shard)
     want = {
         "has_mask": has_mask, "has_assets": has_ast,
-        "layout": "seq", "shard_scheme": scheme,
+        "layout": layout, "shard_scheme": scheme,
     }
 
     def _stored(k):
@@ -1099,7 +1101,8 @@ def export_bin_shards_delta(
 
     if "shard" not in batch.columns:
         batch = _assign_shards(
-            batch, n_shards, id_col, salt, seqs_per_shard
+            batch, n_shards, shard_key_col or id_col, salt,
+            seqs_per_shard,
         )
     hashed_b = _hashed_projection(
         batch, tokens_col, mask_col, id_col, assets_col
@@ -1984,6 +1987,52 @@ class _NullCtx:
 # preference (chosen/rejected) binary shards
 # ------------------------------------------------------------------
 
+def _stack_pairs(
+    df: DataFrame,
+    pair_id_col: str,
+    chosen_tokens_col: str,
+    rejected_tokens_col: str,
+    chosen_mask_col: str | None,
+    rejected_mask_col: str | None,
+    caller: str,
+) -> tuple[DataFrame, bool]:
+    """One pair row → two stacked sequence rows under
+    ``seq_id = 2·pair + stream`` (stream 0 = chosen, 1 = rejected)
+    with ``pair_id`` kept for shard keying — the single definition
+    of the pair→sequence encoding shared by the batch exporter, the
+    streaming delta, and the corpus-store land step (a second
+    definition drifting from this one would silently tear the
+    adjacency contract)."""
+    if (chosen_mask_col is None) != (rejected_mask_col is None):
+        raise ValueError(
+            f"{caller}: chosen/rejected mask columns must both be "
+            "set or both be None"
+        )
+    if df.schema[pair_id_col].dataType.simpleString() not in (
+        _INTEGRAL
+    ):
+        raise ValueError(f"{caller}: {pair_id_col} must be integral")
+    pid = F.col(pair_id_col).cast("bigint")
+    has_mask = chosen_mask_col is not None
+
+    def side(stream, toks_col, mask_col):
+        cols = [
+            pid.alias("pair_id"),
+            (pid * 2 + F.lit(stream)).alias("seq_id"),
+            F.col(toks_col).alias("tokens"),
+        ]
+        if has_mask:
+            cols.append(F.col(mask_col).alias("loss_mask"))
+        return df.select(*cols)
+
+    return (
+        side(0, chosen_tokens_col, chosen_mask_col).unionAll(
+            side(1, rejected_tokens_col, rejected_mask_col)
+        ),
+        has_mask,
+    )
+
+
 def export_preference_shards(
     df: DataFrame,
     out_dir: str,
@@ -2023,33 +2072,10 @@ def export_preference_shards(
     Round-trip inverse: :func:`read_preference_shards`; integrity:
     :func:`verify_preference_shards` (byte level + the even/odd
     adjacency invariant)."""
-    if (chosen_mask_col is None) != (rejected_mask_col is None):
-        raise ValueError(
-            "export_preference_shards: chosen/rejected mask "
-            "columns must both be set or both be None"
-        )
-    if df.schema[pair_id_col].dataType.simpleString() not in (
-        _INTEGRAL
-    ):
-        raise ValueError(
-            f"export_preference_shards: {pair_id_col} must be "
-            "integral"
-        )
-    pid = F.col(pair_id_col).cast("bigint")
-    has_mask = chosen_mask_col is not None
-
-    def side(stream, toks_col, mask_col):
-        cols = [
-            pid.alias("pair_id"),
-            (pid * 2 + F.lit(stream)).alias("seq_id"),
-            F.col(toks_col).alias("tokens"),
-        ]
-        if has_mask:
-            cols.append(F.col(mask_col).alias("loss_mask"))
-        return df.select(*cols)
-
-    stacked = side(0, chosen_tokens_col, chosen_mask_col).unionAll(
-        side(1, rejected_tokens_col, rejected_mask_col)
+    stacked, has_mask = _stack_pairs(
+        df, pair_id_col, chosen_tokens_col, rejected_tokens_col,
+        chosen_mask_col, rejected_mask_col,
+        caller="export_preference_shards",
     )
     return export_bin_shards(
         stacked,
@@ -2065,6 +2091,61 @@ def export_preference_shards(
         store=store,
         layout="pair",
         seqs_per_shard=seqs_per_shard,
+    )
+
+
+def export_preference_shards_delta(
+    batch: DataFrame,
+    store_df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    pair_id_col: str = "pair_id",
+    chosen_tokens_col: str = "chosen_tokens",
+    rejected_tokens_col: str = "rejected_tokens",
+    chosen_mask_col: str | None = "chosen_mask",
+    rejected_mask_col: str | None = "rejected_mask",
+    salt: str = "",
+    store=None,
+    seqs_per_shard: int | None = None,
+) -> DataFrame:
+    """Batch-proportional incremental re-export for PREFERENCE
+    shard sets — :func:`export_bin_shards_delta` at the pair layer
+    (a DPO data service accumulates (chosen, rejected) pairs
+    continuously; rescanning the pair store per micro-batch is the
+    same corpus-sized anti-pattern the seq-layout delta closed):
+    the batch of NEW pairs stacks into the ``2·pair + stream``
+    sequence encoding (:func:`_stack_pairs` — the same single
+    definition the full exporter uses), signatures fold from the
+    stacked batch alone, and the rewrite reads only the touched
+    shards' partitions of ``store_df`` (the STACKED pair store,
+    ``shard`` column present — the
+    :func:`~topn_spark.streaming.ingest.preference_bin_export_batch`
+    layout). Sharding keys on the PAIR id, so both halves of every
+    pair stay co-located and the rewrite's ascending-id order keeps
+    them adjacent — the pairing invariant survives any number of
+    deltas (``verify_preference_shards`` recounts it).
+    ``seqs_per_shard`` is in PAIRS under range sharding (each shard
+    then holds ≤ 2·seqs_per_shard sequences). Pair ids must be
+    append-only unique; the writer's duplicate raise and the fold
+    cross-check both fire if not."""
+    stacked, has_mask = _stack_pairs(
+        batch, pair_id_col, chosen_tokens_col, rejected_tokens_col,
+        chosen_mask_col, rejected_mask_col,
+        caller="export_preference_shards_delta",
+    )
+    return export_bin_shards_delta(
+        stacked,
+        store_df,
+        out_dir,
+        n_shards,
+        tokens_col="tokens",
+        mask_col="loss_mask" if has_mask else None,
+        id_col="seq_id",
+        salt=salt,
+        store=store,
+        seqs_per_shard=seqs_per_shard,
+        shard_key_col="pair_id",
+        layout="pair",
     )
 
 
@@ -2551,3 +2632,128 @@ def read_preference_window(
                 yield pd.DataFrame(rows, columns=cols)
 
     return wdf.mapInPandas(_read, schema)
+
+
+# ------------------------------------------------------------------
+# trainer resume cursor
+# ------------------------------------------------------------------
+
+_CURSOR_SCHEMA = "epoch int, next_pos bigint, export_version bigint"
+
+
+def load_trainer_cursor(
+    spark: SparkSession, out_dir: str, store=None
+) -> dict | None:
+    """Load the consumption cursor committed beside a shard set
+    (``_cursor`` — model-sized, read driver-side); None before the
+    first :func:`commit_trainer_cursor`."""
+    st = store or LocalBinaryStore()
+    rows = st.read_parquet_rows(os.path.join(out_dir, "_cursor"))
+    return dict(rows[0]) if rows else None
+
+
+def commit_trainer_cursor(
+    out_dir: str, cursor: dict, store=None
+) -> None:
+    """Persist the consumption cursor — called AFTER the trainer
+    checkpoints the step the window fed (the two-phase shape:
+    :func:`resume_bin_window` returns the advanced cursor WITHOUT
+    persisting it, so a crash between serving and checkpointing
+    replays the window instead of skipping it)."""
+    st = store or LocalBinaryStore()
+    st.write_parquet(
+        os.path.join(out_dir, "_cursor"),
+        [
+            {
+                "epoch": int(cursor["epoch"]),
+                "next_pos": int(cursor["next_pos"]),
+                "export_version": int(cursor["export_version"]),
+            }
+        ],
+        _CURSOR_SCHEMA,
+    )
+
+
+def resume_bin_window(
+    spark: SparkSession,
+    out_dir: str,
+    batch_units: int,
+    store=None,
+):
+    """One-call trainer-resume handshake over a binary shard set:
+    read the committed cursor (epoch, next position, the
+    ``export_version`` it was minted against), serve the next
+    ``batch_units`` of the epoch's consumption order via the
+    seek-don't-scan window readers, and return ``(frame,
+    advanced_cursor)`` — the caller trains on the frame, checkpoints,
+    THEN :func:`commit_trainer_cursor`\\ s the advanced cursor
+    (at-least-once on crash, never silent skips). Wraps every loud
+    contract in one place:
+
+    - no cursor yet → start at epoch 0 position 0 (epoch 0's order
+      must exist — :func:`_load_epoch`'s remediation raise if not);
+    - cursor minted at an older ``export_version`` → RAISE: the
+      corpus (and thus every permutation) changed under the
+      trainer; decide upstream whether to restart the epoch or map
+      consumed progress onto the new order, then commit a cursor at
+      the new version — serving positions from a different
+      permutation would silently repeat and skip data;
+    - epoch exhausted → roll to the next epoch's order (which must
+      exist — the raise says to export it; ``bin_export_sink
+      (epochs=...)`` keeps a window of orders current);
+    - layout dispatch: ``seq`` layouts serve
+      :func:`read_bin_window` rows (``batch_units`` sequences),
+      ``pair`` layouts serve :func:`read_preference_window` rows
+      (``batch_units`` PAIRS) — a DPO trainer resumes in pairs, by
+      construction unable to tear one.
+
+    Scale shape: cursor + epoch manifests are model-sized
+    driver reads; the window read's bytes ∝ ``batch_units``."""
+    st = store or LocalBinaryStore()
+    meta = _read_meta(spark, out_dir, st)
+    if meta is None:
+        raise IOError(
+            f"resume_bin_window: no export at {out_dir}"
+        )
+    version = int(meta["export_version"])
+    layout = meta.get("layout") or "seq"
+    cur = load_trainer_cursor(spark, out_dir, st)
+    if cur is None:
+        cur = {"epoch": 0, "next_pos": 0, "export_version": version}
+    if int(cur["export_version"]) != version:
+        raise IOError(
+            "resume_bin_window: the cursor was committed at "
+            f"export_version {int(cur['export_version'])} but the "
+            f"store is now at {version} — the corpus (and every "
+            "epoch permutation) changed under the trainer. Decide "
+            "the resume semantics upstream (restart the epoch, or "
+            "map consumed progress onto the re-exported order), "
+            "re-run export_epoch_order if needed, and commit a "
+            "cursor at the new version; serving positions from a "
+            "different permutation would silently repeat and skip "
+            "data"
+        )
+    epoch = int(cur["epoch"])
+    pos = int(cur["next_pos"])
+    ep_rows = _load_epoch(spark, out_dir, epoch, st)
+    total = sum(
+        int(r.get("n_units", r["n_seqs"])) for r in ep_rows
+    )
+    if pos >= total:
+        epoch += 1
+        pos = 0
+        ep_rows = _load_epoch(spark, out_dir, epoch, st)
+        total = sum(
+            int(r.get("n_units", r["n_seqs"])) for r in ep_rows
+        )
+    stop = min(pos + int(batch_units), total)
+    reader = (
+        read_preference_window if layout == "pair"
+        else read_bin_window
+    )
+    frame = reader(spark, out_dir, epoch, pos, stop, store=st)
+    return frame, {
+        "epoch": epoch,
+        "next_pos": stop,
+        "export_version": version,
+    }

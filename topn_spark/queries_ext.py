@@ -17586,3 +17586,223 @@ def z136_streaming_bootstrap_ci(spark, sf_dir):
         spark.read.parquet(f"{out}/decayed_ci/batch_id=1")
         .orderBy("model")
     )
+
+
+@query(
+    "z137_streaming_preference_maintenance",
+    r"""WITH t AS (
+  SELECT doc_id AS pair_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS ct
+  FROM documents WHERE doc_id < 250
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+p AS (
+  SELECT pair_id, ct,
+    list_prepend(CAST(5 AS BIGINT),
+      list_transform(ct, x -> LEAST(x, CAST(9 AS BIGINT)))) AS rt,
+    list_transform(ct, x -> x >= 4) AS cm,
+    CAST(CAST(('0x' || substring(md5(CAST(pair_id AS VARCHAR)
+      || 'z137'), 1, 8)) AS BIGINT) % 5 AS INT) AS shard
+  FROM t),
+f AS (
+  SELECT *, list_transform(rt, x -> x >= 3) AS rm FROM p)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pair_id) - 1
+    AS BIGINT) AS pair_index,
+  pair_id,
+  CAST(len(ct) AS BIGINT) AS chosen_n_tokens,
+  CAST(len(rt) AS BIGINT) AS rejected_n_tokens,
+  CAST(len(list_filter(cm, x -> x)) AS BIGINT)
+    AS chosen_n_supervised,
+  CAST(len(list_filter(rm, x -> x)) AS BIGINT)
+    AS rejected_n_supervised,
+  ct AS chosen_tokens, rt AS rejected_tokens,
+  cm AS chosen_mask, rm AS rejected_mask
+FROM f ORDER BY pair_id ASC""",
+    doc="STREAMING PREFERENCE SHARD MAINTENANCE (streaming/"
+    "ingest.py::preference_bin_export_batch/_sink + binshard.py::"
+    "export_preference_shards_delta) — the DPO analogue of z132: a"
+    " preference data service accumulates (chosen, rejected) pairs"
+    " continuously, and rescanning the pair store per micro-batch"
+    " is the same corpus-sized anti-pattern the seq-layout delta"
+    " closed. Each batch of NEW pairs stacks into the single"
+    " 2*pair+stream encoding the batch exporter uses, lands in the"
+    " corpus store partitioned by the PAIR-keyed shard id, and the"
+    " shard set re-exports through the same signature-fold /"
+    " partition-pruned-rewrite / cross-check / replay machinery —"
+    " with both halves of every pair physically adjacent after any"
+    " number of deltas (the rewrite re-sorts each touched shard by"
+    " seq_id; verify_preference_shards recounts the invariant, and"
+    " the e2e pytest also re-derives pair-unit epoch orders per"
+    " commit and window-reads the grown set). This entry RUNS"
+    " three maintenance commits (pair_id [0,100), [100,180),"
+    " [180,250)) and returns the final pairwise read-back: the"
+    " oracle match proves three folded pair-deltas = the"
+    " declarative result over all pairs, hash-exact on all four"
+    " arrays. Scale: per commit = batch write + batch-sized"
+    " aggregate + touched-shard rewrite; with seqs_per_shard"
+    " (pairs) range sharding, flat as the pair store grows.",
+)
+def z137_streaming_preference_maintenance(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import read_preference_shards
+    from topn_spark.operators.textstats import tokens
+    from topn_spark.streaming.ingest import (
+        preference_bin_export_batch,
+    )
+
+    d = F.col("doc_id")
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .where(d < 250)
+        .select(
+            d.alias("pair_id"),
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("chosen_tokens"),
+        )
+        .where(F.size("chosen_tokens") > 0)
+        .withColumn(
+            "rejected_tokens",
+            F.concat(
+                F.array(F.lit(5).cast("bigint")),
+                F.transform(
+                    "chosen_tokens", lambda t: F.least(t, F.lit(9))
+                ),
+            ),
+        )
+        .withColumn(
+            "chosen_mask",
+            F.transform("chosen_tokens", lambda t: t >= 4),
+        )
+        .withColumn(
+            "rejected_mask",
+            F.transform("rejected_tokens", lambda t: t >= 3),
+        )
+    )
+    base = f"/tmp/topn_z137_{os.path.basename(sf_dir.rstrip('/'))}"
+    corpus, out = f"{base}_store", f"{base}_out"
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    pid = F.col("pair_id")
+    for i, (lo, hi) in enumerate([(0, 100), (100, 180), (180, 250)]):
+        preference_bin_export_batch(
+            pairs.where((pid >= lo) & (pid < hi)),
+            corpus, out, i, 5, salt="z137",
+        )
+    return read_preference_shards(spark, out).orderBy("pair_id")
+
+
+@query(
+    "z138_trainer_cursor_resume",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 200
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id AS seq_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+      || 'z138'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+  FROM t),
+ix AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY seq_id) - 1
+      AS BIGINT) AS seq_index
+  FROM m),
+pos AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+      md5('0:' || CAST(shard AS VARCHAR) || ':'
+        || CAST(seq_index AS VARCHAR) || 'z138e'),
+      seq_index) - 1 AS BIGINT) AS position
+  FROM ix),
+sh AS (
+  SELECT shard, COUNT(*) AS n_seqs,
+    md5('0:' || CAST(shard AS VARCHAR) || 'z138e') AS skey
+  FROM pos GROUP BY shard),
+sp AS (
+  SELECT shard,
+    CAST(ROW_NUMBER() OVER (ORDER BY skey, shard) - 1 AS INT)
+      AS shard_pos,
+    CAST(COALESCE(SUM(n_seqs) OVER (ORDER BY skey, shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS base
+  FROM sh)
+SELECT base + position AS global_pos, shard, shard_pos, position,
+  seq_index, seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM pos JOIN sp USING (shard)
+WHERE base + position < 120
+ORDER BY global_pos ASC""",
+    doc="TRAINER CURSOR RESUME HANDSHAKE (operators/binshard.py::"
+    "resume_bin_window/commit_trainer_cursor/load_trainer_cursor) —"
+    " the one-call consumption loop over a binary shard set:"
+    " resume_bin_window reads the committed _cursor (epoch, next"
+    " position, the export_version it was minted against), serves"
+    " the next batch of the epoch's order via the seek-don't-scan"
+    " window readers, and returns the frame plus the ADVANCED"
+    " cursor, which the trainer commits only AFTER checkpointing —"
+    " the two-phase shape that replays a window on crash instead"
+    " of silently skipping it. Every failure is loud: a cursor"
+    " minted at an older export_version raises the"
+    " corpus-moved-under-you remediation (serving positions from a"
+    " different permutation would repeat AND skip data), an"
+    " exhausted epoch rolls to the next order or says to export"
+    " it, and pair layouts dispatch to the pairwise reader so a"
+    " DPO trainer cannot tear a pair (all pytest-pinned). This"
+    " entry RUNS export + epoch export + THREE cursor-committed"
+    " resume calls (40 units each) and returns their union — the"
+    " oracle recomputes positions [0,120) of the epoch-0"
+    " dereference chain in DuckDB, hash-exact: three handshakes ="
+    " one contiguous slice, no repeat, no skip. Scale: cursor and"
+    " epoch manifests are model-sized driver reads; window bytes"
+    " are proportional to the batch.",
+)
+def z138_trainer_cursor_resume(spark, sf_dir):
+    import os
+    import shutil
+    from functools import reduce
+
+    from topn_spark.operators.binshard import (
+        commit_trainer_cursor,
+        export_bin_shards,
+        export_epoch_order,
+        resume_bin_window,
+    )
+    from topn_spark.operators.textstats import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask", F.transform("tokens", lambda t: t >= 4)
+        )
+    )
+    out = f"/tmp/topn_z138_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    export_bin_shards(docs, out, 4, id_col="doc_id", salt="z138")
+    export_epoch_order(spark, out, 0, salt="z138e")
+    windows = []
+    for _ in range(3):
+        frame, cur = resume_bin_window(spark, out, 40)
+        windows.append(frame)
+        commit_trainer_cursor(out, cur)
+    return reduce(lambda a, b: a.unionAll(b), windows).orderBy(
+        "global_pos"
+    )

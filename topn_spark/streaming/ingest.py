@@ -1510,6 +1510,9 @@ def bin_export_batch(
     epochs: tuple[int, ...] = (),
     epoch_salt: str = "",
     seqs_per_shard: int | None = None,
+    _shard_key_col: str | None = None,
+    _layout: str = "seq",
+    _epoch_unit: str = "seq",
 ) -> DataFrame:
     """Keep a trainer-native binary shard set CURRENT from one
     micro-batch of packed sequences — streaming maintenance for
@@ -1587,7 +1590,8 @@ def bin_export_batch(
 
     spark = batch.sparkSession
     assigned = _assign_shards(
-        batch, n_shards, id_col, salt, seqs_per_shard
+        batch, n_shards, _shard_key_col or id_col, salt,
+        seqs_per_shard,
     )
     replayed = _glob.glob(
         os.path.join(
@@ -1636,6 +1640,8 @@ def bin_export_batch(
             assets_col=assets_col,
             store=store,
             seqs_per_shard=seqs_per_shard,
+            shard_key_col=_shard_key_col,
+            layout=_layout,
         )
         changed = True
     elif replayed:
@@ -1652,6 +1658,8 @@ def bin_export_batch(
             incremental=True,
             store=store,
             seqs_per_shard=seqs_per_shard,
+            shard_key_col=_shard_key_col,
+            layout=_layout,
         )
         changed = any(r["rewritten"] for r in man.collect())
     else:
@@ -1667,6 +1675,8 @@ def bin_export_batch(
             assets_col=assets_col,
             store=store,
             seqs_per_shard=seqs_per_shard,
+            shard_key_col=_shard_key_col,
+            layout=_layout,
         )
         changed = any(r["rewritten"] for r in man.collect())
     if epochs:
@@ -1678,7 +1688,8 @@ def bin_export_batch(
                 os.path.join(out_dir, f"_epoch_{int(e):04d}")
             ):
                 export_epoch_order(
-                    spark, out_dir, e, salt=epoch_salt, store=st
+                    spark, out_dir, e, salt=epoch_salt, store=st,
+                    unit=_epoch_unit,
                 )
     return man
 
@@ -1726,6 +1737,122 @@ def bin_export_sink(
             dtype=dtype,
             salt=salt,
             assets_col=assets_col,
+            store=store,
+            epochs=epochs,
+            epoch_salt=epoch_salt,
+            seqs_per_shard=seqs_per_shard,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def preference_bin_export_batch(
+    batch: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    batch_id: int,
+    n_shards: int,
+    pair_id_col: str = "pair_id",
+    chosen_tokens_col: str = "chosen_tokens",
+    rejected_tokens_col: str = "rejected_tokens",
+    chosen_mask_col: str | None = "chosen_mask",
+    rejected_mask_col: str | None = "rejected_mask",
+    dtype: str = "auto",
+    salt: str = "",
+    store=None,
+    epochs: tuple[int, ...] = (),
+    epoch_salt: str = "",
+    seqs_per_shard: int | None = None,
+) -> DataFrame:
+    """:func:`bin_export_batch` for PREFERENCE pairs — streaming
+    maintenance of a DPO/KTO trainer shard set: each micro-batch of
+    (chosen, rejected) pairs stacks into the ``2·pair + stream``
+    sequence encoding (the one :func:`~topn_spark.operators.
+    binshard._stack_pairs` definition the batch exporter uses too),
+    lands in the corpus store partitioned by the PAIR-keyed shard id
+    + ``batch_id``, and the shard set re-exports at
+    batch-proportional cost through the same fold / partition-prune /
+    cross-check / replay machinery. Both halves of every pair stay
+    physically adjacent across any number of deltas (the export
+    re-sorts each touched shard by seq_id), so
+    ``read_preference_shards`` / ``read_preference_window`` keep
+    working and ``verify_preference_shards`` keeps recounting the
+    pairing invariant. ``epochs`` re-derives PAIR-unit epoch orders
+    after content-changing commits; ``seqs_per_shard`` (in PAIRS)
+    selects range sharding for flat per-commit cost under roughly
+    increasing pair ids. Pair ids must be append-only unique."""
+    from topn_spark.operators.binshard import _stack_pairs
+
+    stacked, has_mask = _stack_pairs(
+        batch, pair_id_col, chosen_tokens_col, rejected_tokens_col,
+        chosen_mask_col, rejected_mask_col,
+        caller="preference_bin_export_batch",
+    )
+    return bin_export_batch(
+        stacked,
+        corpus_dir,
+        out_dir,
+        batch_id,
+        n_shards,
+        tokens_col="tokens",
+        mask_col="loss_mask" if has_mask else None,
+        id_col="seq_id",
+        dtype=dtype,
+        salt=salt,
+        store=store,
+        epochs=epochs,
+        epoch_salt=epoch_salt,
+        seqs_per_shard=seqs_per_shard,
+        _shard_key_col="pair_id",
+        _layout="pair",
+        _epoch_unit="pair",
+    )
+
+
+def preference_bin_export_sink(
+    stream: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int,
+    pair_id_col: str = "pair_id",
+    chosen_tokens_col: str = "chosen_tokens",
+    rejected_tokens_col: str = "rejected_tokens",
+    chosen_mask_col: str | None = "chosen_mask",
+    rejected_mask_col: str | None = "rejected_mask",
+    dtype: str = "auto",
+    salt: str = "",
+    store=None,
+    epochs: tuple[int, ...] = (),
+    epoch_salt: str = "",
+    seqs_per_shard: int | None = None,
+):
+    """Attach :func:`preference_bin_export_batch` to a stream of
+    preference pairs: after every commit the preference shard set
+    equals the full pair store (adjacency intact), and with
+    ``epochs`` a DPO trainer's ``read_preference_window`` always
+    finds a current-version pair-unit order. Returns the started
+    ``StreamingQuery``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        preference_bin_export_batch(
+            batch,
+            corpus_dir,
+            out_dir,
+            int(batch_id),
+            n_shards,
+            pair_id_col=pair_id_col,
+            chosen_tokens_col=chosen_tokens_col,
+            rejected_tokens_col=rejected_tokens_col,
+            chosen_mask_col=chosen_mask_col,
+            rejected_mask_col=rejected_mask_col,
+            dtype=dtype,
+            salt=salt,
             store=store,
             epochs=epochs,
             epoch_salt=epoch_salt,
