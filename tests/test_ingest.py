@@ -1522,3 +1522,110 @@ def test_preference_bin_export_sink_streaming_pairs(
         for p in glob.glob(os.path.join(out, "shard_*"))
     }
     assert h == h2
+
+
+def test_bin_export_batch_multimodal_assets_delta(spark, tmp_path):
+    """Streaming maintenance with the .ast multimodal sidecar: the
+    asset-ref binding rides the delta path — folded signatures
+    include the asset arrays, the sidecar rewrites with its shard,
+    and the final set is byte-identical to a from-scratch
+    multimodal export."""
+    import glob
+    import hashlib
+    import os
+
+    from topn_spark.operators.binshard import (
+        export_bin_shards,
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>, asset_ids array<bigint>"
+    )
+
+    def rows(lo, hi):
+        return [
+            (
+                i, [9999, 1 + i % 4], [False, True],
+                [100 + i] if i % 3 else [],
+            )
+            for i in range(lo, hi)
+        ]
+
+    corpus = str(tmp_path / "mm_store")
+    out = str(tmp_path / "mm_out")
+    for b, (lo, hi) in enumerate([(0, 15), (15, 24)]):
+        bin_export_batch(
+            spark.createDataFrame(rows(lo, hi), schema),
+            corpus, out, b, 3, salt="mm", assets_col="asset_ids",
+        )
+    back = {
+        r.seq_id: r.asset_ids
+        for r in read_bin_shards(spark, out).collect()
+    }
+    assert back == {
+        i: ([100 + i] if i % 3 else []) for i in range(24)
+    }
+    assert all(r.ok for r in verify_bin_shards(spark, out).collect())
+    clean = str(tmp_path / "mm_clean")
+    export_bin_shards(
+        spark.createDataFrame(rows(0, 24), schema), clean, 3,
+        salt="mm", assets_col="asset_ids",
+    )
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(d, "shard_*"))
+        }
+
+    assert hashes(out) == hashes(clean)
+
+
+def test_bin_export_sink_object_store_backend(spark, tmp_path):
+    """The streaming sink writes the BINARY layer through the
+    object-store backend (corpus store stays a Spark parquet
+    dataset): commits fold and prune as usual, and the shard set
+    verifies and reads back through object verbs only."""
+    from topn_spark.operators.binfs import ObjectStoreBinaryStore
+    from topn_spark.operators.binshard import (
+        read_bin_shards,
+        verify_bin_shards,
+    )
+    from topn_spark.streaming.ingest import bin_export_sink
+
+    src = str(tmp_path / "ob_src")
+    corpus = str(tmp_path / "ob_store")
+    ck = str(tmp_path / "ob_ck")
+    st = ObjectStoreBinaryStore(str(tmp_path / "ob_bucket"))
+    out = "trainer/corpus"
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = bin_export_sink(
+            stream, corpus, out, ck, 4, salt="ob", store=st
+        )
+        q.awaitTermination(180)
+
+    for lo, hi in [(0, 12), (12, 20)]:
+        spark.createDataFrame(
+            [(i, [1 + i % 5], [True]) for i in range(lo, hi)],
+            schema,
+        ).write.mode("append").parquet(src)
+        run()
+    back = read_bin_shards(spark, out, store=st)
+    assert sorted(
+        r.seq_id for r in back.select("seq_id").collect()
+    ) == list(range(20))
+    assert all(
+        r.ok for r in verify_bin_shards(spark, out, store=st).collect()
+    )

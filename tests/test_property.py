@@ -885,3 +885,128 @@ def test_window_read_equals_slice_property(
         assert (f.seq_id, f.tokens, f.loss_mask) == (
             r.seq_id, r.tokens, r.loss_mask,
         )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 50), min_size=1, max_size=5),
+        min_size=1,
+        max_size=14,
+    ),
+    owners=st.data(),
+)
+def test_streaming_maintenance_equals_full_export_property(
+    spark, tmp_path_factory, docs, owners
+):
+    """For ANY corpus and ANY partition of it into ordered
+    micro-batches, the sequence of bin_export_batch commits
+    produces shard files BYTE-IDENTICAL to one from-scratch export
+    of the whole corpus — the folded signatures, partition-pruned
+    rewrites, and manifest carry-forward compose to the pure
+    declarative result regardless of how ingestion was sliced."""
+    import glob
+    import hashlib
+    import os
+
+    from hypothesis import strategies as hst
+
+    from topn_spark.operators.binshard import export_bin_shards
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    n_batches = owners.draw(hst.integers(1, 3))
+    owner = [
+        owners.draw(hst.integers(0, n_batches - 1))
+        for _ in docs
+    ]
+    rows = [
+        (i, toks, [t % 2 == 0 for t in toks])
+        for i, toks in enumerate(docs)
+    ]
+    base = str(tmp_path_factory.mktemp("smprop"))
+    corpus, out = f"{base}/store", f"{base}/out"
+    for b in range(n_batches):
+        batch = [r for r, o in zip(rows, owner) if o == b]
+        bin_export_batch(
+            spark.createDataFrame(batch, ddl) if batch
+            else spark.createDataFrame([], ddl),
+            corpus, out, b, 4, salt="sm",
+        )
+    clean = f"{base}/clean"
+    export_bin_shards(
+        spark.createDataFrame(rows, ddl), clean, 4, salt="sm"
+    )
+
+    def hashes(d):
+        return {
+            os.path.basename(p): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in glob.glob(os.path.join(d, "shard_*"))
+        }
+
+    assert hashes(out) == hashes(clean)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    n=st.integers(1, 18),
+    draws=st.data(),
+)
+def test_cursor_consumption_tiles_epochs_property(
+    spark, tmp_path_factory, n, draws
+):
+    """For ANY corpus and ANY sequence of batch sizes, repeated
+    resume_bin_window + commit_trainer_cursor consumption tiles
+    epoch 0 then epoch 1 exactly — every position served once, in
+    order, across the epoch boundary, regardless of how the
+    trainer slices its steps."""
+    from hypothesis import strategies as hst
+
+    from topn_spark.operators.binshard import (
+        commit_trainer_cursor,
+        export_bin_shards,
+        export_epoch_order,
+        read_bin_window,
+        resume_bin_window,
+    )
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    df = spark.createDataFrame(
+        [(i, [1 + i % 7], [True]) for i in range(n)], ddl
+    )
+    out = str(tmp_path_factory.mktemp("curprop"))
+    export_bin_shards(df, out, 3, salt="cp")
+    export_epoch_order(spark, out, 0, salt="cp0")
+    export_epoch_order(spark, out, 1, salt="cp1")
+    served = []
+    consumed = 0
+    while consumed < 2 * n:
+        units = draws.draw(hst.integers(1, max(1, n)))
+        frame, cur = resume_bin_window(spark, out, units)
+        got = frame.orderBy("global_pos").collect()
+        served.extend((cur["epoch"], r.global_pos, r.seq_id) for r in got)
+        consumed += len(got)
+        commit_trainer_cursor(out, cur)
+    want = []
+    for e in (0, 1):
+        for r in read_bin_window(spark, out, e, 0, n).orderBy(
+            "global_pos"
+        ).collect():
+            want.append((e, r.global_pos, r.seq_id))
+    assert served == want
