@@ -2699,3 +2699,72 @@ def test_cli_bin_data_card_and_object_root(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "n_seqs: 9" in out and "layout: seq" in out
+
+
+def test_streaming_spec_bin_export_maintenance(spark, tmp_path):
+    """BinExportSink under run_streaming_pipeline: each micro-batch
+    replays the stage with ${batchId} bound to the streaming batch
+    id, so the shard set ACCUMULATES across drains (a plain
+    BinShardSink would overwrite it with each batch's rows) and a
+    re-drain with no new files changes nothing."""
+    from topn_spark.operators.binshard import (
+        _read_meta,
+        read_bin_shards,
+    )
+    from topn_spark.pipelines import run_streaming_pipeline
+
+    src = str(tmp_path / "sb_src")
+    corpus = str(tmp_path / "sb_store")
+    out = str(tmp_path / "sb_out")
+    ck = str(tmp_path / "sb_ck")
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    spec = {
+        "stages": [
+            {
+                "name": "in",
+                "type": "batchsource",
+                "plugin": "File",
+                "properties": {"path": src, "schema": schema},
+            },
+            {
+                "name": "maintain",
+                "type": "batchsink",
+                "plugin": "BinExportSink",
+                "properties": {
+                    "corpusPath": corpus,
+                    "path": out,
+                    "seqsPerShard": "10",
+                    "batchId": "${batchId}",
+                    "epochs": "0",
+                },
+            },
+        ],
+        "connections": [{"from": "in", "to": "maintain"}],
+    }
+
+    def drain():
+        q = run_streaming_pipeline(spark, spec, ck)
+        q.awaitTermination(180)
+
+    for lo, hi in [(0, 14), (14, 23)]:
+        spark.createDataFrame(
+            [(i, [1 + i % 6], [True]) for i in range(lo, hi)],
+            schema,
+        ).write.mode("append").parquet(src)
+        drain()
+    back = read_bin_shards(spark, out)
+    assert sorted(
+        r.seq_id for r in back.select("seq_id").collect()
+    ) == list(range(23))
+    meta = _read_meta(spark, out)
+    assert meta["shard_scheme"] == "range:10"
+    v = meta["export_version"]
+    # epochs re-derived at the current version
+    from topn_spark.operators.binshard import read_bin_window
+
+    assert read_bin_window(spark, out, 0, 0, 23).count() == 23
+    drain()  # no new files: nothing changes
+    assert _read_meta(spark, out)["export_version"] == v

@@ -2412,6 +2412,133 @@ def _stage_pack_multimodal(
     )
 
 
+def _stage_bin_export_sink(
+    spark, stage, inputs, collector, substitutions, phase
+):
+    """BinExportSink batchsink: batch-proportional MAINTENANCE of a
+    trainer binary shard set (streaming/ingest.py::
+    bin_export_batch) — the spec-addressable form of the streaming
+    maintenance path: under ``run_streaming_pipeline`` every
+    micro-batch replays this stage with ``${batchId}`` bound to the
+    Structured Streaming batch id, so the batch lands in the
+    shard-partitioned corpus store and the shard set re-exports by
+    signature fold + partition-pruned rewrite (a plain BinShardSink
+    in a streaming spec would OVERWRITE the set with each batch's
+    rows — the wrong semantics for accumulation). Also usable from
+    batch specs for scheduled append jobs by passing batchId
+    explicitly. Properties: corpusPath (required — the
+    shard-partitioned parquet store), path (required — the binary
+    shard set), nShards OR seqsPerShard (range sharding — the flat
+    per-commit scheme for streaming ids), batchId ('${batchId}'
+    under streaming; an integer >= 0), idField ('seq_id'),
+    tokensField ('tokens'), maskField ('loss_mask'; 'none'),
+    assetsField ('none'), dtype ('auto'), salt (''), epochs
+    (optional comma-separated epoch numbers to re-derive after
+    content-changing commits), epochSalt ('')."""
+    (df,) = inputs
+    p = stage.properties
+    corpus_path = p.get("corpusPath")
+    path = p.get("path")
+    id_col = p.get("idField", "seq_id")
+    tokens_col = p.get("tokensField", "tokens")
+    mask_col: str | None = p.get("maskField", "loss_mask")
+    if mask_col == "none":
+        mask_col = None
+    assets_col: str | None = p.get("assetsField", "none")
+    if assets_col == "none":
+        assets_col = None
+    dtype = p.get("dtype", "auto")
+    ok = True
+    if not corpus_path:
+        collector.add_failure(
+            "BinExportSink needs a 'corpusPath'.",
+            property_name="corpusPath",
+        )
+        ok = False
+    if not path:
+        collector.add_failure(
+            "BinExportSink needs a 'path'.", property_name="path"
+        )
+        ok = False
+    seqs_per_shard = None
+    if "seqsPerShard" in p:
+        seqs_per_shard = _int_prop(
+            p, "seqsPerShard", 1, collector,
+            substitutions=substitutions, phase=phase,
+        )
+        n_shards = 0
+    else:
+        if "nShards" not in p:
+            collector.add_failure(
+                "BinExportSink needs 'nShards' (or 'seqsPerShard' "
+                "for range sharding).",
+                property_name="nShards",
+            )
+            return df
+        n_shards = _int_prop(
+            p, "nShards", 1, collector,
+            substitutions=substitutions, phase=phase,
+        )
+    batch_id = _int_prop(
+        p, "batchId", 0, collector, lo=0,
+        substitutions=substitutions, phase=phase,
+    )
+    epochs_raw = p.get("epochs", "")
+    epochs: tuple[int, ...] = ()
+    if epochs_raw:
+        try:
+            epochs = tuple(
+                int(x) for x in str(epochs_raw).split(",")
+            )
+        except ValueError:
+            collector.add_failure(
+                f"Invalid epochs '{epochs_raw}'.",
+                "Comma-separated integers.",
+                property_name="epochs",
+            )
+            ok = False
+    ok = _require_field(df, id_col, collector, "idField") and ok
+    ok = _require_field(df, tokens_col, collector, "tokensField") and ok
+    if mask_col is not None:
+        ok = _require_field(df, mask_col, collector, "maskField") and ok
+    if assets_col is not None:
+        ok = _require_field(
+            df, assets_col, collector, "assetsField"
+        ) and ok
+    if dtype not in ("auto", "uint16", "uint32"):
+        collector.add_failure(
+            f"Invalid dtype '{dtype}'.",
+            "'auto', 'uint16' or 'uint32'.",
+            property_name="dtype",
+        )
+        ok = False
+    if (
+        (seqs_per_shard is None and n_shards is None)
+        or ("seqsPerShard" in p and seqs_per_shard is None)
+        or batch_id is None
+        or not ok
+    ):
+        return df
+    if phase == "run":
+        mc = FailureCollector()
+        corpus_path = substitute_macros(
+            corpus_path, substitutions or {}, mc, "corpusPath"
+        )
+        path = substitute_macros(path, substitutions or {}, mc, "path")
+        mc.get_or_throw()
+        from topn_spark.streaming.ingest import bin_export_batch
+
+        bin_export_batch(
+            df, corpus_path, path, batch_id, n_shards,
+            tokens_col=tokens_col, mask_col=mask_col,
+            id_col=id_col, dtype=dtype, salt=p.get("salt", ""),
+            assets_col=assets_col, epochs=epochs,
+            epoch_salt=p.get("epochSalt", ""),
+            seqs_per_shard=seqs_per_shard,
+        )
+    return df
+
+
 def _stage_preference_bin_shard_sink(
     spark, stage, inputs, collector, substitutions, phase
 ):
@@ -3315,6 +3442,7 @@ PLUGINS: dict[str, tuple[str, Callable]] = {
     "FileSink": ("batchsink", _stage_sink),
     "ShardSink": ("batchsink", _stage_shard_sink),
     "BinShardSink": ("batchsink", _stage_bin_shard_sink),
+    "BinExportSink": ("batchsink", _stage_bin_export_sink),
     "ValidateAssets": ("batchjoiner", _stage_validate_assets),
     "PackMultimodal": ("transform", _stage_pack_multimodal),
     "PreferenceBinShardSink": (
@@ -3536,8 +3664,15 @@ def run_streaming_pipeline(
     stream = reader.load(path)
 
     def _process(batch_df: DataFrame, _bid: int) -> None:
+        # bind the Structured Streaming batch id into the macro
+        # namespace (reserved key ``batchId``) so maintenance sinks
+        # like BinExportSink get the replay-stable id their
+        # exactly-once contracts key on; a user-supplied batchId
+        # substitution wins (documented escape hatch for tests)
+        subs = dict(substitutions or {})
+        subs.setdefault("batchId", str(int(_bid)))
         _run_with_source(
-            spark, spec, src["name"], batch_df, substitutions,
+            spark, spec, src["name"], batch_df, subs,
             sink_mode="append",
         )
 

@@ -17806,3 +17806,111 @@ def z138_trainer_cursor_resume(spark, sf_dir):
     return reduce(lambda a, b: a.unionAll(b), windows).orderBy(
         "global_pos"
     )
+
+
+@query(
+    "z139_streaming_spec_maintenance",
+    r"""WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      x -> CAST(length(x) AS BIGINT)) AS toks
+  FROM documents WHERE doc_id < 240
+    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+m AS (
+  SELECT doc_id, toks,
+    list_transform(toks, x -> x >= 4) AS msk,
+    CAST(doc_id // 50 AS INT) AS shard
+  FROM t)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+    AS BIGINT) AS seq_index,
+  doc_id AS seq_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_supervised,
+  toks AS tokens, msk AS loss_mask
+FROM m ORDER BY seq_id ASC""",
+    doc="SPEC-ADDRESSABLE STREAMING SHARD MAINTENANCE (pipelines.py"
+    "::BinExportSink + run_streaming_pipeline ${batchId} binding) —"
+    " the deploy-spec audience (the reference's ETLBatchConfig +"
+    " cdap-data-streams users) could not reach the"
+    " batch-proportional maintenance path: a plain BinShardSink in"
+    " a streaming spec replays a FULL export per micro-batch,"
+    " overwriting the shard set with each batch's rows. The new"
+    " BinExportSink stage runs bin_export_batch per replay, with"
+    " the Structured Streaming batch id bound into the macro"
+    " namespace as ${batchId} (the replay-stable id the"
+    " exactly-once contract keys on) — so a JSON spec now declares"
+    " the same fold / partition-pruned-rewrite / range-sharded"
+    " maintenance the library API exposes, epochs re-derived per"
+    " commit included. This entry RUNS two run_streaming_pipeline"
+    " drains over a growing file-stream directory (doc_id [0,150)"
+    " then [150,240), range sharding seqsPerShard=50) and returns"
+    " the binary read-back: the oracle match proves spec-driven"
+    " commits = the declarative full-corpus result under the"
+    " range scheme (shard = id // 50), hash-exact. Scale: identical"
+    " per-commit shape to z132 — the spec layer adds zero passes.",
+)
+def z139_streaming_spec_maintenance(spark, sf_dir):
+    import os
+    import shutil
+
+    from topn_spark.operators.binshard import read_bin_shards
+    from topn_spark.operators.textstats import tokens
+    from topn_spark.pipelines import run_streaming_pipeline
+
+    d = F.col("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(d < 240)
+        .select(
+            d.alias("seq_id"),
+            F.transform(
+                tokens("text"),
+                lambda t: F.length(t).cast("bigint"),
+            ).alias("tokens"),
+        )
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "loss_mask", F.transform("tokens", lambda t: t >= 4)
+        )
+    )
+    base = f"/tmp/topn_z139_{os.path.basename(sf_dir.rstrip('/'))}"
+    src, corpus, out, ck = (
+        f"{base}_src", f"{base}_store", f"{base}_out", f"{base}_ck"
+    )
+    for p in (src, corpus, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    schema = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    spec = {
+        "stages": [
+            {
+                "name": "in",
+                "type": "batchsource",
+                "plugin": "File",
+                "properties": {"path": src, "schema": schema},
+            },
+            {
+                "name": "maintain",
+                "type": "batchsink",
+                "plugin": "BinExportSink",
+                "properties": {
+                    "corpusPath": corpus,
+                    "path": out,
+                    "seqsPerShard": "50",
+                    "batchId": "${batchId}",
+                },
+            },
+        ],
+        "connections": [{"from": "in", "to": "maintain"}],
+    }
+    sid = F.col("seq_id")
+    for lo, hi in [(0, 150), (150, 240)]:
+        docs.where((sid >= lo) & (sid < hi)).write.mode(
+            "append"
+        ).parquet(src)
+        q = run_streaming_pipeline(spark, spec, ck)
+        q.awaitTermination(300)
+    return read_bin_shards(spark, out).orderBy("seq_id")
