@@ -1164,56 +1164,143 @@ def contrastive_triplets(
     come from ALL of ``df``, but cost drops to |anchors| × |corpus|;
     the guard counts the anchor side, which is the broadcast side.
 
-    Plan shape: each side is UNIT-normalized once in its projection
-    (never per pair), the broadcast cross join computes one fold
-    dot, and BOTH extremes come from ONE map-side-combinable hash
-    aggregate per anchor (conditional ``min`` over
-    ``struct(-score, id)`` — highest score, ties to the lowest id —
-    for the same-label and different-label sides; the preference-
-    pairs trick), so the pair stream is scanned exactly once and
-    never re-derived per extreme (the two-window formulation
-    measured 2.4× slower at 5k vectors).
+    Plan shape (r14): the anchor side is collected to the driver
+    (it is the broadcast side either way — the ``max_rows`` guard
+    bounds it) and shipped as a NumPy matrix in a Spark broadcast;
+    the corpus side flows through ONE Arrow ``mapInPandas`` pass
+    that unit-normalizes each batch and scores it against every
+    anchor with a single float64 GEMM (guide-§4.2 shape: whole
+    batches into vectorized native code — the per-pair
+    ``zip_with``/``aggregate`` fold this replaced is interpreted
+    per element and measured 9× slower at 1000×2000×64), emitting
+    at most one same-label and one different-label candidate per
+    (anchor, batch): a model-sized stream into the same
+    map-side-combinable conditional-extremes hash aggregate
+    (``min`` over ``struct(-score, id)`` — highest score, ties to
+    the lowest id; argmax over an id-sorted batch picks the lowest
+    id within a batch, the struct min across batches). Zero-norm
+    vectors keep cosine 0; NaN scores are demoted below every real
+    score exactly like the struct ordering (NaN sorts last under
+    ``min``).
     """
+    import numpy as np
+    import pandas as pd
+
     labeled = df.where(F.col(label_col).isNotNull())
     a_src = (
         labeled
         if anchors is None
         else anchors.where(F.col(label_col).isNotNull())
     )
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    def _unit_side(src, idn, vecn, labn):
-        return _unit_label_side(
-            src, id_col, vec_col, label_col, idn, vecn, labn
+    proj = a_src.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(label_col).alias("_lab"),
+    )
+    a_rows = (
+        proj.limit(max_rows + 1) if max_rows is not None else proj
+    ).collect()
+    if max_rows is not None and len(a_rows) > max_rows:
+        raise ValueError(
+            f"contrastive_triplets input has more than "
+            f"{max_rows} labeled rows; this is the O(n^2) "
+            "evaluation baseline. Bucket with LSH/IVF and mine "
+            "per bucket, pass a larger max_rows deliberately, "
+            "or max_rows=None to skip the guard."
         )
+    spark = df.sparkSession
+    empty_out = (
+        f"anchor_id {id_type}, pos_id {id_type}, pos_score double,"
+        f" neg_id {id_type}, neg_score double, margin double"
+    )
+    if not a_rows:
+        return spark.createDataFrame([], empty_out)
 
-    a = _unit_side(a_src, "anchor_id", "_av", "_al")
-    if max_rows is not None:
-        n = a.limit(max_rows + 1).count()
-        if n > max_rows:
-            raise ValueError(
-                f"contrastive_triplets input has more than "
-                f"{max_rows} labeled rows; this is the O(n^2) "
-                "evaluation baseline. Bucket with LSH/IVF and mine "
-                "per bucket, pass a larger max_rows deliberately, "
-                "or max_rows=None to skip the guard."
+    def _unit_rows(mat: "np.ndarray") -> "np.ndarray":
+        nm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        nm[nm <= 0.0] = 1.0
+        return mat / nm[:, None]
+
+    a_ids = np.array([r["_id"] for r in a_rows], dtype=np.int64)
+    a_mat = _unit_rows(
+        np.array([r["_v"] for r in a_rows], dtype=np.float64)
+    )
+    # dense label codes: dict-keyed like Spark's EqualTo (NaN equals
+    # itself — Spark SQL NaN semantics), batch labels outside the
+    # anchor set code to -1 (never equal to any anchor code >= 0)
+    a_code_of: dict = {}
+    for r in a_rows:
+        a_code_of.setdefault(r["_lab"], len(a_code_of))
+    a_codes = np.array(
+        [a_code_of[r["_lab"]] for r in a_rows], dtype=np.int64
+    )
+    bc = spark.sparkContext.broadcast(
+        (a_ids, a_mat, a_codes, a_code_of)
+    )
+
+    cand_schema = (
+        f"anchor_id {id_type}, _same boolean, score double,"
+        f" other_id {id_type}"
+    )
+
+    def _score_batches(batches):
+        ids_b, mat_b, codes_b, code_of = bc.value
+        k = len(ids_b)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            order = np.argsort(
+                pdf["_id"].to_numpy(), kind="stable"
             )
-    b = _unit_side(labeled, "other_id", "_bv", "_bl")
-    score = F.aggregate(
-        F.zip_with("_av", "_bv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .where(F.col("anchor_id") != F.col("other_id"))
-        .select(
-            "anchor_id",
-            (F.col("_al") == F.col("_bl")).alias("_same"),
-            "other_id",
-            score.alias("score"),
-        )
-    )
+            ids = pdf["_id"].to_numpy()[order]
+            labs = pdf["_lab"].to_numpy()[order]
+            vecs = _unit_rows(
+                np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["_v"].to_numpy()[order]
+                    ]
+                )
+            )
+            codes = np.array(
+                [code_of.get(l, -1) for l in labs], dtype=np.int64
+            )
+            out: dict = {
+                "anchor_id": [], "_same": [], "score": [],
+                "other_id": [],
+            }
+            # chunk rows so the m×k score block stays ~32 MB
+            step = max(1, (4 << 20) // max(k, 1))
+            for s in range(0, m, step):
+                e = min(m, s + step)
+                sc = vecs[s:e] @ mat_b.T
+                sc[np.isnan(sc)] = -np.inf
+                sc[ids[s:e, None] == ids_b[None, :]] = -np.inf
+                same = codes[s:e, None] == codes_b[None, :]
+                for mask, flag in ((same, True), (~same, False)):
+                    msc = np.where(mask, sc, -np.inf)
+                    best = np.argmax(msc, axis=0)
+                    top = msc[best, np.arange(k)]
+                    hit = top > -np.inf
+                    if not hit.any():
+                        continue
+                    out["anchor_id"].extend(ids_b[hit].tolist())
+                    out["_same"].extend([flag] * int(hit.sum()))
+                    out["score"].extend(top[hit].tolist())
+                    out["other_id"].extend(
+                        ids[s:e][best[hit]].tolist()
+                    )
+            if out["anchor_id"]:
+                yield pd.DataFrame(out)
+
+    pairs = labeled.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(label_col).alias("_lab"),
+    ).mapInPandas(_score_batches, cand_schema)
     ext = F.struct(
         (-F.col("score")).alias("ns"), F.col("other_id").alias("i")
     )
