@@ -58,6 +58,7 @@ def _pa_schema(ddl: str):
         "bigint": pa.int64(),
         "string": pa.string(),
         "boolean": pa.bool_(),
+        "double": pa.float64(),
     }
     fields = []
     for part in ddl.split(","):

@@ -2019,11 +2019,6 @@ def bradley_terry_matrix_bootstrap(
     construction, so the whole computation — ``n_boot + 1`` MM
     fits (:func:`_bt_mm_core`) — is driver math on model-sized
     state; nothing data-sized anywhere."""
-    import hashlib
-    import math
-
-    import numpy as np
-
     if not float(smoothing) > 0:
         raise ValueError(
             "bradley_terry_matrix_bootstrap: smoothing must be > 0 "
@@ -2049,6 +2044,44 @@ def bradley_terry_matrix_bootstrap(
     )
     if not rows:
         return matrix.sparkSession.createDataFrame([], schema)
+    out = _bt_matrix_bootstrap_rows(
+        rows, n_boot, smoothing, max_iter, tol, lo, hi, salt
+    )
+    return matrix.sparkSession.createDataFrame(out, schema).orderBy(
+        F.col("rating").desc(), F.col("model").asc()
+    )
+
+
+def _bt_matrix_bootstrap_rows(
+    rows: list,
+    n_boot: int,
+    smoothing: float,
+    max_iter: int = 1000,
+    tol: float = 1e-12,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "",
+) -> list[tuple]:
+    """Driver-side core of :func:`bradley_terry_matrix_bootstrap`
+    over already-collected ``(model_a, model_b, wins_a, wins_b,
+    ties)`` tuples (sorted by pair) — shared with the streaming
+    monitor, which holds its k²-sized matrices as plain rows and
+    must not pay a Spark job per replicate table. Returns
+    ``(model, strength, rating, rating_lo, rating_hi, n_games,
+    n_boot)`` tuples sorted rating-desc, model-asc; the exact
+    replicate seeding contract is unchanged (the oracle mirrors
+    it)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    if not float(smoothing) > 0:
+        raise ValueError(
+            "bradley_terry_matrix_bootstrap: smoothing must be > 0 "
+            "— a replicate can resample away all of a model's wins,"
+            " and its fit must stay finite"
+        )
     models, pi, wins, games, _, _ = _bt_mm_core(
         rows, smoothing, max_iter, tol,
         caller="bradley_terry_matrix_bootstrap",
@@ -2094,9 +2127,8 @@ def bradley_terry_matrix_bootstrap(
                 int(n_boot),
             )
         )
-    return matrix.sparkSession.createDataFrame(out, schema).orderBy(
-        F.col("rating").desc(), F.col("model").asc()
-    )
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out
 
 
 def save_bt_ratings(ratings: DataFrame, path: str) -> None:
