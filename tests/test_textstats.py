@@ -456,6 +456,31 @@ def test_logreg_separable_corpus(spark):
         logreg_train(df.where("id = 999"), ["x1", "x2"])
 
 
+def test_logreg_sufficient_stats_path_matches_fallback(spark):
+    """The r14 sufficient-statistics fast path (one grouped-count
+    pass + driver NumPy sweeps) computes the same weights as the
+    per-iteration distributed-aggregate fallback (forced via
+    max_groups=0) to float-sum-order precision."""
+    from topn_spark.operators.textstats import logreg_train
+
+    data = [
+        (i, float(i % 5) / 4.0, float((2 * i) % 7) / 6.0,
+         1 if (i % 5) + (2 * i) % 7 > 5 else 0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, x1 double, x2 double, label int"
+    )
+    fast = logreg_train(df, ["x1", "x2"], n_iters=60, lr=1.0)
+    slow = logreg_train(
+        df, ["x1", "x2"], n_iters=60, lr=1.0, max_groups=0
+    )
+    assert all(
+        abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        for a, b in zip(fast, slow)
+    )
+
+
 def test_train_quality_classifier_distills_heuristic(spark):
     """The quality classifier trained on the heuristic flag scores
     kept docs above dropped docs (AUC-like separation on a planted

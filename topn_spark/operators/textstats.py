@@ -1689,22 +1689,29 @@ def logreg_train(
     n_iters: int = 40,
     lr: float = 1.0,
     l2: float = 0.0,
+    max_groups: int = 200_000,
 ) -> list[float]:
     """Distributed binary logistic regression by full-batch gradient
     descent — the trainable successor to the :func:`add_quality`
     heuristics (train on a labeled sample, score the corpus). Returns
     ``[w0, w1..wd]`` (intercept first).
 
-    Scale shape: the hot loop is one map-side-combined aggregation
-    per iteration over a CACHED projection — each task emits a
-    (d+2)-sized partial (per-feature residual·x sums, residual sum,
-    count), so the driver sees d-sized gradients, never rows; the
-    weight update is O(d) driver arithmetic. d is small by
-    construction (quality ratios, hashed buckets), iterations are
-    few, and the 100 TB corpus is read once into the cached
-    projection. Deterministic: zero init, fixed lr/iters; float
-    sum-order across partitions is the only nondeterminism, bounded
-    well below the 1e-6 oracle tolerance.
+    Scale shape (r14): the full-batch gradient depends on the rows
+    only through the multiset of ``(x, y)`` vectors, and the shipped
+    feature sets are ROUNDED/discrete (quality ratios, hashed
+    buckets) — so ONE map-side-combinable ``(features, y) → count``
+    aggregate is a sufficient statistic for the entire optimization,
+    and all ``n_iters`` sweeps run as driver NumPy on the (bounded)
+    distinct-combo table: one corpus pass instead of one per
+    iteration (the previous shape paid n_iters sequential jobs over
+    a cached projection — 41 scheduler round-trips; at 100 TB,
+    input passes ARE the cost model). ``max_groups`` bounds the
+    driver state; a feature set with more distinct combos (i.e.
+    genuinely continuous features) falls back to the per-iteration
+    distributed-aggregate loop, whose task partials stay
+    (d+2)-sized. Identical arithmetic either way (zero init, fixed
+    lr/iters; float sum order is the only difference, bounded well
+    below the 1e-6 oracle tolerance); divergence still RAISES.
     """
     import math
 
@@ -1717,12 +1724,49 @@ def logreg_train(
             (F.col(c).isNull().cast("int") for c in feature_cols),
             F.lit(0),
         ).eqNullSafe(0)
-    ).persist()
-    n = data.count()
-    if n == 0:
-        data.unpersist()
-        raise ValueError("logreg_train: no complete labeled rows")
+    )
     d = len(feature_cols)
+    groups = (
+        data.groupBy(*feature_cols, "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(int(max_groups) + 1)
+        .collect()
+    )
+    if not groups:
+        raise ValueError("logreg_train: no complete labeled rows")
+    if len(groups) <= int(max_groups):
+        import numpy as np
+
+        rows = sorted(
+            (
+                tuple(float(r[c]) for c in feature_cols)
+                + (float(r["_y"]), int(r["_c"]))
+                for r in groups
+            ),
+        )
+        X = np.array([r[:d] for r in rows], dtype=np.float64)
+        y = np.array([r[d] for r in rows], dtype=np.float64)
+        cnt = np.array([r[d + 1] for r in rows], dtype=np.float64)
+        n = float(cnt.sum())
+        w = np.zeros(d + 1)
+        for _ in range(n_iters):
+            margin = w[0] + X @ w[1:]
+            with np.errstate(over="ignore"):
+                resid = 1.0 / (1.0 + np.exp(-margin)) - y
+            wres = cnt * resid
+            w[0] -= lr * float(wres.sum()) / n
+            w[1:] -= lr * ((X.T @ wres) / n + l2 * w[1:])
+            if not np.all(np.isfinite(w)):
+                raise ArithmeticError(
+                    "logreg_train diverged (nan/inf weights) — "
+                    "lower lr or standardize features"
+                )
+        return [float(x) for x in w]
+
+    # continuous-feature fallback: one (d+2)-sized map-side-combined
+    # gradient partial per iteration over a cached projection
+    data = data.persist()
+    n = data.count()
     w = [0.0] * (d + 1)
     try:
         for _ in range(n_iters):
