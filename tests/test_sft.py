@@ -1082,6 +1082,40 @@ def test_length_controlled_winrate_edge_contracts(spark):
     assert "lc_winrate_a" in empty.columns
 
 
+def test_length_controlled_winrate_fast_path_matches_fallback(spark):
+    """The r14 sufficient-statistics fast path (grouped length-gap
+    counts + driver Newton) equals the distributed per-sweep loop
+    (forced via max_groups=0) row for row — the outputs are rounded
+    to 6 decimals, so equality is exact."""
+    from topn_spark.operators.sft import length_controlled_winrate
+
+    rows = []
+    for p in range(60):
+        for m, base in (("mA", 200), ("mB", 160), ("mC", 120)):
+            ln = base + (p * 37) % 90
+            sc = 0.01 * ln + ((p * 13 + len(m)) % 7) * 0.5
+            rows.append((p, m, sc, "x" * ln))
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, model string, score double, response string",
+    )
+    fast = [tuple(r) for r in length_controlled_winrate(df).collect()]
+    slow = [
+        tuple(r)
+        for r in length_controlled_winrate(df, max_groups=0).collect()
+    ]
+    assert len(fast) == len(slow) == 3
+    for fr, sr in zip(fast, slow):
+        # pair keys + integer counts exact
+        assert fr[:4] == sr[:4]
+        # rates/beta: identical math, float-sum-order noise only
+        # (rounded to 6 decimals, so a boundary straddle is <= 1e-6)
+        assert all(
+            abs(a - b) <= 1.1e-6 for a, b in zip(fr[4:7], sr[4:7])
+        )
+        assert fr[8] == sr[8]  # converged flag
+
+
 def test_length_controlled_winrate_per_pair_convergence(spark):
     """Convergence is per pair: a balanced zero-variance pair
     freezes at sweep 1 (its first Newton step is exactly zero)

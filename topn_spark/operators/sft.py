@@ -2258,6 +2258,7 @@ def length_controlled_winrate(
     max_iter: int = 25,
     tol: float = 1e-10,
     l2: float = 1.0,
+    max_groups: int = 200_000,
 ) -> DataFrame:
     """Length-controlled win rate per model pair — the arena
     correction for the best-documented judge bias (longer answers
@@ -2284,19 +2285,22 @@ def length_controlled_winrate(
     ``sigmoid(b0)`` would saturate to a meaningless 0/1; the
     penalty keeps every pair's fit finite and comparable.
 
-    Scale shape: the z113 shapes (per-(prompt, model) max-agg + the
-    prompt-keyed pair self-join that explodes in MODELS) produce
-    the pair rows ONCE and persist them; then each Newton iteration
-    is ONE map-side-combinable per-pair aggregate of the 2×2
-    gradient/Hessian sufficient statistics (five sums) with the
-    current coefficients broadcast back as a k²-sized literal frame
-    — the driver solves k² independent 2×2 systems per sweep.
-    Convergence is PER PAIR: a pair freezes the sweep its own step
-    drops below ``tol`` (``n_iter``/``converged`` are that pair's
-    own diagnostics — one pathological pair never marks the others
-    non-converged) and frozen pairs drop out of the broadcast join,
-    so late sweeps aggregate only the still-active rows.
-    Iterations × one agg pass; nothing data-sized on the driver.
+    Scale shape (r14): the z113 shapes (per-(prompt, model) max-agg
+    + the prompt-keyed pair self-join that explodes in MODELS)
+    produce the pair rows once; then — because a 2-parameter
+    logistic over a SINGLE covariate depends on the rows only
+    through the multiset of ``(pair, tied, win, length_gap)`` and
+    length gaps are integer-valued — ONE map-side-combinable
+    grouped-count aggregate is a sufficient statistic for the whole
+    fit, and every Newton sweep runs as driver NumPy over the
+    (bounded) distinct-gap table: one pair-stream pass instead of
+    2 + max_iter sequential jobs. ``max_groups`` bounds the driver
+    state; a gap distribution with more distinct values falls back
+    to the previous per-sweep distributed-aggregate loop (five
+    sums per pair per sweep, coefficients broadcast back as a
+    k²-sized literal frame). Convergence stays PER PAIR either way
+    (``n_iter``/``converged`` are that pair's own diagnostics), and
+    the step logic (ridge, 2×2 solve, ±10 damping) is identical.
     """
     import math
 
@@ -2341,6 +2345,23 @@ def length_controlled_winrate(
             (F.col("_la") - F.col("_lb")).alias("_dx"),
         )
     )
+    out_ddl = (
+        "model_a string, model_b string, n_pairs bigint,"
+        " n_ties bigint, raw_winrate_a double,"
+        " lc_winrate_a double, beta_len double,"
+        " n_iter int, converged boolean"
+    )
+    grouped = (
+        pairs.groupBy("model_a", "model_b", "_tie", "_win", "_dx")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(int(max_groups) + 1)
+        .collect()
+    )
+    if len(grouped) <= int(max_groups):
+        return df.sparkSession.createDataFrame(
+            _lc_winrate_driver(grouped, max_iter, tol, l2), out_ddl
+        ).orderBy("model_a", "model_b")
+
     used = pairs.where(~F.col("_tie")).persist()
     try:
         moments = used.groupBy("model_a", "model_b").agg(
@@ -2477,3 +2498,94 @@ def length_controlled_winrate(
         ).orderBy("model_a", "model_b")
     finally:
         used.unpersist()
+
+
+def _lc_winrate_driver(
+    grouped: list, max_iter: int, tol: float, l2: float
+) -> list[tuple]:
+    """Driver-side Newton fits for :func:`length_controlled_winrate`
+    over collected ``(model_a, model_b, _tie, _win, _dx, _c)``
+    sufficient-statistic rows — the same per-pair step logic
+    (ridge, 2×2 solve, ±10 damping, per-pair convergence) as the
+    distributed sweep loop, evaluated over distinct length gaps
+    weighted by their counts. Pairs with only tied outcomes carry
+    no win signal and drop, matching the distributed path."""
+    import math
+
+    import numpy as np
+
+    by: dict = {}
+    for r in grouped:
+        by.setdefault((r["model_a"], r["model_b"]), []).append(r)
+    out = []
+    for k in sorted(by):
+        rs = by[k]
+        n_ties = sum(int(r["_c"]) for r in rs if r["_tie"])
+        pts = sorted(
+            (float(r["_dx"]), bool(r["_win"]), int(r["_c"]))
+            for r in rs
+            if not r["_tie"]
+        )
+        if not pts:
+            continue
+        cnt = np.array([c for _, _, c in pts], dtype=np.float64)
+        dx = np.array([g for g, _, _ in pts], dtype=np.float64)
+        y = np.array(
+            [1.0 if w else 0.0 for _, w, _ in pts], dtype=np.float64
+        )
+        n = float(cnt.sum())
+        wins = float((cnt * y).sum())
+        # sample std of the gaps (None below 2 rows, like
+        # stddev_samp)
+        sx = None
+        if n >= 2:
+            mean = float((cnt * dx).sum()) / n
+            sx = math.sqrt(
+                float((cnt * (dx - mean) ** 2).sum()) / (n - 1.0)
+            )
+        has_sx = sx is not None and sx > 0
+        z = dx / sx if has_sx else np.zeros_like(dx)
+        b0 = b1 = 0.0
+        n_iter, converged = int(max_iter), False
+        for sweep in range(1, int(max_iter) + 1):
+            eta = b0 + b1 * z
+            with np.errstate(over="ignore"):
+                p = 1.0 / (1.0 + np.exp(-eta))
+            wgt = p * (1.0 - p)
+            g0 = float((cnt * (y - p)).sum()) - float(l2) * b0
+            g1 = (
+                float((cnt * ((y - p) * z)).sum()) - float(l2) * b1
+            )
+            h00 = float((cnt * wgt).sum()) + float(l2)
+            h01 = float((cnt * (wgt * z)).sum())
+            h11 = float((cnt * (wgt * z * z)).sum()) + float(l2)
+            det = h00 * h11 - h01 * h01
+            if not has_sx:
+                d0 = g0 / h00 if h00 > 0 else 0.0
+                d1 = 0.0
+            elif det > 1e-12:
+                d0 = (h11 * g0 - h01 * g1) / det
+                d1 = (h00 * g1 - h01 * g0) / det
+            else:
+                d0 = g0 / h00 if h00 > 0 else 0.0
+                d1 = 0.0
+            d0 = max(-10.0, min(10.0, d0))
+            d1 = max(-10.0, min(10.0, d1))
+            b0, b1 = b0 + d0, b1 + d1
+            if max(abs(d0), abs(d1)) < tol:
+                n_iter, converged = sweep, True
+                break
+        out.append(
+            (
+                k[0],
+                k[1],
+                int(n),
+                n_ties,
+                round(wins / n, 6),
+                round(1.0 / (1.0 + math.exp(-b0)), 6),
+                round(b1, 6),
+                n_iter,
+                converged,
+            )
+        )
+    return out
