@@ -78,13 +78,21 @@ def shingles(text_col: str, n: int = 3):
 
     Docs with fewer than ``n`` tokens yield an empty array (guarded:
     ``sequence(1, 0)`` would otherwise produce a *descending* [1,0]).
+
+    The tokenizer result is BOUND once as a lambda variable (the
+    single-element ``transform(array(toks), t -> ...)`` trick): a
+    higher-order-function lambda re-evaluates every outer
+    subexpression it references per element, so inlining ``toks``
+    into the per-position ``slice`` re-ran the regexp tokenizer once
+    per shingle position — O(tokens²) regexp work per document,
+    measured 6× slower on the shingle-heavy entries (r14).
     """
     toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
     return F.expr(
-        f"if(size({toks}) >= {n},"
-        f" array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {n})))),"
-        f" array())"
+        f"transform(array({toks}), t -> if(size(t) >= {n},"
+        f" array_distinct(transform(sequence(1, size(t) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {n})))),"
+        f" array()))[0]"
     )
 
 
@@ -563,11 +571,13 @@ def lsh_pairs_md5(
         )
     rows = num_hashes // bands
     toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    # tokens bound once via transform(array(...)) — an inlined toks
+    # inside the slice lambda re-runs the regexp per position (r14)
     sh = (
-        f"if(size({toks}) >= {shingle_size},"
-        f" transform(sequence(1, size({toks}) - {shingle_size - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {shingle_size}))),"
-        f" array())"
+        f"transform(array({toks}), t -> if(size(t) >= {shingle_size},"
+        f" transform(sequence(1, size(t) - {shingle_size - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {shingle_size}))),"
+        f" array()))[0]"
     )
     exploded = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, F.explode(F.expr(sh)).alias("_s")

@@ -937,11 +937,13 @@ def word_ngrams(text_col: str = "text", n: int = 2) -> Column:
     grams, materialize tokens first and use
     :func:`ngrams_from_tokens` (see its perf note)."""
     t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    # tokens bound once via transform(array(...)) — an inlined t
+    # inside the slice lambda re-runs the regexp per position (r14)
     return F.expr(
-        f"if(size({t}) >= {n},"
-        f" transform(sequence(1, size({t}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({t}, i, {n}))),"
-        f" array())"
+        f"transform(array({t}), tk -> if(size(tk) >= {n},"
+        f" transform(sequence(1, size(tk) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(tk, i, {n}))),"
+        f" array()))[0]"
     )
 
 
@@ -1144,11 +1146,13 @@ def rolling_hashes(
     ``window``-token shingle sampled every ``every`` tokens — the
     standard document-fingerprint set for partial-overlap detection."""
     t = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    # tokens bound once via transform(array(...)) — an inlined t
+    # inside the slice lambda re-runs the regexp per position (r14)
     return F.expr(
-        f"if(size({t}) >= {window},"
-        f" transform(sequence(1, size({t}) - {window - 1}, {every}),"
-        f" i -> xxhash64(concat_ws(' ', slice({t}, i, {window})))),"
-        f" array())"
+        f"transform(array({t}), tk -> if(size(tk) >= {window},"
+        f" transform(sequence(1, size(tk) - {window - 1}, {every}),"
+        f" i -> xxhash64(concat_ws(' ', slice(tk, i, {window})))),"
+        f" array()))[0]"
     )
 
 

@@ -480,10 +480,12 @@ def _portable_minhash_pairs(df, id_col="doc_id", text_col="text"):
     from topn_spark.operators.dedup import ensure_parallelism
 
     toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    # tokens bound once via transform(array(...)) — an inlined toks
+    # inside the slice lambda re-runs the regexp per position (r14)
     sh = (
-        f"if(size({toks}) >= 3,"
-        f" transform(sequence(1, size({toks}) - 2),"
-        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
+        f"transform(array({toks}), t -> if(size(t) >= 3,"
+        f" transform(sequence(1, size(t) - 2),"
+        f" i -> concat_ws(' ', slice(t, i, 3))), array()))[0]"
     )
     exploded = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, F.explode(F.expr(sh)).alias("_s")
@@ -1273,10 +1275,12 @@ def x08_minhash(spark, sf_dir):
     # vs <1 s for this shape).
     docs = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # tokens bound once via transform(array(...)) — an inlined toks
+    # inside the slice lambda re-runs the regexp per position (r14)
     sh = (
-        f"if(size({toks}) >= 3,"
-        f" transform(sequence(1, size({toks}) - 2),"
-        f" i -> concat_ws(' ', slice({toks}, i, 3))), array())"
+        f"transform(array({toks}), t -> if(size(t) >= 3,"
+        f" transform(sequence(1, size(t) - 2),"
+        f" i -> concat_ws(' ', slice(t, i, 3))), array()))[0]"
     )
     # Manual limit pushdown: the output is ORDER BY doc_id LIMIT 100
     # of a LEFT join keyed on doc_id, so the surviving ids are decided
