@@ -1080,11 +1080,11 @@ def test_export_family_input_pass_counts(spark, tmp_path):
     and the exporter, so an accumulator totals rows-read × passes.
     The r12 export-path regressions (a second stats scan; per-write
     job overhead) were caught by bench numbers — this pins the
-    contract structurally: full export = exactly TWO passes (stats
-    + write), incremental no-op = exactly ONE (stats only),
-    incremental delta = TWO (the delta decision rides the stats
-    pass; the write pass re-reads the source, shuffling only the
-    changed shards' rows)."""
+    contract structurally: since the r14 persist of the assigned
+    projection, EVERY export mode reads the source exactly ONCE
+    (the stats pass materializes the cache; the write pass — and
+    the incremental-delta filter — consume the cache, never the
+    source again)."""
     from topn_spark.operators.binshard import _read_meta
 
     acc = spark.sparkContext.accumulator(0)
@@ -1104,11 +1104,11 @@ def test_export_family_input_pass_counts(spark, tmp_path):
     out = str(tmp_path / "passes")
 
     export_bin_shards(df, out, 6, salt="p")
-    assert acc.value == 2 * n  # stats + write, nothing else
+    assert acc.value == n  # ONE source pass: stats fills the cache
 
     man = export_bin_shards(df, out, 6, salt="p", incremental=True)
     assert all(not r.rewritten for r in man.collect())
-    assert acc.value == 3 * n  # no-op adds exactly ONE pass
+    assert acc.value == 2 * n  # no-op adds exactly ONE pass
     assert _read_meta(spark, out)["export_version"] == 1
 
     changed = _corpus(spark, change=(3,)).mapInPandas(counting, ddl)
@@ -1116,7 +1116,7 @@ def test_export_family_input_pass_counts(spark, tmp_path):
         changed, out, 6, salt="p", incremental=True
     )
     assert sum(1 for r in man.collect() if r.rewritten) == 1
-    assert acc.value == 5 * n  # delta adds stats + write, not three
+    assert acc.value == 3 * n  # delta adds ONE pass (cache-fed write)
 
 
 def test_delta_export_batch_sized_stats_and_cross_check(

@@ -331,14 +331,17 @@ class ObjectStoreBinaryStore:
         sink = pa.BufferOutputStream()
         pq.write_table(table, sink)
         key = self._key(path)
-        # replace the whole table prefix: delete-then-put of a
-        # single part object (readers see old-or-new, never a mix
-        # — PUT is atomic and there is exactly one part)
-        self._delete(key)
+        # replace the table by overwriting its single fixed part key
+        # (PUT is atomic per object, so readers see old-or-new, never
+        # a mix and never a missing table); only stale EXTRA keys
+        # under the prefix are deleted, after the new part lands
         self.write_bytes(
             path + "/part-00000.parquet",
             sink.getvalue().to_pybytes(),
         )
+        for name in self._list(key):
+            if name != "part-00000.parquet":
+                self._delete(f"{key}/{name}")
 
     def read_parquet_rows(self, path: str) -> list[dict] | None:
         key = self._key(path) + "/part-00000.parquet"

@@ -792,7 +792,55 @@ def export_bin_shards(
         ),
         tokens_col, mask_col, id_col, assets_col,
     )
+    # The stats aggregate and the shard writer both consume
+    # `assigned`, whose lineage is the caller's whole upstream
+    # (typically a multi-shuffle pack/encode chain) — without a
+    # persist that chain executes TWICE per export. MEMORY_AND_DISK
+    # spills gracefully at scale (one materialization ≈ the bytes
+    # the write shuffle moves anyway, vs a second full upstream
+    # pass); unpersisted before every return.
+    from pyspark import StorageLevel
 
+    assigned = _cached = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows, written = _export_bin_shards_body(
+            df, out_dir, n_shards, tokens_col, mask_col, id_col,
+            dtype, salt, assets_col, incremental, store, layout,
+            seqs_per_shard, assigned, has_mask, has_ast, spark, st,
+        )
+    finally:
+        _cached.unpersist()
+    return _manifest_df(spark, rows, written)
+
+
+def _manifest_df(spark, rows, written) -> DataFrame:
+    """Build the public manifest DataFrame from driver-side rows and
+    stash the rows on it (``_topn_manifest_rows``) so orchestration
+    callers (the streaming sinks) can read the model-sized result
+    without a Spark job — a ``collect`` on the sorted local relation
+    costs a sampling + shuffle + fetch job trio per commit."""
+    rows = sorted(rows, key=lambda r: r["shard"])
+    out = _rows_df(spark, rows, _MANIFEST_SCHEMA)
+    if written is not None:
+        out = out.withColumn(
+            "rewritten",
+            F.col("shard").isin([int(k) for k in written]),
+        )
+    out = out.orderBy("shard")
+    out._topn_manifest_rows = [
+        dict(r)
+        if written is None
+        else {**r, "rewritten": int(r["shard"]) in written}
+        for r in rows
+    ]
+    return out
+
+
+def _export_bin_shards_body(
+    df, out_dir, n_shards, tokens_col, mask_col, id_col, dtype,
+    salt, assets_col, incremental, store, layout, seqs_per_shard,
+    assigned, has_mask, has_ast, spark, st,
+) -> tuple[list[dict], set[int] | None]:
     # ONE per-shard stats aggregate (map-side combinable, n_shards
     # output rows) carries everything pre-write decisions need: the
     # token-id range for dtype resolution AND the per-shard content
@@ -882,18 +930,7 @@ def export_bin_shards(
         }
         orphans = set(old_rows) - set(sigs)
         if not changed and not orphans:
-            return (
-                _rows_df(
-                    spark,
-                    sorted(
-                        old_rows.values(),
-                        key=lambda r: r["shard"],
-                    ),
-                    _MANIFEST_SCHEMA,
-                )
-                .withColumn("rewritten", F.lit(False))
-                .orderBy("shard")
-            )
+            return list(old_rows.values()), set()
         suffixes = [".bin", ".idx", ".msk", ".ast"]
         for k in changed | orphans:
             for sfx in suffixes:
@@ -964,14 +1001,7 @@ def export_bin_shards(
         },
         st,
     )
-    out = _rows_df(spark, rows, _MANIFEST_SCHEMA)
-    if incremental:
-        out = out.withColumn(
-            "rewritten", F.col("shard").isin(
-                [int(k) for k in written]
-            )
-        )
-    return out.orderBy("shard")
+    return rows, (written if incremental else None)
 
 
 def _parse_sig(sig: str) -> tuple[int, int]:
@@ -1116,15 +1146,7 @@ def export_bin_shards_delta(
         F.max(F.array_max("_toks")).alias("hi"),
     ).collect()
     if not bstats:
-        return (
-            _rows_df(
-                spark,
-                sorted(old_rows.values(), key=lambda r: r["shard"]),
-                _MANIFEST_SCHEMA,
-            )
-            .withColumn("rewritten", F.lit(False))
-            .orderBy("shard")
-        )
+        return _manifest_df(spark, list(old_rows.values()), set())
     lo = min(r["lo"] for r in bstats if r["lo"] is not None)
     hi = max(r["hi"] for r in bstats if r["hi"] is not None)
     if lo < 0:
@@ -1209,14 +1231,7 @@ def export_bin_shards_delta(
         {**meta, "export_version": int(meta["export_version"]) + 1},
         st,
     )
-    return (
-        _rows_df(spark, rows, _MANIFEST_SCHEMA)
-        .withColumn(
-            "rewritten",
-            F.col("shard").isin([int(k) for k in written]),
-        )
-        .orderBy("shard")
-    )
+    return _manifest_df(spark, rows, written)
 
 
 def _parse_idx(store, path: str):

@@ -1560,6 +1560,17 @@ def arena_monitor_sink(
     )
 
 
+def _manifest_rows(man) -> list[dict]:
+    """The exporter's model-sized manifest rows without a Spark job:
+    exporters stash them on the returned DataFrame
+    (``_topn_manifest_rows``); fall back to a collect for any
+    manifest DataFrame built elsewhere."""
+    rows = getattr(man, "_topn_manifest_rows", None)
+    if rows is not None:
+        return rows
+    return [r.asDict() for r in man.collect()]
+
+
 def bin_export_batch(
     batch: DataFrame,
     corpus_dir: str,
@@ -1727,7 +1738,7 @@ def bin_export_batch(
             shard_key_col=_shard_key_col,
             layout=_layout,
         )
-        changed = any(r["rewritten"] for r in man.collect())
+        changed = any(r["rewritten"] for r in _manifest_rows(man))
     else:
         man = export_bin_shards_delta(
             assigned,
@@ -1744,7 +1755,7 @@ def bin_export_batch(
             shard_key_col=_shard_key_col,
             layout=_layout,
         )
-        changed = any(r["rewritten"] for r in man.collect())
+        changed = any(r["rewritten"] for r in _manifest_rows(man))
     if epochs:
         from topn_spark.operators.binfs import LocalBinaryStore
 
