@@ -1312,6 +1312,10 @@ def _stage_neardup_collapse(
         neardup_keep_best,
     )
 
+    # same fan-out as LeakageSafeSplit: the stage input feeds the
+    # pair graph, the CC edges, the component join-back and the
+    # downstream stages — materialize it once (run phase only)
+    df = df.localCheckpoint(eager=True)
     if family == "md5":
         pairs = lsh_pairs_md5(
             df, id_col, text_col, num_hashes, bands, shingle, threshold
