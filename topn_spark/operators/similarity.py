@@ -19,12 +19,53 @@ from pyspark.sql import functions as F
 from topn_spark.operators.topn import topn_grouped
 
 
-def _dot(vec_col, lit_vec: list[float]):
-    q = F.array(*[F.lit(float(x)) for x in lit_vec])
-    return F.aggregate(
-        F.zip_with(vec_col, q, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _lit_d(x: float) -> str:
+    """SQL double literal with the exact value of ``F.lit(float(x))``
+    (repr is the shortest round-tripping decimal; Spark parses it with
+    Double.parseDouble — the same IEEE double)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        return f"CAST('{x}' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def _arr_sql(lit_vec: list[float]) -> str:
+    """SQL text of ``F.array(*[F.lit(float(x)) for x in lit_vec])``."""
+    return f"array({', '.join(_lit_d(x) for x in lit_vec)})"
+
+
+def _dot_sql(v_sql: str, lit_vec: list[float]) -> str:
+    """SQL text of the literal-query dot product — the same
+    zip_with/aggregate fold as the Column form, built as ONE string:
+    a k-vector model otherwise costs k·d py4j round-trips of Column
+    construction per query (measured 1.5-1.8 s of pure driver time
+    for 16×64 in ivf_assign)."""
+    return (
+        f"aggregate(zip_with({v_sql}, {_arr_sql(lit_vec)},"
+        f" (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _scores_sql(v_sql: str, mat: list[list[float]], fold: str,
+                denoms: list[float] | None = None) -> str:
+    """SQL text of the per-row score array vs a literal matrix: one
+    per-centroid zip_with/aggregate fold per array element — the
+    exact expression shape (and bits) of the per-centroid Column
+    form, built as ONE string. (A nested transform-over-literal-
+    matrix form was tried and measured ~2x SLOWER per row: the
+    inner lambda rebinds per centroid per row; the flat form keeps
+    the original runtime and removes the construction cost.)"""
+
+    def one(c: list[float]) -> str:
+        return (
+            f"aggregate(zip_with({v_sql}, {_arr_sql(c)},"
+            f" (x, y) -> {fold}), 0.0D, (acc, v) -> acc + v)"
+        )
+
+    if denoms is None:
+        return f"array({', '.join(one(c) for c in mat)})"
+    return "array(%s)" % ", ".join(
+        f"{one(c)} / {_lit_d(nm)}" for c, nm in zip(mat, denoms)
     )
 
 
@@ -45,8 +86,10 @@ def cosine_scores(
     """Append cosine similarity vs a constant query vector."""
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     v = F.col(vec_col).cast("array<double>")
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     return df.withColumn(
-        score_col, _dot(v, query_vec) / (_norm(v) * F.lit(qnorm))
+        score_col,
+        F.expr(_dot_sql(v_sql, query_vec)) / (_norm(v) * F.lit(qnorm)),
     )
 
 
@@ -87,12 +130,13 @@ def ivf_assign(
     (lambda bodies get no CSE — see textstats.ngrams_from_tokens).
     """
     df = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
-    v = F.col("_v")
-    scores = F.array(
-        *[
-            _dot(v, c) / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
-            for c in centroids
-        ]
+    scores = F.expr(
+        _scores_sql(
+            "_v",
+            [list(map(float, c)) for c in centroids],
+            "x * y",
+            [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids],
+        )
     )
     return (
         df.withColumn("_ivf_scores", scores)
@@ -262,11 +306,16 @@ def random_hyperplane_lsh(
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
     ]
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("bigint")
-    for j, p in enumerate(planes):
-        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << j)).otherwise(0)
-    return df.withColumn(bucket_col, bucket.cast("bigint"))
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    # the original sum-of-CASE chain (same bits), built as ONE string
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_sql(v_sql, p)} > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return df.withColumn(
+        bucket_col,
+        F.expr(f"CAST(CAST(0 AS BIGINT) + {bucket} AS BIGINT)"),
+    )
 
 
 def embedding_near_dup_pairs(
@@ -376,23 +425,20 @@ def edit_distance_join(
     )
 
 
-def _dist_sq_to(vec_col, centroid: list[float]):
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def kmeans_assign(df, centroids, id_col="vec_id", vec_col="embedding"):
     """Append ``cluster`` (argmin squared-euclidean over ``centroids``,
     first-min tie → lowest cluster id) and ``dist_sq``. Map-only: the
     k×d centroid model rides into the task as literals (the same
     driver-sized-model shape as ``ivf_assign``); cost O(k·d) per row,
     embarrassingly parallel at any scale."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_dist_sq_to(v, c) for c in centroids])
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    dists = F.expr(
+        _scores_sql(
+            v_sql,
+            [list(map(float, c)) for c in centroids],
+            "(x - y) * (x - y)",
+        )
+    )
     return df.withColumn("_d", dists).withColumn(
         "cluster",
         (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
@@ -1393,12 +1439,16 @@ def contrastive_triplets_bucketed(
             # to a projected array first (no per-centroid re-cast),
             # (−score, cell) structs sorted so ties take the lowest
             # cell id, then exploded into one candidate key per probe
-            scores = F.array(
-                *[
-                    _dot(F.col("_pv"), c)
-                    / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
-                    for c in centroids
-                ]
+            scores = F.expr(
+                _scores_sql(
+                    "_pv",
+                    [list(map(float, c)) for c in centroids],
+                    "x * y",
+                    [
+                        math.sqrt(sum(x * x for x in c)) or 1.0
+                        for c in centroids
+                    ],
+                )
             )
             probes = F.transform(
                 F.slice(

@@ -936,16 +936,22 @@ def x28_embedding_neardup(spark, sf_dir):
         lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
     )
     quant = emb.select("vec_id", q.alias("qv"))
-    bucket = F.lit(0).cast("bigint")
+    # same per-plane integer folds, built as ONE expr string instead
+    # of n_bits x dim literal Columns (~1.4 s/trial of driver py4j)
+    terms = []
     for j, p in enumerate(planes):
-        pl = F.array(*[F.lit(v).cast("bigint") for v in p])
-        dot_p = F.aggregate(
-            F.zip_with("qv", pl, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        lits = ", ".join(f"CAST({int(v)} AS BIGINT)" for v in p)
+        dot_p = (
+            f"aggregate(zip_with(qv, array({lits}), (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(dot_p > 0, F.lit(1 << j)).otherwise(0)
-    b = quant.withColumn("bucket", bucket)
+        terms.append(
+            f"CASE WHEN {dot_p} > 0 THEN {1 << j} ELSE 0 END"
+        )
+    b = quant.withColumn(
+        "bucket",
+        F.expr(f"CAST(0 AS BIGINT) + {' + '.join(terms)}"),
+    )
     a_ = b.alias("a")
     c_ = b.alias("c")
     dot = F.aggregate(
@@ -1182,19 +1188,23 @@ def x33_ivf_topk(spark, sf_dir):
     # struct array; array_max over (d, -cid) == the window's
     # (cdot DESC, cid ASC) tiebreak — no crossJoin explode, no
     # per-vector window shuffle (was nlist x rows through an exchange).
-    def dot_lit(c):
-        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        return F.aggregate(
-            F.zip_with("v", lits, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    # one F.expr string instead of nlist x dim literal Columns: the
+    # per-centroid integer fold is unchanged (bit-exact), but the
+    # construction is 1 py4j call, not ~4700 (measured ~1.9 s/trial
+    # of pure driver time)
+    def dot_lit_sql(c):
+        lits = ", ".join(f"CAST({int(x)} AS BIGINT)" for x in c)
+        return (
+            f"aggregate(zip_with(v, array({lits}), (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
-    cands = F.array(
-        *[
-            F.struct(dot_lit(c).alias("d"), F.lit(-i).alias("negcid"))
+    cands = F.expr(
+        "array(%s)"
+        % ", ".join(
+            f"named_struct('d', {dot_lit_sql(c)}, 'negcid', {-i})"
             for i, c in enumerate(cents)
-        ]
+        )
     )
     assign = (
         quant.withColumn("_best", F.array_max(cands))
