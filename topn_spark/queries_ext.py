@@ -929,7 +929,16 @@ ORDER BY id_a ASC, id_b ASC"""
     "anywhere, hence hash-matchable",
 )
 def x28_embedding_neardup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    # the embeddings table arrives as one parquet split; the
+    # per-plane integer folds below are the CPU cost — spread them
+    # (guide §2.5 input skew: repartition right after the read)
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     planes = _srp_planes()
     q = F.transform(
         F.col("embedding"),
@@ -1172,7 +1181,15 @@ ORDER BY qdot DESC, a.vec_id ASC LIMIT 10"""
 def x33_ivf_topk(spark, sf_dir):
     from pyspark.sql import Row
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    # one parquet split otherwise evaluates every centroid fold on
+    # one core (guide §2.5)
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     cents = _ivf_centroids()
     cents_df = spark.createDataFrame(
         [Row(cid=i, c=c) for i, c in enumerate(cents)],
