@@ -2362,6 +2362,11 @@ def url_features(
     # execution. Chained projections keep each expensive piece
     # computed once: CollapseProject declines to merge projects when
     # merging would duplicate non-cheap expressions.
+    # Grouped into withColumns BATCHES (one per dependency level):
+    # every classic-mode withColumn call re-analyzes the whole
+    # accumulated plan eagerly, so 12 chained calls paid ~12 analysis
+    # rounds of driver time per use (z50 runs this twice). Same
+    # projection layers, same expressions — just one call per layer.
     u = F.col(url_col)
     step = df.withColumn(
         "_hostport",
@@ -2394,16 +2399,19 @@ def url_features(
     )
     step = step.withColumn("_labels", F.split(F.col("host"), r"\."))
     labels = F.col("_labels")
-    step = step.withColumn(
-        "_last2",
-        F.concat_ws(
-            ".",
-            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
-        ),
-    ).withColumn(
-        "_is_ip",
-        F.col("host").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-        | F.col("_ip6").isNotNull(),
+    step = step.withColumns(
+        {
+            "_last2": F.concat_ws(
+                ".",
+                F.slice(
+                    labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2
+                ),
+            ),
+            "_is_ip": F.col("host").rlike(
+                r"^\d{1,3}(\.\d{1,3}){3}$"
+            )
+            | F.col("_ip6").isNotNull(),
+        }
     )
     # query = first '?' up to '#', searched in the PRE-fragment part
     # only: '#section?x=1' has a fragment containing '?', no query
@@ -2423,10 +2431,9 @@ def url_features(
         .when(F.array_contains(tld_set, F.col("_last2")), last3)
         .otherwise(F.col("_last2"))
     )
-    out = (
-        step.withColumn(
-            "scheme",
-            F.lower(
+    out = step.withColumns(
+        {
+            "scheme": F.lower(
                 F.nullif(
                     F.regexp_extract(
                         u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
@@ -2434,19 +2441,15 @@ def url_features(
                     F.lit(""),
                 )
             ),
-        )
-        .withColumn("registered_domain", reg)
-        .withColumn(
-            "path_depth",
-            F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit(""))),
-        )
-        .withColumn(
-            "n_params",
-            F.size(
+            "registered_domain": reg,
+            "path_depth": F.size(
+                F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+            ),
+            "n_params": F.size(
                 F.filter(F.split(query, "&"), lambda s: s != F.lit(""))
             ),
-        )
-        .withColumn("is_ip", F.coalesce(F.col("_is_ip"), F.lit(False)))
+            "is_ip": F.coalesce(F.col("_is_ip"), F.lit(False)),
+        }
     )
     return out.drop("_hostport", "_ip6", "_labels", "_last2", "_is_ip")
 
