@@ -109,8 +109,16 @@ def _rows_df(
     """Model-sized accounting rows (driver-side dicts from the
     storage backend) as a DataFrame in the DDL's column order."""
     names = _fields(ddl)
+    data = [tuple(r[n] for n in names) for r in rows]
+    # One row per slice: every consumer is either a per-shard
+    # mapInPandas work-list (wants exactly one task per shard — the
+    # default 32-way parallelize splits a handful of rows into
+    # mostly-empty partitions, one task's scheduler overhead each)
+    # or a model-sized accounting table where fewer tasks only
+    # helps. This also makes the downstream repartition-by-shard
+    # exchange unnecessary (guide §2.4: remove shuffles outright).
     return spark.createDataFrame(
-        [tuple(r[n] for n in names) for r in rows], ddl
+        spark.sparkContext.parallelize(data, max(len(data), 1)), ddl
     )
 
 
@@ -1300,17 +1308,18 @@ def _shard_frame(
     """The shard work-list from the manifest (NOT a directory
     listing — stale files from an older, wider export must not leak
     into a read), one shard per partition. The manifest is read
-    driver-side (model-sized; no Spark job) and distributed as a
-    local relation."""
+    driver-side (model-sized; no Spark job); ``_rows_df`` slices it
+    one row per partition, so the per-shard mapInPandas consumers
+    get exactly one task per shard with no repartition exchange
+    (the former hash repartition could even co-locate two shards on
+    a collision)."""
     rows = _read_manifest_rows(out_dir, store)
     if rows is None:
         raise IOError(
             f"no _manifest at {out_dir} — not an export_bin_shards "
             "directory"
         )
-    return _rows_df(spark, rows, _MANIFEST_SCHEMA).repartition(
-        max(len(rows), 1), "shard"
-    )
+    return _rows_df(spark, rows, _MANIFEST_SCHEMA)
 
 
 def read_bin_shards(
@@ -1670,8 +1679,11 @@ def export_epoch_order(
         for r in man
     ]
     schema = _EPOCH_SCHEMA
-    work = spark.createDataFrame(rows, schema).repartition(
-        max(len(rows), 1), "shard"
+    # one shard per slice: exactly one task per shard, no
+    # repartition exchange (guide §2.4)
+    work = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(len(rows), 1)),
+        schema,
     )
 
     def _write(batches):
@@ -1800,7 +1812,7 @@ def read_epoch_order(
             for r in rows
         ],
         "shard int, shard_pos int, unit string",
-    ).repartition(max(len(rows), 1), "shard")
+    )
 
     def _read(batches):
         for pdf in batches:
@@ -1914,9 +1926,10 @@ def read_bin_window(
     if has_ast:
         schema += ", asset_ids array<bigint>"
     wdf = spark.createDataFrame(
-        work, "shard int, shard_pos int, g0 bigint, ls bigint,"
-        " le bigint"
-    ).repartition(max(len(work), 1), "shard")
+        spark.sparkContext.parallelize(work, max(len(work), 1)),
+        "shard int, shard_pos int, g0 bigint, ls bigint,"
+        " le bigint",
+    )
 
     def _read(batches):
         for pdf in batches:
@@ -2568,9 +2581,10 @@ def read_preference_window(
         " chosen_mask array<boolean>, rejected_mask array<boolean>"
     )
     wdf = spark.createDataFrame(
-        work, "shard int, shard_pos int, g0 bigint, ls bigint,"
-        " le bigint"
-    ).repartition(max(len(work), 1), "shard")
+        spark.sparkContext.parallelize(work, max(len(work), 1)),
+        "shard int, shard_pos int, g0 bigint, ls bigint,"
+        " le bigint",
+    )
 
     def _read(batches):
         for pdf in batches:
