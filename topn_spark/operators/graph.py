@@ -36,9 +36,10 @@ def pagerank(
 
     Scale shape: per round, one join (ranks ⋈ edges, both hash-
     partitioned on the node id — AQE reuses the partitioning) and one
-    aggregation; ranks are checkpointed each round to truncate
-    lineage. State is O(nodes + edges) on executors; the driver only
-    sees the scalar delta. This is the canonical Spark iterative-
+    aggregation, materialized exactly once (the inbound-mass table is
+    checkpointed, truncating lineage; everything else in the round is
+    a projection over checkpointed frames). State is O(nodes + edges)
+    on executors; the driver only sees the scalar delta. This is the canonical Spark iterative-
     algorithm formulation (same skeleton as connected_components).
     """
     e = edges.select(
@@ -58,28 +59,34 @@ def pagerank(
     contrib_edges = e.join(out_deg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
+        # ONE materialization per round (the connected_components
+        # lesson): checkpoint the round's join+aggregate once, then
+        # the dangling-mass probe, the new-rank projection and the
+        # optional delta probe all read the checkpointed node-sized
+        # rows. The previous shape ran the join+agg TWICE per round
+        # (once under the flowed collect, again under the new_ranks
+        # checkpoint). new_ranks itself needs no checkpoint: its
+        # lineage is two checkpointed frames and a projection, so
+        # plan depth stays constant across rounds.
         inbound = (
             contrib_edges.join(
                 ranks.withColumnRenamed("id", "src"), "src"
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
+            .localCheckpoint(eager=True)
         )
         # dangling mass = 1 - mass that flowed along edges
         flowed = inbound.agg(F.sum("m")).collect()[0][0] or 0.0
         dangling = 1.0 - flowed
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            nodes.join(
-                inbound.withColumnRenamed("dst", "id"), "id", "left"
-            )
-            .select(
-                "id",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce("m", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        new_ranks = nodes.join(
+            inbound.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+            ).alias("rank"),
         )
         if tol is not None:
             delta = (
