@@ -1264,6 +1264,45 @@ def test_bin_export_batch_reads_only_touched_partitions(
     assert hashes(out) == hashes(clean)
 
 
+def test_bin_export_batch_single_batch_input_pass(spark, tmp_path):
+    """The streaming wrapper consumes its micro-batch input exactly
+    ONCE per commit (r14): the corpus-store land is the only action
+    on the batch lineage; the delta's signature fold reads the
+    batch's rows back from the store partitions the land just wrote
+    (pruned to batch_id=N). Previously the fold re-ran the batch
+    lineage — in a foreachBatch sink, a second read of the
+    micro-batch source per commit, doubling the input-pass cost the
+    batch-proportional contract bounds. Pinned with an accumulator
+    riding the batch source."""
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [1 + i % 4, 7], [True, bool(i % 2)])
+             for i in range(lo, hi)],
+            ddl,
+        ).mapInPandas(counting, ddl)
+
+    corpus = str(tmp_path / "one_pass_store")
+    out = str(tmp_path / "one_pass_out")
+    bin_export_batch(mk(0, 30), corpus, out, 0, 4, salt="op")
+    assert acc.value == 30  # first/full export: one source pass
+    bin_export_batch(mk(30, 36), corpus, out, 1, 4, salt="op")
+    # steady-state delta: store land + signature fold = ONE pass
+    assert acc.value == 36
+
+
 def test_bin_export_batch_replay_converges(spark, tmp_path):
     """A replayed batch_id (restart re-delivering the last batch)
     replaces its own partitions and falls back to the full-store
