@@ -9,7 +9,8 @@ artifact had "parsed": null): one compact JSON line PER QUERY first
 short JSON line
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "sf": ..., "extended_total_sec": ..., "n_queries": ..., "trials": ...}
+     "sf": ..., "extended_total_sec": ..., "n_queries": ..., "trials": ...,
+     "cpus": ..., "sf_dir": ...}
 
 whose "queries" dict carries the survey suite (q01-q32, the queries
 BASELINE.md measured) so it stays well under any plausible tail
@@ -54,7 +55,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from topn_spark.queries import QUERIES
-from topn_spark.session import get_session
+from topn_spark.session import DEFAULT_CPUS, get_session
 
 
 def main() -> None:
@@ -172,6 +173,15 @@ def main() -> None:
                 "extended_total_sec": round(extended_total, 3),
                 "n_queries": len(per_query),
                 "trials": trials,
+                # Self-certify the scaling contract (VERDICT r14 #2):
+                # echo the core count the session actually ran with
+                # (master local[cpus], shuffle partitions follow it)
+                # and the resolved data dir, so a $SPARK_GRAFT_CPUS=8
+                # run is distinguishable from a 32-core run by the
+                # summary line alone. Additions only — every existing
+                # key is unchanged for round-over-round comparability.
+                "cpus": DEFAULT_CPUS,
+                "sf_dir": sf_dir,
             }
         )
     )

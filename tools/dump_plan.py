@@ -23,7 +23,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="dump_plan", shuffle_partitions=8)
