@@ -1303,6 +1303,68 @@ def test_bin_export_batch_single_batch_input_pass(spark, tmp_path):
     assert acc.value == 36
 
 
+def test_bin_export_batch_listing_proportional_to_touched(
+    spark, tmp_path
+):
+    """Steady-state commits never PLAN a read over the corpus-store
+    ROOT (r15): the batch read-back names its landed partition dirs
+    and the rewrite's store input is built over exactly the touched
+    shards' dirs (explicit paths + basePath), so the driver's
+    file-index listing per commit is proportional to the touched
+    shards — at millions of accumulated (shard, batch_id) partitions
+    a root read is corpus-sized metadata work per commit even though
+    partition pruning keeps untouched files closed. Pinned
+    structurally by recording every path handed to
+    DataFrameReader.parquet during the commit."""
+    import re
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from topn_spark.streaming.ingest import bin_export_batch
+
+    ddl = (
+        "seq_id bigint, tokens array<bigint>,"
+        " loss_mask array<boolean>"
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, [1 + i % 4, 7], [True, bool(i % 2)])
+             for i in range(lo, hi)],
+            ddl,
+        )
+
+    corpus = str(tmp_path / "lst_store")
+    out = str(tmp_path / "lst_out")
+    bin_export_batch(mk(0, 40), corpus, out, 0, 8, salt="ls")
+
+    seen: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def recording(self, *paths):
+        seen.extend(str(p) for p in paths)
+        return orig(self, *paths)
+
+    DataFrameReader.parquet = recording
+    try:
+        man = bin_export_batch(mk(40, 46), corpus, out, 1, 8, salt="ls")
+    finally:
+        DataFrameReader.parquet = orig
+    touched = {int(r.shard) for r in man.collect() if r.rewritten}
+    assert touched  # the delta really rewrote something
+    store_reads = [
+        p.rstrip("/") for p in seen if corpus in p
+    ]
+    assert store_reads  # the commit did read the store
+    for p in store_reads:
+        rel = p.split(corpus, 1)[1].lstrip("/")
+        # every store read is an explicit partition dir of a touched
+        # shard — never the root, never an untouched shard
+        m = re.fullmatch(r"shard=(-?\d+)(/batch_id=1)?", rel)
+        assert m, f"store read not partition-scoped: {p!r}"
+        assert int(m.group(1)) in touched, f"untouched shard read: {p!r}"
+
+
 def test_bin_export_batch_replay_converges(spark, tmp_path):
     """A replayed batch_id (restart re-delivering the last batch)
     replaces its own partitions and falls back to the full-store

@@ -1021,7 +1021,7 @@ def _parse_sig(sig: str) -> tuple[int, int]:
 
 def export_bin_shards_delta(
     batch: DataFrame,
-    store_df: DataFrame,
+    store_df: DataFrame | None,
     out_dir: str,
     n_shards: int,
     tokens_col: str = "tokens",
@@ -1033,6 +1033,7 @@ def export_bin_shards_delta(
     seqs_per_shard: int | None = None,
     shard_key_col: str | None = None,
     layout: str = "seq",
+    store_reader=None,
 ) -> DataFrame:
     """Batch-proportional incremental re-export: bring a binary
     shard set up to date after APPENDING ``batch`` to a corpus
@@ -1061,14 +1062,28 @@ def export_bin_shards_delta(
        layout): the rewrite filters ``shard IN touched`` and
        Catalyst prunes to exactly the touched shards' partitions —
        untouched partitions are never opened (the pytest proves it
-       by poisoning them).
+       by poisoning them). ``store_reader`` (r15) tightens this
+       from pruning to LISTING: a callable ``touched_shards →
+       DataFrame`` invoked once the fold names the touched set, so
+       the caller can build the reader over exactly the touched
+       shards' partition directories (explicit paths + ``basePath``)
+       and per-commit file-index work is proportional to the
+       touched shards, not the store — at millions of store
+       partitions the root-path read's directory walk is itself
+       corpus-sized metadata work per commit even though pruning
+       keeps untouched FILES closed. With ``store_reader`` set,
+       ``store_df`` may be ``None`` (it is never consulted).
     3. The rewrite reuses the standard writer verbatim (same ONE
        repartition-by-shard shuffle, atomic writes, crc manifest),
        then CROSS-CHECKS each written shard's signature against
        the batch-side fold: a mismatch means the append-only/
-       unique-id contract was violated (or store and batch
-       disagree) and RAISES — the export never silently diverges
-       from what a from-scratch export would produce.
+       unique-id contract was violated (an id updated, removed, or
+       duplicated) and RAISES — the export never silently diverges
+       from what a from-scratch export would produce. When batch
+       and rewrite read the same landed partitions (the streaming
+       wrapper's shape), the store is authoritative post-land: the
+       check pins the fold's soundness against the manifest, not
+       store-vs-batch-lineage agreement.
 
     Unchanged manifest rows carry forward byte-identically,
     ``export_version`` bumps, and epoch artifacts (views of the
@@ -1189,9 +1204,16 @@ def export_bin_shards_delta(
     _remove_epoch_artifacts(out_dir, st)
 
     # the rewrite's ONLY store input: the touched shards'
-    # partitions (Catalyst partition-prunes the IN filter)
+    # partitions (Catalyst partition-prunes the IN filter; with a
+    # store_reader the file index is BUILT over only those
+    # partitions' paths, so listing is ∝ touched as well)
+    src_df = (
+        store_reader(touched)
+        if store_reader is not None
+        else store_df
+    )
     src = _hashed_projection(
-        store_df.where(F.col("shard").isin(touched)),
+        src_df.where(F.col("shard").isin(touched)),
         tokens_col, mask_col, id_col, assets_col,
     )
     src = src.repartition(

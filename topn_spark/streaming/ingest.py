@@ -1608,11 +1608,19 @@ def bin_export_batch(
     2. Steady state (a batch id never seen before): the
        batch-proportional
        :func:`~topn_spark.operators.binshard.export_bin_shards_delta`
-       — per-shard signatures FOLD from the batch alone against the
-       stored manifest (one batch-sized aggregate, zero store
-       input) and the rewrite reads ONLY the touched shards'
-       partitions. Per-commit input = batch + touched shards,
-       independent of corpus size.
+       — per-shard signatures FOLD against the stored manifest from
+       ONE batch-sized read of the freshly landed ``batch_id=N``
+       partitions (zero extra batch-lineage input, zero pre-existing
+       store input), and the rewrite reads ONLY the touched shards'
+       partitions, with the file index built over exactly those
+       partition directories (listing ∝ touched, not ∝ store).
+       Per-commit input AND per-commit listing = batch + touched
+       shards, independent of corpus size. Post-land, the store is
+       authoritative for the batch's content: the fold and the
+       rewrite both read the landed partitions, and the delta's
+       cross-check guards the append-only/unique-id contract (a
+       partial land surfaces as a missing-shard or signature
+       mismatch on the NEXT commit's fold, not silently).
     3. Replay (this ``batch_id``'s partitions already exist — a
        restarted ``foreachBatch`` re-delivering its last batch):
        the previously landed partitions are replaced and the export
@@ -1653,9 +1661,7 @@ def bin_export_batch(
     though untouched partitions are never read. Epoch orders
     shuffle across and within shards either way, so training-order
     randomness is unaffected by the layout scheme."""
-    import glob as _glob
     import os
-    import shutil
 
     from topn_spark.operators.binshard import (
         _assign_shards,
@@ -1670,15 +1676,37 @@ def bin_export_batch(
         batch, n_shards, _shard_key_col or id_col, salt,
         seqs_per_shard,
     )
-    replayed = _glob.glob(
-        os.path.join(
-            corpus_dir, "shard=*", f"batch_id={int(batch_id)}"
+    # All corpus-store directory work goes through the Hadoop FS of
+    # corpus_dir itself (r15): a POSIX glob/rmtree silently matches
+    # nothing on any non-local URI (s3a://, hdfs://, ...), so replay
+    # detection would miss re-delivered partitions on exactly the
+    # stores that need it. globStatus is ONE directory-level pattern
+    # walk (shard dirs × one child probe), never a full-store leaf
+    # listing.
+    jvm = spark._jvm
+    _hpath = jvm.org.apache.hadoop.fs.Path
+    root = _hpath(corpus_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _batch_partitions():
+        """This batch_id's landed ``shard=k/batch_id=N`` partition
+        directories (absolute URIs)."""
+        if not fs.exists(root):
+            return []
+        pat = _hpath(
+            os.path.join(
+                corpus_dir, "shard=*", f"batch_id={int(batch_id)}"
+            )
         )
-    )
+        return [
+            str(st.getPath()) for st in (fs.globStatus(pat) or [])
+        ]
+
+    replayed = _batch_partitions()
     for d in replayed:
         # replace the failed/duplicate delivery wholesale — the
         # replay contract of the other streaming gates
-        shutil.rmtree(d, ignore_errors=True)
+        fs.delete(_hpath(d), True)
     assigned.withColumn(
         "batch_id", F.lit(int(batch_id))
     ).write.mode("append").partitionBy("shard", "batch_id").parquet(
@@ -1699,9 +1727,27 @@ def bin_export_batch(
         list(assigned.schema.fields)
         + [T.StructField("batch_id", T.LongType())]
     )
-    store_reader = spark.read.schema(store_schema).parquet(corpus_dir)
-    corpus = store_reader.drop("batch_id")
+
+    def _store_frame(paths: list[str]) -> DataFrame:
+        """Reader over explicit partition-directory paths with
+        ``basePath``: the file index lists ONLY these directories,
+        so per-commit listing work is ∝ the named partitions — the
+        full-store root read walks every ``shard=*/batch_id=*``
+        directory at plan time, which at millions of partitions is
+        corpus-sized metadata work per commit even though pruning
+        keeps untouched files closed (guide §6 file listing)."""
+        if not paths:
+            return spark.createDataFrame([], store_schema)
+        return (
+            spark.read.schema(store_schema)
+            .option("basePath", corpus_dir)
+            .parquet(*paths)
+        )
+
     if first:
+        corpus = spark.read.schema(store_schema).parquet(
+            corpus_dir
+        ).drop("batch_id")
         man = export_bin_shards(
             corpus.drop("shard"),
             out_dir,
@@ -1719,6 +1765,9 @@ def bin_export_batch(
         )
         changed = True
     elif replayed:
+        corpus = spark.read.schema(store_schema).parquet(
+            corpus_dir
+        ).drop("batch_id")
         man = export_bin_shards(
             corpus.drop("shard"),
             out_dir,
@@ -1750,12 +1799,28 @@ def bin_export_batch(
         # cache fill + unpersist round-trips on batch-sized frames
         # cost more than the re-read they save; the store read-back
         # is overhead-free and holds no executor memory.)
-        landed = store_reader.where(
-            F.col("batch_id") == int(batch_id)
-        ).drop("batch_id")
+        #
+        # Listing ∝ touched, never ∝ store (r15): the batch read-back
+        # names its landed partition dirs explicitly (one directory-
+        # level glob), and the rewrite's store input is built by the
+        # delta's store_reader seam over exactly the touched shards'
+        # dirs — no corpus_dir root read is ever PLANNED on this
+        # path, so per-commit file-index work stays batch-sized no
+        # matter how many (shard, batch_id) partitions the store has
+        # accumulated.
+        landed = _store_frame(_batch_partitions()).drop("batch_id")
+
+        def _touched_shards_reader(touched):
+            return _store_frame(
+                [
+                    os.path.join(corpus_dir, f"shard={int(k)}")
+                    for k in touched
+                ]
+            ).drop("batch_id")
+
         man = export_bin_shards_delta(
             landed,
-            corpus,
+            None,
             out_dir,
             n_shards,
             tokens_col=tokens_col,
@@ -1767,6 +1832,7 @@ def bin_export_batch(
             seqs_per_shard=seqs_per_shard,
             shard_key_col=_shard_key_col,
             layout=_layout,
+            store_reader=_touched_shards_reader,
         )
         changed = any(r["rewritten"] for r in _manifest_rows(man))
     if epochs:
