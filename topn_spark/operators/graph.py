@@ -178,8 +178,14 @@ def triangle_count(
     # the orientation joins go map-side (degree table broadcast: one
     # (id, count) row per node) instead of shuffling the edge set
     # twice. Past the limit, shuffled equi-joins — the scale path.
-    n_nodes = deg.count()
-    n_edges = e.count()
+    # Both counts come from ONE node-sized aggregate over the cached
+    # degree table (Σdeg = 2m) — the former separate e.count() was an
+    # extra edge-sized pass per call (§1.2 step 1: count the passes).
+    nrow = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("s")
+    ).first()
+    n_nodes = nrow["n"]
+    n_edges = int(nrow["s"] or 0) // 2
     # orient a→b iff rank(a) < rank(b), rank = (deg, id)
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
@@ -203,12 +209,18 @@ def triangle_count(
     # (The oriented edge list itself is recovered below by exploding
     # the arrays, with the u-side neighbor array attached for free.)
     adj = fwd.groupBy("u").agg(F.collect_list("v").alias("nb")).persist()
-    adj.count()
+    bcast = n_edges <= broadcast_edge_limit
+    if not bcast:
+        # Fallback path only: materialize the cache before the probe
+        # and build sides race to compute it inside one job. On the
+        # broadcast path the build-side broadcast job runs first and
+        # fills the cache itself, so a separate pass is pure waste.
+        adj.count()
     probe = adj.select(
         F.col("nb").alias("nbu"), F.explode("nb").alias("v")
     )
     build = adj.select(F.col("u").alias("v"), F.col("nb").alias("nbv"))
-    if n_edges <= broadcast_edge_limit:
+    if bcast:
         build = F.broadcast(build)
     # inner join: a v with no out-neighbors closes no triangles
     n_tris = (

@@ -2811,6 +2811,13 @@ def x77_triangle_count(spark, sf_dir):
     edges = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
+        # The C(k,2) explode expands each order row ~k²/2-fold, but
+        # AQE coalesces the tiny pre-explode aggregate output below
+        # the core count (its size heuristic cannot see through the
+        # explode) — spread the collapsed rows to full parallelism
+        # first so the expansion runs on every core (§2.5 input
+        # skew; scale-adaptive: one node-sized exchange).
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             F.explode(
                 F.expr(
