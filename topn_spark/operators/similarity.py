@@ -300,6 +300,19 @@ def random_hyperplane_lsh(
     The hyperplanes are a deterministic driver-side model (seeded),
     embedded as literals — no shuffle, map-only.
     """
+    return df.withColumn(
+        bucket_col, F.expr(_srp_bucket_sql(dim, n_bits, vec_col, seed))
+    )
+
+
+def _srp_bucket_sql(
+    dim: int, n_bits: int, vec_col: str, seed: int
+) -> str:
+    """SQL text of one seeded SRP bucket id (the exact expression
+    :func:`random_hyperplane_lsh` stamps — same planes, same
+    sum-of-CASE bit packing), exposed so multi-table consumers can
+    emit all tables from ONE projection instead of unioning per-table
+    streams."""
     import random
 
     rng = random.Random(seed)
@@ -312,10 +325,7 @@ def random_hyperplane_lsh(
         f"CASE WHEN {_dot_sql(v_sql, p)} > 0 THEN {1 << j} ELSE 0 END"
         for j, p in enumerate(planes)
     )
-    return df.withColumn(
-        bucket_col,
-        F.expr(f"CAST(CAST(0 AS BIGINT) + {bucket} AS BIGINT)"),
-    )
+    return f"CAST(CAST(0 AS BIGINT) + {bucket} AS BIGINT)"
 
 
 def embedding_near_dup_pairs(
@@ -1414,19 +1424,31 @@ def contrastive_triplets_bucketed(
         labeled, id_col, vec_col, label_col, "_id", "_uv", "_lab"
     )
     if centroids is None:
-        # one keyed stream per LSH table, the table id IN the join
-        # key — bucket value 5 of table 0 and table 1 come from
-        # different hyperplanes and must not pool
-        streams = [
-            random_hyperplane_lsh(
-                u, dim, n_bits, vec_col="_uv",
-                bucket_col="_bk", seed=seed + t,
-            ).withColumn("_tb", F.lit(t))
-            for t in range(int(n_tables))
-        ]
-        cand = streams[0]
-        for s in streams[1:]:
-            cand = cand.unionAll(s)
+        # all n_tables bucket ids from ONE projection, posexploded
+        # into (table, bucket) keyed rows — the table id IN the join
+        # key, since bucket value 5 of table 0 and table 1 come from
+        # different hyperplanes and must not pool. Same row multiset
+        # as the former union of per-table streams, but the plan
+        # carries ONE scan and ONE copy of the k×d literal plane
+        # expressions per join side instead of n_tables of each —
+        # driver plan-analysis cost was the dominant term at small
+        # scale (§7.3), and at scale this also cuts the map-side
+        # source evaluations per join side from n_tables to one.
+        cand = u.select(
+            "_id",
+            "_uv",
+            "_lab",
+            F.posexplode(
+                F.expr(
+                    "array("
+                    + ",".join(
+                        _srp_bucket_sql(dim, n_bits, "_uv", seed + t)
+                        for t in range(int(n_tables))
+                    )
+                    + ")"
+                )
+            ).alias("_tb", "_bk"),
+        )
         anchor = cand
     else:
         neigh = ivf_assign(u, centroids, vec_col="_uv",
