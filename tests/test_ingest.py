@@ -1296,6 +1296,10 @@ def test_bin_export_batch_single_batch_input_pass(spark, tmp_path):
 
     corpus = str(tmp_path / "one_pass_store")
     out = str(tmp_path / "one_pass_out")
+    # Exact accumulator equality is valid in deterministic local mode
+    # (this suite); under task retries or speculative execution Spark
+    # accumulators over-count, so a cluster port of this test should
+    # assert per-pass upper bounds instead.
     bin_export_batch(mk(0, 30), corpus, out, 0, 4, salt="op")
     assert acc.value == 30  # first/full export: one source pass
     bin_export_batch(mk(30, 36), corpus, out, 1, 4, salt="op")

@@ -67,7 +67,15 @@ def profile_table(
     profiling wants the sketch; the exact form exists to be
     oracle-comparable.
     """
+    from topn_spark.operators.dedup import ensure_parallelism
+
     cols = cols or df.columns
+    # The wide aggregate's heavy half is the map-side pass (with
+    # exact NDVs the Expand multiplies every row by len(cols)+1
+    # before the partial aggregate); a small table often arrives as
+    # ONE parquet split, serializing that whole pass on one core
+    # (§2.5 input skew). Spread first — a no-op at scale.
+    df = ensure_parallelism(df)
     ndv = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
     for c in cols:
