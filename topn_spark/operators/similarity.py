@@ -413,7 +413,15 @@ def edit_distance_join(
         f" i -> xxhash64(concat(substr({text_col}, 1, i - 1),"
         f" substr({text_col}, i + 1)))))"
     )
-    keyed = df.select(
+    from topn_spark.operators.dedup import ensure_parallelism
+
+    # A dimension-sized input often arrives as ONE parquet split, and
+    # the deletion-neighborhood explode multiplies rows ×(len+1) —
+    # serializing the explode and both join sides' map work on one
+    # core (§2.5 input skew). Spread first; a no-op at scale.
+    keyed = ensure_parallelism(
+        df.select(id_col, text_col, *block_cols)
+    ).select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_txt"),
         *[F.col(c) for c in block_cols],
